@@ -1,13 +1,172 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Analytics
+import graft.ingest.DateDim
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator of the engine is registered here twice: a Spark
+  * implementation in [[queries]] and an ANSI-SQL twin in [[oracleSql]]
+  * that DuckDB runs over the same parquet tables. Column names are
+  * aligned pairwise (the driver sorts columns by name before hashing).
+  * Determinism rules are documented in [[graft.queries.Analytics]].
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.starJoinRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Analytics.pricingSummary _),
+    "q02_global_stats" -> (Analytics.globalStats _),
+    "q03_distinct" -> (Analytics.distinctSegments _),
+    "q04_count_distinct" -> (Analytics.statusCardinality _),
+    "q05_top_parts" -> (Analytics.topParts _),
+    "q06_daily_summary" -> (Analytics.dailySummary _),
+    "q07_star_join" -> (Analytics.starJoinRevenue _),
+    "q08_anti_join" -> (Analytics.customersWithoutOrders _),
+    "q09_semi_join" -> (Analytics.bigSpenders _),
+    "q10_window_rownumber" -> (Analytics.topOrdersPerCustomer _),
+    "q11_running_total" -> (Analytics.runningTotal _),
+    "q12_union_counts" -> (Analytics.unionCounts _),
+    "q13_case_buckets" -> (Analytics.priceBuckets _),
+    "q14_most_active" -> (Analytics.mostActiveCustomers _),
+    "q15_yearly_trend" -> (Analytics.yearlyTrend _),
+    "q16_orphan_check" -> (Analytics.orphanCheck _),
+    "q17_date_dim" -> ((s: SparkSession, _: String) => DateDim.build(s)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        |  ROUND(SUM(l_quantity) / COUNT(*) * 10000, 0) / 10000 AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000, 0) / 10000 AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-09-03'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_global_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+        |  MAX(CAST(l_shipdate AS DATE)) AS max_ship,
+        |  ROUND(SUM(l_quantity) / COUNT(*) * 10000, 0) / 10000 AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem""".stripMargin,
+    "q03_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q04_count_distinct" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q05_top_parts" ->
+      """SELECT p_partkey, p_name,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000, 0) / 10000 AS avg_price,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name
+        |HAVING COUNT(*) >= 20
+        |ORDER BY avg_price DESC, p_partkey
+        |LIMIT 10""".stripMargin,
+    "q06_daily_summary" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        |  COUNT(*) AS n_items,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000, 0) / 10000 AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY ship_date""".stripMargin,
+    "q07_star_join" ->
+      """SELECT r_name, n_name,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_window_rownumber" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, total FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    ROUND(o_totalprice, 2) AS total
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q11_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q12_union_counts" ->
+      """SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'region', COUNT(*) FROM region
+        |ORDER BY tbl""".stripMargin,
+    "q13_case_buckets" ->
+      """SELECT o_orderstatus,
+        |  CASE WHEN o_totalprice > 300000.0 THEN 'high'
+        |       WHEN o_totalprice > 150000.0 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  COUNT(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000, 0) / 10000 AS avg_price
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin,
+    "q14_most_active" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spent,
+        |  MIN(CAST(o_orderdate AS DATE)) AS first_order,
+        |  MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |  CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |                 MAX(CAST(o_orderdate AS DATE))) AS INT) AS days_active
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY n_orders DESC, o_custkey LIMIT 20""".stripMargin,
+    "q15_yearly_trend" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000, 0) / 10000 AS avg_price,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+    "q16_orphan_check" ->
+      """SELECT COUNT(*) AS n_orphans FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)""".stripMargin,
+    "q17_date_dim" ->
+      """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+        |  CAST(d AS DATE) AS date_actual,
+        |  CAST(year(d) AS INT) AS year,
+        |  CAST(month(d) AS INT) AS month,
+        |  CAST(day(d) AS INT) AS day,
+        |  CAST(quarter(d) AS INT) AS quarter,
+        |  CAST(isodow(d) - 1 AS INT) AS day_of_week,
+        |  strftime(d, '%B') AS month_name,
+        |  isodow(d) >= 6 AS is_weekend
+        |FROM generate_series(DATE '1998-10-01', DATE '2005-12-31', INTERVAL 1 DAY) t(d)
+        |ORDER BY date_key""".stripMargin,
+  )
 }
