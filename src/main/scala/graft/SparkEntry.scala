@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Analytics
 import graft.ingest.DateDim
+import graft.ext.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +38,12 @@ object SparkEntry {
     "q15_yearly_trend" -> (Analytics.yearlyTrend _),
     "q16_orphan_check" -> (Analytics.orphanCheck _),
     "q17_date_dim" -> ((s: SparkSession, _: String) => DateDim.build(s)),
+    "q18_fill_forward" -> (Events.fillForward _),
+    "q19_sessionize" -> (Events.sessionize _),
+    "q20_tumbling_window" -> (Events.tumblingWindow _),
+    "q21_sliding_window" -> (Events.slidingWindow _),
+    "q22_json_extract" -> (Events.jsonExtract _),
+    "q23_json_map_explode" -> (Events.jsonMapExplode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -168,5 +175,49 @@ object SparkEntry {
         |  isodow(d) >= 6 AS is_weekend
         |FROM generate_series(DATE '1998-10-01', DATE '2005-12-31', INTERVAL 1 DAY) t(d)
         |ORDER BY date_key""".stripMargin,
+    "q18_fill_forward" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q19_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, value, ts_us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q20_tumbling_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "q21_sliding_window" ->
+      """SELECT win_start_us, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM (
+        |  SELECT (epoch_us(ts) // 1800000000 - s.i) * 1800000000 AS win_start_us, value, epoch_us(ts) AS e
+        |  FROM events CROSS JOIN (VALUES (0), (1)) s(i)
+        |) t
+        |WHERE e >= win_start_us AND e < win_start_us + 3600000000
+        |GROUP BY win_start_us ORDER BY win_start_us""".stripMargin,
+    "q22_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q23_json_map_explode" ->
+      """SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
+        |FROM events ORDER BY event_id, key""".stripMargin,
   )
 }

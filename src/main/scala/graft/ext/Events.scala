@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Event-time operators over the `events` table — the batch-expressible
+  * face of the reference's resumable micro-batch machinery (SURVEY.md
+  * §2.10) plus the fill-forward window that powers its positional-file
+  * parser (`/root/reference/etl_pipeline_spark.py:1114-1121`).
+  *
+  * Timestamps: the parquet column is nanosecond-precision; Spark reads
+  * it at microsecond precision while DuckDB keeps ns, so every query
+  * outputs `unix_micros(ts)` (oracle: `epoch_us(ts)`) — identical
+  * BIGINTs on both engines (the generator emits µs-aligned values).
+  *
+  * Scale: every window below partitions by `user_id`, so state is
+  * distributed across executors by key — no global single-partition
+  * window anywhere. At 100 TB the same code runs with
+  * `spark.sql.shuffle.partitions` sized to the cluster; skewed users
+  * would be handled by AQE or key salting.
+  */
+object Events {
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def moneySum(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
+
+  /** W2 analog — LOCF (last observation carried forward): for every
+    * event, the most recent 'purchase' value of the same user. Exactly
+    * the reference's `last(ignorenulls=True)` over
+    * rowsBetween(unboundedPreceding, currentRow).
+    */
+  def fillForward(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        last(when($"event_type" === "purchase", $"value"), ignoreNulls = true)
+          .over(w).as("last_purchase_value"))
+      .orderBy($"event_id")
+  }
+
+  /** Sessionization via lag-gap (30-minute inactivity): flag a new
+    * session when the gap to the previous event exceeds the timeout,
+    * then running-sum the flags into a session ordinal. This is the
+    * batch twin of Structured Streaming's `session_window` (the
+    * streaming form lives in [[graft.streaming.EventStream]]).
+    */
+  def sessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, d)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros($"ts")).as("start_us"),
+        max(unix_micros($"ts")).as("end_us"),
+        moneySum($"value").as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Tumbling event-time window (1 hour) per event_type — Spark's
+    * `window()` function; oracle uses date_trunc (identical for
+    * epoch-aligned 1h windows).
+    */
+  def tumblingWindow(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        moneySum($"value").as("sum_value"))
+      .select(unix_micros($"window.start").as("win_start_us"), $"event_type",
+              $"n", $"n_users", $"sum_value")
+      .orderBy($"win_start_us", $"event_type")
+  }
+
+  /** Sliding event-time window (1 hour every 30 minutes): each event
+    * lands in 2 windows. Oracle expands via a 2-row cross join on the
+    * shift index — same epoch-aligned window set Spark generates.
+    */
+  def slidingWindow(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(window($"ts", "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), moneySum($"value").as("sum_value"))
+      .select(unix_micros($"window.start").as("win_start_us"), $"n", $"sum_value")
+      .orderBy($"win_start_us")
+  }
+
+  /** JSON access path: scalar extraction (`get_json_object`) with cast
+    * and re-aggregation — the extension surface's `props` handling
+    * (SURVEY.md §2.11).
+    */
+  def jsonExtract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), moneySum($"value").as("sum_value"))
+      .orderBy($"k")
+  }
+
+  /** JSON as typed map: `from_json` into MapType + `explode` — the
+    * generator (UDTF-shaped) path over parsed JSON.
+    */
+  def jsonMapExplode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .select($"event_id",
+        explode(from_json($"props", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("key", "val")))
+      .orderBy($"event_id", $"key")
+  }
+}

@@ -25,7 +25,18 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = read(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = read(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = read(spark, d, "region")
-  def events(spark: SparkSession, d: String): DataFrame = read(spark, d, "events")
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+    * to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as raw
+    * nanos (legacy conf) and normalize to a microsecond TimestampType
+    * column — the generator emits µs-aligned values, so this is
+    * lossless and matches DuckDB's epoch_us view of the same data.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")
 }
