@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Analytics
 import graft.ingest.DateDim
-import graft.ext.Events
+import graft.ext.{Dedup, Events, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,7 +44,142 @@ object SparkEntry {
     "q21_sliding_window" -> (Events.slidingWindow _),
     "q22_json_extract" -> (Events.jsonExtract _),
     "q23_json_map_explode" -> (Events.jsonMapExplode _),
+    "q24_dedup_exact" -> (Dedup.exactDedup _),
+    "q25_dedup_hash" -> (Dedup.hashDedup _),
+    "q26_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q27_minhash_lsh" -> (Dedup.minhashLsh _),
+    "q28_simhash" -> (Dedup.simhash _),
+    "q29_text_stats" -> (TextStats.textStats _),
+    "q30_lang_id" -> (TextStats.langId _),
+    "q31_token_count_regex" -> (TextStats.tokenCountRegex _),
+    "q32_fingerprint" -> (TextStats.fingerprint _),
+    "q33_winnow_fingerprint" -> (TextStats.winnowFingerprint _),
   )
+
+  // ---- DuckDB oracle fragments shared by the documents-table queries ----
+
+  /** DuckDB twin of Dedup.tokenHashes: distinct polynomial char-fold
+    * hashes of the space-split tokens, mod 2^31-1. */
+  private val TokHashes =
+    "list_distinct(list_transform(string_split(text, ' '), " +
+    "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    "list_transform(list_filter(string_split(t, ''), c -> c != ''), " +
+    "c -> CAST(ord(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647)))"
+
+  /** DuckDB twin of Dedup.shingleHashes: distinct polynomial hashes of
+    * 3-token shingles. */
+  private val ShingleHashes =
+    "list_distinct(list_transform(range(len(string_split(text, ' ')) - 2), " +
+    "i -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    "list_transform(list_filter(string_split(array_to_string(" +
+    "(string_split(text, ' '))[i+1:i+3], ' '), ''), c -> c != ''), " +
+    "c -> CAST(ord(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647)))"
+
+  private def r4sql(e: String): String = s"ROUND(($e) * 10000, 0) / 10000"
+
+  private def docOracles: Map[String, String] = {
+    val jac = (ah: String, bh: String) => r4sql(
+      s"CAST(len(list_intersect($ah, $bh)) AS DOUBLE) / " +
+      s"(len($ah) + len($bh) - len(list_intersect($ah, $bh)))")
+    val sigs = (0 until Dedup.NumHashes).map { i =>
+      s"list_min(list_transform(hashes, h -> (h * ${Dedup.hashA(i)} + ${Dedup.hashB(i)}) % 2147483647)) AS s$i"
+    }.mkString(",\n  ")
+    val bandKeys = (0 until Dedup.NumHashes / Dedup.BandSize).map { j =>
+      val cols = (0 until Dedup.BandSize).map(k => s"s${j * Dedup.BandSize + k}").mkString(", ")
+      s"WHEN $j THEN CONCAT_WS('-', $cols)"
+    }.mkString(" ")
+    val simhashBits = (0 until 16).map { b =>
+      s"CASE WHEN list_sum(list_transform(hashes, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString(" + ")
+    val stopIn = TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
+    Map(
+      "q24_dedup_exact" ->
+        """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+          |  CAST(LENGTH(text) AS INT) AS text_len
+          |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+      "q25_dedup_hash" ->
+        """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+          |  COUNT(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+      "q26_ngram_jaccard" ->
+        s"""WITH s2 AS (
+           |  SELECT doc_id, lang, len(toks) AS n_toks,
+           |    list_distinct(list_transform(range(len(toks) - 2),
+           |      i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
+           |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+           |)
+           |SELECT * FROM (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+           |    ${jac("a.shingles", "b.shingles")} AS jaccard
+           |  FROM s2 a JOIN s2 b
+           |    ON a.lang = b.lang AND a.n_toks = b.n_toks AND a.doc_id < b.doc_id
+           |) WHERE jaccard >= 0.01 ORDER BY a_id, b_id""".stripMargin,
+      "q27_minhash_lsh" ->
+        s"""WITH hs AS (SELECT doc_id, $ShingleHashes AS hashes FROM documents),
+           |sigs AS (SELECT doc_id, hashes, $sigs FROM hs),
+           |bands AS (
+           |  SELECT doc_id, hashes, b.i AS band_idx,
+           |    CASE b.i $bandKeys END AS band_key
+           |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) b(i)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    a.hashes AS a_h, b.hashes AS b_h
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id
+           |)
+           |SELECT a_id, b_id, ${jac("a_h", "b_h")} AS jaccard
+           |FROM cand ORDER BY a_id, b_id""".stripMargin,
+      "q28_simhash" ->
+        s"""WITH hs AS (SELECT doc_id, $TokHashes AS hashes FROM documents)
+           |SELECT doc_id, CAST($simhashBits AS INT) AS simhash16
+           |FROM hs ORDER BY doc_id""".stripMargin,
+      "q29_text_stats" ->
+        s"""SELECT doc_id, lang,
+           |  CAST(LENGTH(text) AS INT) AS n_chars_calc,
+           |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           |  ${r4sql("CAST(list_sum(list_transform(string_split(text, ' '), t -> LENGTH(t))) AS DOUBLE) / len(string_split(text, ' '))")} AS avg_token_len,
+           |  ${r4sql(s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopIn))) AS DOUBLE) / len(string_split(text, ' '))")} AS stopword_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q30_lang_id" ->
+        """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+          |s AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(list_filter(toks, t -> t IN ('der', 'die', 'und'))) AS INT) AS s_de,
+          |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'is'))) AS INT) AS s_en,
+          |    CAST(len(list_filter(toks, t -> t IN ('el', 'la', 'y'))) AS INT) AS s_es,
+          |    CAST(len(list_filter(toks, t -> t IN ('le', 'la', 'et'))) AS INT) AS s_fr
+          |  FROM t
+          |)
+          |SELECT doc_id, lang,
+          |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+          |       WHEN s_es >= s_fr THEN 'es'
+          |       ELSE 'fr' END AS predicted,
+          |  s_de, s_en, s_es, s_fr
+          |FROM s ORDER BY doc_id""".stripMargin,
+      "q31_token_count_regex" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpeish_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q32_fingerprint" ->
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(list_filter(string_split(text, ''), c -> c != ''),
+          |      c -> CAST(ord(c) AS BIGINT))),
+          |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q33_winnow_fingerprint" ->
+        """SELECT doc_id,
+          |  list_min(list_transform(range(0, LENGTH(text) - 4, 4),
+          |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split(text[i+1:i+5], ''), c -> CAST(ord(c) AS BIGINT))),
+          |      (a, b) -> (a * 31 + b) % 2147483647))) AS winnow_fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+    )
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -219,5 +354,5 @@ object SparkEntry {
     "q23_json_map_explode" ->
       """SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
         |FROM events ORDER BY event_id, key""".stripMargin,
-  )
+  ) ++ docOracles
 }

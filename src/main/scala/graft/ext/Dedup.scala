@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline extension surface (SURVEY.md §2.11).
+  *
+  * Four tiers, cheapest to most robust:
+  *  1. exact dedup (hash groupBy on the full text),
+  *  2. content-hash dedup (sha2-256, the form that scales to a
+  *     follow-up join against a bloom/registry),
+  *  3. blocked n-gram Jaccard (equal-length blocking inside language,
+  *     then pairwise shingle overlap),
+  *  4. MinHash + LSH banding (the 100 TB path: candidate pairs come
+  *     from an equi-join on band keys — no quadratic pair enumeration
+  *     anywhere; the band join shuffles on the band key exactly like
+  *     any other distributed join).
+  *  5. SimHash (per-doc 16-bit signature; near-dups differ in ≤k bits).
+  *
+  * Every hash is a polynomial char fold mod 2^31-1, chosen because both
+  * Spark and DuckDB can evaluate it exactly (higher-order functions on
+  * both sides), making even the LSH pipeline oracle-verifiable.
+  */
+object Dedup {
+  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+
+  /** Modulus for all polynomial hashes (2^31 - 1, prime). */
+  val P = 2147483647L
+  /** MinHash permutation params: h_i(x) = (a_i * x + b_i) mod P. */
+  val NumHashes = 16
+  val BandSize = 4 // 4 bands x 4 rows
+  def hashA(i: Int): Long = 2L * i + 3
+  def hashB(i: Int): Long = 97L + 31 * i
+
+  /** Distinct per-token polynomial hashes for each document. */
+  private[ext] def tokenHashes(c: Column): Column =
+    array_distinct(transform(split(c, " "),
+      t => aggregate(filter(split(t, ""), ch => ch =!= ""), lit(0L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % P)))
+
+  /** Distinct polynomial hashes of 3-token shingles. MinHash runs on
+    * shingles, not tokens: with a small shared vocabulary the token
+    * *sets* of unrelated documents overlap heavily, while the shingle
+    * space is combinatorial — signatures only collide for genuinely
+    * similar text.
+    */
+  private[ext] def shingleHashes(c: Column): Column = {
+    val toks = split(c, " ")
+    array_distinct(transform(sequence(lit(0), size(toks) - 3),
+      i => aggregate(
+        filter(split(concat_ws(" ", slice(toks, i + lit(1), lit(3))), ""), ch => ch =!= ""),
+        lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)))
+  }
+
+  /** Exact dedup: keep the smallest doc_id per identical text
+    * (dropDuplicates semantics made deterministic). One hash-aggregate
+    * shuffle on the text; at scale you'd group on sha2(text) instead to
+    * shuffle 32 bytes, not whole documents — that variant is
+    * [[hashDedup]].
+    */
+  def exactDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies", length($"text").as("text_len"))
+      .orderBy($"keep_id")
+  }
+
+  /** Content-hash dedup: sha2-256 fingerprint, grouped. The shuffle
+    * carries 64 hex chars per row regardless of document size.
+    */
+  def hashDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", sha2($"text", 256).as("content_hash"))
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  /** Blocked n-gram Jaccard near-dup: candidate pairs share
+    * (lang, token_count) — an equi-join blocking key, so the pair space
+    * is per-block quadratic, not global — then 3-gram shingle Jaccard
+    * filters real near-dups. Blocking on exact length is the classic
+    * cheap blocker for near-identical documents.
+    */
+  def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, d)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+      .select($"doc_id", $"lang", size($"toks").as("n_toks"),
+        array_distinct(transform(sequence(lit(0), size($"toks") - 3),
+          i => concat_ws(" ", slice($"toks", i + lit(1), lit(3))))).as("shingles"))
+    val a = sh.select($"doc_id".as("a_id"), $"lang", $"n_toks", $"shingles".as("a_sh"))
+    val b = sh.select($"doc_id".as("b_id"), $"lang", $"n_toks", $"shingles".as("b_sh"))
+    val inter = size(array_intersect($"a_sh", $"b_sh"))
+    val uni = size($"a_sh") + size($"b_sh") - inter
+    a.join(b, Seq("lang", "n_toks"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"lang",
+        r4(inter.cast("double") / uni).as("jaccard"))
+      .filter($"jaccard" >= 0.01)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** MinHash + LSH banding — the scale path for near-dup detection:
+    * 16 min-hashes per doc, grouped into 4 bands of 4; docs sharing any
+    * band key become candidate pairs via a plain equi-join on
+    * (band_idx, band_key). Candidates are then verified with exact
+    * Jaccard over the token-hash sets. No step enumerates the global
+    * pair space.
+    */
+  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hs = Tables.documents(spark, d)
+      .select($"doc_id", shingleHashes($"text").as("hashes"))
+    val sigs = (0 until NumHashes).map { i =>
+      array_min(transform($"hashes", h => (h * hashA(i) + hashB(i)) % P)).as(s"s$i")
+    }
+    val withSig = hs.select(($"doc_id" +: $"hashes" +: sigs): _*)
+    val bands = (0 until NumHashes / BandSize).map { j =>
+      concat_ws("-", (0 until BandSize).map(k => col(s"s${j * BandSize + k}")): _*)
+    }
+    val banded = withSig
+      .select($"doc_id", $"hashes", posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+    val cand = banded.select($"doc_id".as("a_id"), $"hashes".as("a_h"), $"band_idx", $"band_key")
+      .join(banded.select($"doc_id".as("b_id"), $"hashes".as("b_h"), $"band_idx", $"band_key"),
+            Seq("band_idx", "band_key"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"a_h", $"b_h").distinct()
+    val inter = size(array_intersect($"a_h", $"b_h"))
+    val uni = size($"a_h") + size($"b_h") - inter
+    cand.select($"a_id", $"b_id", r4(inter.cast("double") / uni).as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** SimHash: 16-bit signature — bit b is the sign of the sum of ±1
+    * votes from each token hash's bit b. Near-dup docs have signatures
+    * within small Hamming distance (pairing by signature bucket is then
+    * an equi-join, like LSH).
+    */
+  def simhash(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bits = (0 until 16).map { b =>
+      when(aggregate($"hashes", lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L))) * 2 - 1) > 0,
+        lit(1 << b)).otherwise(lit(0))
+    }
+    Tables.documents(spark, d)
+      .select($"doc_id", tokenHashes($"text").as("hashes"))
+      .select($"doc_id", bits.reduce(_ + _).cast("int").as("simhash16"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.11 extension
+  * surface): token counting, quality stats, language-ID heuristic,
+  * document fingerprinting. All are per-row projections (no shuffle at
+  * all until the final presentation ORDER BY), so they scale linearly —
+  * the natural shape for a 100 TB map-only scoring pass.
+  */
+object TextStats {
+  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+  private val P = Dedup.P
+
+  val Stopwords: Seq[String] = Seq("the", "a", "is", "of", "and", "to", "in", "it")
+
+  /** Per-document quality stats: char/token counts, average token
+    * length, stopword ratio — the length/punct/stopword scoring family.
+    */
+  def textStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(spark, d)
+      .select($"doc_id", $"lang",
+        length($"text").as("n_chars_calc"),
+        size(toks).as("n_tokens"),
+        r4(aggregate(transform(toks, t => length(t)), lit(0),
+             (acc, x) => acc + x).cast("double") / size(toks)).as("avg_token_len"),
+        r4(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks))
+          .as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID by stopword-profile voting: count profile words per
+    * language, argmax with a fixed alphabetical tie-break. (A real
+    * system uses char n-gram profiles; the operator shape — per-row
+    * score + argmax — is identical.)
+    */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val profiles = Seq(
+      "de" -> Seq("der", "die", "und"),
+      "en" -> Seq("the", "a", "is"),
+      "es" -> Seq("el", "la", "y"),
+      "fr" -> Seq("le", "la", "et"))
+    val toks = split($"text", " ")
+    val scored = Tables.documents(spark, d).select(($"doc_id" +: $"lang" +:
+      profiles.map { case (l, ws) =>
+        size(filter(toks, t => t.isin(ws: _*))).as(s"s_$l")
+      }): _*)
+    val Seq(de, en, es, fr) = profiles.map(p => col(s"s_${p._1}"))
+    scored.select($"doc_id", $"lang",
+        when(de >= en && de >= es && de >= fr, "de")
+          .when(en >= es && en >= fr, "en")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("predicted"),
+        de.as("s_de"), en.as("s_en"), es.as("s_es"), fr.as("s_fr"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting with a BPE-ish regex (letters | digits | single
+    * punct) — `regexp_extract_all`, identical dialect in Java regex and
+    * RE2 for this pattern.
+    */
+  def tokenCountRegex(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id",
+        size(split($"text", " ")).as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_bpeish_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Whole-document fingerprint: polynomial rolling hash over every
+    * char, mod 2^31-1 — a content checksum both engines compute
+    * identically (vs sha2, which DuckDB also has; this one shows the
+    * HOF fold form).
+    */
+  def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id",
+        aggregate(filter(split($"text", ""), ch => ch =!= ""), lit(0L),
+          (acc, ch) => (acc * 31 + ascii(ch)) % P).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowing-style fingerprint: minimum polynomial hash over 5-char
+    * grams sampled every 4 chars — the rolling-hash document sketch
+    * (min-sampling variant of winnowing).
+    */
+  def winnowFingerprint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id",
+        expr(s"""array_min(transform(sequence(0, length(text) - 5, 4),
+          i -> aggregate(split(substring(text, i + 1, 5), ''), 0L,
+                         (acc, c) -> (acc * 31 + ascii(c)) % $P)))""").as("winnow_fp"))
+      .orderBy($"doc_id")
+  }
+}
