@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Analytics
 import graft.ingest.DateDim
-import graft.ext.{Dedup, Events, TextStats}
+import graft.ext.{Dedup, Events, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,56 @@ object SparkEntry {
     "q31_token_count_regex" -> (TextStats.tokenCountRegex _),
     "q32_fingerprint" -> (TextStats.fingerprint _),
     "q33_winnow_fingerprint" -> (TextStats.winnowFingerprint _),
+    "q34_cosine_topk" -> (Similarity.cosineTopK _),
+    "q35_ivf_topk" -> (Similarity.ivfTopK _),
+    "q36_embedding_neardup" -> (Similarity.embeddingNearDup _),
+  )
+
+  /** DuckDB twin of the CosineSimilarity expression: identical IEEE
+    * accumulation order via left-to-right list_reduce folds. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(len($a)), i -> CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    s"(CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0 THEN 0.0 " +
+    s"ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"
+  }
+
+  private def simOracles: Map[String, String] = Map(
+    "q34_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT query_id, vec_id, ${cosSql("qv", "cv")} AS score_raw
+         |  FROM c CROSS JOIN q
+         |)
+         |SELECT query_id, CAST(rn AS INT) AS rn, vec_id,
+         |  ${r4sql("score_raw")} AS score
+         |FROM (SELECT query_id, vec_id, score_raw,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score_raw DESC, vec_id) AS rn
+         |      FROM scored) t
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q35_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, label, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT query_id, c.vec_id, ${cosSql("qv", "cv")} AS score_raw
+         |  FROM c JOIN q USING (label)
+         |)
+         |SELECT query_id, CAST(rn AS INT) AS rn, vec_id,
+         |  ${r4sql("score_raw")} AS score
+         |FROM (SELECT query_id, vec_id, score_raw,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score_raw DESC, vec_id) AS rn
+         |      FROM scored) t
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "q36_embedding_neardup" ->
+      s"""SELECT label, a_id, b_id, ${r4sql("score_raw")} AS score FROM (
+         |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS score_raw
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |) WHERE score_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
   )
 
   // ---- DuckDB oracle fragments shared by the documents-table queries ----
@@ -354,5 +404,5 @@ object SparkEntry {
     "q23_json_map_explode" ->
       """SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
         |FROM events ORDER BY event_id, key""".stripMargin,
-  ) ++ docOracles
+  ) ++ docOracles ++ simOracles
 }

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Spark 4 internals, the standard pattern
+  * for libraries that define native Catalyst expressions: Spark 4's
+  * public `Column` is Connect-compatible and no longer exposes `expr`,
+  * so converting between `Column` and catalyst `Expression` (and
+  * registering SQL functions) requires `org.apache.spark.sql`-private
+  * API. This object lives in a subpackage of `org.apache.spark.sql`
+  * purely to widen that access for the graft library.
+  */
+object Bridge {
+  /** Wrap a catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its analyzed catalyst Expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL-callable function backed by a native Expression. */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}
