@@ -1,0 +1,71 @@
+package graft
+
+import graft.ingest.{DateDim, StarBuilder}
+
+/** Golden end-to-end star build over miniature Netflix-format fixtures
+  * (SURVEY.md §5.3): exact dim/fact counts and spot rows.
+  */
+class StarBuilderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val movieLines = Seq(
+    "1,2003,Alpha",
+    "2,1999,Beta, with commas",
+    "3,2001,Gamma")
+
+  private val ratingLines = Seq(
+    "1:",
+    "100,3,2005-09-06",
+    "200,5,2005-05-13",
+    "2:",
+    "100,4,2005-12-26",
+    "300,2,2004-05-03",
+    "3:",
+    "200,1,2005-11-17")
+
+  private lazy val star = StarBuilder.build(
+    spark, movieLines.toDF("value"), ratingLines.toDF("value"),
+    dateStart = "2004-01-01", dateEnd = "2005-12-31")
+
+  test("dims have deterministic surrogate keys over natural keys") {
+    val movies = star.dimMovie.orderBy("movie_key").collect()
+    assert(movies.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 1), (2, 2), (3, 3)))
+    val customers = star.dimCustomer.orderBy("customer_key").collect()
+    assert(customers.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 100), (2, 200), (3, 300)))
+  }
+
+  test("customer aggregates computed in-build (no driver round-trip)") {
+    val c100 = star.dimCustomer.filter($"customer_id" === 100).collect().head
+    assert(c100.getAs[java.sql.Date]("first_rating_date") == java.sql.Date.valueOf("2005-09-06"))
+    assert(c100.getAs[java.sql.Date]("last_rating_date") == java.sql.Date.valueOf("2005-12-26"))
+    assert(c100.getAs[Int]("total_ratings") == 2)
+  }
+
+  test("fact has all rows with resolved keys and derived date_key") {
+    val fact = star.factRatings.collect()
+    assert(fact.length == 5)
+    val row = star.factRatings
+      .filter($"customer_key" === 1 && $"movie_key" === 1 && $"rating" === 3)
+      .collect().head
+    assert(row.getAs[Int]("date_key") == 20050906)
+  }
+
+  test("date dim spans the requested range") {
+    assert(star.dimDate.count() == 731) // 2004 leap + 2005
+  }
+
+  test("reference weekday bug is fixed: 0=Monday..6=Sunday") {
+    val dd = DateDim.build(spark, "2024-01-01", "2024-01-07") // Mon..Sun
+      .orderBy("date_key").collect()
+    assert(dd.map(_.getAs[Int]("day_of_week")).toSeq == (0 to 6))
+    assert(dd.map(_.getAs[Boolean]("is_weekend")).toSeq ==
+      Seq(false, false, false, false, false, true, true))
+    assert(dd.head.getAs[String]("month_name") == "January")
+  }
+
+  test("flagship entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
