@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Analytics
 import graft.ingest.DateDim
-import graft.ext.{Dedup, Events, Similarity, TextStats}
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,36 @@ object SparkEntry {
     "q34_cosine_topk" -> (Similarity.cosineTopK _),
     "q35_ivf_topk" -> (Similarity.ivfTopK _),
     "q36_embedding_neardup" -> (Similarity.embeddingNearDup _),
+    "q37_multimodal_meta" -> (Multimodal.mediaFeatures _),
+    "q38_session_window" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.sessionWindows(graft.sources.Tables.events(s, d))
+        .orderBy("user_id", "start_us")),
+  )
+
+  private def miscOracles: Map[String, String] = Map(
+    "q37_multimodal_meta" ->
+      s"""SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_bytes,
+         |  CAST(list_sum(list_transform(list_filter(string_split(text, ''), c -> c != ''),
+         |    c -> ord(c))) AS BIGINT) AS byte_sum,
+         |  sha256(text) AS content_hash,
+         |  ${r4sql("CAST(list_sum(list_transform(list_filter(string_split(text, ''), c -> c != ''), c -> ord(c))) AS DOUBLE) / LENGTH(text)")} AS feat_mean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
   )
 
   /** DuckDB twin of the CosineSimilarity expression: identical IEEE
@@ -404,5 +434,5 @@ object SparkEntry {
     "q23_json_map_explode" ->
       """SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
         |FROM events ORDER BY event_id, key""".stripMargin,
-  ) ++ docOracles ++ simOracles
+  ) ++ docOracles ++ simOracles ++ miscOracles
 }
