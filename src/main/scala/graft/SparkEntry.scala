@@ -183,10 +183,9 @@ object SparkEntry {
           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
       "q26_ngram_jaccard" ->
         s"""WITH s2 AS (
-           |  SELECT doc_id, lang, len(toks) AS n_toks,
-           |    list_distinct(list_transform(range(len(toks) - 2),
-           |      i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
-           |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+           |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+           |    $ShingleHashes AS shingles
+           |  FROM documents
            |)
            |SELECT * FROM (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,

@@ -45,13 +45,14 @@ object Dedup {
     * *sets* of unrelated documents overlap heavily, while the shingle
     * space is combinatorial — signatures only collide for genuinely
     * similar text.
+    *
+    * Backed by the native [[graft.functions.ShingleHash]] expression
+    * (one fused loop per row) — the equivalent HOF pipeline spent
+    * seconds per query interpreting per-char lambda nodes.
     */
   private[ext] def shingleHashes(c: Column): Column = {
-    val toks = split(c, " ")
-    array_distinct(transform(sequence(lit(0), size(toks) - 3),
-      i => aggregate(
-        filter(split(concat_ws(" ", slice(toks, i + lit(1), lit(3))), ""), ch => ch =!= ""),
-        lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)))
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.ShingleHash(Bridge.expression(c)))
   }
 
   /** Exact dedup: keep the smallest doc_id per identical text
@@ -89,11 +90,12 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // Jaccard over shingle *hashes* (not shingle strings): same native
+    // ShingleHash expression as the LSH path, and array_intersect over
+    // longs beats set ops over ~30-char strings.
     val sh = Tables.documents(spark, d)
-      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
-      .select($"doc_id", $"lang", size($"toks").as("n_toks"),
-        array_distinct(transform(sequence(lit(0), size($"toks") - 3),
-          i => concat_ws(" ", slice($"toks", i + lit(1), lit(3))))).as("shingles"))
+      .select($"doc_id", $"lang", size(split($"text", " ")).as("n_toks"),
+        shingleHashes($"text").as("shingles"))
     val a = sh.select($"doc_id".as("a_id"), $"lang", $"n_toks", $"shingles".as("a_sh"))
     val b = sh.select($"doc_id".as("b_id"), $"lang", $"n_toks", $"shingles".as("b_sh"))
     val inter = size(array_intersect($"a_sh", $"b_sh"))
@@ -120,20 +122,32 @@ object Dedup {
     val sigs = (0 until NumHashes).map { i =>
       array_min(transform($"hashes", h => (h * hashA(i) + hashB(i)) % P)).as(s"s$i")
     }
+    // Cache the hash table: it feeds both the banding and the final
+    // verification join, and the shingle hashing (a per-char fold) is
+    // the expensive part — compute it once.
     val withSig = hs.select(($"doc_id" +: $"hashes" +: sigs): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until NumHashes / BandSize).map { j =>
       concat_ws("-", (0 until BandSize).map(k => col(s"s${j * BandSize + k}")): _*)
     }
+    // Band join carries only (doc_id, band_idx, band_key) — never the
+    // hash arrays; shuffling/deduping ~100-element arrays through the
+    // candidate join dominated the runtime before. Arrays are attached
+    // after the distinct, via broadcast lookups.
     val banded = withSig
-      .select($"doc_id", $"hashes", posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
-    val cand = banded.select($"doc_id".as("a_id"), $"hashes".as("a_h"), $"band_idx", $"band_key")
-      .join(banded.select($"doc_id".as("b_id"), $"hashes".as("b_h"), $"band_idx", $"band_key"),
+      .select($"doc_id", posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+    val cand = banded.select($"doc_id".as("a_id"), $"band_idx", $"band_key")
+      .join(banded.select($"doc_id".as("b_id"), $"band_idx", $"band_key"),
             Seq("band_idx", "band_key"))
       .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id", $"a_h", $"b_h").distinct()
+      .select($"a_id", $"b_id").distinct()
+    val hsOnly = withSig.select($"doc_id", $"hashes")
+    val withH = cand
+      .join(broadcast(hsOnly.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
+      .join(broadcast(hsOnly.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
     val inter = size(array_intersect($"a_h", $"b_h"))
     val uni = size($"a_h") + size($"b_h") - inter
-    cand.select($"a_id", $"b_id", r4(inter.cast("double") / uni).as("jaccard"))
+    withH.select($"a_id", $"b_id", r4(inter.cast("double") / uni).as("jaccard"))
       .orderBy($"a_id", $"b_id")
   }
 

@@ -1,0 +1,63 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct polynomial hashes of the 3-token shingles of a
+  * space-tokenized string — the hot inner loop of the near-dup
+  * operators ([[graft.ext.Dedup]]).
+  *
+  * Semantically identical to the HOF pipeline
+  * `array_distinct(transform(sequence(...), i -> aggregate(split(...),
+  * ...)))` — same tokenization (split on single space, limit -1), same
+  * fold `(acc * 31 + char) mod 2^31-1`, same first-occurrence distinct
+  * order — but evaluated as one native loop per row instead of ~3000
+  * interpreted expression nodes per document. The DuckDB oracle twin
+  * (SparkEntry.ShingleHashes) is unchanged.
+  *
+  * CodegenFallback is deliberate: the per-row work (thousands of char
+  * ops) dwarfs the one virtual call the fallback costs, and the
+  * surrounding operators still codegen.
+  */
+case class ShingleHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = s.split(" ", -1)
+    val n = toks.length - 2
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new mutable.LinkedHashSet[Long]
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var t = 0
+      while (t < 3) {
+        if (t > 0) acc = (acc * 31 + ' ') % P
+        val tok = toks(i + t)
+        var c = 0
+        while (c < tok.length) {
+          acc = (acc * 31 + tok.charAt(c)) % P
+          c += 1
+        }
+        t += 1
+      }
+      seen += acc
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
