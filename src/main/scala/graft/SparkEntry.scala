@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Analytics
+import graft.queries.{Analytics, Extended}
 import graft.ingest.DateDim
 import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
 
@@ -61,6 +61,44 @@ object SparkEntry {
     "q38_session_window" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.sessionWindows(graft.sources.Tables.events(s, d))
         .orderBy("user_id", "start_us")),
+    "q39_rollup" -> (Extended.rollupRevenue _),
+    "q40_rank_offset" -> (Extended.rankAndOffset _),
+    "q41_pivot" -> (Extended.pivotStatus _),
+    "q42_set_ops" -> (Extended.setOps _),
+    "q43_approx_distinct" -> (Extended.approxDistinct _), // rows-only: HLL sketch values are engine-specific
+  )
+
+  private def extendedOracles: Map[String, String] = Map(
+    "q39_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (order_year, o_orderstatus)
+        |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q40_rank_offset" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(RANK() OVER p AS INT) AS price_rank,
+        |  CAST(DENSE_RANK() OVER p AS INT) AS price_dense_rank,
+        |  LAG(o_orderkey, 1) OVER w AS prev_order,
+        |  LEAD(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       p AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q41_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+    "q42_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
   )
 
   private def miscOracles: Map[String, String] = Map(
@@ -433,5 +471,5 @@ object SparkEntry {
     "q23_json_map_explode" ->
       """SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
         |FROM events ORDER BY event_id, key""".stripMargin,
-  ) ++ docOracles ++ simOracles ++ miscOracles
+  ) ++ docOracles ++ simOracles ++ miscOracles ++ extendedOracles
 }

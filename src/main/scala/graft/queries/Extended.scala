@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Operators beyond the reference's own surface that a complete
+  * engine needs (SURVEY.md §2 notes them as absent): multi-level
+  * aggregation (ROLLUP), ranking/offset windows, pivot, set
+  * operations, and sketch aggregates. Same determinism rules as
+  * [[Analytics]].
+  */
+object Extended {
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def moneySum(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
+
+  /** ROLLUP over (year, status): per-group, per-year subtotal, and
+    * grand total in one pass — Catalyst plans a single Expand +
+    * aggregate, one shuffle.
+    */
+  def rollupRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .rollup(year($"o_orderdate").cast("int").as("order_year"), $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), moneySum($"o_totalprice").as("revenue"))
+      .orderBy($"order_year".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Ranking + offset window family: rank, dense_rank, lag, lead over
+    * per-customer order history.
+    */
+  def rankAndOffset(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, d)
+      .select($"o_custkey", $"o_orderkey",
+        rank().over(byPrice).cast("int").as("price_rank"),
+        dense_rank().over(byPrice).cast("int").as("price_dense_rank"),
+        lag($"o_orderkey", 1).over(w).as("prev_order"),
+        lead($"o_orderkey", 1).over(w).as("next_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Pivot: order counts per year pivoted by status — Spark's
+    * RelationalGroupedDataset.pivot with explicit value list (never
+    * let pivot scan for distinct values on big data); oracle is the
+    * equivalent conditional aggregation.
+    */
+  def pivotStatus(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy(year($"o_orderdate").cast("int").as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"order_year")
+  }
+
+  /** INTERSECT / EXCEPT: customers active in both 1995 and 1996, minus
+    * any with an open order — set semantics (distinct), one query.
+    */
+  def setOps(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, d)
+    def activeIn(y: Int) =
+      orders.filter(year($"o_orderdate") === y).select($"o_custkey")
+    val open = orders.filter($"o_orderstatus" === "O").select($"o_custkey")
+    activeIn(1995).intersect(activeIn(1996)).except(open)
+      .orderBy($"o_custkey")
+  }
+
+  /** Sketch aggregates — the 100 TB form of COUNT(DISTINCT): HLL++
+    * approx_count_distinct per group. No oracle (sketch values are
+    * engine-specific); the driver records a rows-only check, and the
+    * spec bounds the error against the exact count.
+    */
+  def approxDistinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+}

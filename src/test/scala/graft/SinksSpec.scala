@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.Sinks
+import graft.queries.Extended
+
+/** Sink + sketch specs: partitioned parquet round-trip with pruning
+  * layout, and the HLL sketch's error bound vs the exact count.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned+sorted parquet write round-trips and lays out partition dirs") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/orders"
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("status", $"o_orderstatus")
+    Sinks.writeParquet(orders, out,
+      partitionCols = Seq("status"), sortCols = Seq("o_orderdate"),
+      maxFilesPerPartition = 2)
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+    // hive-style partition dirs exist → partition pruning on read
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("status=")) == 3)
+    // pruned read only touches one directory
+    val pruned = back.filter($"status" === "F")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("PartitionFilters: [isnotnull(status"))
+    assert(pruned.count() == orders.filter($"o_orderstatus" === "F").count())
+  }
+
+  test("csv export round-trips row count") {
+    val out = Files.createTempDirectory("graft-csv").toString + "/part"
+    Sinks.writeCsv(graft.sources.Tables.part(spark, "/root/testdata/sf0.001"), out)
+    assert(spark.read.option("header", "true").csv(out).count() == 200)
+  }
+
+  test("approx_count_distinct stays within HLL++ error bound of exact") {
+    val rows = Extended.approxDistinct(spark, "/root/testdata/sf0.01").collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx=$approx exact=$exact")
+    }
+  }
+}
