@@ -66,6 +66,28 @@ object SparkEntry {
     "q41_pivot" -> (Extended.pivotStatus _),
     "q42_set_ops" -> (Extended.setOps _),
     "q43_approx_distinct" -> (Extended.approxDistinct _), // rows-only: HLL sketch values are engine-specific
+    "q44_asof_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = graft.sources.Tables.events(s, d)
+      graft.operators.AsOfJoin.asOf(
+          left = ev.filter($"event_type" === "click")
+            .select($"event_id", $"user_id", $"ts"),
+          right = ev.filter($"event_type" === "purchase")
+            .select($"event_id", $"user_id", $"ts", $"value"),
+          keys = Seq("user_id"), ts = "ts", tieBreak = "event_id")
+        .select($"user_id", $"event_id".as("click_id"),
+          org.apache.spark.sql.functions.unix_micros($"ts").as("click_ts_us"),
+          $"r_event_id".as("purchase_id"),
+          org.apache.spark.sql.functions.unix_micros($"r_ts").as("purchase_ts_us"),
+          $"r_value".as("purchase_value"))
+        .orderBy($"click_id")
+    }),
+    "q45_salted_agg" -> ((s: SparkSession, d: String) =>
+      graft.operators.SaltedAgg.sumCount(
+          graft.sources.Tables.orders(s, d),
+          key = "o_orderstatus", valueCol = "o_totalprice",
+          saltSource = "o_custkey", buckets = 16)
+        .orderBy("o_orderstatus")),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -99,6 +121,19 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    "q44_asof_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+        |  p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id""".stripMargin,
+    "q45_salted_agg" ->
+      """SELECT o_orderstatus,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 
   private def miscOracles: Map[String, String] = Map(
