@@ -88,6 +88,7 @@ object SparkEntry {
           key = "o_orderstatus", valueCol = "o_totalprice",
           saltSource = "o_custkey", buckets = 16)
         .orderBy("o_orderstatus")),
+    "q46_topk_agg" -> (Extended.topKAggregate _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -134,6 +135,14 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q46_topk_agg" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, total FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    ROUND(o_totalprice, 2) AS total
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
   )
 
   private def miscOracles: Map[String, String] = Map(

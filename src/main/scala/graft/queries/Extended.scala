@@ -71,6 +71,23 @@ object Extended {
       .orderBy($"o_custkey")
   }
 
+  /** Top-3 orders per customer via the bounded [[graft.functions.TopKAgg]]
+    * aggregate — same result as the q10 window formulation, but with
+    * map-side partial top-k: each task forwards at most 3 rows per
+    * customer into the shuffle instead of sorting the full partition.
+    */
+  def topKAggregate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"o_custkey", posexplode($"top").as(Seq("pos", "entry")))
+      .select($"o_custkey", ($"pos" + 1).cast("int").as("rn"),
+        $"entry._2".as("o_orderkey"), round($"entry._1", 2).as("total"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
   /** Sketch aggregates — the 100 TB form of COUNT(DISTINCT): HLL++
     * approx_count_distinct per group. No oracle (sketch values are
     * engine-specific); the driver records a rows-only check, and the

@@ -52,6 +52,18 @@ object EventStream {
               $"n", $"sum_value")
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids, with a watermark
+    * bounding the dedup state — the streaming twin of
+    * [[graft.ext.Dedup.exactDedup]]. State per key is only retained
+    * within the watermark horizon, so memory is bounded at any scale.
+    */
+  def dedupStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+  }
+
   /** Session windows (30-minute gap) per user — the engine-managed
     * state twin of [[graft.ext.Events.sessionize]]; works identically
     * over a batch DataFrame or a watermarked stream.

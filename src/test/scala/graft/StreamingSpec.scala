@@ -56,6 +56,24 @@ class StreamingSpec extends SparkSpec {
     assert(builtIn.nonEmpty && builtIn.toSeq == lagGap.toSeq)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val evs = sampleEvents.take(200)
+      input.addData(evs ++ evs) // every row duplicated in one batch
+      query.processAllAvailable()
+      input.addData(evs.take(50)) // re-sent across batches too
+      query.processAllAvailable()
+      val out = spark.table("dedup_out")
+      assert(out.count() == 200)
+      assert(out.select("event_id").distinct().count() == 200)
+    } finally query.stop()
+  }
+
   test("file-source ingestion resumes exactly-once across restart") {
     val src = Files.createTempDirectory("graft-src").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
