@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, ShingleHash}
+
+/** SparkSessionExtensions entry point — wire the engine's native
+  * expressions into any session at build time:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * makes `cosine_sim(a, b)` and `shingle_hash(text)` available to
+  * `spark.sql(...)` in every session of the application — the
+  * injection mechanism a custom Rule/Strategy would also use (none is
+  * needed for this engine's surface; see SURVEY.md §4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hash"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
+      (exprs: Seq[Expression]) => ShingleHash(exprs.head)))
+  }
+}

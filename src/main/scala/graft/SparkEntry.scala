@@ -89,6 +89,7 @@ object SparkEntry {
           saltSource = "o_custkey", buckets = 16)
         .orderBy("o_orderstatus")),
     "q46_topk_agg" -> (Extended.topKAggregate _),
+    "q47_outer_join" -> (Extended.outerJoinCounts _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -143,6 +144,13 @@ object SparkEntry {
         |    ROUND(o_totalprice, 2) AS total
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q47_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spent
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
   )
 
   private def miscOracles: Map[String, String] = Map(

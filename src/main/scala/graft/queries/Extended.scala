@@ -88,6 +88,20 @@ object Extended {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** Left outer join with null-side aggregation: order counts per
+    * customer including order-less customers — completes the join-type
+    * family (inner/left/semi/anti/outer).
+    */
+  def outerJoinCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(count($"o_orderkey").as("n_orders"),
+           moneySum(coalesce($"o_totalprice", lit(0.0))).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
   /** Sketch aggregates — the 100 TB form of COUNT(DISTINCT): HLL++
     * approx_count_distinct per group. No oracle (sketch values are
     * engine-specific); the driver records a rows-only check, and the
