@@ -90,6 +90,9 @@ object SparkEntry {
         .orderBy("o_orderstatus")),
     "q46_topk_agg" -> (Extended.topKAggregate _),
     "q47_outer_join" -> (Extended.outerJoinCounts _),
+    "q48_normalize_text" -> (Extended.normalizeText _),
+    "q49_percentiles" -> (Extended.percentiles _),
+    "q50_stats_moments" -> (Extended.statsMoments _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -151,6 +154,23 @@ object SparkEntry {
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_mktsegment
         |ORDER BY c_custkey""".stripMargin,
+    "q48_normalize_text" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS clean_len,
+        |  sha256(TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q49_percentiles" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5) * 10000, 0) / 10000 AS median,
+        |  ROUND(quantile_cont(o_totalprice, 0.9) * 10000, 0) / 10000 AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q50_stats_moments" ->
+      """SELECT o_orderstatus,
+        |  ROUND(stddev_samp(o_totalprice) * 10000, 0) / 10000 AS sd,
+        |  ROUND(var_samp(o_totalprice) * 10000, 0) / 10000 AS variance,
+        |  ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)) * 10000, 0) / 10000 AS price_cust_corr
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 
   private def miscOracles: Map[String, String] = Map(

@@ -14,6 +14,51 @@ import graft.sources.Tables
 object Extended {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def moneySum(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
+  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+
+  /** Exact interpolated percentiles per group (median, p90) — the
+    * sort-based exact form; the streaming-friendly approximate twin is
+    * `percentile_approx` (engine-specific, like q43's HLL).
+    */
+  def percentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        r4(expr("percentile(o_totalprice, 0.5)")).as("median"),
+        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Second-moment statistics per group: sample stddev/variance and
+    * correlation (price vs custkey ~ 0: sanity of the estimator, not
+    * of the data).
+    */
+  def statsMoments(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        r4(stddev_samp($"o_totalprice")).as("sd"),
+        r4(var_samp($"o_totalprice")).as("variance"),
+        r4(corr($"o_totalprice", $"o_custkey".cast("double"))).as("price_cust_corr"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Text normalization — the cleaning pass of a training-data
+    * pipeline: lowercase, strip punctuation, collapse whitespace;
+    * output a stable hash of the cleaned text plus its length.
+    */
+  def normalizeText(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, d)
+      .select($"doc_id", length(cleaned).as("clean_len"),
+              sha2(cleaned, 256).as("clean_hash"))
+      .orderBy($"doc_id")
+  }
 
   /** ROLLUP over (year, status): per-group, per-year subtotal, and
     * grand total in one pass — Catalyst plans a single Expand +
