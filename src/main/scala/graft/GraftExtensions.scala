@@ -24,10 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_hash"),
       new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
-      (exprs: Seq[Expression]) => ShingleHash(exprs.head)))
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1,
+          s"shingle_hash expects 1 argument, got ${exprs.length}")
+        ShingleHash(exprs.head)
+      }))
   }
 }

@@ -183,13 +183,13 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q38_session_window" ->
       """WITH flagged AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
         |  SELECT user_id, ts_us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged
         |)
@@ -202,8 +202,11 @@ object SparkEntry {
   /** DuckDB twin of the CosineSimilarity expression: identical IEEE
     * accumulation order via left-to-right list_reduce folds. */
   private def cosSql(a: String, b: String): String = {
+    // range over least(len(x), len(y)) — mirrors the kernel's min(n);
+    // using the outer $a here silently truncated the right norm for
+    // unequal-length vectors
     def dot(x: String, y: String) =
-      s"list_reduce(list_transform(range(len($a)), i -> CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE)), (x, y) -> x + y)"
+      s"list_reduce(list_transform(range(least(len($x), len($y))), i -> CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE)), (x, y) -> x + y)"
     s"(CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0 THEN 0.0 " +
     s"ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"
   }
@@ -296,6 +299,7 @@ object SparkEntry {
            |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
            |    $ShingleHashes AS shingles
            |  FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 3
            |)
            |SELECT * FROM (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
@@ -304,7 +308,9 @@ object SparkEntry {
            |    ON a.lang = b.lang AND a.n_toks = b.n_toks AND a.doc_id < b.doc_id
            |) WHERE jaccard >= 0.01 ORDER BY a_id, b_id""".stripMargin,
       "q27_minhash_lsh" ->
-        s"""WITH hs AS (SELECT doc_id, $ShingleHashes AS hashes FROM documents),
+        s"""WITH hs AS (SELECT doc_id, hashes FROM
+           |  (SELECT doc_id, $ShingleHashes AS hashes FROM documents)
+           |  WHERE len(hashes) > 0),
            |sigs AS (SELECT doc_id, hashes, $sigs FROM hs),
            |bands AS (
            |  SELECT doc_id, hashes, b.i AS band_idx,
@@ -507,13 +513,13 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q19_sessionize" ->
       """WITH flagged AS (
-        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
         |  SELECT user_id, value, ts_us,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged
         |)

@@ -93,9 +93,12 @@ object Dedup {
     // Jaccard over shingle *hashes* (not shingle strings): same native
     // ShingleHash expression as the LSH path, and array_intersect over
     // longs beats set ops over ~30-char strings.
+    // docs with <3 tokens have no shingles: jaccard would be 0/0 —
+    // exclude them on both engines (oracle has the same predicate)
     val sh = Tables.documents(spark, d)
       .select($"doc_id", $"lang", size(split($"text", " ")).as("n_toks"),
         shingleHashes($"text").as("shingles"))
+      .filter($"n_toks" >= 3)
     val a = sh.select($"doc_id".as("a_id"), $"lang", $"n_toks", $"shingles".as("a_sh"))
     val b = sh.select($"doc_id".as("b_id"), $"lang", $"n_toks", $"shingles".as("b_sh"))
     val inter = size(array_intersect($"a_sh", $"b_sh"))
@@ -117,16 +120,22 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // Short docs (<3 tokens) have empty shingle sets: every signature
+    // would be null and all their band keys would collapse to the same
+    // value, degenerating the band join into a cross product of all
+    // short docs (and 0/0 jaccard downstream). Exclude them; exact
+    // dedup (q24/q25) is the right tool for degenerate-length text.
     val hs = Tables.documents(spark, d)
       .select($"doc_id", shingleHashes($"text").as("hashes"))
+      .filter(size($"hashes") > 0)
     val sigs = (0 until NumHashes).map { i =>
       array_min(transform($"hashes", h => (h * hashA(i) + hashB(i)) % P)).as(s"s$i")
     }
-    // Cache the hash table: it feeds both the banding and the final
-    // verification join, and the shingle hashing (a per-char fold) is
-    // the expensive part — compute it once.
+    // No persist: the native ShingleHash recompute is cheap, and a
+    // cached block inside a lazily-returned DataFrame could never be
+    // unpersisted (it would leak for the session lifetime — with 50
+    // queries sharing one Verify session that matters).
     val withSig = hs.select(($"doc_id" +: $"hashes" +: sigs): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until NumHashes / BandSize).map { j =>
       concat_ws("-", (0 until BandSize).map(k => col(s"s${j * BandSize + k}")): _*)
     }

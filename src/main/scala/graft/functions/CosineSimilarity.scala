@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity between two float vectors as a native Catalyst
   * expression with whole-stage codegen — the hot path of the ANN
@@ -24,10 +24,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<float>; enforced by the call sites (the
-  // graft.ext.Similarity column helpers pass embedding columns).
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  // SQL-callable (GraftExtensions), so mistyped inputs must fail
+  // analysis — getFloat() on e.g. double-backed ArrayData would
+  // otherwise return garbage instead of erroring.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -79,5 +93,9 @@ object CosineSimilarity {
     */
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graft.Bridge.registerFunction(
-      spark, "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
+      spark, "cosine_sim", { exprs =>
+        require(exprs.length == 2,
+          s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      })
 }

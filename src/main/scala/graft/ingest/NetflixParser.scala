@@ -72,10 +72,26 @@ object NetflixParser {
 
   private val DateFmt = DateTimeFormatter.ISO_LOCAL_DATE
 
-  /** `MovieID:` header test — cheap suffix check before the numeric
-    * parse; runs once per line over the whole input. */
+  /** Strip a trailing \r so CRLF files parse identically to LF files
+    * (spark.read.text splits on \n and keeps the \r — without this a
+    * Windows-encoded file would silently lose every header and with it
+    * every rating). */
+  private def stripCr(line: String): String =
+    if (line.nonEmpty && line.charAt(line.length - 1) == '\r')
+      line.substring(0, line.length - 1)
+    else line
+
+  /** `MovieID:` header test — digits-only before the colon (a signed
+    * "+5:" is malformed input to drop, not a header); cheap suffix
+    * check before the numeric parse; runs once per line. */
   private def headerId(line: String): Option[Int] =
-    if (line.nonEmpty && line.charAt(line.length - 1) == ':')
+    if (line.length > 1 && line.charAt(line.length - 1) == ':' && {
+        var i = 0; var digits = true
+        while (digits && i < line.length - 1) {
+          digits = line.charAt(i) >= '0' && line.charAt(i) <= '9'; i += 1
+        }
+        digits
+      })
       line.substring(0, line.length - 1).toIntOption
     else None
 
@@ -106,13 +122,11 @@ object NetflixParser {
     val carryOuts: Array[(Int, Option[Int])] = ds
       .mapPartitions { it =>
         var lastHeader: Option[Int] = None
-        var any = false
-        it.foreach { line => any = true; headerId(line).foreach(h => lastHeader = Some(h)) }
-        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), lastHeader, any))
+        it.foreach { line => headerId(stripCr(line)).foreach(h => lastHeader = Some(h)) }
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), lastHeader))
       }
       .collect()
       .sortBy(_._1)
-      .map(t => (t._1, t._2))
 
     // Driver prefix scan: carry-in of partition p = last carry-out of
     // any earlier partition. (#partitions entries — negligible.)
@@ -128,7 +142,8 @@ object NetflixParser {
     ds.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var current: Option[Int] = carryInB.value.getOrElse(pid, None)
-      it.flatMap { line =>
+      it.flatMap { rawLine =>
+        val line = stripCr(rawLine)
         headerId(line) match {
           case h @ Some(_) => current = h; Iterator.empty
           case None => current.iterator.flatMap(m => parseDetail(m, line))

@@ -27,7 +27,13 @@ import graft.model.Schemas.{Movie, RatingRaw}
 object StarBuilder {
 
   final case class Star(dimDate: DataFrame, dimMovie: DataFrame,
-                        dimCustomer: DataFrame, factRatings: DataFrame)
+                        dimCustomer: DataFrame, factRatings: DataFrame,
+                        private[ingest] val parsed: Option[Dataset[RatingRaw]] = None) {
+    /** Release the cached parse once the star's outputs are
+      * materialized (persisted blocks otherwise live until session
+      * end). */
+    def cleanup(): Unit = parsed.foreach(_.unpersist())
+  }
 
   /** dim_movie with deterministic surrogate key (schema.sql:53-67). */
   def dimMovie(movies: Dataset[Movie]): DataFrame = {
@@ -90,6 +96,7 @@ object StarBuilder {
     val movies = dimMovie(NetflixParser.parseMovieTitles(movieLines))
     val customers = dimCustomer(ratings)
     val fact = factRatings(ratings, movies, customers)
-    Star(DateDim.build(spark, dateStart, dateEnd), movies, customers, fact)
+    Star(DateDim.build(spark, dateStart, dateEnd), movies, customers, fact,
+         parsed = Some(ratings))
   }
 }
