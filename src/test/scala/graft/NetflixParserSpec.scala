@@ -64,6 +64,20 @@ class NetflixParserSpec extends SparkSpec {
     (2 to 11).foreach { n => assert(parse(n) == expected, s"slices=$n") }
   }
 
+  test("combined_data: CRLF files parse identically to LF files") {
+    val crlf = ratingLines.map(_ + "\r")
+    val got = NetflixParser.parseCombinedData(crlf.toDF("value"))
+      .collect().map(r => (r.movie_id, r.customer_id, r.rating.toInt)).toSet
+    assert(got == expected)
+  }
+
+  test("combined_data: signed header ids are malformed, not headers") {
+    val lines = Seq("+5:", "1,3,2005-01-01", "7:", "2,4,2005-01-02")
+    val got = NetflixParser.parseCombinedData(lines.toDF("value"))
+      .collect().map(r => (r.movie_id, r.customer_id)).toSet
+    assert(got == Set((7, 2))) // "+5:" dropped; detail before real header dropped
+  }
+
   test("combined_data: details before any header are dropped") {
     val lines = Seq("7,5,2005-01-01", "9:", "8,4,2005-01-02")
     val got = NetflixParser.parseCombinedData(lines.toDF("value")).collect()

@@ -37,6 +37,15 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(out).count() == 200)
   }
 
+  test("cosine_sim rejects non-float-array inputs at analysis time") {
+    graft.functions.CosineSimilarity.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0, 2.0), array(1.0, 2.0))").collect()
+    }
+    assert(err.getMessage.contains("array<float>") ||
+           err.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("approx_count_distinct stays within HLL++ error bound of exact") {
     val rows = Extended.approxDistinct(spark, "/root/testdata/sf0.01").collect()
     rows.foreach { r =>
