@@ -93,6 +93,9 @@ object SparkEntry {
     "q48_normalize_text" -> (Extended.normalizeText _),
     "q49_percentiles" -> (Extended.percentiles _),
     "q50_stats_moments" -> (Extended.statsMoments _),
+    "q51_range_join" -> (Extended.rangeJoinPairs _),
+    "q52_stratified_sample" -> (Extended.stratifiedSample _),
+    "q53_ntile" -> (Extended.ntileQuartiles _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -139,6 +142,26 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q51_range_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q52_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN doc_id % 10 = 0
+        |           WHEN lang = 'de' THEN doc_id % 2 = 0
+        |           WHEN lang = 'zh' THEN TRUE
+        |           ELSE doc_id % 5 = 0 END
+        |ORDER BY doc_id""".stripMargin,
+    "q53_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+        |                      ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q46_topk_agg" ->
       """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, total FROM (
         |  SELECT o_custkey, o_orderkey,

@@ -147,6 +147,53 @@ object Extended {
       .orderBy($"c_custkey")
   }
 
+  /** Band/range join via [[graft.operators.RangeJoin]]: click/purchase
+    * pairs of the same user within 10 minutes — equi-join on time
+    * buckets instead of an O(n²) inequality join.
+    */
+  def rangeJoinPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", unix_micros($"ts").as("ts_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", unix_micros($"ts").as("ts_us"))
+    graft.operators.RangeJoin.within(clicks, purchases, Seq("user_id"), "ts_us",
+        tolUs = 600000000L)
+      .select($"user_id", $"click_id", $"r_purchase_id".as("purchase_id"),
+              ($"r_ts_us" - $"ts_us").as("delta_us"))
+      .orderBy($"click_id", $"purchase_id")
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep rates applied
+    * via a hashable predicate on the key (not `sample()`, whose output
+    * depends on partition layout) — reruns and repartitions yield the
+    * same sample, which a training-data pipeline needs for
+    * reproducibility.
+    */
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, d)
+      .filter(
+        when($"lang" === "en", $"doc_id" % 10 === 0)
+          .when($"lang" === "de", $"doc_id" % 2 === 0)
+          .when($"lang" === "zh", lit(true))
+          .otherwise($"doc_id" % 5 === 0))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** NTILE quartiles of order value within each status. */
+  def ntileQuartiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_orderstatus",
+        ntile(4).over(w).cast("int").as("quartile"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Sketch aggregates — the 100 TB form of COUNT(DISTINCT): HLL++
     * approx_count_distinct per group. No oracle (sketch values are
     * engine-specific); the driver records a rows-only check, and the

@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-enforced text-format readers — the engine's non-parquet
+  * sources. Schemas are always explicit (never inferred): inference
+  * costs an extra full scan and silently drifts when the data does
+  * (SURVEY.md §1.4 — the reference also casts explicitly everywhere).
+  */
+object FileSources {
+
+  /** CSV with header, explicit schema, malformed rows dropped
+    * (PERMISSIVE would null them; the reference's parsers drop). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+
+  /** JSON-lines with explicit schema. */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .json(path)
+}
