@@ -96,6 +96,7 @@ object SparkEntry {
     "q51_range_join" -> (Extended.rangeJoinPairs _),
     "q52_stratified_sample" -> (Extended.stratifiedSample _),
     "q53_ntile" -> (Extended.ntileQuartiles _),
+    "q54_dup_clusters" -> (Dedup.dupClusters _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -308,6 +309,24 @@ object SparkEntry {
       s"CASE WHEN list_sum(list_transform(hashes, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1 << b} ELSE 0 END"
     }.mkString(" + ")
     val stopIn = TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
+    // Shared CTE chain producing the LSH candidate pairs (q27 + q54).
+    val lshCandCtes =
+      s"""hs AS (SELECT doc_id, hashes FROM
+         |  (SELECT doc_id, $ShingleHashes AS hashes FROM documents)
+         |  WHERE len(hashes) > 0),
+         |sigs AS (SELECT doc_id, hashes, $sigs FROM hs),
+         |bands AS (
+         |  SELECT doc_id, hashes, b.i AS band_idx,
+         |    CASE b.i $bandKeys END AS band_key
+         |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) b(i)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.hashes AS a_h, b.hashes AS b_h
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |)""".stripMargin
     Map(
       "q24_dedup_exact" ->
         """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
@@ -331,24 +350,22 @@ object SparkEntry {
            |    ON a.lang = b.lang AND a.n_toks = b.n_toks AND a.doc_id < b.doc_id
            |) WHERE jaccard >= 0.01 ORDER BY a_id, b_id""".stripMargin,
       "q27_minhash_lsh" ->
-        s"""WITH hs AS (SELECT doc_id, hashes FROM
-           |  (SELECT doc_id, $ShingleHashes AS hashes FROM documents)
-           |  WHERE len(hashes) > 0),
-           |sigs AS (SELECT doc_id, hashes, $sigs FROM hs),
-           |bands AS (
-           |  SELECT doc_id, hashes, b.i AS band_idx,
-           |    CASE b.i $bandKeys END AS band_key
-           |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) b(i)
-           |),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    a.hashes AS a_h, b.hashes AS b_h
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |   AND a.doc_id < b.doc_id
-           |)
+        s"""WITH $lshCandCtes
            |SELECT a_id, b_id, ${jac("a_h", "b_h")} AS jaccard
            |FROM cand ORDER BY a_id, b_id""".stripMargin,
+      "q54_dup_clusters" ->
+        s"""WITH RECURSIVE $lshCandCtes,
+           |edges AS (
+           |  SELECT a_id AS a, b_id AS b FROM cand
+           |  UNION ALL SELECT b_id, a_id FROM cand
+           |),
+           |reach(id, m) AS (
+           |  SELECT a, a FROM edges GROUP BY a
+           |  UNION
+           |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.id
+           |)
+           |SELECT id AS doc_id, MIN(m) AS cluster_id
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
       "q28_simhash" ->
         s"""WITH hs AS (SELECT doc_id, $TokHashes AS hashes FROM documents)
            |SELECT doc_id, CAST($simhashBits AS INT) AS simhash16

@@ -160,6 +160,43 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Duplicate-cluster resolution: connected components over the LSH
+    * candidate pairs, labels = smallest doc_id reachable. Iterative
+    * min-label propagation — each round is one join + aggregate, the
+    * driver only checks a convergence count (#iterations ≈ component
+    * diameter, tiny for dup clusters). The full dedup story:
+    * [[minhashLsh]] finds the edges at scale, this collapses them into
+    * keep/drop groups.
+    */
+  def dupClusters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, d).select($"a_id", $"b_id")
+    // undirected edge list, both directions
+    val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"a_id".as("id")).distinct()
+      .select($"id", $"id".as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels.select($"id".as("b_id"), $"label"), "b_id")
+        .groupBy($"a_id".as("id")).agg(min($"label").as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select($"id", $"label".as("old")), "id")
+        .filter($"label" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    val out = labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+    edges.unpersist()
+    out
+  }
+
   /** SimHash: 16-bit signature — bit b is the sign of the sum of ±1
     * votes from each token hash's bit b. Near-dup docs have signatures
     * within small Hamming distance (pairing by signature bucket is then

@@ -26,7 +26,8 @@ class RegistrySpec extends SparkSpec {
     // the anti join is correctly empty; q26/q27/q36: similarity
     // thresholds may yield zero pairs at the smallest scale factor.
     val allowEmpty = Set("q08_anti_join",
-      "q26_ngram_jaccard", "q27_minhash_lsh", "q36_embedding_neardup")
+      "q26_ngram_jaccard", "q27_minhash_lsh", "q36_embedding_neardup",
+      "q54_dup_clusters")
     assert(empty.forall(allowEmpty), s"unexpectedly empty: ${empty.filterNot(allowEmpty)}")
   }
 }
