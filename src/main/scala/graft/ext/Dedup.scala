@@ -171,30 +171,37 @@ object Dedup {
   def dupClusters(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashLsh(spark, d).select($"a_id", $"b_id")
-    // undirected edge list, both directions
+    // undirected edge list, both directions; localCheckpoint(eager)
+    // materializes AND truncates lineage — without it each iteration's
+    // plan embeds all previous iterations and analysis time grows
+    // quadratically (27s at sf0.1 before this fix).
     val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select($"a_id".as("id")).distinct()
       .select($"id", $"id".as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
         .join(labels.select($"id".as("b_id"), $"label"), "b_id")
         .groupBy($"a_id".as("id")).agg(min($"label").as("nlabel"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: also adopt the label of one's current label —
+      // component depth halves per round, so convergence is O(log n)
+      // rounds instead of O(diameter)
+      val viaParent = labels.select($"id".as("label"), $"label".as("plabel"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(viaParent, Seq("label"), "left")
+        .select($"id", least($"label",
+          coalesce($"nlabel", $"label"), coalesce($"plabel", $"label")).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.select($"id", $"label".as("old")), "id")
         .filter($"label" =!= $"old").count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
     }
-    val out = labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")
-    edges.unpersist()
-    out
   }
 
   /** SimHash: 16-bit signature — bit b is the sign of the sum of ±1
