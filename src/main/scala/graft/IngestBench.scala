@@ -70,9 +70,18 @@ object IngestBench {
 
     val factRows = spark.read.parquet(s"$outDir/fact_ratings").count()
     val customers = spark.read.parquet(s"$outDir/dim_customer").count()
+    // zero-loss gate: every generated detail line must survive the
+    // parse and both dim lookups — a silent drop would otherwise just
+    // deflate the throughput number without failing the run
+    val expected = nMovies * perMovie
+    require(factRows == expected,
+      s"row loss: generated $expected detail rows, fact has $factRows")
     println(s"""{"metric":"ingest_throughput","fact_rows":$factRows,""" +
       s""""customers":$customers,"elapsed_sec":$elapsed,""" +
       s""""rec_per_sec":${(factRows / elapsed).toLong}}""")
     spark.stop()
+    // a 100M-row run leaves a multi-GB corpus — do not accumulate
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
   }
 }

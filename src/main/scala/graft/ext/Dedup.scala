@@ -118,42 +118,55 @@ object Dedup {
     * Jaccard over the token-hash sets. No step enumerates the global
     * pair space.
     */
-  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+  /** Per-doc shingle-hash sets eligible for LSH. Short docs (<3
+    * tokens) have empty shingle sets: every signature would be null
+    * and all their band keys would collapse to the same value,
+    * degenerating the band join into a cross product of all short docs
+    * (and 0/0 jaccard downstream). Exclude them; exact dedup (q24/q25)
+    * is the right tool for degenerate-length text.
+    */
+  private def hashSets(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    // Short docs (<3 tokens) have empty shingle sets: every signature
-    // would be null and all their band keys would collapse to the same
-    // value, degenerating the band join into a cross product of all
-    // short docs (and 0/0 jaccard downstream). Exclude them; exact
-    // dedup (q24/q25) is the right tool for degenerate-length text.
-    val hs = Tables.documents(spark, d)
+    Tables.documents(spark, d)
       .select($"doc_id", shingleHashes($"text").as("hashes"))
       .filter(size($"hashes") > 0)
+  }
+
+  /** LSH candidate pairs (a_id < b_id): docs sharing any band key.
+    * The band join carries only (doc_id, band_idx, band_key) — never
+    * the hash arrays; shuffling/deduping ~100-element arrays through
+    * the candidate join dominated the runtime before.
+    *
+    * No persist: the native ShingleHash recompute is cheap, and a
+    * cached block inside a lazily-returned DataFrame could never be
+    * unpersisted (it would leak for the session lifetime — with 54
+    * queries sharing one Verify session that matters).
+    */
+  private def candidatePairs(hs: DataFrame): DataFrame = {
+    import hs.sparkSession.implicits._
     val sigs = (0 until NumHashes).map { i =>
       array_min(transform($"hashes", h => (h * hashA(i) + hashB(i)) % P)).as(s"s$i")
     }
-    // No persist: the native ShingleHash recompute is cheap, and a
-    // cached block inside a lazily-returned DataFrame could never be
-    // unpersisted (it would leak for the session lifetime — with 50
-    // queries sharing one Verify session that matters).
-    val withSig = hs.select(($"doc_id" +: $"hashes" +: sigs): _*)
+    val withSig = hs.select(($"doc_id" +: sigs): _*)
     val bands = (0 until NumHashes / BandSize).map { j =>
       concat_ws("-", (0 until BandSize).map(k => col(s"s${j * BandSize + k}")): _*)
     }
-    // Band join carries only (doc_id, band_idx, band_key) — never the
-    // hash arrays; shuffling/deduping ~100-element arrays through the
-    // candidate join dominated the runtime before. Arrays are attached
-    // after the distinct, via broadcast lookups.
     val banded = withSig
       .select($"doc_id", posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
-    val cand = banded.select($"doc_id".as("a_id"), $"band_idx", $"band_key")
+    banded.select($"doc_id".as("a_id"), $"band_idx", $"band_key")
       .join(banded.select($"doc_id".as("b_id"), $"band_idx", $"band_key"),
             Seq("band_idx", "band_key"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    val hsOnly = withSig.select($"doc_id", $"hashes")
-    val withH = cand
-      .join(broadcast(hsOnly.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
-      .join(broadcast(hsOnly.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
+  }
+
+  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hs = hashSets(spark, d)
+    // Arrays are attached only after the distinct, via broadcast lookups.
+    val withH = candidatePairs(hs)
+      .join(broadcast(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
+      .join(broadcast(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
     val inter = size(array_intersect($"a_h", $"b_h"))
     val uni = size($"a_h") + size($"b_h") - inter
     withH.select($"a_id", $"b_id", r4(inter.cast("double") / uni).as("jaccard"))
@@ -170,16 +183,21 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLsh(spark, d).select($"a_id", $"b_id")
-    // undirected edge list, both directions; localCheckpoint(eager)
-    // materializes AND truncates lineage — without it each iteration's
-    // plan embeds all previous iterations and analysis time grows
-    // quadratically (27s at sf0.1 before this fix).
+    import org.apache.spark.storage.StorageLevel
+    // Cheap pair generation (no jaccard/hash arrays/global sort — the
+    // oracle side shares its candidate CTE chain the same way).
+    val pairs = candidatePairs(hashSets(spark, d))
+    // undirected edge list, both directions. persist + materialize so
+    // each iteration reads the cache instead of re-deriving the LSH
+    // join; superseded label frames are freed as soon as the next round
+    // is materialized (no session-lifetime leak). The final labels
+    // frame stays cached — it is bounded by the number of docs that
+    // appear in candidate pairs (tiny relative to the corpus).
     val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select($"a_id".as("id")).distinct()
       .select($"id", $"id".as("label"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
@@ -187,19 +205,22 @@ object Dedup {
         .groupBy($"a_id".as("id")).agg(min($"label").as("nlabel"))
       // pointer doubling: also adopt the label of one's current label —
       // component depth halves per round, so convergence is O(log n)
-      // rounds instead of O(diameter)
+      // rounds instead of O(diameter), which also keeps the (analyzed)
+      // plan depth small without checkpointing
       val viaParent = labels.select($"id".as("label"), $"label".as("plabel"))
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
         .join(viaParent, Seq("label"), "left")
         .select($"id", least($"label",
           coalesce($"nlabel", $"label"), coalesce($"plabel", $"label")).as("label"))
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.select($"id", $"label".as("old")), "id")
-        .filter($"label" =!= $"old").count()
+        .filter($"label" =!= $"old").count() // materializes `next`
+      labels.unpersist()
       labels = next
       converged = changed == 0
     }
+    edges.unpersist()
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")
   }

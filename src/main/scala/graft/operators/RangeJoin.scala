@@ -19,6 +19,13 @@ object RangeJoin {
     * @param tolUs  inclusive tolerance in microseconds */
   def within(left: DataFrame, right: DataFrame, keys: Seq[String],
              tsUs: String, tolUs: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "RangeJoin reserves the __bucket column name")
+    val collisions = right.columns.filterNot(keys.contains)
+      .map(rightPrefix + _).toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"left columns collide with prefixed right columns: $collisions " +
+      "(pass a different rightPrefix)")
     val keyCols: Seq[Column] = keys.map(col)
     val rRenamed = right.columns.filterNot(keys.contains)
       .foldLeft(right)((df, c) => df.withColumnRenamed(c, s"$rightPrefix$c"))

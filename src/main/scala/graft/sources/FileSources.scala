@@ -11,13 +11,21 @@ import org.apache.spark.sql.types.StructType
 object FileSources {
 
   /** CSV with header, explicit schema, malformed rows dropped
-    * (PERMISSIVE would null them; the reference's parsers drop). */
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    * (PERMISSIVE would null them; the reference's parsers drop).
+    *
+    * CSV column pruning is disabled for the session: with pruning on,
+    * DROPMALFORMED only inspects the columns a query reads, so the
+    * same file yields different row sets depending on downstream
+    * projection — a count() would keep rows a full select drops.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
     spark.read
       .schema(schema)
       .option("header", "true")
       .option("mode", "DROPMALFORMED")
       .csv(path)
+  }
 
   /** JSON-lines with explicit schema. */
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
