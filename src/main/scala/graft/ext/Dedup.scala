@@ -181,22 +181,73 @@ object Dedup {
     * [[minhashLsh]] finds the edges at scale, this collapses them into
     * keep/drop groups.
     */
+  /** Edge-count threshold below which cluster resolution runs as a
+    * driver-side union-find: LSH candidate graphs are small relative
+    * to the corpus by construction, and a few-MB edge list resolves in
+    * microseconds on the driver versus several Spark jobs per
+    * propagation round. Above the threshold the distributed
+    * label-propagation loop takes over.
+    */
+  val DriverResolveMaxEdges = 1000000L
+
   def dupClusters(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     // Cheap pair generation (no jaccard/hash arrays/global sort — the
     // oracle side shares its candidate CTE chain the same way).
     val pairs = candidatePairs(hashSets(spark, d))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = pairs.count()
+    val out =
+      if (nEdges <= DriverResolveMaxEdges) driverUnionFind(spark, pairs)
+      else propagateLabels(pairs)
+    pairs.unpersist()
+    out
+  }
+
+  /** Driver-side path: path-compressing union-find over a bounded,
+    * collected edge list; labels = min id of the component. */
+  private def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edgeList = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ids = edgeList.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+    ids.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
+      .orderBy($"doc_id")
+  }
+
+  /** Distributed path: iterative min-label propagation with pointer
+    * doubling; one join+aggregate round per iteration, driver sees
+    * only a convergence count. */
+  private[graft] def propagateLabels(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
     // undirected edge list, both directions. persist + materialize so
     // each iteration reads the cache instead of re-deriving the LSH
     // join; superseded label frames are freed as soon as the next round
     // is materialized (no session-lifetime leak). The final labels
     // frame stays cached — it is bounded by the number of docs that
     // appear in candidate pairs (tiny relative to the corpus).
+    // repartition(1): the edge/label frames are bounded by the LSH
+    // candidate set (tiny relative to the corpus), and per-iteration
+    // cost is dominated by scheduling 32-partition shuffles of
+    // ~100-row frames. A 100 TB corpus with a huge near-dup graph
+    // would size this by |pairs| instead of hardcoding 1.
     val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .repartition(1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select($"a_id".as("id")).distinct()
       .select($"id", $"id".as("label"))
+      .repartition(1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     while (!converged) {

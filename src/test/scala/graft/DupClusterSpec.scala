@@ -1,0 +1,38 @@
+package graft
+
+/** Both dup-cluster resolution paths agree on known component
+  * structures (the driver union-find is the default for bounded edge
+  * lists; the distributed propagation loop is the >1M-edge fallback
+  * and is otherwise never exercised by the registered query).
+  */
+class DupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  // chain 1-2-3-4, pair 10-11, triangle 20-21-22, singleton edge 30-31
+  private val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L),
+    (10L, 11L),
+    (20L, 21L), (21L, 22L), (20L, 22L),
+    (30L, 31L))
+
+  private val expected = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    10L -> 10L, 11L -> 10L,
+    20L -> 20L, 21L -> 20L, 22L -> 20L,
+    30L -> 30L, 31L -> 30L)
+
+  test("distributed label propagation resolves components to min ids") {
+    val pairs = edges.toDF("a_id", "b_id")
+    val got = graft.ext.Dedup.propagateLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("propagation is invariant to edge order and partitioning") {
+    val pairs = spark.createDataset(
+      spark.sparkContext.parallelize(edges.reverse, 5)).toDF("a_id", "b_id")
+    val got = graft.ext.Dedup.propagateLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
