@@ -97,6 +97,7 @@ object SparkEntry {
     "q52_stratified_sample" -> (Extended.stratifiedSample _),
     "q53_ntile" -> (Extended.ntileQuartiles _),
     "q54_dup_clusters" -> (Dedup.dupClusters _),
+    "q55_collect_array" -> (Extended.collectOrders _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -158,6 +159,11 @@ object SparkEntry {
         |           WHEN lang = 'zh' THEN TRUE
         |           ELSE doc_id % 5 = 0 END
         |ORDER BY doc_id""".stripMargin,
+    "q55_collect_array" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), '-') AS order_keys,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q53_ntile" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(NTILE(4) OVER (PARTITION BY o_orderstatus

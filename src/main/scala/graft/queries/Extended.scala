@@ -183,6 +183,22 @@ object Extended {
       .orderBy($"doc_id")
   }
 
+  /** Grouped array aggregation made deterministic: `collect_list` is
+    * arrival-order-dependent, so the array is sorted and string-encoded
+    * before leaving the query — the only safe shape for collected
+    * lists in a reproducible pipeline (and the scalar encoding keeps
+    * the oracle compare list-free).
+    */
+  def collectOrders(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(
+        concat_ws("-", sort_array(collect_list($"o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
   /** NTILE quartiles of order value within each status. */
   def ntileQuartiles(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
