@@ -96,7 +96,7 @@ object SparkEntry {
     "q51_range_join" -> (Extended.rangeJoinPairs _),
     "q52_stratified_sample" -> (Extended.stratifiedSample _),
     "q53_ntile" -> (Extended.ntileQuartiles _),
-    "q54_dup_clusters" -> (Dedup.dupClusters _),
+    "q54_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "q55_collect_array" -> (Extended.collectOrders _),
   )
 

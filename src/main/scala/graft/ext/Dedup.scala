@@ -190,7 +190,14 @@ object Dedup {
     */
   val DriverResolveMaxEdges = 1000000L
 
-  def dupClusters(spark: SparkSession, d: String): DataFrame = {
+  /** Target edges per partition for the distributed label-propagation
+    * path: each undirected edge is two 16-byte rows, so 2M edges/part
+    * keeps a partition's working set in the tens of MB.
+    */
+  val EdgesPerPartition = 2000000L
+
+  def dupClusters(spark: SparkSession, d: String,
+                  maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Cheap pair generation (no jaccard/hash arrays/global sort — the
     // oracle side shares its candidate CTE chain the same way).
@@ -198,8 +205,8 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = pairs.count()
     val out =
-      if (nEdges <= DriverResolveMaxEdges) driverUnionFind(spark, pairs)
-      else propagateLabels(pairs)
+      if (nEdges <= maxDriverEdges) driverUnionFind(spark, pairs)
+      else propagateLabels(pairs, nEdges)
     pairs.unpersist()
     out
   }
@@ -227,7 +234,7 @@ object Dedup {
   /** Distributed path: iterative min-label propagation with pointer
     * doubling; one join+aggregate round per iteration, driver sees
     * only a convergence count. */
-  private[graft] def propagateLabels(pairs: DataFrame): DataFrame = {
+  private[graft] def propagateLabels(pairs: DataFrame, nEdges: Long): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -237,17 +244,19 @@ object Dedup {
     // is materialized (no session-lifetime leak). The final labels
     // frame stays cached — it is bounded by the number of docs that
     // appear in candidate pairs (tiny relative to the corpus).
-    // repartition(1): the edge/label frames are bounded by the LSH
-    // candidate set (tiny relative to the corpus), and per-iteration
-    // cost is dominated by scheduling 32-partition shuffles of
-    // ~100-row frames. A 100 TB corpus with a huge near-dup graph
-    // would size this by |pairs| instead of hardcoding 1.
+    // Partition count scales with the edge list (2 rows per undirected
+    // edge), capped by the session shuffle parallelism: a billion-edge
+    // near-dup graph spreads across the cluster, while a 100-row graph
+    // avoids paying 32-partition scheduling overhead per iteration.
+    val numParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      2 * nEdges / EdgesPerPartition)).toInt
     val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-      .repartition(1)
+      .repartition(numParts, $"a_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select($"a_id".as("id")).distinct()
       .select($"id", $"id".as("label"))
-      .repartition(1)
+      .repartition(numParts, $"id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     while (!converged) {

@@ -2,9 +2,8 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graft.Bridge
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, TopKAgg}
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -12,13 +11,17 @@ import graft.sources.Tables
   * partition-pruned (IVF-style) variant as the scale path.
   *
   * Scale design: the query set is small and broadcast; candidates
-  * stream through a codegen'd [[CosineSimilarity]] scan with a
-  * per-query top-k window — no global sort, no driver collect. At
-  * 100 TB the IVF variant is the one you run: vectors are
-  * pre-partitioned by cluster id (here the `label` column plays the
-  * role of a k-means cell), the probe joins only its own cell, and the
-  * scan prunes every other partition (`partitionBy(label)` layout on
-  * disk → partition pruning at the source).
+  * stream through a codegen'd [[CosineSimilarity]] scan into a bounded
+  * per-query [[TopKAgg]] partial aggregate — each scan task forwards at
+  * most k (score, id) pairs per query into the shuffle, so no reducer
+  * ever sees the full candidate set (a `row_number` window would funnel
+  * every scored row into one partition per query). No global sort, no
+  * driver collect. At 100 TB the IVF variant is the one you run:
+  * vectors are pre-partitioned by cluster id (here the `label` column
+  * plays the role of a k-means cell), the probe joins only its own
+  * cell, and the scan prunes every other partition
+  * (`partitionBy(label)` layout on disk → partition pruning at the
+  * source).
   */
 object Similarity {
   private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
@@ -26,8 +29,27 @@ object Similarity {
   private def cos(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Rank scored candidates per query with the bounded [[TopKAgg]]
+    * partial aggregate and explode back to (query_id, rn, vec_id,
+    * score) rows. TopKAgg's ordering (score desc, id asc) matches the
+    * `row_number` window it replaces, so results are identical — but
+    * the shuffle carries ≤k pairs per (task, query) instead of every
+    * scored row.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    val topk = udaf(new TopKAgg(k))
+    scored
+      .groupBy($"query_id")
+      .agg(topk($"score_raw", $"vec_id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "entry")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rn"),
+        $"entry._2".as("vec_id"), r4($"entry._1").as("score"))
+      .orderBy($"query_id", $"rn")
+  }
+
   /** Brute-force cosine top-5: queries = vec_id < 5 (broadcast), scan
-    * everything else, rank per query. Exact-search baseline.
+    * everything else, bounded top-k per query. Exact-search baseline.
     */
   def cosineTopK(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -36,13 +58,10 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
     val c = emb.filter($"vec_id" >= 5)
       .select($"vec_id", $"embedding".as("cv"))
-    val w = Window.partitionBy($"query_id").orderBy($"score_raw".desc, $"vec_id")
-    c.crossJoin(broadcast(q))
-      .select($"query_id", $"vec_id", cos($"qv", $"cv").as("score_raw"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 5)
-      .select($"query_id", $"rn", $"vec_id", r4($"score_raw").as("score"))
-      .orderBy($"query_id", $"rn")
+    rankTopK(
+      c.crossJoin(broadcast(q))
+        .select($"query_id", $"vec_id", cos($"qv", $"cv").as("score_raw")),
+      k = 5)
   }
 
   /** IVF-style pruned top-3: search only the query's own cluster cell
@@ -56,13 +75,10 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"label", $"embedding".as("qv"))
     val c = emb.filter($"vec_id" >= 5)
       .select($"vec_id", $"label", $"embedding".as("cv"))
-    val w = Window.partitionBy($"query_id").orderBy($"score_raw".desc, $"vec_id")
-    c.join(broadcast(q), "label")
-      .select($"query_id", $"vec_id", cos($"qv", $"cv").as("score_raw"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
-      .select($"query_id", $"rn", $"vec_id", r4($"score_raw").as("score"))
-      .orderBy($"query_id", $"rn")
+    rankTopK(
+      c.join(broadcast(q), "label")
+        .select($"query_id", $"vec_id", cos($"qv", $"cv").as("score_raw")),
+      k = 3)
   }
 
   /** Embedding near-dup: pairs inside the same cell with cosine above

@@ -2,8 +2,10 @@ package graft
 
 /** Both dup-cluster resolution paths agree on known component
   * structures (the driver union-find is the default for bounded edge
-  * lists; the distributed propagation loop is the >1M-edge fallback
-  * and is otherwise never exercised by the registered query).
+  * lists; the distributed propagation loop is the >1M-edge fallback).
+  * The distributed path is exercised on >1 partition: `nEdges` sizes
+  * the propagation loop's partitioning, so a large hint forces the
+  * same multi-partition layout a billion-edge graph would get.
   */
 class DupClusterSpec extends SparkSpec {
   import spark.implicits._
@@ -23,7 +25,7 @@ class DupClusterSpec extends SparkSpec {
 
   test("distributed label propagation resolves components to min ids") {
     val pairs = edges.toDF("a_id", "b_id")
-    val got = graft.ext.Dedup.propagateLabels(pairs)
+    val got = graft.ext.Dedup.propagateLabels(pairs, edges.length)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
@@ -31,8 +33,27 @@ class DupClusterSpec extends SparkSpec {
   test("propagation is invariant to edge order and partitioning") {
     val pairs = spark.createDataset(
       spark.sparkContext.parallelize(edges.reverse, 5)).toDF("a_id", "b_id")
-    val got = graft.ext.Dedup.propagateLabels(pairs)
+    val got = graft.ext.Dedup.propagateLabels(pairs, edges.length)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+  }
+
+  test("propagation with a scale-sized nEdges hint runs on >1 partition") {
+    val pairs = edges.toDF("a_id", "b_id")
+    // 4M-edge hint → 2*4M/2M = 4 target partitions (capped at the
+    // session's 4 shuffle partitions) — the layout a big graph gets.
+    val df = graft.ext.Dedup.propagateLabels(pairs, 4000000L)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("dupClusters: distributed fallback matches driver union-find end-to-end") {
+    val d = "/root/testdata/sf0.001"
+    val driver = graft.ext.Dedup.dupClusters(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = graft.ext.Dedup.dupClusters(spark, d, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(driver == dist)
+    assert(driver.nonEmpty)
   }
 }
