@@ -37,6 +37,32 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(out).count() == 200)
   }
 
+  test("jdbc append round-trips through an embedded Derby database") {
+    // Embedded Derby (on the Spark unmanaged classpath) stands in for
+    // the reference's PostgreSQL serving layer: a real JDBC driver,
+    // real batched prepared-statement inserts, same Spark write path.
+    val dbDir = Files.createTempDirectory("graft-derby").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    val nation = graft.sources.Tables.nation(spark, "/root/testdata/sf0.001")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+
+    Sinks.appendJdbc(nation, url, "nation_dim", props,
+      batchSize = 7, connections = 2)
+    val back = spark.read.jdbc(url, "nation_dim", props)
+    assert(back.count() == 25)
+    val got = back.collect()
+      .map(r => (r.getInt(0), r.getString(1).trim, r.getInt(2))).toSet
+    val want = nation.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == want)
+
+    // append semantics: a second write adds rows instead of replacing
+    Sinks.appendJdbc(nation, url, "nation_dim", props,
+      batchSize = 7, connections = 2)
+    assert(spark.read.jdbc(url, "nation_dim", props).count() == 50)
+  }
+
   test("cosine_sim rejects non-float-array inputs at analysis time") {
     graft.functions.CosineSimilarity.register(spark)
     val err = intercept[Exception] {
