@@ -98,6 +98,7 @@ object SparkEntry {
     "q53_ntile" -> (Extended.ntileQuartiles _),
     "q54_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "q55_collect_array" -> (Extended.collectOrders _),
+    "q56_image_decode" -> (Multimodal.imageFeatures _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -227,6 +228,26 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, start_us""".stripMargin,
+    // q56: the Spark side encodes each doc's pixel grid to a real PNG
+    // and decodes it back with ImageIO; PNG is lossless, so the oracle
+    // recomputes the identical features straight from the closed-form
+    // pixel formula — decode(encode(pixels)) == pixels is the claim
+    // under test.
+    "q56_image_decode" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS width,
+         |         CAST(6 + doc_id % 4 AS INT) AS height
+         |  FROM documents
+         |), xs AS (
+         |  SELECT doc_id, width, height, unnest(range(width)) AS x FROM dims
+         |), px AS (
+         |  SELECT doc_id, width, height, x, unnest(range(height)) AS y FROM xs
+         |)
+         |SELECT doc_id, width, height, CAST(3 AS INT) AS n_channels,
+         |  ${r4sql("CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS DOUBLE) / COUNT(*)")} AS mean_r,
+         |  ${r4sql("CAST(SUM((doc_id * 11 + x * 5 + y * 7) % 256) AS DOUBLE) / COUNT(*)")} AS mean_g,
+         |  ${r4sql("CAST(SUM((doc_id * 13 + x * 7 + y * 11) % 256) AS DOUBLE) / COUNT(*)")} AS mean_b
+         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB twin of the CosineSimilarity expression: identical IEEE

@@ -11,13 +11,15 @@ import graft.sources.Tables
   * partition-streamed batches — the Scala/Tungsten analogue of an
   * Arrow-batched `mapInPandas` decode stage.
   *
-  * The actual image/audio decode is STUBBED ([[decodeMedia]]): codec
-  * libraries are unavailable here, so features come from a
-  * deterministic byte-level fake. Everything around the stub — the
-  * schema, the binary column, the batch shape, the per-partition
-  * streaming, the feature output contract — is real and oracle-tested
-  * (q37): swap [[fakeFeatures]] for a JNI/codec call and nothing else
-  * changes.
+  * Image media is decoded for real via JDK `ImageIO` (PNG/JPEG/BMP/GIF
+  * readers ship with the JDK — no codec dependency): [[decodeImage]]
+  * yields dimensions, band count, and per-channel means, and q56
+  * oracle-verifies the full encode→decode→feature path (PNG is
+  * lossless, so DuckDB recomputes the same features from the pixel
+  * formula in closed form). Audio/video decode remains STUBBED
+  * ([[decodeMedia]]): those codec libraries are unavailable here, so
+  * non-image features come from a deterministic byte-level fake
+  * ([[fakeFeatures]], q37) behind the same schema/batching contract.
   *
   * Scale: `mapPartitions` streams one partition per task with O(batch)
   * memory; a decode stage at 100 TB is embarrassingly parallel and
@@ -36,12 +38,120 @@ object Multimodal {
   /** Batch size of the decode stage — mirrors an Arrow record-batch. */
   val DecodeBatchSize = 64
 
-  /** STUB — a real implementation decodes image/audio/video bytes into
-    * pixels/samples. Unavailable in this environment by design.
+  /** STUB — a real implementation decodes audio/video bytes into
+    * samples/frames. Those codecs are unavailable in this environment
+    * by design; images decode for real via [[decodeImage]].
     */
   def decodeMedia(bytes: Array[Byte]): Nothing =
     throw new UnsupportedOperationException(
-      "decodeMedia is a stub: codec libraries are not available in this environment")
+      "decodeMedia is a stub: audio/video codec libraries are not available " +
+      "in this environment; image media decodes via decodeImage")
+
+  /** Decoded-image features: dimensions, raster band count, and
+    * per-channel means over the full pixel grid. */
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                                 n_channels: Int, mean_r: Double,
+                                 mean_g: Double, mean_b: Double)
+
+  /** Real image decode via JDK ImageIO. Returns None for bytes no
+    * registered reader accepts (corrupt or non-image payloads) —
+    * callers drop such rows instead of failing the job, the behavior
+    * a 100 TB crawl pipeline needs when a fraction of blobs is
+    * always garbage.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double, Double, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null case _: RuntimeException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some((w, h, img.getRaster.getNumBands,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    }
+  }
+
+  /** Deterministic synthetic PNG for a doc id: dimensions and every
+    * channel value are closed-form functions of (doc_id, x, y), so an
+    * oracle can recompute the decoded features without any image
+    * library — PNG is lossless, decode(encode(pixels)) == pixels.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 5).toInt
+    val h = 6 + (docId % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((docId * 11 + x * 5 + y * 7) % 256).toInt
+        val b = ((docId * 13 + x * 7 + y * 11) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image media table: one synthetic PNG per document id — real
+    * encoded bytes in a binary column, the test environment's stand-in
+    * for crawled images.
+    */
+  def imageMedia(spark: SparkSession, d: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id").as[Long]
+      .map(id => MediaRow(id, "image/png", syntheticPng(id)))
+  }
+
+  /** The image decode stage: partition-streamed, batched, real ImageIO
+    * decode; undecodable rows are dropped.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          decodeImage(m.content).map { case (w, h, nc, mr, mg, mb) =>
+            ImageFeatures(m.doc_id, w, h, nc, mr, mg, mb)
+          }
+        }
+      }
+    }
+  }
+
+  /** q56: encode→decode→feature round-trip over real PNG bytes —
+    * map-only, no shuffle before the presentation sort.
+    */
+  def imageFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def r4(c: org.apache.spark.sql.Column) =
+      round(c * lit(10000.0), 0) / lit(10000.0)
+    decodeImages(imageMedia(spark, d))
+      .toDF()
+      .select($"doc_id", $"width", $"height", $"n_channels",
+        r4($"mean_r").as("mean_r"), r4($"mean_g").as("mean_g"),
+        r4($"mean_b").as("mean_b"))
+      .orderBy($"doc_id")
+  }
 
   /** Deterministic fake standing in for the decoder: byte-level stats
     * and a content hash.

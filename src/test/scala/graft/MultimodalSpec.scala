@@ -1,0 +1,48 @@
+package graft
+
+import graft.ext.Multimodal
+
+/** Real ImageIO decode path: PNG round-trip reproduces the exact pixel
+  * formula, corrupt payloads are dropped (not fatal), and the q56
+  * pipeline keeps every decodable row.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeImage reproduces the synthetic pixel formula exactly") {
+    val id = 42L
+    val Some((w, h, nc, mr, mg, mb)) =
+      Multimodal.decodeImage(Multimodal.syntheticPng(id))
+    assert(w == 8 + (id % 5).toInt && h == 6 + (id % 4).toInt)
+    assert(nc == 3)
+    def mean(a: Long, bx: Long, by: Long): Double = {
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield (id * a + x * bx + y * by) % 256
+      vals.sum.toDouble / (w * h)
+    }
+    assert(mr == mean(7, 3, 5))
+    assert(mg == mean(11, 5, 7))
+    assert(mb == mean(13, 7, 11))
+  }
+
+  test("corrupt bytes are dropped, not fatal") {
+    assert(Multimodal.decodeImage("definitely not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    // a PNG header with truncated body must not crash the stage either
+    val truncated = Multimodal.syntheticPng(1L).take(20)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", Multimodal.syntheticPng(1L)),
+      Multimodal.MediaRow(2L, "image/png", "garbage".getBytes),
+      Multimodal.MediaRow(3L, "image/png", Multimodal.syntheticPng(3L)))
+    val out = Multimodal.decodeImages(spark.createDataset(rows)).collect()
+    assert(out.map(_.doc_id).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("q56 pipeline decodes every document's image") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.documents(spark, d).count()
+    assert(Multimodal.imageFeatures(spark, d).count() == n)
+  }
+}
