@@ -99,6 +99,7 @@ object SparkEntry {
     "q54_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "q55_collect_array" -> (Extended.collectOrders _),
     "q56_image_decode" -> (Multimodal.imageFeatures _),
+    "q57_hyperplane_neardup" -> (Similarity.hyperplaneNearDup _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -298,6 +299,32 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id
          |) WHERE score_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    // q57: DuckDB twin of the HyperplaneSignature expression — same LCG
+    // hyperplane components, same left-to-right double accumulation, so
+    // even the sign of a near-zero dot product agrees across engines.
+    "q57_hyperplane_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, band_idx,
+         |    list_sum(list_transform(range(10), r ->
+         |      CASE WHEN list_reduce(list_transform(range(d), i ->
+         |          CAST(embedding[i+1] AS DOUBLE) *
+         |          ((1103515245 * ((band_idx * 10 + r) * d + i) + 12345) % 2147483647 - 1073741823)),
+         |        (x, y) -> x + y) > 0
+         |      THEN 1 << r ELSE 0 END)) AS band_key
+         |  FROM e, (SELECT unnest(range(16)) AS band_idx) b
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
+         |  FROM banded a JOIN banded bb USING (band_idx, band_key)
+         |  WHERE a.vec_id < bb.vec_id
+         |)
+         |SELECT a_id, b_id, ${r4sql("score_raw")} AS score FROM (
+         |  SELECT a_id, b_id, ${cosSql("av", "bv")} AS score_raw
+         |  FROM cand
+         |  JOIN (SELECT vec_id AS a_id, embedding AS av FROM embeddings) ea USING (a_id)
+         |  JOIN (SELECT vec_id AS b_id, embedding AS bv FROM embeddings) eb USING (b_id)
+         |) WHERE score_raw >= 0.45 ORDER BY a_id, b_id""".stripMargin,
   )
 
   // ---- DuckDB oracle fragments shared by the documents-table queries ----

@@ -81,10 +81,66 @@ object Similarity {
       k = 3)
   }
 
+  /** Hyperplane-LSH band config: 16 bands × 10 sign-bits. Designed
+    * for the true near-dup regime — at cos ≥ 0.9 (θ ≈ 26°, per-bit
+    * agreement p ≈ 0.856) a pair collides in ≥1 band with
+    * 1-(1-p^10)^16 ≈ 98% probability; at cos ≈ 0 it's under 2%. On
+    * the synthetic table (max cosine 0.6 — no planted near-dups) the
+    * measured candidate set is ~4% of the global pair space and ~0.4×
+    * the per-label blocked pair count, with partial recall at the
+    * weak-similarity 0.45 threshold (quantified in HyperplaneSpec).
+    */
+  val HpBands = 16
+  val HpRows = 10
+  /** Verification threshold for [[hyperplaneNearDup]] — weak-similarity
+    * regime chosen to yield non-empty results on the synthetic data. */
+  val HpThreshold = 0.45
+
+  private def hpSig(c: Column): Column =
+    Bridge.column(graft.functions.HyperplaneSignature(
+      Bridge.expression(c), HpBands, HpRows))
+
+  /** Global (label-free) embedding near-dup via random-hyperplane LSH:
+    * candidates come from an equi-join on (band_idx, band_key) — the
+    * vector-space mirror of [[Dedup.candidatePairs]] — then exact
+    * cosine verifies. Unlike [[embeddingNearDup]]'s cell blocking this
+    * finds cross-cell pairs (on the synthetic table 91% of ≥0.4-cosine
+    * pairs are cross-label, invisible to cell blocking), and the band
+    * join bounds the pair space without any per-cell quadratic blowup.
+    * The band join carries only (vec_id, band_idx, band_key); vectors
+    * re-attach after the distinct (broadcast here; a shuffle join at
+    * 100 TB).
+    */
+  def hyperplaneNearDup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    hyperplaneCandidates(spark, d)
+      .join(broadcast(emb.select($"vec_id".as("a_id"), $"embedding".as("av"))), "a_id")
+      .join(broadcast(emb.select($"vec_id".as("b_id"), $"embedding".as("bv"))), "b_id")
+      .select($"a_id", $"b_id", cos($"av", $"bv").as("score_raw"))
+      .filter($"score_raw" >= HpThreshold)
+      .select($"a_id", $"b_id", r4($"score_raw").as("score"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** LSH candidate pairs only (no verification) — exposed for the
+    * candidate-budget assertions in HyperplaneSpec. */
+  private[graft] def hyperplaneCandidates(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val banded = Tables.embeddings(spark, d)
+      .select($"vec_id", posexplode(hpSig($"embedding")).as(Seq("band_idx", "band_key")))
+    banded.select($"vec_id".as("a_id"), $"band_idx", $"band_key")
+      .join(banded.select($"vec_id".as("b_id"), $"band_idx", $"band_key"),
+        Seq("band_idx", "band_key"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+  }
+
   /** Embedding near-dup: pairs inside the same cell with cosine above
     * threshold — the vector-space member of the dedup family
     * ([[Dedup]]); blocking by cell keeps the pair space per-cell
-    * quadratic, not global.
+    * quadratic, not global. See [[hyperplaneNearDup]] for the variant
+    * that bounds cell size at 100 TB and finds cross-cell pairs.
     */
   def embeddingNearDup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
