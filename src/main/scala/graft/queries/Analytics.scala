@@ -156,13 +156,26 @@ object Analytics {
     * nation, region are explicit broadcasts like the reference's
     * `broadcast()` hints.
     */
-  def starJoinRevenue(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    Tables.lineitem(spark, d)
-      .join(Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(spark, d)), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.nation(spark, d)), $"c_nationkey" === $"n_nationkey")
-      .join(broadcast(Tables.region(spark, d)), $"n_regionkey" === $"r_regionkey")
+  def starJoinRevenue(spark: SparkSession, d: String): DataFrame =
+    starJoinRevenueFrames(
+      Tables.lineitem(spark, d), Tables.orders(spark, d),
+      Tables.customer(spark, d), Tables.nation(spark, d),
+      Tables.region(spark, d))
+
+  /** Frame-based core of [[starJoinRevenue]] — lets the same plan run
+    * over any physical layout. With lineitem/orders bucketed on the
+    * join key the fact join needs no exchange at all (BucketingSpec
+    * proves this end-to-end on this exact code path).
+    */
+  def starJoinRevenueFrames(lineitem: DataFrame, orders: DataFrame,
+                            customer: DataFrame, nation: DataFrame,
+                            region: DataFrame): DataFrame = {
+    import lineitem.sparkSession.implicits._
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
         discRevenue($"l_extendedprice", $"l_discount").as("revenue"),

@@ -41,4 +41,50 @@ class BucketingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("starJoinRevenue e2e on sf0.1 bucketed fact tables: fact join shuffle-free") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // keep the fact join out of auto-broadcast range — the explicit
+    // broadcast() hints on the dims are unaffected
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = "/root/testdata/sf0.1"
+      graft.sources.Tables.lineitem(spark, d).write
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b01")
+      graft.sources.Tables.orders(spark, d).write
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("o_b01")
+
+      val bucketed = graft.queries.Analytics.starJoinRevenueFrames(
+        spark.table("li_b01"), spark.table("o_b01"),
+        graft.sources.Tables.customer(spark, d),
+        graft.sources.Tables.nation(spark, d),
+        graft.sources.Tables.region(spark, d))
+
+      // the fact join (the only sort-merge join; dims broadcast) must
+      // read the bucketed layout directly — no exchange in its subtree.
+      // The only remaining exchanges are the post-join groupBy and the
+      // presentation sort, which no layout can remove.
+      val smj = bucketed.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "expected the fact join to be a sort-merge join")
+      smj.foreach { j =>
+        val shuffles = j.collect { case s: ShuffleExchangeExec => s }
+        assert(shuffles.isEmpty,
+          s"bucketed fact join should be shuffle-free, found ${shuffles.size}")
+      }
+
+      // identical results to the plain-parquet plan
+      val plain = graft.queries.Analytics.starJoinRevenue(spark, d)
+      assert(bucketed.collect().toSeq == plain.collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b01")
+      spark.sql("DROP TABLE IF EXISTS o_b01")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
