@@ -88,14 +88,20 @@ object Dedup {
     * filters real near-dups. Blocking on exact length is the classic
     * cheap blocker for near-identical documents.
     */
-  def ngramJaccard(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
+  def ngramJaccard(spark: SparkSession, d: String): DataFrame =
+    ngramJaccardFrames(Tables.documents(spark, d))
+
+  /** Frame-based core of [[ngramJaccard]] — exercised on planted
+    * near-dup fixtures by RecallSpec to quantify what exact-length
+    * blocking trades away. */
+  private[graft] def ngramJaccardFrames(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // Jaccard over shingle *hashes* (not shingle strings): same native
     // ShingleHash expression as the LSH path, and array_intersect over
     // longs beats set ops over ~30-char strings.
     // docs with <3 tokens have no shingles: jaccard would be 0/0 —
     // exclude them on both engines (oracle has the same predicate)
-    val sh = Tables.documents(spark, d)
+    val sh = docs
       .select($"doc_id", $"lang", size(split($"text", " ")).as("n_toks"),
         shingleHashes($"text").as("shingles"))
       .filter($"n_toks" >= 3)
@@ -125,9 +131,12 @@ object Dedup {
     * (and 0/0 jaccard downstream). Exclude them; exact dedup (q24/q25)
     * is the right tool for degenerate-length text.
     */
-  private def hashSets(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, d)
+  private def hashSets(spark: SparkSession, d: String): DataFrame =
+    hashSetsOf(Tables.documents(spark, d))
+
+  private[graft] def hashSetsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", shingleHashes($"text").as("hashes"))
       .filter(size($"hashes") > 0)
   }
@@ -142,7 +151,7 @@ object Dedup {
     * unpersisted (it would leak for the session lifetime — with 54
     * queries sharing one Verify session that matters).
     */
-  private def candidatePairs(hs: DataFrame): DataFrame = {
+  private[graft] def candidatePairs(hs: DataFrame): DataFrame = {
     import hs.sparkSession.implicits._
     val sigs = (0 until NumHashes).map { i =>
       array_min(transform($"hashes", h => (h * hashA(i) + hashB(i)) % P)).as(s"s$i")

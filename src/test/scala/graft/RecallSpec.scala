@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quantifies the q26-vs-q27 blocking trade-off on planted near-dups:
+  * exact (lang, token_count) blocking is cheap but structurally blind
+  * to near-dups that differ in length, while MinHash LSH banding sees
+  * them. The fixture plants both kinds; recall is measured against
+  * brute-force shingle Jaccard ground truth. Everything is
+  * deterministic (fixed texts, fixed hash family), so the measured
+  * recalls are exact, not flaky.
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 base docs of 25 distinct tokens each (disjoint vocab per doc →
+  // cross-pair jaccard is 0); 4 same-length plants (one token swapped)
+  // and 4 length-changed plants (one token deleted).
+  private lazy val docs = {
+    def base(i: Int) = (0 until 25).map(k => s"w${i}_$k")
+    val bases = (0 until 8).map(i => (i.toLong, "en", base(i).mkString(" ")))
+    val sameLen = (0 until 4).map { i =>
+      val t = base(i).updated(5, "swapped")
+      (100L + i, "en", t.mkString(" "))
+    }
+    val diffLen = (4 until 8).map { i =>
+      val t = base(i).patch(7, Nil, 1) // delete one token → 24 tokens
+      (200L + i, "en", t.mkString(" "))
+    }
+    (bases ++ sameLen ++ diffLen).toDF("doc_id", "lang", "text")
+  }
+
+  // ground truth: brute-force shingle-hash Jaccard ≥ 0.5 over all pairs
+  private lazy val truth: Set[(Long, Long)] = {
+    val hs = graft.ext.Dedup.hashSetsOf(docs)
+    val a = hs.select($"doc_id".as("a_id"), $"hashes".as("ah"))
+    val b = hs.select($"doc_id".as("b_id"), $"hashes".as("bh"))
+    val inter = size(array_intersect($"ah", $"bh"))
+    val uni = size($"ah") + size($"bh") - inter
+    a.crossJoin(b).filter($"a_id" < $"b_id")
+      .filter(inter.cast("double") / uni >= 0.5)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def lengthDiffers(p: (Long, Long)): Boolean = {
+    val lens = docs.select($"doc_id", size(split($"text", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lens(p._1) != lens(p._2)
+  }
+
+  test("exact-length blocking misses every length-differing near-dup") {
+    assert(truth.size == 8, s"expected 8 planted pairs, got ${truth.size}")
+    val blocked = graft.ext.Dedup.ngramJaccardFrames(docs)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (diffLen, sameLen) = truth.partition(lengthDiffers)
+    assert(diffLen.size == 4 && sameLen.size == 4)
+    assert((blocked & diffLen).isEmpty,
+      "exact token-count blocking cannot see cross-length near-dups")
+    assert(sameLen.subsetOf(blocked), "same-length plants must all be found")
+    info(s"blocked recall: ${(blocked & truth).size}/${truth.size}")
+  }
+
+  test("MinHash LSH recall covers what blocking misses and dominates it") {
+    val lsh = graft.ext.Dedup.candidatePairs(graft.ext.Dedup.hashSetsOf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.ext.Dedup.ngramJaccardFrames(docs)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (lsh & truth).size.toDouble / truth.size
+    val blockedRecall = (blocked & truth).size.toDouble / truth.size
+    info(f"lsh=$lshRecall%.2f blocked=$blockedRecall%.2f")
+    assert(lshRecall >= blockedRecall,
+      "LSH banding must recall at least what exact-length blocking does")
+    val diffLen = truth.filter(lengthDiffers)
+    assert((lsh & diffLen).nonEmpty,
+      "LSH must find length-differing near-dups blocking cannot")
+  }
+}

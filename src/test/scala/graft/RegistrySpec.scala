@@ -27,7 +27,7 @@ class RegistrySpec extends SparkSpec {
     // thresholds may yield zero pairs at the smallest scale factor.
     val allowEmpty = Set("q08_anti_join",
       "q26_ngram_jaccard", "q27_minhash_lsh", "q36_embedding_neardup",
-      "q54_dup_clusters")
+      "q54_dup_clusters", "q57_hyperplane_neardup")
     assert(empty.forall(allowEmpty), s"unexpectedly empty: ${empty.filterNot(allowEmpty)}")
   }
 }

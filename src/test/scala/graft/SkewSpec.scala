@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Skew demonstration for the salted two-phase aggregate: a key
+  * distribution where one key owns half the rows is exactly where a
+  * plain groupBy funnels 50% of the table through one reducer. The
+  * salted form must produce identical results (it does — the
+  * partial/merge pair is algebraic over exact decimals), while
+  * spreading the hot key over `buckets` parallel sub-aggregations.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 400k rows: user 0 owns 50%; the rest spread over 1..1000.
+  private lazy val skewed = spark.range(400000L)
+    .select(
+      when($"id" % 2 === 0, 0L)
+        .otherwise(pmod($"id", lit(1000L)) + 1).as("user_id"),
+      ($"id" % 997).cast("double").as("value"),
+      $"id")
+
+  test("salted aggregation equals the plain groupBy on a 50%-skewed key") {
+    val t0 = System.nanoTime()
+    val plain = skewed
+      .groupBy($"user_id")
+      .agg(
+        round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy($"user_id")
+      .collect()
+    val tPlain = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val salted = graft.operators.SaltedAgg.sumCount(
+        skewed, key = "user_id", valueCol = "value",
+        saltSource = "id", buckets = 16)
+      .orderBy($"user_id")
+      .collect()
+    val tSalted = (System.nanoTime() - t1) / 1e9
+
+    info(f"plain=$tPlain%.2fs salted=$tSalted%.2fs (local[4]; the gap shows at cluster scale)")
+    assert(salted.length == plain.length)
+    assert(salted.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+           plain.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq)
+  }
+
+  test("hot key's partials actually spread across salt buckets") {
+    // the hot key's rows are the even ids, so id mod 16 reaches the 8
+    // even buckets — the point is the hot key fans out over many
+    // parallel sub-aggregations instead of one reducer
+    val partials = skewed
+      .withColumn("__salt", pmod($"id", lit(16)))
+      .filter($"user_id" === 0L)
+      .groupBy($"__salt").count()
+    assert(partials.count() == 8, "hot key should fan out across salt buckets")
+  }
+}
