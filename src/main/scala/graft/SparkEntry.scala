@@ -100,6 +100,7 @@ object SparkEntry {
     "q55_collect_array" -> (Extended.collectOrders _),
     "q56_image_decode" -> (Multimodal.imageFeatures _),
     "q57_hyperplane_neardup" -> (Similarity.hyperplaneNearDup _),
+    "q58_audio_decode" -> (Multimodal.audioFeatures _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -249,6 +250,21 @@ object SparkEntry {
          |  ${r4sql("CAST(SUM((doc_id * 11 + x * 5 + y * 7) % 256) AS DOUBLE) / COUNT(*)")} AS mean_g,
          |  ${r4sql("CAST(SUM((doc_id * 13 + x * 7 + y * 11) % 256) AS DOUBLE) / COUNT(*)")} AS mean_b
          |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // q58: same design as q56 for audio — 16-bit PCM WAV is lossless,
+    // so the oracle recomputes the decoded sample stats in closed form.
+    "q58_audio_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(64 + doc_id % 32 AS INT) AS n_samples FROM documents
+         |), s AS (
+         |  SELECT doc_id, n_samples,
+         |         (doc_id * 31 + unnest(range(n_samples)) * 17) % 4001 - 2000 AS amp
+         |  FROM d
+         |)
+         |SELECT doc_id, n_samples, CAST(8000 AS INT) AS sample_rate,
+         |  CAST(1 AS INT) AS channels,
+         |  ${r4sql("CAST(SUM(amp) AS DOUBLE) / COUNT(*)")} AS mean_amp,
+         |  ${r4sql("sqrt(CAST(SUM(amp * amp) AS DOUBLE) / COUNT(*))")} AS rms
+         |FROM s GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB twin of the CosineSimilarity expression: identical IEEE

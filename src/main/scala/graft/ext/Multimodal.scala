@@ -138,6 +138,113 @@ object Multimodal {
     }
   }
 
+  /** Decoded-audio features: stream shape plus amplitude stats over
+    * the full sample sequence. */
+  final case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
+                                 channels: Int, mean_amp: Double, rms: Double)
+
+  /** Real audio decode via JDK javax.sound (WAV/AIFF/AU PCM readers
+    * ship with the JDK): stream format + 16-bit sample reconstruction.
+    * Returns None for bytes no installed reader accepts — corrupt
+    * blobs are dropped, not fatal, same policy as [[decodeImage]].
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Double, Double)] = {
+    val stream =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (stream == null) None
+    else
+      try {
+        val fmt = stream.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = stream.readAllBytes()
+          val n = data.length / 2
+          var sum = 0L; var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val lo = data(2 * i) & 0xff
+            val hi = data(2 * i + 1)
+            val s = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                    else ((hi << 8) | lo).toShort.toInt
+            sum += s; sumSq += s.toLong * s
+            i += 1
+          }
+          val frames = n / fmt.getChannels
+          Some((frames, fmt.getSampleRate.toInt, fmt.getChannels,
+            if (n == 0) 0.0 else sum.toDouble / n,
+            if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)))
+        }
+      } finally stream.close()
+  }
+
+  /** Deterministic synthetic 16-bit PCM mono WAV for a doc id — RIFF
+    * container written by hand, sample k = ((doc_id*31 + k*17) mod
+    * 4001) - 2000. PCM is lossless, so decode(encode(samples))
+    * reproduces the formula exactly and the oracle recomputes features
+    * in closed form (mirror of [[syntheticPng]]).
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = 64 + (docId % 32).toInt
+    val rate = 8000
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      buf.putShort((((docId * 31 + k * 17) % 4001) - 2000).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** Audio media table: one synthetic WAV per document id. */
+  def audioMedia(spark: SparkSession, d: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id").as[Long]
+      .map(id => MediaRow(id, "audio/wav", syntheticWav(id)))
+  }
+
+  /** The audio decode stage: partition-streamed, batched, real
+    * javax.sound decode; undecodable rows are dropped. */
+  def decodeAudioRows(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          decodeAudio(m.content).map { case (n, rate, ch, mean, rms) =>
+            AudioFeatures(m.doc_id, n, rate, ch, mean, rms)
+          }
+        }
+      }
+    }
+  }
+
+  /** q58: WAV encode→decode→feature round-trip — map-only, no shuffle
+    * before the presentation sort.
+    */
+  def audioFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def r4(c: org.apache.spark.sql.Column) =
+      round(c * lit(10000.0), 0) / lit(10000.0)
+    decodeAudioRows(audioMedia(spark, d))
+      .toDF()
+      .select($"doc_id", $"n_samples", $"sample_rate", $"channels",
+        r4($"mean_amp").as("mean_amp"), r4($"rms").as("rms"))
+      .orderBy($"doc_id")
+  }
+
   /** q56: encode→decode→feature round-trip over real PNG bytes —
     * map-only, no shuffle before the presentation sort.
     */

@@ -45,4 +45,30 @@ class MultimodalSpec extends SparkSpec {
     val n = graft.sources.Tables.documents(spark, d).count()
     assert(Multimodal.imageFeatures(spark, d).count() == n)
   }
+
+  test("decodeAudio reproduces the synthetic PCM formula exactly") {
+    val id = 7L
+    val Some((n, rate, ch, mean, rms)) =
+      Multimodal.decodeAudio(Multimodal.syntheticWav(id))
+    assert(n == 64 + (id % 32).toInt && rate == 8000 && ch == 1)
+    val amps = (0 until n).map(k => ((id * 31 + k * 17) % 4001 - 2000).toInt)
+    assert(mean == amps.sum.toDouble / n)
+    assert(rms == math.sqrt(amps.map(a => a.toLong * a).sum.toDouble / n))
+  }
+
+  test("corrupt audio bytes are dropped, not fatal") {
+    assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.syntheticWav(1L).take(10)).isEmpty)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.syntheticWav(1L)),
+      Multimodal.MediaRow(2L, "audio/wav", "garbage".getBytes))
+    val out = Multimodal.decodeAudioRows(spark.createDataset(rows)).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+  }
+
+  test("q58 pipeline decodes every document's audio") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.documents(spark, d).count()
+    assert(Multimodal.audioFeatures(spark, d).count() == n)
+  }
 }
