@@ -38,6 +38,23 @@ object Sinks {
     partitioned.parquet(path)
   }
 
+  /** ORC table write — same layout contract as [[writeParquet]]
+    * (partition dirs prune on read, in-file sort feeds stripe-level
+    * min/max indexes), for consumers standardized on ORC.
+    */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil,
+               sortCols: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    var out = df
+    if (sortCols.nonEmpty)
+      out = out.sortWithinPartitions(sortCols.map(df.col): _*)
+    val writer = out.write.mode(mode)
+    val partitioned =
+      if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
+    partitioned.orc(path)
+  }
+
   /** CSV export — replaces the driver-side pandas `to_csv` bridge
     * (`etl_pipeline_spark.py:1214-1217`) with a distributed write.
     */

@@ -32,4 +32,13 @@ object FileSources {
     spark.read
       .schema(schema)
       .json(path)
+
+  /** ORC — the second columnar format (vectorized reader, predicate
+    * pushdown into stripe/row-group indexes, same partition-dir layout
+    * as parquet). Schema comes from the file footer like parquet;
+    * passing one here would silently mask column drift instead of
+    * failing the read.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

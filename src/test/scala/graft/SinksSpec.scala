@@ -31,6 +31,28 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == orders.filter($"o_orderstatus" === "F").count())
   }
 
+  test("orc write/read round-trips with pushdown-friendly layout") {
+    val out = Files.createTempDirectory("graft-orc").toString + "/orders"
+    val d = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.orders(spark, d)
+    graft.io.Sinks.writeOrc(orders, out,
+      partitionCols = Seq("o_orderstatus"), sortCols = Seq("o_orderdate"))
+    val back = graft.sources.FileSources.readOrc(spark, out)
+    assert(back.count() == orders.count())
+    // partition pruning + predicate pushdown reach the ORC scan
+    val pruned = back.filter($"o_orderstatus" === "F" && $"o_custkey" > 100)
+    val leaves = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("PartitionFilters: [isnotnull(o_orderstatus"))
+    assert(leaves.contains("PushedFilters: [IsNotNull(o_custkey), GreaterThan(o_custkey,100)"))
+    assert(pruned.count() ==
+      orders.filter($"o_orderstatus" === "F" && $"o_custkey" > 100).count())
+    // values identical to the parquet source, not just counts
+    val a = back.select($"o_orderkey", $"o_totalprice").orderBy($"o_orderkey").collect()
+    val b = orders.select($"o_orderkey", $"o_totalprice").orderBy($"o_orderkey").collect()
+    assert(a.sameElements(b))
+  }
+
   test("csv export round-trips row count") {
     val out = Files.createTempDirectory("graft-csv").toString + "/part"
     Sinks.writeCsv(graft.sources.Tables.part(spark, "/root/testdata/sf0.001"), out)
