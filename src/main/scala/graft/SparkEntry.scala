@@ -101,6 +101,7 @@ object SparkEntry {
     "q56_image_decode" -> (Multimodal.imageFeatures _),
     "q57_hyperplane_neardup" -> (Similarity.hyperplaneNearDup _),
     "q58_audio_decode" -> (Multimodal.audioFeatures _),
+    "q59_bloom_semi" -> (Extended.bloomSemiJoin _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -265,6 +266,15 @@ object SparkEntry {
          |  ${r4sql("CAST(SUM(amp) AS DOUBLE) / COUNT(*)")} AS mean_amp,
          |  ${r4sql("sqrt(CAST(SUM(amp * amp) AS DOUBLE) / COUNT(*))")} AS rms
          |FROM s GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
+    // q59: bloom filters admit no false negatives and the exact semi
+    // join scrubs false positives, so the oracle is the plain
+    // IN-subquery form.
+    "q59_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   /** DuckDB twin of the CosineSimilarity expression: identical IEEE

@@ -16,6 +16,24 @@ object Extended {
   private def moneySum(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
   private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
 
+  /** Bloom-prefiltered semi join ([[graft.operators.BloomJoin]]):
+    * lineitems of high-value orders. The bloom pre-pass drops
+    * guaranteed-miss orderkeys at the scan before the semi join
+    * shuffles; no false negatives, so results are exactly the plain
+    * semi join's (the oracle is that plain IN-subquery).
+    */
+  def bloomSemiJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hot = Tables.orders(spark, d)
+      .filter($"o_totalprice" > 450000).select($"o_orderkey")
+    graft.operators.BloomJoin.semiJoin(
+        Tables.lineitem(spark, d), "l_orderkey", hot, "o_orderkey",
+        expectedItems = 100000L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"), moneySum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Exact interpolated percentiles per group (median, p90) — the
     * sort-based exact form; the streaming-friendly approximate twin is
     * `percentile_approx` (engine-specific, like q43's HLL).
