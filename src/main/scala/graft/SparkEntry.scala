@@ -102,6 +102,10 @@ object SparkEntry {
     "q57_hyperplane_neardup" -> (Similarity.hyperplaneNearDup _),
     "q58_audio_decode" -> (Multimodal.audioFeatures _),
     "q59_bloom_semi" -> (Extended.bloomSemiJoin _),
+    "q60_scd2_history" -> (Events.scd2History _),
+    "q61_contamination" -> (TextStats.contamination _),
+    "q62_repetition" -> (TextStats.repetition _),
+    "q63_redact_pii" -> (TextStats.redactPii _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -231,6 +235,26 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, start_us""".stripMargin,
+    "q60_scd2_history" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS version
+        |  FROM flagged
+        |), hist AS (
+        |  SELECT user_id, version, MIN(event_type) AS event_type,
+        |    MIN(ts_us) AS valid_from_us, MAX(ts_us) AS valid_to_us,
+        |    COUNT(*) AS n_events
+        |  FROM runs GROUP BY user_id, version
+        |)
+        |SELECT user_id, version, event_type, valid_from_us, valid_to_us, n_events,
+        |  version = MAX(version) OVER (PARTITION BY user_id) AS is_current
+        |FROM hist ORDER BY user_id, version""".stripMargin,
     // q56: the Spark side encodes each doc's pixel grid to a real PNG
     // and decodes it back with ImageIO; PNG is lossless, so the oracle
     // recomputes the identical features straight from the closed-form
@@ -266,6 +290,40 @@ object SparkEntry {
          |  ${r4sql("CAST(SUM(amp) AS DOUBLE) / COUNT(*)")} AS mean_amp,
          |  ${r4sql("sqrt(CAST(SUM(amp * amp) AS DOUBLE) / COUNT(*))")} AS rms
          |FROM s GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
+    "q61_contamination" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($ShingleHashes) AS h FROM documents),
+         |ev AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 != 0)
+         |SELECT doc_id, COUNT(DISTINCT eval_id) AS n_eval_docs,
+         |  COUNT(DISTINCT h) AS n_shared_shingles
+         |FROM corpus JOIN ev USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q62: multiplicity-keeping 2-gram twin of the ShingleHashes
+    // fragment (no list_distinct, window [i+1:i+2], range len-1)
+    "q62_repetition" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(range(len(string_split(text, ' ')) - 1),
+         |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_filter(string_split(array_to_string(
+         |      (string_split(text, ' '))[i+1:i+2], ' '), ''), c -> c != ''),
+         |      c -> CAST(ord(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647)) AS grams
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+         |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+         |  ${r4sql("1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)")} AS rep_ratio
+         |FROM g WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin,
+    "q63_redact_pii" ->
+      """WITH r AS (
+        |  SELECT doc_id, regexp_replace(
+        |    text || ' contact user' || doc_id || '@mail.com or admin' || doc_id || '@web.org now',
+        |    '[a-z0-9]+@[a-z]+\.(com|org)', '<EMAIL>', 'g') AS red
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST((length(red) - length(replace(red, '<EMAIL>', ''))) / 7 AS INT) AS n_emails,
+        |  right(red, 25) AS tail25, CAST(length(red) AS INT) AS red_len
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q59: bloom filters admit no false negatives and the exact semi
     // join scrubs false positives, so the oracle is the plain
     // IN-subquery form.

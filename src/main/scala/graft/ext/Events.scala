@@ -100,6 +100,37 @@ object Events {
     * and re-aggregation — the extension surface's `props` handling
     * (SURVEY.md §2.11).
     */
+  /** SCD2 history construction — the warehouse-side "slowly changing
+    * dimension" build the reference's overwrite-style dims lack: per
+    * user, collapse consecutive runs of `event_type` into versioned
+    * validity intervals (gaps-and-islands: change flag via lag, run id
+    * via running sum), flagging the open current version. One window
+    * pass + one aggregate, both partitioned by user — the standard
+    * scale shape for history tables.
+    */
+  def scd2History(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val runs = Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull ||
+             lag($"event_type", 1).over(w) =!= $"event_type", 1).otherwise(0))
+      .withColumn("version",
+        sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+    runs
+      .groupBy($"user_id", $"version")
+      .agg(
+        min($"event_type").as("event_type"), // constant within a run
+        min(unix_micros($"ts")).as("valid_from_us"),
+        max(unix_micros($"ts")).as("valid_to_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("is_current",
+        $"version" === max($"version").over(Window.partitionBy($"user_id")))
+      .orderBy($"user_id", $"version")
+  }
+
   def jsonExtract(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, d)

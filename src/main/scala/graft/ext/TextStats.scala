@@ -33,6 +33,68 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark-contamination check — the train/eval overlap scan every
+    * LLM data pipeline runs before training: which corpus documents
+    * share any 3-token shingle with the eval set (here a deterministic
+    * pseudo-benchmark: doc_id ≡ 0 mod 97)? Shingles explode to
+    * (doc_id, hash) and the overlap is a plain equi-join on the hash —
+    * shuffle on a 8-byte key, no pairwise document comparison, which
+    * is what lets it run corpus × benchmark at 100 TB.
+    */
+  def contamination(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, d)
+      .select($"doc_id", explode(Dedup.shingleHashes($"text")).as("h"))
+    val eval = sh.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("eval_id"), $"h")
+    sh.filter($"doc_id" % 97 =!= 0)
+      .join(eval, "h")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"eval_id").as("n_eval_docs"),
+        countDistinct($"h").as("n_shared_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  /** Repetition scoring (the Gopher/C4-style quality rule): fraction
+    * of duplicate 2-token shingles per document. Multiplicity-keeping
+    * shingle hashes make it a pure per-row projection — no shuffle.
+    */
+  def repetition(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
+    val grams = Bridge.column(graft.functions.ShingleHash(
+      Bridge.expression($"text"), n = 2, distinct = false))
+    Tables.documents(spark, d)
+      .select($"doc_id", grams.as("grams"))
+      .filter(size($"grams") > 0)
+      .select($"doc_id",
+        size($"grams").as("n_grams"),
+        size(array_distinct($"grams")).as("n_distinct"),
+        r4(lit(1.0) - size(array_distinct($"grams")).cast("double") / size($"grams"))
+          .as("rep_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** PII redaction: regex-replace planted email addresses with a
+    * sentinel — map-only, the scrubbing pass that runs before any
+    * text leaves the pipeline. The pattern sticks to RE2/Java-common
+    * syntax so the oracle evaluates the identical regex.
+    */
+  def redactPii(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val planted = concat($"text", lit(" contact user"), $"doc_id",
+      lit("@mail.com or admin"), $"doc_id", lit("@web.org now"))
+    val redacted = regexp_replace(planted, "[a-z0-9]+@[a-z]+\\.(com|org)", "<EMAIL>")
+    Tables.documents(spark, d)
+      .select($"doc_id", redacted.as("red"))
+      .select($"doc_id",
+        (((length($"red") - length(regexp_replace($"red", "<EMAIL>", ""))) / 7)
+          .cast("int")).as("n_emails"),
+        substring($"red", -25, 25).as("tail25"),
+        length($"red").as("red_len"))
+      .orderBy($"doc_id")
+  }
+
   /** Language-ID by stopword-profile voting: count profile words per
     * language, argmax with a fixed alphabetical tie-break. (A real
     * system uses char n-gram profiles; the operator shape — per-row

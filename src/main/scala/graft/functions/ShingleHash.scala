@@ -8,9 +8,11 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct polynomial hashes of the 3-token shingles of a
-  * space-tokenized string — the hot inner loop of the near-dup
-  * operators ([[graft.ext.Dedup]]).
+/** Polynomial hashes of the n-token shingles of a space-tokenized
+  * string — the hot inner loop of the near-dup operators
+  * ([[graft.ext.Dedup]]). `distinct = true` (the default) yields the
+  * set form MinHash/Jaccard need; `distinct = false` keeps
+  * multiplicities for repetition scoring ([[graft.ext.TextStats]]).
   *
   * Semantically identical to the HOF pipeline
   * `array_distinct(transform(sequence(...), i -> aggregate(split(...),
@@ -24,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ops) dwarfs the one virtual call the fallback costs, and the
   * surrounding operators still codegen.
   */
-case class ShingleHash(child: Expression)
+case class ShingleHash(child: Expression, n: Int = 3, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   private val P = 2147483647L // 2^31 - 1
@@ -35,14 +37,16 @@ case class ShingleHash(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val toks = s.split(" ", -1)
-    val n = toks.length - 2
-    if (n <= 0) return new GenericArrayData(Array.empty[Long])
-    val seen = new mutable.LinkedHashSet[Long]
+    val slots = toks.length - n + 1
+    if (slots <= 0) return new GenericArrayData(Array.empty[Long])
+    val out =
+      if (distinct) new mutable.LinkedHashSet[Long]
+      else new mutable.ArrayBuffer[Long](slots)
     var i = 0
-    while (i < n) {
+    while (i < slots) {
       var acc = 0L
       var t = 0
-      while (t < 3) {
+      while (t < n) {
         if (t > 0) acc = (acc * 31 + ' ') % P
         val tok = toks(i + t)
         var c = 0
@@ -52,10 +56,10 @@ case class ShingleHash(child: Expression)
         }
         t += 1
       }
-      seen += acc
+      out += acc
       i += 1
     }
-    new GenericArrayData(seen.toArray)
+    new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
