@@ -106,6 +106,7 @@ object SparkEntry {
     "q61_contamination" -> (TextStats.contamination _),
     "q62_repetition" -> (TextStats.repetition _),
     "q63_redact_pii" -> (TextStats.redactPii _),
+    "q64_incremental_agg" -> (Extended.incrementalAgg _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -333,6 +334,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q64: the incremental two-batch merge must equal the one-shot
+    // GROUP BY — algebraic partials over exact decimals.
+    "q64_incremental_agg" ->
+      """SELECT o_orderstatus,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 
   /** DuckDB twin of the CosineSimilarity expression: identical IEEE

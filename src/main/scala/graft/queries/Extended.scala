@@ -34,6 +34,26 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Incremental aggregation maintenance
+    * ([[graft.operators.IncrementalAgg]]): revenue per order status
+    * computed by splitting the table into two "load batches",
+    * aggregating each to partial state, and merging — the oracle is
+    * the plain one-shot GROUP BY, so the hash gate proves
+    * merge(partial(A), partial(B)) == agg(A ∪ B) exactly.
+    */
+  def incrementalAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val orders = Tables.orders(spark, d)
+    val batch1 = orders.filter($"o_orderkey" % 2 === 0)
+    val batch2 = orders.filter($"o_orderkey" % 2 =!= 0)
+    val state = IncrementalAgg.merge(
+      IncrementalAgg.partialState(batch1, "o_orderstatus", "o_totalprice"),
+      IncrementalAgg.partialState(batch2, "o_orderstatus", "o_totalprice"),
+      "o_orderstatus")
+    IncrementalAgg.finalize(state, "o_orderstatus")
+  }
+
   /** Exact interpolated percentiles per group (median, p90) — the
     * sort-based exact form; the streaming-friendly approximate twin is
     * `percentile_approx` (engine-specific, like q43's HLL).
