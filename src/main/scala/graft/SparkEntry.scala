@@ -394,17 +394,19 @@ object SparkEntry {
     // q57: DuckDB twin of the HyperplaneSignature expression — same LCG
     // hyperplane components, same left-to-right double accumulation, so
     // even the sign of a near-zero dot product agrees across engines.
+    // Band config interpolated from Similarity so a retune can't
+    // silently diverge the twin.
     "q57_hyperplane_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
          |banded AS (
          |  SELECT vec_id, band_idx,
-         |    list_sum(list_transform(range(10), r ->
+         |    list_sum(list_transform(range(${Similarity.HpRows}), r ->
          |      CASE WHEN list_reduce(list_transform(range(d), i ->
          |          CAST(embedding[i+1] AS DOUBLE) *
-         |          ((1103515245 * ((band_idx * 10 + r) * d + i) + 12345) % 2147483647 - 1073741823)),
+         |          ((1103515245 * ((band_idx * ${Similarity.HpRows} + r) * d + i) + 12345) % 2147483647 - 1073741823)),
          |        (x, y) -> x + y) > 0
          |      THEN 1 << r ELSE 0 END)) AS band_key
-         |  FROM e, (SELECT unnest(range(16)) AS band_idx) b
+         |  FROM e, (SELECT unnest(range(${Similarity.HpBands})) AS band_idx) b
          |),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
@@ -416,7 +418,7 @@ object SparkEntry {
          |  FROM cand
          |  JOIN (SELECT vec_id AS a_id, embedding AS av FROM embeddings) ea USING (a_id)
          |  JOIN (SELECT vec_id AS b_id, embedding AS bv FROM embeddings) eb USING (b_id)
-         |) WHERE score_raw >= 0.45 ORDER BY a_id, b_id""".stripMargin,
+         |) WHERE score_raw >= ${Similarity.HpThreshold} ORDER BY a_id, b_id""".stripMargin,
   )
 
   // ---- DuckDB oracle fragments shared by the documents-table queries ----

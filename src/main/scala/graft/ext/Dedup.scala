@@ -260,8 +260,10 @@ object Dedup {
     val numParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       2 * nEdges / EdgesPerPartition)).toInt
+    // partition by b_id — the key every iteration's join probes — so
+    // the cached layout is reused instead of re-exchanged per round
     val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-      .repartition(numParts, $"a_id")
+      .repartition(numParts, $"b_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select($"a_id".as("id")).distinct()
       .select($"id", $"id".as("label"))

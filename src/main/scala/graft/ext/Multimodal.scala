@@ -27,6 +27,8 @@ import graft.sources.Tables
   * Dataset out) is the one you want.
   */
 object Multimodal {
+  private def r4(c: org.apache.spark.sql.Column) =
+    round(c * lit(10000.0), 0) / lit(10000.0)
 
   /** A media row: opaque bytes + typed metadata. */
   final case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
@@ -236,8 +238,6 @@ object Multimodal {
     */
   def audioFeatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    def r4(c: org.apache.spark.sql.Column) =
-      round(c * lit(10000.0), 0) / lit(10000.0)
     decodeAudioRows(audioMedia(spark, d))
       .toDF()
       .select($"doc_id", $"n_samples", $"sample_rate", $"channels",
@@ -250,8 +250,6 @@ object Multimodal {
     */
   def imageFeatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    def r4(c: org.apache.spark.sql.Column) =
-      round(c * lit(10000.0), 0) / lit(10000.0)
     decodeImages(imageMedia(spark, d))
       .toDF()
       .select($"doc_id", $"width", $"height", $"n_channels",

@@ -27,16 +27,9 @@ object Sinks {
                    partitionCols: Seq[String] = Nil,
                    sortCols: Seq[String] = Nil,
                    maxFilesPerPartition: Int = 0,
-                   mode: SaveMode = SaveMode.Overwrite): Unit = {
-    var out = df
-    if (maxFilesPerPartition > 0) out = out.coalesce(maxFilesPerPartition)
-    if (sortCols.nonEmpty)
-      out = out.sortWithinPartitions(sortCols.map(df.col): _*)
-    val writer = out.write.mode(mode)
-    val partitioned =
-      if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
-    partitioned.parquet(path)
-  }
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeColumnar(df, path, "parquet", partitionCols, sortCols,
+      maxFilesPerPartition, mode)
 
   /** ORC table write — same layout contract as [[writeParquet]]
     * (partition dirs prune on read, in-file sort feeds stripe-level
@@ -45,14 +38,20 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String,
                partitionCols: Seq[String] = Nil,
                sortCols: Seq[String] = Nil,
-               mode: SaveMode = SaveMode.Overwrite): Unit = {
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeColumnar(df, path, "orc", partitionCols, sortCols, 0, mode)
+
+  private def writeColumnar(df: DataFrame, path: String, format: String,
+                            partitionCols: Seq[String], sortCols: Seq[String],
+                            maxFilesPerPartition: Int, mode: SaveMode): Unit = {
     var out = df
+    if (maxFilesPerPartition > 0) out = out.coalesce(maxFilesPerPartition)
     if (sortCols.nonEmpty)
       out = out.sortWithinPartitions(sortCols.map(df.col): _*)
-    val writer = out.write.mode(mode)
+    val writer = out.write.mode(mode).format(format)
     val partitioned =
       if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
-    partitioned.orc(path)
+    partitioned.save(path)
   }
 
   /** CSV export — replaces the driver-side pandas `to_csv` bridge

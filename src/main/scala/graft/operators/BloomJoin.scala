@@ -56,7 +56,9 @@ object BloomJoin {
                small: DataFrame, smallKey: String,
                expectedItems: Long): DataFrame = {
     val bloom = keyBloom(small, smallKey, expectedItems)
-    preFilter(big, bigKey, bloom)
-      .join(small, col(bigKey) === col(smallKey), "left_semi")
+    val filtered = preFilter(big, bigKey, bloom)
+    // resolve keys against their own side — same-named keys on both
+    // frames would otherwise be AMBIGUOUS_REFERENCE
+    filtered.join(small, filtered(bigKey) === small(smallKey), "left_semi")
   }
 }

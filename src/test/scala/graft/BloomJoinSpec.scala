@@ -27,6 +27,18 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("semiJoin works when both sides use the same key name") {
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val hot = graft.sources.Tables.orders(spark, d)
+      .filter($"o_totalprice" > 400000)
+      .select($"o_orderkey".as("l_orderkey")) // same name as the big side
+    val n = BloomJoin.semiJoin(li, "l_orderkey", hot, "l_orderkey", 10000L).count()
+    val want = li.join(
+      graft.sources.Tables.orders(spark, d).filter($"o_totalprice" > 400000),
+      $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    assert(n == want)
+  }
+
   test("pre-filter prunes most non-matching rows before the join") {
     val li = graft.sources.Tables.lineitem(spark, d)
     val hot = graft.sources.Tables.orders(spark, d)
