@@ -156,11 +156,11 @@ object TextStats {
     */
   def winnowFingerprint(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
     Tables.documents(spark, d)
       .select($"doc_id",
-        expr(s"""array_min(transform(sequence(0, length(text) - 5, 4),
-          i -> aggregate(split(substring(text, i + 1, 5), ''), 0L,
-                         (acc, c) -> (acc * 31 + ascii(c)) % $P)))""").as("winnow_fp"))
+        Bridge.column(graft.functions.WinnowHash(Bridge.expression($"text")))
+          .as("winnow_fp"))
       .orderBy($"doc_id")
   }
 }
