@@ -34,12 +34,6 @@ object Dedup {
   def hashA(i: Int): Long = 2L * i + 3
   def hashB(i: Int): Long = 97L + 31 * i
 
-  /** Distinct per-token polynomial hashes for each document. */
-  private[ext] def tokenHashes(c: Column): Column =
-    array_distinct(transform(split(c, " "),
-      t => aggregate(filter(split(t, ""), ch => ch =!= ""), lit(0L),
-        (acc, ch) => (acc * 31 + ascii(ch)) % P)))
-
   /** Distinct polynomial hashes of 3-token shingles. MinHash runs on
     * shingles, not tokens: with a small shared vocabulary the token
     * *sets* of unrelated documents overlap heavily, while the shingle
@@ -303,14 +297,11 @@ object Dedup {
     */
   def simhash(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val bits = (0 until 16).map { b =>
-      when(aggregate($"hashes", lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L))) * 2 - 1) > 0,
-        lit(1 << b)).otherwise(lit(0))
-    }
+    import org.apache.spark.sql.graft.Bridge
     Tables.documents(spark, d)
-      .select($"doc_id", tokenHashes($"text").as("hashes"))
-      .select($"doc_id", bits.reduce(_ + _).cast("int").as("simhash16"))
+      .select($"doc_id",
+        Bridge.column(graft.functions.SimHash16(Bridge.expression($"text")))
+          .as("simhash16"))
       .orderBy($"doc_id")
   }
 }
