@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.{HyperplaneSignature, ShingleHash, SimHash16, WinnowHash}
+
+/** Property tests for the native expressions against trivial Scala
+  * reference implementations (the HOF pipelines they replaced), plus
+  * structural invariants: hyperplane signatures are invariant under
+  * positive scaling (power-of-two scaling is exact in IEEE floats, so
+  * every dot-product sign is preserved bit-for-bit).
+  */
+object FunctionProps extends Properties("functions") {
+
+  private val P = 2147483647L
+
+  private def polyHash(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+
+  private val genText: Gen[String] =
+    Gen.listOf(Gen.choose(1, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar)))
+      .map(_.take(15).mkString(" "))
+
+  private def evalStr(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
+    e.eval(null)
+
+  property("ShingleHash(n, distinct=false) = sliding-window reference") =
+    Prop.forAll(genText, Gen.choose(1, 4)) { (text, n) =>
+      val got = evalStr(ShingleHash(Literal(UTF8String.fromString(text)), n, distinct = false))
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+      val toks = text.split(" ", -1).toSeq
+      val want = toks.sliding(n).filter(_.length == n).map(w => polyHash(w.mkString(" "))).toSeq
+      got == want
+    }
+
+  property("ShingleHash distinct keeps first occurrences in order") =
+    Prop.forAll(genText) { text =>
+      val all = evalStr(ShingleHash(Literal(UTF8String.fromString(text)), 3, distinct = false))
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+      val dist = evalStr(ShingleHash(Literal(UTF8String.fromString(text)), 3, distinct = true))
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+      dist == all.distinct
+    }
+
+  property("WinnowHash = min over strided window reference") =
+    Prop.forAll(genText) { text =>
+      val got = evalStr(WinnowHash(Literal(UTF8String.fromString(text))))
+      val wins = (0 to text.length - 5 by 4).map(i => polyHash(text.substring(i, i + 5)))
+      if (text.length < 5) got == null
+      else got == wins.min
+    }
+
+  property("SimHash16 = per-bit vote reference") =
+    Prop.forAll(genText) { text =>
+      val got = evalStr(SimHash16(Literal(UTF8String.fromString(text)))).asInstanceOf[Int]
+      val hashes = text.split(" ", -1).map(polyHash).distinct
+      val want = (0 until 16).map { b =>
+        val vote = hashes.map(h => ((h >> b) & 1L) * 2 - 1).sum
+        if (vote > 0) 1 << b else 0
+      }.sum
+      got == want
+    }
+
+  private val genVec: Gen[List[Float]] =
+    Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 100.0f))
+
+  property("HyperplaneSignature invariant under power-of-two scaling") =
+    Prop.forAll(genVec) { v =>
+      def sig(x: List[Float]): Seq[Long] =
+        evalStr(HyperplaneSignature(
+          Literal.create(x, ArrayType(FloatType)), bands = 4, rows = 6))
+          .asInstanceOf[ArrayData].toLongArray.toSeq
+      sig(v) == sig(v.map(_ * 4.0f))
+    }
+}
