@@ -107,6 +107,7 @@ object SparkEntry {
     "q62_repetition" -> (TextStats.repetition _),
     "q63_redact_pii" -> (TextStats.redactPii _),
     "q64_incremental_agg" -> (Extended.incrementalAgg _),
+    "q65_video_decode" -> (Multimodal.videoFeatures _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -291,6 +292,22 @@ object SparkEntry {
          |  ${r4sql("CAST(SUM(amp) AS DOUBLE) / COUNT(*)")} AS mean_amp,
          |  ${r4sql("sqrt(CAST(SUM(amp * amp) AS DOUBLE) / COUNT(*))")} AS rms
          |FROM s GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
+    // q65: Y4M is raw planar YUV — lossless like q56/q58 — so the
+    // oracle recomputes per-stream luma stats from the pixel formula
+    // over (frame, plane-position) in closed form.
+    "q65_video_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n_frames FROM documents
+         |), fp AS (
+         |  SELECT doc_id, n_frames, unnest(range(n_frames)) AS f FROM d
+         |), px AS (
+         |  SELECT doc_id, n_frames, f, (doc_id * 17 + f * 29 + unnest(range(16)) * 13) % 256 AS luma
+         |  FROM fp
+         |)
+         |SELECT doc_id, n_frames, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+         |  CAST(25 AS INT) AS fps,
+         |  ${r4sql("CAST(SUM(luma) AS DOUBLE) / COUNT(*)")} AS mean_luma
+         |FROM px GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
     "q61_contamination" ->
       s"""WITH sh AS (SELECT doc_id, unnest($ShingleHashes) AS h FROM documents),
          |ev AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % 97 = 0),

@@ -40,14 +40,126 @@ object Multimodal {
   /** Batch size of the decode stage — mirrors an Arrow record-batch. */
   val DecodeBatchSize = 64
 
-  /** STUB — a real implementation decodes audio/video bytes into
-    * samples/frames. Those codecs are unavailable in this environment
-    * by design; images decode for real via [[decodeImage]].
+  /** STUB — compressed-video decode (H.264/VP9/AV1). No JDK codec
+    * exists; images decode via [[decodeImage]], PCM audio via
+    * [[decodeAudio]], and uncompressed Y4M video via [[decodeVideo]].
     */
   def decodeMedia(bytes: Array[Byte]): Nothing =
     throw new UnsupportedOperationException(
-      "decodeMedia is a stub: audio/video codec libraries are not available " +
-      "in this environment; image media decodes via decodeImage")
+      "decodeMedia is a stub: compressed-video codec libraries are not " +
+      "available in this environment; see decodeImage/decodeAudio/decodeVideo")
+
+  /** Decoded-video features: stream geometry plus per-stream luma
+    * stats over all frames. */
+  final case class VideoFeatures(doc_id: Long, n_frames: Int, width: Int,
+                                 height: Int, fps: Int, mean_luma: Double)
+
+  /** Real (container-level) video decode: YUV4MPEG2 — the standard
+    * uncompressed interchange format (`YUV4MPEG2 W.. H.. F..` header,
+    * then `FRAME\n` + raw planar YUV per frame). No codec needed, so
+    * the JDK parses it outright; compressed formats stay behind the
+    * [[decodeMedia]] stub. Returns None on malformed headers or
+    * truncated frames — same drop-don't-fail policy as the other
+    * decoders.
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Double)] = {
+    val headerEnd = bytes.indexOf('\n'.toByte)
+    if (headerEnd < 0) return None
+    val header = new String(bytes, 0, headerEnd, "US-ASCII")
+    if (!header.startsWith("YUV4MPEG2")) return None
+    val params = header.split(" ").drop(1)
+    def num(prefix: Char): Option[Int] =
+      params.find(_.headOption.contains(prefix))
+        .flatMap(p => scala.util.Try(p.tail.takeWhile(_.isDigit).toInt).toOption)
+    (num('W'), num('H'), num('F')) match {
+      case (Some(w), Some(h), Some(fpsNum)) if w > 0 && h > 0 =>
+        val frameLen = w * h * 3 / 2 // C420: full-res Y + quarter-res U,V
+        val marker = "FRAME\n".getBytes("US-ASCII")
+        var pos = headerEnd + 1
+        var frames = 0
+        var lumaSum = 0L
+        while (pos + marker.length <= bytes.length) {
+          var ok = true
+          var i = 0
+          while (ok && i < marker.length) {
+            if (bytes(pos + i) != marker(i)) ok = false
+            i += 1
+          }
+          if (!ok || pos + marker.length + frameLen > bytes.length) return None
+          val yStart = pos + marker.length
+          var p = 0
+          while (p < w * h) { // luma plane only
+            lumaSum += bytes(yStart + p) & 0xff
+            p += 1
+          }
+          frames += 1
+          pos = yStart + frameLen
+        }
+        if (pos != bytes.length) None
+        else Some((frames, w, h, fpsNum,
+          if (frames == 0) 0.0 else lumaSum.toDouble / (frames.toLong * w * h)))
+      case _ => None
+    }
+  }
+
+  /** Deterministic synthetic Y4M clip: 4×4 C420, `2 + doc_id mod 3`
+    * frames, luma(f, p) = (doc_id*17 + f*29 + p*13) mod 256, flat
+    * chroma — closed-form for the oracle, mirror of [[syntheticPng]] /
+    * [[syntheticWav]].
+    */
+  def syntheticY4m(docId: Long): Array[Byte] = {
+    val (w, h) = (4, 4)
+    val frames = 2 + (docId % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    var f = 0
+    while (f < frames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      var p = 0
+      while (p < w * h) {
+        bos.write((((docId * 17 + f * 29 + p * 13) % 256)).toInt)
+        p += 1
+      }
+      var c = 0
+      while (c < w * h / 2) { bos.write(128); c += 1 } // flat U+V planes
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Video media table: one synthetic Y4M clip per document id. */
+  def videoMedia(spark: SparkSession, d: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id").as[Long]
+      .map(id => MediaRow(id, "video/x-yuv4mpeg", syntheticY4m(id)))
+  }
+
+  /** The video decode stage: partition-streamed, batched, real Y4M
+    * parse; undecodable rows are dropped. */
+  def decodeVideoRows(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          decodeVideo(m.content).map { case (n, w, h, fps, luma) =>
+            VideoFeatures(m.doc_id, n, w, h, fps, luma)
+          }
+        }
+      }
+    }
+  }
+
+  /** q65: Y4M encode→decode→feature round-trip — map-only, no shuffle
+    * before the presentation sort. */
+  def videoFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    decodeVideoRows(videoMedia(spark, d))
+      .toDF()
+      .select($"doc_id", $"n_frames", $"width", $"height", $"fps",
+        r4($"mean_luma").as("mean_luma"))
+      .orderBy($"doc_id")
+  }
 
   /** Decoded-image features: dimensions, raster band count, and
     * per-channel means over the full pixel grid. */

@@ -71,4 +71,32 @@ class MultimodalSpec extends SparkSpec {
     val n = graft.sources.Tables.documents(spark, d).count()
     assert(Multimodal.audioFeatures(spark, d).count() == n)
   }
+
+  test("decodeVideo reproduces the synthetic Y4M formula exactly") {
+    val id = 11L
+    val Some((frames, w, h, fps, luma)) =
+      Multimodal.decodeVideo(Multimodal.syntheticY4m(id))
+    assert(frames == 2 + (id % 3).toInt && w == 4 && h == 4 && fps == 25)
+    val lumas = for (f <- 0 until frames; p <- 0 until 16)
+      yield (id * 17 + f * 29 + p * 13) % 256
+    assert(luma == lumas.sum.toDouble / lumas.length)
+  }
+
+  test("corrupt video bytes are dropped, not fatal") {
+    assert(Multimodal.decodeVideo("MPEG".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(Array.empty[Byte]).isEmpty)
+    // truncated mid-frame must not crash or return partial stats
+    assert(Multimodal.decodeVideo(Multimodal.syntheticY4m(1L).dropRight(5)).isEmpty)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video/x-yuv4mpeg", Multimodal.syntheticY4m(1L)),
+      Multimodal.MediaRow(2L, "video/x-yuv4mpeg", "YUV4MPEG2 garbage".getBytes))
+    val out = Multimodal.decodeVideoRows(spark.createDataset(rows)).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+  }
+
+  test("q65 pipeline decodes every document's video") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.documents(spark, d).count()
+    assert(Multimodal.videoFeatures(spark, d).count() == n)
+  }
 }
