@@ -45,6 +45,41 @@ class SkewSpec extends SparkSpec {
            plain.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq)
   }
 
+  test("AQE splits the skewed join partition and preserves results") {
+    // force the skew machinery to engage at toy scale: every shuffle
+    // partition over 16KB counts as skewed
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = spark.range(1001L).select($"id".as("user_id"),
+        ($"id" % 7).as("segment"))
+      val joined = skewed.join(dim, "user_id")
+        .groupBy($"segment").agg(count(lit(1)).as("n"))
+        .orderBy($"segment")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // expected counts derivable exactly: user 0 (segment 0) has 200k rows
+      val want = skewed.withColumn("segment", $"user_id" % 7)
+        .groupBy($"segment").agg(count(lit(1)).as("n"))
+        .orderBy($"segment")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot join partition as skewed")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hot key's partials actually spread across salt buckets") {
     // the hot key's rows are the even ids, so id mod 16 reaches the 8
     // even buckets — the point is the hot key fans out over many
