@@ -108,6 +108,7 @@ object SparkEntry {
     "q63_redact_pii" -> (TextStats.redactPii _),
     "q64_incremental_agg" -> (Extended.incrementalAgg _),
     "q65_video_decode" -> (Multimodal.videoFeatures _),
+    "q66_group_sample" -> (Extended.groupSample _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -351,6 +352,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q66: deterministic per-group sample = top-3 by multiplicative
+    // hash score (exact integer arithmetic on both engines); TopKAgg's
+    // (score desc, id asc) order matches the window formulation.
+    "q66_group_sample" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST((o_orderkey * 2654435761) % 2147483647 AS DOUBLE) DESC,
+        |               o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     // q64: the incremental two-batch merge must equal the one-shot
     // GROUP BY — algebraic partials over exact decimals.
     "q64_incremental_agg" ->

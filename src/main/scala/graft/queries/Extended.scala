@@ -54,6 +54,28 @@ object Extended {
     IncrementalAgg.finalize(state, "o_orderstatus")
   }
 
+  /** Deterministic per-group sample: k orders per customer chosen by
+    * ranking on a multiplicative hash of the key — a layout- and
+    * rerun-stable "reservoir" (same members on any cluster, any day),
+    * the per-group complement of q52's per-stratum rate sampling.
+    * Rides the bounded [[graft.functions.TopKAgg]] partial aggregate,
+    * so each task forwards ≤k rows per group into the shuffle — at
+    * 100 TB this is how you cut a balanced training subset without a
+    * per-group sort.
+    */
+  def groupSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    val score = (($"o_orderkey" * 2654435761L) % 2147483647L).cast("double")
+    Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(topk(score, $"o_orderkey").as("top"))
+      .select($"o_custkey", posexplode($"top").as(Seq("pos", "entry")))
+      .select($"o_custkey", ($"pos" + 1).cast("int").as("rn"),
+        $"entry._2".as("o_orderkey"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
   /** Exact interpolated percentiles per group (median, p90) — the
     * sort-based exact form; the streaming-friendly approximate twin is
     * `percentile_approx` (engine-specific, like q43's HLL).
