@@ -109,6 +109,7 @@ object SparkEntry {
     "q64_incremental_agg" -> (Extended.incrementalAgg _),
     "q65_video_decode" -> (Multimodal.videoFeatures _),
     "q66_group_sample" -> (Extended.groupSample _),
+    "q67_zorder_key" -> (Extended.zorderKey _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -363,6 +364,15 @@ object SparkEntry {
         |               o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // q67: Morton interleave of the low 31 bits (max z bit = 61, so
+    // BIGINT shifts can't overflow on either engine).
+    "q67_zorder_key" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(list_sum(list_transform(range(31), i ->
+        |    (((CAST(c_custkey AS BIGINT) >> i) & 1) << (2*i)) +
+        |    (((CAST(c_nationkey AS BIGINT) >> i) & 1) << (2*i + 1))
+        |  )) AS BIGINT) AS z
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // q64: the incremental two-batch merge must equal the one-shot
     // GROUP BY — algebraic partials over exact decimals.
     "q64_incremental_agg" ->

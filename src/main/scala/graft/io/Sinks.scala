@@ -54,6 +54,26 @@ object Sinks {
     partitioned.save(path)
   }
 
+  /** Z-ordered table write: range-partition and sort by the Morton
+    * key of two dimensions ([[graft.functions.ZOrder2]]) so rows close
+    * in BOTH columns land in the same files — a two-predicate box
+    * query then skips most files on parquet min/max stats, where a
+    * single-column sort only skips for that one column. The lakehouse
+    * layout move for the second-most-selective predicate.
+    */
+  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
+                    numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.functions.col
+    val z = Bridge.column(graft.functions.ZOrder2(
+      Bridge.expression(col(dimA)), Bridge.expression(col(dimB))))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** CSV export — replaces the driver-side pandas `to_csv` bridge
     * (`etl_pipeline_spark.py:1214-1217`) with a distributed write.
     */

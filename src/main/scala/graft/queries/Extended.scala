@@ -54,6 +54,22 @@ object Extended {
     IncrementalAgg.finalize(state, "o_orderstatus")
   }
 
+  /** Morton keys for the customer (custkey, nationkey) plane — the
+    * sort key behind [[graft.io.Sinks.writeZOrdered]]'s multi-column
+    * data-skipping layout (clustering proven in ZOrderSpec; this query
+    * oracle-verifies the key itself bit-for-bit).
+    */
+  def zorderKey(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
+    Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey",
+        Bridge.column(graft.functions.ZOrder2(
+          Bridge.expression($"c_custkey"), Bridge.expression($"c_nationkey")))
+          .as("z"))
+      .orderBy($"c_custkey")
+  }
+
   /** Deterministic per-group sample: k orders per customer chosen by
     * ranking on a multiplicative hash of the key — a layout- and
     * rerun-stable "reservoir" (same members on any cluster, any day),

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: rows matching a two-predicate box query must
+  * concentrate in fewer files than a single-column sort puts them in —
+  * that concentration is exactly what parquet min/max skipping turns
+  * into unread files at scale.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.01"
+
+  private def filesWithMatches(path: String): Long =
+    spark.read.parquet(path)
+      .filter($"c_nationkey" === 3 && $"c_custkey" < 300)
+      .select(input_file_name()).distinct().count()
+
+  test("box query touches fewer files under z-order than custkey sort") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val customers = graft.sources.Tables.customer(spark, d)
+
+    graft.io.Sinks.writeZOrdered(customers, s"$base/zorder",
+      "c_custkey", "c_nationkey", numFiles = 8)
+    customers.repartitionByRange(8, $"c_custkey")
+      .sortWithinPartitions($"c_custkey")
+      .write.parquet(s"$base/linear")
+
+    val zFiles = filesWithMatches(s"$base/zorder")
+    val linFiles = filesWithMatches(s"$base/linear")
+    val matches = customers
+      .filter($"c_nationkey" === 3 && $"c_custkey" < 300).count()
+    info(s"matches=$matches zorderFiles=$zFiles linearFiles=$linFiles of 8")
+    assert(matches > 0)
+    assert(zFiles <= linFiles,
+      "z-order must cluster the box query at least as tightly as a linear sort")
+    assert(zFiles < 8, "z-order must not smear the box query over every file")
+  }
+
+  test("z key round-trips both dimensions (bit interleave is lossless)") {
+    val rows = graft.queries.Extended.zorderKey(spark, d).collect()
+    rows.foreach { r =>
+      val (ck, nk, z) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      var (ua, ub) = (0L, 0L)
+      for (i <- 0 until 31) {
+        ua |= ((z >> (2 * i)) & 1L) << i
+        ub |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ua == ck && ub == nk)
+    }
+  }
+}
