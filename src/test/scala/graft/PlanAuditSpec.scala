@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-shape regression guards for the flagship queries: the claims
+  * the Scaladocs make about pushdown and broadcast placement are
+  * asserted here against the executed plans, so an innocent refactor
+  * can't silently turn a pushed filter into a post-scan one or a
+  * broadcast dim into a shuffle join.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, d)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: the timestamp filter reaches the parquet scan") {
+    val leaves = SparkEntry.queries("q01_pricing_summary")(spark, d)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "expected the shipdate predicate pushed into the scan")
+  }
+
+  test("q07: all three dimensions join as broadcasts") {
+    val plan = planOf("q07_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, found $broadcasts")
+  }
+
+  test("q27: LSH band join is an equi-join, not a cartesian product") {
+    val plan = planOf("q27_minhash_lsh")
+    assert(!plan.contains("CartesianProduct"),
+      "band-key candidate generation must never plan a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "band-key candidate generation must never plan a nested-loop join")
+  }
+
+  test("q64: incremental merge keeps partial aggregation (no extra shuffle rounds)") {
+    val plan = planOf("q64_incremental_agg")
+    // union of two partial states + merge = HashAggregates, never a sort-based agg
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
