@@ -56,6 +56,39 @@ class StreamingSpec extends SparkSpec {
     assert(builtIn.nonEmpty && builtIn.toSeq == lagGap.toSeq)
   }
 
+  test("streaming aggregate state == incremental batch merge == one-shot agg") {
+    import graft.operators.IncrementalAgg
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // the streaming form of IncrementalAgg's state table: same
+    // algebraic partials, maintained by the engine across micro-batches
+    val query = input.toDF()
+      .groupBy($"event_type")
+      .agg(sum($"value".cast("decimal(18,2)")).as("psum"),
+        count(lit(1)).as("pcnt"))
+      .writeStream.format("memory").queryName("inc_state")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = sampleEvents.splitAt(sampleEvents.length / 2)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2) // second micro-batch folds into existing state
+      query.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        IncrementalAgg.finalize(df, "event_type")
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      val streamed = rows(spark.table("inc_state"))
+      val merged = rows(IncrementalAgg.merge(
+        IncrementalAgg.partialState(b1.toDF(), "event_type", "value"),
+        IncrementalAgg.partialState(b2.toDF(), "event_type", "value"),
+        "event_type"))
+      val oneShot = rows(IncrementalAgg.partialState(
+        sampleEvents.toDF(), "event_type", "value"))
+      assert(streamed.nonEmpty)
+      assert(streamed == merged && merged == oneShot)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
