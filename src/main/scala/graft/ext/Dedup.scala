@@ -145,7 +145,11 @@ object Dedup {
     * unpersisted (it would leak for the session lifetime — with 54
     * queries sharing one Verify session that matters).
     */
-  private[graft] def candidatePairs(hs: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_key) rows — the LSH banding shared by the
+    * batch candidate join and the streaming near-dup state operator
+    * ([[graft.streaming.DocStream]]): narrow ops only, so it runs
+    * identically over a batch or streaming frame. */
+  private[graft] def bandedKeys(hs: DataFrame): DataFrame = {
     import hs.sparkSession.implicits._
     val sigs = (0 until NumHashes).map { i =>
       array_min(transform($"hashes", h => (h * hashA(i) + hashB(i)) % P)).as(s"s$i")
@@ -154,8 +158,12 @@ object Dedup {
     val bands = (0 until NumHashes / BandSize).map { j =>
       concat_ws("-", (0 until BandSize).map(k => col(s"s${j * BandSize + k}")): _*)
     }
-    val banded = withSig
-      .select($"doc_id", posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+    withSig.select($"doc_id", posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  private[graft] def candidatePairs(hs: DataFrame): DataFrame = {
+    import hs.sparkSession.implicits._
+    val banded = bandedKeys(hs)
     banded.select($"doc_id".as("a_id"), $"band_idx", $"band_key")
       .join(banded.select($"doc_id".as("b_id"), $"band_idx", $"band_key"),
             Seq("band_idx", "band_key"))

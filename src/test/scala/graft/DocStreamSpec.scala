@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming LSH near-dup: candidate pairs found across micro-batch
+  * boundaries must equal the batch band join over the union of all
+  * arrivals — the cross-batch pairs come from engine-managed state,
+  * not from re-scanning history.
+  */
+class DocStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted near-dups: each base doc (disjoint 25-token vocab) has a
+  // one-token-edited copy; batches are split so every (base, copy)
+  // pair straddles the batch boundary
+  private def base(i: Int) = (0 until 25).map(k => s"w${i}_$k")
+  private val originals = (0 until 4).map(i => (i.toLong, base(i).mkString(" ")))
+  private val copies = (0 until 4).map { i =>
+    (100L + i, base(i).updated(5, "swapped").mkString(" "))
+  }
+
+  test("cross-batch candidate pairs equal the batch band join on the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.DocStream.nearDupPairs(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(originals)
+      query.processAllAvailable()
+      input.addData(copies) // every near-dup pair straddles the boundary
+      query.processAllAvailable()
+      val streamed = spark.table("neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val all = (originals ++ copies).toDF("doc_id", "text")
+      val batch = graft.ext.Dedup.candidatePairs(graft.ext.Dedup.hashSetsOf(all))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      assert(streamed == batch)
+      // and the planted pairs really are among them (state crossed batches)
+      val planted = (0 until 4).map(i => (i.toLong, 100L + i)).toSet
+      assert(planted.subsetOf(streamed))
+    } finally query.stop()
+  }
+}
