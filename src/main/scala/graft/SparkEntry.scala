@@ -110,6 +110,7 @@ object SparkEntry {
     "q65_video_decode" -> (Multimodal.videoFeatures _),
     "q66_group_sample" -> (Extended.groupSample _),
     "q67_zorder_key" -> (Extended.zorderKey _),
+    "q68_vocabulary" -> (TextStats.vocabulary _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -333,6 +334,11 @@ object SparkEntry {
          |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
          |  ${r4sql("1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)")} AS rep_ratio
          |FROM g WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin,
+    "q68_vocabulary" ->
+      """SELECT token, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token != ''
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
     "q63_redact_pii" ->
       """WITH r AS (
         |  SELECT doc_id, regexp_replace(

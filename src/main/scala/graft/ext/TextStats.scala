@@ -33,6 +33,22 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Corpus vocabulary: the top-50 tokens by frequency — the corpus
+    * statistic every tokenizer/BPE training run starts from. Explode →
+    * partial-agg count → TakeOrderedAndProject top-k: each task
+    * forwards one partial count per distinct token and the top-k sort
+    * never materializes the full vocabulary globally.
+    */
+  def vocabulary(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(50)
+  }
+
   /** Benchmark-contamination check — the train/eval overlap scan every
     * LLM data pipeline runs before training: which corpus documents
     * share any 3-token shingle with the eval set (here a deterministic
