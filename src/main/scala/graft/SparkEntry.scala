@@ -468,8 +468,9 @@ object SparkEntry {
 
   // ---- DuckDB oracle fragments shared by the documents-table queries ----
 
-  /** DuckDB twin of Dedup.tokenHashes: distinct polynomial char-fold
-    * hashes of the space-split tokens, mod 2^31-1. */
+  /** DuckDB twin of the per-token polynomial char fold (fused into the
+    * native SimHash16 expression on the Spark side): distinct hashes of
+    * the space-split tokens, mod 2^31-1. */
   private val TokHashes =
     "list_distinct(list_transform(string_split(text, ' '), " +
     "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -135,16 +135,6 @@ object Dedup {
       .filter(size($"hashes") > 0)
   }
 
-  /** LSH candidate pairs (a_id < b_id): docs sharing any band key.
-    * The band join carries only (doc_id, band_idx, band_key) — never
-    * the hash arrays; shuffling/deduping ~100-element arrays through
-    * the candidate join dominated the runtime before.
-    *
-    * No persist: the native ShingleHash recompute is cheap, and a
-    * cached block inside a lazily-returned DataFrame could never be
-    * unpersisted (it would leak for the session lifetime — with 54
-    * queries sharing one Verify session that matters).
-    */
   /** (doc_id, band_idx, band_key) rows — the LSH banding shared by the
     * batch candidate join and the streaming near-dup state operator
     * ([[graft.streaming.DocStream]]): narrow ops only, so it runs
@@ -161,6 +151,16 @@ object Dedup {
     withSig.select($"doc_id", posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
   }
 
+  /** LSH candidate pairs (a_id < b_id): docs sharing any band key.
+    * The band join carries only (doc_id, band_idx, band_key) — never
+    * the hash arrays; shuffling/deduping ~100-element arrays through
+    * the candidate join dominated the runtime before.
+    *
+    * No persist: the native ShingleHash recompute is cheap, and a
+    * cached block inside a lazily-returned DataFrame could never be
+    * unpersisted (it would leak for the session lifetime — with all
+    * registered queries sharing one Verify session that matters).
+    */
   private[graft] def candidatePairs(hs: DataFrame): DataFrame = {
     import hs.sparkSession.implicits._
     val banded = bandedKeys(hs)

@@ -62,6 +62,11 @@ object Multimodal {
     * truncated frames — same drop-don't-fail policy as the other
     * decoders.
     */
+  /** Largest accepted frame edge — bounds a crafted header's memory
+    * claim (16k × 16k C444 ≈ 800 MB/frame is already absurd for this
+    * path) and keeps every size computation in exact range. */
+  private val MaxVideoDim = 16384
+
   def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Double)] = {
     val headerEnd = bytes.indexOf('\n'.toByte)
     if (headerEnd < 0) return None
@@ -71,25 +76,42 @@ object Multimodal {
     def num(prefix: Char): Option[Int] =
       params.find(_.headOption.contains(prefix))
         .flatMap(p => scala.util.Try(p.tail.takeWhile(_.isDigit).toInt).toOption)
-    (num('W'), num('H'), num('F')) match {
-      case (Some(w), Some(h), Some(fpsNum)) if w > 0 && h > 0 =>
-        val frameLen = w * h * 3 / 2 // C420: full-res Y + quarter-res U,V
-        val marker = "FRAME\n".getBytes("US-ASCII")
-        var pos = headerEnd + 1
+    // chroma subsampling → frame bytes per luma pixel (×2 to stay
+    // integral): absent C means C420 per the Y4M spec
+    val colorspace = params.find(_.startsWith("C")).map(_.tail).getOrElse("420")
+    val bytesPerPixelX2: Option[Int] =
+      if (colorspace.startsWith("420")) Some(3) // Y + U/4 + V/4
+      else if (colorspace.startsWith("422")) Some(4)
+      else if (colorspace.startsWith("444")) Some(6)
+      else if (colorspace.startsWith("mono")) Some(2)
+      else None
+    (num('W'), num('H'), num('F'), bytesPerPixelX2) match {
+      case (Some(w), Some(h), Some(fpsNum), Some(bppX2))
+          if w > 0 && h > 0 && w <= MaxVideoDim && h <= MaxVideoDim =>
+        // dims bounded above → all products fit comfortably in Long
+        val lumaLen = w.toLong * h
+        val frameLen = lumaLen * bppX2 / 2
+        val marker = "FRAME".getBytes("US-ASCII")
+        var pos = (headerEnd + 1).toLong
         var frames = 0
         var lumaSum = 0L
         while (pos + marker.length <= bytes.length) {
           var ok = true
           var i = 0
           while (ok && i < marker.length) {
-            if (bytes(pos + i) != marker(i)) ok = false
+            if (bytes(pos.toInt + i) != marker(i)) ok = false
             i += 1
           }
-          if (!ok || pos + marker.length + frameLen > bytes.length) return None
-          val yStart = pos + marker.length
-          var p = 0
-          while (p < w * h) { // luma plane only
-            lumaSum += bytes(yStart + p) & 0xff
+          if (!ok) return None
+          // per the spec a FRAME line may carry parameters up to '\n'
+          var lineEnd = pos.toInt + marker.length
+          while (lineEnd < bytes.length && bytes(lineEnd) != '\n'.toByte) lineEnd += 1
+          if (lineEnd >= bytes.length || lineEnd + 1 + frameLen > bytes.length)
+            return None
+          val yStart = lineEnd + 1
+          var p = 0L
+          while (p < lumaLen) { // luma plane only
+            lumaSum += bytes((yStart + p).toInt) & 0xff
             p += 1
           }
           frames += 1
@@ -97,7 +119,7 @@ object Multimodal {
         }
         if (pos != bytes.length) None
         else Some((frames, w, h, fpsNum,
-          if (frames == 0) 0.0 else lumaSum.toDouble / (frames.toLong * w * h)))
+          if (frames == 0) 0.0 else lumaSum.toDouble / (frames * lumaLen)))
       case _ => None
     }
   }

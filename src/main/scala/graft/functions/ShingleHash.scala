@@ -42,16 +42,19 @@ case class ShingleHash(child: Expression, n: Int = 3, distinct: Boolean = true)
     val out =
       if (distinct) new mutable.LinkedHashSet[Long]
       else new mutable.ArrayBuffer[Long](slots)
+    // pre-fold to code points (what ascii()/ord() hash, and what both
+    // engines' length semantics count) — not UTF-16 units
+    val tokCps = toks.map(_.codePoints().toArray)
     var i = 0
     while (i < slots) {
       var acc = 0L
       var t = 0
       while (t < n) {
         if (t > 0) acc = (acc * 31 + ' ') % P
-        val tok = toks(i + t)
+        val cps = tokCps(i + t)
         var c = 0
-        while (c < tok.length) {
-          acc = (acc * 31 + tok.charAt(c)) % P
+        while (c < cps.length) {
+          acc = (acc * 31 + cps(c)) % P
           c += 1
         }
         t += 1

@@ -28,11 +28,12 @@ case class SimHash16(child: Expression)
     val seen = new mutable.LinkedHashSet[Long]
     var i = 0
     while (i < toks.length) {
-      val tok = toks(i)
+      // fold code points (what ascii()/ord() hash), not UTF-16 units
+      val cps = toks(i).codePoints().toArray
       var acc = 0L
       var c = 0
-      while (c < tok.length) {
-        acc = (acc * 31 + tok.charAt(c)) % P
+      while (c < cps.length) {
+        acc = (acc * 31 + cps(c)) % P
         c += 1
       }
       seen += acc

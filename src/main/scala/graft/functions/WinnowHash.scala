@@ -25,8 +25,11 @@ case class WinnowHash(child: Expression, window: Int = 5, stride: Int = 4)
   override def prettyName: String = "winnow_hash"
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // code points, not UTF-16 units: Spark's length/substring/ascii and
+    // DuckDB's LENGTH/ord both count code points, so supplementary-
+    // plane characters must occupy one window slot, not two
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n < window) return null
     var min = Long.MaxValue
     var i = 0
@@ -34,7 +37,7 @@ case class WinnowHash(child: Expression, window: Int = 5, stride: Int = 4)
       var acc = 0L
       var c = 0
       while (c < window) {
-        acc = (acc * 31 + s.charAt(i + c)) % P
+        acc = (acc * 31 + cps(i + c)) % P
         c += 1
       }
       if (acc < min) min = acc

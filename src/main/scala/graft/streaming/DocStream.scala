@@ -46,13 +46,17 @@ object DocStream {
       key: (Int, String), docs: Iterator[BandedDoc],
       state: GroupState[List[Long]]): Iterator[CandidatePair] = {
     val seen = state.getOption.getOrElse(Nil)
-    // deterministic within a micro-batch regardless of arrival order
+    // deterministic within a micro-batch regardless of arrival order;
+    // ids already in state are redeliveries (at-least-once source) —
+    // they must neither re-enter state nor re-emit their pairs
+    val seenSet = scala.collection.mutable.HashSet[Long](seen: _*)
     val arrivals = docs.map(_.doc_id).toSeq.distinct.sorted
+      .filterNot(seenSet.contains)
     val out = scala.collection.mutable.ListBuffer[CandidatePair]()
     var members = seen
     arrivals.foreach { id =>
       members.foreach { m =>
-        if (m != id) out += CandidatePair(math.min(m, id), math.max(m, id))
+        out += CandidatePair(math.min(m, id), math.max(m, id))
       }
       members = id :: members
     }

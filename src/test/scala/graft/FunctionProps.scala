@@ -18,12 +18,20 @@ object FunctionProps extends Properties("functions") {
 
   private val P = 2147483647L
 
+  // fold CODE POINTS (what Spark's ascii()/DuckDB's ord() hash), so the
+  // reference stays correct when the generator emits non-BMP chars
   private def polyHash(s: String): Long =
-    s.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+    s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+
+  // mostly ascii tokens with occasional supplementary-plane chars —
+  // the case where UTF-16-unit iteration would diverge from both
+  // engines' code-point semantics
+  private val genToken: Gen[String] = Gen.frequency(
+    9 -> Gen.choose(1, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar)),
+    1 -> Gen.oneOf("😀a", "x🚀", "🤖"))
 
   private val genText: Gen[String] =
-    Gen.listOf(Gen.choose(1, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar)))
-      .map(_.take(15).mkString(" "))
+    Gen.listOf(genToken).map(_.take(15).mkString(" "))
 
   private def evalStr(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
     e.eval(null)
@@ -49,8 +57,10 @@ object FunctionProps extends Properties("functions") {
   property("WinnowHash = min over strided window reference") =
     Prop.forAll(genText) { text =>
       val got = evalStr(WinnowHash(Literal(UTF8String.fromString(text))))
-      val wins = (0 to text.length - 5 by 4).map(i => polyHash(text.substring(i, i + 5)))
-      if (text.length < 5) got == null
+      val cps = text.codePoints().toArray
+      val wins = (0 to cps.length - 5 by 4).map(i =>
+        cps.slice(i, i + 5).foldLeft(0L)((acc, c) => (acc * 31 + c) % P))
+      if (cps.length < 5) got == null
       else got == wins.min
     }
 

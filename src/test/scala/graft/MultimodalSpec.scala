@@ -94,6 +94,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.doc_id).toSeq == Seq(1L))
   }
 
+  test("crafted video headers cannot overflow or mis-size frames") {
+    def y4m(header: String, body: Array[Byte]): Array[Byte] =
+      (header + "\n").getBytes("US-ASCII") ++ body
+    // dimensions over the sanity bound (and the old Int-overflow trap)
+    assert(Multimodal.decodeVideo(
+      y4m("YUV4MPEG2 W50000 H50000 F25:1", "FRAME\n".getBytes)).isEmpty)
+    assert(Multimodal.decodeVideo(
+      y4m("YUV4MPEG2 W65536 H65536 F25:1", "FRAME\n".getBytes)).isEmpty)
+    // unsupported colorspace is rejected, not mis-sized
+    assert(Multimodal.decodeVideo(
+      y4m("YUV4MPEG2 W4 H4 F25:1 C411", Array.fill(30)(1.toByte))).isEmpty)
+
+    // spec-legal FRAME parameters are accepted
+    val frame420 = "FRAME Ip\n".getBytes("US-ASCII") ++ Array.fill(24)(10.toByte)
+    val Some((n1, w1, h1, _, luma1)) = Multimodal.decodeVideo(
+      y4m("YUV4MPEG2 W4 H4 F25:1 C420", frame420))
+    assert(n1 == 1 && w1 == 4 && h1 == 4 && luma1 == 10.0)
+
+    // mono colorspace sizes frames as pure luma
+    val frameMono = "FRAME\n".getBytes("US-ASCII") ++ Array.fill(16)(7.toByte)
+    val Some((n2, _, _, _, luma2)) = Multimodal.decodeVideo(
+      y4m("YUV4MPEG2 W4 H4 F25:1 Cmono", frameMono))
+    assert(n2 == 1 && luma2 == 7.0)
+  }
+
   test("q65 pipeline decodes every document's video") {
     val d = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.documents(spark, d).count()
