@@ -76,21 +76,27 @@ object Multimodal {
     def num(prefix: Char): Option[Int] =
       params.find(_.headOption.contains(prefix))
         .flatMap(p => scala.util.Try(p.tail.takeWhile(_.isDigit).toInt).toOption)
-    // chroma subsampling → frame bytes per luma pixel (×2 to stay
-    // integral): absent C means C420 per the Y4M spec
+    // chroma subsampling → per-frame chroma bytes. Spec-legal odd
+    // dimensions subsample to ceil(w/2) × ceil(h/2) planes, so compute
+    // plane sizes per-axis instead of scaling total luma bytes (which
+    // is only correct for even w/h). Absent C means C420 per the spec.
     val colorspace = params.find(_.startsWith("C")).map(_.tail).getOrElse("420")
-    val bytesPerPixelX2: Option[Int] =
-      if (colorspace.startsWith("420")) Some(3) // Y + U/4 + V/4
-      else if (colorspace.startsWith("422")) Some(4)
-      else if (colorspace.startsWith("444")) Some(6)
-      else if (colorspace.startsWith("mono")) Some(2)
+    def chromaLen(w: Long, h: Long): Option[Long] = {
+      val cw = (w + 1) / 2 // ceil(w/2)
+      val ch = (h + 1) / 2
+      if (colorspace.startsWith("420")) Some(2 * cw * ch) // U + V quarter planes
+      else if (colorspace.startsWith("422")) Some(2 * cw * h)
+      else if (colorspace.startsWith("444")) Some(2 * w * h)
+      else if (colorspace.startsWith("mono")) Some(0L)
       else None
-    (num('W'), num('H'), num('F'), bytesPerPixelX2) match {
-      case (Some(w), Some(h), Some(fpsNum), Some(bppX2))
-          if w > 0 && h > 0 && w <= MaxVideoDim && h <= MaxVideoDim =>
+    }
+    (num('W'), num('H'), num('F')) match {
+      case (Some(w), Some(h), Some(fpsNum))
+          if w > 0 && h > 0 && w <= MaxVideoDim && h <= MaxVideoDim &&
+             chromaLen(w, h).isDefined =>
         // dims bounded above → all products fit comfortably in Long
         val lumaLen = w.toLong * h
-        val frameLen = lumaLen * bppX2 / 2
+        val frameLen = lumaLen + chromaLen(w, h).get
         val marker = "FRAME".getBytes("US-ASCII")
         var pos = (headerEnd + 1).toLong
         var frames = 0
@@ -195,9 +201,34 @@ object Multimodal {
     * a 100 TB crawl pipeline needs when a fraction of blobs is
     * always garbage.
     */
+  /** Largest accepted image edge — mirror of [[MaxVideoDim]]. Checked
+    * against the header-declared dimensions BEFORE `ImageIO.read`
+    * allocates the raster: a tiny crafted PNG/GIF header can declare
+    * e.g. 60000×60000 and the resulting allocation failure is an
+    * `Error`, not an exception — it must be prevented, not caught.
+    */
+  private val MaxImageDim = 16384
+
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double, Double, Double)] = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              if (w <= 0 || h <= 0 || w > MaxImageDim || h > MaxImageDim) null
+              else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      }
       catch { case _: java.io.IOException => null case _: RuntimeException => null }
     if (img == null) None
     else {

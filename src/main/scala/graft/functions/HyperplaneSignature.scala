@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Random-hyperplane LSH band keys for a float-vector column — the
   * angular-similarity analogue of MinHash banding
@@ -30,6 +31,15 @@ case class HyperplaneSignature(child: Expression, bands: Int, rows: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_signature"
+
+  // analysis-time guard (matches CosineSimilarity): getFloat() on a
+  // differently-backed ArrayData would return garbage or throw
+  // mid-job instead of failing the query up front
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprint: the minimum polynomial hash over
@@ -23,6 +24,14 @@ case class WinnowHash(child: Expression, window: Int = 5, stride: Int = 4)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "winnow_hash"
+
+  // analysis-time guard: a non-string child would ClassCastException
+  // mid-job in nullSafeEval otherwise
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     // code points, not UTF-16 units: Spark's length/substring/ascii and

@@ -14,10 +14,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale notes: state per band key is the id list of docs that hashed
   * there — tiny by LSH construction (bands exist to keep collisions
-  * rare); a production deployment bounds it further with
-  * `GroupStateTimeout.ProcessingTimeTimeout` so bands expire after the
-  * dedup horizon. Pairs may be emitted once per shared band; consumers
-  * dedup downstream exactly like the batch path's `distinct()`.
+  * rare); a production deployment bounds it further by passing a
+  * `dedupHorizon`, which switches the query to
+  * `GroupStateTimeout.ProcessingTimeTimeout` and drops a band's state
+  * once no member has arrived within the horizon — without it, state
+  * grows for the life of the query. Pairs may be emitted once per
+  * shared band; consumers dedup downstream exactly like the batch
+  * path's `distinct()`.
   */
 object DocStream {
 
@@ -33,18 +36,32 @@ object DocStream {
   }
 
   /** Candidate pairs across the whole stream so far: per-band state of
-    * seen ids, new arrivals pair against all prior members. */
-  def nearDupPairs(docs: DataFrame): Dataset[CandidatePair] = {
+    * seen ids, new arrivals pair against all prior members. With a
+    * `dedupHorizon`, a band whose members all stopped arriving that
+    * long ago is evicted (processing-time timeout) — docs older than
+    * the horizon no longer pair, which is the bounded-state contract a
+    * long-running production dedup needs.
+    */
+  def nearDupPairs(docs: DataFrame,
+                   dedupHorizon: Option[java.time.Duration] = None): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
+    val timeout =
+      if (dedupHorizon.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val horizonMs = dedupHorizon.map(_.toMillis)
     bandedDocs(docs)
       .groupByKey(d => (d.band_idx, d.band_key))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(emitPairs)
+        OutputMode.Append, timeout)(emitPairs(horizonMs))
   }
 
-  private def emitPairs(
+  private def emitPairs(horizonMs: Option[Long])(
       key: (Int, String), docs: Iterator[BandedDoc],
       state: GroupState[List[Long]]): Iterator[CandidatePair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val seen = state.getOption.getOrElse(Nil)
     // deterministic within a micro-batch regardless of arrival order;
     // ids already in state are redeliveries (at-least-once source) —
@@ -61,6 +78,9 @@ object DocStream {
       members = id :: members
     }
     state.update(members)
+    // re-arm on every batch that touches the band: the horizon is
+    // "since last arrival", so an active band never expires
+    horizonMs.foreach(state.setTimeoutDuration)
     out.iterator
   }
 }

@@ -44,4 +44,31 @@ class DocStreamSpec extends SparkSpec {
       assert(planted.subsetOf(streamed))
     } finally query.stop()
   }
+
+  test("dedup-horizon mode (processing-time timeout) finds the same pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // a generous horizon: state must survive across these micro-batches,
+    // exercising the ProcessingTimeTimeout wiring (setTimeoutDuration +
+    // hasTimedOut handling) without racing the test clock.
+    // NOTE: with a processing-time timeout the engine keeps scheduling
+    // timeout-check batches, so processAllAvailable never settles —
+    // poll the sink with a deadline instead.
+    val query = graft.streaming.DocStream.nearDupPairs(
+        input.toDF().toDF("doc_id", "text"),
+        dedupHorizon = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("neardup_horizon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(originals)
+      input.addData(copies)
+      val planted = (0 until 4).map(i => (i.toLong, 100L + i)).toSet
+      def streamed() = spark.table("neardup_horizon_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val deadline = System.currentTimeMillis() + 120000
+      while (!planted.subsetOf(streamed()) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(planted.subsetOf(streamed()))
+    } finally query.stop()
+  }
 }

@@ -40,6 +40,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.doc_id).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("crafted huge image headers are rejected before raster allocation") {
+    // take a real PNG and rewrite its IHDR to claim 60000×60000 (with a
+    // valid chunk CRC, so the reader trusts the header): the guard must
+    // reject it from the header alone — ImageIO.read would attempt a
+    // multi-GB raster allocation, which surfaces as an uncatchable-by-
+    // policy OutOfMemoryError, not an IOException
+    val png = Multimodal.syntheticPng(1L)
+    def be(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // PNG layout: 8-byte sig, 4-byte len, "IHDR" at 12, width at 16,
+    // height at 20, CRC over bytes 12..28 stored at 29
+    System.arraycopy(be(60000), 0, png, 16, 4)
+    System.arraycopy(be(60000), 0, png, 20, 4)
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 17)
+    System.arraycopy(be(crc.getValue.toInt), 0, png, 29, 4)
+    assert(Multimodal.decodeImage(png).isEmpty)
+  }
+
   test("q56 pipeline decodes every document's image") {
     val d = "/root/testdata/sf0.001"
     val n = graft.sources.Tables.documents(spark, d).count()
@@ -117,6 +137,25 @@ class MultimodalSpec extends SparkSpec {
     val Some((n2, _, _, _, luma2)) = Multimodal.decodeVideo(
       y4m("YUV4MPEG2 W4 H4 F25:1 Cmono", frameMono))
     assert(n2 == 1 && luma2 == 7.0)
+  }
+
+  test("odd-dimension Y4M clips size chroma planes as ceil(w/2)*ceil(h/2)") {
+    def y4m(header: String, body: Array[Byte]): Array[Byte] =
+      (header + "\n").getBytes("US-ASCII") ++ body
+    // 3×3 C420: luma 9 + chroma 2*ceil(3/2)*ceil(3/2) = 8 → 17 bytes
+    val f420 = "FRAME\n".getBytes("US-ASCII") ++ Array.fill(17)(9.toByte)
+    val Some((n1, w1, h1, _, luma1)) = Multimodal.decodeVideo(
+      y4m("YUV4MPEG2 W3 H3 F25:1 C420", f420))
+    assert(n1 == 1 && w1 == 3 && h1 == 3 && luma1 == 9.0)
+    // 3×3 C422: luma 9 + chroma 2*ceil(3/2)*3 = 12 → 21 bytes
+    val f422 = "FRAME\n".getBytes("US-ASCII") ++ Array.fill(21)(5.toByte)
+    val Some((n2, _, _, _, luma2)) = Multimodal.decodeVideo(
+      y4m("YUV4MPEG2 W3 H3 F25:1 C422", f422))
+    assert(n2 == 1 && luma2 == 5.0)
+    // the even-dimension byte count (16+8=24 for 4×4 C420) must still
+    // hold — ceil sizing degenerates to the original formula
+    val f4 = "FRAME\n".getBytes("US-ASCII") ++ Array.fill(24)(3.toByte)
+    assert(Multimodal.decodeVideo(y4m("YUV4MPEG2 W4 H4 F25:1 C420", f4)).isDefined)
   }
 
   test("q65 pipeline decodes every document's video") {
