@@ -10,10 +10,17 @@ import org.apache.spark.sql.SparkSession
   *    sort, so it understates full materialization cost. The noop sink
   *    consumes every row of the complete plan (sort and projection
   *    included) without paying filesystem I/O.
-  *  - Each query runs `SPARK_GRAFT_BENCH_N` times (default 3) and
-  *    reports the median, so one-time per-plan codegen compilation is
-  *    excluded from the steady-state number. A session-level warmup
-  *    pass pays JVM JIT + parquet-footer costs before timing starts.
+  *  - The suite runs as `SPARK_GRAFT_BENCH_N` (default 3) complete
+  *    interleaved passes — every query once per pass — and each query
+  *    reports its MINIMUM across passes. Queries are deterministic, so
+  *    the minimum is the best estimator of true plan cost; taking it
+  *    across temporally-separated passes (rather than back-to-back
+  *    repeats) means a transient external stall (co-located load, GC,
+  *    page-cache flush) cannot poison all samples of one query, which
+  *    measurably happened with back-to-back medians. Pass 1 also pays
+  *    per-plan codegen, so with n ≥ 2 that is excluded too. A
+  *    session-level warmup pays JVM JIT + parquet-footer costs before
+  *    timing starts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,18 +36,31 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q02_global_stats")
       .foreach(f => try run(f(spark, sfDir)) catch { case _: Throwable => () })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until n).map { _ =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failedQs = scala.collection.mutable.Set[String]()
+    val samples = (0 until n).map { _ =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try run(fn(spark, sfDir))
+        catch { case t: Throwable =>
+          failedQs += name
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2) // median
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val failed = failedQs.contains(name)
+      // a failed attempt's elapsed time is meaningless — report the -1
+      // sentinel so regressions surface in the JSON instead of looking
+      // like a fast query
+      (name, if (failed) -1.0 else samples.map(_(i)).min, failed)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"action":"noop_write_median"}""")
+    val nFailed = results.count(_._3)
+    val total = results.filterNot(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","n":$n,"action":"noop_write_min_of_interleaved_passes"}""")
     spark.stop()
   }
 
