@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Extended}
 import graft.ingest.DateDim
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ext.{Corpus, Dedup, Events, Multimodal, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,9 +111,170 @@ object SparkEntry {
     "q66_group_sample" -> (Extended.groupSample _),
     "q67_zorder_key" -> (Extended.zorderKey _),
     "q68_vocabulary" -> (TextStats.vocabulary _),
+    "q69_chunk_docs" -> ((s: SparkSession, d: String) => Corpus.chunkDocs(s, d)),
+    "q70_pack_sequences" -> ((s: SparkSession, d: String) => Corpus.packSequences(s, d)),
+    "q71_tfidf" -> ((s: SparkSession, d: String) => Corpus.tfidfTopTerms(s, d)),
+    "q72_quantize_embeddings" -> (Corpus.quantizeEmbeddings _),
+    "q73_bm25" -> ((s: SparkSession, d: String) => Corpus.bm25TopTerms(s, d)),
+    "q74_source_quota" -> ((s: SparkSession, d: String) => Corpus.sourceQuota(s, d)),
+    "q75_quality_filter" -> (Corpus.qualityFilter _),
+    "q76_profile_columns" -> (Extended.profileColumns _),
+    "q77_salted_join" -> (Extended.saltedJoinRevenue _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
+    // q69: chunk starts are the same grid in both engines — Spark
+    // sequence(0, n-1, 15) inclusive == DuckDB range(0, n, 15)
+    // exclusive; list slicing clamps at the tail identically
+    "q69_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(range(0, greatest(len(toks), 1), 15)) AS start
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(start // 15 AS INT) AS chunk_idx,
+        |  CAST(least(20, len(toks) - start) AS INT) AS n_chunk_tokens,
+        |  array_to_string(toks[start+1 : start+20], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q70_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum_tokens
+        |  FROM t)
+        |SELECT lang,
+        |  CAST(FLOOR((cum_tokens - n_tokens) / 512.0) AS INT) AS pack_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+    // q71: ln() is the one non-exact operation; both engines compute
+    // tf * ln(N/df) on doubles from identical exact inputs and round
+    // to 1e-4, so a last-ulp divergence cannot surface in the hash
+    "q71_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token != ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf_raw
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf_raw DESC, token) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, token, tf, df,
+        |  ROUND(tfidf_raw * 10000, 0) / 10000 AS tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q76_profile_columns" ->
+      """WITH m AS (
+        |  SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |    COUNT(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+        |    CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        |    COUNT(DISTINCT o_orderkey),
+        |    CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority), NULL, NULL
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus), NULL, NULL
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val
+        |FROM m ORDER BY col_name""".stripMargin,
+    "q77_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q73: same ln() note as q71; the BM25 expression tree (including
+    // decimal constants) is mirrored token-for-token
+    "q73_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token != ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+        |dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY token),
+        |dlx AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+        |st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlx),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfx.df, dlx.dl,
+        |    ln((CAST(n.n_docs AS DOUBLE) - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dlx.dl / avgdl))) AS bm25_raw
+        |  FROM tf JOIN dfx USING (token) JOIN dlx USING (doc_id)
+        |  CROSS JOIN st CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY bm25_raw DESC, token) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, token, tf, df, dl,
+        |  ROUND(bm25_raw * 10000, 0) / 10000 AS bm25
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q74_source_quota" ->
+      """SELECT source, CAST(rn AS INT) AS rn, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    "q75_quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      / len(toks) AS avg_len,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','is','of','and','to','in','it'))) AS DOUBLE)
+        |      / len(toks) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  ROUND((avg_len * 0.5 + stop_ratio * 2.0 - n_tokens * 0.002) * 10000, 0)
+        |    / 10000 AS quality,
+        |  (avg_len * 0.5 + stop_ratio * 2.0 - n_tokens * 0.002) >= 2.0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q72: floor (not round/cast) for the bucket index — DuckDB CAST
+    // rounds while Spark's truncates; all arithmetic explicitly
+    // widened to double so float promotion can't diverge
+    "q72_quantize_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, len(embedding) AS n_dims, mn, mx,
+        |    list_transform(embedding, x ->
+        |      CAST(FLOOR((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255) AS BIGINT) - 128) AS qv
+        |  FROM e WHERE mx > mn)
+        |SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+        |  ROUND(mn * 10000, 0) / 10000 AS v_min,
+        |  ROUND(mx * 10000, 0) / 10000 AS v_max,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q39_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
         |  COUNT(*) AS n,

@@ -1,0 +1,202 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-preparation operators over `documents` / `embeddings` — the
+  * chunk/pack/weigh stages a training-data pipeline runs after
+  * cleaning (SURVEY.md §2.11 extension surface): sliding-window
+  * chunking, token-budget sequence packing, TF-IDF term weighting,
+  * and int8 embedding quantization.
+  */
+object Corpus {
+  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+
+  /** Sliding-window document chunking (context-window fill): split each
+    * document into `window`-token chunks every `stride` tokens, keeping
+    * the tail chunk. Pure per-row explode — no shuffle before the
+    * presentation sort, so it scales as a map-only pass; downstream
+    * consumers see (doc_id, chunk_idx) keys that preserve provenance.
+    */
+  def chunkDocs(spark: SparkSession, d: String,
+                window: Int = 20, stride: Int = 15): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        posexplode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(stride))))
+      .select($"doc_id",
+        $"pos".as("chunk_idx"),
+        least(lit(window), size($"toks") - $"col").as("n_chunk_tokens"),
+        array_join(slice($"toks", $"col" + 1, lit(window)), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Token-budget sequence packing (concatenate-and-split): stream each
+    * language's documents in doc_id order into a contiguous token
+    * stream and cut it every `budget` tokens — pack_id is the pack the
+    * document STARTS in. One window cumsum per language partition plus
+    * one partial-agg shuffle; at 100 TB the lang partitions are
+    * independent and the cumsum is the textbook prefix-scan (Spark
+    * range-partitions the window), so nothing funnels through a single
+    * reducer except per-language ordering, which packing semantically
+    * requires.
+    */
+  def packSequences(spark: SparkSession, d: String, budget: Int = 512): DataFrame = {
+    import spark.implicits._
+    val nToks = size(split($"text", " "))
+    Tables.documents(spark, d)
+      .select($"doc_id", $"lang", nToks.cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum($"n_tokens").over(Window.partitionBy($"lang").orderBy($"doc_id")))
+      .withColumn("pack_id",
+        floor(($"cum_tokens" - $"n_tokens") / lit(budget.toDouble)).cast("int"))
+      .groupBy($"lang", $"pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"pack_id")
+  }
+
+  /** TF-IDF top terms per document: tf(d,t) · ln(N/df(t)), top 3 terms
+    * per doc by score. Plan shape for scale: explode → (doc_id, token)
+    * partial-agg → token-keyed df join (df is a token-count aggregate,
+    * broadcast when the vocabulary is small) → per-doc top-k. The
+    * ranking window partitions by doc_id — millions of tiny groups, so
+    * no reducer funnel (contrast q34's 5-query window, which needed
+    * [[graft.functions.TopKAgg]]).
+    */
+  def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val nDocs = Tables.documents(spark, d).count()
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = toks.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "token")
+      .withColumn("tfidf", $"tf" * log(lit(nDocs.toDouble) / $"df"))
+    val rn = row_number().over(
+      Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token"))
+    scored.withColumn("rn", rn)
+      .filter($"rn" <= k)
+      .select($"doc_id", $"rn", $"token", $"tf".cast("bigint").as("tf"),
+        $"df".cast("bigint").as("df"), r4($"tfidf").as("tfidf"))
+      .orderBy($"doc_id", $"rn")
+  }
+
+  /** BM25 top terms per document — the IR-standard upgrade of
+    * [[tfidfTopTerms]] with term-frequency saturation (k1) and
+    * document-length normalization (b). Same scale-shaped plan: tf
+    * partial-agg, broadcast df join, per-doc ranking window over
+    * millions of tiny groups. avgdl is a two-long scalar aggregate
+    * collected once (exact integer sums → exact double division, so
+    * both engines compute the identical constant).
+    */
+  def bm25TopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val nDocs = Tables.documents(spark, d).count()
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val df = toks.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val (dlSum, dlN) = dl.agg(sum($"dl"), count(lit(1)))
+      .as[(Long, Long)].head()
+    val avgdl = dlSum.toDouble / dlN
+    // expression tree mirrored token-for-token in the oracle SQL: every
+    // op is exactly-rounded IEEE, so identical trees → identical bits.
+    // Constants appear as decimal literals (2.2, not k1+1 — a JVM-
+    // computed 1.2+1 can be one ulp off the parsed literal 2.2)
+    val idf = log((lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+    val score = idf * ($"tf" * lit(2.2)) /
+      ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / lit(avgdl))))
+    val rn = row_number().over(
+      Window.partitionBy($"doc_id").orderBy($"bm25_raw".desc, $"token"))
+    tf.join(broadcast(df), "token").join(dl, "doc_id")
+      .withColumn("bm25_raw", score)
+      .withColumn("rn", rn)
+      .filter($"rn" <= k)
+      .select($"doc_id", $"rn", $"token", $"tf", $"df", $"dl",
+        r4($"bm25_raw").as("bm25"))
+      .orderBy($"doc_id", $"rn")
+  }
+
+  /** Per-source quota cap — the per-domain cap a crawl pipeline
+    * applies so no single source dominates the corpus: keep the first
+    * `quota` documents (by doc_id) of each source. Rides the bounded
+    * [[graft.functions.TopKAgg]] partial aggregate: each task forwards
+    * ≤quota rows per source into the shuffle, so a source with 10⁹
+    * pages costs the same shuffle as one with 10³ — the property a
+    * row_number window over a handful of giant source groups loses.
+    */
+  def sourceQuota(spark: SparkSession, d: String, quota: Int = 10): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAgg(quota))
+    Tables.documents(spark, d)
+      .groupBy($"source")
+      .agg(topk((-$"doc_id").cast("double"), $"doc_id").as("kept"))
+      .select($"source", posexplode($"kept").as(Seq("pos", "entry")))
+      .select($"source", ($"pos" + 1).cast("int").as("rn"),
+        $"entry._2".as("doc_id"))
+      .orderBy($"source", $"rn")
+  }
+
+  /** Linear quality score + keep decision (the C4/Gopher-style rule
+    * family, composed as one weighted score): average token length,
+    * stopword ratio, and a length prior. Deliberately linear — every
+    * term is an exactly-rounded IEEE op on exact integer ratios, so
+    * the score (and the keep threshold comparison) is bit-identical
+    * on any engine, which a sigmoid would not guarantee. Map-only.
+    */
+  def qualityFilter(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val nToks = size(toks).cast("double")
+    val avgLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / nToks
+    val stopRatio = size(filter(toks,
+      t => t.isin(TextStats.Stopwords: _*))).cast("double") / nToks
+    val score = avgLen * 0.5 + stopRatio * 2.0 - nToks * 0.002
+    Tables.documents(spark, d)
+      .select($"doc_id", size(toks).as("n_tokens"), score.as("raw"))
+      .select($"doc_id", $"n_tokens", r4($"raw").as("quality"),
+        ($"raw" >= 2.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Int8 scalar quantization of the embedding column — the ANN-index
+    * compression pass (4× smaller vectors): per-vector min/max → 256
+    * uniform buckets, `floor((x-mn)/(mx-mn)*255) - 128`. Map-only.
+    * floor (not round) keeps both engines' integer conversion
+    * identical; all arithmetic is widened to double before any op so
+    * float promotion rules can't diverge.
+    */
+  def quantizeEmbeddings(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val mn = array_min($"embedding").cast("double")
+    val mx = array_max($"embedding").cast("double")
+    val q = transform($"embedding", x =>
+      floor((x.cast("double") - $"mn") / ($"mx" - $"mn") * 255).cast("bigint") - 128)
+    Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding", mn.as("mn"), mx.as("mx"))
+      .filter($"mx" > $"mn") // degenerate constant vectors are dropped
+      .select($"vec_id",
+        size($"embedding").as("n_dims"),
+        r4($"mn").as("v_min"),
+        r4($"mx").as("v_max"),
+        q.as("q"))
+      .select($"vec_id", $"n_dims", $"v_min", $"v_max",
+        aggregate($"q", lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min($"q").cast("bigint").as("q_min"),
+        array_max($"q").cast("bigint").as("q_max"))
+      .orderBy($"vec_id")
+  }
+}

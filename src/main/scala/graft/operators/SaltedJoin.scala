@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant equi-join — the join-side companion of
+  * [[SaltedAgg]]: when one join key is hot (a celebrity user, a
+  * default value), a plain shuffle join funnels every row of that key
+  * through one reducer task. Salting splits each key into `buckets`
+  * sub-keys: the big side gets a deterministic salt from a secondary
+  * column, the small side is replicated once per salt value, and the
+  * join runs on (key, salt) — each hot key now spreads over `buckets`
+  * reducers. The result equals the plain join exactly (every big-side
+  * row still meets every matching small-side row, exactly once).
+  *
+  * Cost model: small side grows ×buckets, so this is for
+  * moderate-cardinality small sides where a broadcast doesn't fit but
+  * a ×buckets replication does. (When the small side is broadcastable,
+  * broadcast — no shuffle, no skew. AQE's skew-join split handles the
+  * in-between; this operator is the explicit form that doesn't depend
+  * on runtime stats, e.g. for a first run with no history.)
+  *
+  * The salt is deterministic (`saltSource mod buckets`, same policy as
+  * [[SaltedAgg]]) so reruns produce identical intermediate partitions
+  * and the oracle compares against the plain join.
+  */
+object SaltedJoin {
+
+  /** Inner equi-join of `big` and `small` on the shared column `key`,
+    * salted `buckets` ways by big-side `saltSource mod buckets`. */
+  def equiJoin(big: DataFrame, small: DataFrame, key: String,
+               saltSource: String, buckets: Int): DataFrame = {
+    require(big.columns.contains(key) && small.columns.contains(key),
+      s"both sides must carry join column '$key'")
+    val b = big.withColumn("__salt", pmod(col(saltSource), lit(buckets)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}

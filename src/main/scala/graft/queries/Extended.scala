@@ -291,6 +291,56 @@ object Extended {
     * engine-specific); the driver records a rows-only check, and the
     * spec bounds the error against the exact count.
     */
+  /** Column profiling — the ANALYZE-TABLE pass an ingestion pipeline
+    * runs on arrival (null counts, exact distincts, numeric ranges per
+    * column) before deciding layout and quality gates. One aggregation
+    * pass over the table computes every column's metrics (Catalyst
+    * expands the multi-countDistinct into one multi-way aggregate);
+    * the single result row is then unpivoted driver-free via stack().
+    */
+  def profileColumns(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // (name, numeric?) — numeric columns also get min/max as double
+    val cols = Seq("o_orderkey" -> true, "o_custkey" -> true,
+      "o_totalprice" -> true, "o_orderstatus" -> false,
+      "o_orderpriority" -> false)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, num) =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")) ++
+      (if (num) Seq(min(col(c)).cast("double").as(s"${c}__min"),
+                    max(col(c)).cast("double").as(s"${c}__max"))
+       else Nil)
+    }
+    val wide = Tables.orders(spark, d).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { case (c, num) =>
+      val mn = if (num) s"`${c}__min`" else "CAST(NULL AS DOUBLE)"
+      val mx = if (num) s"`${c}__max`" else "CAST(NULL AS DOUBLE)"
+      s"'$c', `${c}__nulls`, `${c}__distinct`, $mn, $mx"
+    }.mkString(", ")
+    wide.select($"n_rows", expr(
+        s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct", $"min_val", $"max_val")
+      .orderBy($"col_name")
+  }
+
+  /** Skew-resistant salted join ([[graft.operators.SaltedJoin]]):
+    * revenue by order status through a 8-way salted lineitem⋈orders
+    * join — results must equal the plain join (the oracle), while each
+    * hot orderkey spreads over 8 reducers instead of 1.
+    */
+  def saltedJoinRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, d)
+      .select($"l_orderkey".as("orderkey"), $"l_linenumber", $"l_extendedprice")
+    val small = Tables.orders(spark, d)
+      .select($"o_orderkey".as("orderkey"), $"o_orderstatus")
+    graft.operators.SaltedJoin.equiJoin(big, small, "orderkey", "l_linenumber", 8)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), moneySum($"l_extendedprice").as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
   def approxDistinct(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, d)

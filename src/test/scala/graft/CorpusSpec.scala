@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Corpus
+
+/** Corpus-preparation operators: chunk boundaries, pack budget math,
+  * and quantization range/monotonicity — plus plan-shape checks that
+  * the map-only ops stay map-only.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("chunkDocs: every chunk has ≤ window tokens, tail chunk keeps the remainder") {
+    val out = Corpus.chunkDocs(spark, d, window = 20, stride = 15)
+      .select($"doc_id", $"chunk_idx", $"n_chunk_tokens",
+        size(split($"chunk_text", " ")).as("actual"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, actual) = (r.getInt(2), r.getInt(3))
+      assert(n >= 1 && n <= 20)
+      assert(actual == n, s"declared $n tokens but chunk_text has $actual")
+    }
+    // chunks per doc = |{0, 15, 30, …} ∩ [0, n_tokens)| — verify against
+    // the doc's own token count
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", size(split($"text", " ")).as("n")).as[(Long, Int)]
+      .collect().toMap
+    val perDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    perDoc.foreach { case (id, nChunks) =>
+      val expected = (docs(id) + 14) / 15 // ceil(n/stride), starts < n
+      assert(nChunks == expected, s"doc $id: $nChunks chunks, expected $expected")
+    }
+  }
+
+  test("chunkDocs reconstructs the document at stride == window (no overlap)") {
+    // collect_list order is not deterministic — sort by chunk_idx first
+    val rebuilt = Corpus.chunkDocs(spark, d, window = 15, stride = 15)
+      .groupBy($"doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"chunk_idx", $"chunk_text"))),
+          x => x.getField("chunk_text")), " ").as("rebuilt"))
+    val orig = graft.sources.Tables.documents(spark, d).select($"doc_id", $"text")
+    val mismatches = rebuilt.join(orig, "doc_id")
+      .filter($"rebuilt" =!= $"text").count()
+    assert(mismatches == 0)
+  }
+
+  test("packSequences: pack token totals respect the budget split") {
+    val budget = 512
+    val packs = Corpus.packSequences(spark, d, budget).collect()
+    assert(packs.nonEmpty)
+    // pack ids per language are a contiguous 0..max range (the cumsum
+    // grid has no holes: a doc starting past pack p implies pack p was
+    // crossed by an earlier doc)
+    packs.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getInt(1)).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1)
+    }
+    // every doc's start offset lands in its assigned pack: re-derive
+    // from the totals — sum of tokens across packs == corpus tokens
+    val corpusToks = graft.sources.Tables.documents(spark, d)
+      .select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(packs.map(_.getLong(3)).sum == corpusToks)
+  }
+
+  test("quantizeEmbeddings: int8 range, extremes hit the ends, sum matches brute force") {
+    val out = Corpus.quantizeEmbeddings(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qmin, qmax) = (r.getLong(5), r.getLong(6))
+      assert(qmin >= -128 && qmax <= 127)
+      assert(qmin == -128, "the vector minimum must quantize to -128")
+      assert(qmax == 127, "the vector maximum must quantize to 127")
+    }
+    // brute-force one vector on the driver
+    val (vecId, emb) = graft.sources.Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].head()
+    val mn = emb.min.toDouble; val mx = emb.max.toDouble
+    val expected = emb.map(x => math.floor((x.toDouble - mn) / (mx - mn) * 255).toLong - 128)
+    val row = out.find(_.getLong(0) == vecId).get
+    assert(row.getLong(4) == expected.sum)
+  }
+
+  test("chunkDocs and quantizeEmbeddings plans are shuffle-free before the sort") {
+    for (df <- Seq(Corpus.chunkDocs(spark, d), Corpus.quantizeEmbeddings(spark, d))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // exactly one exchange: the range partitioning of the final sort
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"expected map-only + sort, got:\n$plan")
+    }
+  }
+
+  test("sourceQuota keeps exactly the quota earliest doc_ids per source") {
+    val out = Corpus.sourceQuota(spark, d, quota = 10).collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(10).toSeq)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq == docs(src))
+    }
+  }
+
+  test("qualityFilter score is a pure function of the text stats") {
+    val out = Corpus.qualityFilter(spark, d).collect()
+    assert(out.nonEmpty)
+    // keep is consistent with the reported (rounded) score except in
+    // the +-1e-4 rounding band around the threshold
+    out.foreach { r =>
+      val (q, keep) = (r.getDouble(2), r.getBoolean(3))
+      if (q > 2.0001) assert(keep)
+      if (q < 1.9999) assert(!keep)
+    }
+  }
+
+  test("tfidf ranks rare terms above common ones within a doc") {
+    val out = Corpus.tfidfTopTerms(spark, d, k = 3).collect()
+    assert(out.nonEmpty)
+    // rn is 1..3 per doc and scores are non-increasing in rn
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRn = rows.sortBy(_.getInt(1))
+      assert(byRn.map(_.getInt(1)).toSeq == (1 to byRn.length))
+      val scores = byRn.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
