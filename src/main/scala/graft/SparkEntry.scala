@@ -120,6 +120,7 @@ object SparkEntry {
     "q75_quality_filter" -> (Corpus.qualityFilter _),
     "q76_profile_columns" -> (Extended.profileColumns _),
     "q77_salted_join" -> (Extended.saltedJoinRevenue _),
+    "q78_centroid_distance" -> (Similarity.centroidDistance _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -173,6 +174,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(rn AS INT) AS rn, token, tf, df,
         |  ROUND(tfidf_raw * 10000, 0) / 10000 AS tfidf
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // q78: centroids sum 1e-6-quantized components (exact integer
+    // sums, order-independent) — see Similarity.centroidDistance; the
+    // distance fold mirrors the cosine kernel's left-to-right pattern
+    "q78_centroid_distance" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding,
+        |      x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0))) AS iv
+        |  FROM embeddings),
+        |cs AS (SELECT label, dim, SUM(iv) AS isum, COUNT(*) AS n
+        |       FROM ex GROUP BY label, dim),
+        |cent AS (SELECT label,
+        |           list(CAST(isum AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS centroid
+        |         FROM cs GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  ROUND(sqrt(list_reduce(list_transform(range(0, len(e.embedding)),
+        |    i -> (CAST(e.embedding[i+1] AS DOUBLE) - centroid[i+1])
+        |       * (CAST(e.embedding[i+1] AS DOUBLE) - centroid[i+1])),
+        |    (a, b) -> a + b)) * 10000, 0) / 10000 AS dist
+        |FROM embeddings e JOIN cent USING (label)
+        |ORDER BY vec_id""".stripMargin,
     "q76_profile_columns" ->
       """WITH m AS (
         |  SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,

@@ -155,4 +155,46 @@ object Similarity {
       .select($"label", $"a_id", $"b_id", r4($"score_raw").as("score"))
       .orderBy($"a_id", $"b_id")
   }
+
+  /** Cluster-compactness audit: per-label centroid + every vector's
+    * L2 distance to its centroid — the IVF cell-quality pass that
+    * tells you which cells are tight (good pruning) and which vectors
+    * are outliers in their cell.
+    *
+    * Scale shape: dimension-parallel centroid computation —
+    * `posexplode` to (label, dim, value), partial-agg sums per
+    * (label, dim), rebuild the centroid array, broadcast it back (one
+    * row per label). That's the k-means-update shuffle pattern: no
+    * vector materializes on the driver, and the per-(label, dim) sums
+    * combine map-side.
+    *
+    * Determinism by construction: float summation order varies with
+    * partitioning, so centroids sum 1e-6-QUANTIZED components
+    * (`floor(v*1e6)` exact integer sums, order-independent), and the
+    * mean divides exactly-summed integers — bit-identical on any
+    * engine, any parallelism. The 1e-6 grid error is orders below the
+    * 1e-4 output rounding.
+    */
+  def centroidDistance(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(sum(floor($"v".cast("double") * 1000000.0)).as("isum"),
+           count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(transform(
+        array_sort(collect_list(struct($"dim",
+          ($"isum".cast("double") / $"n" / 1000000.0).as("c")))),
+        x => x.getField("c")).as("centroid"))
+    emb.join(broadcast(cent), "label")
+      .select($"vec_id", $"label",
+        sqrt(aggregate(
+          zip_with($"embedding", $"centroid",
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)).as("dist_raw"))
+      .select($"vec_id", $"label", r4($"dist_raw").as("dist"))
+      .orderBy($"vec_id")
+  }
 }

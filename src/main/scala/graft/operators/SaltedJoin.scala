@@ -35,6 +35,10 @@ object SaltedJoin {
     val b = big.withColumn("__salt", pmod(col(saltSource), lit(buckets)).cast("int"))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
-    b.join(s, Seq(key, "__salt")).drop("__salt")
+    // shuffle_hash hint: salting exists precisely because the small
+    // side is NOT broadcastable — don't let a small test input take
+    // the broadcast path and hide the salted shuffle this operator is
+    // about (hash beats sort-merge here: no sort, salt spreads skew)
+    b.join(s.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 }

@@ -42,4 +42,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q71/q73: the document-frequency side joins as a broadcast") {
+    for (q <- Seq("q71_tfidf", "q73_bm25")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: df (vocabulary-sized) must broadcast, not shuffle the tf side")
+    }
+  }
+
+  test("q76: profiling is one aggregation pass over one scan") {
+    val plan = planOf("q76_profile_columns")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single table scan, found $scans")
+  }
+
+  test("q77: salted join is a plain equi-join (no broadcast, no cartesian)") {
+    val plan = planOf("q77_salted_join")
+    assert(!plan.contains("CartesianProduct"))
+    // the whole point is exercising the shuffle path with salted keys:
+    // both sides hash-partition on (key, salt)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      "salted join must take the shuffle-join path")
+  }
 }
