@@ -121,6 +121,7 @@ object SparkEntry {
     "q76_profile_columns" -> (Extended.profileColumns _),
     "q77_salted_join" -> (Extended.saltedJoinRevenue _),
     "q78_centroid_distance" -> (Similarity.centroidDistance _),
+    "q79_histogram" -> (Extended.histogram _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -174,6 +175,11 @@ object SparkEntry {
         |SELECT doc_id, CAST(rn AS INT) AS rn, token, tf, df,
         |  ROUND(tfidf_raw * 10000, 0) / 10000 AS tfidf
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q79_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bin,
+        |  CAST(FLOOR(o_totalprice / 25000.0) AS INT) * 25000.0 AS bin_lo,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
     // q78: centroids sum 1e-6-quantized components (exact integer
     // sums, order-independent) — see Similarity.centroidDistance; the
     // distance fold mirrors the cosine kernel's left-to-right pattern

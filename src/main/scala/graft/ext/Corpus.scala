@@ -23,7 +23,16 @@ object Corpus {
   def chunkDocs(spark: SparkSession, d: String,
                 window: Int = 20, stride: Int = 15): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    chunkFrame(Tables.documents(spark, d), window, stride)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The chunking transform itself — narrow ops only, so it applies
+    * unchanged to a streaming frame (chunk-at-ingest): no state, no
+    * watermark, each micro-batch chunks independently. */
+  def chunkFrame(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", $"toks",
         posexplode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(stride))))
@@ -31,7 +40,6 @@ object Corpus {
         $"pos".as("chunk_idx"),
         least(lit(window), size($"toks") - $"col").as("n_chunk_tokens"),
         array_join(slice($"toks", $"col" + 1, lit(window)), " ").as("chunk_text"))
-      .orderBy($"doc_id", $"chunk_idx")
   }
 
   /** Token-budget sequence packing (concatenate-and-split): stream each

@@ -324,6 +324,24 @@ object Extended {
       .orderBy($"col_name")
   }
 
+  /** Equal-width histogram of a numeric column — the distribution
+    * half of [[profileColumns]]'s ANALYZE pass. Bin ids are exact
+    * (`floor(x / width)` on exactly-representable width), counts are
+    * integers, and empty bins are absent — a deterministic, mergeable
+    * "sketch" (bin counts add across partitions and across days),
+    * unlike engine-specific quantile sketches (q43's HLL caveat).
+    */
+  def histogram(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val width = 25000.0 // exactly representable; o_totalprice ∈ (~850, ~600k)
+    Tables.orders(spark, d)
+      .select(floor($"o_totalprice" / lit(width)).cast("int").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"))
+      .select($"bin", ($"bin" * lit(width)).as("bin_lo"), $"n")
+      .orderBy($"bin")
+  }
+
   /** Skew-resistant salted join ([[graft.operators.SaltedJoin]]):
     * revenue by order status through a 8-way salted lineitem⋈orders
     * join — results must equal the plain join (the oracle), while each

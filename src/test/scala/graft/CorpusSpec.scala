@@ -117,6 +117,27 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunking applies unchanged to a stream (chunk-at-ingest twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val query = Corpus.chunkFrame(input.toDF().toDF("doc_id", "text"), 20, 15)
+      .writeStream.format("memory").queryName("chunk_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val streamed = spark.table("chunk_stream_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+      val batch = Corpus.chunkDocs(spark, d)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("tfidf ranks rare terms above common ones within a doc") {
     val out = Corpus.tfidfTopTerms(spark, d, k = 3).collect()
     assert(out.nonEmpty)
