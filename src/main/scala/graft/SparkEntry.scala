@@ -177,7 +177,7 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q79_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bin,
-        |  CAST(FLOOR(o_totalprice / 25000.0) AS INT) * 25000.0 AS bin_lo,
+        |  CAST(CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS DOUBLE) * 25000.0 AS bin_lo,
         |  COUNT(*) AS n
         |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
     // q78: centroids sum 1e-6-quantized components (exact integer
@@ -251,7 +251,8 @@ object SparkEntry {
         |scored AS (
         |  SELECT tf.doc_id, tf.token, tf.tf, dfx.df, dlx.dl,
         |    ln((CAST(n.n_docs AS DOUBLE) - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dlx.dl / avgdl))) AS bm25_raw
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dlx.dl / avgdl))) AS bm25_raw
         |  FROM tf JOIN dfx USING (token) JOIN dlx USING (doc_id)
         |  CROSS JOIN st CROSS JOIN n),
         |ranked AS (
@@ -279,9 +280,11 @@ object SparkEntry {
         |      / len(toks) AS stop_ratio
         |  FROM t)
         |SELECT doc_id, n_tokens,
-        |  ROUND((avg_len * 0.5 + stop_ratio * 2.0 - n_tokens * 0.002) * 10000, 0)
+        |  ROUND((avg_len * 0.5 + stop_ratio * 2.0
+        |         - CAST(n_tokens AS DOUBLE) * 0.002) * 10000, 0)
         |    / 10000 AS quality,
-        |  (avg_len * 0.5 + stop_ratio * 2.0 - n_tokens * 0.002) >= 2.0 AS keep
+        |  (avg_len * 0.5 + stop_ratio * 2.0
+        |   - CAST(n_tokens AS DOUBLE) * 0.002) >= 2.0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
     // q72: floor (not round/cast) for the bucket index — DuckDB CAST
     // rounds while Spark's truncates; all arithmetic explicitly

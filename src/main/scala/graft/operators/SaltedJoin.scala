@@ -30,9 +30,16 @@ object SaltedJoin {
     * salted `buckets` ways by big-side `saltSource mod buckets`. */
   def equiJoin(big: DataFrame, small: DataFrame, key: String,
                saltSource: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     require(big.columns.contains(key) && small.columns.contains(key),
       s"both sides must carry join column '$key'")
-    val b = big.withColumn("__salt", pmod(col(saltSource), lit(buckets)).cast("int"))
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
+    // NULL saltSource must still salt somewhere (bucket 0), or the row
+    // would silently vanish from the join and break the ==-plain-join
+    // contract; NULL join KEYS drop in both forms, as equi-joins do
+    val b = big.withColumn("__salt",
+      coalesce(pmod(col(saltSource), lit(buckets)).cast("int"), lit(0)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     // shuffle_hash hint: salting exists precisely because the small
