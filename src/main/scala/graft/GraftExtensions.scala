@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CosineSimilarity, ShingleHash}
+import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOf}
 
 /** SparkSessionExtensions entry point — wire the engine's native
   * expressions into any session at build time:
@@ -15,12 +16,18 @@ import graft.functions.{CosineSimilarity, ShingleHash}
   * }}}
   *
   * makes `cosine_sim(a, b)` and `shingle_hash(text)` available to
-  * `spark.sql(...)` in every session of the application — the
-  * injection mechanism a custom Rule/Strategy would also use (none is
-  * needed for this engine's surface; see SURVEY.md §4).
+  * `spark.sql(...)` in every session, and registers the native as-of
+  * join lane: [[graft.plans.AsOfJoinStrategy]] lowers
+  * [[graft.plans.AsOfJoinPlan]] to the streamed-merge
+  * [[graft.plans.AsOfJoinExec]], and
+  * [[graft.plans.PushFilterThroughAsOf]] lets predicates above the
+  * join reach the scans (Catalyst's own pushdown can't see through a
+  * foreign node).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

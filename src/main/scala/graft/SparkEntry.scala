@@ -122,6 +122,25 @@ object SparkEntry {
     "q77_salted_join" -> (Extended.saltedJoinRevenue _),
     "q78_centroid_distance" -> (Similarity.centroidDistance _),
     "q79_histogram" -> (Extended.histogram _),
+    // Native-lane twin of q44: same semantics via the custom
+    // AsOfJoinPlan/AsOfJoinExec streamed merge instead of the
+    // union+window composition; shares q44's ASOF-join oracle.
+    "q80_asof_native" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = graft.sources.Tables.events(s, d)
+      graft.operators.AsOfJoin.asOfNative(
+          left = ev.filter($"event_type" === "click")
+            .select($"event_id", $"user_id", $"ts"),
+          right = ev.filter($"event_type" === "purchase")
+            .select($"event_id", $"user_id", $"ts", $"value"),
+          keys = Seq("user_id"), ts = "ts", tieBreak = "event_id")
+        .select($"user_id", $"event_id".as("click_id"),
+          org.apache.spark.sql.functions.unix_micros($"ts").as("click_ts_us"),
+          $"r_event_id".as("purchase_id"),
+          org.apache.spark.sql.functions.unix_micros($"r_ts").as("purchase_ts_us"),
+          $"r_value".as("purchase_value"))
+        .orderBy($"click_id")
+    }),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -338,6 +357,14 @@ object SparkEntry {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
     "q44_asof_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+        |  p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id""".stripMargin,
+    "q80_asof_native" ->
       """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
         |  p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
         |  p.value AS purchase_value

@@ -64,4 +64,50 @@ object AsOfJoin {
       rCols.map(c => col(s"__rm.$c").as(s"$rightPrefix$c"))
     matched.select(out: _*)
   }
+
+  /** Native-lane as-of join — same semantics and output shape as
+    * [[asOf]], but planned through the custom
+    * [[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]
+    * streamed merge instead of the union+window composition. At scale
+    * this holds O(1) per-partition state (one candidate right row)
+    * where the window form buffers frames through the sort, declares
+    * its distribution so a bucketed/pre-shuffled layout skips the
+    * exchange, and lets [[graft.plans.PushFilterThroughAsOf]] move
+    * predicates down to the scans.
+    *
+    * Registers the planner lane on the session if absent
+    * ([[graft.GraftRuntime.ensure]]).
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                 tieBreak: String, rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = left.sparkSession
+    graft.GraftRuntime.ensure(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // Self-join safety: the analyzer's relation-dedup never sees this
+    // plan (children arrive pre-analyzed), so when both sides derive
+    // from the same source their attrs share exprIds — re-alias the
+    // right side with fresh ones.
+    val rPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column '$name' not found in ${plan.output.map(_.name)}"))
+    val plan = graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, ts), attr(rPlan, ts), attr(rPlan, tieBreak))
+    val joined = Bridge.ofRows(spark, plan)
+    // Match the composed form's output: keys once (left copy), left
+    // non-key cols as-is, right non-key cols prefixed. Attribute refs
+    // resolve by exprId, so the duplicate ts/key names are unambiguous.
+    val outCols = keys.map(k => Bridge.column(attr(lPlan, k))) ++
+      lPlan.output.filterNot(a => keys.contains(a.name)).map(a => Bridge.column(a).as(a.name)) ++
+      rPlan.output.filterNot(a => keys.contains(a.name)).map(a => Bridge.column(a).as(s"$rightPrefix${a.name}"))
+    joined.select(outCols: _*)
+  }
 }

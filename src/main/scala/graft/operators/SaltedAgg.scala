@@ -11,17 +11,18 @@ import org.apache.spark.sql.functions._
   * unsalted groupBy when the partial/merge pair is algebraic
   * (sum/count here; exact decimal sums keep it order-independent).
   *
-  * The salt is deterministic (a secondary column mod buckets), not
+  * The salt is deterministic (`hash(saltSource) mod buckets`), not
   * random — reruns produce identical partials, and the oracle compares
-  * against the plain GROUP BY.
+  * against the plain GROUP BY. Hashing keeps the spread full-width
+  * even for narrow-range salt sources (see [[SaltedJoin]]).
   */
 object SaltedAgg {
 
   /** sum+count of `valueCol` (as DECIMAL(18,2)) per `key`, salted by
-    * `saltSource mod buckets`. */
+    * `hash(saltSource) mod buckets`. */
   def sumCount(df: DataFrame, key: String, valueCol: String,
                saltSource: String, buckets: Int): DataFrame =
-    df.withColumn("__salt", pmod(col(saltSource), lit(buckets)))
+    df.withColumn("__salt", pmod(hash(col(saltSource)), lit(buckets)))
       .groupBy(col(key), col("__salt"))
       .agg(
         sum(col(valueCol).cast("decimal(18,2)")).as("__psum"),

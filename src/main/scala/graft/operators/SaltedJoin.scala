@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * in-between; this operator is the explicit form that doesn't depend
   * on runtime stats, e.g. for a first run with no history.)
   *
-  * The salt is deterministic (`saltSource mod buckets`, same policy as
-  * [[SaltedAgg]]) so reruns produce identical intermediate partitions
-  * and the oracle compares against the plain join.
+  * The salt is deterministic (`hash(saltSource) mod buckets`, same
+  * policy as [[SaltedAgg]]) so reruns produce identical intermediate
+  * partitions and the oracle compares against the plain join. Hashing
+  * the salt source (rather than using it mod buckets directly) keeps
+  * the spread full-width even when the source has a narrow or skewed
+  * range — e.g. l_linenumber ∈ 1..7 would otherwise never hit bucket 0
+  * and land 8-way salt on ≤7 buckets.
   */
 object SaltedJoin {
 
@@ -35,11 +39,11 @@ object SaltedJoin {
       s"both sides must carry join column '$key'")
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
       "inputs must not already carry a __salt column")
-    // NULL saltSource must still salt somewhere (bucket 0), or the row
-    // would silently vanish from the join and break the ==-plain-join
+    // hash() maps NULL to its seed (non-null), so NULL saltSource rows
+    // still salt deterministically and keep the ==-plain-join
     // contract; NULL join KEYS drop in both forms, as equi-joins do
     val b = big.withColumn("__salt",
-      coalesce(pmod(col(saltSource), lit(buckets)).cast("int"), lit(0)))
+      pmod(hash(col(saltSource)), lit(buckets)).cast("int"))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     // shuffle_hash hint: salting exists precisely because the small

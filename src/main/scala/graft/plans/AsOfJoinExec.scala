@@ -79,7 +79,12 @@ case class AsOfJoinExec(
       val rTsProj = UnsafeProjection.create(Seq(rTsExpr), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsExpr.dataType))
-      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Bind against the nullability-adjusted output (right side is
+      // withNullability(true)), not lOut ++ rOut: binding to the raw
+      // child attrs would keep non-nullable right refs, so projecting
+      // the all-null row for unmatched left rows would read garbage
+      // instead of null (same pattern as SortMergeJoinExec).
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
       val rBuf = rIter.buffered

@@ -1,15 +1,15 @@
 package graft.plans
 
-import org.apache.spark.sql.Strategy
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 /** Planner strategy lowering [[AsOfJoinPlan]] to [[AsOfJoinExec]].
-  * Registered either through `spark.experimental.extraStrategies`
-  * ([[GraftRuntime.ensure]]) or `spark.sql.extensions`
-  * ([[GraftExtensions]]).
+  * Registered through `spark.sql.extensions` ([[graft.GraftExtensions]]
+  * `injectPlannerStrategy`). Spark 4 removed the `sql.Strategy` alias;
+  * [[SparkStrategy]] is the concrete public-ish base that carries
+  * `planLater`.
   */
-object AsOfJoinStrategy extends Strategy {
+object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil

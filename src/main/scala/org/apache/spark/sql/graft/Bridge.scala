@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge into `private[sql]` Spark 4 internals, the standard pattern
@@ -18,6 +19,26 @@ object Bridge {
 
   /** Unwrap a Column to its analyzed catalyst Expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a custom LogicalPlan as a user-facing DataFrame —
+    * `Dataset.ofRows` went `private[sql]`-classic in Spark 4. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently register runtime planner hooks on a live session —
+    * the post-`getOrCreate` twin of `spark.sql.extensions` for
+    * sessions the library didn't build. */
+  def addRuntimeRules(
+      spark: SparkSession,
+      strategies: Seq[org.apache.spark.sql.execution.SparkStrategy],
+      optimizations: Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    exp.extraStrategies =
+      (exp.extraStrategies ++ strategies.filterNot(exp.extraStrategies.contains)).toList
+    exp.extraOptimizations =
+      (exp.extraOptimizations ++ optimizations.filterNot(exp.extraOptimizations.contains)).toList
+  }
 
   /** Register a SQL-callable function backed by a native Expression. */
   def registerFunction(spark: SparkSession, name: String,

@@ -34,7 +34,8 @@ class SaltedJoinSpec extends SparkSpec {
   }
 
   test("the hot key spreads across all salt buckets") {
-    val b = skewed.withColumn("__salt", pmod($"seq", lit(8)).cast("int"))
+    // same salt the operator computes: hash(saltSource) mod buckets
+    val b = skewed.withColumn("__salt", pmod(hash($"seq"), lit(8)).cast("int"))
     val spread = b.filter($"key" === 0L)
       .groupBy($"__salt").count().collect()
     assert(spread.length == 8, "hot key must occupy every salt bucket")
