@@ -141,6 +141,26 @@ object SparkEntry {
           $"r_value".as("purchase_value"))
         .orderBy($"click_id")
     }),
+    "q81_crossdoc_dup" -> (Dedup.crossDocDup _),
+    "q82_kmeans_step" -> ((s: SparkSession, d: String) => Similarity.kmeansStep(s, d)),
+    // MERGE INTO analog: customers outside BUILDING are the base,
+    // orders are a CDC feed (o_orderkey = sequence); latest order
+    // price overwrites the account balance, unseen custkeys insert.
+    "q83_merge_upsert" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = graft.sources.Tables.customer(s, d)
+        .filter($"c_mktsegment" =!= "BUILDING")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      val feed = graft.sources.Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      graft.operators.Upsert.latestWins(base, feed,
+          baseKey = "c_custkey", updKey = "o_custkey", seq = "o_orderkey",
+          setCols = Map("c_acctbal" -> "o_totalprice"))
+        .orderBy($"c_custkey")
+    }),
+    "q84_unigram_score" -> (TextStats.unigramScore _),
+    "q85_dedup_survivors" -> (Dedup.dedupSurvivors _),
+    "q86_bpe_pairs" -> ((s: SparkSession, d: String) => Corpus.bpePairs(s, d)),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -221,6 +241,34 @@ object SparkEntry {
         |    (a, b) -> a + b)) * 10000, 0) / 10000 AS dist
         |FROM embeddings e JOIN cent USING (label)
         |ORDER BY vec_id""".stripMargin,
+    // q82: distances fold left-to-right exactly like the Spark
+    // zip_with+aggregate kernel, so the MIN/equality argmin agrees
+    // bit-for-bit; new centroids divide 1e-6-quantized integer sums
+    // (q78's order-independence trick); assignment ties → MIN(cid)
+    "q82_kmeans_step" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(range(0, least(len(e.embedding), len(cv))),
+        |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(cv[i+1] AS DOUBLE))
+        |         * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(cv[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM embeddings e CROSS JOIN c),
+        |best AS (SELECT vec_id, MIN(d2) AS d2min FROM scored GROUP BY vec_id),
+        |assign AS (
+        |  SELECT s.vec_id, MIN(s.cid) AS cid
+        |  FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.d2 = b.d2min
+        |  GROUP BY s.vec_id),
+        |ex AS (
+        |  SELECT a.cid,
+        |    unnest(range(0, len(e.embedding))) AS dim,
+        |    unnest(list_transform(e.embedding,
+        |      x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0))) AS iv
+        |  FROM assign a JOIN embeddings e USING (vec_id))
+        |SELECT cid, CAST(dim AS INT) AS dim, CAST(COUNT(*) AS INT) AS n_assigned,
+        |  ROUND(SUM(iv) / COUNT(*) / 1000000.0 * 10000, 0) / 10000 AS c
+        |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     "q76_profile_columns" ->
       """WITH m AS (
         |  SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
@@ -287,6 +335,51 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    // q83: latest-wins MERGE — max_by collapses the feed per key
+    // (o_orderkey is a unique sequence, so the winner is
+    // deterministic on both engines), full outer join applies it
+    "q83_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_mktsegment <> 'BUILDING'),
+        |latest AS (
+        |  SELECT o_custkey, max_by(o_totalprice, o_orderkey) AS v
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS c_custkey,
+        |  c_name,
+        |  COALESCE(v, c_acctbal) AS c_acctbal,
+        |  CASE WHEN o_custkey IS NULL THEN 'keep'
+        |       WHEN c_custkey IS NULL THEN 'insert'
+        |       ELSE 'update' END AS op
+        |FROM base FULL OUTER JOIN latest ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    // q84: the per-token summand is exact integer division
+    // (n_total·10⁴ div cnt), so per-doc sums are order-independent
+    // integer adds on both engines — see TextStats.unigramScore
+    "q84_unigram_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token != ''),
+        |cnt AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+        |tot AS (SELECT SUM(cnt) AS n_total FROM cnt)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  ROUND(CAST(SUM((n_total * 10000) // cnt) AS DOUBLE)
+        |        / COUNT(*) / 10000.0 * 10000, 0) / 10000 AS rarity_score
+        |FROM tk JOIN cnt USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q86: pairs over empty-filtered tokens; range(len-1) is the same
+    // index grid as Spark's sequence(0, size-2)
+    "q86_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT pair, COUNT(*) AS freq FROM p GROUP BY pair
+        |ORDER BY freq DESC, pair LIMIT 30""".stripMargin,
     "q75_quality_filter" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (
@@ -780,6 +873,35 @@ object SparkEntry {
            |)
            |SELECT id AS doc_id, MIN(m) AS cluster_id
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      // q81: counts are over per-doc DISTINCT shingle hashes, so nd =
+      // #docs containing the shingle; dup_frac divides exact ints
+      "q81_crossdoc_dup" ->
+        s"""WITH hs0 AS (SELECT doc_id, $ShingleHashes AS hashes FROM documents),
+           |ex AS (SELECT doc_id, unnest(hashes) AS h FROM hs0 WHERE len(hashes) > 0),
+           |cnt AS (SELECT h, COUNT(*) AS nd FROM ex GROUP BY h)
+           |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+           |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS INT) AS n_dup,
+           |  ${r4sql("CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS dup_frac
+           |FROM ex JOIN cnt USING (h)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // q85: same recursive component chain as q54, applied — drop
+      // non-canonical cluster members, aggregate the survivors
+      "q85_dedup_survivors" ->
+        s"""WITH RECURSIVE $lshCandCtes,
+           |edges AS (
+           |  SELECT a_id AS a, b_id AS b FROM cand
+           |  UNION ALL SELECT b_id, a_id FROM cand
+           |),
+           |reach(id, m) AS (
+           |  SELECT a, a FROM edges GROUP BY a
+           |  UNION
+           |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.id
+           |),
+           |dropset AS (SELECT id FROM reach GROUP BY id HAVING MIN(m) <> id)
+           |SELECT lang, CAST(COUNT(*) AS INT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropset)
+           |GROUP BY lang ORDER BY lang""".stripMargin,
       "q28_simhash" ->
         s"""WITH hs AS (SELECT doc_id, $TokHashes AS hashes FROM documents)
            |SELECT doc_id, CAST($simhashBits AS INT) AS simhash16

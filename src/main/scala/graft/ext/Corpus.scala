@@ -207,4 +207,28 @@ object Corpus {
         array_max($"q").cast("bigint").as("q_max"))
       .orderBy($"vec_id")
   }
+
+  /** Adjacent-token-pair counts — the first merge-candidate scan of a
+    * BPE tokenizer-training run (count every adjacent symbol pair
+    * across the corpus, with multiplicity; the top pair becomes the
+    * next merge rule). Complements [[graft.ext.TextStats.vocabulary]]
+    * (the unigram pass).
+    *
+    * Map-only pair explosion (one `transform` over index positions —
+    * no self-join, no window), then a partial-agg count where each
+    * task forwards one row per distinct pair, and a bounded top-k
+    * presentation (TakeOrderedAndProject — the full pair vocabulary
+    * never sorts globally).
+    */
+  def bpePairs(spark: SparkSession, d: String, k: Int = 30): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(filter(split($"text", " "), t => t =!= "").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(0), size($"toks") - 2),
+        i => concat_ws(" ", get($"toks", i), get($"toks", i + 1)))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"pair")
+      .limit(k)
+  }
 }

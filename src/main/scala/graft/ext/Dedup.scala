@@ -298,6 +298,56 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Cross-document duplicated-shingle fraction — the scalable
+    * stand-in for exact-substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data" suffix-array pass): for each
+    * document, the share of its distinct 3-token shingles that occur
+    * in at least one other document. High fractions flag boilerplate
+    * and templated spans that whole-document LSH similarity misses.
+    *
+    * Shape at scale: explode to (doc_id, hash) → count per hash →
+    * join back → per-doc aggregate. Two shuffles on an 8-byte hash
+    * key, partial aggregation on both groupBys, no pairwise document
+    * comparison anywhere — linear in total corpus shingles.
+    */
+  def crossDocDup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ex = hashSets(spark, d).select($"doc_id", explode($"hashes").as("h"))
+    // hashes are distinct per doc, so nd = #documents containing h
+    val counts = ex.groupBy($"h").agg(count(lit(1)).as("nd"))
+    ex.join(counts, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shingles"),
+           sum(when($"nd" >= 2, 1).otherwise(0)).cast("int").as("n_dup"))
+      .select($"doc_id", $"n_shingles", $"n_dup",
+        r4($"n_dup".cast("double") / $"n_shingles").as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus materialization after near-dup resolution — the step that
+    * actually APPLIES [[dupClusters]]: drop every document that sits in
+    * an LSH duplicate cluster but is not its canonical (minimum-id)
+    * member, then report the surviving corpus per language.
+    *
+    * The drop set is bounded by the docs that appear in candidate
+    * pairs — tiny relative to the corpus by LSH construction — so it
+    * broadcasts; the corpus itself never shuffles: scan → broadcast
+    * anti-join → partial agg. At 100 TB this is the shape you want for
+    * "write the deduplicated corpus": the only wide op is over the
+    * dup graph, never the data.
+    */
+  def dedupSurvivors(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val drop = dupClusters(spark, d)
+      .filter($"doc_id" =!= $"cluster_id").select($"doc_id")
+    Tables.documents(spark, d)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+           sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
   /** SimHash: 16-bit signature — bit b is the sign of the sum of ±1
     * votes from each token hash's bit b. Near-dup docs have signatures
     * within small Hamming distance (pairing by signature bucket is then

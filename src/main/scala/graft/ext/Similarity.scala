@@ -197,4 +197,47 @@ object Similarity {
       .select($"vec_id", $"label", r4($"dist_raw").as("dist"))
       .orderBy($"vec_id")
   }
+
+  /** One distributed Lloyd iteration (k-means) — the centroid-training
+    * step an IVF index builder ([[ivfTopK]] consumes cells) loops:
+    * seed centroids = the first k vectors (deterministic), assign each
+    * vector to its nearest centroid, recompute centroids as
+    * per-dimension means of their members.
+    *
+    * Shuffle profile is the canonical mapreduce k-means shape:
+    * assignment is MAP-ONLY (k centroids broadcast; per-row argmin);
+    * the update is one partial-agg shuffle keyed (cid, dim) whose
+    * width is k×dim regardless of corpus size. Determinism: distances
+    * fold left-to-right in both engines so exact-double comparisons
+    * agree; ties break to the smallest centroid id; means divide
+    * quantized integer sums (`floor(v·1e6)`, the [[centroidDistance]]
+    * trick) so results are partition-order-independent.
+    */
+  def kmeansStep(spark: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val cent = emb.filter($"vec_id" < k)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val d2 = aggregate(
+      zip_with($"embedding", $"cv",
+        (a, b) => (a.cast("double") - b.cast("double")) *
+                  (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(cent))
+      .select($"vec_id", $"cid", d2.as("d2"))
+    val best = scored.groupBy($"vec_id").agg(min($"d2").as("d2min"))
+    val assign = scored.join(best, "vec_id")
+      .filter($"d2" === $"d2min")
+      .groupBy($"vec_id").agg(min($"cid").as("cid"))
+    emb.join(assign, "vec_id")
+      .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"cid", $"dim")
+      .agg(sum(floor($"v".cast("double") * 1000000.0)).as("isum"),
+           count(lit(1)).as("n"))
+      .select($"cid", $"dim".cast("int").as("dim"),
+        $"n".cast("int").as("n_assigned"),
+        r4($"isum" / $"n" / 1000000.0).as("c"))
+      .orderBy($"cid", $"dim")
+  }
 }

@@ -179,4 +179,37 @@ object TextStats {
           .as("winnow_fp"))
       .orderBy($"doc_id")
   }
+
+  /** Unigram language-model rarity score — the corpus-statistics
+    * quality signal (the cheap cousin of KenLM perplexity filtering):
+    * train a unigram model from corpus token counts, score each
+    * document by the mean inverse token probability
+    * `avg(N_total / count(token))` over its tokens (with
+    * multiplicity). Rare-token-heavy docs score high; boilerplate
+    * scores near its copy count's inverse frequency.
+    *
+    * The per-token summand is computed as EXACT integer division
+    * `(N_total · 10⁴) div count` so per-doc sums are integer adds —
+    * order-independent under any parallelism and bit-identical across
+    * engines (a float `-log p` sum would be neither). Shape at scale:
+    * explode → token-count partial agg → join back on the token (AQE
+    * broadcasts the vocabulary when it fits) → per-doc partial agg.
+    */
+  def unigramScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val counts = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt").as("n_total"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", expr("(n_total * 10000) div cnt").as("inv"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+           sum($"inv").as("inv_sum"))
+      .select($"doc_id", $"n_tokens",
+        r4($"inv_sum".cast("double") / $"n_tokens" / 10000.0).as("rarity_score"))
+      .orderBy($"doc_id")
+  }
 }

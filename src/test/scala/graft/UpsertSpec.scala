@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** Latest-wins MERGE semantics: keep / update / insert rows, highest
+  * sequence wins per key, null update values keep the base value, and
+  * the plan collapses the feed with a partial aggregate instead of a
+  * window.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "alice", 10.0),
+    (2L, "bob", 20.0),
+    (3L, "carol", 30.0)
+  ).toDF("k", "name", "bal")
+
+  // key 2: two updates, seq 11 must win; key 9: insert; key 1: one
+  // update with a NULL value → base value survives (COALESCE)
+  private def feed = Seq(
+    (2L, 10L, Some(200.0)),
+    (2L, 11L, Some(211.0)),
+    (9L, 12L, Some(900.0)),
+    (1L, 13L, None: Option[Double])
+  ).toDF("k", "seq", "v")
+
+  private def merged =
+    Upsert.latestWins(base, feed, "k", "k", "seq", Map("bal" -> "v"))
+
+  test("keep / update / insert rows with latest-seq winner") {
+    val rows = merged.orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "alice", 10.0, "update"), // null update value keeps base bal
+      (2L, "bob", 211.0, "update"),
+      (3L, "carol", 30.0, "keep"),
+      (9L, null, 900.0, "insert")))
+  }
+
+  test("feed collapses via aggregate, not a window") {
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
+    assert(plan.contains("max_by") || plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"), s"expected aggregate collapse:\n$plan")
+  }
+
+  test("update feed with duplicate winners per key is impossible by construction") {
+    // 1000 updates for one key: exactly one merged row comes out
+    val big = (0 until 1000).map(i => (2L, i.toLong, Some(i.toDouble)))
+      .toDF("k", "seq", "v")
+    val out = Upsert.latestWins(base, big, "k", "k", "seq", Map("bal" -> "v"))
+    assert(out.count() == base.count())
+    val r = out.filter($"k" === 2L).select($"bal").as[Double].head()
+    assert(r == 999.0)
+  }
+}
