@@ -226,10 +226,13 @@ object Similarity {
     val scored = emb.select($"vec_id", $"embedding")
       .crossJoin(broadcast(cent))
       .select($"vec_id", $"cid", d2.as("d2"))
-    val best = scored.groupBy($"vec_id").agg(min($"d2").as("d2min"))
-    val assign = scored.join(best, "vec_id")
-      .filter($"d2" === $"d2min")
-      .groupBy($"vec_id").agg(min($"cid").as("cid"))
+    // argmin as ONE algebraic aggregate: min_by over (d2, cid) is
+    // map-side combinable, so each task forwards one candidate per
+    // vector — no min+equality re-join of the N×k scored set (the
+    // oracle keeps that formulation; results are identical, ties
+    // break to the smaller cid through the struct ordering)
+    val assign = scored.groupBy($"vec_id")
+      .agg(min_by($"cid", struct($"d2", $"cid")).as("cid"))
     emb.join(assign, "vec_id")
       .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
       .groupBy($"cid", $"dim")
