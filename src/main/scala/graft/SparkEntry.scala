@@ -161,6 +161,7 @@ object SparkEntry {
     "q84_unigram_score" -> (TextStats.unigramScore _),
     "q85_dedup_survivors" -> (Dedup.dedupSurvivors _),
     "q86_bpe_pairs" -> ((s: SparkSession, d: String) => Corpus.bpePairs(s, d)),
+    "q87_kmeans_train" -> ((s: SparkSession, d: String) => Similarity.kmeansTrain(s, d)),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -269,6 +270,43 @@ object SparkEntry {
         |SELECT cid, CAST(dim AS INT) AS dim, CAST(COUNT(*) AS INT) AS n_assigned,
         |  ROUND(SUM(iv) / COUNT(*) / 1000000.0 * 10000, 0) / 10000 AS c
         |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+    // q87: q82's Lloyd round unrolled TWICE — determinism must carry
+    // through the intermediate centroids (quantized-integer means,
+    // dim-ordered array assembly, left-to-right distance folds)
+    "q87_kmeans_train" -> {
+      def round(i: Int, centCte: String): String =
+        s"""s$i AS (
+           |  SELECT e.vec_id, c.cid,
+           |    list_reduce(list_transform(range(0, least(len(e.embedding), len(cv))),
+           |      j -> (CAST(e.embedding[j+1] AS DOUBLE) - cv[j+1])
+           |         * (CAST(e.embedding[j+1] AS DOUBLE) - cv[j+1])),
+           |      (a, b) -> a + b) AS d2
+           |  FROM embeddings e CROSS JOIN $centCte c),
+           |b$i AS (SELECT vec_id, MIN(d2) AS d2min FROM s$i GROUP BY vec_id),
+           |a$i AS (
+           |  SELECT s.vec_id, MIN(s.cid) AS cid
+           |  FROM s$i s JOIN b$i b ON s.vec_id = b.vec_id AND s.d2 = b.d2min
+           |  GROUP BY s.vec_id),
+           |e$i AS (
+           |  SELECT a.cid,
+           |    unnest(range(0, len(e.embedding))) AS dim,
+           |    unnest(list_transform(e.embedding,
+           |      x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0))) AS iv
+           |  FROM a$i a JOIN embeddings e USING (vec_id)),
+           |p$i AS (SELECT cid, dim, SUM(iv) AS isum, COUNT(*) AS n
+           |        FROM e$i GROUP BY cid, dim)""".stripMargin
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |${round(1, "c0")},
+         |c1 AS (SELECT cid, list(isum / n / 1000000.0 ORDER BY dim) AS cv
+         |       FROM p1 GROUP BY cid),
+         |${round(2, "c1")}
+         |SELECT cid, CAST(dim AS INT) AS dim, CAST(n AS INT) AS n_assigned,
+         |  ROUND(isum / n / 1000000.0 * 10000, 0) / 10000 AS c
+         |FROM p2 ORDER BY cid, dim""".stripMargin
+    },
     "q76_profile_columns" ->
       """WITH m AS (
         |  SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,

@@ -243,4 +243,57 @@ object Similarity {
         r4($"isum" / $"n" / 1000000.0).as("c"))
       .orderBy($"cid", $"dim")
   }
+
+  /** Full Lloyd training loop — [[kmeansStep]] iterated: each round is
+    * assignment (map-only vs broadcast centroids) + one (cid, dim)
+    * partial-agg shuffle, the textbook distributed k-means cost model;
+    * the centroid frame that flows between rounds is k×dim rows, so
+    * every iteration's driver-side footprint is constant regardless of
+    * corpus size.
+    *
+    * Cross-engine determinism carries through ITERATIONS, not just one
+    * step: means divide quantized integer sums (deterministic
+    * doubles), centroid arrays assemble in dim order on both engines,
+    * and distance folds run left-to-right — so round r+1's argmin
+    * compares bit-identical doubles no matter the engine or partition
+    * layout. The oracle unrolls the same two rounds in SQL.
+    */
+  def kmeansTrain(spark: SparkSession, d: String, k: Int = 8,
+                  iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val d2 = aggregate(
+      zip_with($"embedding", $"cv",
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    // partials → (cid, cv) centroid frame, elements in dim order
+    def toCent(partials: DataFrame): DataFrame = partials
+      .groupBy($"cid")
+      .agg(transform(
+        array_sort(collect_list(struct($"dim",
+          ($"isum" / $"n" / 1000000.0).as("c")))),
+        x => x.getField("c")).as("cv"))
+    def step(cent: DataFrame): DataFrame = {
+      val assign = emb.select($"vec_id", $"embedding")
+        .crossJoin(broadcast(cent))
+        .select($"vec_id", $"cid", d2.as("d2"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d2", $"cid")).as("cid"))
+      emb.join(assign, "vec_id")
+        .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"cid", $"dim")
+        .agg(sum(floor($"v".cast("double") * 1000000.0)).as("isum"),
+             count(lit(1)).as("n"))
+    }
+    val init = emb.filter($"vec_id" < k)
+      .select($"vec_id".as("cid"),
+        transform($"embedding", x => x.cast("double")).as("cv"))
+    var partials = step(init)
+    for (_ <- 1 until iters) partials = step(toCent(partials))
+    partials
+      .select($"cid", $"dim".cast("int").as("dim"),
+        $"n".cast("int").as("n_assigned"),
+        r4($"isum" / $"n" / 1000000.0).as("c"))
+      .orderBy($"cid", $"dim")
+  }
 }
