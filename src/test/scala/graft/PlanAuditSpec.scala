@@ -65,4 +65,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
       "salted join must take the shuffle-join path")
   }
+
+  test("q82/q87: k-means assignment broadcasts the centroids, never shuffles the corpus against them") {
+    for (q <- Seq("q82_kmeans_step", "q87_kmeans_train")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"$q: centroid side must broadcast")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: no un-broadcast cartesian against the corpus")
+      assert(!plan.contains("Window"),
+        s"$q: argmin must be the algebraic min_by aggregate, not a window")
+    }
+  }
+
+  test("q83: MERGE feed collapses below the exchange (map-side partial max_by)") {
+    val plan = planOf("q83_merge_upsert")
+    assert(!plan.contains("Window"),
+      "latest-wins collapse must be an aggregate, not a row_number window")
+    // partial agg before the exchange: two agg nodes around one shuffle
+    val aggs = "Aggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final aggregate pair, found $aggs")
+  }
+
+  test("q81: duplicated-shingle scoring never plans a pairwise doc join") {
+    val plan = planOf("q81_crossdoc_dup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "cross-doc dup fraction must stay linear: explode + count + equi-join back")
+  }
 }
