@@ -162,6 +162,8 @@ object SparkEntry {
     "q85_dedup_survivors" -> (Dedup.dedupSurvivors _),
     "q86_bpe_pairs" -> ((s: SparkSession, d: String) => Corpus.bpePairs(s, d)),
     "q87_kmeans_train" -> ((s: SparkSession, d: String) => Similarity.kmeansTrain(s, d)),
+    "q88_semantic_dedup" -> (Similarity.semanticDedup _),
+    "q89_content_chunks" -> ((s: SparkSession, d: String) => Corpus.contentChunks(s, d)),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -406,6 +408,43 @@ object SparkEntry {
         |        / COUNT(*) / 10000.0 * 10000, 0) / 10000 AS rarity_score
         |FROM tk JOIN cnt USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q89: token hashes + window folds + boundary grid all mirror the
+    // Spark side exactly (integer hashing end-to-end, no rounding);
+    // bpos is 0-based positions, DuckDB list indexing is 1-based —
+    // bpos[j] below reads 0-based element j-1
+    "q89_content_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    list_transform(string_split(text, ' '), tk ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_filter(string_split(tk, ''), c -> c != ''),
+        |          c -> CAST(ord(c) AS BIGINT))),
+        |        (a, b) -> (a * 31 + b) % 2147483647)) AS th
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, th,
+        |    list_filter(range(len(th)), i ->
+        |      i = len(th) - 1 OR
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          th[greatest(i - 2, 0) + 1 : i + 1]),
+        |        (a, h) -> (a * 31 + h) % 2147483647) % 16 = 0) AS bpos
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, toks, th, bpos,
+        |    unnest(range(len(bpos))) AS chunk_idx
+        |  FROM b)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(st AS INT) AS start_tok, CAST(en AS INT) AS end_tok,
+        |  CAST(en - st + 1 AS INT) AS n_chunk_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), th[st + 1 : en + 1]),
+        |    (a, h) -> (a * 31 + h) % 2147483647) AS chunk_hash,
+        |  array_to_string(toks[st + 1 : en + 1], ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, toks, th, chunk_idx,
+        |    CASE WHEN chunk_idx = 0 THEN 0 ELSE bpos[chunk_idx] + 1 END AS st,
+        |    bpos[chunk_idx + 1] AS en
+        |  FROM c)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // q86: pairs over empty-filtered tokens; range(len-1) is the same
     // index grid as Spark's sequence(0, size-2)
     "q86_bpe_pairs" ->
@@ -815,6 +854,47 @@ object SparkEntry {
          |  JOIN (SELECT vec_id AS a_id, embedding AS av FROM embeddings) ea USING (a_id)
          |  JOIN (SELECT vec_id AS b_id, embedding AS bv FROM embeddings) eb USING (b_id)
          |) WHERE score_raw >= ${Similarity.HpThreshold} ORDER BY a_id, b_id""".stripMargin,
+    // q88: q57's verified pair chain + recursive components (q54's
+    // pattern) + anti-join survivor counts per label
+    "q88_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, band_idx,
+         |    list_sum(list_transform(range(${Similarity.HpRows}), r ->
+         |      CASE WHEN list_reduce(list_transform(range(d), i ->
+         |          CAST(embedding[i+1] AS DOUBLE) *
+         |          ((1103515245 * ((band_idx * ${Similarity.HpRows} + r) * d + i) + 12345) % 2147483647 - 1073741823)),
+         |        (x, y) -> x + y) > 0
+         |      THEN 1 << r ELSE 0 END)) AS band_key
+         |  FROM e, (SELECT unnest(range(${Similarity.HpBands})) AS band_idx) b
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
+         |  FROM banded a JOIN banded bb USING (band_idx, band_key)
+         |  WHERE a.vec_id < bb.vec_id
+         |),
+         |ver AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, ${cosSql("av", "bv")} AS score_raw
+         |    FROM cand
+         |    JOIN (SELECT vec_id AS a_id, embedding AS av FROM embeddings) ea USING (a_id)
+         |    JOIN (SELECT vec_id AS b_id, embedding AS bv FROM embeddings) eb USING (b_id)
+         |  ) WHERE score_raw >= ${Similarity.HpThreshold}
+         |),
+         |edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM ver
+         |  UNION ALL SELECT b_id, a_id FROM ver
+         |),
+         |reach(id, m) AS (
+         |  SELECT a, a FROM edges GROUP BY a
+         |  UNION
+         |  SELECT g.a, r.m FROM edges g JOIN reach r ON g.b = r.id
+         |),
+         |dropset AS (SELECT id FROM reach GROUP BY id HAVING MIN(m) <> id)
+         |SELECT label, CAST(COUNT(*) AS INT) AS n_vectors,
+         |  CAST(SUM(CASE WHEN vec_id NOT IN (SELECT id FROM dropset)
+         |            THEN 1 ELSE 0 END) AS INT) AS n_survivors
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
   )
 
   // ---- DuckDB oracle fragments shared by the documents-table queries ----

@@ -220,6 +220,56 @@ object Corpus {
     * presentation (TakeOrderedAndProject — the full pair vocabulary
     * never sorts globally).
     */
+  /** Content-defined chunking — rolling-hash boundaries instead of the
+    * fixed token grid of [[chunkDocs]]: a chunk ends wherever the
+    * polynomial hash of the trailing `window`-token context ≡ 0 mod
+    * `mask` (and at end-of-document). Insertions or deletions only
+    * reflow chunks NEAR the edit — downstream chunk-hash dedup
+    * (the `chunk_hash` output feeds the same hash-groupBy as
+    * [[graft.ext.Dedup.hashDedup]]) then re-uses every untouched
+    * chunk, which is the property fixed grids lack and the reason CDC
+    * storage systems chunk this way.
+    *
+    * Entirely map-only (token hashes come from the native ShingleHash
+    * expression; boundaries, spans, and chunk hashes are per-row array
+    * folds) — no shuffle before the presentation sort, so it scales
+    * like every other scoring pass.
+    */
+  def contentChunks(spark: SparkSession, d: String,
+                    window: Int = 3, mask: Long = 16L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
+    val P = graft.ext.Dedup.P
+    val th0 = Bridge.column(graft.functions.ShingleHash(
+      Bridge.expression($"text"), n = 1, distinct = false))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, h) => (acc * 31 + h) % P)
+    val n = size($"th")
+    def wh(i: Column): Column = {
+      val start = greatest(i - (window - 1), lit(0))
+      fold(slice($"th", start + 1, i - start + 1))
+    }
+    val len = $"se.end" - $"se.start" + 1
+    Tables.documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("toks"), th0.as("th"))
+      .withColumn("bpos", filter(sequence(lit(0), n - 1),
+        i => (i === n - 1) || (wh(i) % mask === 0)))
+      .select($"doc_id", $"toks", $"th",
+        posexplode(transform(sequence(lit(0), size($"bpos") - 1),
+          j => struct(
+            when(j === 0, lit(0)).otherwise(get($"bpos", j - 1) + 1).as("start"),
+            get($"bpos", j).as("end"))))
+          .as(Seq("chunk_idx", "se")))
+      .select($"doc_id",
+        $"chunk_idx".cast("int").as("chunk_idx"),
+        $"se.start".cast("int").as("start_tok"),
+        $"se.end".cast("int").as("end_tok"),
+        len.cast("int").as("n_chunk_tokens"),
+        fold(slice($"th", $"se.start" + 1, len)).as("chunk_hash"),
+        array_join(slice($"toks", $"se.start" + 1, len), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   def bpePairs(spark: SparkSession, d: String, k: Int = 30): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)

@@ -208,12 +208,21 @@ object Dedup {
   val EdgesPerPartition = 2000000L
 
   def dupClusters(spark: SparkSession, d: String,
-                  maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+                  maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame =
     // Cheap pair generation (no jaccard/hash arrays/global sort — the
     // oracle side shares its candidate CTE chain the same way).
-    val pairs = candidatePairs(hashSets(spark, d))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    resolveClusters(candidatePairs(hashSets(spark, d)), maxDriverEdges)
+
+  /** Connected components over ANY (a_id, b_id) edge frame — shared by
+    * the text dup path ([[dupClusters]]) and the embedding SemDeDup
+    * path ([[graft.ext.Similarity.semanticDedup]]): driver union-find
+    * below the edge gate, distributed min-label propagation above it.
+    */
+  private[graft] def resolveClusters(edgeFrame: DataFrame,
+      maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edgeFrame.sparkSession
+    val pairs = edgeFrame.persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = pairs.count()
     val out =
       if (nEdges <= maxDriverEdges) driverUnionFind(spark, pairs)

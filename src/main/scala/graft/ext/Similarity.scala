@@ -296,4 +296,33 @@ object Similarity {
         r4($"isum" / $"n" / 1000000.0).as("c"))
       .orderBy($"cid", $"dim")
   }
+
+  /** SemDeDup-style semantic dedup: near-duplicate VECTORS (hyperplane
+    * LSH candidates, exact-cosine verified ≥ [[HpThreshold]]) collapse
+    * into connected components; each keeps its minimum vec_id. Output:
+    * per-label corpus size before/after the prune.
+    *
+    * This is the embedding-space member of the dedup family — the
+    * pruning pass run over embedded corpora before training. The
+    * cluster resolution is [[graft.ext.Dedup.resolveClusters]] (driver
+    * union-find under the edge gate, distributed label propagation
+    * above it), and the drop set — bounded by the docs in verified
+    * pairs — broadcasts into an anti-join, so the corpus itself never
+    * shuffles.
+    */
+  def semanticDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val drop = Dedup.resolveClusters(
+        hyperplaneNearDup(spark, d).select($"a_id", $"b_id"))
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id".as("vec_id"))
+    val emb = Tables.embeddings(spark, d)
+    val surv = emb.join(broadcast(drop), Seq("vec_id"), "left_anti")
+      .groupBy($"label").agg(count(lit(1)).cast("int").as("n_survivors"))
+    emb.groupBy($"label").agg(count(lit(1)).cast("int").as("n_vectors"))
+      .join(surv, Seq("label"), "left")
+      .select($"label", $"n_vectors",
+        coalesce($"n_survivors", lit(0)).as("n_survivors"))
+      .orderBy($"label")
+  }
 }
