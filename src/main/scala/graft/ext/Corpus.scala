@@ -236,8 +236,16 @@ object Corpus {
     * like every other scoring pass.
     */
   def contentChunks(spark: SparkSession, d: String,
-                    window: Int = 3, mask: Long = 16L): DataFrame = {
-    import spark.implicits._
+                    window: Int = 3, mask: Long = 16L): DataFrame =
+    contentChunkFrame(Tables.documents(spark, d), window, mask)
+
+  /** Frame-based core of [[contentChunks]] (docs must carry doc_id,
+    * text) — exercised on planted-edit fixtures by CorpusSpec to prove
+    * the edit-stability property fixed grids lack. Narrow ops only, so
+    * like [[chunkFrame]] it applies unchanged to a stream. */
+  private[graft] def contentChunkFrame(docs: DataFrame,
+      window: Int = 3, mask: Long = 16L): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.graft.Bridge
     val P = graft.ext.Dedup.P
     val th0 = Bridge.column(graft.functions.ShingleHash(
@@ -250,7 +258,7 @@ object Corpus {
       fold(slice($"th", start + 1, i - start + 1))
     }
     val len = $"se.end" - $"se.start" + 1
-    Tables.documents(spark, d)
+    docs
       .select($"doc_id", split($"text", " ").as("toks"), th0.as("th"))
       .withColumn("bpos", filter(sequence(lit(0), n - 1),
         i => (i === n - 1) || (wh(i) % mask === 0)))

@@ -138,6 +138,47 @@ class CorpusSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("contentChunks: chunks partition the doc and survive a point edit (fixed grids don't)") {
+    // 200-token doc built from a varied vocabulary so rolling hashes
+    // actually cut; deterministic generator, no RNG
+    val toks = (0 until 200).map(i => s"w${(i * 37 + i * i * 11) % 101}")
+    val orig = toks.mkString(" ")
+    // insert one token near the front — everything after shifts by one
+    val edited = (toks.take(5) ++ Seq("INSERTED") ++ toks.drop(5)).mkString(" ")
+    val both = Seq((1L, orig), (2L, edited)).toDF("doc_id", "text")
+    val out = Corpus.contentChunkFrame(both).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(5), r.getString(6)))
+    // chunks tile the document exactly: contiguous, complete, in order
+    for (id <- Seq(1L, 2L)) {
+      val chunks = out.filter(_._1 == id).sortBy(_._2)
+      assert(chunks.head._3 == 0)
+      chunks.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._4 + 1, "chunks must be contiguous")
+        case _ =>
+      }
+      val full = if (id == 1L) orig else edited
+      assert(chunks.map(_._6).mkString(" ") == full, "chunks must reassemble the doc")
+    }
+    val origHashes = out.filter(_._1 == 1L).map(_._5).toSet
+    val editHashes = out.filter(_._1 == 2L).map(_._5).toSet
+    val shared = origHashes.intersect(editHashes).size
+    // content-defined boundaries re-sync after the edit: most chunks
+    // keep their hash, so chunk-level dedup reuses them
+    assert(shared >= origHashes.size / 2,
+      s"expected most chunk hashes stable under a point edit, shared=$shared of ${origHashes.size}")
+    // the fixed grid loses (almost) everything after the insertion
+    // point: every window shifts by one token
+    val g1 = Corpus.chunkFrame(both.filter($"doc_id" === 1L), 20, 20)
+      .select($"chunk_text").as[String].collect().toSet
+    val g2 = Corpus.chunkFrame(both.filter($"doc_id" === 2L), 20, 20)
+      .select($"chunk_text").as[String].collect().toSet
+    val gridShared = g1.intersect(g2).size
+    val gridFrac = gridShared.toDouble / g1.size
+    val cdcFrac = shared.toDouble / origHashes.size
+    assert(gridFrac < cdcFrac,
+      s"fixed grid must reuse strictly less under a point edit: grid $gridShared/${g1.size} vs cdc $shared/${origHashes.size}")
+  }
+
   test("tfidf ranks rare terms above common ones within a doc") {
     val out = Corpus.tfidfTopTerms(spark, d, k = 3).collect()
     assert(out.nonEmpty)
