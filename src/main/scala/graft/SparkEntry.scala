@@ -164,6 +164,7 @@ object SparkEntry {
     "q87_kmeans_train" -> ((s: SparkSession, d: String) => Similarity.kmeansTrain(s, d)),
     "q88_semantic_dedup" -> (Similarity.semanticDedup _),
     "q89_content_chunks" -> ((s: SparkSession, d: String) => Corpus.contentChunks(s, d)),
+    "q90_mix_corpus" -> (Corpus.mixCorpus _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -445,6 +446,24 @@ object SparkEntry {
         |    bpos[chunk_idx + 1] AS en
         |  FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q90: keep test is integer-exact on both engines — threshold
+    // (t·P) div n_l, multiplicative hash (doc_id·2654435761) mod P
+    "q90_mix_corpus" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        |t AS (SELECT MIN(n_l) AS t FROM c),
+        |thr AS (SELECT lang, n_l, t, (t * 2147483647) // n_l AS thr
+        |        FROM c CROSS JOIN t),
+        |k AS (
+        |  SELECT d.lang, d.doc_id, n_l, t,
+        |    (d.doc_id * 2654435761) % 2147483647 < thr AS keep
+        |  FROM documents d JOIN thr USING (lang))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(t) AS BIGINT) AS n_target,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id END) AS BIGINT) AS kept_sum,
+        |  ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*) * 10000, 0) / 10000 AS keep_rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // q86: pairs over empty-filtered tokens; range(len-1) is the same
     // index grid as Spark's sequence(0, size-2)
     "q86_bpe_pairs" ->

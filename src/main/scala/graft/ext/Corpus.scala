@@ -278,6 +278,43 @@ object Corpus {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Deterministic corpus mixing — the language-rebalancing pass of a
+    * training-data pipeline (the Pile/LLaMA-style "don't let the
+    * biggest language drown the mix" step): every language is
+    * down-sampled toward the size of the smallest via a per-language
+    * keep-probability, applied as a pure hash predicate so the kept
+    * set is reproducible across reruns, partitionings, and engines.
+    *
+    * The keep test is integer-exact end-to-end: threshold
+    * `(target · P) div n_lang` and multiplicative hash
+    * `(doc_id · 2654435761) mod P` are both integer arithmetic, so
+    * there is no float boundary to diverge on. Shape at scale: one
+    * tiny per-language count aggregate broadcasts back over the
+    * corpus scan — the corpus itself never shuffles (the output here
+    * aggregates per language, with a kept-id checksum standing in for
+    * the materialized rows).
+    */
+  def mixCorpus(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).select($"doc_id", $"lang")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val target = counts.agg(min($"n_l").as("t"))
+    val thr = counts.crossJoin(broadcast(target))
+      .select($"lang", $"n_l", $"t",
+        expr("(t * 2147483647) div n_l").as("thr"))
+    docs.join(broadcast(thr), "lang")
+      .select($"lang", $"doc_id", $"n_l", $"t",
+        (($"doc_id" * 2654435761L) % 2147483647L < $"thr").as("keep"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"t").as("n_target"),
+        sum($"keep".cast("long")).as("n_kept"),
+        sum(when($"keep", $"doc_id")).as("kept_sum"))
+      .select($"lang", $"n_docs", $"n_target", $"n_kept", $"kept_sum",
+        r4($"n_kept".cast("double") / $"n_docs").as("keep_rate"))
+      .orderBy($"lang")
+  }
+
   def bpePairs(spark: SparkSession, d: String, k: Int = 30): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
