@@ -809,6 +809,30 @@ object SparkEntry {
     s"ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"
   }
 
+  /** Shared hyperplane-LSH candidate CTE chain (q57 + q88) — the
+    * DuckDB twin of HyperplaneSignature: same LCG hyperplane
+    * components, same left-to-right double accumulation, so even the
+    * sign of a near-zero dot product agrees across engines. Band
+    * config interpolated from Similarity so a retune can't silently
+    * diverge either twin. */
+  private def hpCandCtes: String =
+    s"""e AS (SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, band_idx,
+       |    list_sum(list_transform(range(${Similarity.HpRows}), r ->
+       |      CASE WHEN list_reduce(list_transform(range(d), i ->
+       |          CAST(embedding[i+1] AS DOUBLE) *
+       |          ((1103515245 * ((band_idx * ${Similarity.HpRows} + r) * d + i) + 12345) % 2147483647 - 1073741823)),
+       |        (x, y) -> x + y) > 0
+       |      THEN 1 << r ELSE 0 END)) AS band_key
+       |  FROM e, (SELECT unnest(range(${Similarity.HpBands})) AS band_idx) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
+       |  FROM banded a JOIN banded bb USING (band_idx, band_key)
+       |  WHERE a.vec_id < bb.vec_id
+       |)""".stripMargin
+
   private def simOracles: Map[String, String] = Map(
     "q34_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -845,28 +869,8 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id
          |) WHERE score_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
-    // q57: DuckDB twin of the HyperplaneSignature expression — same LCG
-    // hyperplane components, same left-to-right double accumulation, so
-    // even the sign of a near-zero dot product agrees across engines.
-    // Band config interpolated from Similarity so a retune can't
-    // silently diverge the twin.
     "q57_hyperplane_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
-         |banded AS (
-         |  SELECT vec_id, band_idx,
-         |    list_sum(list_transform(range(${Similarity.HpRows}), r ->
-         |      CASE WHEN list_reduce(list_transform(range(d), i ->
-         |          CAST(embedding[i+1] AS DOUBLE) *
-         |          ((1103515245 * ((band_idx * ${Similarity.HpRows} + r) * d + i) + 12345) % 2147483647 - 1073741823)),
-         |        (x, y) -> x + y) > 0
-         |      THEN 1 << r ELSE 0 END)) AS band_key
-         |  FROM e, (SELECT unnest(range(${Similarity.HpBands})) AS band_idx) b
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
-         |  FROM banded a JOIN banded bb USING (band_idx, band_key)
-         |  WHERE a.vec_id < bb.vec_id
-         |)
+      s"""WITH $hpCandCtes
          |SELECT a_id, b_id, ${r4sql("score_raw")} AS score FROM (
          |  SELECT a_id, b_id, ${cosSql("av", "bv")} AS score_raw
          |  FROM cand
@@ -876,22 +880,7 @@ object SparkEntry {
     // q88: q57's verified pair chain + recursive components (q54's
     // pattern) + anti-join survivor counts per label
     "q88_semantic_dedup" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
-         |banded AS (
-         |  SELECT vec_id, band_idx,
-         |    list_sum(list_transform(range(${Similarity.HpRows}), r ->
-         |      CASE WHEN list_reduce(list_transform(range(d), i ->
-         |          CAST(embedding[i+1] AS DOUBLE) *
-         |          ((1103515245 * ((band_idx * ${Similarity.HpRows} + r) * d + i) + 12345) % 2147483647 - 1073741823)),
-         |        (x, y) -> x + y) > 0
-         |      THEN 1 << r ELSE 0 END)) AS band_key
-         |  FROM e, (SELECT unnest(range(${Similarity.HpBands})) AS band_idx) b
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS a_id, bb.vec_id AS b_id
-         |  FROM banded a JOIN banded bb USING (band_idx, band_key)
-         |  WHERE a.vec_id < bb.vec_id
-         |),
+      s"""WITH RECURSIVE $hpCandCtes,
          |ver AS (
          |  SELECT a_id, b_id FROM (
          |    SELECT a_id, b_id, ${cosSql("av", "bv")} AS score_raw

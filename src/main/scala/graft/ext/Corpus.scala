@@ -208,18 +208,6 @@ object Corpus {
       .orderBy($"vec_id")
   }
 
-  /** Adjacent-token-pair counts — the first merge-candidate scan of a
-    * BPE tokenizer-training run (count every adjacent symbol pair
-    * across the corpus, with multiplicity; the top pair becomes the
-    * next merge rule). Complements [[graft.ext.TextStats.vocabulary]]
-    * (the unigram pass).
-    *
-    * Map-only pair explosion (one `transform` over index positions —
-    * no self-join, no window), then a partial-agg count where each
-    * task forwards one row per distinct pair, and a bounded top-k
-    * presentation (TakeOrderedAndProject — the full pair vocabulary
-    * never sorts globally).
-    */
   /** Content-defined chunking — rolling-hash boundaries instead of the
     * fixed token grid of [[chunkDocs]]: a chunk ends wherever the
     * polynomial hash of the trailing `window`-token context ≡ 0 mod
@@ -315,6 +303,18 @@ object Corpus {
       .orderBy($"lang")
   }
 
+  /** Adjacent-token-pair counts — the first merge-candidate scan of a
+    * BPE tokenizer-training run (count every adjacent symbol pair
+    * across the corpus, with multiplicity; the top pair becomes the
+    * next merge rule). Complements [[graft.ext.TextStats.vocabulary]]
+    * (the unigram pass).
+    *
+    * Map-only pair explosion (one `transform` over index positions —
+    * no self-join, no window), then a partial-agg count where each
+    * task forwards one row per distinct pair, and a bounded top-k
+    * presentation (TakeOrderedAndProject — the full pair vocabulary
+    * never sorts globally).
+    */
   def bpePairs(spark: SparkSession, d: String, k: Int = 30): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)

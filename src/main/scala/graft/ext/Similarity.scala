@@ -113,14 +113,24 @@ object Similarity {
     */
   def hyperplaneNearDup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    hyperplaneVerifiedPairs(spark, d)
+      .select($"a_id", $"b_id", r4($"score_raw").as("score"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Verified pairs WITHOUT the presentation sort/rounding — the form
+    * graph consumers ([[semanticDedup]]) want: feeding the sorted
+    * public frame into connected components would materialize a
+    * useless global sort of every pair into the persisted edge list.
+    */
+  private[graft] def hyperplaneVerifiedPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
     hyperplaneCandidates(spark, d)
       .join(broadcast(emb.select($"vec_id".as("a_id"), $"embedding".as("av"))), "a_id")
       .join(broadcast(emb.select($"vec_id".as("b_id"), $"embedding".as("bv"))), "b_id")
       .select($"a_id", $"b_id", cos($"av", $"bv").as("score_raw"))
       .filter($"score_raw" >= HpThreshold)
-      .select($"a_id", $"b_id", r4($"score_raw").as("score"))
-      .orderBy($"a_id", $"b_id")
   }
 
   /** LSH candidate pairs only (no verification) — exposed for the
@@ -218,26 +228,46 @@ object Similarity {
     val emb = Tables.embeddings(spark, d)
     val cent = emb.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    finalizeCentroids(lloydPartials(emb, cent))
+  }
+
+  /** One Lloyd round against a (cid, cv) centroid frame → quantized
+    * partials (cid, dim, isum, n). The single shared kernel behind
+    * [[kmeansStep]] and [[kmeansTrain]], so the argmin/quantization
+    * contract can't drift between them.
+    *
+    * Distances truncate to the common length of vector and centroid
+    * (the oracle's `least(len, len)` range) — zip_with alone would
+    * null-pad a ragged pair, and the null d2 would sort FIRST in the
+    * min_by struct ordering, silently mis-assigning the row. The
+    * argmin is ONE algebraic min_by aggregate: map-side combinable,
+    * each task forwards one candidate per vector, no min+equality
+    * re-join of the N×k scored set (the oracle keeps that form;
+    * results are identical, ties break to the smaller cid).
+    */
+  private def lloydPartials(emb: DataFrame, cent: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val m = least(size($"embedding"), size($"cv"))
     val d2 = aggregate(
-      zip_with($"embedding", $"cv",
+      zip_with(slice($"embedding", lit(1), m), slice($"cv", lit(1), m),
         (a, b) => (a.cast("double") - b.cast("double")) *
                   (a.cast("double") - b.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
-    val scored = emb.select($"vec_id", $"embedding")
+    val assign = emb.select($"vec_id", $"embedding")
       .crossJoin(broadcast(cent))
       .select($"vec_id", $"cid", d2.as("d2"))
-    // argmin as ONE algebraic aggregate: min_by over (d2, cid) is
-    // map-side combinable, so each task forwards one candidate per
-    // vector — no min+equality re-join of the N×k scored set (the
-    // oracle keeps that formulation; results are identical, ties
-    // break to the smaller cid through the struct ordering)
-    val assign = scored.groupBy($"vec_id")
+      .groupBy($"vec_id")
       .agg(min_by($"cid", struct($"d2", $"cid")).as("cid"))
     emb.join(assign, "vec_id")
       .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
       .groupBy($"cid", $"dim")
       .agg(sum(floor($"v".cast("double") * 1000000.0)).as("isum"),
            count(lit(1)).as("n"))
+  }
+
+  private def finalizeCentroids(partials: DataFrame): DataFrame = {
+    import partials.sparkSession.implicits._
+    partials
       .select($"cid", $"dim".cast("int").as("dim"),
         $"n".cast("int").as("n_assigned"),
         r4($"isum" / $"n" / 1000000.0).as("c"))
@@ -262,10 +292,6 @@ object Similarity {
                   iters: Int = 2): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
-    val d2 = aggregate(
-      zip_with($"embedding", $"cv",
-        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-      lit(0.0), (acc, x) => acc + x)
     // partials → (cid, cv) centroid frame, elements in dim order
     def toCent(partials: DataFrame): DataFrame = partials
       .groupBy($"cid")
@@ -273,28 +299,12 @@ object Similarity {
         array_sort(collect_list(struct($"dim",
           ($"isum" / $"n" / 1000000.0).as("c")))),
         x => x.getField("c")).as("cv"))
-    def step(cent: DataFrame): DataFrame = {
-      val assign = emb.select($"vec_id", $"embedding")
-        .crossJoin(broadcast(cent))
-        .select($"vec_id", $"cid", d2.as("d2"))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct($"d2", $"cid")).as("cid"))
-      emb.join(assign, "vec_id")
-        .select($"cid", posexplode($"embedding").as(Seq("dim", "v")))
-        .groupBy($"cid", $"dim")
-        .agg(sum(floor($"v".cast("double") * 1000000.0)).as("isum"),
-             count(lit(1)).as("n"))
-    }
     val init = emb.filter($"vec_id" < k)
       .select($"vec_id".as("cid"),
         transform($"embedding", x => x.cast("double")).as("cv"))
-    var partials = step(init)
-    for (_ <- 1 until iters) partials = step(toCent(partials))
-    partials
-      .select($"cid", $"dim".cast("int").as("dim"),
-        $"n".cast("int").as("n_assigned"),
-        r4($"isum" / $"n" / 1000000.0).as("c"))
-      .orderBy($"cid", $"dim")
+    var partials = lloydPartials(emb, init)
+    for (_ <- 1 until iters) partials = lloydPartials(emb, toCent(partials))
+    finalizeCentroids(partials)
   }
 
   /** SemDeDup-style semantic dedup: near-duplicate VECTORS (hyperplane
@@ -313,7 +323,7 @@ object Similarity {
   def semanticDedup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val drop = Dedup.resolveClusters(
-        hyperplaneNearDup(spark, d).select($"a_id", $"b_id"))
+        hyperplaneVerifiedPairs(spark, d).select($"a_id", $"b_id"))
       .filter($"doc_id" =!= $"cluster_id")
       .select($"doc_id".as("vec_id"))
     val emb = Tables.embeddings(spark, d)

@@ -40,7 +40,12 @@ object Upsert {
     require(setCols.keys.forall(base.columns.contains),
       "every setCols target must be a base column")
     val uCols = setCols.values.toSeq.distinct
+    // null merge keys can match nothing (equi-merge semantics); left in,
+    // the null group would survive the full-outer join as a phantom row
+    // mislabeled 'keep' carrying feed values — drop them like a MERGE's
+    // ON clause would
     val latest = updates
+      .filter(col(updKey).isNotNull)
       .groupBy(col(updKey).as("__mk"))
       .agg(max_by(struct(uCols.map(col): _*), col(seq)).as("__u"))
     val outCols: Seq[Column] =

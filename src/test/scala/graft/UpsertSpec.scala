@@ -46,6 +46,17 @@ class UpsertSpec extends SparkSpec {
       plan.contains("ObjectHashAggregate"), s"expected aggregate collapse:\n$plan")
   }
 
+  test("null merge keys in the feed are dropped, not emitted as phantom rows") {
+    val withNull = Seq(
+      (Some(2L), 10L, Some(200.0)),
+      (None: Option[Long], 11L, Some(666.0)) // malformed CDC record
+    ).toDF("k", "seq", "v")
+    val out = Upsert.latestWins(base, withNull, "k", "k", "seq", Map("bal" -> "v"))
+    assert(out.filter($"k".isNull).count() == 0)
+    assert(out.count() == base.count()) // no insert materialized from the null key
+    assert(out.filter($"bal" === 666.0).count() == 0)
+  }
+
   test("update feed with duplicate winners per key is impossible by construction") {
     // 1000 updates for one key: exactly one merged row comes out
     val big = (0 until 1000).map(i => (2L, i.toLong, Some(i.toDouble)))
