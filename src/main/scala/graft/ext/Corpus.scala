@@ -238,18 +238,17 @@ object Corpus {
     val P = graft.ext.Dedup.P
     val th0 = Bridge.column(graft.functions.ShingleHash(
       Bridge.expression($"text"), n = 1, distinct = false))
+    // boundary scan fused into one native loop (the HOF form —
+    // filter(sequence(...), i -> fold(slice(th, ...)) % mask == 0) —
+    // interpreted O(tokens·window) lambda nodes per doc)
+    val bpos0 = Bridge.column(graft.functions.ChunkBoundaries(
+      Bridge.expression($"text"), window, mask))
     def fold(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, h) => (acc * 31 + h) % P)
-    val n = size($"th")
-    def wh(i: Column): Column = {
-      val start = greatest(i - (window - 1), lit(0))
-      fold(slice($"th", start + 1, i - start + 1))
-    }
     val len = $"se.end" - $"se.start" + 1
     docs
-      .select($"doc_id", split($"text", " ").as("toks"), th0.as("th"))
-      .withColumn("bpos", filter(sequence(lit(0), n - 1),
-        i => (i === n - 1) || (wh(i) % mask === 0)))
+      .select($"doc_id", split($"text", " ").as("toks"), th0.as("th"),
+        bpos0.as("bpos"))
       .select($"doc_id", $"toks", $"th",
         posexplode(transform(sequence(lit(0), size($"bpos") - 1),
           j => struct(
