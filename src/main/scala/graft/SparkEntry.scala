@@ -165,6 +165,9 @@ object SparkEntry {
     "q88_semantic_dedup" -> (Similarity.semanticDedup _),
     "q89_content_chunks" -> ((s: SparkSession, d: String) => Corpus.contentChunks(s, d)),
     "q90_mix_corpus" -> (Corpus.mixCorpus _),
+    "q91_distribution_ranks" -> (Extended.distributionRanks _),
+    "q92_grouping_sets" -> (Extended.groupingSets _),
+    "q93_ewma" -> ((s: SparkSession, d: String) => Events.ewma(s, d)),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -446,6 +449,37 @@ object SparkEntry {
         |    bpos[chunk_idx + 1] AS en
         |  FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q91: percent_rank/cume_dist are exact-integer quotients, then r4
+    "q91_distribution_ranks" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  ROUND(PERCENT_RANK() OVER w * 10000, 0) / 10000 AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w * 10000, 0) / 10000 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    // q92: GROUPING() bitmask follows the SQL-standard first-arg-high
+    // convention on both engines; NULLS FIRST mirrors Spark's default
+    "q92_grouping_sets" ->
+      """SELECT CAST(order_year AS INT) AS order_year, o_orderstatus,
+        |  CAST(gid AS INT) AS gid, n, revenue
+        |FROM (
+        |  SELECT year(o_orderdate) AS order_year, o_orderstatus,
+        |    GROUPING(year(o_orderdate), o_orderstatus) AS gid,
+        |    COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |  FROM orders
+        |  GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+        |)
+        |ORDER BY gid, order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // q93: EWMA fold — DuckDB's no-init list_reduce starts at the
+    // first element, exactly Spark's null-init→first-value fold; the
+    // 0.25·v + 0.75·s operand order is identical on both engines
+    "q93_ewma" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+        |        (a, b) -> 0.25 * b + 0.75 * a) * 10000, 0) / 10000 AS ewma
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q90: keep test is integer-exact on both engines — threshold
     // (t·P) div n_l, multiplicative hash (doc_id·2654435761) mod P
     "q90_mix_corpus" ->

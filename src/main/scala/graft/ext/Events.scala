@@ -24,6 +24,7 @@ import graft.sources.Tables
 object Events {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def moneySum(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
+  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
 
   /** W2 analog — LOCF (last observation carried forward): for every
     * event, the most recent 'purchase' value of the same user. Exactly
@@ -138,6 +139,38 @@ object Events {
       .groupBy($"k")
       .agg(count(lit(1)).as("n"), moneySum($"value").as("sum_value"))
       .orderBy($"k")
+  }
+
+  /** Per-key EWMA over event time — the exponential smoothing every
+    * metrics/feature pipeline keeps per entity: s₀ = v₀,
+    * sₙ = α·vₙ + (1−α)·sₙ₋₁ over (ts, event_id) order.
+    *
+    * Implemented as a grouped ordered fold (sorted collect + one
+    * array aggregate): α = 0.25 and 1−α = 0.75 are exact binary
+    * doubles and both engines evaluate the identical `0.25·v + 0.75·s`
+    * operand order, so the result is bit-deterministic. At unbounded
+    * per-key history the same recurrence composes associatively
+    * (affine maps (a,b)∘(c,d) = (ac, ad+b)), so a custom Aggregator
+    * with affine partials — or [[graft.streaming.CdcStream]]-style
+    * keyed state on a stream — replaces the collect without changing
+    * results; group sizes here are event-scale, not corpus-scale.
+    */
+  def ewma(spark: SparkSession, d: String, alpha: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .filter($"value".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct($"ts_us", $"event_id", $"value"))),
+            x => x.getField("value")),
+          lit(null).cast("double"),
+          (acc, v) => when(acc.isNull, v)
+            .otherwise(lit(alpha) * v + lit(1 - alpha) * acc)).as("s"))
+      .select($"user_id", $"n_events", r4($"s").as("ewma"))
+      .orderBy($"user_id")
   }
 
   /** JSON as typed map: `from_json` into MapType + `explode` — the

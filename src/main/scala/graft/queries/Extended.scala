@@ -164,6 +164,48 @@ object Extended {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Distribution windows — percent_rank / cume_dist over per-status
+    * price ordering (the curriculum-binning cousins of NTILE, q53):
+    * both are rank arithmetic over the same single sort, so the cost
+    * is one window pass; quotients are (rank−1)/(n−1) and rank/n of
+    * exact integers — identical IEEE division on both engines, then
+    * r4.
+    */
+  def distributionRanks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, d)
+      .select($"o_orderstatus", $"o_orderkey",
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
+
+  /** GROUPING SETS with grouping_id — the exact aggregate lattice the
+    * rollup (q39) can't express: (year), (status), and the grand
+    * total, but NOT (year, status). Partial aggregation applies per
+    * set; grouping_id disambiguates the null dimensions exactly as
+    * the SQL-standard serving layer expects.
+    */
+  def groupingSets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, d)
+    df.createOrReplaceTempView("orders_gs")
+    df.sparkSession.sql(
+      """SELECT year(o_orderdate) AS order_year, o_orderstatus,
+        |  CAST(grouping_id(year(o_orderdate), o_orderstatus) AS INT) AS gid,
+        |  count(1) AS n,
+        |  CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS revenue
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+        |ORDER BY gid, order_year, o_orderstatus""".stripMargin)
+      .select($"order_year".cast("int").as("order_year"), $"o_orderstatus",
+        $"gid", $"n", $"revenue")
+      .orderBy($"gid".asc, $"order_year".asc_nulls_first,
+        $"o_orderstatus".asc_nulls_first)
+  }
+
   /** Pivot: order counts per year pivoted by status — Spark's
     * RelationalGroupedDataset.pivot with explicit value list (never
     * let pivot scan for distinct values on big data); oracle is the
