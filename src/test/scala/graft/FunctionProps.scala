@@ -86,4 +86,28 @@ object FunctionProps extends Properties("functions") {
           .asInstanceOf[ArrayData].toLongArray.toSeq
       sig(v) == sig(v.map(_ * 4.0f))
     }
+
+  property("ChunkBoundaries = windowed-fold reference (incl. trailing boundary)") =
+    Prop.forAll(genText, Gen.choose(1, 4), Gen.oneOf(2L, 4L, 16L)) { (text, w, mask) =>
+      val got = evalStr(graft.functions.ChunkBoundaries(
+          Literal(UTF8String.fromString(text)), w, mask))
+        .asInstanceOf[ArrayData].toIntArray.toSeq
+      val th = text.split(" ", -1).map(polyHash)
+      val want = th.indices.filter { i =>
+        val wh = (math.max(0, i - w + 1) to i)
+          .foldLeft(0L)((acc, j) => (acc * 31 + th(j)) % P)
+        i == th.length - 1 || wh % mask == 0
+      }
+      got == want
+    }
+
+  property("ChunkBoundaries spans tile the token range exactly") =
+    Prop.forAll(genText) { text =>
+      val bpos = evalStr(graft.functions.ChunkBoundaries(
+          Literal(UTF8String.fromString(text)), 3, 16L))
+        .asInstanceOf[ArrayData].toIntArray.toSeq
+      val n = text.split(" ", -1).length
+      bpos.nonEmpty && bpos.last == n - 1 &&
+        bpos == bpos.sorted && bpos.distinct == bpos
+    }
 }
