@@ -168,6 +168,23 @@ object SparkEntry {
     "q91_distribution_ranks" -> (Extended.distributionRanks _),
     "q92_grouping_sets" -> (Extended.groupingSets _),
     "q93_ewma" -> ((s: SparkSession, d: String) => Events.ewma(s, d)),
+    // Snapshot diff composed with the upsert it inverts: diffing the
+    // merged table against the base recovers exactly the applied
+    // changes (q83's update/insert rows) as a CDC feed.
+    "q94_snapshot_diff" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = graft.sources.Tables.customer(s, d)
+        .filter($"c_mktsegment" =!= "BUILDING")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      val feed = graft.sources.Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      val after = graft.operators.Upsert.latestWins(base, feed,
+          baseKey = "c_custkey", updKey = "o_custkey", seq = "o_orderkey",
+          setCols = Map("c_acctbal" -> "o_totalprice"))
+        .drop("op")
+      graft.operators.Upsert.snapshotDiff(base, after, "c_custkey", Seq("c_acctbal"))
+        .orderBy($"c_custkey")
+    }),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -397,6 +414,28 @@ object SparkEntry {
         |       ELSE 'update' END AS op
         |FROM base FULL OUTER JOIN latest ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    // q94: rebuild the merged snapshot, then FULL OUTER diff vs the
+    // base; IS DISTINCT FROM == Spark's null-safe <=> negation
+    "q94_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_mktsegment <> 'BUILDING'),
+        |latest AS (
+        |  SELECT o_custkey, max_by(o_totalprice, o_orderkey) AS v
+        |  FROM orders GROUP BY o_custkey),
+        |aft AS (
+        |  SELECT COALESCE(c_custkey, o_custkey) AS c_custkey,
+        |    COALESCE(v, c_acctbal) AS c_acctbal
+        |  FROM base FULL OUTER JOIN latest ON c_custkey = o_custkey)
+        |SELECT c_custkey, op, b_c_acctbal, a_c_acctbal FROM (
+        |  SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+        |    CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |         WHEN a.c_custkey IS NULL THEN 'removed'
+        |         WHEN b.c_acctbal IS DISTINCT FROM a.c_acctbal THEN 'changed'
+        |    END AS op,
+        |    b.c_acctbal AS b_c_acctbal, a.c_acctbal AS a_c_acctbal
+        |  FROM base b FULL OUTER JOIN aft a ON b.c_custkey = a.c_custkey)
+        |WHERE op IS NOT NULL ORDER BY c_custkey""".stripMargin,
     // q84: the per-token summand is exact integer division
     // (n_total·10⁴ div cnt), so per-doc sums are order-independent
     // integer adds on both engines — see TextStats.unigramScore

@@ -62,4 +62,34 @@ object Upsert {
     base.join(latest, col(baseKey) === col("__mk"), "full_outer")
       .select(outCols: _*)
   }
+
+  /** Snapshot diff — the inverse of [[latestWins]]: compare two
+    * versions of a table on a key and emit the change feed
+    * (added / removed / changed with before+after values) that would
+    * transform `before` into `after`. This is how a pipeline without
+    * a transaction log generates CDC: diff the new snapshot against
+    * the previous one and publish the delta.
+    *
+    * One full-outer shuffle join on the key (both sides bucketed by
+    * the key → no exchange at all); unchanged rows are filtered
+    * before the presentation sort so the output is delta-sized, not
+    * snapshot-sized.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must name at least one column")
+    val b = before.select((key +: compareCols).map(c => col(c).as(s"b_$c")): _*)
+    val a = after.select((key +: compareCols).map(c => col(c).as(s"a_$c")): _*)
+    val changed = compareCols
+      .map(c => !(col(s"b_$c") <=> col(s"a_$c")))
+      .reduce(_ || _)
+    b.join(a, col(s"b_$key") === col(s"a_$key"), "full_outer")
+      .withColumn("op",
+        when(col(s"b_$key").isNull, lit("added"))
+          .when(col(s"a_$key").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("op").isNotNull)
+      .select((coalesce(col(s"b_$key"), col(s"a_$key")).as(key) +: col("op") +:
+        compareCols.flatMap(c => Seq(col(s"b_$c"), col(s"a_$c")))): _*)
+  }
 }

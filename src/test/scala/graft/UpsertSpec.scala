@@ -57,6 +57,28 @@ class UpsertSpec extends SparkSpec {
     assert(out.filter($"bal" === 666.0).count() == 0)
   }
 
+  test("snapshotDiff emits exactly the delta, and diff(merged, base) inverts the merge") {
+    val after = Seq(
+      (1L, "alice", 10.0),  // unchanged → filtered out
+      (2L, "bob", 99.0),    // changed
+      (9L, "zed", 900.0)    // added; key 3 (carol) removed
+    ).toDF("k", "name", "bal")
+    val diff = Upsert.snapshotDiff(base, after, "k", Seq("bal"))
+      .orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2), r.get(3)))
+    assert(diff.toSeq == Seq(
+      (2L, "changed", 20.0, 99.0),
+      (3L, "removed", 30.0, null),
+      (9L, "added", null, 900.0)))
+    // composition: diffing the upsert result against its base recovers
+    // the update/insert rows the merge applied (never a removal)
+    val merged = Upsert.latestWins(base, feed.toDF(), "k", "k", "seq", Map("bal" -> "v"))
+      .drop("op")
+    val d2 = Upsert.snapshotDiff(base, merged, "k", Seq("bal"))
+    assert(d2.filter($"op" === "removed").count() == 0)
+    assert(d2.filter($"op" === "added").select($"k").as[Long].collect().toSet == Set(9L))
+  }
+
   test("update feed with duplicate winners per key is impossible by construction") {
     // 1000 updates for one key: exactly one merged row comes out
     val big = (0 until 1000).map(i => (2L, i.toLong, Some(i.toDouble)))
