@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CosineSimilarity, ShingleHash}
-import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOf}
+import graft.plans.{AsOfJoinStrategy, IntervalJoinStrategy, PushFilterThroughAsOf}
 
 /** SparkSessionExtensions entry point — wire the engine's native
   * expressions into any session at build time:
@@ -27,6 +27,7 @@ import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOf}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),

@@ -42,4 +42,51 @@ object RangeJoin {
       .filter(abs(col(tsUs) - col(s"$rightPrefix$tsUs")) <= tolUs)
       .drop("__bucket")
   }
+
+  /** Native-lane point-in-interval join: emit (point, interval) for
+    * equal keys and `start <= t <= end`, planned through
+    * [[graft.plans.IntervalJoinPlan]] →
+    * [[graft.plans.IntervalJoinExec]] — one streamed merge per
+    * partition whose state is the ACTIVE interval set (bounded by
+    * overlap degree), instead of the bucket-explosion of [[within]]
+    * (which needs a bounded tolerance) or the post-join range filter /
+    * nested loop Catalyst would plan for the raw condition.
+    * Arbitrary-length intervals are exactly the case bucketing can't
+    * bound.
+    *
+    * Output: keys once (left copy), left non-key columns as-is, right
+    * non-key columns prefixed. Registers the planner lane on the
+    * session if absent ([[graft.GraftRuntime.ensure]]).
+    */
+  def pointInIntervalNative(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], t: String, start: String, end: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = points.sparkSession
+    graft.GraftRuntime.ensure(spark)
+    val lPlan = points.queryExecution.analyzed
+    val rPlan0 = intervals.queryExecution.analyzed
+    // Self-join safety: children arrive pre-analyzed, so shared source
+    // attrs would collide by exprId — re-alias the right side.
+    val rPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found in ${plan.output.map(_.name)}"))
+    val plan = graft.plans.IntervalJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, t), attr(rPlan, start), attr(rPlan, end))
+    val joined = Bridge.ofRows(spark, plan)
+    val outCols = keys.map(k => Bridge.column(attr(lPlan, k))) ++
+      lPlan.output.filterNot(a => keys.contains(a.name))
+        .map(a => Bridge.column(a).as(a.name)) ++
+      rPlan.output.filterNot(a => keys.contains(a.name))
+        .map(a => Bridge.column(a).as(s"$rightPrefix${a.name}"))
+    joined.select(outCols: _*)
+  }
 }
