@@ -58,6 +58,20 @@ def main(out_dir, sf_dir):
             n_fail += 1
             continue
         if gs.equals(es):
+            # Value equality isn't enough: the driver hash-compares the
+            # FORMATTED values, where -0.0 != 0.0. Check float columns
+            # bit-for-bit so signed-zero divergence fails locally too.
+            bit_diff = []
+            for c in gs.columns:
+                a, b = gs[c].to_numpy(), es[c].to_numpy()
+                if a.dtype.kind == "f" and b.dtype.kind == "f" \
+                        and a.tobytes() != b.tobytes():
+                    bit_diff.append(c)
+            if bit_diff:
+                print(f"FAIL {name}: float bit-pattern mismatch "
+                      f"(-0.0 vs 0.0?) in {bit_diff}")
+                n_fail += 1
+                continue
             note = f" [dtype diffs: {dtype_diff}]" if dtype_diff else ""
             print(f"PASS {name}: {len(gs)} rows{note}")
             n_pass += 1

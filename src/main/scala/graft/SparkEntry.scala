@@ -291,7 +291,7 @@ object SparkEntry {
         |      x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0))) AS iv
         |  FROM assign a JOIN embeddings e USING (vec_id))
         |SELECT cid, CAST(dim AS INT) AS dim, CAST(COUNT(*) AS INT) AS n_assigned,
-        |  ROUND(SUM(iv) / COUNT(*) / 1000000.0 * 10000, 0) / 10000 AS c
+        |  ROUND(SUM(iv) / COUNT(*) / 1000000.0 * 10000, 0) / 10000 + 0.0 AS c
         |FROM ex GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     // q87: q82's Lloyd round unrolled TWICE — determinism must carry
     // through the intermediate centroids (quantized-integer means,
@@ -327,7 +327,7 @@ object SparkEntry {
          |       FROM p1 GROUP BY cid),
          |${round(2, "c1")}
          |SELECT cid, CAST(dim AS INT) AS dim, CAST(n AS INT) AS n_assigned,
-         |  ROUND(isum / n / 1000000.0 * 10000, 0) / 10000 AS c
+         |  ROUND(isum / n / 1000000.0 * 10000, 0) / 10000 + 0.0 AS c
          |FROM p2 ORDER BY cid, dim""".stripMargin
     },
     "q76_profile_columns" ->
@@ -520,7 +520,9 @@ object SparkEntry {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q90: keep test is integer-exact on both engines — threshold
-    // (t·P) div n_l, multiplicative hash (doc_id·2654435761) mod P
+    // (t·P) div n_l, multiplicative hash ((doc_id mod P)·2654435761)
+    // mod P (mod-first so the multiply can't exceed int64 and diverge
+    // from DuckDB's HUGEINT promotion)
     "q90_mix_corpus" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
         |t AS (SELECT MIN(n_l) AS t FROM c),
@@ -528,7 +530,7 @@ object SparkEntry {
         |        FROM c CROSS JOIN t),
         |k AS (
         |  SELECT d.lang, d.doc_id, n_l, t,
-        |    (d.doc_id * 2654435761) % 2147483647 < thr AS keep
+        |    (d.doc_id % 2147483647) * 2654435761 % 2147483647 < thr AS keep
         |  FROM documents d JOIN thr USING (lang))
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(MAX(t) AS BIGINT) AS n_target,
@@ -848,7 +850,7 @@ object SparkEntry {
       """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey FROM (
         |  SELECT o_custkey, o_orderkey,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |      ORDER BY CAST((o_orderkey * 2654435761) % 2147483647 AS DOUBLE) DESC,
+        |      ORDER BY CAST((o_orderkey % 2147483647) * 2654435761 % 2147483647 AS DOUBLE) DESC,
         |               o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,

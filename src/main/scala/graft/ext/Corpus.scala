@@ -274,8 +274,11 @@ object Corpus {
     *
     * The keep test is integer-exact end-to-end: threshold
     * `(target · P) div n_lang` and multiplicative hash
-    * `(doc_id · 2654435761) mod P` are both integer arithmetic, so
-    * there is no float boundary to diverge on. Shape at scale: one
+    * `((doc_id mod P) · 2654435761) mod P` are both integer
+    * arithmetic, so there is no float boundary to diverge on. The id
+    * is reduced mod P BEFORE the multiply: (P-1)·2654435761 ≈ 5.7e18
+    * fits int64, whereas multiplying a raw id above ~3.5e9 would
+    * silently wrap in Spark while DuckDB promotes to HUGEINT. Shape at scale: one
     * tiny per-language count aggregate broadcasts back over the
     * corpus scan — the corpus itself never shuffles (the output here
     * aggregates per language, with a kept-id checksum standing in for
@@ -291,7 +294,8 @@ object Corpus {
         expr("(t * 2147483647) div n_l").as("thr"))
     docs.join(broadcast(thr), "lang")
       .select($"lang", $"doc_id", $"n_l", $"t",
-        (($"doc_id" * 2654435761L) % 2147483647L < $"thr").as("keep"))
+        (($"doc_id" % 2147483647L) * 2654435761L % 2147483647L < $"thr")
+          .as("keep"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         max($"t").as("n_target"),

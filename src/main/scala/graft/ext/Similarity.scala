@@ -270,7 +270,11 @@ object Similarity {
     partials
       .select($"cid", $"dim".cast("int").as("dim"),
         $"n".cast("int").as("n_assigned"),
-        r4($"isum" / $"n" / 1000000.0).as("c"))
+        // + 0.0 canonicalizes IEEE signed zero: a tiny negative mean
+        // rounds to -0.0 in engines whose round keeps the sign bit
+        // (DuckDB) but 0.0 under BigDecimal HALF_UP (Spark); adding
+        // positive zero maps both to +0.0 so byte-level hashes agree.
+        (r4($"isum" / $"n" / 1000000.0) + lit(0.0)).as("c"))
       .orderBy($"cid", $"dim")
   }
 

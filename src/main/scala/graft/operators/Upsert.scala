@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *     map-side partials shrink each task's update run BEFORE the
   *     shuffle (a `row_number` window formulation would shuffle and
   *     sort the entire feed instead);
-  *  2. one full-outer join against the base on the merge key. A base
-  *     bucketed by that key skips its exchange; when the collapsed
-  *     feed is small relative to the base (the common CDC case) AQE
-  *     broadcasts it.
+  *  2. one full-outer join against the base on the merge key. Spark
+  *     never plans a broadcast hash join for FULL OUTER, so this is
+  *     always a sort-merge/shuffled-hash join on the key; a base
+  *     bucketed by that key skips its exchange, and AQE sizes the
+  *     (small, already-collapsed) feed-side shuffle.
   */
 object Upsert {
 

@@ -82,7 +82,9 @@ object Extended {
   def groupSample(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val topk = udaf(new graft.functions.TopKAgg(3))
-    val score = (($"o_orderkey" * 2654435761L) % 2147483647L).cast("double")
+    // mod-first keeps the multiply inside int64 for keys above ~3.5e9
+    val score = (($"o_orderkey" % 2147483647L) * 2654435761L % 2147483647L)
+      .cast("double")
     Tables.orders(spark, d)
       .groupBy($"o_custkey")
       .agg(topk(score, $"o_orderkey").as("top"))
