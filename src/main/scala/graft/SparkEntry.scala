@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Extended}
 import graft.ingest.DateDim
-import graft.ext.{Corpus, Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ext.{Behavior, Corpus, Dedup, Events, Graph, Multimodal, Similarity, Stats, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -185,6 +185,15 @@ object SparkEntry {
       graft.operators.Upsert.snapshotDiff(base, after, "c_custkey", Seq("c_acctbal"))
         .orderBy($"c_custkey")
     }),
+    "q95_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
+    "q96_funnel" -> (Behavior.funnel _),
+    "q97_cohort_retention" -> (Behavior.cohortRetention _),
+    "q98_markov_transitions" -> (Behavior.markovTransitions _),
+    "q99_top_paths" -> (Behavior.topPaths _),
+    "q100_linear_regression" -> (Stats.linearRegression _),
+    "q101_mad_outliers" -> (Stats.madOutliers _),
+    "q102_interval_coverage" -> (Stats.intervalCoverage _),
+    "q103_bigram_score" -> (TextStats.bigramScore _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1326,5 +1335,186 @@ object SparkEntry {
     "q23_json_map_explode" ->
       """SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
         |FROM events ORDER BY event_id, key""".stripMargin,
-  ) ++ docOracles ++ simOracles ++ miscOracles ++ extendedOracles
+  ) ++ docOracles ++ simOracles ++ miscOracles ++ extendedOracles ++
+    behaviorOracles
+
+  /** Round-5 oracles: graph/behavioral/statistical operators. Shared
+    * determinism spine: every cross-engine quotient is either an
+    * exact integer division (`div` / `//`) or a division of exact
+    * integer sums cast to double (identical IEEE ops on identical
+    * inputs), and every rounded output goes through the
+    * scale-round-unscale form with `+ 0.0` signed-zero
+    * canonicalization where the value can be negative.
+    */
+  private def behaviorOracles: Map[String, String] = Map(
+    // q95: integer-exact PageRank, two unrolled synchronous rounds.
+    // Both edge directions exist, so every node has out-degree >= 1
+    // (no dangling mass) and in-degree >= 1 (inner joins lose no
+    // node). Ranks at scale 10^12; all arithmetic BIGINT.
+    "q95_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, deg, n, 1000000000000 // n AS r
+        |       FROM deg CROSS JOIN nn),
+        |c1 AS (SELECT e.dst, CAST(SUM(r.r // r.deg) AS BIGINT) AS got
+        |       FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+        |r1 AS (SELECT r.node, r.deg, r.n,
+        |         15000000000000 // (100 * r.n) + (85 * c.got) // 100 AS r
+        |       FROM r0 r JOIN c1 c ON r.node = c.dst),
+        |c2 AS (SELECT e.dst, CAST(SUM(r.r // r.deg) AS BIGINT) AS got
+        |       FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+        |r2 AS (SELECT r.node, r.deg, r.n,
+        |         15000000000000 // (100 * r.n) + (85 * c.got) // 100 AS r
+        |       FROM r1 r JOIN c2 c ON r.node = c.dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+        |  node // 2 AS entity_id, deg, r AS rank_p12
+        |FROM r2 ORDER BY kind, entity_id""".stripMargin,
+    // q96: NULL stage timestamps fail the <= chain into the ELSE 0
+    // branch on both engines
+    "q96_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN t_view <= t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN t_view <= t_click AND t_click <= t_buy
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM s""".stripMargin,
+    // q97: weeks are whole 7-day buckets from a fixed epoch (pure
+    // integer date math), sidestepping engine week-truncation rules
+    "q97_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id,
+        |    (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk FROM events),
+        |ch AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id)
+        |SELECT CAST(ch.cohort_wk AS INT) AS cohort_wk,
+        |  CAST(w.wk - ch.cohort_wk AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM (SELECT DISTINCT user_id, wk FROM wk) w JOIN ch USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q98: (ts, event_id) totally orders each user's events, so LEAD
+    // is deterministic; p_micro is the q84 exact-integer quotient
+    "q98_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |tr AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+        |       FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |        FROM tr GROUP BY 1)
+        |SELECT from_type, to_type, n_trans,
+        |  (n_trans * 1000000) // n_from AS p_micro
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // q99: list(... ORDER BY ts, event_id) == Spark's
+    // array_sort(collect_list(struct(ts, event_id, type))) because the
+    // unique event_id decides every tie before the type is consulted
+    "q99_top_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:5],
+        |                    '>') AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    // q100: sums of integer-quantized points are exact (HUGEINT /
+    // DECIMAL(38,0)); the closed form then runs identical IEEE double
+    // ops on identical inputs. x is centered so x*x stays tiny.
+    "q100_linear_regression" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    (CAST(o_orderdate AS DATE) - DATE '1998-04-01') AS x,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM p GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000, 0)
+        |    / 10000 + 0.0 AS slope,
+        |  ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx) * 10000, 0)
+        |    / 10000 + 0.0 AS intercept
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+    // q101: quantile_cont == Spark percentile (same lo + (hi-lo)*f
+    // interpolation, the q49 precedent); strict > on identically
+    // derived doubles agrees
+    "q101_mad_outliers" ->
+      """WITH b AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |      FROM b GROUP BY 1),
+        |dv AS (SELECT b.event_type, m.med, ABS(b.value - m.med) AS dev
+        |       FROM b JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |       FROM dv GROUP BY 1)
+        |SELECT dv.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(dv.med) * 10000, 0) / 10000 + 0.0 AS med,
+        |  ROUND(MIN(md.mad) * 10000, 0) / 10000 + 0.0 AS mad,
+        |  CAST(SUM(CASE WHEN dv.dev > 3.0 * md.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM dv JOIN md USING (event_type)
+        |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin,
+    // q102: identical-valued (s, e) ties are interchangeable under
+    // the ROWS frame, so the island count is order-independent
+    "q102_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT o_custkey,
+        |    (CAST(o_orderdate AS DATE) - DATE '1990-01-01') AS s,
+        |    (CAST(o_orderdate AS DATE) - DATE '1990-01-01') + 30 AS e
+        |  FROM orders),
+        |mk AS (
+        |  SELECT o_custkey, s, e,
+        |    MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |il AS (
+        |  SELECT o_custkey, s, e,
+        |    SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM mk),
+        |g AS (SELECT o_custkey, island, MIN(s) AS is_start,
+        |             MAX(e) AS is_end
+        |      FROM il GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_islands,
+        |  CAST(SUM(is_end - is_start) AS BIGINT) AS covered_days
+        |FROM g GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // q103: DuckDB 1-based toks[i]/toks[i+1] over range(1, len) ==
+    // Spark 0-based toks[i-1]/toks[i] over sequence(1, size-1); the
+    // per-bigram summand is the q84 exact-integer quotient
+    "q103_bigram_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+        |  FROM tk WHERE len(toks) >= 2),
+        |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |pc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bgf GROUP BY 1, 2),
+        |hc AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS head_cnt
+        |       FROM pc GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+        |  ROUND(CAST(SUM((cnt * 1000000) // head_cnt) AS DOUBLE)
+        |        / COUNT(*) / 1000000.0 * 10000, 0) / 10000 AS fluency_score
+        |FROM bgf JOIN pc USING (w1, w2) JOIN hc USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
 }

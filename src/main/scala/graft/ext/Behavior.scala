@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-sequence analytics over the `events` stream: funnel
+  * conversion, cohort retention, Markov transition matrices, and
+  * frequent path mining — the behavioral layer of the reference's
+  * analytics surface (its `ratings` fact is the same (user, item,
+  * ts) event shape; `etl_pipeline_spark.py` stops at per-day
+  * aggregates, these are the sequence-aware queries above them).
+  */
+object Behavior {
+
+  /** Three-stage funnel (view → click → purchase) with min-timestamp
+    * ordering semantics: a user converts a stage when their earliest
+    * event of each later stage is at-or-after the earliest event of
+    * every earlier one. One hash-agg per user (conditional mins are
+    * algebraic — map-side partials shrink each task's events before
+    * the shuffle), then a single global roll-up row. No window, no
+    * sort, no per-user state: at 100 TB this is one shuffle of
+    * 3 timestamps per user.
+    */
+  def funnel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stage = Tables.events(spark, d)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_buy"))
+    stage.agg(
+      count(lit(1)).as("n_users"),
+      sum(when($"t_view".isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when($"t_view" <= $"t_click", 1L).otherwise(0L)).as("n_click"),
+      sum(when($"t_view" <= $"t_click" && $"t_click" <= $"t_buy", 1L)
+        .otherwise(0L)).as("n_purchase"))
+  }
+
+  /** Weekly cohort retention: users are assigned to the week of
+    * their first event (weeks = whole 7-day buckets from a fixed
+    * epoch, pure integer date math — no engine-specific
+    * week-truncation semantics), and each (cohort week, weeks-since)
+    * cell counts the distinct users active then. Shape: one per-user
+    * min agg, one distinct over (user, week) — both algebraic — and
+    * a final small matrix agg; the events table is scanned once.
+    */
+  def cohortRetention(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wk = Tables.events(spark, d)
+      .select($"user_id",
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7").as("wk"))
+    val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    wk.distinct()
+      .join(cohort, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select($"cohort_wk".cast("int").as("cohort_wk"),
+        $"week_offset".cast("int").as("week_offset"), $"n_users")
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: `lead` pairs consecutive event types (total order by
+    * (ts, event_id) — the unique id breaks timestamp ties so the
+    * successor is well-defined under any partitioning), then one
+    * count agg per (from, to) and a per-from total for the
+    * transition probability, emitted as the exact integer
+    * `(n·10⁶) div total` (the q84 order-independence recipe).
+    * Shape: one shuffle by user for the window, one tiny 25-row agg.
+    */
+  def markovTransitions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(spark, d)
+      .select($"user_id", $"ts", $"event_id",
+        $"event_type".as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy($"from_type")
+      .agg(sum($"n_trans").as("n_from"))
+    trans.join(totals, "from_type")
+      .select($"from_type", $"to_type", $"n_trans",
+        expr("(n_trans * 1000000) div n_from").as("p_micro"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** Frequent session-opening paths: each user's first five event
+    * types (by (ts, event_id)) joined into a `a>b>c` path string,
+    * counted, top 20 by frequency (path string breaks count ties so
+    * the cut is total). The per-user sequence is assembled with
+    * `collect_list(struct)` + `array_sort` — an agg, not a window,
+    * so partial lists combine map-side; the final top-k is a
+    * TakeOrderedAndProject, never a full sort at scale.
+    */
+  def topPaths(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"event_type")))
+        .as("seq"))
+      .select(concat_ws(">",
+        slice(expr("transform(seq, x -> x.event_type)"), 1, 5)).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path")
+      .limit(20)
+  }
+}

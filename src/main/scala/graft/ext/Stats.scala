@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Model-fitting and robust-statistics aggregates: closed-form
+  * regression from sufficient statistics, median-absolute-deviation
+  * outlier detection, and interval coverage — the statistical
+  * profiling a curation pipeline runs to qualify a data source
+  * before it enters the training mix (complementing q76's
+  * null/distinct profile and q50's moments).
+  */
+object Stats {
+
+  private def r4(c: Column): Column =
+    round(c * lit(10000.0), 0) / lit(10000.0) + lit(0.0)
+
+  /** Per-group simple linear regression (price vs. order date) fit
+    * from sufficient statistics: n, Σx, Σy, Σxy, Σx² — five
+    * algebraic sums, one hash-agg shuffle, closed-form slope and
+    * intercept on the driver-free reduce side. No solver iterations,
+    * no per-group sort.
+    *
+    * Exactness: x is integer days centered on the data midpoint
+    * (1998-04-01, so |x| ≤ ~1200) and y is integer cents; the
+    * per-row products fit int64 with 10⁵× headroom and the sums
+    * accumulate as DECIMAL(38,0) — exact at any scale, then one
+    * deterministic cast to double for the closed form. The same
+    * integer sums land bit-identically in any engine, making the
+    * float slope reproducible too (the q82 quantized-mean recipe,
+    * generalized to second-order stats).
+    */
+  def linearRegression(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, d).select(
+      $"o_orderpriority",
+      expr("datediff(CAST(o_orderdate AS DATE), DATE'1998-04-01')").as("x"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("y"))
+    pts.groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum($"y".cast("decimal(38,0)")).as("sy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"))
+      .select($"o_orderpriority", $"n",
+        // slope in cents/day, intercept in cents at the center date;
+        // every operand below is an exact integer cast to double, so
+        // the IEEE arithmetic is identical in any engine
+        r4((($"n".cast("double") * $"sxy".cast("double")) -
+          ($"sx".cast("double") * $"sy".cast("double"))) /
+          (($"n".cast("double") * $"sxx".cast("double")) -
+            ($"sx".cast("double") * $"sx".cast("double")))).as("slope"),
+        r4((($"sy".cast("double") * $"sxx".cast("double")) -
+          ($"sx".cast("double") * $"sxy".cast("double"))) /
+          (($"n".cast("double") * $"sxx".cast("double")) -
+            ($"sx".cast("double") * $"sx".cast("double")))).as("intercept"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Robust outlier counts per event type via median absolute
+    * deviation: m = median(value), MAD = median(|value − m|),
+    * outlier ⇔ |value − m| > 3·MAD. Exact interpolated medians (the
+    * q49 percentile recipe) — three passes over the column, each a
+    * per-type agg with the tiny per-type medians broadcast back, so
+    * the events table streams through three scans with no wide
+    * shuffle. (The approximate single-pass variant is
+    * `percentile_approx`, engine-specific like q43's HLL.)
+    */
+  def madOutliers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, d)
+      .select($"event_type", $"value").filter($"value".isNotNull)
+    val med = base.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = base.join(broadcast(med), "event_type")
+      .select($"event_type", $"med", abs($"value" - $"med").as("dev"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"med").as("med_raw"),
+        min($"mad").as("mad_raw"),
+        sum(when($"dev" > lit(3.0) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select($"event_type", $"n", r4($"med_raw").as("med"),
+        r4($"mad_raw").as("mad"), $"n_outliers")
+      .orderBy($"event_type")
+  }
+
+  /** Per-customer interval-union coverage: each order opens a 30-day
+    * service window; overlapping windows merge (gaps-and-islands —
+    * an island starts where the start exceeds the running max end of
+    * all earlier intervals) and the output is days covered and
+    * disjoint-interval count per customer. Integer day arithmetic
+    * end-to-end. Shape: one shuffle by customer for the two windows
+    * (running max, island id), then a per-(customer, island) agg —
+    * the standard distributed interval-merge, no self-join.
+    */
+  def intervalCoverage(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.orders(spark, d).select(
+      $"o_custkey",
+      expr("datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01')").as("s"))
+      .withColumn("e", $"s" + 30)
+    val byStart = Window.partitionBy($"o_custkey").orderBy($"s", $"e")
+    val marked = iv
+      .withColumn("prev_max",
+        max($"e").over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"prev_max".isNull || $"s" > $"prev_max", 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"new_island").over(
+          byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy($"o_custkey", $"island")
+      .agg(min($"s").as("is_start"), max($"e").as("is_end"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).cast("int").as("n_islands"),
+        sum($"is_end" - $"is_start").as("covered_days"))
+      .orderBy($"o_custkey")
+  }
+}

@@ -212,4 +212,43 @@ object TextStats {
         r4($"inv_sum".cast("double") / $"n_tokens" / 10000.0).as("rarity_score"))
       .orderBy($"doc_id")
   }
+
+  /** Bigram language-model fluency score — [[unigramScore]]'s
+    * second-order sibling: train bigram/head counts over the corpus,
+    * score each document by the mean conditional probability
+    * `avg(P(w2|w1))` of its own bigrams. High scores mark documents
+    * whose word order follows corpus-typical continuations;
+    * scrambled or boilerplate-stitched text scores low.
+    *
+    * The per-bigram summand is the EXACT integer
+    * `(cnt(w1,w2)·10⁶) div cnt(w1·)`, so per-doc sums are
+    * order-independent integer adds (q84's recipe). Shape at scale:
+    * explode adjacent pairs → bigram-count partial agg → head-count
+    * roll-up of that (tiny) model → join back on the bigram (AQE
+    * broadcasts the model when it fits) → per-doc partial agg.
+    */
+  def bigramScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.documents(spark, d)
+      .select($"doc_id",
+        expr("filter(split(text, ' '), t -> t != '')").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(
+        expr("""transform(sequence(1, size(toks) - 1),
+                 i -> struct(toks[i-1] AS w1, toks[i] AS w2))"""))
+        .as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val pairCnt = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+    val headCnt = pairCnt.groupBy($"w1").agg(sum($"cnt").as("head_cnt"))
+    bg.join(pairCnt, Seq("w1", "w2"))
+      .join(headCnt, "w1")
+      .select($"doc_id", expr("(cnt * 1000000) div head_cnt").as("p"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum($"p").as("p_sum"))
+      .select($"doc_id", $"n_bigrams",
+        r4($"p_sum".cast("double") / $"n_bigrams" / 1000000.0)
+          .as("fluency_score"))
+      .orderBy($"doc_id")
+  }
 }

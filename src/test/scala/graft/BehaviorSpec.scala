@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Behavior, Graph, Stats, TextStats}
+
+/** Round-5 operators on PLANTED inputs with hand-computed expected
+  * values: funnel ordering semantics, Markov transition probabilities,
+  * cohort weeks, interval merging, exact regression recovery, MAD
+  * outliers, bigram fluency, and PageRank vs. an in-memory reference
+  * loop. Planted tables are written as parquet into a temp dir shaped
+  * like a testdata sf dir, so the operators run their real read path.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** events.parquet in testdata is raw INT64 nanos; plant the same. */
+  private def plantEvents(rows: Seq[(Long, Long, Long, String, Option[Double])]): String = {
+    val dir = Files.createTempDirectory("graft-behavior").toString
+    rows.toDF("event_id", "ts_sec", "user_id", "event_type", "value")
+      .select($"event_id", ($"ts_sec" * 1000000000L).as("ts"), $"user_id",
+        $"event_type", $"value", lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val day0 = 1704067200L // 2024-01-01 00:00:00 UTC epoch secs
+
+  test("funnel: min-timestamp ordering semantics") {
+    // u1 full funnel; u2 click precedes first view; u3 view only;
+    // u4 purchase without view; u5 view==click timestamp converts
+    val d = plantEvents(Seq(
+      (1L, day0 + 10, 1L, "view", None), (2L, day0 + 20, 1L, "click", None),
+      (3L, day0 + 30, 1L, "purchase", None),
+      (4L, day0 + 10, 2L, "click", None), (5L, day0 + 20, 2L, "view", None),
+      (6L, day0 + 10, 3L, "view", None),
+      (7L, day0 + 10, 4L, "purchase", None),
+      (8L, day0 + 10, 5L, "view", None), (9L, day0 + 10, 5L, "click", None)))
+    val r = Behavior.funnel(spark, d).collect().head
+    assert(r.getLong(0) == 5, "n_users")
+    assert(r.getLong(1) == 4, "n_view")
+    assert(r.getLong(2) == 2, "n_click (u1, u5)")
+    assert(r.getLong(3) == 1, "n_purchase (u1)")
+  }
+
+  test("markov transitions: exact counts and integer probabilities") {
+    val d = plantEvents(Seq(
+      (1L, day0 + 1, 1L, "view", None), (2L, day0 + 2, 1L, "click", None),
+      (3L, day0 + 3, 1L, "view", None),
+      (4L, day0 + 1, 2L, "view", None), (5L, day0 + 2, 2L, "click", None)))
+    val got = Behavior.markovTransitions(spark, d)
+      .as[(String, String, Long, Long)].collect().toSet
+    // from view: 2× to click; from click: 1× to view
+    assert(got == Set(
+      ("click", "view", 1L, 1000000L),
+      ("view", "click", 2L, 1000000L)))
+  }
+
+  test("cohort retention: fixed-epoch week buckets") {
+    val wk = 7L * 86400
+    val d = plantEvents(Seq(
+      (1L, day0 + 10, 1L, "view", None),          // u1 week 0
+      (2L, day0 + wk + 10, 1L, "view", None),     // u1 week 1
+      (3L, day0 + wk + 20, 2L, "view", None)))    // u2 first in week 1
+    val got = Behavior.cohortRetention(spark, d)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got == Set((0, 0, 1L), (0, 1, 1L), (1, 0, 1L)))
+  }
+
+  test("topPaths: first-five path assembly and tie-broken top-k") {
+    val d = plantEvents(Seq(
+      (1L, day0 + 1, 1L, "view", None), (2L, day0 + 2, 1L, "click", None),
+      (3L, day0 + 1, 2L, "view", None), (4L, day0 + 2, 2L, "click", None),
+      (5L, day0 + 1, 3L, "error", None)))
+    val got = Behavior.topPaths(spark, d).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view>click", 2L), ("error", 1L)))
+  }
+
+  private def plantOrders(rows: Seq[(Long, Long, String, Double, String)]): String = {
+    val dir = Files.createTempDirectory("graft-behavior").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate_s", "o_totalprice",
+        "o_orderpriority")
+      .select($"o_orderkey", $"o_custkey", lit("O").as("o_orderstatus"),
+        $"o_totalprice", to_timestamp($"o_orderdate_s").as("o_orderdate"),
+        $"o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("linearRegression: recovers a planted exact line") {
+    // y = x + 10 dollars at x days from the center date ⇒ slope
+    // exactly 100 cents/day, intercept exactly 1000 cents
+    val rows = (-2 to 2).map { x =>
+      val date = java.time.LocalDate.of(1998, 4, 1).plusDays(x.toLong)
+      (x + 10L, 1L, date.toString, x + 10.0, "1-URGENT")
+    }
+    val d = plantOrders(rows)
+    val r = Stats.linearRegression(spark, d).collect().head
+    assert(r.getLong(1) == 5)
+    assert(r.getDouble(2) == 100.0, "slope cents/day")
+    assert(r.getDouble(3) == 1000.0, "intercept cents")
+  }
+
+  test("intervalCoverage: overlap merges, gap splits") {
+    val d = plantOrders(Seq(
+      // cust 1: days 0 and 10 overlap (30-day windows) → one island
+      // of 40 days; cust 2: days 0 and 100 → two islands, 60 days
+      (1L, 1L, "1995-01-01", 1.0, "1-URGENT"),
+      (2L, 1L, "1995-01-11", 1.0, "1-URGENT"),
+      (3L, 2L, "1995-01-01", 1.0, "1-URGENT"),
+      (4L, 2L, "1995-04-11", 1.0, "1-URGENT")))
+    val got = Stats.intervalCoverage(spark, d)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((1L, 1, 40L), (2L, 2, 60L)))
+  }
+
+  test("madOutliers: hand-computed median/MAD/outlier count") {
+    // values 1,2,3,4,100 → med 3, devs 2,1,0,1,97 → mad 1,
+    // outliers where dev > 3 → exactly the 100
+    val d = plantEvents(Seq(
+      (1L, day0 + 1, 1L, "click", Some(1.0)),
+      (2L, day0 + 2, 1L, "click", Some(2.0)),
+      (3L, day0 + 3, 1L, "click", Some(3.0)),
+      (4L, day0 + 4, 1L, "click", Some(4.0)),
+      (5L, day0 + 5, 1L, "click", Some(100.0))))
+    val r = Stats.madOutliers(spark, d).collect().head
+    assert(r.getLong(1) == 5)
+    assert(r.getDouble(2) == 3.0, "median")
+    assert(r.getDouble(3) == 1.0, "mad")
+    assert(r.getLong(4) == 1, "outliers")
+  }
+
+  private def plantDocs(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-behavior").toString
+    rows.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("web").as("source"), length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bigramScore: conditional-probability average") {
+    // corpus: "a b c" + "a c". heads: a→{b,c} (2), b→{c} (1), c: none
+    // doc 1: P(b|a)=1/2, P(c|b)=1 → mean 0.75; doc 2: P(c|a)=1/2
+    val d = plantDocs(Seq((1L, "a b c"), (2L, "a c")))
+    val got = TextStats.bigramScore(spark, d)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(got == Set((1L, 2, 0.75), (2L, 1, 0.5)))
+  }
+
+  test("pageRank: bit-identical to an in-memory integer reference") {
+    val edgePairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 1L), (1L, 3L), (4L, 1L), (1L, 4L))
+    val got = Graph.pageRankOnEdges(
+        edgePairs.toDF("src", "dst"), iters = 3)
+      .select($"node", $"r").as[(Long, Long)].collect().toMap
+
+    // reference: same recurrence, plain Scala integer arithmetic
+    val S = 1000000000000L
+    val out = edgePairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = out.size
+    var r = out.keys.map(k => k -> S / n).toMap
+    for (_ <- 1 to 3) {
+      val got2 = out.toSeq
+        .flatMap { case (u, vs) => vs.map(v => v -> r(u) / vs.size) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = r.keys.map(k => k -> (15L * S / (100L * n) + 85L * got2(k) / 100L)).toMap
+    }
+    assert(got == r)
+  }
+
+  test("pageRank trade graph: rank mass is conserved up to div truncation") {
+    val d = "/root/testdata/sf0.001"
+    val out = Graph.pageRank(spark, d)
+    val (total, nNodes, degSum) = out
+      .agg(sum($"rank_p12"), count(lit(1)), sum($"deg"))
+      .as[(Long, Long, Long)].collect().head
+    val S = 1000000000000L
+    // per round the share split loses Σ(r mod deg) < Σdeg units and
+    // the per-node recombination/teleport each lose < 1; r0 loses < n
+    assert(total <= S && total >= S - 2 * (degSum + 2 * nNodes) - nNodes,
+      s"mass $total vs $S with $nNodes nodes, degSum $degSum")
+    assert(out.filter($"rank_p12" <= 0).count() == 0)
+  }
+}
