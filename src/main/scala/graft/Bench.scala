@@ -61,6 +61,7 @@ object Bench {
     val nFailed = results.count(_._3)
     val total = results.filterNot(_._3).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","n":$n,"action":"noop_write_min_of_interleaved_passes"}""")
+    Derived.clear()
     spark.stop()
   }
 

@@ -156,10 +156,10 @@ object Dedup {
     * the hash arrays; shuffling/deduping ~100-element arrays through
     * the candidate join dominated the runtime before.
     *
-    * No persist: the native ShingleHash recompute is cheap, and a
-    * cached block inside a lazily-returned DataFrame could never be
-    * unpersisted (it would leak for the session lifetime — with all
-    * registered queries sharing one Verify session that matters).
+    * No persist here: callers that want the materialized shared copy
+    * go through [[sharedPairs]] (the [[graft.Derived]] registry,
+    * which owns an explicit unpersist lifecycle — an anonymous cached
+    * block inside a lazily-returned DataFrame could never be freed).
     */
   private[graft] def candidatePairs(hs: DataFrame): DataFrame = {
     import hs.sparkSession.implicits._
@@ -171,11 +171,21 @@ object Dedup {
       .select($"a_id", $"b_id").distinct()
   }
 
+  /** [[candidatePairs]] over the corpus at `d`, materialized once per
+    * session via [[graft.Derived]] — the pair graph is the shared
+    * upstream of q27 (jaccard scoring), q54 (cluster resolution), and
+    * q85 (survivor materialization), and it is tiny (ids only)
+    * relative to the work that derives it.
+    */
+  private def sharedPairs(spark: SparkSession, d: String): DataFrame =
+    graft.Derived.frame(s"lsh-candidate-pairs:$d")(
+      candidatePairs(hashSets(spark, d)))
+
   def minhashLsh(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val hs = hashSets(spark, d)
     // Arrays are attached only after the distinct, via broadcast lookups.
-    val withH = candidatePairs(hs)
+    val withH = sharedPairs(spark, d)
       .join(broadcast(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
       .join(broadcast(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
     val inter = size(array_intersect($"a_h", $"b_h"))
@@ -211,7 +221,7 @@ object Dedup {
                   maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame =
     // Cheap pair generation (no jaccard/hash arrays/global sort — the
     // oracle side shares its candidate CTE chain the same way).
-    resolveClusters(candidatePairs(hashSets(spark, d)), maxDriverEdges)
+    resolveClusters(sharedPairs(spark, d), maxDriverEdges)
 
   /** Connected components over ANY (a_id, b_id) edge frame — shared by
     * the text dup path ([[dupClusters]]) and the embedding SemDeDup
@@ -222,12 +232,18 @@ object Dedup {
       maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = edgeFrame.sparkSession
-    val pairs = edgeFrame.persist(StorageLevel.MEMORY_AND_DISK)
+    // A frame owned by the Derived registry arrives already cached —
+    // leave its lifecycle alone (unpersisting it here would evict the
+    // shared copy other queries rely on).
+    val owned = edgeFrame.storageLevel == StorageLevel.NONE
+    val pairs =
+      if (owned) edgeFrame.persist(StorageLevel.MEMORY_AND_DISK)
+      else edgeFrame
     val nEdges = pairs.count()
     val out =
       if (nEdges <= maxDriverEdges) driverUnionFind(spark, pairs)
       else propagateLabels(pairs, nEdges)
-    pairs.unpersist()
+    if (owned) pairs.unpersist()
     out
   }
 

@@ -123,15 +123,21 @@ object Similarity {
     * public frame into connected components would materialize a
     * useless global sort of every pair into the persisted edge list.
     */
-  private[graft] def hyperplaneVerifiedPairs(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
-    hyperplaneCandidates(spark, d)
-      .join(broadcast(emb.select($"vec_id".as("a_id"), $"embedding".as("av"))), "a_id")
-      .join(broadcast(emb.select($"vec_id".as("b_id"), $"embedding".as("bv"))), "b_id")
-      .select($"a_id", $"b_id", cos($"av", $"bv").as("score_raw"))
-      .filter($"score_raw" >= HpThreshold)
-  }
+  /** Shared per-session via [[graft.Derived]]: the verified pair set
+    * feeds both q57 (near-dup report) and q88 (SemDeDup pruning), and
+    * is three ids+score columns — tiny next to the LSH banding and
+    * cosine verification that derive it.
+    */
+  private[graft] def hyperplaneVerifiedPairs(spark: SparkSession, d: String): DataFrame =
+    graft.Derived.frame(s"hyperplane-verified-pairs:$d") {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+      hyperplaneCandidates(spark, d)
+        .join(broadcast(emb.select($"vec_id".as("a_id"), $"embedding".as("av"))), "a_id")
+        .join(broadcast(emb.select($"vec_id".as("b_id"), $"embedding".as("bv"))), "b_id")
+        .select($"a_id", $"b_id", cos($"av", $"bv").as("score_raw"))
+        .filter($"score_raw" >= HpThreshold)
+    }
 
   /** LSH candidate pairs only (no verification) — exposed for the
     * candidate-budget assertions in HyperplaneSpec. */
