@@ -194,6 +194,10 @@ object SparkEntry {
     "q101_mad_outliers" -> (Stats.madOutliers _),
     "q102_interval_coverage" -> (Stats.intervalCoverage _),
     "q103_bigram_score" -> (TextStats.bigramScore _),
+    "q104_degree_distribution" -> (Graph.degreeDistribution _),
+    "q105_pareto_skyline" -> (Stats.paretoSkyline _),
+    "q106_weighted_sample" -> (Stats.weightedSample _),
+    "q107_minute_anomalies" -> (Stats.minuteAnomalies _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1516,5 +1520,65 @@ object SparkEntry {
         |        / COUNT(*) / 1000000.0 * 10000, 0) / 10000 AS fluency_score
         |FROM bgf JOIN pc USING (w1, w2) JOIN hc USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q104: same mined edge list as q95 (the Spark side reads it from
+    // the shared Derived cache; the oracle re-derives it)
+    "q104_degree_distribution" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c AS src FROM pairs UNION ALL SELECT s AS src FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        |SELECT CASE WHEN src % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+        |  deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1, 2 ORDER BY kind, deg""".stripMargin,
+    // q105: the oracle runs the TEXTBOOK quadratic NOT EXISTS
+    // dominance definition; the Spark side runs the one-pass window
+    // reformulation — the hash gate proves them equivalent
+    "q105_pareto_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS INT) AS day
+        |  FROM orders)
+        |SELECT o_custkey, price_c, day FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.o_custkey = p.o_custkey
+        |    AND q.price_c <= p.price_c AND q.day <= p.day
+        |    AND (q.price_c < p.price_c OR q.day < p.day))
+        |ORDER BY o_custkey, price_c, day""".stripMargin,
+    // q106: per-row integer keep threshold (w·P) div (5·wmax), hash
+    // mod-first (the q90 overflow-safe recipe)
+    "q106_weighted_sample" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS w
+        |  FROM orders),
+        |mx AS (SELECT MAX(w) AS wmax FROM o),
+        |k AS (
+        |  SELECT o_orderkey, o_orderpriority, w,
+        |    (o_orderkey % 2147483647) * 2654435761 % 2147483647
+        |      < (w * 2147483647) // (5 * wmax) AS keep
+        |  FROM o CROSS JOIN mx)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN w END) AS BIGINT) AS kept_weight,
+        |  CAST(SUM(CASE WHEN keep THEN o_orderkey END) AS BIGINT)
+        |    AS kept_key_sum
+        |FROM k GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q107: mu and 9*var derive from exact integer sums cast to
+    // double, so the strict > flag agrees bit-for-bit
+    "q107_minute_anomalies" ->
+      """WITH pm AS (
+        |  SELECT epoch_us(ts) // 60000000 AS minute, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(cnt) AS DOUBLE) AS sc,
+        |              CAST(SUM(cnt * cnt) AS DOUBLE) AS scc
+        |       FROM pm)
+        |SELECT minute, cnt FROM pm CROSS JOIN st
+        |WHERE (cnt - sc / n) * (cnt - sc / n)
+        |      > (n * scc - sc * sc) / (CAST(n AS DOUBLE) * n) * 9.0
+        |ORDER BY minute""".stripMargin,
   )
 }

@@ -26,18 +26,28 @@ object Behavior {
     */
   def funnel(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val stage = Tables.events(spark, d)
-      .groupBy($"user_id")
-      .agg(
-        min(when($"event_type" === "view", $"ts")).as("t_view"),
-        min(when($"event_type" === "click", $"ts")).as("t_click"),
-        min(when($"event_type" === "purchase", $"ts")).as("t_buy"))
+    val stage = stageMins(Tables.events(spark, d))
     stage.agg(
       count(lit(1)).as("n_users"),
       sum(when($"t_view".isNotNull, 1L).otherwise(0L)).as("n_view"),
       sum(when($"t_view" <= $"t_click", 1L).otherwise(0L)).as("n_click"),
       sum(when($"t_view" <= $"t_click" && $"t_click" <= $"t_buy", 1L)
         .otherwise(0L)).as("n_purchase"))
+  }
+
+  /** Per-user earliest timestamp of each funnel stage — conditional
+    * mins are algebraic, so this exact frame also runs as a
+    * Structured Streaming stateful aggregation
+    * ([[graft.streaming.EventStream.funnelStages]]): the engine keeps
+    * three timestamps per user and folds each micro-batch in.
+    */
+  private[graft] def stageMins(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_buy"))
   }
 
   /** Weekly cohort retention: users are assigned to the week of

@@ -40,16 +40,28 @@ object Graph {
     * re-derive the join lineage; at two unrolled rounds the recompute
     * is cheaper than the cache churn.
     */
+  /** Both-direction customer↔supplier trade edges, hash-partitioned
+    * by `src` (the key every consumer probes or aggregates on) and
+    * shared per-session via [[graft.Derived]] — the relationship
+    * graph is the common upstream of centrality (q95) and topology
+    * profiling (q104).
+    */
+  private[graft] def tradeEdges(spark: SparkSession, d: String): DataFrame =
+    graft.Derived.frame(s"trade-edges:$d") {
+      import spark.implicits._
+      val pairs = Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey")
+        .join(Tables.orders(spark, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+        .distinct()
+      pairs.select($"c".as("src"), $"s".as("dst"))
+        .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+        .repartition($"src")
+    }
+
   def pageRank(spark: SparkSession, d: String, iters: Int = 2): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey")
-      .join(Tables.orders(spark, d).select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct()
-    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
-      .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
-    pageRankOnEdges(edges, iters).select(
+    pageRankOnEdges(tradeEdges(spark, d), iters).select(
       when($"node" % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
       expr("node div 2").as("entity_id"),
       $"deg", $"r".as("rank_p12"))
@@ -75,8 +87,12 @@ object Graph {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     val S = 1000000000000L // rank scale 10^12
-    val edges = edges0.repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a Derived-registry frame arrives cached and already partitioned
+    // by src — leave its lifecycle to the registry
+    val owned = edges0.storageLevel == StorageLevel.NONE
+    val edges =
+      if (owned) edges0.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+      else edges0
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n"))
 
@@ -101,7 +117,26 @@ object Graph {
       ranks.unpersist()
       ranks = next
     }
-    edges.unpersist()
+    if (owned) edges.unpersist()
     ranks
+  }
+
+  /** Degree-distribution profile of the trade graph: nodes per
+    * (side, degree) — the audit that tells you whether the
+    * centrality run above it faces a power-law skew (a handful of
+    * mega-degree nodes dominating the contribution shuffle) before
+    * you pay for it. Reads the shared cached edge frame; the
+    * per-node degree agg reuses its src partitioning without an
+    * exchange.
+    */
+  def degreeDistribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    tradeEdges(spark, d)
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select(
+        when($"src" % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
+        $"deg")
+      .groupBy($"kind", $"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"kind", $"deg")
   }
 }

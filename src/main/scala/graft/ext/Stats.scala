@@ -123,4 +123,91 @@ object Stats {
         sum($"is_end" - $"is_start").as("covered_days"))
       .orderBy($"o_custkey")
   }
+
+  /** Per-customer Pareto skyline — orders minimizing (price, date):
+    * an order survives iff no other order of the same customer is
+    * ≤ on both axes and < on at least one. The multi-objective
+    * frontier selection a curation pipeline runs to pick
+    * best-quality-per-cost examples.
+    *
+    * One window pass instead of the quadratic NOT EXISTS self-join:
+    * after distinct points, sorted by (price, date), a point is
+    * dominated exactly when the running min date over its strict
+    * predecessors is ≤ its own date — every predecessor has price ≤
+    * its price, and strictness on one axis follows from the sort
+    * order on deduplicated points. (The DuckDB oracle deliberately
+    * runs the textbook NOT EXISTS definition instead, so the
+    * correctness gate checks the reformulation, not just the
+    * arithmetic.) Shape: one shuffle by customer; no self-join.
+    */
+  def paretoSkyline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, d).select(
+      $"o_custkey",
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_c"),
+      expr("datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01')").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"o_custkey").orderBy($"price_c", $"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("prev_min_day", min($"day").over(w))
+      .filter($"prev_min_day".isNull || $"prev_min_day" > $"day")
+      .select($"o_custkey", $"price_c", $"day")
+      .orderBy($"o_custkey", $"price_c", $"day")
+  }
+
+  /** Weight-proportional deterministic sampling: each order is kept
+    * with probability (w / w_max) / 5 — higher-value rows are
+    * proportionally more likely to survive — decided by a pure
+    * integer hash predicate (the q90 recipe, per-row thresholds):
+    * keep ⇔ hash(key) mod P < (w_cents · P) div (5 · wmax_cents).
+    * Reruns, repartitions, and engines all agree bit-for-bit; the
+    * only pre-pass is a tiny global max broadcast over the scan.
+    */
+  def weightedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d).select($"o_orderkey", $"o_orderpriority",
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("w"))
+    val wmax = o.agg(max($"w").as("wmax"))
+    o.crossJoin(broadcast(wmax))
+      .select($"o_orderkey", $"o_orderpriority", $"w", $"wmax",
+        (expr("(o_orderkey % 2147483647) * 2654435761 % 2147483647") <
+          expr("(w * 2147483647) div (5 * wmax)")).as("keep"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"keep".cast("long")).as("n_kept"),
+        sum(when($"keep", $"w")).as("kept_weight"),
+        sum(when($"keep", $"o_orderkey")).as("kept_key_sum"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Time-series anomaly flags: per-minute event counts vs the
+    * global mean/variance of the per-minute series; a minute is
+    * anomalous when (cnt − μ)² > 9σ². Counts and their squares sum
+    * as exact integers (one tiny two-row stats broadcast), so μ and
+    * σ² derive from identical inputs in any engine and the flag is
+    * reproducible. Shape: one minute-bucket agg over the scan, one
+    * global agg of the (small) series, one broadcast back — the
+    * standard streaming-friendly profile (the windowed agg is what
+    * `EventStream` maintains incrementally).
+    */
+  def minuteAnomalies(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val perMin = Tables.events(spark, d)
+      .groupBy(expr("unix_micros(ts) div 60000000").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = perMin.agg(
+      count(lit(1)).as("n_minutes"),
+      sum($"cnt").as("sc"),
+      sum($"cnt" * $"cnt").as("scc"))
+    perMin.crossJoin(broadcast(stats))
+      .withColumn("mu", $"sc".cast("double") / $"n_minutes")
+      .withColumn("var9",
+        (($"n_minutes".cast("double") * $"scc".cast("double")
+          - $"sc".cast("double") * $"sc".cast("double"))
+          / ($"n_minutes".cast("double") * $"n_minutes".cast("double")))
+          * lit(9.0))
+      .filter(($"cnt" - $"mu") * ($"cnt" - $"mu") > $"var9")
+      .select($"minute", $"cnt")
+      .orderBy($"minute")
+  }
 }

@@ -64,6 +64,17 @@ object EventStream {
       .dropDuplicates("event_id")
   }
 
+  /** Live funnel state — the streaming twin of
+    * [[graft.ext.Behavior.funnel]]'s per-user stage frame: the SAME
+    * conditional-min aggregation maintained as engine state (three
+    * timestamps per user), so each micro-batch folds in and the
+    * frame always reflects every event seen so far. Downstream the
+    * batch roll-up turns it into stage counts; state size is O(users)
+    * regardless of event volume.
+    */
+  def funnelStages(events: DataFrame): DataFrame =
+    graft.ext.Behavior.stageMins(events)
+
   /** Session windows (30-minute gap) per user — the engine-managed
     * state twin of [[graft.ext.Events.sessionize]]; works identically
     * over a batch DataFrame or a watermarked stream.

@@ -170,6 +170,48 @@ class BehaviorSpec extends SparkSpec {
     assert(got == r)
   }
 
+  test("paretoSkyline: window reformulation matches planted dominance") {
+    val d = plantOrders(Seq(
+      (1L, 1L, "1990-01-06", 1.00, "1-URGENT"),   // (100, 5) skyline
+      (2L, 1L, "1990-01-04", 2.00, "1-URGENT"),   // (200, 3) skyline
+      (3L, 1L, "1990-01-11", 1.50, "1-URGENT"),   // (150,10) dominated by (100,5)
+      (4L, 1L, "1990-01-08", 1.00, "1-URGENT"),   // (100, 7) dominated by (100,5)
+      (5L, 2L, "1990-01-02", 9.00, "1-URGENT")))  // lone point survives
+    val got = Stats.paretoSkyline(spark, d)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 100L, 5), (1L, 200L, 3), (2L, 900L, 1)))
+  }
+
+  test("weightedSample: deterministic and weight-monotone in aggregate") {
+    val d = "/root/testdata/sf0.001"
+    val a = Stats.weightedSample(spark, d).collect().map(_.toSeq).toSeq
+    val b = Stats.weightedSample(spark, d).collect().map(_.toSeq).toSeq
+    assert(a == b, "rerun must keep the identical sample")
+    // kept rows skew heavy: average kept weight exceeds the overall
+    // average weight (that is the point of weight-proportional keep)
+    val row = Stats.weightedSample(spark, d)
+      .agg(sum($"n"), sum($"n_kept"), sum($"kept_weight")).collect().head
+    val (n, nk, kw) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nk > 0 && nk < n)
+    val overallAvg = graft.sources.Tables.orders(spark, d)
+      .agg(avg(expr("floor(o_totalprice * 100)"))).collect().head.getDouble(0)
+    assert(kw.toDouble / nk > overallAvg)
+  }
+
+  test("minuteAnomalies: flags exactly the planted spike") {
+    // ten calm minutes of 10 events + one minute of 100:
+    // mean 18.18, 9*var 6025 < (100-18.18)^2 — only the spike flags
+    val rows = (0 until 10).flatMap { m =>
+      (0 until 10).map(i => ((m * 10 + i).toLong, day0 + m * 60L,
+        1L, "view", Option.empty[Double]))
+    } ++ (0 until 100).map(i =>
+      ((1000 + i).toLong, day0 + 20 * 60L, 1L, "view", Option.empty[Double]))
+    val d = plantEvents(rows)
+    val got = Stats.minuteAnomalies(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(100L), s"only the spike minute flags: $got")
+  }
+
   test("pageRank trade graph: rank mass is conserved up to div truncation") {
     val d = "/root/testdata/sf0.001"
     val out = Graph.pageRank(spark, d)

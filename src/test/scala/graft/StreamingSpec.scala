@@ -89,6 +89,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel state across micro-batches == batch stage frame") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStream.funnelStages(input.toDF())
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("complete").start()
+    try {
+      // split so many users straddle the batch boundary — their state
+      // must fold, not reset
+      val (b1, b2) = sampleEvents.splitAt(sampleEvents.length / 2)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("user_id").collect().map(_.toSeq).toSeq
+      val streamed = rows(spark.table("funnel_state"))
+      val batch = rows(graft.ext.Behavior.stageMins(sampleEvents.toDF()))
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
