@@ -198,6 +198,7 @@ object SparkEntry {
     "q105_pareto_skyline" -> (Stats.paretoSkyline _),
     "q106_weighted_sample" -> (Stats.weightedSample _),
     "q107_minute_anomalies" -> (Stats.minuteAnomalies _),
+    "q108_kmv_distinct" -> ((s: SparkSession, d: String) => Stats.kmvDistinct(s, d)),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1580,5 +1581,25 @@ object SparkEntry {
         |WHERE (cnt - sc / n) * (cnt - sc / n)
         |      > (n * scc - sc * sc) / (CAST(n AS DOUBLE) * n) * 9.0
         |ORDER BY minute""".stripMargin,
+    // q108: the multiplicative hash is a bijection mod the prime P,
+    // so the k-th smallest hash — and with it the estimate — is a
+    // pure integer function of the distinct key set on both engines
+    // (unlike q43's HLL, whose sketch is engine-specific)
+    "q108_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    (l_orderkey % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |      FROM h),
+        |a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |        CAST(LEAST(COUNT(*), 64) AS INT) AS k_used,
+        |        CAST(MAX(CASE WHEN rn <= 64 THEN h END) AS BIGINT) AS hk
+        |      FROM r GROUP BY 1)
+        |SELECT l_returnflag, n_exact, k_used, hk,
+        |  CASE WHEN n_exact < 64 THEN n_exact
+        |       ELSE 135291469761 // hk END AS est -- 63 * P, pre-multiplied
+        |FROM a ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -103,10 +103,18 @@ object Stats {
     */
   def intervalCoverage(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val iv = Tables.orders(spark, d).select(
+    coverageOf(Tables.orders(spark, d).select(
       $"o_custkey",
       expr("datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01')").as("s"))
-      .withColumn("e", $"s" + 30)
+      .withColumn("e", $"s" + 30))
+  }
+
+  /** Frame-based interval-merge core over (o_custkey, s, e) with
+    * arbitrary half-open [s, e); property-tested against brute-force
+    * day-set union (StatsProps).
+    */
+  private[graft] def coverageOf(iv: DataFrame): DataFrame = {
+    import iv.sparkSession.implicits._
     val byStart = Window.partitionBy($"o_custkey").orderBy($"s", $"e")
     val marked = iv
       .withColumn("prev_max",
@@ -142,11 +150,19 @@ object Stats {
     */
   def paretoSkyline(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val pts = Tables.orders(spark, d).select(
+    skylineOf(Tables.orders(spark, d).select(
       $"o_custkey",
       expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_c"),
-      expr("datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01')").as("day"))
-      .distinct()
+      expr("datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01')").as("day")))
+  }
+
+  /** Frame-based skyline core over (o_custkey, price_c, day) points;
+    * property-tested against the brute-force dominance definition
+    * (StatsProps) in addition to q105's NOT EXISTS oracle.
+    */
+  private[graft] def skylineOf(pts0: DataFrame): DataFrame = {
+    import pts0.sparkSession.implicits._
+    val pts = pts0.distinct()
     val w = Window.partitionBy($"o_custkey").orderBy($"price_c", $"day")
       .rowsBetween(Window.unboundedPreceding, -1)
     pts.withColumn("prev_min_day", min($"day").over(w))
@@ -209,5 +225,50 @@ object Stats {
       .filter(($"cnt" - $"mu") * ($"cnt" - $"mu") > $"var9")
       .select($"minute", $"cnt")
       .orderBy($"minute")
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch — the
+    * DETERMINISTIC, cross-engine-verifiable alternative to q43's
+    * HLL (whose sketch bytes are engine-specific by nature): keep
+    * the k smallest values of a fixed multiplicative hash over the
+    * key; estimate = (k−1)·P div h_k, or the exact size when fewer
+    * than k distinct values exist. The hash x → (x mod P)·A mod P is
+    * a bijection on [0, P), so distinct hashes ≡ distinct keys (for
+    * keys < P; larger key spaces fold mod P, the usual sketch
+    * regime).
+    *
+    * Scale shape: one distinct shuffle on (group, 8-byte hash), then
+    * the bounded [[graft.functions.TopKAgg]] — map-side partials
+    * carry ≤ k values per group, and two sketches merge by re-taking
+    * the k smallest of their union (associative + commutative), the
+    * property that lets 1000 executors sketch independently.
+    */
+  def kmvDistinct(spark: SparkSession, d: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    kmvOf(Tables.lineitem(spark, d)
+      .select($"l_returnflag", $"l_orderkey".as("key")), k)
+  }
+
+  /** Frame-based KMV core over (l_returnflag, key). */
+  private[graft] def kmvOf(rows: DataFrame, k: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    val P = 2147483647L
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    val h = rows
+      .select($"l_returnflag",
+        expr(s"(key % $P) * 2654435761 % $P").as("h"))
+      .distinct()
+    h.groupBy($"l_returnflag")
+      .agg(topk((-$"h").cast("double"), $"h").as("mins"),
+        count(lit(1)).as("n_exact"))
+      .select($"l_returnflag", $"n_exact",
+        size($"mins").as("k_used"),
+        expr("element_at(mins, size(mins))._2").as("hk"))
+      .withColumn("est",
+        // (k-1)*P pre-multiplied in Scala: as SQL literals the int*int
+        // product would overflow 32 bits before any promotion
+        when($"n_exact" < k, $"n_exact")
+          .otherwise(expr(s"${(k - 1).toLong * P} div hk")))
+      .orderBy($"l_returnflag")
   }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.ext.{Graph, Stats}
+
+/** Property tests for the round-5 distributed reformulations against
+  * trivial sequential references: the skyline window trick vs the
+  * brute-force dominance definition, interval merging vs day-set
+  * union, integer PageRank vs an in-memory loop, and the KMV
+  * estimator vs its closed formula on the sorted distinct hash set.
+  */
+object StatsProps extends Properties("stats") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stats-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val genPts: Gen[List[(Long, Long, Int)]] =
+    Gen.listOf(for {
+      cust <- Gen.choose(1L, 3L)
+      price <- Gen.choose(1L, 20L)
+      day <- Gen.choose(1, 20)
+    } yield (cust, price, day)).map(_.take(40))
+
+  property("skyline window form == brute-force dominance") =
+    Prop.forAll(genPts) { pts0 =>
+      import spark.implicits._
+      val pts = pts0.distinct
+      val got = Stats.skylineOf(pts.toDF("o_custkey", "price_c", "day"))
+        .as[(Long, Long, Int)].collect().toSet
+      val want = pts.filter { case (c, p, t) =>
+        !pts.exists { case (c2, p2, t2) =>
+          c2 == c && p2 <= p && t2 <= t && (p2 < p || t2 < t)
+        }
+      }.toSet
+      got == want
+    }
+
+  private val genIvs: Gen[List[(Long, Int, Int)]] =
+    Gen.listOf(for {
+      cust <- Gen.choose(1L, 3L)
+      s <- Gen.choose(0, 50)
+      len <- Gen.choose(1, 15)
+    } yield (cust, s, s + len)).map(_.take(30)).suchThat(_.nonEmpty)
+
+  property("interval coverage == brute-force day-set union") =
+    Prop.forAll(genIvs) { ivs =>
+      import spark.implicits._
+      val got = Stats.coverageOf(ivs.toDF("o_custkey", "s", "e"))
+        .as[(Long, Int, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = ivs.groupBy(_._1).map { case (c, xs) =>
+        val days = xs.flatMap { case (_, s, e) => s until e }.toSet
+        // islands = maximal runs of consecutive covered days
+        val nIslands = days.toSeq.sorted
+          .foldLeft((0, Int.MinValue)) { case ((n, prev), d) =>
+            (if (d == prev + 1) n else n + 1, d)
+          }._1
+        c -> ((nIslands, days.size.toLong))
+      }
+      got == want
+    }
+
+  private val genGraph: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 8L)
+      b <- Gen.choose(1L, 8L) if a != b
+    } yield (a, b)).map(_.take(20))
+
+  property("integer PageRank == in-memory reference on random graphs") =
+    Prop.forAll(genGraph, Gen.choose(1, 3)) { (raw, iters) =>
+      import spark.implicits._
+      // symmetrize so every node has out- and in-edges (no dangling)
+      val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val got = Graph.pageRankOnEdges(edges.toDF("src", "dst"), iters)
+        .select("node", "r").as[(Long, Long)].collect().toMap
+      val S = 1000000000000L
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val n = out.size
+      var r = out.keys.map(k => k -> S / n).toMap
+      for (_ <- 1 to iters) {
+        val in = edges.map { case (u, v) => v -> r(u) / out(u).size }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        r = r.keys.map(k => k -> (15L * S / (100L * n) + 85L * in(k) / 100L)).toMap
+      }
+      got == r
+    }
+
+  private val genKeys: Gen[(List[(Long, Long)], Int)] = for {
+    keys <- Gen.nonEmptyListOf(Gen.choose(1L, 500L))
+    k <- Gen.oneOf(4, 16, 64)
+  } yield (keys.map(x => (1L, x)).take(120), k)
+
+  property("KMV == closed formula on the sorted distinct hash set") =
+    Prop.forAll(genKeys) { case (rows, k) =>
+      import spark.implicits._
+      val P = 2147483647L
+      val got = Stats.kmvOf(rows.toDF("l_returnflag", "key"), k)
+        .select("n_exact", "k_used", "hk", "est")
+        .as[(Long, Int, Long, Long)].collect().head
+      val hs = rows.map(_._2).distinct.map(x => (x % P) * 2654435761L % P).sorted
+      val kUsed = math.min(k, hs.size)
+      val hk = hs(kUsed - 1)
+      val est = if (hs.size < k) hs.size.toLong else (k - 1).toLong * P / hk
+      got == ((hs.size.toLong, kUsed, hk, est))
+    }
+}
