@@ -92,4 +92,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "cross-doc dup fraction must stay linear: explode + count + equi-join back")
   }
+
+  test("q96: funnel is two agg levels, two exchanges, no window/sort") {
+    val plan = planOf("q96_funnel")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"funnel must shuffle only per-user partials " +
+      s"then the global rollup, found $exchanges exchanges")
+    assert(!plan.contains("Window"), "funnel must not plan a window")
+  }
+
+  test("q100: regression is a single aggregation shuffle plus the output sort") {
+    val plan = planOf("q100_linear_regression")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"sufficient-stats regression is one agg exchange + presentation sort, found $exchanges")
+  }
+
+  test("q104: degree agg reuses the cached edge partitioning (no exchange below it)") {
+    val df = SparkEntry.queries("q104_degree_distribution")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "degree profile must read the shared Derived edge cache")
+    // the toString includes the cached relation's own build plan —
+    // audit only the operators ABOVE the InMemoryTableScan leaf: the
+    // (kind, deg) regroup and presentation sort may shuffle, the
+    // per-src degree agg must reuse the cache's hash(src) layout
+    val above = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    val exchanges = "Exchange".r.findAllIn(above).size
+    assert(exchanges <= 2,
+      s"degree agg must reuse hash(src) cache layout, found $exchanges exchanges above the cache scan")
+  }
+
+  test("q105: skyline is window-only — no self-join of any kind") {
+    val plan = planOf("q105_pareto_skyline")
+    assert(plan.contains("Window"), "skyline runs the one-pass window form")
+    assert(!"Join".r.findAllIn(plan).hasNext,
+      "skyline must not plan a join (the quadratic NOT EXISTS lives only in the oracle)")
+  }
+
+  test("q108: KMV plans bounded partial aggregation, never a global sort of hashes") {
+    val df = SparkEntry.queries("q108_kmv_distinct")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // TopKAgg is an ObjectHashAggregate; the only Sort allowed is the
+    // 5-row presentation tail, never a sort of the distinct-hash set
+    assert(plan.contains("ObjectHashAggregate"),
+      "KMV must aggregate with the bounded TopKAgg buffers")
+    assert(!plan.contains("Window"),
+      "KMV must not fall back to a row_number window over hashes")
+  }
 }
