@@ -199,6 +199,32 @@ object SparkEntry {
     "q106_weighted_sample" -> (Stats.weightedSample _),
     "q107_minute_anomalies" -> (Stats.minuteAnomalies _),
     "q108_kmv_distinct" -> ((s: SparkSession, d: String) => Stats.kmvDistinct(s, d)),
+    // Incremental join maintenance: the Spark side refreshes via the
+    // four-part delta identity (history ∪ three delta-sized joins);
+    // the oracle joins the full tables directly — the hash gate
+    // proves the refresh path reconstructs the full join exactly.
+    "q109_delta_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val li = graft.sources.Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount", $"l_shipdate")
+      val liOld = li.filter($"l_shipdate" < expr("TIMESTAMP'1998-01-01'"))
+      val liNew = li.filter(!($"l_shipdate" < expr("TIMESTAMP'1998-01-01'")))
+      val o = graft.sources.Tables.orders(s, d)
+        .select($"o_orderkey".as("l_orderkey"), $"o_custkey", $"o_orderdate")
+      val oOld = o.filter($"o_orderdate" < expr("TIMESTAMP'1997-01-01'"))
+      val oNew = o.filter(!($"o_orderdate" < expr("TIMESTAMP'1997-01-01'")))
+      val history = liOld.join(oOld, Seq("l_orderkey"))
+      graft.operators.DeltaJoin
+        .maintain(history, liOld, liNew, oOld, oNew, Seq("l_orderkey"))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1.0).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")))
+            .cast("double"), 2).as("revenue"))
+        .orderBy($"o_custkey")
+    }),
+    "q110_winsorized_mean" -> (Stats.winsorizedMean _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1601,5 +1627,32 @@ object SparkEntry {
         |  CASE WHEN n_exact < 64 THEN n_exact
         |       ELSE 135291469761 // hk END AS est -- 63 * P, pre-multiplied
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // q109: the oracle is the DIRECT full join — the Spark side's
+    // four-part incremental refresh must reconstruct it bit-for-bit
+    // (q01's decimal-exact revenue recipe)
+    "q109_delta_join" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // q110: exact interpolated p01/p99 clamp (q49 recipe) then a
+    // 1e-2-quantized integer mean
+    "q110_winsorized_mean" ->
+      """WITH p AS (
+        |  SELECT o_orderstatus,
+        |    quantile_cont(o_totalprice, 0.01) AS p01,
+        |    quantile_cont(o_totalprice, 0.99) AS p99
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT o.o_orderstatus,
+        |    CAST(FLOOR(LEAST(GREATEST(o_totalprice, p01), p99) * 100)
+        |         AS BIGINT) AS cents
+        |  FROM orders o JOIN p USING (o_orderstatus))
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 * 10000, 0)
+        |    / 10000 AS wmean
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -227,6 +227,33 @@ object Stats {
       .orderBy($"minute")
   }
 
+  /** Winsorized mean per group — outlier-robust feature scaling:
+    * clamp values into the exact [p01, p99] interpolated-percentile
+    * interval (the q49 recipe) before averaging, the standard
+    * clipping pass a feature pipeline runs so a handful of extreme
+    * rows can't dominate a statistic. The clamped values are
+    * 1e-2-quantized to integers before summing, so the mean is a
+    * ratio of exact integers (order-independent under any
+    * parallelism). Shape: one percentile agg per group, tiny bounds
+    * broadcast back over the scan, one counting agg.
+    */
+  def winsorizedMean(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d).select($"o_orderstatus", $"o_totalprice")
+    val pct = o.groupBy($"o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.01)").as("p01"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+    o.join(broadcast(pct), "o_orderstatus")
+      .select($"o_orderstatus",
+        floor(least(greatest($"o_totalprice", $"p01"), $"p99") * 100)
+          .cast("long").as("cents"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+      .select($"o_orderstatus", $"n",
+        r4($"sc".cast("double") / $"n" / 100.0).as("wmean"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch — the
     * DETERMINISTIC, cross-engine-verifiable alternative to q43's
     * HLL (whose sketch bytes are engine-specific by nature): keep

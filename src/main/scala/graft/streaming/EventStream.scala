@@ -64,6 +64,30 @@ object EventStream {
       .dropDuplicates("event_id")
   }
 
+  /** Watermarked stream-stream interval join: each view pairs with
+    * the same user's clicks within the following 10 minutes — the
+    * attribution join. Both sides carry a watermark and the join
+    * condition bounds event time on both ends, so the engine can
+    * discard view state once no qualifying click can still arrive
+    * (state stays O(in-horizon events), the requirement for an
+    * unbounded run). The identical expression joins two batch frames,
+    * which is what the spec compares against.
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    import views.sparkSession.implicits._
+    val v = views.select($"user_id", $"ts".as("v_ts"),
+      $"event_id".as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val c = clicks.select($"user_id".as("c_user"), $"ts".as("c_ts"),
+      $"event_id".as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    v.join(c, expr(
+      """user_id = c_user AND
+         c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 10 MINUTES"""))
+      .select($"user_id", $"view_id", $"click_id",
+        unix_micros($"v_ts").as("v_us"), unix_micros($"c_ts").as("c_us"))
+  }
+
   /** Live funnel state — the streaming twin of
     * [[graft.ext.Behavior.funnel]]'s per-user stage frame: the SAME
     * conditional-min aggregation maintained as engine state (three

@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream view-click join == batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val query = EventStream.viewClickJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("vc_join")
+      .outputMode("append").start()
+    try {
+      val evs = sampleEvents
+      val (vs, cs) = (evs.filter(_.event_type == "view"),
+        evs.filter(_.event_type == "click"))
+      // interleave arrival so matches straddle micro-batches
+      views.addData(vs.take(vs.length / 2))
+      clicks.addData(cs)
+      query.processAllAvailable()
+      views.addData(vs.drop(vs.length / 2))
+      query.processAllAvailable()
+      val streamed = spark.table("vc_join")
+        .orderBy("view_id", "click_id").collect().map(_.toSeq).toSeq
+      val batch = EventStream.viewClickJoin(vs.toDF(), cs.toDF())
+        .orderBy("view_id", "click_id").collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally query.stop()
+  }
+
   test("streaming funnel state across micro-batches == batch stage frame") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
