@@ -36,8 +36,24 @@ object Derived {
     memo.getOrElse(key, {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize now so every later reader hits cache
-      memo.putIfAbsent(key, df).getOrElse(df)
+      memo.putIfAbsent(key, df) match {
+        case Some(winner) => df.unpersist(); winner // lose the race cleanly
+        case None => df
+      }
     })
+
+  private val adoptSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Take ownership of an ALREADY-persisted frame so [[clear]] can
+    * release it — for operators whose iteration loops must leave
+    * their final frame cached (re-evaluating the returned lineage
+    * would otherwise re-run the whole loop) but have no natural
+    * input-derived key.
+    */
+  def adopt(df: DataFrame): DataFrame = {
+    memo.put(s"adopted:${adoptSeq.incrementAndGet()}", df)
+    df
+  }
 
   /** Unpersist and forget every registered frame. */
   def clear(): Unit = {

@@ -12,7 +12,7 @@ import graft.sources.Tables
   * and int8 embedding quantization.
   */
 object Corpus {
-  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+  private def r4(c: Column): Column = graft.Num.r4(c)
 
   /** Sliding-window document chunking (context-window fill): split each
     * document into `window`-token chunks every `stride` tokens, keeping

@@ -24,7 +24,7 @@ import graft.sources.Tables
   * both sides), making even the LSH pipeline oracle-verifiable.
   */
 object Dedup {
-  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+  private def r4(c: Column): Column = graft.Num.r4(c)
 
   /** Modulus for all polynomial hashes (2^31 - 1, prime). */
   val P = 2147483647L

@@ -24,7 +24,7 @@ import graft.sources.Tables
 object Events {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def moneySum(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
-  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+  private def r4(c: Column): Column = graft.Num.r4(c)
 
   /** W2 analog — LOCF (last observation carried forward): for every
     * event, the most recent 'purchase' value of the same user. Exactly

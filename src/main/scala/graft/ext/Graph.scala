@@ -71,6 +71,8 @@ object Graph {
   /** Frame-based core: ranks after `iters` rounds over an `(src,
     * dst)` edge frame where every node appears as a source (callers
     * materialize both directions or guarantee no dangling nodes).
+    * Nodes with no IN-edges are fine: the contribution join is an
+    * outer join, so they keep their teleport share each round.
     * Returns (node, deg, n, r) with r at scale 10¹².
     *
     * Iteration discipline (the [[Dedup.propagateLabels]] pattern):
@@ -108,9 +110,10 @@ object Graph {
           "src")
         .groupBy($"dst").agg(sum($"give").as("got"))
       val next = ranks.drop("r")
-        .join(contrib.select($"dst".as("node"), $"got"), "node")
+        .join(contrib.select($"dst".as("node"), $"got"), Seq("node"), "left")
         .withColumn("r",
-          expr(s"(CAST(${15L * S} AS BIGINT) div (100 * n)) + (85 * got) div 100"))
+          expr(s"(CAST(${15L * S} AS BIGINT) div (100 * n)) " +
+            "+ (85 * coalesce(got, 0L)) div 100"))
         .drop("got")
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before freeing the previous round
@@ -118,7 +121,9 @@ object Graph {
       ranks = next
     }
     if (owned) edges.unpersist()
-    ranks
+    // the final frame must stay cached (its lineage is the whole
+    // loop); hand its lifecycle to the registry so clear() frees it
+    graft.Derived.adopt(ranks)
   }
 
   /** Degree-distribution profile of the trade graph: nodes per

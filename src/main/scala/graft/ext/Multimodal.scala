@@ -27,8 +27,7 @@ import graft.sources.Tables
   * Dataset out) is the one you want.
   */
 object Multimodal {
-  private def r4(c: org.apache.spark.sql.Column) =
-    round(c * lit(10000.0), 0) / lit(10000.0)
+  private def r4(c: org.apache.spark.sql.Column) = graft.Num.r4(c)
 
   /** A media row: opaque bytes + typed metadata. */
   final case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])

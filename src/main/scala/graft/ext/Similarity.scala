@@ -24,7 +24,7 @@ import graft.sources.Tables
   * source).
   */
 object Similarity {
-  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+  private def r4(c: Column): Column = graft.Num.r4(c)
 
   private def cos(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -276,11 +276,9 @@ object Similarity {
     partials
       .select($"cid", $"dim".cast("int").as("dim"),
         $"n".cast("int").as("n_assigned"),
-        // + 0.0 canonicalizes IEEE signed zero: a tiny negative mean
-        // rounds to -0.0 in engines whose round keeps the sign bit
-        // (DuckDB) but 0.0 under BigDecimal HALF_UP (Spark); adding
-        // positive zero maps both to +0.0 so byte-level hashes agree.
-        (r4($"isum" / $"n" / 1000000.0) + lit(0.0)).as("c"))
+        // Num.r4 canonicalizes IEEE signed zero (+ 0.0), which the
+        // centroid means need: the DuckDB twin appends + 0.0 likewise.
+        r4($"isum" / $"n" / 1000000.0).as("c"))
       .orderBy($"cid", $"dim")
   }
 

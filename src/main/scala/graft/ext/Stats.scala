@@ -15,8 +15,7 @@ import graft.sources.Tables
   */
 object Stats {
 
-  private def r4(c: Column): Column =
-    round(c * lit(10000.0), 0) / lit(10000.0) + lit(0.0)
+  private def r4(c: Column): Column = graft.Num.r4(c)
 
   /** Per-group simple linear regression (price vs. order date) fit
     * from sufficient statistics: n, Σx, Σy, Σxy, Σx² — five

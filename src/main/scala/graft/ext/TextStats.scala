@@ -11,7 +11,7 @@ import graft.sources.Tables
   * the natural shape for a 100 TB map-only scoring pass.
   */
 object TextStats {
-  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+  private def r4(c: Column): Column = graft.Num.r4(c)
   private val P = Dedup.P
 
   val Stopwords: Seq[String] = Seq("the", "a", "is", "of", "and", "to", "in", "it")

@@ -46,7 +46,7 @@ object Analytics {
     * last digit. Doing scale-round-unscale in IEEE doubles on BOTH
     * engines makes every step bit-identical.
     */
-  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+  private def r4(c: Column): Column = graft.Num.r4(c)
   private def moneyAvg(c: Column): Column =
     r4(sum(dec(c)).cast("double") / count(lit(1)))
   /** Average of an integral-valued double column (quantity): the sum is

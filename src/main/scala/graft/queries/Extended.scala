@@ -14,7 +14,7 @@ import graft.sources.Tables
 object Extended {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def moneySum(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
-  private def r4(c: Column): Column = round(c * lit(10000.0), 0) / lit(10000.0)
+  private def r4(c: Column): Column = graft.Num.r4(c)
 
   /** Bloom-prefiltered semi join ([[graft.operators.BloomJoin]]):
     * lineitems of high-value orders. The bloom pre-pass drops

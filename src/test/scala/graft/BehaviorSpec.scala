@@ -212,6 +212,22 @@ class BehaviorSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(100L), s"only the spike minute flags: $got")
   }
 
+  test("pageRank: zero-in-degree nodes keep their teleport share, their mass still flows") {
+    // node 3 sends to 1 but nothing sends to 3 — it must survive every
+    // round (teleport-only rank) and its contribution must reach 1
+    val got = Graph.pageRankOnEdges(
+        Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst"), iters = 2)
+      .select($"node", $"r").as[(Long, Long)].collect().toMap
+    val S = 1000000000000L
+    val teleport = 15L * S / (100L * 3)
+    assert(got.keySet == Set(1L, 2L, 3L), "no node may drop out")
+    assert(got(3L) == teleport, "in-degree-0 node holds exactly the teleport share")
+    // round 2: node 1 receives node 2's full round-1 rank and node 3's
+    // teleport-only rank
+    val r1n2 = teleport + 85L * (S / 3) / 100L
+    assert(got(1L) == teleport + 85L * (r1n2 + teleport) / 100L)
+  }
+
   test("pageRank trade graph: rank mass is conserved up to div truncation") {
     val d = "/root/testdata/sf0.001"
     val out = Graph.pageRank(spark, d)

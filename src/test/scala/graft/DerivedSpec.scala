@@ -36,6 +36,18 @@ class DerivedSpec extends SparkSpec {
     Derived.clear()
   }
 
+  test("adopt hands an iteration result's cache to the registry") {
+    Derived.clear()
+    val ranks = graft.ext.Graph.pageRankOnEdges(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iters = 1)
+    assert(ranks.storageLevel != StorageLevel.NONE,
+      "final loop frame must stay cached for the caller")
+    assert(Derived.keys.exists(_.startsWith("adopted:")))
+    Derived.clear()
+    assert(ranks.storageLevel == StorageLevel.NONE,
+      "clear must release adopted frames too")
+  }
+
   test("non-registry edge frames are still persist/unpersist managed") {
     val edges = Seq((1L, 2L)).toDF("a_id", "b_id")
     Dedup.resolveClusters(edges).collect()
