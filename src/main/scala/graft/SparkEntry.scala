@@ -225,6 +225,14 @@ object SparkEntry {
         .orderBy($"o_custkey")
     }),
     "q110_winsorized_mean" -> (Stats.winsorizedMean _),
+    "q111_fuzzy_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.operators.FuzzyJoin.editOnePairs(
+        graft.sources.Tables.supplier(s, d).select($"s_name".as("name")))
+        .select($"a_name", $"b_name", $"dist".cast("int").as("dist"))
+    }),
+    "q112_time_weighted_avg" -> (Events.timeWeightedAvg _),
+    "q113_unpivot" -> (Extended.unpivotMetrics _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1654,5 +1662,48 @@ object SparkEntry {
         |  ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 * 10000, 0)
         |    / 10000 AS wmean
         |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q111: the oracle runs the QUADRATIC all-pairs definition; the
+    // Spark side blocks by deletion neighborhood — the gate proves
+    // the blocking finds every edit-distance-1 pair
+    "q111_fuzzy_join" ->
+      """SELECT a.s_name AS a_name, b.s_name AS b_name,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY a_name, b_name""".stripMargin,
+    // q112: holding durations in integer ms × integer cents; the TWAP
+    // quotient divides exact integer sums (q84 order-independence)
+    "q112_time_weighted_avg" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |iv AS (
+        |  SELECT user_id, cents,
+        |    (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id))
+        |     - epoch_us(ts)) // 1000 AS dur_ms
+        |  FROM s)
+        |SELECT user_id, CAST(COUNT(*) AS INT) AS n_intervals,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |  ROUND(CAST(SUM(cents * dur_ms) AS DOUBLE)
+        |        / CAST(SUM(dur_ms) AS DOUBLE) / 100.0 * 10000, 0)
+        |    / 10000 + 0.0 AS twa
+        |FROM iv WHERE dur_ms IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q113: UNION ALL melt (the q76 pattern) against Spark's native
+    // Dataset.unpivot; DECIMAL(18,2) makes both measures sum exactly
+    "q113_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'o_custkey' AS metric,
+        |    CAST(o_custkey AS DECIMAL(18,2)) AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice',
+        |    CAST(o_totalprice AS DECIMAL(18,2)) FROM orders)
+        |SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total,
+        |  ROUND(CAST(MIN(value) AS DOUBLE), 2) AS min_v,
+        |  ROUND(CAST(MAX(value) AS DOUBLE), 2) AS max_v
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
   )
 }

@@ -185,4 +185,36 @@ object Events {
           org.apache.spark.sql.types.StringType))).as(Seq("key", "val")))
       .orderBy($"event_id", $"key")
   }
+
+  /** Per-user TIME-WEIGHTED average of `value` — each reading holds
+    * until the next one, so the mean weights each value by how long
+    * it was current (the IoT/finance TWAP semantics; a plain AVG
+    * over-weights bursts of rapid updates). One lead window per user
+    * gives the holding duration; weights are integer milliseconds ×
+    * integer cents accumulated as DECIMAL(38,0), so the quotient is
+    * a ratio of exact integers and bit-stable across engines and
+    * partitionings. The final reading has no duration and drops out,
+    * as do users with a single reading.
+    */
+  def timeWeightedAvg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .filter($"value".isNotNull)
+      .select($"user_id", $"ts", $"event_id",
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("dur_ms",
+        expr("(unix_micros(lead(ts, 1) over " +
+          "(partition by user_id order by ts, event_id)) " +
+          "- unix_micros(ts)) div 1000"))
+      .filter($"dur_ms".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("int").as("n_intervals"),
+        sum($"dur_ms".cast("decimal(38,0)")).as("total_ms"),
+        sum(($"cents" * $"dur_ms").cast("decimal(38,0)")).as("wsum"))
+      .select($"user_id", $"n_intervals",
+        $"total_ms".cast("long").as("total_ms"),
+        graft.Num.r4($"wsum".cast("double") / $"total_ms".cast("double")
+          / 100.0).as("twa"))
+      .orderBy($"user_id")
+  }
 }

@@ -412,4 +412,27 @@ object Extended {
         countDistinct($"l_orderkey").as("exact_orders"))
       .orderBy($"l_returnflag")
   }
+
+  /** UNPIVOT/melt — [[pivotStatus]]'s inverse: wide per-order metric
+    * columns become (metric, value) rows via the native
+    * `Dataset.unpivot` (MELT) operator, then roll up per metric.
+    * Unpivot is a zero-shuffle narrow op (each row fans out to one
+    * row per measure column); only the k-row rollup shuffles. Values
+    * land in DECIMAL(18,2) so integral keys and 2-decimal money sum
+    * exactly through one common type.
+    */
+  def unpivotMetrics(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey".cast("decimal(18,2)").as("o_custkey"),
+        $"o_totalprice".cast("decimal(18,2)").as("o_totalprice"))
+      .unpivot(Array($"o_orderkey"), Array($"o_custkey", $"o_totalprice"),
+        "metric", "value")
+      .groupBy($"metric")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value").cast("double"), 2).as("total"),
+        round(min($"value").cast("double"), 2).as("min_v"),
+        round(max($"value").cast("double"), 2).as("max_v"))
+      .orderBy($"metric")
+  }
 }

@@ -212,6 +212,34 @@ class BehaviorSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(100L), s"only the spike minute flags: $got")
   }
 
+  test("fuzzyJoin: deletion blocking finds substitution/insert/delete, not transposition") {
+    import graft.operators.FuzzyJoin
+    val names = Seq("abcd", "abxd", "abd", "abcde", "acbd", "zzzz")
+      .toDF("name")
+    val got = FuzzyJoin.editOnePairs(names)
+      .as[(String, String, Int)].collect().toSet
+    // one edit apart: abcd↔abxd (substitute), abcd↔abd (delete c),
+    // abcd↔abcde (insert e), abd↔abxd (insert x), abd↔acbd (insert c).
+    // acbd = transposition of abcd → distance 2, must NOT appear;
+    // zzzz matches nothing.
+    assert(got == Set(
+      ("abcd", "abxd", 1), ("abcd", "abd", 1), ("abcd", "abcde", 1),
+      ("abd", "abxd", 1), ("abd", "acbd", 1)), s"got $got")
+  }
+
+  test("timeWeightedAvg: holds each value for its duration") {
+    // u1: value 1.00 held 10s, then 3.00 held 30s, then final reading
+    // (no duration) → twa = (100*10000 + 300*30000)/40000/100 = 2.5
+    val d = plantEvents(Seq(
+      (1L, day0, 1L, "view", Some(1.0)),
+      (2L, day0 + 10, 1L, "view", Some(3.0)),
+      (3L, day0 + 40, 1L, "view", Some(9.0)),
+      (4L, day0, 2L, "view", Some(5.0)))) // single reading → drops out
+    val got = graft.ext.Events.timeWeightedAvg(spark, d)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2, 40000L, 2.5)))
+  }
+
   test("pageRank: zero-in-degree nodes keep their teleport share, their mass still flows") {
     // node 3 sends to 1 but nothing sends to 3 — it must survive every
     // round (teleport-only rank) and its contribution must reach 1
