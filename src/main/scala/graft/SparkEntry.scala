@@ -233,6 +233,9 @@ object SparkEntry {
     }),
     "q112_time_weighted_avg" -> (Events.timeWeightedAvg _),
     "q113_unpivot" -> (Extended.unpivotMetrics _),
+    "q114_table_audit" -> (Extended.tableAudit _),
+    "q115_rolling_30d" -> (Extended.rolling30d _),
+    "q116_nullsafe_join" -> (Extended.nullSafeJoin _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1705,5 +1708,52 @@ object SparkEntry {
         |  ROUND(CAST(MIN(value) AS DOUBLE), 2) AS min_v,
         |  ROUND(CAST(MAX(value) AS DOUBLE), 2) AS max_v
         |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
+    // q114: checksum = Σ hash(key) folded mod P — HUGEINT/DECIMAL
+    // accumulation on both sides, bounded output at any scale
+    "q114_table_audit" -> {
+      val branches = Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey * 10 + l_linenumber",
+        "events" -> "event_id", "documents" -> "doc_id",
+        "embeddings" -> "vec_id")
+        .map { case (t, k) =>
+          s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(($k % 2147483647) * 2654435761 % 2147483647)
+             |       % 2147483647 AS BIGINT) AS key_checksum FROM $t""".stripMargin
+        }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+    // q115: RANGE frame bounded by the integer day value (peers
+    // included), the frame family the ROWS-frame queries don't cover
+    "q115_rolling_30d" ->
+      """WITH p AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    (CAST(o_orderdate AS DATE) - DATE '1990-01-01') AS day,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, CAST(day AS INT) AS day,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS spend30_c,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS n30
+        |FROM p ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q116: IS NOT DISTINCT FROM == Spark's <=> — NULL keys pair with
+    // NULL keys instead of vanishing
+    "q116_nullsafe_join" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |              ELSE o_custkey % 7 END AS ka, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT DISTINCT CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |                       ELSE c_custkey % 7 END AS kb
+        |  FROM customer)
+        |SELECT ka, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM o JOIN r ON o.ka IS NOT DISTINCT FROM r.kb
+        |GROUP BY ka ORDER BY ka NULLS FIRST""".stripMargin,
   )
 }

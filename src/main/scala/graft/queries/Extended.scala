@@ -421,6 +421,72 @@ object Extended {
     * land in DECIMAL(18,2) so integral keys and 2-decimal money sum
     * exactly through one common type.
     */
+  /** One-pass data-quality audit over EVERY table: row count + an
+    * order-independent key checksum (sum of the bijective
+    * multiplicative hash, folded mod P so the value is bounded at any
+    * scale — DECIMAL(38,0) accumulation, never a wrapping long). The
+    * load-gate query a pipeline runs after ingest to certify "the
+    * same rows arrived" without comparing data: ten independent
+    * single-row aggs, each a separate scan stage, no joins.
+    */
+  def tableAudit(spark: SparkSession, d: String): DataFrame = {
+    val P = 2147483647L
+    val keys = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey * 10 + l_linenumber",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    keys.map { case (t, keyExpr) =>
+      Tables.read(spark, d, t).agg(
+        count(lit(1)).as("n_rows"),
+        expr(s"CAST(pmod(sum(CAST(($keyExpr % $P) * 2654435761 % $P " +
+          s"AS DECIMAL(38,0))), $P) AS BIGINT)").as("key_checksum"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("key_checksum"))
+    }.reduce(_ unionByName _).orderBy(col("table_name"))
+  }
+
+  /** Trailing-30-day rolling spend per order — a RANGE window frame
+    * (value-bounded on the integer day, peers included), the frame
+    * family the rows-frame queries (q11/q91) don't exercise. One
+    * shuffle by customer; the frame bound is data-value arithmetic,
+    * so no self-join and no explode-per-day blowup.
+    */
+  def rolling30d(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(spark, d)
+      .select($"o_custkey", $"o_orderkey",
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1990-01-01')").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .select($"o_custkey", $"o_orderkey", $"day",
+        sum($"cents").over(w).as("spend30_c"),
+        count(lit(1)).over(w).as("n30"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * pair with NULL keys instead of vanishing — the semantics MERGE
+    * and dedup passes need when the key itself is optional. Planned
+    * as a real equi-join (null-safe equality is a valid hash key),
+    * not a nested loop.
+    */
+  def nullSafeJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bucket = when($"o_custkey" % 7 === 0, lit(null)).otherwise($"o_custkey" % 7)
+    val o = Tables.orders(spark, d).select(bucket.as("ka"), $"o_orderkey")
+    val ref = Tables.customer(spark, d)
+      .select(when($"c_custkey" % 7 === 0, lit(null))
+        .otherwise($"c_custkey" % 7).as("kb"))
+      .distinct()
+    o.join(ref, $"ka" <=> $"kb")
+      .groupBy($"ka")
+      .agg(count(lit(1)).as("n_orders"), sum($"o_orderkey").as("key_sum"))
+      .orderBy($"ka".asc_nulls_first)
+  }
+
   def unpivotMetrics(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, d)

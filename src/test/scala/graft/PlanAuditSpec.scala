@@ -130,6 +130,18 @@ class PlanAuditSpec extends SparkSpec {
       "skyline must not plan a join (the quadratic NOT EXISTS lives only in the oracle)")
   }
 
+  test("q116: null-safe equality plans as a real equi-join, not a nested loop") {
+    val plan = planOf("q116_nullsafe_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "<=> must hash on the null-safe key, never degrade to a nested loop")
+  }
+
+  test("q111: fuzzy join is variant-blocked — no all-pairs compare") {
+    val plan = planOf("q111_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "deletion-neighborhood blocking must plan an equi-join on the variant key")
+  }
+
   test("q108: KMV plans bounded partial aggregation, never a global sort of hashes") {
     val df = SparkEntry.queries("q108_kmv_distinct")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
