@@ -236,6 +236,19 @@ object SparkEntry {
     "q114_table_audit" -> (Extended.tableAudit _),
     "q115_rolling_30d" -> (Extended.rolling30d _),
     "q116_nullsafe_join" -> (Extended.nullSafeJoin _),
+    // Custom DataSource V2 generator (parallel, column-pruning): the
+    // rows come from the connector, not parquet — the oracle evaluates
+    // the same closed integer formulas over range(n)
+    "q117_gen_source" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "100000").option("parts", "8").load()
+        .groupBy(($"bucket" % 10).as("b"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"),
+          sum($"id").as("id_sum"))
+        .orderBy($"b")
+    }),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1755,5 +1768,18 @@ object SparkEntry {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM o JOIN r ON o.ka IS NOT DISTINCT FROM r.kb
         |GROUP BY ka ORDER BY ka NULLS FIRST""".stripMargin,
+    // q117: the DSv2 generator's closed integer formulas re-evaluated
+    // over range(n) — verifies the connector's generation + slicing
+    "q117_gen_source" ->
+      """WITH g AS (
+        |  SELECT range AS id,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(100000)),
+        |t AS (SELECT id, h % 1000 AS bucket, (h // 1000) % 100000 AS cents
+        |      FROM g)
+        |SELECT bucket % 10 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM t GROUP BY 1 ORDER BY b""".stripMargin,
   )
 }

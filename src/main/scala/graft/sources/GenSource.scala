@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 deterministic row generator — the scale-out form of
+  * the reference's driver-side constant-range generator (SURVEY §2.1
+  * S4, `etl_pipeline_spark.py:172`: a date range materialized on one
+  * node): `spark.read.format("graft.sources.GenSource")
+  * .option("rows", n).option("parts", p).load()` plans `p` parallel
+  * input partitions, each synthesizing its half-open id slice with
+  * pure integer formulas — nothing is read, shuffled, or collected,
+  * and the same ids always yield the same rows on any cluster.
+  *
+  * Implements `SupportsPushDownRequiredColumns`: a projection reaches
+  * the reader, which materializes ONLY the requested fields (verified
+  * by GenSourceSpec against the scan's pruned readSchema). Because
+  * every column is a closed integer formula of `id`, the source is
+  * oracle-verifiable — q117's DuckDB twin evaluates the identical
+  * formulas over `range(n)`.
+  *
+  * Columns: `id` ∈ [0, rows); `h = (id mod P)·A mod P` (the engine's
+  * bijective multiplicative hash); `bucket = h mod 1000`;
+  * `cents = (h div 1000) mod 100000`.
+  */
+class GenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = properties.asScala
+    new GenSource.GenTable(
+      opts.getOrElse("rows", "1000").toLong,
+      opts.getOrElse("parts", "8").toInt)
+  }
+}
+
+object GenSource {
+  val P = 2147483647L
+  val A = 2654435761L
+
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("cents", LongType, nullable = false)))
+
+  private[sources] class GenTable(rows: Long, parts: Int)
+      extends Table with SupportsRead {
+    override def name(): String = s"gen($rows rows, $parts parts)"
+    override def schema(): StructType = Schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new GenScanBuilder(rows, parts)
+  }
+
+  private class GenScanBuilder(rows: Long, parts: Int)
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = Schema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = new GenScan(rows, parts, required)
+  }
+
+  private class GenScan(rows: Long, parts: Int, required: StructType)
+      extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val per = math.max(1L, (rows + parts - 1) / parts)
+      (0L until rows by per)
+        .map(s => GenSlice(s, math.min(s + per, rows)): InputPartition)
+        .toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GenReaderFactory(required.fieldNames)
+  }
+
+  private case class GenSlice(start: Long, end: Long) extends InputPartition
+
+  private class GenReaderFactory(fields: Array[String])
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val s = p.asInstanceOf[GenSlice]
+      new GenReader(s.start, s.end, fields)
+    }
+  }
+
+  private class GenReader(start: Long, end: Long, fields: Array[String])
+      extends PartitionReader[InternalRow] {
+    private var id = start - 1
+    override def next(): Boolean = { id += 1; id < end }
+    override def get(): InternalRow = {
+      val h = (id % P) * A % P
+      new GenericInternalRow(fields.map[Any] {
+        case "id" => id
+        case "bucket" => h % 1000L
+        case "cents" => (h / 1000L) % 100000L
+      })
+    }
+    override def close(): Unit = ()
+  }
+}
