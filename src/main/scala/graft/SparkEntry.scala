@@ -249,6 +249,8 @@ object SparkEntry {
           sum($"id").as("id_sum"))
         .orderBy($"b")
     }),
+    "q120_scd2_lookup" -> (Events.scd2Lookup _),
+    "q121_rolling_distinct" -> (Events.rollingDistinctUsers _),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1781,5 +1783,47 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
         |  CAST(SUM(id) AS BIGINT) AS id_sum
         |FROM t GROUP BY 1 ORDER BY b""".stripMargin,
+    // q120: the SCD2 state version (from non-click events — q60's CTE
+    // over the filtered base) in effect at each click's timestamp; the
+    // as-of pick is the greatest valid_from ≤ ts per probe (QUALIFY
+    // row_number); LEFT JOIN keeps pre-history clicks with null state
+    "q120_scd2_lookup" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WHERE event_type != 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS version
+        |  FROM flagged
+        |), hist AS (
+        |  SELECT user_id, version, MIN(event_type) AS state,
+        |    MIN(ts_us) AS valid_from_us
+        |  FROM runs GROUP BY user_id, version
+        |), probes AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.user_id, p.click_id, p.ts_us, h.version, h.state
+        |FROM probes p LEFT JOIN hist h
+        |  ON h.user_id = p.user_id AND h.valid_from_us <= p.ts_us
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.user_id, p.click_id
+        |  ORDER BY h.valid_from_us DESC, h.version DESC) = 1
+        |ORDER BY p.user_id, p.click_id""".stripMargin,
+    // q121: same bounded ×7 fan-out of deduplicated (day, user) pairs;
+    // DATE + INTEGER day arithmetic is identical in both engines
+    "q121_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |mx AS (SELECT MAX(day) AS md FROM du),
+        |fan AS (
+        |  SELECT day + CAST(t.i AS INTEGER) AS day, user_id
+        |  FROM du CROSS JOIN range(7) t(i))
+        |SELECT day, COUNT(DISTINCT user_id) AS users_7d
+        |FROM fan, mx WHERE day <= md
+        |GROUP BY day ORDER BY day""".stripMargin,
   )
 }

@@ -109,10 +109,18 @@ object Events {
     * pass + one aggregate, both partitioned by user — the standard
     * scale shape for history tables.
     */
-  def scd2History(spark: SparkSession, d: String): DataFrame = {
+  def scd2History(spark: SparkSession, d: String): DataFrame =
+    scd2On(Tables.events(spark, d))
+
+  /** [[scd2History]]'s core over any (user_id, event_id, ts,
+    * event_type) frame — callers pick the event subset that defines
+    * the dimension (q120 builds state history from non-click events).
+    */
+  private[graft] def scd2On(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val runs = Tables.events(spark, d)
+    val runs = events
       .select($"user_id", $"event_id", $"ts", $"event_type")
       .withColumn("chg",
         when(lag($"event_type", 1).over(w).isNull ||
@@ -216,5 +224,64 @@ object Events {
         graft.Num.r4($"wsum".cast("double") / $"total_ms".cast("double")
           / 100.0).as("twa"))
       .orderBy($"user_id")
+  }
+
+  /** Rolling 7-day distinct active users — the DAU/WAU-style engagement
+    * metric every product pipeline reports. Rolling COUNT(DISTINCT) has
+    * no window form (distinct is not algebraic over sliding frames);
+    * the scalable shape is a bounded fan-out: distinct (day, user)
+    * pairs each replicate to the ≤7 target days they contribute to,
+    * then one count-distinct aggregation per target day. Fan-out cost
+    * is a fixed ×7 of the *deduplicated* day-grain pairs — independent
+    * of raw event volume — and the aggregation shuffles by day, so no
+    * single-reducer window anywhere (contrast a naive
+    * `RANGE BETWEEN 6 PRECEDING` over a global day ordering). Target
+    * days past the observed horizon are dropped (`max(day)` is a
+    * one-row scalar agg, collected once like q73's avgdl).
+    */
+  def rollingDistinctUsers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val du = Tables.events(spark, d)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val maxDay = du.agg(max($"day")).head().getDate(0)
+    du.select($"day", $"user_id", explode(sequence(lit(0), lit(6))).as("i"))
+      .select(date_add($"day", $"i").as("day"), $"user_id")
+      .filter($"day" <= lit(maxDay))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("users_7d"))
+      .orderBy($"day")
+  }
+
+  /** SCD2 point-in-time lookup — "what was this user's state when the
+    * click happened": the dimension is the [[scd2On]] version history
+    * of the user's NON-click events (views/purchases = state; clicks
+    * are the probing fact, kept out of the dimension so the lookup
+    * isn't self-referential), and each click fetches the version in
+    * effect at its timestamp — greatest `valid_from ≤ ts`, i.e. a
+    * backward as-of join, the standard fact-to-slowly-changing-
+    * dimension temporal join. Clicks before a user's first state
+    * version keep null version/state (left semantics).
+    * Reuses [[graft.operators.AsOfJoin.asOf]], so the cost is one
+    * keyed shuffle of probes ∪ versions by user — no range-predicate
+    * join explosion, no per-probe scan of the full history. At 100 TB
+    * both sides bucket by the key and the as-of merge runs
+    * shuffle-free (see AsOfNativeSpec's exchange-free plan proof).
+    */
+  def scd2Lookup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val probes = ev
+      .filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"),
+        unix_micros($"ts").as("ts_us"))
+    val versions = scd2On(ev.filter($"event_type" =!= "click"))
+      .select($"user_id", $"valid_from_us".as("ts_us"),
+        $"version", $"event_type".as("state"))
+    graft.operators.AsOfJoin.asOf(
+        probes, versions, keys = Seq("user_id"), ts = "ts_us",
+        tieBreak = "version", rightPrefix = "v_")
+      .select($"user_id", $"click_id", $"ts_us",
+        $"v_version".as("version"), $"v_state".as("state"))
+      .orderBy($"user_id", $"click_id")
   }
 }

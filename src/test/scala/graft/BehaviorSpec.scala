@@ -269,4 +269,31 @@ class BehaviorSpec extends SparkSpec {
       s"mass $total vs $S with $nNodes nodes, degSum $degSum")
     assert(out.filter($"rank_p12" <= 0).count() == 0)
   }
+
+  test("scd2Lookup: clicks resolve to the state version in effect, pre-history clicks keep null") {
+    // state history of u1 (non-click): view@10 → v1, purchase@30 → v2
+    val d = plantEvents(Seq(
+      (1L, day0 + 10, 1L, "view", None),
+      (2L, day0 + 30, 1L, "purchase", None),
+      (3L, day0 + 5, 1L, "click", None),   // before any state → null
+      (4L, day0 + 20, 1L, "click", None),  // inside v1's effect
+      (5L, day0 + 35, 1L, "click", None))) // after v2 started
+    val got = graft.ext.Events.scd2Lookup(spark, d)
+      .select($"click_id", $"state").as[(Long, Option[String])]
+      .collect().toSeq
+    assert(got == Seq((3L, None), (4L, Some("view")), (5L, Some("purchase"))))
+  }
+
+  test("rollingDistinctUsers: 7-day fan-out window, horizon-capped") {
+    val day = 86400L
+    val d = plantEvents(Seq(
+      (1L, day0, 1L, "view", None), (2L, day0 + 1, 2L, "view", None),
+      (3L, day0 + 3 * day, 2L, "view", None),
+      (4L, day0 + 8 * day, 3L, "view", None)))
+    val got = graft.ext.Events.rollingDistinctUsers(spark, d)
+      .select($"users_7d").as[Long].collect().toSeq
+    // days 1-7 see {u1,u2}; day 8 sees only u2 (day-4 activity);
+    // day 9 sees {u2 (day 4), u3}; nothing past the max observed day
+    assert(got == Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 1L, 2L))
+  }
 }
