@@ -249,6 +249,7 @@ object SparkEntry {
           sum($"id").as("id_sum"))
         .orderBy($"b")
     }),
+    "q118_triangle_count" -> (Graph.triangleCount _),
     "q120_scd2_lookup" -> (Events.scd2Lookup _),
     "q121_rolling_distinct" -> (Events.rollingDistinctUsers _),
   )
@@ -1783,6 +1784,22 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
         |  CAST(SUM(id) AS BIGINT) AS id_sum
         |FROM t GROUP BY 1 ORDER BY b""".stripMargin,
+    // q118: textbook unordered triangle join a<b<c — the differential
+    // twin of the engine's degree-ordered compact-forward enumeration
+    "q118_triangle_count" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |nodes AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+        |tri AS (
+        |  SELECT COUNT(*) AS n
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+        |SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+        |       (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
     // q120: the SCD2 state version (from non-click events — q60's CTE
     // over the filtered base) in effect at each click's timestamp; the
     // as-of pick is the greatest valid_from ≤ ts per probe (QUALIFY

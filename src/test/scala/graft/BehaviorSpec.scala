@@ -270,6 +270,31 @@ class BehaviorSpec extends SparkSpec {
     assert(out.filter($"rank_p12" <= 0).count() == 0)
   }
 
+  test("triangleCount: planted baskets — one closed wedge, repeat co-purchases collapse") {
+    val dir = Files.createTempDirectory("graft-tri").toString
+    // basket 10 closes triangle {1,2,3}; basket 11 hangs edge 3-4;
+    // basket 12 repeats edge 1-2 (must not double-count)
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 3L), (11L, 4L),
+        (12L, 1L), (12L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val r = Graph.triangleCount(spark, dir).as[(Long, Long, Long)]
+      .collect().head
+    assert(r == ((4L, 4L, 1L)), "4 nodes, 4 edges, 1 triangle")
+  }
+
+  test("triangleCount: a star graph has wedges but no triangles") {
+    val dir = Files.createTempDirectory("graft-star").toString
+    // hub part 1 co-occurs pairwise with 2..5 via two-item baskets
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+        (4L, 1L), (4L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val r = Graph.triangleCount(spark, dir).as[(Long, Long, Long)]
+      .collect().head
+    assert(r == ((5L, 4L, 0L)), "5 nodes, 4 spokes, 0 triangles")
+  }
+
   test("scd2Lookup: clicks resolve to the state version in effect, pre-history clicks keep null") {
     // state history of u1 (non-click): view@10 → v1, purchase@30 → v2
     val d = plantEvents(Seq(
