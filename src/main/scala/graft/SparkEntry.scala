@@ -250,6 +250,7 @@ object SparkEntry {
         .orderBy($"b")
     }),
     "q118_triangle_count" -> (Graph.triangleCount _),
+    "q119_setsim_join" -> (Dedup.setSimilarityJoin _),
     "q120_scd2_lookup" -> (Events.scd2Lookup _),
     "q121_rolling_distinct" -> (Events.rollingDistinctUsers _),
   )
@@ -1800,6 +1801,23 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
         |       (SELECT COUNT(*) FROM e) AS n_edges,
         |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
+    // q119: the oracle pays the quadratic all-pairs list_intersect the
+    // prefix filter exists to avoid — same pairs, opposite cost
+    "q119_setsim_join" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.l, b.l)) AS BIGINT) AS inter,
+        |    CAST(len(a.l) AS BIGINT) AS na, CAST(len(b.l) AS BIGINT) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter, na, nb,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc
+        |FROM p
+        |WHERE inter * 10 >= (na + nb - inter) * 9 AND na + nb > 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q120: the SCD2 state version (from non-click events — q60's CTE
     // over the filtered base) in effect at each click's timestamp; the
     // as-of pick is the greatest valid_from ≤ ts per probe (QUALIFY

@@ -387,4 +387,59 @@ object Dedup {
           .as("simhash16"))
       .orderBy($"doc_id")
   }
+
+  /** Exact set-similarity join with prefix filtering (SSJoin/PPJoin
+    * family) — all document pairs whose token-set Jaccard ≥ 0.9,
+    * found WITHOUT the all-pairs compare and WITHOUT the MinHash
+    * probabilistic recall loss: under a global token order (rarest
+    * first — ascending document frequency), two sets with J ≥ τ must
+    * share a token within each one's first `n − ⌈τ·n⌉ + 1` tokens, so
+    * an equi-join on prefix tokens alone yields a candidate superset,
+    * and an exact `array_intersect` verify keeps the true pairs.
+    *
+    * Scale shape: the candidate join carries only prefix tokens —
+    * ~n/10 of each set at τ=0.9, and the rarest ones, so hot tokens
+    * (huge posting lists, the join-explosion risk) are systematically
+    * excluded from the probe side; df attachment is a broadcast (the
+    * vocabulary aggregate is tiny next to the corpus); the verify
+    * join is keyed by doc id. The ranking window partitions by
+    * doc_id — millions of tiny groups, never a global sort. This is
+    * the deterministic sibling of [[minhashLsh]]: exact recall at
+    * higher verify cost, the right tool when τ is high and misses
+    * are expensive.
+    *
+    * The integer threshold `10·|a∩b| ≥ 9·|a∪b|` keeps the keep
+    * decision exact on both engines; `jacc` itself is one IEEE
+    * division of exact integers — bit-identical everywhere.
+    */
+  def setSimilarityJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "").distinct()
+    val df = toks.groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"token")
+    val prefix = toks.join(broadcast(df), "token")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      // prefix length n − ⌈0.9n⌉ + 1, with ⌈0.9n⌉ = ⌊(9n+9)/10⌋
+      .filter($"rn" <= $"n" - expr("(9 * n + 9) div 10") + 1)
+      .select($"token", $"doc_id")
+    val cands = prefix.toDF("token", "doc_a")
+      .join(prefix.toDF("token", "doc_b"), "token")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val sets = toks.groupBy($"doc_id")
+      .agg(collect_set($"token").as("toks"), count(lit(1)).as("n"))
+    val inter = size(array_intersect($"ta", $"tb")).cast("bigint")
+    cands
+      .join(sets.toDF("doc_a", "ta", "na"), "doc_a")
+      .join(sets.toDF("doc_b", "tb", "nb"), "doc_b")
+      .withColumn("inter", inter)
+      .filter($"inter" * 10 >= ($"na" + $"nb" - $"inter") * 9)
+      .select($"doc_a", $"doc_b", $"inter", $"na", $"nb",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jacc"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

@@ -77,4 +77,20 @@ class RecallSpec extends SparkSpec {
     assert((lsh & diffLen).nonEmpty,
       "LSH must find length-differing near-dups blocking cannot")
   }
+
+  test("setSimilarityJoin: exact J>=0.9 boundary — kept at 0.9, dropped just below") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-setsim").toString
+    val t = (0 until 10).map(i => s"t$i")
+    Seq(
+      (1L, t.mkString(" ")),                      // 10 tokens
+      (2L, t.take(9).mkString(" ")),              // J(1,2) = 9/10  kept
+      (3L, (t.take(9) :+ "zz").mkString(" ")),    // J(1,3) = 9/11  dropped; J(2,3) = 9/10 kept
+      (4L, (0 until 10).map(i => s"u$i").mkString(" "))) // disjoint
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ext.Dedup.setSimilarityJoin(spark, dir)
+      .select($"doc_a", $"doc_b", $"inter", $"jacc")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 9L, 0.9), (2L, 3L, 9L, 0.9)))
+  }
 }
