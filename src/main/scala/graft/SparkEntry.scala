@@ -251,6 +251,8 @@ object SparkEntry {
     }),
     "q118_triangle_count" -> (Graph.triangleCount _),
     "q119_setsim_join" -> (Dedup.setSimilarityJoin _),
+    "q122_sparse_cosine" -> (Corpus.sparseCosinePairs _),
+    "q123_embedding_cov" -> ((s: SparkSession, d: String) => Stats.embeddingCovariance(s, d)),
     "q120_scd2_lookup" -> (Events.scd2Lookup _),
     "q121_rolling_distinct" -> (Events.rollingDistinctUsers _),
   )
@@ -1848,6 +1850,56 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.user_id, p.click_id
         |  ORDER BY h.valid_from_us DESC, h.version DESC) = 1
         |ORDER BY p.user_id, p.click_id""".stripMargin,
+    // q122: same df-pruned tf vectors and integer cosine threshold;
+    // DuckDB's SUM promotes to HUGEINT, hence the BIGINT casts
+    "q122_sparse_cosine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token <> '' GROUP BY doc_id, token),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |kept AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf
+        |  FROM tf
+        |  JOIN (SELECT token, COUNT(*) AS df FROM tf GROUP BY token) v USING (token)
+        |  CROSS JOIN nd
+        |  WHERE v.df * 10 <= nd.n),
+        |norm AS (
+        |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq
+        |  FROM kept GROUP BY doc_id),
+        |dt AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM kept a JOIN kept b
+        |    ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot, na.nsq AS nsq_a, nb.nsq AS nsq_b,
+        |  CAST((dot * dot * 10000) // (na.nsq * nb.nsq) AS BIGINT) AS cos2_q4
+        |FROM dt
+        |JOIN norm na ON na.doc_id = dt.doc_a
+        |JOIN norm nb ON nb.doc_id = dt.doc_b
+        |WHERE 4 * dot * dot >= na.nsq * nb.nsq
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q123: same 1e-6 quantization grid (q82's) and integer sums; the
+    // i<=j pair grid comes from a range self-join per vector; HUGEINT
+    // arithmetic is exact, cast to DECIMAL(38,0)/BIGINT at the edges
+    "q123_embedding_cov" ->
+      """WITH q AS (
+        |  SELECT vec_id, t.i AS i,
+        |    CAST(FLOOR(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+        |               * 1000000.0) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN range(8) t(i)
+        |  WHERE len(embedding) >= 8)
+        |SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(a.v) AS BIGINT) AS sx, CAST(SUM(b.v) AS BIGINT) AS sy,
+        |  CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+        |  CAST(COUNT(*) * SUM(a.v * b.v) - SUM(a.v) * SUM(b.v)
+        |       AS DECIMAL(38,0)) AS cov_num
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
     // q121: same bounded ×7 fan-out of deduplicated (day, user) pairs;
     // DATE + INTEGER day arithmetic is identical in both engines
     "q121_rolling_distinct" ->

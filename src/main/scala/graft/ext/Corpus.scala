@@ -329,4 +329,53 @@ object Corpus {
       .orderBy($"freq".desc, $"pair")
       .limit(k)
   }
+
+  /** Sparse cosine similarity join over term-frequency vectors via an
+    * inverted index — the lexical sibling of the dense-embedding
+    * near-dup path: document pairs with cos(tfᵃ, tfᵇ) ≥ 0.5 found by
+    * joining postings on the shared term, never by comparing vector
+    * pairs.
+    *
+    * The scale lever is document-frequency pruning: terms appearing
+    * in more than 10% of the corpus are dropped BEFORE the posting
+    * join (a broadcast of the surviving vocabulary), so the
+    * join-explosion risk — a stop term whose posting list is the
+    * whole corpus, making the self-join quadratic — is excluded
+    * structurally, the same reason the q119 prefix probes only rare
+    * tokens. Remaining cost: posting self-join keyed by term with
+    * bounded lists, pair partial-agg keyed by (doc_a, doc_b), two
+    * per-doc norm joins.
+    *
+    * Exactness: tf and norms are integer; the keep decision
+    * `4·dot² ≥ nsqᵃ·nsqᵇ` (⇔ cos ≥ 0.5, tf is non-negative) and the
+    * reported `cos2_q4 = ⌊10⁴·dot²/(nsqᵃ·nsqᵇ)⌋` are integer
+    * arithmetic — engine-independent with no rounding-mode appeals.
+    * Magnitudes: dot ≤ Σtf² ≤ (doc length)², so BIGINT holds to
+    * ~10⁴-token documents; chunk longer docs first (q69).
+    */
+  def sparseCosinePairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(spark, d).count()
+    val rareVocab = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      .filter($"df" * 10 <= nDocs)
+      .select($"token")
+    val kept = tf.join(broadcast(rareVocab), "token")
+    val norm = kept.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("nsq"))
+    val dot = kept.toDF("token", "doc_a", "tf_a")
+      .join(kept.toDF("token", "doc_b", "tf_b"), "token")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum($"tf_a" * $"tf_b").as("dot"))
+    dot
+      .join(norm.toDF("doc_a", "nsq_a"), "doc_a")
+      .join(norm.toDF("doc_b", "nsq_b"), "doc_b")
+      .filter(lit(4) * $"dot" * $"dot" >= $"nsq_a" * $"nsq_b")
+      .select($"doc_a", $"doc_b", $"dot", $"nsq_a", $"nsq_b",
+        expr("(dot * dot * 10000) div (nsq_a * nsq_b)").as("cos2_q4"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

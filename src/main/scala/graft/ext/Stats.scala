@@ -297,4 +297,49 @@ object Stats {
           .otherwise(expr(s"${(k - 1).toLong * P} div hk")))
       .orderBy($"l_returnflag")
   }
+
+  /** Covariance sufficient statistics of the embedding space (the
+    * input to PCA / whitening over the corpus): for every dimension
+    * pair i ≤ j of the leading `dims` dimensions, the exact integer
+    * sums (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ) over 10⁻⁶-quantized coordinates plus
+    * the covariance numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ as DECIMAL(38,0).
+    *
+    * Plan shape: MAP-ONLY pair expansion — each row expands its own
+    * d(d+1)/2 upper-triangular pairs with one nested `transform`
+    * (no self-join of a posexploded table, which would shuffle the
+    * corpus by vec_id) — then ONE partial-agg shuffle whose width is
+    * the d(d+1)/2 pair grid regardless of corpus size. That is the
+    * same fixed-width-state shape as the k-means update (q82) and
+    * exactly how a 100 TB covariance/PCA pass should look: all data
+    * movement is the k×k aggregate, never the rows.
+    *
+    * Exactness: quantization (⌊v·10⁶⌋, the q82 grid) makes every
+    * summand an integer; BIGINT holds the sums to ~10¹⁴ rows at unit
+    * magnitudes; the numerator crosses into DECIMAL(38,0) only at the
+    * end (the q100 precedent). Bit-identical on any engine and any
+    * partitioning.
+    */
+  def embeddingCovariance(spark: SparkSession, d: String,
+                          dims: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    Tables.embeddings(spark, d)
+      .select(transform(slice($"embedding", 1, dims),
+        v => floor(v.cast("double") * 1000000.0)).as("q"))
+      .filter(size($"q") === dims)
+      .select(explode(flatten(
+        transform(sequence(lit(0), lit(dims - 1)), i =>
+          transform(sequence(i, lit(dims - 1)), j =>
+            struct(i.as("i"), j.as("j"),
+              element_at($"q", i + 1).as("x"),
+              element_at($"q", j + 1).as("y")))))).as("p"))
+      .select($"p.i", $"p.j", $"p.x", $"p.y")
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"i", $"j", $"n", $"sx", $"sy", $"sxy",
+        ($"n".cast(dec) * $"sxy".cast(dec) -
+          $"sx".cast(dec) * $"sy".cast(dec)).cast(dec).as("cov_num"))
+      .orderBy($"i", $"j")
+  }
 }

@@ -295,6 +295,21 @@ class BehaviorSpec extends SparkSpec {
     assert(r == ((5L, 4L, 0L)), "5 nodes, 4 spokes, 0 triangles")
   }
 
+  test("embeddingCovariance: ±0.5 plant — zero first moments, exact product sums") {
+    val dir = Files.createTempDirectory("graft-cov").toString
+    Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.5f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Stats.embeddingCovariance(spark, dir).collect()
+    assert(rows.length == 36, "8·9/2 upper-triangular pairs")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 2L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+      assert(r.getLong(5) == 500000000000L, "Σxy = 2·(5·10⁵)²")
+      assert(r.getDecimal(6).longValueExact() == 1000000000000L,
+        "cov_num = n·Σxy − Σx·Σy = 10¹²")
+    }
+  }
+
   test("scd2Lookup: clicks resolve to the state version in effect, pre-history clicks keep null") {
     // state history of u1 (non-click): view@10 → v1, purchase@30 → v2
     val d = plantEvents(Seq(

@@ -190,4 +190,20 @@ class CorpusSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("sparseCosinePairs: hand-computed cosine, stop terms pruned before the join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spcos").toString
+    // A="a a b", B="a b b" → tf A=(a:2,b:1), B=(a:1,b:2): dot=4,
+    // norms²=5,5 → cos=0.8. 18 unique-token fillers raise nDocs to 20
+    // so df(a)=df(b)=2 passes df·10 ≤ n; the shared stop token 'the'
+    // (df=20) must be pruned or every filler pair would score too.
+    val docs = Seq((1L, "a a b the"), (2L, "a b b the")) ++
+      (3L to 20L).map(i => (i, s"u$i the"))
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.sparseCosinePairs(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 5L, 5L, 6400L)),
+      "one pair: dot 4, norms² 5/5, ⌊10⁴·16/25⌋ = 6400")
+  }
 }
