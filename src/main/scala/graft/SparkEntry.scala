@@ -253,6 +253,8 @@ object SparkEntry {
     "q119_setsim_join" -> (Dedup.setSimilarityJoin _),
     "q122_sparse_cosine" -> (Corpus.sparseCosinePairs _),
     "q123_embedding_cov" -> ((s: SparkSession, d: String) => Stats.embeddingCovariance(s, d)),
+    "q124_countmin" -> (Stats.countMinSketch _),
+    "q125_skipping_stats" -> (Extended.skippingStats _),
     "q120_scd2_lookup" -> (Events.scd2Lookup _),
     "q121_rolling_distinct" -> (Events.rollingDistinctUsers _),
   )
@@ -1900,6 +1902,35 @@ object SparkEntry {
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,
+    // q124: identical integer hash family — the sketch must match
+    // cell-for-cell, no approximation tolerance
+    "q124_countmin" ->
+      """WITH rs AS (
+        |  SELECT CAST(t.i AS INTEGER) AS sk_row,
+        |    CASE t.i WHEN 0 THEN 2654435761 WHEN 1 THEN 2246822519
+        |             WHEN 2 THEN 3266489917 ELSE 668265263 END AS a
+        |  FROM range(4) t(i))
+        |SELECT sk_row,
+        |  (user_id % 2147483647) * a % 2147483647 % 64 AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM events CROSS JOIN rs
+        |GROUP BY 1, 2 ORDER BY sk_row, bucket""".stripMargin,
+    // q125: q67's Morton formula, re-aggregated into block min/max
+    // boxes with the fixed query-rectangle overlap test
+    "q125_skipping_stats" ->
+      """WITH z AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(list_sum(list_transform(range(31), i ->
+        |      (((CAST(c_custkey AS BIGINT) >> i) & 1) << (2*i)) +
+        |      (((CAST(c_nationkey AS BIGINT) >> i) & 1) << (2*i + 1))
+        |    )) AS BIGINT) // 4096 AS block
+        |  FROM customer)
+        |SELECT block, COUNT(*) AS n_rows,
+        |  MIN(c_custkey) AS min_c, MAX(c_custkey) AS max_c,
+        |  MIN(c_nationkey) AS min_n, MAX(c_nationkey) AS max_n,
+        |  (MIN(c_custkey) <= 200 AND MAX(c_custkey) >= 100
+        |   AND MIN(c_nationkey) <= 10 AND MAX(c_nationkey) >= 5) AS would_scan
+        |FROM z GROUP BY block ORDER BY block""".stripMargin,
     // q121: same bounded ×7 fan-out of deduplicated (day, user) pairs;
     // DATE + INTEGER day arithmetic is identical in both engines
     "q121_rolling_distinct" ->

@@ -319,6 +319,37 @@ object Stats {
     * end (the q100 precedent). Bit-identical on any engine and any
     * partitioning.
     */
+  /** Count-min sketch of the per-user event frequency stream: a 4×64
+    * integer matrix where cell (r, b) counts events whose user hashes
+    * to bucket b under row r's hash — the classic mergeable
+    * heavy-hitter sketch (point estimate = min over rows, always ≥
+    * the true count). Width is FIXED: the sketch is one partial-agg
+    * shuffle of ≤ 4·64 cells per task no matter how many events or
+    * users flow through — the bounded-state property that lets a
+    * 100 TB stream keep approximate counts without a per-key ledger,
+    * and cells from different days/partitions ADD (StatsProps proves
+    * merge = rebuild).
+    *
+    * Hashes are the engine's bijective multiplicative family
+    * ((u mod P)·Aᵣ mod P) mod 64 with four public odd constants —
+    * integer-exact, so the whole sketch is engine- and
+    * partitioning-independent (no "approximately equal" escape hatch:
+    * the oracle must match cell-for-cell).
+    */
+  def countMinSketch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    val rowsA = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    Tables.events(spark, d)
+      .select($"user_id", explode(transform(sequence(lit(0), lit(3)),
+        r => struct(r.as("sk_row"),
+          element_at(array(rowsA.map(lit): _*), r + 1).as("a")))).as("h"))
+      .select($"h.sk_row".as("sk_row"),
+        (($"user_id" % P) * $"h.a" % P % 64).as("bucket"))
+      .groupBy($"sk_row", $"bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy($"sk_row", $"bucket")
+  }
+
   def embeddingCovariance(spark: SparkSession, d: String,
                           dims: Int = 8): DataFrame = {
     import spark.implicits._

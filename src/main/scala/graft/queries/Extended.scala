@@ -487,6 +487,49 @@ object Extended {
       .orderBy($"ka".asc_nulls_first)
   }
 
+  /** Data-skipping statistics over a z-ordered layout — the
+    * ANALYZE-side of q67: rows bucketed into key-range blocks of the
+    * Morton key (`z div 4096` — the block a z-sorted file layout
+    * would co-locate), per-block min/max of both interleaved
+    * dimensions plus a `would_scan` flag for a fixed 2-D range
+    * predicate (custkey ∈ [100,200] ∧ nationkey ∈ [5,10]). This is
+    * exactly the parquet row-group / Delta file-pruning story: because
+    * z-order clusters BOTH dimensions, most blocks' [min,max] boxes
+    * miss the query box and are skipped on metadata alone.
+    *
+    * Shape: map-only key computation (the codegen'd ZOrder2
+    * expression), one partial-agg shuffle keyed by block — no window,
+    * no sort; block count is data-bounded, not row-bounded. The
+    * ZOrderSpec pruning test quantifies the skip rate vs a
+    * single-column sort.
+    */
+  /** Per-row block assignment behind [[skippingStats]] — exposed so
+    * ZOrderSpec can prove pruning soundness (no matching row may live
+    * in a skipped block). */
+  private[graft] def skippingStatsRowBlocks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
+    val z = Bridge.column(graft.functions.ZOrder2(
+      Bridge.expression($"c_custkey"), Bridge.expression($"c_nationkey")))
+    Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey", z.as("zkey"))
+      // integer div, not a double quotient — z spans 62 bits at full
+      // key ranges and a double round-trip would blur block edges
+      .select($"c_custkey", $"c_nationkey", expr("zkey div 4096").as("block"))
+  }
+
+  def skippingStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    skippingStatsRowBlocks(spark, d)
+      .groupBy($"block")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"c_custkey").as("min_c"), max($"c_custkey").as("max_c"),
+        min($"c_nationkey").as("min_n"), max($"c_nationkey").as("max_n"))
+      .withColumn("would_scan",
+        $"min_c" <= 200 && $"max_c" >= 100 && $"min_n" <= 10 && $"max_n" >= 5)
+      .orderBy($"block")
+  }
+
   def unpivotMetrics(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, d)

@@ -295,6 +295,37 @@ class BehaviorSpec extends SparkSpec {
     assert(r == ((5L, 4L, 0L)), "5 nodes, 4 spokes, 0 triangles")
   }
 
+  test("countMinSketch: point estimates dominate true counts; halves merge to the whole") {
+    def mk(us: Seq[Long], idBase: Long) =
+      us.zipWithIndex.map { case (u, i) => (idBase + i, day0 + i, u, "view", None: Option[Double]) }
+    // u1 ×8 (heavy), u2 ×3, u3 ×1 — split across two "days"
+    val half1 = mk(Seq.fill(5)(1L) ++ Seq(2L), 0)
+    val half2 = mk(Seq.fill(3)(1L) ++ Seq(2L, 2L, 3L), 100)
+    val dAll = plantEvents(half1 ++ half2)
+    val dH1 = plantEvents(half1)
+    val dH2 = plantEvents(half2)
+    def cells(d: String): Map[(Int, Long), Long] =
+      graft.ext.Stats.countMinSketch(spark, d).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val all = cells(dAll)
+    // mergeability: sketch(A ∪ B) = sketch(A) + sketch(B), cell-wise
+    val merged = (cells(dH1).toSeq ++ cells(dH2).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged == all, "cell-wise sum of half sketches == whole sketch")
+    // CMS guarantee: min over rows of the user's cells ≥ true count
+    val P = 2147483647L
+    val as = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    val truth = Map(1L -> 8L, 2L -> 3L, 3L -> 1L)
+    truth.foreach { case (u, n) =>
+      val est = (0 until 4).map(r => all.getOrElse((r, u % P * as(r) % P % 64), 0L)).min
+      assert(est >= n, s"estimate for u$u must dominate true count")
+    }
+    // row marginals: every row's cells sum to the event total
+    (0 until 4).foreach { r =>
+      assert(all.collect { case ((`r`, _), c) => c }.sum == 12L)
+    }
+  }
+
   test("embeddingCovariance: ±0.5 plant — zero first moments, exact product sums") {
     val dir = Files.createTempDirectory("graft-cov").toString
     Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.5f)))

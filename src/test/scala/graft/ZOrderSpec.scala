@@ -40,6 +40,24 @@ class ZOrderSpec extends SparkSpec {
     assert(zFiles < 8, "z-order must not smear the box query over every file")
   }
 
+  test("skippingStats: pruning is sound and effective — skipped blocks hold no matching rows") {
+    val stats = graft.queries.Extended.skippingStats(spark, d).collect()
+    val total = stats.map(_.getLong(1)).sum
+    val tbl = graft.sources.Tables.customer(spark, d)
+    assert(total == tbl.count(), "block row counts partition the table")
+    // soundness: every row matching the query box lives in a block
+    // flagged would_scan — metadata pruning may never lose a match
+    val scanned = stats.filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+    import spark.implicits._
+    val matchBlocks = graft.queries.Extended.skippingStatsRowBlocks(spark, d)
+      .filter($"c_custkey".between(100, 200) && $"c_nationkey".between(5, 10))
+      .select($"block").distinct().as[Long].collect().toSet
+    assert(matchBlocks.subsetOf(scanned), "a matching row escaped the scan set")
+    // effectiveness: the box query must skip most blocks
+    assert(scanned.size * 4 <= stats.length,
+      s"z-order block stats should prune ≥75% of blocks (scan ${scanned.size}/${stats.length})")
+  }
+
   test("z key round-trips both dimensions (bit interleave is lossless)") {
     val rows = graft.queries.Extended.zorderKey(spark, d).collect()
     rows.foreach { r =>
