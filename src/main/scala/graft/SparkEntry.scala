@@ -255,6 +255,21 @@ object SparkEntry {
     "q123_embedding_cov" -> ((s: SparkSession, d: String) => Stats.embeddingCovariance(s, d)),
     "q124_countmin" -> (Stats.countMinSketch _),
     "q125_skipping_stats" -> (Extended.skippingStats _),
+    // Filter-pushdown lane of q117: the id range predicate clamps the
+    // connector's generated interval (GenSourceSpec proves the scan
+    // never materializes a filtered id); oracle = the same closed
+    // formulas over the clamped range only
+    "q126_gen_pushdown" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "1000000").option("parts", "16").load()
+        .filter($"id" >= 750000L && $"id" < 760000L)
+        .groupBy(($"id" % 7).as("g"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"),
+          sum($"bucket").as("bucket_sum"))
+        .orderBy($"g")
+    }),
     "q120_scd2_lookup" -> (Events.scd2Lookup _),
     "q121_rolling_distinct" -> (Events.rollingDistinctUsers _),
   )
@@ -1789,6 +1804,15 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
         |  CAST(SUM(id) AS BIGINT) AS id_sum
         |FROM t GROUP BY 1 ORDER BY b""".stripMargin,
+    "q126_gen_pushdown" ->
+      """WITH g AS (
+        |  SELECT range AS id,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(750000, 760000))
+        |SELECT id % 7 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM((h // 1000) % 100000) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(h % 1000) AS BIGINT) AS bucket_sum
+        |FROM g GROUP BY 1 ORDER BY g""".stripMargin,
     // q118: textbook unordered triangle join a<b<c — the differential
     // twin of the engine's degree-ordered compact-forward enumeration
     "q118_triangle_count" ->

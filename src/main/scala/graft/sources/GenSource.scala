@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -23,7 +24,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Implements `SupportsPushDownRequiredColumns`: a projection reaches
   * the reader, which materializes ONLY the requested fields (verified
-  * by GenSourceSpec against the scan's pruned readSchema). Because
+  * by GenSourceSpec against the scan's pruned readSchema). Implements
+  * `SupportsPushDownFilters`: range predicates on `id` clamp the
+  * generated interval itself — filtered-out ids are never
+  * materialized, the generator-source analog of parquet row-group
+  * pruning (non-`id` predicates stay residual for Spark). Because
   * every column is a closed integer formula of `id`, the source is
   * oracle-verifiable — q117's DuckDB twin evaluates the identical
   * formulas over `range(n)`.
@@ -64,21 +69,58 @@ object GenSource {
   }
 
   private class GenScanBuilder(rows: Long, parts: Int)
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
     private var required: StructType = Schema
+    private var lo = 0L
+    private var hi = rows
+    private var accepted: Array[Filter] = Array.empty
+
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
-    override def build(): Scan = new GenScan(rows, parts, required)
+
+    /** Range predicates on `id` clamp the generated interval itself —
+      * the generator never materializes a filtered-out id, the exact
+      * analog of parquet row-group pruning. Accepted filters are
+      * honored COMPLETELY (interval arithmetic is exact), so they are
+      * not returned as residuals and Spark plans no re-evaluation. */
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      def lng(v: Any): Option[Long] = v match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case _ => None
+      }
+      val residual = filters.filter {
+        case GreaterThanOrEqual("id", v) if lng(v).isDefined =>
+          lo = math.max(lo, lng(v).get); false
+        case GreaterThan("id", v) if lng(v).isDefined =>
+          lo = math.max(lo, lng(v).get + 1); false
+        case LessThan("id", v) if lng(v).isDefined =>
+          hi = math.min(hi, lng(v).get); false
+        case LessThanOrEqual("id", v) if lng(v).isDefined =>
+          hi = math.min(hi, lng(v).get + 1); false
+        case EqualTo("id", v) if lng(v).isDefined =>
+          lo = math.max(lo, lng(v).get); hi = math.min(hi, lng(v).get + 1); false
+        case _ => true
+      }
+      accepted = filters.diff(residual)
+      residual
+    }
+    override def pushedFilters(): Array[Filter] = accepted
+
+    override def build(): Scan = new GenScan(lo, math.max(lo, hi), parts, required)
   }
 
-  private class GenScan(rows: Long, parts: Int, required: StructType)
-      extends Scan with Batch {
+  private[graft] class GenScan(val lo: Long, val hi: Long, parts: Int,
+      required: StructType) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    override def description(): String =
+      s"GenScan[$lo, $hi) parts=$parts cols=${required.fieldNames.mkString(",")}"
     override def planInputPartitions(): Array[InputPartition] = {
-      val per = math.max(1L, (rows + parts - 1) / parts)
-      (0L until rows by per)
-        .map(s => GenSlice(s, math.min(s + per, rows)): InputPartition)
+      val per = math.max(1L, (hi - lo + parts - 1) / parts)
+      (lo until hi by per)
+        .map(s => GenSlice(s, math.min(s + per, hi)): InputPartition)
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =

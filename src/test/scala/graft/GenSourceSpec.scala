@@ -45,4 +45,36 @@ class GenSourceSpec extends SparkSpec {
       .sorted
     assert(got == want)
   }
+
+  private def genScanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.GenSource.GenScan]
+
+  test("id range filters clamp the generated interval at the source") {
+    val df = gen(100000, 8).filter($"id" >= 90000L && $"id" < 90100L)
+    val scan = genScanOf(df)
+    assert(scan.lo == 90000L && scan.hi == 90100L,
+      s"interval must clamp to the predicate, got [${scan.lo}, ${scan.hi})")
+    assert(df.count() == 100L)
+    assert(df.agg(sum($"id")).as[Long].head() == (90000L until 90100L).sum)
+  }
+
+  test("EqualTo pins a one-row interval; strict bounds are off-by-one exact") {
+    val eq = gen(1000, 4).filter($"id" === 17L)
+    assert(genScanOf(eq).lo == 17L && genScanOf(eq).hi == 18L)
+    assert(eq.select($"id").as[Long].collect().toSeq == Seq(17L))
+    val strict = gen(1000, 4).filter($"id" > 10L && $"id" <= 12L)
+    assert(genScanOf(strict).lo == 11L && genScanOf(strict).hi == 13L)
+    assert(strict.select($"id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+  }
+
+  test("non-id filters stay residual and still apply; empty clamp yields zero rows") {
+    val df = gen(1000, 4).filter($"bucket" === 5L && $"id" < 500L)
+    val scan = genScanOf(df)
+    assert(scan.lo == 0L && scan.hi == 500L, "bucket predicate must not clamp")
+    val want = (0L until 500L).filter(id =>
+      ((id % 2147483647L) * 2654435761L % 2147483647L) % 1000L == 5L)
+    assert(df.select($"id").as[Long].collect().sorted.toSeq == want)
+    assert(gen(1000, 4).filter($"id" >= 800L && $"id" < 700L).count() == 0L)
+  }
 }
