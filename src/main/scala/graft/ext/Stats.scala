@@ -298,6 +298,62 @@ object Stats {
       .orderBy($"l_returnflag")
   }
 
+  /** Deterministic HyperLogLog — the oracle-verifiable twin of q43's
+    * engine-internal `approx_count_distinct`: 64 integer registers
+    * per group, register b holding the max trailing-zero rank of the
+    * hashed keys landing in bucket b (trailing zeros of a
+    * multiplicative hash are geometric exactly like the classic
+    * leading-zero form). Fixed width: each task's partial state is
+    * ≤ 64 small ints per group no matter the key volume, registers
+    * MERGE by max — the property that makes HLL the industry default
+    * for distinct counts over 100 TB — and, unlike the built-in
+    * sketch, every register value is integer arithmetic a different
+    * engine reproduces bit-for-bit, so the whole thing hash-matches
+    * a DuckDB twin (q43 could only row-count).
+    *
+    * Estimator: α·m²·2^maxM / Σⱼ 2^(maxM−Mⱼ) — the harmonic mean
+    * with all 64 summands held as exact BIGINTs on a common 2^maxM
+    * denominator (absent registers contribute Mⱼ = 0), so the only
+    * float steps are one multiply and one divide of exact integers:
+    * deterministic IEEE on both engines. No small-range correction
+    * (groups here are ≫ 2.5·m; StatsProps bounds the error).
+    */
+  def hllRegisters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    // Two multiply-mod rounds interleaved with xor-shifts: the plain
+    // multiplicative hash is LINEAR mod P, so a consecutive key range
+    // maps to a three-distance progression whose trailing-zero ranks
+    // are badly non-geometric (measured: +60% bias at sf0.01); the
+    // xor-shift avalanche breaks the linearity. All ops are integer
+    // and engine-portable (DuckDB xor()/Spark ^).
+    // register index = h mod 64; rank = trailing zeros of h div 64
+    // (< 2^25, so rank ≤ 26 with the w = 0 sentinel at 26)
+    val reg = Tables.orders(spark, d)
+      .select($"o_orderpriority".as("grp"),
+        expr(s"(o_custkey % $P) * 2654435761 % $P").as("h1"))
+      .select($"grp", expr("h1 ^ (h1 div 8192)").as("h2"))
+      .select($"grp", expr(s"(h2 % $P) * 2246822519 % $P").as("h3"))
+      .select($"grp", expr("h3 ^ (h3 div 33554432)").as("h"))
+      .select($"grp", ($"h" % 64).as("bucket"), expr("h div 64").as("w"))
+      .select($"grp", $"bucket",
+        when($"w" === 0, lit(26))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
+      .groupBy($"grp", $"bucket").agg(max($"rho").as("mj"))
+    val maxm = reg.groupBy($"grp").agg(max($"mj").as("maxm"),
+      count(lit(1)).as("n_present"))
+    reg.join(maxm, "grp")
+      .groupBy($"grp", $"maxm", $"n_present")
+      .agg(sum(expr("cast(1 as bigint) << (maxm - mj)")).as("s_present"))
+      .select($"grp", $"maxm", $"n_present",
+        ($"s_present" + (lit(64) - $"n_present") * expr("cast(1 as bigint) << maxm"))
+          .as("s_int"))
+      .withColumn("est",
+        r4(lit(0.709 * 4096.0) * pow(lit(2.0), $"maxm") / $"s_int"))
+      .select($"grp", $"maxm".cast("int").as("maxm"), $"s_int", $"est")
+      .orderBy($"grp")
+  }
+
   /** Covariance sufficient statistics of the embedding space (the
     * input to PCA / whitening over the corpus): for every dimension
     * pair i ≤ j of the leading `dims` dimensions, the exact integer

@@ -326,6 +326,24 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("hllRegisters: estimate tracks exact distinct within sketch error bounds") {
+    // sf0.01: per-group distinct ≈ 20·m, clear of the small-range
+    // regime (< 2.5·m) where raw HLL needs the linear-counting patch
+    val d = "/root/testdata/sf0.01"
+    val est = graft.ext.Stats.hllRegisters(spark, d)
+      .select($"grp", $"est").as[(String, Double)].collect().toMap
+    val exact = graft.sources.Tables.orders(spark, d)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      val rel = math.abs(est(g) - n) / n
+      // m=64 → σ ≈ 1.04/√64 = 13%; 3σ headroom for the fixed hash
+      assert(rel <= 0.39, f"group $g: est=${est(g)}%.1f exact=$n rel=$rel%.2f")
+    }
+  }
+
   test("embeddingCovariance: ±0.5 plant — zero first moments, exact product sums") {
     val dir = Files.createTempDirectory("graft-cov").toString
     Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.5f)))
