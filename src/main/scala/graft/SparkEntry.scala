@@ -276,6 +276,7 @@ object SparkEntry {
     // registers a second engine reproduces bit-for-bit (hash gate,
     // not rows-only)
     "q127_hll_registers" -> (Stats.hllRegisters _),
+    "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -1993,6 +1994,36 @@ object SparkEntry {
         |  ROUND(CAST(0.709 AS DOUBLE) * 4096.0 * power(2.0, maxm) / s_int
         |        * 10000, 0) / 10000 + 0.0 AS est
         |FROM s ORDER BY grp""".stripMargin,
+    // q128: q95's edge CTE + three unrolled frontier rounds (UNION ALL
+    // + MIN per round = the engine's union/min-agg BFS step)
+    "q128_bfs_layers" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |d0 AS (SELECT node, 0 AS dist FROM nodes
+        |       WHERE node % 2 = 0 AND node // 2 <= 50),
+        |f1 AS (SELECT e.dst AS node, 1 AS dist
+        |       FROM edges e JOIN d0 ON e.src = d0.node),
+        |d1 AS (SELECT node, MIN(dist) AS dist
+        |       FROM (SELECT * FROM d0 UNION ALL SELECT * FROM f1)
+        |       GROUP BY node),
+        |f2 AS (SELECT e.dst AS node, 2 AS dist
+        |       FROM edges e JOIN d1 ON e.src = d1.node AND d1.dist = 1),
+        |d2 AS (SELECT node, MIN(dist) AS dist
+        |       FROM (SELECT * FROM d1 UNION ALL SELECT * FROM f2)
+        |       GROUP BY node),
+        |f3 AS (SELECT e.dst AS node, 3 AS dist
+        |       FROM edges e JOIN d2 ON e.src = d2.node AND d2.dist = 2),
+        |d3 AS (SELECT node, MIN(dist) AS dist
+        |       FROM (SELECT * FROM d2 UNION ALL SELECT * FROM f3)
+        |       GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+        |  dist, COUNT(*) AS n_nodes, CAST(SUM(node // 2) AS BIGINT) AS id_sum
+        |FROM d3 GROUP BY 1, 2 ORDER BY kind, dist""".stripMargin,
     // q121: same bounded ×7 fan-out of deduplicated (day, user) pairs;
     // DATE + INTEGER day arithmetic is identical in both engines
     "q121_rolling_distinct" ->

@@ -145,6 +145,53 @@ object Graph {
       .orderBy($"kind", $"deg")
   }
 
+  /** BFS distance layers from a seed set — "everything within k hops
+    * of these entities", the reachability/blast-radius query run over
+    * relationship graphs (fraud rings, lineage impact, contamination
+    * spread). Seeds are customers with id ≤ 50; three synchronous
+    * frontier rounds over the shared [[tradeEdges]] cache, each round
+    * ONE equi-join of the edge list against the previous frontier
+    * (nodes first reached in round r−1) plus a min-aggregate — the
+    * textbook distributed BFS whose per-round cost is |frontier
+    * adjacency|, never |V|². The distance frame carried between
+    * rounds is ≤ |V| rows; at deeper horizons it persists per round
+    * exactly like [[pageRankOnEdges]]'s iteration discipline.
+    * Output: per (side, distance) node counts + id checksums —
+    * bounded at any scale.
+    */
+  def bfsLayers(spark: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = tradeEdges(spark, d)
+    val seeds = edges.select($"src".as("node")).distinct()
+      .filter($"node" % 2 === 0 && expr("node div 2") <= 50)
+    bfsOnEdges(edges, seeds, maxDist)
+      .select(when($"node" % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
+        $"dist", expr("node div 2").as("eid"))
+      .groupBy($"kind", $"dist")
+      .agg(count(lit(1)).as("n_nodes"), sum($"eid").as("id_sum"))
+      .orderBy($"kind", $"dist")
+  }
+
+  /** Frame-based BFS core: (node, dist) for every node within
+    * `maxDist` hops of a `seeds(node)` set over an `(src, dst)` edge
+    * frame; unreached nodes are absent. Each round joins edges
+    * against only the PREVIOUS round's frontier (dist = r−1 exactly),
+    * so settled nodes re-expand never — work is frontier-adjacency
+    * per round. */
+  private[graft] def bfsOnEdges(edges: DataFrame, seeds: DataFrame,
+                                maxDist: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = seeds.select($"node", lit(0).as("dist"))
+    for (r <- 1 to maxDist) {
+      val frontier = dist.filter($"dist" === r - 1).select($"node".as("src"))
+      val next = edges.join(frontier, "src")
+        .select($"dst".as("node"), lit(r).as("dist"))
+      dist = dist.unionAll(next).groupBy($"node").agg(min($"dist").as("dist"))
+    }
+    dist
+  }
+
   /** Undirected part co-occurrence edges — parts bought together in
     * at least one order, each edge once as (a < b). The trade graph
     * above is bipartite (triangle-free by construction); this one-mode

@@ -326,6 +326,20 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("bfsOnEdges: exact layers on a line graph, horizon cut, unreachable absent") {
+    // line 0-1-2-3-4-5 (both directions) plus isolated pair 10-11
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val got = graft.ext.Graph.bfsOnEdges(edges, Seq(0L).toDF("node"), maxDist = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3),
+      "nodes past the horizon and the disconnected component stay absent")
+    // a second seed merges by MIN distance
+    val two = graft.ext.Graph.bfsOnEdges(edges, Seq(0L, 4L).toDF("node"), maxDist = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(two == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 1))
+  }
+
   test("hllRegisters: estimate tracks exact distinct within sketch error bounds") {
     // sf0.01: per-group distinct ≈ 20·m, clear of the small-range
     // regime (< 2.5·m) where raw HLL needs the linear-counting patch
