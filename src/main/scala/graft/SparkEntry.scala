@@ -277,6 +277,19 @@ object SparkEntry {
     // not rows-only)
     "q127_hll_registers" -> (Stats.hllRegisters _),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
+    // Distributed global sequence (range-partition + prefix offsets);
+    // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
+    // single-reducer plan the operator exists to avoid
+    "q129_global_index" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      graft.operators.GlobalIndex.withRowNumber(
+          graft.sources.Tables.events(s, d)
+            .select($"event_id", $"ts", $"user_id"),
+          order = Seq($"ts", $"event_id"), seqCol = "seq")
+        .select($"seq", $"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+        .orderBy($"seq")
+    }),
   )
 
   private def extendedOracles: Map[String, String] = Map(
@@ -2024,6 +2037,10 @@ object SparkEntry {
         |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
         |  dist, COUNT(*) AS n_nodes, CAST(SUM(node // 2) AS BIGINT) AS id_sum
         |FROM d3 GROUP BY 1, 2 ORDER BY kind, dist""".stripMargin,
+    "q129_global_index" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS seq,
+        |  event_id, user_id, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY seq""".stripMargin,
     // q121: same bounded ×7 fan-out of deduplicated (day, user) pairs;
     // DATE + INTEGER day arithmetic is identical in both engines
     "q121_rolling_distinct" ->

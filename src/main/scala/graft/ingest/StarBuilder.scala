@@ -14,8 +14,9 @@ import graft.model.Schemas.{Movie, RatingRaw}
   *    (`etl_pipeline_spark.py:874-882`) — reruns are idempotent by
   *    construction, no checkpoint bookkeeping. The dims are small
   *    (17,770 movies / 480K customers for the full Netflix set), so a
-  *    single-partition window is fine; a 100 TB-scale dimension would
-  *    switch to `zipWithIndex` or a hash key.
+  *    single-partition window is fine; a 100 TB-scale dimension
+  *    switches to [[graft.operators.GlobalIndex.withRowNumber]]
+  *    (range-partition + prefix offsets, q129) or a hash key.
   *  - customer aggregates are a join-and-overwrite of the dim
   *    (vs. the reference's collect + psycopg2 executemany,
   *    `etl_pipeline_spark.py:1398-1455` — 480K rows through the

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed global row numbering — dense 1-based sequence in a
+  * total order WITHOUT `Window.orderBy(...)`'s single-reducer funnel
+  * (a global window declares one partition: every row of a 100 TB
+  * table would stream through one task). This is the scale path for
+  * surrogate-key assignment that the reference hands to PostgreSQL
+  * SERIAL columns (`/root/reference/schema.sql:54,75,96`; driver
+  * read-back `etl_pipeline_spark.py:874-882`) and the general form of
+  * the dimension-sized `row_number` windows
+  * [[graft.ingest.StarBuilder]] documents as its 100 TB alternative.
+  *
+  * Mechanics (the two-pass prefix-offset scheme, RDD
+  * `zipWithIndex`'s plan re-expressed in DataFrame operators so
+  * codegen and column pruning survive):
+  *  1. range-repartition + in-partition sort on the order columns —
+  *     partition i holds keys ≤ partition i+1's;
+  *  2. persist, then count rows per partition (a #partitions-row
+  *     aggregate);
+  *  3. exclusive prefix sums of those counts become per-partition
+  *     offsets — a #partitions-row window, broadcast back;
+  *  4. seq = offset + row_number within the partition (parallel:
+  *     the window partitions by partition id).
+  *
+  * The persist between passes is CORRECTNESS, not caching:
+  * `repartitionByRange` picks boundaries by sampling, and letting the
+  * count job and the numbering job each re-plan the sample could
+  * hand them different boundaries — offsets from one layout applied
+  * to another. Pinning the partitioned frame makes both passes read
+  * the same layout. The result is layout-independent as long as the
+  * order is TOTAL (callers must include a unique tie-break column,
+  * same contract as every deterministic window in this engine).
+  */
+object GlobalIndex {
+
+  /** `df` plus a dense 1-based `seqCol` in `order`-order. */
+  def withRowNumber(df: DataFrame, order: Seq[Column], seqCol: String,
+                    parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (parts > 0) parts
+            else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Derived.adopt(ranged)
+    val offsets = ranged.groupBy($"__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum($"__n").over(
+          Window.orderBy($"__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"__pid", $"__offset")
+    val rn = row_number().over(
+      Window.partitionBy($"__pid").orderBy(order: _*))
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(seqCol, $"__offset" + rn)
+      .drop("__pid", "__offset")
+  }
+}
