@@ -276,6 +276,7 @@ object SparkEntry {
     // registers a second engine reproduces bit-for-bit (hash gate,
     // not rows-only)
     "q127_hll_registers" -> (Stats.hllRegisters _),
+    "q130_quantile_sketch" -> (Stats.quantileSketch _),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
     // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
@@ -2041,6 +2042,47 @@ object SparkEntry {
       """SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS seq,
         |  event_id, user_id, epoch_us(ts) AS ts_us
         |FROM events ORDER BY seq""".stripMargin,
+    // q130: identical integer bucket ids (bit-smear msb, 4 sub-buckets
+    // per octave) and crossing rule; only the estimate's lower-bound
+    // formula is re-spelled with DuckDB's // division
+    "q130_quantile_sketch" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |s0 AS (SELECT event_type, x, x | (x >> 1) AS y1 FROM b WHERE x >= 0),
+        |s1 AS (SELECT event_type, x, y1 | (y1 >> 2) AS y2 FROM s0),
+        |s2 AS (SELECT event_type, x, y2 | (y2 >> 4) AS y3 FROM s1),
+        |s3 AS (SELECT event_type, x, y3 | (y3 >> 8) AS y4 FROM s2),
+        |s4 AS (SELECT event_type, x, y4 | (y4 >> 16) AS y5 FROM s3),
+        |s AS (SELECT event_type, x, y5 | (y5 >> 32) AS y FROM s4),
+        |ids AS (
+        |  SELECT event_type,
+        |    CASE WHEN x < 8 THEN x
+        |         ELSE 8 + 4 * ((bit_count(y) - 1) - 3)
+        |              + ((x >> ((bit_count(y) - 1) - 2)) & 3) END AS id
+        |  FROM s),
+        |hist AS (
+        |  SELECT event_type, id, COUNT(*) AS cnt FROM ids GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(cnt) AS n FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT h.event_type, h.id, t.n,
+        |    SUM(h.cnt) OVER (PARTITION BY h.event_type ORDER BY h.id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist h JOIN tot t USING (event_type)),
+        |sel AS (
+        |  SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum * 100 >= 50 * n THEN id END) AS id50,
+        |    MIN(CASE WHEN cum * 100 >= 95 * n THEN id END) AS id95,
+        |    MIN(CASE WHEN cum * 100 >= 99 * n THEN id END) AS id99
+        |  FROM cum GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN id50 < 8 THEN id50
+        |       ELSE (4 + ((id50 - 8) % 4)) << (((id50 - 8) // 4) + 1) END AS p50_cents,
+        |  CASE WHEN id95 < 8 THEN id95
+        |       ELSE (4 + ((id95 - 8) % 4)) << (((id95 - 8) // 4) + 1) END AS p95_cents,
+        |  CASE WHEN id99 < 8 THEN id99
+        |       ELSE (4 + ((id99 - 8) % 4)) << (((id99 - 8) // 4) + 1) END AS p99_cents
+        |FROM sel ORDER BY event_type""".stripMargin,
     // q121: same bounded ×7 fan-out of deduplicated (day, user) pairs;
     // DATE + INTEGER day arithmetic is identical in both engines
     "q121_rolling_distinct" ->

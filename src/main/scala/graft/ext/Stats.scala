@@ -354,6 +354,65 @@ object Stats {
       .orderBy($"grp")
   }
 
+  /** Mergeable log-linear quantile sketch — percentiles at 100 TB
+    * without the global sort q49's exact form needs: integer cents
+    * hash into log-spaced buckets (exact ids below 8, then 4
+    * sub-buckets per power-of-two octave → ≤25% relative error), the
+    * histogram is ONE fixed-width partial-agg shuffle (≤ ~120
+    * buckets/group regardless of volume, and buckets from different
+    * partitions/days ADD — same mergeability story as q124's CMS),
+    * and each quantile reads the first bucket whose cumulative count
+    * crosses ⌈q·n⌉ — a window over the ≤120-row histogram, not the
+    * data.
+    *
+    * Everything is integer: the octave index comes from a bit-smear
+    * (x|x≫1|…|x≫32 then bit_count — portable msb, no float log2
+    * whose boundary ulps could disagree), the crossing test is
+    * `100·cum ≥ q·n`, and the reported estimate is the sub-bucket
+    * lower bound `(4+sub)·2^(m−2)` — bit-identical on any engine.
+    */
+  def quantileSketch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.events(spark, d)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+      .filter($"x" >= 0)
+      // CASCADED smear (each step doubles the filled span) — the
+      // one-shot x|x≫1|x≫2|x≫4|… leaves holes (e.g. the bit 3 below
+      // the msb) and under-counts
+      .withColumn("y1", expr("x | (x >> 1)"))
+      .withColumn("y2", expr("y1 | (y1 >> 2)"))
+      .withColumn("y3", expr("y2 | (y2 >> 4)"))
+      .withColumn("y4", expr("y3 | (y3 >> 8)"))
+      .withColumn("y5", expr("y4 | (y4 >> 16)"))
+      .withColumn("y", expr("y5 | (y5 >> 32)"))
+      .withColumn("m", expr("bit_count(y) - 1"))
+      .withColumn("id", expr(
+        "CASE WHEN x < 8 THEN x " +
+          "ELSE 8 + 4 * (m - 3) + ((x >> (m - 2)) & 3) END"))
+      .groupBy($"event_type", $"id").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy($"event_type").agg(sum($"cnt").as("n"))
+    def pick(q: Int) = min(when(expr(s"cum * 100 >= $q * n"), $"id"))
+    val sel = hist.join(tot, "event_type")
+      .withColumn("cum", sum($"cnt").over(w))
+      .groupBy($"event_type", $"n")
+      .agg(pick(50).as("id50"), pick(95).as("id95"), pick(99).as("id99"))
+    sel.select($"event_type", $"n",
+        expr(estSql("id50")).as("p50_cents"),
+        expr(estSql("id95")).as("p95_cents"),
+        expr(estSql("id99")).as("p99_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** id → sub-bucket lower bound (the oracle mirrors this with `//`
+    * for integer division). */
+  private def estSql(id: String): String =
+    s"CASE WHEN $id < 8 THEN $id " +
+      s"ELSE CAST((4 + (($id - 8) % 4)) AS BIGINT) << ((($id - 8) div 4) + 1) END"
+
   /** Covariance sufficient statistics of the embedding space (the
     * input to PCA / whitening over the corpus): for every dimension
     * pair i ≤ j of the leading `dims` dimensions, the exact integer

@@ -358,6 +358,31 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("quantileSketch: the rank-⌈q·n⌉ value lands inside the reported sub-bucket") {
+    val d = "/root/testdata/sf0.01"
+    val est = graft.ext.Stats.quantileSketch(spark, d)
+      .select($"event_type", $"p50_cents", $"p95_cents", $"p99_cents")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    val byType = graft.sources.Tables.events(spark, d)
+      .filter($"value".isNotNull)
+      .select($"event_type", expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+      .filter($"x" >= 0)
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2).sorted }
+    assert(est.keySet == byType.keySet)
+    for (t <- est.keySet; (lower, q) <- est(t).zip(Seq(50, 95, 99))) {
+      val xs = byType(t)
+      // rank semantics of the crossing rule: first index where
+      // 100·cum ≥ q·n, i.e. the ⌈q·n/100⌉-th smallest value
+      val exact = xs((q * xs.length + 99) / 100 - 1)
+      // sub-bucket [(4+sub)·2^(m−2), +2^(m−2)) ⇒ upper < 1.25·lower
+      val upper = if (lower < 8) lower else lower + lower / 4 - 1
+      assert(exact >= lower && exact <= upper,
+        s"$t p$q: rank value $exact outside sketch bucket [$lower, $upper]")
+    }
+  }
+
   test("embeddingCovariance: ±0.5 plant — zero first moments, exact product sums") {
     val dir = Files.createTempDirectory("graft-cov").toString
     Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.5f)))
