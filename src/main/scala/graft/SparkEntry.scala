@@ -277,6 +277,7 @@ object SparkEntry {
     // not rows-only)
     "q127_hll_registers" -> (Stats.hllRegisters _),
     "q130_quantile_sketch" -> (Stats.quantileSketch _),
+    "q131_rolling_hll" -> (Stats.rollingHll _),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
     // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
@@ -2083,6 +2084,40 @@ object SparkEntry {
         |  CASE WHEN id99 < 8 THEN id99
         |       ELSE (4 + ((id99 - 8) % 4)) << (((id99 - 8) // 4) + 1) END AS p99_cents
         |FROM sel ORDER BY event_type""".stripMargin,
+    // q131: q127's register pipeline keyed by day, q121's ×7 fan-out
+    // applied to the 64-row registers, merged by MAX
+    "q131_rolling_hll" ->
+      """WITH k AS (
+        |  SELECT CAST(ts AS DATE) AS grp, user_id AS key FROM events),
+        |m1 AS (SELECT grp,
+        |  (key % 2147483647) * 2654435761 % 2147483647 AS h1 FROM k),
+        |m2 AS (SELECT grp, xor(h1, h1 // 8192) AS h2 FROM m1),
+        |m3 AS (SELECT grp,
+        |  (h2 % 2147483647) * 2246822519 % 2147483647 AS h3 FROM m2),
+        |h AS (SELECT grp, xor(h3, h3 // 33554432) AS h FROM m3),
+        |b AS (SELECT grp, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (SELECT grp, bucket,
+        |  CASE WHEN w = 0 THEN 26
+        |       ELSE bit_count((w & (-w)) - 1) + 1 END AS rho FROM b),
+        |reg AS (SELECT grp, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        |mx AS (SELECT MAX(grp) AS md FROM reg),
+        |fan AS (SELECT grp + CAST(t.i AS INTEGER) AS grp, bucket, mj
+        |        FROM reg CROSS JOIN range(7) t(i)),
+        |mreg AS (SELECT grp, bucket, MAX(mj) AS mj
+        |         FROM fan, mx WHERE grp <= md GROUP BY 1, 2),
+        |mm AS (SELECT grp, MAX(mj) AS maxm, COUNT(*) AS n_present
+        |       FROM mreg GROUP BY 1),
+        |sp AS (SELECT mreg.grp, mm.maxm, mm.n_present,
+        |  SUM(CAST(1 AS BIGINT) << (mm.maxm - mreg.mj)) AS s_present
+        |  FROM mreg JOIN mm ON mreg.grp = mm.grp GROUP BY 1, 2, 3),
+        |s AS (SELECT grp, maxm,
+        |  CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << maxm)
+        |       AS BIGINT) AS s_int
+        |  FROM sp)
+        |SELECT grp AS day, CAST(maxm AS INTEGER) AS maxm, s_int,
+        |  ROUND(CAST(0.709 AS DOUBLE) * 4096.0 * power(2.0, maxm) / s_int
+        |        * 10000, 0) / 10000 + 0.0 AS est
+        |FROM s ORDER BY day""".stripMargin,
     // q121: same bounded ×7 fan-out of deduplicated (day, user) pairs;
     // DATE + INTEGER day arithmetic is identical in both engines
     "q121_rolling_distinct" ->

@@ -320,18 +320,27 @@ object Stats {
     */
   def hllRegisters(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    hllEstimate(hllRegistersOf(Tables.orders(spark, d)
+        .select($"o_orderpriority".as("grp"), $"o_custkey".as("key"))))
+      .orderBy($"grp")
+  }
+
+  /** (grp, bucket, mj) HLL registers of a (grp, key) frame.
+    *
+    * Two multiply-mod rounds interleaved with xor-shifts: the plain
+    * multiplicative hash is LINEAR mod P, so a consecutive key range
+    * maps to a three-distance progression whose trailing-zero ranks
+    * are badly non-geometric (measured: +60% bias at sf0.01); the
+    * xor-shift avalanche breaks the linearity. All ops are integer
+    * and engine-portable (DuckDB xor()/Spark ^).
+    * register index = h mod 64; rank = trailing zeros of h div 64
+    * (< 2^25, so rank ≤ 26 with the w = 0 sentinel at 26).
+    */
+  private[graft] def hllRegistersOf(keyed: DataFrame): DataFrame = {
+    import keyed.sparkSession.implicits._
     val P = 2147483647L
-    // Two multiply-mod rounds interleaved with xor-shifts: the plain
-    // multiplicative hash is LINEAR mod P, so a consecutive key range
-    // maps to a three-distance progression whose trailing-zero ranks
-    // are badly non-geometric (measured: +60% bias at sf0.01); the
-    // xor-shift avalanche breaks the linearity. All ops are integer
-    // and engine-portable (DuckDB xor()/Spark ^).
-    // register index = h mod 64; rank = trailing zeros of h div 64
-    // (< 2^25, so rank ≤ 26 with the w = 0 sentinel at 26)
-    val reg = Tables.orders(spark, d)
-      .select($"o_orderpriority".as("grp"),
-        expr(s"(o_custkey % $P) * 2654435761 % $P").as("h1"))
+    keyed
+      .select($"grp", expr(s"(key % $P) * 2654435761 % $P").as("h1"))
       .select($"grp", expr("h1 ^ (h1 div 8192)").as("h2"))
       .select($"grp", expr(s"(h2 % $P) * 2246822519 % $P").as("h3"))
       .select($"grp", expr("h3 ^ (h3 div 33554432)").as("h"))
@@ -340,6 +349,14 @@ object Stats {
         when($"w" === 0, lit(26))
           .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
       .groupBy($"grp", $"bucket").agg(max($"rho").as("mj"))
+  }
+
+  /** Harmonic-mean estimate per grp from (grp, bucket, mj) registers:
+    * all 64 summands as exact BIGINTs on a common 2^maxM denominator
+    * (absent registers contribute Mⱼ = 0), one float multiply + one
+    * divide at the end. */
+  private[graft] def hllEstimate(reg: DataFrame): DataFrame = {
+    import reg.sparkSession.implicits._
     val maxm = reg.groupBy($"grp").agg(max($"mj").as("maxm"),
       count(lit(1)).as("n_present"))
     reg.join(maxm, "grp")
@@ -351,7 +368,33 @@ object Stats {
       .withColumn("est",
         r4(lit(0.709 * 4096.0) * pow(lit(2.0), $"maxm") / $"s_int"))
       .select($"grp", $"maxm".cast("int").as("maxm"), $"s_int", $"est")
-      .orderBy($"grp")
+  }
+
+  /** Rolling 7-day approximate distinct users — the SKETCH-MERGE
+    * scale path of q121's exact fan-out: per-day HLL registers are
+    * built once (the only data-sized shuffle), then the ×7 window
+    * fan-out replicates ≤64 register rows per day — not the
+    * deduplicated user pairs — and merges by MAX per (day, bucket).
+    * At 100 TB the difference is decisive: q121 shuffles
+    * O(users·7) rows into the window aggregation, this moves
+    * O(days·64) regardless of user volume, the standard
+    * pre-aggregated-sketch rollup every metrics warehouse runs.
+    * BehaviorSpec ties the estimates to q121's exact counts.
+    */
+  def rollingHll(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val reg = hllRegistersOf(Tables.events(spark, d)
+      .select(to_date($"ts").as("grp"), $"user_id".as("key")))
+    val maxDay = reg.agg(max($"grp")).head().getDate(0)
+    val merged = reg
+      .select($"grp", $"bucket", $"mj",
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(date_add($"grp", $"i").as("grp"), $"bucket", $"mj")
+      .filter($"grp" <= lit(maxDay))
+      .groupBy($"grp", $"bucket").agg(max($"mj").as("mj"))
+    hllEstimate(merged)
+      .select($"grp".as("day"), $"maxm", $"s_int", $"est")
+      .orderBy($"day")
   }
 
   /** Mergeable log-linear quantile sketch — percentiles at 100 TB

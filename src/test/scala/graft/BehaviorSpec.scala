@@ -383,6 +383,21 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("rollingHll: sketch-merge estimates track q121's exact rolling distincts") {
+    val d = "/root/testdata/sf0.01"
+    val est = graft.ext.Stats.rollingHll(spark, d)
+      .select($"day".cast("string"), $"est").as[(String, Double)]
+      .collect().toMap
+    val exact = graft.ext.Events.rollingDistinctUsers(spark, d)
+      .select($"day".cast("string"), $"users_7d").as[(String, Long)]
+      .collect().toMap
+    assert(est.keySet == exact.keySet, "both paths must cover the same days")
+    exact.foreach { case (day, n) =>
+      val rel = math.abs(est(day) - n) / n
+      assert(rel <= 0.39, f"$day: est=${est(day)}%.1f exact=$n rel=$rel%.2f")
+    }
+  }
+
   test("embeddingCovariance: ±0.5 plant — zero first moments, exact product sums") {
     val dir = Files.createTempDirectory("graft-cov").toString
     Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.5f)))
