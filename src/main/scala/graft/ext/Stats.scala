@@ -496,16 +496,25 @@ object Stats {
     */
   def countMinSketch(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    cmsOf(Tables.events(spark, d)).orderBy($"sk_row", $"bucket")
+  }
+
+  /** Frame-based CMS core over any frame with a `user_id` column —
+    * a plain groupBy aggregate, so the SAME code runs over a
+    * watermark-free stream in complete/update mode with state bounded
+    * at the 4×64 cell matrix (StreamingSpec proves stream == batch).
+    * No sort: streaming plans forbid it, callers order. */
+  private[graft] def cmsOf(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
     val P = 2147483647L
     val rowsA = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
-    Tables.events(spark, d)
+    rows
       .select($"user_id", explode(transform(sequence(lit(0), lit(3)),
         r => struct(r.as("sk_row"),
           element_at(array(rowsA.map(lit): _*), r + 1).as("a")))).as("h"))
       .select($"h.sk_row".as("sk_row"),
         (($"user_id" % P) * $"h.a" % P % 64).as("bucket"))
       .groupBy($"sk_row", $"bucket").agg(count(lit(1)).as("cnt"))
-      .orderBy($"sk_row", $"bucket")
   }
 
   def embeddingCovariance(spark: SparkSession, d: String,

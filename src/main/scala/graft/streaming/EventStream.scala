@@ -99,6 +99,15 @@ object EventStream {
   def funnelStages(events: DataFrame): DataFrame =
     graft.ext.Behavior.stageMins(events)
 
+  /** Live count-min sketch — [[graft.ext.Stats.cmsOf]] over a stream:
+    * the engine keeps exactly the 4×64 cell matrix as state (update/
+    * complete mode), the bounded-memory way to track per-key event
+    * frequencies forever without a per-key ledger. Cells keep the
+    * batch sketch's exact semantics (StreamingSpec: stream == batch
+    * after any micro-batch split). */
+  def cmsCells(events: DataFrame): DataFrame =
+    graft.ext.Stats.cmsOf(events)
+
   /** Session windows (30-minute gap) per user — the engine-managed
     * state twin of [[graft.ext.Events.sessionize]]; works identically
     * over a batch DataFrame or a watermarked stream.

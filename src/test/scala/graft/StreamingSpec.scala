@@ -136,6 +136,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming count-min cells across micro-batches == batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStream.cmsCells(input.toDF())
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = sampleEvents.splitAt(sampleEvents.length / 3)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("sk_row", "bucket").collect().map(_.toSeq).toSeq
+      val streamed = rows(spark.table("cms_cells"))
+      val batch = rows(graft.ext.Stats.countMinSketch(spark, sfDir))
+      assert(streamed.nonEmpty && streamed == batch,
+        "sketch state folded across micro-batches must equal the batch matrix")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
