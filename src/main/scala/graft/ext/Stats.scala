@@ -435,12 +435,18 @@ object Stats {
         "CASE WHEN x < 8 THEN x " +
           "ELSE 8 + 4 * (m - 3) + ((x >> (m - 2)) & 3) END"))
       .groupBy($"event_type", $"id").agg(count(lit(1)).as("cnt"))
+    // both the running and the total count ride ONE window exchange
+    // (same partitioning, different frames) — no per-group total agg
+    // to re-join; everything after the histogram moves ≤ ~120
+    // rows/group
     val w = Window.partitionBy($"event_type").orderBy($"id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = hist.groupBy($"event_type").agg(sum($"cnt").as("n"))
+    val wAll = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def pick(q: Int) = min(when(expr(s"cum * 100 >= $q * n"), $"id"))
-    val sel = hist.join(tot, "event_type")
+    val sel = hist
       .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wAll))
       .groupBy($"event_type", $"n")
       .agg(pick(50).as("id50"), pick(95).as("id95"), pick(99).as("id99"))
     sel.select($"event_type", $"n",

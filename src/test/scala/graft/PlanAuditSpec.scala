@@ -142,6 +142,48 @@ class PlanAuditSpec extends SparkSpec {
       "deletion-neighborhood blocking must plan an equi-join on the variant key")
   }
 
+  test("q119: prefix-filter candidates join on the token — no all-pairs compare") {
+    val plan = planOf("q119_setsim_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on prefix tokens")
+  }
+
+  test("q122: posting self-join is term-keyed; the vocabulary broadcasts") {
+    val plan = planOf("q122_sparse_cosine")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "dot products must come from the inverted-index equi-join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the df-pruned vocabulary must broadcast, not shuffle the tf side")
+  }
+
+  test("q123: covariance is map-side pair expansion + one aggregation (no join)") {
+    val plan = planOf("q123_embedding_cov")
+    assert(!"Join".r.findAllIn(plan).hasNext,
+      "the i<=j pair grid must expand per row, never via a self-join")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"one agg exchange + presentation sort, found $exchanges")
+  }
+
+  test("q124/q130: sketches build in one aggregation pass, no window over the data") {
+    for ((q, maxEx) <- Seq(("q124_countmin", 2), ("q130_quantile_sketch", 4))) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: no cartesian")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= maxEx, s"$q: found $exchanges exchanges")
+    }
+  }
+
+  test("q129: global index keeps the data window partition-parallel") {
+    val df = SparkEntry.queries("q129_global_index")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // the data-sized window must partition by __pid; the only
+    // partition-less window allowed is the #partitions-row offsets
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows >= 1 && plan.contains("__pid"),
+      "per-partition numbering window must key on the partition id")
+  }
+
   test("q108: KMV plans bounded partial aggregation, never a global sort of hashes") {
     val df = SparkEntry.queries("q108_kmv_distinct")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
