@@ -36,7 +36,12 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q02_global_stats")
       .foreach(f => try run(f(spark, sfDir)) catch { case _: Throwable => () })
+    // SPARK_GRAFT_BENCH_ONLY="q118,q119" times a comma-separated
+    // subset (local iteration; the driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val failedQs = scala.collection.mutable.Set[String]()
     val samples = (0 until n).map { _ =>
       ordered.map { case (name, fn) =>

@@ -1850,22 +1850,29 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM e) AS n_edges,
         |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
     // q119: the oracle pays the quadratic all-pairs list_intersect the
-    // prefix filter exists to avoid — same pairs, opposite cost
-    "q119_setsim_join" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS l
+    // prefix filter exists to avoid — same pairs, opposite cost; sets
+    // are the engine's per-token hash sets (TokHashes twin), set-
+    // identical docs collapsed to their min-id representative
+    "q119_setsim_join" -> {
+      s"""WITH s AS (
+        |  SELECT doc_id, list_sort($TokHashes) AS l
         |  FROM documents),
+        |sz AS (SELECT doc_id, l, len(l) AS n FROM s WHERE len(l) > 0),
+        |reps AS (
+        |  SELECT MIN(doc_id) AS doc_id, l, n, COUNT(*) AS members
+        |  FROM sz GROUP BY l, n),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(len(list_intersect(a.l, b.l)) AS BIGINT) AS inter,
-        |    CAST(len(a.l) AS BIGINT) AS na, CAST(len(b.l) AS BIGINT) AS nb
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, inter, na, nb,
+        |    CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+        |    a.members AS members_a, b.members AS members_b
+        |  FROM reps a JOIN reps b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter, na, nb, members_a, members_b,
         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc
         |FROM p
-        |WHERE inter * 10 >= (na + nb - inter) * 9 AND na + nb > 0
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE inter * 10 >= (na + nb - inter) * 9
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // q120: the SCD2 state version (from non-click events — q60's CTE
     // over the filtered base) in effect at each click's timestamp; the
     // as-of pick is the greatest valid_from ≤ ts per probe (QUALIFY

@@ -85,12 +85,16 @@ class RecallSpec extends SparkSpec {
       (1L, t.mkString(" ")),                      // 10 tokens
       (2L, t.take(9).mkString(" ")),              // J(1,2) = 9/10  kept
       (3L, (t.take(9) :+ "zz").mkString(" ")),    // J(1,3) = 9/11  dropped; J(2,3) = 9/10 kept
-      (4L, (0 until 10).map(i => s"u$i").mkString(" "))) // disjoint
+      (4L, (0 until 10).map(i => s"u$i").mkString(" ")), // disjoint
+      // same SET as doc 1 (reversed order, one repeat) → collapses
+      // into doc 1's representative, raising its member count
+      (5L, (t.reverse :+ "t0").mkString(" ")))
       .toDF("doc_id", "text")
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
     val got = graft.ext.Dedup.setSimilarityJoin(spark, dir)
-      .select($"doc_a", $"doc_b", $"inter", $"jacc")
-      .as[(Long, Long, Long, Double)].collect().toSeq
-    assert(got == Seq((1L, 2L, 9L, 0.9), (2L, 3L, 9L, 0.9)))
+      .select($"doc_a", $"doc_b", $"inter", $"members_a", $"members_b", $"jacc")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 9L, 2L, 1L, 0.9), (2L, 3L, 9L, 1L, 1L, 0.9)),
+      "set-identical doc 5 must fold into rep 1 (members 2), no self-pair emitted")
   }
 }
