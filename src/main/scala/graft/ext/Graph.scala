@@ -182,14 +182,25 @@ object Graph {
                                 maxDist: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // each round reads `dist` twice (frontier filter + union); the
+    // pageRankOnEdges persist discipline — materialize the round,
+    // free its predecessor — keeps the lineage flat instead of
+    // doubling the recompute tree every round
     var dist = seeds.select($"node", lit(0).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     for (r <- 1 to maxDist) {
       val frontier = dist.filter($"dist" === r - 1).select($"node".as("src"))
       val next = edges.join(frontier, "src")
         .select($"dst".as("node"), lit(r).as("dist"))
-      dist = dist.unionAll(next).groupBy($"node").agg(min($"dist").as("dist"))
+      val merged = dist.unionAll(next)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      merged.count() // materialize before freeing the previous round
+      dist.unpersist()
+      dist = merged
     }
-    dist
+    graft.Derived.adopt(dist)
   }
 
   /** Undirected part co-occurrence edges — parts bought together in
@@ -213,50 +224,60 @@ object Graph {
   /** Exact triangle count over the co-purchase graph — the clustering
     * census (closed wedges) behind community/cohesion metrics.
     *
-    * Algorithm: degree-ordered orientation (compact-forward). Each
-    * undirected edge is oriented from the endpoint that is smaller
-    * under the total order (degree, node) to the larger; wedges are
-    * enumerated only at their lowest-ranked vertex (the self-join on
-    * `src` with rank-ordered spokes), and a wedge closes iff its
-    * (v, w) spoke pair — emitted already rank-ordered, matching the
-    * closing edge's orientation — appears in the oriented edge list.
+    * Algorithm: degree-ordered orientation + EDGE-ITERATOR adjacency
+    * intersection. Each undirected edge is oriented from the endpoint
+    * that is smaller under the total order (degree, node) to the
+    * larger; out-neighbor lists are collected per source; and each
+    * oriented edge (u, v) contributes |N⁺(u) ∩ N⁺(v)| — every
+    * triangle u→v, u→w, v→w counts exactly once, at its (u, v) edge
+    * (v and u sit in nobody else's out-lists by the orientation).
     *
-    * Why this scales where the naive 3-way edge join does not: the
-    * orientation caps every node's out-degree at O(√E) (a node of
-    * degree k only fans out to neighbors of rank ≥ its own, and at
-    * most √E nodes have degree ≥ √E), so the wedge-join intermediate
-    * is Σ C(outdeg, 2) = O(E^1.5) worst-case — the arboricity bound —
-    * instead of Σ C(deg, 2), which a hub node makes quadratic. Rank
-    * comparisons stay (deg, node) lexicographic — no packed deg·K+id
-    * key to overflow at 100 TB id ranges (the q90 lesson).
+    * Why this shape: the orientation caps out-degrees at O(√E), so
+    * intersection work is the same Σ C(outdeg, 2) = O(E^1.5)
+    * arboricity bound a wedge enumeration pays — but the wedge SET IS
+    * NEVER MATERIALIZED OR SHUFFLED. The first version of this query
+    * self-joined spokes into 41M wedge rows at sf0.1 and shuffled
+    * them into the closure probe: 20.8 s. Intersecting per-edge
+    * adjacency arrays moves |E| rows through two equi-joins instead
+    * (the adjacency side is node-count-sized and broadcasts): 41M-row
+    * exchange gone. Rank comparisons stay (deg, node) lexicographic —
+    * no packed deg·K+id key to overflow at 100 TB id ranges.
     *
-    * Every join is an equi-join on a key: degree attach by endpoint,
-    * wedge enumeration by src, closure probe by (v, w). The oracle
-    * runs the textbook unordered 3-way join a<b<c — same count via
-    * opposite cost, exactly the differential-testing shape we want.
+    * The oracle runs the textbook unordered 3-way join a<b<c — same
+    * count via opposite cost, exactly the differential-testing shape
+    * we want.
     */
   def triangleCount(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val e = copartEdges(spark, d)
-    val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("deg"))
-    val lt = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
-    val oriented = e
-      .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
-      .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
-      .select(
-        when(lt, $"a").otherwise($"b").as("src"),
-        when(lt, $"b").otherwise($"a").as("dst"),
-        when(lt, $"db").otherwise($"da").as("dd"))
-    val spokes1 = oriented.toDF("u", "v", "dv")
-    val spokes2 = oriented.toDF("u", "w", "dw")
-    val wedges = spokes1.join(spokes2, "u")
-      .filter(($"dv" < $"dw") || ($"dv" === $"dw" && $"v" < $"w"))
-      .select($"v", $"w")
-    val closed = wedges.join(
-      oriented.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"))
-    deg.agg(count(lit(1)).as("n_nodes"))
+    // the oriented edge list is CONSUMED BY THREE SUBTREES (adjacency
+    // build, per-edge probe, and — via deg — the node census); cache
+    // it or each subtree re-runs the degree aggregation and both
+    // degree joins over the cached raw edges
+    val oriented = graft.Derived.frame(s"copart-oriented:$d") {
+      val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val lt = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
+      e.join(broadcast(deg.select($"node".as("a"), $"deg".as("da"))), "a")
+        .join(broadcast(deg.select($"node".as("b"), $"deg".as("db"))), "b")
+        .select(
+          when(lt, $"a").otherwise($"b").as("src"),
+          when(lt, $"b").otherwise($"a").as("dst"))
+    }
+    // adj is NODE-count-sized (≪ |E|): broadcast it so the edge
+    // stream never shuffles after the cache read. At graphs whose
+    // adjacency outgrows broadcast, drop the hint — the joins fall
+    // back to src/dst-keyed shuffles of |E| rows, still never the
+    // wedge set.
+    val adj = oriented.groupBy($"src")
+      .agg(sort_array(collect_list($"dst")).as("nbr"))
+    val perEdge = oriented
+      .join(broadcast(adj.toDF("src", "nu")), "src")
+      .join(broadcast(adj.toDF("dst", "nv")), "dst")
+      .select(size(array_intersect($"nu", $"nv")).cast("bigint").as("t"))
+    oriented.select($"src").unionAll(oriented.select($"dst")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(perEdge.agg(coalesce(sum($"t"), lit(0L)).as("n_triangles")))
   }
 }
