@@ -278,6 +278,11 @@ object SparkEntry {
     "q127_hll_registers" -> (Stats.hllRegisters _),
     "q130_quantile_sketch" -> (Stats.quantileSketch _),
     "q131_rolling_hll" -> (Stats.rollingHll _),
+    // q132: the engine runs the two-phase checksum reconciliation; the
+    // oracle does the naive full-table outer diff — the hash gate
+    // proves the ranged path finds exactly the true difference set
+    "q132_replica_diff" -> (Extended.replicaDiff _),
+    "q133_activity_bitmap" -> (Extended.activityBitmap _),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
     // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
@@ -2125,6 +2130,35 @@ object SparkEntry {
         |  ROUND(CAST(0.709 AS DOUBLE) * 4096.0 * power(2.0, maxm) / s_int
         |        * 10000, 0) / 10000 + 0.0 AS est
         |FROM s ORDER BY day""".stripMargin,
+    "q132_replica_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 997 = 0 THEN cents + 1 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 1009 != 0)
+        |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'missing_in_b'
+        |       WHEN a.o_orderkey IS NULL THEN 'extra_in_b'
+        |       ELSE 'modified' END AS kind
+        |FROM base a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+        |   OR a.cents != b.cents
+        |ORDER BY o_orderkey""".stripMargin,
+    // q133: identical epoch-week bit positions; DuckDB bit_or over the
+    // same shifted BIGINTs
+    "q133_activity_bitmap" ->
+      """WITH j AS (
+        |  SELECT c_nationkey,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_nationkey,
+        |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(wk % 63 AS INTEGER)) AS BIGINT) AS bitmap,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(wk % 63 AS INTEGER))) AS INTEGER) AS n_buckets,
+        |  COUNT(DISTINCT wk) AS n_weeks_exact
+        |FROM j GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // q121: same bounded ×7 fan-out of deduplicated (day, user) pairs;
     // DATE + INTEGER day arithmetic is identical in both engines
     "q121_rolling_distinct" ->

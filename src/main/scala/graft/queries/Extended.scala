@@ -530,6 +530,97 @@ object Extended {
       .orderBy($"block")
   }
 
+  /** Two-phase replica reconciliation — the rsync/merkle pattern for
+    * "find what diverged between two copies of a table" at 100 TB:
+    * phase 1 compares per-range integer checksums (one map+agg pass
+    * per replica, output = #ranges rows); phase 2 row-diffs ONLY the
+    * ranges whose checksums disagree (a broadcast semi-join keeps
+    * everything else out of the full-outer join). Against a replica
+    * with deterministic planted divergence (keys ≡0 mod 1009 dropped,
+    * prices of keys ≡0 mod 997 bumped), the oracle does the naive
+    * full-table outer diff — the hash gate proves the checksum path
+    * finds EXACTLY the true difference set, i.e. per-range sum/count
+    * checksums lose nothing.
+    *
+    * Checksums are sums of a per-row integer hash (multiplicative,
+    * mod P) — order-independent under any partitioning, mergeable
+    * across sub-ranges, and engine-exact.
+    */
+  def replicaDiff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    val base = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey",
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val replica = base
+      .filter($"o_orderkey" % 1009 =!= 0)
+      .withColumn("cents",
+        when($"o_orderkey" % 997 === 0, $"cents" + 1).otherwise($"cents"))
+    def hashed(t: DataFrame) = t.withColumn("h",
+      expr(s"((o_orderkey % $P) * 2654435761 + (o_custkey % $P) * 2246822519 " +
+        s"+ (cents % $P) * 3266489917) % $P"))
+      .select($"o_orderkey".as("k"), $"h")
+    rangedDiff(hashed(base), hashed(replica))
+      .select($"k".as("o_orderkey"), $"kind")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Two-phase core of [[replicaDiff]] over (k, h) frames: per-range
+    * (k div 512) count+sum checksums, row-level diff only inside
+    * disagreeing ranges. Ranges whose checksums agree never reach the
+    * outer join — the property RangedDiffSpec pins (identical inputs
+    * ⇒ empty output; planted edits ⇒ exactly those keys). */
+  private[graft] def rangedDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
+    def ranged(t: DataFrame) = t.withColumn("rng", expr("k div 512"))
+    val ckA = ranged(a).groupBy($"rng")
+      .agg(count(lit(1)).as("na"), sum($"h").as("sa"))
+    val ckB = ranged(b).groupBy($"rng")
+      .agg(count(lit(1)).as("nb"), sum($"h").as("sb"))
+    val dirty = ckA.join(ckB, Seq("rng"), "full_outer")
+      .filter(!($"na" <=> $"nb") || !($"sa" <=> $"sb"))
+      .select($"rng")
+    val aDirty = ranged(a).join(broadcast(dirty), "rng")
+    val bDirty = ranged(b).join(broadcast(dirty), "rng")
+    aDirty.select($"k", $"h".as("ha"))
+      .join(bDirty.select($"k", $"h".as("hb")), Seq("k"), "full_outer")
+      // rows inside a dirty range whose hashes still agree are clean
+      .filter($"ha".isNull || $"hb".isNull || $"ha" =!= $"hb")
+      .select($"k",
+        when($"hb".isNull, lit("missing_in_b"))
+          .when($"ha".isNull, lit("extra_in_b"))
+          .otherwise(lit("modified")).as("kind"))
+  }
+
+  /** Activity bitmaps — a 64-bit presence summary per nation: bit k
+    * set iff some order was placed in epoch-week ≡ k (mod 63 — bit
+    * 63 stays clear: a signed-overflow shift is engine-defined). One
+    * `bit_or` aggregate compresses arbitrarily many order rows into
+    * a single BIGINT per group — the bitmap-index pattern (roaring
+    * containers, Druid/Pinot presence sketches) that answers
+    * "was there activity in window X" membership queries from
+    * metadata instead of scans; bitmaps OR across partitions/ranges,
+    * so the summary is mergeable like every sketch here.
+    * Epoch-week = days-since-1970 div 7 — integer date arithmetic,
+    * no ISO-week quirks to disagree across engines.
+    */
+  def activityBitmap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val weekBit = expr(
+      "CAST(1 AS BIGINT) << (datediff(o_orderdate, DATE'1970-01-01') div 7 % 63)")
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .withColumn("wb", weekBit)
+      .groupBy($"c_nationkey")
+      .agg(expr("bit_or(wb)").as("bitmap"),
+        countDistinct(expr("datediff(o_orderdate, DATE'1970-01-01') div 7"))
+          .as("n_weeks_exact"))
+      .withColumn("n_buckets", expr("bit_count(bitmap)"))
+      .select($"c_nationkey", $"bitmap", $"n_buckets", $"n_weeks_exact")
+      .orderBy($"c_nationkey")
+  }
+
   def unpivotMetrics(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, d)

@@ -58,6 +58,26 @@ class ZOrderSpec extends SparkSpec {
       s"z-order block stats should prune ≥75% of blocks (scan ${scanned.size}/${stats.length})")
   }
 
+  test("activityBitmap: set bits reconstruct exactly the observed week residues") {
+    import graft.sources.Tables
+    val got = graft.queries.Extended.activityBitmap(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val weeks = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey",
+        expr("datediff(o_orderdate, DATE'1970-01-01') div 7").as("wk"))
+      .distinct().collect()
+      .groupBy(_.getInt(0))
+      .map { case (n, rs) => n -> rs.map(_.getLong(1)).toSet }
+    got.foreach { case (nation, bitmap, nBuckets, nWeeksExact) =>
+      val bits = (0 until 63).filter(b => (bitmap & (1L << b)) != 0).toSet
+      val want = weeks(nation).map(w => (w % 63).toInt)
+      assert(bits == want, s"nation $nation bitmap bits != week residues")
+      assert(nBuckets == want.size && nWeeksExact == weeks(nation).size)
+      assert(nBuckets <= nWeeksExact, "residue folding can only lose buckets")
+    }
+  }
+
   test("z key round-trips both dimensions (bit interleave is lossless)") {
     val rows = graft.queries.Extended.zorderKey(spark, d).collect()
     rows.foreach { r =>
