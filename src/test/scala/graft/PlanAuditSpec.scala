@@ -184,6 +184,20 @@ class PlanAuditSpec extends SparkSpec {
       "per-partition numbering window must key on the partition id")
   }
 
+  test("q132: the dirty-range gate joins as a broadcast, never re-shuffling the replicas") {
+    val plan = planOf("q132_replica_diff")
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the #dirty-ranges frame must broadcast into the row-level phase")
+  }
+
+  test("q133: bitmap build is one aggregation pass over the joined fact") {
+    val plan = planOf("q133_activity_bitmap")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the customer dimension must broadcast under the fact scan")
+  }
+
   test("q108: KMV plans bounded partial aggregation, never a global sort of hashes") {
     val df = SparkEntry.queries("q108_kmv_distinct")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
