@@ -455,7 +455,11 @@ object Dedup {
         lit(19) * (lit(1) + least($"na" - $"pa", $"nb" - $"pb")) >=
           lit(9) * ($"na" + $"nb"))
       .select($"doc_a", $"doc_b").distinct()
-    val inter = size(array_intersect($"ta", $"tb")).cast("bigint")
+    // two-pointer merge over the sorted hash arrays (codegen'd native
+    // kernel) — size(array_intersect(...)) builds a hash set + output
+    // array per candidate pair and dominated the verify
+    val inter = Bridge.column(graft.functions.SortedIntersectCount(
+      Bridge.expression($"ta"), Bridge.expression($"tb"))).cast("bigint")
     cands
       .join(sets.select($"doc_id".as("doc_a"), $"l".as("ta"),
         $"n".cast("bigint").as("na"), $"members".as("members_a")), "doc_a")

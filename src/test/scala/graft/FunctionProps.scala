@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 
-import graft.functions.{HyperplaneSignature, ShingleHash, SimHash16, WinnowHash}
+import graft.functions.{HyperplaneSignature, ShingleHash, SimHash16, SortedIntersectCount, WinnowHash}
 
 /** Property tests for the native expressions against trivial Scala
   * reference implementations (the HOF pipelines they replaced), plus
@@ -52,6 +52,16 @@ object FunctionProps extends Properties("functions") {
       val dist = evalStr(ShingleHash(Literal(UTF8String.fromString(text)), 3, distinct = true))
         .asInstanceOf[ArrayData].toLongArray.toSeq
       dist == all.distinct
+    }
+
+  property("SortedIntersectCount = set-intersection reference on sorted distinct arrays") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 60L)), Gen.listOf(Gen.choose(0L, 60L))) { (xs, ys) =>
+      val a = xs.distinct.sorted
+      val b = ys.distinct.sorted
+      def lit(v: Seq[Long]) = Literal.create(v.toArray,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false))
+      val got = evalStr(SortedIntersectCount(lit(a), lit(b))).asInstanceOf[Int]
+      got == (a.toSet & b.toSet).size
     }
 
   property("WinnowHash = min over strided window reference") =
