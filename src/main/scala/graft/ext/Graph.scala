@@ -271,10 +271,17 @@ object Graph {
     // wedge set.
     val adj = oriented.groupBy($"src")
       .agg(sort_array(collect_list($"dst")).as("nbr"))
-    val perEdge = oriented
-      .join(broadcast(adj.toDF("src", "nu")), "src")
-      .join(broadcast(adj.toDF("dst", "nv")), "dst")
-      .select(size(array_intersect($"nu", $"nv")).cast("bigint").as("t"))
+    val perEdge = {
+      import org.apache.spark.sql.graft.Bridge
+      oriented
+        .join(broadcast(adj.toDF("src", "nu")), "src")
+        .join(broadcast(adj.toDF("dst", "nv")), "dst")
+        // adjacency lists are sort_array'd: the codegen'd two-pointer
+        // merge kernel counts the overlap allocation-free
+        .select(Bridge.column(graft.functions.SortedIntersectCount(
+          Bridge.expression($"nu"), Bridge.expression($"nv")))
+          .cast("bigint").as("t"))
+    }
     oriented.select($"src").unionAll(oriented.select($"dst")).distinct()
       .agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
