@@ -283,6 +283,26 @@ object SparkEntry {
     // proves the ranged path finds exactly the true difference set
     "q132_replica_diff" -> (Extended.replicaDiff _),
     "q133_activity_bitmap" -> (Extended.activityBitmap _),
+    // Retractable incremental aggregation: state maintained under a
+    // deletes+inserts batch via negated partials; the oracle
+    // re-aggregates the final table directly, proving
+    // merge(state, retract(D), partial(I)) == agg((S \ D) ∪ I)
+    "q134_retractable_agg" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val orders = graft.sources.Tables.orders(s, d)
+      val start = orders.filter($"o_orderkey" % 3 =!= 0)
+      val deleted = start.filter($"o_orderkey" % 7 === 0)
+      val inserted = orders.filter($"o_orderkey" % 3 === 0)
+      val state = IncrementalAgg.compact(IncrementalAgg.merge(
+        IncrementalAgg.merge(
+          IncrementalAgg.partialState(start, "o_orderpriority", "o_totalprice"),
+          IncrementalAgg.retractState(deleted, "o_orderpriority", "o_totalprice"),
+          "o_orderpriority"),
+        IncrementalAgg.partialState(inserted, "o_orderpriority", "o_totalprice"),
+        "o_orderpriority"))
+      IncrementalAgg.finalize(state, "o_orderpriority")
+    }),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
     // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
@@ -2130,6 +2150,14 @@ object SparkEntry {
         |  ROUND(CAST(0.709 AS DOUBLE) * 4096.0 * power(2.0, maxm) / s_int
         |        * 10000, 0) / 10000 + 0.0 AS est
         |FROM s ORDER BY day""".stripMargin,
+    "q134_retractable_agg" ->
+      """SELECT o_orderpriority,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        |  COUNT(*) AS n
+        |FROM orders
+        |WHERE (o_orderkey % 3 != 0 AND o_orderkey % 7 != 0)
+        |   OR o_orderkey % 3 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

@@ -39,4 +39,25 @@ object IncrementalAgg {
       round(col("psum").cast("double"), 2).as("total"),
       col("pcnt").as("n"))
       .orderBy(col(key))
+
+  /** Retraction partials — the DELETE side of incremental view
+    * maintenance: the same per-key partials with both measures
+    * NEGATED, so `merge(state, retractState(deleted))` subtracts the
+    * deleted rows' contribution exactly (sums are an abelian group,
+    * not just a monoid). With [[partialState]] for the insert side,
+    * one merge maintains the rollup under an arbitrary
+    * deletes+inserts batch without touching historical data — keys
+    * whose count reaches zero are dropped by [[compact]].
+    */
+  def retractState(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        (-sum(col(valueCol).cast("decimal(18,2)"))).as("psum"),
+        (-count(lit(1))).as("pcnt"))
+
+  /** Drop fully-retracted keys (count 0) from a state table — the
+    * garbage-collection pass that keeps state proportional to LIVE
+    * keys. */
+  def compact(state: DataFrame): DataFrame =
+    state.filter(col("pcnt") =!= 0)
 }

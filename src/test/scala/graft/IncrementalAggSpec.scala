@@ -30,4 +30,27 @@ class IncrementalAggSpec extends SparkSpec {
     assert(leftFold == oneShot)
     assert(reversed == oneShot)
   }
+
+  test("retraction inverts insertion exactly; fully-retracted keys compact away") {
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val state = IncrementalAgg.partialState(orders, "o_orderstatus", "o_totalprice")
+    // delete everything back out → every key's count hits zero
+    val emptied = IncrementalAgg.compact(IncrementalAgg.merge(
+      state,
+      IncrementalAgg.retractState(orders, "o_orderstatus", "o_totalprice"),
+      "o_orderstatus"))
+    assert(emptied.count() == 0, "state after full retraction must compact to nothing")
+    // delete a slice, re-insert it: state returns to the original
+    val slice = orders.filter($"o_orderkey" % 11 === 0)
+    val rounded = IncrementalAgg.merge(
+      IncrementalAgg.merge(state,
+        IncrementalAgg.retractState(slice, "o_orderstatus", "o_totalprice"),
+        "o_orderstatus"),
+      IncrementalAgg.partialState(slice, "o_orderstatus", "o_totalprice"),
+      "o_orderstatus")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.finalize(df, "o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(rows(rounded) == rows(state), "retract+reinsert must be the identity")
+  }
 }
