@@ -34,10 +34,30 @@ def main(out_dir, sf_dir):
             continue
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        # fetchdf flattens DECIMAL to float64, hiding representational
+        # divergence the driver's byte-hash WILL see (q123 shipped that
+        # way). Reject raw-DECIMAL output columns on either side.
+        dec_got = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()
+            if "DECIMAL" in r[1].upper()]
+        if dec_got:
+            print(f"FAIL {name}: raw DECIMAL output columns {dec_got} "
+                  f"(driver hash canonicalizes parquet DECIMAL and DuckDB "
+                  f"DECIMAL differently — cast to BIGINT/DOUBLE)")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
             continue
         try:
+            dec_exp = [r[0] for r in con.execute(
+                f"DESCRIBE {oracles[name]}").fetchall()
+                if "DECIMAL" in r[1].upper() or "HUGEINT" in r[1].upper()]
+            if dec_exp:
+                print(f"FAIL {name}: oracle yields DECIMAL/HUGEINT columns "
+                      f"{dec_exp} — add CAST(... AS BIGINT/DOUBLE)")
+                n_fail += 1
+                continue
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")

@@ -65,7 +65,7 @@ object SparkEntry {
     "q40_rank_offset" -> (Extended.rankAndOffset _),
     "q41_pivot" -> (Extended.pivotStatus _),
     "q42_set_ops" -> (Extended.setOps _),
-    "q43_approx_distinct" -> (Extended.approxDistinct _), // rows-only: HLL sketch values are engine-specific
+    "q43_approx_distinct" -> (Extended.approxDistinct _), // scored via its error contract (within_3sigma boolean)
     "q44_asof_join" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val ev = graft.sources.Tables.events(s, d)
@@ -752,6 +752,14 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    // q43: the HLL sketch value is engine-specific, so the contract is
+    // the exact count + a boolean error-bound check; the oracle asserts
+    // the bound holds (TRUE) — any out-of-contract sketch flips the hash
+    "q43_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_3sigma
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q44_asof_join" ->
       """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
         |  p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
@@ -1961,7 +1969,8 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q123: same 1e-6 quantization grid (q82's) and integer sums; the
     // i<=j pair grid comes from a range self-join per vector; HUGEINT
-    // arithmetic is exact, cast to DECIMAL(38,0)/BIGINT at the edges
+    // arithmetic is exact, every output column cast to BIGINT (a raw
+    // DECIMAL output breaks the driver's hash canonicalization)
     "q123_embedding_cov" ->
       """WITH q AS (
         |  SELECT vec_id, t.i AS i,
@@ -1974,7 +1983,7 @@ object SparkEntry {
         |  CAST(SUM(a.v) AS BIGINT) AS sx, CAST(SUM(b.v) AS BIGINT) AS sy,
         |  CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
         |  CAST(COUNT(*) * SUM(a.v * b.v) - SUM(a.v) * SUM(b.v)
-        |       AS DECIMAL(38,0)) AS cov_num
+        |       AS BIGINT) AS cov_num
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i
         |ORDER BY i, j""".stripMargin,

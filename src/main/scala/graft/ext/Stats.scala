@@ -541,9 +541,14 @@ object Stats {
       .groupBy($"i", $"j")
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"))
+      // DECIMAL(38,0) intermediates keep n*sxy - sx*sy exact, but the
+      // OUTPUT is BIGINT: a raw decimal column hashes differently between
+      // a parquet DECIMAL and DuckDB's HUGEINT→DECIMAL rendering even when
+      // values are identical (the q82/q87 -0.0 representational class).
+      // |cov_num| tops out ~4e17 at sf0.1 — comfortably inside int64.
       .select($"i", $"j", $"n", $"sx", $"sy", $"sxy",
         ($"n".cast(dec) * $"sxy".cast(dec) -
-          $"sx".cast(dec) * $"sy".cast(dec)).cast(dec).as("cov_num"))
+          $"sx".cast(dec) * $"sy".cast(dec)).cast("bigint").as("cov_num"))
       .orderBy($"i", $"j")
   }
 }

@@ -403,13 +403,23 @@ object Extended {
       .orderBy($"o_orderstatus")
   }
 
+  /** Built-in HLL++ approx-distinct, scored against its own error
+    * contract: the sketch value is engine-specific, so instead of
+    * emitting it raw (unverifiable) we emit the exact count plus a
+    * boolean `within_3sigma` — |approx−exact| ≤ 3·rsd·exact at the
+    * default rsd=0.05. The oracle computes the exact side and asserts
+    * TRUE, turning a rows-only check into a full hash-verified row.
+    * (q127 is the cross-engine-deterministic HLL twin.) */
   def approxDistinct(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, d)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_count_distinct($"l_orderkey").as("approx"),
         countDistinct($"l_orderkey").as("exact_orders"))
+      .select($"l_returnflag", $"exact_orders",
+        (abs($"approx" - $"exact_orders").cast("double") <=
+          lit(0.15) * $"exact_orders".cast("double")).as("within_3sigma"))
       .orderBy($"l_returnflag")
   }
 
