@@ -2,21 +2,20 @@ package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.model.Schemas.{Movie, RatingRaw}
 
 /** Star-schema assembly — the reference's dimension/fact build
   * (`/root/reference/etl_pipeline_spark.py:757-1353`) re-expressed
   * without a database in the loop:
   *
-  *  - surrogate keys are deterministic `row_number` over the natural
-  *    key instead of PostgreSQL SERIAL + read-back
+  *  - surrogate keys are deterministic dense sequences over the
+  *    natural key instead of PostgreSQL SERIAL + read-back
   *    (`etl_pipeline_spark.py:874-882`) — reruns are idempotent by
-  *    construction, no checkpoint bookkeeping. The dims are small
-  *    (17,770 movies / 480K customers for the full Netflix set), so a
-  *    single-partition window is fine; a 100 TB-scale dimension
-  *    switches to [[graft.operators.GlobalIndex.withRowNumber]]
-  *    (range-partition + prefix offsets, q129) or a hash key.
+  *    construction, no checkpoint bookkeeping. Assignment runs through
+  *    [[graft.operators.GlobalIndex.withRowNumber]] (range-partition +
+  *    prefix offsets, q129): no single-reducer window anywhere in the
+  *    build, so the same path serves 17,770 movies and a
+  *    billion-row dimension.
   *  - customer aggregates are a join-and-overwrite of the dim
   *    (vs. the reference's collect + psycopg2 executemany,
   *    `etl_pipeline_spark.py:1398-1455` — 480K rows through the
@@ -36,12 +35,17 @@ object StarBuilder {
     def cleanup(): Unit = parsed.foreach(_.unpersist())
   }
 
-  /** dim_movie with deterministic surrogate key (schema.sql:53-67). */
+  /** dim_movie with deterministic surrogate key (schema.sql:53-67).
+    * Keys come from [[graft.operators.GlobalIndex.withRowNumber]]
+    * (range-partition + prefix offsets) rather than a partition-less
+    * `row_number` window: the dense sequence is identical, but no
+    * single task ever sees the whole dimension — the same code path
+    * holds for 17,770 movies and a billion-row dimension. */
   def dimMovie(movies: Dataset[Movie]): DataFrame = {
     import movies.sparkSession.implicits._
-    movies.toDF()
-      .withColumn("movie_key",
-        row_number().over(Window.orderBy($"movie_id")).cast("int"))
+    graft.operators.GlobalIndex
+      .withRowNumber(movies.toDF(), Seq($"movie_id"), "movie_key")
+      .withColumn("movie_key", $"movie_key".cast("int"))
       .select($"movie_key", $"movie_id", $"title", $"release_year")
   }
 
@@ -52,14 +56,18 @@ object StarBuilder {
     */
   def dimCustomer(ratings: Dataset[RatingRaw]): DataFrame = {
     import ratings.sparkSession.implicits._
-    ratings.toDF()
+    val agged = ratings.toDF()
       .groupBy($"customer_id")
       .agg(
         min($"rating_date").as("first_rating_date"),
         max($"rating_date").as("last_rating_date"),
         count(lit(1)).cast("int").as("total_ratings"))
-      .withColumn("customer_key",
-        row_number().over(Window.orderBy($"customer_id")).cast("int"))
+    // Distributed surrogate keys (see dimMovie): the 480K-customer dim
+    // is exactly the one SURVEY §7.4-6 flags as the scale-killer under
+    // a single-reducer window.
+    graft.operators.GlobalIndex
+      .withRowNumber(agged, Seq($"customer_id"), "customer_key")
+      .withColumn("customer_key", $"customer_key".cast("int"))
       .select($"customer_key", $"customer_id", $"first_rating_date",
               $"last_rating_date", $"total_ratings")
   }

@@ -56,6 +56,30 @@ class StarBuilderSpec extends SparkSpec {
     assert(star.dimDate.count() == 731) // 2004 leap + 2005
   }
 
+  /** The dims must never funnel through one task: surrogate keys come
+    * from GlobalIndex (range-partition + prefix offsets). The ONLY
+    * single-partition exchange allowed in the plan is the
+    * #partitions-row offsets frame (its child is the per-__pid count
+    * aggregate); the data-sized numbering window must key on __pid.
+    */
+  test("dim builds plan no single-partition exchange over the data") {
+    for ((name, df) <- Seq("dim_movie" -> star.dimMovie,
+                           "dim_customer" -> star.dimCustomer)) {
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      assert(lines.exists(_.contains("__pid")),
+        s"$name: expected the GlobalIndex per-partition numbering window")
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          // the child prints on the next line: it must be the tiny
+          // per-partition count aggregate, never the dimension data
+          val child = lines.drop(i + 1).take(2).mkString
+          assert(child.contains("HashAggregate") && child.contains("__pid"),
+            s"$name: single-partition exchange over data rows at line $i:\n" +
+              lines.slice(i, i + 3).mkString("\n"))
+        }
+    }
+  }
+
   test("reference weekday bug is fixed: 0=Monday..6=Sunday") {
     val dd = DateDim.build(spark, "2024-01-01", "2024-01-07") // Mon..Sun
       .orderBy("date_key").collect()
