@@ -249,7 +249,7 @@ object SparkEntry {
           sum($"id").as("id_sum"))
         .orderBy($"b")
     }),
-    "q118_triangle_count" -> (Graph.triangleCount _),
+    "q118_triangle_count" -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
     "q119_setsim_join" -> (Dedup.setSimilarityJoin _),
     "q122_sparse_cosine" -> (Corpus.sparseCosinePairs _),
     "q123_embedding_cov" -> ((s: SparkSession, d: String) => Stats.embeddingCovariance(s, d)),

@@ -70,24 +70,50 @@ object Corpus {
       .orderBy($"lang", $"pack_id")
   }
 
+  /** Broadcast budget for the document-frequency (vocabulary) side of
+    * the TF-IDF/BM25 joins, in TERMS. A df row is a token string plus
+    * a count (~50 serialized bytes), so 1M terms ≈ 50 MB — inside a
+    * comfortable executor broadcast. A 100 TB corpus's vocabulary
+    * (10⁸+ terms) blows any broadcast; above the budget the hint is
+    * DROPPED and the token-keyed join shuffles instead (same result,
+    * |tf| rows exchanged once). Measured, not guessed: the df frame is
+    * persisted and counted before the hint is placed — the same
+    * measured-gate house style as [[graft.ext.Dedup.resolveClusters]]'s
+    * driver-edge budget.
+    */
+  val BroadcastVocabMaxTerms = 1000000L
+
+  /** The document-frequency table for `d`, persisted and row-counted;
+    * returns the frame plus its term count for the broadcast gate. */
+  private def dfSide(spark: SparkSession, toks: DataFrame): (DataFrame, Long) = {
+    import spark.implicits._
+    val df = toks.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Derived.adopt(df)
+    (df, df.count())
+  }
+
   /** TF-IDF top terms per document: tf(d,t) · ln(N/df(t)), top 3 terms
     * per doc by score. Plan shape for scale: explode → (doc_id, token)
     * partial-agg → token-keyed df join (df is a token-count aggregate,
-    * broadcast when the vocabulary is small) → per-doc top-k. The
-    * ranking window partitions by doc_id — millions of tiny groups, so
-    * no reducer funnel (contrast q34's 5-query window, which needed
+    * broadcast only while the measured vocabulary fits
+    * [[BroadcastVocabMaxTerms]]) → per-doc top-k. The ranking window
+    * partitions by doc_id — millions of tiny groups, so no reducer
+    * funnel (contrast q34's 5-query window, which needed
     * [[graft.functions.TopKAgg]]).
     */
-  def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+  def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3,
+                    maxBroadcastTerms: Long = BroadcastVocabMaxTerms): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, d)
       .select($"doc_id", explode(split($"text", " ")).as("token"))
       .filter($"token" =!= "")
     val nDocs = Tables.documents(spark, d).count()
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df = toks.select($"doc_id", $"token").distinct()
-      .groupBy($"token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "token")
+    val (df, nTerms) = dfSide(spark, toks)
+    val dfHinted = if (nTerms <= maxBroadcastTerms) broadcast(df) else df
+    val scored = tf.join(dfHinted, "token")
       .withColumn("tfidf", $"tf" * log(lit(nDocs.toDouble) / $"df"))
     val rn = row_number().over(
       Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token"))
@@ -101,12 +127,14 @@ object Corpus {
   /** BM25 top terms per document — the IR-standard upgrade of
     * [[tfidfTopTerms]] with term-frequency saturation (k1) and
     * document-length normalization (b). Same scale-shaped plan: tf
-    * partial-agg, broadcast df join, per-doc ranking window over
+    * partial-agg, measured-gate df join (broadcast only under
+    * [[BroadcastVocabMaxTerms]]), per-doc ranking window over
     * millions of tiny groups. avgdl is a two-long scalar aggregate
     * collected once (exact integer sums → exact double division, so
     * both engines compute the identical constant).
     */
-  def bm25TopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+  def bm25TopTerms(spark: SparkSession, d: String, k: Int = 3,
+                   maxBroadcastTerms: Long = BroadcastVocabMaxTerms): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, d)
       .select($"doc_id", explode(split($"text", " ")).as("token"))
@@ -114,8 +142,7 @@ object Corpus {
     val nDocs = Tables.documents(spark, d).count()
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val df = toks.select($"doc_id", $"token").distinct()
-      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val (df, nTerms) = dfSide(spark, toks)
     val (dlSum, dlN) = dl.agg(sum($"dl"), count(lit(1)))
       .as[(Long, Long)].head()
     val avgdl = dlSum.toDouble / dlN
@@ -128,7 +155,8 @@ object Corpus {
       ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / lit(avgdl))))
     val rn = row_number().over(
       Window.partitionBy($"doc_id").orderBy($"bm25_raw".desc, $"token"))
-    tf.join(broadcast(df), "token").join(dl, "doc_id")
+    val dfHinted = if (nTerms <= maxBroadcastTerms) broadcast(df) else df
+    tf.join(dfHinted, "token").join(dl, "doc_id")
       .withColumn("bm25_raw", score)
       .withColumn("rn", rn)
       .filter($"rn" <= k)

@@ -239,17 +239,38 @@ object Graph {
     * self-joined spokes into 41M wedge rows at sf0.1 and shuffled
     * them into the closure probe: 20.8 s. Intersecting per-edge
     * adjacency arrays moves |E| rows through two equi-joins instead
-    * (the adjacency side is node-count-sized and broadcasts): 41M-row
-    * exchange gone. Rank comparisons stay (deg, node) lexicographic —
-    * no packed deg·K+id key to overflow at 100 TB id ranges.
+    * (the adjacency side broadcasts under the measured
+    * [[BroadcastAdjMaxEntries]] gate — its payload is |E| entries):
+    * 41M-row exchange gone. Rank comparisons stay (deg, node)
+    * lexicographic — no packed deg·K+id key to overflow at 100 TB id
+    * ranges.
     *
     * The oracle runs the textbook unordered 3-way join a<b<c — same
     * count via opposite cost, exactly the differential-testing shape
     * we want.
     */
-  def triangleCount(spark: SparkSession, d: String): DataFrame = {
+  /** Broadcast budget for the triangle probe's adjacency side, in
+    * EDGE ENTRIES: the per-node out-neighbor arrays total exactly |E⃗|
+    * longs (the orientation halves each undirected edge into one
+    * list), so the payload is edge-count-sized, NOT node-count-sized —
+    * 10M entries ≈ 80 MB serialized is the comfortable ceiling. The
+    * gate is MEASURED (a count of the Derived-cached edge frame, one
+    * cheap cache scan) because a hint never auto-falls-back: an
+    * unconditional broadcast of a 10⁹-edge adjacency OOMs the driver.
+    * Above the budget the joins degrade to src/dst-keyed shuffles of
+    * |E| rows — still never the wedge set.
+    */
+  val BroadcastAdjMaxEntries = 10000000L
+
+  def triangleCount(spark: SparkSession, d: String,
+                    maxBroadcastAdj: Long = BroadcastAdjMaxEntries): DataFrame = {
     import spark.implicits._
     val e = copartEdges(spark, d)
+    // measured broadcast gate: |E| bounds both the degree frame (≤2|E|
+    // nodes) and the adjacency payload (=|E| entries); e is already
+    // cache-materialized by Derived, so this count is a cache scan
+    val fits = e.count() <= maxBroadcastAdj
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     // the oriented edge list is CONSUMED BY THREE SUBTREES (adjacency
     // build, per-edge probe, and — via deg — the node census); cache
     // it or each subtree re-runs the degree aggregation and both
@@ -258,24 +279,19 @@ object Graph {
       val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
       val lt = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
-      e.join(broadcast(deg.select($"node".as("a"), $"deg".as("da"))), "a")
-        .join(broadcast(deg.select($"node".as("b"), $"deg".as("db"))), "b")
+      e.join(hinted(deg.select($"node".as("a"), $"deg".as("da"))), "a")
+        .join(hinted(deg.select($"node".as("b"), $"deg".as("db"))), "b")
         .select(
           when(lt, $"a").otherwise($"b").as("src"),
           when(lt, $"b").otherwise($"a").as("dst"))
     }
-    // adj is NODE-count-sized (≪ |E|): broadcast it so the edge
-    // stream never shuffles after the cache read. At graphs whose
-    // adjacency outgrows broadcast, drop the hint — the joins fall
-    // back to src/dst-keyed shuffles of |E| rows, still never the
-    // wedge set.
     val adj = oriented.groupBy($"src")
       .agg(sort_array(collect_list($"dst")).as("nbr"))
     val perEdge = {
       import org.apache.spark.sql.graft.Bridge
       oriented
-        .join(broadcast(adj.toDF("src", "nu")), "src")
-        .join(broadcast(adj.toDF("dst", "nv")), "dst")
+        .join(hinted(adj.toDF("src", "nu")), "src")
+        .join(hinted(adj.toDF("dst", "nv")), "dst")
         // adjacency lists are sort_array'd: the codegen'd two-pointer
         // merge kernel counts the overlap allocation-free
         .select(Bridge.column(graft.functions.SortedIntersectCount(

@@ -408,7 +408,7 @@ class BehaviorSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getLong(2) == 2L && r.getLong(3) == 0L && r.getLong(4) == 0L)
       assert(r.getLong(5) == 500000000000L, "Σxy = 2·(5·10⁵)²")
-      assert(r.getDecimal(6).longValueExact() == 1000000000000L,
+      assert(r.getLong(6) == 1000000000000L,
         "cov_num = n·Σxy − Σx·Σy = 10¹²")
     }
   }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ext.{Corpus, Graph}
+
+/** The measured broadcast gates must actually fall back: a broadcast
+  * hint never auto-degrades (an oversized broadcast OOMs, it doesn't
+  * re-plan), so each gated operator is run here with a zero budget —
+  * simulating the 100 TB side — and must (a) plan a shuffle join
+  * instead of a broadcast on the gated side and (b) produce exactly
+  * the rows the broadcast form produces.
+  */
+class BroadcastGateSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  /** Plan (and execute) `build` with Catalyst's own size-based
+    * auto-broadcast off: at sf0.001 every frame is tiny enough that
+    * the optimizer re-broadcasts a dropped hint from its accurate
+    * cache stats — correct auto-fallback, but it would mask whether
+    * the GATE actually removed the hint. Disabling the threshold
+    * leaves hint-driven broadcasts intact, so a surviving broadcast
+    * can only come from a gate failure.
+    */
+  private def withoutAutoBroadcast[T](build: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try build finally spark.conf.set(key, old)
+  }
+
+  test("tfidf: oversized vocabulary drops the df broadcast, result unchanged") {
+    val hinted = Corpus.tfidfTopTerms(spark, d)
+    val (gated, plan) = withoutAutoBroadcast {
+      val g = Corpus.tfidfTopTerms(spark, d, maxBroadcastTerms = -1L)
+      (g, g.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"df join must take the shuffle path above the vocab budget:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no broadcast may survive a blown vocabulary budget")
+    assert(rows(gated) == rows(hinted), "gate changed the tfidf result")
+  }
+
+  test("bm25: oversized vocabulary drops the df broadcast, result unchanged") {
+    val hinted = Corpus.bm25TopTerms(spark, d)
+    val (gated, plan) = withoutAutoBroadcast {
+      val g = Corpus.bm25TopTerms(spark, d, maxBroadcastTerms = -1L)
+      (g, g.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"df join must take the shuffle path above the vocab budget:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no broadcast may survive a blown vocabulary budget")
+    assert(rows(gated) == rows(hinted), "gate changed the bm25 result")
+  }
+
+  test("triangles: oversized adjacency drops every broadcast, count unchanged") {
+    val hinted = rows(Graph.triangleCount(spark, d))
+    // drop the shared Derived frames: the oriented-edge cache was just
+    // built WITH broadcast hints, and a cached relation's build plan
+    // prints inside the gated plan string — rebuild everything under
+    // the gate so any BroadcastHashJoin in the text is a real leak.
+    // (The scalar-assembly crossJoins plan as one-row cartesians with
+    // auto-broadcast off; only the equi-joins are audited.)
+    Derived.clear()
+    val (gated, plan) = withoutAutoBroadcast {
+      val g = Graph.triangleCount(spark, d, maxBroadcastAdj = -1L)
+      (g, g.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"adjacency joins must shuffle above the edge budget:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no hash broadcast may survive a blown adjacency budget")
+    assert(rows(gated) == hinted, "gate changed the triangle census")
+  }
+}
