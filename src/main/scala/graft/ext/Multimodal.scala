@@ -27,6 +27,17 @@ import graft.sources.Tables
   * Dataset out) is the one you want.
   */
 object Multimodal {
+  // ImageIO's default stream cache is FILE-backed: without this,
+  // every encode (ImageIO.write to a byte stream) and every decode
+  // (createImageInputStream over in-memory bytes) round-trips a temp
+  // file on disk — a create+write+read+delete syscall set PER IMAGE,
+  // ~100K files per sf0.1 bench pass. All payloads here are in-memory
+  // binary columns, so the memory-cached stream is strictly better.
+  // JVM-global and idempotent; runs wherever this object first loads,
+  // which includes each executor JVM (the decode closures call into
+  // object methods).
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def r4(c: org.apache.spark.sql.Column) = graft.Num.r4(c)
 
   /** A media row: opaque bytes + typed metadata. */
