@@ -167,20 +167,38 @@ object Extended {
   }
 
   /** Distribution windows — percent_rank / cume_dist over per-status
-    * price ordering (the curriculum-binning cousins of NTILE, q53):
-    * both are rank arithmetic over the same single sort, so the cost
-    * is one window pass; quotients are (rank−1)/(n−1) and rank/n of
-    * exact integers — identical IEEE division on both engines, then
-    * r4.
+    * price ordering (the curriculum-binning cousins of NTILE, q53).
+    *
+    * NOT a `Window.partitionBy(status)`: with 3 statuses that window
+    * is 3 reducers regardless of data size — each holding a third of
+    * a 100 TB fact through one task. Instead the two-pass scale form:
+    * one GLOBAL dense numbering over (status, price, key) via
+    * [[graft.operators.GlobalIndex.withRowNumber]] (range-partitioned,
+    * no single-task sort), then per-group rank = seq − first_seq + 1
+    * from a #groups-row offset frame joined back as a broadcast. The
+    * order includes the unique o_orderkey tie-break, so rank ==
+    * row_number and the quotients (rank−1)/(n−1), rank/n are exact
+    * integer divisions — bit-identical to the oracle's
+    * percent_rank/cume_dist. The broadcast is #groups-sized, which is
+    * precisely the regime where this path matters (few giant groups);
+    * a high-cardinality grouping parallelizes fine under the plain
+    * window and never needs this form.
     */
   def distributionRanks(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"o_orderstatus")
-      .orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(spark, d)
+    val base = Tables.orders(spark, d)
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
+    val seqd = graft.operators.GlobalIndex.withRowNumber(
+      base, Seq($"o_orderstatus", $"o_totalprice", $"o_orderkey"), "__seq")
+    val groups = seqd.groupBy($"o_orderstatus")
+      .agg(min($"__seq").as("__first"), count(lit(1)).as("__n"))
+    seqd.join(broadcast(groups), "o_orderstatus")
       .select($"o_orderstatus", $"o_orderkey",
-        r4(percent_rank().over(w)).as("pct_rank"),
-        r4(cume_dist().over(w)).as("cume"))
+        r4(when($"__n" === 1, lit(0.0)).otherwise(
+          ($"__seq" - $"__first").cast("double") /
+            ($"__n" - 1).cast("double"))).as("pct_rank"),
+        r4(($"__seq" - $"__first" + 1).cast("double") /
+          $"__n".cast("double")).as("cume"))
       .orderBy($"o_orderstatus", $"o_orderkey")
   }
 

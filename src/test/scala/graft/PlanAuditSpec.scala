@@ -198,6 +198,23 @@ class PlanAuditSpec extends SparkSpec {
       "the customer dimension must broadcast under the fact scan")
   }
 
+  test("q91: distribution ranks never funnel the data through per-group reducers") {
+    val df = SparkEntry.queries("q91_distribution_ranks")(spark, d)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    // no window partitioned by the 3-value status column may touch the
+    // data: ranks come from the GlobalIndex numbering (windows key on
+    // __pid) + the broadcast #groups-row offset frame
+    assert(lines.exists(_.contains("__pid")),
+      "expected the GlobalIndex per-partition numbering window")
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.drop(i + 1).take(2).mkString
+        assert(child.contains("HashAggregate") && child.contains("__pid"),
+          s"single-partition exchange over data rows:\n" +
+            lines.slice(i, i + 3).mkString("\n"))
+      }
+  }
+
   test("q108: KMV plans bounded partial aggregation, never a global sort of hashes") {
     val df = SparkEntry.queries("q108_kmv_distinct")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
