@@ -17,14 +17,15 @@ import org.apache.spark.sql.functions._
   * (ranges partition by id), so every generated text file is a valid
   * standalone combined_data file.
   *
-  * Usage: graft.IngestBench [nRatings] (default 5,000,000)
+  * Usage: graft.IngestBench [nRatings...] (default 5,000,000). Each
+  * size runs in the same session and reports one result; the combined
+  * JSON goes to stdout and, when `SPARK_GRAFT_INGEST_OUT` is set, to
+  * that file — the per-round `INGEST_r{N}.json` artifact that keeps
+  * the flagship ingest path regression-tracked like the query suite.
   */
 object IngestBench {
   def main(args: Array[String]): Unit = {
-    val nRatings = args.headOption.map(_.toLong).getOrElse(5000000L)
-    val nMovies = 17770L
-    val nCustomers = 480189L
-    val perMovie = math.max(1L, nRatings / nMovies)
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(5000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +35,20 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val results = sizes.map(n => runOnce(spark, n))
+    val json = s"""{"metric":"ingest_throughput","runs":[${results.mkString(",")}]}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_INGEST_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+    }
+    spark.stop()
+  }
+
+  private def runOnce(spark: SparkSession, nRatings: Long): String = {
+    val nMovies = 17770L
+    val nCustomers = 480189L
+    val perMovie = math.max(1L, nRatings / nMovies)
     import spark.implicits._
 
     val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
@@ -76,12 +91,10 @@ object IngestBench {
     val expected = nMovies * perMovie
     require(factRows == expected,
       s"row loss: generated $expected detail rows, fact has $factRows")
-    println(s"""{"metric":"ingest_throughput","fact_rows":$factRows,""" +
-      s""""customers":$customers,"elapsed_sec":$elapsed,""" +
-      s""""rec_per_sec":${(factRows / elapsed).toLong}}""")
-    spark.stop()
     // a 100M-row run leaves a multi-GB corpus — do not accumulate
     import scala.reflect.io.Directory
     new Directory(new java.io.File(base)).deleteRecursively()
+    s"""{"fact_rows":$factRows,"customers":$customers,""" +
+      s""""elapsed_sec":$elapsed,"rec_per_sec":${(factRows / elapsed).toLong}}"""
   }
 }
