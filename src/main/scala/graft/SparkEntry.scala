@@ -303,6 +303,17 @@ object SparkEntry {
         "o_orderpriority"))
       IncrementalAgg.finalize(state, "o_orderpriority")
     }),
+    // Two-phase EXACT heavy hitters: per-partition Misra-Gries
+    // candidates (bounded state, no shuffle) + exact recount of the
+    // candidate superset — never a full-domain groupBy
+    "q135_heavy_hitters" -> ((s: SparkSession, d: String) => Corpus.heavyHitters(s, d)),
+    // Two-sided linear interpolation onto a 6h grid: one union + one
+    // user-partitioned window pass; oracle uses DuckDB native ASOF
+    // joins — a different algorithm for the same semantics
+    "q136_interpolate" -> ((s: SparkSession, d: String) => Events.interpolate(s, d)),
+    // Pearson matrix from integer-exact sufficient stats, map-side
+    // pair lattice (q123's plan) — DECIMAL intermediates, double out
+    "q137_correlation" -> ((s: SparkSession, d: String) => Stats.correlationMatrix(s, d)),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
     // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
@@ -2167,6 +2178,77 @@ object SparkEntry {
         |WHERE (o_orderkey % 3 != 0 AND o_orderkey % 7 != 0)
         |   OR o_orderkey % 3 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q135: the oracle is the full-domain aggregate the engine's
+    // two-phase Misra-Gries form avoids — exact counts, so the
+    // candidate superset property is what's under test
+    "q135_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT token, COUNT(*) AS cnt FROM toks
+        |  WHERE token <> '' GROUP BY token)
+        |SELECT token, CAST(cnt AS BIGINT) AS cnt
+        |FROM tf
+        |WHERE cnt * 50 >= (SELECT SUM(cnt) FROM tf)
+        |ORDER BY cnt DESC, token""".stripMargin,
+    // q136: DuckDB's native ASOF joins answer the two-neighbor lookup
+    // the engine computes with one union+window pass — different
+    // algorithm, same interpolation formula token-for-token
+    "q136_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type, value FROM events),
+        |p AS (
+        |  SELECT user_id, t, MAX(value) AS v FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id, t),
+        |b AS (
+        |  SELECT (MIN(t) + 21599999999) // 21600000000 AS h0,
+        |         MAX(t) // 21600000000 AS h1 FROM ev),
+        |grid AS (
+        |  -- generate_series only takes constants: enumerate a fixed
+        |  -- index range and keep the [h0, h1] slice (epoch/6h of any
+        |  -- 2024+ timestamp is ~79K, so 120000 bounds the span)
+        |  SELECT u.user_id, gs.h * 21600000000 AS g_us
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  CROSS JOIN b
+        |  CROSS JOIN generate_series(0, 120000) gs(h)
+        |  WHERE gs.h BETWEEN b.h0 AND b.h1)
+        |SELECT g.user_id, g.g_us AS grid_us,
+        |  ROUND((CASE WHEN p1.t IS NULL THEN NULL
+        |              WHEN p1.t = g.g_us THEN p1.v
+        |              WHEN p2.t IS NULL THEN NULL
+        |              ELSE p1.v + (p2.v - p1.v) *
+        |                (CAST(g.g_us - p1.t AS DOUBLE) / CAST(p2.t - p1.t AS DOUBLE))
+        |         END) * 10000, 0) / 10000 + 0.0 AS interp
+        |FROM grid g
+        |ASOF LEFT JOIN p p1 ON g.user_id = p1.user_id AND g.g_us >= p1.t
+        |ASOF LEFT JOIN p p2 ON g.user_id = p2.user_id AND g.g_us < p2.t
+        |ORDER BY g.user_id, grid_us""".stripMargin,
+    // q137: same cent-grid quantization, HUGEINT-exact sums (Spark
+    // mirrors with DECIMAL(38,0)), identical IEEE tail; every output
+    // is INT/BIGINT/DOUBLE — no raw decimals cross the hash layer
+    "q137_correlation" ->
+      """WITH m AS (
+        |  SELECT CAST(ROUND(l_quantity * 100, 0) AS HUGEINT) AS m0,
+        |         CAST(ROUND(l_extendedprice * 100, 0) AS HUGEINT) AS m1,
+        |         CAST(ROUND(l_discount * 100, 0) AS HUGEINT) AS m2,
+        |         CAST(ROUND(l_tax * 100, 0) AS HUGEINT) AS m3
+        |  FROM lineitem),
+        |px AS (
+        |  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+        |    CASE a.i WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END AS x,
+        |    CASE b.i WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END AS y
+        |  FROM m CROSS JOIN range(4) a(i) CROSS JOIN range(4) b(i)
+        |  WHERE a.i <= b.i),
+        |s AS (
+        |  SELECT i, j, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM px GROUP BY i, j)
+        |SELECT i, j, CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |          sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 10000, 0) / 10000
+        |    + 0.0 AS corr
+        |FROM s ORDER BY i, j""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

@@ -406,4 +406,66 @@ object Corpus {
         expr("(dot * dot * 10000) div (nsq_a * nsq_b)").as("cos2_q4"))
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Misra–Gries counter budget for [[heavyHitters]]. The guarantee
+    * needs `counters + 1 >= ratio`: a token with global count
+    * > N/ratio must exceed N_p/ratio in at least one partition
+    * (pigeonhole), and MG with k counters retains any item whose
+    * partition count exceeds N_p/(k+1). 64 counters cover the
+    * ratio=50 contract with slack.
+    */
+  val MisraGriesCounters = 64
+
+  /** EXACT heavy hitters — every token whose corpus count clears
+    * N/`ratio` — via the two-phase bounded-state pattern, not a full
+    * `groupBy(token)`:
+    *
+    *  1. per-partition Misra–Gries with `k` counters (`mapPartitions`,
+    *     O(k) memory per task, zero shuffle) emits a candidate
+    *     superset: any globally-heavy token survives in some
+    *     partition's counter set, per the pigeonhole bound on
+    *     [[MisraGriesCounters]];
+    *  2. an exact recount of ONLY the candidates (broadcast semi-side
+    *     of ≤ k·#partitions tokens, bounded by construction) followed
+    *     by the threshold filter.
+    *
+    * Why this beats the obvious `groupBy(token).count.filter` at
+    * 100 TB: the full aggregate shuffles the ENTIRE distinct token
+    * domain (billions of keys for a web corpus) to answer a question
+    * about dozens of keys; the two-phase form shuffles k·P candidate
+    * strings and the final output is exact, not sketch-approximate.
+    * The `total` scalar is one partial-agg count pass.
+    */
+  def heavyHitters(spark: SparkSession, d: String,
+                   k: Int = MisraGriesCounters, ratio: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "").as[String]
+    val total = toks.count()
+    val candidates = toks.mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](2 * k)
+      it.foreach { t =>
+        val cur = counters.get(t)
+        if (cur != null) counters.put(t, cur + 1)
+        else if (counters.size < k) counters.put(t, 1L)
+        else {
+          // decrement-all round: the MG step that charges one unit to
+          // every counter plus the unmatched arrival
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        counters.keySet().iterator()).asScala
+    }.toDF("token").distinct()
+    toks.toDF("token")
+      .join(broadcast(candidates), "token")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * lit(ratio) >= lit(total))
+      .orderBy($"cnt".desc, $"token")
+  }
 }

@@ -284,4 +284,65 @@ object Events {
         $"v_version".as("version"), $"v_state".as("state"))
       .orderBy($"user_id", $"click_id")
   }
+
+  /** Resample step for [[interpolate]]: 6 hours in microseconds. */
+  val InterpStepUs = 21600000000L
+
+  /** Time-series linear interpolation onto a fixed grid — the metric/
+    * sensor resampling step that aligns irregular event series for
+    * model features (the two-sided generalization of [[fillForward]]'s
+    * LOCF): for each user and each 6-hour grid instant `g` inside the
+    * corpus span, the purchase value linearly interpolated between the
+    * last purchase at `t1 ≤ g` and the first at `t2 > g`; exact hits
+    * return their value, points before the first or after the last
+    * observation stay null (no extrapolation).
+    *
+    * Shape for scale: the grid generates per-user via
+    * `explode(sequence)` (narrow), and BOTH neighbors come from one
+    * union + one user-partitioned window pass over events∪grid — no
+    * per-grid-point join, no range join, millions of small user
+    * groups. Purchases collapse to one value per (user, instant)
+    * first, so window and as-of implementations agree deterministically
+    * even under timestamp ties. The oracle answers the same question
+    * with DuckDB's native ASOF joins — a genuinely different
+    * algorithm, which is the differential-testing shape we want.
+    */
+  def interpolate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val p = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", unix_micros($"ts").as("t"))
+      .agg(max($"value").as("v"))
+    val (minUs, maxUs) = ev
+      .agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .as[(Long, Long)].head()
+    val h0 = (minUs + InterpStepUs - 1) / InterpStepUs
+    val h1 = maxUs / InterpStepUs
+    val grid = ev.select($"user_id").distinct()
+      .select($"user_id", explode(sequence(lit(h0), lit(h1))).as("h"))
+      .select($"user_id", ($"h" * InterpStepUs).as("t"),
+        lit(null).cast("double").as("v"), lit("g").as("kind"))
+    // 'e' < 'g': an event at exactly a grid instant sorts before the
+    // grid row, so it lands in the preceding frame as t1 == g
+    val pts = p.select($"user_id", $"t", $"v", lit("e").as("kind"))
+    val isE = $"kind" === "e"
+    val wPrev = Window.partitionBy($"user_id").orderBy($"t", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id").orderBy($"t", $"kind")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pts.unionByName(grid)
+      .withColumn("t1", last(when(isE, $"t"), ignoreNulls = true).over(wPrev))
+      .withColumn("v1", last(when(isE, $"v"), ignoreNulls = true).over(wPrev))
+      .withColumn("t2", first(when(isE, $"t"), ignoreNulls = true).over(wNext))
+      .withColumn("v2", first(when(isE, $"v"), ignoreNulls = true).over(wNext))
+      .filter($"kind" === "g")
+      .select($"user_id", $"t".as("grid_us"),
+        r4(when($"t1".isNull, lit(null).cast("double"))
+          .when($"t1" === $"t", $"v1")
+          .when($"t2".isNull, lit(null).cast("double"))
+          .otherwise($"v1" + ($"v2" - $"v1") *
+            (($"t" - $"t1").cast("double") /
+              ($"t2" - $"t1").cast("double")))).as("interp"))
+      .orderBy($"user_id", $"grid_us")
+  }
 }

@@ -551,4 +551,52 @@ object Stats {
           $"sx".cast(dec) * $"sy".cast(dec)).cast("bigint").as("cov_num"))
       .orderBy($"i", $"j")
   }
+
+  /** Pearson correlation matrix over the four lineitem measures
+    * (quantity, extendedprice, discount, tax) from integer-exact
+    * sufficient statistics — the feature-diagnostics pass a pipeline
+    * runs before model fitting (which near-duplicate features, which
+    * price/tax couplings).
+    *
+    * Shape: each row quantizes its measures to an exact cent grid,
+    * expands the i ≤ j pair lattice MAP-SIDE (10 structs per row, no
+    * self-join — q123's plan), and one partial-agg shuffle of 10 keys
+    * carries (n, Σx, Σy, Σxy, Σx², Σy²) as DECIMAL(38,0) — Σx² tops
+    * int64 at sf0.1 (≈3·10¹⁹) but is exact in 38 digits, mirrored by
+    * the oracle's HUGEINT. r = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²))
+    * converts the exact integers to double at the very end, so both
+    * engines run the identical correctly-rounded IEEE expression; only
+    * ints and the r4 double are OUTPUT (raw decimals never leave the
+    * plan — the q123 lesson).
+    */
+  def correlationMatrix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    Tables.lineitem(spark, d)
+      .select(array(
+        round($"l_quantity" * 100, 0).cast("long"),
+        round($"l_extendedprice" * 100, 0).cast("long"),
+        round($"l_discount" * 100, 0).cast("long"),
+        round($"l_tax" * 100, 0).cast("long")).as("q"))
+      .select(explode(flatten(
+        transform(sequence(lit(0), lit(3)), i =>
+          transform(sequence(i, lit(3)), j =>
+            struct(i.as("i"), j.as("j"),
+              element_at($"q", i + 1).as("x"),
+              element_at($"q", j + 1).as("y")))))).as("p"))
+      .select($"p.i", $"p.j", $"p.x", $"p.y")
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"))
+      .select($"i", $"j", $"n",
+        graft.Num.r4(
+          ($"n".cast(dec) * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n".cast(dec) * $"sxx" - $"sx" * $"sx").cast("double")) *
+             sqrt(($"n".cast(dec) * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("corr"))
+      .orderBy($"i", $"j")
+  }
 }

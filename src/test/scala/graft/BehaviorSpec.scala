@@ -439,4 +439,54 @@ class BehaviorSpec extends SparkSpec {
     // day 9 sees {u2 (day 4), u3}; nothing past the max observed day
     assert(got == Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 1L, 2L))
   }
+
+  test("interpolate: planted series — exact hits, midpoints, no extrapolation") {
+    val step = graft.ext.Events.InterpStepUs / 1000000L // 21600 s
+    // day0 is exactly grid-aligned (1704067200 % 21600 == 0). Span is
+    // pinned by u1's views at g0 and g4; u1 purchases at g1 (10.0) and
+    // g3 (20.0); u2 purchases mid-interval: t=0.5·step (5.0) and
+    // t=3·step (25.0).
+    val d = plantEvents(Seq(
+      (1L, day0, 1L, "view", None),
+      (2L, day0 + step, 1L, "purchase", Some(10.0)),
+      (3L, day0 + 3 * step, 1L, "purchase", Some(20.0)),
+      (4L, day0 + 4 * step, 1L, "view", None),
+      (5L, day0 + step / 2, 2L, "purchase", Some(5.0)),
+      (6L, day0 + 3 * step, 2L, "purchase", Some(25.0))))
+    val got = graft.ext.Events.interpolate(spark, d)
+      .select($"user_id", $"grid_us", $"interp")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    val g = (0 to 4).map(i => (day0 + i.toLong * step) * 1000000L)
+    assert(got == Seq(
+      // u1: null before first purchase, exact hits, linear midpoint
+      (1L, g(0), None), (1L, g(1), Some(10.0)), (1L, g(2), Some(15.0)),
+      (1L, g(3), Some(20.0)), (1L, g(4), None),
+      // u2: purchase at 0.5·step → g1 fraction (1−0.5)/(3−0.5) = 0.2
+      // of the 5→25 rise = 9.0; g2 fraction 0.6 → 17.0; g3 exact
+      (2L, g(0), None), (2L, g(1), Some(9.0)), (2L, g(2), Some(17.0)),
+      (2L, g(3), Some(25.0)), (2L, g(4), None)), s"got $got")
+  }
+
+  private def plantLineitem(rows: Seq[(Double, Double, Double, Double)]): String = {
+    val dir = Files.createTempDirectory("graft-behavior").toString
+    rows.toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("correlationMatrix: planted linear couplings recover ±1 exactly") {
+    // price = 2·qty (r=+1), discount = (5−qty)/100 (r=−1), tax = qty²
+    // (strictly monotone but nonlinear: 0 < r < 1)
+    val d = plantLineitem((1 to 4).map { q =>
+      (q.toDouble, 2.0 * q, (5 - q) / 100.0, (q * q).toDouble)
+    })
+    val got = Stats.correlationMatrix(spark, d)
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._4)).toMap
+    for (i <- 0 to 3) assert(got((i, i)) == 1.0, s"corr($i,$i)")
+    assert(got((0, 1)) == 1.0, "qty~price is exactly linear")
+    assert(got((0, 2)) == -1.0, "qty~discount is exactly anti-linear")
+    assert(got((0, 3)) > 0.9 && got((0, 3)) < 1.0,
+      "qty~qty² is monotone but not linear")
+  }
 }

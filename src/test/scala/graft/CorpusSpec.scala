@@ -206,4 +206,23 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 4L, 5L, 5L, 6400L)),
       "one pair: dot 4, norms² 5/5, ⌊10⁴·16/25⌋ = 6400")
   }
+
+  test("heavyHitters: planted skew, exact counts through the decrement path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    // 100 docs: 'zipf' ×10 everywhere (1000), 'beta' ×10 in docs 1-20
+    // (200), plus one unique filler per doc (100 singletons) — 1300
+    // tokens, 102 distinct. k=8 counters << 102 distinct forces real
+    // Misra-Gries decrement rounds; ratio=8 keeps the k+1 >= ratio
+    // guarantee, threshold 1300/8 = 162.5 → exactly {zipf, beta}.
+    val docs = (1L to 100L).map { i =>
+      val beta = if (i <= 20) " beta" * 10 else ""
+      (i, ("zipf " * 10).trim + beta + s" u$i")
+    }
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.heavyHitters(spark, dir, k = 8, ratio = 8L)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("zipf", 1000L), ("beta", 200L)),
+      s"expected exact counts for the two planted heavy tokens, got $got")
+  }
 }

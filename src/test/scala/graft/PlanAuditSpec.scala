@@ -215,6 +215,35 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q135: heavy hitters run the two-phase form, never a full-domain aggregate alone") {
+    val plan = planOf("q135_heavy_hitters")
+    assert(plan.contains("MapPartitions"),
+      "phase 1 must be the bounded-state Misra-Gries mapPartitions pass")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the recount must join the bounded candidate set as a broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q136: interpolation is join-free — neighbors come from user-keyed windows") {
+    val df = SparkEntry.queries("q136_interpolate")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!"Join".r.findAllIn(plan).hasNext,
+      "the engine side must not join (ASOF joins live only in the oracle)")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("user_id"),
+      s"every window must partition by user_id (no global funnel):\n$w"))
+  }
+
+  test("q137: correlation is map-side pair expansion + one aggregation (no join)") {
+    val plan = planOf("q137_correlation")
+    assert(!"Join".r.findAllIn(plan).hasNext,
+      "the pair lattice must expand per row, never via a self-join")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"one agg exchange + presentation sort, found $exchanges")
+  }
+
   test("q108: KMV plans bounded partial aggregation, never a global sort of hashes") {
     val df = SparkEntry.queries("q108_kmv_distinct")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
