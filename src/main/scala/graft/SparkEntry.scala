@@ -314,6 +314,10 @@ object SparkEntry {
     // Pearson matrix from integer-exact sufficient stats, map-side
     // pair lattice (q123's plan) — DECIMAL intermediates, double out
     "q137_correlation" -> ((s: SparkSession, d: String) => Stats.correlationMatrix(s, d)),
+    // ACF of the hourly count series per type: only the count agg is
+    // event-volume-sized; the series itself is span-bounded. Oracle
+    // pairs lags by a shifted-hour self-join instead of a window
+    "q138_autocorrelation" -> ((s: SparkSession, d: String) => Events.autocorrelation(s, d)),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
     // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
@@ -2249,6 +2253,39 @@ object SparkEntry {
         |          sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 10000, 0) / 10000
         |    + 0.0 AS corr
         |FROM s ORDER BY i, j""".stripMargin,
+    // q138: the lag pairing comes from an equi-join on the shifted
+    // hour over the SAME densified grid (contiguous, so join-vs-lag
+    // agree exactly); sums in HUGEINT mirror Spark's DECIMAL(38,0)
+    "q138_autocorrelation" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+        |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+        |hc AS (SELECT event_type, h, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT t.event_type, gs.h, COALESCE(hc.cnt, 0) AS x
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN b
+        |  CROSS JOIN generate_series(0, 500000) gs(h)
+        |  LEFT JOIN hc ON hc.event_type = t.event_type AND hc.h = gs.h
+        |  WHERE gs.h BETWEEN b.h0 AND b.h1),
+        |lagged AS (
+        |  SELECT a.event_type, l.lg, a.x AS x, p.x AS y
+        |  FROM dense a
+        |  CROSS JOIN (VALUES (1), (2), (3), (24)) l(lg)
+        |  JOIN dense p ON p.event_type = a.event_type AND p.h = a.h - l.lg),
+        |s AS (
+        |  SELECT event_type, lg, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM lagged GROUP BY event_type, lg)
+        |SELECT event_type, lg AS "lag", CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |          sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 10000, 0) / 10000
+        |    + 0.0 AS acf
+        |FROM s ORDER BY event_type, lg""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

@@ -345,4 +345,63 @@ object Events {
               ($"t2" - $"t1").cast("double")))).as("interp"))
       .orderBy($"user_id", $"grid_us")
   }
+
+  /** ACF lags (hours) reported by [[autocorrelation]]: short-range
+    * memory plus the daily-seasonality probe at 24. */
+  val AcfLags: Seq[Int] = Seq(1, 2, 3, 24)
+
+  /** Autocorrelation of the hourly event-count series per event type —
+    * the seasonality/memory diagnostic behind traffic forecasting and
+    * anomaly baselines (lag-24 reads daily rhythm directly).
+    *
+    * Scale shape: the ONLY event-volume-sized work is the per-(type,
+    * hour) count aggregate — one partial-agg shuffle. Everything after
+    * operates on the densified series, whose length is the time span
+    * in hours (zero-filled via per-type `explode(sequence)`, no join
+    * against a calendar table), independent of event volume: a
+    * 100 TB month is still 720 points per type. The per-type lag
+    * window runs over those bounded series — small by construction,
+    * unlike q91's data-sized groups. ACF_k = corr(x_t, x_{t−k})
+    * computed like q137: integer-exact DECIMAL(38,0) sufficient sums
+    * (hourly counts can reach 10⁹ at full scale; their squares top
+    * int64), doubles only in the final expression.
+    */
+  def autocorrelation(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(spark, d)
+    val hourly = ev
+      .groupBy($"event_type",
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val (h0, h1) = ev
+      .agg(min(expr("unix_micros(ts) div 3600000000")),
+        max(expr("unix_micros(ts) div 3600000000")))
+      .as[(Long, Long)].head()
+    val dense = ev.select($"event_type").distinct()
+      .select($"event_type", explode(sequence(lit(h0), lit(h1))).as("h"))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", coalesce($"cnt", lit(0L)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val withLags = dense.select($"event_type" +: $"x" +:
+      AcfLags.map(k => lag($"x", k).over(w).as(s"__y$k")): _*)
+    val lagged = withLags.select($"event_type", $"x",
+      explode(array(AcfLags.map(k =>
+        struct(lit(k).as("lag"), col(s"__y$k").as("y"))): _*)).as("p"))
+      .select($"event_type", $"p.lag".as("lag"), $"x", $"p.y".as("y"))
+      .filter($"y".isNotNull)
+    lagged
+      .groupBy($"event_type", $"lag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"))
+      .select($"event_type", $"lag", $"n",
+        r4(($"n".cast(dec) * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n".cast(dec) * $"sxx" - $"sx" * $"sx").cast("double")) *
+           sqrt(($"n".cast(dec) * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("acf"))
+      .orderBy($"event_type", $"lag")
+  }
 }

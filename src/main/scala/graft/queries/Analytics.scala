@@ -136,16 +136,28 @@ object Analytics {
 
   /** J4 view analog: per-day summary (daily_rating_summary,
     * schema.sql:131-146): count, distinct parent count, averages.
+    *
+    * Hand-two-phased: partial sums per (day, orderkey), then the
+    * per-day rollup where the distinct-order count is a plain row
+    * count — one pipeline instead of `countDistinct`'s
+    * rewrite-with-expand, and every partial is exact (quantity sums
+    * are integral doubles < 2^53, money rides DECIMAL), so the
+    * reassociated sums are bit-identical to the single-level form.
     */
   def dailySummary(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, d)
-      .groupBy(to_date($"l_shipdate").as("ship_date"))
+      .groupBy(to_date($"l_shipdate").as("ship_date"), $"l_orderkey")
       .agg(
-        count(lit(1)).as("n_items"),
-        countDistinct($"l_orderkey").as("n_orders"),
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        moneyAvg($"l_extendedprice").as("avg_price"))
+        count(lit(1)).as("__n"),
+        sum($"l_quantity").as("__qty"),
+        sum(dec($"l_extendedprice")).as("__price"))
+      .groupBy($"ship_date")
+      .agg(
+        sum($"__n").as("n_items"),
+        count(lit(1)).as("n_orders"),
+        round(sum($"__qty"), 2).as("sum_qty"),
+        r4(sum($"__price").cast("double") / sum($"__n")).as("avg_price"))
       .orderBy($"ship_date")
   }
 

@@ -55,6 +55,57 @@ object DocStream {
         OutputMode.Append, timeout)(emitPairs(horizonMs))
   }
 
+  final case class TokenArrival(bucket: Int, token: String)
+  final case class HeavyCandidate(bucket: Int, token: String, lower_bound: Long)
+
+  /** Streaming heavy-hitter candidates — the streaming member of the
+    * frequency family ([[graft.ext.Corpus.heavyHitters]]): tokens hash
+    * into `buckets` state groups, each holding a Misra–Gries map of at
+    * most `k` counters, and every micro-batch emits the bucket's
+    * current candidate set (Update mode). Because partitioning is BY
+    * TOKEN, each token's entire stream folds into one MG map, so the
+    * batch superset guarantee carries over: any token whose stream
+    * count exceeds bucketTotal/(k+1) is present in its bucket's
+    * candidates from its qualifying batch onward. State is bounded at
+    * buckets·k counters for the life of the query — the
+    * lambda-architecture shape where the stream tracks candidates and
+    * a periodic batch recount (exactly q135's phase 2) settles exact
+    * counts.
+    */
+  def heavyHitterCandidates(tokens: Dataset[String], buckets: Int = 16,
+                            k: Int = 64): Dataset[HeavyCandidate] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .map(t => TokenArrival(math.floorMod(t.hashCode, buckets), t))
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(foldMisraGries(k))
+  }
+
+  private def foldMisraGries(k: Int)(
+      bucket: Int, rows: Iterator[TokenArrival],
+      state: GroupState[Map[String, Long]]): Iterator[HeavyCandidate] = {
+    val m = scala.collection.mutable.HashMap[String, Long]()
+    state.getOption.foreach(m ++= _)
+    rows.foreach { r =>
+      m.get(r.token) match {
+        case Some(c) => m(r.token) = c + 1
+        case None if m.size < k => m(r.token) = 1L
+        case None =>
+          // decrement-all round (one unit off every counter plus the
+          // unmatched arrival), dropping exhausted counters
+          val dead = scala.collection.mutable.ListBuffer[String]()
+          m.foreach { case (t, c) =>
+            if (c == 1L) dead += t else m(t) = c - 1
+          }
+          dead.foreach(m.remove)
+      }
+    }
+    state.update(m.toMap)
+    m.toSeq.sortBy(_._1)
+      .map { case (t, c) => HeavyCandidate(bucket, t, c) }.iterator
+  }
+
   private def emitPairs(horizonMs: Option[Long])(
       key: (Int, String), docs: Iterator[BandedDoc],
       state: GroupState[List[Long]]): Iterator[CandidatePair] = {

@@ -467,6 +467,25 @@ class BehaviorSpec extends SparkSpec {
       (2L, g(3), Some(25.0)), (2L, g(4), None)), s"got $got")
   }
 
+  test("autocorrelation: planted alternating series recovers ±1 at parity lags") {
+    // hourly counts alternate 1, 3, 1, 3 … over 48 hours: y is the
+    // linear map 4−x of x at odd lags (r = −1) and x itself at even
+    // lags (r = +1); n at lag k is 48−k
+    var eid = 0L
+    val rows = (0 until 48).flatMap { i =>
+      val n = if (i % 2 == 0) 1 else 3
+      (0 until n).map { j =>
+        eid += 1; (eid, day0 + i * 3600L + j, 1L, "view", None)
+      }
+    }
+    val d = plantEvents(rows)
+    val got = graft.ext.Events.autocorrelation(spark, d)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("view", 1, 47L, -1.0), ("view", 2, 46L, 1.0),
+      ("view", 3, 45L, -1.0), ("view", 24, 24L, 1.0)), s"got $got")
+  }
+
   private def plantLineitem(rows: Seq[(Double, Double, Double, Double)]): String = {
     val dir = Files.createTempDirectory("graft-behavior").toString
     rows.toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -71,4 +71,48 @@ class DocStreamSpec extends SparkSpec {
       assert(planted.subsetOf(streamed()))
     } finally query.stop()
   }
+
+  /** Streaming MG candidates + a batch recount of every token EVER
+    * emitted as a candidate must recover the exact heavy-hitter set —
+    * the lambda shape where q135's phase 2 settles the stream's
+    * bounded-state phase 1. Splitting the heavy token's arrivals
+    * across batches proves the counter state carries over.
+    */
+  test("streaming heavy-hitter candidates + batch recount == exact heavy set") {
+    implicit val sqlCtx = spark.sqlContext
+    // 'zipf' ×200 split across two batches + 300 singleton fillers:
+    // total 500, ratio 8 → threshold 62.5 → exactly {zipf}. k=8 with
+    // 301 distinct tokens forces decrement rounds in-stream.
+    val heavy = Seq.fill(100)("zipf")
+    val fill1 = (0 until 150).map(i => s"u$i")
+    val fill2 = (150 until 300).map(i => s"u$i")
+    val input = MemoryStream[String]
+    val query = graft.streaming.DocStream.heavyHitterCandidates(
+        input.toDS(), buckets = 4, k = 8)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      input.addData(heavy ++ fill1)
+      query.processAllAvailable()
+      input.addData(heavy ++ fill2)
+      query.processAllAvailable()
+      val candidates = spark.table("hh_out")
+        .select($"token").distinct().as[String].collect().toSet
+      assert(candidates.contains("zipf"), "the heavy token must survive MG state")
+
+      // batch recount (q135 phase 2) over ever-candidates, exact filter
+      val all = (heavy ++ fill1 ++ heavy ++ fill2).toDF("token")
+      val n = all.count()
+      val exact = all.groupBy($"token").count()
+        .filter($"count" * 8 >= n)
+        .as[(String, Long)].collect().toMap
+      val recount = all
+        .join(candidates.toSeq.toDF("token"), "token")
+        .groupBy($"token").count()
+        .filter($"count" * 8 >= n)
+        .as[(String, Long)].collect().toMap
+      assert(recount == exact, s"recount $recount != exact $exact")
+      assert(exact == Map("zipf" -> 200L))
+    } finally query.stop()
+  }
 }
