@@ -318,6 +318,9 @@ object SparkEntry {
     // event-volume-sized; the series itself is span-bounded. Oracle
     // pairs lags by a shifted-hour self-join instead of a window
     "q138_autocorrelation" -> ((s: SparkSession, d: String) => Events.autocorrelation(s, d)),
+    // Sweep-line peak concurrency, hour-partitioned fragments; the
+    // oracle counts concurrency at fragment starts via a range join
+    "q139_peak_concurrency" -> ((s: SparkSession, d: String) => Events.peakConcurrency(s, d)),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
     // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
@@ -2286,6 +2289,32 @@ object SparkEntry {
         |          sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 10000, 0) / 10000
         |    + 0.0 AS acf
         |FROM s ORDER BY event_type, lg""".stripMargin,
+    // q139: concurrency probed at every fragment start via an in-hour
+    // range join (peak is always attained at some start); the engine
+    // side sweeps +-1 deltas — different algorithm, same census
+    "q139_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        |  FROM events),
+        |f AS (
+        |  SELECT s // 3600000000 AS h, s AS fs,
+        |    LEAST(e, (s // 3600000000 + 1) * 3600000000) AS fe
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT (e - 1) // 3600000000 AS h,
+        |    GREATEST(s, ((e - 1) // 3600000000) * 3600000000) AS fs, e AS fe
+        |  FROM iv WHERE (e - 1) // 3600000000 > s // 3600000000),
+        |c AS (
+        |  -- probe DISTINCT start instants: duplicate fragments must
+        |  -- count as concurrency on the b side, not multiply probes
+        |  SELECT a.h, a.fs, COUNT(*) AS conc
+        |  FROM (SELECT DISTINCT h, fs FROM f) a
+        |  JOIN f b ON b.h = a.h AND b.fs <= a.fs AND a.fs < b.fe
+        |  GROUP BY a.h, a.fs),
+        |hp AS (SELECT h, MAX(conc) AS peak FROM c GROUP BY h)
+        |SELECT h // 24 AS day, CAST(MAX(peak) AS INT) AS peak,
+        |  COUNT(*) AS n_active_hours
+        |FROM hp GROUP BY h // 24 ORDER BY day""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

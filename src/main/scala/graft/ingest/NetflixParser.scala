@@ -68,6 +68,41 @@ object NetflixParser {
   def readMovieTitles(spark: SparkSession, path: String): Dataset[Movie] =
     parseMovieTitles(spark.read.text(path))
 
+  /** A rejected input line with its machine-readable reject reason. */
+  final case class Quarantined(line: String, reason: String)
+
+  /** Validation split — the reference's validate-and-skip stage
+    * (`etl_pipeline_spark.py:433-567` logs bad rows and drops them)
+    * re-expressed as DATA: one classification of each line by the
+    * same try_cast rules [[parseMovieTitles]] applies, with good rows
+    * becoming typed Movies and bad rows carrying a reason into a
+    * quarantine frame a pipeline can sink, alert on, and replay after
+    * repair. Both frames are narrow selections over the same scan —
+    * no shuffle, no driver round-trip; callers that consume both
+    * should persist `lines` (or write the quarantine first) to avoid
+    * a second text scan, exactly like StarBuilder's parse reuse.
+    */
+  def parseMovieTitlesWithQuarantine(
+      lines: DataFrame): (Dataset[Movie], Dataset[Quarantined]) = {
+    import lines.sparkSession.implicits._
+    val p = split($"value", ",", 3)
+    val classified = lines.select(
+      $"value",
+      expr("try_cast(get(split(value, ',', 3), 0) AS INT)").as("movie_id"),
+      expr("try_cast(get(split(value, ',', 3), 1) AS SMALLINT)").as("release_year"),
+      substring(coalesce(get(p, lit(2)), get(p, lit(1))), 1, 500).as("title"))
+    val good = classified
+      .filter($"movie_id".isNotNull && $"title".isNotNull)
+      .select($"movie_id", $"release_year", $"title").as[Movie]
+    val bad = classified
+      .filter($"movie_id".isNull || $"title".isNull)
+      .select($"value".as("line"),
+        when($"movie_id".isNull, lit("unparseable_movie_id"))
+          .otherwise(lit("missing_title")).as("reason"))
+      .as[Quarantined]
+    (good, bad)
+  }
+
   // ---------- combined_data_N.txt ----------
 
   private val DateFmt = DateTimeFormatter.ISO_LOCAL_DATE

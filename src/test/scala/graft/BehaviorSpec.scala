@@ -467,6 +467,24 @@ class BehaviorSpec extends SparkSpec {
       (2L, g(3), Some(25.0)), (2L, g(4), None)), s"got $got")
   }
 
+  test("peakConcurrency: planted overlaps, hour-boundary carry, half-open ends") {
+    // day 0 hour 0: three 30-min windows opened at 0/600/1200s — all
+    // three open at t=1200 (peak 3); a window opened at 3500s crosses
+    // into hour 1 where it overlaps one opened at 3700s (peak 2).
+    // day 1: one lone window. Day peaks: 3 and 1.
+    val d = plantEvents(Seq(
+      (1L, day0, 1L, "view", None),
+      (2L, day0 + 600, 2L, "view", None),
+      (3L, day0 + 1200, 3L, "view", None),
+      (4L, day0 + 3500, 4L, "view", None),
+      (5L, day0 + 3700, 5L, "view", None),
+      (6L, day0 + 86400 + 7200, 6L, "view", None)))
+    val got = graft.ext.Events.peakConcurrency(spark, d)
+      .as[(Long, Int, Long)].collect().toSeq
+    val d0 = day0 / 86400
+    assert(got == Seq((d0, 3, 2L), (d0 + 1, 1, 1L)), s"got $got")
+  }
+
   test("autocorrelation: planted alternating series recovers ±1 at parity lags") {
     // hourly counts alternate 1, 3, 1, 3 … over 48 hours: y is the
     // linear map 4−x of x at odd lags (r = −1) and x itself at even

@@ -92,4 +92,25 @@ class NetflixParserSpec extends SparkSpec {
   private def parseDates(): Seq[java.sql.Date] =
     NetflixParser.parseCombinedData(Seq("1:", "1488844,3,2005-09-06").toDF("value"))
       .collect().map(_.rating_date).toSeq
+
+  test("quarantine split: good+bad partition the input, reasons classify") {
+    val lines = Seq(
+      "1,2003,Alpha",          // good
+      "x,2003,Beta",           // unparseable id
+      "2,notayear,Gamma, Co",  // good: year nulls, title survives
+      "3,1999",                // missing third field: title falls back to field 1
+      "",                      // empty: no id
+      "4,2001,Delta").toDF("value")
+    val (good, bad) = NetflixParser.parseMovieTitlesWithQuarantine(lines)
+    val g = good.collect().map(m => (m.movie_id, m.title)).toSet
+    assert(g == Set((1, "Alpha"), (2, "Gamma, Co"), (3, "1999"), (4, "Delta")))
+    val b = bad.collect().map(q => (q.line, q.reason)).toSet
+    assert(b == Set(
+      ("x,2003,Beta", "unparseable_movie_id"),
+      ("", "unparseable_movie_id")))
+    // strict parser == quarantine's good side, and nothing is lost
+    val strict = NetflixParser.parseMovieTitles(lines).collect().toSet
+    assert(strict == good.collect().toSet)
+    assert(good.count() + bad.count() == 6)
+  }
 }
