@@ -321,6 +321,14 @@ object SparkEntry {
     // Sweep-line peak concurrency, hour-partitioned fragments; the
     // oracle counts concurrency at fragment starts via a range join
     "q139_peak_concurrency" -> ((s: SparkSession, d: String) => Events.peakConcurrency(s, d)),
+    // Perceptual image dedup: REAL PNG decode -> dHash -> 4-band LSH
+    // equi-join (exact at radius 3 by pigeonhole) -> popcount verify.
+    // Oracle recomputes gradient signs from the closed-form pixels
+    "q140_image_neardup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Multimodal.imageNearDupPairs(Multimodal.imageMedia(s, d)).toDF()
+        .orderBy($"doc_a", $"doc_b")
+    }),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
     // the oracle's ROW_NUMBER() OVER (ORDER BY ...) is exactly the
@@ -2315,6 +2323,40 @@ object SparkEntry {
         |SELECT h // 24 AS day, CAST(MAX(peak) AS INT) AS peak,
         |  COUNT(*) AS n_active_hours
         |FROM hp GROUP BY h // 24 ORDER BY day""".stripMargin,
+    // q140: PNG is lossless and the synthetic pixels are closed-form
+    // in (doc_id, x, y) — the q56 design — so the oracle recomputes
+    // each image's 9x8 luma grid and gradient signs WITHOUT an image
+    // library, then brute-forces pairs by per-cell sign mismatch (the
+    // engine's banded join + popcount must equal it exactly at r=3)
+    "q140_image_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+        |  FROM documents),
+        |cell AS (
+        |  SELECT d.doc_id, gy.i AS gy, gx.i AS gx,
+        |    (gx.i * (d.w - 1)) // 8 AS px0,
+        |    ((gx.i + 1) * (d.w - 1)) // 8 AS px1,
+        |    (gy.i * (d.h - 1)) // 7 AS py
+        |  FROM d CROSS JOIN range(8) gy(i) CROSS JOIN range(8) gx(i)),
+        |s AS (
+        |  SELECT doc_id, gy, gx,
+        |    CASE WHEN
+        |      (299 * ((doc_id*7 + px1*3 + py*5) % 256) +
+        |       587 * ((doc_id*11 + px1*5 + py*7) % 256) +
+        |       114 * ((doc_id*13 + px1*7 + py*11) % 256)) // 1000
+        |      >
+        |      (299 * ((doc_id*7 + px0*3 + py*5) % 256) +
+        |       587 * ((doc_id*11 + px0*5 + py*7) % 256) +
+        |       114 * ((doc_id*13 + px0*7 + py*11) % 256)) // 1000
+        |    THEN 1 ELSE 0 END AS s
+        |  FROM cell)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS INT) AS hamming
+        |FROM s a JOIN s b
+        |  ON a.gy = b.gy AND a.gx = b.gx AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

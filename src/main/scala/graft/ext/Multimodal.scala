@@ -219,27 +219,31 @@ object Multimodal {
     */
   private val MaxImageDim = 16384
 
-  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double, Double, Double)] = {
-    val img =
+  /** Header-validated ImageIO read; null for bytes no registered
+    * reader accepts or whose declared dimensions fail the gate. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) null
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis, true, true)
-              val w = reader.getWidth(0)
-              val h = reader.getHeight(0)
-              if (w <= 0 || h <= 0 || w > MaxImageDim || h > MaxImageDim) null
-              else reader.read(0)
-            } finally reader.dispose()
-          }
-        } finally if (iis != null) iis.close()
-      }
-      catch { case _: java.io.IOException => null case _: RuntimeException => null }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w > MaxImageDim || h > MaxImageDim) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
+    catch { case _: java.io.IOException => null case _: RuntimeException => null }
+
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double, Double, Double)] = {
+    val img = readImage(bytes)
     if (img == null) None
     else {
       val w = img.getWidth
@@ -481,5 +485,90 @@ object Multimodal {
       .select($"doc_id", $"n_bytes", $"byte_sum", $"content_hash",
         (round($"feat_mean" * lit(10000.0), 0) / lit(10000.0)).as("feat_mean"))
       .orderBy($"doc_id")
+  }
+
+  // ---------- perceptual near-dup (dHash) ----------
+
+  /** 64-bit difference hash of decoded pixels: nearest-neighbor sample
+    * onto a 9×8 luma grid (integer Rec.601 weights — deterministic
+    * across JVMs), one bit per horizontal gradient sign. Crops,
+    * re-encodes, and small pixel noise move few bits, so near-dup
+    * detection is a small-Hamming-radius search. None for undecodable
+    * bytes, like every decode here.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    val img = readImage(bytes)
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val g = Array.ofDim[Int](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val px = if (w == 1) 0 else gx * (w - 1) / 8
+          val py = if (h == 1) 0 else gy * (h - 1) / 7
+          val rgb = img.getRGB(px, py)
+          g(gy)(gx) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L; var i = 0
+      while (i < 64) {
+        if (g(i / 8)(i % 8 + 1) > g(i / 8)(i % 8)) bits |= 1L << i
+        i += 1
+      }
+      Some(bits)
+    }
+  }
+
+  final case class ImageHash(doc_id: Long, dhash: Long)
+  final case class ImagePair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Per-image dHash — the same batched, drop-on-corrupt decode stage
+    * shape as [[decodeImages]]. */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap(m => dHash(m.content).map(ImageHash(m.doc_id, _)))
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs at Hamming radius `maxHamming` — the
+    * image member of the dedup family, banded exactly like the text
+    * MinHash LSH: the 64-bit dHash splits into 4 disjoint 16-bit
+    * bands, and by pigeonhole any pair within Hamming distance 3 (< 4
+    * bands) collides on at least one UNCHANGED band, so candidates
+    * come from 4 equi-joins on (band_idx, band_key) — never an
+    * all-pairs scan — and the exact popcount verify keeps pairs
+    * within the radius. Bucketed, bounded, 100 TB-shaped.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRow],
+                        maxHamming: Int = 3): Dataset[ImagePair] = {
+    import media.sparkSession.implicits._
+    // both sides of the band self-join consume the hashes: persist the
+    // (doc_id, dhash) frame — two plain longs per row, cheap in the
+    // columnar cache — so the PNG decode stage runs once, not twice
+    val hashes = imageHashes(media).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Derived.adopt(hashes)
+    val banded = hashes.select($"doc_id", $"dhash",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftright($"dhash", b * 16).bitwiseAND(lit(0xffffL)).as("band_key"))): _*)).as("b"))
+      .select($"doc_id", $"dhash", $"b.band_idx", $"b.band_key")
+    banded.toDF("doc_a", "ha", "band_idx", "band_key")
+      .join(banded.toDF("doc_b", "hb", "band_idx", "band_key"),
+        Seq("band_idx", "band_key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("int").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .as[ImagePair]
   }
 }

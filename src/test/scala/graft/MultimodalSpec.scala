@@ -163,4 +163,45 @@ class MultimodalSpec extends SparkSpec {
     val n = graft.sources.Tables.documents(spark, d).count()
     assert(Multimodal.videoFeatures(spark, d).count() == n)
   }
+
+  /** syntheticPng with every blue channel nudged by +1 (clamped) — a
+    * perceptual near-dup: luma moves by at most one count per pixel,
+    * so the dHash gradient signs flip on near-ties only. */
+  private def tweakedPng(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 5).toInt
+    val h = 6 + (docId % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((docId * 7 + x * 3 + y * 5) % 256).toInt
+      val g = ((docId * 11 + x * 5 + y * 7) % 256).toInt
+      val b = math.min(((docId * 13 + x * 7 + y * 11) % 256).toInt + 1, 255)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageNearDupPairs: banded dHash equals brute force at radius 3, finds plants") {
+    import spark.implicits._
+    val media = (1L to 10L).map(i =>
+      Multimodal.MediaRow(i, "image/png", Multimodal.syntheticPng(i))) ++
+      (1L to 3L).map(i =>
+        Multimodal.MediaRow(100L + i, "image/png", tweakedPng(i)))
+    val hs = media.map(m => m.doc_id -> Multimodal.dHash(m.content).get).toMap
+    // the plants must actually sit inside the search radius
+    (1L to 3L).foreach(i => assert(
+      java.lang.Long.bitCount(hs(i) ^ hs(100L + i)) <= 3, s"plant $i drifted"))
+    val expected = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hd <= 3
+    } yield (a, b, hd)).toSet
+    // 4-band pigeonhole is EXACT at radius 3: banded candidates +
+    // popcount verify must equal the all-pairs scan, not approximate it
+    val got = Multimodal.imageNearDupPairs(spark.createDataset(media))
+      .collect().map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    assert(got == expected, s"banded=$got brute=$expected")
+    assert((1L to 3L).forall(i => got.exists(p => p._1 == i && p._2 == 100L + i)))
+  }
 }

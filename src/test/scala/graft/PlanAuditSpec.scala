@@ -244,6 +244,37 @@ class PlanAuditSpec extends SparkSpec {
       s"one agg exchange + presentation sort, found $exchanges")
   }
 
+  test("q138: only the count aggregate sees event volume; series windows key per type") {
+    val df = SparkEntry.queries("q138_autocorrelation")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("event_type"),
+      s"series lag window must partition by event_type:\n$w"))
+  }
+
+  test("q139: the sweep is hour-keyed and join-free") {
+    val df = SparkEntry.queries("q139_peak_concurrency")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!"Join".r.findAllIn(plan).hasNext,
+      "fragments expand map-side; the range join lives only in the oracle")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("h#"),
+      s"the delta sweep must partition by the hour key:\n$w"))
+  }
+
+  test("q140: image near-dup candidates come from the band equi-join, decode runs once") {
+    val df = SparkEntry.queries("q140_image_neardup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "banded candidate generation must never plan an all-pairs compare")
+    assert(plan.contains("InMemoryTableScan"),
+      "both join sides must read the cached hash frame (one decode pass)")
+  }
+
   test("q108: KMV plans bounded partial aggregation, never a global sort of hashes") {
     val df = SparkEntry.queries("q108_kmv_distinct")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
