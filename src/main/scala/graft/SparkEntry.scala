@@ -318,6 +318,8 @@ object SparkEntry {
     // event-volume-sized; the series itself is span-bounded. Oracle
     // pairs lags by a shifted-hour self-join instead of a window
     "q138_autocorrelation" -> ((s: SparkSession, d: String) => Events.autocorrelation(s, d)),
+    // Map-only integer-exact random projection (y = W.q, closed-form W)
+    "q142_random_projection" -> ((s: SparkSession, d: String) => Stats.randomProjection(s, d)),
     // Sweep-line peak concurrency, hour-partitioned fragments; the
     // oracle counts concurrency at fragment starts via a range join
     "q139_peak_concurrency" -> ((s: SparkSession, d: String) => Events.peakConcurrency(s, d)),
@@ -328,6 +330,37 @@ object SparkEntry {
       import s.implicits._
       Multimodal.imageNearDupPairs(Multimodal.imageMedia(s, d)).toDF()
         .orderBy($"doc_a", $"doc_b")
+    }),
+    // Last-touch attribution: each purchase resolves its most recent
+    // click via the native as-of operator (one keyed shuffle, no
+    // range-join explosion), attributed iff within the 1h window;
+    // daily money split rides exact DECIMAL sums
+    "q141_attribution" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(s, d)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          $"event_id".as("click_id"))
+      val j = graft.operators.AsOfJoin.asOf(
+        p, c, keys = Seq("user_id"), ts = "ts_us",
+        tieBreak = "click_id", rightPrefix = "c_")
+      val dec182 = "decimal(18,2)"
+      val attributed = $"c_ts_us".isNotNull &&
+        ($"ts_us" - $"c_ts_us" <= 3600000000L)
+      j.groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(attributed, 1L).otherwise(0L)).as("n_attributed"),
+          round(sum(when(attributed, $"value".cast(dec182))
+            .otherwise(lit(0).cast(dec182))).cast("double"), 2)
+            .as("attributed_value"),
+          round(sum(when(!attributed, $"value".cast(dec182))
+            .otherwise(lit(0).cast(dec182))).cast("double"), 2)
+            .as("unattributed_value"))
+        .orderBy($"day")
     }),
     "q128_bfs_layers" -> ((s: SparkSession, d: String) => Graph.bfsLayers(s, d)),
     // Distributed global sequence (range-partition + prefix offsets);
@@ -2357,6 +2390,46 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q141: DuckDB's native ASOF resolves the last click; only the
+    // click TIME feeds attribution, so equal-timestamp tie picks
+    // cannot diverge between engines
+    "q141_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.t, p.value,
+        |    (c.ct IS NOT NULL AND p.t - c.ct <= 3600000000) AS attr
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.t >= c.ct)
+        |SELECT t // 86400000000 AS day,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |  ROUND(CAST(SUM(CASE WHEN attr THEN CAST(value AS DECIMAL(18,2))
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS attributed_value,
+        |  ROUND(CAST(SUM(CASE WHEN NOT attr THEN CAST(value AS DECIMAL(18,2))
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS unattributed_value
+        |FROM j GROUP BY t // 86400000000 ORDER BY day""".stripMargin,
+    // q142: same quantization grid as q123; the weight formula is the
+    // spec (both engines evaluate (31k+17i) mod 7 - 3 on nonnegative
+    // arguments, so mod semantics agree); sums stay inside BIGINT
+    "q142_random_projection" ->
+      """WITH q AS (
+        |  SELECT vec_id, t.i AS i,
+        |    CAST(FLOOR(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+        |               * 1000000.0) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN range(8) t(i)
+        |  WHERE len(embedding) >= 8)
+        |SELECT vec_id, CAST(p.k AS INTEGER) AS proj,
+        |  CAST(SUM(v * ((p.k * 31 + i * 17) % 7 - 3)) AS BIGINT) AS y
+        |FROM q CROSS JOIN range(4) p(k)
+        |GROUP BY vec_id, p.k
+        |ORDER BY vec_id, proj""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

@@ -569,6 +569,32 @@ object Stats {
     * ints and the r4 double are OUTPUT (raw decimals never leave the
     * plan — the q123 lesson).
     */
+  /** Random projection of the embedding table — y = W·q for a
+    * closed-form integer weight matrix W(k,i) = (31k+17i) mod 7 − 3
+    * over the 1e-6-quantized grid (q123's). The dimensionality-
+    * reduction / random-features step before cheap downstream
+    * similarity: map-only (explode of k output coords per row, the
+    * inner product folded with `aggregate` — no join, no shuffle
+    * before the presentation sort), integer-exact end to end. At
+    * 100 TB a learned projection replaces W via a broadcast array —
+    * same shape, one broadcast instead of a formula.
+    */
+  def randomProjection(spark: SparkSession, d: String,
+                       dims: Int = 8, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, d)
+      .select($"vec_id", transform(slice($"embedding", 1, dims),
+        v => floor(v.cast("double") * 1000000.0).cast("long")).as("q"))
+      .filter(size($"q") === dims)
+      .select($"vec_id", explode(transform(sequence(lit(0), lit(k - 1)), kk =>
+        struct(kk.cast("int").as("proj"),
+          aggregate(sequence(lit(0), lit(dims - 1)), lit(0L), (acc, i) =>
+            acc + element_at($"q", i + 1) *
+              ((kk * 31 + i * 17) % 7 - 3)).as("y")))).as("p"))
+      .select($"vec_id", $"p.proj".as("proj"), $"p.y".as("y"))
+      .orderBy($"vec_id", $"proj")
+  }
+
   def correlationMatrix(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"

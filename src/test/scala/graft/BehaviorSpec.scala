@@ -511,6 +511,20 @@ class BehaviorSpec extends SparkSpec {
     dir
   }
 
+  test("randomProjection: hand-computed W·q on a planted vector") {
+    val dir = Files.createTempDirectory("graft-proj").toString
+    // embedding[i] = (i+1)·0.5 (exact in binary) → q = 500000·[1..8];
+    // W rows from (31k+17i) mod 7 − 3, inner products computed by hand
+    Seq((1L, (1 to 8).map(i => i * 0.5f).toArray))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = Stats.randomProjection(spark, dir)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, -17L * 500000), (1L, 1, -14L * 500000),
+      (1L, 2, 10L * 500000), (1L, 3, -1L * 500000)), s"got $got")
+  }
+
   test("correlationMatrix: planted linear couplings recover ±1 exactly") {
     // price = 2·qty (r=+1), discount = (5−qty)/100 (r=−1), tax = qty²
     // (strictly monotone but nonlinear: 0 < r < 1)
