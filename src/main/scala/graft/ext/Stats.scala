@@ -598,30 +598,36 @@ object Stats {
   def correlationMatrix(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"
-    Tables.lineitem(spark, d)
-      .select(array(
-        round($"l_quantity" * 100, 0).cast("long"),
-        round($"l_extendedprice" * 100, 0).cast("long"),
-        round($"l_discount" * 100, 0).cast("long"),
-        round($"l_tax" * 100, 0).cast("long")).as("q"))
-      .select(explode(flatten(
-        transform(sequence(lit(0), lit(3)), i =>
-          transform(sequence(i, lit(3)), j =>
-            struct(i.as("i"), j.as("j"),
-              element_at($"q", i + 1).as("x"),
-              element_at($"q", j + 1).as("y")))))).as("p"))
-      .select($"p.i", $"p.j", $"p.x", $"p.y")
-      .groupBy($"i", $"j")
-      .agg(count(lit(1)).as("n"),
-        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
-        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
-        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
-        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"))
-      .select($"i", $"j", $"n",
+    val idx = for (i <- 0 to 3; j <- i to 3) yield (i, j)
+    // ONE aggregation over the base rows — 4 sums + 10 upper-triangle
+    // product sums as 14 columns of a single partial-agg pass. The
+    // first version exploded the i≤j lattice per ROW (10× the rows,
+    // each with decimal multiplies) and cost 10.9s at sf0.1; folding
+    // the lattice into the aggregate does each decimal product once
+    // per row and shuffles ONE row.
+    val base = Tables.lineitem(spark, d).select(
+      round($"l_quantity" * 100, 0).cast("long").as("m0"),
+      round($"l_extendedprice" * 100, 0).cast("long").as("m1"),
+      round($"l_discount" * 100, 0).cast("long").as("m2"),
+      round($"l_tax" * 100, 0).cast("long").as("m3"))
+    val aggCols =
+      (0 to 3).map(i => sum(col(s"m$i").cast(dec)).as(s"s$i")) ++
+      idx.map { case (i, j) =>
+        sum(col(s"m$i").cast(dec) * col(s"m$j").cast(dec)).as(s"p${i}_$j") }
+    val one = base.agg(count(lit(1)).as("n"), aggCols: _*)
+    // the 10 output rows materialize from the single stats row
+    val lattice = idx.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"),
+        col(s"s$i").as("sx"), col(s"s$j").as("sy"),
+        col(s"p${i}_$j").as("sxy"), col(s"p${i}_$i").as("sxx"),
+        col(s"p${j}_$j").as("syy"))
+    }
+    one.select($"n", explode(array(lattice: _*)).as("p"))
+      .select($"p.i".as("i"), $"p.j".as("j"), $"n",
         graft.Num.r4(
-          ($"n".cast(dec) * $"sxy" - $"sx" * $"sy").cast("double") /
-            (sqrt(($"n".cast(dec) * $"sxx" - $"sx" * $"sx").cast("double")) *
-             sqrt(($"n".cast(dec) * $"syy" - $"sy" * $"sy").cast("double"))))
+          ($"n".cast(dec) * $"p.sxy" - $"p.sx" * $"p.sy").cast("double") /
+            (sqrt(($"n".cast(dec) * $"p.sxx" - $"p.sx" * $"p.sx").cast("double")) *
+             sqrt(($"n".cast(dec) * $"p.syy" - $"p.sy" * $"p.sy").cast("double"))))
           .as("corr"))
       .orderBy($"i", $"j")
   }
