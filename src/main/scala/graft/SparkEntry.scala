@@ -320,6 +320,12 @@ object SparkEntry {
     "q138_autocorrelation" -> ((s: SparkSession, d: String) => Events.autocorrelation(s, d)),
     // Map-only integer-exact random projection (y = W.q, closed-form W)
     "q142_random_projection" -> ((s: SparkSession, d: String) => Stats.randomProjection(s, d)),
+    // Clamp-at-zero running balance via the waterline closed form —
+    // the non-associative scan no plain cumsum expresses
+    "q143_clamped_balance" -> ((s: SparkSession, d: String) => Events.clampedBalance(s, d)),
+    // Exact per-group mode: two agg levels + algebraic max_by argmax,
+    // deterministic (count desc, value asc) tie-break — no window
+    "q144_mode" -> (Extended.modePerGroup _),
     // Sweep-line peak concurrency, hour-partitioned fragments; the
     // oracle counts concurrency at fragment starts via a range join
     "q139_peak_concurrency" -> ((s: SparkSession, d: String) => Events.peakConcurrency(s, d)),
@@ -2430,6 +2436,53 @@ object SparkEntry {
         |FROM q CROSS JOIN range(4) p(k)
         |GROUP BY vec_id, p.k
         |ORDER BY vec_id, proj""".stripMargin,
+    // q143: same waterline form (bal = p - least(0, running min p));
+    // intent is pinned by the spec's brute sequential loop, not here.
+    // DuckDB windowed SUM of BIGINT yields HUGEINT — cast at the edge
+    "q143_clamped_balance" ->
+      """WITH de AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+        |         ELSE -100 END AS delta
+        |  FROM events),
+        |p1 AS (
+        |  SELECT user_id, t, event_id,
+        |    SUM(delta) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM de),
+        |p2 AS (
+        |  SELECT user_id, t, event_id,
+        |    CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS bal
+        |  FROM p1),
+        |b AS (
+        |  SELECT user_id, t // 86400000000 AS day, bal,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, t // 86400000000
+        |      ORDER BY t DESC, event_id DESC) AS rn
+        |  FROM p2),
+        |c AS (
+        |  SELECT user_id, t // 86400000000 AS day, COUNT(*) AS n_events
+        |  FROM p2 GROUP BY user_id, t // 86400000000)
+        |SELECT b.user_id, b.day, b.bal AS day_end_balance, c.n_events
+        |FROM b JOIN c ON b.user_id = c.user_id AND b.day = c.day
+        |WHERE b.rn = 1
+        |ORDER BY b.user_id, b.day""".stripMargin,
+    // q144: the oracle ranks the count table — same tie-break spelled
+    // as a window instead of the engine's algebraic argmax
+    "q144_mode" ->
+      """WITH cpq AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)),
+        |r AS (
+        |  SELECT l_returnflag, qty, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, qty ASC) AS rn
+        |  FROM cpq)
+        |SELECT l_returnflag, qty AS mode_qty, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

@@ -393,6 +393,40 @@ object Events {
       .orderBy($"day")
   }
 
+  /** Clamped running balance per user — purchases credit `value`,
+    * views/clicks debit a flat unit, and the balance FLOORS AT ZERO
+    * (an overdrawn account doesn't go negative; a consumed budget
+    * doesn't bank a deficit). The clamp makes the scan NON-ASSOCIATIVE
+    * — no plain window cumsum computes it — but the classic closed
+    * form does: with prefix p_i over signed deltas in event order,
+    *   balance_i = p_i − min(0, min_{j≤i} p_j)
+    * (every time the raw prefix dips below its historical minimum the
+    * clamp injects exactly the new deficit). Two stacked windows over
+    * ONE user-partitioned sort — same scale shape as every per-user
+    * scan here. Output is per-user day-end balances in integer cents.
+    * The spec proves the closed form against a brute sequential loop;
+    * the oracle mirrors the windows (DuckDB has no sequential scan).
+    */
+  def clampedBalance(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val deltas = Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+        when($"event_type" === "purchase",
+          round(coalesce($"value", lit(0.0)) * 100, 0).cast("long"))
+          .otherwise(lit(-100L)).as("delta"))
+    val scan = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = deltas
+      .withColumn("p", sum($"delta").over(scan))
+      .withColumn("floor_adj", least(lit(0L), min($"p").over(scan)))
+      .withColumn("bal", $"p" - $"floor_adj")
+    stepped
+      .groupBy($"user_id", expr("t div 86400000000").as("day"))
+      .agg(max_by($"bal", struct($"t", $"event_id")).as("day_end_balance"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"day")
+  }
+
   /** ACF lags (hours) reported by [[autocorrelation]]: short-range
     * memory plus the daily-seasonality probe at 24. */
   val AcfLags: Seq[Int] = Seq(1, 2, 3, 24)

@@ -244,6 +244,25 @@ object Extended {
   /** INTERSECT / EXCEPT: customers active in both 1995 and 1996, minus
     * any with an open order — set semantics (distinct), one query.
     */
+  /** Exact mode (most frequent value) per group — the categorical
+    * summary statistic profiling and imputation pipelines need. Two
+    * partial-agg levels: counts per (group, value) — map-side combine
+    * absorbs the repetition — then an algebraic `max_by` argmax per
+    * group with the deterministic (count desc, value asc) tie-break.
+    * No window, no sort of the value domain; both shuffles carry
+    * aggregated rows only.
+    */
+  def modePerGroup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"l_returnflag")
+      .agg(max_by(struct($"qty", $"cnt"), struct($"cnt", -$"qty")).as("m"))
+      .select($"l_returnflag", $"m.qty".as("mode_qty"), $"m.cnt".as("cnt"))
+      .orderBy($"l_returnflag")
+  }
+
   def setOps(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, d)

@@ -511,6 +511,31 @@ class BehaviorSpec extends SparkSpec {
     dir
   }
 
+  test("clampedBalance: waterline closed form equals the sequential clamp loop") {
+    // debits dip the raw prefix below zero twice; the clamp must
+    // absorb each deficit (not bank it against later credits)
+    val evs = Seq(
+      (1L, day0 + 10, 1L, "view", None),            // 0 → clamp(−100) = 0
+      (2L, day0 + 20, 1L, "purchase", Some(2.50)),  // 250
+      (3L, day0 + 30, 1L, "view", None),            // 150
+      (4L, day0 + 40, 1L, "view", None),            // 50
+      (5L, day0 + 50, 1L, "view", None),            // clamp(−50) = 0
+      (6L, day0 + 86400 + 10, 1L, "purchase", Some(1.00))) // next day: 100
+    val d = plantEvents(evs)
+    // brute sequential clamp loop — the semantics the closed form claims
+    var bal = 0L
+    val brute = evs.map { case (_, _, _, et, v) =>
+      bal = math.max(0L, bal +
+        (if (et == "purchase") math.round(v.get * 100) else -100L))
+      bal
+    }
+    assert(brute == Seq(0L, 250L, 150L, 50L, 0L, 100L))
+    val got = graft.ext.Events.clampedBalance(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val d0 = day0 / 86400
+    assert(got == Seq((1L, d0, 0L, 5L), (1L, d0 + 1, 100L, 1L)), s"got $got")
+  }
+
   test("randomProjection: hand-computed W·q on a planted vector") {
     val dir = Files.createTempDirectory("graft-proj").toString
     // embedding[i] = (i+1)·0.5 (exact in binary) → q = 500000·[1..8];
