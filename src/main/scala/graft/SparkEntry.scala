@@ -326,6 +326,8 @@ object SparkEntry {
     // Exact per-group mode: two agg levels + algebraic max_by argmax,
     // deterministic (count desc, value asc) tie-break — no window
     "q144_mode" -> (Extended.modePerGroup _),
+    // Exact weighted median over a compressed value domain
+    "q145_weighted_median" -> (Extended.weightedMedian _),
     // Sweep-line peak concurrency, hour-partitioned fragments; the
     // oracle counts concurrency at fragment starts via a range join
     "q139_peak_concurrency" -> ((s: SparkSession, d: String) => Events.peakConcurrency(s, d)),
@@ -2482,6 +2484,24 @@ object SparkEntry {
         |  FROM cpq)
         |SELECT l_returnflag, qty AS mode_qty, CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
+    // q145: identical cumulative-weight selection; windowed SUMs come
+    // back HUGEINT — cast at the edge
+    "q145_weighted_median" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)),
+        |c AS (
+        |  SELECT l_returnflag, qty, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM a)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum * 2 >= tot THEN qty END) AS wmedian_qty,
+        |  CAST(tot AS BIGINT) AS total_weight_cents
+        |FROM c GROUP BY l_returnflag, tot
         |ORDER BY l_returnflag""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (

@@ -263,6 +263,35 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact weighted median — the smallest quantity at which half the
+    * total revenue weight sits at or below (revenue-weighted median
+    * order size). Scale shape: the value DOMAIN is compressed first
+    * (counts per (group, value) — 50 distinct quantities regardless
+    * of row count), so the cumulative-weight window runs over tiny
+    * per-group frames, never the fact table; both the running and the
+    * total weight ride one window exchange. Weighted quantiles over
+    * an unbounded domain switch to the q130 sketch; this is the exact
+    * path for bounded domains.
+    */
+  def weightedMedian(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val agg = Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+      .agg(sum(round($"l_extendedprice" * 100, 0).cast("long")).as("w"))
+    val run = Window.partitionBy($"l_returnflag").orderBy($"qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy($"l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("cum", sum($"w").over(run))
+      .withColumn("tot", sum($"w").over(all))
+      .groupBy($"l_returnflag", $"tot")
+      .agg(min(when($"cum" * 2 >= $"tot", $"qty")).as("wmedian_qty"))
+      .select($"l_returnflag", $"wmedian_qty",
+        $"tot".as("total_weight_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   def setOps(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, d)

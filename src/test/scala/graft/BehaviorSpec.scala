@@ -550,6 +550,20 @@ class BehaviorSpec extends SparkSpec {
       (1L, 2, 10L * 500000), (1L, 3, -1L * 500000)), s"got $got")
   }
 
+  test("weightedMedian: revenue weight pulls the median to the heavy value") {
+    val dir = Files.createTempDirectory("graft-wmed").toString
+    Seq(("A", 1.0, 1.00), ("A", 2.0, 10.00), ("A", 3.0, 1.00),
+        ("B", 1.0, 1.00), ("B", 9.0, 10.00))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.Extended.weightedMedian(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    // A: weights 100/1000/100 cents → first qty with 2·cum ≥ 1200 is 2;
+    // B: 100/1000 → qty 9 carries the weight (an unweighted median
+    // could never land there)
+    assert(got == Seq(("A", 2L, 1200L), ("B", 9L, 1100L)), s"got $got")
+  }
+
   test("correlationMatrix: planted linear couplings recover ±1 exactly") {
     // price = 2·qty (r=+1), discount = (5−qty)/100 (r=−1), tax = qty²
     // (strictly monotone but nonlinear: 0 < r < 1)
