@@ -328,6 +328,46 @@ object SparkEntry {
     "q144_mode" -> (Extended.modePerGroup _),
     // Exact weighted median over a compressed value domain
     "q145_weighted_median" -> (Extended.weightedMedian _),
+    // Time-constrained 3-step funnel (view->click->purchase, each hop
+    // <=1h) as TWO chained as-of joins — never a range-join explosion
+    // and never a per-user sequence collect; q96's funnel without the
+    // "any time ever" looseness
+    "q146_funnel_windows" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val hourUs = 3600000000L
+      val ev = graft.sources.Tables.events(s, d)
+      def typed(t: String) = ev.filter($"event_type" === t)
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          $"event_id".as(s"${t}_id"))
+      // hop 1: purchase -> latest click at or before it
+      val hop1 = graft.operators.AsOfJoin.asOf(
+        typed("purchase"), typed("click"),
+        keys = Seq("user_id"), ts = "ts_us",
+        tieBreak = "click_id", rightPrefix = "c_")
+      // hop 2: that click -> latest view at or before it (probe ts is
+      // the CLICK time, so the constraint chains correctly)
+      val probes2 = hop1
+        .filter($"c_ts_us".isNotNull && $"ts_us" - $"c_ts_us" <= hourUs)
+        .select($"user_id", $"ts_us".as("p_ts_us"),
+          $"c_ts_us".as("ts_us"), $"purchase_id", $"c_click_id")
+      val hop2 = graft.operators.AsOfJoin.asOf(
+        probes2, typed("view"),
+        keys = Seq("user_id"), ts = "ts_us",
+        tieBreak = "view_id", rightPrefix = "v_")
+      val converted = $"v_ts_us".isNotNull && ($"ts_us" - $"v_ts_us" <= hourUs)
+      val perDay = hop2
+        .groupBy(expr("p_ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_click_attributed"),
+          sum(when(converted, 1L).otherwise(0L)).as("n_conversions"),
+          sum(when(converted, $"p_ts_us" - $"v_ts_us").otherwise(0L))
+            .as("sum_funnel_us"))
+      perDay.select($"day", $"n_click_attributed", $"n_conversions",
+          graft.Num.r4(when($"n_conversions" > 0,
+            $"sum_funnel_us".cast("double") / $"n_conversions" / 1000000.0))
+            .as("avg_funnel_sec"))
+        .orderBy($"day")
+    }),
     // Sweep-line peak concurrency, hour-partitioned fragments; the
     // oracle counts concurrency at fragment starts via a range join
     "q139_peak_concurrency" -> ((s: SparkSession, d: String) => Events.peakConcurrency(s, d)),
@@ -2503,6 +2543,42 @@ object SparkEntry {
         |  CAST(tot AS BIGINT) AS total_weight_cents
         |FROM c GROUP BY l_returnflag, tot
         |ORDER BY l_returnflag""".stripMargin,
+    // q146: the same two-hop chain in DuckDB native ASOF; only event
+    // TIMES feed the constraints and outputs, so tie picks at equal
+    // timestamps cannot diverge
+    "q146_funnel_windows" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS pt FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ct FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS vt FROM events
+        |  WHERE event_type = 'view'),
+        |h1 AS (
+        |  SELECT p.user_id, p.pt, c.ct FROM p
+        |  ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pt >= c.ct),
+        |h1f AS (
+        |  SELECT * FROM h1
+        |  WHERE ct IS NOT NULL AND pt - ct <= 3600000000),
+        |h2 AS (
+        |  SELECT h1f.user_id, h1f.pt, h1f.ct, v.vt FROM h1f
+        |  ASOF LEFT JOIN v ON h1f.user_id = v.user_id AND h1f.ct >= v.vt),
+        |g AS (
+        |  SELECT pt // 86400000000 AS day,
+        |    COUNT(*) AS n_click_attributed,
+        |    SUM(CASE WHEN vt IS NOT NULL AND ct - vt <= 3600000000
+        |             THEN 1 ELSE 0 END) AS n_conversions,
+        |    SUM(CASE WHEN vt IS NOT NULL AND ct - vt <= 3600000000
+        |             THEN pt - vt ELSE 0 END) AS sum_funnel_us
+        |  FROM h2 GROUP BY pt // 86400000000)
+        |SELECT day, n_click_attributed,
+        |  CAST(n_conversions AS BIGINT) AS n_conversions,
+        |  ROUND(CASE WHEN n_conversions > 0
+        |    THEN CAST(sum_funnel_us AS DOUBLE) / n_conversions / 1000000.0
+        |    END * 10000, 0) / 10000 + 0.0 AS avg_funnel_sec
+        |FROM g ORDER BY day""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,
