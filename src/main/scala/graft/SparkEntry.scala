@@ -328,6 +328,13 @@ object SparkEntry {
     "q144_mode" -> (Extended.modePerGroup _),
     // Exact weighted median over a compressed value domain
     "q145_weighted_median" -> (Extended.weightedMedian _),
+    // Collocation mining: doc-keyed pair join (per-doc C(set,2), no
+    // corpus cross join), vocabulary²-bounded aggregation, exact
+    // counts under the ln
+    "q147_token_pmi" -> ((s: SparkSession, d: String) => Corpus.tokenPmi(s, d)),
+    // Survival curve: one per-user min/max agg, then a horizon-bounded
+    // fan-out — never a per-day scan of the event stream
+    "q148_survival_curve" -> ((s: SparkSession, d: String) => Events.survivalCurve(s, d)),
     // Time-constrained 3-step funnel (view->click->purchase, each hop
     // <=1h) as TWO chained as-of joins — never a range-join explosion
     // and never a per-user sequence collect; q96's funnel without the
@@ -2579,6 +2586,44 @@ object SparkEntry {
         |    THEN CAST(sum_funnel_us AS DOUBLE) / n_conversions / 1000000.0
         |    END * 10000, 0) / 10000 + 0.0 AS avg_funnel_sec
         |FROM g ORDER BY day""".stripMargin,
+    // q147: PMI over the same doc-level co-occurrence counts; the
+    // double ratio N*c_ab/(df_a*df_b) is identical IEEE on both sides
+    "q147_token_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |df AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS c_ab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY a.token, b.token
+        |  HAVING COUNT(*) >= 50)
+        |SELECT tok_a, tok_b, c_ab,
+        |  fa.df AS df_a, fb.df AS df_b,
+        |  ROUND(ln(CAST(n.n_docs AS DOUBLE) * c_ab / (fa.df * fb.df))
+        |        * 10000, 0) / 10000 + 0.0 AS pmi
+        |FROM pairs, n
+        |JOIN df fa ON fa.token = tok_a
+        |JOIN df fb ON fb.token = tok_b
+        |ORDER BY tok_a, tok_b""".stripMargin,
+    // q148: lifetime in integer days, survival via the k <= lt fanout
+    "q148_survival_curve" ->
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS lt
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT COUNT(*) AS n FROM lt),
+        |s AS (
+        |  SELECT gs.k AS k, COUNT(*) AS n_surviving
+        |  FROM lt CROSS JOIN generate_series(0, 14) gs(k)
+        |  WHERE gs.k <= lt GROUP BY gs.k)
+        |SELECT k, n_surviving,
+        |  ROUND(CAST(n_surviving AS DOUBLE) / n * 10000, 0) / 10000 + 0.0
+        |    AS fraction
+        |FROM s, tot ORDER BY k""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

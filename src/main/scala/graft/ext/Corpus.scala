@@ -468,4 +468,44 @@ object Corpus {
       .filter($"cnt" * lit(ratio) >= lit(total))
       .orderBy($"cnt".desc, $"token")
   }
+
+  /** Pointwise mutual information over within-document token pairs —
+    * the association statistic behind collocation mining and
+    * phrase/entity discovery: PMI(a,b) = ln(N·c_ab / (c_a·c_b)) over
+    * document-level co-occurrence, keeping pairs seen in ≥`minDocs`
+    * documents.
+    *
+    * Scale shape: distinct tokens per doc first (explode + distinct —
+    * the per-doc set is content-bounded), pair generation is a
+    * doc-keyed self-join of those sets (never a corpus-level
+    * cross join; per-doc cost is C(set size, 2)), and everything
+    * aggregates to vocabulary²-bounded rows before the single-token
+    * counts join back. All counts are exact integers; ln runs on the
+    * identical double ratio both engines compute.
+    */
+  def tokenPmi(spark: SparkSession, d: String, minDocs: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val docToks = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .distinct()
+    val nDocs = Tables.documents(spark, d).count()
+    // document frequencies via the shared measured-gate helper: the
+    // hint only survives while the counted vocabulary fits the budget
+    val (tokDf, nTerms) = dfSide(spark, docToks)
+    def hinted(df: DataFrame): DataFrame =
+      if (nTerms <= BroadcastVocabMaxTerms) broadcast(df) else df
+    val pairs = docToks.toDF("doc_id", "tok_a")
+      .join(docToks.toDF("doc_id", "tok_b"), "doc_id")
+      .filter($"tok_a" < $"tok_b")
+      .groupBy($"tok_a", $"tok_b").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= minDocs)
+    pairs
+      .join(hinted(tokDf.toDF("tok_a", "df_a")), "tok_a")
+      .join(hinted(tokDf.toDF("tok_b", "df_b")), "tok_b")
+      .select($"tok_a", $"tok_b", $"c_ab", $"df_a", $"df_b",
+        r4(log(lit(nDocs.toDouble) * $"c_ab" / ($"df_a" * $"df_b")))
+          .as("pmi"))
+      .orderBy($"tok_a", $"tok_b")
+  }
 }

@@ -398,6 +398,32 @@ object Events {
       .orderBy($"day")
   }
 
+  /** User survival curve — S(k) = fraction of users whose observed
+    * lifetime (days between first and last event) reaches k, for
+    * k = 0..14: the retention half of churn analysis (q97's cohort
+    * matrix reads the same signal by calendar week; this is the
+    * Kaplan-Meier-flavored lifetime view). One per-user min/max
+    * aggregate is the only event-volume-sized work; each user then
+    * fans out to at most 15 (k) rows — bounded by the horizon, not
+    * the data — and the day-count fraction is an exact integer ratio
+    * under r4.
+    */
+  def survivalCurve(spark: SparkSession, d: String,
+                    horizon: Int = 14): DataFrame = {
+    import spark.implicits._
+    val lt = Tables.events(spark, d)
+      .groupBy($"user_id")
+      .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000")
+        .as("lt"))
+    val total = lt.count()
+    lt.select(explode(sequence(lit(0L), least($"lt", lit(horizon.toLong))))
+        .as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n_surviving"))
+      .select($"k", $"n_surviving",
+        r4($"n_surviving".cast("double") / lit(total)).as("fraction"))
+      .orderBy($"k")
+  }
+
   /** Clamped running balance per user — purchases credit `value`,
     * views/clicks debit a flat unit, and the balance FLOORS AT ZERO
     * (an overdrawn account doesn't go negative; a consumed budget

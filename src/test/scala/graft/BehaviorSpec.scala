@@ -511,6 +511,21 @@ class BehaviorSpec extends SparkSpec {
     dir
   }
 
+  test("survivalCurve: planted lifetimes — fractions, horizon cap, single-event users") {
+    val day = 86400L
+    val d = plantEvents(Seq(
+      (1L, day0, 1L, "view", None), (2L, day0 + 3 * day, 1L, "view", None),
+      (3L, day0 + 5, 2L, "view", None), // single-ish burst: lifetime 0
+      (4L, day0, 3L, "view", None), (5L, day0 + 20 * day, 3L, "view", None)))
+    val got = graft.ext.Events.survivalCurve(spark, d)
+      .as[(Long, Long, Double)].collect().toSeq
+    val expected = (0L to 14L).map { k =>
+      val n = Seq(3L, 0L, 20L).count(_ >= k) // lifetimes 3, 0, 20 (capped)
+      (k, n.toLong, BigDecimal(n * 10000.0 / 3).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000.0)
+    }
+    assert(got == expected, s"got $got")
+  }
+
   test("clampedBalance: waterline closed form equals the sequential clamp loop") {
     // debits dip the raw prefix below zero twice; the clamp must
     // absorb each deficit (not bank it against later credits)

@@ -207,6 +207,21 @@ class CorpusSpec extends SparkSpec {
       "one pair: dot 4, norms² 5/5, ⌊10⁴·16/25⌋ = 6400")
   }
 
+  test("tokenPmi: planted co-occurrence — hand-computed PMI, negatives included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // N=4 docs; {a,b} ride together twice, c pairs with a and x once:
+    // PMI(a,b)=ln(4·2/(3·2)), PMI(a,c)=ln(4·1/(3·2))<0, PMI(c,x)=ln 2
+    Seq((1L, "a b"), (2L, "a b"), (3L, "c"), (4L, "c x a"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.tokenPmi(spark, dir, minDocs = 1L)
+      .select($"tok_a", $"tok_b", $"pmi")
+      .as[(String, String, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 0.2877), ("a", "c", -0.4055), ("a", "x", 0.2877),
+      ("c", "x", 0.6931)), s"got $got")
+  }
+
   test("heavyHitters: planted skew, exact counts through the decrement path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
     // 100 docs: 'zipf' ×10 everywhere (1000), 'beta' ×10 in docs 1-20
