@@ -335,6 +335,12 @@ object SparkEntry {
     // Survival curve: one per-user min/max agg, then a horizon-bounded
     // fan-out — never a per-day scan of the event stream
     "q148_survival_curve" -> ((s: SparkSession, d: String) => Events.survivalCurve(s, d)),
+    // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
+    // group by the robust-feature signature (byte hashes can't see
+    // through container re-muxing). Oracle recomputes energies from
+    // the closed-form samples — PCM is lossless, the q56/q140 design
+    "q149_audio_dedup" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioDupGroups(Multimodal.audioMedia(s, d))),
     // Time-constrained 3-step funnel (view->click->purchase, each hop
     // <=1h) as TWO chained as-of joins — never a range-join explosion
     // and never a per-user sequence collect; q96's funnel without the
@@ -2624,6 +2630,36 @@ object SparkEntry {
         |  ROUND(CAST(n_surviving AS DOUBLE) / n * 10000, 0) / 10000 + 0.0
         |    AS fraction
         |FROM s, tot ORDER BY k""".stripMargin,
+    // q149: sample k = ((doc_id*31 + k*17) mod 4001) - 2000 over
+    // n = 64 + doc_id mod 32 samples; frame of k is (k*8) // n; the
+    // HUGEINT energies are GROUP KEYS only, never outputs
+    "q149_audio_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, gs.k AS k,
+        |    ((doc_id * 31 + gs.k * 17) % 4001) - 2000 AS v
+        |  FROM d CROSS JOIN generate_series(0, 95) gs(k)
+        |  WHERE gs.k < n),
+        |e AS (
+        |  SELECT doc_id, (k * 8) // n AS f, SUM(v * v) AS ef
+        |  FROM s GROUP BY doc_id, (k * 8) // n),
+        |vec AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN f = 0 THEN ef END) AS e0,
+        |    MAX(CASE WHEN f = 1 THEN ef END) AS e1,
+        |    MAX(CASE WHEN f = 2 THEN ef END) AS e2,
+        |    MAX(CASE WHEN f = 3 THEN ef END) AS e3,
+        |    MAX(CASE WHEN f = 4 THEN ef END) AS e4,
+        |    MAX(CASE WHEN f = 5 THEN ef END) AS e5,
+        |    MAX(CASE WHEN f = 6 THEN ef END) AS e6,
+        |    MAX(CASE WHEN f = 7 THEN ef END) AS e7
+        |  FROM e GROUP BY doc_id)
+        |SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY e0,e1,e2,e3,e4,e5,e6,e7) AS rep_doc,
+        |  CAST(COUNT(*) OVER (PARTITION BY e0,e1,e2,e3,e4,e5,e6,e7) AS BIGINT)
+        |    AS n_members
+        |FROM vec ORDER BY doc_id""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

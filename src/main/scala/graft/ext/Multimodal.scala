@@ -3,6 +3,7 @@ package graft.ext
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -484,6 +485,78 @@ object Multimodal {
       .toDF()
       .select($"doc_id", $"n_bytes", $"byte_sum", $"content_hash",
         (round($"feat_mean" * lit(10000.0), 0) / lit(10000.0)).as("feat_mean"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------- audio fingerprint dedup ----------
+
+  /** Per-frame energy signature of a decoded PCM stream: samples split
+    * into [[AudioFingerprintFrames]] equal time slices (frame of
+    * sample k is (k·F) div n — integer math an oracle can mirror),
+    * energy = Σ s² per slice, exact in Long. The robust-feature
+    * fingerprint audio dedup groups on: resistant to container
+    * re-muxing and metadata churn, which byte hashes (q25) are not.
+    * None for undecodable or non-16-bit payloads.
+    */
+  val AudioFingerprintFrames = 8
+
+  def audioFrameEnergies(bytes: Array[Byte]): Option[Array[Long]] = {
+    val stream =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (stream == null) None
+    else
+      try {
+        val fmt = stream.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = stream.readAllBytes()
+          val n = data.length / 2
+          if (n == 0) None
+          else {
+            val e = new Array[Long](AudioFingerprintFrames)
+            var i = 0
+            while (i < n) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1)
+              val s = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                      else ((hi << 8) | lo).toShort.toInt
+              e((i * AudioFingerprintFrames) / n) += s.toLong * s
+              i += 1
+            }
+            Some(e)
+          }
+        }
+      } finally stream.close()
+  }
+
+  /** Audio dedup groups by frame-energy fingerprint: every document
+    * with the rep (smallest doc id) of its fingerprint group and the
+    * group size. Map-only decode (the same batched drop-on-corrupt
+    * stage as every media path), then ONE window over the fingerprint
+    * key — groups are near-singleton by construction, so the
+    * partition-by-8-energies window never funnels.
+    */
+  def audioDupGroups(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val eCols = (0 until AudioFingerprintFrames).map(i => s"e$i")
+    val energies = media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap(m =>
+          audioFrameEnergies(m.content).map(e => (m.doc_id, e)))
+      }
+    }.toDF("doc_id", "e")
+      .select($"doc_id" +: (0 until AudioFingerprintFrames)
+        .map(i => element_at($"e", i + 1).as(s"e$i")): _*)
+    val byFp = Window.partitionBy(eCols.map(col): _*)
+    energies
+      .select($"doc_id",
+        min($"doc_id").over(byFp).as("rep_doc"),
+        count(lit(1)).over(byFp).as("n_members"))
       .orderBy($"doc_id")
   }
 

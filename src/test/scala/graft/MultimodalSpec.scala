@@ -183,6 +183,18 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("audioDupGroups: identical PCM content groups together, corrupt rows drop") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.syntheticWav(7)),
+      Multimodal.MediaRow(2L, "audio/wav", Multimodal.syntheticWav(7)),
+      Multimodal.MediaRow(3L, "audio/wav", Multimodal.syntheticWav(8)),
+      Multimodal.MediaRow(4L, "audio/wav", Array[Byte](1, 2, 3)))
+    val got = Multimodal.audioDupGroups(spark.createDataset(media)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)), s"got $got")
+  }
+
   test("imageNearDupPairs: banded dHash equals brute force at radius 3, finds plants") {
     import spark.implicits._
     val media = (1L to 10L).map(i =>
