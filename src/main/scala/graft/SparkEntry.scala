@@ -341,6 +341,22 @@ object SparkEntry {
     // the closed-form samples — PCM is lossless, the q56/q140 design
     "q149_audio_dedup" -> ((s: SparkSession, d: String) =>
       Multimodal.audioDupGroups(Multimodal.audioMedia(s, d))),
+    // Cross-modal assembly: every modality REALLY decodes (ImageIO /
+    // PCM / Y4M) and the typed features join per document — the
+    // pairing step a multimodal training pipeline runs; the oracle
+    // knows the closed forms the decoders must reproduce
+    "q150_multimodal_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val img = Multimodal.decodeImages(Multimodal.imageMedia(s, d)).toDF()
+        .select($"doc_id", $"width".as("img_w"), $"height".as("img_h"))
+      val aud = Multimodal.decodeAudioRows(Multimodal.audioMedia(s, d)).toDF()
+        .select($"doc_id", $"n_samples")
+      val vid = Multimodal.decodeVideoRows(Multimodal.videoMedia(s, d)).toDF()
+        .select($"doc_id", $"n_frames")
+      graft.sources.Tables.documents(s, d).select($"doc_id", $"n_chars")
+        .join(img, "doc_id").join(aud, "doc_id").join(vid, "doc_id")
+        .orderBy($"doc_id")
+    }),
     // Time-constrained 3-step funnel (view->click->purchase, each hop
     // <=1h) as TWO chained as-of joins — never a range-join explosion
     // and never a per-user sequence collect; q96's funnel without the
@@ -2660,6 +2676,16 @@ object SparkEntry {
         |  CAST(COUNT(*) OVER (PARTITION BY e0,e1,e2,e3,e4,e5,e6,e7) AS BIGINT)
         |    AS n_members
         |FROM vec ORDER BY doc_id""".stripMargin,
+    // q150: the decoders must reproduce the generators' closed forms
+    // (PNG/PCM/Y4M are all lossless here) — the oracle is just those
+    // forms; any decode drift breaks the join row-for-row
+    "q150_multimodal_join" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS img_w,
+        |  CAST(6 + doc_id % 4 AS INTEGER) AS img_h,
+        |  CAST(64 + doc_id % 32 AS INTEGER) AS n_samples,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q132_replica_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,
