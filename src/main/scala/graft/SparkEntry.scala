@@ -2097,11 +2097,12 @@ object SparkEntry {
         |    ON a.token = b.token AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, dot, na.nsq AS nsq_a, nb.nsq AS nsq_b,
-        |  CAST((dot * dot * 10000) // (na.nsq * nb.nsq) AS BIGINT) AS cos2_q4
+        |  CAST((CAST(dot AS HUGEINT) * dot * 10000)
+        |       // (CAST(na.nsq AS HUGEINT) * nb.nsq) AS BIGINT) AS cos2_q4
         |FROM dt
         |JOIN norm na ON na.doc_id = dt.doc_a
         |JOIN norm nb ON nb.doc_id = dt.doc_b
-        |WHERE 4 * dot * dot >= na.nsq * nb.nsq
+        |WHERE 4 * CAST(dot AS HUGEINT) * dot >= CAST(na.nsq AS HUGEINT) * nb.nsq
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q123: same 1e-6 quantization grid (q82's) and integer sums; the
     // i<=j pair grid comes from a range self-join per vector; HUGEINT

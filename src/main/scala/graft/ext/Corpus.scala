@@ -378,8 +378,11 @@ object Corpus {
     * `4·dot² ≥ nsqᵃ·nsqᵇ` (⇔ cos ≥ 0.5, tf is non-negative) and the
     * reported `cos2_q4 = ⌊10⁴·dot²/(nsqᵃ·nsqᵇ)⌋` are integer
     * arithmetic — engine-independent with no rounding-mode appeals.
-    * Magnitudes: dot ≤ Σtf² ≤ (doc length)², so BIGINT holds to
-    * ~10⁴-token documents; chunk longer docs first (q69).
+    * The squares/products are computed in DECIMAL(38,0) (HUGEINT on
+    * the oracle side): dot and nsq reach (doc length)², so dot² — the
+    * worst term, with the 10⁴ scale on top — passes int64 already at
+    * ~10³-token documents, and Spark would wrap silently where DuckDB
+    * raises. Only the ≤10⁴ quotient returns to BIGINT at the edge.
     */
   def sparseCosinePairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -401,9 +404,11 @@ object Corpus {
     dot
       .join(norm.toDF("doc_a", "nsq_a"), "doc_a")
       .join(norm.toDF("doc_b", "nsq_b"), "doc_b")
-      .filter(lit(4) * $"dot" * $"dot" >= $"nsq_a" * $"nsq_b")
+      .filter(expr("4 * CAST(dot AS DECIMAL(38,0)) * dot") >=
+        expr("CAST(nsq_a AS DECIMAL(38,0)) * nsq_b"))
       .select($"doc_a", $"doc_b", $"dot", $"nsq_a", $"nsq_b",
-        expr("(dot * dot * 10000) div (nsq_a * nsq_b)").as("cos2_q4"))
+        expr("CAST((CAST(dot AS DECIMAL(38,0)) * dot * 10000) div " +
+          "(CAST(nsq_a AS DECIMAL(38,0)) * nsq_b) AS BIGINT)").as("cos2_q4"))
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -620,7 +620,11 @@ object Extended {
     *
     * Checksums are sums of a per-row integer hash (multiplicative,
     * mod P) — order-independent under any partitioning, mergeable
-    * across sub-ranges, and engine-exact.
+    * across sub-ranges, and engine-exact. Each multiplier term is
+    * folded mod P before the terms are added: a product tops out
+    * near 7e18 and three of them would pass Long.MaxValue and wrap —
+    * silently in Spark, an error in engines that refuse overflow —
+    * while the folded terms keep every intermediate below 3P.
     */
   def replicaDiff(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -633,8 +637,8 @@ object Extended {
       .withColumn("cents",
         when($"o_orderkey" % 997 === 0, $"cents" + 1).otherwise($"cents"))
     def hashed(t: DataFrame) = t.withColumn("h",
-      expr(s"((o_orderkey % $P) * 2654435761 + (o_custkey % $P) * 2246822519 " +
-        s"+ (cents % $P) * 3266489917) % $P"))
+      expr(s"((o_orderkey % $P) * 2654435761 % $P + (o_custkey % $P) * 2246822519 % $P " +
+        s"+ (cents % $P) * 3266489917 % $P) % $P"))
       .select($"o_orderkey".as("k"), $"h")
     rangedDiff(hashed(base), hashed(replica))
       .select($"k".as("o_orderkey"), $"kind")

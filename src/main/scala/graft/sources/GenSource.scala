@@ -83,24 +83,28 @@ object GenSource {
       * the generator never materializes a filtered-out id, the exact
       * analog of parquet row-group pruning. Accepted filters are
       * honored COMPLETELY (interval arithmetic is exact), so they are
-      * not returned as residuals and Spark plans no re-evaluation. */
+      * not returned as residuals and Spark plans no re-evaluation.
+      * Bounds needing `v + 1` stay residual at v = Long.MaxValue —
+      * the increment would wrap to Long.MinValue and silently clamp a
+      * satisfiable predicate to the empty interval. */
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       def lng(v: Any): Option[Long] = v match {
         case l: Long => Some(l)
         case i: Int => Some(i.toLong)
         case _ => None
       }
+      def succ(v: Any): Option[Long] = lng(v).filter(_ != Long.MaxValue).map(_ + 1)
       val residual = filters.filter {
         case GreaterThanOrEqual("id", v) if lng(v).isDefined =>
           lo = math.max(lo, lng(v).get); false
-        case GreaterThan("id", v) if lng(v).isDefined =>
-          lo = math.max(lo, lng(v).get + 1); false
+        case GreaterThan("id", v) if succ(v).isDefined =>
+          lo = math.max(lo, succ(v).get); false
         case LessThan("id", v) if lng(v).isDefined =>
           hi = math.min(hi, lng(v).get); false
-        case LessThanOrEqual("id", v) if lng(v).isDefined =>
-          hi = math.min(hi, lng(v).get + 1); false
-        case EqualTo("id", v) if lng(v).isDefined =>
-          lo = math.max(lo, lng(v).get); hi = math.min(hi, lng(v).get + 1); false
+        case LessThanOrEqual("id", v) if succ(v).isDefined =>
+          hi = math.min(hi, succ(v).get); false
+        case EqualTo("id", v) if succ(v).isDefined =>
+          lo = math.max(lo, lng(v).get); hi = math.min(hi, succ(v).get); false
         case _ => true
       }
       accepted = filters.diff(residual)

@@ -77,4 +77,16 @@ class GenSourceSpec extends SparkSpec {
     assert(df.select($"id").as[Long].collect().sorted.toSeq == want)
     assert(gen(1000, 4).filter($"id" >= 800L && $"id" < 700L).count() == 0L)
   }
+
+  test("Long.MaxValue bounds stay residual instead of wrapping the clamp") {
+    // id <= MaxValue is satisfied by every row; a wrapping `v + 1`
+    // would clamp hi to Long.MinValue and return zero rows.
+    val le = gen(1000, 4).filter($"id" <= Long.MaxValue)
+    assert(genScanOf(le).hi == 1000L, "satisfiable bound must not clamp")
+    assert(le.count() == 1000L)
+    // id > MaxValue is unsatisfiable; the residual filter still
+    // applies, so the count is zero without interval arithmetic.
+    assert(gen(1000, 4).filter($"id" > Long.MaxValue).count() == 0L)
+    assert(gen(1000, 4).filter($"id" === Long.MaxValue).count() == 0L)
+  }
 }
