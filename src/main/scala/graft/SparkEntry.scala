@@ -335,6 +335,13 @@ object SparkEntry {
     // Survival curve: one per-user min/max agg, then a horizon-bounded
     // fan-out — never a per-day scan of the event stream
     "q148_survival_curve" -> ((s: SparkSession, d: String) => Events.survivalCurve(s, d)),
+    // Two-sample KS distance on a price-range-bounded analysis grid:
+    // the only volume-sized work is one groupBy; the ECDF window
+    // moves O(cells), and the gap compares in exact DECIMAL products
+    "q151_ks_drift" -> ((s: SparkSession, d: String) => Stats.ksDrift(s, d)),
+    // Chi-squared independence from one groupBy + broadcast marginals;
+    // per-cell quantized-integer terms, staged to stay in 38 digits
+    "q152_chi_squared" -> ((s: SparkSession, d: String) => Stats.chiSquared(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2647,6 +2654,53 @@ object SparkEntry {
         |  ROUND(CAST(n_surviving AS DOUBLE) / n * 10000, 0) / 10000 + 0.0
         |    AS fraction
         |FROM s, tot ORDER BY k""".stripMargin,
+    // q151: same $1000 analysis grid and exact integer cross-products;
+    // DuckDB window SUMs land in HUGEINT, so the gap casts there
+    "q151_ks_drift" ->
+      """WITH cells AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 100000 AS bucket,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cb
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    SUM(ca) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    SUM(cb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM cells),
+        |t AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM cells),
+        |s AS (
+        |  SELECT bucket, n_a, n_b,
+        |    ABS(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+        |      AS gap
+        |  FROM g CROSS JOIN t),
+        |m AS (SELECT MAX(gap) AS d_max FROM s)
+        |SELECT CAST(s.n_a AS BIGINT) AS n_a, CAST(s.n_b AS BIGINT) AS n_b,
+        |  MIN(s.bucket) AS at_bucket,
+        |  ROUND(CAST(s.gap AS DOUBLE)
+        |        / (CAST(s.n_a AS DOUBLE) * CAST(s.n_b AS DOUBLE)) * 10000, 0)
+        |    / 10000 + 0.0 AS ks_q4
+        |FROM s CROSS JOIN m WHERE s.gap = m.d_max
+        |GROUP BY s.n_a, s.n_b, s.gap""".stripMargin,
+    // q152: identical staged integer divisions (the single-division
+    // form would need >38 digits at 1e12 rows on either engine)
+    "q152_chi_squared" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT o_orderstatus, CAST(SUM(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        |SELECT c.o_orderpriority, c.o_orderstatus, c.o, rt.rt, ct.ct,
+        |  CAST((CAST(rt.rt AS HUGEINT) * ct.ct * 100) // n.n AS BIGINT) AS e_q2,
+        |  CAST(((CAST(c.o AS HUGEINT) * c.o * 1000000 // rt.rt) * n.n) // ct.ct
+        |    AS BIGINT) AS cell_q6
+        |FROM cells c
+        |JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus)
+        |CROSS JOIN n
+        |ORDER BY c.o_orderpriority, c.o_orderstatus""".stripMargin,
     // q149: sample k = ((doc_id*31 + k*17) mod 4001) - 2000 over
     // n = 64 + doc_id mod 32 samples; frame of k is (k*8) // n; the
     // HUGEINT energies are GROUP KEYS only, never outputs

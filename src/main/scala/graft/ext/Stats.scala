@@ -631,4 +631,94 @@ object Stats {
           .as("corr"))
       .orderBy($"i", $"j")
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the price
+    * distributions of finished ('F') and open ('O') orders — the
+    * distribution-drift gate a training pipeline runs between data
+    * slices (yesterday vs today, source A vs source B) before
+    * trusting a refresh. KS = max ECDF gap; the reference has no
+    * drift machinery at all (it ingests blind; cf.
+    * `etl_pipeline_spark.py`'s unconditional loads).
+    *
+    * Scale shape: the ONLY volume-sized work is one groupBy on the
+    * analysis grid (bucket = cents div 100000, i.e. $1000 cells —
+    * the domain is price-range-bounded, a few hundred cells at ANY
+    * row count, the q139/q145 grain knob). The ECDF runs on the
+    * compressed grid, so the unpartitioned cumulative window moves
+    * O(cells) rows, never O(rows). The gap is compared in exact
+    * integer cross-products (|cumA·nB − cumB·nA| as DECIMAL(38,0) —
+    * cumulative counts can each reach 1e12 at 100 TB and the product
+    * passes int64), so the max and its argmax bucket are
+    * engine-exact; only the final KS ratio returns to double, under
+    * the r4 presentation form.
+    */
+  def ksDrift(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(spark, d)
+      .filter($"o_orderstatus".isin("F", "O"))
+      .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 100000")
+          .as("bucket"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("is_a"))
+      .groupBy($"bucket")
+      .agg(sum($"is_a").as("ca"), sum(lit(1L) - $"is_a").as("cb"))
+    val run = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = cells
+      .withColumn("cum_a", sum($"ca").over(run).cast(dec))
+      .withColumn("cum_b", sum($"cb").over(run).cast(dec))
+    val tot = cells.agg(sum($"ca").cast(dec).as("n_a"),
+      sum($"cb").cast(dec).as("n_b"))
+    val scored = gaps.crossJoin(broadcast(tot))
+      .withColumn("gap", abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a"))
+    val dMax = scored.agg(max($"gap").as("d_max"))
+    scored.crossJoin(broadcast(dMax))
+      .filter($"gap" === $"d_max")
+      .groupBy($"n_a", $"n_b", $"d_max")
+      .agg(min($"bucket").as("at_bucket"))
+      .select($"n_a".cast("long").as("n_a"), $"n_b".cast("long").as("n_b"),
+        $"at_bucket",
+        r4($"d_max".cast("double") /
+          ($"n_a".cast("double") * $"n_b".cast("double"))).as("ks_q4"))
+  }
+
+  /** Chi-squared independence statistic for the order-priority ×
+    * order-status contingency — the categorical drift/bias audit
+    * (is label mix independent of source?) beside [[ksDrift]]'s
+    * continuous one. Uses the computational decomposition
+    * χ² = Σ O²·N/(rT·cT) − N: each cell's term is a function of the
+    * cell count and its two marginals only, so the whole statistic
+    * comes from ONE volume-sized groupBy (15 cells here; the
+    * category-domain product bounds everything after it at any row
+    * count). Marginals are window sums OVER THE CELL TABLE — deriving
+    * them as separate aggregates of the source re-plans the scan
+    * (PlanAuditSpec caught 4 scans in that form); windowing the
+    * bounded cells keeps the query single-scan and join-free.
+    *
+    * Cell terms are quantized integers — ((O²·10⁶ div rT)·N) div cT
+    * in DECIMAL(38,0), staged so every intermediate fits 38 digits
+    * to N ~ 1e12 rows (the single-division form O²·N·10⁶ overflows
+    * past N ~ 5e10) — making the per-cell rows and their sum exact
+    * and order-independent; Σcell_q6 − N·10⁶ = χ²·10⁶ up to the
+    * documented floor quantization. ChiSquaredSpec pins the formula
+    * against a hand-computed table (a mirrored oracle alone would
+    * not catch a wrong formula on both sides).
+    */
+  def chiSquared(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(spark, d)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"o_orderpriority")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"o_orderstatus")))
+      .withColumn("n", sum($"o").over(Window.partitionBy()))
+      .select($"o_orderpriority", $"o_orderstatus", $"o", $"rt", $"ct",
+        expr(s"CAST((CAST(rt AS $dec) * ct * 100) div n AS BIGINT)")
+          .as("e_q2"),
+        expr(s"CAST(((CAST(o AS $dec) * o * 1000000 div rt) * n) div ct" +
+          " AS BIGINT)").as("cell_q6"))
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ext.Stats
+
+/** Drift/audit statistics on PLANTED contingencies with hand-computed
+  * expected values — the mirrored DuckDB oracles prove engine parity,
+  * but only a planted table proves the FORMULA is the one intended
+  * (the msb-smear lesson: both engines can faithfully agree on a
+  * wrong formula).
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** orders.parquet shaped like testdata, with controllable status. */
+  private def plantOrders(
+      rows: Seq[(Long, String, Double, String)]): String = {
+    val dir = Files.createTempDirectory("graft-drift").toString
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .select($"o_orderkey", ($"o_orderkey" % 7).as("o_custkey"),
+        $"o_orderstatus", $"o_totalprice",
+        to_timestamp(lit("1995-06-01")).as("o_orderdate"), $"o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("ksDrift: hand-computed ECDF gap, argmax bucket, P excluded") {
+    // A ('F') buckets: 0,0,1,2  B ('O') buckets: 2,3  (bucket = $1000)
+    // cum: b0 (2,0) gap 2*2=4; b1 (3,0) gap 6; b2 (4,1) gap 8-4=4;
+    // b3 (4,2) gap 0  =>  D = 6/8 = 0.75 at bucket 1
+    val d = plantOrders(Seq(
+      (1L, "F", 500.0, "1-URGENT"), (2L, "F", 600.0, "1-URGENT"),
+      (3L, "F", 1500.0, "1-URGENT"), (4L, "F", 2500.0, "1-URGENT"),
+      (5L, "O", 2500.0, "1-URGENT"), (6L, "O", 3500.0, "1-URGENT"),
+      (7L, "P", 100000.0, "1-URGENT"))) // P must not shift either ECDF
+    val r = Stats.ksDrift(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 4L, "n_a")
+    assert(r.head.getLong(1) == 2L, "n_b")
+    assert(r.head.getLong(2) == 1L, "at_bucket = smallest argmax")
+    assert(r.head.getDouble(3) == 0.75, "ks_q4")
+  }
+
+  test("ksDrift: identical distributions give zero distance") {
+    val d = plantOrders(Seq(
+      (1L, "F", 500.0, "1-URGENT"), (2L, "F", 1500.0, "1-URGENT"),
+      (3L, "O", 700.0, "1-URGENT"), (4L, "O", 1600.0, "1-URGENT")))
+    val r = Stats.ksDrift(spark, d).collect().head
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getLong(2) == 0L, "ties resolve to the first bucket")
+  }
+
+  test("chiSquared: staged integer cells match the hand computation") {
+    // 2x2: O = [[10,20],[30,40]], N=100, rT=(30,70), cT(F)=40, cT(O)=60
+    def rows(n: Int, from: Long, st: String, pr: String) =
+      (from until from + n).map(k => (k, st, 1000.0, pr))
+    val d = plantOrders(
+      rows(10, 0L, "F", "1-URGENT") ++ rows(20, 100L, "O", "1-URGENT") ++
+      rows(30, 200L, "F", "2-HIGH") ++ rows(40, 300L, "O", "2-HIGH"))
+    val got = Stats.chiSquared(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // cell_q6 = ((O^2*1e6 div rT) * N) div cT, e_q2 = rT*cT*100 div N
+    assert(got(("1-URGENT", "F")) == ((10L, 30L, 40L, 1200L, 8333332L)))
+    assert(got(("1-URGENT", "O")) == ((20L, 30L, 60L, 1800L, 22222221L)))
+    assert(got(("2-HIGH", "F")) == ((30L, 70L, 40L, 2800L, 32142855L)))
+    assert(got(("2-HIGH", "O")) == ((40L, 70L, 60L, 4200L, 38095236L)))
+    // sum - N*1e6 tracks the true chi-square (0.79365..*1e6) to within
+    // the <=2 micro-unit floor loss per cell
+    val chi2q6 = got.values.map(_._5).sum - 100L * 1000000L
+    assert(math.abs(chi2q6 - 793650L) <= 8L, s"got $chi2q6")
+  }
+
+  test("chiSquared: independent margins give near-zero statistic") {
+    // perfectly proportional table: O = [[8,12],[16,24]] => chi2 = 0
+    def rows(n: Int, from: Long, st: String, pr: String) =
+      (from until from + n).map(k => (k, st, 1000.0, pr))
+    val d = plantOrders(
+      rows(8, 0L, "F", "1-URGENT") ++ rows(12, 100L, "O", "1-URGENT") ++
+      rows(16, 200L, "F", "2-HIGH") ++ rows(24, 300L, "O", "2-HIGH"))
+    val cells = Stats.chiSquared(spark, d).collect()
+    val chi2q6 = cells.map(_.getLong(6)).sum - 60L * 1000000L
+    assert(chi2q6 <= 0L && chi2q6 >= -8L,
+      s"floors may undershoot zero by <=2 micro-units/cell, got $chi2q6")
+  }
+}

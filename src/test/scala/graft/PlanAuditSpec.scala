@@ -285,4 +285,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "KMV must not fall back to a row_number window over hashes")
   }
+
+  test("q151: ECDF runs on the compressed grid; scalars join as broadcasts") {
+    val df = SparkEntry.queries("q151_ks_drift")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // volume-sized work = the one grid aggregation; totals and d_max
+    // attach as one-row broadcast scalar joins, never re-shuffles
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+      "totals and d_max must attach as broadcast one-row cross joins")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    // the unpartitioned window is AFTER the grid aggregate (input =
+    // HashAggregate, bounded cells), not over raw order rows
+    assert(plan.contains("Window ["), "grid ECDF window expected")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("q152: single scan; marginals window over the bounded cell table") {
+    val df = SparkEntry.queries("q152_chi_squared")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"marginals must derive from the cell table, " +
+      s"not re-scan the source; found $scans scans")
+    assert(!"Join".r.findAllIn(plan).hasNext, "the statistic is join-free")
+    // windows are legitimate here ONLY because their input is the
+    // 15-row aggregated cell table, never raw order rows
+    assert(plan.contains("Window ["))
+    assert(plan.contains("HashAggregate"))
+  }
 }
