@@ -342,6 +342,10 @@ object SparkEntry {
     // Chi-squared independence from one groupBy + broadcast marginals;
     // per-cell quantized-integer terms, staged to stay in 38 digits
     "q152_chi_squared" -> ((s: SparkSession, d: String) => Stats.chiSquared(s, d)),
+    // Product-quantization encode (the PQ half of IVF-PQ): map-only,
+    // shuffle-free at any corpus size; integer-exact argmin on the
+    // 1e-6 grid against a closed-form codebook
+    "q153_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2701,6 +2705,44 @@ object SparkEntry {
         |JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus)
         |CROSS JOIN n
         |ORDER BY c.o_orderpriority, c.o_orderstatus""".stripMargin,
+    // q153: same closed-form codebook and 1e-6 grid; the argmin ties
+    // break to the smaller code on both sides (array_position first
+    // match == ROW_NUMBER ordered by (d2, c))
+    "q153_pq_codes" ->
+      """WITH js AS (SELECT range AS j FROM range(0, 64)),
+        |q AS (
+        |  SELECT vec_id, js.j,
+        |    CAST(FLOOR(CAST(embedding[js.j + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN js
+        |  WHERE len(embedding) = 64),
+        |cand AS (SELECT unnest([0, 1, 2, 3]) AS c),
+        |dist AS (
+        |  SELECT vec_id, j // 16 AS b, c,
+        |    SUM((q - (CASE WHEN j % 2 = 0
+        |           THEN CASE WHEN c < 2 THEN 250000 ELSE -250000 END
+        |           ELSE CASE WHEN c % 2 = 0 THEN 250000 ELSE -250000 END END))
+        |      * (q - (CASE WHEN j % 2 = 0
+        |           THEN CASE WHEN c < 2 THEN 250000 ELSE -250000 END
+        |           ELSE CASE WHEN c % 2 = 0 THEN 250000 ELSE -250000 END END)))
+        |      AS d2
+        |  FROM q CROSS JOIN cand GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT vec_id, b, c, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d2, c) AS rn
+        |  FROM dist)
+        |SELECT vec_id,
+        |  MAX(CASE WHEN b = 0 THEN c END) AS c0,
+        |  MAX(CASE WHEN b = 1 THEN c END) AS c1,
+        |  MAX(CASE WHEN b = 2 THEN c END) AS c2,
+        |  MAX(CASE WHEN b = 3 THEN c END) AS c3,
+        |  ((MAX(CASE WHEN b = 0 THEN c END) * 4
+        |    + MAX(CASE WHEN b = 1 THEN c END)) * 4
+        |    + MAX(CASE WHEN b = 2 THEN c END)) * 4
+        |    + MAX(CASE WHEN b = 3 THEN c END) AS code_packed,
+        |  CAST(SUM(d2) AS BIGINT) AS err_num
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // q149: sample k = ((doc_id*31 + k*17) mod 4001) - 2000 over
     // n = 64 + doc_id mod 32 samples; frame of k is (k*8) // n; the
     // HUGEINT energies are GROUP KEYS only, never outputs

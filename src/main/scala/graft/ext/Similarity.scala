@@ -343,4 +343,66 @@ object Similarity {
         coalesce($"n_survivors", lit(0)).as("n_survivors"))
       .orderBy($"label")
   }
+
+  /** Product-quantization encoding — the vector-compression half of a
+    * production ANN index (IVF-PQ): each 64-dim embedding splits
+    * into 4 sub-vectors of 16 dims and each sub-vector is replaced
+    * by the id of its nearest codebook centroid, compressing
+    * 64 × 4 bytes to 4 codes (+ the reconstruction error for recall
+    * accounting). Pairs with [[ivfTopK]] (the coarse cell routing):
+    * IVF prunes which vectors to score, PQ shrinks what each
+    * comparison reads.
+    *
+    * Scale shape: map-only — codes are a pure function of the row,
+    * so the operator is shuffle-free at any corpus size (the one
+    * sort is presentation). A trained codebook would broadcast in
+    * the same shape; here the codebook is closed-form (centroid c
+    * of any block: +0.25 on even dims / ±0.25 by the c bit pattern —
+    * c=0:(+,+), 1:(+,−), 2:(−,+), 3:(−,−)) so the oracle can
+    * reproduce it without an artifact exchange.
+    *
+    * Exactness: coordinates quantize to the 1e-6 grid (the q82
+    * recipe — floor of a CAST-to-DOUBLE product), distances are
+    * integer sums (per-dim diff ≤ ~8e5, squared ×16 dims ≪ int64),
+    * and the argmin breaks ties to the smaller code via
+    * array_position's first-match semantics. 256 fused-HOF integer
+    * ops per row; if PQ encode ever becomes the hot stage, the
+    * CosineSimilarity codegen pattern is the next gear — but a
+    * shuffle-free map stage is rarely the bottleneck.
+    */
+  def pqCodes(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dims = 64
+    val blocks = 4
+    val sub = dims / blocks // 16
+    def dist(b: Int, c: Int): Column = {
+      val sEven = if (c < 2) 250000L else -250000L
+      val sOdd = if (c % 2 == 0) 250000L else -250000L
+      expr(
+        s"""aggregate(sequence(0, ${sub - 1}), CAST(0 AS BIGINT),
+           |  (acc, j) -> acc +
+           |    (CAST(floor(CAST(element_at(embedding, j + ${b * sub + 1})
+           |       AS DOUBLE) * 1000000.0) AS BIGINT)
+           |     - (CASE WHEN j % 2 = 0 THEN $sEven ELSE $sOdd END))
+           |    *
+           |    (CAST(floor(CAST(element_at(embedding, j + ${b * sub + 1})
+           |       AS DOUBLE) * 1000000.0) AS BIGINT)
+           |     - (CASE WHEN j % 2 = 0 THEN $sEven ELSE $sOdd END)))
+           |""".stripMargin.replace('\n', ' '))
+    }
+    val withDists = Tables.embeddings(spark, d)
+      .filter(size($"embedding") === dims)
+      .select($"vec_id" +: (0 until blocks).map(b =>
+        array((0 until 4).map(c => dist(b, c)): _*).as(s"d$b")): _*)
+    val coded = (0 until blocks).foldLeft(withDists) { (df, b) =>
+      df.withColumn(s"c$b",
+          (array_position(col(s"d$b"), array_min(col(s"d$b"))) - 1)
+            .cast("int"))
+        .withColumn(s"e$b", array_min(col(s"d$b")))
+    }
+    coded.select($"vec_id", $"c0", $"c1", $"c2", $"c3",
+        ((($"c0" * 4 + $"c1") * 4 + $"c2") * 4 + $"c3").as("code_packed"),
+        ($"e0" + $"e1" + $"e2" + $"e3").as("err_num"))
+      .orderBy($"vec_id")
+  }
 }

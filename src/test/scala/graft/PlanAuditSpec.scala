@@ -300,6 +300,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("q153: PQ encode is map-only — no join, no window, no aggregate exchange") {
+    val df = SparkEntry.queries("q153_pq_codes")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!"Join".r.findAllIn(plan).hasNext, "codes are a pure row function")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("HashAggregate"),
+      "per-block argmin folds inside the row, never via a groupBy")
+    // the only exchange is the presentation sort's range partitioning
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"map-only up to the final sort, found $exchanges")
+  }
+
   test("q152: single scan; marginals window over the bounded cell table") {
     val df = SparkEntry.queries("q152_chi_squared")(spark, d)
     val plan = df.queryExecution.executedPlan.toString

@@ -57,4 +57,50 @@ class SimilaritySpec extends SparkSpec {
 
     assert(got.toSeq == want.toSeq)
   }
+
+  test("pqCodes: codes and error match a brute-force Scala reference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    // 3 planted vectors: block-constant sign patterns, a mixed vector,
+    // and an all-zero vector (equidistant from all 4 centroids — the
+    // tie must break to code 0)
+    val vecs = Seq(
+      1L -> Array.tabulate(64)(j => if (j % 2 == 0) 0.3f else -0.3f),
+      2L -> Array.tabulate(64)(j =>
+        (if ((j / 16) % 2 == 0) 1 else -1) * (if (j % 2 == 0) 0.1f else 0.2f)),
+      3L -> Array.fill(64)(0.0f))
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    // reference implementation, independently written
+    def ref(v: Array[Float]): (Seq[Int], Long) = {
+      val q = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      val perBlock = (0 until 4).map { b =>
+        val ds = (0 until 4).map { c =>
+          (0 until 16).map { j =>
+            val cent = if (j % 2 == 0) (if (c < 2) 250000L else -250000L)
+                       else (if (c % 2 == 0) 250000L else -250000L)
+            val diff = q(b * 16 + j) - cent
+            diff * diff
+          }.sum
+        }
+        val best = ds.zipWithIndex.minBy { case (d2, c) => (d2, c) }
+        (best._2, best._1)
+      }
+      (perBlock.map(_._1), perBlock.map(_._2).sum)
+    }
+    val want = vecs.map { case (id, v) =>
+      val (codes, err) = ref(v)
+      (id, codes(0), codes(1), codes(2), codes(3),
+        ((codes(0) * 4 + codes(1)) * 4 + codes(2)) * 4 + codes(3), err)
+    }
+    val got = graft.ext.Similarity.pqCodes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6)))
+    assert(got.toSeq == want)
+    // sanity on the intended geometry, not just self-consistency
+    assert(want.head._2 == 1, "(+,-) pattern must take code 1 in block 0")
+    assert(want(2)._2 == 0 && want(2)._7 == 64L * 250000L * 250000L,
+      "all-zero vector ties to code 0 at the known distance")
+  }
 }
