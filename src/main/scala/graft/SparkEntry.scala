@@ -346,6 +346,10 @@ object SparkEntry {
     // shuffle-free at any corpus size; integer-exact argmin on the
     // 1e-6 grid against a closed-form codebook
     "q153_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
+    // Interval-overlap join: hour-cell fragments turn the range join
+    // into an equi-join on (user, cell); clipped per-cell overlaps
+    // sum exactly, pairs count once at their overlap-start cell
+    "q154_interval_overlap" -> ((s: SparkSession, d: String) => Events.intervalOverlap(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2743,6 +2747,22 @@ object SparkEntry {
         |  CAST(SUM(d2) AS BIGINT) AS err_num
         |FROM best WHERE rn = 1
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q154: the oracle answers with the NAIVE range join (a different
+    // algorithm — fragment clipping has to reproduce it exactly)
+    "q154_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + 1200000000 AS hi
+        |  FROM events WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + 600000000 AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT a.user_id, LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS ov
+        |  FROM a JOIN b ON a.user_id = b.user_id
+        |    AND a.lo < b.hi AND b.lo < a.hi)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(ov) AS BIGINT) AS overlap_us
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q149: sample k = ((doc_id*31 + k*17) mod 4001) - 2000 over
     // n = 64 + doc_id mod 32 samples; frame of k is (k*8) // n; the
     // HUGEINT energies are GROUP KEYS only, never outputs

@@ -516,4 +516,53 @@ object Events {
           .as("acf"))
       .orderBy($"event_type", $"lag")
   }
+
+  /** Keyed interval-overlap join — per user, total overlap time (and
+    * pair count) between view presence windows [ts, ts+20 min) and
+    * purchase attention windows [ts, ts+10 min): the ad-attribution /
+    * exposure-accounting join where BOTH sides are intervals, so
+    * neither an equi-join nor an as-of join expresses it.
+    *
+    * Scale shape: the naive form is a range-predicate join (Spark
+    * plans a per-key cartesian with a post-filter; at 100 TB the hot
+    * keys explode). Here each interval fragments into the hour cells
+    * it touches map-side (≤2 cells for these durations — the q139
+    * grain knob: cell width caps fragment fan-out) and the join
+    * becomes a plain EQUI-join on (user, cell), so Spark hash-joins
+    * it and per-task work is bounded by per-(user, hour) density,
+    * never per-user totals. Overlap sums clip to cell bounds — cells
+    * partition the timeline, so per-cell clipped overlaps add to
+    * exactly the pair overlap with no double count — and each pair
+    * counts once, in the cell holding its overlap START (that cell's
+    * clipped contribution is positive iff the pair truly overlaps,
+    * so the HAVING keeps exactly the oracle's pair set). All epoch
+    * micros, integer-exact.
+    */
+  def intervalOverlap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, d)
+    def iv(t: String, durUs: Long, p: String) = ev
+      .filter($"event_type" === t)
+      .select($"user_id", unix_micros($"ts").as(s"${p}_lo"),
+        (unix_micros($"ts") + durUs).as(s"${p}_hi"))
+      .withColumn("cell", explode(sequence(
+        expr(s"${p}_lo div $hourUs"), expr(s"(${p}_hi - 1) div $hourUs"))))
+    val a = iv("view", 1200000000L, "a")
+    val b = iv("purchase", 600000000L, "b")
+    a.join(b, Seq("user_id", "cell"))
+      .withColumn("cl",
+        greatest($"a_lo", $"b_lo", $"cell" * hourUs))
+      .withColumn("ch",
+        least($"a_hi", $"b_hi", ($"cell" + 1) * hourUs))
+      .withColumn("contrib", greatest($"ch" - $"cl", lit(0L)))
+      .withColumn("starts_here",
+        $"cell" === expr(s"greatest(a_lo, b_lo) div $hourUs") &&
+          $"contrib" > 0)
+      .groupBy($"user_id")
+      .agg(sum(when($"starts_here", 1L).otherwise(0L)).as("n_pairs"),
+        sum($"contrib").as("overlap_us"))
+      .filter($"n_pairs" > 0)
+      .orderBy($"user_id")
+  }
 }

@@ -594,4 +594,26 @@ class BehaviorSpec extends SparkSpec {
     assert(got((0, 3)) > 0.9 && got((0, 3)) < 1.0,
       "qty~qty² is monotone but not linear")
   }
+
+  test("intervalOverlap: cell-boundary split sums once, zero-overlap drops") {
+    // view = [ts, ts+1200s), purchase = [ts, ts+600s); day0 is on an
+    // hour boundary so cell arithmetic is easy to hand-check.
+    val d = plantEvents(Seq(
+      // u1: two purchases inside one view, same hour cell
+      (1L, day0, 1L, "view", None),            // [0, 1200)
+      (2L, day0 + 600, 1L, "purchase", None),  // [600, 1200)  ov 600s
+      (3L, day0 + 100, 1L, "purchase", None),  // [100, 700)   ov 600s
+      // u2: overlap [3550, 4150) crosses the hour boundary at 3600 —
+      // 50s in cell 0 + 550s in cell 1, pair must count ONCE
+      (4L, day0 + 3000, 2L, "view", None),     // [3000, 4200)
+      (5L, day0 + 3550, 2L, "purchase", None), // [3550, 4150)
+      // u3: same hour cell but no overlap — must drop entirely
+      (6L, day0, 3L, "view", None),            // [0, 1200)
+      (7L, day0 + 2000, 3L, "purchase", None)))// [2000, 2600)
+    val got = graft.ext.Events.intervalOverlap(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1200000000L)),
+      2L -> ((1L, 600000000L))), s"got $got")
+  }
 }

@@ -312,6 +312,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"map-only up to the final sort, found $exchanges")
   }
 
+  test("q154: interval overlap joins as a hash equi-join on (user, cell)") {
+    val df = SparkEntry.queries("q154_interval_overlap")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the range predicate must never reach the join operator")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "fragments must meet in an equi-join")
+    assert(!plan.contains("Window"))
+  }
+
   test("q152: single scan; marginals window over the bounded cell table") {
     val df = SparkEntry.queries("q152_chi_squared")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
