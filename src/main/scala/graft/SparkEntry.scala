@@ -350,6 +350,10 @@ object SparkEntry {
     // into an equi-join on (user, cell); clipped per-cell overlaps
     // sum exactly, pairs count once at their overlap-start cell
     "q154_interval_overlap" -> ((s: SparkSession, d: String) => Events.intervalOverlap(s, d)),
+    // Connected components via HashMin propagation: one O(E) keyed
+    // shuffle per round, scalar-agg convergence proof; the oracle
+    // labels by recursive transitive closure instead
+    "q155_connected_components" -> ((s: SparkSession, d: String) => Graph.connectedComponents(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2763,6 +2767,28 @@ object SparkEntry {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(ov) AS BIGINT) AS overlap_us
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q155: components by a DIFFERENT algorithm — recursive transitive
+    // closure, MIN over reachable labels (closure rows bounded by
+    // sum of squared burst sizes; bursts are short by construction)
+    "q155_connected_components" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |    epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |e0 AS (
+        |  SELECT k, LAG(k) OVER (PARTITION BY c ORDER BY day, k) AS pk,
+        |    day - LAG(day) OVER (PARTITION BY c ORDER BY day, k) AS gap
+        |  FROM o),
+        |e AS (SELECT k AS src, pk AS dst
+        |      FROM e0 WHERE pk IS NOT NULL AND gap <= 7),
+        |sym AS (SELECT src, dst FROM e
+        |        UNION SELECT dst AS src, src AS dst FROM e),
+        |reach AS (
+        |  SELECT k AS n, k AS l FROM o
+        |  UNION
+        |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
+        |SELECT n AS o_orderkey, MIN(l) AS component
+        |FROM reach GROUP BY n ORDER BY n""".stripMargin,
     // q149: sample k = ((doc_id*31 + k*17) mod 4001) - 2000 over
     // n = 64 + doc_id mod 32 samples; frame of k is (k*8) // n; the
     // HUGEINT energies are GROUP KEYS only, never outputs

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -302,5 +303,77 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(perEdge.agg(coalesce(sum($"t"), lit(0L)).as("n_triangles")))
+  }
+
+  /** Connected components of the purchase-burst graph — orders of the
+    * same customer link when ≤7 days apart in that customer's order
+    * sequence, and a component is one shopping burst (the entity-
+    * resolution / dedup-cluster primitive as a first-class operator:
+    * q54's resolveClusters labels the bounded dup-pair graph, this
+    * labels an arbitrary edge frame to a fixpoint with a convergence
+    * proof per round).
+    *
+    * Algorithm: HashMin label propagation. Every node starts as its
+    * own label; each round every node takes the min of its label and
+    * its neighbors' — one edge-frame equi-join + one min aggregate,
+    * i.e. one O(E) keyed shuffle per round, the edge frame hash-
+    * partitioned once and reused (the pageRankOnEdges discipline).
+    * Convergence is detected with a one-row scalar aggregate — the
+    * label sum is strictly decreasing until fixpoint, so equal sums
+    * on consecutive rounds ⇔ converged — never a changed-rows join.
+    * Rounds needed = component diameter; burst chains bound it by
+    * the max orders-per-customer run, and `maxIters` guards the
+    * adversarial case (the published O(log n) fix — large-star/
+    * small-star contraction, Kiveris et al. — is the next gear if an
+    * input ever needs it; the round structure here is its inner
+    * primitive).
+    *
+    * Day arithmetic is integer days-since-1970 (Spark `datediff`
+    * from the epoch ≡ DuckDB `epoch_us // 86400e6` for the midnight
+    * timestamps here) — no calendar semantics to diverge. The oracle
+    * computes components by a DIFFERENT algorithm entirely (recursive
+    * transitive closure + MIN over reachable labels), so the hash
+    * gate proves the propagation fixpoint equals true reachability.
+    */
+  def connectedComponents(spark: SparkSession, d: String,
+                          maxIters: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val o = Tables.orders(spark, d).select($"o_custkey".as("c"),
+      $"o_orderkey".as("k"),
+      datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("day"))
+    val w = Window.partitionBy($"c").orderBy($"day", $"k")
+    val e = o
+      .withColumn("pk", lag($"k", 1).over(w))
+      .withColumn("pd", lag($"day", 1).over(w))
+      .filter($"pk".isNotNull && $"day" - $"pd" <= 7)
+      .select($"k".as("src"), $"pk".as("dst"))
+    val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      .repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = o.select($"k".as("node"), $"k".as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      round += 1
+      val prop = sym
+        .join(labels.select($"node".as("src"), $"label"), "src")
+        .select($"dst".as("node"), $"label")
+      val next = labels.unionAll(prop)
+        .groupBy($"node").agg(min($"label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next) // materializes the round's cache too
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+    }
+    sym.unpersist()
+    graft.Derived.adopt(labels)
+    labels.select($"node".as("o_orderkey"), $"label".as("component"))
+      .orderBy($"o_orderkey")
   }
 }

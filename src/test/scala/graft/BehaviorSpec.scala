@@ -595,6 +595,27 @@ class BehaviorSpec extends SparkSpec {
       "qty~qty² is monotone but not linear")
   }
 
+  test("connectedComponents: planted bursts split on the 7-day gap") {
+    // cust 1: 10-11 linked (gap 4), 12 starts a new burst (gap 15),
+    //         12-13 linked (gap 4)
+    // cust 2: singleton
+    // cust 3: same-day pair 30,31 then 32 at gap 6 — a 3-chain that
+    //         needs two propagation rounds to settle on label 30
+    val d = plantOrders(Seq(
+      (10L, 1L, "2024-01-01", 10.0, "1-URGENT"),
+      (11L, 1L, "2024-01-05", 10.0, "1-URGENT"),
+      (12L, 1L, "2024-01-20", 10.0, "1-URGENT"),
+      (13L, 1L, "2024-01-24", 10.0, "1-URGENT"),
+      (20L, 2L, "2024-03-01", 10.0, "1-URGENT"),
+      (31L, 3L, "2024-02-01", 10.0, "1-URGENT"),
+      (30L, 3L, "2024-02-01", 10.0, "1-URGENT"),
+      (32L, 3L, "2024-02-07", 10.0, "1-URGENT")))
+    val got = Graph.connectedComponents(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 12L,
+      20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L), s"got $got")
+  }
+
   test("intervalOverlap: cell-boundary split sums once, zero-overlap drops") {
     // view = [ts, ts+1200s), purchase = [ts, ts+600s); day0 is on an
     // hour boundary so cell arithmetic is easy to hand-check.
