@@ -354,6 +354,9 @@ object SparkEntry {
     // shuffle per round, scalar-agg convergence proof; the oracle
     // labels by recursive transitive closure instead
     "q155_connected_components" -> ((s: SparkSession, d: String) => Graph.connectedComponents(s, d)),
+    // Shuffle-balance audit: per-reducer load/keys/hottest-key table
+    // from one map-side-combinable groupBy + a bounded pid rollup
+    "q156_partition_balance" -> ((s: SparkSession, d: String) => Extended.partitionBalance(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2789,6 +2792,25 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q156: same bijective multiplicative hash (the house one, cf.
+    // q110/q132), per-key counts then the pid rollup
+    "q156_partition_balance" ->
+      """WITH pk AS (
+        |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT (k % 2147483647) * 2654435761 % 2147483647 % 32 AS pid, cnt
+        |  FROM pk),
+        |b AS (
+        |  SELECT pid, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    MAX(cnt) AS hottest_key_rows
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+        |SELECT pid, n_rows, n_keys, hottest_key_rows,
+        |  ROUND(CAST(n_rows AS DOUBLE) * 32 / CAST(total AS DOUBLE)
+        |    * 10000, 0) / 10000 + 0.0 AS load_q4
+        |FROM b CROSS JOIN t ORDER BY pid""".stripMargin,
     // q149: sample k = ((doc_id*31 + k*17) mod 4001) - 2000 over
     // n = 64 + doc_id mod 32 samples; frame of k is (k*8) // n; the
     // HUGEINT energies are GROUP KEYS only, never outputs

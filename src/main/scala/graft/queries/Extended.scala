@@ -715,4 +715,41 @@ object Extended {
         round(max($"value").cast("double"), 2).as("max_v"))
       .orderBy($"metric")
   }
+
+  /** Shuffle-balance audit — the diagnostic you run BEFORE committing
+    * a 100 TB job to a partitioning: simulate hash-distributing the
+    * fact table across `parts` reducers on its join key and report
+    * each reducer's load, key count, and hottest single key. Reads
+    * directly as a decision table: `load_q4` ≫ 1 on some pid ⇒ salt
+    * or AQE-skew-join that key range; `hottest_key_rows` ≈ `n_rows`
+    * ⇒ one key owns the reducer, so MORE partitions won't help —
+    * only salting the key itself will (the [[graft.operators.SaltedJoin]]
+    * / SaltedAgg escalation this table justifies).
+    *
+    * Scale shape: per-key counts first (map-side combinable groupBy —
+    * the only volume-sized pass), then a `parts`-row rollup; the
+    * total attaches as a window over the BOUNDED pid table. The
+    * simulated assignment uses the engine-portable multiplicative
+    * hash (bijective mod P, so it measures real dispersion and both
+    * engines agree bit-for-bit), not Spark's internal Murmur3 — the
+    * audit models "a hash partitioner", deterministically, rather
+    * than mirroring one engine's private hash.
+    */
+  def partitionBalance(spark: SparkSession, d: String,
+                       parts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    val perKey = Tables.lineitem(spark, d)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+      .withColumn("pid",
+        expr(s"(l_orderkey % $P) * 2654435761 % $P % $parts"))
+    perKey.groupBy($"pid")
+      .agg(sum($"cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+        max($"cnt").as("hottest_key_rows"))
+      .withColumn("total", sum($"n_rows").over(Window.partitionBy()))
+      .select($"pid", $"n_rows", $"n_keys", $"hottest_key_rows",
+        graft.Num.r4($"n_rows".cast("double") * parts /
+          $"total".cast("double")).as("load_q4"))
+      .orderBy($"pid")
+  }
 }

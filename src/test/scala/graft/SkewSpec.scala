@@ -90,4 +90,32 @@ class SkewSpec extends SparkSpec {
       .groupBy($"__salt").count()
     assert(partials.count() == 8, "hot key should fan out across salt buckets")
   }
+
+  test("partitionBalance: planted hot key surfaces as its reducer's load") {
+    // lineitem plant: key 7 owns 900 of 1000 rows; 100 other keys get
+    // one row each. The audit must (a) reproduce a brute-force Scala
+    // reference of the same hash exactly and (b) put ~90% load and
+    // hottest_key_rows == n_rows on key 7's pid.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bal").toString
+    val keys = Seq.fill(900)(7L) ++ (100L until 200L)
+    keys.toDF("l_orderkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val P = 2147483647L
+    def pid(k: Long) = (k % P) * 2654435761L % P % 32
+    val want = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .groupBy { case (k, _) => pid(k) }
+      .map { case (p, m) =>
+        val rows = m.values.sum
+        p -> ((rows, m.size.toLong, m.values.max,
+          math.round(rows.toDouble * 32 / 1000 * 10000) / 10000.0))
+      }
+    val got = graft.queries.Extended.partitionBalance(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == want, s"got $got\nwant $want")
+    val hot = got(pid(7L))
+    assert(hot._3 == 900L && hot._1 >= 900L, "hot key owns its reducer")
+    assert(hot._4 > 25.0, "load factor must flag the 90% reducer (~28.8x)")
+  }
 }
