@@ -357,6 +357,13 @@ object SparkEntry {
     // Shuffle-balance audit: per-reducer load/keys/hottest-key table
     // from one map-side-combinable groupBy + a bounded pid rollup
     "q156_partition_balance" -> ((s: SparkSession, d: String) => Extended.partitionBalance(s, d)),
+    // CBO join-size forecast: bucketed key histograms, buckets-row
+    // join, validated in-query against the true join count
+    "q157_join_forecast" -> ((s: SparkSession, d: String) => Extended.joinSizeForecast(s, d)),
+    // Linear multi-touch attribution: one-sided hour-cell fragments
+    // (each click lands in exactly one cell — no dedup), exact
+    // largest-remainder penny split ordered by (c_ts, c_id)
+    "q158_multi_touch" -> ((s: SparkSession, d: String) => Behavior.multiTouchAttribution(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2792,6 +2799,53 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q158: the oracle uses a plain range join (no fragmenting) and
+    // the same (c_ts, c_id)-ordered largest-remainder split
+    "q158_multi_touch" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts, event_id AS p_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_ts, event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.p_id, p.cents, c.c_ts, c.c_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts BETWEEN p.p_ts - 3600000000 AND p.p_ts),
+        |r AS (
+        |  SELECT p_id, cents, c_ts, c_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts, c_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS k
+        |  FROM j)
+        |SELECT c_ts // 86400000000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(cents // k
+        |    + CASE WHEN rn <= cents % k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS credited_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q157: same bucketed histograms; HUGEINT product sum, BIGINT edge
+    "q157_join_forecast" ->
+      """WITH ca AS (
+        |  SELECT (o_orderkey % 2147483647) * 2654435761 % 2147483647 % 1024
+        |    AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_a
+        |  FROM orders GROUP BY 1),
+        |cb AS (
+        |  SELECT (l_orderkey % 2147483647) * 2654435761 % 2147483647 % 1024
+        |    AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_b
+        |  FROM lineitem GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(SUM(CAST(cnt_a AS HUGEINT) * cnt_b) AS BIGINT)
+        |    AS forecast
+        |  FROM ca JOIN cb USING (bucket)),
+        |e AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT forecast, exact,
+        |  ROUND(CAST(forecast AS DOUBLE) / CAST(exact AS DOUBLE)
+        |    * 10000, 0) / 10000 + 0.0 AS over_q4
+        |FROM f CROSS JOIN e""".stripMargin,
     // q156: same bijective multiplicative hash (the house one, cf.
     // q110/q132), per-key counts then the pid rollup
     "q156_partition_balance" ->

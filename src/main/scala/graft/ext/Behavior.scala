@@ -120,4 +120,50 @@ object Behavior {
       .orderBy($"n_users".desc, $"path")
       .limit(20)
   }
+
+  /** Linear multi-touch attribution with EXACT penny allocation —
+    * every purchase splits its cents equally across the user's
+    * clicks in the preceding hour, and the integer remainder goes to
+    * the EARLIEST clicks (largest-remainder / Hamilton rounding with
+    * a deterministic order), so credits conserve money to the cent:
+    * per purchase, Σ credits = cents, always — the property float
+    * splits can't give and finance reconciliation demands. q141 is
+    * the last-touch policy; this is the linear one.
+    *
+    * Join shape: a point-in-interval join, fragmented like q154 but
+    * one-sided — only the purchase's [p_ts−1h, p_ts] window
+    * fragments into its ≤2 hour cells; a click is a point in exactly
+    * ONE cell, so the (user, cell) equi-join meets every qualifying
+    * pair exactly once with no dedup step. Per-purchase work
+    * (count + rank windows keyed by the purchase id) is bounded by
+    * clicks-per-user-hour, never by totals.
+    */
+  def multiTouchAttribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, d)
+    val p = ev.filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("p_ts"),
+        $"event_id".as("p_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("cell", explode(sequence(
+        expr(s"(p_ts - $hourUs) div $hourUs"), expr(s"p_ts div $hourUs"))))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("c_ts"),
+        $"event_id".as("c_id"))
+      .withColumn("cell", expr(s"c_ts div $hourUs"))
+    val pairs = p.join(c, Seq("user_id", "cell"))
+      .filter($"c_ts" >= $"p_ts" - hourUs && $"c_ts" <= $"p_ts")
+    val byP = Window.partitionBy($"p_id")
+    val credited = pairs
+      .withColumn("k", count(lit(1)).over(byP))
+      .withColumn("rn",
+        row_number().over(byP.orderBy($"c_ts", $"c_id")))
+      .withColumn("credit", expr("cents div k") +
+        when($"rn" <= expr("cents % k"), 1L).otherwise(0L))
+    credited
+      .groupBy(expr(s"c_ts div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_credits"), sum($"credit").as("credited_cents"))
+      .orderBy($"day")
+  }
 }

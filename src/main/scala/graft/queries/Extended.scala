@@ -735,6 +735,50 @@ object Extended {
     * audit models "a hash partitioner", deterministically, rather
     * than mirroring one engine's private hash.
     */
+  /** Join-size forecast from bucketed key histograms — the
+    * cost-based-optimizer statistic behind "should this join
+    * broadcast, and how many shuffle partitions does its output
+    * need": |A ⋈ B| estimated as Σ_b cntA(b)·cntB(b) over a hashed
+    * key-bucket grid, the classic equi-width histogram bound (exact
+    * when buckets resolve single keys; over-counts by the
+    * keys-per-bucket collision factor otherwise — for the 1:N key
+    * here the forecast ≈ rows·keys/buckets, and the reported ratio
+    * quantifies it). Validated in-query against the true join count,
+    * so the output row carries forecast, truth, and the over-ratio;
+    * in production only the forecast side runs — two map-side-
+    * combinable groupBys and a buckets-row join, never the join
+    * itself.
+    *
+    * Same bijective multiplicative hash as [[partitionBalance]]
+    * (deterministic, engine-portable); products sum in
+    * DECIMAL(38,0) — per-bucket products pass int64 as soon as both
+    * sides exceed ~3e9 rows/bucket-side — and the forecast returns
+    * to BIGINT at the edge.
+    */
+  def joinSizeForecast(spark: SparkSession, d: String,
+                       buckets: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    def hist(df: DataFrame, key: String) = df
+      .groupBy(expr(s"($key % $P) * 2654435761 % $P % $buckets").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val ca = hist(Tables.orders(spark, d), "o_orderkey")
+      .withColumnRenamed("cnt", "cnt_a")
+    val cb = hist(Tables.lineitem(spark, d), "l_orderkey")
+      .withColumnRenamed("cnt", "cnt_b")
+    val forecast = ca.join(cb, "bucket")
+      .agg(sum(($"cnt_a".cast("decimal(38,0)") * $"cnt_b"))
+        .cast("long").as("forecast"))
+    val exact = Tables.orders(spark, d).select($"o_orderkey")
+      .join(Tables.lineitem(spark, d).select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .agg(count(lit(1)).as("exact"))
+    forecast.crossJoin(broadcast(exact))
+      .select($"forecast", $"exact",
+        graft.Num.r4($"forecast".cast("double") / $"exact".cast("double"))
+          .as("over_q4"))
+  }
+
   def partitionBalance(spark: SparkSession, d: String,
                        parts: Int = 32): DataFrame = {
     import spark.implicits._

@@ -616,6 +616,39 @@ class BehaviorSpec extends SparkSpec {
       20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L), s"got $got")
   }
 
+  test("multiTouchAttribution: pennies conserve, remainder to earliest clicks") {
+    val d = plantEvents(Seq(
+      // u1: 100c at +7200; window [3600, 7200] spans two hour cells.
+      // 3 clicks -> 33c each, remainder 1 to the EARLIEST (+6600)
+      (1L, day0 + 7200, 1L, "purchase", Some(1.00)),
+      (2L, day0 + 6600, 1L, "click", None),
+      (3L, day0 + 6800, 1L, "click", None),
+      (4L, day0 + 7000, 1L, "click", None),
+      // u2: 50c at +10000; boundary clicks at exactly p_ts-3600 and
+      // p_ts are IN; 6399 and 10001 are OUT
+      (5L, day0 + 10000, 2L, "purchase", Some(0.50)),
+      (6L, day0 + 6400, 2L, "click", None),
+      (7L, day0 + 10000, 2L, "click", None),
+      (8L, day0 + 6399, 2L, "click", None),
+      (9L, day0 + 10001, 2L, "click", None),
+      // u3: a click with no purchase and a purchase with no click
+      (10L, day0 + 6900, 3L, "click", None),
+      (11L, day0 + 50000, 3L, "purchase", Some(9.99)),
+      // u4 next day: 3c over 4 clicks -> 1,1,1,0 (k > cents; the
+      // 0.03*100 product rounds to exactly 3.0 in IEEE doubles)
+      (12L, day0 + 86400 + 1800, 4L, "purchase", Some(0.03)),
+      (13L, day0 + 86400, 4L, "click", None),
+      (14L, day0 + 86400 + 600, 4L, "click", None),
+      (15L, day0 + 86400 + 1200, 4L, "click", None),
+      (16L, day0 + 86400 + 1500, 4L, "click", None)))
+    val got = Behavior.multiTouchAttribution(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val day = (day0 + 0) / 86400
+    assert(got.toSeq == Seq((day, 5L, 150L), (day + 1, 4L, 3L)), s"got ${got.toSeq}")
+    // conservation: credited == full cents of every attributed purchase
+    assert(got.map(_._3).sum == 100L + 50L + 3L)
+  }
+
   test("intervalOverlap: cell-boundary split sums once, zero-overlap drops") {
     // view = [ts, ts+1200s), purchase = [ts, ts+600s); day0 is on an
     // hour boundary so cell arithmetic is easy to hand-check.

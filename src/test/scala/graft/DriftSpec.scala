@@ -74,6 +74,33 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(chi2q6 - 793650L) <= 8L, s"got $chi2q6")
   }
 
+  test("joinSizeForecast: exact when buckets resolve keys; collisions over-count") {
+    val dir = Files.createTempDirectory("graft-jsf").toString
+    val P = 2147483647L
+    def bucket(k: Long) = (k % P) * 2654435761L % P % 1024
+    // find a key colliding with key 1 in the 1024-bucket grid
+    val k2 = (2L to 100000L).find(k => bucket(k) == bucket(1L)).get
+    // A = {1, 5}, B = {k2, 5}: true join = 1 (key 5); the histogram
+    // cannot distinguish 1 from k2, so forecast = 2 and over_q4 = 2
+    Seq(1L, 5L).toDF("o_orderkey")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq(k2, 5L).toDF("l_orderkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Extended.joinSizeForecast(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 1L, 2.0)))
+
+    // collision-free plant: forecast must equal the true join size
+    val dir2 = Files.createTempDirectory("graft-jsf2").toString
+    Seq(1L, 2L, 3L).toDF("o_orderkey")
+      .coalesce(1).write.parquet(s"$dir2/orders.parquet")
+    Seq(1L, 1L, 2L, 7L).toDF("l_orderkey")
+      .coalesce(1).write.parquet(s"$dir2/lineitem.parquet")
+    assert(Seq(1L, 2L, 3L, 7L).map(bucket).distinct.size == 4,
+      "plant invariant: no accidental collisions")
+    val r2 = graft.queries.Extended.joinSizeForecast(spark, dir2).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2)) == ((3L, 3L, 1.0)))
+  }
+
   test("chiSquared: independent margins give near-zero statistic") {
     // perfectly proportional table: O = [[8,12],[16,24]] => chi2 = 0
     def rows(n: Int, from: Long, st: String, pr: String) =

@@ -324,6 +324,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("q158: attribution pairs meet in an equi-join; windows key by purchase") {
+    val df = SparkEntry.queries("q158_multi_touch")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the window predicate must stay a post-equi-join filter")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("p_id#"),
+      s"rank/count windows must partition by the purchase id:\n$w"))
+  }
+
   test("q152: single scan; marginals window over the bounded cell table") {
     val df = SparkEntry.queries("q152_chi_squared")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
