@@ -364,6 +364,9 @@ object SparkEntry {
     // (each click lands in exactly one cell — no dedup), exact
     // largest-remainder penny split ordered by (c_ts, c_id)
     "q158_multi_touch" -> ((s: SparkSession, d: String) => Behavior.multiTouchAttribution(s, d)),
+    // CUSUM change-point: integer-exact S_t = cum*D - t*T on the
+    // span-bounded day grid; argmax in DECIMAL, r4 only at the edge
+    "q159_cusum_changepoint" -> ((s: SparkSession, d: String) => Stats.cusumChangepoint(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2799,6 +2802,32 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q159: same integer CUSUM; DuckDB cumulative/total sums land in
+    // HUGEINT which is the same exact arithmetic
+    "q159_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS nd,
+        |    CAST(SUM(x) AS HUGEINT) AS t
+        |  FROM daily),
+        |s AS (
+        |  SELECT day, nd, t,
+        |    ABS(CAST(SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |          AS HUGEINT) * nd
+        |        - CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) * t)
+        |      AS s_t
+        |  FROM daily CROSS JOIN tot),
+        |m AS (SELECT MAX(s_t) AS s_max FROM s)
+        |SELECT MIN(s.day) AS change_day, CAST(s.nd AS BIGINT) AS n_days,
+        |  ROUND(CAST(m.s_max AS DOUBLE)
+        |    / (CAST(s.nd AS DOUBLE) * CAST(s.t AS DOUBLE)) * 10000, 0)
+        |    / 10000 + 0.0 AS cusum_q4
+        |FROM s JOIN m ON s.s_t = m.s_max
+        |GROUP BY s.nd, s.t, m.s_max""".stripMargin,
     // q158: the oracle uses a plain range join (no fragmenting) and
     // the same (c_ts, c_id)-ordered largest-remainder split
     "q158_multi_touch" ->

@@ -704,6 +704,50 @@ object Stats {
     * against a hand-computed table (a mirrored oracle alone would
     * not catch a wrong formula on both sides).
     */
+  /** CUSUM change-point localization over the daily-revenue series —
+    * the "WHEN did the distribution shift" companion to [[ksDrift]]'s
+    * "did it shift": S_t = Σ_{i≤t}(x_i − mean) peaks in magnitude at
+    * the last day of the old regime, and a pipeline alerts/backfills
+    * from that day forward. Computed in the integer-exact form
+    * S_t = cum_t·D − t·T (D days, T total) so no per-day mean
+    * subtraction ever touches a double; |S| and its argmax compare
+    * exactly in DECIMAL(38,0) (cum·D reaches ~1e16 at sf0.1 and
+    * ~1e19 past int64 at 100 TB), and only the normalized peak
+    * |S|/(D·T) ≤ 1 returns to double under r4.
+    *
+    * Scale shape: the one volume-sized pass is the groupBy onto the
+    * date domain (span-bounded — ~2.5k days whatever the row count,
+    * the q139/q151 grain argument); the cumulative window moves
+    * O(days), and totals/argmax attach as one-row broadcast scalar
+    * joins exactly like q151.
+    */
+  def cusumChangepoint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .groupBy(datediff($"o_orderdate", lit("1970-01-01")).cast("long")
+        .as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val tot = daily.agg(count(lit(1)).cast(dec).as("nd"),
+      sum($"x").cast(dec).as("t"))
+    val run = Window.orderBy($"day")
+    val scored = daily
+      .withColumn("cum", sum($"x").over(
+        run.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(dec))
+      .withColumn("idx", row_number().over(run).cast(dec))
+      .crossJoin(broadcast(tot))
+      .withColumn("s_t", abs($"cum" * $"nd" - $"idx" * $"t"))
+    val sMax = scored.agg(max($"s_t").as("s_max"))
+    scored.crossJoin(broadcast(sMax))
+      .filter($"s_t" === $"s_max")
+      .groupBy($"nd", $"t", $"s_max")
+      .agg(min($"day").as("change_day"))
+      .select($"change_day", $"nd".cast("long").as("n_days"),
+        r4($"s_max".cast("double") /
+          ($"nd".cast("double") * $"t".cast("double"))).as("cusum_q4"))
+  }
+
   def chiSquared(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"

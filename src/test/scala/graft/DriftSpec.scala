@@ -101,6 +101,44 @@ class DriftSpec extends SparkSpec {
     assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2)) == ((3L, 3L, 1.0)))
   }
 
+  test("cusumChangepoint: level shift localizes to the last old-regime day") {
+    // $100/day for 3 days then $200/day for 3 days: S_t = cum*6 - t*90000
+    // peaks in magnitude at t=3 (|S|=90000), the last day before the
+    // shift; normalized peak = 90000/(6*90000) = 1/6 -> 0.1667 under r4
+    def onDay(k: Long, day: String, price: Double) =
+      (k, "F", price, "1-URGENT", day)
+    val rows = Seq(
+      onDay(1L, "2024-01-01", 100.0), onDay(2L, "2024-01-02", 100.0),
+      onDay(3L, "2024-01-03", 100.0), onDay(4L, "2024-01-04", 200.0),
+      onDay(5L, "2024-01-05", 200.0), onDay(6L, "2024-01-06", 200.0))
+    val dir = Files.createTempDirectory("graft-cusum").toString
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate_s")
+      .select($"o_orderkey", ($"o_orderkey" % 7).as("o_custkey"),
+        $"o_orderstatus", $"o_totalprice",
+        to_timestamp($"o_orderdate_s").as("o_orderdate"), $"o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val r = Stats.cusumChangepoint(spark, dir).collect().head
+    val day20240103 = java.time.LocalDate.of(2024, 1, 3).toEpochDay
+    assert(r.getLong(0) == day20240103, "change day = last day of old regime")
+    assert(r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 0.1667)
+
+    // flat series: S_t = 0 everywhere, argmax ties resolve to day 1
+    val dir2 = Files.createTempDirectory("graft-cusum2").toString
+    Seq(onDay(1L, "2024-02-01", 50.0), onDay(2L, "2024-02-02", 50.0),
+        onDay(3L, "2024-02-03", 50.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate_s")
+      .select($"o_orderkey", ($"o_orderkey" % 7).as("o_custkey"),
+        $"o_orderstatus", $"o_totalprice",
+        to_timestamp($"o_orderdate_s").as("o_orderdate"), $"o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir2/orders.parquet")
+    val r2 = Stats.cusumChangepoint(spark, dir2).collect().head
+    assert(r2.getLong(0) == java.time.LocalDate.of(2024, 2, 1).toEpochDay)
+    assert(r2.getDouble(2) == 0.0)
+  }
+
   test("chiSquared: independent margins give near-zero statistic") {
     // perfectly proportional table: O = [[8,12],[16,24]] => chi2 = 0
     def rows(n: Int, from: Long, st: String, pr: String) =
