@@ -654,7 +654,6 @@ object Stats {
     */
   def ksDrift(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val dec = "decimal(38,0)"
     val cells = Tables.orders(spark, d)
       .filter($"o_orderstatus".isin("F", "O"))
       .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 100000")
@@ -662,6 +661,21 @@ object Stats {
         when($"o_orderstatus" === "F", 1L).otherwise(0L).as("is_a"))
       .groupBy($"bucket")
       .agg(sum($"is_a").as("ca"), sum(lit(1L) - $"is_a").as("cb"))
+    ksFromCells(cells)
+  }
+
+  /** The bounded finisher of [[ksDrift]] over any (bucket, ca, cb)
+    * grid-count frame — split out so the STREAMING drift gate shares
+    * it verbatim: the grid counts are the mergeable, fixed-size state
+    * a stream maintains (sums over cells merge across micro-batches
+    * like every sketch here), and the KS statistic is a pure O(cells)
+    * function of that state, identical on a batch grid or a streamed
+    * one (StreamingSpec pins stream == batch cell-for-cell AND
+    * statistic-for-statistic).
+    */
+  def ksFromCells(cells: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    val dec = "decimal(38,0)"
     val run = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gaps = cells
@@ -680,6 +694,23 @@ object Stats {
         $"at_bucket",
         r4($"d_max".cast("double") /
           ($"n_a".cast("double") * $"n_b".cast("double"))).as("ks_q4"))
+  }
+
+  /** Streaming-shareable drift grid over the event stream: $10 value
+    * cells, view-vs-click sample counts. Works identically over a
+    * batch DataFrame or a streaming one (plain aggregation — Spark
+    * maintains one row of state per cell, bounded by the value range,
+    * merged across micro-batches in complete mode).
+    */
+  def eventDriftCells(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .filter($"event_type".isin("view", "click") && $"value".isNotNull)
+      .select(expr("CAST(floor(value * 100) AS BIGINT) div 1000")
+          .as("bucket"),
+        when($"event_type" === "view", 1L).otherwise(0L).as("is_a"))
+      .groupBy($"bucket")
+      .agg(sum($"is_a").as("ca"), sum(lit(1L) - $"is_a").as("cb"))
   }
 
   /** Chi-squared independence statistic for the order-priority ×

@@ -108,6 +108,16 @@ object EventStream {
   def cmsCells(events: DataFrame): DataFrame =
     graft.ext.Stats.cmsOf(events)
 
+  /** Streaming distribution-drift state: the bounded (bucket, ca, cb)
+    * KS grid of [[graft.ext.Stats.eventDriftCells]] maintained over
+    * the stream — one state row per $10 value cell, merged across
+    * micro-batches; the drift gate finishes with
+    * [[graft.ext.Stats.ksFromCells]] on the materialized state, so a
+    * pipeline can watch the KS statistic live without ever storing
+    * raw events. */
+  def driftCells(events: DataFrame): DataFrame =
+    graft.ext.Stats.eventDriftCells(events)
+
   /** Session windows (30-minute gap) per user — the engine-managed
     * state twin of [[graft.ext.Events.sessionize]]; works identically
     * over a batch DataFrame or a watermarked stream.

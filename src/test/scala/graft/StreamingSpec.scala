@@ -157,6 +157,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming drift cells across micro-batches == batch grid and KS") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStream.driftCells(input.toDF())
+      .writeStream.format("memory").queryName("drift_cells")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = sampleEvents.splitAt(sampleEvents.length / 3)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("bucket").collect().map(_.toSeq).toSeq
+      val streamedCells = spark.table("drift_cells")
+      val batchCells = graft.ext.Stats.eventDriftCells(sampleEvents.toDF())
+      assert(rows(streamedCells).nonEmpty &&
+        rows(streamedCells) == rows(batchCells),
+        "grid state folded across micro-batches must equal the batch grid")
+      // the statistic computed FROM the streamed state equals the
+      // batch one — the live drift gate a pipeline would alert on
+      val ksS = graft.ext.Stats.ksFromCells(streamedCells).collect().toSeq
+      val ksB = graft.ext.Stats.ksFromCells(batchCells).collect().toSeq
+      assert(ksS == ksB && ksS.head.getDouble(3) >= 0.0)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
