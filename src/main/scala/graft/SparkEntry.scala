@@ -367,6 +367,12 @@ object SparkEntry {
     // CUSUM change-point: integer-exact S_t = cum*D - t*T on the
     // span-bounded day grid; argmax in DECIMAL, r4 only at the edge
     "q159_cusum_changepoint" -> ((s: SparkSession, d: String) => Stats.cusumChangepoint(s, d)),
+    // Benford first-digit audit: integer digit extraction (no log on
+    // the data path), nine-row domain, literal expectation constants
+    "q160_benford_audit" -> ((s: SparkSession, d: String) => Stats.benfordAudit(s, d)),
+    // End-to-end IVF-PQ query: route to cell -> ADC scan over codes
+    // (4 lookups/candidate) -> exact rescore of the top-10 shortlist
+    "q161_ivfpq_search" -> ((s: SparkSession, d: String) => Similarity.ivfPqSearch(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2802,6 +2808,87 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q161: the oracle rebuilds every stage — code assignment (q153's
+    // SQL), the ADC table, the (adc, vec_id)-ordered top-10 cut, and
+    // the exact rescore — so drift in ANY stage breaks rows
+    "q161_ivfpq_search" ->
+      """WITH js AS (SELECT range AS j FROM range(0, 64)),
+        |e AS (SELECT vec_id, label, embedding FROM embeddings
+        |      WHERE len(embedding) = 64),
+        |qq AS (
+        |  SELECT vec_id, js.j,
+        |    CAST(FLOOR(CAST(embedding[js.j + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS v
+        |  FROM e CROSS JOIN js),
+        |cand4 AS (SELECT unnest([0, 1, 2, 3]) AS code),
+        |dist AS (
+        |  SELECT qq.vec_id, qq.j // 16 AS b, code,
+        |    SUM((v - (CASE WHEN j % 2 = 0
+        |           THEN CASE WHEN code < 2 THEN 250000 ELSE -250000 END
+        |           ELSE CASE WHEN code % 2 = 0 THEN 250000 ELSE -250000 END
+        |         END))
+        |      * (v - (CASE WHEN j % 2 = 0
+        |           THEN CASE WHEN code < 2 THEN 250000 ELSE -250000 END
+        |           ELSE CASE WHEN code % 2 = 0 THEN 250000 ELSE -250000 END
+        |         END))) AS d2
+        |  FROM qq CROSS JOIN cand4 GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, b, code FROM (
+        |    SELECT vec_id, b, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, b
+        |        ORDER BY d2, code) AS rn
+        |    FROM dist WHERE vec_id >= 5) WHERE rn = 1),
+        |approx AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    CAST(SUM(a.d2) AS BIGINT) AS adc_num
+        |  FROM e c
+        |  JOIN e q ON c.label = q.label AND q.vec_id < 5 AND c.vec_id >= 5
+        |  JOIN codes k ON k.vec_id = c.vec_id
+        |  JOIN dist a ON a.vec_id = q.vec_id AND a.b = k.b
+        |    AND a.code = k.code
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY adc_num, vec_id) AS rn
+        |    FROM approx) WHERE rn <= 10),
+        |resc AS (
+        |  SELECT s.query_id, s.vec_id,
+        |    CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2_num
+        |  FROM short s
+        |  JOIN qq a ON a.vec_id = s.query_id
+        |  JOIN qq b ON b.vec_id = s.vec_id AND b.j = a.j
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rn, vec_id, d2_num
+        |FROM (
+        |  SELECT query_id, vec_id, d2_num,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY d2_num, vec_id) AS rn
+        |  FROM resc)
+        |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    // q160: same digit-string extraction; the Benford constants are
+    // literals CAST to DOUBLE (bare decimals are DECIMAL in DuckDB)
+    "q160_benford_audit" ->
+      """WITH digits AS (
+        |  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |cells AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM digits GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 10000, 0)
+        |    / 10000 + 0.0 AS share_q4,
+        |  CAST(([0.3010, 0.1761, 0.1249, 0.0969, 0.0792,
+        |         0.0669, 0.0580, 0.0512, 0.0458])[digit] AS DOUBLE)
+        |    AS benford_q4,
+        |  ROUND((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |    - CAST(([0.3010, 0.1761, 0.1249, 0.0969, 0.0792,
+        |            0.0669, 0.0580, 0.0512, 0.0458])[digit] AS DOUBLE))
+        |    * 10000, 0) / 10000 + 0.0 AS dev_q4
+        |FROM cells CROSS JOIN t ORDER BY digit""".stripMargin,
     // q159: same integer CUSUM; DuckDB cumulative/total sums land in
     // HUGEINT which is the same exact arithmetic
     "q159_cusum_changepoint" ->

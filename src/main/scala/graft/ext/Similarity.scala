@@ -370,30 +370,39 @@ object Similarity {
     * CosineSimilarity codegen pattern is the next gear — but a
     * shuffle-free map stage is rarely the bottleneck.
     */
+  /** PQ geometry shared by [[pqCodes]] and [[ivfPqSearch]]: 64 dims,
+    * 4 blocks × 16, 4 closed-form centroids per block. */
+  private val PqDims = 64
+  private val PqBlocks = 4
+  private val PqSub = PqDims / PqBlocks
+
+  /** Integer sub-distance of `col`'s block `b` to centroid `c` on the
+    * 1e-6 grid — the kernel of both code ASSIGNMENT (over candidate
+    * vectors) and the ADC lookup table (over query vectors). */
+  private def pqDist(vcol: String, b: Int, c: Int): Column = {
+    val sEven = if (c < 2) 250000L else -250000L
+    val sOdd = if (c % 2 == 0) 250000L else -250000L
+    expr(
+      s"""aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS BIGINT),
+         |  (acc, j) -> acc +
+         |    (CAST(floor(CAST(element_at($vcol, j + ${b * PqSub + 1})
+         |       AS DOUBLE) * 1000000.0) AS BIGINT)
+         |     - (CASE WHEN j % 2 = 0 THEN $sEven ELSE $sOdd END))
+         |    *
+         |    (CAST(floor(CAST(element_at($vcol, j + ${b * PqSub + 1})
+         |       AS DOUBLE) * 1000000.0) AS BIGINT)
+         |     - (CASE WHEN j % 2 = 0 THEN $sEven ELSE $sOdd END)))
+         |""".stripMargin.replace('\n', ' '))
+  }
+
   def pqCodes(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val dims = 64
-    val blocks = 4
-    val sub = dims / blocks // 16
-    def dist(b: Int, c: Int): Column = {
-      val sEven = if (c < 2) 250000L else -250000L
-      val sOdd = if (c % 2 == 0) 250000L else -250000L
-      expr(
-        s"""aggregate(sequence(0, ${sub - 1}), CAST(0 AS BIGINT),
-           |  (acc, j) -> acc +
-           |    (CAST(floor(CAST(element_at(embedding, j + ${b * sub + 1})
-           |       AS DOUBLE) * 1000000.0) AS BIGINT)
-           |     - (CASE WHEN j % 2 = 0 THEN $sEven ELSE $sOdd END))
-           |    *
-           |    (CAST(floor(CAST(element_at(embedding, j + ${b * sub + 1})
-           |       AS DOUBLE) * 1000000.0) AS BIGINT)
-           |     - (CASE WHEN j % 2 = 0 THEN $sEven ELSE $sOdd END)))
-           |""".stripMargin.replace('\n', ' '))
-    }
+    val blocks = PqBlocks
     val withDists = Tables.embeddings(spark, d)
-      .filter(size($"embedding") === dims)
+      .filter(size($"embedding") === PqDims)
       .select($"vec_id" +: (0 until blocks).map(b =>
-        array((0 until 4).map(c => dist(b, c)): _*).as(s"d$b")): _*)
+        array((0 until 4).map(c => pqDist("embedding", b, c)): _*)
+          .as(s"d$b")): _*)
     val coded = (0 until blocks).foldLeft(withDists) { (df, b) =>
       df.withColumn(s"c$b",
           (array_position(col(s"d$b"), array_min(col(s"d$b"))) - 1)
@@ -404,5 +413,69 @@ object Similarity {
         ((($"c0" * 4 + $"c1") * 4 + $"c2") * 4 + $"c3").as("code_packed"),
         ($"e0" + $"e1" + $"e2" + $"e3").as("err_num"))
       .orderBy($"vec_id")
+  }
+
+  /** End-to-end IVF-PQ query — the production ANN read path assembled
+    * from this module's parts: (1) ROUTE each query to its coarse
+    * cell (`label`, as [[ivfTopK]]); (2) PQ-SCAN the cell's
+    * candidates by asymmetric distance — each candidate costs 4 table
+    * lookups into the query's precomputed ADC table (query-to-
+    * centroid sub-distances), never a 64-dim scan; (3) RESCORE the
+    * top-10 shortlist exactly and return the top-3. This is the
+    * memory story of a 100 TB vector index: the scan touches 4 codes
+    * + a 16-entry broadcast table per candidate, and full vectors are
+    * read only for the ≤10·|queries| shortlist.
+    *
+    * Everything ranks in exact integers on the 1e-6 grid: ADC entries
+    * and exact distances are BIGINT sums (< 2⁵³, so the TopKAgg
+    * double scores are exact), both cuts order by (distance, vec_id),
+    * and the oracle rebuilds codes, ADC, shortlist, and rescore in
+    * SQL — any drift in any stage breaks row-for-row.
+    */
+  def ivfPqSearch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d).filter(size($"embedding") === PqDims)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"label", $"embedding".as("qv"))
+    // ADC table: 16 (block, code) integer sub-distances per query —
+    // |queries|-sized, broadcast
+    val adcCols = for (b <- 0 until PqBlocks; c <- 0 until 4)
+      yield pqDist("qv", b, c).as(s"adc_${b}_$c")
+    val adc = queries.select($"query_id" +: $"label" +: adcCols: _*)
+    val codes = pqCodes(spark, d)
+      .select($"vec_id", $"c0", $"c1", $"c2", $"c3")
+    val cands = emb.filter($"vec_id" >= 5)
+      .select($"vec_id", $"label", $"embedding".as("cv"))
+      .join(codes, "vec_id")
+    def pick(b: Int) = element_at(
+      array((0 until 4).map(c => col(s"adc_${b}_$c")): _*),
+      col(s"c$b") + 1)
+    val approx = cands.join(broadcast(adc), "label")
+      .withColumn("adc_num", (0 until PqBlocks).map(pick).reduce(_ + _))
+    val top10 = udaf(new TopKAgg(10))
+    val shortlist = approx
+      .groupBy($"query_id")
+      .agg(top10((-$"adc_num").cast("double"), $"vec_id").as("top"))
+      .select($"query_id", explode($"top").as("entry"))
+      .select($"query_id", $"entry._2".as("vec_id"))
+    val rescored = shortlist
+      .join(broadcast(queries.select($"query_id", $"qv")), "query_id")
+      .join(cands.select($"vec_id", $"cv"), "vec_id")
+      .withColumn("d2_num", expr(
+        """aggregate(zip_with(qv, cv, (a, b) ->
+          |  (CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT)
+          |   - CAST(floor(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT))
+          |  * (CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT)
+          |   - CAST(floor(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT))),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)
+          |""".stripMargin.replace('\n', ' ')))
+    val top3 = udaf(new TopKAgg(3))
+    rescored
+      .groupBy($"query_id")
+      .agg(top3((-$"d2_num").cast("double"), $"vec_id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "entry")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rn"),
+        $"entry._2".as("vec_id"), (-$"entry._1").cast("long").as("d2_num"))
+      .orderBy($"query_id", $"rn")
   }
 }

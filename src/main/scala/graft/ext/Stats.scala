@@ -779,6 +779,39 @@ object Stats {
           ($"nd".cast("double") * $"t".cast("double"))).as("cusum_q4"))
   }
 
+  /** Benford first-digit audit — the fraud/fabrication screen over a
+    * money column: observed first-significant-digit shares vs the
+    * Benford expectation log₁₀(1+1/d), reported as signed deviations.
+    * (Synthetic uniform-ish prices deviate heavily — that IS the
+    * finding: the audit's job is to report distance from the natural-
+    * data law, and flagging generated data is its textbook use.)
+    *
+    * The first digit extracts as integer/string arithmetic (leading
+    * char of the cents' decimal rendering) — no log10 on the data
+    * path; the nine Benford constants are 4-decimal literals on both
+    * engines, so nothing transcendental is ever evaluated. One
+    * volume-sized groupBy onto a NINE-row domain, then window totals
+    * over those nine rows: the q152 shape at its smallest.
+    */
+  def benfordAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(0.3010, 0.1761, 0.1249, 0.0969, 0.0792,
+      0.0669, 0.0580, 0.0512, 0.0458)
+    Tables.orders(spark, d)
+      .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice * 100)" +
+        " AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .withColumn("benford_q4",
+        element_at(array(benford.map(lit): _*), $"digit".cast("int")))
+      .select($"digit", $"n",
+        r4($"n".cast("double") / $"total".cast("double")).as("share_q4"),
+        $"benford_q4",
+        r4($"n".cast("double") / $"total".cast("double") - $"benford_q4")
+          .as("dev_q4"))
+      .orderBy($"digit")
+  }
+
   def chiSquared(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"

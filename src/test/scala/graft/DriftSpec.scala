@@ -139,6 +139,29 @@ class DriftSpec extends SparkSpec {
     assert(r2.getDouble(2) == 0.0)
   }
 
+  test("benfordAudit: digit extraction and shares on a planted ledger") {
+    val d = plantOrders(Seq(
+      (1L, "F", 1.50, "1-URGENT"),   // 150    -> 1
+      (2L, "F", 12.00, "1-URGENT"),  // 1200   -> 1
+      (3L, "F", 0.19, "1-URGENT"),   // 19     -> 1
+      (4L, "F", 2.50, "1-URGENT"),   // 250    -> 2
+      (5L, "F", 35.00, "1-URGENT"),  // 3500   -> 3
+      (6L, "F", 99.99, "1-URGENT"),  // 9998 (IEEE floor) -> 9
+      (7L, "F", 0.05, "1-URGENT"),   // 5      -> 5
+      (8L, "F", 0.50, "1-URGENT"))) // 50     -> 5
+    val got = Stats.benfordAudit(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L, 9L))
+    assert(got(1L)._1 == 3L && got(1L)._2 == 0.375)
+    assert(got(5L)._1 == 2L && got(5L)._2 == 0.25)
+    assert(got(2L)._1 == 1L && got(2L)._2 == 0.125)
+    // dev = share - benford, at the r4 grid: 0.375 - 0.3010 = 0.074
+    assert(got(1L)._3 == 0.074)
+    // digit 5 runs ABOVE Benford here: 0.25 - 0.0792 = 0.1708
+    assert(got(5L)._3 == 0.1708)
+  }
+
   test("chiSquared: independent margins give near-zero statistic") {
     // perfectly proportional table: O = [[8,12],[16,24]] => chi2 = 0
     def rows(n: Int, from: Long, st: String, pr: String) =

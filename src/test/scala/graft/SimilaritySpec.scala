@@ -103,4 +103,49 @@ class SimilaritySpec extends SparkSpec {
     assert(want(2)._2 == 0 && want(2)._7 == 64L * 250000L * 250000L,
       "all-zero vector ties to code 0 at the known distance")
   }
+
+  test("ivfPqSearch: window-free plan; rescore recovers the exact in-cell ranking") {
+    val df = graft.ext.Similarity.ivfPqSearch(spark, d)
+    assert(!hasWindow(df), "both cuts must rank via TopKAgg, not windows")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 15, "5 queries x top-3")
+
+    // brute-force exact in-cell top-3 on the quantized grid
+    val all = spark.read.parquet(s"$d/embeddings.parquet")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2)))
+    def q(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val exact = for {
+      (qid, qv, ql) <- all.filter(_._1 < 5)
+      top = all.filter(c => c._1 >= 5 && c._3 == ql)
+        .map { case (cid, cv, _) =>
+          val d2 = q(qv).zip(q(cv)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (cid, d2)
+        }.sortBy { case (cid, d2) => (d2, cid) }.take(3)
+      ((cid, d2), pos) <- top.zipWithIndex
+    } yield (qid, pos + 1, cid, d2)
+    // every reported distance must be the TRUE grid distance (the
+    // rescore is exact even when the ADC cut pruned the true top-3)
+    val allD2 = (for {
+      (qid, qv, ql) <- all.filter(_._1 < 5)
+      (cid, cv, cl) <- all if cid >= 5 && cl == ql
+    } yield (qid, cid) ->
+      q(qv).zip(q(cv)).map { case (a, b) => (a - b) * (a - b) }.sum).toMap
+    got.foreach { case (qid, _, cid, d2) =>
+      assert(allD2((qid, cid)) == d2,
+        s"reported d2 must be the exact grid distance for ($qid, $cid)")
+    }
+    // per query the 3 rows must rank by (d2, vec_id)
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2).map(r => (r._4, r._3))
+      assert(sorted.sameElements(sorted.sorted), s"rescore order: $rs")
+    }
+    // the coarse 4-centroid codebook is a REAL approximation — set
+    // recall vs the exact in-cell top-3 is 7/15 on this data
+    // (deterministic); require the floor so a codebook regression shows
+    val exactSet = exact.map(e => (e._1, e._3)).toSet
+    val hits = got.count(g => exactSet.contains((g._1, g._3)))
+    assert(hits >= 6, s"IVF-PQ set recall vs exact in-cell top-3: $hits/15")
+  }
 }
