@@ -373,6 +373,12 @@ object SparkEntry {
     // End-to-end IVF-PQ query: route to cell -> ADC scan over codes
     // (4 lookups/candidate) -> exact rescore of the top-10 shortlist
     "q161_ivfpq_search" -> ((s: SparkSession, d: String) => Similarity.ivfPqSearch(s, d)),
+    // Gaps-and-islands: customer-keyed lag + running-flag-sum island
+    // numbering; no calendar scaffold, nothing unkeyed
+    "q162_dormancy_islands" -> ((s: SparkSession, d: String) => Events.dormancyIslands(s, d)),
+    // ANN eval harness: recall@3 + binary nDCG@3 of the IVF-PQ path
+    // vs exact in-cell truth; integer micro-unit DCG weights
+    "q163_ann_eval" -> ((s: SparkSession, d: String) => Similarity.annEval(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2808,6 +2814,119 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q163: q161's full stage chain + exact in-cell truth + the
+    // micro-unit DCG arithmetic, all in SQL
+    "q163_ann_eval" ->
+      """WITH js AS (SELECT range AS j FROM range(0, 64)),
+        |e AS (SELECT vec_id, label, embedding FROM embeddings
+        |      WHERE len(embedding) = 64),
+        |qq AS (
+        |  SELECT vec_id, js.j,
+        |    CAST(FLOOR(CAST(embedding[js.j + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS v
+        |  FROM e CROSS JOIN js),
+        |cand4 AS (SELECT unnest([0, 1, 2, 3]) AS code),
+        |dist AS (
+        |  SELECT qq.vec_id, qq.j // 16 AS b, code,
+        |    SUM((v - (CASE WHEN j % 2 = 0
+        |           THEN CASE WHEN code < 2 THEN 250000 ELSE -250000 END
+        |           ELSE CASE WHEN code % 2 = 0 THEN 250000 ELSE -250000 END
+        |         END))
+        |      * (v - (CASE WHEN j % 2 = 0
+        |           THEN CASE WHEN code < 2 THEN 250000 ELSE -250000 END
+        |           ELSE CASE WHEN code % 2 = 0 THEN 250000 ELSE -250000 END
+        |         END))) AS d2
+        |  FROM qq CROSS JOIN cand4 GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, b, code FROM (
+        |    SELECT vec_id, b, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, b
+        |        ORDER BY d2, code) AS rn
+        |    FROM dist WHERE vec_id >= 5) WHERE rn = 1),
+        |approx AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    CAST(SUM(a.d2) AS BIGINT) AS adc_num
+        |  FROM e c
+        |  JOIN e q ON c.label = q.label AND q.vec_id < 5 AND c.vec_id >= 5
+        |  JOIN codes k ON k.vec_id = c.vec_id
+        |  JOIN dist a ON a.vec_id = q.vec_id AND a.b = k.b
+        |    AND a.code = k.code
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY adc_num, vec_id) AS rn
+        |    FROM approx) WHERE rn <= 10),
+        |resc AS (
+        |  SELECT s.query_id, s.vec_id,
+        |    CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2_num
+        |  FROM short s
+        |  JOIN qq a ON a.vec_id = s.query_id
+        |  JOIN qq b ON b.vec_id = s.vec_id AND b.j = a.j
+        |  GROUP BY 1, 2),
+        |got AS (
+        |  SELECT query_id, vec_id, rn FROM (
+        |    SELECT query_id, vec_id, d2_num,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY d2_num, vec_id) AS rn
+        |    FROM resc) WHERE rn <= 3),
+        |exall AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2_num
+        |  FROM e c
+        |  JOIN e q ON c.label = q.label AND q.vec_id < 5 AND c.vec_id >= 5
+        |  JOIN qq a ON a.vec_id = q.vec_id
+        |  JOIN qq b ON b.vec_id = c.vec_id AND b.j = a.j
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY d2_num, vec_id) AS rn
+        |    FROM exall) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT g.query_id,
+        |    CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS hit,
+        |    ([1000000, 630930, 500000])[g.rn] AS w_q6
+        |  FROM got g LEFT JOIN truth t
+        |    ON t.query_id = g.query_id AND t.vec_id = g.vec_id)
+        |SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
+        |  ROUND(CAST(SUM(hit) AS DOUBLE) / 3.0 * 10000, 0) / 10000 + 0.0
+        |    AS recall_q4,
+        |  ROUND(CAST(SUM(hit * w_q6) AS DOUBLE) / 2130930.0 * 10000, 0)
+        |    / 10000 + 0.0 AS ndcg_q4
+        |FROM scored GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // q162: identical island numbering (flag + running sum) in SQL;
+    // window sums land HUGEINT, island casts back to BIGINT
+    "q162_dormancy_islands" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |x AS (
+        |  SELECT o_custkey, o_orderkey, day,
+        |    LAG(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+        |      AS prev_day
+        |  FROM o),
+        |y AS (
+        |  SELECT o_custkey, o_orderkey, day,
+        |    CASE WHEN prev_day IS NULL OR day - prev_day > 180
+        |         THEN 1 ELSE 0 END AS starts,
+        |    CASE WHEN prev_day IS NOT NULL AND day - prev_day > 180
+        |         THEN day - prev_day END AS gap_before
+        |  FROM x),
+        |z AS (
+        |  SELECT o_custkey, day, gap_before,
+        |    CAST(SUM(starts) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS island
+        |  FROM y)
+        |SELECT o_custkey, island, MIN(day) AS start_day, MAX(day) AS end_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  MAX(gap_before) AS gap_before_days
+        |FROM z GROUP BY 1, 2
+        |ORDER BY o_custkey, island""".stripMargin,
     // q161: the oracle rebuilds every stage — code assignment (q153's
     // SQL), the ADC table, the (adc, vec_id)-ordered top-10 cut, and
     // the exact rescore — so drift in ANY stage breaks rows

@@ -517,6 +517,39 @@ object Events {
       .orderBy($"event_type", $"lag")
   }
 
+  /** Gaps-and-islands over per-customer order sequences — activity
+    * runs (islands: consecutive orders ≤180 days apart, merged) with
+    * the dormancy gap that preceded each run: the churn-risk /
+    * ingestion-hole operator. Two stacked windows KEYED BY CUSTOMER
+    * are the only passes — a lag flags island starts, a running sum
+    * of flags numbers the islands (the classic formulation), and a
+    * groupBy on (customer, island) collapses runs. No calendar
+    * scaffold is ever generated and nothing is unkeyed, so the shape
+    * survives any row count (contrast the generate-every-day-and-
+    * anti-join form whose scaffold is span × customers). Day
+    * arithmetic is integer days-since-epoch on both engines.
+    */
+  def dormancyIslands(spark: SparkSession, d: String,
+                      maxRunGapDays: Long = 180L): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d).select($"o_custkey",
+      $"o_orderkey",
+      datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("day"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day", $"o_orderkey")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("prev_day", lag($"day", 1).over(w))
+      .withColumn("starts",
+        when($"prev_day".isNull || $"day" - $"prev_day" > maxRunGapDays, 1L)
+          .otherwise(0L))
+      .withColumn("gap_before",
+        when($"starts" === 1L, $"day" - $"prev_day")) // null on first island
+      .withColumn("island", sum($"starts").over(run))
+      .groupBy($"o_custkey", $"island")
+      .agg(min($"day").as("start_day"), max($"day").as("end_day"),
+        count(lit(1)).as("n_orders"), max($"gap_before").as("gap_before_days"))
+      .orderBy($"o_custkey", $"island")
+  }
+
   /** Keyed interval-overlap join — per user, total overlap time (and
     * pair count) between view presence windows [ts, ts+20 min) and
     * purchase attention windows [ts, ts+10 min): the ad-attribution /

@@ -432,6 +432,18 @@ object Similarity {
     * and the oracle rebuilds codes, ADC, shortlist, and rescore in
     * SQL — any drift in any stage breaks row-for-row.
     */
+  /** Exact squared grid distance between two vector columns — the
+    * rescore kernel of [[ivfPqSearch]] and the ground-truth scorer of
+    * [[annEval]]. */
+  private def exactD2(qcol: String, ccol: String): Column = expr(
+    s"""aggregate(zip_with($qcol, $ccol, (a, b) ->
+       |  (CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT)
+       |   - CAST(floor(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT))
+       |  * (CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT)
+       |   - CAST(floor(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT))),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)
+       |""".stripMargin.replace('\n', ' '))
+
   def ivfPqSearch(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d).filter(size($"embedding") === PqDims)
@@ -461,14 +473,7 @@ object Similarity {
     val rescored = shortlist
       .join(broadcast(queries.select($"query_id", $"qv")), "query_id")
       .join(cands.select($"vec_id", $"cv"), "vec_id")
-      .withColumn("d2_num", expr(
-        """aggregate(zip_with(qv, cv, (a, b) ->
-          |  (CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT)
-          |   - CAST(floor(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT))
-          |  * (CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT)
-          |   - CAST(floor(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT))),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)
-          |""".stripMargin.replace('\n', ' ')))
+      .withColumn("d2_num", exactD2("qv", "cv"))
     val top3 = udaf(new TopKAgg(3))
     rescored
       .groupBy($"query_id")
@@ -477,5 +482,57 @@ object Similarity {
       .select($"query_id", ($"pos" + 1).cast("int").as("rn"),
         $"entry._2".as("vec_id"), (-$"entry._1").cast("long").as("d2_num"))
       .orderBy($"query_id", $"rn")
+  }
+
+  /** Ground truth for [[annEval]]: the EXACT in-cell top-3 per query —
+    * brute-force grid distances over the query's cell, ranked by the
+    * same bounded TopKAgg. Per-query cost is the cell size; an eval
+    * runs over a sampled query set, so "brute force" here is the
+    * bounded validation workload, not a production scan. */
+  private def exactInCellTop3(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d).filter(size($"embedding") === PqDims)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"label", $"embedding".as("qv"))
+    val top3 = udaf(new TopKAgg(3))
+    emb.filter($"vec_id" >= 5)
+      .select($"vec_id", $"label", $"embedding".as("cv"))
+      .join(broadcast(queries), "label")
+      .withColumn("d2_num", exactD2("qv", "cv"))
+      .groupBy($"query_id")
+      .agg(top3((-$"d2_num").cast("double"), $"vec_id").as("top"))
+      .select($"query_id", explode($"top").as("entry"))
+      .select($"query_id", $"entry._2".as("vec_id"))
+  }
+
+  /** Offline retrieval-quality evaluation of the [[ivfPqSearch]] ANN
+    * path against exact in-cell ground truth: per query, recall@3 and
+    * binary-relevance nDCG@3. The metric arithmetic is INTEGER — DCG
+    * position weights are micro-unit literals (1/log₂(i+1) rounded to
+    * 1e-6 once, as constants: 10⁶, 630930, 5·10⁵) summed as longs, so
+    * the per-query scores are order-independent and engine-exact, and
+    * only the final ratios pass through r4. This is the eval harness
+    * a vector-index rollout gates on — the quantified version of
+    * SimilaritySpec's recall floor, as a first-class operator.
+    */
+  def annEval(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wQ6 = Seq(1000000L, 630930L, 500000L) // 1/log2(i+1), i=1..3
+    val idcgQ6 = wQ6.sum
+    val approx = ivfPqSearch(spark, d)
+    val truth = exactInCellTop3(spark, d)
+      .withColumn("hit", lit(1L))
+    approx
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .withColumn("hit", coalesce($"hit", lit(0L)))
+      .withColumn("w_q6",
+        element_at(array(wQ6.map(lit): _*), $"rn"))
+      .groupBy($"query_id")
+      .agg(sum($"hit").as("n_hits"),
+        sum($"hit" * $"w_q6").as("dcg_q6"))
+      .select($"query_id", $"n_hits",
+        r4($"n_hits".cast("double") / 3.0).as("recall_q4"),
+        r4($"dcg_q6".cast("double") / idcgQ6.toDouble).as("ndcg_q4"))
+      .orderBy($"query_id")
   }
 }

@@ -616,6 +616,25 @@ class BehaviorSpec extends SparkSpec {
       20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L), s"got $got")
   }
 
+  test("dormancyIslands: 180-day rule splits runs; first island has no gap") {
+    val d = plantOrders(Seq(
+      (1L, 1L, "2024-01-01", 10.0, "1-URGENT"),
+      (2L, 1L, "2024-01-11", 10.0, "1-URGENT"),  // +10d, same island
+      (3L, 1L, "2024-10-27", 10.0, "1-URGENT"),  // +290d, new island
+      (4L, 1L, "2024-11-06", 10.0, "1-URGENT"),  // +10d, same island
+      (5L, 2L, "2024-05-01", 10.0, "1-URGENT"))) // singleton
+    val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val rows = graft.ext.Events.dormancyIslands(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, day0, day0 + 10, 2L, -1L),
+      (1L, 2L, day0 + 300, day0 + 310, 2L, 290L),
+      (2L, 1L, java.time.LocalDate.of(2024, 5, 1).toEpochDay,
+        java.time.LocalDate.of(2024, 5, 1).toEpochDay, 1L, -1L)),
+      s"got ${rows.toSeq}")
+  }
+
   test("multiTouchAttribution: pennies conserve, remainder to earliest clicks") {
     val d = plantEvents(Seq(
       // u1: 100c at +7200; window [3600, 7200] spans two hour cells.

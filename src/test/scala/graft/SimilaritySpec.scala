@@ -147,5 +147,14 @@ class SimilaritySpec extends SparkSpec {
     val exactSet = exact.map(e => (e._1, e._3)).toSet
     val hits = got.count(g => exactSet.contains((g._1, g._3)))
     assert(hits >= 6, s"IVF-PQ set recall vs exact in-cell top-3: $hits/15")
+
+    // the eval OPERATOR must report exactly these per-query hit counts
+    val evalRows = graft.ext.Similarity.annEval(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantHits = got.groupBy(_._1).map { case (qid, rs) =>
+      qid -> rs.count(g => exactSet.contains((g._1, g._3))).toLong
+    }
+    assert(evalRows == wantHits,
+      s"annEval hits ${evalRows} != brute-force ${wantHits}")
   }
 }
