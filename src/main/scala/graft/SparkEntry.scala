@@ -379,6 +379,13 @@ object SparkEntry {
     // ANN eval harness: recall@3 + binary nDCG@3 of the IVF-PQ path
     // vs exact in-cell truth; integer micro-unit DCG weights
     "q163_ann_eval" -> ((s: SparkSession, d: String) => Similarity.annEval(s, d)),
+    // Rank/quantile normalization: ONE GlobalIndex over (dim, v, id),
+    // per-dim rank = seq - dim*N by arithmetic (uniform group sizes)
+    // — never a 64-reducer window
+    "q164_rank_normalize" -> ((s: SparkSession, d: String) => Similarity.rankNormalize(s, d)),
+    // Gini + HHI concentration: global spend ranking via GlobalIndex
+    // (no single-reducer window); staged DECIMAL divisions, no doubles
+    "q165_concentration" -> (Extended.spendConcentration _),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2814,6 +2821,50 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q165: ROW_NUMBER-ranked oracle (window algorithm) against the
+    // engine's distributed global index; HUGEINT staged divisions
+    "q165_concentration" ->
+      """WITH x AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey)
+        |    AS HUGEINT) AS i
+        |  FROM x),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS t,
+        |    CAST(SUM(i * x) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS x2
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers, CAST(t AS BIGINT)
+        |    AS total_cents,
+        |  CAST(((2 * s - (n + 1) * t) * 1000000) // (n * t) AS BIGINT)
+        |    AS gini_q6,
+        |  CAST((x2 * 1000000) // (t * t) AS BIGINT) AS hhi_q6
+        |FROM a""".stripMargin,
+    // q164: the oracle ranks with the per-dim WINDOW — a different
+    // algorithm than the engine's global-index arithmetic
+    "q164_rank_normalize" ->
+      """WITH js AS (SELECT range AS j FROM range(0, 64)),
+        |x AS (
+        |  SELECT vec_id, js.j AS dim,
+        |    CAST(embedding[js.j + 1] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN js
+        |  WHERE len(embedding) = 64),
+        |n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM x),
+        |r AS (
+        |  SELECT vec_id, dim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY v, vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM x)
+        |SELECT vec_id, dim, rank,
+        |  (rank * 1000000) // n AS nq6
+        |FROM r CROSS JOIN n
+        |WHERE dim < 8
+        |ORDER BY dim, vec_id""".stripMargin,
     // q163: q161's full stage chain + exact in-cell truth + the
     // micro-unit DCG arithmetic, all in SQL
     "q163_ann_eval" ->

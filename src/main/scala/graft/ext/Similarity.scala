@@ -505,6 +505,42 @@ object Similarity {
       .select($"query_id", $"entry._2".as("vec_id"))
   }
 
+  /** Per-dimension rank (quantile) normalization of the embedding
+    * table — the feature-preprocessing transform that makes every
+    * dimension uniformly distributed before training (rank transform /
+    * quantile normalization). Each coordinate is replaced by its rank
+    * within its dimension, scaled to (0, 1] on the 1e-6 grid.
+    *
+    * Scale shape: the naive form windows `row_number` PARTITION BY
+    * dim — 64 reducer partitions at ANY corpus size, the q91 funnel.
+    * Instead the exploded (dim, v, vec_id) frame takes ONE global
+    * index via [[graft.operators.GlobalIndex]] ordered by
+    * (dim, v, vec_id), and because every dimension has exactly N
+    * rows, the per-dim rank is pure arithmetic: rank = seq − dim·N —
+    * no per-group offsets join, no low-cardinality exchange anywhere.
+    * The oracle ranks with the per-dim window (a different
+    * algorithm), so the hash gate proves the arithmetic recovers the
+    * windowed semantics exactly. Output is dims 0–7 (the verification
+    * slice; the transform is identical on all 64).
+    */
+  def rankNormalize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val exploded = Tables.embeddings(spark, d)
+      .filter(size($"embedding") === PqDims)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"vec_id", $"dim".cast("long").as("dim"),
+        $"v".cast("double").as("v"))
+    val n = exploded.agg((count(lit(1)) / PqDims).cast("long").as("n"))
+    val seqd = graft.operators.GlobalIndex.withRowNumber(
+      exploded, Seq(col("dim"), col("v"), col("vec_id")), "seq")
+    seqd.crossJoin(broadcast(n))
+      .withColumn("rank", $"seq" - $"dim" * $"n")
+      .filter($"dim" < 8)
+      .select($"vec_id", $"dim", $"rank",
+        expr("(rank * 1000000) div n").as("nq6"))
+      .orderBy($"dim", $"vec_id")
+  }
+
   /** Offline retrieval-quality evaluation of the [[ivfPqSearch]] ANN
     * path against exact in-cell ground truth: per query, recall@3 and
     * binary-relevance nDCG@3. The metric arithmetic is INTEGER — DCG

@@ -779,6 +779,42 @@ object Extended {
           .as("over_q4"))
   }
 
+  /** Market-concentration metrics over per-customer spend — Gini
+    * coefficient and Herfindahl–Hirschman index, the "is this corpus/
+    * revenue dominated by a few heads" audit (for training data:
+    * source concentration; for revenue: account risk). HHI needs no
+    * order (Σ share² from one aggregate); Gini needs the GLOBAL spend
+    * ranking, which is exactly [[graft.operators.GlobalIndex]]'s job —
+    * a ranged repartition + per-partition carry, never the
+    * single-reducer `Window.orderBy` the textbook formula suggests.
+    *
+    * Both metrics are staged integer divisions in DECIMAL(38,0)
+    * (q152's recipe): gini_q6 = (2·Σi·xᵢ − (n+1)·T)·10⁶ div (n·T),
+    * hhi_q6 = Σx²·10⁶ div T² — exact and order-independent at any
+    * scale; nothing returns to double at all. The oracle ranks with
+    * ROW_NUMBER over a window — a different algorithm than the
+    * engine's distributed index.
+    */
+  def spendConcentration(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val x = Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val ranked = graft.operators.GlobalIndex.withRowNumber(
+      x, Seq(col("x"), col("o_custkey")), "i")
+    ranked.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum($"x".cast(dec)).as("t"),
+        sum($"i".cast(dec) * $"x").as("s"),
+        sum($"x".cast(dec) * $"x").as("x2"))
+      .select($"n".cast("long").as("n_customers"),
+        $"t".cast("long").as("total_cents"),
+        expr("CAST(((2 * s - (n + 1) * t) * 1000000) div (n * t) AS BIGINT)")
+          .as("gini_q6"),
+        expr("CAST((x2 * 1000000) div (t * t) AS BIGINT)").as("hhi_q6"))
+  }
+
   def partitionBalance(spark: SparkSession, d: String,
                        parts: Int = 32): DataFrame = {
     import spark.implicits._

@@ -162,6 +162,24 @@ class DriftSpec extends SparkSpec {
     assert(got(5L)._3 == 0.1708)
   }
 
+  test("spendConcentration: hand-computed Gini and HHI; equality gives zero Gini") {
+    // spends 100,200,300,400 cents: S = sum(i*x) = 3000,
+    // gini = (2*3000 - 5*1000)/(4*1000) = 0.25; HHI = 300000/1e6 = 0.3
+    val d = plantOrders(Seq(
+      (1L, "F", 1.00, "1-URGENT"), (2L, "F", 2.00, "1-URGENT"),
+      (3L, "F", 3.00, "1-URGENT"), (4L, "F", 4.00, "1-URGENT")))
+    val r = graft.queries.Extended.spendConcentration(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 1000L, 250000L, 300000L)))
+
+    // perfectly equal spends: Gini exactly 0, HHI = 1/n
+    val d2 = plantOrders(Seq(
+      (1L, "F", 1.00, "1-URGENT"), (2L, "F", 1.00, "1-URGENT"),
+      (3L, "F", 1.00, "1-URGENT"), (4L, "F", 1.00, "1-URGENT")))
+    val r2 = graft.queries.Extended.spendConcentration(spark, d2).collect().head
+    assert(r2.getLong(2) == 0L && r2.getLong(3) == 250000L)
+  }
+
   test("chiSquared: independent margins give near-zero statistic") {
     // perfectly proportional table: O = [[8,12],[16,24]] => chi2 = 0
     def rows(n: Int, from: Long, st: String, pr: String) =

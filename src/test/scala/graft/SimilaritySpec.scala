@@ -104,6 +104,26 @@ class SimilaritySpec extends SparkSpec {
       "all-zero vector ties to code 0 at the known distance")
   }
 
+  test("rankNormalize: arithmetic ranks equal per-dim ordering, ties by id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rank").toString
+    // constant vectors give the same per-dim order everywhere; vec 4
+    // duplicates vec 1's values so the (v, vec_id) tie-break shows
+    Seq(1L -> 0.1f, 2L -> 0.3f, 3L -> 0.2f, 4L -> 0.1f)
+      .map { case (id, x) => (id, Array.fill(64)(x)) }
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.ext.Similarity.rankNormalize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == 4 * 8, "4 vectors x dims 0..7")
+    for (dim <- 0L until 8L) {
+      assert(got((1L, dim)) == ((1L, 250000L)), s"dim $dim: v1 first (tie->id)")
+      assert(got((4L, dim)) == ((2L, 500000L)), s"dim $dim: v4 second")
+      assert(got((3L, dim)) == ((3L, 750000L)))
+      assert(got((2L, dim)) == ((4L, 1000000L)))
+    }
+  }
+
   test("ivfPqSearch: window-free plan; rescore recovers the exact in-cell ranking") {
     val df = graft.ext.Similarity.ivfPqSearch(spark, d)
     assert(!hasWindow(df), "both cuts must rank via TopKAgg, not windows")
