@@ -386,6 +386,29 @@ object SparkEntry {
     // Gini + HHI concentration: global spend ranking via GlobalIndex
     // (no single-reducer window); staged DECIMAL divisions, no doubles
     "q165_concentration" -> (Extended.spendConcentration _),
+    // Class-balance audit: entropy / normalized entropy / Gini
+    // impurity per categorical column; ln quantized per VALUE so all
+    // sums are integer-exact and order-independent
+    "q166_entropy_profile" -> ((s: SparkSession, d: String) => Stats.entropyProfile(s, d)),
+    // g3 functional-dependency strength: two map-side-combinable
+    // hash-aggs per FD, no windows on hot keys
+    "q167_fd_audit" -> ((s: SparkSession, d: String) => Stats.fdAudit(s, d)),
+    // Inverted index: df/cf + TopKAgg-bounded posting sample (≤k rows
+    // per token into the shuffle — stop words can't OOM the build)
+    "q168_inverted_index" -> ((s: SparkSession, d: String) => Corpus.invertedIndex(s, d)),
+    // Hamilton largest-remainder budget apportionment: allocations
+    // sum EXACTLY to the budget; window only over the strata domain
+    "q169_quota_allocation" -> ((s: SparkSession, d: String) => Corpus.quotaAllocation(s, d)),
+    // Deterministic 90/5/5 split by engine-portable key hash + the
+    // q152 chi-squared stratification gate over (split, lang) cells
+    "q170_split_balance" -> ((s: SparkSession, d: String) => Stats.splitBalance(s, d)),
+    // Pair-depth association rules: basket-keyed pair join (C(m,2)
+    // per order, never corpus-level), staged-decimal conf/lift
+    "q171_assoc_rules" -> ((s: SparkSession, d: String) => Behavior.assocRules(s, d)),
+    // k-core peeling on the co-purchase graph: per round one degree
+    // agg + two semi-joins, scalar-count convergence; the oracle
+    // unrolls 10 peel rounds in SQL
+    "q172_kcore" -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -2845,6 +2868,193 @@ object SparkEntry {
         |    AS gini_q6,
         |  CAST((x2 * 1000000) // (t * t) AS BIGINT) AS hhi_q6
         |FROM a""".stripMargin,
+    // q166: same value-level ln quantization on the DuckDB side; the
+    // HUGEINT sums mirror the engine's DECIMAL(38,0) exact path
+    "q166_entropy_profile" ->
+      """WITH vc AS (
+        |  SELECT 'o_orderstatus' AS col_name,
+        |    CAST(o_orderstatus AS VARCHAR) AS value, COUNT(*) AS c
+        |  FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority, COUNT(*)
+        |  FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'c_mktsegment', c_mktsegment, COUNT(*)
+        |  FROM customer GROUP BY 2
+        |  UNION ALL SELECT 'lang', lang, COUNT(*)
+        |  FROM documents GROUP BY 2
+        |  UNION ALL SELECT 'source', source, COUNT(*)
+        |  FROM documents GROUP BY 2),
+        |l AS (
+        |  SELECT col_name, c,
+        |    CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS lcq6
+        |  FROM vc),
+        |a AS (
+        |  SELECT col_name, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(CAST(c AS HUGEINT) * lcq6) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2
+        |  FROM l GROUP BY 1),
+        |e AS (
+        |  SELECT col_name, n, k,
+        |    CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      - CAST(s // n AS BIGINT) AS entropy_q6,
+        |    c2
+        |  FROM a)
+        |SELECT col_name, n, k, entropy_q6,
+        |  CASE WHEN k = 1 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(entropy_q6 * 1000000
+        |      // CAST(FLOOR(ln(CAST(k AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS BIGINT) END AS norm_q6,
+        |  CAST(1000000 - (c2 * 1000000) // (CAST(n AS HUGEINT) * n)
+        |    AS BIGINT) AS gini_q6
+        |FROM e ORDER BY col_name""".stripMargin,
+    // q167: per-FD CTE chain mirrors the engine's two hash-aggs
+    "q167_fd_audit" ->
+      """WITH
+        |c1 AS (SELECT source AS x, lang AS y, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |m1 AS (SELECT x, MAX(c) AS mx, SUM(c) AS tot FROM c1 GROUP BY 1),
+        |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+        |  CAST(SUM(tot) AS BIGINT) AS n,
+        |  CAST(SUM(mx) AS BIGINT) AS conform FROM m1),
+        |c2 AS (SELECT c_nationkey AS x, c_mktsegment AS y, COUNT(*) AS c
+        |  FROM customer GROUP BY 1, 2),
+        |m2 AS (SELECT x, MAX(c) AS mx, SUM(c) AS tot FROM c2 GROUP BY 1),
+        |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+        |  CAST(SUM(tot) AS BIGINT) AS n,
+        |  CAST(SUM(mx) AS BIGINT) AS conform FROM m2),
+        |c3 AS (SELECT o_custkey AS x, o_orderpriority AS y, COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |m3 AS (SELECT x, MAX(c) AS mx, SUM(c) AS tot FROM c3 GROUP BY 1),
+        |a3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+        |  CAST(SUM(tot) AS BIGINT) AS n,
+        |  CAST(SUM(mx) AS BIGINT) AS conform FROM m3),
+        |u AS (
+        |  SELECT 'doc_source_lang' AS fd, n, n_x, conform FROM a1
+        |  UNION ALL
+        |  SELECT 'cust_nation_segment', n, n_x, conform FROM a2
+        |  UNION ALL
+        |  SELECT 'order_cust_priority', n, n_x, conform FROM a3)
+        |SELECT fd, n, n_x, conform, n - conform AS violations,
+        |  CAST((CAST(conform AS HUGEINT) * 1000000) // n AS BIGINT)
+        |    AS strength_q6
+        |FROM u ORDER BY fd""".stripMargin,
+    // q170: identical bit-level split hash; marginals via window sums
+    // instead of the engine's cell-table windows
+    "q170_split_balance" ->
+      """WITH cells AS (
+        |  SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |    ELSE 'test' END AS split, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM (SELECT lang, (doc_id % 2147483647) * 2654435761
+        |          % 2147483647 % 100 AS b FROM documents)
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT split, CAST(SUM(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        |SELECT c.split, c.lang, c.o, rt.rt, ct.ct,
+        |  CAST((CAST(rt.rt AS HUGEINT) * ct.ct * 100) // n.n AS BIGINT)
+        |    AS e_q2,
+        |  CAST(((CAST(c.o AS HUGEINT) * c.o * 1000000 // rt.rt) * n.n)
+        |    // ct.ct AS BIGINT) AS cell_q6
+        |FROM cells c
+        |JOIN rt USING (split) JOIN ct USING (lang)
+        |CROSS JOIN n
+        |ORDER BY c.split, c.lang""".stripMargin,
+    // q171: same basket-keyed pair generator; HUGEINT staged conf/lift
+    "q171_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS HUGEINT) AS n FROM items),
+        |s AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM items GROUP BY 1),
+        |pr AS (
+        |  SELECT i.p AS a, j.p AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM items i JOIN items j ON i.ok = j.ok AND i.p < j.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |dir AS (
+        |  SELECT a AS ante, b AS cons, c_ab FROM pr
+        |  UNION ALL SELECT b, a, c_ab FROM pr)
+        |SELECT d.ante, d.cons, d.c_ab, sa.c AS c_a, sb.c AS c_b,
+        |  CAST((CAST(d.c_ab AS HUGEINT) * 1000000) // sa.c AS BIGINT)
+        |    AS conf_q6,
+        |  CAST((CAST(d.c_ab AS HUGEINT) * n.n * 1000000)
+        |    // (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_q6
+        |FROM dir d
+        |JOIN s sa ON d.ante = sa.p JOIN s sb ON d.cons = sb.p
+        |CROSS JOIN n
+        |ORDER BY d.ante, d.cons""".stripMargin,
+    // q172: 10 unrolled peel rounds (≥ the 5-round fixpoint depth at
+    // the gate's scale; extra rounds are no-ops once stable)
+    "q172_kcore" -> {
+      // MATERIALIZED: each eᵢ is referenced 3× by round i+1, so an
+      // inlined chain re-scans the parquet 3^10 times (DuckDB runs
+      // out of file handles before it runs out of patience)
+      val peel = (1 to 10).map { i =>
+        s"d$i AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM e${i - 1} GROUP BY u),\n" +
+          s"k$i AS MATERIALIZED (SELECT u FROM d$i WHERE c >= 65),\n" +
+          s"e$i AS MATERIALIZED (SELECT t.u, t.v FROM e${i - 1} t\n" +
+          s"  JOIN k$i x ON t.u = x.u JOIN k$i y ON t.v = y.u)"
+      }.mkString(",\n")
+      "WITH items AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),\n" +
+        "pr AS MATERIALIZED (\n" +
+        "  SELECT i.p AS a, j.p AS b FROM items i\n" +
+        "  JOIN items j ON i.ok = j.ok AND i.p < j.p GROUP BY 1, 2),\n" +
+        "e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),\n" +
+        peel + "\n" +
+        "SELECT u AS part, CAST(COUNT(*) AS BIGINT) AS core_deg\n" +
+        "FROM e10 GROUP BY u ORDER BY u"
+    },
+    // q168: posting sample via the window form (different algorithm
+    // than the engine's bounded partial top-k)
+    "q168_inverted_index" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token, doc_id
+        |  FROM documents),
+        |td AS (
+        |  SELECT token, doc_id, COUNT(*) AS tf
+        |  FROM t WHERE token <> '' GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS cf
+        |  FROM td GROUP BY 1),
+        |p AS (
+        |  SELECT token, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM td),
+        |ps AS (
+        |  SELECT token,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |      AS postings
+        |  FROM p WHERE rn <= 5 GROUP BY 1)
+        |SELECT a.token, a.df, a.cf, ps.postings
+        |FROM agg a JOIN ps ON a.token = ps.token
+        |ORDER BY a.token""".stripMargin,
+    // q169: HUGEINT floor/mod apportionment, window rank mirrored
+    "q169_quota_allocation" ->
+      """WITH s AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM s),
+        |f AS (
+        |  SELECT nation, c,
+        |    CAST((997 * CAST(c AS HUGEINT)) // t.n AS BIGINT) AS fl,
+        |    CAST((997 * CAST(c AS HUGEINT)) % t.n AS BIGINT) AS rem
+        |  FROM s, t),
+        |r AS (
+        |  SELECT nation, c, fl, rem,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS BIGINT)
+        |      AS rr,
+        |    997 - CAST(SUM(fl) OVER () AS BIGINT) AS residual
+        |  FROM f)
+        |SELECT nation, c, fl,
+        |  CASE WHEN rr <= residual THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS extra,
+        |  fl + CASE WHEN rr <= residual THEN 1 ELSE 0 END AS alloc
+        |FROM r ORDER BY nation""".stripMargin,
     // q164: the oracle ranks with the per-dim WINDOW — a different
     // algorithm than the engine's global-index arithmetic
     "q164_rank_normalize" ->

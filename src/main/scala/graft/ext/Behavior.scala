@@ -166,4 +166,46 @@ object Behavior {
       .agg(count(lit(1)).as("n_credits"), sum($"credit").as("credited_cents"))
       .orderBy($"day")
   }
+
+  /** Market-basket association rules over order baskets (the A-priori
+    * support/confidence/lift census at pair depth): for each directed
+    * part pair a→b with pair support ≥ `minSup`, confidence
+    * P(b | a) and lift P(ab)/(P(a)P(b)).
+    *
+    * Scale shape: the pair generator is BASKET-KEYED — each order
+    * self-joins only with itself, so a basket of m items yields
+    * C(m,2) pairs (m is bounded by order size, ~7 here), never a
+    * corpus-level cross join (the q147 tokenPmi discipline). Single-
+    * item supports are one map-side-combinable groupBy; the rule
+    * table after the `minSup` cut is association-structure-sized, not
+    * data-sized, and the support joins against it are tiny.
+    *
+    * Exactness: confidence and lift are staged DECIMAL(38,0)
+    * divisions on exact integer counts — order-independent, no
+    * doubles anywhere.
+    */
+  def assocRules(spark: SparkSession, d: String,
+                 minSup: Long = 3L): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val items = Tables.lineitem(spark, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val nBaskets = items.select($"ok").distinct().count()
+    val singles = items.groupBy($"p").agg(count(lit(1)).as("c"))
+    val pairs = items.toDF("ok", "a").join(items.toDF("ok", "b"), "ok")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= minSup)
+    val directed = pairs.select($"a".as("ante"), $"b".as("cons"), $"c_ab")
+      .unionAll(pairs.select($"b".as("ante"), $"a".as("cons"), $"c_ab"))
+    directed
+      .join(singles.toDF("ante", "c_a"), "ante")
+      .join(singles.toDF("cons", "c_b"), "cons")
+      .select($"ante", $"cons", $"c_ab", $"c_a", $"c_b",
+        expr(s"CAST((CAST(c_ab AS $dec) * 1000000) div c_a AS BIGINT)")
+          .as("conf_q6"),
+        expr(s"CAST((CAST(c_ab AS $dec) * $nBaskets * 1000000)" +
+          s" div (CAST(c_a AS $dec) * c_b) AS BIGINT)").as("lift_q6"))
+      .orderBy($"ante", $"cons")
+  }
 }

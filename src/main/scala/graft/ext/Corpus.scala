@@ -513,4 +513,79 @@ object Corpus {
           .as("pmi"))
       .orderBy($"tok_a", $"tok_b")
   }
+
+  /** Inverted-index construction (the search/retrieval side of a
+    * corpus store): per token, document frequency, collection
+    * frequency, and a BOUNDED posting sample — the k smallest doc
+    * ids, rendered as a comma string.
+    *
+    * Scale shape: the (token, doc) distinct+tf pass is one map-side
+    * combinable groupBy; the posting sample rides [[graft.functions
+    * .TopKAgg]] so each task forwards ≤k entries per token into the
+    * shuffle — a stop word costs k rows, not its full posting list
+    * (the unbounded `collect_list` form OOMs on exactly those
+    * tokens). Full postings at 100 TB would stay EXPLODED as (token,
+    * doc, tf) parquet sorted by token — the sample here is the index
+    * metadata/debug surface, which is the part that must be bounded.
+    *
+    * Doc ids ≤ 2⁵³ are exact in TopKAgg's double score (negated for
+    * ascending order); ties impossible (ids distinct per token).
+    */
+  def invertedIndex(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    val td = Tables.documents(spark, d)
+      .select(explode(split($"text", " ")).as("token"), $"doc_id")
+      .filter($"token" =!= "")
+      .groupBy($"token", $"doc_id").agg(count(lit(1)).as("tf"))
+    td.groupBy($"token")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+        topk((-$"doc_id").cast("double"), $"doc_id").as("top"))
+      .select($"token", $"df", $"cf",
+        array_join(transform($"top", e => e.getField("_2")), ",")
+          .as("postings"))
+      .orderBy($"token")
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of a fixed sample
+    * budget across strata — the sampling PLAN that q74's per-source
+    * cap and q52's per-stratum rates execute: allocate exactly
+    * `budget` slots across customer nations proportional to size,
+    * with ⌊quota⌋ guaranteed and the residual slots going to the
+    * largest fractional remainders (ties to the smaller nation key).
+    * Unlike independent rounding, the allocations SUM EXACTLY to the
+    * budget — the property a downstream "take n per stratum" stage
+    * relies on.
+    *
+    * Scale shape: one map-side-combinable groupBy is the only
+    * volume-sized work; everything after runs on the strata table,
+    * whose cardinality is the nation domain (bounded by definition of
+    * a stratification key, not by row count) — the remainder-rank
+    * window is over that bounded frame and is documented as such.
+    * All arithmetic is exact integers: floor = (B·cᵢ) div N,
+    * remainder = (B·cᵢ) mod N.
+    */
+  def quotaAllocation(spark: SparkSession, d: String,
+                      budget: Long = 997L): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val strata = Tables.customer(spark, d)
+      .groupBy($"c_nationkey".cast("long").as("nation"))
+      .agg(count(lit(1)).as("c"))
+    strata
+      .crossJoin(broadcast(strata.agg(sum($"c").as("n"))))
+      .withColumn("fl",
+        expr(s"CAST(($budget * CAST(c AS $dec)) div n AS BIGINT)"))
+      .withColumn("rem",
+        expr(s"CAST(($budget * CAST(c AS $dec)) % n AS BIGINT)"))
+      .withColumn("rr", row_number().over(
+        Window.orderBy($"rem".desc, $"nation")))
+      .withColumn("residual",
+        (lit(budget) - sum($"fl").over(Window.partitionBy())).cast("long"))
+      .select($"nation", $"c", $"fl",
+        when($"rr" <= $"residual", 1L).otherwise(0L).as("extra"),
+        ($"fl" + when($"rr" <= $"residual", 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy($"nation")
+  }
 }

@@ -376,4 +376,57 @@ object Graph {
     labels.select($"node".as("o_orderkey"), $"label".as("component"))
       .orderBy($"o_orderkey")
   }
+
+  /** k-core decomposition of the co-purchase part graph (dense-
+    * community extraction: the subgraph where every part co-occurs
+    * with ≥ k other parts — the "stable catalogue backbone" cut
+    * recommendation pipelines mine). Classic iterative peeling:
+    * remove all nodes of degree < k, which lowers neighbors' degrees,
+    * and repeat until the survivor set is stable; the result is the
+    * unique maximal subgraph with minimum degree ≥ k.
+    *
+    * Scale shape: each round is one map-side-combinable degree
+    * aggregate plus TWO semi-joins of the edge list against the
+    * survivor set — all keyed shuffles on the edge frame, no
+    * broadcast of anything data-sized, no windows. Convergence is a
+    * scalar survivor COUNT per round (the connectedComponents
+    * discipline: a strictly-decreasing metric, not a changed-rows
+    * join); the edge frame shrinks monotonically so late rounds are
+    * cheap. Round count is bounded by the peel depth (5 at sf0.01),
+    * with `maxIters` guarding adversarial chains.
+    */
+  def kCore(spark: SparkSession, d: String, k: Long = 65L,
+            maxIters: Int = 30): DataFrame = {
+    import spark.implicits._
+    val base = copartEdges(spark, d)
+    // localCheckpoint (eager, MEMORY_AND_DISK) instead of persist: the
+    // round plan embeds `sym` THREE times (directly + twice via keep),
+    // so an un-truncated lineage is 3^rounds analyzer nodes — a slow
+    // cascade (each round shaving a few nodes) OOMs the DRIVER long
+    // before any executor sees pressure. Checkpointing resets each
+    // round's plan to a leaf; blocks are reclaimed by the context
+    // cleaner as the old rounds go out of scope.
+    var sym = base.select($"a".as("u"), $"b".as("v"))
+      .unionAll(base.select($"b".as("u"), $"a".as("v")))
+      .repartition($"u").localCheckpoint()
+    var nNodes = sym.select($"u").distinct().count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      round += 1
+      val keep = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"u")
+      val next = sym
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.toDF("v"), Seq("v"), "left_semi")
+        .select($"u", $"v")
+        .localCheckpoint()
+      val n = next.select($"u").distinct().count()
+      sym = next
+      converged = n == nNodes
+      nNodes = n
+    }
+    sym.groupBy($"u".as("part")).agg(count(lit(1)).as("core_deg"))
+      .orderBy($"part")
+  }
 }

@@ -829,4 +829,123 @@ object Stats {
           " AS BIGINT)").as("cell_q6"))
       .orderBy($"o_orderpriority", $"o_orderstatus")
   }
+
+  /** Per-column class-balance profile over the categorical columns a
+    * curation pipeline audits before mixing (label skew, source
+    * domination): Shannon entropy, entropy normalized by ln(k), and
+    * Gini impurity for five categorical columns across three tables.
+    *
+    * Scale shape: each column contributes ONE map-side-combinable
+    * `groupBy(value)` — the only volume-sized work — and the union of
+    * the tiny per-column value tables (bounded by the category
+    * domains, not the row count) feeds one final k-row aggregate. No
+    * windows, no joins.
+    *
+    * Exactness: the only transcendental is ln, and it is quantized at
+    * the VALUE level — lcq6 = ⌊ln(c)·10⁶⌋ per distinct count c — so
+    * every SUM is over integers (DECIMAL(38,0)) and therefore
+    * order-independent; the engines can only disagree if a libm ulp
+    * straddles a 1e-6 grid line (the q71/q147 ln precedent). Gini
+    * impurity 1 − Σ(cᵢ/n)² is staged integer division end to end.
+    */
+  def entropyProfile(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    def counts(df: DataFrame, c: String): DataFrame =
+      df.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit(c).as("col_name"), $"value", $"c")
+    val vc = counts(Tables.orders(spark, d), "o_orderstatus")
+      .unionAll(counts(Tables.orders(spark, d), "o_orderpriority"))
+      .unionAll(counts(Tables.customer(spark, d), "c_mktsegment"))
+      .unionAll(counts(Tables.documents(spark, d), "lang"))
+      .unionAll(counts(Tables.documents(spark, d), "source"))
+    vc.withColumn("lcq6",
+        expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      .groupBy($"col_name")
+      .agg(sum($"c").as("n"), count(lit(1)).as("k"),
+        sum($"c".cast(dec) * $"lcq6").as("s"),
+        sum($"c".cast(dec) * $"c").as("c2"))
+      .withColumn("entropy_q6",
+        expr("CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)" +
+          " - CAST(s div n AS BIGINT)"))
+      .select($"col_name", $"n", $"k", $"entropy_q6",
+        expr("CASE WHEN k = 1 THEN CAST(0 AS BIGINT) ELSE" +
+          " entropy_q6 * 1000000 div CAST(floor(ln(CAST(k AS DOUBLE))" +
+          " * 1000000.0) AS BIGINT) END").as("norm_q6"),
+        expr(s"CAST(1000000 - (c2 * 1000000) div (CAST(n AS $dec) * n)" +
+          " AS BIGINT)").as("gini_q6"))
+      .orderBy($"col_name")
+  }
+
+  /** Deterministic train/val/test split assignment (90/5/5 by a
+    * content-independent key hash) plus the stratification gate every
+    * training pipeline runs on it: per (split, lang) observed counts
+    * against the expected counts the overall language marginals
+    * imply, with the q152 chi-squared cell staging. A skewed
+    * `cell_q6` row tells you exactly which split × language cell
+    * drifted from the corpus mix.
+    *
+    * The split hash is the engine-portable multiplicative form (the
+    * q156 discipline) — BOTH engines compute it bit-for-bit, and
+    * assignment depends only on doc_id, so re-runs and late-arriving
+    * replicas land every document in the same split (the property
+    * rand() splits lose). One volume-sized groupBy; marginals are
+    * windows over the ≤ 3·|langs| cell table.
+    */
+  def splitBalance(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val cells = Tables.documents(spark, d)
+      .withColumn("bucket",
+        expr("(doc_id % 2147483647) * 2654435761 % 2147483647 % 100"))
+      .withColumn("split",
+        when($"bucket" < 90, "train").when($"bucket" < 95, "val")
+          .otherwise("test"))
+      .groupBy($"split", $"lang").agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"split")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"lang")))
+      .withColumn("n", sum($"o").over(Window.partitionBy()))
+      .select($"split", $"lang", $"o", $"rt", $"ct",
+        expr(s"CAST((CAST(rt AS $dec) * ct * 100) div n AS BIGINT)")
+          .as("e_q2"),
+        expr(s"CAST(((CAST(o AS $dec) * o * 1000000 div rt) * n) div ct" +
+          " AS BIGINT)").as("cell_q6"))
+      .orderBy($"split", $"lang")
+  }
+
+  /** Approximate functional-dependency audit (the g3 measure from the
+    * data-profiling literature): for each candidate FD X → Y, the
+    * fraction of rows that keep the dependency if each X keeps only
+    * its majority Y — `strength = Σₓ maxᵧ cnt(x,y) / n`. Strength 1
+    * means the FD holds exactly; the violation count is what a
+    * cleaning pass would have to repair. Candidates: source→lang
+    * (documents), c_nationkey→c_mktsegment, o_custkey→o_orderpriority.
+    *
+    * Scale shape: per FD, `groupBy(x, y)` with map-side combine is
+    * the only volume-sized pass; the per-x argmax is a second
+    * hash-agg over the (x-domain)-sized count table, then a scalar
+    * rollup. No windows (the textbook row_number-per-x form funnels
+    * on hot x's), no joins, everything exact integers.
+    */
+  def fdAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    def fd(df: DataFrame, x: String, y: String, label: String): DataFrame =
+      df.groupBy(col(x).as("x"), col(y).as("y")).agg(count(lit(1)).as("c"))
+        .groupBy($"x").agg(max($"c").as("mx"), sum($"c").as("tot"))
+        .agg(count(lit(1)).as("n_x"), sum($"tot").as("n"),
+          sum($"mx").as("conform"))
+        .select(lit(label).as("fd"), $"n", $"n_x", $"conform",
+          ($"n" - $"conform").as("violations"),
+          expr(s"CAST((CAST(conform AS $dec) * 1000000) div n AS BIGINT)")
+            .as("strength_q6"))
+    fd(Tables.documents(spark, d), "source", "lang", "doc_source_lang")
+      .unionAll(fd(Tables.customer(spark, d), "c_nationkey", "c_mktsegment",
+        "cust_nation_segment"))
+      .unionAll(fd(Tables.orders(spark, d), "o_custkey", "o_orderpriority",
+        "order_cust_priority"))
+      .orderBy($"fd")
+  }
 }

@@ -689,4 +689,36 @@ class BehaviorSpec extends SparkSpec {
       1L -> ((2L, 1200000000L)),
       2L -> ((1L, 600000000L))), s"got $got")
   }
+
+  test("assocRules: hand-computed support/confidence/lift on planted baskets") {
+    val dir = Files.createTempDirectory("graft-assoc").toString
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+        (3L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Behavior.assocRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // only {1,2} reaches support 3; N=4 baskets, c1=c2=3:
+    // conf = 3/3 = 1, lift = 3·4/(3·3) = 4/3 (both directions)
+    assert(got.keySet == Set((1L, 2L), (2L, 1L)), s"got ${got.keySet}")
+    assert(got((1L, 2L)) == ((3L, 3L, 3L, 1000000L, 1333333L)))
+    assert(got((2L, 1L)) == ((3L, 3L, 3L, 1000000L, 1333333L)))
+  }
+
+  test("kCore: tail part peels off, triangle survives at k=2; k=3 empties") {
+    val dir = Files.createTempDirectory("graft-kcore").toString
+    // baskets build co-purchase edges 1-2, 2-3, 1-3 (triangle) and
+    // 3-4 (tail): peeling at k=2 drops 4, then the triangle is stable
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 3L),
+        (4L, 3L), (4L, 4L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.kCore(spark, dir, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    assert(Graph.kCore(spark, dir, k = 3).collect().isEmpty,
+      "no subgraph of min degree 3 exists")
+  }
 }

@@ -240,4 +240,40 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq(("zipf", 1000L), ("beta", 200L)),
       s"expected exact counts for the two planted heavy tokens, got $got")
   }
+
+  test("invertedIndex: df/cf exact, postings are the k smallest doc ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inv").toString
+    Seq((1L, "a b a"), (2L, "b c"), (3L, "a"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.invertedIndex(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got("a") == ((2L, 3L, "1,3")), "tf 2 in doc 1 counts once in df")
+    assert(got("b") == ((2L, 2L, "1,2")))
+    assert(got("c") == ((1L, 1L, "2")))
+
+    // df stays exact while the posting sample is bounded at k
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-inv2").toString
+    (1L to 4L).map(i => (i, "z")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir2/documents.parquet")
+    val z = Corpus.invertedIndex(spark, dir2, k = 2).collect().head
+    assert((z.getLong(1), z.getString(3)) == ((4L, "1,2")))
+  }
+
+  test("quotaAllocation: floors + largest remainders sum exactly to the budget") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quota").toString
+    Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 2))
+      .toDF("c_custkey", "c_nationkey").coalesce(1)
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Corpus.quotaAllocation(spark, dir, budget = 7L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // quotas: n0 21/5=4 r1, n1 7/5=1 r2, n2 7/5=1 r2; one residual
+    // slot -> remainder tie (n1, n2) breaks to the smaller nation key
+    assert(got(0L) == ((3L, 4L, 0L, 4L)))
+    assert(got(1L) == ((1L, 1L, 1L, 2L)))
+    assert(got(2L) == ((1L, 1L, 0L, 1L)))
+    assert(got.values.map(_._4).sum == 7L, "allocations sum EXACTLY to budget")
+  }
 }

@@ -180,6 +180,91 @@ class DriftSpec extends SparkSpec {
     assert(r2.getLong(2) == 0L && r2.getLong(3) == 250000L)
   }
 
+  /** documents + customer + orders shaped like testdata, minimal
+    * columns, for the multi-table audit queries. */
+  private def plantAudit(docs: Seq[(Long, String, String)],
+                         cust: Seq[(Long, Int, String)],
+                         ords: Seq[(Long, Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-audit").toString
+    docs.toDF("doc_id", "lang", "source")
+      .withColumn("text", lit("t")).withColumn("n_chars", lit(1L))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    cust.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .withColumn("c_name", lit("n")).withColumn("c_acctbal", lit(0.0))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    ords.toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_totalprice", lit(1000.0))
+      .withColumn("o_orderdate", to_timestamp(lit("1995-06-01")))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("entropyProfile: hand-computed entropy/norm/gini; k=1 columns zero out") {
+    // lang en,en,de,de: H = ln4 - ln2 = ln2 -> 693147 q6, norm 1.0,
+    // gini 1 - 2*(1/2)^2 = 0.5; single-valued columns all-zero
+    val d = plantAudit(
+      docs = Seq((1L, "en", "web"), (2L, "en", "web"),
+        (3L, "de", "web"), (4L, "de", "web")),
+      cust = Seq((1L, 0, "AUTO")),
+      ords = Seq((1L, 1L, "1-URGENT"), (2L, 1L, "2-HIGH")))
+    val got = Stats.entropyProfile(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got("lang") == ((4L, 2L, 693147L, 1000000L, 500000L)))
+    assert(got("o_orderpriority") == ((2L, 2L, 693147L, 1000000L, 500000L)))
+    assert(got("c_mktsegment") == ((1L, 1L, 0L, 0L, 0L)))
+    assert(got("o_orderstatus") == ((2L, 1L, 0L, 0L, 0L)))
+    assert(got("source") == ((4L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("fdAudit: g3 strength counts majority-Y rows per X") {
+    // source A -> (en,en,en,de), B -> (en,en): conform 3+2=5 of 6
+    val d = plantAudit(
+      docs = Seq((1L, "en", "A"), (2L, "en", "A"), (3L, "en", "A"),
+        (4L, "de", "A"), (5L, "en", "B"), (6L, "en", "B")),
+      cust = Seq((1L, 0, "AUTO"), (2L, 0, "AUTO"), (3L, 0, "BIKE"),
+        (4L, 1, "SHIP")),
+      ords = Seq((1L, 1L, "1-URGENT"), (2L, 1L, "1-URGENT"),
+        (3L, 1L, "2-HIGH"), (4L, 2L, "2-HIGH")))
+    val got = Stats.fdAudit(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got("doc_source_lang") == ((6L, 2L, 5L, 1L, 833333L)))
+    assert(got("cust_nation_segment") == ((4L, 2L, 3L, 1L, 750000L)))
+    assert(got("order_cust_priority") == ((4L, 2L, 3L, 1L, 750000L)))
+  }
+
+  test("splitBalance: deterministic hash split matches a brute-force reference") {
+    val docs = (1L to 300L).map(i => (i, if (i % 3 == 0L) "de" else "en", "s"))
+    val d = plantAudit(docs, Seq((1L, 0, "AUTO")), Seq((1L, 1L, "1-URGENT")))
+    val P = 2147483647L
+    def split(id: Long): String = {
+      val b = (id % P) * 2654435761L % P % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val cells = docs.groupBy(t => (split(t._1), t._2))
+      .view.mapValues(_.size.toLong).toMap
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val n = 300L
+    val got = Stats.splitBalance(spark, d).collect()
+    assert(got.length == cells.size, "one row per non-empty cell")
+    assert(got.map(_.getString(0)).toSet == cells.keySet.map(_._1),
+      "every split the hash produced is present")
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val o = cells(key)
+      assert(r.getLong(2) == o, s"observed $key")
+      assert(r.getLong(3) == rt(key._1) && r.getLong(4) == ct(key._2))
+      assert(r.getLong(5) == rt(key._1) * ct(key._2) * 100 / n)
+      assert(r.getLong(6) == o * o * 1000000L / rt(key._1) * n / ct(key._2),
+        s"cell staging $key")
+    }
+  }
+
   test("chiSquared: independent margins give near-zero statistic") {
     // perfectly proportional table: O = [[8,12],[16,24]] => chi2 = 0
     def rows(n: Int, from: Long, st: String, pr: String) =
