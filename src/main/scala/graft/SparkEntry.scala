@@ -409,6 +409,24 @@ object SparkEntry {
     // agg + two semi-joins, scalar-count convergence; the oracle
     // unrolls 10 peel rounds in SQL
     "q172_kcore" -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
+    // Execute q169's sampling plan: exactly alloc_i rows per stratum,
+    // chosen by smallest portable hash through the bounded TopKAgg
+    // partial (≤ budget rows per stratum into the shuffle — never the
+    // oracle's per-stratum ROW_NUMBER reducer)
+    "q173_stratified_sample" -> ((s: SparkSession, d: String) =>
+      Corpus.stratifiedSample(s, d)),
+    // Data-contract audit: FK resolution via LEFT ANTI + row-local
+    // rules fused into one conditional-agg pass per table
+    "q174_contract_audit" -> ((s: SparkSession, d: String) =>
+      Stats.contractAudit(s, d)),
+    // Add-1 unigram log-perplexity, ln quantized per VALUE so doc
+    // totals are exact integer sums (the q166 discipline)
+    "q175_log_perplexity" -> ((s: SparkSession, d: String) =>
+      TextStats.logPerplexity(s, d)),
+    // Equi-depth histogram: GlobalIndex rank + arithmetic NTILE —
+    // the oracle uses the real NTILE window
+    "q176_equidepth_hist" -> ((s: SparkSession, d: String) =>
+      Extended.equiDepthHistogram(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3007,6 +3025,120 @@ object SparkEntry {
         "SELECT u AS part, CAST(COUNT(*) AS BIGINT) AS core_deg\n" +
         "FROM e10 GROUP BY u ORDER BY u"
     },
+    // q173: the oracle selects with the per-stratum ROW_NUMBER window
+    // — a different algorithm than the engine's bounded partial top-k
+    "q173_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM s),
+        |f AS (
+        |  SELECT nation, CAST((997 * CAST(c AS HUGEINT)) // t.n AS BIGINT)
+        |      AS fl,
+        |    CAST((997 * CAST(c AS HUGEINT)) % t.n AS BIGINT) AS rem
+        |  FROM s, t),
+        |r AS (
+        |  SELECT nation, fl, rem,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS BIGINT)
+        |      AS rr,
+        |    997 - CAST(SUM(fl) OVER () AS BIGINT) AS residual
+        |  FROM f),
+        |a AS (
+        |  SELECT nation,
+        |    fl + CASE WHEN rr <= residual THEN 1 ELSE 0 END AS alloc
+        |  FROM r),
+        |hx AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey,
+        |    (c_custkey % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM customer),
+        |p AS (
+        |  SELECT nation, c_custkey, h,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY nation
+        |      ORDER BY h, c_custkey) AS BIGINT) AS pos
+        |  FROM hx)
+        |SELECT p.nation, p.pos, p.c_custkey, p.h
+        |FROM p JOIN a ON p.nation = a.nation
+        |WHERE p.pos <= a.alloc
+        |ORDER BY p.nation, p.pos""".stripMargin,
+    // q174: FK rules as LEFT JOIN null-probes (parent keys unique),
+    // row-local rules as conditional counts
+    "q174_contract_audit" ->
+      """WITH u AS (
+        |  SELECT 'fk_orders_customer' AS rule,
+        |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |    CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN oo.o_orderkey IS NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+        |  UNION ALL
+        |  SELECT 'range_quantity', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'doc_chars_match', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n_chars <> length(text)
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'null_mktsegment', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN c_mktsegment IS NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'negative_acctbal', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN c_acctbal < 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM customer)
+        |SELECT rule, n_checked, n_violations,
+        |  CAST((CAST(n_violations AS HUGEINT) * 1000000) // n_checked
+        |    AS BIGINT) AS viol_q6
+        |FROM u ORDER BY rule""".stripMargin,
+    // q175: identical per-value ln quantization; HUGEINT sums cast at
+    // the edge
+    "q175_log_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |counts AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk2 GROUP BY 1),
+        |model AS (
+        |  SELECT CAST(FLOOR(ln(CAST(SUM(cnt) + COUNT(*) AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS lq_nv
+        |  FROM counts),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    m.lq_nv - CAST(FLOOR(ln(CAST(c.cnt + 1 AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS s
+        |  FROM tk2 t JOIN counts c ON t.token = c.token
+        |  CROSS JOIN model m)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(s) AS BIGINT) AS nll_q6,
+        |  CAST(CAST(SUM(s) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_nll_q6
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q176: the oracle bins with the real NTILE window — the engine's
+    // (rank−1)·B div n + 1 arithmetic must reproduce it exactly
+    "q176_equidepth_hist" ->
+      """WITH x AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey
+        |  FROM orders),
+        |nt AS (
+        |  SELECT cents,
+        |    NTILE(20) OVER (ORDER BY cents, o_orderkey) AS bucket
+        |  FROM x)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+        |  CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents
+        |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
     // q168: posting sample via the window form (different algorithm
     // than the engine's bounded partial top-k)
     "q168_inverted_index" ->

@@ -588,4 +588,46 @@ object Corpus {
           .as("alloc"))
       .orderBy($"nation")
   }
+
+  /** Execute [[quotaAllocation]]'s sampling plan: per stratum take
+    * EXACTLY its allocated slot count, members chosen by smallest
+    * engine-portable key hash — a deterministic uniform-without-
+    * replacement sample (no `rand()`: re-runs, replicas, and both
+    * engines pick the identical rows, the property that makes the
+    * sample itself hash-verifiable).
+    *
+    * Scale shape: selection rides the bounded [[graft.functions
+    * .TopKAgg]] partial aggregate — every task forwards ≤ budget
+    * rows per stratum into the shuffle, so a billion-row stratum
+    * costs the same post-scan shuffle as a thousand-row one. The
+    * oracle's per-stratum ROW_NUMBER window funnels each stratum
+    * through one reducer — exactly the shape this avoids; the hash
+    * gate proves the bounded partial top-k recovers windowed
+    * semantics. The allocation table is strata-domain-sized and
+    * broadcasts by construction.
+    */
+  def stratifiedSample(spark: SparkSession, d: String,
+                       budget: Long = 997L): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAgg(budget.toInt))
+    val alloc = quotaAllocation(spark, d, budget)
+      .select($"nation", $"alloc")
+    Tables.customer(spark, d)
+      .select($"c_nationkey".cast("long").as("nation"), $"c_custkey")
+      .withColumn("h",
+        expr("(c_custkey % 2147483647) * 2654435761 % 2147483647"))
+      .groupBy($"nation")
+      // score = −h: TopKAgg keeps the k LARGEST scores ⇒ the k
+      // smallest hashes; its (score, id) tie-break matches the
+      // oracle's ORDER BY h, c_custkey (−h is exact in a double:
+      // h < 2³¹ ≪ 2⁵³)
+      .agg(topk((-$"h").cast("double"), $"c_custkey").as("top"))
+      .select($"nation", posexplode($"top"))
+      .select($"nation", ($"pos" + 1).cast("long").as("pos"),
+        $"col._2".as("c_custkey"), (-$"col._1").cast("long").as("h"))
+      .join(broadcast(alloc), "nation")
+      .filter($"pos" <= $"alloc")
+      .select($"nation", $"pos", $"c_custkey", $"h")
+      .orderBy($"nation", $"pos")
+  }
 }

@@ -948,4 +948,54 @@ object Stats {
         "order_cust_priority"))
       .orderBy($"fd")
   }
+
+  /** Data-contract audit — the ingestion gate that scores every
+    * declared invariant in one report: referential integrity (child
+    * keys resolving to their parent table) and row-local rules
+    * (ranges, nullability, derived-column consistency). Violations
+    * are COUNTED, not asserted — the audit's job is to size the
+    * repair, and `viol_q6` is the per-rule violation rate a
+    * threshold gate consumes.
+    *
+    * Scale shape: each row-local rule is ONE conditional aggregate
+    * fused into a single pass over its table (checked and violated
+    * counted together — never two scans); each FK rule is one
+    * LEFT ANTI join keyed on the FK (shuffle-on-key, dim side
+    * broadcast when it fits, AQE's call). The per-rule outputs are
+    * one-row frames; the scalar cross-joins that stitch them are
+    * broadcast-of-one-row by construction.
+    */
+  def contractAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def rate(df: DataFrame): DataFrame =
+      df.select($"rule", $"n_checked", $"n_violations",
+        expr("CAST(n_violations * 1000000 div n_checked AS BIGINT)")
+          .as("viol_q6"))
+    def local(df: DataFrame, label: String, bad: Column): DataFrame =
+      rate(df.agg(count(lit(1)).as("n_checked"),
+        coalesce(sum(when(bad, 1L)), lit(0L)).as("n_violations"))
+        .select(lit(label).as("rule"), $"n_checked", $"n_violations"))
+    def fk(child: DataFrame, key: Column, parent: DataFrame,
+           pkey: Column, label: String): DataFrame =
+      rate(child.select(key.as("k"))
+        .agg(count(lit(1)).as("n_checked"))
+        .crossJoin(child.select(key.as("k"))
+          .join(parent.select(pkey.as("k")), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_violations")))
+        .select(lit(label).as("rule"), $"n_checked", $"n_violations"))
+    val orders = Tables.orders(spark, d)
+    val cust = Tables.customer(spark, d)
+    val li = Tables.lineitem(spark, d)
+    val docs = Tables.documents(spark, d)
+    fk(orders, $"o_custkey", cust, $"c_custkey", "fk_orders_customer")
+      .unionAll(fk(li, $"l_orderkey", orders, $"o_orderkey",
+        "fk_lineitem_orders"))
+      .unionAll(local(li, "range_quantity",
+        $"l_quantity" < 1 || $"l_quantity" > 50))
+      .unionAll(local(docs, "doc_chars_match",
+        $"n_chars" =!= length($"text")))
+      .unionAll(local(cust, "null_mktsegment", $"c_mktsegment".isNull))
+      .unionAll(local(cust, "negative_acctbal", $"c_acctbal" < 0))
+      .orderBy($"rule")
+  }
 }

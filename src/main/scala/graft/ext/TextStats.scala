@@ -251,4 +251,43 @@ object TextStats {
           .as("fluency_score"))
       .orderBy($"doc_id")
   }
+
+  /** Per-document log-perplexity under an add-1-smoothed corpus
+    * unigram LM — THE standard perplexity-filtering signal of
+    * training-data pipelines (drop/downweight documents whose token
+    * stream the corpus model finds surprising). Per-token surprisal
+    * −ln p(t) = ln(N+V) − ln(c_t+1); the report is each document's
+    * token count, total surprisal, and mean (avg negative
+    * log-likelihood, natural-log µnats).
+    *
+    * Exactness: ln is quantized per VALUE — LQ(x) = ⌊ln(x)·10⁶⌋
+    * applied to the (c_t+1) each token resolves to and once to the
+    * scalar (N+V) — so per-doc totals are integer sums, order-
+    * independent under any parallelism and bit-identical across
+    * engines (the q166 entropy discipline; a float Σ −ln p would be
+    * neither). Shape at scale: explode → token-count partial agg →
+    * join back on the token (AQE broadcasts the vocabulary when it
+    * fits; above that it's a keyed shuffle, never a pinned hint —
+    * the q71/q73 gate precedent) → per-doc partial agg.
+    */
+  def logPerplexity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val counts = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val model = counts.agg(
+      expr("CAST(floor(ln(CAST(sum(cnt) + count(1) AS DOUBLE))" +
+        " * 1000000.0) AS BIGINT)").as("lq_nv"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(model))
+      .select($"doc_id",
+        ($"lq_nv" - expr("CAST(floor(ln(CAST(cnt + 1 AS DOUBLE))" +
+          " * 1000000.0) AS BIGINT)")).as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"s").as("nll_q6"))
+      .select($"doc_id", $"n_tokens", $"nll_q6",
+        expr("nll_q6 div n_tokens").as("avg_nll_q6"))
+      .orderBy($"doc_id")
+  }
 }

@@ -292,6 +292,43 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact equi-depth (equal-frequency) histogram of order value —
+    * the optimizer-statistics / feature-binning primitive: B buckets
+    * whose populations differ by at most one row, with each bucket's
+    * exact bounds, population, and mass. Equi-WIDTH histograms (q107's
+    * fixed grid) mislead on skewed money distributions; equi-depth
+    * edges ARE the distribution.
+    *
+    * Algorithm: rank every order globally by (cents, orderkey) via
+    * [[graft.operators.GlobalIndex]] — a range-partitioned parallel
+    * scan, NEVER the single-reducer `Window.orderBy` the textbook
+    * NTILE form pays — then bucket by pure arithmetic: `ntile =
+    * (rank−1)·B div n + 1`, which reproduces SQL NTILE semantics
+    * exactly (first `n mod B` buckets one row larger). The oracle
+    * computes the same histogram WITH the NTILE window — the hash
+    * gate proves the arithmetic form recovers windowed semantics
+    * (the q164 rank-normalize discipline, applied to binning).
+    */
+  def equiDepthHistogram(spark: SparkSession, d: String,
+                         buckets: Int = 20): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val x = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      $"o_orderkey")
+    val ranked = graft.operators.GlobalIndex.withRowNumber(
+      x, Seq(col("cents"), col("o_orderkey")), "seq")
+    ranked
+      .crossJoin(broadcast(x.agg(count(lit(1)).as("n"))))
+      .select(expr(s"(seq - 1) * $buckets div n + 1").as("bucket"),
+        $"cents")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), min($"cents").as("lo_cents"),
+        max($"cents").as("hi_cents"),
+        sum($"cents".cast(dec)).cast("long").as("sum_cents"))
+      .orderBy($"bucket")
+  }
+
   def setOps(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, d)

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import graft.ext.{Behavior, Graph, Stats, TextStats}
+import graft.queries.Extended
 
 /** Round-5 operators on PLANTED inputs with hand-computed expected
   * values: funnel ordering semantics, Markov transition probabilities,
@@ -688,6 +689,38 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Map(
       1L -> ((2L, 1200000000L)),
       2L -> ((1L, 600000000L))), s"got $got")
+  }
+
+  test("logPerplexity: hand-computed add-1 surprisal sums") {
+    val dir = Files.createTempDirectory("graft-ppl").toString
+    Seq((1L, "a a b"), (2L, "a"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    // counts: a=3, b=1; N=4, V=2, N+V=6. LQ(x)=floor(ln(x)*1e6):
+    // s(a)=LQ(6)-LQ(4)=1791759-1386294=405465
+    // s(b)=LQ(6)-LQ(2)=1791759-693147=1098612
+    val got = TextStats.logPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 2 * 405465L + 1098612L,
+      (2 * 405465L + 1098612L) / 3)), s"got ${got(1L)}")
+    assert(got(2L) == ((1L, 405465L, 405465L)))
+  }
+
+  test("equiDepthHistogram: arithmetic buckets match NTILE sizes and bounds") {
+    val dir = Files.createTempDirectory("graft-edh").toString
+    // 7 orders, cents 100..700 (via price 1.00..7.00), B=3:
+    // NTILE sizes 3,2,2 -> buckets {100,200,300},{400,500},{600,700}
+    (1L to 7L).map(i => (i, i.toDouble))
+      .toDF("o_orderkey", "o_totalprice").coalesce(1)
+      .write.parquet(s"$dir/orders.parquet")
+    val got = Extended.equiDepthHistogram(spark, dir, buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 100L, 300L, 600L),
+      (2L, 2L, 400L, 500L, 900L),
+      (3L, 2L, 600L, 700L, 1300L)), s"got ${got.toSeq}")
   }
 
   test("assocRules: hand-computed support/confidence/lift on planted baskets") {

@@ -261,6 +261,29 @@ class CorpusSpec extends SparkSpec {
     assert((z.getLong(1), z.getString(3)) == ((4L, "1,2")))
   }
 
+  test("stratifiedSample: exactly alloc rows per stratum, smallest hashes win") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssamp").toString
+    // nations 0:{1..6} 1:{10..12} 2:{20}; budget 5 over N=10 ->
+    // quotas 3.0/1.5/0.5, floors 3/1/0, one residual slot on the
+    // remainder tie (n1, n2 both .5) -> smaller nation key: n1.
+    // alloc = 3/2/0 (nation 2 contributes NO rows)
+    val custs = (1L to 6L).map((_, 0)) ++ (10L to 12L).map((_, 1)) ++ Seq((20L, 2))
+    custs.toDF("c_custkey", "c_nationkey").coalesce(1)
+      .write.parquet(s"$dir/customer.parquet")
+    val P = 2147483647L
+    def h(k: Long): Long = (k % P) * 2654435761L % P
+    val expect = custs.groupBy(_._2).flatMap { case (nation, ks) =>
+      val alloc = Map(0 -> 3, 1 -> 2, 2 -> 0)(nation)
+      ks.map(_._1).sortBy(k => (h(k), k)).take(alloc).zipWithIndex
+        .map { case (k, i) => (nation.toLong, i + 1L, k, h(k)) }
+    }.toSet
+    val got = Corpus.stratifiedSample(spark, dir, budget = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.size == 5L, "sample size equals the budget exactly")
+  }
+
   test("quotaAllocation: floors + largest remainders sum exactly to the budget") {
     val dir = java.nio.file.Files.createTempDirectory("graft-quota").toString
     Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 2))

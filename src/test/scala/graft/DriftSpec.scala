@@ -265,6 +265,37 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("contractAudit: each planted violation lands in exactly its rule") {
+    val dir = Files.createTempDirectory("graft-contract").toString
+    // customer 1..3: one negative balance, one null segment
+    Seq((1L, Some("AUTO"), 100.0), (2L, None, -50.0), (3L, Some("BIKE"), 0.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal").coalesce(1)
+      .write.parquet(s"$dir/customer.parquet")
+    // orders 1..4: order 4 references the missing customer 99
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+      .withColumn("o_totalprice", lit(100.0)).coalesce(1)
+      .write.parquet(s"$dir/orders.parquet")
+    // lineitems: one orphan orderkey (77), quantities 0 and 51 out of
+    // range (the orphan row's quantity is legal — rules are independent)
+    Seq((1L, 5.0), (2L, 0.0), (3L, 51.0), (77L, 10.0))
+      .toDF("l_orderkey", "l_quantity").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    // documents: one n_chars lie
+    Seq((1L, "abc", 3L), (2L, "abcd", 99L))
+      .toDF("doc_id", "text", "n_chars").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Stats.contractAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("fk_orders_customer") == ((4L, 1L, 250000L)))
+    assert(got("fk_lineitem_orders") == ((4L, 1L, 250000L)))
+    assert(got("range_quantity") == ((4L, 2L, 500000L)))
+    assert(got("doc_chars_match") == ((2L, 1L, 500000L)))
+    assert(got("null_mktsegment") == ((3L, 1L, 333333L)))
+    assert(got("negative_acctbal") == ((3L, 1L, 333333L)))
+  }
+
   test("chiSquared: independent margins give near-zero statistic") {
     // perfectly proportional table: O = [[8,12],[16,24]] => chi2 = 0
     def rows(n: Int, from: Long, st: String, pr: String) =

@@ -348,4 +348,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window ["))
     assert(plan.contains("HashAggregate"))
   }
+
+  test("q168: posting sample is a bounded partial aggregate, never a token window") {
+    val df = SparkEntry.queries("q168_inverted_index")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "TopKAgg must run as a partial object-hash aggregate " +
+        "(each task forwards <=k postings per token)")
+    assert(!plan.contains("Window ["),
+      "a per-token ROW_NUMBER window would shuffle full posting lists")
+  }
+
+  test("q173: sample selection is a bounded partial agg; data rows see no window") {
+    val df = SparkEntry.queries("q173_stratified_sample")(spark, d)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists(_.contains("ObjectHashAggregate")),
+      "TopKAgg partial expected: <=budget rows per stratum into the shuffle")
+    assert(lines.exists(_.contains("BroadcastHashJoin")),
+      "the strata-domain alloc table must broadcast")
+    // windows (quota remainder rank) may only funnel the strata-count
+    // aggregate, never raw customer rows: every single-partition
+    // exchange must sit directly over an aggregate
+    // (5-line lookahead: the quota frame is Project + scalar
+    // cross-join directly over the strata aggregate)
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.drop(i + 1).take(5).mkString
+        assert(child.contains("Aggregate"),
+          s"single-partition exchange over data rows:\n" +
+            lines.slice(i, i + 6).mkString("\n"))
+      }
+  }
+
+  test("q176: binning never funnels order rows through one reducer") {
+    val df = SparkEntry.queries("q176_equidepth_hist")(spark, d)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists(_.contains("__pid")),
+      "expected the GlobalIndex per-partition numbering window")
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.drop(i + 1).take(2).mkString
+        assert(child.contains("Aggregate"),
+          s"single-partition exchange over data rows:\n" +
+            lines.slice(i, i + 3).mkString("\n"))
+      }
+  }
 }
