@@ -427,6 +427,28 @@ object SparkEntry {
     // the oracle uses the real NTILE window
     "q176_equidepth_hist" -> ((s: SparkSession, d: String) =>
       Extended.equiDepthHistogram(s, d)),
+    // Pairwise mutual information with per-cell integer ln
+    // quantization; shift-then-divide gives both engines floor
+    // semantics on the (possibly hair-negative) quantized sum
+    "q177_mutual_info" -> ((s: SparkSession, d: String) =>
+      Stats.mutualInformation(s, d)),
+    // PSI drift over reference-period equi-depth deciles; bucket
+    // assignment is map-only against a broadcast edge array
+    "q178_psi_drift" -> ((s: SparkSession, d: String) =>
+      Stats.psiDrift(s, d)),
+    // Inter-arrival CV^2 per user: one user-keyed lag window, exact
+    // rational in q6 (squared-gap sums staged DECIMAL(38,0))
+    "q179_burstiness" -> ((s: SparkSession, d: String) =>
+      Behavior.burstiness(s, d)),
+    // OOV rate vs the deterministic corpus top-1000 vocabulary
+    // (bounded broadcast by construction)
+    "q180_oov_rate" -> ((s: SparkSession, d: String) =>
+      TextStats.oovRate(s, d)),
+    // REAL BPE training: 5 merge rounds on the word-frequency table;
+    // double-delimiter framing makes greedy merge one portable
+    // replace() on both engines
+    "q181_bpe_merges" -> ((s: SparkSession, d: String) =>
+      Corpus.bpeMerges(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3139,6 +3161,153 @@ object SparkEntry {
         |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
         |  CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents
         |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q181: 5 unrolled merge rounds, MATERIALIZED (each w_i is read
+    // twice — pair census + rewrite — and t_i twice); identical
+    // framing and replace() semantics
+    "q181_bpe_merges" -> {
+      val round = (1 to 5).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT t[i] AS lhs, t[i+1] AS rhs,
+           |    CAST(SUM(wc) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+           |          '||') AS t, wc FROM w${i - 1}) x,
+           |    UNNEST(range(1, len(x.t))) AS u(i)
+           |  GROUP BY 1, 2),
+           |t$i AS MATERIALIZED (
+           |  SELECT lhs, rhs, cnt FROM p$i
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT replace(s, '|' || t.lhs || '||' || t.rhs || '|',
+           |      '|' || t.lhs || t.rhs || '|') AS s, wc
+           |  FROM w${i - 1}, t$i t)""".stripMargin
+      }.mkString(",\n")
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT '|' || array_to_string(string_split(w, ''), '||')
+        |      || '|' AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' AND w NOT LIKE '%|%'
+        |  GROUP BY 1),
+        |""".stripMargin + round + "\n" +
+        (1 to 5).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, cnt FROM t$i")
+          .mkString("\nUNION ALL\n") + "\nORDER BY round"
+    },
+    // q177: identical per-cell ln quantization; the +1e9·n shift
+    // makes // and Spark's div agree on the near-zero sums
+    "q177_mutual_info" -> {
+      def mi(table: String, x: String, y: String, label: String) =
+        s"""  SELECT '$label' AS pair, n, k_cells, mi_q6 FROM (
+           |    WITH cells AS (
+           |      SELECT CAST($x AS VARCHAR) AS x, CAST($y AS VARCHAR) AS y,
+           |        CAST(COUNT(*) AS BIGINT) AS c
+           |      FROM $table GROUP BY 1, 2),
+           |    m AS (
+           |      SELECT c,
+           |        CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS cx,
+           |        CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS cy,
+           |        CAST(SUM(c) OVER () AS BIGINT) AS n
+           |      FROM cells)
+           |    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           |      CAST(COUNT(*) AS BIGINT) AS k_cells,
+           |      CAST((SUM(CAST(c AS HUGEINT) *
+           |          (CAST(FLOOR(ln(CAST(c * n AS DOUBLE)) * 1000000.0)
+           |             AS BIGINT)
+           |           - CAST(FLOOR(ln(CAST(cx * cy AS DOUBLE)) * 1000000.0)
+           |             AS BIGINT)))
+           |        + 1000000000 * CAST(MAX(n) AS HUGEINT)) // MAX(n)
+           |        AS BIGINT) - 1000000000 AS mi_q6
+           |    FROM m)""".stripMargin
+      mi("orders", "o_orderstatus", "o_orderpriority",
+        "order_status_priority") + "\nUNION ALL\n" +
+        mi("documents", "lang", "source", "doc_lang_source") +
+        "\nUNION ALL\n" +
+        mi("customer", "c_mktsegment", "c_nationkey",
+          "cust_segment_nation") + "\nORDER BY pair"
+    },
+    // q178: same decile floors from the window-rank form; bucket
+    // assignment via the same list_filter arithmetic
+    "q178_psi_drift" ->
+      """WITH o AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey,
+        |    o_orderdate < TIMESTAMP '1996-01-01' AS ref
+        |  FROM orders),
+        |rr AS (
+        |  SELECT cents,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey)
+        |      AS BIGINT) AS seq,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nr
+        |  FROM o WHERE ref),
+        |edges AS (
+        |  SELECT (seq - 1) * 10 // nr + 1 AS bucket, MIN(cents) AS lo
+        |  FROM rr GROUP BY 1),
+        |la AS (SELECT LIST(lo ORDER BY lo) AS los FROM edges),
+        |assigned AS (
+        |  SELECT o.ref,
+        |    GREATEST(1, len(list_filter(la.los, e -> e <= o.cents)))
+        |      AS bucket
+        |  FROM o CROSS JOIN la),
+        |counts AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(COALESCE(SUM(CASE WHEN ref THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS c_ref,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS c_cur
+        |  FROM assigned GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(c_ref) + 10 AS BIGINT) AS na,
+        |    CAST(SUM(c_cur) + 10 AS BIGINT) AS nb
+        |  FROM counts)
+        |SELECT c.bucket, c.c_ref, c.c_cur,
+        |  CAST((CAST(c_ref + 1 AS HUGEINT) * nb
+        |      - CAST(c_cur + 1 AS HUGEINT) * na)
+        |    * (CAST(FLOOR(ln(CAST((c_ref + 1) * nb AS DOUBLE))
+        |        * 1000000.0) AS BIGINT)
+        |      - CAST(FLOOR(ln(CAST((c_cur + 1) * na AS DOUBLE))
+        |        * 1000000.0) AS BIGINT))
+        |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS term_q6
+        |FROM counts c CROSS JOIN tot
+        |ORDER BY c.bucket""".stripMargin,
+    // q179: same lag window; HUGEINT squared-gap sums cast at the edge
+    "q179_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pus
+        |  FROM events),
+        |g AS (SELECT user_id, us - pus AS g FROM e WHERE pus IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(g) AS BIGINT) AS span_us,
+        |    SUM(CAST(g AS HUGEINT) * g) AS g2
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_gaps, span_us,
+        |  CAST((CAST(n_gaps AS HUGEINT) * g2 * 1000000)
+        |    // (CAST(span_us AS HUGEINT) * span_us) AS BIGINT)
+        |    - 1000000 AS cv2_q6
+        |FROM a WHERE n_gaps >= 2 AND span_us > 0
+        |ORDER BY user_id""".stripMargin,
+    // q180: the same (count DESC, token ASC) total order picks the
+    // vocabulary on both engines
+    "q180_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |counts AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk2 GROUP BY 1),
+        |v AS (SELECT token FROM counts ORDER BY cnt DESC, token LIMIT 1000)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_oov,
+        |  CAST((CAST(COALESCE(SUM(CASE WHEN v.token IS NULL THEN 1
+        |      ELSE 0 END), 0) AS HUGEINT) * 1000000) // COUNT(*)
+        |    AS BIGINT) AS oov_q6
+        |FROM tk2 t LEFT JOIN v ON t.token = v.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // q168: posting sample via the window form (different algorithm
     // than the engine's bounded partial top-k)
     "q168_inverted_index" ->

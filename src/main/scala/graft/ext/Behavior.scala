@@ -208,4 +208,41 @@ object Behavior {
           s" div (CAST(c_a AS $dec) * c_b) AS BIGINT)").as("lift_q6"))
       .orderBy($"ante", $"cons")
   }
+
+  /** Inter-arrival burstiness per user — the bot/scraper screen over
+    * an event stream: a user whose gap sizes vary far more than a
+    * Poisson process (CV² ≫ 1) is bursty automation or sessionized
+    * replay; CV² ≈ 1 is memoryless arrival; CV² ≈ 0 is a metronome
+    * (cron traffic). Reported as the exact rational
+    * CV² = n·Σg²/(Σg)² − 1 in q6 units (the identity
+    * E[g²]/E[g]² = 1 + CV² makes the subtraction exact) — no square
+    * roots, no floats:
+    * gap sums in µs and squared sums in DECIMAL(38,0) (a month-long
+    * gap squares past int64 — the q165 staging rule).
+    *
+    * Scale shape: ONE lag window keyed per user (never a global
+    * order), one map-side-combinable per-user aggregate; users below
+    * `minEvents` or with a zero span (all events simultaneous) are
+    * filtered before any division.
+    */
+  def burstiness(spark: SparkSession, d: String,
+                 minEvents: Int = 3): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("pus", lag($"us", 1).over(w))
+      .filter($"pus".isNotNull)
+      .select($"user_id", ($"us" - $"pus").as("g"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum($"g").as("span_us"),
+        sum($"g".cast(dec) * $"g").as("g2"))
+      .filter($"n_gaps" >= minEvents - 1 && $"span_us" > 0)
+      .select($"user_id", $"n_gaps", $"span_us",
+        (expr(s"CAST((CAST(n_gaps AS $dec) * g2 * 1000000)" +
+          s" div (CAST(span_us AS $dec) * span_us) AS BIGINT)")
+          - 1000000L).as("cv2_q6"))
+      .orderBy($"user_id")
+  }
 }

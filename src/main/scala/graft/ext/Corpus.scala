@@ -589,6 +589,64 @@ object Corpus {
       .orderBy($"nation")
   }
 
+  /** Byte-pair-encoding TRAINING — `rounds` actual merge steps, not
+    * just the pair census ([[bpePairs]] is round 1's counting half):
+    * per round, count adjacent symbol pairs weighted by word
+    * frequency, merge the most frequent pair (ties → lexicographic
+    * (l, r)) greedily left-to-right in every word, repeat. The
+    * emitted merge table IS the tokenizer artifact a pipeline ships.
+    *
+    * Words are framed as individually-wrapped symbols
+    * (`"ab" → "|a||b|"`) so the merge is ONE engine-portable
+    * `replace(s, '|l||r|', '|lr|')`: both Spark (UTF8String) and
+    * DuckDB scan left-to-right without overlap, which is exactly
+    * BPE's greedy convention — `|a||a||a|` merges once, `|a||b||a||b|`
+    * merges twice. (Single-delimiter framing would break: the shared
+    * `|` between adjacent pairs gets consumed by the first match.)
+    * Words containing the reserved `|` are excluded up front.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregate); every round then runs on the VOCABULARY table —
+    * the classic word-count formulation of BPE training — with one
+    * pair-explode aggregate, a 1-row top-pair broadcast, and a
+    * map-only replace. Each round's vocabulary is localCheckpoint'd:
+    * the round plan references it twice (pair agg + rewrite), so an
+    * un-truncated lineage doubles per round and recomputes
+    * exponentially.
+    */
+  def bpeMerges(spark: SparkSession, d: String,
+                rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    var cur = Tables.documents(spark, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "" && !$"w".contains("|"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .select(concat(lit("|"), concat_ws("||", split($"w", "")),
+        lit("|")).as("s"), $"wc")
+      .localCheckpoint()
+    val merges = (1 to rounds).map { r =>
+      val pairs = cur
+        .select($"wc", expr("filter(split(substring(s, 2," +
+          " length(s)-2), '\\\\|\\\\|'), x -> x != '')").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"wc", explode(expr(
+          """transform(sequence(1, size(t) - 1),
+             i -> struct(t[i-1] AS l, t[i] AS r))""")).as("p"))
+        .groupBy($"p.l".as("lhs"), $"p.r".as("rhs"))
+        .agg(sum($"wc").as("cnt"))
+      val top = pairs.orderBy($"cnt".desc, $"lhs", $"rhs").limit(1)
+        .select(lit(r.toLong).as("round"), $"lhs", $"rhs", $"cnt")
+        .localCheckpoint()
+      cur = cur
+        .crossJoin(broadcast(top.select($"lhs".as("ml"), $"rhs".as("mr"))))
+        .select(expr("replace(s, '|' || ml || '||' || mr || '|'," +
+          " '|' || ml || mr || '|')").as("s"), $"wc")
+        .localCheckpoint()
+      top
+    }
+    merges.reduce(_ unionAll _).orderBy($"round")
+  }
+
   /** Execute [[quotaAllocation]]'s sampling plan: per stratum take
     * EXACTLY its allocated slot count, members chosen by smallest
     * engine-portable key hash — a deterministic uniform-without-

@@ -949,6 +949,122 @@ object Stats {
       .orderBy($"fd")
   }
 
+  /** Pairwise mutual information between categorical columns — the
+    * feature-dependence screen run before model features or
+    * stratification keys are chosen ([[fdAudit]] measures functional
+    * determination; MI measures statistical dependence in nats, 0 =
+    * independent): I(X;Y) = Σ_xy p(xy)·ln(p(xy)/(p(x)p(y))).
+    *
+    * Exactness: the only transcendental is ln, quantized per CELL at
+    * integer arguments — ΔLQ = LQ(c_xy·N) − LQ(c_x·c_y) with LQ(v) =
+    * ⌊ln(v)·10⁶⌋ and both products ≤ N² ≈ 2.25·10¹⁰ ≪ 2⁵³ (exact in
+    * the double ln sees) — so the weighted sum Σ c_xy·ΔLQ is pure
+    * integer arithmetic, order-independent and engine-exact (the
+    * q166 entropy discipline, pairwise).
+    *
+    * Scale shape: one map-side-combinable `groupBy(x, y)` per pair is
+    * the only volume-sized work; marginals come from windows over the
+    * CELL table (bounded by the category-domain product, the q152
+    * staging), never a second corpus pass.
+    */
+  def mutualInformation(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    def mi(df: DataFrame, x: String, y: String, label: String): DataFrame = {
+      val cells = df.groupBy(col(x).cast("string").as("x"),
+          col(y).cast("string").as("y"))
+        .agg(count(lit(1)).as("c"))
+      cells
+        .withColumn("cx", sum($"c").over(Window.partitionBy($"x")))
+        .withColumn("cy", sum($"c").over(Window.partitionBy($"y")))
+        .withColumn("n", sum($"c").over(Window.partitionBy()))
+        .withColumn("dlq",
+          expr("CAST(floor(ln(CAST(c * n AS DOUBLE)) * 1000000.0) AS" +
+            " BIGINT) - CAST(floor(ln(CAST(cx * cy AS DOUBLE))" +
+            " * 1000000.0) AS BIGINT)"))
+        .agg(max($"n").as("nn"), count(lit(1)).as("k_cells"),
+          sum($"c".cast(dec) * $"dlq").as("s"))
+        // true MI ≥ 0 but the quantized sum can dip a hair below zero
+        // near independence, and Spark `div` truncates toward zero
+        // while DuckDB `//` floors — shift by 10⁹·n (≫ any possible
+        // |s|/n) so both engines divide a positive number, then
+        // un-shift: identical floor semantics
+        .select(lit(label).as("pair"), $"nn".as("n"), $"k_cells",
+          (expr(s"CAST((s + 1000000000 * CAST(nn AS $dec)) div nn" +
+            " AS BIGINT)") - 1000000000L).as("mi_q6"))
+    }
+    mi(Tables.orders(spark, d), "o_orderstatus", "o_orderpriority",
+        "order_status_priority")
+      .unionAll(mi(Tables.documents(spark, d), "lang", "source",
+        "doc_lang_source"))
+      .unionAll(mi(Tables.customer(spark, d), "c_mktsegment",
+        "c_nationkey", "cust_segment_nation"))
+      .orderBy($"pair")
+  }
+
+  /** Population-stability-index drift between a reference period and
+    * the current one, over reference-period EQUI-DEPTH bins — the
+    * industry-standard "did the score/price distribution move"
+    * monitor (PSI > 0.25 ⇒ investigate). Bins are the reference
+    * deciles (the q176 operator's edges), so each reference bucket
+    * holds ~10% by construction and drift shows as current-period
+    * mass leaving its decile.
+    *
+    * Add-1 smoothing on both periods keeps empty buckets finite —
+    * the smoothed cell term is (u−v)·(LQ(u)−LQ(v)) with
+    * u = (cA+1)·(NB+B), v = (cB+1)·(NA+B), all integer products
+    * ≤ N² ≪ 2⁵³, summed in DECIMAL(38,0) and divided once — exact
+    * and order-independent on both engines.
+    *
+    * Scale shape: one GlobalIndex ranking of the REFERENCE period
+    * (range-partitioned, never a single-reducer NTILE window), then
+    * bucket assignment is MAP-ONLY — the B decile floors travel as
+    * one broadcast array scalar and each row computes
+    * `greatest(1, size(filter(los, e → e ≤ cents)))`; the final
+    * aggregate is B rows.
+    */
+  def psiDrift(spark: SparkSession, d: String,
+               buckets: Int = 10): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val o = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+      $"o_orderkey",
+      ($"o_orderdate" < lit("1996-01-01").cast("timestamp")).as("ref"))
+    val refRanked = graft.operators.GlobalIndex.withRowNumber(
+      o.filter($"ref").select($"cents", $"o_orderkey"),
+      Seq(col("cents"), col("o_orderkey")), "seq")
+    val los = refRanked
+      .crossJoin(broadcast(
+        o.filter($"ref").agg(count(lit(1)).as("nr"))))
+      .select(expr(s"(seq - 1) * $buckets div nr + 1").as("bucket"),
+        $"cents")
+      .groupBy($"bucket").agg(min($"cents").as("lo"))
+      .agg(sort_array(collect_list($"lo")).as("los"))
+    val counts = o
+      .crossJoin(broadcast(los))
+      .select($"ref",
+        greatest(lit(1),
+          size(expr("filter(los, e -> e <= cents)"))).cast("long")
+          .as("bucket"))
+      .groupBy($"bucket")
+      .agg(coalesce(sum(when($"ref", 1L)), lit(0L)).as("c_ref"),
+        coalesce(sum(when(!$"ref", 1L)), lit(0L)).as("c_cur"))
+    counts
+      .crossJoin(broadcast(counts.agg(
+        (sum($"c_ref") + buckets).as("na"),
+        (sum($"c_cur") + buckets).as("nb"))))
+      .select($"bucket", $"c_ref", $"c_cur",
+        expr(s"""CAST((CAST((c_ref + 1) AS $dec) * nb
+          - CAST((c_cur + 1) AS $dec) * na)
+          * (CAST(floor(ln(CAST((c_ref + 1) * nb AS DOUBLE))
+              * 1000000.0) AS BIGINT)
+            - CAST(floor(ln(CAST((c_cur + 1) * na AS DOUBLE))
+              * 1000000.0) AS BIGINT))
+          div (CAST(na AS $dec) * nb) AS BIGINT)""").as("term_q6"))
+      .orderBy($"bucket")
+  }
+
   /** Data-contract audit — the ingestion gate that scores every
     * declared invariant in one report: referential integrity (child
     * keys resolving to their parent table) and row-local rules

@@ -290,4 +290,39 @@ object TextStats {
         expr("nll_q6 div n_tokens").as("avg_nll_q6"))
       .orderBy($"doc_id")
   }
+
+  /** Out-of-vocabulary rate per document against the corpus top-k
+    * vocabulary — the tokenizer-coverage gate: a document whose
+    * tokens mostly fall outside the vocabulary the tokenizer was
+    * sized for will fragment into long byte-level sequences (wasted
+    * context) or carry boilerplate/noise; pipelines cap OOV rate
+    * before admission.
+    *
+    * Vocabulary selection is deterministic — top `vocabSize` by
+    * (count DESC, token ASC), a total order — so both engines pick
+    * the identical set and the rates hash-match. Scale shape: one
+    * explode + token-count partial agg; the vocabulary itself is a
+    * global top-k (TakeOrderedAndProject — bounded k rows, never a
+    * full sort) and joins back BROADCAST by construction (≤ vocabSize
+    * rows — a bounded pinned broadcast, unlike the unbounded df-table
+    * hint the q71/q73 gate removed); one per-doc partial agg closes.
+    */
+  def oovRate(spark: SparkSession, d: String,
+              vocabSize: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(vocabSize)
+      .select($"token", lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when($"in_vocab".isNull, 1L)), lit(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        expr("CAST(n_oov * 1000000 div n_tokens AS BIGINT)")
+          .as("oov_q6"))
+      .orderBy($"doc_id")
+  }
 }

@@ -691,6 +691,24 @@ class BehaviorSpec extends SparkSpec {
       2L -> ((1L, 600000000L))), s"got $got")
   }
 
+  test("burstiness: metronome gaps give CV2=0, spread gaps the exact ratio") {
+    // user 1: events every 10s (metronome) -> CV2 exactly 0
+    // user 2: gaps 1s and 99s -> CV2 = 2*9802/10000 - 1 = 0.9604
+    // user 3: only two events -> below minEvents, absent
+    val dir2 = plantEvents(Seq(
+      (1L, 0L, 1L, "view", None), (2L, 10L, 1L, "view", None),
+      (3L, 20L, 1L, "view", None), (4L, 30L, 1L, "view", None),
+      (5L, 0L, 2L, "view", None), (6L, 1L, 2L, "view", None),
+      (7L, 100L, 2L, "view", None),
+      (8L, 0L, 3L, "view", None), (9L, 5L, 3L, "view", None)))
+    val got = Behavior.burstiness(spark, dir2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L), s"got ${got.keySet}")
+    assert(got(1L) == ((3L, 30000000L, 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 100000000L, 960400L)), s"got ${got(2L)}")
+  }
+
   test("logPerplexity: hand-computed add-1 surprisal sums") {
     val dir = Files.createTempDirectory("graft-ppl").toString
     Seq((1L, "a a b"), (2L, "a"))

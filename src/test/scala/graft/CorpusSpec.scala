@@ -284,6 +284,41 @@ class CorpusSpec extends SparkSpec {
     assert(got.size == 5L, "sample size equals the budget exactly")
   }
 
+  test("bpeMerges: greedy overlap, lexicographic ties, cascading merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // corpus: abab x3, aaa x2, abc x4
+    // r1: (a,b)=6+4=10 wins; abab -> [ab,ab] (BOTH pairs merge — a
+    //     broken overlap/replace would leave [ab,a,b]), abc -> [ab,c]
+    // r2: (a,a)=4 ties (ab,c)=4 -> lex smaller l='a' wins; aaa->[aa,a]
+    // r3: (ab,c)=4; r4: (ab,ab)=3 — exists ONLY if r1 merged both
+    // r5: (aa,a)=2 — the merged token cascades into later rounds
+    Seq((1L, "abab abab abab aaa aaa abc abc abc abc"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.bpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", 10L), (2L, "a", "a", 4L), (3L, "ab", "c", 4L),
+      (4L, "ab", "ab", 3L), (5L, "aa", "a", 2L)), s"got ${got.toSeq}")
+  }
+
+  test("oovRate: boundary ties resolve by token order; rates exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    // freqs: a=3, b=1, c=1; vocabSize=2 -> tie (b,c) at the boundary
+    // breaks to token asc: vocab = {a, b}, c is OOV
+    Seq((1L, "a a b"), (2L, "c"), (3L, "a"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.ext.TextStats.oovRate(spark, dir, vocabSize = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 0L, 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 1000000L)))
+    assert(got(3L) == ((1L, 0L, 0L)))
+  }
+
   test("quotaAllocation: floors + largest remainders sum exactly to the budget") {
     val dir = java.nio.file.Files.createTempDirectory("graft-quota").toString
     Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 2))

@@ -296,6 +296,54 @@ class DriftSpec extends SparkSpec {
     assert(got("negative_acctbal") == ((3L, 1L, 333333L)))
   }
 
+  test("mutualInformation: perfect dependence gives ln2, independence gives 0") {
+    // docs: lang fully determined by source -> MI = ln2 (693147 q6);
+    // customer: segment x nation perfectly independent -> MI = 0;
+    // orders: single status value -> MI = 0 (no uncertainty to share)
+    val d = plantAudit(
+      docs = Seq((1L, "en", "A"), (2L, "en", "A"),
+        (3L, "de", "B"), (4L, "de", "B")),
+      cust = Seq((1L, 0, "AUTO"), (2L, 1, "AUTO"),
+        (3L, 0, "BIKE"), (4L, 1, "BIKE")),
+      ords = Seq((1L, 1L, "1-URGENT"), (2L, 1L, "2-HIGH")))
+    val got = Stats.mutualInformation(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("doc_lang_source") == ((4L, 2L, 693147L)), s"got $got")
+    assert(got("cust_segment_nation") == ((4L, 4L, 0L)))
+    assert(got("order_status_priority") == ((2L, 2L, 0L)))
+  }
+
+  test("psiDrift: identical distributions give zero terms, a shifted one doesn't") {
+    val dir = Files.createTempDirectory("graft-psi").toString
+    // ref (1995): prices 1..20; cur (1997): same multiset -> every
+    // bucket has c_ref = c_cur = 2 and u = v -> all terms exactly 0
+    val ref = (1L to 20L).map(i => (i, i.toDouble, "1995-03-01"))
+    val cur = (1L to 20L).map(i => (100 + i, i.toDouble, "1997-03-01"))
+    (ref ++ cur).toDF("o_orderkey", "o_totalprice", "ds")
+      .withColumn("o_orderdate", to_timestamp($"ds")).drop("ds")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = Stats.psiDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10 && got.forall(r => r._2 == 2L && r._3 == 2L)
+      && got.forall(_._4 == 0L), s"got ${got.toSeq}")
+
+    // all current mass at the top -> the top bucket's term dominates
+    // and every term stays non-negative (PSI is a divergence)
+    val dir2 = Files.createTempDirectory("graft-psi2").toString
+    val cur2 = (1L to 20L).map(i => (100 + i, 20.0, "1997-03-01"))
+    (ref ++ cur2).toDF("o_orderkey", "o_totalprice", "ds")
+      .withColumn("o_orderdate", to_timestamp($"ds")).drop("ds")
+      .coalesce(1).write.parquet(s"$dir2/orders.parquet")
+    val got2 = Stats.psiDrift(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got2.forall(_._2 >= 0L), "divergence terms are non-negative")
+    assert(got2.filter(_._1 == 10L).head._2 ==
+      got2.map(_._2).max, "the receiving bucket carries the largest term")
+    assert(got2.map(_._2).sum > 500000L,
+      "concentrated drift pushes PSI past the 0.5 alarm range")
+  }
+
   test("chiSquared: independent margins give near-zero statistic") {
     // perfectly proportional table: O = [[8,12],[16,24]] => chi2 = 0
     def rows(n: Int, from: Long, st: String, pr: String) =

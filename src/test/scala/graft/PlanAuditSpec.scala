@@ -380,6 +380,21 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q178: bucket assignment is map-only — edges broadcast as one array scalar") {
+    val df = SparkEntry.queries("q178_psi_drift")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "the edge array must arrive via broadcast, never a cartesian")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "one-row edge-array frame joins as a broadcast")
+    // no per-row shuffle may exist between the order scan and the
+    // bucket aggregate: the assignment itself adds no exchange keyed
+    // by anything row-sized (GlobalIndex ranks only the ref period)
+    assert(!plan.contains("SortMergeJoin"),
+      "no row-sized join anywhere in the PSI path")
+  }
+
   test("q176: binning never funnels order rows through one reducer") {
     val df = SparkEntry.queries("q176_equidepth_hist")(spark, d)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
