@@ -449,6 +449,9 @@ object SparkEntry {
     // replace() on both engines
     "q181_bpe_merges" -> ((s: SparkSession, d: String) =>
       Corpus.bpeMerges(s, d)),
+    // Reciprocal-rank fusion of the exact and IVF retrieval runs:
+    // rank-only integer math, bounded per-query re-rank
+    "q182_rrf_fusion" -> (Similarity.rrfFusion _),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3161,6 +3164,50 @@ object SparkEntry {
         |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
         |  CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents
         |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q182: both runs rebuilt with their window forms, fused with the
+    // same integer RRF math
+    "q182_rrf_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, label, embedding AS cv
+         |  FROM embeddings WHERE vec_id >= 5),
+         |se AS (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_raw DESC, vec_id) AS rn
+         |  FROM (SELECT query_id, vec_id, ${cosSql("qv", "cv")}
+         |          AS score_raw
+         |        FROM c CROSS JOIN q)),
+         |ex AS (SELECT query_id, vec_id, CAST(rn AS BIGINT) AS r_exact
+         |  FROM se WHERE rn <= 5),
+         |si AS (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_raw DESC, vec_id) AS rn
+         |  FROM (SELECT query_id, c.vec_id, ${cosSql("qv", "cv")}
+         |          AS score_raw
+         |        FROM c JOIN q USING (label))),
+         |iv AS (SELECT query_id, vec_id, CAST(rn AS BIGINT) AS r_ivf
+         |  FROM si WHERE rn <= 3),
+         |f AS (
+         |  SELECT COALESCE(ex.query_id, iv.query_id) AS query_id,
+         |    COALESCE(ex.vec_id, iv.vec_id) AS vec_id,
+         |    COALESCE(ex.r_exact, 0) AS r_exact,
+         |    COALESCE(iv.r_ivf, 0) AS r_ivf
+         |  FROM ex FULL OUTER JOIN iv
+         |    ON ex.query_id = iv.query_id AND ex.vec_id = iv.vec_id),
+         |g AS (
+         |  SELECT query_id, vec_id, r_exact, r_ivf,
+         |    CAST(CASE WHEN r_exact > 0 THEN 1000000 // (60 + r_exact)
+         |        ELSE 0 END
+         |      + CASE WHEN r_ivf > 0 THEN 1000000 // (60 + r_ivf)
+         |        ELSE 0 END AS BIGINT) AS rrf_q6
+         |  FROM f)
+         |SELECT query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_q6 DESC, vec_id) AS BIGINT) AS fused_rank,
+         |  vec_id, r_exact, r_ivf, rrf_q6
+         |FROM g ORDER BY query_id, fused_rank""".stripMargin,
     // q181: 5 unrolled merge rounds, MATERIALIZED (each w_i is read
     // twice — pair census + rewrite — and t_i twice); identical
     // framing and replace() semantics

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import graft.functions.{CosineSimilarity, TopKAgg}
@@ -79,6 +80,44 @@ object Similarity {
       c.join(broadcast(q), "label")
         .select($"query_id", $"vec_id", cos($"qv", $"cv").as("score_raw")),
       k = 3)
+  }
+
+  /** Reciprocal-rank fusion of two retrieval runs — the standard
+    * hybrid-search combiner (exact [[cosineTopK]] ∪ IVF-pruned
+    * [[ivfTopK]] here; in production dense ∪ BM25): each run
+    * contributes 1/(60+rank) per candidate, summed, re-ranked. RRF
+    * needs only RANKS, never comparable scores, which is why it
+    * fuses heterogeneous retrievers — and why it is exactly
+    * integer-expressible: `10⁶ div (60 + rank)` summed, no floats.
+    *
+    * Scale shape: both inputs arrive already bounded (≤k rows per
+    * query from their TopKAgg partials); the fusion is one full-outer
+    * equi-join on (query, candidate) and a re-rank window whose
+    * partitions hold ≤ k₁+k₂ rows by construction. Absent ranks are
+    * 0 sentinels (real ranks are ≥ 1), not NULLs, so the output is
+    * total and hash-stable.
+    */
+  def rrfFusion(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val exact = cosineTopK(spark, d)
+      .select($"query_id", $"vec_id", $"rn".cast("long").as("r_exact"))
+    val approx = ivfTopK(spark, d)
+      .select($"query_id", $"vec_id", $"rn".cast("long").as("r_ivf"))
+    exact.join(approx, Seq("query_id", "vec_id"), "full_outer")
+      .select($"query_id", $"vec_id",
+        coalesce($"r_exact", lit(0L)).as("r_exact"),
+        coalesce($"r_ivf", lit(0L)).as("r_ivf"))
+      .withColumn("rrf_q6",
+        when($"r_exact" > 0, expr("1000000 div (60 + r_exact)"))
+          .otherwise(0L) +
+        when($"r_ivf" > 0, expr("1000000 div (60 + r_ivf)"))
+          .otherwise(0L))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"rrf_q6".desc, $"vec_id")).cast("long"))
+      .select($"query_id", $"fused_rank", $"vec_id", $"r_exact",
+        $"r_ivf", $"rrf_q6")
+      .orderBy($"query_id", $"fused_rank")
   }
 
   /** Hyperplane-LSH band config: 16 bands × 10 sign-bits. Designed

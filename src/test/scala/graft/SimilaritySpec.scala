@@ -58,6 +58,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("rrfFusion: hand-computed reciprocal-rank fusion of exact and IVF runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rrf").toString
+    // query 0 = [1,0] in cell 0; exact ranks candidates 5,6,7,8 by
+    // cosine 1.0 / 0.8 / 0.0 / -1.0; IVF sees only cell 0 (5, 7)
+    Seq(
+      (0L, Array(1f, 0f), 0),
+      (5L, Array(1f, 0f), 0), (6L, Array(0.8f, 0.6f), 1),
+      (7L, Array(0f, 1f), 0), (8L, Array(-1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.ext.Similarity.rrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // rrf: 5 -> 2*16393; 7 -> 15873+16129; 6 -> 16129; 8 -> 15625
+    assert(got.toSeq == Seq(
+      (1L, 5L, 1L, 1L, 32786L),
+      (2L, 7L, 3L, 2L, 32002L),
+      (3L, 6L, 2L, 0L, 16129L),
+      (4L, 8L, 4L, 0L, 15625L)), s"got ${got.toSeq}")
+  }
+
   test("pqCodes: codes and error match a brute-force Scala reference") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     // 3 planted vectors: block-constant sign patterns, a mixed vector,
