@@ -72,6 +72,38 @@ object DocStream {
     * a periodic batch recount (exactly q135's phase 2) settles exact
     * counts.
     */
+  /** Streaming data-contract gate — the admission-time member of the
+    * audit family ([[graft.ext.Stats.contractAudit]] is the offline
+    * batch sweep): running (checked, violated) totals per row-local
+    * rule over an arriving document stream. The SAME rule frame
+    * drives both modes — on a streaming input the groupBy becomes an
+    * engine-managed stateful aggregation (Complete mode) whose totals
+    * accumulate across micro-batches, so stream-after-N-batches ≡
+    * batch-on-the-union BY CONSTRUCTION, and the spec proves the
+    * state actually carries (violations planted in different batches
+    * land in one total).
+    *
+    * State is one (count, sum) pair per RULE — O(#rules), the
+    * smallest state shape streaming offers; at any volume the gate's
+    * memory is constant.
+    */
+  def contractGate(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val rules = docs.select(explode(array(
+      struct(lit("nonempty_text").as("rule"),
+        when($"text" === "", 1L).otherwise(0L).as("violated")),
+      struct(lit("chars_match").as("rule"),
+        when($"n_chars" =!= length($"text"), 1L).otherwise(0L)
+          .as("violated")),
+      struct(lit("no_reserved_delim").as("rule"),
+        when($"text".contains("|"), 1L).otherwise(0L).as("violated"))))
+      .as("r"))
+    rules.select($"r.rule".as("rule"), $"r.violated".as("violated"))
+      .groupBy($"rule")
+      .agg(count(lit(1)).as("n_checked"), sum($"violated").as("n_violations"))
+  }
+
   def heavyHitterCandidates(tokens: Dataset[String], buckets: Int = 16,
                             k: Int = 64): Dataset[HeavyCandidate] = {
     import tokens.sparkSession.implicits._

@@ -45,6 +45,34 @@ class DocStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("contractGate: totals accumulate across batches and equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val query = graft.streaming.DocStream.contractGate(
+        input.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.format("memory").queryName("contract_out")
+      .outputMode("complete").start()
+    try {
+      // violations split across batches: the empty text arrives in
+      // batch 1, the n_chars lie and the reserved | in batch 2
+      val b1 = Seq((1L, "abc", 3L), (2L, "", 0L))
+      val b2 = Seq((3L, "abcd", 99L), (4L, "a|b", 3L))
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val got = spark.table("contract_out").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == Map(
+        "nonempty_text" -> ((4L, 1L)),
+        "chars_match" -> ((4L, 1L)),
+        "no_reserved_delim" -> ((4L, 1L))), s"got $got")
+      // batch twin on the union: identical by construction
+      val batch = graft.streaming.DocStream.contractGate(
+          (b1 ++ b2).toDF("doc_id", "text", "n_chars")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batch == got, "stream-after-2-batches == batch-on-union")
+    } finally query.stop()
+  }
+
   test("dedup-horizon mode (processing-time timeout) finds the same pairs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
