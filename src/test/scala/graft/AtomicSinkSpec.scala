@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Two-phase-commit contract of [[graft.io.AtomicSink]]: a committed
+  * write is manifest-complete, an aborted write is invisible.
+  */
+class AtomicSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fmt = "graft.io.AtomicSink"
+
+  test("commit publishes exactly the task files, and the data round-trips") {
+    val dir = Files.createTempDirectory("graft-atomic").toString
+    val df = (1L to 100L).map(i => (i, s"row$i", i * 1.5))
+      .toDF("id", "name", "v").repartition(4)
+    df.write.format(fmt).mode("append").save(dir)
+
+    val files = graft.io.AtomicSink.committedFiles(spark, dir)
+    assert(files.size == 4, s"one published file per partition: $files")
+    assert(files.forall(f => new java.io.File(dir, f).isFile),
+      "every manifest entry exists in the target dir")
+    // no staging residue, nothing published outside the manifest
+    // (dot-prefixed entries are LocalFileSystem .crc sidecars)
+    val onDisk = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(onDisk == files.toSet + graft.io.AtomicSink.ManifestFile,
+      s"on disk: $onDisk")
+
+    val back = spark.read.option("sep", "\t")
+      .schema("id LONG, name STRING, v DOUBLE")
+      .csv(files.map(f => s"$dir/$f"): _*)
+    assert(back.count() == 100)
+    assert(back.agg(sum($"id")).head.getLong(0) == 5050L)
+    assert(back.filter($"name" === "row42").head.getDouble(2) == 63.0)
+  }
+
+  test("a failing write publishes nothing — no manifest, no files") {
+    val dir = Files.createTempDirectory("graft-atomic-fail").toString
+    val bad = (1L to 10L).toDF("id").repartition(2)
+      .select(expr("CASE WHEN id = 7 THEN CAST(raise_error('boom') AS LONG)" +
+        " ELSE id END").as("id"))
+    intercept[Exception] {
+      bad.write.format(fmt).mode("append").save(dir)
+    }
+    assert(graft.io.AtomicSink.committedFiles(spark, dir).isEmpty,
+      "no manifest after an aborted job")
+    val residue = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(!residue.exists(_.startsWith("part-")),
+      s"no published part files after abort: $residue")
+  }
+}
