@@ -188,8 +188,9 @@ object Behavior {
                  minSup: Long = 3L): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"
-    val items = Tables.lineitem(spark, d)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    // shared with the co-purchase graph family (q118/q128/q172): one
+    // cached distinct feeds both pair generators
+    val items = Graph.basketItems(spark, d)
     val nBaskets = items.select($"ok").distinct().count()
     val singles = items.groupBy($"p").agg(count(lit(1)).as("c"))
     val pairs = items.toDF("ok", "a").join(items.toDF("ok", "b"), "ok")

@@ -212,11 +212,25 @@ object Graph {
     * wedge, and closing-edge subtrees of [[triangleCount]] from cache
     * instead of re-running the self-join per subtree.
     */
+  /** Distinct (order, part) basket items — the shared upstream of the
+    * co-purchase family: [[copartEdges]] (→ q118/q128/q172) and
+    * [[Behavior.assocRules]] (q171) both start from exactly this
+    * distinct, so it is cached once per session and both pay one scan
+    * between them instead of one each. Hash-partitioned by the basket
+    * key `ok`, the join key every consumer probes.
+    */
+  private[graft] def basketItems(spark: SparkSession, d: String): DataFrame =
+    graft.Derived.frame(s"basket-items:$d") {
+      import spark.implicits._
+      Tables.lineitem(spark, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        .repartition($"ok")
+    }
+
   private[graft] def copartEdges(spark: SparkSession, d: String): DataFrame =
     graft.Derived.frame(s"copart-edges:$d") {
       import spark.implicits._
-      val items = Tables.lineitem(spark, d)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val items = basketItems(spark, d)
       items.toDF("ok", "a").join(items.toDF("ok", "b"), "ok")
         .filter($"a" < $"b")
         .select($"a", $"b").distinct()
