@@ -615,10 +615,20 @@ object Corpus {
     * exponentially.
     */
   def bpeMerges(spark: SparkSession, d: String,
-                rounds: Int = 5): DataFrame = {
+                rounds: Int = 5): DataFrame =
+    bpeMergesOf(
+      Tables.documents(spark, d)
+        .select(explode(split(col("text"), " ")).as("w")),
+      rounds)
+
+  /** [[bpeMerges]] on an explicit one-column word frame — separated
+    * so property tests can drive random corpora through the exact
+    * production merge loop. */
+  private[graft] def bpeMergesOf(wordsRaw: DataFrame,
+                                 rounds: Int): DataFrame = {
+    val spark = wordsRaw.sparkSession
     import spark.implicits._
-    var cur = Tables.documents(spark, d)
-      .select(explode(split($"text", " ")).as("w"))
+    var cur = wordsRaw
       .filter($"w" =!= "" && !$"w".contains("|"))
       .groupBy($"w").agg(count(lit(1)).as("wc"))
       .select(concat(lit("|"), concat_ws("||", split($"w", "")),

@@ -410,9 +410,16 @@ object Graph {
     * with `maxIters` guarding adversarial chains.
     */
   def kCore(spark: SparkSession, d: String, k: Long = 65L,
-            maxIters: Int = 30): DataFrame = {
+            maxIters: Int = 30): DataFrame =
+    kCoreOf(copartEdges(spark, d), k, maxIters)
+
+  /** [[kCore]] on an explicit undirected edge frame `(a, b)` —
+    * separated so property tests can drive random graphs through the
+    * exact production peel. */
+  private[graft] def kCoreOf(base: DataFrame, k: Long,
+                             maxIters: Int = 30): DataFrame = {
+    val spark = base.sparkSession
     import spark.implicits._
-    val base = copartEdges(spark, d)
     // localCheckpoint (eager, MEMORY_AND_DISK) instead of persist: the
     // round plan embeds `sym` THREE times (directly + twice via keep),
     // so an un-truncated lineage is 3^rounds analyzer nodes — a slow

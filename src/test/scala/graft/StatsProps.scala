@@ -113,4 +113,83 @@ object StatsProps extends Properties("stats") {
       val est = if (hs.size < k) hs.size.toLong else (k - 1).toLong * P / hk
       got == ((hs.size.toLong, kUsed, hk, est))
     }
+
+  private val genPeelGraph: Gen[(List[(Long, Long)], Long)] = for {
+    edges <- Gen.listOf(for {
+      a <- Gen.choose(1L, 6L); b <- Gen.choose(1L, 6L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    k <- Gen.choose(1L, 3L)
+  } yield (edges.distinct.take(15), k)
+
+  property("kCore peel == sequential reference peel") =
+    Prop.forAll(genPeelGraph) { case (edges, k) =>
+      import spark.implicits._
+      val base =
+        if (edges.isEmpty)
+          spark.emptyDataset[(Long, Long)].toDF("a", "b")
+        else edges.toDF("a", "b")
+      val got = Graph.kCoreOf(base, k)
+        .as[(Long, Long)].collect().toMap
+      // reference: literal iterative deletion on an adjacency map
+      var adj = (edges.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (u, s) if s.size < k => u }.toSet
+        changed = drop.nonEmpty
+        adj = adj.collect { case (u, s) if !drop(u) => u -> (s -- drop) }
+          .toMap
+      }
+      got == adj.view.mapValues(_.size.toLong).toMap
+    }
+
+  private val genCorpus: Gen[List[String]] =
+    Gen.listOf(Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+      .map(_.take(12))
+
+  property("bpeMerges == sequential reference BPE") =
+    Prop.forAll(genCorpus) { words =>
+      import spark.implicits._
+      val wf =
+        if (words.isEmpty) spark.emptyDataset[String].toDF("w")
+        else words.toDF("w")
+      val got = graft.ext.Corpus.bpeMergesOf(wf, rounds = 3)
+        .as[(Long, String, String, Long)].collect().toSeq
+      // reference: greedy left-to-right merge on symbol lists
+      def mergeGreedy(syms: List[String], l: String, r: String): List[String] = {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }
+      var vocab = words.filter(_.nonEmpty)
+        .groupBy(w => w.map(_.toString).toList)
+        .view.mapValues(_.size.toLong).toList
+      val want = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
+      var r = 1
+      var done = false
+      while (r <= 3 && !done) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, wc) =>
+          syms.sliding(2).foreach {
+            case List(x, y) => pc((x, y)) += wc
+            case _ =>
+          }
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, rr), cnt) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+          want += ((r.toLong, l, rr, cnt))
+          vocab = vocab.map { case (syms, wc) => (mergeGreedy(syms, l, rr), wc) }
+        }
+        r += 1
+      }
+      got == want.toSeq
+    }
 }
