@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CosineSimilarity, ShingleHash}
-import graft.plans.{AsOfJoinStrategy, IntervalJoinStrategy, PushFilterThroughAsOf}
+import graft.plans.{AsOfJoinStrategy, IntervalJoinStrategy, MvRewrite, PushFilterThroughAsOf}
 
 /** SparkSessionExtensions entry point — wire the engine's native
   * expressions into any session at build time:
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
+    ext.injectOptimizerRule(_ => MvRewrite)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graft.Bridge
-import graft.plans.{AsOfJoinStrategy, IntervalJoinStrategy, PushFilterThroughAsOf}
+import graft.plans.{AsOfJoinStrategy, IntervalJoinStrategy, MvRewrite, PushFilterThroughAsOf}
 
 /** Runtime twin of [[GraftExtensions]] for sessions that were built
   * without `spark.sql.extensions`: idempotently installs the native
@@ -13,5 +13,6 @@ import graft.plans.{AsOfJoinStrategy, IntervalJoinStrategy, PushFilterThroughAsO
 object GraftRuntime {
   def ensure(spark: SparkSession): Unit =
     Bridge.addRuntimeRules(spark,
-      Seq(AsOfJoinStrategy, IntervalJoinStrategy), Seq(PushFilterThroughAsOf))
+      Seq(AsOfJoinStrategy, IntervalJoinStrategy),
+      Seq(PushFilterThroughAsOf, MvRewrite))
 }

@@ -452,9 +452,6 @@ object SparkEntry {
     // Reciprocal-rank fusion of the exact and IVF retrieval runs:
     // rank-only integer math, bounded per-query re-rank
     "q182_rrf_fusion" -> (Similarity.rrfFusion _),
-    // Change-data-feed between two snapshots: one keyed full-outer
-    // shuffle, changed rows only, -1 sentinels for absent sides
-    "q183_snapshot_diff" -> (Extended.snapshotDiff _),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3167,26 +3164,6 @@ object SparkEntry {
         |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
         |  CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents
         |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q183: identical snapshot derivation; FULL OUTER + COALESCE keys
-    "q183_snapshot_diff" ->
-      """WITH o AS (
-        |  SELECT o_orderkey,
-        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders),
-        |v1 AS (SELECT o_orderkey, cents AS ca FROM o
-        |       WHERE o_orderkey % 13 <> 0),
-        |v2 AS (SELECT o_orderkey,
-        |    cents + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cb
-        |  FROM o WHERE o_orderkey % 11 <> 0)
-        |SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
-        |  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
-        |    WHEN v2.o_orderkey IS NULL THEN 'delete'
-        |    ELSE 'update' END AS op,
-        |  COALESCE(ca, -1) AS before_cents,
-        |  COALESCE(cb, -1) AS after_cents
-        |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
-        |WHERE ca IS NULL OR cb IS NULL OR ca <> cb
-        |ORDER BY 1""".stripMargin,
     // q182: both runs rebuilt with their window forms, fused with the
     // same integer RRF math
     "q182_rrf_fusion" ->

@@ -1,0 +1,131 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{count, lit, sum}
+
+/** Materialized-view registry + the optimizer rule that rewrites
+  * matching aggregates onto the pre-aggregated table — the classic
+  * rollup-rewrite: a query grouping on a SUBSET of an MV's grouping
+  * columns with algebraic aggregates (SUM, COUNT) re-aggregates the
+  * MV's partials (`sum(sum_x)`, `sum(cnt)`) instead of scanning the
+  * fact table. At 100 TB this turns a fact-table scan-and-shuffle
+  * into a scan of a table the size of the grouping domain.
+  *
+  * Scope (and what the rule REFUSES, falling back to the fact scan):
+  *  - grouping expressions must be bare attributes ⊆ the MV's
+  *    grouping columns (a subset IS allowed — partials re-aggregate);
+  *  - aggregates must be undistinct, unfiltered `sum(col)` over a
+  *    registered DOUBLE/LONG column, or `count(*)`/`count(lit)`;
+  *    `sum(DISTINCT …)`, `avg`, `count(col)` (null-sensitive), and
+  *    FILTER clauses never rewrite — their values are not derivable
+  *    from these partials;
+  *  - no Filter may sit between the aggregate and the scan: a
+  *    predicate changes group contents invisibly to the MV. (Pushing
+  *    group-column-only filters into the MV is the next gear; the
+  *    conservative rule keeps the correctness proof one line.)
+  *
+  * Output attributes keep the ORIGINAL names and exprIds (each output
+  * is re-aliased under its old id), so every reference above the
+  * rewritten aggregate — sorts, projections, havings — binds
+  * unchanged. Freshness is the registrant's contract, exactly as with
+  * any MV system: register only views you refresh with the fact.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** A registered view: `mvPath` holds `groupCols`, one `sum_<c>` per
+    * sum column, and `cnt`, as written by [[materialize]]. */
+  final case class MvDef(sourcePath: String, groupCols: Seq[String],
+                         sumCols: Seq[String], mvPath: String)
+
+  private val defs = TrieMap[String, MvDef]()
+
+  def register(d: MvDef): Unit = defs.put(d.sourcePath, d)
+  def clear(): Unit = defs.clear()
+
+  /** Build + write the MV the rule expects, and register it. */
+  def materialize(spark: SparkSession, sourcePath: String,
+                  groupCols: Seq[String], sumCols: Seq[String],
+                  mvPath: String): MvDef = {
+    val src = spark.read.parquet(sourcePath)
+    src.groupBy(groupCols.map(src(_)): _*)
+      .agg(sum(sumCols.head).as(s"sum_${sumCols.head}"),
+        (sumCols.tail.map(c => sum(c).as(s"sum_$c")) :+
+          count(lit(1)).as("cnt")): _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val d = MvDef(sourcePath, groupCols, sumCols, mvPath)
+    register(d)
+    d
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (defs.isEmpty) plan
+    else plan transform {
+      case agg @ Aggregate(_, _, child, _) =>
+        (for {
+          path <- scannedPath(child)
+          mv <- defs.get(path)
+          rewritten <- rewrite(agg, mv)
+        } yield rewritten).getOrElse(agg)
+    }
+
+  /** The single parquet root under the aggregate, looking through
+    * pure-attribute projections; None if anything else intervenes. */
+  private def scannedPath(plan: LogicalPlan): Option[String] = plan match {
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
+      scannedPath(child)
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths match {
+        case Seq(single) => Some(single.toUri.getPath)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: Attribute if mv.groupCols.contains(a.name) => a
+      case _ => return None
+    }
+    // a FRESH read per rewrite: reusing one analyzed plan instance
+    // across two rewrites in a query would collide exprIds
+    val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
+      .queryExecution.analyzed
+    def mvAttr(name: String): Option[Attribute] =
+      mvPlan.output.find(_.name == name)
+
+    val newGroups = groupAttrs.map(a => mvAttr(a.name).getOrElse(return None))
+    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if mv.groupCols.contains(a.name) =>
+        Alias(mvAttr(a.name).getOrElse(return None), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val partial = ae.aggregateFunction match {
+          case s: Sum => s.child match {
+            case c: Attribute if mv.sumCols.contains(c.name) =>
+              mvAttr(s"sum_${c.name}")
+            case _ => None
+          }
+          case Count(Seq(Literal(_, _))) => mvAttr("cnt")
+          case _ => None
+        }
+        partial match {
+          case Some(p) =>
+            Alias(Sum(p).toAggregateExpression(), name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+    // sum-of-partial must keep the original column's type (DOUBLE and
+    // LONG do; DECIMAL widens per level and would change the schema)
+    val ok = newAggs.map(_.toAttribute.dataType) ==
+      agg.aggregateExpressions.map(_.toAttribute.dataType)
+    if (!ok) None else Some(Aggregate(newGroups, newAggs, mvPlan, None))
+  }
+}

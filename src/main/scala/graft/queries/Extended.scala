@@ -292,42 +292,6 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
-  /** Change-data-feed generation between two table snapshots — the
-    * diff a downstream consumer replays instead of re-reading the
-    * whole new version: full-outer join on the key, classify
-    * insert / delete / update, and emit ONLY changed rows with
-    * before/after images. ([[graft.operators.DeltaJoin]] maintains a
-    * JOIN under known deltas; this op DERIVES the delta when all you
-    * have is two versions — the "diff two daily dumps" reality of
-    * inherited pipelines.) Snapshots are deterministic slices of the
-    * orders table (v1 drops key%13=0, v2 drops key%11=0 and bumps
-    * key%5=0 prices), so the oracle reproduces them exactly.
-    *
-    * Scale shape: ONE keyed full-outer shuffle — both sides
-    * hash-partition on the key, unchanged rows drop before the
-    * presentation sort. Absent sides are −1 sentinels, not NULLs
-    * (cross-engine hash stability).
-    */
-  def snapshotDiff(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val o = Tables.orders(spark, d).select($"o_orderkey",
-      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
-    val v1 = o.filter($"o_orderkey" % 13 =!= 0)
-      .select($"o_orderkey", $"cents".as("ca"))
-    val v2 = o.filter($"o_orderkey" % 11 =!= 0)
-      .select($"o_orderkey",
-        ($"cents" + when($"o_orderkey" % 5 === 0, 100L).otherwise(0L))
-          .as("cb"))
-    v1.join(v2, Seq("o_orderkey"), "full_outer")
-      .filter($"ca".isNull || $"cb".isNull || $"ca" =!= $"cb")
-      .select($"o_orderkey",
-        when($"ca".isNull, "insert").when($"cb".isNull, "delete")
-          .otherwise("update").as("op"),
-        coalesce($"ca", lit(-1L)).as("before_cents"),
-        coalesce($"cb", lit(-1L)).as("after_cents"))
-      .orderBy($"o_orderkey")
-  }
-
   /** Exact equi-depth (equal-frequency) histogram of order value —
     * the optimizer-statistics / feature-binning primitive: B buckets
     * whose populations differ by at most one row, with each bucket's

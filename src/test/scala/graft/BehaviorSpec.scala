@@ -691,24 +691,6 @@ class BehaviorSpec extends SparkSpec {
       2L -> ((1L, 600000000L))), s"got $got")
   }
 
-  test("snapshotDiff: every CDF class lands correctly, unchanged rows absent") {
-    val dir = Files.createTempDirectory("graft-cdf").toString
-    // key k -> price k.0; classes: 5 update (+100 bump), 11/55 delete
-    // (dropped from v2), 13 insert (absent from v1), 65 insert WITH
-    // the %5 bump, 3 unchanged (must not appear)
-    Seq(3L, 5L, 11L, 13L, 55L, 65L)
-      .map(k => (k, k.toDouble)).toDF("o_orderkey", "o_totalprice")
-      .coalesce(1).write.parquet(s"$dir/orders.parquet")
-    val got = Extended.snapshotDiff(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(got.toSeq == Seq(
-      (5L, "update", 500L, 600L),
-      (11L, "delete", 1100L, -1L),
-      (13L, "insert", -1L, 1300L),
-      (55L, "delete", 5500L, -1L),
-      (65L, "insert", -1L, 6600L)), s"got ${got.toSeq}")
-  }
-
   test("burstiness: metronome gaps give CV2=0, spread gaps the exact ratio") {
     // user 1: events every 10s (metronome) -> CV2 exactly 0
     // user 2: gaps 1s and 99s -> CV2 = 2*9802/10000 - 1 = 0.9604
