@@ -452,6 +452,10 @@ object SparkEntry {
     // Reciprocal-rank fusion of the exact and IVF retrieval runs:
     // rank-only integer math, bounded per-query re-rank
     "q182_rrf_fusion" -> (Similarity.rrfFusion _),
+    // MV rollup-rewrite end-to-end: the optimizer serves this
+    // aggregate from the registered MV; the oracle reads the fact —
+    // a hash match proves the rewrite value-preserving
+    "q184_mv_rollup" -> (Extended.mvRollup _),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3164,6 +3168,13 @@ object SparkEntry {
         |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
         |  CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents
         |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q184: the oracle aggregates the FACT directly — parity proves
+    // the engine's MV rewrite returned the true aggregate
+    "q184_mv_rollup" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // q182: both runs rebuilt with their window forms, fused with the
     // same integer RRF math
     "q182_rrf_fusion" ->

@@ -292,6 +292,39 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** The MV rollup-rewrite ([[graft.plans.MvRewrite]]) exercised
+    * end-to-end through the hash gate: materialize an MV of orders
+    * grouped by (status, priority), register it, then run a plain
+    * aggregate grouping by status alone — the optimizer rewrites it
+    * onto the MV (plan-audited in MvRewriteSpec and PlanAuditSpec),
+    * and the DuckDB oracle aggregates the FACT table directly, so a
+    * hash match proves the rewrite is value-preserving, not just
+    * well-shaped. The summed column is a LONG (key checksum):
+    * re-aggregating partials is bit-exact for integers, while a
+    * DOUBLE sum would be addition-order-dependent (and DECIMAL
+    * widens per level — both are shapes the rule itself refuses).
+    *
+    * The MV is rebuilt fresh per invocation (grouping-domain-sized —
+    * ~tens of rows) so a stale cache can never serve wrong values:
+    * exactly the freshness contract a production MV pipeline keeps
+    * by refreshing the view with the fact load.
+    */
+  def mvRollup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft-mv-q184").toString
+    graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sumCols = Seq("o_custkey"), mvPath = mvPath)
+    spark.read.parquet(src)
+      .groupBy($"o_orderstatus")
+      .agg(sum($"o_custkey").as("custkey_sum"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Exact equi-depth (equal-frequency) histogram of order value —
     * the optimizer-statistics / feature-binning primitive: B buckets
     * whose populations differ by at most one row, with each bucket's

@@ -395,6 +395,16 @@ class PlanAuditSpec extends SparkSpec {
       "no row-sized join anywhere in the PSI path")
   }
 
+  test("q184: the aggregate is served from the MV, never the fact scan") {
+    val df = SparkEntry.queries("q184_mv_rollup")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("graft-mv-q184"),
+      s"expected the materialized view as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet"),
+      "the fact table must not appear anywhere below the aggregate")
+  }
+
   test("q176: binning never funnels order rows through one reducer") {
     val df = SparkEntry.queries("q176_equidepth_hist")(spark, d)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
