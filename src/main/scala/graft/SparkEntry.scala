@@ -456,6 +456,26 @@ object SparkEntry {
     // aggregate from the registered MV; the oracle reads the fact —
     // a hash match proves the rewrite value-preserving
     "q184_mv_rollup" -> (Extended.mvRollup _),
+    // Sync label-propagation communities on the co-purchase graph:
+    // per round one edge join + vote count + ALGEBRAIC argmax
+    // (max(struct(votes,-label))) — never a per-node window; the
+    // oracle resolves the argmax with ROW_NUMBER instead
+    "q185_label_propagation" -> ((s: SparkSession, d: String) =>
+      Graph.labelPropagation(s, d)),
+    // Weighted SSSP, 3 synchronous Bellman-Ford rounds; edge length
+    // 1 + 10^6 div cocount, min-plus relaxation in exact integers
+    "q186_sssp_weighted" -> ((s: SparkSession, d: String) =>
+      Graph.ssspWeighted(s, d)),
+    // Zipf rank-frequency fit: vocabulary ranked via GlobalIndex,
+    // ln-quantized least squares; slope computed as a negated
+    // magnitude so integer division never sees a negative operand
+    "q187_zipf_fit" -> ((s: SparkSession, d: String) =>
+      TextStats.zipfFit(s, d)),
+    // Sorted-neighborhood dedup blocking: GlobalIndex rank + bucket
+    // equi-join pairs each doc with its w successors; exact shingle-
+    // Jaccard verify in integer q6
+    "q188_sorted_neighborhood" -> ((s: SparkSession, d: String) =>
+      Dedup.sortedNeighborhood(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -1458,6 +1478,30 @@ object SparkEntry {
         s"""WITH $lshCandCtes
            |SELECT a_id, b_id, ${jac("a_h", "b_h")} AS jaccard
            |FROM cand ORDER BY a_id, b_id""".stripMargin,
+      // q188: the oracle pairs neighbors with a rank RANGE self-join
+      // (the engine uses the bucket equi-join) — same N·w pair set
+      "q188_sorted_neighborhood" ->
+        s"""WITH k AS (
+           |  SELECT doc_id,
+           |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+           |           1, 16) AS skey,
+           |    $ShingleHashes AS sh
+           |  FROM documents),
+           |k2 AS (SELECT * FROM k WHERE len(sh) > 0),
+           |r AS (
+           |  SELECT doc_id, sh,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS BIGINT)
+           |      AS rnk
+           |  FROM k2)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  b.rnk - a.rnk AS rank_gap,
+           |  CAST((CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+           |        * 1000000)
+           |    // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           |    AS BIGINT) AS sim_q6
+           |FROM r a JOIN r b
+           |  ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3
+           |ORDER BY a_id, b_id""".stripMargin,
       "q54_dup_clusters" ->
         s"""WITH RECURSIVE $lshCandCtes,
            |edges AS (
@@ -3175,6 +3219,92 @@ object SparkEntry {
         |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q185: 4 unrolled LPA rounds; the per-node argmax is resolved
+    // with a ROW_NUMBER window — a different algorithm than the
+    // engine's max(struct(votes,-label)) aggregate
+    "q185_label_propagation" -> {
+      val rounds = (1 to 4).map { i =>
+        s"v$i AS MATERIALIZED (\n" +
+          s"  SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u\n" +
+          s"      ORDER BY c DESC, label) AS rn\n" +
+          s"  FROM (SELECT s.u, l.label, COUNT(*) AS c FROM sym s\n" +
+          s"        JOIN l${i - 1} l ON s.v = l.node GROUP BY s.u, l.label)),\n" +
+          s"l$i AS MATERIALIZED (SELECT u AS node, label FROM v$i WHERE rn = 1)"
+      }.mkString(",\n")
+      "WITH items AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),\n" +
+        "pr AS MATERIALIZED (\n" +
+        "  SELECT i.p AS a, j.p AS b FROM items i\n" +
+        "  JOIN items j ON i.ok = j.ok AND i.p < j.p GROUP BY 1, 2),\n" +
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),\n" +
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),\n" +
+        rounds + "\n" +
+        "SELECT node AS part, label AS community FROM l4 ORDER BY part"
+    },
+    // q187: the oracle ranks the vocabulary with the textbook global
+    // ROW_NUMBER window (the engine uses GlobalIndex) and mirrors the
+    // ln-quantized normal equations in HUGEINT
+    "q187_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token != '' GROUP BY token),
+        |r AS (
+        |  SELECT cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+        |      AS rnk
+        |  FROM c),
+        |l AS (
+        |  SELECT cnt,
+        |    CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS x,
+        |    CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS y
+        |  FROM r),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(cnt) AS HUGEINT) AS occ,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM l),
+        |s AS (
+        |  SELECT n, occ, sx, sy,
+        |    ((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx)
+        |      AS sneg
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_vocab,
+        |  CAST(occ AS BIGINT) AS n_occurrences,
+        |  CAST(-sneg AS BIGINT) AS slope_q6,
+        |  CAST((sy * 1000000 + sneg * sx) // (n * 1000000) AS BIGINT)
+        |    AS intercept_q6
+        |FROM s""".stripMargin,
+    // q186: 3 unrolled Bellman-Ford rounds over the same integer
+    // weights; min-plus relaxation is order-independent so the
+    // unrolled SQL must land on identical distances
+    "q186_sssp_weighted" -> {
+      val rounds = (1 to 3).map { i =>
+        s"d$i AS MATERIALIZED (\n" +
+          s"  SELECT node, MIN(dist) AS dist FROM (\n" +
+          s"    SELECT node, dist FROM d${i - 1}\n" +
+          s"    UNION ALL\n" +
+          s"    SELECT s.v AS node, p.dist + s.w AS dist\n" +
+          s"    FROM d${i - 1} p JOIN sym s ON s.u = p.node) GROUP BY node)"
+      }.mkString(",\n")
+      "WITH items AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),\n" +
+        "w AS MATERIALIZED (\n" +
+        "  SELECT i.p AS a, j.p AS b, 1 + 1000000 // COUNT(*) AS w\n" +
+        "  FROM items i JOIN items j ON i.ok = j.ok AND i.p < j.p\n" +
+        "  GROUP BY 1, 2),\n" +
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v, w FROM w UNION ALL SELECT b, a, w FROM w),\n" +
+        "d0 AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist\n" +
+        "  FROM sym WHERE u <= 50),\n" +
+        rounds + "\n" +
+        "SELECT node AS part, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node"
+    },
     // q182: both runs rebuilt with their window forms, fused with the
     // same integer RRF math
     "q182_rrf_fusion" ->

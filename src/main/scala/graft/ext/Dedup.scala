@@ -111,6 +111,61 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Sorted-neighborhood candidate generation + exact verify — the
+    * third classic blocking scheme next to equal-length blocking
+    * ([[ngramJaccard]]) and LSH banding ([[minhashLsh]]): sort the
+    * corpus by a domain key (here the normalized text prefix), and
+    * compare each record only to its `w` successors in that order.
+    * Near-duplicates that share a prefix land adjacent and get
+    * verified; the pair space is N·w, never N². The operator reports
+    * every window candidate with its exact shingle Jaccard (as
+    * integer q6 — inter·10⁶ div union, both operands non-negative so
+    * div semantics agree) and leaves thresholding to the consumer —
+    * candidate generation and policy are separate stages in a real
+    * dedup pipeline.
+    *
+    * Scale shape: the global sort rank rides
+    * [[graft.operators.GlobalIndex]] (range-partitioned two-pass
+    * numbering), and the neighbor pairing is an EQUI-join on the rank
+    * bucket `rank div w` — each right row also registers under the
+    * preceding bucket, so every (i, j) with 0 < j−i ≤ w meets in
+    * exactly one bucket and the join shuffles N·2 rows instead of
+    * running the oracle's rank range-join (which Spark would execute
+    * as a broadcast nested loop). No window functions anywhere.
+    */
+  def sortedNeighborhood(spark: SparkSession, d: String,
+                         w: Int = 3): DataFrame =
+    sortedNeighborhoodOf(Tables.documents(spark, d), w)
+
+  private[graft] def sortedNeighborhoodOf(docs: DataFrame,
+                                          w: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keyed = docs
+      .select($"doc_id",
+        regexp_replace(lower($"text"), "[^a-z0-9]", "")
+          .substr(1, 16).as("skey"),
+        shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0) // <3-token docs: no shingles, 0/0 sim
+    val ranked = graft.operators.GlobalIndex.withRowNumber(
+      keyed, Seq(col("skey"), col("doc_id")), "rank")
+    val left = ranked.select($"doc_id".as("a_id"), $"rank".as("ra"),
+      $"sh".as("a_sh"), expr(s"rank div $w").as("bkt"))
+    val right = ranked.select($"doc_id".as("b_id"), $"rank".as("rb"),
+      $"sh".as("b_sh"), expr(s"rank div $w").as("bkt"))
+    val rkeys = right
+      .unionAll(right.withColumn("bkt", $"bkt" - 1))
+    val inter = size(array_intersect($"a_sh", $"b_sh")).cast("long")
+    val uni = size($"a_sh").cast("long") + size($"b_sh") - inter
+    left.join(rkeys, "bkt")
+      .filter($"rb" > $"ra" && $"rb" - $"ra" <= w)
+      .select($"a_id", $"b_id", ($"rb" - $"ra").as("rank_gap"),
+        inter.as("i"), uni.as("u"))
+      // integer division, not `/` (which round-trips through double)
+      .select($"a_id", $"b_id", $"rank_gap",
+        expr("(i * 1000000) div u").as("sim_q6"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** MinHash + LSH banding — the scale path for near-dup detection:
     * 16 min-hashes per doc, grouped into 4 bands of 4; docs sharing any
     * band key become candidate pairs via a plain equi-join on

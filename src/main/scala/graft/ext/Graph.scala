@@ -391,6 +391,101 @@ object Graph {
       .orderBy($"o_orderkey")
   }
 
+  /** Synchronous label-propagation communities over the co-purchase
+    * part graph — the assortment/community census ([[kCore]] extracts
+    * the dense backbone; LPA assigns EVERY node a community by
+    * neighbor majority vote). Each node starts as its own label; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken to the smallest label — a fully
+    * deterministic rule, so a FIXED round count is reproducible
+    * bit-for-bit on any engine regardless of convergence (sync LPA
+    * famously oscillates on bipartite structures; the co-purchase
+    * projection is triangle-rich, and fixed rounds sidestep the
+    * question entirely rather than hiding it in a convergence race).
+    *
+    * Scale shape: each round is ONE edge-frame equi-join against the
+    * |V|-row label frame plus two hash aggregates — the vote count
+    * `groupBy(u, label)` (map-side combinable) and the per-node
+    * argmax, taken algebraically as `max(struct(votes, -label))` so
+    * no per-node window ever funnels a hot node's votes through one
+    * reducer (the [[graft.ext.Stats.fdAudit]] argmax discipline).
+    * Per-round `localCheckpoint` keeps the loop lineage flat (the
+    * [[kCoreOf]] lesson). The oracle resolves the same argmax with
+    * ROW_NUMBER windows — a different algorithm for the decisive
+    * step, exactly what the hash gate should compare.
+    */
+  def labelPropagation(spark: SparkSession, d: String,
+                       rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = copartEdges(spark, d)
+    val sym = e.select($"a".as("u"), $"b".as("v"))
+      .unionAll(e.select($"b".as("u"), $"a".as("v")))
+      .repartition($"u").localCheckpoint()
+    var labels = sym.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select($"node".as("v"), $"label"), "v")
+        .groupBy($"u", $"label").agg(count(lit(1)).as("c"))
+        // argmax(votes, then min label) as an aggregate: labels are
+        // positive part keys, so max of (c, -label) picks max votes
+        // and, within a tie, the smallest label
+        .groupBy($"u")
+        .agg(max(struct($"c".as("c"), (-$"label").as("nl"))).as("m"))
+        .select($"u".as("node"), (-$"m.nl").as("label"))
+        .localCheckpoint()
+    }
+    labels.select($"node".as("part"), $"label".as("community"))
+      .orderBy($"part")
+  }
+
+  /** Weighted single-source shortest paths, `maxHops` Bellman-Ford
+    * rounds — "how tightly is everything coupled to the seed set"
+    * over the co-purchase graph, with edge length inverse to
+    * co-purchase frequency (`w = 1 + 10⁶ div cocount`: frequently
+    * co-bought parts are close). [[bfsLayers]] is the unweighted hop
+    * census; this is the weighted metric, and a cheap 2-hop detour
+    * through strong edges correctly beats a direct weak edge.
+    *
+    * All arithmetic is integer (`div` floors identically on both
+    * engines for the positive counts here; distances are bounded by
+    * maxHops·(10⁶+1) ≪ int64), so min-plus relaxation is
+    * order-independent and engine-exact. Each round relaxes every
+    * settled node — after round r, `dist` is the exact shortest
+    * distance using ≤ r edges, the textbook synchronous Bellman-Ford
+    * invariant — as ONE equi-join of the weighted edge frame against
+    * the distance frame plus one min-aggregate; per-round
+    * `localCheckpoint` flattens the two-reference round lineage.
+    * Unreached nodes are absent, never sentinel-valued.
+    */
+  def ssspWeighted(spark: SparkSession, d: String, maxHops: Int = 3,
+                   seedMax: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val items = basketItems(spark, d)
+    val w = items.toDF("ok", "a").join(items.toDF("ok", "b"), "ok")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+      .select($"a", $"b", expr("1 + (1000000 div cnt)").as("w"))
+    val sym = w.select($"a".as("u"), $"b".as("v"), $"w")
+      .unionAll(w.select($"b".as("u"), $"a".as("v"), $"w"))
+      .repartition($"u").localCheckpoint()
+    var dist = sym.select($"u".as("node")).distinct()
+      .filter($"node" <= seedMax)
+      .select($"node", lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = sym
+        .join(dist.select($"node".as("u"), $"dist".as("du")), "u")
+        .select($"v".as("node"), ($"du" + $"w").as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.select($"node".as("part"), $"dist")
+      .orderBy($"part")
+  }
+
   /** k-core decomposition of the co-purchase part graph (dense-
     * community extraction: the subgraph where every part co-occurs
     * with ≥ k other parts — the "stable catalogue backbone" cut

@@ -325,4 +325,62 @@ object TextStats {
           .as("oov_q6"))
       .orderBy($"doc_id")
   }
+
+  /** Zipf rank-frequency fit — least-squares slope/intercept of
+    * ln(count) against ln(rank) over the corpus vocabulary. Natural
+    * corpora track slope ≈ −1 (Zipf's law); a corpus that deviates
+    * hard (slope → 0: synthetic/templated text; slope ≪ −1: a few
+    * tokens dominating) fails the distributional-health gate the same
+    * way [[oovRate]] fails the coverage gate.
+    *
+    * Exactness: both coordinates are integer ln quantizations (LQ(v) =
+    * ⌊ln v·10⁶⌋ — the q166/q175 discipline), so all five regression
+    * sums are integer, order-independent, engine-exact; per-term
+    * products stay under 2·10¹⁵ (int64) and the DECIMAL(38,0)-staged
+    * normal equations hold to vocabularies of ~10⁸ types (sx·sy·10⁶ ≈
+    * 3·10³⁶ at that size). The slope is computed as the NEGATED
+    * magnitude `(sx·sy − n·sxy) div den` — guaranteed ≥ 0 by
+    * Chebyshev's sum inequality (rank ascending ⇒ count descending),
+    * so integer division never sees a negative operand and Spark's
+    * truncation agrees with DuckDB's floor (the q177 divergence
+    * class, avoided structurally instead of shifted away).
+    *
+    * Scale shape: one explode + map-side-combinable token count is
+    * the only corpus-sized pass; ranking the vocabulary rides
+    * [[graft.operators.GlobalIndex]] (range-partitioned two-pass
+    * numbering — never the textbook single-reducer ROW_NUMBER the
+    * oracle uses), and the fit itself is one scalar aggregate.
+    */
+  def zipfFit(spark: SparkSession, d: String): DataFrame =
+    zipfFitOf(Tables.documents(spark, d))
+
+  private[graft] def zipfFitOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dec = "decimal(38,0)"
+    val counts = docs
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.GlobalIndex.withRowNumber(
+      counts, Seq(col("cnt").desc, col("token")), "rank")
+    ranked
+      .select($"cnt",
+        expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          .as("x"),
+        expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          .as("y"))
+      .agg(count(lit(1)).as("n"), sum($"cnt").as("occ"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum(($"x" * $"y").cast(dec)).as("sxy"),
+        sum(($"x" * $"x").cast(dec)).as("sxx"))
+      .select($"n", $"occ", $"sx", $"sy",
+        expr("((sx * sy - n * sxy) * 1000000)" +
+          " div (n * sxx - sx * sx)").as("sneg"))
+      .select($"n".as("n_vocab"), $"occ".as("n_occurrences"),
+        (-$"sneg").cast("bigint").as("slope_q6"),
+        // sy is q6 and sneg·sx is q12: scale sy up, then the n·10⁶
+        // divisor lands the intercept back in q6
+        expr("CAST((sy * 1000000 + sneg * sx) div (n * 1000000)" +
+          " AS BIGINT)").as("intercept_q6"))
+  }
 }

@@ -758,6 +758,45 @@ class BehaviorSpec extends SparkSpec {
     assert(got((2L, 1L)) == ((3L, 3L, 3L, 1000000L, 1333333L)))
   }
 
+  test("labelPropagation: two triangles bridged by one edge resolve " +
+       "to two communities") {
+    val dir = Files.createTempDirectory("graft-lpa").toString
+    // baskets -> co-purchase edges: triangle {1,2,3}, triangle
+    // {4,5,6}, bridge 3-4. Hand-run sync LPA (most-frequent neighbor
+    // label, ties to min) 4 rounds: {1,2,3}->1, {4,5,6}->3
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L),
+        (3L, 3L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.labelPropagation(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+  }
+
+  test("ssspWeighted: strong 2-hop detour beats a weak direct edge; " +
+       "4-hop node is absent") {
+    val dir = Files.createTempDirectory("graft-sssp").toString
+    // co-purchase counts -> weights w = 1 + 10^6 div cnt:
+    //   (1,100) cnt 3 -> 333334      (100,200) cnt 3 -> 333334
+    //   (1,200) cnt 1 -> 1000001     (200,300) cnt 1 -> 1000001
+    //   (300,400) cnt 1 -> 1000001   (400,500) cnt 1 -> 1000001
+    // seed = part 1 (only node <= 50). dist(200): detour 666668
+    // beats direct 1000001; dist(300) = 1666669 at 3 hops; 400 rides
+    // the DIRECT 1-200 edge (3 edges, 3000003); 500 needs 4 -> absent.
+    val baskets =
+      Seq((1L, 1L), (1L, 100L), (2L, 1L), (2L, 100L), (3L, 1L), (3L, 100L),
+          (4L, 100L), (4L, 200L), (5L, 100L), (5L, 200L), (6L, 100L), (6L, 200L),
+          (7L, 1L), (7L, 200L), (8L, 200L), (8L, 300L), (9L, 300L), (9L, 400L),
+          (10L, 400L), (10L, 500L))
+    baskets.toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.ssspWeighted(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 100L -> 333334L, 200L -> 666668L,
+                      300L -> 1666669L, 400L -> 3000003L), s"got $got")
+  }
+
   test("kCore: tail part peels off, triangle survives at k=2; k=3 empties") {
     val dir = Files.createTempDirectory("graft-kcore").toString
     // baskets build co-purchase edges 1-2, 2-3, 1-3 (triangle) and

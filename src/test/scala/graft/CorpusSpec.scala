@@ -334,4 +334,28 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1L, 0L, 1L)))
     assert(got.values.map(_._4).sum == 7L, "allocations sum EXACTLY to budget")
   }
+
+  test("zipfFit: quantized fit tracks an independent double least squares") {
+    // counts a=4, b=2, c=1 -> ranks 1,2,3; the quantized integer fit
+    // must land within quantization distance of the real-valued
+    // least squares on (ln rank, ln count) — an independent reference,
+    // not a mirror of the engine's staged formulas
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val r = graft.ext.TextStats.zipfFitOf(docs).collect().head
+    assert(r.getLong(0) == 3L, "n_vocab")
+    assert(r.getLong(1) == 7L, "n_occurrences")
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(slope < 0, "rank-frequency slope must be negative")
+    assert(math.abs(r.getLong(2) / 1e6 - slope) < 1e-3,
+      s"slope_q6=${r.getLong(2)} vs ref $slope")
+    assert(math.abs(r.getLong(3) / 1e6 - icept) < 1e-3,
+      s"intercept_q6=${r.getLong(3)} vs ref $icept")
+  }
 }

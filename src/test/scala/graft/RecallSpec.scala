@@ -97,4 +97,23 @@ class RecallSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 9L, 2L, 1L, 0.9), (2L, 3L, 9L, 1L, 1L, 0.9)),
       "set-identical doc 5 must fold into rep 1 (members 2), no self-pair emitted")
   }
+
+  test("sortedNeighborhood: shared-prefix near-dups pair up; window bounds the pair set") {
+    // sort key = first 16 normalized chars: docs 1,2 share
+    // "applebananacherr" and rank adjacent (tie-break doc_id); doc 3
+    // sorts last. Shingles (3-token): docs 1,2 share 2 of 4 distinct.
+    val docs = Seq(
+      (1L, "apple banana cherry date egg"),
+      (2L, "apple banana cherry date fig"),
+      (3L, "zebra yak xenon walrus vulture"))
+      .toDF("doc_id", "text")
+    val w1 = graft.ext.Dedup.sortedNeighborhoodOf(docs, w = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(w1.toSeq == Seq((1L, 2L, 1L, 500000L), (2L, 3L, 1L, 0L)),
+      s"w=1 pairs ONLY rank-consecutive docs; got ${w1.toSeq}")
+    val w2 = graft.ext.Dedup.sortedNeighborhoodOf(docs, w = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(w2.toSeq == Seq((1L, 2L, 1L, 500000L), (1L, 3L, 2L, 0L),
+      (2L, 3L, 1L, 0L)), s"w=2 adds the gap-2 pair; got ${w2.toSeq}")
+  }
 }
