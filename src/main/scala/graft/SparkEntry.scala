@@ -476,6 +476,20 @@ object SparkEntry {
     // Jaccard verify in integer q6
     "q188_sorted_neighborhood" -> ((s: SparkSession, d: String) =>
       Dedup.sortedNeighborhood(s, d)),
+    // HITS hubs/authorities on the directed purchase graph: mean-10^6
+    // integer renormalization instead of L2, one edge join + one
+    // broadcast-scalar normalize per half-step
+    "q189_hits" -> ((s: SparkSession, d: String) => Graph.hits(s, d)),
+    // Per-node clustering coefficient: the triangle edge-iterator
+    // explodes common neighbors to credit all three corners; cc as
+    // integer q6 against the C(deg,2) census
+    "q190_clustering_coeff" -> ((s: SparkSession, d: String) =>
+      Graph.clusteringCoeff(s, d)),
+    // Heaps-law vocabulary growth: GlobalIndex doc order, arithmetic
+    // decile NTILE, first occurrences via min(decile) — one aggregate,
+    // no per-token windows
+    "q191_vocab_growth" -> ((s: SparkSession, d: String) =>
+      Corpus.vocabGrowth(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3241,6 +3255,96 @@ object SparkEntry {
         rounds + "\n" +
         "SELECT node AS part, label AS community FROM l4 ORDER BY part"
     },
+    // q189: 2 unrolled HITS rounds; normalizers are scalar subqueries,
+    // all HUGEINT, every division positive
+    "q189_hits" -> {
+      val rounds = (1 to 2).map { i =>
+        s"a${i}r AS MATERIALIZED (\n" +
+          s"  SELECT p.s, CAST(SUM(h.h) AS HUGEINT) AS raw\n" +
+          s"  FROM pairs p JOIN h${i - 1} h ON p.c = h.c GROUP BY p.s),\n" +
+          s"a$i AS MATERIALIZED (\n" +
+          s"  SELECT s, (raw * 1000000 * (SELECT COUNT(*) FROM a${i}r))\n" +
+          s"    // (SELECT SUM(raw) FROM a${i}r) AS a FROM a${i}r),\n" +
+          s"h${i}r AS MATERIALIZED (\n" +
+          s"  SELECT p.c, CAST(SUM(a.a) AS HUGEINT) AS raw\n" +
+          s"  FROM pairs p JOIN a$i a ON p.s = a.s GROUP BY p.c),\n" +
+          s"h$i AS MATERIALIZED (\n" +
+          s"  SELECT c, (raw * 1000000 * (SELECT COUNT(*) FROM h${i}r))\n" +
+          s"    // (SELECT SUM(raw) FROM h${i}r) AS h FROM h${i}r)"
+      }.mkString(",\n")
+      "WITH pairs AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s\n" +
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),\n" +
+        "h0 AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT c, CAST(1000000 AS HUGEINT) AS h FROM pairs),\n" +
+        rounds + "\n" +
+        "SELECT kind, entity_id, score_q6 FROM (\n" +
+        "  SELECT 'cust' AS kind, c AS entity_id,\n" +
+        "    CAST(h AS BIGINT) AS score_q6 FROM h2\n" +
+        "  UNION ALL SELECT 'supp', s, CAST(a AS BIGINT) FROM a2)\n" +
+        "ORDER BY kind, entity_id"
+    },
+    // q190: the oracle counts per-node triangles with the textbook
+    // a<b<c triple join + corner union — opposite cost, same census
+    "q190_clustering_coeff" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |t AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS nt FROM (
+        |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node AS part, d.deg,
+        |  COALESCE(t.nt, 0) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN CAST((2 * COALESCE(t.nt, 0) * 1000000)
+        |      // (d.deg * (d.deg - 1)) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS cc_q6
+        |FROM deg d LEFT JOIN t ON t.node = d.node
+        |ORDER BY part""".stripMargin,
+    // q191: the oracle orders documents with the textbook ROW_NUMBER
+    // window and mirrors the arithmetic decile + min-decile firsts
+    "q191_vocab_growth" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        |b AS (
+        |  SELECT doc_id, text, ((rnk - 1) * 10) // nn.n + 1 AS decile
+        |  FROM r, nn),
+        |tok AS (
+        |  SELECT decile, token FROM (
+        |    SELECT decile, unnest(string_split(text, ' ')) AS token
+        |    FROM b)
+        |  WHERE token != ''),
+        |occ AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM tok GROUP BY decile),
+        |dc AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM b GROUP BY decile),
+        |fi AS (SELECT token, MIN(decile) AS decile FROM tok GROUP BY token),
+        |nt AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types
+        |  FROM fi GROUP BY decile)
+        |SELECT d.decile, d.n_docs, o.n_occurrences,
+        |  COALESCE(nt.new_types, 0) AS new_types,
+        |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY d.decile)
+        |    AS BIGINT) AS cum_types
+        |FROM dc d JOIN occ o USING (decile) LEFT JOIN nt USING (decile)
+        |ORDER BY d.decile""".stripMargin,
     // q187: the oracle ranks the vocabulary with the textbook global
     // ROW_NUMBER window (the engine uses GlobalIndex) and mirrors the
     // ln-quantized normal equations in HUGEINT

@@ -698,4 +698,54 @@ object Corpus {
       .select($"nation", $"pos", $"c_custkey", $"h")
       .orderBy($"nation", $"pos")
   }
+
+  /** Vocabulary growth curve (Heaps' law audit) — new vs cumulative
+    * token types per ingestion decile, in document order. The shape
+    * tells a corpus builder whether more data still buys vocabulary
+    * (curve still climbing ⇒ the corpus hasn't saturated its domain)
+    * and exposes ingestion anomalies (a decile suddenly minting types
+    * ⇒ an encoding break or a new source slipped in). Companion to
+    * [[graft.ext.TextStats.zipfFit]]: Zipf profiles the static
+    * rank-frequency law, Heaps the growth law.
+    *
+    * Everything is exact integer counting. Document order rides
+    * [[graft.operators.GlobalIndex]] (never a global ROW_NUMBER
+    * window); decile assignment is the arithmetic NTILE
+    * `(rank−1)·B div n + 1` (q176's form); a token's first-occurrence
+    * decile is `min(decile)` — valid because the decile is monotone
+    * in the rank — so first occurrences come from ONE
+    * map-side-combinable aggregate over the exploded stream, never a
+    * per-token ordered window. The only window left runs over the
+    * B-row decile table (bounded by construction), accumulating
+    * cum_types.
+    */
+  def vocabGrowth(spark: SparkSession, d: String,
+                  buckets: Int = 10): DataFrame =
+    vocabGrowthOf(Tables.documents(spark, d), buckets)
+
+  private[graft] def vocabGrowthOf(docs: DataFrame,
+                                   buckets: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ranked = graft.operators.GlobalIndex.withRowNumber(
+      docs.select($"doc_id", $"text"), Seq(col("doc_id")), "rnk")
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val bucketed = ranked.crossJoin(broadcast(n))
+      .select($"doc_id", $"text",
+        expr(s"((rnk - 1) * $buckets) div n + 1").as("decile"))
+    val toks = bucketed
+      .select($"decile", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val occ = toks.groupBy($"decile")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val docsPer = bucketed.groupBy($"decile").agg(count(lit(1)).as("n_docs"))
+    val firsts = toks.groupBy($"token").agg(min($"decile").as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("new_types"))
+    docsPer.join(occ, "decile").join(firsts, Seq("decile"), "left")
+      .select($"decile", $"n_docs", $"n_occurrences",
+        coalesce($"new_types", lit(0L)).as("new_types"))
+      .withColumn("cum_types",
+        sum($"new_types").over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy($"decile")
+  }
 }

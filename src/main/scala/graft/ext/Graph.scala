@@ -277,20 +277,20 @@ object Graph {
     */
   val BroadcastAdjMaxEntries = 10000000L
 
-  def triangleCount(spark: SparkSession, d: String,
-                    maxBroadcastAdj: Long = BroadcastAdjMaxEntries): DataFrame = {
-    import spark.implicits._
-    val e = copartEdges(spark, d)
-    // measured broadcast gate: |E| bounds both the degree frame (≤2|E|
-    // nodes) and the adjacency payload (=|E| entries); e is already
-    // cache-materialized by Derived, so this count is a cache scan
-    val fits = e.count() <= maxBroadcastAdj
-    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    // the oriented edge list is CONSUMED BY THREE SUBTREES (adjacency
-    // build, per-edge probe, and — via deg — the node census); cache
-    // it or each subtree re-runs the degree aggregation and both
-    // degree joins over the cached raw edges
-    val oriented = graft.Derived.frame(s"copart-oriented:$d") {
+  /** Degree-ordered orientation of [[copartEdges]] — each undirected
+    * edge once, pointing from the (degree, node)-smaller endpoint.
+    * Shared via [[graft.Derived]] between [[triangleCount]] and
+    * [[clusteringCoeff]]: it is CONSUMED BY MULTIPLE SUBTREES
+    * (adjacency build, per-edge probe, node census), so an uncached
+    * frame would re-run the degree aggregation and both degree joins
+    * per subtree. `hinted` carries the caller's measured broadcast
+    * gate for the degree frame.
+    */
+  private def orientedCopart(spark: SparkSession, d: String,
+                             hinted: DataFrame => DataFrame): DataFrame =
+    graft.Derived.frame(s"copart-oriented:$d") {
+      import spark.implicits._
+      val e = copartEdges(spark, d)
       val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
       val lt = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
@@ -300,6 +300,17 @@ object Graph {
           when(lt, $"a").otherwise($"b").as("src"),
           when(lt, $"b").otherwise($"a").as("dst"))
     }
+
+  def triangleCount(spark: SparkSession, d: String,
+                    maxBroadcastAdj: Long = BroadcastAdjMaxEntries): DataFrame = {
+    import spark.implicits._
+    val e = copartEdges(spark, d)
+    // measured broadcast gate: |E| bounds both the degree frame (≤2|E|
+    // nodes) and the adjacency payload (=|E| entries); e is already
+    // cache-materialized by Derived, so this count is a cache scan
+    val fits = e.count() <= maxBroadcastAdj
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val oriented = orientedCopart(spark, d, hinted)
     val adj = oriented.groupBy($"src")
       .agg(sort_array(collect_list($"dst")).as("nbr"))
     val perEdge = {
@@ -543,6 +554,104 @@ object Graph {
       nNodes = n
     }
     sym.groupBy($"u".as("part")).agg(count(lit(1)).as("core_deg"))
+      .orderBy($"part")
+  }
+
+  /** HITS hubs & authorities over the directed customer→supplier
+    * purchase graph — the two-sided centrality ([[pageRank]] ranks
+    * the symmetrized graph; HITS separates "good buyers" from
+    * "good suppliers": an authority is a supplier bought by strong
+    * hubs, a hub is a customer buying strong authorities).
+    *
+    * Integer-exact power iteration: scores start at 10⁶ and each
+    * half-step renormalizes to MEAN 10⁶ — `x' = (raw·10⁶·n) div
+    * Σraw` — instead of the textbook L2 norm, which would drag every
+    * round through sqrt and float. The recurrence's fixpoint
+    * direction is unchanged (any per-round positive rescaling
+    * preserves HITS' eigenvector limit); all operands are positive so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree, and
+    * sums are staged DECIMAL(38,0) (raw scores reach degree·10⁶·n —
+    * past int64 at billion-node scale).
+    *
+    * Scale shape: each half-step is one equi-join of the edge frame
+    * against the |V|-row score frame plus a map-side-combinable sum —
+    * the [[pageRankOnEdges]] round shape — and the normalizer is a
+    * one-row aggregate attached back as a broadcast scalar, never a
+    * driver collect. Fixed `iters` keeps the unrolled oracle exact.
+    */
+  def hits(spark: SparkSession, d: String, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    // directed c→s half of the shared symmetric trade cache (even
+    // ids are the customer side by tradeEdges' namespacing)
+    val edges = tradeEdges(spark, d).filter($"src" % 2 === 0)
+      .select($"src".as("c"), $"dst".as("s"))
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum($"raw").cast(dec).as("tot"),
+        count(lit(1)).as("n"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key),
+          expr(s"(CAST(raw AS $dec) * 1000000 * n) div tot").as(out))
+    }
+    var hub = edges.select($"c").distinct()
+      .select($"c", lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        edges.join(hub, "c").groupBy($"s")
+          .agg(sum($"h".cast(dec)).as("raw")), "s", "a")
+      hub = normalized(
+        edges.join(auth, "s").groupBy($"c")
+          .agg(sum($"a".cast(dec)).as("raw")), "c", "h")
+    }
+    hub.select(lit("cust").as("kind"), expr("c div 2").as("entity_id"),
+        $"h".as("score_q6"))
+      .unionAll(auth.select(lit("supp").as("kind"),
+        expr("s div 2").as("entity_id"), $"a".as("score_q6")))
+      .orderBy($"kind", $"entity_id")
+  }
+
+  /** Local clustering coefficient per node of the co-purchase graph —
+    * the node-level closure census behind [[triangleCount]]'s global
+    * number: cc(v) = triangles through v ÷ C(deg v, 2), the "how
+    * clique-like is this part's neighborhood" score (integer q6; both
+    * operands non-negative so div semantics agree across engines).
+    *
+    * Same oriented edge-iterator core as [[triangleCount]] (shared
+    * via the Derived cache), but the per-edge intersection EXPLODES
+    * its common neighbors so each triangle credits all three corners
+    * exactly once — the materialized row count is the triangle count
+    * itself (O(E^1.5) worst case, the arboricity bound), never the
+    * wedge set. Per-corner credit then map-side-combines into |V|
+    * rows and left-joins the degree census; triangle-free nodes
+    * report 0, not null.
+    */
+  def clusteringCoeff(spark: SparkSession, d: String,
+                      maxBroadcastAdj: Long = BroadcastAdjMaxEntries): DataFrame = {
+    import spark.implicits._
+    val e = copartEdges(spark, d)
+    val fits = e.count() <= maxBroadcastAdj // measured gate, cache scan
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val oriented = orientedCopart(spark, d, hinted)
+    val adj = oriented.groupBy($"src")
+      .agg(sort_array(collect_list($"dst")).as("nbr"))
+    val corners = oriented
+      .join(hinted(adj.toDF("src", "nu")), "src")
+      .join(hinted(adj.toDF("dst", "nv")), "dst")
+      .select($"src", $"dst", explode(array_intersect($"nu", $"nv")).as("w"))
+    val tri = corners.select($"src".as("node"))
+      .unionAll(corners.select($"dst".as("node")))
+      .unionAll(corners.select($"w".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("nt"))
+    val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    deg.join(tri, Seq("node"), "left")
+      .select($"node".as("part"), $"deg",
+        coalesce($"nt", lit(0L)).as("n_tri"))
+      .select($"part", $"deg", $"n_tri",
+        when($"deg" >= 2,
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_q6"))
       .orderBy($"part")
   }
 }

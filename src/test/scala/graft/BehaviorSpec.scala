@@ -797,6 +797,58 @@ class BehaviorSpec extends SparkSpec {
                       300L -> 1666669L, 400L -> 3000003L), s"got $got")
   }
 
+  test("hits: scores match a sequential BigInt reference on a planted graph") {
+    val dir = Files.createTempDirectory("graft-hits").toString
+    // c1 -> {s1, s2}, c2 -> {s1}: s1 should out-rank s2 (two hubs),
+    // c1 should out-rank c2 (buys both authorities)
+    Seq((1L, 1L), (2L, 2L))
+      .toDF("o_orderkey", "o_custkey").coalesce(1)
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (2L, 1L))
+      .toDF("l_orderkey", "l_suppkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    // sequential reference: same integer mean-10^6 renormalization
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L)) // (cust, supp)
+    val cs = edges.map(_._1).distinct
+    val ss = edges.map(_._2).distinct
+    var hub = cs.map(_ -> BigInt(1000000)).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 2) {
+      val ar = ss.map(s =>
+        s -> edges.filter(_._2 == s).map(e => hub(e._1)).sum).toMap
+      val at = ar.values.sum
+      auth = ar.map { case (s, r) => s -> r * 1000000 * ss.size / at }
+      val hr = cs.map(c =>
+        c -> edges.filter(_._1 == c).map(e => auth(e._2)).sum).toMap
+      val ht = hr.values.sum
+      hub = hr.map { case (c, r) => c -> r * 1000000 * cs.size / ht }
+    }
+    val got = Graph.hits(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = hub.map { case (c, v) => ("cust", c) -> v.toLong } ++
+      auth.map { case (s, v) => ("supp", s) -> v.toLong }
+    assert(got == want, s"got $got want $want")
+    assert(got(("supp", 1L)) > got(("supp", 2L)),
+      "two-hub authority must out-rank the single-hub one")
+    assert(got(("cust", 1L)) > got(("cust", 2L)),
+      "the hub buying both authorities must rank higher")
+  }
+
+  test("clusteringCoeff: triangle corners close fully, hub dilutes, tail is 0") {
+    val dir = Files.createTempDirectory("graft-cc").toString
+    // edges 1-2, 2-3, 1-3 (triangle) + 3-4 (tail): nodes 1,2 have
+    // deg 2 and one triangle (cc=1); node 3 has deg 3, one triangle
+    // out of C(3,2)=3 wedges (cc=1/3); node 4 deg 1 -> 0 by contract
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 3L),
+        (4L, 3L), (4L, 4L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.clusteringCoeff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L), (4L, 1L, 0L, 0L)), s"got ${got.toSeq}")
+  }
+
   test("kCore: tail part peels off, triangle survives at k=2; k=3 empties") {
     val dir = Files.createTempDirectory("graft-kcore").toString
     // baskets build co-purchase edges 1-2, 2-3, 1-3 (triangle) and

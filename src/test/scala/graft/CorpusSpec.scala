@@ -335,6 +335,23 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.map(_._4).sum == 7L, "allocations sum EXACTLY to budget")
   }
 
+  test("vocabGrowth: first occurrences land in their decile; cumulative is exact") {
+    // 5 docs, 5 buckets -> one doc per decile
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, "d"), (5L, "b e e"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Corpus.vocabGrowthOf(docs, buckets = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 2L, 2L),   // a, b are new
+      (2L, 1L, 2L, 1L, 3L),   // c new, a repeats
+      (3L, 1L, 2L, 0L, 3L),   // nothing new
+      (4L, 1L, 1L, 1L, 4L),   // d new
+      (5L, 1L, 3L, 1L, 5L)),  // e new (twice), b repeats
+      s"got ${got.toSeq}")
+  }
+
   test("zipfFit: quantized fit tracks an independent double least squares") {
     // counts a=4, b=2, c=1 -> ranks 1,2,3; the quantized integer fit
     // must land within quantization distance of the real-valued

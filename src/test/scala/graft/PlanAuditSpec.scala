@@ -405,6 +405,48 @@ class PlanAuditSpec extends SparkSpec {
       "the fact table must not appear anywhere below the aggregate")
   }
 
+  test("q187: the vocabulary ranks via GlobalIndex, not a global window") {
+    val df = SparkEntry.queries("q187_zipf_fit")(spark, d)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists(_.contains("__pid")),
+      "expected the GlobalIndex per-partition numbering window")
+    // the only single-partition funnel allowed is the final scalar fit
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.drop(i + 1).take(2).mkString
+        assert(child.contains("Aggregate"),
+          s"single-partition exchange over data rows:\n" +
+            lines.slice(i, i + 3).mkString("\n"))
+      }
+  }
+
+  test("q188: neighbor pairing is a bucket equi-join, never a rank range-join") {
+    val plan = planOf("q188_sorted_neighborhood")
+    assert(!plan.contains("CartesianProduct"),
+      "window pairing must never plan a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the rank-bucket key must make the pairing an equi-join")
+  }
+
+  test("q189: HITS half-steps are joins + aggregates, windows nowhere") {
+    val df = SparkEntry.queries("q189_hits")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "score normalization must be a broadcast scalar, not a window")
+    assert(!plan.contains("CartesianProduct"),
+      "the one-row normalizer must attach as a broadcast, not a cartesian")
+  }
+
+  test("q190: corner credit is aggregate-shaped — no windows, no cartesian") {
+    val df = SparkEntry.queries("q190_clustering_coeff")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "per-node triangle credit must be a hash aggregate, not a window")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "under the measured gate the adjacency side must broadcast")
+  }
+
   test("q176: binning never funnels order rows through one reducer") {
     val df = SparkEntry.queries("q176_equidepth_hist")(spark, d)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
