@@ -61,11 +61,36 @@ object Bench {
       // like a fast query
       (name, if (failed) -1.0 else samples.map(_(i)).min, failed)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // ms precision keeps the one-line JSON compact enough for tail
+    // capture; the full line is also mirrored to a file (below) so the
+    // per-query map survives any stdout truncation
+    val qs = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.3f")
+    }.mkString("{", ",", "}")
     val nFailed = results.count(_._3)
     val total = results.filterNot(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir","n":$n,"action":"noop_write_min_of_interleaved_passes"}""")
+    // per-round shuffle-balance artifact: the q156 multiplicative-hash
+    // key→partition load profile over the bench SF's fact table, so
+    // every round records whether the data's key skew would unbalance
+    // a 32-way shuffle (load_q4 = partition_rows × parts ÷ total; 1.0
+    // is perfect balance)
+    val skew = try {
+      val rows = queries.Extended.partitionBalance(spark, sfDir).collect()
+      val loads = rows.map(_.getAs[Double]("load_q4"))
+      val hot = rows.map(_.getAs[Long]("hottest_key_rows")).max
+      s"""{"parts":${rows.length},"max_load":${loads.max},"min_load":${loads.min},"hottest_key_rows":$hot}"""
+    } catch { case t: Throwable =>
+      System.err.println(s"BENCH SKEW FAIL: ${t.getMessage}"); "null"
+    }
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"skew":$skew,"sf":"$sfDir","n":$n,"action":"noop_write_min_of_interleaved_passes"}"""
+    println(line)
+    // sidecar copy: the committed per-round artifact regardless of how
+    // much stdout the harness tails
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_last.json"))
+      .foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+        catch { case _: Throwable => () }
+      }
     Derived.clear()
     spark.stop()
   }

@@ -490,6 +490,24 @@ object SparkEntry {
     // no per-token windows
     "q191_vocab_growth" -> ((s: SparkSession, d: String) =>
       Corpus.vocabGrowth(s, d)),
+    // MV rewrite, filter gear: a group-column-only predicate pushes
+    // onto the MV read and partials still re-aggregate; the oracle
+    // filters + aggregates the fact directly
+    "q192_mv_rollup_filtered" -> (Extended.mvRollupFiltered _),
+    // The streaming drift gate's state grid, batch-expressed: the
+    // bounded (bucket, ca, cb) KS cell table the stream twin
+    // (EventStream.driftCells) maintains as engine state — one row
+    // per $10 value cell whatever the event volume
+    "q193_drift_state_grid" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      graft.ext.Stats.eventDriftCells(graft.sources.Tables.events(s, d))
+        .orderBy(col("bucket"))
+    }),
+    // MERGE-style SCD2 with late-arriving updates: rebuild only the
+    // affected users' histories, pass the rest through; the oracle
+    // computes the full history from scratch — parity proves the
+    // incremental merge == full rebuild
+    "q194_scd2_merge" -> (Events.scd2Merge _),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3345,6 +3363,49 @@ object SparkEntry {
         |    AS BIGINT) AS cum_types
         |FROM dc d JOIN occ o USING (decile) LEFT JOIN nt USING (decile)
         |ORDER BY d.decile""".stripMargin,
+    // q192: like q184 the oracle filters + aggregates the FACT —
+    // parity proves the filter-pushed MV rewrite value-preserving
+    "q192_mv_rollup_filtered" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q194: the oracle is q60's full-history build over ALL events —
+    // the engine's incremental merge (on-time dim + late batch, only
+    // affected users rebuilt) must be indistinguishable from it
+    "q194_scd2_merge" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS version
+        |  FROM flagged
+        |), hist AS (
+        |  SELECT user_id, version, MIN(event_type) AS event_type,
+        |    MIN(ts_us) AS valid_from_us, MAX(ts_us) AS valid_to_us,
+        |    COUNT(*) AS n_events
+        |  FROM runs GROUP BY user_id, version
+        |)
+        |SELECT user_id, version, event_type, valid_from_us, valid_to_us, n_events,
+        |  version = MAX(version) OVER (PARTITION BY user_id) AS is_current
+        |FROM hist ORDER BY user_id, version""".stripMargin,
+    // q193: the KS state grid recomputed directly; DuckDB // and
+    // Spark div agree (values are non-negative)
+    "q193_drift_state_grid" ->
+      """SELECT CAST(floor(value * 100) AS BIGINT) // 1000 AS bucket,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ca,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cb
+        |FROM events
+        |WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q187: the oracle ranks the vocabulary with the textbook global
     // ROW_NUMBER window (the engine uses GlobalIndex) and mirrors the
     // ln-quantized normal equations in HUGEINT

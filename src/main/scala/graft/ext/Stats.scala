@@ -676,6 +676,8 @@ object Stats {
   def ksFromCells(cells: DataFrame): DataFrame = {
     import cells.sparkSession.implicits._
     val dec = "decimal(38,0)"
+    // global window rides the CELL grid, bounded by the value-decile
+    // domain (~dozens of rows at any data scale), never raw events
     val run = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gaps = cells
@@ -761,6 +763,8 @@ object Stats {
       .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
     val tot = daily.agg(count(lit(1)).cast(dec).as("nd"),
       sum($"x").cast(dec).as("t"))
+    // global window rides the DAY grain, bounded by the calendar span
+    // (~2.5k rows at any data scale), never raw orders
     val run = Window.orderBy($"day")
     val scored = daily
       .withColumn("cum", sum($"x").over(
@@ -801,6 +805,7 @@ object Stats {
       .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice * 100)" +
         " AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n"))
+      // grand-total window rides the 9-row digit table, never orders
       .withColumn("total", sum($"n").over(Window.partitionBy()))
       .withColumn("benford_q4",
         element_at(array(benford.map(lit): _*), $"digit".cast("int")))

@@ -3,9 +3,9 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{count, lit, sum}
@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions.{count, lit, sum}
   *    `sum(DISTINCT …)`, `avg`, `count(col)` (null-sensitive), and
   *    FILTER clauses never rewrite — their values are not derivable
   *    from these partials;
-  *  - no Filter may sit between the aggregate and the scan: a
-  *    predicate changes group contents invisibly to the MV. (Pushing
-  *    group-column-only filters into the MV is the next gear; the
-  *    conservative rule keeps the correctness proof one line.)
+  *  - a Filter between the aggregate and the scan rewrites ONLY when
+  *    its predicate is deterministic, subquery-free, and references
+  *    nothing but the MV's GROUPING columns: such a predicate removes
+  *    whole MV cells (every fact row of a cell shares its group-col
+  *    values), so applying it to the MV read preserves every surviving
+  *    group's contents exactly. Any predicate touching a non-group
+  *    column changes group contents invisibly to the MV and refuses.
   *
   * Output attributes keep the ORIGINAL names and exprIds (each output
   * is re-aliased under its old id), so every reference above the
@@ -69,26 +72,39 @@ object MvRewrite extends Rule[LogicalPlan] {
     else plan transform {
       case agg @ Aggregate(_, _, child, _) =>
         (for {
-          path <- scannedPath(child)
+          (path, filters) <- scannedSource(child)
           mv <- defs.get(path)
-          rewritten <- rewrite(agg, mv)
+          rewritten <- rewrite(agg, filters, mv)
         } yield rewritten).getOrElse(agg)
     }
 
-  /** The single parquet root under the aggregate, looking through
-    * pure-attribute projections; None if anything else intervenes. */
-  private def scannedPath(plan: LogicalPlan): Option[String] = plan match {
-    case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
-      scannedPath(child)
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      fs.location.rootPaths match {
-        case Seq(single) => Some(single.toUri.getPath)
-        case _ => None
-      }
-    case _ => None
-  }
+  /** The single parquet root under the aggregate plus any Filter
+    * predicates met on the way down, looking through pure-attribute
+    * projections; None if anything else intervenes. */
+  private def scannedSource(plan: LogicalPlan): Option[(String, Seq[Expression])] =
+    plan match {
+      case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
+        scannedSource(child)
+      case Filter(cond, child) =>
+        scannedSource(child).map { case (p, fs) => (p, cond +: fs) }
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths match {
+          case Seq(single) => Some((single.toUri.getPath, Nil))
+          case _ => None
+        }
+      case _ => None
+    }
 
-  private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+  private def rewrite(agg: Aggregate, filters: Seq[Expression],
+                      mv: MvDef): Option[LogicalPlan] = {
+    // group-column-only, deterministic, subquery-free predicates drop
+    // whole MV cells — anything else makes the MV unusable here
+    filters.foreach { f =>
+      val safe = f.deterministic &&
+        !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        f.references.forall(a => mv.groupCols.contains(a.name))
+      if (!safe) return None
+    }
     val groupAttrs = agg.groupingExpressions.map {
       case a: Attribute if mv.groupCols.contains(a.name) => a
       case _ => return None
@@ -126,6 +142,13 @@ object MvRewrite extends Rule[LogicalPlan] {
     // LONG do; DECIMAL widens per level and would change the schema)
     val ok = newAggs.map(_.toAttribute.dataType) ==
       agg.aggregateExpressions.map(_.toAttribute.dataType)
-    if (!ok) None else Some(Aggregate(newGroups, newAggs, mvPlan, None))
+    if (!ok) return None
+    // re-anchor the pushed predicates onto the MV read's attributes
+    val child = filters.foldRight[LogicalPlan](mvPlan) { (cond, acc) =>
+      Filter(cond.transform {
+        case a: Attribute => mvAttr(a.name).getOrElse(return None)
+      }, acc)
+    }
+    Some(Aggregate(newGroups, newAggs, child, None))
   }
 }

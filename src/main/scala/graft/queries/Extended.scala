@@ -308,6 +308,15 @@ object Extended {
     * ~tens of rows) so a stale cache can never serve wrong values:
     * exactly the freshness contract a production MV pipeline keeps
     * by refreshing the view with the fact load.
+    *
+    * Registry hygiene: the rewrite is captured by optimizing the
+    * aggregate ONCE, pinning that already-rewritten plan into the
+    * returned DataFrame (`Bridge.ofRows`), and then CLEARING the
+    * session-global registry — so no unrelated later aggregate over
+    * the same fact path can silently ride a leftover registration
+    * (MvRewriteSpec's "registry cleared" audit). Re-optimizing the
+    * pinned plan is a no-op for the rule: the MV path itself is not
+    * a registered source.
     */
   def mvRollup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -318,11 +327,47 @@ object Extended {
     graft.plans.MvRewrite.materialize(spark, src,
       groupCols = Seq("o_orderstatus", "o_orderpriority"),
       sumCols = Seq("o_custkey"), mvPath = mvPath)
-    spark.read.parquet(src)
+    val agg = spark.read.parquet(src)
       .groupBy($"o_orderstatus")
       .agg(sum($"o_custkey").as("custkey_sum"),
         count(lit(1)).as("n"))
       .orderBy($"o_orderstatus")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, agg.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
+  /** q192 — the MV rewrite's filter gear ([[graft.plans.MvRewrite]]):
+    * a rollup with a predicate on a GROUP column of the MV. Because
+    * every fact row of an MV cell shares its group-column values, a
+    * group-column-only filter deletes whole cells — so the rule pushes
+    * it onto the MV read and still re-aggregates partials, turning a
+    * filtered fact scan-and-shuffle into a filtered scan of the
+    * grouping-domain-sized MV. The DuckDB oracle filters and
+    * aggregates the FACT directly; the hash match proves the pushed
+    * form value-preserving. Same pin-then-clear registry hygiene as
+    * q184.
+    */
+  def mvRollupFiltered(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft-mv-q192").toString
+    graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sumCols = Seq("o_custkey"), mvPath = mvPath)
+    val agg = spark.read.parquet(src)
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .groupBy($"o_orderstatus")
+      .agg(sum($"o_custkey").as("custkey_sum"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, agg.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
   }
 
   /** Exact equi-depth (equal-frequency) histogram of order value —

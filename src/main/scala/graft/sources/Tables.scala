@@ -25,17 +25,32 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = read(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = read(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = read(spark, d, "region")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (legacy conf) and normalize to a microsecond TimestampType
-    * column — the generator emits µs-aligned values, so this is
-    * lossless and matches DuckDB's epoch_us view of the same data.
+  /** Schema-robust events reader. The driver's generator has emitted
+    * `ts` under different physical parquet encodings across rounds:
+    * INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to read as a
+    * timestamp — [PARQUET_TYPE_ILLEGAL] — so we read it as raw nanos
+    * via the legacy conf and normalize), and plain `timestamp[us]`
+    * without timezone (TIMESTAMP_NTZ to Spark). Dispatch on the type
+    * Spark actually reads so both generations — and a future
+    * session-TZ-adjusted TimestampType — normalize to the same
+    * microsecond TimestampType column under the pinned UTC session,
+    * matching DuckDB's epoch_us view of the same data.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = read(spark, d, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // legacy INT64-nanos fixture, read as raw nanos
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // timestamp[us] no-TZ parquet
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other — testdata schema drifted, update Tables.events")
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")

@@ -84,4 +84,72 @@ class MvRewriteSpec extends SparkSpec {
         "non-subset grouping must NOT rewrite")
     } finally MvRewrite.clear()
   }
+
+  test("group-column-only filters push onto the MV; others refuse") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv3").toString
+    val fact = s"$dir/fact.parquet"
+    val mv = s"$dir/mv.parquet"
+    (1L to 400L).map(i =>
+        (i, s"s${i % 3}", s"p${i % 5}", (i % 7).toDouble))
+      .toDF("id", "status", "prio", "v")
+      .write.parquet(fact)
+    try {
+      MvRewrite.materialize(spark, fact,
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"), mvPath = mv)
+
+      // predicate on a group column NOT in the query's grouping:
+      // whole MV cells drop, partials still re-aggregate
+      val pushed = spark.read.parquet(fact)
+        .filter($"prio".isin("p1", "p3"))
+        .groupBy($"status")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+        .orderBy($"status")
+      assert(scansOf(pushed).exists(_.contains("mv.parquet")),
+        s"group-col-filtered aggregate must scan the MV:\n${scansOf(pushed)}")
+      assert(!scansOf(pushed).exists(_.contains("fact.parquet")))
+
+      // predicate touching a NON-group column must refuse
+      val unsafe = spark.read.parquet(fact)
+        .filter($"v" > 2.0)
+        .groupBy($"status").agg(sum($"v").as("sv"))
+      assert(scansOf(unsafe).exists(_.contains("fact.parquet")),
+        "non-group-column filter must NOT rewrite")
+
+      MvRewrite.clear() // direct recompute with the rule inert
+      val direct = spark.read.parquet(fact)
+        .filter($"prio".isin("p1", "p3"))
+        .groupBy($"status")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+        .orderBy($"status")
+      assert(pushed.collect().toSeq == direct.collect().toSeq,
+        "filter-pushed values == direct values")
+    } finally MvRewrite.clear()
+  }
+
+  test("q184 clears the registry: a later orders aggregate scans the fact") {
+    withRule()
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val q184 = SparkEntry.queries("q184_mv_rollup")(spark, d)
+    // the pinned plan itself is served from the MV …
+    assert(scansOf(q184).exists(_.contains("graft-mv-q184")),
+      "q184's own plan must scan the MV")
+
+    // … but the registration does NOT leak: the exact shape the rule
+    // would have rewritten now plans a plain fact scan
+    val later = spark.read.parquet(s"$d/orders.parquet")
+      .groupBy($"o_orderstatus")
+      .agg(sum($"o_custkey").as("custkey_sum"), count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+    assert(scansOf(later).exists(_.contains("orders.parquet")),
+      s"post-q184 aggregate must read the fact:\n${scansOf(later)}")
+    assert(!scansOf(later).exists(_.contains("graft-mv")),
+      "no leftover MV scan after q184")
+
+    // and the MV-served values equal the direct fact aggregation
+    assert(q184.collect().toSeq == later.collect().toSeq,
+      "q184 values == direct fact values")
+  }
 }

@@ -405,6 +405,19 @@ class PlanAuditSpec extends SparkSpec {
       "the fact table must not appear anywhere below the aggregate")
   }
 
+  test("q192: the filtered rollup is served from the MV, never the fact") {
+    val df = SparkEntry.queries("q192_mv_rollup_filtered")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("graft-mv-q192"),
+      s"expected the materialized view as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet"),
+      "the fact table must not appear anywhere below the aggregate")
+    // the pushed predicate reaches the MV scan (parquet pushdown)
+    assert(leaves.contains("o_orderpriority"),
+      s"the group-column predicate must be pushed into the MV read:\n$leaves")
+  }
+
   test("q187: the vocabulary ranks via GlobalIndex, not a global window") {
     val df = SparkEntry.queries("q187_zipf_fit")(spark, d)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
