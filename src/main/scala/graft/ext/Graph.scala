@@ -301,6 +301,19 @@ object Graph {
           when(lt, $"b").otherwise($"a").as("dst"))
     }
 
+  /** Sorted adjacency lists of the oriented co-purchase graph —
+    * probed TWICE per consumer (src and dst side of the corner join)
+    * and shared between [[triangleCount]] and [[clusteringCoeff]], so
+    * the sort+collect aggregate runs once per session, not 2× per
+    * query. */
+  private def copartAdj(spark: SparkSession, d: String,
+                        hinted: DataFrame => DataFrame): DataFrame =
+    graft.Derived.frame(s"copart-adj:$d") {
+      import spark.implicits._
+      orientedCopart(spark, d, hinted).groupBy($"src")
+        .agg(sort_array(collect_list($"dst")).as("nbr"))
+    }
+
   def triangleCount(spark: SparkSession, d: String,
                     maxBroadcastAdj: Long = BroadcastAdjMaxEntries): DataFrame = {
     import spark.implicits._
@@ -311,8 +324,7 @@ object Graph {
     val fits = e.count() <= maxBroadcastAdj
     def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val oriented = orientedCopart(spark, d, hinted)
-    val adj = oriented.groupBy($"src")
-      .agg(sort_array(collect_list($"dst")).as("nbr"))
+    val adj = copartAdj(spark, d, hinted)
     val perEdge = {
       import org.apache.spark.sql.graft.Bridge
       oriented
@@ -651,8 +663,7 @@ object Graph {
     val fits = e.count() <= maxBroadcastAdj // measured gate, cache scan
     def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val oriented = orientedCopart(spark, d, hinted)
-    val adj = oriented.groupBy($"src")
-      .agg(sort_array(collect_list($"dst")).as("nbr"))
+    val adj = copartAdj(spark, d, hinted)
     val corners = oriented
       .join(hinted(adj.toDF("src", "nu")), "src")
       .join(hinted(adj.toDF("dst", "nv")), "dst")
