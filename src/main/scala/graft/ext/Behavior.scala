@@ -193,9 +193,9 @@ object Behavior {
     val items = Graph.basketItems(spark, d)
     val nBaskets = items.select($"ok").distinct().count()
     val singles = items.groupBy($"p").agg(count(lit(1)).as("c"))
-    val pairs = items.toDF("ok", "a").join(items.toDF("ok", "b"), "ok")
-      .filter($"a" < $"b")
-      .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+    // registry-shared with the weighted co-purchase edge frame (q186)
+    val pairs = Graph.pairCounts(spark, d)
+      .withColumnRenamed("cnt", "c_ab")
       .filter($"c_ab" >= minSup)
     val directed = pairs.select($"a".as("ante"), $"b".as("cons"), $"c_ab")
       .unionAll(pairs.select($"b".as("ante"), $"a".as("cons"), $"c_ab"))

@@ -227,6 +227,18 @@ object Graph {
         .repartition($"ok")
     }
 
+  /** Co-purchase pair counts — the basket self-join with its
+    * multiplicity, the shared core of the weighted SSSP edge frame
+    * (q186) and association rules (q171). `(a, b, cnt)` with a < b. */
+  private[graft] def pairCounts(spark: SparkSession, d: String): DataFrame =
+    graft.Derived.frame(s"copart-paircount:$d") {
+      import spark.implicits._
+      val items = basketItems(spark, d)
+      items.toDF("ok", "a").join(items.toDF("ok", "b"), "ok")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+    }
+
   private[graft] def copartEdges(spark: SparkSession, d: String): DataFrame =
     graft.Derived.frame(s"copart-edges:$d") {
       import spark.implicits._
@@ -491,12 +503,10 @@ object Graph {
                    seedMax: Long = 50L): DataFrame = {
     import spark.implicits._
     // the weighted symmetric edge frame (basket self-join + count) is
-    // the expensive input-derived intermediate — registry-shared
+    // the expensive input-derived intermediate — registry-shared, and
+    // its pair-count core is shared further with assocRules (q171)
     val sym = graft.Derived.frame(s"copart-weighted-sym:$d") {
-      val items = basketItems(spark, d)
-      val w = items.toDF("ok", "a").join(items.toDF("ok", "b"), "ok")
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+      val w = pairCounts(spark, d)
         .select($"a", $"b", expr("1 + (1000000 div cnt)").as("w"))
       w.select($"a".as("u"), $"b".as("v"), $"w")
         .unionAll(w.select($"b".as("u"), $"a".as("v"), $"w"))
