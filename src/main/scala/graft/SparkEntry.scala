@@ -508,6 +508,10 @@ object SparkEntry {
     // computes the full history from scratch — parity proves the
     // incremental merge == full rebuild
     "q194_scd2_merge" -> (Events.scd2Merge _),
+    // MV rewrite, min/max gear: algebraic MIN/MAX fold from the MV's
+    // per-cell partials (safe on DOUBLE — no addition-order caveat);
+    // the oracle aggregates the fact directly
+    "q195_mv_rollup_minmax" -> (Extended.mvRollupMinMax _),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3395,6 +3399,15 @@ object SparkEntry {
         |SELECT user_id, version, event_type, valid_from_us, valid_to_us, n_events,
         |  version = MAX(version) OVER (PARTITION BY user_id) AS is_current
         |FROM hist ORDER BY user_id, version""".stripMargin,
+    // q195: direct fact aggregation again — parity proves min/max
+    // folded from MV partials == min/max over the fact
+    "q195_mv_rollup_minmax" ->
+      """SELECT o_orderstatus,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // q193: the KS state grid recomputed directly; DuckDB // and
     // Spark div agree (values are non-negative)
     "q193_drift_state_grid" ->

@@ -4,11 +4,11 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{count, lit, sum}
+import org.apache.spark.sql.functions.{count, lit, max, min, sum}
 
 /** Materialized-view registry + the optimizer rule that rewrites
   * matching aggregates onto the pre-aggregated table — the classic
@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions.{count, lit, sum}
   *  - grouping expressions must be bare attributes ⊆ the MV's
   *    grouping columns (a subset IS allowed — partials re-aggregate);
   *  - aggregates must be undistinct, unfiltered `sum(col)` over a
-  *    registered DOUBLE/LONG column, or `count(*)`/`count(lit)`;
+  *    registered DOUBLE/LONG column, `min(col)`/`max(col)` over a
+  *    registered min-max column (algebraic: the min of per-cell mins
+  *    is the group min), or `count(*)`/`count(lit)`;
   *    `sum(DISTINCT …)`, `avg`, `count(col)` (null-sensitive), and
   *    FILTER clauses never rewrite — their values are not derivable
   *    from these partials;
@@ -43,9 +45,11 @@ import org.apache.spark.sql.functions.{count, lit, sum}
 object MvRewrite extends Rule[LogicalPlan] {
 
   /** A registered view: `mvPath` holds `groupCols`, one `sum_<c>` per
-    * sum column, and `cnt`, as written by [[materialize]]. */
+    * sum column, `min_<c>`/`max_<c>` per min-max column, and `cnt`,
+    * as written by [[materialize]]. */
   final case class MvDef(sourcePath: String, groupCols: Seq[String],
-                         sumCols: Seq[String], mvPath: String)
+                         sumCols: Seq[String], mvPath: String,
+                         minMaxCols: Seq[String] = Nil)
 
   private val defs = TrieMap[String, MvDef]()
 
@@ -55,14 +59,16 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Build + write the MV the rule expects, and register it. */
   def materialize(spark: SparkSession, sourcePath: String,
                   groupCols: Seq[String], sumCols: Seq[String],
-                  mvPath: String): MvDef = {
+                  mvPath: String, minMaxCols: Seq[String] = Nil): MvDef = {
     val src = spark.read.parquet(sourcePath)
     src.groupBy(groupCols.map(src(_)): _*)
       .agg(sum(sumCols.head).as(s"sum_${sumCols.head}"),
-        (sumCols.tail.map(c => sum(c).as(s"sum_$c")) :+
+        (sumCols.tail.map(c => sum(c).as(s"sum_$c")) ++
+          minMaxCols.flatMap(c => Seq(min(c).as(s"min_$c"),
+            max(c).as(s"max_$c"))) :+
           count(lit(1)).as("cnt")): _*)
       .write.mode("overwrite").parquet(mvPath)
-    val d = MvDef(sourcePath, groupCols, sumCols, mvPath)
+    val d = MvDef(sourcePath, groupCols, sumCols, mvPath, minMaxCols)
     register(d)
     d
   }
@@ -122,18 +128,32 @@ object MvRewrite extends Rule[LogicalPlan] {
         Alias(mvAttr(a.name).getOrElse(return None), a.name)(exprId = a.exprId)
       case al @ Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        val partial = ae.aggregateFunction match {
+        // each supported aggregate re-aggregates its own partial:
+        // SUM/COUNT fold partials with SUM; MIN/MAX fold with
+        // themselves (min of per-cell mins IS the group min — the
+        // algebraic-aggregate property avg lacks)
+        val folded: Option[Expression] = ae.aggregateFunction match {
           case s: Sum => s.child match {
             case c: Attribute if mv.sumCols.contains(c.name) =>
-              mvAttr(s"sum_${c.name}")
+              mvAttr(s"sum_${c.name}").map(Sum(_).toAggregateExpression())
             case _ => None
           }
-          case Count(Seq(Literal(_, _))) => mvAttr("cnt")
+          case m: Min => m.child match {
+            case c: Attribute if mv.minMaxCols.contains(c.name) =>
+              mvAttr(s"min_${c.name}").map(Min(_).toAggregateExpression())
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case c: Attribute if mv.minMaxCols.contains(c.name) =>
+              mvAttr(s"max_${c.name}").map(Max(_).toAggregateExpression())
+            case _ => None
+          }
+          case Count(Seq(Literal(_, _))) =>
+            mvAttr("cnt").map(Sum(_).toAggregateExpression())
           case _ => None
         }
-        partial match {
-          case Some(p) =>
-            Alias(Sum(p).toAggregateExpression(), name)(exprId = al.exprId)
+        folded match {
+          case Some(e) => Alias(e, name)(exprId = al.exprId)
           case None => return None
         }
       case _ => return None

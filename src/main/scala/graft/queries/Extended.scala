@@ -370,6 +370,38 @@ object Extended {
     pinned
   }
 
+  /** q195 — the MV rewrite's min/max gear: MIN and MAX are algebraic
+    * (the min of per-cell mins IS the group min, exactly — no
+    * addition-order caveat, so DOUBLE columns are safe here where
+    * DOUBLE sums are not), and the rule folds them from the MV's
+    * `min_<c>`/`max_<c>` partials. One registered MV serves a query
+    * mixing min, max, an integer sum and count(*), grouped by a
+    * subset of its grouping columns. Same pin-then-clear hygiene and
+    * direct-fact oracle as q184/q192.
+    */
+  def mvRollupMinMax(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft-mv-q195").toString
+    graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sumCols = Seq("o_custkey"), mvPath = mvPath,
+      minMaxCols = Seq("o_totalprice"))
+    val agg = spark.read.parquet(src)
+      .groupBy($"o_orderstatus")
+      .agg(min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        sum($"o_custkey").as("custkey_sum"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, agg.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
   /** Exact equi-depth (equal-frequency) histogram of order value —
     * the optimizer-statistics / feature-binning primitive: B buckets
     * whose populations differ by at most one row, with each bucket's

@@ -128,6 +128,44 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("min/max fold from MV partials; unregistered columns refuse") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv4").toString
+    val fact = s"$dir/fact.parquet"
+    val mv = s"$dir/mv.parquet"
+    (1L to 400L).map(i =>
+        (i, s"s${i % 3}", s"p${i % 5}", (i % 7).toDouble, (i % 11).toDouble))
+      .toDF("id", "status", "prio", "v", "u")
+      .write.parquet(fact)
+    try {
+      MvRewrite.materialize(spark, fact,
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"), mvPath = mv,
+        minMaxCols = Seq("v"))
+
+      val q = spark.read.parquet(fact).groupBy($"status")
+        .agg(min($"v").as("mn"), max($"v").as("mx"),
+          sum($"v").as("sv"), count(lit(1)).as("n"))
+        .orderBy($"status")
+      assert(scansOf(q).exists(_.contains("mv.parquet")),
+        s"min/max aggregate must scan the MV:\n${scansOf(q)}")
+
+      // u has no registered partials — whole query falls back
+      val byU = spark.read.parquet(fact).groupBy($"status")
+        .agg(min($"u").as("mn"))
+      assert(scansOf(byU).exists(_.contains("fact.parquet")),
+        "min over an unregistered column must NOT rewrite")
+
+      MvRewrite.clear()
+      val direct = spark.read.parquet(fact).groupBy($"status")
+        .agg(min($"v").as("mn"), max($"v").as("mx"),
+          sum($"v").as("sv"), count(lit(1)).as("n"))
+        .orderBy($"status")
+      assert(q.collect().toSeq == direct.collect().toSeq,
+        "MV-folded min/max values == direct values")
+    } finally MvRewrite.clear()
+  }
+
   test("q184 clears the registry: a later orders aggregate scans the fact") {
     withRule()
     import spark.implicits._

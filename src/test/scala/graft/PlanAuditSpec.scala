@@ -418,6 +418,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the group-column predicate must be pushed into the MV read:\n$leaves")
   }
 
+  test("q195: the min/max rollup is served from the MV, never the fact") {
+    val df = SparkEntry.queries("q195_mv_rollup_minmax")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("graft-mv-q195"),
+      s"expected the materialized view as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet"),
+      "the fact table must not appear anywhere below the aggregate")
+  }
+
   test("q187: the vocabulary ranks via GlobalIndex, not a global window") {
     val df = SparkEntry.queries("q187_zipf_fit")(spark, d)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
