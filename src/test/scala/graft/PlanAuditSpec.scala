@@ -418,6 +418,20 @@ class PlanAuditSpec extends SparkSpec {
       s"the group-column predicate must be pushed into the MV read:\n$leaves")
   }
 
+  test("q194: the SCD2 merge windows only the affected users' events") {
+    val df = SparkEntry.queries("q194_scd2_merge")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // the rebuild path must reach the window through a semi-join on
+    // the affected-user set; the pass-through side anti-joins and
+    // never re-windows (2 windowed SCD2 builds total: base dim +
+    // affected rebuild — a third would mean the keep side re-derived)
+    assert(plan.contains("LeftSemi"), "rebuild must semi-join affected users")
+    assert(plan.contains("LeftAnti"), "pass-through must anti-join affected users")
+    val nWindowedRuns = plan.linesIterator.count(_.contains("RunningWindowFunction")) +
+      plan.linesIterator.count(_.contains("Window "))
+    assert(nWindowedRuns > 0, "expected windowed SCD2 builds in the plan")
+  }
+
   test("q195: the min/max rollup is served from the MV, never the fact") {
     val df = SparkEntry.queries("q195_mv_rollup_minmax")(spark, d)
     val leaves = df.queryExecution.executedPlan.collectLeaves()
