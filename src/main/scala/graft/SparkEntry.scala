@@ -219,9 +219,12 @@ object SparkEntry {
         .maintain(history, liOld, liNew, oOld, oNew, Seq("l_orderkey"))
         .groupBy($"o_custkey")
         .agg(count(lit(1)).as("n_items"),
+          // round in DECIMAL, then cast: the scale-4 sum on a .xx5
+          // boundary rounds differently as a double (q01's discRevenue
+          // rationale; this query hit it at sf0.1)
           round(sum($"l_extendedprice".cast("decimal(18,2)") *
-            (lit(1.0).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")))
-            .cast("double"), 2).as("revenue"))
+            (lit(1.0).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)"))),
+            2).cast("double").as("revenue"))
         .orderBy($"o_custkey")
     }),
     "q110_winsorized_mean" -> (Stats.winsorizedMean _),
@@ -1638,7 +1641,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
         |  ROUND(SUM(l_quantity) / COUNT(*) * 10000, 0) / 10000 AS avg_qty,
         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000, 0) / 10000 AS avg_disc,
         |  COUNT(*) AS count_order
@@ -1681,7 +1684,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY ship_date""".stripMargin,
     "q07_star_join" ->
       """SELECT r_name, n_name,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2069,9 +2072,9 @@ object SparkEntry {
     // (q01's decimal-exact revenue recipe)
     "q109_delta_join" ->
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-        |    AS DOUBLE), 2) AS revenue
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))),
+        |    2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // q110: exact interpolated p01/p99 clamp (q49 recipe) then a

@@ -52,10 +52,18 @@ object Analytics {
   /** Average of an integral-valued double column (quantity): the sum is
     * exact in doubles, only the quotient needs boundary-safe rounding. */
   private def intishAvg(c: Column): Column = r4(sum(c) / count(lit(1)))
-  /** SUM(price * (1 - discount)) in exact decimal arithmetic. */
+  /** SUM(price * (1 - discount)) in exact decimal arithmetic. The
+    * scale-4 sum is rounded to 2 IN DECIMAL before the double cast:
+    * rounding after the cast diverges between engines when the exact
+    * sum lands on .xx5 — Spark rounds the double via its shortest
+    * decimal string (".535" rounds up) while DuckDB's numeric path
+    * sees .5349999… and rounds down (bit q109 at sf0.1). Decimal
+    * rounding is exact and half-away-from-zero on both engines for
+    * these non-negative sums; the rounded value casts to the
+    * identical double. */
   private def discRevenue(price: Column, discount: Column): Column =
-    round(sum(dec(price) * (lit(1.0).cast("decimal(3,2)") - discount.cast("decimal(3,2)")))
-      .cast("double"), 2)
+    round(sum(dec(price) * (lit(1.0).cast("decimal(3,2)") - discount.cast("decimal(3,2)"))),
+      2).cast("double")
 
   /** A1+A6: grouped hash aggregation with arithmetic expressions — the
     * "daily rating summary" shape (schema.sql:131-146). Filter is a raw
