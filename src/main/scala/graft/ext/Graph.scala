@@ -704,9 +704,11 @@ object Graph {
       .join(hinted(adj.toDF("src", "nu")), "src")
       .join(hinted(adj.toDF("dst", "nv")), "dst")
       .select($"src", $"dst", explode(array_intersect($"nu", $"nv")).as("w"))
-    val tri = corners.select($"src".as("node"))
-      .unionAll(corners.select($"dst".as("node")))
-      .unionAll(corners.select($"w".as("node")))
+    // ONE pass credits all three corners of each triangle — a 3-way
+    // unionAll of `corners` projections would re-execute the join +
+    // intersect explode per branch (plans don't share subtrees)
+    val tri = corners
+      .select(explode(array($"src", $"dst", $"w")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("nt"))
     val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
