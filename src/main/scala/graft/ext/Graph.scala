@@ -55,8 +55,11 @@ object Graph {
           $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
         .distinct()
-      pairs.select($"c".as("src"), $"s".as("dst"))
-        .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+      // one pass over the distinct join, both directions per row
+      pairs.select(explode(array(
+          struct($"c".as("src"), $"s".as("dst")),
+          struct($"s".as("src"), $"c".as("dst")))).as("p"))
+        .select($"p.src".as("src"), $"p.dst".as("dst"))
         .repartition($"src")
     }
 
@@ -397,7 +400,12 @@ object Graph {
       .withColumn("pd", lag($"day", 1).over(w))
       .filter($"pk".isNotNull && $"day" - $"pd" <= 7)
       .select($"k".as("src"), $"pk".as("dst"))
-    val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+    // symmetrize in ONE pass over the lag-window frame (a unionAll of
+    // two projections would run the window twice — the q190 lesson)
+    val sym = e.select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("p"))
+      .select($"p.src".as("src"), $"p.dst".as("dst"))
       .repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
     var labels = o.select($"k".as("node"), $"k".as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
