@@ -424,8 +424,12 @@ object Events {
       .select($"h",
         greatest($"s", $"h" * hourUs).as("fs"),
         least($"e", ($"h" + 1) * hourUs).as("fe"))
-    val deltas = frags.select($"h", $"fs".as("t"), lit(1).as("delta"))
-      .unionAll(frags.select($"h", $"fe".as("t"), lit(-1).as("delta")))
+    // both sweep events per fragment in ONE pass (a unionAll of two
+    // projections would re-run the interval-fragment explode twice)
+    val deltas = frags.select($"h", explode(array(
+        struct($"fs".as("t"), lit(1).as("delta")),
+        struct($"fe".as("t"), lit(-1).as("delta")))).as("p"))
+      .select($"h", $"p.t".as("t"), $"p.delta".as("delta"))
     val sweep = Window.partitionBy($"h").orderBy($"t", $"delta")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas
