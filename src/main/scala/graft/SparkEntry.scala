@@ -515,6 +515,12 @@ object SparkEntry {
     // per-cell partials (safe on DOUBLE — no addition-order caveat);
     // the oracle aggregates the fact directly
     "q195_mv_rollup_minmax" -> (Extended.mvRollupMinMax _),
+    // BPE ENCODING — apply the trained merge table to the corpus and
+    // report per-doc token counts (q181 trains; this is the other
+    // half of the tokenizer lifecycle); the oracle re-derives the
+    // merges and the word encodings with the same replace chain
+    "q196_bpe_encode" -> ((s: SparkSession, d: String) =>
+      Corpus.bpeEncode(s, d)),
     // Audio fingerprint dedup: REAL PCM decode -> 8 frame energies ->
     // group by the robust-feature signature (byte hashes can't see
     // through container re-muxing). Oracle recomputes energies from
@@ -3562,6 +3568,48 @@ object SparkEntry {
         (1 to 5).map(i =>
           s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, cnt FROM t$i")
           .mkString("\nUNION ALL\n") + "\nORDER BY round"
+    },
+    // q196: the same 5-round merge chain, carrying the raw word so
+    // the final vocabulary is a word → encoding lookup; per-doc
+    // token counts come from joining the exploded corpus against it
+    "q196_bpe_encode" -> {
+      val round = (1 to 5).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT t[i] AS lhs, t[i+1] AS rhs,
+           |    CAST(SUM(wc) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+           |          '||') AS t, wc FROM w${i - 1}) x,
+           |    UNNEST(range(1, len(x.t))) AS u(i)
+           |  GROUP BY 1, 2),
+           |t$i AS MATERIALIZED (
+           |  SELECT lhs, rhs FROM p$i
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT w, replace(s, '|' || t.lhs || '||' || t.rhs || '|',
+           |      '|' || t.lhs || t.rhs || '|') AS s, wc
+           |  FROM w${i - 1}, t$i t)""".stripMargin
+      }.mkString(",\n")
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT w,
+        |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' AND w NOT LIKE '%|%'
+        |  GROUP BY 1, 2),
+        |""".stripMargin + round + """,
+        |wtok AS (
+        |  SELECT w, CAST(len(string_split(substring(s, 2, length(s) - 2),
+        |    '||')) AS BIGINT) AS ntok FROM w5),
+        |docw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' AND w NOT LIKE '%|%')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM docw JOIN wtok USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // q177: identical per-cell ln quantization; the +1e9·n shift
     // makes // and Spark's div agree on the near-zero sums

@@ -657,6 +657,64 @@ object Corpus {
     merges.reduce(_ unionAll _).orderBy($"round")
   }
 
+  /** Byte-pair-encoding APPLICATION — the other half of the tokenizer
+    * lifecycle ([[bpeMerges]] trains the merge table; this ENCODES the
+    * corpus with it and reports per-document token statistics, the
+    * number every training-data pipeline budgets by). Runs the same
+    * `rounds` greedy merges over the VOCABULARY — carrying the raw
+    * word through the loop so the final frame is a word → encoding
+    * lookup — then joins each document's words against it and sums:
+    * `n_tokens` is the post-BPE symbol count, `n_words` the word
+    * count, both exact integers.
+    *
+    * Scale shape: identical to training (corpus touched once for the
+    * word-frequency aggregate, every round vocabulary-sized with a
+    * 1-row broadcast top pair and a map-only replace), plus ONE
+    * word-keyed join of the exploded corpus against the vocab-sized
+    * lookup — broadcast while the measured vocabulary fits
+    * [[BroadcastVocabMaxTerms]], an ordinary shuffle join beyond.
+    * The merge-table replace chain is engine-portable exactly as in
+    * training (`|`-framed symbols, left-to-right non-overlapping).
+    */
+  def bpeEncode(spark: SparkSession, d: String, rounds: Int = 5,
+                maxBroadcastTerms: Long = BroadcastVocabMaxTerms): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "" && !$"w".contains("|"))
+    var cur = words
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .select($"w", concat(lit("|"), concat_ws("||", split($"w", "")),
+        lit("|")).as("s"), $"wc")
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val pairs = cur
+        .select($"wc", expr("filter(split(substring(s, 2," +
+          " length(s)-2), '\\\\|\\\\|'), x -> x != '')").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"wc", explode(expr(
+          """transform(sequence(1, size(t) - 1),
+             i -> struct(t[i-1] AS l, t[i] AS r))""")).as("p"))
+        .groupBy($"p.l".as("lhs"), $"p.r".as("rhs"))
+        .agg(sum($"wc").as("cnt"))
+      val top = pairs.orderBy($"cnt".desc, $"lhs", $"rhs").limit(1)
+      cur = cur
+        .crossJoin(broadcast(top.select($"lhs".as("ml"), $"rhs".as("mr"))))
+        .select($"w", expr("replace(s, '|' || ml || '||' || mr || '|'," +
+          " '|' || ml || mr || '|')").as("s"), $"wc")
+        .localCheckpoint()
+    }
+    val nTerms = cur.count() // cache scan of the checkpointed vocab
+    val wtok = cur.select($"w",
+      expr("size(filter(split(substring(s, 2, length(s)-2)," +
+        " '\\\\|\\\\|'), x -> x != ''))").cast("bigint").as("ntok"))
+    val hinted = if (nTerms <= maxBroadcastTerms) broadcast(wtok) else wtok
+    words.join(hinted, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"ntok").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Execute [[quotaAllocation]]'s sampling plan: per stratum take
     * EXACTLY its allocated slot count, members chosen by smallest
     * engine-portable key hash — a deterministic uniform-without-
