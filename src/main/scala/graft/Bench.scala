@@ -64,8 +64,12 @@ object Bench {
     // ms precision keeps the one-line JSON compact enough for tail
     // capture; the full line is also mirrored to a file (below) so the
     // per-query map survives any stdout truncation
+    // Locale.ROOT: the default-locale f-interpolator writes a comma
+    // decimal separator under e.g. de_DE, producing invalid JSON
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) =>
-      s"\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.3f")
+      s"\"" + k + "\":" + (if (v < 0) "-1.0" else sec(v))
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._3)
     val total = results.filterNot(_._3).map(_._2).sum
@@ -82,7 +86,7 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"BENCH SKEW FAIL: ${t.getMessage}"); "null"
     }
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFailed,"skew":$skew,"sf":"$sfDir","n":$n,"action":"noop_write_min_of_interleaved_passes"}"""
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"skew":$skew,"sf":"$sfDir","n":$n,"action":"noop_write_min_of_interleaved_passes"}"""
     println(line)
     // sidecar copy: the committed per-round artifact regardless of how
     // much stdout the harness tails

@@ -42,18 +42,33 @@ object Derived {
       }
     })
 
-  private val adoptSeq = new java.util.concurrent.atomic.AtomicLong()
-
   /** Take ownership of an ALREADY-persisted frame so [[clear]] can
     * release it — for operators whose iteration loops must leave
     * their final frame cached (re-evaluating the returned lineage
-    * would otherwise re-run the whole loop) but have no natural
-    * input-derived key.
+    * would otherwise re-run the whole loop).
+    *
+    * Keyed by the frame's ANALYZED-PLAN semantic hash — a faithful
+    * proxy for (query, input dir), since the scan paths and every
+    * operator above them participate in the hash while exprIds are
+    * normalized out. A repeat invocation of the same query over the
+    * same data therefore lands on the SAME slot, and adopt
+    * unpersists-and-replaces the previous holder instead of
+    * accumulating one cached copy per invocation (a 3-pass bench
+    * used to hold 3 registry entries per loop-final frame until the
+    * end-of-run [[clear]]).
+    *
+    * Replacing the reference IS the whole cleanup: same key ⇒ same
+    * canonical plan ⇒ Spark's CacheManager already shares ONE cache
+    * entry between the old and new frame (persist on an
+    * already-cached plan is a no-op), so no storage accumulated —
+    * and explicitly unpersisting the old holder would evict the very
+    * entry the new frame relies on.
     */
   def adopt(df: DataFrame): DataFrame = {
-    memo.put(s"adopted:${adoptSeq.incrementAndGet()}", df)
+    memo.put(s"adopted:${df.queryExecution.analyzed.semanticHash()}", df)
     df
   }
+
 
   /** Unpersist and forget every registered frame. */
   def clear(): Unit = {

@@ -87,10 +87,15 @@ object Corpus {
     * returns the frame plus its term count for the broadcast gate. */
   private def dfSide(spark: SparkSession, toks: DataFrame): (DataFrame, Long) = {
     import spark.implicits._
-    val df = toks.select($"doc_id", $"token").distinct()
-      .groupBy($"token").agg(count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Derived.adopt(df)
+    // registry-cached under the tokenization's plan hash (a faithful
+    // (tokenizer, input-dir) key): the three consumers with the same
+    // tokenization — and repeat invocations in one session — share one
+    // cached copy instead of each persisting a fresh one
+    val df = graft.Derived.frame(
+      s"df-side:${toks.queryExecution.analyzed.semanticHash()}") {
+      toks.select($"doc_id", $"token").distinct()
+        .groupBy($"token").agg(count(lit(1)).as("df"))
+    }
     (df, df.count())
   }
 

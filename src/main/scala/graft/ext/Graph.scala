@@ -302,9 +302,14 @@ object Graph {
     * gate for the degree frame.
     */
   private def orientedCopart(spark: SparkSession, d: String,
-                             hinted: DataFrame => DataFrame): DataFrame =
-    graft.Derived.frame(s"copart-oriented:$d") {
+                             fits: Boolean): DataFrame =
+    // the broadcast decision participates in the cache key: the first
+    // caller's measured gate must not silently impose its plan shape
+    // on a later caller that measured differently (or on a test
+    // forcing the shuffle fallback)
+    graft.Derived.frame(s"copart-oriented:$d:bc=$fits") {
       import spark.implicits._
+      def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
       val e = copartEdges(spark, d)
       val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -322,10 +327,10 @@ object Graph {
     * the sort+collect aggregate runs once per session, not 2× per
     * query. */
   private def copartAdj(spark: SparkSession, d: String,
-                        hinted: DataFrame => DataFrame): DataFrame =
-    graft.Derived.frame(s"copart-adj:$d") {
+                        fits: Boolean): DataFrame =
+    graft.Derived.frame(s"copart-adj:$d:bc=$fits") {
       import spark.implicits._
-      orientedCopart(spark, d, hinted).groupBy($"src")
+      orientedCopart(spark, d, fits).groupBy($"src")
         .agg(sort_array(collect_list($"dst")).as("nbr"))
     }
 
@@ -338,8 +343,8 @@ object Graph {
     // cache-materialized by Derived, so this count is a cache scan
     val fits = e.count() <= maxBroadcastAdj
     def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    val oriented = orientedCopart(spark, d, hinted)
-    val adj = copartAdj(spark, d, hinted)
+    val oriented = orientedCopart(spark, d, fits)
+    val adj = copartAdj(spark, d, fits)
     val perEdge = {
       import org.apache.spark.sql.graft.Bridge
       oriented
@@ -592,22 +597,31 @@ object Graph {
     // round's plan to a leaf; blocks are reclaimed by the context
     // cleaner as the old rounds go out of scope.
     var sym = sym0
-    var nNodes = sym.select($"u").distinct().count()
+    // Convergence metric: EDGE count, not distinct-node count. The
+    // two are equivalent here — a node leaves `keep` only with all
+    // its rows (both semi-joins drop it everywhere), so the node set
+    // changes iff the edge set does — and the edge count is free: it
+    // is the row count of the frame the round materializes anyway,
+    // while distinct(u) paid an extra shuffle per round.
+    var nEdges = sym.count()
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
       round += 1
       val keep = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= k).select($"u")
+      // lazy checkpoint: the convergence count below is the single
+      // materializing action of the round (eager localCheckpoint
+      // would run its own job first and make count a second one)
       val next = sym
         .join(keep, Seq("u"), "left_semi")
         .join(keep.toDF("v"), Seq("v"), "left_semi")
         .select($"u", $"v")
-        .localCheckpoint()
-      val n = next.select($"u").distinct().count()
+        .localCheckpoint(false)
+      val n = next.count()
       sym = next
-      converged = n == nNodes
-      nNodes = n
+      converged = n == nEdges
+      nEdges = n
     }
     sym.groupBy($"u".as("part")).agg(count(lit(1)).as("core_deg"))
       .orderBy($"part")
@@ -635,16 +649,18 @@ object Graph {
     * one-row aggregate attached back as a broadcast scalar, never a
     * driver collect. Fixed `iters` keeps the unrolled oracle exact.
     *
-    * Every half-step persists-and-materializes its |V|-row score
-    * frame before the previous one unpersists (the q95 round
-    * discipline): without it each normalizer aggregate and the next
-    * half-step's join re-execute the ENTIRE upstream lineage, and the
-    * unrolled plan re-runs the edge build 2^iters times — measured
-    * 4.3× slower on this query at sf0.1 before the fix.
+    * Every half-step eagerly checkpoints its |V|-row RAW sum frame
+    * and its normalized score frame (the kCore lineage discipline,
+    * NOT persist — see the in-body comment for why cache-based
+    * pinning left a driver-side exponential): the edge join+agg
+    * executes exactly once per half-step and every consumer reads a
+    * materialized leaf.
     */
   def hits(spark: SparkSession, d: String, iters: Int = 2): DataFrame = {
+    // iters == 0 would leave the authority side never computed (null
+    // frame) — there is no meaningful zero-round HITS
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     import spark.implicits._
-    import org.apache.spark.storage.StorageLevel
     val dec = "decimal(38,0)"
     // directed c→s half of the shared symmetric trade cache (even
     // ids are the customer side by tradeEdges' namespacing)
@@ -657,27 +673,39 @@ object Graph {
         .select(col(key),
           expr(s"(CAST(raw AS $dec) * 1000000 * n) div tot").as(out))
     }
-    def pin(df: DataFrame, prev: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize before freeing the previous round
-      if (prev != null) prev.unpersist()
-      p
+    // Round discipline: every pinned frame is an EAGER localCheckpoint
+    // — a LogicalRDD leaf with no logical lineage (the kCore/
+    // labelPropagation discipline). persist-based pinning is NOT
+    // enough here: `normalized` embeds `raw` twice (crossJoin side +
+    // tot aggregate), so the analyzed plan doubles per half-step, and
+    // even though the data came from cache, the DRIVER's per-action
+    // canonicalization/cache-lookup over 2^halfsteps embedded copies
+    // of the edge lineage dominated the query (measured 28 s for the
+    // last half-step alone at sf0.1; InMemoryRelation canonical forms
+    // embed their child lineage, so rebasing onto the cache entry
+    // does not truncate either). Checkpoint blocks are reclaimed by
+    // the context cleaner as each round's frame goes out of scope;
+    // the final hub/auth blocks live exactly as long as the returned
+    // result references them — no registry entry to leak.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    // TWO pins per half-step: first the RAW per-node sum (so the edge
+    // join+agg executes exactly once — unpinned, the normalizer's
+    // broadcast subquery and the score pin each re-ran it), then the
+    // normalized score (so the next half-step's join probes a
+    // materialized leaf, never a recomputation).
+    def step(prev: DataFrame, inKey: String, outKey: String,
+             out: String): DataFrame = {
+      val raw = pin(edges.join(prev, inKey).groupBy(col(outKey))
+        .agg(sum(col(prev.columns.last).cast(dec)).as("raw")))
+      pin(normalized(raw, outKey, out))
     }
     var hub = pin(edges.select($"c").distinct()
-      .select($"c", lit(1000000L).as("h")), null)
+      .select($"c", lit(1000000L).as("h")))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      auth = pin(normalized(
-        edges.join(hub, "c").groupBy($"s")
-          .agg(sum($"h".cast(dec)).as("raw")), "s", "a"), auth)
-      hub = pin(normalized(
-        edges.join(auth, "s").groupBy($"c")
-          .agg(sum($"a".cast(dec)).as("raw")), "c", "h"), hub)
+      auth = step(hub, "c", "s", "a")
+      hub = step(auth, "s", "c", "h")
     }
-    // the final score frames must stay cached (their lineages span
-    // the whole loop); the registry frees them on clear()
-    graft.Derived.adopt(hub)
-    graft.Derived.adopt(auth)
     hub.select(lit("cust").as("kind"), expr("c div 2").as("entity_id"),
         $"h".as("score_q6"))
       .unionAll(auth.select(lit("supp").as("kind"),
@@ -706,8 +734,8 @@ object Graph {
     val e = copartEdges(spark, d)
     val fits = e.count() <= maxBroadcastAdj // measured gate, cache scan
     def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    val oriented = orientedCopart(spark, d, hinted)
-    val adj = copartAdj(spark, d, hinted)
+    val oriented = orientedCopart(spark, d, fits)
+    val adj = copartAdj(spark, d, fits)
     val corners = oriented
       .join(hinted(adj.toDF("src", "nu")), "src")
       .join(hinted(adj.toDF("dst", "nv")), "dst")

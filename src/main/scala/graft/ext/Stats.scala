@@ -707,7 +707,12 @@ object Stats {
   def eventDriftCells(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     events
-      .filter($"event_type".isin("view", "click") && $"value".isNotNull)
+      // value >= 0 is explicit, not a generator assumption: for a
+      // negative value Spark's truncating `div` and DuckDB's flooring
+      // `//` would bucket differently, and a negative measurement is
+      // not a drift observation anyway
+      .filter($"event_type".isin("view", "click") && $"value".isNotNull &&
+        $"value" >= 0)
       .select(expr("CAST(floor(value * 100) AS BIGINT) div 1000")
           .as("bucket"),
         when($"event_type" === "view", 1L).otherwise(0L).as("is_a"))

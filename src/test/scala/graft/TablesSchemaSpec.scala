@@ -46,7 +46,6 @@ class TablesSchemaSpec extends SparkSpec {
       if (got == expected(t)) None
       else Some(s"  $t:\n    expected: ${expected(t)}\n    actual:   $got")
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     assert(drift.isEmpty,
       "\nTESTDATA SCHEMA CHANGED — update graft.sources.Tables readers " +
         "(and this fingerprint) for:\n" + drift.mkString("\n"))
@@ -97,6 +96,46 @@ class TablesSchemaSpec extends SparkSpec {
     val got = sources.Tables.events(spark, dir)
     assert(got.schema("ts").dataType === TimestampType)
     assert(readMicros(dir) === expectedMicros)
+  }
+
+  test("reading µs-typed events leaves the nanos legacy conf untouched") {
+    // The conf is session-global and silently changes how every genuine
+    // INT64(NANOS) column in the session reads — Tables.events may only
+    // flip it on the retry path, never preemptively.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val before = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    sources.Tables.events(spark, sfDir).limit(1).count()
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") === before)
+  }
+
+  test("events reader: genuine INT64 TIMESTAMP(NANOS) file takes the retry path") {
+    // Spark cannot WRITE nanos-annotated parquet, so build the file with
+    // the low-level parquet-hadoop writer: this is the encoding Spark 4
+    // refuses outright ([ILLEGAL_PARQUET_TYPE]) unless the legacy conf is
+    // on — the one case where Tables.events may set it.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageTypeParser, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val dir = tmp()
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS))
+      .named("ts")
+      .named("events")
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-0.parquet")
+    val writer = ExampleParquetWriter.builder(path).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    instants.foreach { i =>
+      writer.write(gf.newGroup().append("ts", i.getEpochSecond * 1000000000L + i.getNano))
+    }
+    writer.close()
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val got = sources.Tables.events(spark, dir)
+    assert(got.schema("ts").dataType === TimestampType)
+    assert(readMicros(dir) === expectedMicros)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong") // retry path set it
   }
 
   test("events reader: session-TZ TimestampType fixture passes through") {
