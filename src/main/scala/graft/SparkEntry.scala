@@ -515,6 +515,16 @@ object SparkEntry {
     // per-cell partials (safe on DOUBLE — no addition-order caveat);
     // the oracle aggregates the fact directly
     "q195_mv_rollup_minmax" -> (Extended.mvRollupMinMax _),
+    // INCREMENTAL MV maintenance: MV built on a base slice, refreshed
+    // from an append-only delta by key-wise partial merge (delta +
+    // old MV only — never the base fact), then served through the
+    // rewrite; the oracle aggregates base ∪ delta directly
+    "q197_mv_incremental_refresh" -> (Extended.mvIncrementalRefresh _),
+    // MV rewrite, AVG gear: avg(long_col) folds as
+    // sum(sum_c)/sum(cnt_c) — exact integral partial re-aggregation,
+    // one IEEE division; cnt_c (non-null count) also serves the
+    // null-sensitive count(col); the oracle runs avg over the fact
+    "q199_mv_rollup_avg" -> (Extended.mvRollupAvg _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3417,8 +3427,28 @@ object SparkEntry {
         |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q193: the KS state grid recomputed directly; DuckDB // and
-    // Spark div agree (values are non-negative)
+    // q197: the oracle aggregates the WHOLE orders table (= the base
+    // slice ∪ the delta batch) directly — parity proves the
+    // incremental partial merge + serving rewrite == a full rebuild
+    "q197_mv_incremental_refresh" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q199: direct fact avg/count — parity proves the
+    // sum(sum_c)/sum(cnt_c) fold is the exact same IEEE division
+    "q199_mv_rollup_avg" ->
+      """SELECT o_orderstatus,
+        |  AVG(o_custkey) AS avg_custkey,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q193: the KS state grid recomputed directly; both sides filter
+    // value >= 0 explicitly so DuckDB's flooring // and Spark's
+    // truncating div agree by construction, not by generator luck
     "q193_drift_state_grid" ->
       """SELECT CAST(floor(value * 100) AS BIGINT) // 1000 AS bucket,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
@@ -3427,6 +3457,7 @@ object SparkEntry {
         |    AS BIGINT) AS cb
         |FROM events
         |WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+        |  AND value >= 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q187: the oracle ranks the vocabulary with the textbook global
     // ROW_NUMBER window (the engine uses GlobalIndex) and mirrors the

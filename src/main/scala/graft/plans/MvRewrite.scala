@@ -2,13 +2,14 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Divide, Expression, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Materialized-view registry + the optimizer rule that rewrites
   * matching aggregates onto the pre-aggregated table — the classic
@@ -24,10 +25,15 @@ import org.apache.spark.sql.functions.{count, lit, max, min, sum}
   *  - aggregates must be undistinct, unfiltered `sum(col)` over a
   *    registered DOUBLE/LONG column, `min(col)`/`max(col)` over a
   *    registered min-max column (algebraic: the min of per-cell mins
-  *    is the group min), or `count(*)`/`count(lit)`;
-  *    `sum(DISTINCT …)`, `avg`, `count(col)` (null-sensitive), and
-  *    FILTER clauses never rewrite — their values are not derivable
-  *    from these partials;
+  *    is the group min), `count(*)`/`count(lit)`, or `avg(col)` over
+  *    a registered LONG sum column — avg is semi-algebraic, derivable
+  *    as `sum(sum_col) / sum(cnt)` in ONE exact IEEE division because
+  *    integral partial sums re-aggregate exactly (a DOUBLE column's
+  *    partial sums would be addition-order-dependent, so DOUBLE avg
+  *    never rewrites). `count(col)` (null-sensitive) folds from the
+  *    same `cnt_<c>` partial when `col` is a registered sum column.
+  *    `sum(DISTINCT …)` and FILTER clauses never rewrite — their
+  *    values are not derivable from these partials;
   *  - a Filter between the aggregate and the scan rewrites ONLY when
   *    its predicate is deterministic, subquery-free, and references
   *    nothing but the MV's GROUPING columns: such a predicate removes
@@ -44,9 +50,10 @@ import org.apache.spark.sql.functions.{count, lit, max, min, sum}
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
-  /** A registered view: `mvPath` holds `groupCols`, one `sum_<c>` per
-    * sum column, `min_<c>`/`max_<c>` per min-max column, and `cnt`,
-    * as written by [[materialize]]. */
+  /** A registered view: `mvPath` holds `groupCols`, one `sum_<c>` and
+    * one `cnt_<c>` (non-null count — avg's true denominator) per sum
+    * column, `min_<c>`/`max_<c>` per min-max column, and `cnt`, as
+    * written by [[materialize]]. */
   final case class MvDef(sourcePath: String, groupCols: Seq[String],
                          sumCols: Seq[String], mvPath: String,
                          minMaxCols: Seq[String] = Nil)
@@ -56,21 +63,69 @@ object MvRewrite extends Rule[LogicalPlan] {
   def register(d: MvDef): Unit = defs.put(d.sourcePath, d)
   def clear(): Unit = defs.clear()
 
+  /** The partial-state aggregate of one frame in the MV's shape —
+    * shared by [[materialize]] (over the full fact) and
+    * [[refreshIncremental]] (over a delta batch): the partial/merge
+    * pair is algebraic, so aggregating a batch and merging equals
+    * aggregating the union. */
+  private def partials(df: DataFrame, mv: MvDef): DataFrame =
+    df.groupBy(mv.groupCols.map(df(_)): _*)
+      .agg(sum(mv.sumCols.head).as(s"sum_${mv.sumCols.head}"),
+        (mv.sumCols.tail.map(c => sum(c).as(s"sum_$c")) ++
+          mv.sumCols.map(c => count(df(c)).as(s"cnt_$c")) ++
+          mv.minMaxCols.flatMap(c => Seq(min(c).as(s"min_$c"),
+            max(c).as(s"max_$c"))) :+
+          count(lit(1)).as("cnt")): _*)
+
   /** Build + write the MV the rule expects, and register it. */
   def materialize(spark: SparkSession, sourcePath: String,
                   groupCols: Seq[String], sumCols: Seq[String],
                   mvPath: String, minMaxCols: Seq[String] = Nil): MvDef = {
-    val src = spark.read.parquet(sourcePath)
-    src.groupBy(groupCols.map(src(_)): _*)
-      .agg(sum(sumCols.head).as(s"sum_${sumCols.head}"),
-        (sumCols.tail.map(c => sum(c).as(s"sum_$c")) ++
-          minMaxCols.flatMap(c => Seq(min(c).as(s"min_$c"),
-            max(c).as(s"max_$c"))) :+
-          count(lit(1)).as("cnt")): _*)
-      .write.mode("overwrite").parquet(mvPath)
     val d = MvDef(sourcePath, groupCols, sumCols, mvPath, minMaxCols)
+    partials(spark.read.parquet(sourcePath), d)
+      .write.mode("overwrite").parquet(mvPath)
     register(d)
     d
+  }
+
+  /** Incrementally refresh a registered MV from an APPEND-ONLY delta
+    * batch: aggregate the delta into the same partial shape, key-wise
+    * merge with the current MV (SUM folds `sum_<c>`, `cnt_<c>` and
+    * `cnt`; MIN/MAX fold themselves — all algebraic under appends),
+    * write the merged table to `newMvPath` and re-register. Reads
+    * ONLY the delta and the grouping-domain-sized current MV — never
+    * the base fact (MvRewriteSpec proves it by deleting the base
+    * before refreshing). At 100 TB this is the difference between a
+    * load touching gigabytes and re-scanning everything — the
+    * reference re-aggregates its full fact table per load
+    * (`etl_pipeline_spark.py:1398-1455`).
+    *
+    * Append-only is a hard scope line, stated rather than assumed:
+    * under deletes MIN/MAX are not derivable from partials at all
+    * (retracting the cell minimum needs the runner-up), and the
+    * sum/count side would need the retraction form
+    * ([[graft.operators.IncrementalAgg.retractState]]).
+    */
+  def refreshIncremental(spark: SparkSession, mv: MvDef,
+                         delta: DataFrame, newMvPath: String): MvDef = {
+    require(defs.get(mv.sourcePath).exists(_.mvPath == mv.mvPath),
+      s"refreshIncremental: ${mv.mvPath} is not the registered MV for ${mv.sourcePath}")
+    val cur = spark.read.parquet(mv.mvPath)
+    // union-of-partials + one re-aggregation IS the key-wise merge:
+    // |MV| + |delta cells| rows through one shuffle keyed by the
+    // grouping columns, both inputs already aggregate-sized
+    cur.unionByName(partials(delta, mv))
+      .groupBy(mv.groupCols.head, mv.groupCols.tail: _*)
+      .agg(sum(s"sum_${mv.sumCols.head}").as(s"sum_${mv.sumCols.head}"),
+        (mv.sumCols.tail.map(c => sum(s"sum_$c").as(s"sum_$c")) ++
+          mv.sumCols.map(c => sum(s"cnt_$c").as(s"cnt_$c")) ++
+          mv.minMaxCols.flatMap(c => Seq(min(s"min_$c").as(s"min_$c"),
+            max(s"max_$c").as(s"max_$c"))) :+
+          sum("cnt").as("cnt")): _*)
+      .write.mode("overwrite").parquet(newMvPath)
+    val d2 = mv.copy(mvPath = newMvPath)
+    register(d2)
+    d2
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -150,6 +205,26 @@ object MvRewrite extends Rule[LogicalPlan] {
           }
           case Count(Seq(Literal(_, _))) =>
             mvAttr("cnt").map(Sum(_).toAggregateExpression())
+          case Count(Seq(c: Attribute)) if mv.sumCols.contains(c.name) =>
+            // null-sensitive count folds from the per-column non-null
+            // count partial, not the row count
+            mvAttr(s"cnt_${c.name}").map(Sum(_).toAggregateExpression())
+          case a: Average => a.child match {
+            // LONG columns only: integral partial sums re-aggregate
+            // EXACTLY, so sum(sum_c)/sum(cnt_c) is one exact IEEE
+            // division — bit-identical to avg over the fact. A DOUBLE
+            // column's partial sums depend on addition order and
+            // could drift from the direct result, so they refuse.
+            case c: Attribute
+                if mv.sumCols.contains(c.name) && c.dataType == LongType =>
+              for {
+                s <- mvAttr(s"sum_${c.name}")
+                n <- mvAttr(s"cnt_${c.name}")
+              } yield Divide(
+                Cast(Sum(s).toAggregateExpression(), DoubleType),
+                Cast(Sum(n).toAggregateExpression(), DoubleType))
+            case _ => None
+          }
           case _ => None
         }
         folded match {

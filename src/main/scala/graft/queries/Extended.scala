@@ -402,6 +402,83 @@ object Extended {
     pinned
   }
 
+  /** q197 — INCREMENTAL MV maintenance end-to-end: build the MV over
+    * a base slice of orders, land the remaining rows as an
+    * append-only delta batch, refresh via
+    * [[graft.plans.MvRewrite.refreshIncremental]] (key-wise partial
+    * merge — reads ONLY the delta and the old MV, never the base;
+    * MvRewriteSpec proves it by deleting the base first), then serve
+    * a subset-grouping aggregate over the FULL fact path from the
+    * refreshed MV. The DuckDB oracle aggregates base ∪ delta — the
+    * whole orders table — directly, so the hash match proves
+    * merge(partial(base), partial(delta)) == partial(base ∪ delta)
+    * through the serving rewrite. Same pin-then-clear registry
+    * hygiene as q184/q192/q195.
+    */
+  def mvIncrementalRefresh(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q197").toString
+    val orders = spark.read.parquet(src)
+    // base load, then a later append-only batch (disjoint by key)
+    orders.filter($"o_orderkey" % 3 =!= 0).write.parquet(s"$tmp/base")
+    val mv0 = graft.plans.MvRewrite.materialize(spark, s"$tmp/base",
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sumCols = Seq("o_custkey"), mvPath = s"$tmp/mv0",
+      minMaxCols = Seq("o_totalprice"))
+    val delta = orders.filter($"o_orderkey" % 3 === 0)
+    val refreshed = graft.plans.MvRewrite
+      .refreshIncremental(spark, mv0, delta, s"$tmp/mv1")
+    // the refreshed MV now represents base ∪ delta = the full orders
+    // table — re-anchor it to the real source path for serving
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.register(refreshed.copy(sourcePath = src))
+    val agg = spark.read.parquet(src)
+      .groupBy($"o_orderstatus")
+      .agg(sum($"o_custkey").as("custkey_sum"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, agg.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
+  /** q199 — the MV rewrite's AVG gear: `avg(long_col)` folds from the
+    * partials as `sum(sum_c) / sum(cnt_c)` — one exact IEEE division
+    * over exactly-re-aggregated integral sums (the non-null count
+    * partial `cnt_c`, not the row count, is the denominator — avg
+    * ignores NULLs). DOUBLE columns refuse (partial sums would be
+    * addition-order-dependent). The same `cnt_c` partial serves the
+    * null-sensitive `count(col)` in the same query. Direct-fact
+    * oracle, pin-then-clear hygiene as q184.
+    */
+  def mvRollupAvg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft-mv-q199").toString
+    graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sumCols = Seq("o_custkey"), mvPath = mvPath)
+    val agg = spark.read.parquet(src)
+      .groupBy($"o_orderstatus")
+      .agg(avg($"o_custkey").as("avg_custkey"),
+        count($"o_custkey").as("n_custkey"),
+        sum($"o_custkey").as("custkey_sum"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, agg.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
   /** Exact equi-depth (equal-frequency) histogram of order value —
     * the optimizer-statistics / feature-binning primitive: B buckets
     * whose populations differ by at most one row, with each bucket's

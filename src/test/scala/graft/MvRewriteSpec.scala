@@ -166,6 +166,90 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("incremental refresh reads ONLY the delta — base deleted first") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv5").toString
+    def rows(r: Range) = r.map(i =>
+      (i.toLong, s"s${i % 3}", s"p${i % 5}", (i % 7).toLong)).toDF(
+      "id", "status", "prio", "v")
+    rows(1 to 300).write.parquet(s"$dir/base.parquet")
+    val delta = rows(301 to 400)
+    try {
+      val mv0 = MvRewrite.materialize(spark, s"$dir/base.parquet",
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/mv0.parquet", minMaxCols = Seq("v"))
+      // the hard proof of "delta-only": the base is GONE before the
+      // refresh runs — any code path that re-scanned it would throw
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$dir/base.parquet"))
+      val refreshed = MvRewrite.refreshIncremental(
+        spark, mv0, delta, s"$dir/mv1.parquet")
+      // merged partials == a from-scratch build over base ∪ delta
+      val merged = spark.read.parquet(refreshed.mvPath)
+        .orderBy($"status", $"prio")
+      rows(1 to 400).write.parquet(s"$dir/full.parquet")
+      MvRewrite.materialize(spark, s"$dir/full.parquet",
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/mvfull.parquet", minMaxCols = Seq("v"))
+      val rebuilt = spark.read.parquet(s"$dir/mvfull.parquet")
+        .orderBy($"status", $"prio")
+      assert(merged.columns.sorted.toSeq == rebuilt.columns.sorted.toSeq)
+      val cols = merged.columns.sorted.map(col).toSeq
+      assert(merged.select(cols: _*).collect().toSeq ==
+        rebuilt.select(cols: _*).collect().toSeq,
+        "merge(partial(base), partial(delta)) must equal partial(base ∪ delta)")
+    } finally MvRewrite.clear()
+  }
+
+  test("refreshing an unregistered MvDef is refused") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv6").toString
+    (1L to 10L).map(i => (i, s"s${i % 2}", i))
+      .toDF("id", "status", "v").write.parquet(s"$dir/fact.parquet")
+    val mv = MvRewrite.materialize(spark, s"$dir/fact.parquet",
+      groupCols = Seq("status"), sumCols = Seq("v"),
+      mvPath = s"$dir/mv.parquet")
+    MvRewrite.clear() // registration dropped — refresh must not proceed
+    intercept[IllegalArgumentException] {
+      MvRewrite.refreshIncremental(spark, mv,
+        spark.read.parquet(s"$dir/mv.parquet"), s"$dir/mv2.parquet")
+    }
+  }
+
+  test("avg over a LONG column rewrites with the true non-null denominator") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv7").toString
+    val fact = s"$dir/fact.parquet"
+    val mv = s"$dir/mv.parquet"
+    // v is NULL on every 4th row: avg and count(v) must divide/count
+    // by the NON-null population — a rewrite using the row count cnt
+    // would be wrong by construction here
+    (1L to 400L).map(i => (i, s"s${i % 3}", s"p${i % 5}",
+        if (i % 4 == 0) None else Some(i % 7)))
+      .toDF("id", "status", "prio", "v")
+      .write.parquet(fact)
+    try {
+      MvRewrite.materialize(spark, fact,
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"), mvPath = mv)
+      val q = spark.read.parquet(fact).groupBy($"status")
+        .agg(avg($"v").as("a"), count($"v").as("nv"),
+          count(lit(1)).as("n"))
+        .orderBy($"status")
+      assert(scansOf(q).exists(_.contains("mv.parquet")),
+        s"avg/count(col) over a LONG sum column must rewrite:\n${scansOf(q)}")
+      MvRewrite.clear()
+      val direct = spark.read.parquet(fact).groupBy($"status")
+        .agg(avg($"v").as("a"), count($"v").as("nv"),
+          count(lit(1)).as("n"))
+        .orderBy($"status")
+      assert(q.collect().toSeq == direct.collect().toSeq,
+        "MV-folded avg/count(col) == direct values (NULLs included)")
+    } finally MvRewrite.clear()
+  }
+
   test("q184 clears the registry: a later orders aggregate scans the fact") {
     withRule()
     import spark.implicits._

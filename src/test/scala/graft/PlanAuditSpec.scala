@@ -442,6 +442,26 @@ class PlanAuditSpec extends SparkSpec {
       "the fact table must not appear anywhere below the aggregate")
   }
 
+  test("q197: the post-refresh aggregate is served from the REFRESHED MV") {
+    val df = SparkEntry.queries("q197_mv_incremental_refresh")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("graft-mv-q197") && leaves.contains("mv1"),
+      s"expected the incrementally-refreshed MV as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet"),
+      "the fact table must not appear anywhere below the aggregate")
+  }
+
+  test("q199: the avg rollup is served from the MV, never the fact") {
+    val df = SparkEntry.queries("q199_mv_rollup_avg")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("graft-mv-q199"),
+      s"expected the materialized view as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet"),
+      "the fact table must not appear anywhere below the aggregate")
+  }
+
   test("q187: the vocabulary ranks via GlobalIndex, not a global window") {
     val df = SparkEntry.queries("q187_zipf_fit")(spark, d)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
