@@ -520,6 +520,12 @@ object SparkEntry {
     // old MV only — never the base fact), then served through the
     // rewrite; the oracle aggregates base ∪ delta directly
     "q197_mv_incremental_refresh" -> (Extended.mvIncrementalRefresh _),
+    // Heavy hitters decoded from the streaming-shareable count-min
+    // state (q124's grid): per-user min-over-rows point estimates
+    // against a 1%-of-stream support threshold — never a false
+    // negative by the sketch's overestimate guarantee; the stream
+    // twin decodes the state it maintained (StreamingSpec)
+    "q198_cms_heavy_hitters" -> (Stats.cmsHeavyHitters _),
     // MV rewrite, AVG gear: avg(long_col) folds as
     // sum(sum_c)/sum(cnt_c) — exact integral partial re-aggregation,
     // one IEEE division; cnt_c (non-null count) also serves the
@@ -3437,6 +3443,31 @@ object SparkEntry {
         |  MAX(o_totalprice) AS max_price,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q198: the full grid + per-user min-decode recomputed directly;
+    // integer hashing keeps every cell and estimate engine-exact
+    "q198_cms_heavy_hitters" ->
+      """WITH rs AS (
+        |  SELECT CAST(t.i AS INTEGER) AS sk_row,
+        |    CASE t.i WHEN 0 THEN 2654435761 WHEN 1 THEN 2246822519
+        |             WHEN 2 THEN 3266489917 ELSE 668265263 END AS a
+        |  FROM range(4) t(i)),
+        |cells AS (
+        |  SELECT sk_row,
+        |    (user_id % 2147483647) * a % 2147483647 % 64 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM events CROSS JOIN rs
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT u.user_id, MIN(c.cnt) AS est
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN rs
+        |  JOIN cells c ON c.sk_row = rs.sk_row
+        |    AND c.bucket = (u.user_id % 2147483647) * rs.a % 2147483647 % 64
+        |  GROUP BY 1)
+        |SELECT user_id, CAST(est AS BIGINT) AS est
+        |FROM est
+        |WHERE est * 100 >= (SELECT COUNT(*) FROM events)
+        |ORDER BY user_id""".stripMargin,
     // q199: direct fact avg/count — parity proves the
     // sum(sum_c)/sum(cnt_c) fold is the exact same IEEE division
     "q199_mv_rollup_avg" ->

@@ -510,17 +510,66 @@ object Stats {
     * watermark-free stream in complete/update mode with state bounded
     * at the 4×64 cell matrix (StreamingSpec proves stream == batch).
     * No sort: streaming plans forbid it, callers order. */
-  private[graft] def cmsOf(rows: DataFrame): DataFrame = {
-    import rows.sparkSession.implicits._
-    val P = 2147483647L
-    val rowsA = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
-    rows
+  /** The CMS hash family: prime modulus + four public odd
+    * multiplicative constants, shared by the sketch build ([[cmsOf]])
+    * and the point-estimate decode ([[cmsEstimates]]) — the two sides
+    * MUST hash identically or every estimate probes the wrong cell. */
+  private val CmsP = 2147483647L
+  private val CmsRowsA = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+
+  /** (user_id, sk_row, bucket) probe triples for a frame of keys —
+    * the shared hashing step of build and decode. */
+  private def cmsProbes(keyed: DataFrame): DataFrame = {
+    import keyed.sparkSession.implicits._
+    keyed
       .select($"user_id", explode(transform(sequence(lit(0), lit(3)),
         r => struct(r.as("sk_row"),
-          element_at(array(rowsA.map(lit): _*), r + 1).as("a")))).as("h"))
-      .select($"h.sk_row".as("sk_row"),
-        (($"user_id" % P) * $"h.a" % P % 64).as("bucket"))
-      .groupBy($"sk_row", $"bucket").agg(count(lit(1)).as("cnt"))
+          element_at(array(CmsRowsA.map(lit): _*), r + 1).as("a")))).as("h"))
+      .select($"user_id", $"h.sk_row".as("sk_row"),
+        (($"user_id" % CmsP) * $"h.a" % CmsP % 64).as("bucket"))
+  }
+
+  private[graft] def cmsOf(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    cmsProbes(rows).groupBy($"sk_row", $"bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-candidate CMS point estimates decoded from an explicit cell
+    * grid — est(u) = min over the 4 rows of the cell u hashes into,
+    * the classic always-≥-truth upper bound. Separated from
+    * [[cmsHeavyHitters]] so the streaming twin can decode the state
+    * IT maintained (StreamingSpec proves streamed-state decode ==
+    * batch decode). The grid is ≤ 4·64 rows at any data scale, so it
+    * broadcasts unconditionally; candidates flow map-side through
+    * the hash expansion and one per-user min — no shuffle touches
+    * event volume beyond the distinct. */
+  private[graft] def cmsEstimates(cells: DataFrame,
+                                  candidates: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    cmsProbes(candidates.select($"user_id").distinct())
+      .join(broadcast(cells), Seq("sk_row", "bucket"))
+      .groupBy($"user_id").agg(min($"cnt").as("est"))
+  }
+
+  /** Heavy hitters decoded from the count-min state (the sketch-side
+    * sibling of q135's exact two-phase heavy hitters): users whose
+    * CMS point estimate clears a RELATIVE support threshold —
+    * est·100 ≥ |stream| (the 1%-of-traffic rule, integer-exact on
+    * both engines). The estimate never undercounts, so this list is
+    * a superset of the true ≥1% hitters — exactly the sketch's
+    * contract (no false negatives; collisions may admit extras), and
+    * the property StatsProps pins (`est ≥ true count` for every key).
+    * Total stream size attaches as a broadcast one-row scalar.
+    */
+  def cmsHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val total = ev.agg(count(lit(1)).as("total"))
+    cmsEstimates(cmsOf(ev), ev)
+      .crossJoin(broadcast(total))
+      .filter($"est" * 100 >= $"total")
+      .select($"user_id", $"est")
+      .orderBy($"user_id")
   }
 
   def embeddingCovariance(spark: SparkSession, d: String,

@@ -157,6 +157,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("heavy hitters decoded from STREAMED count-min state == batch q198") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStream.cmsCells(input.toDF())
+      .writeStream.format("memory").queryName("cms_state_hh")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = sampleEvents.splitAt(sampleEvents.length / 3)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+      // decode over the state the STREAM maintained, then apply the
+      // same 1%-of-stream support rule as the batch query
+      val streamedCells = spark.table("cms_state_hh")
+      val events = sampleEvents.toDF()
+      val total = events.count()
+      val streamedHH = graft.ext.Stats
+        .cmsEstimates(streamedCells, events)
+        .filter($"est" * 100 >= total)
+        .orderBy($"user_id")
+        .collect().map(_.toSeq).toSeq
+      val batchHH = graft.ext.Stats.cmsHeavyHitters(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(streamedHH.nonEmpty && streamedHH == batchHH,
+        "decode over stream-maintained state must equal the batch query")
+      // the sketch's one-sided contract: no estimate undercounts
+      val underCounts = graft.ext.Stats.cmsEstimates(streamedCells, events)
+        .join(events.groupBy($"user_id").agg(count(lit(1)).as("truth")),
+          "user_id")
+        .filter($"est" < $"truth").count()
+      assert(underCounts == 0L, "CMS point estimates must never undercount")
+    } finally query.stop()
+  }
+
   test("streaming drift cells across micro-batches == batch grid and KS") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
