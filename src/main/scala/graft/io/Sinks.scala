@@ -62,7 +62,8 @@ object Sinks {
     * layout move for the second-most-selective predicate.
     */
   def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
-                    numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+                    numFiles: Int, mode: SaveMode = SaveMode.Overwrite,
+                    options: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.functions.col
     val z = Bridge.column(graft.functions.ZOrder2(
@@ -71,7 +72,7 @@ object Sinks {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode(mode).parquet(path)
+      .write.mode(mode).options(options).parquet(path)
   }
 
   /** CSV export — replaces the driver-side pandas `to_csv` bridge

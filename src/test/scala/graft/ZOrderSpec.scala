@@ -40,6 +40,69 @@ class ZOrderSpec extends SparkSpec {
     assert(zFiles < 8, "z-order must not smear the box query over every file")
   }
 
+  test("row-group pruning: the box query admits strictly fewer row groups under z-order (parquet footers)") {
+    // q67 computes the Morton key and q125 block-level skipping stats;
+    // this closes the loop END-TO-END at the physical layer: write the
+    // z-ordered parquet, read the actual FOOTERS back, and count which
+    // row groups a (custkey, nationkey) box predicate admits under the
+    // column min/max statistics — the exact metadata a scan's
+    // row-group pruning consults — against the same count over an
+    // unsorted layout of the same rows.
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft-zorder-rg").toString
+    // sf0.1 (15K rows) + a small parquet block size → many row groups
+    // per file, so the admit/total ratio is a real measurement
+    val customers = graft.sources.Tables.customer(spark, "/root/testdata/sf0.1")
+    val opts = Map("parquet.block.size" -> (32 * 1024).toString)
+    graft.io.Sinks.writeZOrdered(customers, s"$base/zorder",
+      "c_custkey", "c_nationkey", numFiles = 4, options = opts)
+    customers.repartition(4)
+      .write.options(opts).parquet(s"$base/unsorted")
+
+    // a row group is ADMITTED when its [min,max] box for BOTH
+    // predicate columns can intersect: c_custkey < 300 ∧ c_nationkey = 3
+    def admitted(path: String): (Int, Int) = {
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      var total = 0
+      var admit = 0
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f.getPath, conf))
+          try reader.getFooter.getBlocks.asScala.foreach { b =>
+            total += 1
+            def st(name: String) = b.getColumns.asScala
+              .find(_.getPath.toDotString == name).get.getStatistics
+            val ckMin = st("c_custkey").genericGetMin
+              .asInstanceOf[java.lang.Long].longValue
+            val nkMin = st("c_nationkey").genericGetMin
+              .asInstanceOf[java.lang.Integer].intValue
+            val nkMax = st("c_nationkey").genericGetMax
+              .asInstanceOf[java.lang.Integer].intValue
+            if (ckMin < 300L && nkMin <= 3 && nkMax >= 3) admit += 1
+          } finally reader.close()
+        }
+      (admit, total)
+    }
+    val (zAdmit, zTotal) = admitted(s"$base/zorder")
+    val (uAdmit, uTotal) = admitted(s"$base/unsorted")
+    info(s"z-order admits $zAdmit/$zTotal row groups; unsorted $uAdmit/$uTotal")
+    assert(zTotal >= 8 && uTotal >= 8,
+      "layouts must produce several row groups for the measurement to mean anything")
+    assert(zAdmit < uAdmit,
+      s"z-order must admit strictly fewer row groups ($zAdmit/$zTotal) than unsorted ($uAdmit/$uTotal)")
+    // pruning is metadata-only — the pruned layout still returns every match
+    val expect = customers
+      .filter($"c_nationkey" === 3 && $"c_custkey" < 300).count()
+    val got = spark.read.parquet(s"$base/zorder")
+      .filter($"c_nationkey" === 3 && $"c_custkey" < 300).count()
+    assert(expect > 0 && got == expect,
+      "the z-ordered layout must return exactly the matching rows")
+  }
+
   test("skippingStats: pruning is sound and effective — skipped blocks hold no matching rows") {
     val stats = graft.queries.Extended.skippingStats(spark, d).collect()
     val total = stats.map(_.getLong(1)).sum
