@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Exact `DECIMAL(18,2)` partials keep the merge order-independent, so
   * any batch arrival order produces identical state.
+  *
+  * The same algebraic partial/merge contract powers
+  * [[graft.plans.MvRewrite.refreshIncremental]], where the state table
+  * is a registered materialized view (sum/count/min-max partials per
+  * cell) refreshed from append-only deltas and served through the
+  * rollup-rewrite rule; [[retractState]] here is the delete-side form
+  * that MV refresh deliberately excludes (MIN/MAX under deletes is
+  * not derivable from partials).
   */
 object IncrementalAgg {
 
