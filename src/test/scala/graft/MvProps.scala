@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.plans.MvRewrite
+
+/** Property test for incremental MV maintenance: a CHAIN of
+  * append-only delta refreshes must land on exactly the state a
+  * from-scratch build over the full history produces — the algebraic
+  * `merge(partial(A), partial(B)) == partial(A ∪ B)` law, iterated.
+  * Randomizes the row population (values, NULLs in the sum column,
+  * group skew) and the batch boundaries, the two axes a single
+  * example-based split cannot cover.
+  */
+object MvProps extends Properties("mv") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-mv-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // (group key, min-max value, nullable sum value) rows plus 1–3 cut
+  // points partitioning them into an initial load and delta batches
+  private val genCase: Gen[(List[(String, Long, Option[Long])], List[Int])] =
+    for {
+      n <- Gen.choose(8, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-50L, 50L)
+        s <- Gen.option(Gen.choose(-9L, 9L))
+      } yield (g, v, s))
+      nCuts <- Gen.choose(1, 3)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(1, n - 1))
+    } yield (rows, cuts.distinct.sorted)
+
+  property("chained delta refreshes == from-scratch rebuild") =
+    Prop.forAll(genCase) { case (rows, cuts) =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-mv-props").toString
+      try {
+        val batches = {
+          val bounds = 0 +: cuts :+ rows.length
+          bounds.zip(bounds.tail).map { case (lo, hi) => rows.slice(lo, hi) }
+        }.filter(_.nonEmpty)
+        def df(b: List[(String, Long, Option[Long])]) =
+          b.toDF("g", "v", "s")
+        df(batches.head).write.parquet(s"$dir/base")
+        var mv = MvRewrite.materialize(spark, s"$dir/base",
+          groupCols = Seq("g"), sumCols = Seq("s"),
+          mvPath = s"$dir/mv0", minMaxCols = Seq("v"))
+        batches.tail.zipWithIndex.foreach { case (b, i) =>
+          mv = MvRewrite.refreshIncremental(spark, mv, df(b), s"$dir/mv${i + 1}")
+        }
+        df(rows).write.parquet(s"$dir/full")
+        val rebuilt = MvRewrite.materialize(spark, s"$dir/full",
+          groupCols = Seq("g"), sumCols = Seq("s"),
+          mvPath = s"$dir/mvfull", minMaxCols = Seq("v"))
+        def state(path: String) = {
+          val t = spark.read.parquet(path)
+          t.select(t.columns.sorted.map(col): _*).orderBy($"g")
+            .collect().map(_.toSeq).toSeq
+        }
+        val got = state(mv.mvPath)
+        val want = state(rebuilt.mvPath)
+        MvRewrite.clear()
+        got == want
+      } finally {
+        MvRewrite.clear()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+}
