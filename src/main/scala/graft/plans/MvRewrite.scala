@@ -80,10 +80,15 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Build + write the MV the rule expects, and register it. */
   def materialize(spark: SparkSession, sourcePath: String,
                   groupCols: Seq[String], sumCols: Seq[String],
-                  mvPath: String, minMaxCols: Seq[String] = Nil): MvDef = {
-    val d = MvDef(sourcePath, groupCols, sumCols, mvPath, minMaxCols)
-    partials(spark.read.parquet(sourcePath), d)
-      .write.mode("overwrite").parquet(mvPath)
+                  mvPath: String, minMaxCols: Seq[String] = Nil): MvDef =
+    materializeFrom(spark.read.parquet(sourcePath),
+      MvDef(sourcePath, groupCols, sumCols, mvPath, minMaxCols))
+
+  /** [[materialize]] over an explicit frame — the streaming
+    * maintainer's base-load path ([[graft.streaming.MvMaintainer]]),
+    * where the first micro-batch IS the initial history. */
+  def materializeFrom(df: DataFrame, d: MvDef): MvDef = {
+    partials(df, d).write.mode("overwrite").parquet(d.mvPath)
     register(d)
     d
   }
