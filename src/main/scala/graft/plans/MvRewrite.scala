@@ -58,9 +58,19 @@ object MvRewrite extends Rule[LogicalPlan] {
                          sumCols: Seq[String], mvPath: String,
                          minMaxCols: Seq[String] = Nil)
 
-  private val defs = TrieMap[String, MvDef]()
+  private val defs = TrieMap[String, List[MvDef]]()
 
-  def register(d: MvDef): Unit = defs.put(d.sourcePath, d)
+  private def shape(d: MvDef): (Seq[String], Seq[String], Seq[String]) =
+    (d.groupCols, d.sumCols, d.minMaxCols)
+
+  /** Register `d`, REPLACING any registered view of the same shape
+    * (grouping + registered columns) for the same source — a refresh
+    * supersedes its predecessor. Views of a DIFFERENT shape accumulate
+    * as alternatives: [[apply]] selects the best match per query. */
+  def register(d: MvDef): Unit =
+    defs.updateWith(d.sourcePath) { cur =>
+      Some(d :: cur.getOrElse(Nil).filterNot(x => shape(x) == shape(d)))
+    }
   def clear(): Unit = defs.clear()
 
   /** The partial-state aggregate of one frame in the MV's shape —
@@ -113,7 +123,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   def refreshIncremental(spark: SparkSession, mv: MvDef,
                          delta: DataFrame, newMvPath: String): MvDef = {
-    require(defs.get(mv.sourcePath).exists(_.mvPath == mv.mvPath),
+    require(defs.get(mv.sourcePath).exists(_.exists(_.mvPath == mv.mvPath)),
       s"refreshIncremental: ${mv.mvPath} is not the registered MV for ${mv.sourcePath}")
     val cur = spark.read.parquet(mv.mvPath)
     // union-of-partials + one re-aggregation IS the key-wise merge:
@@ -139,8 +149,15 @@ object MvRewrite extends Rule[LogicalPlan] {
       case agg @ Aggregate(_, _, child, _) =>
         (for {
           (path, filters) <- scannedSource(child)
-          mv <- defs.get(path)
-          rewritten <- rewrite(agg, filters, mv)
+          cands <- defs.get(path)
+          // MV selection: among the registered alternatives, take the
+          // first MATCHING view in ascending grouping-column count —
+          // when one matching view's group cols are a subset of
+          // another's, its cell domain is a projection of the finer
+          // one's, so the coarser view is the smaller scan; fewer
+          // group cols is the general proxy for that
+          rewritten <- cands.sortBy(_.groupCols.size)
+            .view.flatMap(mv => rewrite(agg, filters, mv)).headOption
         } yield rewritten).getOrElse(agg)
     }
 

@@ -166,6 +166,54 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("MV selection: the smallest matching view serves each query") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-sel").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 400L).map(i =>
+        (i, s"s${i % 3}", s"p${i % 5}", (i % 7).toLong))
+      .toDF("id", "status", "prio", "v")
+      .write.parquet(fact)
+    try {
+      MvRewrite.materialize(spark, fact,
+        groupCols = Seq("status"), sumCols = Seq("v"),
+        mvPath = s"$dir/coarse.parquet")
+      MvRewrite.materialize(spark, fact,
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/fine.parquet")
+
+      // both alternatives match — the coarser (3-cell) view must win
+      // over the finer (15-cell) one
+      val byStatus = spark.read.parquet(fact).groupBy($"status")
+        .agg(sum($"v").as("sv")).orderBy($"status")
+      assert(scansOf(byStatus).exists(_.contains("coarse.parquet")),
+        s"coarse view must serve the status rollup:\n${scansOf(byStatus)}")
+
+      // grouping on (status, prio): only the fine view matches
+      val byBoth = spark.read.parquet(fact).groupBy($"status", $"prio")
+        .agg(sum($"v").as("sv")).orderBy($"status", $"prio")
+      assert(scansOf(byBoth).exists(_.contains("fine.parquet")),
+        s"fine view must serve the two-column rollup:\n${scansOf(byBoth)}")
+
+      // a prio filter: the coarse view refuses (prio is not one of
+      // its group columns), so selection must fall through to fine
+      val filtered = spark.read.parquet(fact)
+        .filter($"prio".isin("p1", "p2"))
+        .groupBy($"status").agg(sum($"v").as("sv")).orderBy($"status")
+      assert(scansOf(filtered).exists(_.contains("fine.parquet")),
+        s"fine view must serve the prio-filtered rollup:\n${scansOf(filtered)}")
+
+      MvRewrite.clear()
+      def direct(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      assert(direct(byStatus) == direct(spark.read.parquet(fact)
+        .groupBy($"status").agg(sum($"v").as("sv")).orderBy($"status")))
+      assert(direct(filtered) == direct(spark.read.parquet(fact)
+        .filter($"prio".isin("p1", "p2"))
+        .groupBy($"status").agg(sum($"v").as("sv")).orderBy($"status")))
+    } finally MvRewrite.clear()
+  }
+
   test("incremental refresh reads ONLY the delta — base deleted first") {
     withRule()
     import spark.implicits._
