@@ -99,6 +99,15 @@ object Graph {
     val edges =
       if (owned) edges0.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
       else edges0
+    // NO broadcast gate here, deliberately (measured): the round's
+    // joins probe the edge frame ON its cached hash partitioning, so
+    // the big side never shuffles and only the |V|-row rank frame
+    // moves — broadcasting it would replace one tiny exchange with a
+    // per-round driver collect and rebuild (measured net-negative at
+    // sf0.1; at cluster scale it adds driver pressure for nothing,
+    // since the contribution aggregate's shuffle dominates either
+    // way). Contrast kCore/labelPropagation/connectedComponents,
+    // where the gate removes an EDGE-frame exchange or sort.
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n"))
 
@@ -187,6 +196,9 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
+    // no broadcast gate: the frontier join probes the edge frame on
+    // its cached src partitioning — only the tiny frontier moves (the
+    // pageRankOnEdges rationale)
     // each round reads `dist` twice (frontier filter + union); the
     // pageRankOnEdges persist discipline — materialize the round,
     // free its predecessor — keeps the lineage flat instead of
@@ -393,7 +405,8 @@ object Graph {
     * gate proves the propagation fixpoint equals true reachability.
     */
   def connectedComponents(spark: SparkSession, d: String,
-                          maxIters: Int = 30): DataFrame = {
+                          maxIters: Int = 30,
+                          maxBroadcastNodes: Long = BroadcastAdjMaxEntries): DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     val o = Tables.orders(spark, d).select($"o_custkey".as("c"),
@@ -414,6 +427,13 @@ object Graph {
       .repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
     var labels = o.select($"k".as("node"), $"k".as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // measured gate: the label frame keeps exactly one row per order
+    // key every round — a constant |V|, measured once on the cached
+    // frame. Under the budget the propagation join broadcasts the
+    // labels and the round's only shuffle is the min-label aggregate;
+    // above it the join takes the src-keyed shuffle, the safe path.
+    val fits = labels.count() <= maxBroadcastNodes
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -422,7 +442,7 @@ object Graph {
     while (!converged && round < maxIters) {
       round += 1
       val prop = sym
-        .join(labels.select($"node".as("src"), $"label"), "src")
+        .join(hinted(labels.select($"node".as("src"), $"label")), "src")
         .select($"dst".as("node"), $"label")
       val next = labels.unionAll(prop)
         .groupBy($"node").agg(min($"label").as("label"))
@@ -457,13 +477,21 @@ object Graph {
     * argmax, taken algebraically as `max(struct(votes, -label))` so
     * no per-node window ever funnels a hot node's votes through one
     * reducer (the [[graft.ext.Stats.fdAudit]] argmax discipline).
-    * Per-round `localCheckpoint` keeps the loop lineage flat (the
-    * [[kCoreOf]] lesson). The oracle resolves the same argmax with
-    * ROW_NUMBER windows — a different algorithm for the decisive
-    * step, exactly what the hash gate should compare.
+    * The label side rides the measured [[BroadcastAdjMaxEntries]]
+    * gate: under it the per-round join broadcasts the |V|-row
+    * (node, label) frame and the round is shuffle-free — the edge
+    * frame stays hash-partitioned by u, which already clusters both
+    * aggregates (HashPartitioning(u) satisfies the (u, label)
+    * clustering) — while above it the join degrades to the v-keyed
+    * shuffle, the always-safe path for a label frame too large for
+    * the driver. Per-round `localCheckpoint` keeps the loop lineage
+    * flat (the [[kCoreOf]] lesson). The oracle resolves the same
+    * argmax with ROW_NUMBER windows — a different algorithm for the
+    * decisive step, exactly what the hash gate should compare.
     */
   def labelPropagation(spark: SparkSession, d: String,
-                       rounds: Int = 4): DataFrame = {
+                       rounds: Int = 4,
+                       maxBroadcastLabels: Long = BroadcastAdjMaxEntries): DataFrame = {
     import spark.implicits._
     // the symmetric projection is input-derived and round-invariant —
     // shared via the registry so repeated calls (bench passes, other
@@ -474,12 +502,17 @@ object Graph {
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
         .repartition($"u")
     }
+    // measured gate: |V| ≤ |E_sym| (every node carries ≥1 edge row),
+    // and the label frame is exactly |V| two-long rows every round —
+    // one cache-scan count decides all rounds
+    val fits = sym.count() <= maxBroadcastLabels
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var labels = sym.select($"u".as("node")).distinct()
       .select($"node", $"node".as("label"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       labels = sym
-        .join(labels.select($"node".as("v"), $"label"), "v")
+        .join(hinted(labels.select($"node".as("v"), $"label")), "v")
         .groupBy($"u", $"label").agg(count(lit(1)).as("c"))
         // argmax(votes, then min label) as an aggregate: labels are
         // positive part keys, so max of (c, -label) picks max votes
@@ -525,6 +558,9 @@ object Graph {
         .unionAll(w.select($"b".as("u"), $"a".as("v"), $"w"))
         .repartition($"u")
     }
+    // no broadcast gate: the relax join probes the edge frame on its
+    // cached u partitioning — only the |settled|-row distance frame
+    // moves (the pageRankOnEdges rationale)
     var dist = sym.select($"u".as("node")).distinct()
       .filter($"node" <= seedMax)
       .select($"node", lit(0L).as("dist"))
@@ -551,16 +587,22 @@ object Graph {
     *
     * Scale shape: each round is one map-side-combinable degree
     * aggregate plus TWO semi-joins of the edge list against the
-    * survivor set — all keyed shuffles on the edge frame, no
-    * broadcast of anything data-sized, no windows. Convergence is a
-    * scalar survivor COUNT per round (the connectedComponents
-    * discipline: a strictly-decreasing metric, not a changed-rows
-    * join); the edge frame shrinks monotonically so late rounds are
-    * cheap. Round count is bounded by the peel depth (5 at sf0.01),
-    * with `maxIters` guarding adversarial chains.
+    * survivor set. The survivor side rides the measured
+    * [[BroadcastAdjMaxEntries]] gate: under it both semi-joins
+    * broadcast and the round is shuffle-free (the edge frame stays
+    * hash-partitioned by u across checkpoints, so even the degree
+    * aggregate reuses the layout); above it they degrade to u/v-keyed
+    * shuffles of the edge frame — never a broadcast of anything
+    * unmeasured. Convergence is a scalar survivor COUNT per round
+    * (the connectedComponents discipline: a strictly-decreasing
+    * metric, not a changed-rows join); the edge frame shrinks
+    * monotonically so late rounds are cheap. Round count is bounded
+    * by the peel depth (5 at sf0.01), with `maxIters` guarding
+    * adversarial chains.
     */
   def kCore(spark: SparkSession, d: String, k: Long = 65L,
-            maxIters: Int = 30): DataFrame = {
+            maxIters: Int = 30,
+            maxBroadcastNodes: Long = BroadcastAdjMaxEntries): DataFrame = {
     import spark.implicits._
     // round 0 reads the SAME registry frame labelPropagation shares;
     // the peel never mutates it (each round derives a fresh frame)
@@ -570,23 +612,25 @@ object Graph {
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
         .repartition($"u")
     }
-    kCoreOnSym(sym0, k, maxIters)
+    kCoreOnSym(sym0, k, maxIters, maxBroadcastNodes)
   }
 
   /** [[kCore]] on an explicit undirected edge frame `(a, b)` —
     * separated so property tests can drive random graphs through the
     * exact production peel. */
   private[graft] def kCoreOf(base: DataFrame, k: Long,
-                             maxIters: Int = 30): DataFrame = {
+                             maxIters: Int = 30,
+                             maxBroadcastNodes: Long = BroadcastAdjMaxEntries): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     kCoreOnSym(base.select($"a".as("u"), $"b".as("v"))
       .unionAll(base.select($"b".as("u"), $"a".as("v")))
-      .repartition($"u").localCheckpoint(), k, maxIters)
+      .repartition($"u").localCheckpoint(), k, maxIters, maxBroadcastNodes)
   }
 
   private def kCoreOnSym(sym0: DataFrame, k: Long,
-                         maxIters: Int): DataFrame = {
+                         maxIters: Int,
+                         maxBroadcastNodes: Long = BroadcastAdjMaxEntries): DataFrame = {
     val spark = sym0.sparkSession
     import spark.implicits._
     // localCheckpoint (eager, MEMORY_AND_DISK) instead of persist: the
@@ -604,6 +648,19 @@ object Graph {
     // is the row count of the frame the round materializes anyway,
     // while distinct(u) paid an extra shuffle per round.
     var nEdges = sym.count()
+    // Measured broadcast gate (the [[BroadcastAdjMaxEntries]] shape):
+    // the survivor set is ≤ |V| ≤ |E_sym| single-long node ids and the
+    // peel only SHRINKS it, so the edge count the loop measures anyway
+    // bounds every round's broadcast payload — one up-front decision,
+    // no per-round measurement. Under the gate both endpoint filters
+    // become broadcast semi-joins, and because `sym0` arrives hash-
+    // partitioned by u (and localCheckpoint preserves partitioning)
+    // the degree aggregate needs no exchange either: a whole peel
+    // round is SHUFFLE-FREE. Above the gate — a billion-node survivor
+    // set has no business on the driver — the joins degrade to the
+    // u/v-keyed shuffles below, the always-safe path.
+    val fits = nEdges <= maxBroadcastNodes
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
@@ -614,8 +671,8 @@ object Graph {
       // materializing action of the round (eager localCheckpoint
       // would run its own job first and make count a second one)
       val next = sym
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.toDF("v"), Seq("v"), "left_semi")
+        .join(hinted(keep), Seq("u"), "left_semi")
+        .join(hinted(keep.toDF("v")), Seq("v"), "left_semi")
         .select($"u", $"v")
         .localCheckpoint(false)
       val n = next.count()
@@ -664,6 +721,9 @@ object Graph {
     val dec = "decimal(38,0)"
     // directed c→s half of the shared symmetric trade cache (even
     // ids are the customer side by tradeEdges' namespacing)
+    // (no broadcast gate on the score joins: the half-step probes the
+    // cached edge frame on its partitioning and only the |V|-row
+    // score frame moves — the pageRankOnEdges rationale, measured)
     val edges = tradeEdges(spark, d).filter($"src" % 2 === 0)
       .select($"src".as("c"), $"dst".as("s"))
     def normalized(raw: DataFrame, key: String, out: String): DataFrame = {

@@ -76,4 +76,39 @@ class BroadcastGateSpec extends SparkSpec {
       "no hash broadcast may survive a blown adjacency budget")
     assert(rows(gated) == hinted, "gate changed the triangle census")
   }
+
+  // The two iterative peels checkpoint every round, so the loop's
+  // joins never appear in the FINAL frame's executed plan — the gate
+  // audit here is behavioral: a zero budget forces the shuffle branch
+  // (the hint is simply never applied) and the peel must converge to
+  // the exact frame the broadcast branch produces.
+
+  test("kCore: oversized survivor set takes the shuffle peel, frame unchanged") {
+    val hinted = rows(Graph.kCore(spark, d, k = 3L))
+    Derived.clear()
+    val gated = withoutAutoBroadcast {
+      rows(Graph.kCore(spark, d, k = 3L, maxBroadcastNodes = -1L))
+    }
+    assert(gated == hinted, "gate changed the k-core decomposition")
+  }
+
+  test("labelPropagation: oversized label frame takes the shuffle rounds, " +
+    "communities unchanged") {
+    val hinted = rows(Graph.labelPropagation(spark, d))
+    Derived.clear()
+    val gated = withoutAutoBroadcast {
+      rows(Graph.labelPropagation(spark, d, maxBroadcastLabels = -1L))
+    }
+    assert(gated == hinted, "gate changed the community assignment")
+  }
+
+  test("connectedComponents: oversized label frame takes the shuffle " +
+    "rounds, components unchanged") {
+    val hinted = rows(Graph.connectedComponents(spark, d))
+    Derived.clear()
+    val gated = withoutAutoBroadcast {
+      rows(Graph.connectedComponents(spark, d, maxBroadcastNodes = -1L))
+    }
+    assert(gated == hinted, "gate changed the component labels")
+  }
 }
