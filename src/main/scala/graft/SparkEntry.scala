@@ -531,6 +531,11 @@ object SparkEntry {
     // one IEEE division; cnt_c (non-null count) also serves the
     // null-sensitive count(col); the oracle runs avg over the fact
     "q199_mv_rollup_avg" -> (Extended.mvRollupAvg _),
+    // RETRACTION MV maintenance: one CDC batch (deletes + updates as
+    // delete/insert pairs) folds into the MV by signed partial merge
+    // — CDC + MV only, never the fact; MIN/MAX refused by scope. The
+    // oracle aggregates the post-change state from orders directly
+    "q200_mv_retract_refresh" -> (Extended.mvRetractRefresh _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3477,6 +3482,21 @@ object SparkEntry {
         |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q200: the oracle computes the post-CDC effective state from the
+    // original fact (delete o_orderkey≡0 mod 7; bump custkey on the
+    // surviving ≡0 mod 11) and aggregates it directly — parity proves
+    // the signed partial merge == a rebuild over the changed table
+    "q200_mv_retract_refresh" ->
+      """WITH eff AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000
+        |         ELSE o_custkey END AS o_custkey
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderstatus,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+        |  AVG(o_custkey) AS avg_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

@@ -143,6 +143,58 @@ object MvRewrite extends Rule[LogicalPlan] {
     d2
   }
 
+  /** Refresh a registered MV from a CDC RETRACTION batch — rows
+    * carrying the fact's columns plus `opCol` ∈ {+1, −1} (an update is
+    * its delete followed by its insert, the standard changelog
+    * encoding; [[graft.operators.IncrementalAgg.retractState]] is the
+    * same algebra in single-column form). The delta's signed partials
+    * are one aggregate over the batch — `sum(op·c)` folds the sum
+    * (a NULL-valued delete contributes nothing, matching the insert
+    * that contributed nothing), `sum(op)` over non-null rows folds the
+    * non-null count, `sum(op)` folds the row count — and the key-wise
+    * merge with the current MV is the identical union-and-re-aggregate
+    * [[refreshIncremental]] runs. Cells whose row count reaches zero
+    * are DROPPED (a fully-retracted group has no row in a rebuilt
+    * aggregate either). Reads only the CDC batch and the MV, never
+    * the base fact.
+    *
+    * Hard scope line: the view must register NO min-max columns —
+    * under deletes MIN/MAX are not derivable from partials (retracting
+    * the cell minimum needs the runner-up, which the partial threw
+    * away), so this refuses loudly instead of writing a silently
+    * wrong view. Correctness rides the CDC contract that every −1 row
+    * matches a previously applied +1 row; a violation shows up as a
+    * negative count, which is the caller's data bug, not a merge
+    * artifact.
+    */
+  def refreshRetract(spark: SparkSession, mv: MvDef, cdc: DataFrame,
+                     opCol: String, newMvPath: String): MvDef = {
+    require(mv.minMaxCols.isEmpty,
+      s"refreshRetract: MIN/MAX partials are not retractable — view on " +
+        s"${mv.sourcePath} registers min-max columns ${mv.minMaxCols}; " +
+        "rebuild with materialize instead")
+    require(defs.get(mv.sourcePath).exists(_.exists(_.mvPath == mv.mvPath)),
+      s"refreshRetract: ${mv.mvPath} is not the registered MV for ${mv.sourcePath}")
+    val op = cdc(opCol).cast("long")
+    val signed = cdc.groupBy(mv.groupCols.map(cdc(_)): _*)
+      .agg(sum(cdc(mv.sumCols.head) * op).as(s"sum_${mv.sumCols.head}"),
+        (mv.sumCols.tail.map(c => sum(cdc(c) * op).as(s"sum_$c")) ++
+          mv.sumCols.map(c => sum(org.apache.spark.sql.functions
+            .when(cdc(c).isNotNull, op).otherwise(lit(0L))).as(s"cnt_$c")) :+
+          sum(op).as("cnt")): _*)
+    spark.read.parquet(mv.mvPath).unionByName(signed)
+      .groupBy(mv.groupCols.head, mv.groupCols.tail: _*)
+      .agg(sum(s"sum_${mv.sumCols.head}").as(s"sum_${mv.sumCols.head}"),
+        (mv.sumCols.tail.map(c => sum(s"sum_$c").as(s"sum_$c")) ++
+          mv.sumCols.map(c => sum(s"cnt_$c").as(s"cnt_$c")) :+
+          sum("cnt").as("cnt")): _*)
+      .filter(org.apache.spark.sql.functions.col("cnt") > 0)
+      .write.mode("overwrite").parquet(newMvPath)
+    val d2 = mv.copy(mvPath = newMvPath)
+    register(d2)
+    d2
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (defs.isEmpty) plan
     else plan transform {

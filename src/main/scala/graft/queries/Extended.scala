@@ -479,6 +479,67 @@ object Extended {
     pinned
   }
 
+  /** q200 — RETRACTION-aware MV maintenance: the MV built over the
+    * full orders fact absorbs one CDC batch — deletes (`o_orderkey ≡ 0
+    * mod 7`) and updates encoded as delete+insert (`≡ 0 mod 11`, not
+    * already deleted: custkey bumped by 1000) — via
+    * [[graft.plans.MvRewrite.refreshRetract]]'s signed partial merge,
+    * which reads only the CDC batch and the MV. Serving then anchors
+    * the refreshed view to a fact table holding the POST-change state,
+    * and the DuckDB oracle aggregates that effective state from the
+    * original orders table directly (filter + CASE) — so the hash
+    * match proves merge(partial(fact), signed-partial(cdc)) ==
+    * partial(fact ⊖ deletes ⊕ inserts) through the serving rewrite,
+    * sum/avg/count gears at once. MIN/MAX columns are out of scope by
+    * construction ([[graft.plans.MvRewrite.refreshRetract]] refuses
+    * them — retracting a cell minimum needs the runner-up the partial
+    * discarded). Same pin-then-clear registry hygiene as q184.
+    */
+  def mvRetractRefresh(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q200").toString
+    val orders = spark.read.parquet(src)
+    val mv0 = graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sumCols = Seq("o_custkey"), mvPath = s"$tmp/mv0")
+    // changelog batch: update = delete + insert (the standard CDC
+    // encoding); every −1 row is an exact image of an applied fact row
+    val dels = orders.filter($"o_orderkey" % 7 === 0)
+      .withColumn("op", lit(-1))
+    val updKeys = $"o_orderkey" % 11 === 0 && $"o_orderkey" % 7 =!= 0
+    val updDel = orders.filter(updKeys).withColumn("op", lit(-1))
+    val updIns = orders.filter(updKeys)
+      .withColumn("o_custkey", $"o_custkey" + 1000L)
+      .withColumn("op", lit(1))
+    val cdc = dels.unionByName(updDel).unionByName(updIns)
+    val refreshed = graft.plans.MvRewrite
+      .refreshRetract(spark, mv0, cdc, "op", s"$tmp/mv1")
+    // the refreshed MV represents the post-CDC state; serving needs a
+    // fact path that MATCHES it (test scaffolding — the refresh above
+    // never read this table)
+    val effSrc = s"$tmp/effective"
+    orders.filter($"o_orderkey" % 7 =!= 0)
+      .withColumn("o_custkey",
+        when($"o_orderkey" % 11 === 0, $"o_custkey" + 1000L)
+          .otherwise($"o_custkey"))
+      .write.parquet(effSrc)
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.register(refreshed.copy(sourcePath = effSrc))
+    val agg = spark.read.parquet(effSrc)
+      .groupBy($"o_orderstatus")
+      .agg(sum($"o_custkey").as("custkey_sum"),
+        avg($"o_custkey").as("avg_custkey"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, agg.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
   /** Exact equi-depth (equal-frequency) histogram of order value —
     * the optimizer-statistics / feature-binning primitive: B buckets
     * whose populations differ by at most one row, with each bucket's

@@ -250,6 +250,67 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("retraction refresh: CDC-only read, emptied cells dropped, " +
+    "min-max views refused") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv7").toString
+    def rows(r: Range) = r.map(i =>
+      (i.toLong, s"s${i % 3}", s"p${i % 5}", (i % 7).toLong)).toDF(
+      "id", "status", "prio", "v")
+    rows(1 to 300).write.parquet(s"$dir/base.parquet")
+    try {
+      val mv0 = MvRewrite.materialize(spark, s"$dir/base.parquet",
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/mv0.parquet")
+      // MIN/MAX partials are not retractable — a view registering them
+      // must refuse before touching anything
+      val mvMm = MvRewrite.materialize(spark, s"$dir/base.parquet",
+        groupCols = Seq("status"), sumCols = Seq("v"),
+        mvPath = s"$dir/mvmm.parquet", minMaxCols = Seq("v"))
+      intercept[IllegalArgumentException] {
+        MvRewrite.refreshRetract(spark, mvMm,
+          rows(1 to 1).withColumn("op", lit(-1)), "op", s"$dir/mvmm2.parquet")
+      }
+      // CDC batch: delete every id ≤ 100 (this empties NO cell yet),
+      // delete ALL rows of cell (s1, p1) (ids ≡ 1 mod 15 — empties
+      // it), and update ids 200..210 as delete+insert with v+10
+      val all = rows(1 to 300)
+      val dels = all.filter($"id" <= 100 ||
+        ($"status" === "s1" && $"prio" === "p1")).withColumn("op", lit(-1))
+      val updSel = all.filter($"id".between(200, 210) &&
+        !($"status" === "s1" && $"prio" === "p1"))
+      val cdc = dels
+        .unionByName(updSel.withColumn("op", lit(-1)))
+        .unionByName(updSel.withColumn("v", $"v" + 10L).withColumn("op", lit(1)))
+      // the hard proof of "CDC-only": the base is GONE before the
+      // refresh runs — any code path re-scanning it would throw
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$dir/base.parquet"))
+      val refreshed = MvRewrite.refreshRetract(
+        spark, mv0, cdc, "op", s"$dir/mv1.parquet")
+      // merged partials == a from-scratch build over the post-CDC state
+      val eff = all.filter($"id" > 100 &&
+          !($"status" === "s1" && $"prio" === "p1"))
+        .withColumn("v", when($"id".between(200, 210), $"v" + 10L)
+          .otherwise($"v"))
+      eff.write.parquet(s"$dir/eff.parquet")
+      MvRewrite.materialize(spark, s"$dir/eff.parquet",
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/mveff.parquet")
+      val merged = spark.read.parquet(refreshed.mvPath)
+      val rebuilt = spark.read.parquet(s"$dir/mveff.parquet")
+      assert(merged.filter($"status" === "s1" && $"prio" === "p1").count() == 0,
+        "a fully-retracted cell must vanish from the refreshed MV")
+      assert(merged.columns.sorted.toSeq == rebuilt.columns.sorted.toSeq)
+      val cols = merged.columns.sorted.map(col).toSeq
+      assert(merged.select(cols: _*).orderBy($"status", $"prio").collect().toSeq ==
+        rebuilt.select(cols: _*).orderBy($"status", $"prio").collect().toSeq,
+        "merge(partial(base), signed-partial(cdc)) must equal " +
+          "partial(base ⊖ deletes ⊕ inserts)")
+    } finally MvRewrite.clear()
+  }
+
   test("refreshing an unregistered MvDef is refused") {
     withRule()
     import spark.implicits._
