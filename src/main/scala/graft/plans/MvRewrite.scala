@@ -167,6 +167,38 @@ object MvRewrite extends Rule[LogicalPlan] {
     * negative count, which is the caller's data bug, not a merge
     * artifact.
     */
+  /** The SIGNED partial-state aggregate of one CDC batch — each row
+    * contributes `op` times its additive pieces; equal to [[partials]]
+    * when every op is +1, and intra-batch delete+insert pairs cancel
+    * exactly. Shared by [[refreshRetract]] and the streaming
+    * maintainer's CDC base load ([[graft.streaming.MvMaintainer]]). */
+  private[graft] def signedPartials(cdc: DataFrame, mv: MvDef,
+                                    opCol: String): DataFrame = {
+    val op = cdc(opCol).cast("long")
+    cdc.groupBy(mv.groupCols.map(cdc(_)): _*)
+      .agg(sum(cdc(mv.sumCols.head) * op).as(s"sum_${mv.sumCols.head}"),
+        (mv.sumCols.tail.map(c => sum(cdc(c) * op).as(s"sum_$c")) ++
+          mv.sumCols.map(c => sum(org.apache.spark.sql.functions
+            .when(cdc(c).isNotNull, op).otherwise(lit(0L))).as(s"cnt_$c")) :+
+          sum(op).as("cnt")): _*)
+  }
+
+  /** Build + write + register an MV whose initial history IS a CDC
+    * batch (the streaming maintainer's first micro-batch in CDC mode):
+    * the signed partials of the batch, fully-cancelled cells dropped.
+    * Same MIN/MAX refusal as [[refreshRetract]]. */
+  private[graft] def baseFromCdc(cdc: DataFrame, d: MvDef,
+                                 opCol: String): MvDef = {
+    require(d.minMaxCols.isEmpty,
+      s"baseFromCdc: MIN/MAX partials are not retractable — view on " +
+        s"${d.sourcePath} registers min-max columns ${d.minMaxCols}")
+    signedPartials(cdc, d, opCol)
+      .filter(org.apache.spark.sql.functions.col("cnt") > 0)
+      .write.mode("overwrite").parquet(d.mvPath)
+    register(d)
+    d
+  }
+
   def refreshRetract(spark: SparkSession, mv: MvDef, cdc: DataFrame,
                      opCol: String, newMvPath: String): MvDef = {
     require(mv.minMaxCols.isEmpty,
@@ -175,14 +207,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         "rebuild with materialize instead")
     require(defs.get(mv.sourcePath).exists(_.exists(_.mvPath == mv.mvPath)),
       s"refreshRetract: ${mv.mvPath} is not the registered MV for ${mv.sourcePath}")
-    val op = cdc(opCol).cast("long")
-    val signed = cdc.groupBy(mv.groupCols.map(cdc(_)): _*)
-      .agg(sum(cdc(mv.sumCols.head) * op).as(s"sum_${mv.sumCols.head}"),
-        (mv.sumCols.tail.map(c => sum(cdc(c) * op).as(s"sum_$c")) ++
-          mv.sumCols.map(c => sum(org.apache.spark.sql.functions
-            .when(cdc(c).isNotNull, op).otherwise(lit(0L))).as(s"cnt_$c")) :+
-          sum(op).as("cnt")): _*)
-    spark.read.parquet(mv.mvPath).unionByName(signed)
+    spark.read.parquet(mv.mvPath).unionByName(signedPartials(cdc, mv, opCol))
       .groupBy(mv.groupCols.head, mv.groupCols.tail: _*)
       .agg(sum(s"sum_${mv.sumCols.head}").as(s"sum_${mv.sumCols.head}"),
         (mv.sumCols.tail.map(c => sum(s"sum_$c").as(s"sum_$c")) ++

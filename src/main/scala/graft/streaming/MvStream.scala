@@ -38,10 +38,26 @@ import graft.plans.MvRewrite.MvDef
   *
   * State is the grouping-domain-sized MV itself plus one marker file;
   * nothing here scales with stream volume.
+  *
+  * Two input shapes: append-only batches (default) fold through
+  * [[graft.plans.MvRewrite.refreshIncremental]]; with `opCol` set the
+  * stream is a CHANGELOG (rows + op ∈ {+1, −1}, updates as
+  * delete+insert) and batches fold through the signed partial merge
+  * ([[graft.plans.MvRewrite.refreshRetract]]) — deletes and updates
+  * keep the MV fresh too, at the stated cost that MIN/MAX partials
+  * are out of scope (refused at construction).
   */
 final class MvMaintainer(sourcePath: String, groupCols: Seq[String],
                          sumCols: Seq[String], root: String,
-                         minMaxCols: Seq[String] = Nil) {
+                         minMaxCols: Seq[String] = Nil,
+                         opCol: Option[String] = None) {
+
+  // CDC mode folds batches through the SIGNED partial merge
+  // ([[MvRewrite.refreshRetract]]), whose hard scope line is no
+  // MIN/MAX partials — refuse at construction, not at batch 7
+  require(opCol.isEmpty || minMaxCols.isEmpty,
+    s"MvMaintainer: CDC mode (opCol=$opCol) cannot maintain MIN/MAX " +
+      s"partials $minMaxCols — deletes make them non-derivable")
 
   private val pathA = s"$root/a"
   private val pathB = s"$root/b"
@@ -74,11 +90,22 @@ final class MvMaintainer(sourcePath: String, groupCols: Seq[String],
     val refreshed =
       if (committed._1 < 0L)
         // first batch = the base load: build, don't merge (there is
-        // no committed copy to read yet)
-        MvRewrite.materializeFrom(batch,
-          MvDef(sourcePath, groupCols, sumCols, next, minMaxCols))
-      else
-        MvRewrite.refreshIncremental(batch.sparkSession, mv, batch, next)
+        // no committed copy to read yet). In CDC mode the batch's
+        // SIGNED partials are the initial state — equal to the plain
+        // partials when every op is +1, and correct for intra-batch
+        // delete+insert pairs
+        opCol match {
+          case Some(op) => MvRewrite.baseFromCdc(batch,
+            MvDef(sourcePath, groupCols, sumCols, next, minMaxCols), op)
+          case None => MvRewrite.materializeFrom(batch,
+            MvDef(sourcePath, groupCols, sumCols, next, minMaxCols))
+        }
+      else opCol match {
+        case Some(op) =>
+          MvRewrite.refreshRetract(batch.sparkSession, mv, batch, op, next)
+        case None =>
+          MvRewrite.refreshIncremental(batch.sparkSession, mv, batch, next)
+      }
     commitMarker(batchId, next)
     committed = (batchId, next)
     MvRewrite.register(refreshed)

@@ -73,6 +73,55 @@ class MvStreamSpec extends SparkSpec {
     MvRewrite.clear()
   }
 
+  test("CDC mode: a changelog stream (inserts, deletes, updates) lands " +
+    "on the net state; replay across the retraction path is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    // changelog rows: the MvRow fields + op
+    val m = new MvMaintainer(s"$root/source", Seq("g", "prio"), Seq("v"),
+      s"$root/mv", opCol = Some("op"))
+    def cdc(r: Range, op: Int) =
+      rows(r).map(x => (x.g, x.prio, x.v, op))
+    val input = MemoryStream[(String, String, Long, Int)]
+    val query = MvStream.maintain(
+      input.toDF().toDF("g", "prio", "v", "op"), m).start()
+    try {
+      // batch 0: inserts 1..60 (pure-append CDC)
+      input.addData(cdc(1 to 60, 1))
+      query.processAllAvailable()
+      // batch 1: delete 1..20, insert 61..80
+      input.addData(cdc(1 to 20, -1) ++ cdc(61 to 80, 1))
+      query.processAllAvailable()
+      // batch 2: update 30..40 as delete+insert with v+5
+      input.addData(cdc(30 to 40, -1) ++
+        rows(30 to 40).map(x => (x.g, x.prio, x.v + 5L, 1)))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(m.lastBatchId == 2, "three CDC micro-batches must have committed")
+    // net state: 21..60 with 30..40 bumped, plus 61..80
+    val net = (rows(21 to 29) ++ rows(30 to 40).map(x => x.copy(v = x.v + 5L)) ++
+      rows(41 to 80))
+    val full = freshRoot()
+    net.toDF().write.parquet(s"$full/fact")
+    MvRewrite.materialize(spark, s"$full/fact",
+      groupCols = Seq("g", "prio"), sumCols = Seq("v"), mvPath = s"$full/mv")
+    assert(state(m.mv.mvPath) == state(s"$full/mv"),
+      "streamed changelog folds must equal a rebuild over the net state")
+    // redelivery across the retraction path: re-applying batch 2
+    // would retract the updates twice
+    val before = state(m.mv.mvPath)
+    m.apply((cdc(30 to 40, -1) ++
+      rows(30 to 40).map(x => (x.g, x.prio, x.v + 5L, 1)))
+      .toDF("g", "prio", "v", "op"), 2L)
+    assert(state(m.mv.mvPath) == before, "replayed CDC batch must be a no-op")
+    // min-max views refuse CDC mode at construction
+    intercept[IllegalArgumentException] {
+      new MvMaintainer(s"$root/source2", Seq("g"), Seq("v"),
+        s"$root/mv2", minMaxCols = Seq("v"), opCol = Some("op"))
+    }
+    MvRewrite.clear()
+  }
+
   test("restart resumes from the committed marker") {
     val root = freshRoot()
     val m1 = new MvMaintainer(s"$root/source", Seq("g"), Seq("v"), s"$root/mv")
