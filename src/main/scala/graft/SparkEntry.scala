@@ -536,6 +536,10 @@ object SparkEntry {
     // — CDC + MV only, never the fact; MIN/MAX refused by scope. The
     // oracle aggregates the post-change state from orders directly
     "q200_mv_retract_refresh" -> (Extended.mvRetractRefresh _),
+    // CUPED variance-reduced A/B readout: θ = cov/var on the pooled
+    // population, per-variant adjusted mean as ONE shifted integer
+    // division of DECIMAL(38,0)-staged sufficient statistics
+    "q201_cuped_adjustment" -> (Stats.cupedAdjustment _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3497,6 +3501,41 @@ object SparkEntry {
         |  AVG(o_custkey) AS avg_custkey,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q201: the same single-division rationals in HUGEINT; both
+    // engines divide after the 10⁹·denominator shift so flooring //
+    // and truncating div agree on the possibly-negative numerators
+    "q201_cuped_adjustment" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'view'
+        |        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    SUM(CASE WHEN event_type = 'click'
+        |        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |  FROM per),
+        |v AS (
+        |  SELECT user_id % 2 AS variant, CAST(COUNT(*) AS HUGEINT) AS ng,
+        |    CAST(SUM(x) AS HUGEINT) AS sxg, CAST(SUM(y) AS HUGEINT) AS syg
+        |  FROM per GROUP BY 1)
+        |SELECT variant,
+        |  CAST(ng AS BIGINT) AS n_users,
+        |  CAST((syg * 1000000) // ng AS BIGINT) AS raw_mean_q6,
+        |  CAST(((n * sxy - sx * sy) * 1000000
+        |        + 1000000000 * (n * sxx - sx * sx))
+        |       // nullif(n * sxx - sx * sx, 0) - 1000000000 AS BIGINT) AS theta_q6,
+        |  CAST(((syg * (n * sxx - sx * sx) * n
+        |         - (n * sxy - sx * sy) * (sxg * n - sx * ng)) * 1000000
+        |        + 1000000000 * ((n * sxx - sx * sx) * ng * n))
+        |       // nullif((n * sxx - sx * sx) * ng * n, 0)
+        |       - 1000000000 AS BIGINT) AS adj_mean_q6
+        |FROM v CROSS JOIN g
+        |ORDER BY variant""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

@@ -1173,4 +1173,80 @@ object Stats {
       .unionAll(local(cust, "negative_acctbal", $"c_acctbal" < 0))
       .orderBy($"rule")
   }
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13
+    * — the industry-standard A/B adjustment): per variant, the raw
+    * metric mean and the covariate-adjusted mean
+    * `mean_g(Y) − θ·(mean_g(X) − mean(X))` with
+    * `θ = cov(X, Y)/var(X)` fit on the pooled population. X is each
+    * user's pre-exposure covariate (view spend), Y the experiment
+    * metric (click spend), variant a deterministic user_id split —
+    * the adjustment subtracts the part of Y's variance that X
+    * predicts, tightening the readout without biasing the contrast.
+    *
+    * Exactness: everything is one rational per output. θ and each
+    * adjusted mean reduce to a SINGLE integer division of
+    * DECIMAL(38,0)-staged products of the sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy and the per-variant n_g, Σx_g, Σy_g):
+    * `adj = [Σy_g·D·n − C·(Σx_g·n − Σx·n_g)] / (D·n_g·n)` with
+    * C = n·Σxy − Σx·Σy, D = n·Σx² − (Σx)² > 0 — no nested divisions
+    * to accumulate truncation. C (and the adjusted numerator) can be
+    * negative, and Spark `div` truncates while DuckDB `//` floors, so
+    * both divisions ride the q177 shift: add 10⁹·denominator, divide,
+    * subtract 10⁹ — both engines then floor an all-positive quotient.
+    * Bound: the staged products stay under 10³⁸ for cents-scaled
+    * metrics into the tens of millions of users; past that the
+    * covariate would quantize coarser (the q82 discipline).
+    *
+    * Scale shape: one map-side-combinable conditional agg to |users|
+    * rows, then a 2-row variant agg and a 1-row global agg stitched
+    * by a broadcast-of-one-row cross join — no window, no second
+    * pass over events.
+    */
+  def cupedAdjustment(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val per = e.filter($"value".isNotNull && $"value" >= 0)
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type" === "view",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(lit(0L)))
+          .as("x"),
+        sum(when($"event_type" === "click",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(lit(0L)))
+          .as("y"))
+    cupedFromPerUser(per)
+  }
+
+  /** [[cupedAdjustment]]'s arithmetic core over an explicit
+    * `(user_id, x, y)` frame — separated so specs can drive planted
+    * covariate structures through the exact production rationals. */
+  private[graft] def cupedFromPerUser(per: DataFrame): DataFrame = {
+    val spark = per.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val g = per.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum($"x".cast(dec)).as("sx"),
+      sum($"y".cast(dec)).as("sy"),
+      sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+      sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"))
+    val byv = per.groupBy(($"user_id" % 2).as("variant"))
+      .agg(count(lit(1)).cast(dec).as("ng"),
+        sum($"x".cast(dec)).as("sxg"),
+        sum($"y".cast(dec)).as("syg"))
+    byv.crossJoin(broadcast(g))
+      .select($"variant",
+        expr("CAST(ng AS BIGINT)").as("n_users"),
+        expr("CAST((syg * 1000000) div ng AS BIGINT)").as("raw_mean_q6"),
+        expr("CAST(((n * sxy - sx * sy) * 1000000" +
+          " + 1000000000 * (n * sxx - sx * sx))" +
+          " div nullif(n * sxx - sx * sx, 0) - 1000000000 AS BIGINT)").as("theta_q6"),
+        expr("CAST(((syg * (n * sxx - sx * sx) * n" +
+          " - (n * sxy - sx * sy) * (sxg * n - sx * ng)) * 1000000" +
+          " + 1000000000 * ((n * sxx - sx * sx) * ng * n))" +
+          " div nullif((n * sxx - sx * sx) * ng * n, 0)" +
+          " - 1000000000 AS BIGINT)").as("adj_mean_q6"))
+      .orderBy($"variant")
+  }
 }

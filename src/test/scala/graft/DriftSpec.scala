@@ -356,4 +356,37 @@ class DriftSpec extends SparkSpec {
     assert(chi2q6 <= 0L && chi2q6 >= -8L,
       s"floors may undershoot zero by <=2 micro-units/cell, got $chi2q6")
   }
+
+  test("cuped: y = 2x collapses both variants onto the pooled mean; " +
+    "a constant covariate leaves the raw means untouched") {
+    // y exactly 2x: θ must be exactly 2, and every adjusted mean
+    // equals 2·mean(x) — the variant difference in x is fully
+    // explained, so both variants read the SAME adjusted metric even
+    // though their raw means differ
+    val per = Seq(
+      (0L, 100L, 200L), (2L, 300L, 600L), (4L, 500L, 1000L),
+      (1L, 200L, 400L), (3L, 400L, 800L), (5L, 900L, 1800L))
+      .toDF("user_id", "x", "y")
+    val got = Stats.cupedFromPerUser(per).collect()
+    assert(got.length == 2)
+    // mean(x) = 2400/6 = 400 ⇒ adjusted mean = 800 everywhere
+    got.foreach { r =>
+      assert(r.getLong(3) == 2000000L, s"theta must be exactly 2, got $r")
+      assert(r.getLong(4) == 800000000L,
+        s"adjusted mean must be 2*mean(x) = 800 q6, got $r")
+    }
+    // raw means differ: variant 0 = (200+600+1000)/3 = 600,
+    // variant 1 = (400+800+1800)/3 = 1000
+    assert(got.map(_.getLong(2)).toSeq == Seq(600000000L, 1000000000L))
+
+    // a CONSTANT covariate has var(X) = 0: D = 0 makes every division
+    // NULL-divide — the readout must surface nulls, never a wrong
+    // number (callers fall back to the raw mean, which stays exact)
+    val flat = Seq((0L, 7L, 10L), (1L, 7L, 30L)).toDF("user_id", "x", "y")
+    val fr = Stats.cupedFromPerUser(flat).collect()
+    assert(fr.map(_.getLong(2)).toSeq == Seq(10000000L, 30000000L),
+      "raw means must survive a degenerate covariate")
+    assert(fr.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "zero-variance covariate must yield NULL theta/adjusted, not a value")
+  }
 }
