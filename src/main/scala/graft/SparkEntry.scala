@@ -540,6 +540,12 @@ object SparkEntry {
     // population, per-variant adjusted mean as ONE shifted integer
     // division of DECIMAL(38,0)-staged sufficient statistics
     "q201_cuped_adjustment" -> (Stats.cupedAdjustment _),
+    // Time-RESPECTING reachability: earliest-arrival recurrence over
+    // timestamped interaction edges (paths must have non-decreasing
+    // times — static BFS overcounts); per round one equi-join with
+    // the time gate applied map-side + a min-agg
+    "q202_temporal_reachability" -> ((s: SparkSession, d: String) =>
+      Graph.temporalReachability(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3536,6 +3542,44 @@ object SparkEntry {
         |       - 1000000000 AS BIGINT) AS adj_mean_q6
         |FROM v CROSS JOIN g
         |ORDER BY variant""".stripMargin,
+    // q202: three unrolled earliest-arrival rounds — each round joins
+    // the previous arrivals against the timestamped edges under the
+    // t >= a gate and keeps the min arrival per node
+    "q202_temporal_reachability" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v,
+        |    epoch_us(o_orderdate) // 86400000000 AS t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT u, v, t FROM e0
+        |  UNION ALL SELECT v AS u, u AS v, t FROM e0),
+        |a0 AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS a
+        |  FROM (SELECT DISTINCT u AS node FROM edges)
+        |  WHERE node % 2 = 0 AND node // 2 <= 25),
+        |r1 AS (SELECT node, MIN(a) AS a FROM (
+        |    SELECT node, a FROM a0
+        |    UNION ALL
+        |    SELECT e.v AS node, e.t AS a
+        |    FROM edges e JOIN a0 p ON e.u = p.node AND e.t >= p.a)
+        |  GROUP BY 1),
+        |r2 AS (SELECT node, MIN(a) AS a FROM (
+        |    SELECT node, a FROM r1
+        |    UNION ALL
+        |    SELECT e.v AS node, e.t AS a
+        |    FROM edges e JOIN r1 p ON e.u = p.node AND e.t >= p.a)
+        |  GROUP BY 1),
+        |r3 AS (SELECT node, MIN(a) AS a FROM (
+        |    SELECT node, a FROM r2
+        |    UNION ALL
+        |    SELECT e.v AS node, e.t AS a
+        |    FROM edges e JOIN r2 p ON e.u = p.node AND e.t >= p.a)
+        |  GROUP BY 1)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+        |  a // 7 AS week,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(node // 2) AS BIGINT) AS id_sum
+        |FROM r3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

@@ -219,6 +219,79 @@ object Graph {
     graft.Derived.adopt(dist)
   }
 
+  /** Earliest-arrival TEMPORAL reachability — "who can this reach
+    * through time-RESPECTING interaction chains", the
+    * contagion/provenance-flow census static BFS gets wrong: an edge
+    * is usable only at its own timestamp, so a path must have
+    * non-decreasing times (B's Monday contact cannot forward what B
+    * learns on Friday). Interactions are customer↔supplier order
+    * events stamped with their order day; seeds (customers with id ≤
+    * `seedMax`) start at day 0, and after `maxHops` synchronous
+    * rounds `arr(v)` is the exact earliest arrival day over
+    * time-respecting paths of ≤ maxHops edges — the textbook
+    * earliest-arrival recurrence (Bellman-Ford with a time gate).
+    *
+    * Scale shape: the [[bfsOnEdges]] round shape plus one map-side
+    * time filter — per round ONE equi-join of the timestamped edge
+    * frame (Derived-cached, hash-partitioned by u) against the
+    * ≤|V|-row arrival frame, the `t ≥ arr(u)` gate applied before
+    * anything shuffles, then a min-aggregate; per-round
+    * `localCheckpoint` keeps the two-reference loop lineage flat.
+    * Output is a bounded (kind, week) census with id checksums.
+    */
+  def temporalReachability(spark: SparkSession, d: String,
+                           maxHops: Int = 3, seedMax: Long = 25L): DataFrame = {
+    import spark.implicits._
+    val sym = graft.Derived.frame(s"temporal-edges:$d") {
+      val pairs = Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey")
+        .join(Tables.orders(spark, d)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"),
+          datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("t"))
+        .distinct()
+      // both directions in one explode pass (the tradeEdges shape) —
+      // an interaction at day t exposes both endpoints to each other
+      pairs.select(explode(array(
+          struct($"c".as("u"), $"s".as("v"), $"t"),
+          struct($"s".as("u"), $"c".as("v"), $"t"))).as("p"))
+        .select($"p.u".as("u"), $"p.v".as("v"), $"p.t".as("t"))
+        .repartition($"u")
+    }
+    val seeds = sym.select($"u".as("node")).distinct()
+      .filter($"node" % 2 === 0 && expr("node div 2") <= seedMax)
+    temporalOnEdges(sym, seeds, maxHops)
+      .select(when($"node" % 2 === 0, lit("cust")).otherwise(lit("supp"))
+          .as("kind"),
+        expr("a div 7").as("week"), $"node")
+      .groupBy($"kind", $"week")
+      .agg(count(lit(1)).as("n_nodes"), sum(expr("node div 2")).as("id_sum"))
+      .orderBy($"kind", $"week")
+  }
+
+  /** Frame-based earliest-arrival core: (node, a) for every node with
+    * a time-respecting path of ≤ `maxHops` edges from a `seeds(node)`
+    * set over a `(u, v, t)` edge frame; seeds start at a = 0,
+    * unreached nodes are absent. Separated so specs can drive planted
+    * temporal structures through the exact production recurrence. */
+  private[graft] def temporalOnEdges(sym: DataFrame, seeds: DataFrame,
+                                     maxHops: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    var arr = seeds.select(col(seeds.columns.head).as("node"),
+      lit(0L).as("a")).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val cand = sym
+        .join(arr.select($"node".as("u"), $"a"), "u")
+        .filter($"t" >= $"a") // the time gate — BEFORE anything shuffles
+        .select($"v".as("node"), $"t".as("a"))
+      arr = arr.unionAll(cand)
+        .groupBy($"node").agg(min($"a").as("a"))
+        .localCheckpoint()
+    }
+    arr
+  }
+
   /** Undirected part co-occurrence edges — parts bought together in
     * at least one order, each edge once as (a < b). The trade graph
     * above is bipartite (triangle-free by construction); this one-mode

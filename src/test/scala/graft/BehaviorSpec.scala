@@ -341,6 +341,24 @@ class BehaviorSpec extends SparkSpec {
     assert(two == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 1))
   }
 
+  test("temporalOnEdges: time-respecting paths only, earliest arrival wins") {
+    // A=0. Respecting chain: 0 -(t5)-> 1 -(t10)-> 2 reaches 2 at 10.
+    // Violating chain: 0 -(t9)-> 3 -(t3)-> 4: the 3->4 contact
+    // happened BEFORE 3 was reached (3 < 9) — 4 must stay absent,
+    // though static BFS would reach it. A second 0->1 contact at t2
+    // must win the earliest-arrival min over the t5 one.
+    val sym = Seq(
+      (0L, 1L, 5L), (1L, 2L, 10L),
+      (0L, 3L, 9L), (3L, 4L, 3L),
+      (0L, 1L, 2L))
+      .toDF("u", "v", "t")
+    val got = graft.ext.Graph
+      .temporalOnEdges(sym, Seq(0L).toDF("node"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 2L, 2L -> 10L, 3L -> 9L),
+      s"time gate or earliest-arrival min broken: $got")
+  }
+
   test("hllRegisters: estimate tracks exact distinct within sketch error bounds") {
     // sf0.01: per-group distinct ≈ 20·m, clear of the small-range
     // regime (< 2.5·m) where raw HLL needs the linear-counting patch
