@@ -546,6 +546,11 @@ object SparkEntry {
     // the time gate applied map-side + a min-agg
     "q202_temporal_reachability" -> ((s: SparkSession, d: String) =>
       Graph.temporalReachability(s, d)),
+    // Personalized PageRank: teleport mass returns ONLY to the seed
+    // set, so scores are proximity-to-seeds; integer-exact recurrence
+    // with the gated teleport term, zero tail dropped on both engines
+    "q203_personalized_pagerank" -> ((s: SparkSession, d: String) =>
+      Graph.personalizedPageRank(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3580,6 +3585,40 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(SUM(node // 2) AS BIGINT) AS id_sum
         |FROM r3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q203: two unrolled seeded rounds — the q95 recurrence with the
+    // teleport term gated to the seed flag; LEFT joins keep zero-mass
+    // nodes alive between rounds, the final zero tail drops
+    "q203_personalized_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |base AS (
+        |  SELECT src AS node, deg,
+        |    CASE WHEN src % 2 = 0 AND src // 2 <= 25 THEN 1 ELSE 0 END AS seed
+        |  FROM deg),
+        |mm AS (SELECT SUM(seed) AS m FROM base),
+        |r0 AS (SELECT node, deg, seed, m,
+        |         (seed * 1000000000000) // m AS r
+        |       FROM base CROSS JOIN mm),
+        |c1 AS (SELECT e.dst, CAST(SUM(r.r // r.deg) AS BIGINT) AS got
+        |       FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+        |r1 AS (SELECT r.node, r.deg, r.seed, r.m,
+        |         (15000000000000 * r.seed) // (100 * r.m)
+        |           + (85 * COALESCE(c.got, 0)) // 100 AS r
+        |       FROM r0 r LEFT JOIN c1 c ON r.node = c.dst),
+        |c2 AS (SELECT e.dst, CAST(SUM(r.r // r.deg) AS BIGINT) AS got
+        |       FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+        |r2 AS (SELECT r.node, r.deg, r.seed, r.m,
+        |         (15000000000000 * r.seed) // (100 * r.m)
+        |           + (85 * COALESCE(c.got, 0)) // 100 AS r
+        |       FROM r1 r LEFT JOIN c2 c ON r.node = c.dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+        |  node // 2 AS entity_id, CAST(r AS BIGINT) AS ppr_p12
+        |FROM r2 WHERE r > 0 ORDER BY kind, entity_id""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

@@ -139,6 +139,62 @@ object Graph {
     graft.Derived.adopt(ranks)
   }
 
+  /** Personalized PageRank — the SEEDED variant of [[pageRank]] that
+    * recommendation/similar-entity retrieval actually runs: teleport
+    * mass returns only to the seed set (customers with id ≤
+    * `seedMax`), so scores measure proximity TO THE SEEDS rather than
+    * global centrality, and after k rounds only nodes within k hops
+    * hold mass (emitted rows are exactly those — the zero tail is
+    * dropped on both engines).
+    *
+    * Same integer-exact recurrence as [[pageRankOnEdges]] with the
+    * teleport term `(15·S·seed) div (100·m)` gated per node (m =
+    * seeds present in the graph): every operand non-negative, so
+    * Spark `div` and DuckDB `//` agree, and contributions sum as
+    * int64 bounded by 85·S. Same round shape too — one contribution
+    * agg shuffle per round against the shared cached edge frame, the
+    * |V|-row rank frame persisted per round and freed after the next
+    * materializes.
+    */
+  def personalizedPageRank(spark: SparkSession, d: String, iters: Int = 2,
+                           seedMax: Long = 25L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val S = 1000000000000L
+    val edges = tradeEdges(spark, d)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val base = deg.select($"src".as("node"), $"deg")
+      .withColumn("seed",
+        when($"node" % 2 === 0 && expr("node div 2") <= seedMax, 1L)
+          .otherwise(0L))
+    val m = base.agg(sum($"seed").as("m"))
+    var ranks = base.crossJoin(broadcast(m))
+      .withColumn("r", expr(s"(seed * CAST($S AS BIGINT)) div m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select($"node".as("src"), expr("r div deg").as("give")),
+          "src")
+        .groupBy($"dst").agg(sum($"give").as("got"))
+      val next = ranks.drop("r")
+        .join(contrib.select($"dst".as("node"), $"got"), Seq("node"), "left")
+        .withColumn("r",
+          expr(s"(CAST(${15L * S} AS BIGINT) * seed) div (100 * m)" +
+            " + (85 * coalesce(got, 0L)) div 100"))
+        .drop("got")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before freeing the previous round
+      ranks.unpersist()
+      ranks = next
+    }
+    graft.Derived.adopt(ranks)
+    ranks.filter($"r" > 0)
+      .select(
+        when($"node" % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
+        expr("node div 2").as("entity_id"), $"r".as("ppr_p12"))
+      .orderBy($"kind", $"entity_id")
+  }
+
   /** Degree-distribution profile of the trade graph: nodes per
     * (side, degree) — the audit that tells you whether the
     * centrality run above it faces a power-law skew (a handful of

@@ -341,6 +341,27 @@ class BehaviorSpec extends SparkSpec {
     assert(two == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 1))
   }
 
+  test("personalizedPageRank: support stays inside the 2-hop seed " +
+    "neighborhood; every seed keeps teleport mass") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.ext.Graph.personalizedPageRank(spark, d)
+      .select($"kind", $"entity_id").as[(String, Long)].collect().toSet
+    // mass travels exactly one edge per round: anything holding mass
+    // after 2 rounds is a seed or within 2 static hops of one
+    val edges = graft.ext.Graph.tradeEdges(spark, d)
+    val seeds = edges.select($"src".as("node")).distinct()
+      .filter($"node" % 2 === 0 && expr("node div 2") <= 25)
+    val reach = graft.ext.Graph.bfsOnEdges(edges, seeds, maxDist = 2)
+      .select(when($"node" % 2 === 0, "cust").otherwise("supp").as("kind"),
+        expr("node div 2").as("entity_id"))
+      .as[(String, Long)].collect().toSet
+    assert(got.nonEmpty && got.subsetOf(reach),
+      s"PPR mass escaped the 2-hop neighborhood: ${got.diff(reach).take(5)}")
+    val seedIds = seeds.select(expr("node div 2")).as[Long].collect().toSet
+    assert(seedIds.forall(id => got.contains(("cust", id))),
+      "every in-graph seed must keep its teleport mass")
+  }
+
   test("temporalOnEdges: time-respecting paths only, earliest arrival wins") {
     // A=0. Respecting chain: 0 -(t5)-> 1 -(t10)-> 2 reaches 2 at 10.
     // Violating chain: 0 -(t9)-> 3 -(t3)-> 4: the 3->4 contact
