@@ -551,6 +551,13 @@ object SparkEntry {
     // with the gated teleport term, zero tail dropped on both engines
     "q203_personalized_pagerank" -> ((s: SparkSession, d: String) =>
       Graph.personalizedPageRank(s, d)),
+    // k-NN label-consensus mislabel screen: each vector's top-3
+    // LSH-bucketed neighbors vote with their labels; a majority
+    // disagreement flags the vector. Agreement bit rides the TopKAgg
+    // id slot as a monotone encoding, so the bounded partial orders
+    // exactly like the oracle's window
+    "q204_knn_label_consensus" -> ((s: SparkSession, d: String) =>
+      Similarity.knnLabelConsensus(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1442,6 +1449,31 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id
          |) WHERE score_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    // q204: the same banded candidates symmetrized, ranked per vector
+    // by the ROW_NUMBER window the engine's bounded TopKAgg mirrors
+    "q204_knn_label_consensus" ->
+      s"""WITH $hpCandCtes,
+         |sym AS (SELECT a_id AS query_id, b_id AS nb FROM cand
+         |        UNION ALL SELECT b_id AS query_id, a_id AS nb FROM cand),
+         |sc AS (
+         |  SELECT query_id, q.label AS q_label, nb, n.label AS n_label,
+         |    ${cosSql("qv", "nv")} AS score_raw
+         |  FROM sym
+         |  JOIN (SELECT vec_id, embedding AS qv, label FROM embeddings
+         |        WHERE label IS NOT NULL) q ON q.vec_id = query_id
+         |  JOIN (SELECT vec_id, embedding AS nv, label FROM embeddings
+         |        WHERE label IS NOT NULL) n ON n.vec_id = nb),
+         |rk AS (SELECT query_id, q_label, n_label,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY score_raw DESC, nb) AS rn
+         |       FROM sc)
+         |SELECT query_id AS vec_id, q_label AS label,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nb,
+         |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  (SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) * 2 < COUNT(*))
+         |    AS suspect
+         |FROM rk WHERE rn <= 3 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q57_hyperplane_neardup" ->
       s"""WITH $hpCandCtes
          |SELECT a_id, b_id, ${r4sql("score_raw")} AS score FROM (

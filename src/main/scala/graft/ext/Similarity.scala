@@ -191,6 +191,56 @@ object Similarity {
       .select($"a_id", $"b_id").distinct()
   }
 
+  /** k-NN label-consensus mislabel screen — the embedding-space
+    * label-noise detector a curation pipeline runs before training:
+    * for each vector, its k most-similar LSH-bucketed neighbors vote
+    * with their labels, and a vector whose neighborhood majority
+    * DISAGREES with its own label is flagged suspect (confident-
+    * learning's neighborhood form). Candidates come from the SAME
+    * hyperplane banding as [[hyperplaneNearDup]] — never all-pairs —
+    * symmetrized in one explode pass so each vector ranks its own
+    * neighborhood.
+    *
+    * The bounded [[graft.functions.TopKAgg]] partial keeps ≤k
+    * neighbors per vector inside the aggregation, with the partner's
+    * agreement bit carried in the id slot as `nb·2 + agree` — a
+    * monotone encoding, so the (score DESC, id ASC) tie-break orders
+    * exactly like the oracle's (score DESC, nb ASC) window. Exact-k
+    * parity with a ROW_NUMBER oracle needs strict candidate order,
+    * which score ties between distinct partners would break — the
+    * monotone encoding preserves it bit-for-bit.
+    */
+  def knnLabelConsensus(spark: SparkSession, d: String,
+                        k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+      .filter($"label".isNotNull)
+      .select($"vec_id", $"embedding", $"label")
+    val sym = hyperplaneCandidates(spark, d)
+      .select(explode(array(
+        struct($"a_id".as("q"), $"b_id".as("nb")),
+        struct($"b_id".as("q"), $"a_id".as("nb")))).as("p"))
+      .select($"p.q".as("query_id"), $"p.nb".as("nb"))
+    val scored = sym
+      .join(broadcast(emb.select($"vec_id".as("query_id"),
+        $"embedding".as("qv"), $"label".as("q_label"))), "query_id")
+      .join(broadcast(emb.select($"vec_id".as("nb"),
+        $"embedding".as("nv"), $"label".as("n_label"))), "nb")
+      .select($"query_id", $"q_label",
+        cos($"qv", $"nv").as("score_raw"),
+        ($"nb" * 2 + when($"n_label" === $"q_label", 1L).otherwise(0L))
+          .as("enc"))
+    val topk = udaf(new TopKAgg(k))
+    scored.groupBy($"query_id", $"q_label")
+      .agg(topk($"score_raw", $"enc").as("top"))
+      .select($"query_id", $"q_label", explode($"top").as("entry"))
+      .groupBy($"query_id".as("vec_id"), $"q_label".as("label"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum($"entry._2" % 2).as("n_agree"))
+      .withColumn("suspect", $"n_agree" * 2 < $"n_nb")
+      .orderBy($"vec_id")
+  }
+
   /** Embedding near-dup: pairs inside the same cell with cosine above
     * threshold — the vector-space member of the dedup family
     * ([[Dedup]]); blocking by cell keeps the pair space per-cell

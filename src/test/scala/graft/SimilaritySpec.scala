@@ -79,6 +79,27 @@ class SimilaritySpec extends SparkSpec {
       (4L, 8L, 4L, 0L, 15625L)), s"got ${got.toSeq}")
   }
 
+  test("knnLabelConsensus: the planted mislabel is the only suspect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    // one tight cluster of four near-identical vectors (they collide
+    // on every hyperplane band): labels 1,1,1,2 — vector 3 is the
+    // planted mislabel and must be the ONLY suspect; the rest see a
+    // 2-of-3 (or better) majority for their own label
+    Seq(
+      (0L, Array(1f, 0.01f), 1), (1L, Array(1f, 0.02f), 1),
+      (2L, Array(1f, 0.03f), 1), (3L, Array(1f, 0.04f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.ext.Similarity.knnLabelConsensus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1, 3L, 2L, false),
+      (1L, 1, 3L, 2L, false),
+      (2L, 1, 3L, 2L, false),
+      (3L, 2, 3L, 0L, true)), s"got ${got.toSeq}")
+  }
+
   test("pqCodes: codes and error match a brute-force Scala reference") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     // 3 planted vectors: block-constant sign patterns, a mixed vector,
