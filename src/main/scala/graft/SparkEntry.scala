@@ -558,6 +558,10 @@ object SparkEntry {
     // exactly like the oracle's window
     "q204_knn_label_consensus" -> ((s: SparkSession, d: String) =>
       Similarity.knnLabelConsensus(s, d)),
+    // Exact ROC-AUC by the Mann-Whitney rank identity over a
+    // GlobalIndex ranking (never a single-reducer window); three
+    // decimal-staged sums, one positive division
+    "q205_auc_ranked" -> (Stats.aucRanked _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3651,6 +3655,27 @@ object SparkEntry {
         |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
         |  node // 2 AS entity_id, CAST(r AS BIGINT) AS ppr_p12
         |FROM r2 WHERE r > 0 ORDER BY kind, entity_id""".stripMargin,
+    // q205: the oracle ranks with the textbook global ROW_NUMBER
+    // window (the engine uses GlobalIndex) and mirrors the doubled
+    // Mann-Whitney rational in HUGEINT — positive, no shift needed
+    "q205_auc_ranked" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |rk AS (SELECT y, ROW_NUMBER() OVER (ORDER BY s, k) AS r FROM pts),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(y) AS HUGEINT) AS p,
+        |    CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS HUGEINT) AS sr
+        |  FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(p AS BIGINT) AS n_pos,
+        |  CAST(n - p AS BIGINT) AS n_neg,
+        |  CAST(((2 * sr - p * (p + 1)) * 1000000)
+        |       // nullif(2 * p * (n - p), 0) AS BIGINT) AS auc_q6
+        |FROM agg""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

@@ -1174,6 +1174,49 @@ object Stats {
       .orderBy($"rule")
   }
 
+  /** Exact ROC-AUC by the Mann-Whitney rank identity — the model-eval
+    * gate a training pipeline runs on a scored dataset:
+    * `AUC = (Σ_{pos} rank − P(P+1)/2) / (P·N)` over the GLOBAL rank
+    * of every row by ascending score. Scored here: does order value
+    * predict the finished status ('F') — any (score, label) pair
+    * works. Score ties across classes are resolved by the documented
+    * deterministic (score, key) total order — the convention both
+    * engines mirror, so the result is exactly reproducible (the
+    * mid-rank tie correction would need a second aggregate; with
+    * cents-grained scores the difference is below q6).
+    *
+    * Scale shape: ranking is [[graft.operators.GlobalIndex]] — a
+    * range-partitioned parallel scan, never the single-reducer global
+    * ROW_NUMBER window — and the identity needs only THREE sums over
+    * the ranked frame (n, P, Σ_{pos}rank), one map-side-combinable
+    * aggregate. Sums stage DECIMAL(38,0) (Σrank ~ n², past int64 at
+    * tens-of-billions of rows); the final quotient is positive, so
+    * div and // agree without a shift.
+    */
+  def aucRanked(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pts, Seq($"s".asc, $"k".asc), "r")
+    val dec = "decimal(38,0)"
+    ranked.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum($"y").cast(dec).as("p"),
+        sum(when($"y" === 1L, $"r").otherwise(lit(0L))).cast(dec).as("sr"))
+      .select(
+        expr("CAST(n AS BIGINT)").as("n"),
+        expr("CAST(p AS BIGINT)").as("n_pos"),
+        expr("CAST(n - p AS BIGINT)").as("n_neg"),
+        // doubled form keeps everything decimal until the SINGLE
+        // division (an inner `div 2` would drop to int64 early —
+        // IntegralDivide returns LONG whatever it divides)
+        expr("CAST(((2 * sr - p * (p + 1)) * 1000000)" +
+          " div nullif(2 * p * (n - p), 0) AS BIGINT)").as("auc_q6"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13
     * — the industry-standard A/B adjustment): per variant, the raw
     * metric mean and the covariate-adjusted mean

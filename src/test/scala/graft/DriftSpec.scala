@@ -357,6 +357,24 @@ class DriftSpec extends SparkSpec {
       s"floors may undershoot zero by <=2 micro-units/cell, got $chi2q6")
   }
 
+  test("aucRanked: perfect separation = exactly 1e6; hand-computed " +
+    "interleave = 0.75") {
+    // positives ('F') strictly above all negatives: ranks 3,4 of 4
+    // ⇒ AUC = (2·7 − 2·3)/(2·2·2) = 1
+    val perfect = plantOrders(Seq(
+      (1L, "O", 100.00, "1-URGENT"), (2L, "O", 200.00, "1-URGENT"),
+      (3L, "F", 300.00, "1-URGENT"), (4L, "F", 400.00, "1-URGENT")))
+    val p = Stats.aucRanked(spark, perfect).collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ==
+      (4L, 2L, 2L, 1000000L), s"perfect separation must score 1e6: $p")
+    // interleaved F at ranks 2 and 4 ⇒ (2·6 − 6)/8 = 0.75
+    val mixed = plantOrders(Seq(
+      (1L, "O", 100.00, "1-URGENT"), (2L, "F", 200.00, "1-URGENT"),
+      (3L, "O", 300.00, "1-URGENT"), (4L, "F", 400.00, "1-URGENT")))
+    val m = Stats.aucRanked(spark, mixed).collect().head
+    assert(m.getLong(3) == 750000L, s"interleave must score exactly 0.75: $m")
+  }
+
   test("cuped: y = 2x collapses both variants onto the pooled mean; " +
     "a constant covariate leaves the raw means untouched") {
     // y exactly 2x: θ must be exactly 2, and every adjusted mean
