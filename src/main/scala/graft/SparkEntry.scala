@@ -562,6 +562,10 @@ object SparkEntry {
     // GlobalIndex ranking (never a single-reducer window); three
     // decimal-staged sums, one positive division
     "q205_auc_ranked" -> (Stats.aucRanked _),
+    // Decile gains table: GlobalIndex rank desc + arithmetic NTILE
+    // buckets (q176 discipline); cumulative capture over the 10-row
+    // bucket domain — bounded window by construction
+    "q206_decile_gains" -> (Stats.decileGains _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3676,6 +3680,29 @@ object SparkEntry {
         |  CAST(((2 * sr - p * (p + 1)) * 1000000)
         |       // nullif(2 * p * (n - p), 0) AS BIGINT) AS auc_q6
         |FROM agg""".stripMargin,
+    // q206: the oracle buckets with the REAL window rank and the same
+    // NTILE arithmetic; capture shares are positive single divisions
+    "q206_decile_gains" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(y) AS BIGINT) AS p FROM pts),
+        |rk AS (SELECT y, ROW_NUMBER() OVER (ORDER BY s DESC, k) AS r
+        |       FROM pts),
+        |b AS (
+        |  SELECT ((r - 1) * 10) // n + 1 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM rk CROSS JOIN tot GROUP BY 1)
+        |SELECT bucket, n_rows AS n, n_pos,
+        |  CAST(n_pos * 1000000 // p AS BIGINT) AS capture_q6,
+        |  CAST(SUM(n_pos) OVER (ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       * 1000000 // p AS BIGINT) AS cum_capture_q6
+        |FROM b CROSS JOIN tot ORDER BY bucket""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

@@ -1217,6 +1217,44 @@ object Stats {
           " div nullif(2 * p * (n - p), 0) AS BIGINT)").as("auc_q6"))
   }
 
+  /** Decile gains (capture) table — [[aucRanked]]'s actionable
+    * companion: rank everything by score descending, cut into 10
+    * equal-population buckets, and report each bucket's share of all
+    * positives plus the cumulative share — "target the top 2 deciles,
+    * capture X% of responders", the standard campaign/triage readout.
+    *
+    * Scale shape: the q176 equi-depth discipline — one
+    * [[graft.operators.GlobalIndex]] ranking (range-partitioned, no
+    * single-reducer NTILE window), bucket by pure arithmetic
+    * `(rank−1)·10 div n + 1` (exact SQL NTILE semantics), one
+    * map-side-combinable bucket aggregate; the cumulative window runs
+    * over the 10-row bucket DOMAIN — bounded by construction. Shares
+    * are positive single divisions in q6: div and // agree.
+    */
+  def decileGains(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pts, Seq($"s".desc, $"k".asc), "r")
+    val tot = pts.agg(count(lit(1)).as("n"), sum($"y").as("p"))
+    val buckets = ranked.crossJoin(broadcast(tot))
+      .select(expr("((r - 1) * 10) div n + 1").as("bucket"), $"y", $"p")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"), max($"p").as("p"))
+    // bounded post-aggregation frame: 10 bucket rows by construction
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("cum_pos", sum($"n_pos").over(w))
+      .select($"bucket", $"n", $"n_pos",
+        expr("CAST(n_pos * 1000000 div p AS BIGINT)").as("capture_q6"),
+        expr("CAST(cum_pos * 1000000 div p AS BIGINT)").as("cum_capture_q6"))
+      .orderBy($"bucket")
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13
     * — the industry-standard A/B adjustment): per variant, the raw
     * metric mean and the covariate-adjusted mean

@@ -375,6 +375,17 @@ class DriftSpec extends SparkSpec {
     assert(m.getLong(3) == 750000L, s"interleave must score exactly 0.75: $m")
   }
 
+  test("decileGains: 10 near-equal buckets, monotone cumulative capture " +
+    "ending at exactly 1e6") {
+    val rows = Stats.decileGains(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "10 buckets")
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"NTILE populations differ by ≤1: ${sizes.toSeq}")
+    val cum = rows.map(_.getLong(4))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }, "monotone")
+    assert(cum.last == 1000000L, s"full capture at decile 10, got ${cum.last}")
+  }
+
   test("cuped: y = 2x collapses both variants onto the pooled mean; " +
     "a constant covariate leaves the raw means untouched") {
     // y exactly 2x: θ must be exactly 2, and every adjusted mean
