@@ -566,6 +566,11 @@ object SparkEntry {
     // buckets (q176 discipline); cumulative capture over the 10-row
     // bucket domain — bounded window by construction
     "q206_decile_gains" -> (Stats.decileGains _),
+    // K-fold leakage-free target encoding: out-of-fold smoothed means
+    // by total-minus-own-cell arithmetic — one fact pass, the rest on
+    // the (category × fold) domain
+    "q207_target_encoding" -> ((s: SparkSession, d: String) =>
+      Stats.targetEncoding(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3703,6 +3708,29 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |       * 1000000 // p AS BIGINT) AS cum_capture_q6
         |FROM b CROSS JOIN tot ORDER BY bucket""".stripMargin,
+    // q207: the same out-of-fold rational in HUGEINT — positive
+    // single division, total-minus-own-cell on the domain table
+    "q207_target_encoding" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS category, o_orderkey % 5 AS fold,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+        |             CAST(SUM(y) AS HUGEINT) AS pp FROM r),
+        |cf AS (SELECT category, fold, CAST(COUNT(*) AS BIGINT) AS n_cf,
+        |         CAST(SUM(y) AS BIGINT) AS s_cf
+        |       FROM r GROUP BY 1, 2),
+        |c AS (SELECT category, SUM(n_cf) AS n_c, SUM(s_cf) AS s_c
+        |      FROM cf GROUP BY 1)
+        |SELECT cf.category, cf.fold,
+        |  CAST(c.n_c - cf.n_cf AS BIGINT) AS n_excl,
+        |  CAST(c.s_c - cf.s_cf AS BIGINT) AS sum_excl,
+        |  CAST(((CAST(c.s_c - cf.s_cf AS HUGEINT) * nn + 10 * pp)
+        |        * 1000000)
+        |       // nullif((CAST(c.n_c - cf.n_cf AS HUGEINT) + 10) * nn, 0)
+        |       AS BIGINT) AS enc_q6
+        |FROM cf JOIN c USING (category) CROSS JOIN g
+        |ORDER BY category, fold""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

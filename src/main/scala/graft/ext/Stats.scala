@@ -1255,6 +1255,49 @@ object Stats {
       .orderBy($"bucket")
   }
 
+  /** K-fold leakage-free target encoding (Micci-Barreca smoothing) —
+    * the feature-engineering op whose naive form silently leaks: a
+    * category's encoded value for rows in fold f must be computed
+    * WITHOUT fold f's labels, else the feature memorizes its own
+    * target. Per (category, fold): the out-of-fold mean smoothed
+    * toward the global prior,
+    * `enc = (Σy_excl + α·P/N) / (n_excl + α)`, α = 10 — evaluated as
+    * the single integer rational `(Σy_excl·N + α·P)·10⁶ div
+    * ((n_excl + α)·N)` in DECIMAL(38,0): positive, one division, div
+    * and // agree.
+    *
+    * Scale shape: one map-side-combinable groupBy(category, fold)
+    * over the fact is the only volume-sized work; the per-category
+    * resum runs on the (category × fold) DOMAIN table, the prior is
+    * a broadcast one-row scalar, and the out-of-fold sums are
+    * total-minus-own-cell arithmetic — never a second fact pass, no
+    * self-join of the fact.
+    */
+  def targetEncoding(spark: SparkSession, d: String,
+                     folds: Int = 5, alpha: Long = 10L): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val r = Tables.orders(spark, d).select(
+      $"o_orderpriority".as("category"),
+      ($"o_orderkey" % folds).as("fold"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val g = r.agg(count(lit(1)).cast(dec).as("nn"),
+      sum($"y").cast(dec).as("pp"))
+    val cf = r.groupBy($"category", $"fold")
+      .agg(count(lit(1)).as("n_cf"), sum($"y").as("s_cf"))
+    // bounded: |category| × folds rows
+    val c = cf.groupBy($"category")
+      .agg(sum($"n_cf").as("n_c"), sum($"s_cf").as("s_c"))
+    cf.join(broadcast(c), "category").crossJoin(broadcast(g))
+      .select($"category", $"fold",
+        ($"n_c" - $"n_cf").as("n_excl"),
+        ($"s_c" - $"s_cf").as("sum_excl"),
+        expr(s"CAST(((CAST(s_c - s_cf AS $dec) * nn + $alpha * pp)" +
+          s" * 1000000) div nullif((CAST(n_c - n_cf AS $dec) + $alpha)" +
+          " * nn, 0) AS BIGINT)").as("enc_q6"))
+      .orderBy($"category", $"fold")
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13
     * — the industry-standard A/B adjustment): per variant, the raw
     * metric mean and the covariate-adjusted mean

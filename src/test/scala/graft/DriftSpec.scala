@@ -386,6 +386,25 @@ class DriftSpec extends SparkSpec {
     assert(cum.last == 1000000L, s"full capture at decile 10, got ${cum.last}")
   }
 
+  test("targetEncoding: out-of-fold means exclude the fold's own labels " +
+    "— hand-computed smoothed rationals") {
+    // one category, folds by o_orderkey % 5: fold 0 holds BOTH
+    // positives, folds 1/2 hold a negative each. N=4, P=2, α=10.
+    val d = plantOrders(Seq(
+      (0L, "F", 100.0, "1-URGENT"), (5L, "F", 200.0, "1-URGENT"),
+      (1L, "O", 300.0, "1-URGENT"), (2L, "O", 400.0, "1-URGENT")))
+    val got = Stats.targetEncoding(spark, d).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // fold 0 must NOT see its own two positives: sum_excl = 0,
+    // enc = (0·4 + 10·2)·10⁶ div ((2+10)·4) = 416666
+    assert(got(("1-URGENT", 0L)) == ((2L, 0L, 416666L)),
+      s"fold 0 leaked its own labels: ${got(("1-URGENT", 0L))}")
+    // fold 1 sees both positives: (2·4 + 20)·10⁶ div ((3+10)·4) = 538461
+    assert(got(("1-URGENT", 1L)) == ((3L, 2L, 538461L)),
+      s"fold 1 encoding wrong: ${got(("1-URGENT", 1L))}")
+  }
+
   test("cuped: y = 2x collapses both variants onto the pooled mean; " +
     "a constant covariate leaves the raw means untouched") {
     // y exactly 2x: θ must be exactly 2, and every adjusted mean
