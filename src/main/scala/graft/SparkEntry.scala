@@ -571,6 +571,11 @@ object SparkEntry {
     // the (category × fold) domain
     "q207_target_encoding" -> ((s: SparkSession, d: String) =>
       Stats.targetEncoding(s, d)),
+    // Feature hashing (hashing trick): fixed-dim signed-bucket text
+    // vectorizer with NO vocabulary pass — tokenize-explode + one
+    // map-side-combinable groupBy, nothing driver-side
+    "q208_feature_hashing" -> ((s: SparkSession, d: String) =>
+      TextStats.featureHashing(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3731,6 +3736,29 @@ object SparkEntry {
         |       AS BIGINT) AS enc_q6
         |FROM cf JOIN c USING (category) CROSS JOIN g
         |ORDER BY category, fold""".stripMargin,
+    // q208: the same char-fold token hash (q32's kernel) per token,
+    // signed bucket fold, per-doc rollup — all integer
+    "q208_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(tok, ''), c -> c != ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |  FROM toks WHERE LENGTH(tok) > 0),
+        |vec AS (
+        |  SELECT doc_id, h % 64 AS bucket,
+        |    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS w
+        |  FROM h GROUP BY 1, 2),
+        |nz AS (SELECT * FROM vec WHERE w != 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+        |  CAST(SUM(ABS(w)) AS BIGINT) AS l1,
+        |  CAST(SUM(bucket * w) AS BIGINT) AS checksum
+        |FROM nz GROUP BY 1 ORDER BY 1""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

@@ -166,6 +166,42 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Feature hashing (the "hashing trick") — the fixed-dimension text
+    * vectorizer that needs NO vocabulary pass: each token hashes to
+    * one of `dims` buckets with a ±1 sign from an independent hash
+    * bit (Weinberger et al. — the sign makes collisions cancel in
+    * expectation instead of biasing upward). Output per doc: the
+    * sparse vector's nnz, L1 mass, and a deterministic Σbucket·w
+    * checksum — bounded one row per doc, with the full vector
+    * recoverable from the (doc, bucket, w) intermediate.
+    *
+    * Scale shape: tokenize-explode + ONE map-side-combinable
+    * groupBy(doc, bucket) + a per-doc rollup — no vocabulary table,
+    * no joins, nothing driver-side; exactly why the trick exists at
+    * 100 TB. Token hash is the shared [[fingerprint]] char-fold
+    * polynomial, so both engines agree bit-for-bit.
+    */
+  def featureHashing(spark: SparkSession, d: String,
+                     dims: Int = 64): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val hashed = toks.select($"doc_id",
+      aggregate(filter(split($"tok", ""), ch => ch =!= ""), lit(0L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % P).as("h"))
+    val vec = hashed.select($"doc_id", ($"h" % dims).as("bucket"),
+        when(expr(s"(h div $dims) % 2") === 0, lit(1L)).otherwise(lit(-1L))
+          .as("sgn"))
+      .groupBy($"doc_id", $"bucket").agg(sum($"sgn").as("w"))
+      .filter($"w" =!= 0)
+    vec.groupBy($"doc_id").agg(
+        count(lit(1)).as("nnz"),
+        sum(abs($"w")).as("l1"),
+        sum($"bucket" * $"w").as("checksum"))
+      .orderBy($"doc_id")
+  }
+
   /** Winnowing-style fingerprint: minimum polynomial hash over 5-char
     * grams sampled every 4 chars — the rolling-hash document sketch
     * (min-sampling variant of winnowing).
