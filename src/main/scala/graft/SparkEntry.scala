@@ -576,6 +576,10 @@ object SparkEntry {
     // map-side-combinable groupBy, nothing driver-side
     "q208_feature_hashing" -> ((s: SparkSession, d: String) =>
       TextStats.featureHashing(s, d)),
+    // Directed containment over the shared LSH candidates: the
+    // asymmetric quote/boilerplate signal symmetric Jaccard misses —
+    // both directions as positive q6 divisions
+    "q209_containment" -> (Dedup.containment _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1608,6 +1612,17 @@ object SparkEntry {
       "q27_minhash_lsh" ->
         s"""WITH $lshCandCtes
            |SELECT a_id, b_id, ${jac("a_h", "b_h")} AS jaccard
+           |FROM cand ORDER BY a_id, b_id""".stripMargin,
+      // q209: both directed containments over the same candidate set —
+      // positive integer divisions, floor == trunc
+      "q209_containment" ->
+        s"""WITH $lshCandCtes
+           |SELECT a_id, b_id,
+           |  CAST(len(list_intersect(a_h, b_h)) AS BIGINT) AS n_inter,
+           |  CAST(CAST(len(list_intersect(a_h, b_h)) AS BIGINT) * 1000000
+           |       // len(a_h) AS BIGINT) AS cont_a_q6,
+           |  CAST(CAST(len(list_intersect(a_h, b_h)) AS BIGINT) * 1000000
+           |       // len(b_h) AS BIGINT) AS cont_b_q6
            |FROM cand ORDER BY a_id, b_id""".stripMargin,
       // q188: the oracle pairs neighbors with a rank RANGE self-join
       // (the engine uses the bucket equi-join) — same N·w pair set

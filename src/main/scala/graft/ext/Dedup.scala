@@ -249,6 +249,39 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** DIRECTED containment scoring over the LSH candidates — the
+    * asymmetric complement of [[minhashLsh]]'s Jaccard: a short quote
+    * inside a long document scores near-zero Jaccard (the union is
+    * huge) but containment |A∩B|/|A| ≈ 1 from the quote's side, which
+    * is exactly the quote/boilerplate/partial-copy signal a curation
+    * pipeline needs next to symmetric near-dup. Both directions are
+    * reported per pair as positive q6 integer divisions — exactly
+    * hash-verifiable.
+    *
+    * Scale shape: rides the SAME shared banded candidate set and
+    * per-doc shingle sets as q27/q54/q85 (Derived registry — one
+    * materialization serves all four), never all-pairs. Stated recall
+    * caveat: minhash banding targets symmetric Jaccard, so extreme
+    * short-in-long containments can miss the band collision — the
+    * winnowing fingerprints (q33) are the high-recall path for those;
+    * this operator scores the candidate set it is given.
+    */
+  def containment(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hs = hashSets(spark, d)
+    sharedPairs(spark, d)
+      .join(broadcast(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
+      .join(broadcast(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
+      .select($"a_id", $"b_id",
+        size(array_intersect($"a_h", $"b_h")).cast("long").as("n_inter"),
+        size($"a_h").cast("long").as("na"),
+        size($"b_h").cast("long").as("nb"))
+      .select($"a_id", $"b_id", $"n_inter",
+        expr("CAST(n_inter * 1000000 div na AS BIGINT)").as("cont_a_q6"),
+        expr("CAST(n_inter * 1000000 div nb AS BIGINT)").as("cont_b_q6"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Duplicate-cluster resolution: connected components over the LSH
     * candidate pairs, labels = smallest doc_id reachable. Iterative
     * min-label propagation — each round is one join + aggregate, the

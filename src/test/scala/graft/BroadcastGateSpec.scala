@@ -102,13 +102,4 @@ class BroadcastGateSpec extends SparkSpec {
     assert(gated == hinted, "gate changed the community assignment")
   }
 
-  test("connectedComponents: oversized label frame takes the shuffle " +
-    "rounds, components unchanged") {
-    val hinted = rows(Graph.connectedComponents(spark, d))
-    Derived.clear()
-    val gated = withoutAutoBroadcast {
-      rows(Graph.connectedComponents(spark, d, maxBroadcastNodes = -1L))
-    }
-    assert(gated == hinted, "gate changed the component labels")
-  }
 }
