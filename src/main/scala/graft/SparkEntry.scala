@@ -580,6 +580,12 @@ object SparkEntry {
     // asymmetric quote/boilerplate signal symmetric Jaccard misses —
     // both directions as positive q6 divisions
     "q209_containment" -> (Dedup.containment _),
+    // Maintained distinct counts: HLL register partials built on a
+    // base slice, refreshed from the delta by register-wise MAX
+    // (delta + the 64-row-per-group table only), served as estimates
+    // — the deterministic q127 kernel makes the sketch maintenance
+    // verifiable by VALUE against a direct full-fact oracle
+    "q210_mv_hll_distinct" -> (Extended.mvHllDistinct _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -2467,6 +2473,40 @@ object SparkEntry {
     // q127: identical register pipeline — trailing-zero ranks, max per
     // bucket, harmonic sum on a common 2^maxM integer denominator;
     // 0.709·4096 multiplies before the double promotion on both sides
+    // q210: IDENTICAL estimator to q127 but over the FULL fact in one
+    // pass — the engine built it as base-slice registers max-merged
+    // with the delta's; equality proves the sketch maintenance exact
+    "q210_mv_hll_distinct" ->
+      """WITH m1 AS (
+        |  SELECT o_orderpriority AS grp,
+        |    (o_custkey % 2147483647) * 2654435761 % 2147483647 AS h1
+        |  FROM orders),
+        |m2 AS (SELECT grp, xor(h1, h1 // 8192) AS h2 FROM m1),
+        |m3 AS (SELECT grp,
+        |  (h2 % 2147483647) * 2246822519 % 2147483647 AS h3 FROM m2),
+        |h AS (SELECT grp, xor(h3, h3 // 33554432) AS h FROM m3),
+        |b AS (SELECT grp, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT grp, bucket,
+        |    CASE WHEN w = 0 THEN 26
+        |         ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+        |  FROM b),
+        |reg AS (SELECT grp, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        |mm AS (SELECT grp, MAX(mj) AS maxm, COUNT(*) AS n_present
+        |       FROM reg GROUP BY 1),
+        |sp AS (
+        |  SELECT reg.grp, mm.maxm, mm.n_present,
+        |    SUM(CAST(1 AS BIGINT) << (mm.maxm - reg.mj)) AS s_present
+        |  FROM reg JOIN mm ON reg.grp = mm.grp GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT grp, maxm,
+        |    CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << maxm)
+        |         AS BIGINT) AS s_int
+        |  FROM sp)
+        |SELECT grp, CAST(maxm AS INTEGER) AS maxm, s_int,
+        |  ROUND(CAST(0.709 AS DOUBLE) * 4096.0 * power(2.0, maxm) / s_int
+        |        * 10000, 0) / 10000 + 0.0 AS est
+        |FROM s ORDER BY grp""".stripMargin,
     "q127_hll_registers" ->
       """WITH m1 AS (
         |  SELECT o_orderpriority AS grp,

@@ -540,6 +540,37 @@ object Extended {
     pinned
   }
 
+  /** q210 — MAINTAINED distinct counts via mergeable HLL register
+    * partials ([[graft.operators.HllMv]]): the one aggregate the
+    * algebraic MV gears can never serve. Registers built over a base
+    * slice of orders, refreshed from the remaining rows by
+    * register-wise MAX — delta + the ≤|groups|·64-row table only,
+    * never the base fact — then per-priority distinct-customer
+    * estimates served from the merged table. The kernel is q127's
+    * deterministic integer HLL, so the DuckDB oracle computes the
+    * estimate DIRECTLY over the full fact and the hash match proves
+    * maxmerge(regs(base), regs(delta)) == regs(base ∪ delta) through
+    * the serve path — sketch maintenance verified by value, not by
+    * error bars. Insert-only by scope (register MAX is monotone;
+    * deletes are the [[graft.plans.MvRewrite.refreshRetract]]
+    * MIN/MAX refusal class).
+    */
+  def mvHllDistinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q210").toString
+    val orders = Tables.orders(spark, d)
+      .select($"o_orderpriority", $"o_custkey", $"o_orderkey")
+    val hdef = graft.operators.HllMv.Def(
+      "o_orderpriority", "o_custkey", s"$tmp/mv0")
+    val mv0 = graft.operators.HllMv.materializeFrom(
+      orders.filter($"o_orderkey" % 3 =!= 0), hdef)
+    val refreshed = graft.operators.HllMv.refreshIncremental(
+      spark, mv0, orders.filter($"o_orderkey" % 3 === 0), s"$tmp/mv1")
+    graft.operators.HllMv.serveDistinct(spark, refreshed)
+      .orderBy($"grp")
+  }
+
   /** Exact equi-depth (equal-frequency) histogram of order value —
     * the optimizer-statistics / feature-binning primitive: B buckets
     * whose populations differ by at most one row, with each bucket's

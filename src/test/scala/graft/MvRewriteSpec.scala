@@ -311,6 +311,36 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("HLL register MV: delta-only refresh == direct build over the union") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-hll").toString
+    def rows(r: Range) = r.map(i =>
+      (s"g${i % 3}", (i % 40).toLong)).toDF("g", "k")
+    rows(1 to 300).write.parquet(s"$dir/base.parquet")
+    val hdef = graft.operators.HllMv.Def("g", "k", s"$dir/mv0")
+    val mv0 = graft.operators.HllMv.materializeFrom(
+      spark.read.parquet(s"$dir/base.parquet"), hdef)
+    // the hard proof of "delta-only": the base is GONE before the
+    // refresh — any register rebuild touching it would throw
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$dir/base.parquet"))
+    val refreshed = graft.operators.HllMv.refreshIncremental(
+      spark, mv0, rows(301 to 500), s"$dir/mv1")
+    val direct = graft.operators.HllMv.materializeFrom(rows(1 to 500),
+      graft.operators.HllMv.Def("g", "k", s"$dir/mvfull"))
+    def regs(p: String) = spark.read.parquet(p)
+      .orderBy($"grp", $"bucket").collect().toSeq
+    assert(regs(refreshed.mvPath) == regs(direct.mvPath),
+      "maxmerge(regs(base), regs(delta)) must equal regs(base ∪ delta)")
+    // served estimates are therefore identical too — and registers
+    // being deterministic, this is exact VALUE equality, no error bar
+    val est = graft.operators.HllMv.serveDistinct(spark, refreshed)
+      .orderBy($"grp").collect().toSeq
+    val estDirect = graft.operators.HllMv.serveDistinct(spark, direct)
+      .orderBy($"grp").collect().toSeq
+    assert(est == estDirect)
+  }
+
   test("refreshing an unregistered MvDef is refused") {
     withRule()
     import spark.implicits._
