@@ -130,4 +130,64 @@ object MvStream {
     stream.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => m.apply(batch, id))
       .outputMode("append")
+
+  /** [[maintain]] for the HLL register table. */
+  def maintainHll(stream: DataFrame, m: HllMaintainer)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => m.apply(batch, id))
+      .outputMode("append")
+}
+
+/** Continuous maintenance of the mergeable HLL register table
+  * ([[graft.operators.HllMv]]) — distinct-count freshness tracking
+  * ingestion the way [[MvMaintainer]] tracks it for the algebraic
+  * partials. Identical failure-model machinery: committed batch id
+  * turns at-least-once redelivery into a no-op, the table alternates
+  * two paths with one atomic marker rename as the commit point, a
+  * restarted maintainer resumes from the marker. The fold itself is
+  * register-wise MAX — idempotent, so even a REAPPLIED batch would
+  * land on the same registers; the batch-id skip still guards it
+  * because idempotence is a property of THIS fold, not of the
+  * protocol, and the protocol must not depend on it. Insert-only by
+  * [[graft.operators.HllMv]]'s stated scope.
+  */
+final class HllMaintainer(grpCol: String, keyCol: String, root: String) {
+
+  import graft.operators.HllMv
+
+  private val pathA = s"$root/a"
+  private val pathB = s"$root/b"
+  private val marker = java.nio.file.Paths.get(root, "_committed")
+
+  private var committed: (Long, String) = {
+    if (java.nio.file.Files.exists(marker)) {
+      val Array(b, p) = java.nio.file.Files.readString(marker).trim.split(",", 2)
+      (b.toLong, p)
+    } else (-1L, pathA)
+  }
+
+  def mv: HllMv.Def = HllMv.Def(grpCol, keyCol, committed._2)
+  def lastBatchId: Long = committed._1
+
+  def apply(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= committed._1) return // redelivered — already folded
+    val next = if (committed._2 == pathA) pathB else pathA
+    if (committed._1 < 0L)
+      HllMv.materializeFrom(batch, HllMv.Def(grpCol, keyCol, next))
+    else
+      HllMv.refreshIncremental(batch.sparkSession, mv, batch, next)
+    commitMarker(batchId, next)
+    committed = (batchId, next)
+  }
+
+  private def commitMarker(batchId: Long, path: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val tmp = java.nio.file.Paths.get(root, "_committed.tmp")
+    java.nio.file.Files.write(tmp,
+      s"$batchId,$path".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 }

@@ -122,6 +122,37 @@ class MvStreamSpec extends SparkSpec {
     MvRewrite.clear()
   }
 
+  test("HLL maintainer: streamed register folds == from-scratch build; " +
+    "replay no-op; restart resumes") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    val m = new graft.streaming.HllMaintainer("g", "k", s"$root/mv")
+    val input = MemoryStream[(String, Long)]
+    val query = MvStream.maintainHll(input.toDF().toDF("g", "k"), m).start()
+    def batchRows(r: Range) = r.map(i => (s"g${i % 3}", (i % 40).toLong))
+    try {
+      Seq(batchRows(1 to 50), batchRows(51 to 120), batchRows(121 to 200))
+        .foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    assert(m.lastBatchId == 2)
+    val direct = graft.operators.HllMv.materializeFrom(
+      batchRows(1 to 200).toDF("g", "k"),
+      graft.operators.HllMv.Def("g", "k", s"$root/direct"))
+    def regs(p: String) = spark.read.parquet(p)
+      .orderBy($"grp", $"bucket").collect().toSeq
+    assert(regs(m.mv.mvPath) == regs(direct.mvPath),
+      "streamed register folds must equal the from-scratch registers")
+    // replay + restart
+    val before = regs(m.mv.mvPath)
+    val path = m.mv.mvPath
+    m.apply(batchRows(121 to 200).toDF("g", "k"), 2L)
+    assert(m.mv.mvPath == path && regs(m.mv.mvPath) == before,
+      "replayed batch must be a protocol-level no-op")
+    val m2 = new graft.streaming.HllMaintainer("g", "k", s"$root/mv")
+    assert(m2.lastBatchId == 2L && m2.mv.mvPath == path,
+      "restart must resume the committed id and serve the committed copy")
+  }
+
   test("restart resumes from the committed marker") {
     val root = freshRoot()
     val m1 = new MvMaintainer(s"$root/source", Seq("g"), Seq("v"), s"$root/mv")
