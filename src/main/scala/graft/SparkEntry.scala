@@ -586,6 +586,10 @@ object SparkEntry {
     // — the deterministic q127 kernel makes the sketch maintenance
     // verifiable by VALUE against a direct full-fact oracle
     "q210_mv_hll_distinct" -> (Extended.mvHllDistinct _),
+    // Per-group AUC without per-group windows: one GlobalIndex pass
+    // over the (group, score, key) total order, within-group rank by
+    // broadcast offset subtraction — the q91 two-pass discipline
+    "q211_auc_by_group" -> (Stats.aucByGroup _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3814,6 +3818,29 @@ object SparkEntry {
         |  CAST(SUM(ABS(w)) AS BIGINT) AS l1,
         |  CAST(SUM(bucket * w) AS BIGINT) AS checksum
         |FROM nz GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q211: the oracle ranks with the per-group PARTITION BY window
+    // the engine deliberately avoids — same Mann-Whitney rational
+    "q211_auc_by_group" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |rk AS (SELECT grp, y,
+        |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s, k) AS r
+        |       FROM pts),
+        |agg AS (
+        |  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(y) AS HUGEINT) AS p,
+        |    CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS HUGEINT) AS sr
+        |  FROM rk GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(p AS BIGINT) AS n_pos,
+        |  CAST(n - p AS BIGINT) AS n_neg,
+        |  CAST(((2 * sr - p * (p + 1)) * 1000000)
+        |       // nullif(2 * p * (n - p), 0) AS BIGINT) AS auc_q6
+        |FROM agg ORDER BY grp""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

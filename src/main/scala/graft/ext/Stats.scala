@@ -1217,6 +1217,45 @@ object Stats {
           " div nullif(2 * p * (n - p), 0) AS BIGINT)").as("auc_q6"))
   }
 
+  /** Per-GROUP ROC-AUC — [[aucRanked]] segmented (is the score
+    * equally predictive for urgent and low-priority orders?), without
+    * the shape that kills it at scale: `ROW_NUMBER() OVER (PARTITION
+    * BY group ORDER BY score)` funnels each group through ONE reducer
+    * — with 5 groups that is 5 tasks for a 100 TB fact. Instead the
+    * q91 two-pass discipline: ONE GlobalIndex ranking over the
+    * (group, score, key) total order, then within-group rank = global
+    * rank − (group's min rank − 1), the offsets a 5-row broadcast —
+    * per-group windows never exist. The Mann-Whitney identity then
+    * needs one aggregate per group, same doubled-rational exactness
+    * as [[aucRanked]]; single-class groups yield NULL via nullif, not
+    * a wrong number.
+    */
+  def aucByGroup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pts = Tables.orders(spark, d).select(
+      $"o_orderpriority".as("grp"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pts, Seq($"grp".asc, $"s".asc, $"k".asc), "r")
+    val offsets = ranked.groupBy($"grp").agg((min($"r") - 1L).as("off"))
+    ranked.join(broadcast(offsets), "grp")
+      .select($"grp", $"y", ($"r" - $"off").as("gr"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"y").cast(dec).as("p"),
+        sum(when($"y" === 1L, $"gr").otherwise(lit(0L))).cast(dec).as("sr"))
+      .select($"grp",
+        expr("CAST(n AS BIGINT)").as("n"),
+        expr("CAST(p AS BIGINT)").as("n_pos"),
+        expr("CAST(n - p AS BIGINT)").as("n_neg"),
+        expr("CAST(((2 * sr - p * (p + 1)) * 1000000)" +
+          " div nullif(2 * p * (n - p), 0) AS BIGINT)").as("auc_q6"))
+      .orderBy($"grp")
+  }
+
   /** Decile gains (capture) table — [[aucRanked]]'s actionable
     * companion: rank everything by score descending, cut into 10
     * equal-population buckets, and report each bucket's share of all

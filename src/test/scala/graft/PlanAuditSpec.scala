@@ -517,4 +517,59 @@ class PlanAuditSpec extends SparkSpec {
             lines.slice(i, i + 3).mkString("\n"))
       }
   }
+
+  test("q205/q206: ranking rides GlobalIndex — no full-data global window") {
+    for (q <- Seq("q205_auc_ranked", "q206_decile_gains")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      assert(lines.exists(_.contains("__pid")),
+        s"$q: expected the GlobalIndex per-partition numbering window")
+      // single-partition funnels may carry only aggregate-sized rows
+      // (the scalar fit / the 10-row bucket cum-window)
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val child = lines.drop(i + 1).take(2).mkString
+          assert(child.contains("Aggregate") || child.contains("Window"),
+            s"$q: single-partition exchange over data rows:\n" +
+              lines.slice(i, i + 3).mkString("\n"))
+        }
+    }
+  }
+
+  test("q202: the temporal time gate filters BELOW the arrival join's shuffle") {
+    val df = SparkEntry.queries("q202_temporal_reachability")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "the time gate must ride the node equi-join, never a theta join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "t >= a is a post-join filter on an equi-join, not a join condition")
+  }
+
+  test("q203: seeded teleport attaches as broadcast scalars, windows nowhere") {
+    val df = SparkEntry.queries("q203_personalized_pagerank")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "PPR rounds are joins + aggregates; no window may appear")
+    assert(!plan.contains("CartesianProduct"),
+      "the one-row seed-count scalar must attach as a broadcast")
+  }
+
+  test("q204: consensus candidates come from band equi-joins, " +
+    "top-k from the bounded partial") {
+    val df = SparkEntry.queries("q204_knn_label_consensus")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "neighborhoods must never come from an all-pairs plan")
+    assert(!plan.contains("Window"),
+      "per-vector top-k must ride TopKAgg partials, not a rank window")
+  }
+
+  test("q210: served estimates scan ONLY the register table, never orders") {
+    val df = SparkEntry.queries("q210_mv_hll_distinct")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!leaves.contains("orders.parquet"),
+      "the serve path must read the merged register MV, not the fact")
+  }
 }
