@@ -183,6 +183,23 @@ object MvRewrite extends Rule[LogicalPlan] {
           sum(op).as("cnt")): _*)
   }
 
+  /** SQL's SUM over zero non-null values is NULL, but a signed merge
+    * that retracts every non-null contribution leaves an exact 0 in
+    * the partial — normalize `sum_<c>` back to NULL whenever its
+    * non-null count hits zero, so a retraction-refreshed cell is
+    * bit-identical to a rebuilt one (MvProps found the divergence:
+    * delete the only non-null row of a cell that also holds a
+    * NULL-valued row). */
+  private def nullEmptySums(df: DataFrame, mv: MvDef): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    df.select(df.columns.map { c =>
+      if (mv.sumCols.exists(s => c == s"sum_$s"))
+        when(col(s"cnt_${c.stripPrefix("sum_")}") === 0,
+          lit(null)).otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** Build + write + register an MV whose initial history IS a CDC
     * batch (the streaming maintainer's first micro-batch in CDC mode):
     * the signed partials of the batch, fully-cancelled cells dropped.
@@ -192,7 +209,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     require(d.minMaxCols.isEmpty,
       s"baseFromCdc: MIN/MAX partials are not retractable — view on " +
         s"${d.sourcePath} registers min-max columns ${d.minMaxCols}")
-    signedPartials(cdc, d, opCol)
+    nullEmptySums(signedPartials(cdc, d, opCol), d)
       .filter(org.apache.spark.sql.functions.col("cnt") > 0)
       .write.mode("overwrite").parquet(d.mvPath)
     register(d)
@@ -207,12 +224,14 @@ object MvRewrite extends Rule[LogicalPlan] {
         "rebuild with materialize instead")
     require(defs.get(mv.sourcePath).exists(_.exists(_.mvPath == mv.mvPath)),
       s"refreshRetract: ${mv.mvPath} is not the registered MV for ${mv.sourcePath}")
-    spark.read.parquet(mv.mvPath).unionByName(signedPartials(cdc, mv, opCol))
+    val merged = spark.read.parquet(mv.mvPath)
+      .unionByName(signedPartials(cdc, mv, opCol))
       .groupBy(mv.groupCols.head, mv.groupCols.tail: _*)
       .agg(sum(s"sum_${mv.sumCols.head}").as(s"sum_${mv.sumCols.head}"),
         (mv.sumCols.tail.map(c => sum(s"sum_$c").as(s"sum_$c")) ++
           mv.sumCols.map(c => sum(s"cnt_$c").as(s"cnt_$c")) :+
           sum("cnt").as("cnt")): _*)
+    nullEmptySums(merged, mv)
       .filter(org.apache.spark.sql.functions.col("cnt") > 0)
       .write.mode("overwrite").parquet(newMvPath)
     val d2 = mv.copy(mvPath = newMvPath)

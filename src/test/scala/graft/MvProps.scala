@@ -79,4 +79,67 @@ object MvProps extends Properties("mv") {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
     }
+
+  // base rows (with a unique id so deletes are exact row images),
+  // a delete subset, and an insert batch — the CDC retraction case.
+  // No min-max columns: refreshRetract refuses them by scope.
+  private val genRetract: Gen[(List[(Long, String, Option[Long])],
+    Set[Long], List[(Long, String, Option[Long])])] =
+    for {
+      n <- Gen.choose(6, 40)
+      base <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        s <- Gen.option(Gen.choose(-9L, 9L))
+      } yield (g, s))
+      delIdx <- Gen.someOf(0 until n)
+      m <- Gen.choose(0, 15)
+      ins <- Gen.listOfN(m, for {
+        g <- Gen.oneOf("a", "b", "c")
+        s <- Gen.option(Gen.choose(-9L, 9L))
+      } yield (g, s))
+    } yield (
+      base.zipWithIndex.map { case ((g, s), i) => (i.toLong, g, s) },
+      delIdx.map(_.toLong).toSet,
+      ins.zipWithIndex.map { case ((g, s), i) => (1000L + i, g, s) })
+
+  property("retraction refresh == rebuild over (base \\ deletes) ∪ inserts") =
+    Prop.forAll(genRetract) { case (base, delIds, inserts) =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-mv-retract-props").toString
+      try {
+        def df(b: List[(Long, String, Option[Long])]) = b.toDF("id", "g", "s")
+        df(base).write.parquet(s"$dir/base")
+        val mv0 = MvRewrite.materialize(spark, s"$dir/base",
+          groupCols = Seq("g"), sumCols = Seq("s"), mvPath = s"$dir/mv0")
+        val dels = base.filter(r => delIds(r._1))
+        val cdc = df(dels).withColumn("op", lit(-1))
+          .unionByName(df(inserts).withColumn("op", lit(1)))
+        val refreshed = MvRewrite.refreshRetract(
+          spark, mv0, cdc, "op", s"$dir/mv1")
+        val net = base.filterNot(r => delIds(r._1)) ++ inserts
+        def build(rows: List[(Long, String, Option[Long])], tag: String) = {
+          if (rows.isEmpty)
+            spark.emptyDataset[(Long, String, Option[Long])]
+              .toDF("id", "g", "s")
+              .write.parquet(s"$dir/$tag")
+          else df(rows).write.parquet(s"$dir/$tag")
+          MvRewrite.materialize(spark, s"$dir/$tag",
+            groupCols = Seq("g"), sumCols = Seq("s"),
+            mvPath = s"$dir/mv-$tag")
+        }
+        val rebuilt = build(net, "net")
+        def state(path: String) = {
+          val t = spark.read.parquet(path)
+          t.select(t.columns.sorted.map(col): _*).orderBy($"g")
+            .collect().map(_.toSeq).toSeq
+        }
+        val got = state(refreshed.mvPath)
+        val want = state(rebuilt.mvPath)
+        MvRewrite.clear()
+        got == want
+      } finally {
+        MvRewrite.clear()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
 }

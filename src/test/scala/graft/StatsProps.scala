@@ -192,4 +192,33 @@ object StatsProps extends Properties("stats") {
       }
       got == want.toSeq
     }
+
+  private val genTemporalGraph: Gen[List[(Long, Long, Long)]] =
+    Gen.listOf(for {
+      u <- Gen.choose(0L, 6L); v <- Gen.choose(0L, 6L) if u != v
+      t <- Gen.choose(0L, 9L)
+    } yield (u, v, t)).map(_.distinct.take(20))
+
+  property("temporalOnEdges == sequential earliest-arrival reference") =
+    Prop.forAll(genTemporalGraph) { edges =>
+      import spark.implicits._
+      val sym =
+        if (edges.isEmpty)
+          spark.emptyDataset[(Long, Long, Long)].toDF("u", "v", "t")
+        else edges.toDF("u", "v", "t")
+      val got = Graph.temporalOnEdges(sym, Seq(0L).toDF("node"), maxHops = 3)
+        .as[(Long, Long)].collect().toMap
+      // reference: synchronous earliest-arrival relaxation — round r
+      // relaxes every edge whose time is >= the PREVIOUS round's
+      // arrival at its source (the time-respecting gate)
+      var arr = Map(0L -> 0L)
+      for (_ <- 1 to 3) {
+        val relaxed = edges.flatMap { case (u, v, t) =>
+          arr.get(u).filter(t >= _).map(_ => v -> t)
+        }
+        arr = (arr.toSeq ++ relaxed).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      got == arr
+    }
 }
