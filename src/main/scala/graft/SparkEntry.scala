@@ -590,6 +590,11 @@ object SparkEntry {
     // over the (group, score, key) total order, within-group rank by
     // broadcast offset subtraction — the q91 two-pass discipline
     "q211_auc_by_group" -> (Stats.aucByGroup _),
+    // Per-token corpus-divergence (topic-drift screen): signed
+    // smoothed log-odds between the two doc_id-parity corpora, q177's
+    // exact LQ quantization; one conditional count, broadcast totals
+    "q212_token_divergence" -> ((s: SparkSession, d: String) =>
+      TextStats.tokenDivergence(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3841,6 +3846,30 @@ object SparkEntry {
         |  CAST(((2 * sr - p * (p + 1)) * 1000000)
         |       // nullif(2 * p * (n - p), 0) AS BIGINT) AS auc_q6
         |FROM agg ORDER BY grp""".stripMargin,
+    // q212: same smoothed log-odds with DuckDB's ln over the same
+    // exact integer products — identical IEEE ln, identical floors
+    "q212_token_divergence" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 AS period,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT period, tok FROM toks WHERE LENGTH(tok) > 0),
+        |counts AS (
+        |  SELECT tok,
+        |    CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t2 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |               CAST(SUM(cb) AS BIGINT) AS nb,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM counts)
+        |SELECT tok, ca, cb,
+        |  CAST(floor(ln(CAST((ca + 1) * (nb + v) AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT)
+        |  - CAST(floor(ln(CAST((cb + 1) * (na + v) AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS dlq
+        |FROM counts CROSS JOIN tot
+        |WHERE ca + cb >= 5
+        |ORDER BY tok""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

@@ -202,6 +202,45 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Per-token corpus-divergence profile — "which terms shifted
+    * between corpus A and corpus B" (old crawl vs new crawl, source
+    * vs source), the topic-drift screen run before mixing corpora:
+    * the signed smoothed log-odds `ln((c_A+1)(N_B+V)) −
+    * ln((c_B+1)(N_A+V))` per token, positive = A-leaning. Periods
+    * are the deterministic doc_id parity split; a support floor
+    * drops the noise tail (and bounds output by the vocabulary,
+    * which grows sublinearly — Heaps — and is further cut by the
+    * floor).
+    *
+    * Exactness: the q177 LQ discipline — ln is taken of EXACT
+    * integer products quantized to q6 (`floor(ln(x)·10⁶)`), so both
+    * engines hash-match bit-for-bit; the subtraction of two LQ
+    * integers is exact. Scale shape: tokenize-explode + ONE
+    * map-side-combinable conditional count per token; totals attach
+    * as a broadcast one-row scalar; no joins, no windows.
+    */
+  def tokenDivergence(spark: SparkSession, d: String,
+                      minSupport: Long = 5L): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select(($"doc_id" % 2).as("period"),
+        explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val counts = toks.groupBy($"tok")
+      .agg(sum(when($"period" === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when($"period" === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
+      count(lit(1)).as("v"))
+    counts.filter($"ca" + $"cb" >= minSupport)
+      .crossJoin(broadcast(totals))
+      .select($"tok", $"ca", $"cb",
+        (expr("CAST(floor(ln(CAST((ca + 1) * (nb + v) AS DOUBLE))" +
+          " * 1000000.0) AS BIGINT)") -
+          expr("CAST(floor(ln(CAST((cb + 1) * (na + v) AS DOUBLE))" +
+            " * 1000000.0) AS BIGINT)")).as("dlq"))
+      .orderBy($"tok")
+  }
+
   /** Winnowing-style fingerprint: minimum polynomial hash over 5-char
     * grams sampled every 4 chars — the rolling-hash document sketch
     * (min-sampling variant of winnowing).
