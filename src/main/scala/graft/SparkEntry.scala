@@ -595,6 +595,11 @@ object SparkEntry {
     // exact LQ quantization; one conditional count, broadcast totals
     "q212_token_divergence" -> ((s: SparkSession, d: String) =>
       TextStats.tokenDivergence(s, d)),
+    // Cluster-safe split: the split unit is the near-dup CLUSTER, so
+    // a duplicate family can never straddle train/test — the leakage
+    // fix over q170's per-doc hash split; only the hash key changes
+    "q213_cluster_safe_split" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterSafeSplit(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1663,6 +1668,36 @@ object SparkEntry {
            |FROM r a JOIN r b
            |  ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3
            |ORDER BY a_id, b_id""".stripMargin,
+      // q213: q54's recursive component chain, then the q170 hash on
+      // the COMPONENT label instead of the doc id — the one-line fix
+      // mirrored exactly
+      "q213_cluster_safe_split" ->
+        s"""WITH RECURSIVE $lshCandCtes,
+           |edges AS (
+           |  SELECT a_id AS a, b_id AS b FROM cand
+           |  UNION ALL SELECT b_id, a_id FROM cand
+           |),
+           |reach(id, m) AS (
+           |  SELECT a, a FROM edges GROUP BY a
+           |  UNION
+           |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.id
+           |),
+           |cl AS (SELECT id AS doc_id, MIN(m) AS cluster_id
+           |       FROM reach GROUP BY id),
+           |g AS (
+           |  SELECT d.doc_id, d.lang,
+           |    COALESCE(cl.cluster_id, d.doc_id) AS gid
+           |  FROM documents d LEFT JOIN cl USING (doc_id)),
+           |s AS (
+           |  SELECT lang, doc_id,
+           |    CASE WHEN b < 90 THEN 'train'
+           |         WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT lang, doc_id,
+           |          (gid % 2147483647) * 2654435761 % 2147483647 % 100 AS b
+           |        FROM g))
+           |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q54_dup_clusters" ->
         s"""WITH RECURSIVE $lshCandCtes,
            |edges AS (

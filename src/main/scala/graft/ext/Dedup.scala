@@ -305,6 +305,41 @@ object Dedup {
     */
   val EdgesPerPartition = 2000000L
 
+  /** CLUSTER-SAFE train/val/test split — the leakage fix for a famous
+    * eval bug: a per-document hash split puts near-duplicate documents
+    * on BOTH sides of the train/test boundary, so the model is graded
+    * on paraphrases of its training data. Here the split unit is the
+    * near-dup CLUSTER: every document hashes by its component label
+    * (`coalesce(cluster_id, doc_id)` — unclustered docs are their own
+    * unit), so a whole duplicate family lands in one split by
+    * construction. Same portable multiplicative hash and 90/5/5 cut
+    * as the per-doc split (q170) — the ONLY change is the hash key,
+    * which is exactly the point.
+    *
+    * Scale shape: the cluster labels ride the shared [[dupClusters]]
+    * resolution (Derived-cached LSH candidates); the corpus pays one
+    * left join against the clustered-doc frame (bounded by docs in
+    * candidate pairs, tiny vs the corpus) and one map-side-combinable
+    * census aggregate.
+    */
+  def clusterSafeSplit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val clusters = dupClusters(spark, d)
+      .select($"doc_id", $"cluster_id")
+    Tables.documents(spark, d).select($"doc_id", $"lang")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"cluster_id", $"doc_id").as("gid"))
+      .withColumn("bucket",
+        expr("(gid % 2147483647) * 2654435761 % 2147483647 % 100"))
+      .withColumn("split",
+        when($"bucket" < 90, "train").when($"bucket" < 95, "val")
+          .otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
+      .orderBy($"split", $"lang")
+  }
+
   def dupClusters(spark: SparkSession, d: String,
                   maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame =
     // Cheap pair generation (no jaccard/hash arrays/global sort — the

@@ -56,4 +56,32 @@ class DupClusterSpec extends SparkSpec {
     assert(driver == dist)
     assert(driver.nonEmpty)
   }
+
+  test("clusterSafeSplit: no near-dup cluster straddles a split boundary " +
+    "— the per-doc hash split provably does") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    def split(gid: String) =
+      when(expr(s"($gid % 2147483647) * 2654435761 % 2147483647 % 100") < 90,
+        "train")
+        .when(expr(s"($gid % 2147483647) * 2654435761 % 2147483647 % 100") < 95,
+          "val")
+        .otherwise("test")
+    val clusters = graft.ext.Dedup.dupClusters(spark, d)
+    // the property itself: per CLUSTER, the cluster-keyed split
+    // assigns every member identically (hash of the same gid), while
+    // the doc-keyed split scatters members of some multi-doc cluster
+    val perDoc = clusters
+      .select($"doc_id", $"cluster_id",
+        split("cluster_id").as("safe"), split("doc_id").as("naive"))
+    val safeStraddle = perDoc.groupBy($"cluster_id")
+      .agg(countDistinct($"safe").as("k")).filter($"k" > 1).count()
+    assert(safeStraddle == 0L,
+      "cluster-keyed hashing must keep every duplicate family together")
+    val naiveStraddle = perDoc.groupBy($"cluster_id")
+      .agg(countDistinct($"naive").as("k")).filter($"k" > 1).count()
+    assert(naiveStraddle > 0L,
+      "expected the per-doc split to scatter at least one cluster — " +
+        "if not, this fixture no longer demonstrates the leakage bug")
+  }
 }
