@@ -600,6 +600,10 @@ object SparkEntry {
     // fix over q170's per-doc hash split; only the hash key changes
     "q213_cluster_safe_split" -> ((s: SparkSession, d: String) =>
       Dedup.clusterSafeSplit(s, d)),
+    // Bigram add-1 LM surprisal: the context-aware quality score the
+    // unigram model can't give (shuffled text scores like prose under
+    // bag-of-words); LQ-exact, model joins AQE-sized
+    "q214_bigram_perplexity" -> (TextStats.bigramPerplexity _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3905,6 +3909,37 @@ object SparkEntry {
         |FROM counts CROSS JOIN tot
         |WHERE ca + cb >= 5
         |ORDER BY tok""".stripMargin,
+    // q214: same bigram LM in SQL — out-of-bounds list index is NULL
+    // in DuckDB (mirroring try_element_at), surprisal terms provably
+    // ≥ 0 so the mean's div and // agree
+    "q214_bigram_perplexity" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM docs),
+        |big AS (
+        |  SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+        |  FROM idx
+        |  WHERE ws[i + 1] != '' AND ws[i + 2] IS NOT NULL
+        |    AND ws[i + 2] != ''),
+        |uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |        FROM big GROUP BY 1),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |          FROM big GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(CAST(c1 + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    - CAST(floor(ln(CAST(c12 + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS s
+        |  FROM big JOIN pairs USING (w1, w2) JOIN uni USING (w1)
+        |  CROSS JOIN nv),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |        CAST(SUM(s) AS BIGINT) AS nll_q6
+        |      FROM scored GROUP BY 1)
+        |SELECT doc_id, n_bigrams, nll_q6,
+        |  CAST(nll_q6 // n_bigrams AS BIGINT) AS avg_nll_q6
+        |FROM g ORDER BY doc_id""".stripMargin,
     // q193: the KS state grid recomputed directly; both sides filter
     // value >= 0 explicitly so DuckDB's flooring // and Spark's
     // truncating div agree by construction, not by generator luck

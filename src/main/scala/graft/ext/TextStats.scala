@@ -366,6 +366,51 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Bigram add-1 LM surprisal per document — [[logPerplexity]]'s
+    * context-aware sibling: the unigram score misses word-ORDER
+    * pathologies (shuffled text, keyword stuffing, n-gram spam score
+    * exactly like prose under a bag-of-words model), while the
+    * conditional `p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)` penalizes
+    * improbable transitions. Per doc: Σ over its bigrams of
+    * `LQ(c(w₁)+V) − LQ(c(w₁w₂)+1)` — the q175/q177 LQ discipline, ln
+    * of exact integers quantized to q6, so totals are exact integer
+    * sums and both engines hash-match.
+    *
+    * Scale shape: one explode to (doc, w₁, w₂) via a zipped
+    * self-slide (no join), one bigram-count partial agg, then the
+    * scoring joins keyed by bigram and by w₁ — corpus-derived model
+    * tables, AQE-sized (never a pinned broadcast — the bigram table
+    * is vocabulary², the q71/q73 lesson squared); one per-doc partial
+    * agg closes.
+    */
+  def bigramPerplexity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        // try_element_at: the last slot's i+2 is out of bounds, which
+        // ANSI element_at would throw on; NULL w2 is filtered below
+        "filter(transform(ws, (w, i) -> struct(w AS w1, " +
+          "try_element_at(ws, i + 2) AS w2)), p -> p.w1 != '' AND " +
+          "p.w2 IS NOT NULL AND p.w2 != '')")).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val uni = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val nv = uni.agg(count(lit(1)).as("v"))
+    val pairs = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    big.join(pairs, Seq("w1", "w2"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(nv))
+      .select($"doc_id",
+        (expr("CAST(floor(ln(CAST(c1 + v AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          - expr("CAST(floor(ln(CAST(c12 + 1 AS DOUBLE)) * 1000000.0)" +
+            " AS BIGINT)")).as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"s").as("nll_q6"))
+      .select($"doc_id", $"n_bigrams", $"nll_q6",
+        expr("nll_q6 div n_bigrams").as("avg_nll_q6"))
+      .orderBy($"doc_id")
+  }
+
   /** Out-of-vocabulary rate per document against the corpus top-k
     * vocabulary — the tokenizer-coverage gate: a document whose
     * tokens mostly fall outside the vocabulary the tokenizer was
