@@ -604,6 +604,11 @@ object SparkEntry {
     // unigram model can't give (shuffled text scores like prose under
     // bag-of-words); LQ-exact, model joins AQE-sized
     "q214_bigram_perplexity" -> (TextStats.bigramPerplexity _),
+    // Newman modularity of the LPA communities: the exact rational
+    // (S·in − Σdeg²)/S² over symmetric-row counts, decimal-staged,
+    // one shifted division — evaluates q185's artifact
+    "q215_modularity" -> ((s: SparkSession, d: String) =>
+      Graph.modularity(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3474,6 +3479,40 @@ object SparkEntry {
         "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),\n" +
         rounds + "\n" +
         "SELECT node AS part, label AS community FROM l4 ORDER BY part"
+    },
+    // q215: q185's unrolled LPA chain + the modularity tail — the
+    // same exact rational in HUGEINT with the 10⁹ shift (Q can be
+    // negative; // floors, div truncates)
+    "q215_modularity" -> {
+      val rounds = (1 to 4).map { i =>
+        s"v$i AS MATERIALIZED (\n" +
+          s"  SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u\n" +
+          s"      ORDER BY c DESC, label) AS rn\n" +
+          s"  FROM (SELECT s.u, l.label, COUNT(*) AS c FROM sym s\n" +
+          s"        JOIN l${i - 1} l ON s.v = l.node GROUP BY s.u, l.label)),\n" +
+          s"l$i AS MATERIALIZED (SELECT u AS node, label FROM v$i WHERE rn = 1)"
+      }.mkString(",\n")
+      "WITH items AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),\n" +
+        "pr AS MATERIALIZED (\n" +
+        "  SELECT i.p AS a, j.p AS b FROM items i\n" +
+        "  JOIN items j ON i.ok = j.ok AND i.p < j.p GROUP BY 1, 2),\n" +
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),\n" +
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),\n" +
+        rounds + ",\n" +
+        "comm AS MATERIALIZED (SELECT node, label FROM l4),\n" +
+        "stot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS s FROM sym),\n" +
+        "inr AS (SELECT CAST(COUNT(*) AS HUGEINT) AS i FROM sym s\n" +
+        "  JOIN comm cu ON s.u = cu.node JOIN comm cv ON s.v = cv.node\n" +
+        "  WHERE cu.label = cv.label),\n" +
+        "degs AS (SELECT cu.label, CAST(COUNT(*) AS HUGEINT) AS dc\n" +
+        "  FROM sym s JOIN comm cu ON s.u = cu.node GROUP BY 1),\n" +
+        "dsq AS (SELECT CAST(SUM(dc * dc) AS HUGEINT) AS sd,\n" +
+        "  CAST(COUNT(*) AS BIGINT) AS k FROM degs)\n" +
+        "SELECT k AS n_communities, CAST(s AS BIGINT) AS s_rows,\n" +
+        "  CAST(((s * i - sd) * 1000000 + 1000000000 * (s * s)) // (s * s)\n" +
+        "    - 1000000000 AS BIGINT) AS q_q6\n" +
+        "FROM stot CROSS JOIN inr CROSS JOIN dsq"
     },
     // q189: 2 unrolled HITS rounds; normalizers are scalar subqueries,
     // all HUGEINT, every division positive

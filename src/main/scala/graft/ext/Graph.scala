@@ -654,6 +654,48 @@ object Graph {
       .orderBy($"part")
   }
 
+  /** Newman modularity of the [[labelPropagation]] communities — the
+    * standard "is this partition better than chance" score that turns
+    * a community ALGORITHM into an evaluated artifact: Q = Σ_c
+    * [e_in(c)/m − (deg(c)/2m)²], here in symmetric-row counts as the
+    * exact rational `(S·in − Σ deg_c²)/S²` with S = 2m rows, in = rows
+    * whose endpoints share a community. Both aggregates stage
+    * DECIMAL(38,0) and the single division rides the 10⁹-denominator
+    * shift (Q may be negative; div vs // again).
+    *
+    * Scale shape: the community frame is the |V|-row LPA checkpoint
+    * leaf; scoring is two equi-joins of the shared cached edge frame
+    * against it plus map-side-combinable aggregates — the degree
+    * census needs only the u-side join. No windows, no collect.
+    */
+  def modularity(spark: SparkSession, d: String,
+                 rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val comm = labelPropagation(spark, d, rounds)
+      .select($"part".as("node"), $"community".as("label"))
+    val sym = graft.Derived.frame(s"copart-sym:$d") {
+      val e = copartEdges(spark, d)
+      e.select($"a".as("u"), $"b".as("v"))
+        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+        .repartition($"u")
+    }
+    val degs = sym.join(comm.select($"node".as("u"), $"label".as("lu")), "u")
+      .groupBy($"lu").agg(count(lit(1)).cast(dec).as("dc"))
+    val dsq = degs.agg(sum($"dc" * $"dc").as("sd"),
+      count(lit(1)).as("k"))
+    val tot = sym
+      .join(comm.select($"node".as("u"), $"label".as("lu")), "u")
+      .join(comm.select($"node".as("v"), $"label".as("lv")), "v")
+      .agg(count(lit(1)).cast(dec).as("s"),
+        sum(when($"lu" === $"lv", 1L).otherwise(0L)).cast(dec).as("inr"))
+    tot.crossJoin(broadcast(dsq))
+      .select($"k".as("n_communities"),
+        expr("CAST(s AS BIGINT)").as("s_rows"),
+        expr("CAST(((s * inr - sd) * 1000000 + 1000000000 * (s * s))" +
+          " div (s * s) - 1000000000 AS BIGINT)").as("q_q6"))
+  }
+
   /** Weighted single-source shortest paths, `maxHops` Bellman-Ford
     * rounds — "how tightly is everything coupled to the seed set"
     * over the co-purchase graph, with edge length inverse to

@@ -813,6 +813,27 @@ class BehaviorSpec extends SparkSpec {
                       4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
   }
 
+  test("modularity: two disjoint triangles score exactly 1/2; " +
+    "one clique scores exactly 0") {
+    // disjoint triangles {1,2,3}, {4,5,6}: S=12 symmetric rows, all
+    // internal (in=12), deg_c=6 each so Σd²=72:
+    // Q = (12·12−72)/144 = 1/2 exactly
+    val dir = Files.createTempDirectory("graft-mod").toString
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.modularity(spark, dir).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      (2L, 12L, 500000L), s"got $got")
+    // a single triangle is one community: in = S, Σd² = S² ⇒ Q = 0
+    val dir2 = Files.createTempDirectory("graft-mod2").toString
+    Seq((1L, 1L), (1L, 2L), (1L, 3L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir2/lineitem.parquet")
+    val one = Graph.modularity(spark, dir2).collect().head
+    assert((one.getLong(0), one.getLong(2)) == (1L, 0L), s"got $one")
+  }
+
   test("ssspWeighted: strong 2-hop detour beats a weak direct edge; " +
        "4-hop node is absent") {
     val dir = Files.createTempDirectory("graft-sssp").toString
