@@ -630,25 +630,34 @@ object Graph {
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
         .repartition($"u")
     }
-    // measured gate: |V| ≤ |E_sym| (every node carries ≥1 edge row),
-    // and the label frame is exactly |V| two-long rows every round —
-    // one cache-scan count decides all rounds
-    val fits = sym.count() <= maxBroadcastLabels
-    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    var labels = sym.select($"u".as("node")).distinct()
-      .select($"node", $"node".as("label"))
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      labels = sym
-        .join(hinted(labels.select($"node".as("v"), $"label")), "v")
-        .groupBy($"u", $"label").agg(count(lit(1)).as("c"))
-        // argmax(votes, then min label) as an aggregate: labels are
-        // positive part keys, so max of (c, -label) picks max votes
-        // and, within a tie, the smallest label
-        .groupBy($"u")
-        .agg(max(struct($"c".as("c"), (-$"label").as("nl"))).as("m"))
-        .select($"u".as("node"), (-$"m.nl").as("label"))
+    // the converged |V|-row label frame is registry-shared (keyed by
+    // every input that changes it, incl. the broadcast budget so the
+    // gate spec's fallback run never reuses a hinted-path frame):
+    // q185 and the modularity eval (q215) pay ONE propagation run per
+    // session between them
+    val labels = graft.Derived.frame(
+      s"lpa-labels:$d:r=$rounds:b=$maxBroadcastLabels") {
+      // measured gate: |V| ≤ |E_sym| (every node carries ≥1 edge
+      // row), and the label frame is exactly |V| two-long rows every
+      // round — one cache-scan count decides all rounds
+      val fits = sym.count() <= maxBroadcastLabels
+      def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+      var l = sym.select($"u".as("node")).distinct()
+        .select($"node", $"node".as("label"))
         .localCheckpoint()
+      for (_ <- 1 to rounds) {
+        l = sym
+          .join(hinted(l.select($"node".as("v"), $"label")), "v")
+          .groupBy($"u", $"label").agg(count(lit(1)).as("c"))
+          // argmax(votes, then min label) as an aggregate: labels are
+          // positive part keys, so max of (c, -label) picks max votes
+          // and, within a tie, the smallest label
+          .groupBy($"u")
+          .agg(max(struct($"c".as("c"), (-$"label").as("nl"))).as("m"))
+          .select($"u".as("node"), (-$"m.nl").as("label"))
+          .localCheckpoint()
+      }
+      l
     }
     labels.select($"node".as("part"), $"label".as("community"))
       .orderBy($"part")
