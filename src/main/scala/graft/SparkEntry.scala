@@ -609,6 +609,13 @@ object SparkEntry {
     // one shifted division — evaluates q185's artifact
     "q215_modularity" -> ((s: SparkSession, d: String) =>
       Graph.modularity(s, d)),
+    // MV family completion: MIN/MAX under retraction via touched-cell
+    // re-derivation — the one refresh the signed partial merge (q200)
+    // cannot do; untouched cells carry over unread
+    "q216_mv_retract_minmax" -> (Extended.mvRetractRederive _),
+    // approx COUNT(DISTINCT) served by the HLL register MV through
+    // the optimizer rewrite — q210's serve reached declaratively
+    "q217_mv_hll_rewrite" -> (Extended.mvHllRewrite _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3514,6 +3521,63 @@ object SparkEntry {
         "    - 1000000000 AS BIGINT) AS q_q6\n" +
         "FROM stot CROSS JOIN inr CROSS JOIN dsq"
     },
+    // q216: the oracle aggregates the post-CDC effective state
+    // (delete o_orderkey≡0 mod 7; re-price the surviving ≡0 mod 11)
+    // directly — parity proves rederive(touched cells from the base)
+    // ∪ carry(untouched MV rows) == a full rebuild, MIN/MAX included
+    "q216_mv_retract_minmax" ->
+      """WITH eff AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 100000.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_custkey
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderstatus,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q217: the q127/q210 deterministic HLL estimator over the full
+    // fact, rounded to the served count (floor(r4(est)+0.5) — HALF-UP
+    // on the positive domain in both engines); equality proves the
+    // approx-distinct REWRITE fired and the register maintenance is
+    // exact — Spark's own HLL++ over the fact would hash-mismatch
+    "q217_mv_hll_rewrite" ->
+      """WITH m1 AS (
+        |  SELECT o_orderpriority AS grp,
+        |    (o_custkey % 2147483647) * 2654435761 % 2147483647 AS h1
+        |  FROM orders),
+        |m2 AS (SELECT grp, xor(h1, h1 // 8192) AS h2 FROM m1),
+        |m3 AS (SELECT grp,
+        |  (h2 % 2147483647) * 2246822519 % 2147483647 AS h3 FROM m2),
+        |h AS (SELECT grp, xor(h3, h3 // 33554432) AS h FROM m3),
+        |b AS (SELECT grp, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT grp, bucket,
+        |    CASE WHEN w = 0 THEN 26
+        |         ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+        |  FROM b),
+        |reg AS (SELECT grp, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        |mm AS (SELECT grp, MAX(mj) AS maxm, COUNT(*) AS n_present
+        |       FROM reg GROUP BY 1),
+        |sp AS (
+        |  SELECT reg.grp, mm.maxm, mm.n_present,
+        |    SUM(CAST(1 AS BIGINT) << (mm.maxm - reg.mj)) AS s_present
+        |  FROM reg JOIN mm ON reg.grp = mm.grp GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT grp, maxm,
+        |    CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << maxm)
+        |         AS BIGINT) AS s_int
+        |  FROM sp),
+        |e AS (
+        |  SELECT grp,
+        |    ROUND(CAST(0.709 AS DOUBLE) * 4096.0 * power(2.0, maxm) / s_int
+        |          * 10000, 0) / 10000 + 0.0 AS est
+        |  FROM s)
+        |SELECT grp AS o_orderpriority,
+        |  CAST(FLOOR(est + 0.5) AS BIGINT) AS approx_users
+        |FROM e ORDER BY 1""".stripMargin,
     // q189: 2 unrolled HITS rounds; normalizers are scalar subqueries,
     // all HUGEINT, every division positive
     "q189_hits" -> {

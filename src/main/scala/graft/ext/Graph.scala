@@ -341,11 +341,15 @@ object Graph {
         .join(arr.select($"node".as("u"), $"a"), "u")
         .filter($"t" >= $"a") // the time gate — BEFORE anything shuffles
         .select($"v".as("node"), $"t".as("a"))
-      arr = arr.unionAll(cand)
+      val next = arr.unionAll(cand)
         .groupBy($"node").agg(min($"a").as("a"))
-        .localCheckpoint()
+        .localCheckpoint() // eager — materialized before freeing prev
+      arr.unpersist() // bfsOnEdges discipline: one cached frame alive
+      arr = next
     }
-    arr
+    // final frame's lineage is the whole loop — registry owns it now,
+    // mirroring bfsOnEdges/pageRankOnEdges
+    graft.Derived.adopt(arr)
   }
 
   /** Undirected part co-occurrence edges — parts bought together in

@@ -1205,7 +1205,10 @@ object Stats {
     ranked.agg(
         count(lit(1)).cast(dec).as("n"),
         sum($"y").cast(dec).as("p"),
-        sum(when($"y" === 1L, $"r").otherwise(lit(0L))).cast(dec).as("sr"))
+        // cast INSIDE the aggregate: Σ_{pos}rank ~ n²/2 wraps int64
+        // past ~4.3B rows if the partials accumulate in LONG — the
+        // cupedFromPerUser sxx/sxy staging discipline
+        sum(when($"y" === 1L, $"r").otherwise(lit(0L)).cast(dec)).as("sr"))
       .select(
         expr("CAST(n AS BIGINT)").as("n"),
         expr("CAST(p AS BIGINT)").as("n_pos"),
@@ -1246,7 +1249,8 @@ object Stats {
       .groupBy($"grp")
       .agg(count(lit(1)).cast(dec).as("n"),
         sum($"y").cast(dec).as("p"),
-        sum(when($"y" === 1L, $"gr").otherwise(lit(0L))).cast(dec).as("sr"))
+        // cast inside the aggregate — same int64-wrap guard as aucRanked
+        sum(when($"y" === 1L, $"gr").otherwise(lit(0L)).cast(dec)).as("sr"))
       .select($"grp",
         expr("CAST(n AS BIGINT)").as("n"),
         expr("CAST(p AS BIGINT)").as("n_pos"),

@@ -26,8 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object HllMv {
 
-  /** A registered sketch view: `mvPath` holds (grp, bucket, mj). */
-  final case class Def(grpCol: String, keyCol: String, mvPath: String)
+  /** A registered sketch view: `mvPath` holds (grp, bucket, mj).
+    * `sourcePath` (when declared) is the parquet root the registers
+    * were built from — it is what lets
+    * [[graft.plans.MvRewrite.registerHll]] rewrite an
+    * `approx_count_distinct` aggregate over that source onto the
+    * register table instead of requiring a manual
+    * [[serveDistinct]] call. */
+  final case class Def(grpCol: String, keyCol: String, mvPath: String,
+                       sourcePath: Option[String] = None)
 
   private def registers(df: DataFrame, d: Def): DataFrame =
     graft.ext.Stats.hllRegistersOf(

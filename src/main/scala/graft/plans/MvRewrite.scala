@@ -2,13 +2,13 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Divide, Expression, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Materialized-view registry + the optimizer rule that rewrites
@@ -60,6 +60,11 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private val defs = TrieMap[String, List[MvDef]]()
 
+  /** Registered HLL register tables ([[graft.operators.HllMv]]) by
+    * source path — the approx-distinct gear's lookup. One def per
+    * (source, grp, key): a refresh supersedes its predecessor. */
+  private val hllDefs = TrieMap[String, List[graft.operators.HllMv.Def]]()
+
   private def shape(d: MvDef): (Seq[String], Seq[String], Seq[String]) =
     (d.groupCols, d.sumCols, d.minMaxCols)
 
@@ -71,7 +76,41 @@ object MvRewrite extends Rule[LogicalPlan] {
     defs.updateWith(d.sourcePath) { cur =>
       Some(d :: cur.getOrElse(Nil).filterNot(x => shape(x) == shape(d)))
     }
-  def clear(): Unit = defs.clear()
+
+  /** Register an HLL register table for the approx-distinct gear:
+    * `approx_count_distinct(keyCol)` grouped by `grpCol` over the
+    * def's declared source rewrites onto the register table (the
+    * estimate [[graft.operators.HllMv.serveDistinct]] computes),
+    * never the base. Requires `d.sourcePath` to be declared. */
+  def registerHll(d: graft.operators.HllMv.Def): Unit = {
+    val src = d.sourcePath.getOrElse(throw new IllegalArgumentException(
+      s"registerHll: ${d.mvPath} declares no sourcePath — nothing to rewrite"))
+    hllDefs.updateWith(src) { cur =>
+      Some(d :: cur.getOrElse(Nil)
+        .filterNot(x => (x.grpCol, x.keyCol) == (d.grpCol, d.keyCol)))
+    }
+  }
+
+  def clear(): Unit = { defs.clear(); hllDefs.clear() }
+
+  /** Serving-rule suppression for REFRESH internals. A refresh that
+    * aggregates the registered source in the MV's own shape — the
+    * touched-cell rebuild of [[refreshRetractRederive]] is exactly
+    * that — would otherwise be REWRITTEN BY THE RULE IT REFRESHES,
+    * folding the stale MV's partials back into the "new" MV and
+    * making every refresh a fixed point of the stale state (caught
+    * live: q216 served pre-CDC values because the rebuild's
+    * cell-filtered aggregate matched the rollup gear). Every
+    * materialize/refresh body runs inside this guard; thread-local
+    * because the optimizer runs on the calling driver thread and
+    * concurrent SERVING queries on other threads must still rewrite.
+    */
+  private val suppressed = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  private def withoutRewrite[T](f: => T): T = {
+    val old = suppressed.get
+    suppressed.set(true)
+    try f finally suppressed.set(old)
+  }
 
   /** The partial-state aggregate of one frame in the MV's shape —
     * shared by [[materialize]] (over the full fact) and
@@ -97,7 +136,7 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** [[materialize]] over an explicit frame — the streaming
     * maintainer's base-load path ([[graft.streaming.MvMaintainer]]),
     * where the first micro-batch IS the initial history. */
-  def materializeFrom(df: DataFrame, d: MvDef): MvDef = {
+  def materializeFrom(df: DataFrame, d: MvDef): MvDef = withoutRewrite {
     partials(df, d).write.mode("overwrite").parquet(d.mvPath)
     register(d)
     d
@@ -122,7 +161,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * ([[graft.operators.IncrementalAgg.retractState]]).
     */
   def refreshIncremental(spark: SparkSession, mv: MvDef,
-                         delta: DataFrame, newMvPath: String): MvDef = {
+                         delta: DataFrame, newMvPath: String): MvDef = withoutRewrite {
     require(defs.get(mv.sourcePath).exists(_.exists(_.mvPath == mv.mvPath)),
       s"refreshIncremental: ${mv.mvPath} is not the registered MV for ${mv.sourcePath}")
     val cur = spark.read.parquet(mv.mvPath)
@@ -205,7 +244,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * the signed partials of the batch, fully-cancelled cells dropped.
     * Same MIN/MAX refusal as [[refreshRetract]]. */
   private[graft] def baseFromCdc(cdc: DataFrame, d: MvDef,
-                                 opCol: String): MvDef = {
+                                 opCol: String): MvDef = withoutRewrite {
     require(d.minMaxCols.isEmpty,
       s"baseFromCdc: MIN/MAX partials are not retractable — view on " +
         s"${d.sourcePath} registers min-max columns ${d.minMaxCols}")
@@ -217,11 +256,11 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   def refreshRetract(spark: SparkSession, mv: MvDef, cdc: DataFrame,
-                     opCol: String, newMvPath: String): MvDef = {
+                     opCol: String, newMvPath: String): MvDef = withoutRewrite {
     require(mv.minMaxCols.isEmpty,
       s"refreshRetract: MIN/MAX partials are not retractable — view on " +
         s"${mv.sourcePath} registers min-max columns ${mv.minMaxCols}; " +
-        "rebuild with materialize instead")
+        "use refreshRetractRederive (touched-cell re-derivation) instead")
     require(defs.get(mv.sourcePath).exists(_.exists(_.mvPath == mv.mvPath)),
       s"refreshRetract: ${mv.mvPath} is not the registered MV for ${mv.sourcePath}")
     val merged = spark.read.parquet(mv.mvPath)
@@ -239,21 +278,98 @@ object MvRewrite extends Rule[LogicalPlan] {
     d2
   }
 
+  /** The exact cell membership predicate for a collected touched-cell
+    * set: OR over cells of AND over group columns of NULL-SAFE
+    * equality with the cell's literal value. `<=>` (EqualNullSafe)
+    * rather than `=` because NULL is a legal grouping value — a plain
+    * equality would silently drop NULL cells from the filter, leaving
+    * their stale MV rows alive NEXT TO a recomputed copy. EqualNullSafe
+    * is in parquet's pushdown dialect, so the whole predicate reaches
+    * the scan: partition pruning when the base is partitioned by a
+    * group column, row-group pruning from column statistics otherwise
+    * — the mechanism PlanAuditSpec pins. */
+  private[graft] def cellPredicate(cells: Seq[Row], groupCols: Seq[String],
+                                   base: DataFrame): Column =
+    cells.map { r =>
+      groupCols.map(c => base(c) <=> lit(r.getAs[Any](c))).reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** CDC refresh for views WITH min-max columns — the touched-cell
+    * re-derivation gear completing the MV family: MIN/MAX partials are
+    * not retractable (retracting a cell minimum needs the runner-up
+    * the partial discarded), so the cells the CDC batch TOUCHES are
+    * re-aggregated from the base while every untouched cell keeps its
+    * MV row unread and unrecomputed.
+    *
+    * Contract — stated, because it differs from [[refreshRetract]]:
+    * the base at `mv.sourcePath` must already reflect the CDC batch
+    * (the standard warehouse ordering — the fact upsert commits first,
+    * then the MV refresh consumes the same changelog). In exchange the
+    * refresh needs no signed algebra at all: touched cells are rebuilt
+    * exactly, which is the ONLY exact answer under deletes.
+    *
+    * What it reads: the CDC batch (for its distinct cells), the
+    * grouping-domain-sized MV, and the TOUCHED CELLS' SLICE of the
+    * base — at 100 TB a touched-cells-sized scan, not a fact-sized
+    * one. The touched-cell set is CDC-batch-bounded; when it holds at
+    * most `cellLiteralMax` cells it is collected and pushed into the
+    * base scan as a literal [[cellPredicate]] (partition + row-group
+    * pruning — MvRewriteSpec proves untouched partitions are never
+    * needed by DELETING one before refreshing), above that bound it
+    * stays distributed as a null-safe left-semi join (no driver-side
+    * blow-up; AQE still prunes via the runtime filter).
+    */
+  def refreshRetractRederive(spark: SparkSession, mv: MvDef,
+                             cdc: DataFrame, newMvPath: String,
+                             cellLiteralMax: Int = 10000): MvDef = withoutRewrite {
+    require(defs.get(mv.sourcePath).exists(_.exists(_.mvPath == mv.mvPath)),
+      s"refreshRetractRederive: ${mv.mvPath} is not the registered MV " +
+        s"for ${mv.sourcePath}")
+    val touched = cdc.select(mv.groupCols.map(cdc(_)): _*).distinct()
+    val cur = spark.read.parquet(mv.mvPath)
+    // limit(max+1) bounds the driver transfer whatever the batch holds
+    val cells = touched.limit(cellLiteralMax + 1).collect().toSeq
+    val next =
+      if (cells.isEmpty) cur // empty batch — the MV is already exact
+      else {
+        val base = spark.read.parquet(mv.sourcePath)
+        val slice =
+          if (cells.size <= cellLiteralMax)
+            base.filter(cellPredicate(cells, mv.groupCols, base))
+          else
+            base.join(touched, mv.groupCols.map(c =>
+              base(c) <=> touched(c)).reduce(_ && _), "left_semi")
+        // untouched rows carry over AS IS (null-safe anti join against
+        // the tiny cell set — auto-broadcast); touched cells rebuild
+        // from the slice, and fully-retracted cells simply produce no
+        // partial row — exactly a rebuilt aggregate's behavior
+        val untouched = cur.join(touched, mv.groupCols.map(c =>
+          cur(c) <=> touched(c)).reduce(_ && _), "left_anti")
+        untouched.unionByName(partials(slice, mv))
+      }
+    next.write.mode("overwrite").parquet(newMvPath)
+    val d2 = mv.copy(mvPath = newMvPath)
+    register(d2)
+    d2
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (defs.isEmpty) plan
+    if (suppressed.get || (defs.isEmpty && hllDefs.isEmpty)) plan
     else plan transform {
       case agg @ Aggregate(_, _, child, _) =>
         (for {
           (path, filters) <- scannedSource(child)
-          cands <- defs.get(path)
-          // MV selection: among the registered alternatives, take the
-          // first MATCHING view in ascending grouping-column count —
-          // when one matching view's group cols are a subset of
-          // another's, its cell domain is a projection of the finer
-          // one's, so the coarser view is the smaller scan; fewer
-          // group cols is the general proxy for that
-          rewritten <- cands.sortBy(_.groupCols.size)
+          // algebraic gears first (exact), then the approx-distinct
+          // sketch gear — among algebraic alternatives take the first
+          // MATCHING view in ascending grouping-column count: when one
+          // matching view's group cols are a subset of another's, its
+          // cell domain is a projection of the finer one's, so the
+          // coarser view is the smaller scan; fewer group cols is the
+          // general proxy for that
+          rewritten <- defs.get(path).toSeq.flatten.sortBy(_.groupCols.size)
             .view.flatMap(mv => rewrite(agg, filters, mv)).headOption
+            .orElse(hllDefs.get(path).toSeq.flatten
+              .view.flatMap(hd => rewriteHll(agg, filters, hd)).headOption)
         } yield rewritten).getOrElse(agg)
     }
 
@@ -273,6 +389,76 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+
+  /** The approx-distinct gear: `approx_count_distinct(key)` grouped
+    * by `grp` over a source with a registered HLL register table
+    * ([[graft.operators.HllMv]]) rewrites onto the register table —
+    * COUNT(DISTINCT) is the one aggregate no algebraic partial can
+    * serve, but per-cell HLL registers are a mergeable partial, so
+    * the estimate is derivable from a grouping-domain-×-64-row table
+    * without touching the fact. The served value is the register
+    * table's deterministic estimate (the [[graft.operators
+    * .HllMv.serveDistinct]] harmonic mean, rounded to a count) — an
+    * approximate aggregate answered by the MAINTAINED approximation,
+    * the contract any sketch-MV warehouse serves. `floor(est+0.5)`
+    * rather than `round`: identical HALF-UP semantics on the positive
+    * domain in both Spark and the DuckDB oracle, with no rounding-mode
+    * ambiguity. Group-column-only filters drop whole cells and are
+    * re-anchored onto the register read, as in the algebraic gears.
+    */
+  private def rewriteHll(agg: Aggregate, filters: Seq[Expression],
+                         hd: graft.operators.HllMv.Def): Option[LogicalPlan] = {
+    filters.foreach { f =>
+      val safe = f.deterministic &&
+        !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        f.references.forall(_.name == hd.grpCol)
+      if (!safe) return None
+    }
+    agg.groupingExpressions match {
+      case Seq(a: Attribute) if a.name == hd.grpCol => ()
+      case _ => return None
+    }
+    // every output is the grouping attribute or ONE undistinct,
+    // unfiltered approx_count_distinct over the registered key
+    val shapesOk = agg.aggregateExpressions.forall {
+      case a: Attribute if a.name == hd.grpCol => true
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case h: HyperLogLogPlusPlus => h.child match {
+            case k: Attribute => k.name == hd.keyCol
+            case _ => false
+          }
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!shapesOk) return None
+
+    val spark = SparkSession.active
+    val regPlan = spark.read.parquet(hd.mvPath).queryExecution.analyzed
+    val regGrp = regPlan.output.find(_.name == "grp").getOrElse(return None)
+    val filtered = filters.foldRight[LogicalPlan](regPlan) { (cond, acc) =>
+      // safety check above: the predicate references ONLY the group
+      // column, so every attribute re-anchors onto the register grp
+      Filter(cond.transform { case _: Attribute => regGrp }, acc)
+    }
+    val served = graft.ext.Stats
+      .hllEstimate(org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered))
+      .select(col("grp"), expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"))
+      .queryExecution.analyzed
+    val sGrp = served.output.find(_.name == "grp").getOrElse(return None)
+    val sCnt = served.output.find(_.name == "acd").getOrElse(return None)
+    val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute => Alias(sGrp, a.name)(exprId = a.exprId)
+      case al @ Alias(_, name) => Alias(sCnt, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val ok = outs.map(_.toAttribute.dataType) ==
+      agg.aggregateExpressions.map(_.toAttribute.dataType)
+    if (!ok) return None
+    Some(Project(outs, served))
+  }
 
   private def rewrite(agg: Aggregate, filters: Seq[Expression],
                       mv: MvDef): Option[LogicalPlan] = {

@@ -540,6 +540,110 @@ object Extended {
     pinned
   }
 
+  /** q216 — MIN/MAX under retraction via TOUCHED-CELL re-derivation
+    * ([[graft.plans.MvRewrite.refreshRetractRederive]]), completing
+    * the MV family: MIN/MAX partials are not retractable (the cell
+    * minimum's retraction needs the runner-up the partial discarded),
+    * so the CDC batch's distinct group-cells are re-aggregated from
+    * the POST-CDC base — pushed into the scan as a literal null-safe
+    * cell predicate, a touched-cells-sized read at 100 TB — while
+    * every untouched cell keeps its MV row unread (MvRewriteSpec
+    * proves it by DELETING an untouched base partition before the
+    * refresh). The CDC batch deletes every o_orderkey ≡ 0 (mod 7) and
+    * re-prices the surviving ≡ 0 (mod 11) rows (delete+insert); the
+    * DuckDB oracle aggregates the effective post-CDC state directly,
+    * so the hash match proves rederive(touched) ∪ carry(untouched) ==
+    * rebuild. Serving goes through the rollup rewrite with the MIN/MAX
+    * gears — pin-then-clear hygiene as q200.
+    */
+  def mvRetractRederive(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q216").toString
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    // the rederive contract: the base reflects the CDC BEFORE the MV
+    // refresh consumes the same changelog (fact upsert commits first)
+    val effSrc = s"$tmp/effective"
+    orders.filter($"o_orderkey" % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 11 === 0, $"o_totalprice" + 100000.0)
+          .otherwise($"o_totalprice"))
+      .write.parquet(effSrc)
+    // the MV still holds the PRE-CDC partials — built from the
+    // original orders, registered against the post-CDC source
+    val mv0 = graft.plans.MvRewrite.materializeFrom(orders,
+      graft.plans.MvRewrite.MvDef(effSrc,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sumCols = Seq("o_custkey"), mvPath = s"$tmp/mv0",
+        minMaxCols = Seq("o_totalprice")))
+    // changelog: update = delete + insert, deletes carry full images
+    val dels = orders.filter($"o_orderkey" % 7 === 0)
+      .withColumn("op", lit(-1))
+    val updKeys = $"o_orderkey" % 11 === 0 && $"o_orderkey" % 7 =!= 0
+    val updDel = orders.filter(updKeys).withColumn("op", lit(-1))
+    val updIns = orders.filter(updKeys)
+      .withColumn("o_totalprice", $"o_totalprice" + 100000.0)
+      .withColumn("op", lit(1))
+    val cdc = dels.unionByName(updDel).unionByName(updIns)
+    val refreshed = graft.plans.MvRewrite
+      .refreshRetractRederive(spark, mv0, cdc, s"$tmp/mv1")
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.register(refreshed)
+    val agg = spark.read.parquet(effSrc)
+      .groupBy($"o_orderstatus")
+      .agg(min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        sum($"o_custkey").as("custkey_sum"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, agg.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
+  /** q217 — COUNT(DISTINCT) routed through the HLL register MV by the
+    * optimizer ([[graft.plans.MvRewrite.registerHll]]'s
+    * approx-distinct gear): an `approx_count_distinct(o_custkey)`
+    * grouped by priority over the REGISTERED orders source rewrites
+    * onto the incrementally-maintained register table — the q210
+    * serve, reached declaratively instead of by a manual call, the
+    * way q184 reaches its rollup. The register table is built over a
+    * base slice and refreshed from the rest (register-wise MAX), so
+    * the green hash ALSO re-proves maintenance exactness; the DuckDB
+    * oracle computes the deterministic q127 estimator over the full
+    * fact and rounds it to the served count. PlanAuditSpec pins the
+    * register table as the only scan leaf — a regression to Spark's
+    * own HLL++ over the fact would change the values and fail the
+    * hash gate, so the correctness row doubles as rewrite-fired
+    * proof.
+    */
+  def mvHllRewrite(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q217").toString
+    val orders = spark.read.parquet(src)
+    val mv0 = graft.operators.HllMv.materializeFrom(
+      orders.filter($"o_orderkey" % 3 =!= 0),
+      graft.operators.HllMv.Def("o_orderpriority", "o_custkey",
+        s"$tmp/mv0", Some(src)))
+    val refreshed = graft.operators.HllMv.refreshIncremental(
+      spark, mv0, orders.filter($"o_orderkey" % 3 === 0), s"$tmp/mv1")
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.registerHll(refreshed)
+    val q = spark.read.parquet(src)
+      .groupBy($"o_orderpriority")
+      .agg(approx_count_distinct($"o_custkey").as("approx_users"))
+      .orderBy($"o_orderpriority")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
   /** q210 — MAINTAINED distinct counts via mergeable HLL register
     * partials ([[graft.operators.HllMv]]): the one aggregate the
     * algebraic MV gears can never serve. Registers built over a base

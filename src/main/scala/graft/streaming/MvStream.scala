@@ -8,6 +8,59 @@ import org.apache.spark.sql.DataFrame
 import graft.plans.MvRewrite
 import graft.plans.MvRewrite.MvDef
 
+/** The batch-id / marker / alternating-path two-phase commit protocol
+  * shared by [[MvMaintainer]] and [[HllMaintainer]] — ONE copy of the
+  * failure-model machinery, so a future fix to the crash semantics
+  * cannot drift between the two maintainers:
+  *
+  *  - state alternates between `<root>/a` and `<root>/b`; a refresh
+  *    reads the COMMITTED copy and overwrites the other;
+  *  - the commit point is one atomic rename of the tiny `_committed`
+  *    marker (`batchId,path`) — a crash after the parquet write but
+  *    before [[commit]] leaves the committed state untouched, and the
+  *    replay overwrites the half-written copy from the committed one;
+  *  - a new instance over the same root resumes from the marker
+  *    (committed path + batch id); a never-committed root starts at
+  *    (-1, pathA).
+  *
+  * This is the file-system miniature of [[graft.io.AtomicSink]]'s
+  * two-phase commit — on object storage the marker would be the
+  * table-format commit (the role a Delta/Iceberg snapshot pointer
+  * plays).
+  */
+private[streaming] final class CommitLog(root: String) {
+  val pathA = s"$root/a"
+  val pathB = s"$root/b"
+  private val marker: Path = Paths.get(root, "_committed")
+
+  private var state: (Long, String) = {
+    if (Files.exists(marker)) {
+      val Array(b, p) = Files.readString(marker).trim.split(",", 2)
+      (b.toLong, p)
+    } else (-1L, pathA)
+  }
+
+  /** Last committed batch id; -1 before the first commit. */
+  def batchId: Long = state._1
+
+  /** The committed copy's path (valid only after the first commit,
+    * except as the conventional initial target). */
+  def path: String = state._2
+
+  /** The NON-committed path — where the next refresh writes. */
+  def next: String = if (state._2 == pathA) pathB else pathA
+
+  /** Atomically advance the committed state to (batchId, path). */
+  def commit(batchId: Long, path: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp: Path = Paths.get(root, "_committed.tmp")
+    Files.write(tmp, s"$batchId,$path".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    state = (batchId, path)
+  }
+}
+
 /** Continuous materialized-view maintenance — the streaming completion
   * of [[graft.plans.MvRewrite.refreshIncremental]]: a `foreachBatch`
   * sink folds every micro-batch of appends into the registered MV, so
@@ -22,19 +75,8 @@ import graft.plans.MvRewrite.MvDef
   *    re-applying a batch would double-count. The maintainer commits
   *    the applied `batchId` and skips any batch at or below it — the
   *    standard `foreachBatch` idempotency contract.
-  *  - **Crash mid-refresh**: the MV alternates between two paths
-  *    (`<root>/a`, `<root>/b`); each refresh reads the COMMITTED copy
-  *    and overwrites the other, and the commit point is one atomic
-  *    rename of the tiny `_committed` marker (`batchId,path`). A
-  *    crash after the parquet write but before the marker leaves the
-  *    committed state untouched; the replay overwrites the
-  *    half-written copy from the committed one. This is the file-
-  *    system miniature of [[graft.io.AtomicSink]]'s two-phase commit
-  *    — on object storage the marker would be the table-format commit
-  *    (the same role a Delta/Iceberg snapshot pointer plays).
-  *  - **Restart**: a new maintainer over the same root resumes from
-  *    the marker — committed path, committed batch id — and
-  *    re-registers the MV for serving.
+  *  - **Crash mid-refresh / restart**: the [[CommitLog]] protocol
+  *    above.
   *
   * State is the grouping-domain-sized MV itself plus one marker file;
   * nothing here scales with stream volume.
@@ -59,25 +101,14 @@ final class MvMaintainer(sourcePath: String, groupCols: Seq[String],
     s"MvMaintainer: CDC mode (opCol=$opCol) cannot maintain MIN/MAX " +
       s"partials $minMaxCols — deletes make them non-derivable")
 
-  private val pathA = s"$root/a"
-  private val pathB = s"$root/b"
-  private val marker = Paths.get(root, "_committed")
-
-  /** Committed (batchId, mvPath); builds the initial empty-history
-    * state from `pathA` if this root has never committed. */
-  private var committed: (Long, String) = {
-    if (Files.exists(marker)) {
-      val Array(b, p) = Files.readString(marker).trim.split(",", 2)
-      (b.toLong, p)
-    } else (-1L, pathA)
-  }
+  private val log = new CommitLog(root)
 
   /** The currently-served MV definition (registered on construction
     * so serving queries rewrite immediately after a restart). */
-  def mv: MvDef = MvDef(sourcePath, groupCols, sumCols, committed._2, minMaxCols)
+  def mv: MvDef = MvDef(sourcePath, groupCols, sumCols, log.path, minMaxCols)
   MvRewrite.register(mv)
 
-  def lastBatchId: Long = committed._1
+  def lastBatchId: Long = log.batchId
 
   /** Fold one micro-batch of appends into the MV. Skips batches at or
     * below the committed id (redelivery); commits via atomic marker
@@ -85,10 +116,10 @@ final class MvMaintainer(sourcePath: String, groupCols: Seq[String],
     * never overlaps invocations of one query.
     */
   def apply(batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= committed._1) return // redelivered batch — already folded
-    val next = if (committed._2 == pathA) pathB else pathA
+    if (batchId <= log.batchId) return // redelivered batch — already folded
+    val next = log.next
     val refreshed =
-      if (committed._1 < 0L)
+      if (log.batchId < 0L)
         // first batch = the base load: build, don't merge (there is
         // no committed copy to read yet). In CDC mode the batch's
         // SIGNED partials are the initial state — equal to the plain
@@ -106,17 +137,8 @@ final class MvMaintainer(sourcePath: String, groupCols: Seq[String],
         case None =>
           MvRewrite.refreshIncremental(batch.sparkSession, mv, batch, next)
       }
-    commitMarker(batchId, next)
-    committed = (batchId, next)
+    log.commit(batchId, next)
     MvRewrite.register(refreshed)
-  }
-
-  private def commitMarker(batchId: Long, path: String): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val tmp: Path = Paths.get(root, s"_committed.tmp")
-    Files.write(tmp, s"$batchId,$path".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
   }
 }
 
@@ -142,52 +164,40 @@ object MvStream {
 /** Continuous maintenance of the mergeable HLL register table
   * ([[graft.operators.HllMv]]) — distinct-count freshness tracking
   * ingestion the way [[MvMaintainer]] tracks it for the algebraic
-  * partials. Identical failure-model machinery: committed batch id
-  * turns at-least-once redelivery into a no-op, the table alternates
-  * two paths with one atomic marker rename as the commit point, a
-  * restarted maintainer resumes from the marker. The fold itself is
-  * register-wise MAX — idempotent, so even a REAPPLIED batch would
-  * land on the same registers; the batch-id skip still guards it
-  * because idempotence is a property of THIS fold, not of the
-  * protocol, and the protocol must not depend on it. Insert-only by
-  * [[graft.operators.HllMv]]'s stated scope.
+  * partials. Identical failure-model machinery via the shared
+  * [[CommitLog]]: committed batch id turns at-least-once redelivery
+  * into a no-op, the table alternates two paths with one atomic
+  * marker rename as the commit point, a restarted maintainer resumes
+  * from the marker. The fold itself is register-wise MAX — idempotent,
+  * so even a REAPPLIED batch would land on the same registers; the
+  * batch-id skip still guards it because idempotence is a property of
+  * THIS fold, not of the protocol, and the protocol must not depend
+  * on it. Insert-only by [[graft.operators.HllMv]]'s stated scope.
   */
-final class HllMaintainer(grpCol: String, keyCol: String, root: String) {
+final class HllMaintainer(grpCol: String, keyCol: String, root: String,
+                          sourcePath: Option[String] = None) {
 
   import graft.operators.HllMv
 
-  private val pathA = s"$root/a"
-  private val pathB = s"$root/b"
-  private val marker = java.nio.file.Paths.get(root, "_committed")
+  private val log = new CommitLog(root)
 
-  private var committed: (Long, String) = {
-    if (java.nio.file.Files.exists(marker)) {
-      val Array(b, p) = java.nio.file.Files.readString(marker).trim.split(",", 2)
-      (b.toLong, p)
-    } else (-1L, pathA)
-  }
+  def mv: HllMv.Def = HllMv.Def(grpCol, keyCol, log.path, sourcePath)
+  def lastBatchId: Long = log.batchId
 
-  def mv: HllMv.Def = HllMv.Def(grpCol, keyCol, committed._2)
-  def lastBatchId: Long = committed._1
+  // with a declared source, serving queries rewrite through
+  // MvRewrite's approx-distinct gear immediately after a restart —
+  // the same construction-time registration MvMaintainer does
+  if (sourcePath.isDefined) MvRewrite.registerHll(mv)
 
   def apply(batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= committed._1) return // redelivered — already folded
-    val next = if (committed._2 == pathA) pathB else pathA
-    if (committed._1 < 0L)
-      HllMv.materializeFrom(batch, HllMv.Def(grpCol, keyCol, next))
-    else
-      HllMv.refreshIncremental(batch.sparkSession, mv, batch, next)
-    commitMarker(batchId, next)
-    committed = (batchId, next)
-  }
-
-  private def commitMarker(batchId: Long, path: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    val tmp = java.nio.file.Paths.get(root, "_committed.tmp")
-    java.nio.file.Files.write(tmp,
-      s"$batchId,$path".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, marker,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (batchId <= log.batchId) return // redelivered — already folded
+    val next = log.next
+    val folded =
+      if (log.batchId < 0L)
+        HllMv.materializeFrom(batch, HllMv.Def(grpCol, keyCol, next, sourcePath))
+      else
+        HllMv.refreshIncremental(batch.sparkSession, mv, batch, next)
+    log.commit(batchId, next)
+    if (sourcePath.isDefined) MvRewrite.registerHll(folded)
   }
 }

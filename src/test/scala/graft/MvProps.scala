@@ -142,4 +142,70 @@ object MvProps extends Properties("mv") {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
     }
+
+  // the rederive case: same CDC shape but WITH a min-max column —
+  // refreshRetract's refusal class, served by touched-cell
+  // re-derivation from the post-CDC base instead
+  private val genRederive: Gen[(List[(Long, String, Long, Option[Long])],
+    Set[Long], List[(Long, String, Long, Option[Long])])] =
+    for {
+      n <- Gen.choose(6, 40)
+      base <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-50L, 50L)
+        s <- Gen.option(Gen.choose(-9L, 9L))
+      } yield (g, v, s))
+      delIdx <- Gen.someOf(0 until n)
+      m <- Gen.choose(0, 15)
+      ins <- Gen.listOfN(m, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-50L, 50L)
+        s <- Gen.option(Gen.choose(-9L, 9L))
+      } yield (g, v, s))
+    } yield (
+      base.zipWithIndex.map { case ((g, v, s), i) => (i.toLong, g, v, s) },
+      delIdx.map(_.toLong).toSet,
+      ins.zipWithIndex.map { case ((g, v, s), i) => (1000L + i, g, v, s) })
+
+  property("rederive retraction (MIN/MAX) == rebuild over " +
+    "(base \\ deletes) ∪ inserts") =
+    Prop.forAll(genRederive) { case (base, delIds, inserts) =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-mv-rederive-props").toString
+      try {
+        def df(b: List[(Long, String, Long, Option[Long])]) =
+          b.toDF("id", "g", "v", "s")
+        val net = base.filterNot(r => delIds(r._1)) ++ inserts
+        // the rederive contract: the source reflects the CDC already
+        if (net.isEmpty)
+          spark.emptyDataset[(Long, String, Long, Option[Long])]
+            .toDF("id", "g", "v", "s").write.parquet(s"$dir/net")
+        else df(net).write.parquet(s"$dir/net")
+        // the MV holds the PRE-CDC partials, registered for net
+        val mv0 = MvRewrite.materializeFrom(df(base), MvRewrite.MvDef(
+          s"$dir/net", groupCols = Seq("g"), sumCols = Seq("s"),
+          mvPath = s"$dir/mv0", minMaxCols = Seq("v")))
+        val dels = base.filter(r => delIds(r._1))
+        val cdc = df(dels).withColumn("op", lit(-1))
+          .unionByName(df(inserts).withColumn("op", lit(1)))
+        val refreshed = MvRewrite.refreshRetractRederive(
+          spark, mv0, cdc, s"$dir/mv1")
+        val rebuilt = MvRewrite.materializeFrom(
+          spark.read.parquet(s"$dir/net"), MvRewrite.MvDef(s"$dir/net",
+            groupCols = Seq("g"), sumCols = Seq("s"),
+            mvPath = s"$dir/mv-net", minMaxCols = Seq("v")))
+        def state(path: String) = {
+          val t = spark.read.parquet(path)
+          t.select(t.columns.sorted.map(col): _*).orderBy($"g")
+            .collect().map(_.toSeq).toSeq
+        }
+        val got = state(refreshed.mvPath)
+        val want = state(rebuilt.mvPath)
+        MvRewrite.clear()
+        got == want
+      } finally {
+        MvRewrite.clear()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
 }

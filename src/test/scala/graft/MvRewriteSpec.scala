@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.plans.MvRewrite
@@ -387,6 +388,120 @@ class MvRewriteSpec extends SparkSpec {
       assert(q.collect().toSeq == direct.collect().toSeq,
         "MV-folded avg/count(col) == direct values (NULLs included)")
     } finally MvRewrite.clear()
+  }
+
+  test("rederive retraction: MIN/MAX via touched cells only — " +
+    "untouched base partition DELETED first") {
+    withRule() // rule installed: also regression-proofs the
+    // suppression guard — without it the touched-cell rebuild would
+    // be rewritten onto the stale MV itself and carry pre-CDC values
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-rederive").toString
+    def rows(r: Range) = r.map(i =>
+      (i.toLong, s"s${i % 3}", s"p${i % 2}", (i % 7).toLong)).toDF(
+      "id", "status", "prio", "v")
+    val base0 = rows(1 to 300)
+    // CDC touches ONLY status=s1 cells: deletes + an update
+    val dels = base0.filter($"status" === "s1" && $"id" <= 150)
+      .withColumn("op", lit(-1))
+    val upd = base0.filter($"status" === "s1" && $"id".between(151, 200))
+    val cdc = dels
+      .unionByName(upd.withColumn("op", lit(-1)))
+      .unionByName(upd.withColumn("v", $"v" + 10L).withColumn("op", lit(1)))
+    // post-CDC base, partitioned by status (rederive contract: the
+    // fact upsert committed first)
+    val eff = base0
+      .filter(!($"status" === "s1" && $"id" <= 150))
+      .withColumn("v", when($"status" === "s1" && $"id".between(151, 200),
+        $"v" + 10L).otherwise($"v"))
+    val effPath = s"$dir/eff.parquet"
+    eff.write.partitionBy("status").parquet(effPath)
+    try {
+      val mv0 = MvRewrite.materializeFrom(base0, MvRewrite.MvDef(effPath,
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/mv0", minMaxCols = Seq("v")))
+      val mv0Untouched = spark.read.parquet(s"$dir/mv0")
+        .filter($"status" =!= "s1").orderBy($"status", $"prio")
+        .collect().toSeq
+      // the hard proof that untouched cells are never re-read: an
+      // untouched partition is GONE from the base before the refresh —
+      // any rebuild touching it would lose its rows (or throw)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$effPath/status=s0"))
+      val refreshed = MvRewrite.refreshRetractRederive(
+        spark, mv0, cdc, s"$dir/mv1")
+      val mv1 = spark.read.parquet(refreshed.mvPath)
+      // untouched cells (s0 INCLUDING the deleted partition, s2)
+      // carried over bit-identical from the old MV
+      assert(mv1.filter($"status" =!= "s1").orderBy($"status", $"prio")
+        .collect().toSeq == mv0Untouched,
+        "untouched cells must carry over from the MV, not recompute")
+      // touched cells equal a from-scratch build over the post-CDC
+      // state (column order differs between partitioned read and
+      // materializeFrom — compare name-sorted)
+      MvRewrite.materializeFrom(eff, MvRewrite.MvDef(effPath,
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/mvexp", minMaxCols = Seq("v")))
+      val cols = mv1.columns.sorted.map(col).toSeq
+      assert(mv1.filter($"status" === "s1").select(cols: _*)
+          .orderBy($"status", $"prio").collect().toSeq ==
+        spark.read.parquet(s"$dir/mvexp").filter($"status" === "s1")
+          .select(cols: _*).orderBy($"status", $"prio").collect().toSeq,
+        "touched cells must equal the post-CDC rebuild, MIN/MAX included")
+    } finally MvRewrite.clear()
+  }
+
+  test("rederive gate: above cellLiteralMax the semi-join path " +
+    "produces identical results") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-rederive2").toString
+    def rows(r: Range) = r.map(i =>
+      (i.toLong, s"s${i % 3}", (i % 7).toLong)).toDF("id", "status", "v")
+    val base0 = rows(1 to 300)
+    val dels = base0.filter($"id" % 5 === 0).withColumn("op", lit(-1))
+    val eff = base0.filter($"id" % 5 =!= 0)
+    eff.write.parquet(s"$dir/eff.parquet")
+    try {
+      def run(tag: String, gate: Int) = {
+        val mv0 = MvRewrite.materializeFrom(base0,
+          MvRewrite.MvDef(s"$dir/eff.parquet", groupCols = Seq("status"),
+            sumCols = Seq("v"), mvPath = s"$dir/mv0$tag",
+            minMaxCols = Seq("v")))
+        spark.read.parquet(MvRewrite.refreshRetractRederive(spark, mv0,
+          dels, s"$dir/mv1$tag", cellLiteralMax = gate).mvPath)
+          .orderBy($"status").collect().toSeq
+      }
+      // gate = 0 forces the distributed null-safe semi/anti-join path;
+      // the default takes the collected literal-predicate path
+      assert(run("lit", 10000) == run("join", 0),
+        "literal-predicate and semi-join paths must agree")
+    } finally MvRewrite.clear()
+  }
+
+  test("rederive cell predicate pushes to the base scan (null-safe)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-push").toString
+    (1L to 300L).map(i => (i, if (i % 5 == 0) null else s"s${i % 3}",
+        i % 7)).toDF("id", "status", "v")
+      .write.parquet(s"$dir/base.parquet")
+    val base = spark.read.parquet(s"$dir/base.parquet")
+    // collected exactly as the rederive collects its touched cells
+    val cells = base.filter($"status".isNull || $"status" === "s1")
+      .select($"status").distinct().collect().toSeq
+    assert(cells.size == 2, "one s1 cell and one NULL cell expected")
+    val pred = MvRewrite.cellPredicate(cells, Seq("status"), base)
+    val leaves = base.filter(pred).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    // EqualNullSafe is in parquet's pushdown dialect — the whole OR
+    // reaches the scan for row-group pruning (and partition pruning
+    // when the base is partitioned by a group column)
+    assert(leaves.contains("EqualNullSafe(status,s1)"),
+      s"cell predicate must reach the scan as PushedFilters:\n$leaves")
+    // and the NULL cell is matchable at all — plain equality would
+    // silently drop it (leaving a stale MV row next to a rebuilt one)
+    assert(base.filter(pred).count() ==
+      base.filter($"status" === "s1" || $"status".isNull).count())
   }
 
   test("q184 clears the registry: a later orders aggregate scans the fact") {

@@ -153,6 +153,59 @@ class MvStreamSpec extends SparkSpec {
       "restart must resume the committed id and serve the committed copy")
   }
 
+  test("stream-maintained registers serve approx_count_distinct through " +
+    "the rewrite == batch build (the q217 gear over the streaming path)") {
+    GraftRuntime.ensure(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    def batchRows(r: Range) = r.map(i => (s"g${i % 3}", (i % 40).toLong))
+    // the declared fact: same rows the stream will deliver
+    val src = s"$root/fact.parquet"
+    batchRows(1 to 200).toDF("g", "k").write.parquet(src)
+    val m = new graft.streaming.HllMaintainer("g", "k", s"$root/mv",
+      sourcePath = Some(src))
+    val input = MemoryStream[(String, Long)]
+    val query = MvStream.maintainHll(input.toDF().toDF("g", "k"), m).start()
+    try {
+      Seq(batchRows(1 to 50), batchRows(51 to 120), batchRows(121 to 200))
+        .foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    try {
+      // the maintainer registered its committed def on each commit —
+      // a declarative approx-distinct over the fact path must rewrite
+      // onto the STREAM-maintained register table
+      val served = spark.read.parquet(src).groupBy($"g")
+        .agg(approx_count_distinct($"k").as("acd")).orderBy($"g")
+      val leaves = served.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      assert(leaves.contains(m.mv.mvPath.substring(m.mv.mvPath.indexOf("graft"))),
+        s"serve must scan the maintained register table:\n$leaves")
+      assert(!leaves.contains("fact.parquet"),
+        "serve must never scan the fact")
+      // … and equal the batch-built twin's serve exactly (registers
+      // are deterministic — value equality, no error bars)
+      val direct = graft.operators.HllMv.materializeFrom(
+        batchRows(1 to 200).toDF("g", "k"),
+        graft.operators.HllMv.Def("g", "k", s"$root/direct"))
+      val want = graft.operators.HllMv.serveDistinct(spark, direct)
+        .select($"grp", expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"))
+        .orderBy($"grp").collect().toSeq
+      assert(served.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) ==
+        want.map(r => (r.getString(0), r.getLong(1))),
+        "stream-maintained serve == batch-built serve")
+      // restart re-registers for serving immediately
+      MvRewrite.clear()
+      val m2 = new graft.streaming.HllMaintainer("g", "k", s"$root/mv",
+        sourcePath = Some(src))
+      assert(m2.lastBatchId == 2L)
+      val again = spark.read.parquet(src).groupBy($"g")
+        .agg(approx_count_distinct($"k").as("acd")).orderBy($"g")
+      assert(!again.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString.contains("fact.parquet"),
+        "a restarted maintainer must serve through the rewrite too")
+    } finally MvRewrite.clear()
+  }
+
   test("restart resumes from the committed marker") {
     val root = freshRoot()
     val m1 = new MvMaintainer(s"$root/source", Seq("g"), Seq("v"), s"$root/mv")

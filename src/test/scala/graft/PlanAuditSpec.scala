@@ -572,4 +572,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!leaves.contains("orders.parquet"),
       "the serve path must read the merged register MV, not the fact")
   }
+
+  test("q216: the serve reads the REDERIVED MV, never the fact; the " +
+    "refresh pushed the touched-cell predicate to the base scan") {
+    val df = SparkEntry.queries("q216_mv_retract_minmax")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q216") && leaves.contains("mv1"),
+      s"expected the rederived MV as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet") &&
+      !leaves.contains("effective"),
+      "the serving aggregate must never rescan a fact table")
+  }
+
+  test("q217: approx_count_distinct rewrites onto the register table — " +
+    "the fact is never scanned") {
+    val df = SparkEntry.queries("q217_mv_hll_rewrite")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q217") && leaves.contains("mv1"),
+      s"expected the refreshed register table as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet"),
+      "the rewritten distinct-count must never scan the fact")
+    // and no Spark-native HLL++ buffer survives — the served value is
+    // the register table's deterministic estimate
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("approx_count_distinct"),
+      s"the HLL++ aggregate itself must be rewritten away:\n$plan")
+  }
 }
