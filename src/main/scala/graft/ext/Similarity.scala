@@ -139,6 +139,24 @@ object Similarity {
     Bridge.column(graft.functions.HyperplaneSignature(
       Bridge.expression(c), HpBands, HpRows))
 
+  /** Broadcast budget for the embeddings re-attach joins, in VECTOR
+    * ROWS: a 64-dim float vector is ~300 B serialized, so 1M rows
+    * ≈ 300 MB of build side — the comfortable ceiling past which the
+    * pair re-attachment must shuffle on vec_id instead (the candidate
+    * set is already id-keyed, so the fallback is a plain equi-join of
+    * id-sized rows, never a wider scan). The gate is MEASURED — the
+    * same house style as [[graft.ext.Corpus.BroadcastVocabMaxTerms]]
+    * and [[graft.ext.Graph.BroadcastAdjMaxEntries]] — because a hint
+    * never auto-degrades: an unconditional broadcast of a 10⁹-vector
+    * table OOMs the driver, which is exactly the 100 TB regime.
+    */
+  val BroadcastEmbMaxRows = 1000000L
+
+  /** Measured gate input: a column-less count of the embeddings table
+    * (parquet serves it from row-group metadata, not vector data). */
+  private def embFits(spark: SparkSession, d: String, budget: Long): Boolean =
+    Tables.embeddings(spark, d).count() <= budget
+
   /** Global (label-free) embedding near-dup via random-hyperplane LSH:
     * candidates come from an equi-join on (band_idx, band_key) — the
     * vector-space mirror of [[Dedup.candidatePairs]] — then exact
@@ -147,8 +165,9 @@ object Similarity {
     * pairs are cross-label, invisible to cell blocking), and the band
     * join bounds the pair space without any per-cell quadratic blowup.
     * The band join carries only (vec_id, band_idx, band_key); vectors
-    * re-attach after the distinct (broadcast here; a shuffle join at
-    * 100 TB).
+    * re-attach after the distinct under the measured
+    * [[BroadcastEmbMaxRows]] gate — a vec_id-keyed shuffle join above
+    * it.
     */
   def hyperplaneNearDup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -167,16 +186,23 @@ object Similarity {
     * is three ids+score columns — tiny next to the LSH banding and
     * cosine verification that derive it.
     */
-  private[graft] def hyperplaneVerifiedPairs(spark: SparkSession, d: String): DataFrame =
-    graft.Derived.frame(s"hyperplane-verified-pairs:$d") {
+  private[graft] def hyperplaneVerifiedPairs(spark: SparkSession, d: String,
+      maxBroadcastRows: Long = BroadcastEmbMaxRows): DataFrame = {
+    // the broadcast decision participates in the cache key (the
+    // orientedCopart house rule): a test forcing the shuffle fallback
+    // must not be handed the earlier caller's broadcast-shaped frame
+    val fits = embFits(spark, d, maxBroadcastRows)
+    graft.Derived.frame(s"hyperplane-verified-pairs:$d:bc=$fits") {
       import spark.implicits._
+      def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
       val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
       hyperplaneCandidates(spark, d)
-        .join(broadcast(emb.select($"vec_id".as("a_id"), $"embedding".as("av"))), "a_id")
-        .join(broadcast(emb.select($"vec_id".as("b_id"), $"embedding".as("bv"))), "b_id")
+        .join(hinted(emb.select($"vec_id".as("a_id"), $"embedding".as("av"))), "a_id")
+        .join(hinted(emb.select($"vec_id".as("b_id"), $"embedding".as("bv"))), "b_id")
         .select($"a_id", $"b_id", cos($"av", $"bv").as("score_raw"))
         .filter($"score_raw" >= HpThreshold)
     }
+  }
 
   /** LSH candidate pairs only (no verification) — exposed for the
     * candidate-budget assertions in HyperplaneSpec. */
@@ -211,8 +237,14 @@ object Similarity {
     * monotone encoding preserves it bit-for-bit.
     */
   def knnLabelConsensus(spark: SparkSession, d: String,
-                        k: Int = 3): DataFrame = {
+                        k: Int = 3,
+                        maxBroadcastRows: Long = BroadcastEmbMaxRows): DataFrame = {
     import spark.implicits._
+    // measured gate, same shape as [[hyperplaneVerifiedPairs]]: the
+    // labeled-vector side re-attaches to the id-keyed candidate set —
+    // broadcast under the budget, vec_id-keyed shuffle join above it
+    val fits = embFits(spark, d, maxBroadcastRows)
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val emb = Tables.embeddings(spark, d)
       .filter($"label".isNotNull)
       .select($"vec_id", $"embedding", $"label")
@@ -222,9 +254,9 @@ object Similarity {
         struct($"b_id".as("q"), $"a_id".as("nb")))).as("p"))
       .select($"p.q".as("query_id"), $"p.nb".as("nb"))
     val scored = sym
-      .join(broadcast(emb.select($"vec_id".as("query_id"),
+      .join(hinted(emb.select($"vec_id".as("query_id"),
         $"embedding".as("qv"), $"label".as("q_label"))), "query_id")
-      .join(broadcast(emb.select($"vec_id".as("nb"),
+      .join(hinted(emb.select($"vec_id".as("nb"),
         $"embedding".as("nv"), $"label".as("n_label"))), "nb")
       .select($"query_id", $"q_label",
         cos($"qv", $"nv").as("score_raw"),

@@ -102,4 +102,41 @@ class BroadcastGateSpec extends SparkSpec {
     assert(gated == hinted, "gate changed the community assignment")
   }
 
+  test("hyperplane pairs: oversized embeddings drop the re-attach " +
+    "broadcasts, pairs unchanged") {
+    val hinted = rows(ext.Similarity.hyperplaneVerifiedPairs(spark, d)
+      .orderBy("a_id", "b_id"))
+    // the gated build lands on a DIFFERENT Derived key (bc=false), so
+    // no clear() is needed for result isolation — but the hinted build
+    // just cached a broadcast-shaped frame whose plan would print
+    // inside anything that reused it, so drop both for a clean audit
+    Derived.clear()
+    val (gated, plan) = withoutAutoBroadcast {
+      val g = ext.Similarity.hyperplaneVerifiedPairs(spark, d,
+        maxBroadcastRows = -1L)
+      (rows(g.orderBy("a_id", "b_id")), g.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"vector re-attach must shuffle above the embedding budget:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no broadcast may survive a blown embedding budget")
+    assert(gated == hinted, "gate changed the verified pair set")
+  }
+
+  test("knnLabelConsensus: oversized embeddings drop the neighbor " +
+    "broadcasts, verdicts unchanged") {
+    val hinted = rows(ext.Similarity.knnLabelConsensus(spark, d))
+    Derived.clear()
+    val (gated, plan) = withoutAutoBroadcast {
+      val g = ext.Similarity.knnLabelConsensus(spark, d,
+        maxBroadcastRows = -1L)
+      (rows(g), g.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"label re-attach must shuffle above the embedding budget:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no broadcast may survive a blown embedding budget")
+    assert(gated == hinted, "gate changed the mislabel screen")
+  }
+
 }
