@@ -1,8 +1,7 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped registry of shared derived frames — the engine's
@@ -20,27 +19,56 @@ import org.apache.spark.storage.StorageLevel
   * At 100 TB the same role is played by materialized intermediate
   * tables between pipeline stages; MEMORY_AND_DISK spills rather
   * than OOMs when a cached intermediate outgrows executor memory.
+  *
+  * Memory governance for LONG-LIVED sessions: a service session
+  * iterating many sf dirs accumulates per-dir edge/label/pair frames
+  * without bound. The registry therefore holds a byte budget
+  * ([[budgetBytes]], default unbounded — batch mains clear() at exit)
+  * and evicts least-recently-used entries once the MEASURED cached
+  * footprint (block-manager bytes via [[Bridge.cachedBytes]], memory
+  * + disk, never an optimizer estimate) exceeds it. Eviction
+  * unpersists and forgets; a later request simply rebuilds — the
+  * registry is a cache, correctness never depends on residency.
   */
 object Derived {
 
-  private val memo = TrieMap[String, DataFrame]()
+  private final case class Entry(df: DataFrame, bytes: Long, var tick: Long)
+
+  private val memo = scala.collection.mutable.LinkedHashMap[String, Entry]()
+  private var clock = 0L
+
+  /** Registry byte budget. `Long.MaxValue` disables eviction (the
+    * batch-harness default — those mains [[clear]] on shutdown);
+    * long-lived sessions set a real budget. */
+  @volatile var budgetBytes: Long = Long.MaxValue
 
   /** The frame cached under `key`, building and materializing it on
     * first use. Keys must encode every input that changes the result
-    * (callers include the sf dir). Queries run one at a time per
-    * session, so the benign TrieMap race (two builders, one winner)
-    * does not occur in practice and would only waste work, not
-    * correctness.
+    * (callers include the sf dir and any plan-shaping flags, e.g. the
+    * measured broadcast-gate decision). Queries run one at a time per
+    * session; all registry mutation is synchronized so concurrent
+    * spec suites cannot corrupt the LRU order.
     */
-  def frame(key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElse(key, {
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize now so every later reader hits cache
-      memo.putIfAbsent(key, df) match {
-        case Some(winner) => df.unpersist(); winner // lose the race cleanly
-        case None => df
-      }
-    })
+  def frame(key: String)(build: => DataFrame): DataFrame = {
+    memo.synchronized {
+      memo.get(key).map { e => clock += 1; e.tick = clock; e.df }
+    } match {
+      case Some(df) => df
+      case None =>
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize now so every later reader hits cache
+        memo.synchronized {
+          memo.get(key) match {
+            case Some(winner) => df.unpersist(); winner.df // lose the race cleanly
+            case None =>
+              clock += 1
+              memo.put(key, Entry(df, Bridge.cachedBytes(df), clock))
+              evictOverBudget()
+              df
+          }
+        }
+    }
+  }
 
   /** Take ownership of an ALREADY-persisted frame so [[clear]] can
     * release it — for operators whose iteration loops must leave
@@ -64,18 +92,43 @@ object Derived {
     * and explicitly unpersisting the old holder would evict the very
     * entry the new frame relies on.
     */
-  def adopt(df: DataFrame): DataFrame = {
-    memo.put(s"adopted:${df.queryExecution.analyzed.semanticHash()}", df)
+  def adopt(df: DataFrame): DataFrame = memo.synchronized {
+    clock += 1
+    memo.put(s"adopted:${df.queryExecution.analyzed.semanticHash()}",
+      Entry(df, Bridge.cachedBytes(df), clock))
+    evictOverBudget()
     df
   }
 
+  /** Unpersist-and-forget least-recently-used entries until the
+    * measured total fits [[budgetBytes]]. The most-recent entry (the
+    * one just inserted) always survives — a budget smaller than one
+    * frame must not evict the frame its own caller is about to read.
+    * Callers hold the memo lock.
+    */
+  private def evictOverBudget(): Unit = {
+    val budget = budgetBytes
+    var total = memo.valuesIterator.map(_.bytes).sum
+    if (total <= budget) return
+    val newest = memo.maxBy(_._2.tick)._1
+    memo.toSeq.sortBy(_._2.tick).foreach { case (key, e) =>
+      if (total > budget && key != newest) {
+        e.df.unpersist()
+        memo.remove(key)
+        total -= e.bytes
+      }
+    }
+  }
 
   /** Unpersist and forget every registered frame. */
-  def clear(): Unit = {
-    memo.values.foreach(_.unpersist())
+  def clear(): Unit = memo.synchronized {
+    memo.values.foreach(_.df.unpersist())
     memo.clear()
   }
 
   /** Registered keys (introspection / tests). */
-  def keys: Set[String] = memo.keySet.toSet
+  def keys: Set[String] = memo.synchronized(memo.keySet.toSet)
+
+  /** Measured cached bytes currently held (introspection / tests). */
+  def heldBytes: Long = memo.synchronized(memo.valuesIterator.map(_.bytes).sum)
 }

@@ -40,6 +40,26 @@ object Bridge {
       (exp.extraOptimizations ++ optimizations.filterNot(exp.extraOptimizations.contains)).toList
   }
 
+  /** MEASURED block-manager footprint (memory + disk bytes) of a
+    * persisted DataFrame's cached relation — not an optimizer
+    * estimate. Resolves the frame through the session CacheManager to
+    * its `InMemoryRelation`, takes the id of the cached-batch RDD, and
+    * reads that RDD's storage totals from the SparkContext's storage
+    * listing (the driver-side view of every executor's BlockManager).
+    * 0 for a frame that is not (or no longer) cached.
+    */
+  def cachedBytes(df: DataFrame): Long = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val session = classic.sparkSession
+    session.sharedState.cacheManager.lookupCachedData(classic) match {
+      case Some(cd) =>
+        val id = cd.cachedRepresentation.cacheBuilder.cachedColumnBuffers.id
+        session.sparkContext.getRDDStorageInfo
+          .filter(_.id == id).map(i => i.memSize + i.diskSize).sum
+      case None => 0L
+    }
+  }
+
   /** Register a SQL-callable function backed by a native Expression. */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

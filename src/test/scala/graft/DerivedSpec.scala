@@ -93,6 +93,63 @@ class DerivedSpec extends SparkSpec {
     Derived.clear()
   }
 
+  test("LRU eviction under a forced byte budget, results unchanged") {
+    Derived.clear()
+    val old = Derived.budgetBytes
+    try {
+      // unbounded while we seed three measured entries
+      val a = Derived.frame("evict-a")(
+        spark.range(0, 10000).toDF("n"))
+      val b = Derived.frame("evict-b")(
+        spark.range(0, 10000).selectExpr("id * 2 as n"))
+      assert(Derived.heldBytes > 0,
+        "cached footprint must be measured from the block manager")
+      // touch a so b is the least-recently-used entry
+      Derived.frame("evict-a")(fail("must not rebuild a cached entry"))
+      // a 1-byte budget forces eviction of everything except the entry
+      // being inserted: c survives, the stale a/b are unpersisted
+      Derived.budgetBytes = 1L
+      val c = Derived.frame("evict-c")(
+        spark.range(0, 10000).selectExpr("id * 3 as n"))
+      assert(Derived.keys == Set("evict-c"),
+        s"LRU entries must be evicted over budget, got ${Derived.keys}")
+      assert(a.storageLevel == StorageLevel.NONE, "evicted a is unpersisted")
+      assert(b.storageLevel == StorageLevel.NONE, "evicted b is unpersisted")
+      assert(c.storageLevel != StorageLevel.NONE,
+        "the newest entry must survive even a budget smaller than itself")
+      // eviction is a cache policy, never a correctness event: the
+      // evicted frame simply rebuilds on next request with equal rows
+      val rebuilt = Derived.frame("evict-a")(
+        spark.range(0, 10000).toDF("n"))
+      assert(rebuilt.count() == 10000L)
+    } finally {
+      Derived.budgetBytes = old
+      Derived.clear()
+    }
+  }
+
+  test("eviction keeps recently-used entries when the budget allows") {
+    Derived.clear()
+    val old = Derived.budgetBytes
+    try {
+      val a = Derived.frame("fit-a")(spark.range(0, 10000).toDF("n"))
+      val b = Derived.frame("fit-b")(spark.range(0, 10000).selectExpr("id*2 as n"))
+      // budget = exactly a+b; inserting a SMALLER frame c (half the
+      // rows) overflows by |c| and evicting the LRU tail alone (a ≥ c)
+      // restores the budget — b must survive
+      Derived.budgetBytes = Derived.heldBytes
+      Derived.frame("fit-c")(spark.range(0, 5000).selectExpr("id*3 as n"))
+      assert(!Derived.keys.contains("fit-a"), "LRU tail must go first")
+      assert(Derived.keys == Set("fit-b", "fit-c"),
+        s"only the tail should be evicted, got ${Derived.keys}")
+      assert(a.storageLevel == StorageLevel.NONE)
+      assert(b.storageLevel != StorageLevel.NONE)
+    } finally {
+      Derived.budgetBytes = old
+      Derived.clear()
+    }
+  }
+
   test("non-registry edge frames are still persist/unpersist managed") {
     val edges = Seq((1L, 2L)).toDF("a_id", "b_id")
     Dedup.resolveClusters(edges).collect()
