@@ -843,21 +843,14 @@ object Graph {
     // set has no business on the driver — the joins degrade to the
     // u/v-keyed shuffles below, the always-safe path.
     val fits = nEdges <= maxBroadcastNodes
-    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
       round += 1
-      val keep = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k).select($"u")
       // lazy checkpoint: the convergence count below is the single
       // materializing action of the round (eager localCheckpoint
       // would run its own job first and make count a second one)
-      val next = sym
-        .join(hinted(keep), Seq("u"), "left_semi")
-        .join(hinted(keep.toDF("v")), Seq("v"), "left_semi")
-        .select($"u", $"v")
-        .localCheckpoint(false)
+      val next = kCoreRound(sym, k, fits).localCheckpoint(false)
       val n = next.count()
       sym = next
       converged = n == nEdges
@@ -865,6 +858,30 @@ object Graph {
     }
     sym.groupBy($"u".as("part")).agg(count(lit(1)).as("core_deg"))
       .orderBy($"part")
+  }
+
+  /** One peel round: drop edges whose u OR v endpoint fell under
+    * degree k. ONE hinted survivor frame is probed by BOTH semi-joins
+    * — the endpoint swap happens on the LEFT (edge) side as a free
+    * projection, so both right sides are the IDENTICAL `kb` plan and
+    * canonicalize equal: Spark builds ONE broadcast/shuffle exchange
+    * per round and the second join reads a ReusedExchange, i.e. the
+    * degree aggregate runs once per round, not once per endpoint.
+    * (The v-side used to be a `keep.toDF("v")` re-alias, whose extra
+    * Project defeated exchange reuse — KCoreReuseSpec pins the reuse.)
+    */
+  private[graft] def kCoreRound(sym: DataFrame, k: Long,
+                                fits: Boolean): DataFrame = {
+    import sym.sparkSession.implicits._
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val keep = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= k).select($"u")
+    val kb = hinted(keep)
+    sym
+      .join(kb, Seq("u"), "left_semi")
+      .select($"v".as("u"), $"u".as("v")) // swap: filter the v end
+      .join(kb, Seq("u"), "left_semi")
+      .select($"v".as("u"), $"u".as("v")) // swap back
   }
 
   /** HITS hubs & authorities over the directed customer→supplier
@@ -890,11 +907,12 @@ object Graph {
     * driver collect. Fixed `iters` keeps the unrolled oracle exact.
     *
     * Every half-step eagerly checkpoints its |V|-row RAW sum frame
-    * and its normalized score frame (the kCore lineage discipline,
-    * NOT persist — see the in-body comment for why cache-based
-    * pinning left a driver-side exponential): the edge join+agg
-    * executes exactly once per half-step and every consumer reads a
-    * materialized leaf.
+    * (the kCore lineage discipline, NOT persist — see the in-body
+    * comment for why cache-based pinning left a driver-side
+    * exponential): the edge join+agg executes exactly once per
+    * half-step and every consumer reads a materialized leaf. The
+    * normalized score stays lazy — leaf × one-row broadcast, cheap to
+    * re-derive — so a half-step costs ONE materializing action.
     */
   def hits(spark: SparkSession, d: String, iters: Int = 2): DataFrame = {
     // iters == 0 would leave the authority side never computed (null
@@ -931,16 +949,20 @@ object Graph {
     // the final hub/auth blocks live exactly as long as the returned
     // result references them — no registry entry to leak.
     def pin(df: DataFrame): DataFrame = df.localCheckpoint()
-    // TWO pins per half-step: first the RAW per-node sum (so the edge
-    // join+agg executes exactly once — unpinned, the normalizer's
-    // broadcast subquery and the score pin each re-ran it), then the
-    // normalized score (so the next half-step's join probes a
-    // materialized leaf, never a recomputation).
+    // ONE pin per half-step — the RAW per-node sum, so the edge
+    // join+agg executes exactly once. The normalized frame stays
+    // UNPINNED: its whole lineage is the raw LEAF crossJoined with a
+    // one-row broadcast aggregate over the same leaf, so re-deriving
+    // it costs a |V|-row cache scan, not a recomputation — and the
+    // plan stays constant-size per half-step (the exponential above
+    // needed `raw` itself to carry lineage). Dropping the second pin
+    // removes one materializing action per half-step, the r8-measured
+    // residual cost of this query.
     def step(prev: DataFrame, inKey: String, outKey: String,
              out: String): DataFrame = {
       val raw = pin(edges.join(prev, inKey).groupBy(col(outKey))
         .agg(sum(col(prev.columns.last).cast(dec)).as("raw")))
-      pin(normalized(raw, outKey, out))
+      normalized(raw, outKey, out)
     }
     var hub = pin(edges.select($"c").distinct()
       .select($"c", lit(1000000L).as("h")))
