@@ -616,6 +616,21 @@ object SparkEntry {
     // approx COUNT(DISTINCT) served by the HLL register MV through
     // the optimizer rewrite — q210's serve reached declaratively
     "q217_mv_hll_rewrite" -> (Extended.mvHllRewrite _),
+    // DSIR importance weighting: hashed-bucket add-1 log-likelihood
+    // ratio of target-vs-pool, summed per doc — LQ-exact in four
+    // terms so no operand outgrows a token count
+    "q218_dsir_selection" -> ((s: SparkSession, d: String) =>
+      Corpus.dsirSelection(s, d)),
+    // Hard-negative mining over the shared LSH candidates: best
+    // cross-label neighbor per anchor through the bounded TopKAgg,
+    // negative's label re-attached under the measured embedding gate
+    "q219_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d)),
+    // Temperature (α=1/2) corpus mixing: share ∝ ⌊√n_l⌋ via the
+    // reproducible multiplicative-hash keep predicate — q90's hard
+    // floor generalized
+    "q220_temperature_mix" -> ((s: SparkSession, d: String) =>
+      Corpus.temperatureMix(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1094,6 +1109,63 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*) * 10000, 0) / 10000 AS keep_rate
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // q218: per-token bucket hash with MULTIPLICITY (TokHashes is the
+    // distinct variant); four-term LQ ratio mirrors the engine exactly
+    "q218_dsir_selection" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(t, ''), c -> c != ''),
+        |      c -> CAST(ord(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647) % 64 AS b
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) u
+        |  WHERE t <> ''),
+        |counts AS (
+        |  SELECT b, SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS cs
+        |  FROM tk GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM counts),
+        |lr AS (
+        |  SELECT b,
+        |    CAST(floor(ln(CAST(ct + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    + CAST(floor(ln(CAST(ns + 64 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    - CAST(floor(ln(CAST(cs + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    - CAST(floor(ln(CAST(nt + 64 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS lr_q6
+        |  FROM counts CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |  CAST(SUM(lr_q6) AS BIGINT) AS dsir_q6,
+        |  CAST(SUM(lr_q6) AS BIGINT) > 0 AS selected
+        |FROM tk JOIN lr USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q220: same keep predicate as q90 with the ⌊√n_l⌋ temperature
+    // share in place of the hard minimum floor
+    "q220_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n_l) AS n,
+        |        SUM(CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT)) AS sw
+        |      FROM c),
+        |thr AS (
+        |  SELECT lang, n_l,
+        |    CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS w_half,
+        |    (n * CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT)) // sw
+        |      AS n_target
+        |  FROM c CROSS JOIN t),
+        |thr2 AS (SELECT *, LEAST((n_target * 2147483647) // n_l,
+        |                         2147483647) AS thr FROM thr),
+        |k AS (
+        |  SELECT d.lang, d.doc_id, n_l, w_half, n_target,
+        |    (d.doc_id % 2147483647) * 2654435761 % 2147483647 < thr AS keep
+        |  FROM documents d JOIN thr2 USING (lang))
+        |SELECT lang, CAST(MAX(n_l) AS BIGINT) AS n_docs,
+        |  CAST(MAX(w_half) AS BIGINT) AS w_half,
+        |  CAST(MAX(n_target) AS BIGINT) AS n_target,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id END) AS BIGINT) AS kept_sum,
+        |  ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*) * 10000, 0) / 10000 AS keep_rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // q86: pairs over empty-filtered tokens; range(len-1) is the same
     // index grid as Spark's sequence(0, size-2)
     "q86_bpe_pairs" ->
@@ -1507,6 +1579,29 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id
          |) WHERE score_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    // q219: the symmetrized banded candidates filtered to CROSS-label
+    // pairs, best neighbor per anchor by the (score DESC, nb) window
+    // the bounded TopKAgg mirrors; the negative's label joins back
+    "q219_hard_negatives" ->
+      s"""WITH $hpCandCtes,
+         |sym AS (SELECT a_id AS query_id, b_id AS nb FROM cand
+         |        UNION ALL SELECT b_id AS query_id, a_id AS nb FROM cand),
+         |sc AS (
+         |  SELECT query_id, q.label AS q_label, nb, n.label AS n_label,
+         |    ${cosSql("qv", "nv")} AS score_raw
+         |  FROM sym
+         |  JOIN (SELECT vec_id, embedding AS qv, label FROM embeddings) q
+         |    ON q.vec_id = query_id
+         |  JOIN (SELECT vec_id, embedding AS nv, label FROM embeddings) n
+         |    ON n.vec_id = nb
+         |  WHERE q.label <> n.label),
+         |rk AS (SELECT query_id, q_label, nb, n_label, score_raw,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY score_raw DESC, nb) AS rn
+         |       FROM sc)
+         |SELECT query_id AS vec_id, q_label AS label, nb AS neg_id,
+         |  n_label AS neg_label, ${r4sql("score_raw")} AS score
+         |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // q204: the same banded candidates symmetrized, ranked per vector
     // by the ROW_NUMBER window the engine's bounded TopKAgg mirrors
     "q204_knn_label_consensus" ->

@@ -339,6 +339,106 @@ object Corpus {
       .orderBy($"lang")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023's data-selection
+    * recipe): score every document by how much its hashed-n-gram
+    * profile looks like a TARGET corpus (here `targetSource`) rather
+    * than the raw pool, then select the positive-scoring tail. Per
+    * hashed bucket b the smoothed log-ratio is
+    * `LQ(c_t(b)+1) + LQ(N_s+B) − LQ(c_s(b)+1) − LQ(N_t+B)` and a
+    * document's importance is the SUM of its tokens' bucket ratios —
+    * the add-1 bag-of-buckets likelihood ratio.
+    *
+    * Exactness: the q177 LQ discipline (⌊ln·10⁶⌋ of exact integers,
+    * then pure integer sums) — kept as FOUR separate LQ terms rather
+    * than LQ of the cross-products, so no operand ever exceeds a
+    * token count (the product form wraps int64 once corpus-token ×
+    * bucket-count passes ~10¹⁸ — exactly the 100 TB regime).
+    *
+    * Scale shape: tokenize-explode + ONE conditional bucket count
+    * (map-side combinable, output bounded by `buckets`); the
+    * log-ratio table re-attaches BROADCAST by construction (≤
+    * `buckets` rows — a bounded pinned broadcast, not a data-sized
+    * hint); one per-doc partial agg closes. The corpus never
+    * shuffles by anything wider than doc_id.
+    */
+  def dsirSelection(spark: SparkSession, d: String, buckets: Int = 64,
+                    targetSource: String = "src0"): DataFrame = {
+    import spark.implicits._
+    val P = graft.ext.Dedup.P
+    def lq(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    val toks = Tables.documents(spark, d)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val hashed = toks.select($"doc_id", $"source",
+      (aggregate(filter(split($"tok", ""), ch => ch =!= ""), lit(0L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % P) % buckets).as("b"))
+    val counts = hashed.groupBy($"b")
+      .agg(sum(when($"source" === targetSource, 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cs"))
+    val totals = counts.agg(sum($"ct").as("nt"), sum($"cs").as("ns"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select($"b",
+        (expr(lq("ct + 1")) + expr(lq(s"ns + $buckets"))
+          - expr(lq("cs + 1")) - expr(lq(s"nt + $buckets"))).as("lr_q6"))
+    hashed.join(broadcast(lr), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"lr_q6").as("dsir_q6"))
+      .withColumn("selected", $"dsir_q6" > 0)
+      .orderBy($"doc_id")
+  }
+
+  /** Temperature-based corpus mixing — the mT5/multilingual-LM
+    * rebalancing step [[mixCorpus]]'s hard floor generalizes to:
+    * languages keep share ∝ n_l^α (α = ½ here — `⌊√n_l⌋` of an exact
+    * integer is engine-identical, no float boundary), so big
+    * languages are damped rather than truncated to the minimum and
+    * small ones gain share. Per-language target `(N·w_l) div Σw`,
+    * applied as the same reproducible multiplicative-hash keep
+    * predicate as [[mixCorpus]] (same int64 envelope: ids reduced mod
+    * P before the multiply; per-language targets under ~4.3·10⁹ keep
+    * `target·P` in int64 — the documented [[mixCorpus]] bound).
+    *
+    * Scale shape: one tiny per-language count aggregate broadcasts
+    * back over the corpus scan; the corpus itself never shuffles and
+    * SCANS ONCE for the model (the N/Σw totals come from a window
+    * over the language-domain aggregate — bounded by the number of
+    * languages by construction, so the single-partition window is a
+    * few-row frame, never data-sized; deriving them as a separate
+    * aggregate would re-run the corpus count scan, plans don't share
+    * subtrees).
+    */
+  def temperatureMix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val P = graft.ext.Dedup.P
+    val isqrt = "CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT)"
+    val docs = Tables.documents(spark, d).select($"doc_id", $"lang")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val thr = counts
+      .withColumn("n", sum($"n_l").over(all))
+      .withColumn("sw", sum(expr(isqrt)).over(all))
+      .select($"lang", $"n_l", expr(isqrt).as("w_half"),
+        expr(s"(n * $isqrt) div sw").as("n_target"))
+      .select($"lang", $"n_l", $"w_half", $"n_target",
+        least(expr(s"(n_target * $P) div n_l"), lit(P)).as("thr"))
+    docs.join(broadcast(thr), "lang")
+      .select($"lang", $"n_l", $"w_half", $"n_target", $"doc_id",
+        (($"doc_id" % P) * 2654435761L % P < $"thr").as("keep"))
+      .groupBy($"lang")
+      .agg(max($"n_l").as("n_docs"), max($"w_half").as("w_half"),
+        max($"n_target").as("n_target"),
+        sum($"keep".cast("long")).as("n_kept"),
+        sum(when($"keep", $"doc_id")).as("kept_sum"))
+      .select($"lang", $"n_docs", $"w_half", $"n_target", $"n_kept",
+        $"kept_sum",
+        r4($"n_kept".cast("double") / $"n_docs").as("keep_rate"))
+      .orderBy($"lang")
+  }
+
   /** Adjacent-token-pair counts — the first merge-candidate scan of a
     * BPE tokenizer-training run (count every adjacent symbol pair
     * across the corpus, with multiplicity; the top pair becomes the

@@ -273,6 +273,55 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Hard-negative mining — the contrastive-training pair miner: for
+    * each vector, its most-similar LSH-bucketed neighbor with a
+    * DIFFERENT label (the "looks like X, isn't X" example that makes
+    * an embedding model earn its margin). Candidates come from the
+    * SAME hyperplane banding as [[hyperplaneNearDup]] — never
+    * all-pairs — symmetrized in one explode pass; the cross-label
+    * filter runs BEFORE ranking so same-label pairs never enter the
+    * aggregate.
+    *
+    * The bounded [[graft.functions.TopKAgg]] partial keeps the single
+    * best negative per anchor inside the aggregation (≤1 row per
+    * (task, anchor) into the shuffle); its (score DESC, id ASC)
+    * ordering is exactly the oracle window's (score DESC, nb ASC)
+    * tie-break. The negative's label re-attaches afterwards on the
+    * ≤|V|-row result under the measured [[BroadcastEmbMaxRows]] gate.
+    */
+  def hardNegatives(spark: SparkSession, d: String,
+                    maxBroadcastRows: Long = BroadcastEmbMaxRows): DataFrame = {
+    import spark.implicits._
+    val fits = embFits(spark, d, maxBroadcastRows)
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val emb = Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding", $"label")
+    val sym = hyperplaneCandidates(spark, d)
+      .select(explode(array(
+        struct($"a_id".as("q"), $"b_id".as("nb")),
+        struct($"b_id".as("q"), $"a_id".as("nb")))).as("p"))
+      .select($"p.q".as("query_id"), $"p.nb".as("nb"))
+    val scored = sym
+      .join(hinted(emb.select($"vec_id".as("query_id"),
+        $"embedding".as("qv"), $"label".as("q_label"))), "query_id")
+      .join(hinted(emb.select($"vec_id".as("nb"),
+        $"embedding".as("nv"), $"label".as("n_label"))), "nb")
+      .filter($"n_label" =!= $"q_label")
+      .select($"query_id", $"q_label", cos($"qv", $"nv").as("score_raw"),
+        $"nb")
+    val top1 = udaf(new TopKAgg(1))
+    scored.groupBy($"query_id", $"q_label")
+      .agg(top1($"score_raw", $"nb").as("top"))
+      .select($"query_id", $"q_label", explode($"top").as("e"))
+      .select($"query_id".as("vec_id"), $"q_label".as("label"),
+        $"e._2".as("neg_id"), $"e._1".as("score_raw"))
+      .join(hinted(emb.select($"vec_id".as("neg_id"),
+        $"label".as("neg_label"))), "neg_id")
+      .select($"vec_id", $"label", $"neg_id", $"neg_label",
+        r4($"score_raw").as("score"))
+      .orderBy($"vec_id")
+  }
+
   /** Embedding near-dup: pairs inside the same cell with cosine above
     * threshold — the vector-space member of the dedup family
     * ([[Dedup]]); blocking by cell keeps the pair space per-cell

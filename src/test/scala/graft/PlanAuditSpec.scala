@@ -600,4 +600,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("approx_count_distinct"),
       s"the HLL++ aggregate itself must be rewritten away:\n$plan")
   }
+
+  test("q218: the log-ratio table joins back as a bounded broadcast, " +
+    "windows nowhere") {
+    val df = SparkEntry.queries("q218_dsir_selection")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=buckets-row lr table must broadcast onto the token stream")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      "per-doc scoring is one partial agg — no windows, no cartesians")
+  }
+
+  test("q219: negatives come from band equi-joins; top-1 rides the " +
+    "bounded partial, never a rank window") {
+    val df = SparkEntry.queries("q219_hard_negatives")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must never come from an all-pairs plan")
+    assert(!plan.contains("Window"),
+      "per-anchor best negative must ride TopKAgg partials")
+  }
+
+  test("q220: the corpus scans twice (model + keep pass) — the totals " +
+    "window rides the language-domain aggregate, not the data") {
+    val df = SparkEntry.queries("q220_temperature_mix")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected <=2 corpus scans (docs + counts), got $scans")
+    assert(!plan.contains("CartesianProduct"),
+      "the keep predicate is a pure hash map — no cartesians")
+    // the single Window sits ABOVE the per-language aggregate: its
+    // input is bounded by the language domain, never corpus-sized —
+    // in the printed tree, an aggregate must appear between the
+    // Window line and the first scan below it
+    val lines = plan.linesIterator.toVector
+    val wi = lines.indexWhere(_.contains("Window"))
+    assert(wi >= 0, s"expected the totals window in the plan:\n$plan")
+    val below = lines.drop(wi + 1)
+    val agg = below.indexWhere(_.contains("HashAggregate"))
+    val scan = below.indexWhere(_.contains("FileScan"))
+    assert(agg >= 0 && (scan < 0 || agg < scan),
+      s"the totals window must consume the aggregate, not the scan:\n$plan")
+  }
 }
