@@ -47,7 +47,7 @@ object SparkEntry {
     "q24_dedup_exact" -> (Dedup.exactDedup _),
     "q25_dedup_hash" -> (Dedup.hashDedup _),
     "q26_ngram_jaccard" -> (Dedup.ngramJaccard _),
-    "q27_minhash_lsh" -> (Dedup.minhashLsh _),
+    "q27_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q28_simhash" -> (Dedup.simhash _),
     "q29_text_stats" -> (TextStats.textStats _),
     "q30_lang_id" -> (TextStats.langId _),
@@ -159,7 +159,7 @@ object SparkEntry {
         .orderBy($"c_custkey")
     }),
     "q84_unigram_score" -> (TextStats.unigramScore _),
-    "q85_dedup_survivors" -> (Dedup.dedupSurvivors _),
+    "q85_dedup_survivors" -> ((s: SparkSession, d: String) => Dedup.dedupSurvivors(s, d)),
     "q86_bpe_pairs" -> ((s: SparkSession, d: String) => Corpus.bpePairs(s, d)),
     "q87_kmeans_train" -> ((s: SparkSession, d: String) => Similarity.kmeansTrain(s, d)),
     "q88_semantic_dedup" -> (Similarity.semanticDedup _),
@@ -253,7 +253,7 @@ object SparkEntry {
         .orderBy($"b")
     }),
     "q118_triangle_count" -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
-    "q119_setsim_join" -> (Dedup.setSimilarityJoin _),
+    "q119_setsim_join" -> ((s: SparkSession, d: String) => Dedup.setSimilarityJoin(s, d)),
     "q122_sparse_cosine" -> (Corpus.sparseCosinePairs _),
     "q123_embedding_cov" -> ((s: SparkSession, d: String) => Stats.embeddingCovariance(s, d)),
     "q124_countmin" -> (Stats.countMinSketch _),
@@ -579,7 +579,7 @@ object SparkEntry {
     // Directed containment over the shared LSH candidates: the
     // asymmetric quote/boilerplate signal symmetric Jaccard misses —
     // both directions as positive q6 divisions
-    "q209_containment" -> (Dedup.containment _),
+    "q209_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     // Maintained distinct counts: HLL register partials built on a
     // base slice, refreshed from the delta by register-wise MAX
     // (delta + the 64-row-per-group table only), served as estimates
@@ -631,6 +631,12 @@ object SparkEntry {
     // floor generalized
     "q220_temperature_mix" -> ((s: SparkSession, d: String) =>
       Corpus.temperatureMix(s, d)),
+    // Longest duplicated token span per LSH candidate pair (the
+    // exact-substring dedup signal): positional 3-gram matches chain
+    // along diagonals, gaps-and-islands recovers the longest run —
+    // keyed joins only, window over (pair, diagonal) micro-groups
+    "q221_longest_dup_span" -> ((s: SparkSession, d: String) =>
+      Dedup.longestDupSpan(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1755,6 +1761,37 @@ object SparkEntry {
            |  CAST(CAST(len(list_intersect(a_h, b_h)) AS BIGINT) * 1000000
            |       // len(b_h) AS BIGINT) AS cont_b_q6
            |FROM cand ORDER BY a_id, b_id""".stripMargin,
+      // q221: positional 3-gram hashes chain along pa−pb diagonals;
+      // the longest consecutive-pa island (gaps-and-islands) + 2 is
+      // the longest duplicated token span — same candidates as q27
+      "q221_longest_dup_span" ->
+        s"""WITH $lshCandCtes,
+           |pos AS (
+           |  SELECT doc_id, i AS p,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(list_filter(string_split(array_to_string(
+           |        (string_split(text, ' '))[i+1:i+3], ' '), ''),
+           |        c -> c != ''),
+           |      c -> CAST(ord(c) AS BIGINT))),
+           |      (a, b) -> (a * 31 + b) % 2147483647) AS h
+           |  FROM (SELECT doc_id, text,
+           |          unnest(range(len(string_split(text, ' ')) - 2)) AS i
+           |        FROM documents
+           |        WHERE len(string_split(text, ' ')) >= 3) u),
+           |m AS (
+           |  SELECT c.a_id, c.b_id, pa.p - pb.p AS diag, pa.p AS pa
+           |  FROM (SELECT a_id, b_id FROM cand) c
+           |  JOIN pos pa ON pa.doc_id = c.a_id
+           |  JOIN pos pb ON pb.doc_id = c.b_id AND pb.h = pa.h),
+           |isl AS (
+           |  SELECT a_id, b_id, diag, pa,
+           |    pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+           |                            ORDER BY pa) AS isle
+           |  FROM m),
+           |runs AS (SELECT a_id, b_id, COUNT(*) AS run
+           |         FROM isl GROUP BY a_id, b_id, diag, isle)
+           |SELECT a_id, b_id, CAST(MAX(run) + 2 AS BIGINT) AS span_tokens
+           |FROM runs GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin,
       // q188: the oracle pairs neighbors with a rank RANGE self-join
       // (the engine uses the bucket equi-join) — same N·w pair set
       "q188_sorted_neighborhood" ->

@@ -471,7 +471,9 @@ object Corpus {
     *
     * The scale lever is document-frequency pruning: terms appearing
     * in more than 10% of the corpus are dropped BEFORE the posting
-    * join (a broadcast of the surviving vocabulary), so the
+    * join (the surviving vocabulary attaches AQE-sized — broadcast
+    * when runtime stats fit, keyed shuffle otherwise; a pinned hint
+    * on a vocabulary-sized frame is the q71/q73 mistake), so the
     * join-explosion risk — a stop term whose posting list is the
     * whole corpus, making the self-join quadratic — is excluded
     * structurally, the same reason the q119 prefix probes only rare
@@ -499,7 +501,7 @@ object Corpus {
     val rareVocab = tf.groupBy($"token").agg(count(lit(1)).as("df"))
       .filter($"df" * 10 <= nDocs)
       .select($"token")
-    val kept = tf.join(broadcast(rareVocab), "token")
+    val kept = tf.join(rareVocab, "token")
     val norm = kept.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("nsq"))
     val dot = kept.toDF("token", "doc_a", "tf_a")
       .join(kept.toDF("token", "doc_b", "tf_b"), "token")

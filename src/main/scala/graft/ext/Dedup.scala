@@ -181,7 +181,37 @@ object Dedup {
     * is the right tool for degenerate-length text.
     */
   private def hashSets(spark: SparkSession, d: String): DataFrame =
-    hashSetsOf(Tables.documents(spark, d))
+    // registry-cached: the shingle-hash arrays are the shared upstream
+    // of the banding (via sharedPairs), the q27/q209 re-attach joins,
+    // and the measured broadcast gate below — one materialization per
+    // session instead of re-hashing the corpus per query, and the
+    // gate's entry count becomes a cache scan
+    graft.Derived.frame(s"lsh-hashsets:$d")(
+      hashSetsOf(Tables.documents(spark, d)))
+
+  /** Broadcast budget for the per-doc shingle-hash re-attach joins, in
+    * HASH ENTRIES (the arrays dominate the payload): 10M longs ≈ 80 MB
+    * serialized — the [[graft.ext.Graph.BroadcastAdjMaxEntries]]
+    * envelope. MEASURED against the Derived-cached hash-set frame (one
+    * cache scan) because a pinned hint never auto-degrades: an
+    * unconditional broadcast of a 10⁹-doc corpus's shingle arrays OOMs
+    * the driver. Above the budget the re-attach degrades to a
+    * doc_id-keyed shuffle join — the candidate set is already
+    * id-keyed, so no wider exchange appears.
+    */
+  val BroadcastShingleMaxEntries = 10000000L
+
+  /** Broadcast budget for cluster-membership frames (ids only):
+    * bounded by docs that appear in candidate pairs — tiny relative
+    * to the corpus by LSH construction, but an adversarial corpus
+    * (everything duplicated) makes it corpus-sized, so it is measured,
+    * never assumed. */
+  val BroadcastClusterMaxRows = 10000000L
+
+  private def shingleEntries(hs: DataFrame): Long = {
+    import hs.sparkSession.implicits._
+    hs.agg(coalesce(sum(size($"hashes")), lit(0)).cast("long")).head.getLong(0)
+  }
 
   private[graft] def hashSetsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -236,13 +266,17 @@ object Dedup {
     graft.Derived.frame(s"lsh-candidate-pairs:$d")(
       candidatePairs(hashSets(spark, d)))
 
-  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, d: String,
+                 maxBroadcastEntries: Long = BroadcastShingleMaxEntries): DataFrame = {
     import spark.implicits._
     val hs = hashSets(spark, d)
-    // Arrays are attached only after the distinct, via broadcast lookups.
+    // Arrays are attached only after the distinct — broadcast under
+    // the measured entry gate, doc_id-keyed shuffle join above it.
+    val fits = shingleEntries(hs) <= maxBroadcastEntries
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val withH = sharedPairs(spark, d)
-      .join(broadcast(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
-      .join(broadcast(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
+      .join(hinted(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
+      .join(hinted(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
     val inter = size(array_intersect($"a_h", $"b_h"))
     val uni = size($"a_h") + size($"b_h") - inter
     withH.select($"a_id", $"b_id", r4(inter.cast("double") / uni).as("jaccard"))
@@ -266,12 +300,16 @@ object Dedup {
     * winnowing fingerprints (q33) are the high-recall path for those;
     * this operator scores the candidate set it is given.
     */
-  def containment(spark: SparkSession, d: String): DataFrame = {
+  def containment(spark: SparkSession, d: String,
+                  maxBroadcastEntries: Long = BroadcastShingleMaxEntries): DataFrame = {
     import spark.implicits._
     val hs = hashSets(spark, d)
+    // same measured re-attach gate as [[minhashLsh]]
+    val fits = shingleEntries(hs) <= maxBroadcastEntries
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     sharedPairs(spark, d)
-      .join(broadcast(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
-      .join(broadcast(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
+      .join(hinted(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
+      .join(hinted(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
       .select($"a_id", $"b_id",
         size(array_intersect($"a_h", $"b_h")).cast("long").as("n_inter"),
         size($"a_h").cast("long").as("na"),
@@ -279,6 +317,56 @@ object Dedup {
       .select($"a_id", $"b_id", $"n_inter",
         expr("CAST(n_inter * 1000000 div na AS BIGINT)").as("cont_a_q6"),
         expr("CAST(n_inter * 1000000 div nb AS BIGINT)").as("cont_b_q6"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Longest duplicated token span per LSH candidate pair — the
+    * exact-substring dedup signal (Lee et al. 2022's "Deduplicating
+    * Training Data" cuts repeated SPANS, not whole documents; a long
+    * verbatim run shared by two docs is memorization fuel even when
+    * their overall Jaccard is low). For each candidate pair the span
+    * is recovered from POSITIONAL 3-gram hashes: a matching 3-gram at
+    * positions (pa, pb) extends a run along the diagonal pa−pb, so the
+    * longest common token run is `k − 1 +` the longest consecutive-pa
+    * island within a (pair, diagonal) group — the gaps-and-islands
+    * `pa − ROW_NUMBER()` trick, exactly mirrored by the oracle.
+    *
+    * Scale shape: the positional explode is corpus-token-sized but
+    * narrow (doc_id, pos, hash); matches come from TWO KEYED joins
+    * (candidates ⋈ a-positions on doc id, then ⋈ b-positions on
+    * (doc id, hash)) — never an all-pairs or hash-only join, so the
+    * match set is bounded by the candidates' shared-shingle mass. The
+    * island window partitions by (pair, diagonal) — many tiny groups,
+    * no global sort. Within a diagonal, pb = pa − diag is determined,
+    * so pa is unique and ROW_NUMBER's order is total — both engines
+    * see the identical islands.
+    */
+  def longestDupSpan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, size(toks) - 3), i ->
+           |  aggregate(
+           |    filter(split(concat_ws(' ', slice(toks, i + 1, 3)), ''),
+           |           c -> c != ''),
+           |    CAST(0 AS BIGINT),
+           |    (a, c) -> (a * 31 + ascii(c)) % $P))""".stripMargin))
+        .as(Seq("p", "h")))
+    val m = sharedPairs(spark, d)
+      .join(pos.select($"doc_id".as("a_id"), $"p".as("pa"), $"h"), "a_id")
+      .join(pos.select($"doc_id".as("b_id"), $"p".as("pb"), $"h"),
+        Seq("b_id", "h"))
+      .select($"a_id", $"b_id", ($"pa" - $"pb").as("diag"), $"pa")
+    val isle = $"pa" - row_number().over(
+      Window.partitionBy($"a_id", $"b_id", $"diag").orderBy($"pa"))
+    m.withColumn("isle", isle)
+      .groupBy($"a_id", $"b_id", $"diag", $"isle")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"a_id", $"b_id")
+      .agg((max($"run") + 2).as("span_tokens"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -322,12 +410,19 @@ object Dedup {
     * candidate pairs, tiny vs the corpus) and one map-side-combinable
     * census aggregate.
     */
-  def clusterSafeSplit(spark: SparkSession, d: String): DataFrame = {
+  def clusterSafeSplit(spark: SparkSession, d: String,
+                       maxBroadcastRows: Long = BroadcastClusterMaxRows): DataFrame = {
     import spark.implicits._
     val clusters = dupClusters(spark, d)
       .select($"doc_id", $"cluster_id")
+    // measured gate (BroadcastClusterMaxRows): the membership frame is
+    // USUALLY tiny, but only a count proves it — above the budget the
+    // left join degrades to a doc_id-keyed shuffle
+    val hinted =
+      if (clusters.count() <= maxBroadcastRows) broadcast(clusters)
+      else clusters
     Tables.documents(spark, d).select($"doc_id", $"lang")
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(hinted, Seq("doc_id"), "left")
       .select($"doc_id", $"lang",
         coalesce($"cluster_id", $"doc_id").as("gid"))
       .withColumn("bucket",
@@ -479,17 +574,24 @@ object Dedup {
     *
     * The drop set is bounded by the docs that appear in candidate
     * pairs — tiny relative to the corpus by LSH construction — so it
-    * broadcasts; the corpus itself never shuffles: scan → broadcast
-    * anti-join → partial agg. At 100 TB this is the shape you want for
-    * "write the deduplicated corpus": the only wide op is over the
-    * dup graph, never the data.
+    * broadcasts UNDER THE MEASURED [[BroadcastClusterMaxRows]] gate
+    * (an adversarial everything-duplicated corpus makes it
+    * corpus-sized; the count proves it, a hint never auto-degrades);
+    * the corpus itself never shuffles under the gate: scan →
+    * broadcast anti-join → partial agg. At 100 TB this is the shape
+    * you want for "write the deduplicated corpus": the only wide op
+    * is over the dup graph, never the data.
     */
-  def dedupSurvivors(spark: SparkSession, d: String): DataFrame = {
+  def dedupSurvivors(spark: SparkSession, d: String,
+                     maxBroadcastRows: Long = BroadcastClusterMaxRows): DataFrame = {
     import spark.implicits._
     val drop = dupClusters(spark, d)
       .filter($"doc_id" =!= $"cluster_id").select($"doc_id")
+    // measured gate, same rationale as [[clusterSafeSplit]]
+    val hinted =
+      if (drop.count() <= maxBroadcastRows) broadcast(drop) else drop
     Tables.documents(spark, d)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(hinted, Seq("doc_id"), "left_anti")
       .groupBy($"lang")
       .agg(count(lit(1)).cast("int").as("n_docs"),
            sum($"n_chars").as("total_chars"))
@@ -539,8 +641,10 @@ object Dedup {
     * Scale shape: the candidate join carries only prefix tokens —
     * ~n/10 of each set at τ=0.9, and the rarest ones, so hot tokens
     * (huge posting lists, the join-explosion risk) are systematically
-    * excluded from the probe side; df attachment is a broadcast (the
-    * vocabulary aggregate is tiny next to the corpus); the verify
+    * excluded from the probe side; df attachment broadcasts under the
+    * measured [[graft.ext.Corpus.BroadcastVocabMaxTerms]] gate (the
+    * vocabulary aggregate grows with the corpus — the q71/q73
+    * lesson), an h-keyed shuffle above it; the verify
     * join is keyed by doc id. The ranking window partitions by
     * doc_id — millions of tiny groups, never a global sort. This is
     * the deterministic sibling of [[minhashLsh]]: exact recall at
@@ -551,7 +655,8 @@ object Dedup {
     * decision exact on both engines; `jacc` itself is one IEEE
     * division of exact integers — bit-identical everywhere.
     */
-  def setSimilarityJoin(spark: SparkSession, d: String): DataFrame = {
+  def setSimilarityJoin(spark: SparkSession, d: String,
+      maxBroadcastTerms: Long = graft.ext.Corpus.BroadcastVocabMaxTerms): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.expressions.Window
@@ -572,12 +677,19 @@ object Dedup {
         .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("members"))
     }
     val toks = sets.select($"doc_id", $"n", explode($"l").as("h"))
+    // measured vocabulary gate for the df attachment (the q71/q73
+    // lesson: a token-frequency table is vocabulary-sized, which
+    // grows with the corpus): broadcast under the budget, h-keyed
+    // shuffle join above it. One distinct-count over the cached sets
+    // per invocation; the decision participates in the cache key.
+    val fits = toks.select($"h").distinct().count() <= maxBroadcastTerms
     // both sides of the candidate self-join — registry-cached for the
     // same reason as `sets`
-    val prefix = graft.Derived.frame(s"ppjoin-prefix:$d") {
+    val prefix = graft.Derived.frame(s"ppjoin-prefix:$d:bc=$fits") {
       val df = toks.groupBy($"h").agg(count(lit(1)).as("df"))
+      val dfHinted = if (fits) broadcast(df) else df
       val w = Window.partitionBy($"doc_id").orderBy($"df", $"h")
-      toks.join(broadcast(df), "h")
+      toks.join(dfHinted, "h")
         .withColumn("rn", row_number().over(w))
         // prefix length n − ⌈0.9n⌉ + 1, with ⌈0.9n⌉ = ⌊(9n+9)/10⌋
         .filter($"rn" <= $"n" - expr("(9 * n + 9) div 10") + 1)

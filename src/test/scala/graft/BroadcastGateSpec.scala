@@ -123,6 +123,54 @@ class BroadcastGateSpec extends SparkSpec {
     assert(gated == hinted, "gate changed the verified pair set")
   }
 
+  test("minhashLsh: oversized shingle arrays drop the re-attach " +
+    "broadcasts, jaccard unchanged") {
+    val hinted = rows(ext.Dedup.minhashLsh(spark, d))
+    Derived.clear()
+    val (gated, plan) = withoutAutoBroadcast {
+      val g = ext.Dedup.minhashLsh(spark, d, maxBroadcastEntries = -1L)
+      (rows(g), g.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"hash-array re-attach must shuffle above the entry budget:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no broadcast may survive a blown shingle-entry budget")
+    assert(gated == hinted, "gate changed the jaccard scores")
+  }
+
+  test("containment: oversized shingle arrays take the shuffle " +
+    "re-attach, scores unchanged") {
+    val hinted = rows(ext.Dedup.containment(spark, d))
+    Derived.clear()
+    val gated = withoutAutoBroadcast {
+      rows(ext.Dedup.containment(spark, d, maxBroadcastEntries = -1L))
+    }
+    assert(gated == hinted, "gate changed the containment scores")
+  }
+
+  test("dedupSurvivors + clusterSafeSplit: an oversized cluster frame " +
+    "takes the shuffle join, output unchanged") {
+    val survivors = rows(ext.Dedup.dedupSurvivors(spark, d))
+    val split = rows(ext.Dedup.clusterSafeSplit(spark, d))
+    Derived.clear()
+    val (gs, gc) = withoutAutoBroadcast {
+      (rows(ext.Dedup.dedupSurvivors(spark, d, maxBroadcastRows = -1L)),
+        rows(ext.Dedup.clusterSafeSplit(spark, d, maxBroadcastRows = -1L)))
+    }
+    assert(gs == survivors, "gate changed the surviving corpus")
+    assert(gc == split, "gate changed the split assignment")
+  }
+
+  test("setSimilarityJoin: an oversized vocabulary drops the df " +
+    "broadcast, pairs unchanged") {
+    val hinted = rows(ext.Dedup.setSimilarityJoin(spark, d))
+    Derived.clear()
+    val gated = withoutAutoBroadcast {
+      rows(ext.Dedup.setSimilarityJoin(spark, d, maxBroadcastTerms = -1L))
+    }
+    assert(gated == hinted, "gate changed the PPJoin result")
+  }
+
   test("knnLabelConsensus: oversized embeddings drop the neighbor " +
     "broadcasts, verdicts unchanged") {
     val hinted = rows(ext.Similarity.knnLabelConsensus(spark, d))

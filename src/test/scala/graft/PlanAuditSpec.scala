@@ -643,4 +643,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(agg >= 0 && (scan < 0 || agg < scan),
       s"the totals window must consume the aggregate, not the scan:\n$plan")
   }
+
+  test("q221: span matches come from keyed joins over LSH candidates — " +
+    "never hash-only or all-pairs") {
+    val df = SparkEntry.queries("q221_longest_dup_span")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "positional matching must never plan an all-pairs join")
+  }
 }
