@@ -637,6 +637,15 @@ object SparkEntry {
     // keyed joins only, window over (pair, diagonal) micro-groups
     "q221_longest_dup_span" -> ((s: SparkSession, d: String) =>
       Dedup.longestDupSpan(s, d)),
+    // Cross-source duplication matrix: q6-Jaccard-verified LSH pairs
+    // attributed to their (least, greatest) source pair — the
+    // provenance census; doc→source attaches AQE-sized, never pinned
+    "q222_cross_source_dups" -> ((s: SparkSession, d: String) =>
+      Dedup.crossSourceDups(s, d)),
+    // CMS join-size estimation: min-over-rows sketch inner product vs
+    // the true per-key count join — est >= actual by construction,
+    // DECIMAL-staged products, 256-cell estimate path
+    "q223_cms_join_size" -> (Stats.cmsJoinSize _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1792,6 +1801,26 @@ object SparkEntry {
            |         FROM isl GROUP BY a_id, b_id, diag, isle)
            |SELECT a_id, b_id, CAST(MAX(run) + 2 AS BIGINT) AS span_tokens
            |FROM runs GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin,
+      // q222: q6-verified candidate pairs attributed to normalized
+      // source pairs — the same cand CTE, integer jaccard, two doc
+      // joins, one census aggregate
+      "q222_cross_source_dups" ->
+        s"""WITH $lshCandCtes,
+           |ver AS (
+           |  SELECT a_id, b_id,
+           |    CAST(CAST(len(list_intersect(a_h, b_h)) AS BIGINT) * 1000000
+           |      // (len(a_h) + len(b_h) - len(list_intersect(a_h, b_h)))
+           |      AS BIGINT) AS jac_q6
+           |  FROM cand),
+           |s AS (
+           |  SELECT LEAST(da.source, db.source) AS source_a,
+           |         GREATEST(da.source, db.source) AS source_b, jac_q6
+           |  FROM (SELECT * FROM ver WHERE jac_q6 >= 500000) j
+           |  JOIN documents da ON da.doc_id = j.a_id
+           |  JOIN documents db ON db.doc_id = j.b_id)
+           |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(jac_q6) AS BIGINT) AS sum_jac_q6
+           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // q188: the oracle pairs neighbors with a rank RANGE self-join
       // (the engine uses the bucket equi-join) — same N·w pair set
       "q188_sorted_neighborhood" ->
@@ -2646,6 +2675,40 @@ object SparkEntry {
         |  COUNT(*) AS cnt
         |FROM events CROSS JOIN rs
         |GROUP BY 1, 2 ORDER BY sk_row, bucket""".stripMargin,
+    // q223: identical CMS hash family on both sides; HUGEINT-staged
+    // products mirror the engine's DECIMAL(38,0); min over rows
+    "q223_cms_join_size" ->
+      """WITH rs AS (
+        |  SELECT CAST(t.i AS INTEGER) AS sk_row,
+        |    CASE t.i WHEN 0 THEN 2654435761 WHEN 1 THEN 2246822519
+        |             WHEN 2 THEN 3266489917 ELSE 668265263 END AS a
+        |  FROM range(4) t(i)),
+        |sa AS (SELECT l_partkey AS user_id FROM lineitem
+        |       WHERE l_returnflag = 'R'),
+        |sb AS (SELECT l_partkey AS user_id FROM lineitem
+        |       WHERE l_returnflag = 'A'),
+        |ca AS (SELECT sk_row,
+        |         (user_id % 2147483647) * a % 2147483647 % 64 AS bucket,
+        |         COUNT(*) AS ca
+        |       FROM sa CROSS JOIN rs GROUP BY 1, 2),
+        |cb AS (SELECT sk_row,
+        |         (user_id % 2147483647) * a % 2147483647 % 64 AS bucket,
+        |         COUNT(*) AS cb
+        |       FROM sb CROSS JOIN rs GROUP BY 1, 2),
+        |ip AS (SELECT sk_row, SUM(CAST(ca AS HUGEINT) * cb) AS ip
+        |       FROM ca JOIN cb USING (sk_row, bucket) GROUP BY 1),
+        |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+        |act AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(na AS HUGEINT) * nb), 0) AS BIGINT)
+        |    AS actual_join_size
+        |  FROM (SELECT user_id, COUNT(*) AS na FROM sa GROUP BY 1) x
+        |  JOIN (SELECT user_id, COUNT(*) AS nb FROM sb GROUP BY 1) y
+        |    USING (user_id))
+        |SELECT est_join_size, actual_join_size,
+        |  CASE WHEN actual_join_size > 0
+        |       THEN est_join_size * 1000000 // actual_join_size
+        |  END AS err_q6
+        |FROM est CROSS JOIN act""".stripMargin,
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->

@@ -370,6 +370,47 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Cross-source duplication matrix — "which crawls copy which": the
+    * per-source-pair census of near-duplicate pairs, the provenance
+    * signal a curation pipeline reads before deciding which source to
+    * keep when dup clusters straddle feeds (mirror detection, syndication
+    * mapping, licensing triage). Pairs come from the SAME shared LSH
+    * candidate set as q27/q54 and verify by integer q6 Jaccard
+    * (`10⁶·|a∩b| div |a∪b|` — exact on both engines); the source pair
+    * is normalized (least, greatest) so the matrix is one triangle.
+    *
+    * Scale shape: candidate-bounded verification (never all-pairs),
+    * then TWO doc_id-keyed joins attach the sources — unhinted, so
+    * AQE sizes them (the corpus-sized doc→source frame must never be
+    * a pinned broadcast), and one census aggregate over the
+    * source-pair domain closes.
+    */
+  def crossSourceDups(spark: SparkSession, d: String,
+                      minJacQ6: Long = 500000L,
+                      maxBroadcastEntries: Long = BroadcastShingleMaxEntries): DataFrame = {
+    import spark.implicits._
+    val hs = hashSets(spark, d)
+    val fits = shingleEntries(hs) <= maxBroadcastEntries
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val src = Tables.documents(spark, d).select($"doc_id", $"source")
+    val inter = size(array_intersect($"a_h", $"b_h")).cast("long")
+    val uni = (size($"a_h") + size($"b_h")).cast("long") - inter
+    sharedPairs(spark, d)
+      .join(hinted(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h"))), "a_id")
+      .join(hinted(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h"))), "b_id")
+      .select($"a_id", $"b_id", inter.as("n_inter"), uni.as("n_uni"))
+      .select($"a_id", $"b_id",
+        expr("CAST(n_inter * 1000000 div n_uni AS BIGINT)").as("jac_q6"))
+      .filter($"jac_q6" >= minJacQ6)
+      .join(src.select($"doc_id".as("a_id"), $"source".as("src_a")), "a_id")
+      .join(src.select($"doc_id".as("b_id"), $"source".as("src_b")), "b_id")
+      .select(least($"src_a", $"src_b").as("source_a"),
+        greatest($"src_a", $"src_b").as("source_b"), $"jac_q6")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum($"jac_q6").as("sum_jac_q6"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Duplicate-cluster resolution: connected components over the LSH
     * candidate pairs, labels = smallest doc_id reachable. Iterative
     * min-label propagation — each round is one join + aggregate, the

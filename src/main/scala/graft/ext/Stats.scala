@@ -572,6 +572,53 @@ object Stats {
       .orderBy($"user_id")
   }
 
+  /** CMS join-size estimation — the optimizer-adjacent sketch use:
+    * predict |A ⋈ B| on a key from two count-min sketches WITHOUT
+    * touching the join, via the inner product Σ_b cA(r,b)·cB(r,b)
+    * minimized over rows (the AMS/CMS join-size estimator; collisions
+    * only ADD, so every row's product over-counts and the min is the
+    * tightest upper bound — `est ≥ actual` always). Sides here: the
+    * R-returned vs A-accepted lineitem halves keyed by part — a
+    * many-to-many self-equi-join whose true size is a full per-key
+    * count join, while the estimate reads 2·4·64 cells.
+    *
+    * Exactness: the sketch is the [[cmsOf]] integer hash family, so
+    * cells match engine-for-engine; products and their sums stage
+    * DECIMAL(38,0) (a cell holds ~|side|/64 rows — the product sum
+    * passes int64 near 10⁹-row sides, exactly the scale the estimator
+    * exists for) and return to BIGINT at the edge (the q123 output
+    * discipline). `err_q6 = 10⁶·est div actual` is an integer
+    * division of positives, NULL when the true join is empty.
+    *
+    * Scale shape: two bounded-width sketch aggregates (≤4·64 cells
+    * per task forwarded, any input size), a 256-row cell join for the
+    * estimate; the ACTUAL size — computed here only to grade the
+    * estimate — is two per-key partial aggs and one keyed join.
+    */
+  def cmsJoinSize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(spark, d)
+    def side(flag: String) = li.filter($"l_returnflag" === flag)
+      .select($"l_partkey".as("user_id"))
+    val a = side("R")
+    val b = side("A")
+    val est = cmsOf(a).toDF("sk_row", "bucket", "ca")
+      .join(cmsOf(b).toDF("sk_row", "bucket", "cb"), Seq("sk_row", "bucket"))
+      .groupBy($"sk_row")
+      .agg(sum($"ca".cast(dec) * $"cb".cast(dec)).as("ip"))
+      .agg(min($"ip").cast("bigint").as("est_join_size"))
+    val actual = a.groupBy($"user_id").agg(count(lit(1)).as("na"))
+      .join(b.groupBy($"user_id").agg(count(lit(1)).as("nb")), "user_id")
+      .agg(coalesce(sum($"na".cast(dec) * $"nb".cast(dec)),
+        lit(0).cast(dec)).cast("bigint").as("actual_join_size"))
+    est.crossJoin(broadcast(actual))
+      .select($"est_join_size", $"actual_join_size",
+        when($"actual_join_size" > 0,
+          expr("est_join_size * 1000000 div actual_join_size"))
+          .as("err_q6"))
+  }
+
   def embeddingCovariance(spark: SparkSession, d: String,
                           dims: Int = 8): DataFrame = {
     import spark.implicits._
