@@ -646,6 +646,26 @@ object SparkEntry {
     // the true per-key count join — est >= actual by construction,
     // DECIMAL-staged products, 256-cell estimate path
     "q223_cms_join_size" -> (Stats.cmsJoinSize _),
+    // Calibration / reliability table + ECE — AUC's companion gate:
+    // equal-population score bins via the arithmetic NTILE over a
+    // GlobalIndex rank, per-bin conf vs observed rate, one quantized
+    // ECE scalar re-attached broadcast
+    "q224_calibration" -> ((s: SparkSession, d: String) =>
+      Stats.calibrationTable(s, d)),
+    // Spearman rank correlation (acctbal vs lifetime spend): TWO
+    // GlobalIndex rankings — the second ranks the frame carrying the
+    // first, zero joins — then one 2-sum DECIMAL-staged aggregate
+    "q225_spearman" -> (Stats.spearmanCorr _),
+    // Seed-anchored Adamic-Adar related items over the co-purchase
+    // graph: every stage bounded by |seeds|·deg², never the 148M-row
+    // all-pairs wedge set; per-VALUE LQ hub discount; TopKAgg top-k
+    "q226_adamic_adar" -> ((s: SparkSession, d: String) =>
+      Graph.adamicAdarSeeded(s, d)),
+    // Per-doc shingle-novelty census: inverted-index document
+    // frequency over the shared LSH hash frame — the partial-dup /
+    // boilerplate screen pairwise Jaccard misses
+    "q227_shingle_novelty" -> ((s: SparkSession, d: String) =>
+      Dedup.shingleNovelty(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1921,6 +1941,22 @@ object SparkEntry {
         s"""WITH hs AS (SELECT doc_id, $TokHashes AS hashes FROM documents)
            |SELECT doc_id, CAST($simhashBits AS INT) AS simhash16
            |FROM hs ORDER BY doc_id""".stripMargin,
+      // q227: the same inverted-index census — shingle document
+      // frequency over the distinct per-doc hashes, share as one
+      // positive // division
+      "q227_shingle_novelty" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($ShingleHashes) AS h FROM documents),
+           |byh AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nd
+           |        FROM sh GROUP BY 1)
+           |SELECT doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_shared,
+           |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000
+           |       // COUNT(*) AS BIGINT) AS dup_q6
+           |FROM sh JOIN byh USING (h)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q29_text_stats" ->
         s"""SELECT doc_id, lang,
            |  CAST(LENGTH(text) AS INT) AS n_chars_calc,
@@ -2709,6 +2745,93 @@ object SparkEntry {
         |       THEN est_join_size * 1000000 // actual_join_size
         |  END AS err_q6
         |FROM est CROSS JOIN act""".stripMargin,
+    // q224: the oracle bins with the REAL window rank; HUGEINT stages
+    // Σr and the n_b·n product, // everywhere positive
+    "q224_calibration" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+        |rk AS (SELECT y, ROW_NUMBER() OVER (ORDER BY s, k) AS r FROM pts),
+        |b AS (
+        |  SELECT ((r - 1) * 10) // n + 1 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    SUM(CAST(r AS HUGEINT)) AS sr,
+        |    MAX(n) AS n
+        |  FROM rk CROSS JOIN tot GROUP BY 1),
+        |g AS (
+        |  SELECT bucket, n_rows, n_pos, n,
+        |    CAST((sr * 1000000) // (CAST(n_rows AS HUGEINT)
+        |         * CAST(n AS HUGEINT)) AS BIGINT) AS conf_q6,
+        |    CAST(n_pos * 1000000 // n_rows AS BIGINT) AS acc_q6
+        |  FROM b),
+        |g2 AS (SELECT *, abs(acc_q6 - conf_q6) AS gap_q6 FROM g),
+        |e AS (SELECT CAST(SUM(CAST(n_rows AS HUGEINT) * gap_q6)
+        |        // MAX(CAST(n AS HUGEINT)) AS BIGINT) AS ece_q6 FROM g2)
+        |SELECT bucket, n_rows AS n, n_pos, conf_q6, acc_q6, gap_q6, ece_q6
+        |FROM g2 CROSS JOIN e ORDER BY bucket""".stripMargin,
+    // q225: both rank frames via the REAL windows the engine avoids;
+    // HUGEINT stages d² and the n(n²−1) products; the 10⁹ shift keeps
+    // the signed ρ division floor==trunc on both engines
+    "q225_spearman" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS k,
+        |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT per.k, per.x,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS y
+        |  FROM per JOIN customer ON c_custkey = per.k),
+        |r1 AS (SELECT k, y, ROW_NUMBER() OVER (ORDER BY x, k) AS rx
+        |       FROM j),
+        |r2 AS (SELECT rx, ROW_NUMBER() OVER (ORDER BY y, k) AS ry
+        |       FROM r1),
+        |a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        SUM(CAST(rx - ry AS HUGEINT)
+        |            * CAST(rx - ry AS HUGEINT)) AS sd2
+        |      FROM r2)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sd2 AS BIGINT) AS sum_d2,
+        |  CAST(((n * (n * n - 1) - 6 * sd2) * 1000000
+        |        + 1000000000 * (n * (n * n - 1)))
+        |       // nullif(n * (n * n - 1), 0)
+        |       - 1000000000 AS BIGINT) AS rho_q6
+        |FROM a""".stripMargin,
+    // q226: the oracle expands the same seed-anchored wedges and
+    // ranks per seed with the REAL window; identical LQ hub discount
+    "q226_adamic_adar" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |sym AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |seeds AS (SELECT DISTINCT u FROM sym ORDER BY u LIMIT 10),
+        |sa AS (SELECT s.u AS a, sym.v AS w
+        |       FROM sym JOIN seeds s ON sym.u = s.u),
+        |ww AS (SELECT sa.a, sa.w,
+        |         1000000000000 // CAST(floor(ln(CAST(deg AS DOUBLE))
+        |           * 1000000.0) AS BIGINT) AS wt
+        |       FROM sa JOIN deg ON deg.u = sa.w),
+        |wedge AS (SELECT ww.a, sym.v AS b, wt
+        |          FROM ww JOIN sym ON sym.u = ww.w WHERE sym.v != ww.a),
+        |nonadj AS (
+        |  SELECT w.a, w.b, w.wt FROM wedge w
+        |  WHERE NOT EXISTS (SELECT 1 FROM sa
+        |                    WHERE sa.a = w.a AND sa.w = w.b)),
+        |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+        |         CAST(SUM(wt) AS BIGINT) AS aa_q6
+        |       FROM nonadj GROUP BY 1, 2),
+        |rk AS (SELECT a, b, cn, aa_q6,
+        |         ROW_NUMBER() OVER (PARTITION BY a
+        |                            ORDER BY aa_q6 DESC, b) AS rn
+        |       FROM sc)
+        |SELECT a, b, aa_q6, cn FROM rk WHERE rn <= 10
+        |ORDER BY a, aa_q6 DESC, b""".stripMargin,
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->

@@ -760,4 +760,37 @@ object Dedup {
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jacc"))
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Per-document shingle-novelty census — for every document, the
+    * fraction of its distinct 3-token shingles that appear in ANY
+    * other document: the corpus-wide memorization/boilerplate screen
+    * that catches partial duplication (shared headers, templated
+    * spans, quoted passages) pairwise Jaccard misses because no
+    * single partner crosses a similarity floor. Dedup keeps the
+    * novel; this measures HOW novel each survivor is.
+    *
+    * Scale shape — the inverted-index form: explode the
+    * registry-shared `lsh-hashsets` frame (one hashing pass per
+    * session, shared with the whole LSH family) into (doc, shingle)
+    * rows, ONE map-side-combinable groupBy(shingle) census (distinct
+    * hashes per doc by construction, so `count` is document
+    * frequency), one keyed join back, one groupBy(doc) rollup —
+    * three keyed shuffles of the shingle stream, no self-join, no
+    * pair enumeration, nothing driver-side. The share is the single
+    * positive rational `shared·10⁶ div total`: div and // agree.
+    */
+  def shingleNovelty(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sh = hashSets(spark, d)
+      .select($"doc_id", explode($"hashes").as("h"))
+    val byH = sh.groupBy($"h").agg(count(lit(1)).as("nd"))
+    sh.join(byH, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        expr("CAST(n_shared * 1000000 div n_shingles AS BIGINT)")
+          .as("dup_q6"))
+      .orderBy($"doc_id")
+  }
 }

@@ -1463,4 +1463,106 @@ object Stats {
           " - 1000000000 AS BIGINT)").as("adj_mean_q6"))
       .orderBy($"variant")
   }
+
+  /** Calibration / reliability table + expected calibration error
+    * (ECE) — the companion gate to [[aucRanked]]: AUC says the score
+    * RANKS well, calibration says the score's magnitude MEANS what it
+    * claims. Rows are cut into B equal-population score bins (the
+    * q176/q206 arithmetic NTILE over a [[graft.operators.GlobalIndex]]
+    * rank — never a single-reducer window); per bin the mean predicted
+    * probability (here the score PERCENTILE r/n, the canonical
+    * distribution-free calibrated transform of a raw score) is
+    * compared with the observed positive rate, and
+    * `ECE = Σ_b (n_b/n)·|acc_b − conf_b|` summarizes the gap.
+    *
+    * Exactness: conf_q6 is the single positive rational
+    * `Σr·10⁶ div (n_b·n)` with Σr staged DECIMAL(38,0) (Σr ~ n²/B —
+    * past int64 at billions of rows, the aucRanked staging
+    * discipline); acc_q6 is `pos·10⁶ div n_b`; the gap subtracts two
+    * identically-truncated q6 integers so `abs` is deterministic; and
+    * ECE is one more positive single division of already-quantized
+    * integers — div and // agree everywhere.
+    *
+    * Scale shape: one ranked pass + one map-side-combinable bucket
+    * agg; everything after runs on the B-row bucket DOMAIN; the ECE
+    * scalar re-attaches by a broadcast one-row cross join.
+    */
+  def calibrationTable(spark: SparkSession, d: String,
+                       buckets: Int = 10): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pts = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pts, Seq($"s".asc, $"k".asc), "r")
+    val tot = pts.agg(count(lit(1)).as("n"))
+    val bins = ranked.crossJoin(broadcast(tot))
+      .select(expr(s"((r - 1) * $buckets) div n + 1").as("bucket"),
+        $"y", $"r", $"n")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), sum($"y").as("n_pos"),
+        // cast INSIDE the aggregate: Σr ~ n²/B wraps int64 at scale
+        sum($"r".cast(dec)).as("sr"), max($"n").as("n"))
+      .select($"bucket", $"n_rows", $"n_pos", $"n",
+        expr(s"CAST((sr * 1000000) div (CAST(n_rows AS $dec)" +
+          s" * CAST(n AS $dec)) AS BIGINT)").as("conf_q6"),
+        expr("CAST(n_pos * 1000000 div n_rows AS BIGINT)").as("acc_q6"))
+      .withColumn("gap_q6", abs($"acc_q6" - $"conf_q6"))
+    // B-row domain: the ECE scalar is one positive division of
+    // already-quantized gaps, re-attached broadcast
+    val ece = bins.agg(
+      expr(s"CAST(sum(CAST(n_rows AS $dec) * CAST(gap_q6 AS $dec))" +
+        s" div max(CAST(n AS $dec)) AS BIGINT)").as("ece_q6"))
+    bins.crossJoin(broadcast(ece))
+      .select($"bucket", $"n_rows".as("n"), $"n_pos",
+        $"conf_q6", $"acc_q6", $"gap_q6", $"ece_q6")
+      .orderBy($"bucket")
+  }
+
+  /** Spearman rank correlation between per-customer account balance
+    * and lifetime spend — the monotone-association screen run before
+    * trusting a feature (Pearson on ranks; robust to the heavy-tailed
+    * monetary scales that wreck raw-moment correlation).
+    *
+    * `ρ = 1 − 6·Σd² / (n(n²−1))` over d = rank_x − rank_y under the
+    * documented deterministic (value, key) total orders both engines
+    * mirror (cents-grained values make the mid-rank tie correction
+    * sub-q6, the q205 convention).
+    *
+    * Scale shape: TWO [[graft.operators.GlobalIndex]] rankings — the
+    * second ranks the frame already carrying rank_x, so the ranks
+    * align with ZERO joins (a `ROW_NUMBER` window would funnel the
+    * corpus through one reducer; a rank-frame self-join would add a
+    * keyed shuffle) — then ONE map-side-combinable 2-sum aggregate.
+    * Exactness: d² ≤ n² and Σd² ~ n³ — both Σd² and the denominator
+    * n(n²−1) are staged DECIMAL(38,0) with the cast INSIDE the
+    * aggregate (int64 wraps past ~2M rows on Σd²); ρ ∈ [−1, 1] so the
+    * 10⁹-shift single division makes div and // agree on the signed
+    * result.
+    */
+  def spearmanCorr(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val per = Tables.orders(spark, d)
+      .groupBy($"o_custkey".as("k"))
+      .agg(expr("CAST(sum(floor(o_totalprice * 100)) AS BIGINT)").as("x"))
+      .join(Tables.customer(spark, d).select($"c_custkey".as("k"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("y")), Seq("k"))
+    val rx = graft.operators.GlobalIndex
+      .withRowNumber(per, Seq($"x".asc, $"k".asc), "rx")
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(rx, Seq($"y".asc, $"k".asc), "ry")
+    ranked.agg(count(lit(1)).cast(dec).as("n"),
+        // cast each factor BEFORE the square: d ≤ n, so d² itself
+        // outgrows int64 past ~3B rows if multiplied in LONG
+        sum(($"rx" - $"ry").cast(dec) * ($"rx" - $"ry").cast(dec)).as("sd2"))
+      .select(expr("CAST(n AS BIGINT)").as("n"),
+        expr("CAST(sd2 AS BIGINT)").as("sum_d2"),
+        expr("CAST(((n * (n * n - 1) - 6 * sd2) * 1000000" +
+          " + 1000000000 * (n * (n * n - 1)))" +
+          " div nullif(n * (n * n - 1), 0)" +
+          " - 1000000000 AS BIGINT)").as("rho_q6"))
+  }
 }

@@ -923,4 +923,49 @@ class BehaviorSpec extends SparkSpec {
     assert(Graph.kCore(spark, dir, k = 3).collect().isEmpty,
       "no subgraph of min degree 3 exists")
   }
+
+  test("adamicAdarSeeded: path graph — the 2-hop pair scores " +
+    "1/ln(deg center), adjacent pairs never appear") {
+    val dir = Files.createTempDirectory("graft-aa").toString
+    // baskets {1,2} and {2,3}: path 1—2—3; the only predicted link
+    // is (1,3) through center 2 (deg 2), seen from both endpoints
+    Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val wt2 = 1000000000000L / 693147L // 1/ln(2) in q6
+    val got = Graph.adamicAdarSeeded(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, wt2, 1L), (3L, 1L, wt2, 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("adamicAdarSeeded: triangle + tail — existing edges excluded, " +
+    "hub centers discounted by their full degree") {
+    val dir = Files.createTempDirectory("graft-aa2").toString
+    // basket 10 closes triangle {1,2,3}; basket 11 hangs 3—4. Every
+    // triangle pair is adjacent (excluded); the only predictions run
+    // through center 3 (deg 3): (1,4), (2,4) and their mirrors
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 3L), (11L, 4L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val wt3 = 1000000000000L / 1098612L // 1/ln(3) in q6
+    val got = Graph.adamicAdarSeeded(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L, wt3, 1L), (2L, 4L, wt3, 1L),
+      (4L, 1L, wt3, 1L), (4L, 2L, wt3, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("shingleNovelty: shared 3-gram counted, unique doc scores 0, " +
+    "sub-3-token docs absent") {
+    // docs 1 and 2 share exactly the shingle "x y z" (1 of 3 each);
+    // doc 3 is fully novel; doc 4 has no shingles at all
+    val dir = plantDocs(Seq(
+      (1L, "x y z p q"), (2L, "x y z r s"),
+      (3L, "a b c d e"), (4L, "one two")))
+    val got = graft.ext.Dedup.shingleNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L),
+      (3L, 3L, 0L, 0L)), s"got ${got.toSeq}")
+  }
 }

@@ -437,4 +437,75 @@ class DriftSpec extends SparkSpec {
     assert(fr.forall(r => r.isNullAt(3) && r.isNullAt(4)),
       "zero-variance covariate must yield NULL theta/adjusted, not a value")
   }
+
+  test("calibrationTable: hand-computed per-bin conf/acc/gap and ECE " +
+    "on 4 planted rows") {
+    // ranks 1..4 by price; bucket = ((r−1)·10) div 4 + 1 → 1,3,6,8;
+    // singleton bins: conf = 250000·r, acc = y·10⁶
+    val d = plantOrders(Seq(
+      (1L, "O", 100.00, "1-URGENT"), (2L, "F", 200.00, "1-URGENT"),
+      (3L, "O", 300.00, "1-URGENT"), (4L, "F", 400.00, "1-URGENT")))
+    val rows = Stats.calibrationTable(spark, d).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 250000L, 0L, 250000L),
+      (3L, 1L, 1L, 500000L, 1000000L, 500000L),
+      (6L, 1L, 0L, 750000L, 0L, 750000L),
+      (8L, 1L, 1L, 1000000L, 1000000L, 0L)), s"bins: ${got.toSeq}")
+    // ECE = (250000 + 500000 + 750000 + 0) div 4 = 375000, identical
+    // on every row
+    assert(rows.map(_.getLong(6)).distinct.toSeq == Seq(375000L))
+  }
+
+  test("calibrationTable: sf0.001 invariants — near-equal NTILE " +
+    "populations, ECE equals the row-derived sum") {
+    val rows = Stats.calibrationTable(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "10 bins")
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"equal-population: ${sizes.toSeq}")
+    val n = sizes.sum
+    val ece = rows.map(r => r.getLong(1) * r.getLong(5)).sum / n
+    assert(rows.head.getLong(6) == ece,
+      s"ECE must equal the row-derived value $ece, got ${rows.head.getLong(6)}")
+  }
+
+  /** orders + customer pair for the rank-correlation fixtures. */
+  private def plantSpend(orders: Seq[(Long, Long, Double)],
+                         cust: Seq[(Long, Double)]): String = {
+    val dir = Files.createTempDirectory("graft-spearman").toString
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .select($"o_orderkey", $"o_custkey", lit("F").as("o_orderstatus"),
+        $"o_totalprice", to_timestamp(lit("1995-06-01")).as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    cust.toDF("c_custkey", "c_acctbal")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("spearmanCorr: concordant = exactly 1e6, reversed = −1e6, one " +
+    "swap on 3 rows = exactly 0.5") {
+    def rho(d: String): (Long, Long, Long) = {
+      val r = Stats.spearmanCorr(spark, d).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // spend order == balance order ⇒ Σd² = 0 ⇒ ρ = 1
+    val conc = plantSpend(
+      Seq((1L, 1L, 10.00), (2L, 2L, 20.00), (3L, 3L, 30.00)),
+      Seq((1L, 1.00), (2L, 2.00), (3L, 3.00)))
+    assert(rho(conc) == ((3L, 0L, 1000000L)), "concordant")
+    // spend order reversed vs balance ⇒ Σd² = 4+0+4 ⇒ ρ = −1
+    val rev = plantSpend(
+      Seq((1L, 1L, 30.00), (2L, 2L, 20.00), (3L, 3L, 10.00)),
+      Seq((1L, 1.00), (2L, 2.00), (3L, 3.00)))
+    assert(rho(rev) == ((3L, 8L, -1000000L)), "reversed")
+    // customers 2 and 3 swapped in spend ⇒ Σd² = 2 ⇒
+    // ρ = 1 − 6·2/(3·8) = 0.5; customer 4 has no orders — dropped
+    val mix = plantSpend(
+      Seq((1L, 1L, 10.00), (2L, 2L, 30.00), (3L, 3L, 20.00)),
+      Seq((1L, 1.00), (2L, 2.00), (3L, 3.00), (4L, 9.00)))
+    assert(rho(mix) == ((3L, 2L, 500000L)), "one swap")
+  }
 }
