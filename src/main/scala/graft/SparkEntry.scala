@@ -666,6 +666,18 @@ object SparkEntry {
     // boilerplate screen pairwise Jaccard misses
     "q227_shingle_novelty" -> ((s: SparkSession, d: String) =>
       Dedup.shingleNovelty(s, d)),
+    // Split-conformal calibration: exact ⌈(n+1)(1−α)⌉-th order
+    // statistic via a GlobalIndex rank==K filter, empirical coverage
+    // on the disjoint test split — never a driver-side quantile
+    "q228_conformal" -> (Stats.conformalThreshold _),
+    // k-anonymity / l-diversity census: two-level map-side-combinable
+    // groupBy over (quasi-id class, sensitive) — the population-level
+    // disclosure gate complementing q63's row-local scrub
+    "q229_k_anonymity" -> ((s: SparkSession, d: String) =>
+      Stats.kAnonymity(s, d)),
+    // Difference-in-differences: one 4-cell conditional agg, per-cell
+    // q6 means, DiD on the identically-truncated means
+    "q230_diff_in_diff" -> (Stats.diffInDiff _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -2832,6 +2844,70 @@ object SparkEntry {
         |       FROM sc)
         |SELECT a, b, aa_q6, cn FROM rk WHERE rn <= 10
         |ORDER BY a, aa_q6 DESC, b""".stripMargin,
+    // q228: the oracle selects the same order statistic through the
+    // REAL window rank; integer ceil arithmetic is shared verbatim
+    "q228_conformal" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k
+        |  FROM orders),
+        |cal AS (SELECT * FROM pts WHERE k % 2 = 0),
+        |tst AS (SELECT * FROM pts WHERE k % 2 = 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |         CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS sel_k
+        |       FROM cal),
+        |rk AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, k) AS r
+        |       FROM cal),
+        |thr AS (SELECT n_cal, sel_k, s AS threshold
+        |        FROM rk CROSS JOIN nn WHERE r = sel_k)
+        |SELECT n_cal, sel_k, threshold,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN s <= threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(SUM(CASE WHEN s <= threshold THEN 1 ELSE 0 END)
+        |       * 1000000 // COUNT(*) AS BIGINT) AS coverage_q6
+        |FROM tst CROSS JOIN thr
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q229: the same two-level census; risk flags as BIGINT cases
+    "q229_k_anonymity" ->
+      """WITH r AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS sens
+        |  FROM customer),
+        |c AS (SELECT nation, segment, sens,
+        |        CAST(COUNT(*) AS BIGINT) AS n_sv
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT nation, segment,
+        |  CAST(SUM(n_sv) AS BIGINT) AS k_size,
+        |  CAST(COUNT(*) AS BIGINT) AS l_diversity,
+        |  CAST(CASE WHEN SUM(n_sv) < 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS k_risk,
+        |  CAST(CASE WHEN COUNT(*) = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS l_risk
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q230: identical 4-cell staging; the wide row is a MAX-CASE
+    // pivot, DiD subtracts the same truncated q6 means
+    "q230_diff_in_diff" ->
+      """WITH cells AS (
+        |  SELECT o_custkey % 2 AS treated,
+        |    CAST(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |         THEN 1 ELSE 0 END AS BIGINT) AS post,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(floor(o_totalprice * 100) AS HUGEINT)) AS sy
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT treated, post, n,
+        |        CAST((sy * 1000000) // CAST(n AS HUGEINT) AS BIGINT)
+        |          AS mean_q6
+        |      FROM cells),
+        |w AS (SELECT
+        |  MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_q6 END) AS m11,
+        |  MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_q6 END) AS m10,
+        |  MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_q6 END) AS m01,
+        |  MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_q6 END) AS m00
+        |  FROM m)
+        |SELECT treated, post, n, mean_q6,
+        |  (m11 - m10 - (m01 - m00)) AS did_q6
+        |FROM m CROSS JOIN w ORDER BY treated, post""".stripMargin,
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->

@@ -1464,6 +1464,121 @@ object Stats {
       .orderBy($"variant")
   }
 
+  /** Split-conformal calibration — the distribution-free
+    * prediction-threshold recipe: on a deterministic calibration
+    * split, take the ⌈(n_cal+1)(1−α)⌉-th smallest nonconformity
+    * score as the threshold; conformal theory guarantees ≥ 1−α
+    * coverage on exchangeable test points. Reported: the exact
+    * order-statistic threshold and the EMPIRICAL test coverage the
+    * guarantee is checked against.
+    *
+    * Scale shape: the order statistic is a
+    * [[graft.operators.GlobalIndex]] rank + `rank == K` filter — a
+    * range-partitioned parallel scan, never a single-reducer sort or
+    * a driver-side quantile; K and the threshold travel as broadcast
+    * one-row scalars; coverage is one conditional agg over the test
+    * split. Exactness: K = ⌈(n+1)·9/10⌉ in pure integer arithmetic
+    * (α = 0.1), coverage a single positive q6 division — div and //
+    * agree.
+    */
+  def conformalThreshold(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"))
+    val cal = pts.filter($"k" % 2 === 0)
+    val test = pts.filter($"k" % 2 === 1)
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(cal, Seq($"s".asc, $"k".asc), "r")
+    // K = ceil((n_cal + 1) * 9 / 10), exact integer form
+    val kSel = cal.agg(count(lit(1)).as("n_cal"))
+      .select($"n_cal",
+        expr("((n_cal + 1) * 9 + 9) div 10").as("sel_k"))
+    val thr = ranked.crossJoin(broadcast(kSel))
+      .filter($"r" === $"sel_k")
+      .select($"n_cal", $"sel_k", $"s".as("threshold"))
+    val cov = test.crossJoin(broadcast(thr))
+      .agg(max($"n_cal").as("n_cal"), max($"sel_k").as("sel_k"),
+        max($"threshold").as("threshold"),
+        count(lit(1)).as("n_test"),
+        sum(when($"s" <= $"threshold", 1L).otherwise(0L)).as("n_covered"))
+    cov.select($"n_cal", $"sel_k", $"threshold", $"n_test", $"n_covered",
+      expr("CAST(n_covered * 1000000 div n_test AS BIGINT)")
+        .as("coverage_q6"))
+  }
+
+  /** k-anonymity / l-diversity census over the customer table — the
+    * data-governance gate run before a release: every combination of
+    * the quasi-identifiers (nation, market segment) is an equivalence
+    * class; a class of size k < 5 re-identifies its members, and a
+    * class where the sensitive attribute (account-balance sign) takes
+    * l = 1 value leaks it even when k is large. Complements q63's
+    * row-local PII scrub with the POPULATION-level disclosure check.
+    *
+    * Scale shape: the l census is a two-level groupBy — (class,
+    * sensitive) first, then class — both map-side-combinable keyed
+    * aggs; `countDistinct` over the raw table would carry every
+    * distinct sensitive value through the shuffle instead of the
+    * bounded (class × l) domain. Nothing driver-side, no windows.
+    */
+  def kAnonymity(spark: SparkSession, d: String,
+                 k: Long = 5L): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.customer(spark, d).select(
+      $"c_nationkey".as("nation"), $"c_mktsegment".as("segment"),
+      when($"c_acctbal" < 0, lit("neg")).otherwise(lit("nonneg"))
+        .as("sens"))
+    rows.groupBy($"nation", $"segment", $"sens")
+      .agg(count(lit(1)).as("n_sv"))
+      .groupBy($"nation", $"segment")
+      .agg(sum($"n_sv").as("k_size"), count(lit(1)).as("l_diversity"))
+      .select($"nation", $"segment", $"k_size", $"l_diversity",
+        when($"k_size" < k, 1L).otherwise(0L).as("k_risk"),
+        when($"l_diversity" === 1L, 1L).otherwise(0L).as("l_risk"))
+      .orderBy($"nation", $"segment")
+  }
+
+  /** Difference-in-differences — the quasi-experimental readout when
+    * assignment isn't randomized: `DiD = (ȳ_post,T − ȳ_pre,T) −
+    * (ȳ_post,C − ȳ_pre,C)` cancels both the group's fixed offset and
+    * the shared time trend. Cells here: treatment = odd customer key,
+    * period split at 1998-01-01 (the generated date range populates
+    * both periods), metric = order value in cents.
+    *
+    * Exactness: ONE map-side-combinable 4-cell agg (the only
+    * volume-sized work); each cell mean is a single positive q6
+    * division of DECIMAL(38,0)-staged sums, and DiD adds/subtracts
+    * the four identically-truncated means — a common-denominator
+    * single rational would need Σ·n³ ~ 10⁴⁷ at tens-of-billions of
+    * rows, past DECIMAL(38,0), so the per-cell quantization IS the
+    * documented contract (error ≤ 4 q6 ulps, identical on both
+    * engines).
+    */
+  def diffInDiff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(spark, d).select(
+      ($"o_custkey" % 2).as("treated"),
+      when($"o_orderdate" >= to_timestamp(lit("1998-01-01")), 1L)
+        .otherwise(0L).as("post"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("y"))
+      .groupBy($"treated", $"post")
+      .agg(count(lit(1)).as("n"), sum($"y".cast(dec)).as("sy"))
+      .select($"treated", $"post", $"n",
+        expr(s"CAST((sy * 1000000) div CAST(n AS $dec) AS BIGINT)")
+          .as("mean_q6"))
+    // 4-row domain: pivot the cells wide via conditional max, one row
+    val wide = cells.agg(
+      max(when($"treated" === 1 && $"post" === 1, $"mean_q6")).as("m11"),
+      max(when($"treated" === 1 && $"post" === 0, $"mean_q6")).as("m10"),
+      max(when($"treated" === 0 && $"post" === 1, $"mean_q6")).as("m01"),
+      max(when($"treated" === 0 && $"post" === 0, $"mean_q6")).as("m00"))
+    cells.crossJoin(broadcast(wide))
+      .select($"treated", $"post", $"n", $"mean_q6",
+        ($"m11" - $"m10" - ($"m01" - $"m00")).as("did_q6"))
+      .orderBy($"treated", $"post")
+  }
+
   /** Calibration / reliability table + expected calibration error
     * (ECE) — the companion gate to [[aucRanked]]: AUC says the score
     * RANKS well, calibration says the score's magnitude MEANS what it

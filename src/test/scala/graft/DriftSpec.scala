@@ -508,4 +508,60 @@ class DriftSpec extends SparkSpec {
       Seq((1L, 1.00), (2L, 2.00), (3L, 3.00), (4L, 9.00)))
     assert(rho(mix) == ((3L, 2L, 500000L)), "one swap")
   }
+
+  test("conformalThreshold: K = ceil((n+1)·0.9) order statistic, " +
+    "empirical coverage on the disjoint split") {
+    // cal = even keys, scores 10..100; n=10 ⇒ K = ⌈9.9⌉ = 10 ⇒
+    // threshold = 100.00 (10000 cents). test = odd keys: 5 at/below,
+    // 5 above ⇒ coverage exactly 0.5
+    val cal = (1 to 10).map(i => (i * 2L, "F", i * 10.0, "1-URGENT"))
+    val tst = (1 to 10).map(i =>
+      (i * 2L - 1L, "F", if (i <= 5) 50.0 else 200.0, "1-URGENT"))
+    val d = plantOrders(cal ++ tst)
+    val r = Stats.conformalThreshold(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((10L, 10L, 10000L, 10L, 5L, 500000L)), s"got $r")
+  }
+
+  test("kAnonymity: class sizes, sensitive diversity, and both risk " +
+    "flags on planted quasi-identifier cells") {
+    val dir = Files.createTempDirectory("graft-kanon").toString
+    // (1,A): 6 rows mixed sign — safe. (1,B): 2 rows, one sign —
+    // k-risk AND l-risk. (2,A): 5 rows, one sign — l-risk only.
+    val rows = Seq.fill(3)((1L, "A", 10.0)) ++ Seq.fill(3)((1L, "A", -10.0)) ++
+      Seq.fill(2)((1L, "B", 5.0)) ++ Seq.fill(5)((2L, "A", -1.0))
+    rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_custkey", monotonically_increasing_id())
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    val got = Stats.kAnonymity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, "A", 6L, 2L, 0L, 0L),
+      (1L, "B", 2L, 1L, 1L, 1L),
+      (2L, "A", 5L, 1L, 0L, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("diffInDiff: hand-computed cell means, shared trend cancelled") {
+    val dir = Files.createTempDirectory("graft-did").toString
+    // control 15→25, treated 20→50: DiD = 30 − 10 = 20.00 exactly
+    Seq((1L, 2L, 10.00, "1997-06-01"), (2L, 2L, 20.00, "1997-06-01"),
+        (3L, 2L, 20.00, "1999-06-01"), (4L, 2L, 30.00, "1999-06-01"),
+        (5L, 1L, 10.00, "1997-06-01"), (6L, 1L, 30.00, "1997-06-01"),
+        (7L, 1L, 40.00, "1999-06-01"), (8L, 1L, 60.00, "1999-06-01"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "ds")
+      .select($"o_orderkey", $"o_custkey", lit("F").as("o_orderstatus"),
+        $"o_totalprice", to_timestamp($"ds").as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val rows = Stats.diffInDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 2L, 1500000000L, 2000000000L),
+      (0L, 1L, 2L, 2500000000L, 2000000000L),
+      (1L, 0L, 2L, 2000000000L, 2000000000L),
+      (1L, 1L, 2L, 5000000000L, 2000000000L)), s"got ${rows.toSeq}")
+  }
 }
