@@ -678,6 +678,16 @@ object SparkEntry {
     // Difference-in-differences: one 4-cell conditional agg, per-cell
     // q6 means, DiD on the identically-truncated means
     "q230_diff_in_diff" -> (Stats.diffInDiff _),
+    // Simplified (centroid-form) silhouette of the label clustering:
+    // map-only corpus pass against ONE broadcast centroid-array row;
+    // per-row q6 quantization BEFORE the integer label mean
+    "q231_silhouette" -> ((s: SparkSession, d: String) =>
+      Similarity.silhouette(s, d)),
+    // Coreset-coverage eval: bounded 64-member coreset as one
+    // broadcast array scalar, map-only per-row max cosine, integer
+    // label rollup — the facility-location objective, exact
+    "q232_coreset_coverage" -> ((s: SparkSession, d: String) =>
+      Similarity.coresetCoverage(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -2908,6 +2918,61 @@ object SparkEntry {
         |SELECT treated, post, n, mean_q6,
         |  (m11 - m10 - (m01 - m00)) AS did_q6
         |FROM m CROSS JOIN w ORDER BY treated, post""".stripMargin,
+    // q231: q78's quantized-centroid CTEs; the oracle computes a/b
+    // through the naive cross join + MIN-CASE the engine's map-only
+    // array pass avoids; per-row floor BEFORE the shifted // mean
+    "q231_silhouette" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding,
+        |      x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0))) AS iv
+        |  FROM embeddings),
+        |cs AS (SELECT label, dim, SUM(iv) AS isum, COUNT(*) AS n
+        |       FROM ex GROUP BY label, dim),
+        |cent AS (SELECT label,
+        |           list(CAST(isum AS DOUBLE) / n / 1000000.0
+        |                ORDER BY dim) AS centroid
+        |         FROM cs GROUP BY label),
+        |dists AS (
+        |  SELECT e.vec_id, e.label AS vl, c.label AS cl,
+        |    sqrt(list_reduce(list_transform(range(0, len(e.embedding)),
+        |      i -> (CAST(e.embedding[i+1] AS DOUBLE) - c.centroid[i+1])
+        |         * (CAST(e.embedding[i+1] AS DOUBLE) - c.centroid[i+1])),
+        |      (a, b) -> a + b)) AS dd
+        |  FROM embeddings e CROSS JOIN cent c),
+        |ab AS (SELECT vec_id, vl AS label,
+        |         MIN(CASE WHEN cl = vl THEN dd END) AS a,
+        |         MIN(CASE WHEN cl != vl THEN dd END) AS b
+        |       FROM dists GROUP BY 1, 2),
+        |si AS (SELECT label,
+        |         CASE WHEN greatest(a, b) > 0
+        |           THEN CAST(floor((b - a) / greatest(a, b) * 1000000.0)
+        |                AS BIGINT)
+        |           ELSE 0 END AS si
+        |       FROM ab)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST((SUM(si) + 1000000000 * COUNT(*)) // COUNT(*)
+        |       - 1000000000 AS BIGINT) AS mean_si_q6
+        |FROM si GROUP BY label ORDER BY label""".stripMargin,
+    // q232: the oracle takes the max over the same 64-member coreset
+    // via the naive cross join; identical left-to-right cosine fold
+    "q232_coreset_coverage" ->
+      s"""WITH sel AS (
+         |  SELECT embedding AS sv FROM embeddings
+         |  ORDER BY vec_id LIMIT 64),
+         |mc AS (SELECT e.vec_id, e.label,
+         |         MAX(${cosSql("e.embedding", "s.sv")}) AS mc
+         |       FROM embeddings e CROSS JOIN sel s GROUP BY 1, 2),
+         |si AS (SELECT label,
+         |         CAST(floor(mc * 1000000.0) AS BIGINT) AS si
+         |       FROM mc)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST((SUM(si) + 1000000000 * COUNT(*)) // COUNT(*)
+         |       - 1000000000 AS BIGINT) AS mean_cov_q6,
+         |  CAST(SUM(CASE WHEN si >= 700000 THEN 1 ELSE 0 END)
+         |       * 1000000 // COUNT(*) AS BIGINT) AS covered_q6
+         |FROM si GROUP BY label ORDER BY label""".stripMargin,
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->

@@ -741,4 +741,112 @@ object Similarity {
         r4($"dcg_q6".cast("double") / idcgQ6.toDouble).as("ndcg_q4"))
       .orderBy($"query_id")
   }
+
+  /** Simplified silhouette of the LABEL clustering — the
+    * cluster-quality eval run before trusting labels as a training
+    * signal: per vector, `s = (b − a) / max(a, b)` with a = distance
+    * to the OWN label centroid and b = the nearest OTHER label
+    * centroid (the centroid form of silhouette — the full pairwise
+    * form is O(n²) and never runs at corpus scale); reported as the
+    * per-label mean.
+    *
+    * Scale shape: MAP-ONLY over the corpus — the k per-label
+    * centroids collapse into ONE broadcast array-scalar row (the q178
+    * decile-floor trick) and every row computes its own a/b with
+    * higher-order functions; the only shuffles are the k×dim centroid
+    * partial agg and the final k-row label rollup. Determinism:
+    * centroids divide 1e-6-quantized integer sums (the
+    * [[centroidDistance]] recipe) so they are partition-order
+    * independent; distances fold left-to-right identically in both
+    * engines; and each row's s quantizes to q6 BEFORE the cross-row
+    * mean, which then runs in pure integer arithmetic (a double sum
+    * over rows would be partition-order dependent). The mean can be
+    * negative: the 10⁹·n shift keeps the division positive so Spark
+    * div and DuckDB // agree.
+    */
+  def silhouette(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(sum(floor($"v".cast("double") * 1000000.0)).as("isum"),
+           count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(transform(
+        array_sort(collect_list(struct($"dim",
+          ($"isum".cast("double") / $"n" / 1000000.0).as("c")))),
+        x => x.getField("c")).as("cv"))
+    val centArr = cent.agg(collect_list(
+      struct($"label".as("l"), $"cv")).as("cents"))
+    def dist2(e: Column, c: Column): Column = aggregate(
+      zip_with(e, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    emb.crossJoin(broadcast(centArr))
+      .select($"vec_id", $"label",
+        transform($"cents", c => struct(c.getField("l").as("l"),
+          sqrt(dist2($"embedding", c.getField("cv"))).as("dd"))).as("ds"))
+      .select($"label",
+        element_at(filter($"ds", x => x.getField("l") === $"label"), 1)
+          .getField("dd").as("a"),
+        array_min(transform(filter($"ds", x => x.getField("l") =!= $"label"),
+          x => x.getField("dd"))).as("b"))
+      .select($"label",
+        when(greatest($"a", $"b") > 0,
+          expr("CAST(floor((b - a) / greatest(a, b) * 1000000.0)" +
+            " AS BIGINT)")).otherwise(0L).as("si"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"), sum($"si").as("ssum"))
+      .select($"label", $"n",
+        expr("CAST((ssum + 1000000000 * n) div n - 1000000000 AS BIGINT)")
+          .as("mean_si_q6"))
+      .orderBy($"label")
+  }
+
+  /** Coreset-coverage eval — how well a small selected subset
+    * represents the full corpus: per vector, the maximum cosine to
+    * any coreset member ("how close is my nearest representative"),
+    * rolled up per label as the mean and the share covered at the
+    * 0.7 floor. The facility-location objective data-pruning methods
+    * maximize, evaluated exactly.
+    *
+    * Scale shape: the coreset is BOUNDED BY CONSTRUCTION (the 64
+    * smallest vec_ids via TakeOrderedAndProject — never a
+    * corpus-fraction sample, which would grow with the data and sink
+    * the broadcast); it collapses to ONE broadcast array-scalar row
+    * and the corpus pass is MAP-ONLY, per-row max over the 64
+    * candidates with the left-to-right cosine fold both engines
+    * share. Per-row max quantizes to q6 before the integer label
+    * rollup — no cross-row double sums; the signed mean uses the
+    * 10⁹·n shift so div and // agree.
+    */
+  def coresetCoverage(spark: SparkSession, d: String,
+                      coresetSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val sel = emb.orderBy($"vec_id".asc).limit(coresetSize)
+      .select($"vec_id".as("sid"), $"embedding".as("sv"))
+    val selArr = sel.agg(collect_list($"sv").as("sels"))
+    def dot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def cosL(a: Column, b: Column): Column = {
+      val den = sqrt(dot(a, a)) * sqrt(dot(b, b))
+      when(den === 0, lit(0.0)).otherwise(dot(a, b) / den)
+    }
+    emb.crossJoin(broadcast(selArr))
+      .select($"label",
+        array_max(transform($"sels", s => cosL($"embedding", s))).as("mc"))
+      .select($"label",
+        expr("CAST(floor(mc * 1000000.0) AS BIGINT)").as("si"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"), sum($"si").as("ssum"),
+        sum(when($"si" >= 700000L, 1L).otherwise(0L)).as("n_covered"))
+      .select($"label", $"n",
+        expr("CAST((ssum + 1000000000 * n) div n - 1000000000 AS BIGINT)")
+          .as("mean_cov_q6"),
+        expr("CAST(n_covered * 1000000 div n AS BIGINT)")
+          .as("covered_q6"))
+      .orderBy($"label")
+  }
 }

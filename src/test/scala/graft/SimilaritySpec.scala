@@ -219,4 +219,39 @@ class SimilaritySpec extends SparkSpec {
     assert(evalRows == wantHits,
       s"annEval hits ${evalRows} != brute-force ${wantHits}")
   }
+
+  test("silhouette: hand-computed centroid-form scores on two planted " +
+    "clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sil").toString
+    // label 0 on the x-axis (centroid (3,0)), label 1 on the y-axis
+    // (centroid (0,3)) — symmetric by construction
+    Seq((0L, Array(2f, 0f), 0), (1L, Array(4f, 0f), 0),
+        (2L, Array(0f, 2f), 1), (3L, Array(0f, 4f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    // (2,0): a=1, b=√13 ⇒ s = 1 − 1/√13 → 722649; (4,0): a=1, b=5 ⇒
+    // s = 0.8 → 800000; mean = 1522649 div 2 = 761324; label 1 mirrors
+    val got = graft.ext.Similarity.silhouette(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0, 2L, 761324L), (1, 2L, 761324L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("coresetCoverage: per-row max cosine against the bounded " +
+    "coreset, mean and 0.7-floor share per label") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    // coreset (size 2) = ids 0, 1; id 2 matches a member exactly,
+    // id 3 sits at 45° from both ⇒ mc = 1/√2 → 707106
+    Seq((0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+        (2L, Array(1f, 0f), 1), (3L, Array(1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.ext.Similarity
+      .coresetCoverage(spark, dir, coresetSize = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // label 0 members ARE the coreset (mc = 1); label 1 mean =
+    // (1000000 + 707106) div 2 = 853553, both above the 0.7 floor
+    assert(got.toSeq == Seq((0, 2L, 1000000L, 1000000L),
+      (1, 2L, 853553L, 1000000L)), s"got ${got.toSeq}")
+  }
 }
