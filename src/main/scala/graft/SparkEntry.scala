@@ -688,6 +688,19 @@ object SparkEntry {
     // label rollup — the facility-location objective, exact
     "q232_coreset_coverage" -> ((s: SparkSession, d: String) =>
       Similarity.coresetCoverage(s, d)),
+    // Qini / uplift curve: decile gains' causal sibling — cumulative
+    // incremental positives over the control baseline, DECIMAL-staged
+    // cross products, signed division via the 10⁹ shift
+    "q233_qini_curve" -> (Stats.qiniCurve _),
+    // Code-switching screen: q30's stopword vote applied to exact
+    // integer thirds of each doc — map-only, same tie-break chain
+    "q234_code_switch" -> ((s: SparkSession, d: String) =>
+      TextStats.codeSwitch(s, d)),
+    // MinHash estimator calibration: mean exact Jaccard per
+    // 16-component agreement bucket vs the m/16 expectation — the
+    // sketch-accuracy eval behind the LSH banding thresholds
+    "q235_minhash_calibration" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashCalibration(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1963,6 +1976,61 @@ object SparkEntry {
         s"""WITH hs AS (SELECT doc_id, $TokHashes AS hashes FROM documents)
            |SELECT doc_id, CAST($simhashBits AS INT) AS simhash16
            |FROM hs ORDER BY doc_id""".stripMargin,
+      // q234: the same stopword vote and tie-break chain as q30, per
+      // exact integer third; list slices are 1-based inclusive on
+      // both engines under the (w·n div 3, (w+1)·n div 3] bounds
+      "q234_code_switch" -> {
+        def vote(win: String): String = {
+          def sc(ws: Seq[String]) =
+            s"len(list_filter($win, t -> t IN (" +
+              ws.map(w => s"'$w'").mkString(", ") + ")))"
+          val de = sc(Seq("der", "die", "und"))
+          val en = sc(Seq("the", "a", "is"))
+          val es = sc(Seq("el", "la", "y"))
+          val fr = sc(Seq("le", "la", "et"))
+          s"CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de' " +
+            s"WHEN $en >= $es AND $en >= $fr THEN 'en' " +
+            s"WHEN $es >= $fr THEN 'es' ELSE 'fr' END"
+        }
+        s"""WITH t0 AS (
+           |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           |w AS (SELECT doc_id, lang,
+           |        toks[(0 * n // 3 + 1):(1 * n // 3)] AS w1,
+           |        toks[(1 * n // 3 + 1):(2 * n // 3)] AS w2,
+           |        toks[(2 * n // 3 + 1):(3 * n // 3)] AS w3
+           |      FROM t0),
+           |s AS (SELECT doc_id, lang, ${vote("w1")} AS l1,
+           |        ${vote("w2")} AS l2, ${vote("w3")} AS l3 FROM w)
+           |SELECT doc_id, lang, l1, l2, l3,
+           |  CAST(len(list_distinct([l1, l2, l3])) AS BIGINT) AS n_langs
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
+      // q235: identical hash family and blocking as q26/q27; the
+      // agreement count is 16 CASE terms over the s0..s15 columns
+      "q235_minhash_calibration" -> {
+        val agree16 = (0 until Dedup.NumHashes)
+          .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH s2 AS (
+           |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+           |    $ShingleHashes AS hashes
+           |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           |sg AS (SELECT doc_id, lang, n_toks, hashes, $sigs FROM s2),
+           |p AS (SELECT
+           |    len(list_intersect(a.hashes, b.hashes)) AS inter,
+           |    len(a.hashes) + len(b.hashes) AS sz,
+           |    ($agree16) AS m
+           |  FROM sg a JOIN sg b ON a.lang = b.lang
+           |    AND a.n_toks = b.n_toks AND a.doc_id < b.doc_id)
+           |SELECT CAST(m AS BIGINT) AS m,
+           |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(inter * 1000000 // (sz - inter)) // COUNT(*)
+           |    AS BIGINT) AS mean_jacc_q6,
+           |  CAST(m * 1000000 // 16 AS BIGINT) AS expected_q6
+           |FROM p GROUP BY m ORDER BY m""".stripMargin
+      },
       // q227: the same inverted-index census — shingle document
       // frequency over the distinct per-doc hashes, share as one
       // positive // division
@@ -2973,6 +3041,37 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN si >= 700000 THEN 1 ELSE 0 END)
          |       * 1000000 // COUNT(*) AS BIGINT) AS covered_q6
          |FROM si GROUP BY label ORDER BY label""".stripMargin,
+    // q233: same ranked deciles via the REAL window; HUGEINT stages
+    // the uplift cross-products, the 10⁹ shift covers negative qini
+    "q233_qini_curve" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k, o_custkey % 2 AS t,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(t) AS BIGINT) AS n_t FROM pts),
+        |rk AS (SELECT t, y, ROW_NUMBER() OVER (ORDER BY s DESC, k) AS r
+        |       FROM pts),
+        |b AS (SELECT ((r - 1) * 10) // n + 1 AS bucket,
+        |        CAST(SUM(t) AS BIGINT) AS nt,
+        |        CAST(SUM(1 - t) AS BIGINT) AS nc,
+        |        CAST(SUM(t * y) AS BIGINT) AS yt,
+        |        CAST(SUM((1 - t) * y) AS BIGINT) AS yc,
+        |        MAX(n_t) AS n_t
+        |      FROM rk CROSS JOIN tot GROUP BY 1),
+        |c AS (SELECT bucket, nt, nc, yt, yc, n_t,
+        |        SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+        |        SUM(yt) OVER w AS cyt, SUM(yc) OVER w AS cyc
+        |      FROM b WINDOW w AS (ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, nt, nc, yt, yc,
+        |  CAST(((CAST(cyt AS HUGEINT) * cnc
+        |         - CAST(cyc AS HUGEINT) * cnt) * 1000000
+        |        + 1000000000 * (CAST(cnc AS HUGEINT) * n_t))
+        |       // nullif(CAST(cnc AS HUGEINT) * n_t, 0)
+        |       - 1000000000 AS BIGINT) AS qini_q6
+        |FROM c ORDER BY bucket""".stripMargin,
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->

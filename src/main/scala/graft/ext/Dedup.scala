@@ -779,6 +779,54 @@ object Dedup {
     * pair enumeration, nothing driver-side. The share is the single
     * positive rational `shared·10⁶ div total`: div and // agree.
     */
+  /** MinHash estimator calibration — the sketch-accuracy eval for the
+    * LSH family: over the q26 equal-length block pairs, bucket pairs
+    * by how many of the 16 minhash components AGREE and report the
+    * mean EXACT Jaccard per bucket next to the estimator's expectation
+    * m/16. The table answers "how biased is my 16-hash sketch on THIS
+    * corpus" — the number that justifies (or indicts) the banding
+    * thresholds q27/q54/q85 run on.
+    *
+    * Exactness: per-pair Jaccard is the integer rational
+    * `inter·10⁶ div union` (shingle-hash sets, never strings);
+    * component agreement is an integer count; the per-bucket mean
+    * divides a sum of already-quantized q6 integers — everything
+    * positive, div and // agree. Scale shape: the pair space is the
+    * q26 blocking bound (per-block quadratic, never corpus-quadratic);
+    * signatures are map-side array transforms; the final rollup is a
+    * 17-row bucket domain.
+    */
+  def minhashCalibration(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, d)
+      .select($"doc_id", $"lang", size(split($"text", " ")).as("n_toks"),
+        shingleHashes($"text").as("shingles"))
+      .filter($"n_toks" >= 3)
+      .select($"doc_id", $"lang", $"n_toks", $"shingles",
+        array((0 until NumHashes).map(i =>
+          array_min(transform($"shingles",
+            h => (h * hashA(i) + hashB(i)) % P))): _*).as("sig"))
+    val a = base.select($"doc_id".as("a_id"), $"lang", $"n_toks",
+      $"shingles".as("a_sh"), $"sig".as("a_sig"))
+    val b = base.select($"doc_id".as("b_id"), $"lang", $"n_toks",
+      $"shingles".as("b_sh"), $"sig".as("b_sig"))
+    a.join(b, Seq("lang", "n_toks"))
+      .filter($"a_id" < $"b_id")
+      .select(
+        size(filter(zip_with($"a_sig", $"b_sig", (x, y) => x === y),
+          x => x)).cast("long").as("m"),
+        size(array_intersect($"a_sh", $"b_sh")).cast("long").as("inter"),
+        (size($"a_sh") + size($"b_sh")).cast("long").as("sz"))
+      .withColumn("jacc_q6",
+        expr("CAST(inter * 1000000 div (sz - inter) AS BIGINT)"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_pairs"), sum($"jacc_q6").as("sj"))
+      .select($"m", $"n_pairs",
+        expr("CAST(sj div n_pairs AS BIGINT)").as("mean_jacc_q6"),
+        expr("CAST(m * 1000000 div 16 AS BIGINT)").as("expected_q6"))
+      .orderBy($"m")
+  }
+
   def shingleNovelty(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val sh = hashSets(spark, d)

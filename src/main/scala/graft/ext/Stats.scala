@@ -1579,6 +1579,58 @@ object Stats {
       .orderBy($"treated", $"post")
   }
 
+  /** Qini / uplift curve — [[decileGains]]'s causal sibling: rank
+    * everyone by the targeting score, cut into deciles, and report the
+    * cumulative INCREMENTAL positives the treated group shows over the
+    * control baseline, `qini = cum_yt − cum_yc·(cum_nt/cum_nc)`,
+    * normalized by the total treated count into a q6 rate. Decile
+    * gains answers "where are the responders"; Qini answers "where
+    * does the TREATMENT actually move them" — the readout an uplift
+    * model is judged on.
+    *
+    * Scale shape: one [[graft.operators.GlobalIndex]] ranking + one
+    * map-side-combinable 4-sum bucket agg; the cumulative window runs
+    * over the 10-row bucket DOMAIN. Exactness: the cross-products
+    * cyt·cnc are staged DECIMAL(38,0); qini can be negative (a
+    * harmful segment), so the single division takes the 10⁹ shift to
+    * keep div and // agreeing; a decile with no controls yet yields
+    * NULL via nullif rather than a fabricated baseline.
+    */
+  def qiniCurve(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pts = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"),
+      ($"o_custkey" % 2).as("t"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pts, Seq($"s".desc, $"k".asc), "r")
+    val tot = pts.agg(count(lit(1)).as("n"), sum($"t").as("n_t"))
+    val cells = ranked.crossJoin(broadcast(tot))
+      .select(expr("((r - 1) * 10) div n + 1").as("bucket"),
+        $"t", $"y", $"n_t")
+      .groupBy($"bucket")
+      .agg(sum($"t").as("nt"), sum(lit(1L) - $"t").as("nc"),
+        sum($"t" * $"y").as("yt"), sum((lit(1L) - $"t") * $"y").as("yc"),
+        max($"n_t").as("n_t"))
+    // bounded post-aggregation frame: 10 bucket rows by construction
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cnt", sum($"nt").over(w))
+      .withColumn("cnc", sum($"nc").over(w))
+      .withColumn("cyt", sum($"yt").over(w))
+      .withColumn("cyc", sum($"yc").over(w))
+      .select($"bucket", $"nt", $"nc", $"yt", $"yc",
+        expr(s"CAST(((CAST(cyt AS $dec) * CAST(cnc AS $dec)" +
+          s" - CAST(cyc AS $dec) * CAST(cnt AS $dec)) * 1000000" +
+          s" + 1000000000 * (CAST(cnc AS $dec) * CAST(n_t AS $dec)))" +
+          s" div nullif(CAST(cnc AS $dec) * CAST(n_t AS $dec), 0)" +
+          " - 1000000000 AS BIGINT)").as("qini_q6"))
+      .orderBy($"bucket")
+  }
+
   /** Calibration / reliability table + expected calibration error
     * (ECE) — the companion gate to [[aucRanked]]: AUC says the score
     * RANKS well, calibration says the score's magnitude MEANS what it

@@ -503,4 +503,51 @@ object TextStats {
         expr("CAST((sy * 1000000 + sneg * sx) div (n * 1000000)" +
           " AS BIGINT)").as("intercept_q6"))
   }
+
+  /** Code-switching screen — [[langId]] applied to the document's
+    * THIRDS: a doc whose windows classify to different languages is
+    * mixed-language (concatenated boilerplate, scraped navigation, a
+    * quoted translation) and poisons monolingual training mixes even
+    * though its whole-doc vote looks clean. Windows cut by the exact
+    * integer thirds `(w·n div 3, (w+1)·n div 3]` — the q176 arithmetic
+    * partition, so both engines slice identically; each window runs
+    * the SAME stopword-profile vote and deterministic tie-break chain
+    * as q30.
+    *
+    * Scale shape: map-only — slices, filters, and the vote are
+    * per-row array ops; the only shuffle is the presentation sort.
+    */
+  def codeSwitch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val profiles = Seq(
+      "de" -> Seq("der", "die", "und"),
+      "en" -> Seq("the", "a", "is"),
+      "es" -> Seq("el", "la", "y"),
+      "fr" -> Seq("le", "la", "et"))
+    val toks = split($"text", " ")
+    val n = size(toks)
+    def window(w: Int): Column = {
+      val start = expr(s"($w * n_toks) div 3 + 1")
+      val len = expr(s"(${w + 1} * n_toks) div 3 - ($w * n_toks) div 3")
+      slice($"toks", start, len)
+    }
+    def vote(win: Column): Column = {
+      val Seq(de, en, es, fr) = profiles.map { case (_, ws) =>
+        size(filter(win, t => t.isin(ws: _*)))
+      }
+      when(de >= en && de >= es && de >= fr, "de")
+        .when(en >= es && en >= fr, "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    }
+    Tables.documents(spark, d)
+      .select($"doc_id", $"lang", toks.as("toks"), n.as("n_toks"))
+      .filter($"n_toks" >= 3)
+      .select($"doc_id", $"lang",
+        vote(window(0)).as("l1"), vote(window(1)).as("l2"),
+        vote(window(2)).as("l3"))
+      .withColumn("n_langs",
+        size(array_distinct(array($"l1", $"l2", $"l3"))).cast("long"))
+      .orderBy($"doc_id")
+  }
 }

@@ -955,6 +955,36 @@ class BehaviorSpec extends SparkSpec {
       (4L, 1L, wt3, 1L), (4L, 2L, wt3, 1L)), s"got ${got.toSeq}")
   }
 
+  test("codeSwitch: thirds vote independently — planted trilingual " +
+    "doc splits 3 ways, monolingual doc stays 1") {
+    val dir = plantDocs(Seq(
+      (1L, "the a is der die und el la y"), // en | de | es thirds
+      (2L, "the a is the a is"),            // en everywhere
+      (3L, "x y")))                          // < 3 tokens: absent
+    val got = graft.ext.TextStats.codeSwitch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, "en", "de", "es", 3L),
+      (2L, "en", "en", "en", 1L)), s"got ${got.toSeq}")
+  }
+
+  test("minhashCalibration: identical pair lands the m=16 bucket at " +
+    "exact Jaccard 1, disjoint pairs bucket at 0") {
+    // A == B (jaccard 1, all 16 components agree); C shares no
+    // shingle with either but sits in the same (lang, n_toks) block
+    val dir = plantDocs(Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t")))
+    val rows = graft.ext.Dedup.minhashCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 2, s"two buckets expected: ${rows.toSeq}")
+    val perfect = rows.find(_._1 == 16L).get
+    assert(perfect == ((16L, 1L, 1000000L, 1000000L)), s"got $perfect")
+    val disjoint = rows.find(_._1 != 16L).get
+    assert(disjoint._1 < 16L && disjoint._2 == 2L && disjoint._3 == 0L,
+      s"disjoint pairs must bucket below 16 at mean 0: $disjoint")
+  }
+
   test("shingleNovelty: shared 3-gram counted, unique doc scores 0, " +
     "sub-3-token docs absent") {
     // docs 1 and 2 share exactly the shingle "x y z" (1 of 3 each);

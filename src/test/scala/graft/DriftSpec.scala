@@ -543,6 +543,27 @@ class DriftSpec extends SparkSpec {
       (2L, "A", 5L, 1L, 0L, 1L)), s"got ${got.toSeq}")
   }
 
+  test("qiniCurve: hand-computed cumulative uplift; no-controls-yet " +
+    "prefix yields NULL, balanced end cancels to exactly 0") {
+    // plantOrders: custkey = key % 7, so keys 1/3 are treated (odd)
+    // and 2/4 control. Ranks by price desc land one row per bucket
+    // 1,3,6,8. n_t = 2.
+    val d = plantOrders(Seq(
+      (1L, "F", 400.00, "1-URGENT"), (2L, "O", 300.00, "1-URGENT"),
+      (3L, "O", 200.00, "1-URGENT"), (4L, "F", 100.00, "1-URGENT")))
+    val rows = Stats.qiniCurve(spark, d).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4),
+      if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    // b1: cnc=0 → NULL; b3/b6: (1·1 − 0)·10⁶ div (1·2) = 500000;
+    // b8: (1·2 − 1·2) div (2·2) = 0
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 1L, 0L, None),
+      (3L, 0L, 1L, 0L, 0L, Some(500000L)),
+      (6L, 1L, 0L, 0L, 0L, Some(500000L)),
+      (8L, 0L, 1L, 0L, 1L, Some(0L))), s"got ${got.toSeq}")
+  }
+
   test("diffInDiff: hand-computed cell means, shared trend cancelled") {
     val dir = Files.createTempDirectory("graft-did").toString
     // control 15→25, treated 20→50: DiD = 30 − 10 = 20.00 exactly
