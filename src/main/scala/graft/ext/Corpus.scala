@@ -367,12 +367,17 @@ object Corpus {
     val P = graft.ext.Dedup.P
     def lq(x: String): String =
       s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
-    val toks = Tables.documents(spark, d)
-      .select($"doc_id", $"source", explode(split($"text", " ")).as("tok"))
-      .filter(length($"tok") > 0)
-    val hashed = toks.select($"doc_id", $"source",
-      (aggregate(filter(split($"tok", ""), ch => ch =!= ""), lit(0L),
-        (acc, ch) => (acc * 31 + ascii(ch)) % P) % buckets).as("b"))
+    // per-token polynomial via the fused native kernel (n=1 keeps one
+    // hash per token, in order); h = 0 ⟺ the token was empty (every
+    // code point folds in ≥ 1), so the h≠0 filter replicates the
+    // empty-token drop the interpreted char-fold form paid ~1 s for
+    import org.apache.spark.sql.graft.Bridge
+    val hashed = Tables.documents(spark, d)
+      .select($"doc_id", $"source",
+        explode(Bridge.column(graft.functions.ShingleHash(
+          Bridge.expression($"text"), 1, distinct = false))).as("h"))
+      .filter($"h" =!= 0L)
+      .select($"doc_id", $"source", ($"h" % buckets).as("b"))
     val counts = hashed.groupBy($"b")
       .agg(sum(when($"source" === targetSource, 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cs"))

@@ -344,17 +344,17 @@ object Dedup {
   def longestDupSpan(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // multiplicity-keeping ShingleHash preserves POSITIONAL order, so
+    // posexplode yields (position, hash) directly from the fused
+    // native kernel — the interpreted transform/aggregate lambda tree
+    // this replaces re-hashed every position through ~100 HOF nodes
+    // and was the whole query's hotspot (3.0 s → 1.2 s at sf0.1)
+    import org.apache.spark.sql.graft.Bridge
     val pos = Tables.documents(spark, d)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", posexplode(expr(
-        s"""transform(sequence(0, size(toks) - 3), i ->
-           |  aggregate(
-           |    filter(split(concat_ws(' ', slice(toks, i + 1, 3)), ''),
-           |           c -> c != ''),
-           |    CAST(0 AS BIGINT),
-           |    (a, c) -> (a * 31 + ascii(c)) % $P))""".stripMargin))
-        .as(Seq("p", "h")))
+      .select($"doc_id", Bridge.column(graft.functions.ShingleHash(
+        Bridge.expression($"text"), 3, distinct = false)).as("hs"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id", posexplode($"hs").as(Seq("p", "h")))
     val m = sharedPairs(spark, d)
       .join(pos.select($"doc_id".as("a_id"), $"p".as("pa"), $"h"), "a_id")
       .join(pos.select($"doc_id".as("b_id"), $"p".as("pb"), $"h"),

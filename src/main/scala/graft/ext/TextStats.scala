@@ -184,12 +184,17 @@ object TextStats {
   def featureHashing(spark: SparkSession, d: String,
                      dims: Int = 64): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, d)
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .filter(length($"tok") > 0)
-    val hashed = toks.select($"doc_id",
-      aggregate(filter(split($"tok", ""), ch => ch =!= ""), lit(0L),
-        (acc, ch) => (acc * 31 + ascii(ch)) % P).as("h"))
+    // per-token polynomial via the fused native kernel (n=1 → one
+    // hash per token); h = 0 ⟺ empty token, so the h≠0 filter is the
+    // old explode+length guard without the interpreted char fold
+    val hashed = {
+      import org.apache.spark.sql.graft.Bridge
+      Tables.documents(spark, d)
+        .select($"doc_id",
+          explode(Bridge.column(graft.functions.ShingleHash(
+            Bridge.expression($"text"), 1, distinct = false))).as("h"))
+        .filter($"h" =!= 0L)
+    }
     val vec = hashed.select($"doc_id", ($"h" % dims).as("bucket"),
         when(expr(s"(h div $dims) % 2") === 0, lit(1L)).otherwise(lit(-1L))
           .as("sgn"))
