@@ -120,10 +120,31 @@ object Derived {
     }
   }
 
+  private val scalars = scala.collection.mutable.HashMap[String, Long]()
+
+  /** Session-memoized measured quantity — the broadcast-gate counts
+    * ([[graft.ext.Dedup.BroadcastShingleMaxEntries]] and friends)
+    * each cost a Spark job per invocation; under the bench's repeated
+    * passes that job re-ran per pass per gate. Same key discipline as
+    * [[frame]]: the key must encode every input that changes the
+    * measurement (the sf dir; NOT the budget — callers memoize the
+    * COUNT and re-apply their threshold, so a spec forcing a tiny
+    * budget still exercises the fallback path against the cached
+    * measurement).
+    */
+  def scalar(key: String)(build: => Long): Long =
+    scalars.synchronized(scalars.get(key)) match {
+      case Some(v) => v
+      case None =>
+        val v = build
+        scalars.synchronized(scalars.getOrElseUpdate(key, v))
+    }
+
   /** Unpersist and forget every registered frame. */
   def clear(): Unit = memo.synchronized {
     memo.values.foreach(_.df.unpersist())
     memo.clear()
+    scalars.synchronized(scalars.clear())
   }
 
   /** Registered keys (introspection / tests). */

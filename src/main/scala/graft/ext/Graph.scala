@@ -644,7 +644,7 @@ object Graph {
       // measured gate: |V| ≤ |E_sym| (every node carries ≥1 edge
       // row), and the label frame is exactly |V| two-long rows every
       // round — one cache-scan count decides all rounds
-      val fits = sym.count() <= maxBroadcastLabels
+      val fits = graft.Derived.scalar(s"copart-sym-n:$d")(sym.count()) <= maxBroadcastLabels
       def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
       var l = sym.select($"u".as("node")).distinct()
         .select($"node", $"node".as("label"))
@@ -997,7 +997,7 @@ object Graph {
                       maxBroadcastAdj: Long = BroadcastAdjMaxEntries): DataFrame = {
     import spark.implicits._
     val e = copartEdges(spark, d)
-    val fits = e.count() <= maxBroadcastAdj // measured gate, cache scan
+    val fits = graft.Derived.scalar(s"copart-edges-n:$d")(e.count()) <= maxBroadcastAdj // measured gate, memoized cache scan
     def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val oriented = orientedCopart(spark, d, fits)
     val adj = copartAdj(spark, d, fits)

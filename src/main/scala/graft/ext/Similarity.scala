@@ -155,7 +155,10 @@ object Similarity {
   /** Measured gate input: a column-less count of the embeddings table
     * (parquet serves it from row-group metadata, not vector data). */
   private def embFits(spark: SparkSession, d: String, budget: Long): Boolean =
-    Tables.embeddings(spark, d).count() <= budget
+    // the measured row count is session-memoized (input-derived); the
+    // budget comparison stays per-call so gate specs can force both paths
+    graft.Derived.scalar(s"emb-n:$d")(
+      Tables.embeddings(spark, d).count()) <= budget
 
   /** Global (label-free) embedding near-dup via random-hyperplane LSH:
     * candidates come from an equi-join on (band_idx, band_key) — the
