@@ -701,6 +701,24 @@ object SparkEntry {
     // sketch-accuracy eval behind the LSH banding thresholds
     "q235_minhash_calibration" -> ((s: SparkSession, d: String) =>
       Dedup.minhashCalibration(s, d)),
+    // Wilson lower-bound ranking: rank by the interval bound, not the
+    // raw rate — per-VALUE double from exact integer (w, n), z²
+    // spelled 1.96·1.96 so both engines build the same double
+    "q236_wilson_ranking" -> (Stats.wilsonRanking _),
+    // Edit-distance verification on the shared LSH candidates:
+    // native levenshtein AFTER a ±10% length prefilter, normalized
+    // similarity as an exact integer rational
+    "q237_edit_distance" -> ((s: SparkSession, d: String) =>
+      Dedup.editDistanceVerify(s, d)),
+    // STL-lite seasonal decomposition of daily event values: integer
+    // daily sums, 7-day centered trend, weekday index, residuals —
+    // windows only over the bounded day domain
+    "q238_seasonal_decomposition" -> ((s: SparkSession, d: String) =>
+      Behavior.seasonalDecomposition(s, d)),
+    // HLL intersection via inclusion-exclusion over register-MAX
+    // merged sketches, exact overlap alongside (the q223 discipline)
+    "q239_hll_intersection" -> ((s: SparkSession, d: String) =>
+      Stats.hllIntersection(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1976,6 +1994,25 @@ object SparkEntry {
         s"""WITH hs AS (SELECT doc_id, $TokHashes AS hashes FROM documents)
            |SELECT doc_id, CAST($simhashBits AS INT) AS simhash16
            |FROM hs ORDER BY doc_id""".stripMargin,
+      // q237: same LSH candidate chain, native levenshtein after the
+      // identical ±10% length prefilter; similarity a positive //
+      "q237_edit_distance" ->
+        s"""WITH $lshCandCtes,
+           |t AS (SELECT doc_id, text,
+           |        CAST(length(text) AS BIGINT) AS len FROM documents),
+           |p AS (SELECT c.a_id, c.b_id, ta.len AS la, tb.len AS lb,
+           |        ta.text AS xa, tb.text AS xb
+           |      FROM cand c
+           |      JOIN t ta ON ta.doc_id = c.a_id
+           |      JOIN t tb ON tb.doc_id = c.b_id
+           |      WHERE abs(ta.len - tb.len) * 10
+           |            <= greatest(ta.len, tb.len)),
+           |v AS (SELECT a_id, b_id, la, lb,
+           |        CAST(levenshtein(xa, xb) AS BIGINT) AS lev FROM p)
+           |SELECT a_id, b_id, la, lb, lev,
+           |  CAST((greatest(la, lb) - lev) * 1000000
+           |       // greatest(la, lb) AS BIGINT) AS sim_q6
+           |FROM v ORDER BY a_id, b_id""".stripMargin,
       // q234: the same stopword vote and tie-break chain as q30, per
       // exact integer third; list slices are 1-based inclusive on
       // both engines under the (w·n div 3, (w+1)·n div 3] bounds
@@ -3072,6 +3109,102 @@ object SparkEntry {
         |       // nullif(CAST(cnc AS HUGEINT) * n_t, 0)
         |       - 1000000000 AS BIGINT) AS qini_q6
         |FROM c ORDER BY bucket""".stripMargin,
+    // q236: the identical double expression text (z² as 1.96*1.96 —
+    // the 3.8416 literal is a DIFFERENT double) floored to q6
+    "q236_wilson_ranking" ->
+      """WITH s AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ok
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, n, n_ok,
+        |  CAST(n_ok * 1000000 // n AS BIGINT) AS phat_q6,
+        |  CAST(floor(
+        |    ((CAST(n_ok AS DOUBLE) / n + (1.96 * 1.96) / (2 * n)
+        |      - 1.96 * sqrt((CAST(n_ok AS DOUBLE) / n)
+        |                    * (1 - CAST(n_ok AS DOUBLE) / n) / n
+        |                    + (1.96 * 1.96) / (4 * CAST(n AS DOUBLE) * n)))
+        |     / (1 + (1.96 * 1.96) / n)) * 1000000.0) AS BIGINT)
+        |    AS wilson_q6
+        |FROM s ORDER BY l_suppkey""".stripMargin,
+    // q238: same integer staging — cents before the daily sum, trend
+    // via the REAL window, weekday by date arithmetic (engine weekday
+    // functions number days differently; datediff % 7 does not)
+    "q238_seasonal_decomposition" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |  GROUP BY 1),
+        |t AS (SELECT day, v, COUNT(*) OVER w AS n7, SUM(v) OVER w AS sum7
+        |      FROM daily WINDOW w AS (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |wt AS (SELECT day, v, CAST(sum7 // 7 AS BIGINT) AS trend,
+        |         CAST(date_diff('day', DATE '1995-01-01', day) % 7
+        |           AS BIGINT) AS wd
+        |       FROM t WHERE n7 = 7),
+        |wm AS (SELECT wd, SUM(v) AS sv, COUNT(*) AS nd
+        |       FROM wt GROUP BY 1),
+        |g AS (SELECT SUM(v) AS gv, COUNT(*) AS gn FROM wt)
+        |SELECT day, v, trend, wd,
+        |  CAST((CAST(sv AS HUGEINT) * gn * 1000000)
+        |       // (CAST(nd AS HUGEINT) * gv) AS BIGINT) AS season_idx_q6,
+        |  v - trend AS resid
+        |FROM wt JOIN wm USING (wd) CROSS JOIN g ORDER BY day""".stripMargin,
+    // q239: the q127 register pipeline instantiated for each set and
+    // the MAX-merged union; inclusion-exclusion over the r4-quantized
+    // estimates; the exact overlap via the semi-join it avoids
+    "q239_hll_intersection" -> {
+      def reg(src: String, nm: String): String =
+        s"""${nm}m1 AS (SELECT (user_id % 2147483647) * 2654435761
+           |  % 2147483647 AS h1 FROM $src),
+           |${nm}m2 AS (SELECT xor(h1, h1 // 8192) AS h2 FROM ${nm}m1),
+           |${nm}m3 AS (SELECT (h2 % 2147483647) * 2246822519
+           |  % 2147483647 AS h3 FROM ${nm}m2),
+           |${nm}hh AS (SELECT xor(h3, h3 // 33554432) AS h FROM ${nm}m3),
+           |${nm}reg AS (
+           |  SELECT h % 64 AS bucket,
+           |    MAX(CASE WHEN h // 64 = 0 THEN 26
+           |        ELSE bit_count(((h // 64) & (-(h // 64))) - 1) + 1
+           |        END) AS mj
+           |  FROM ${nm}hh GROUP BY 1)""".stripMargin
+      def est(nm: String): String =
+        s"""${nm}mm AS (SELECT MAX(mj) AS maxm, COUNT(*) AS n_present
+           |  FROM ${nm}reg),
+           |${nm}sp AS (
+           |  SELECT mm.maxm, mm.n_present,
+           |    SUM(CAST(1 AS BIGINT) << (mm.maxm - r.mj)) AS s_present
+           |  FROM ${nm}reg r CROSS JOIN ${nm}mm mm GROUP BY 1, 2),
+           |${nm}e AS (
+           |  SELECT ROUND(CAST(0.709 AS DOUBLE) * 4096.0
+           |    * power(2.0, maxm)
+           |    / (s_present + (64 - n_present)
+           |       * (CAST(1 AS BIGINT) << maxm)) * 10000, 0) / 10000
+           |    + 0.0 AS est
+           |  FROM ${nm}sp)""".stripMargin
+      s"""WITH ea AS (SELECT user_id FROM events
+         |  WHERE event_type = 'click'),
+         |eb AS (SELECT user_id FROM events
+         |  WHERE event_type = 'purchase'),
+         |${reg("ea", "a")},
+         |${reg("eb", "b")},
+         |ureg AS (SELECT bucket, MAX(mj) AS mj FROM
+         |  (SELECT * FROM areg UNION ALL SELECT * FROM breg)
+         |  GROUP BY 1),
+         |${est("a")},
+         |${est("b")},
+         |${est("u")},
+         |act AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS actual_intersection
+         |  FROM (SELECT DISTINCT user_id FROM ea) x
+         |  JOIN (SELECT DISTINCT user_id FROM eb) y USING (user_id))
+         |SELECT ae.est AS est_a, be.est AS est_b, ue.est AS est_union,
+         |  ROUND((ae.est + be.est - ue.est) * 10000, 0) / 10000 + 0.0
+         |    AS est_intersection,
+         |  actual_intersection
+         |FROM ae CROSS JOIN be CROSS JOIN ue CROSS JOIN act"""
+        .stripMargin
+    },
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->

@@ -246,4 +246,57 @@ object Behavior {
           - 1000000L).as("cv2_q6"))
       .orderBy($"user_id")
   }
+
+  /** Seasonal decomposition (STL-lite) of the daily event-value
+    * series: trend = 7-day centered moving average, weekday seasonal
+    * index = weekday mean ÷ global mean, residual = value − trend —
+    * the anomaly screen that doesn't false-alarm on weekends.
+    *
+    * Exactness: per-row cents quantization BEFORE the daily sum (a
+    * raw double sum is partition-order dependent), so daily totals,
+    * the trend `sum7 div 7`, and residuals are pure integers; the
+    * seasonal index is one positive q6 division of integer means
+    * (negative event values are excluded on both engines — the q193
+    * div-parity discipline). Weekday = `datediff(day, epoch) % 7` —
+    * integer arithmetic, immune to the engine weekday-numbering
+    * divergences the DateDim scaladoc documents.
+    *
+    * Scale shape: ONE map-side-combinable daily agg is the only
+    * volume-sized work; the trend window, weekday means, and global
+    * mean all run on the bounded DAY domain (the q178 pattern —
+    * windows over domain tables, never over the fact). Edge days
+    * without a full 7-day window are dropped (count == 7), not
+    * padded.
+    */
+  def seasonalDecomposition(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.sources.Tables.events(spark, d)
+      .filter($"value".isNotNull && $"value" >= 0)
+      .select(to_date($"ts").as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .groupBy($"day").agg(sum($"v").as("v"))
+    // bounded day domain from here down
+    val w7 = Window.orderBy($"day").rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum($"v").over(w7))
+      .filter($"n7" === 7)
+      .select($"day", $"v", expr("sum7 div 7").as("trend"),
+        expr("CAST(datediff(day, DATE'1995-01-01') % 7 AS BIGINT)")
+          .as("wd"))
+    val wdMeans = withTrend.groupBy($"wd")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("nd"))
+    val g = withTrend.agg(sum($"v").as("gv"), count(lit(1)).as("gn"))
+    withTrend
+      .join(broadcast(wdMeans), "wd")
+      .crossJoin(broadcast(g))
+      .select($"day", $"v", $"trend", $"wd",
+        // sv·gn·10⁶ ~ (total cents)·days·10⁶ outgrows int64 at scale:
+        // DECIMAL(38,0) staging, single positive division
+        expr("CAST((CAST(sv AS DECIMAL(38,0)) * gn * 1000000)" +
+          " div (CAST(nd AS DECIMAL(38,0)) * gv) AS BIGINT)")
+          .as("season_idx_q6"),
+        ($"v" - $"trend").as("resid"))
+      .orderBy($"day")
+  }
 }

@@ -765,6 +765,42 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Edit-distance verification over the shared LSH candidates — the
+    * character-level verify for the near-dup family: shingle Jaccard
+    * is insertion/deletion-blind at the token level, Levenshtein
+    * (native on both engines) measures the actual edit cost, so this
+    * is the verifier fuzzy record-matching pipelines run after
+    * blocking. Reported as the normalized similarity
+    * `(maxlen − lev)·10⁶ div maxlen` — an exact integer rational.
+    *
+    * Scale shape: candidates come from the SAME registry-shared LSH
+    * set as q27/q54/q85 (never all-pairs); the corpus-sized text
+    * frame attaches by two unhinted doc_id equi-joins (AQE-sized,
+    * the q222 discipline — never a pinned broadcast); and the O(n·m)
+    * Levenshtein kernel runs ONLY on pairs surviving the ±10% length
+    * prefilter — a length mismatch that large already bounds the
+    * similarity below interest, so the quadratic work is skipped
+    * map-side, before it happens.
+    */
+  def editDistanceVerify(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val txt = Tables.documents(spark, d)
+      .select($"doc_id", $"text", length($"text").cast("long").as("len"))
+    sharedPairs(spark, d)
+      .join(txt.select($"doc_id".as("a_id"), $"text".as("ta"),
+        $"len".as("la")), "a_id")
+      .join(txt.select($"doc_id".as("b_id"), $"text".as("tb"),
+        $"len".as("lb")), "b_id")
+      // prune BEFORE the quadratic kernel: |la−lb| ≤ 10% of maxlen
+      .filter(abs($"la" - $"lb") * 10 <= greatest($"la", $"lb"))
+      .select($"a_id", $"b_id", $"la", $"lb",
+        levenshtein($"ta", $"tb").cast("long").as("lev"))
+      .select($"a_id", $"b_id", $"la", $"lb", $"lev",
+        expr("CAST((greatest(la, lb) - lev) * 1000000" +
+          " div greatest(la, lb) AS BIGINT)").as("sim_q6"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Per-document shingle-novelty census — for every document, the
     * fraction of its distinct 3-token shingles that appear in ANY
     * other document: the corpus-wide memorization/boilerplate screen

@@ -1579,6 +1579,82 @@ object Stats {
       .orderBy($"treated", $"post")
   }
 
+  /** Wilson lower-bound ranking — the "sort by score, not by raw
+    * rate" fix every ranking pipeline needs: a 2/2 item must not
+    * outrank a 95/100 item, so rank by the lower bound of the Wilson
+    * score interval at z = 1.96 instead of p̂. Scored here per
+    * supplier: share of lineitems NOT returned.
+    *
+    * Determinism: the bound is a per-VALUE double expression over the
+    * exact integer pair (w, n) — identical expression text on both
+    * engines (z² spelled `1.96 * 1.96`, never the 3.8416 literal,
+    * which is a DIFFERENT double) — quantized to q6 by floor before
+    * anything compares it. p̂ itself stays an integer rational. One
+    * map-side-combinable agg; nothing else shuffles.
+    */
+  def wilsonRanking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .select($"l_suppkey", when($"l_returnflag" =!= "R", 1L)
+        .otherwise(0L).as("ok"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), sum($"ok").as("n_ok"))
+      .select($"l_suppkey", $"n", $"n_ok",
+        expr("CAST(n_ok * 1000000 div n AS BIGINT)").as("phat_q6"),
+        expr("""CAST(floor(
+          ((CAST(n_ok AS DOUBLE) / n + (1.96 * 1.96) / (2 * n)
+            - 1.96 * sqrt((CAST(n_ok AS DOUBLE) / n)
+                          * (1 - CAST(n_ok AS DOUBLE) / n) / n
+                          + (1.96 * 1.96) / (4 * CAST(n AS DOUBLE) * n)))
+           / (1 + (1.96 * 1.96) / n)) * 1000000.0) AS BIGINT)""")
+          .as("wilson_q6"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** HLL set-intersection estimate — distinct-user overlap between
+    * two event populations WITHOUT joining them: inclusion-exclusion
+    * over three mergeable sketches, `|A∩B| ≈ est(A) + est(B) −
+    * est(A∪B)`, where the union sketch is the register-wise MAX merge
+    * (the [[rollingHll]] property). The exact intersection runs
+    * alongside — the eval pairing the estimate, the q223 discipline.
+    *
+    * Scale shape: the sketch path shuffles ≤ 64 register rows per
+    * set regardless of event volume; the exact path is two distinct
+    * aggs + one semi-join, the thing the sketch exists to avoid at
+    * 100 TB. Determinism: registers are the q127 integer pipeline;
+    * estimates are r4-quantized doubles from exact integers, and the
+    * inclusion-exclusion difference subtracts ALREADY-quantized
+    * values.
+    */
+  def hllIntersection(spark: SparkSession, d: String,
+                      typeA: String = "click",
+                      typeB: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d).select($"event_type", $"user_id")
+    def regs(t: String): DataFrame = hllRegistersOf(
+      ev.filter($"event_type" === t)
+        .select(lit(t).as("grp"), $"user_id".as("key")))
+    val ra = regs(typeA)
+    val rb = regs(typeB)
+    val ru = ra.unionAll(rb)
+      .groupBy(lit("union").as("grp"), $"bucket")
+      .agg(max($"mj").as("mj"))
+    val ests = hllEstimate(ra.unionAll(rb).unionAll(ru))
+      .agg(max(when($"grp" === typeA, $"est")).as("est_a"),
+        max(when($"grp" === typeB, $"est")).as("est_b"),
+        max(when($"grp" === "union", $"est")).as("est_union"))
+    val da = ev.filter($"event_type" === typeA)
+      .select($"user_id").distinct()
+    val db = ev.filter($"event_type" === typeB)
+      .select($"user_id").distinct()
+    val actual = da.join(db, Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("actual_intersection"))
+    ests.crossJoin(broadcast(actual))
+      .select($"est_a", $"est_b", $"est_union",
+        r4($"est_a" + $"est_b" - $"est_union").as("est_intersection"),
+        $"actual_intersection")
+  }
+
   /** Qini / uplift curve — [[decileGains]]'s causal sibling: rank
     * everyone by the targeting score, cut into deciles, and report the
     * cumulative INCREMENTAL positives the treated group shows over the

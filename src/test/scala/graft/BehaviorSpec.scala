@@ -985,6 +985,53 @@ class BehaviorSpec extends SparkSpec {
       s"disjoint pairs must bucket below 16 at mean 0: $disjoint")
   }
 
+  test("editDistanceVerify: identical LSH pair scores lev 0 at " +
+    "similarity exactly 1e6; every row bounded") {
+    val dir = plantDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six seven")))
+    val rows = graft.ext.Dedup.editDistanceVerify(spark, dir).collect()
+    val ident = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(ident.isDefined, s"identical pair must survive: ${rows.toSeq}")
+    assert(ident.get.getLong(4) == 0L && ident.get.getLong(5) == 1000000L,
+      s"lev 0, sim 1e6: ${ident.get}")
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(5) <= 1000000L, s"bounds: $r")
+    }
+  }
+
+  test("seasonalDecomposition: constant daily series — zero residuals, " +
+    "every weekday index exactly 1e6") {
+    // 14 consecutive days, one 100.00 event each ⇒ after the 7-day
+    // trim, 8 interior days with v = trend = 10000 cents
+    val d = plantEvents((0 until 14).map(i =>
+      (i.toLong, day0 + i * 86400L, 1L, "view", Some(100.0))))
+    val rows = graft.ext.Behavior.seasonalDecomposition(spark, d).collect()
+    assert(rows.length == 8, s"8 interior days, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10000L && r.getLong(2) == 10000L,
+        s"v and trend 10000: $r")
+      assert(r.getLong(4) == 1000000L, s"flat index: $r")
+      assert(r.getLong(5) == 0L, s"zero residual: $r")
+    }
+  }
+
+  test("hllIntersection: planted half-overlapping user sets — exact " +
+    "overlap alongside, estimate within sketch error") {
+    // click users 1..100, purchase users 51..150: |A∩B| = 50
+    val d = plantEvents(
+      (1 to 100).map(u => (u.toLong, day0 + u, u.toLong, "click", None)) ++
+      (51 to 150).map(u =>
+        (1000L + u, day0 + u, u.toLong, "purchase", None)))
+    val r = graft.ext.Stats.hllIntersection(spark, d).collect().head
+    assert(r.getLong(4) == 50L, s"exact overlap 50: $r")
+    val est = r.getDouble(3)
+    // 64-register HLL: σ ≈ 13% per sketch; inclusion-exclusion
+    // compounds three, so accept a generous band around 50
+    assert(est > 10.0 && est < 110.0, s"estimate near 50: $r")
+  }
+
   test("shingleNovelty: shared 3-gram counted, unique doc scores 0, " +
     "sub-3-token docs absent") {
     // docs 1 and 2 share exactly the shingle "x y z" (1 of 3 each);

@@ -564,6 +564,22 @@ class DriftSpec extends SparkSpec {
       (8L, 0L, 1L, 0L, 1L, Some(0L))), s"got ${got.toSeq}")
   }
 
+  test("wilsonRanking: the interval bound inverts the raw-rate order " +
+    "— 2/2 must rank below 95/100") {
+    val dir = Files.createTempDirectory("graft-wilson").toString
+    val rows = Seq.fill(2)((1L, "N")) ++
+      Seq.fill(95)((2L, "N")) ++ Seq.fill(5)((2L, "R"))
+    rows.toDF("l_suppkey", "l_returnflag")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = Stats.wilsonRanking(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val (p1, w1) = got(1L)
+    val (p2, w2) = got(2L)
+    assert(p1 == 1000000L && p2 == 950000L, s"raw rates: $got")
+    assert(w1 < w2, s"2/2 must bound BELOW 95/100: $got")
+    assert(w1 > 0L && w2 < 1000000L, s"bounds inside (0,1): $got")
+  }
+
   test("diffInDiff: hand-computed cell means, shared trend cancelled") {
     val dir = Files.createTempDirectory("graft-did").toString
     // control 15→25, treated 20→50: DiD = 30 − 10 = 20.00 exactly
