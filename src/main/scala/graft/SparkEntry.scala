@@ -719,6 +719,17 @@ object SparkEntry {
     // merged sketches, exact overlap alongside (the q223 discipline)
     "q239_hll_intersection" -> ((s: SparkSession, d: String) =>
       Stats.hllIntersection(s, d)),
+    // Two-proportion z-test: one 2-cell conditional agg, per-VALUE
+    // double z from four exact integers, quantized decision threshold
+    "q240_ab_ztest" -> (Stats.abZTest _),
+    // Per-group conformal thresholds via ONE global ranking + a
+    // broadcast offset table — never ROW_NUMBER PARTITION BY group
+    "q241_group_conformal" -> (Stats.conformalByGroup _),
+    // Per-source quality scorecard: volume, length, stopword density,
+    // langID disagreement, verified-dup share — the provenance report
+    // behind mixing weights
+    "q242_source_scorecard" -> ((s: SparkSession, d: String) =>
+      Corpus.sourceScorecard(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -1994,6 +2005,58 @@ object SparkEntry {
         s"""WITH hs AS (SELECT doc_id, $TokHashes AS hashes FROM documents)
            |SELECT doc_id, CAST($simhashBits AS INT) AS simhash16
            |FROM hs ORDER BY doc_id""".stripMargin,
+      // q242: the q30 vote inline, the LSH chain for the dup flag,
+      // HUGEINT-staged corpus sums; every share a positive //
+      "q242_source_scorecard" ->
+        s"""WITH $lshCandCtes,
+           |base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |           CAST(SUM(n_chars) AS HUGEINT) AS schars
+           |         FROM documents GROUP BY 1),
+           |tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |       FROM documents),
+           |tstat AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n_toks,
+           |         CAST(SUM(CASE WHEN tok IN ($stopIn) THEN 1 ELSE 0
+           |           END) AS HUGEINT) AS n_stop
+           |       FROM tk WHERE tok != '' GROUP BY 1),
+           |sv AS (SELECT source, lang,
+           |        len(list_filter(string_split(text, ' '),
+           |          t -> t IN ('der', 'die', 'und'))) AS s_de,
+           |        len(list_filter(string_split(text, ' '),
+           |          t -> t IN ('the', 'a', 'is'))) AS s_en,
+           |        len(list_filter(string_split(text, ' '),
+           |          t -> t IN ('el', 'la', 'y'))) AS s_es,
+           |        len(list_filter(string_split(text, ' '),
+           |          t -> t IN ('le', 'la', 'et'))) AS s_fr
+           |       FROM documents),
+           |mm AS (SELECT source, CAST(SUM(CASE WHEN
+           |         (CASE WHEN s_de >= s_en AND s_de >= s_es
+           |                    AND s_de >= s_fr THEN 'de'
+           |               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |               WHEN s_es >= s_fr THEN 'es'
+           |               ELSE 'fr' END) != lang
+           |         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+           |       FROM sv GROUP BY 1),
+           |vp AS (SELECT a_id, b_id FROM (
+           |         SELECT a_id, b_id,
+           |           len(list_intersect(a_h, b_h)) AS i,
+           |           len(a_h) + len(b_h)
+           |             - len(list_intersect(a_h, b_h)) AS u
+           |         FROM cand)
+           |       WHERE i * 1000000 // u >= 500000),
+           |dd AS (SELECT DISTINCT doc_id FROM
+           |        (SELECT a_id AS doc_id FROM vp
+           |         UNION ALL SELECT b_id FROM vp)),
+           |dup AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup
+           |        FROM documents JOIN dd USING (doc_id) GROUP BY 1)
+           |SELECT b.source, n_docs,
+           |  CAST(schars * 100 // n_docs AS BIGINT) AS mean_chars_q2,
+           |  CAST(n_stop * 1000000 // n_toks AS BIGINT) AS stop_share_q6,
+           |  CAST(n_mismatch * 1000000 // n_docs AS BIGINT)
+           |    AS mismatch_q6,
+           |  CAST(COALESCE(n_dup, 0) * 1000000 // n_docs AS BIGINT)
+           |    AS dup_share_q6
+           |FROM base b JOIN tstat USING (source) JOIN mm USING (source)
+           |LEFT JOIN dup USING (source) ORDER BY source""".stripMargin,
       // q237: same LSH candidate chain, native levenshtein after the
       // identical ±10% length prefilter; similarity a positive //
       "q237_edit_distance" ->
@@ -3205,6 +3268,61 @@ object SparkEntry {
          |FROM ae CROSS JOIN be CROSS JOIN ue CROSS JOIN act"""
         .stripMargin
     },
+    // q240: identical double expression text for z; the decision
+    // compares quantized integers on both engines
+    "q240_ab_ztest" ->
+      """WITH r AS (
+        |  SELECT o_custkey % 2 AS t,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |cells AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |            CAST(SUM(y) AS BIGINT) AS c
+        |          FROM r GROUP BY 1),
+        |w AS (SELECT
+        |  MAX(CASE WHEN t = 1 THEN n END) AS n1,
+        |  MAX(CASE WHEN t = 1 THEN c END) AS c1,
+        |  MAX(CASE WHEN t = 0 THEN n END) AS n0,
+        |  MAX(CASE WHEN t = 0 THEN c END) AS c0 FROM cells),
+        |z AS (SELECT n1, c1, n0, c0,
+        |  CAST(c1 * 1000000 // n1 AS BIGINT) AS p1_q6,
+        |  CAST(c0 * 1000000 // n0 AS BIGINT) AS p0_q6,
+        |  CAST(floor(
+        |    ((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        |     / sqrt((CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+        |            * (1 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+        |            * (1.0 / n1 + 1.0 / n0))) * 1000000.0) AS BIGINT)
+        |    AS z_q6
+        |  FROM w)
+        |SELECT n1, c1, n0, c0, p1_q6, p0_q6, z_q6,
+        |  CAST(CASE WHEN abs(z_q6) > 1960000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS significant
+        |FROM z""".stripMargin,
+    // q241: the oracle ranks with the REAL per-group window the
+    // engine's offset arithmetic avoids; same integer ceil K
+    "q241_group_conformal" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k
+        |  FROM orders),
+        |cal AS (SELECT * FROM pts WHERE k % 2 = 0),
+        |tst AS (SELECT * FROM pts WHERE k % 2 = 1),
+        |nn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |         CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS sel_k
+        |       FROM cal GROUP BY 1),
+        |rk AS (SELECT grp, s,
+        |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s, k) AS r
+        |       FROM cal),
+        |thr AS (SELECT rk.grp, n_cal, sel_k, s AS threshold
+        |        FROM rk JOIN nn ON rk.grp = nn.grp AND rk.r = nn.sel_k)
+        |SELECT t.grp, n_cal, sel_k, threshold,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN t.s <= threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(SUM(CASE WHEN t.s <= threshold THEN 1 ELSE 0 END)
+        |       * 1000000 // COUNT(*) AS BIGINT) AS coverage_q6
+        |FROM tst t JOIN thr ON t.grp = thr.grp
+        |GROUP BY 1, 2, 3, 4 ORDER BY t.grp""".stripMargin,
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->

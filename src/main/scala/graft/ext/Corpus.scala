@@ -918,4 +918,54 @@ object Corpus {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .orderBy($"decile")
   }
+
+  /** Per-source quality scorecard — the provenance report a curation
+    * pipeline reads before setting mixing weights ([[mixCorpus]],
+    * [[temperatureMix]]): for every source, volume, mean length,
+    * stopword density (fluency proxy), language-label disagreement
+    * (the q30 vote vs the recorded tag), and the share of docs with
+    * at least one verified near-duplicate partner.
+    *
+    * Scale shape: three corpus passes (doc census, token census, the
+    * q30 vote) — each ONE map-side-combinable agg to the bounded
+    * source domain; the dup flag rides the registry-shared LSH
+    * candidate set ([[graft.ext.Dedup]]) and attaches by a left-semi
+    * doc_id join. All shares are single positive divisions; the two
+    * corpus-sized sums stage DECIMAL(38,0) (token count × 10⁶
+    * outgrows int64 at ~10¹³ tokens — the 100 TB regime).
+    */
+  def sourceScorecard(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "DECIMAL(38,0)"
+    val docs = Tables.documents(spark, d)
+    val base = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("schars"))
+    val toks = docs
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val ts = toks.groupBy($"source")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when($"tok".isin(TextStats.Stopwords: _*), 1L)
+          .otherwise(0L)).as("n_stop"))
+    val mism = TextStats.langId(spark, d)
+      .select($"doc_id",
+        when($"predicted" =!= $"lang", 1L).otherwise(0L).as("mm"))
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source").agg(sum($"mm").as("n_mismatch"))
+    val dup = docs.select($"doc_id", $"source")
+      .join(Dedup.verifiedDupDocIds(spark, d), Seq("doc_id"), "left_semi")
+      .groupBy($"source").agg(count(lit(1)).as("n_dup"))
+    base.join(ts, "source").join(mism, "source")
+      .join(dup, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        expr(s"CAST(CAST(schars AS $dec) * 100 div n_docs AS BIGINT)")
+          .as("mean_chars_q2"),
+        expr(s"CAST(CAST(n_stop AS $dec) * 1000000 div n_toks AS BIGINT)")
+          .as("stop_share_q6"),
+        expr("CAST(n_mismatch * 1000000 div n_docs AS BIGINT)")
+          .as("mismatch_q6"),
+        expr("CAST(coalesce(n_dup, 0) * 1000000 div n_docs AS BIGINT)")
+          .as("dup_share_q6"))
+      .orderBy($"source")
+  }
 }

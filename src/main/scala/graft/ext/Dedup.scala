@@ -765,6 +765,26 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Distinct doc ids appearing in any q6-Jaccard-verified LSH pair —
+    * the "has at least one near-duplicate" flag the per-source
+    * scorecard ([[graft.ext.Corpus.sourceScorecard]]) censuses.
+    * Candidate-bounded (shared LSH set), arrays attach unhinted
+    * (AQE-sized, the q222 discipline). */
+  private[ext] def verifiedDupDocIds(spark: SparkSession, d: String,
+                                     minJacQ6: Long = 500000L): DataFrame = {
+    import spark.implicits._
+    val hs = hashSets(spark, d)
+    val inter = size(array_intersect($"a_h", $"b_h")).cast("long")
+    val uni = (size($"a_h") + size($"b_h")).cast("long") - inter
+    sharedPairs(spark, d)
+      .join(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h")), "a_id")
+      .join(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h")), "b_id")
+      .select($"a_id", $"b_id", inter.as("ni"), uni.as("nu"))
+      .filter(expr(s"ni * 1000000 div nu >= $minJacQ6"))
+      .select(explode(array($"a_id", $"b_id")).as("doc_id"))
+      .distinct()
+  }
+
   /** Edit-distance verification over the shared LSH candidates — the
     * character-level verify for the near-dup family: shingle Jaccard
     * is insertion/deletion-blind at the token level, Levenshtein

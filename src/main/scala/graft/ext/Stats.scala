@@ -1579,6 +1579,87 @@ object Stats {
       .orderBy($"treated", $"post")
   }
 
+  /** Two-proportion z-test — the A/B significance readout paired
+    * with [[cupedAdjustment]] (variance reduction) and [[diffInDiff]]
+    * (non-randomized assignment): is the conversion-rate difference
+    * between arms larger than pooled sampling noise explains?
+    * `z = (p̂₁ − p̂₀) / √(p̂(1−p̂)(1/n₁ + 1/n₀))` with p̂ pooled.
+    *
+    * Exactness: ONE map-side-combinable 2-cell conditional agg is the
+    * only volume work; z is a per-VALUE double over four exact
+    * integers with identical expression text on both engines, floored
+    * to q6 (floor is toward −∞ on both, so the signed quantization
+    * agrees); the decision threshold compares quantized integers
+    * (|z_q6| > 1960000 ⇔ |z| > 1.96 at q6 grain).
+    */
+  def abZTest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, d).select(
+      ($"o_custkey" % 2).as("t"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+      .groupBy($"t")
+      .agg(count(lit(1)).as("n"), sum($"y").as("c"))
+    val wide = cells.agg(
+      max(when($"t" === 1, $"n")).as("n1"),
+      max(when($"t" === 1, $"c")).as("c1"),
+      max(when($"t" === 0, $"n")).as("n0"),
+      max(when($"t" === 0, $"c")).as("c0"))
+    wide.select($"n1", $"c1", $"n0", $"c0",
+        expr("CAST(c1 * 1000000 div n1 AS BIGINT)").as("p1_q6"),
+        expr("CAST(c0 * 1000000 div n0 AS BIGINT)").as("p0_q6"),
+        expr("""CAST(floor(
+          ((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+           / sqrt((CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+                  * (1 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+                  * (1.0 / n1 + 1.0 / n0))) * 1000000.0) AS BIGINT)""")
+          .as("z_q6"))
+      .withColumn("significant",
+        (abs($"z_q6") > 1960000L).cast("long"))
+  }
+
+  /** Per-group split-conformal thresholds — [[conformalThreshold]]
+    * segmented by order priority, because one global threshold
+    * under-covers the segment whose score distribution sits higher.
+    * Same recipe per group: the ⌈(n_g+1)·0.9⌉-th smallest calibration
+    * score, coverage checked on the disjoint test split.
+    *
+    * Scale shape — the q211 two-pass discipline: ONE global
+    * [[graft.operators.GlobalIndex]] ranking over the (group, score,
+    * key) total order, within-group rank = global rank − a broadcast
+    * |groups|-row offset table (`ROW_NUMBER PARTITION BY group` would
+    * funnel each group through one reducer); per-group K and
+    * thresholds live on the bounded group domain and re-attach
+    * broadcast.
+    */
+  def conformalByGroup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.orders(spark, d).select(
+      $"o_orderpriority".as("grp"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"))
+    val cal = pts.filter($"k" % 2 === 0)
+    val test = pts.filter($"k" % 2 === 1)
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(cal, Seq($"grp".asc, $"s".asc, $"k".asc), "r")
+    val offsets = ranked.groupBy($"grp")
+      .agg((min($"r") - 1L).as("off"), count(lit(1)).as("n_cal"))
+      .withColumn("sel_k", expr("((n_cal + 1) * 9 + 9) div 10"))
+    val thr = ranked.join(broadcast(offsets), "grp")
+      .filter($"r" - $"off" === $"sel_k")
+      .select($"grp", $"n_cal", $"sel_k", $"s".as("threshold"))
+    test.join(broadcast(thr), "grp")
+      .groupBy($"grp")
+      .agg(max($"n_cal").as("n_cal"), max($"sel_k").as("sel_k"),
+        max($"threshold").as("threshold"),
+        count(lit(1)).as("n_test"),
+        sum(when($"s" <= $"threshold", 1L).otherwise(0L)).as("n_covered"))
+      .select($"grp", $"n_cal", $"sel_k", $"threshold", $"n_test",
+        $"n_covered",
+        expr("CAST(n_covered * 1000000 div n_test AS BIGINT)")
+          .as("coverage_q6"))
+      .orderBy($"grp")
+  }
+
   /** Wilson lower-bound ranking — the "sort by score, not by raw
     * rate" fix every ranking pipeline needs: a 2/2 item must not
     * outrank a 95/100 item, so rank by the lower bound of the Wilson

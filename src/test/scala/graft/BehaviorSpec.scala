@@ -1032,6 +1032,30 @@ class BehaviorSpec extends SparkSpec {
     assert(est > 10.0 && est < 110.0, s"estimate near 50: $r")
   }
 
+  test("sourceScorecard: per-source volume, stopword share, langID " +
+    "disagreement, and verified-dup share on a planted split") {
+    val dir = Files.createTempDirectory("graft-scorecard").toString
+    // s1: two IDENTICAL English docs (LSH-verified dups, stopwords
+    // 6/6, vote agrees with the tag). s2: one German doc mistagged
+    // "en" (vote 'de' ≠ tag, 0 stopwords, no dup partner).
+    Seq((1L, "the a is the a is", "en", "s1"),
+        (2L, "the a is the a is", "en", "s1"),
+        (3L, "der die und der die und", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .select($"doc_id", $"text", $"lang", $"source",
+        length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ext.Corpus.sourceScorecard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // s1: 17 chars/doc → 1700 q2; stopwords 12/12 → 1e6; 0 mismatch;
+    // both docs dup → 1e6. s2: 23 chars → 2300 q2; 0 stopwords;
+    // 1/1 mismatch → 1e6; no dups → 0
+    assert(got.toSeq == Seq(
+      ("s1", 2L, 1700L, 1000000L, 0L, 1000000L),
+      ("s2", 1L, 2300L, 0L, 1000000L, 0L)), s"got ${got.toSeq}")
+  }
+
   test("shingleNovelty: shared 3-gram counted, unique doc scores 0, " +
     "sub-3-token docs absent") {
     // docs 1 and 2 share exactly the shingle "x y z" (1 of 3 each);

@@ -580,6 +580,47 @@ class DriftSpec extends SparkSpec {
     assert(w1 > 0L && w2 < 1000000L, s"bounds inside (0,1): $got")
   }
 
+  test("abZTest: perfect separation scores z = 2√2 exactly at q6; a " +
+    "balanced split scores 0, not significant") {
+    // plantOrders: custkey = key % 7; treated = odd custkey.
+    // keys 1,3,5,8 → custkeys 1,3,5,1 (treated); 2,4,6,7 → 2,4,6,0
+    def plant(statuses: Map[Long, String]): String = plantOrders(
+      (1L to 8L).map(k => (k, statuses(k), 100.0, "1-URGENT")))
+    // treated 4/4 convert, control 0/4: z = 1/√0.125 = 2√2
+    val sep = plant(Map(1L -> "F", 3L -> "F", 5L -> "F", 8L -> "F",
+      2L -> "O", 4L -> "O", 6L -> "O", 7L -> "O"))
+    val r = Stats.abZTest(spark, sep).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 4L, 4L, 0L)), s"cells: $r")
+    assert(r.getLong(6) == 2828427L && r.getLong(7) == 1L,
+      s"z = 2828427 q6, significant: $r")
+    // 2/4 in both arms: z exactly 0
+    val bal = plant(Map(1L -> "F", 3L -> "F", 5L -> "O", 8L -> "O",
+      2L -> "F", 4L -> "F", 6L -> "O", 7L -> "O"))
+    val b = Stats.abZTest(spark, bal).collect().head
+    assert(b.getLong(6) == 0L && b.getLong(7) == 0L, s"null effect: $b")
+  }
+
+  test("conformalByGroup: each group gets its own K-th order statistic " +
+    "and coverage — the q228 fixture twice, shifted") {
+    // group 1-URGENT: cal scores 10..100, test 5 covered / 5 not;
+    // group 2-HIGH: same shape at 1010..1100
+    val rows =
+      (1 to 10).map(i => (i * 2L, "F", i * 10.0, "1-URGENT")) ++
+      (1 to 10).map(i =>
+        (i * 2L - 1L, "F", if (i <= 5) 50.0 else 200.0, "1-URGENT")) ++
+      (1 to 10).map(i => (100L + i * 2L, "F", 1000.0 + i * 10.0, "2-HIGH")) ++
+      (1 to 10).map(i =>
+        (99L + i * 2L, "F", if (i <= 5) 1050.0 else 2000.0, "2-HIGH"))
+    val d = plantOrders(rows)
+    val got = Stats.conformalByGroup(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("1-URGENT", 10L, 10L, 10000L, 10L, 5L, 500000L),
+      ("2-HIGH", 10L, 10L, 110000L, 10L, 5L, 500000L)), s"got ${got.toSeq}")
+  }
+
   test("diffInDiff: hand-computed cell means, shared trend cancelled") {
     val dir = Files.createTempDirectory("graft-did").toString
     // control 15→25, treated 20→50: DiD = 30 − 10 = 20.00 exactly
