@@ -730,6 +730,15 @@ object SparkEntry {
     // behind mixing weights
     "q242_source_scorecard" -> ((s: SparkSession, d: String) =>
       Corpus.sourceScorecard(s, d)),
+    // Sample-ratio-mismatch gate: all-integer chi-square GOF on the
+    // 4-row arm domain against the df=3 critical value
+    "q243_srm_check" -> (Stats.srmCheck _),
+    // Delta-method CI for a ratio metric over user-level totals: six
+    // DECIMAL(38,0)-staged sums, identical double expression text
+    "q244_ratio_metric_ci" -> (Stats.ratioMetricCI _),
+    // Theil-Sen robust daily-revenue trend: pairwise slopes on the
+    // bounded day domain, exact order-statistic median via GlobalIndex
+    "q245_theil_sen" -> (Stats.theilSenTrend _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3323,6 +3332,89 @@ object SparkEntry {
         |       * 1000000 // COUNT(*) AS BIGINT) AS coverage_q6
         |FROM tst t JOIN thr ON t.grp = thr.grp
         |GROUP BY 1, 2, 3, 4 ORDER BY t.grp""".stripMargin,
+    // q243: exact-rational chi-square — (4c−n)² staged HUGEINT, one
+    // positive //, quantized critical-value compare
+    "q243_srm_check" ->
+      """WITH cells AS (
+        |  SELECT o_custkey % 4 AS arm, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT
+        |  COALESCE(MAX(CASE WHEN arm = 0 THEN c END), 0) AS c0,
+        |  COALESCE(MAX(CASE WHEN arm = 1 THEN c END), 0) AS c1,
+        |  COALESCE(MAX(CASE WHEN arm = 2 THEN c END), 0) AS c2,
+        |  COALESCE(MAX(CASE WHEN arm = 3 THEN c END), 0) AS c3
+        |  FROM cells),
+        |t AS (SELECT c0 + c1 + c2 + c3 AS n, c0, c1, c2, c3 FROM w),
+        |x AS (SELECT n, c0, c1, c2, c3,
+        |  CAST(4 * c0 - n AS HUGEINT) * CAST(4 * c0 - n AS HUGEINT)
+        |  + CAST(4 * c1 - n AS HUGEINT) * CAST(4 * c1 - n AS HUGEINT)
+        |  + CAST(4 * c2 - n AS HUGEINT) * CAST(4 * c2 - n AS HUGEINT)
+        |  + CAST(4 * c3 - n AS HUGEINT) * CAST(4 * c3 - n AS HUGEINT)
+        |    AS chi2num FROM t)
+        |SELECT n, c0, c1, c2, c3,
+        |  CAST(chi2num * 1000000 // (4 * n) AS BIGINT) AS chi2_q6,
+        |  CAST(CASE WHEN chi2num * 1000000 // (4 * n) > 7814727
+        |    THEN 1 ELSE 0 END AS BIGINT) AS srm
+        |FROM x""".stripMargin,
+    // q244: six HUGEINT-staged user-level sums, then the IDENTICAL
+    // double expression text for se and the CI endpoints
+    "q244_ratio_metric_ci" -> {
+      val se =
+        """sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nu) / (nu - 1) - 2 * (CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)) * ((CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE) / nu) / (nu - 1)) + (CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)) * ((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / nu) / (nu - 1))) / nu) / (CAST(sm AS DOUBLE) / nu)"""
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      AND value IS NOT NULL AND value >= 0
+         |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+         |  CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |  CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT) AS sm,
+         |  CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+         |    AS HUGEINT) AS sxx,
+         |  CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+         |    AS HUGEINT) AS smm,
+         |  CAST(SUM(CAST(x AS HUGEINT) * CAST(m AS HUGEINT))
+         |    AS HUGEINT) AS sxm
+         |  FROM u)
+         |SELECT nu, CAST(sx AS BIGINT) AS sum_cents,
+         |  CAST(sm AS BIGINT) AS sum_events,
+         |  CAST(sx * 1000000 // sm AS BIGINT) AS ratio_q6,
+         |  CAST(floor(($se) * 1000000.0) AS BIGINT) AS se_q6,
+         |  CAST(floor((CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)
+         |    - 1.96 * ($se)) * 1000000.0) AS BIGINT) AS lo_q6,
+         |  CAST(floor((CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)
+         |    + 1.96 * ($se)) * 1000000.0) AS BIGINT) AS hi_q6
+         |FROM s""".stripMargin
+    },
+    // q245: same pairwise-slope rational with the 10^18 shift; the
+    // median is the SAME (slope, da, db)-ordered rank the engine's
+    // GlobalIndex selects
+    "q245_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |  GROUP BY 1),
+        |p AS (SELECT a.day AS da, b.day AS db,
+        |    CAST((CAST(b.v - a.v AS HUGEINT) * 1000000
+        |      + CAST(1000000000000000000 AS HUGEINT) * (b.day - a.day))
+        |      // (b.day - a.day) AS BIGINT)
+        |      - 1000000000000000000 AS slope_q6
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |r AS (SELECT slope_q6,
+        |    ROW_NUMBER() OVER (ORDER BY slope_q6, da, db) AS r
+        |  FROM p),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p),
+        |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n_pairs,
+        |  CAST((n_pairs + 1) // 2 AS BIGINT) AS sel_k,
+        |  slope_q6 AS theilsen_q6
+        |FROM r CROSS JOIN m CROSS JOIN dd
+        |WHERE r = (n_pairs + 1) // 2""".stripMargin,
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->

@@ -1889,4 +1889,153 @@ object Stats {
           " div nullif(n * (n * n - 1), 0)" +
           " - 1000000000 AS BIGINT)").as("rho_q6"))
   }
+
+  /** Sample-ratio-mismatch gate — the FIRST check an experimentation
+    * platform runs before reading any metric ([[abZTest]] downstream):
+    * if the realized arm counts deviate from the intended equal split
+    * more than chance explains, the assignment itself is broken
+    * (bot filtering, logging loss, redirect bias) and every metric on
+    * top is invalid. Chi-square goodness-of-fit over `arms` equal
+    * cells against the df = arms−1 critical value.
+    *
+    * Exactness — NO doubles anywhere: with expected count n/k per
+    * cell, `(c−n/k)²/(n/k) = (k·c−n)²/(k·n)`, so
+    * `chi2 = Σ(k·c_i−n)² / (k·n)` is an exact rational of the exact
+    * integer cell counts; both engines compute
+    * `Σ(k·c−n)²·10⁶ div (k·n)` (everything positive, div ≡ //) and
+    * compare the SAME quantized integer against the q6-floored
+    * critical value (χ²₀.₉₅(3) = 7.814728 → 7814727).
+    *
+    * Scale shape: ONE map-side-combinable count agg to the k-row arm
+    * domain; everything after lives on k rows.
+    */
+  def srmCheck(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(spark, d)
+      .select(($"o_custkey" % 4).as("arm"))
+      .groupBy($"arm").agg(count(lit(1)).as("c"))
+    cells.agg(
+        // an arm with ZERO rows is exactly the mismatch this gate
+        // exists to catch — coalesce, don't null-propagate
+        coalesce(max(when($"arm" === 0, $"c")), lit(0L)).as("c0"),
+        coalesce(max(when($"arm" === 1, $"c")), lit(0L)).as("c1"),
+        coalesce(max(when($"arm" === 2, $"c")), lit(0L)).as("c2"),
+        coalesce(max(when($"arm" === 3, $"c")), lit(0L)).as("c3"))
+      .withColumn("n", $"c0" + $"c1" + $"c2" + $"c3")
+      // (4c−n)² ~ n² wraps int64 past ~3B rows: stage each square
+      .withColumn("chi2num", expr(
+        s"""CAST(4 * c0 - n AS $dec) * CAST(4 * c0 - n AS $dec)
+           | + CAST(4 * c1 - n AS $dec) * CAST(4 * c1 - n AS $dec)
+           | + CAST(4 * c2 - n AS $dec) * CAST(4 * c2 - n AS $dec)
+           | + CAST(4 * c3 - n AS $dec) * CAST(4 * c3 - n AS $dec)"""
+          .stripMargin))
+      .select($"n", $"c0", $"c1", $"c2", $"c3",
+        expr("CAST(chi2num * 1000000 div (4 * n) AS BIGINT)")
+          .as("chi2_q6"))
+      .withColumn("srm", ($"chi2_q6" > 7814727L).cast("long"))
+  }
+
+  /** Delta-method confidence interval for a RATIO metric — the
+    * standard experimentation-platform estimator for "revenue per
+    * event": the metric is `R = ΣX_u / ΣM_u` over user-level totals
+    * (not a per-event mean — users, the randomization unit, are the
+    * iid unit, and per-event rows within a user are correlated), so
+    * its variance needs the delta method over the user-level
+    * (X, M) pairs: `Var(R̂) ≈ (varX − 2R·covXM + R²·varM)/(n·m̄²)`.
+    *
+    * Exactness — the [[abZTest]] discipline: volume work is ONE
+    * per-user agg + ONE 6-sum global agg, every sum an exact integer
+    * staged DECIMAL(38,0) with the cast inside the aggregate (X·M and
+    * the squares wrap int64 in the tens-of-billions regime); R, the
+    * standard error, and the CI endpoints are per-VALUE doubles over
+    * those six exact integers with IDENTICAL expression text on both
+    * engines, floored to q6. ratio_q6 itself is the exact integer
+    * division, not the double.
+    */
+  def ratioMetricCI(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val users = Tables.events(spark, d)
+      .select($"user_id",
+        when($"event_type" === "purchase" && $"value".isNotNull
+            && $"value" >= 0,
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)
+          .as("x"))
+      .groupBy($"user_id")
+      .agg(sum($"x").as("x"), count(lit(1)).as("m"))
+    val sums = users.agg(
+      count(lit(1)).as("nu"),
+      sum($"x".cast(dec)).as("sx"),
+      sum($"m".cast(dec)).as("sm"),
+      sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+      sum($"m".cast(dec) * $"m".cast(dec)).as("smm"),
+      sum($"x".cast(dec) * $"m".cast(dec)).as("sxm"))
+    // identical double expression text on both engines (the q240
+    // discipline); n−1 variance denominators, m̄ = sm/nu
+    val se =
+      """sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nu) / (nu - 1)
+        | - 2 * (CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)) * ((CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE) / nu) / (nu - 1))
+        | + (CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)) * ((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / nu) / (nu - 1)))
+        | / nu) / (CAST(sm AS DOUBLE) / nu)""".stripMargin
+        .replace("\n", "")
+    sums.select($"nu",
+      expr("CAST(sx AS BIGINT)").as("sum_cents"),
+      expr("CAST(sm AS BIGINT)").as("sum_events"),
+      expr("CAST(sx * 1000000 div sm AS BIGINT)").as("ratio_q6"),
+      expr(s"CAST(floor(($se) * 1000000.0) AS BIGINT)").as("se_q6"),
+      expr(s"CAST(floor((CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)" +
+        s" - 1.96 * ($se)) * 1000000.0) AS BIGINT)").as("lo_q6"),
+      expr(s"CAST(floor((CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE)" +
+        s" + 1.96 * ($se)) * 1000000.0) AS BIGINT)").as("hi_q6"))
+  }
+
+  /** Theil–Sen robust trend of daily revenue — the median of all
+    * pairwise day-to-day slopes, the estimator that shrugs off the
+    * outlier days that drag OLS ([[linearRegression]]) around; the
+    * robust-statistics sibling of [[madOutliers]]/[[winsorizedMean]]
+    * applied to the time axis.
+    *
+    * Scale shape: ONE event-volume agg collapses to the bounded day
+    * domain; the all-pairs space is (days choose 2) — quadratic in a
+    * DOMAIN (≤ ~400k pairs for three years), never in row count — so
+    * the self-join broadcasts the day frame; the median is selected
+    * by the q241 two-pass discipline (zero-shuffle GlobalIndex rank +
+    * broadcast count, never a global window).
+    *
+    * Exactness: daily cents are exact integer sums; each slope is
+    * `Δv·10⁶ div Δday` made sign-safe by the 10¹⁸ shift (Δv·10⁶ is
+    * DECIMAL(38,0)-staged — daily totals at corpus scale outgrow
+    * int64 under the 10⁶ blow-up); the median is the
+    * `(m+1) div 2`-th element of the (slope, day_a, day_b) total
+    * order — an exact order statistic, no averaging of middle pairs.
+    */
+  def theilSenTrend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(spark, d)
+      .filter($"value".isNotNull && $"value" >= 0)
+      .select(expr("CAST(datediff(to_date(ts), DATE'1995-01-01')" +
+        " AS BIGINT)").as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .groupBy($"day").agg(sum($"v").as("v"))
+    val a = daily.select($"day".as("da"), $"v".as("va"))
+    val b = daily.select($"day".as("db"), $"v".as("vb"))
+    val pairs = a.join(broadcast(b), $"db" > $"da")
+      .select($"da", $"db",
+        expr(s"CAST((CAST(vb - va AS $dec) * 1000000" +
+          s" + CAST(1000000000000000000 AS $dec) * (db - da))" +
+          s" div (db - da) AS BIGINT)" +
+          s" - 1000000000000000000").as("slope_q6"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pairs, Seq($"slope_q6".asc, $"da".asc, $"db".asc),
+        "r")
+    val m = pairs.agg(count(lit(1)).as("n_pairs"))
+    val days = daily.agg(count(lit(1)).as("n_days"))
+    ranked.crossJoin(broadcast(m)).crossJoin(broadcast(days))
+      .filter($"r" === expr("(n_pairs + 1) div 2"))
+      .select($"n_days", $"n_pairs",
+        expr("(n_pairs + 1) div 2").as("sel_k"),
+        $"slope_q6".as("theilsen_q6"))
+  }
 }

@@ -1056,6 +1056,42 @@ class BehaviorSpec extends SparkSpec {
       ("s2", 1L, 2300L, 0L, 1000000L, 0L)), s"got ${got.toSeq}")
   }
 
+  test("ratioMetricCI: hand-computed delta-method interval on a " +
+    "two-user plant") {
+    // u1: 2 events, one purchase of 1.00; u2: 2 events, no purchase.
+    // (x,m) = (100,2),(0,2): R = 100/4 = 25, varx = 5000, covxm = 0,
+    // varm = 0, se = sqrt(5000/2)/2 = 25, 1.96*25 -> exactly 49.0
+    val d = plantEvents(Seq(
+      (1L, day0 + 10, 1L, "purchase", Some(1.0)),
+      (2L, day0 + 20, 1L, "view", None),
+      (3L, day0 + 10, 2L, "view", None),
+      (4L, day0 + 20, 2L, "click", None)))
+    val r = graft.ext.Stats.ratioMetricCI(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 100L, 4L)),
+      s"sums: $r")
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((25000000L, 25000000L, -24000000L, 74000000L)), s"ci: $r")
+  }
+
+  test("theilSenTrend: median pairwise slope on three planted days; " +
+    "a falling series keeps its sign through the shifted division") {
+    // daily cents 100, 300, 400 on consecutive days: slopes 200e6,
+    // 150e6 (2-day span), 100e6 -> median 150e6
+    val up = plantEvents(Seq(
+      (1L, day0 + 10, 1L, "view", Some(1.0)),
+      (2L, day0 + 86400 + 10, 1L, "view", Some(3.0)),
+      (3L, day0 + 2 * 86400 + 10, 1L, "view", Some(4.0))))
+    val r = graft.ext.Stats.theilSenTrend(spark, up).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 2L, 150000000L)), s"up: $r")
+    // 400 -> 100: single pair, slope exactly -300e6
+    val down = plantEvents(Seq(
+      (1L, day0 + 10, 1L, "view", Some(4.0)),
+      (2L, day0 + 86400 + 10, 1L, "view", Some(1.0))))
+    val f = graft.ext.Stats.theilSenTrend(spark, down).collect().head
+    assert((f.getLong(1), f.getLong(3)) == ((1L, -300000000L)), s"down: $f")
+  }
+
   test("shingleNovelty: shared 3-gram counted, unique doc scores 0, " +
     "sub-3-token docs absent") {
     // docs 1 and 2 share exactly the shingle "x y z" (1 of 3 each);

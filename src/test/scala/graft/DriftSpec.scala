@@ -621,6 +621,24 @@ class DriftSpec extends SparkSpec {
       ("2-HIGH", 10L, 10L, 110000L, 10L, 5L, 500000L)), s"got ${got.toSeq}")
   }
 
+  test("srmCheck: total concentration scores chi2 = 3n and flags; a " +
+    "perfectly balanced split scores exactly 0") {
+    // plantOrders: custkey = key % 7, arm = custkey % 4.
+    // custkeys 0 and 4 both land arm 0: all 8 rows in one arm
+    val conc = plantOrders(Seq(0L, 4L, 7L, 11L, 14L, 18L, 21L, 25L)
+      .map(k => (k, "F", 100.0, "1-URGENT")))
+    val r = Stats.srmCheck(spark, conc).collect().head
+    // chi2num = (32-8)^2 + 3*64 = 768, chi2 = 768e6/32 = 24e6 = 3n
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((8L, 8L, 0L, 0L, 0L)), s"cells: $r")
+    assert(r.getLong(5) == 24000000L && r.getLong(6) == 1L, s"flag: $r")
+    // keys 0..3, 7..10 -> arms 0..3 twice: 2/2/2/2
+    val bal = plantOrders((Seq(0L, 1L, 2L, 3L, 7L, 8L, 9L, 10L))
+      .map(k => (k, "F", 100.0, "1-URGENT")))
+    val b = Stats.srmCheck(spark, bal).collect().head
+    assert(b.getLong(5) == 0L && b.getLong(6) == 0L, s"balanced: $b")
+  }
+
   test("diffInDiff: hand-computed cell means, shared trend cancelled") {
     val dir = Files.createTempDirectory("graft-did").toString
     // control 15→25, treated 20→50: DiD = 30 − 10 = 20.00 exactly
