@@ -739,6 +739,18 @@ object SparkEntry {
     // Theil-Sen robust daily-revenue trend: pairwise slopes on the
     // bounded day domain, exact order-statistic median via GlobalIndex
     "q245_theil_sen" -> (Stats.theilSenTrend _),
+    // Newman degree assortativity over the registry-shared trade
+    // edges: DECIMAL-staged 6-sum agg, guarded identical-text double r
+    "q246_assortativity" -> (Graph.degreeAssortativity _),
+    // Incremental delta-vs-base dedup over the registry-shared
+    // verified LSH pairs: accept only batch docs with no base partner
+    // and no earlier in-batch partner
+    "q247_delta_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.deltaDedup(s, d)),
+    // Tokenizer fertility per language over the registry-shared BPE
+    // per-doc encode — tokens per word on the bounded lang domain
+    "q248_fertility" -> ((s: SparkSession, d: String) =>
+      Corpus.tokenizerFertility(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -2066,6 +2078,32 @@ object SparkEntry {
            |    AS dup_share_q6
            |FROM base b JOIN tstat USING (source) JOIN mm USING (source)
            |LEFT JOIN dup USING (source) ORDER BY source""".stripMargin,
+      // q247: the same verified-pair chain symmetrized; delta docs
+      // (id % 10 = 0) censused for base and earlier-in-batch partners
+      "q247_delta_dedup" ->
+        s"""WITH $lshCandCtes,
+           |vp AS (SELECT a_id, b_id FROM (
+           |         SELECT a_id, b_id,
+           |           len(list_intersect(a_h, b_h)) AS i,
+           |           len(a_h) + len(b_h)
+           |             - len(list_intersect(a_h, b_h)) AS u
+           |         FROM cand)
+           |       WHERE i * 1000000 // u >= 500000),
+           |sym AS (SELECT a_id AS doc_id, b_id AS partner FROM vp
+           |        UNION ALL SELECT b_id, a_id FROM vp),
+           |delta AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+           |agg AS (SELECT d.doc_id,
+           |    CAST(COALESCE(SUM(CASE WHEN partner % 10 != 0
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_base_dups,
+           |    CAST(COALESCE(SUM(CASE WHEN partner % 10 = 0
+           |      AND partner < d.doc_id THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS n_prior_delta_dups
+           |  FROM delta d LEFT JOIN sym s ON d.doc_id = s.doc_id
+           |  GROUP BY d.doc_id)
+           |SELECT doc_id, n_base_dups, n_prior_delta_dups,
+           |  CAST(CASE WHEN n_base_dups = 0 AND n_prior_delta_dups = 0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS accept
+           |FROM agg ORDER BY doc_id""".stripMargin,
       // q237: same LSH candidate chain, native levenshtein after the
       // identical ±10% length prefilter; similarity a positive //
       "q237_edit_distance" ->
@@ -2386,6 +2424,51 @@ object SparkEntry {
     * scale-round-unscale form with `+ 0.0` signed-zero
     * canonicalization where the value can be negative.
     */
+  /** Shared CTE chain re-deriving the 5-round BPE merge loop and the
+    * per-document (n_words, n_tokens) encode — the common upstream of
+    * the q196 (per-doc) and q248 (per-language fertility) oracles.
+    * Opens the WITH and ends on the `perdoc` CTE. */
+  private def bpePerDocCtes: String = {
+    val round = (1 to 5).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT t[i] AS lhs, t[i+1] AS rhs,
+         |    CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+         |          '||') AS t, wc FROM w${i - 1}) x,
+         |    UNNEST(range(1, len(x.t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (
+         |  SELECT lhs, rhs FROM p$i
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, replace(s, '|' || t.lhs || '||' || t.rhs || '|',
+         |      '|' || t.lhs || t.rhs || '|') AS s, wc
+         |  FROM w${i - 1}, t$i t)""".stripMargin
+    }.mkString(",\n")
+    """WITH w0 AS MATERIALIZED (
+      |  SELECT w,
+      |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE w <> '' AND w NOT LIKE '%|%'
+      |  GROUP BY 1, 2),
+      |""".stripMargin + round + """,
+      |wtok AS (
+      |  SELECT w, CAST(len(string_split(substring(s, 2, length(s) - 2),
+      |    '||')) AS BIGINT) AS ntok FROM w5),
+      |docw AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' AND w NOT LIKE '%|%'),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      |  FROM docw JOIN wtok USING (w)
+      |  GROUP BY doc_id)""".stripMargin
+  }
+
   private def behaviorOracles: Map[String, String] = Map(
     // q95: integer-exact PageRank, two unrolled synchronous rounds.
     // Both edge directions exist, so every node has out-degree >= 1
@@ -3415,6 +3498,45 @@ object SparkEntry {
         |  slope_q6 AS theilsen_q6
         |FROM r CROSS JOIN m CROSS JOIN dd
         |WHERE r = (n_pairs + 1) // 2""".stripMargin,
+    // q246: the q95/q104 edge CTE with degrees re-attached to both
+    // endpoints; HUGEINT-staged sums, the IDENTICAL guarded double r
+    "q246_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY 1),
+        |j AS (SELECT dx.deg AS x, dy.deg AS y FROM edges e
+        |      JOIN deg dx ON e.src = dx.src
+        |      JOIN deg dy ON e.dst = dy.src),
+        |su AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+        |  CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |  CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |  CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+        |    AS HUGEINT) AS sxy,
+        |  CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+        |    AS HUGEINT) AS sxx,
+        |  CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+        |    AS HUGEINT) AS syy FROM j)
+        |SELECT CAST(m AS BIGINT) AS n_edges,
+        |  CAST(sx * 100 // m AS BIGINT) AS mean_deg_q2,
+        |  CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+        |      OR (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+        |    THEN NULL
+        |    ELSE CAST(floor(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT)
+        |  END AS r_q6
+        |FROM su""".stripMargin,
     // q125: q67's Morton formula, re-aggregated into block min/max
     // boxes with the fixed query-rectangle overlap test
     "q125_skipping_stats" ->
@@ -5101,45 +5223,25 @@ object SparkEntry {
     // q196: the same 5-round merge chain, carrying the raw word so
     // the final vocabulary is a word → encoding lookup; per-doc
     // token counts come from joining the exploded corpus against it
-    "q196_bpe_encode" -> {
-      val round = (1 to 5).map { i =>
-        s"""p$i AS MATERIALIZED (
-           |  SELECT t[i] AS lhs, t[i+1] AS rhs,
-           |    CAST(SUM(wc) AS BIGINT) AS cnt
-           |  FROM (SELECT string_split(substring(s, 2, length(s) - 2),
-           |          '||') AS t, wc FROM w${i - 1}) x,
-           |    UNNEST(range(1, len(x.t))) AS u(i)
-           |  GROUP BY 1, 2),
-           |t$i AS MATERIALIZED (
-           |  SELECT lhs, rhs FROM p$i
-           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-           |w$i AS MATERIALIZED (
-           |  SELECT w, replace(s, '|' || t.lhs || '||' || t.rhs || '|',
-           |      '|' || t.lhs || t.rhs || '|') AS s, wc
-           |  FROM w${i - 1}, t$i t)""".stripMargin
-      }.mkString(",\n")
-      """WITH w0 AS MATERIALIZED (
-        |  SELECT w,
-        |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
-        |    CAST(COUNT(*) AS BIGINT) AS wc
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
-        |        FROM documents)
-        |  WHERE w <> '' AND w NOT LIKE '%|%'
-        |  GROUP BY 1, 2),
-        |""".stripMargin + round + """,
-        |wtok AS (
-        |  SELECT w, CAST(len(string_split(substring(s, 2, length(s) - 2),
-        |    '||')) AS BIGINT) AS ntok FROM w5),
-        |docw AS (
-        |  SELECT doc_id, w FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |    FROM documents)
-        |  WHERE w <> '' AND w NOT LIKE '%|%')
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens
-        |FROM docw JOIN wtok USING (w)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "q196_bpe_encode" ->
+      s"""$bpePerDocCtes
+         |SELECT doc_id, n_words, n_tokens FROM perdoc
+         |ORDER BY doc_id""".stripMargin,
+    // q248: the q196 per-doc encode rolled up to the language
+    // domain; token sums staged HUGEINT, one positive //
+    "q248_fertility" ->
+      s"""$bpePerDocCtes,
+         |lg AS (SELECT doc_id, lang FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(CAST(SUM(CAST(n_words AS HUGEINT)) AS HUGEINT)
+         |    AS BIGINT) AS sum_words,
+         |  CAST(CAST(SUM(CAST(n_tokens AS HUGEINT)) AS HUGEINT)
+         |    AS BIGINT) AS sum_tokens,
+         |  CAST(CAST(SUM(CAST(n_tokens AS HUGEINT)) AS HUGEINT)
+         |    * 1000000 // CAST(SUM(CAST(n_words AS HUGEINT)) AS HUGEINT)
+         |    AS BIGINT) AS fertility_q6
+         |FROM perdoc JOIN lg USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // q177: identical per-cell ln quantization; the +1e9·n shift
     // makes // and Spark's div agree on the near-zero sums
     "q177_mutual_info" -> {

@@ -791,6 +791,18 @@ object Corpus {
   def bpeEncode(spark: SparkSession, d: String, rounds: Int = 5,
                 maxBroadcastTerms: Long = BroadcastVocabMaxTerms): DataFrame = {
     import spark.implicits._
+    bpeDocTokens(spark, d, rounds, maxBroadcastTerms).orderBy($"doc_id")
+  }
+
+  /** Per-document (n_words, n_tokens) after `rounds` BPE merges —
+    * the unordered body of [[bpeEncode]], registry-shared so the
+    * encode (q196) and the fertility report ([[tokenizerFertility]])
+    * pay for the merge loop once per session. */
+  private[ext] def bpeDocTokens(spark: SparkSession, d: String,
+                                rounds: Int = 5,
+                                maxBroadcastTerms: Long = BroadcastVocabMaxTerms): DataFrame =
+   graft.Derived.frame(s"bpe-doc-tokens:$d:$rounds:$maxBroadcastTerms") {
+    import spark.implicits._
     val words = Tables.documents(spark, d)
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .filter($"w" =!= "" && !$"w".contains("|"))
@@ -824,7 +836,36 @@ object Corpus {
     words.join(hinted, "w")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"), sum($"ntok").as("n_tokens"))
-      .orderBy($"doc_id")
+  }
+
+  /** Tokenizer fertility per language — post-BPE tokens per
+    * whitespace word, the metric that tells a multilingual pipeline
+    * which languages the tokenizer fragments (fertility ≫ 1 means a
+    * language pays more sequence length per word, skewing both cost
+    * and mixing weights; the per-language readout [[bpeEncode]]'s
+    * corpus totals hide).
+    *
+    * Scale shape: rides the registry-shared [[bpeDocTokens]] frame —
+    * the merge loop never re-runs; one doc_id join to attach the
+    * language tag and one map-side-combinable agg to the bounded
+    * language domain. Token sums stage DECIMAL(38,0) (the 10⁶
+    * blow-up outgrows int64 at ~10¹³ tokens).
+    */
+  def tokenizerFertility(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    bpeDocTokens(spark, d)
+      .join(Tables.documents(spark, d).select($"doc_id", $"lang"),
+        "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words".cast(dec)).as("sw"),
+        sum($"n_tokens".cast(dec)).as("st"))
+      .select($"lang", $"n_docs",
+        expr("CAST(sw AS BIGINT)").as("sum_words"),
+        expr("CAST(st AS BIGINT)").as("sum_tokens"),
+        expr("CAST(st * 1000000 div sw AS BIGINT)").as("fertility_q6"))
+      .orderBy($"lang")
   }
 
   /** Execute [[quotaAllocation]]'s sampling plan: per stratum take

@@ -765,24 +765,73 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q6-Jaccard-verified LSH pairs (a_id < b_id) — the confirmed
+    * near-duplicate edge set downstream consumers share through the
+    * registry (the scorecard's dup flag, [[deltaDedup]]'s novelty
+    * screen). Candidate-bounded (shared LSH set), arrays attach
+    * unhinted (AQE-sized, the q222 discipline). */
+  private[ext] def verifiedPairs(spark: SparkSession, d: String,
+                                 minJacQ6: Long = 500000L): DataFrame =
+    graft.Derived.frame(s"lsh-verified-pairs:$d:$minJacQ6") {
+      import spark.implicits._
+      val hs = hashSets(spark, d)
+      val inter = size(array_intersect($"a_h", $"b_h")).cast("long")
+      val uni = (size($"a_h") + size($"b_h")).cast("long") - inter
+      sharedPairs(spark, d)
+        .join(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h")), "a_id")
+        .join(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h")), "b_id")
+        .select($"a_id", $"b_id", inter.as("ni"), uni.as("nu"))
+        .filter(expr(s"ni * 1000000 div nu >= $minJacQ6"))
+        .select($"a_id", $"b_id")
+    }
+
   /** Distinct doc ids appearing in any q6-Jaccard-verified LSH pair —
     * the "has at least one near-duplicate" flag the per-source
-    * scorecard ([[graft.ext.Corpus.sourceScorecard]]) censuses.
-    * Candidate-bounded (shared LSH set), arrays attach unhinted
-    * (AQE-sized, the q222 discipline). */
+    * scorecard ([[graft.ext.Corpus.sourceScorecard]]) censuses. */
   private[ext] def verifiedDupDocIds(spark: SparkSession, d: String,
                                      minJacQ6: Long = 500000L): DataFrame = {
     import spark.implicits._
-    val hs = hashSets(spark, d)
-    val inter = size(array_intersect($"a_h", $"b_h")).cast("long")
-    val uni = (size($"a_h") + size($"b_h")).cast("long") - inter
-    sharedPairs(spark, d)
-      .join(hs.select($"doc_id".as("a_id"), $"hashes".as("a_h")), "a_id")
-      .join(hs.select($"doc_id".as("b_id"), $"hashes".as("b_h")), "b_id")
-      .select($"a_id", $"b_id", inter.as("ni"), uni.as("nu"))
-      .filter(expr(s"ni * 1000000 div nu >= $minJacQ6"))
+    verifiedPairs(spark, d, minJacQ6)
       .select(explode(array($"a_id", $"b_id")).as("doc_id"))
       .distinct()
+  }
+
+  /** Incremental (delta-vs-base) dedup — the decision a CONTINUOUS
+    * ingestion pipeline makes per new batch: docs `doc_id % 10 = 0`
+    * play the incoming delta, the rest the already-accepted base.
+    * A delta doc is accepted only if it has no verified near-dup
+    * partner in the base AND none among delta docs that precede it
+    * (smaller id — the arrival order within the batch), so accepting
+    * the whole batch at once never admits two copies of the same
+    * novel document.
+    *
+    * Scale shape: rides the registry-shared [[verifiedPairs]] edge
+    * set — the delta never re-scans the base corpus; the partner
+    * census is candidate-bounded (LSH-banded, never all-pairs) and
+    * the classification is one agg over the symmetrized pair list.
+    * This is the batch twin of the streaming near-dup state operator
+    * ([[graft.streaming.DocStream]]).
+    */
+  def deltaDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val vp = verifiedPairs(spark, d)
+    val sym = vp.select(explode(array(
+        struct($"a_id".as("doc_id"), $"b_id".as("partner")),
+        struct($"b_id".as("doc_id"), $"a_id".as("partner")))).as("p"))
+      .select($"p.doc_id".as("doc_id"), $"p.partner".as("partner"))
+    Tables.documents(spark, d).select($"doc_id")
+      .filter($"doc_id" % 10 === 0)
+      .join(sym, Seq("doc_id"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"partner" % 10 =!= 0, 1L).otherwise(0L))
+          .as("n_base_dups"),
+        sum(when($"partner" % 10 === 0 && $"partner" < $"doc_id", 1L)
+          .otherwise(0L)).as("n_prior_delta_dups"))
+      .withColumn("accept",
+        ($"n_base_dups" === 0L && $"n_prior_delta_dups" === 0L)
+          .cast("long"))
+      .orderBy($"doc_id")
   }
 
   /** Edit-distance verification over the shared LSH candidates — the

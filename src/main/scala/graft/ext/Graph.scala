@@ -1095,4 +1095,50 @@ object Graph {
       .join(scored.select($"a", $"b", $"cn"), Seq("a", "b"))
       .orderBy($"a", $"aa_q6".desc, $"b")
   }
+
+  /** Degree assortativity of the trade graph — Newman's r: the
+    * Pearson correlation of (deg(src), deg(dst)) over the directed
+    * edge list. Negative r (hubs attach to leaves) is the topology
+    * signature that decides whether hub-first sampling or skew
+    * salting matters downstream; the one-number summary next to the
+    * full [[degreeDistribution]] profile.
+    *
+    * Scale shape: degrees are ONE count agg over the registry-shared
+    * edge frame (probing its src partitioning); the two re-attach
+    * joins are unhinted — AQE broadcasts the |V|-row degree frame at
+    * small scale, shuffles above (the q222 discipline). One 6-sum
+    * global agg ends the volume work.
+    *
+    * Exactness: every sum is an exact integer staged DECIMAL(38,0)
+    * with the cast inside the aggregate (deg² terms wrap int64 in
+    * the billions-of-edges regime); r is a per-VALUE double over the
+    * six exact integers with identical expression text on both
+    * engines, floored to q6; a zero-variance side (regular graph)
+    * returns NULL through the same guarded CASE on both engines.
+    */
+  def degreeAssortativity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val edges = tradeEdges(spark, d)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val j = edges
+      .join(deg.select($"src", $"deg".as("x")), "src")
+      .join(deg.select($"src".as("dst"), $"deg".as("y")), "dst")
+    val varx = "CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    val vary = "CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)" +
+      " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    j.agg(count(lit(1)).cast(dec).as("m"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"))
+      .select(expr("CAST(m AS BIGINT)").as("n_edges"),
+        expr("CAST(sx * 100 div m AS BIGINT)").as("mean_deg_q2"),
+        expr(s"""CASE WHEN ($varx) <= 0 OR ($vary) <= 0 THEN NULL
+          ELSE CAST(floor(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt($varx) * sqrt($vary))) * 1000000.0) AS BIGINT)
+          END""").as("r_q6"))
+  }
 }

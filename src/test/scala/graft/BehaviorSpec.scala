@@ -296,6 +296,53 @@ class BehaviorSpec extends SparkSpec {
     assert(r == ((5L, 4L, 0L)), "5 nodes, 4 spokes, 0 triangles")
   }
 
+  test("degreeAssortativity: a star is exactly -1; a regular graph " +
+    "has no degree variance and returns NULL") {
+    val star = Files.createTempDirectory("graft-assort").toString
+    // one customer x three suppliers: hub deg 3, leaves deg 1 -> r = -1
+    Seq((1L, 1L), (1L, 2L), (1L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$star/lineitem.parquet")
+    Seq((1L, 5L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.parquet(s"$star/orders.parquet")
+    val r = graft.ext.Graph.degreeAssortativity(spark, star)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((6L, 200L, -1000000L)), s"star: $r")
+    // complete bipartite 2x2: every node degree 2, zero variance
+    val reg = Files.createTempDirectory("graft-assort2").toString
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$reg/lineitem.parquet")
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.parquet(s"$reg/orders.parquet")
+    val n = graft.ext.Graph.degreeAssortativity(spark, reg)
+      .collect().head
+    assert(n.getLong(0) == 8L && n.isNullAt(2), s"regular: $n")
+  }
+
+  test("deltaDedup: base partner rejects, earlier in-batch partner " +
+    "rejects, novel delta docs accepted") {
+    val dir = Files.createTempDirectory("graft-deltadup").toString
+    // base doc 1 == delta doc 10; delta docs 20 == 30 (novel pair);
+    // delta 40 unique. >=3 tokens each so shingles exist.
+    Seq((1L, "alpha beta gamma delta alpha beta"),
+        (10L, "alpha beta gamma delta alpha beta"),
+        (20L, "epsilon zeta eta theta iota kappa"),
+        (30L, "epsilon zeta eta theta iota kappa"),
+        (40L, "lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ext.Dedup.deltaDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, 1L, 0L, 0L),   // dup of base doc 1 -> reject
+      (20L, 0L, 0L, 1L),   // partner 30 arrives later -> accept
+      (30L, 0L, 1L, 0L),   // partner 20 already accepted -> reject
+      (40L, 0L, 0L, 1L)),  // novel -> accept
+      s"got ${got.toSeq}")
+  }
+
   test("countMinSketch: point estimates dominate true counts; halves merge to the whole") {
     def mk(us: Seq[Long], idBase: Long) =
       us.zipWithIndex.map { case (u, i) => (idBase + i, day0 + i, u, "view", None: Option[Double]) }

@@ -207,6 +207,23 @@ class CorpusSpec extends SparkSpec {
       "one pair: dot 4, norms² 5/5, ⌊10⁴·16/25⌋ = 6400")
   }
 
+  test("tokenizerFertility: single-char words stay 1 token; the lone " +
+    "8-char word compresses to 3 tokens after 5 lexicographic merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    // merges greedily take (a,b),(ab,c),(abc,d),(abcd,e),(abcde,f) —
+    // all pair counts are 1, lhs-lexicographic tiebreak — leaving
+    // |abcdef||g||h| = 3 tokens; "a" is unsplittable at 1
+    Seq((1L, "a a a a", "en"), (2L, "abcdefgh", "de"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.tokenizerFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("de", 1L, 1L, 3L, 3000000L),
+      ("en", 1L, 4L, 4L, 1000000L)), s"got ${got.toSeq}")
+  }
+
   test("tokenPmi: planted co-occurrence — hand-computed PMI, negatives included") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
     // N=4 docs; {a,b} ride together twice, c pairs with a and x once:
