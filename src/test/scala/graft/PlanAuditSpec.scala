@@ -652,4 +652,42 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "positional matching must never plan an all-pairs join")
   }
+
+  test("q241/q245: per-group/median selection rides GlobalIndex — " +
+    "no data-sized window, no data-sized single-partition exchange") {
+    for (q <- Seq("q241_group_conformal", "q245_theil_sen")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+      assert(lines.exists(_.contains("__pid")),
+        s"$q: expected the GlobalIndex per-partition numbering window")
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val child = lines.drop(i + 1).take(2).mkString
+          assert(child.contains("Aggregate") || child.contains("Window"),
+            s"$q: single-partition exchange over data rows:\n" +
+              lines.slice(i, i + 3).mkString("\n"))
+        }
+    }
+  }
+
+  test("q246: assortativity is windowless and all-equi — degree " +
+    "re-attach joins never plan a cartesian") {
+    val df = SparkEntry.queries("q246_assortativity")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "degree re-attach must stay an equi-join")
+    assert(!plan.contains("Window"),
+      "the 6-sum aggregate needs no window anywhere")
+  }
+
+  test("q247: the delta accept gate joins the candidate-bounded pair " +
+    "set — never all-pairs, and the base corpus is never re-scanned " +
+    "for verification") {
+    val df = SparkEntry.queries("q247_delta_dedup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "delta-vs-base matching must never plan an all-pairs join")
+  }
 }
