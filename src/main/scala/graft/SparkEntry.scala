@@ -751,6 +751,18 @@ object SparkEntry {
     // per-doc encode — tokens per word on the bounded lang domain
     "q248_fertility" -> ((s: SparkSession, d: String) =>
       Corpus.tokenizerFertility(s, d)),
+    // EXACT Shapley channel attribution on the 2^4 coalition lattice:
+    // all-integer v at q6, k!-scaled weights, 64-row subset join
+    "q249_shapley_attribution" -> ((s: SparkSession, d: String) =>
+      Behavior.shapleyAttribution(s, d)),
+    // Stratified ATE: customer-grain outcomes, segment strata,
+    // 10^9-shift divisions of DECIMAL-staged products, off-support
+    // strata -> NULL
+    "q250_stratified_ate" -> (Stats.stratifiedAte _),
+    // Fellegi-Sunter linkage scores over the shared LSH candidates:
+    // m/u from the verified labels with Laplace smoothing, LQ weights
+    "q251_fellegi_sunter" -> ((s: SparkSession, d: String) =>
+      Dedup.fellegiSunter(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -2104,6 +2116,49 @@ object SparkEntry {
            |  CAST(CASE WHEN n_base_dups = 0 AND n_prior_delta_dups = 0
            |    THEN 1 ELSE 0 END AS BIGINT) AS accept
            |FROM agg ORDER BY doc_id""".stripMargin,
+      // q251: the same candidate chain labeled by the verified-Jaccard
+      // predicate; m/u cross-multiplied into exact integers before ln
+      "q251_fellegi_sunter" -> {
+        def lq(x: String): String =
+          s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        def wAgree(am: String, au: String): String =
+          s"${lq(s"($am + 1) * (nu + 2)")} - ${lq(s"($au + 1) * (nm + 2)")}"
+        def wDis(am: String, au: String): String =
+          s"${lq(s"(nm + 1 - $am) * (nu + 2)")} - " +
+            s"${lq(s"(nu + 1 - $au) * (nm + 2)")}"
+        def term(f: String, am: String, au: String): String =
+          s"CASE WHEN $f = 1 THEN ${wAgree(am, au)}" +
+            s" ELSE ${wDis(am, au)} END"
+        s"""WITH $lshCandCtes,
+           |lab AS (SELECT a_id, b_id,
+           |    CASE WHEN len(list_intersect(a_h, b_h)) * 1000000
+           |      // (len(a_h) + len(b_h) - len(list_intersect(a_h, b_h)))
+           |      >= 500000 THEN 1 ELSE 0 END AS m
+           |  FROM cand),
+           |at AS (SELECT doc_id, lang, source, n_chars // 100 AS lenb
+           |       FROM documents),
+           |fv AS (SELECT a_id, b_id, m,
+           |    CASE WHEN aa.lang = ab.lang THEN 1 ELSE 0 END AS fl,
+           |    CASE WHEN aa.source = ab.source THEN 1 ELSE 0 END AS fs,
+           |    CASE WHEN aa.lenb = ab.lenb THEN 1 ELSE 0 END AS fb
+           |  FROM lab JOIN at aa ON lab.a_id = aa.doc_id
+           |           JOIN at ab ON lab.b_id = ab.doc_id),
+           |st AS (SELECT CAST(SUM(m) AS BIGINT) AS nm,
+           |    CAST(SUM(1 - m) AS BIGINT) AS nu,
+           |    CAST(SUM(m * fl) AS BIGINT) AS amL,
+           |    CAST(SUM((1 - m) * fl) AS BIGINT) AS auL,
+           |    CAST(SUM(m * fs) AS BIGINT) AS amS,
+           |    CAST(SUM((1 - m) * fs) AS BIGINT) AS auS,
+           |    CAST(SUM(m * fb) AS BIGINT) AS amB,
+           |    CAST(SUM((1 - m) * fb) AS BIGINT) AS auB
+           |  FROM fv)
+           |SELECT a_id, b_id, CAST(m AS BIGINT) AS is_match,
+           |  CAST(fl AS BIGINT) AS fl, CAST(fs AS BIGINT) AS fs,
+           |  CAST(fb AS BIGINT) AS fb,
+           |  ${term("fl", "amL", "auL")} + ${term("fs", "amS", "auS")}
+           |    + ${term("fb", "amB", "auB")} AS fs_score_q6
+           |FROM fv CROSS JOIN st ORDER BY a_id, b_id""".stripMargin
+      },
       // q237: same LSH candidate chain, native levenshtein after the
       // identical ±10% length prefilter; similarity a positive //
       "q237_edit_distance" ->
@@ -3498,6 +3553,67 @@ object SparkEntry {
         |  slope_q6 AS theilsen_q6
         |FROM r CROSS JOIN m CROSS JOIN dd
         |WHERE r = (n_pairs + 1) // 2""".stripMargin,
+    // q249: the same mask/coalition construction; DuckDB's bit ops
+    // and // mirror the engine's exact-integer Shapley
+    "q249_shapley_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    + MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 2
+        |    + MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+        |    + MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 8
+        |      AS mask,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(y) AS BIGINT) AS n_conv FROM u GROUP BY 1),
+        |dom AS (SELECT CAST(range AS BIGINT) AS mask FROM range(16)),
+        |v AS (SELECT mask,
+        |    COALESCE(n_conv * 1000000 // n_users, 0) AS v_q6
+        |  FROM dom LEFT JOIN obs USING (mask)),
+        |g AS (SELECT s.mask AS s, s.v_q6 AS v_s, b.b,
+        |    s.mask + (1 << b.b) AS s_with,
+        |    CASE bit_count(s.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |      WHEN 2 THEN 2 ELSE 6 END AS w
+        |  FROM v s CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+        |  WHERE (s.mask >> b.b) & 1 = 0),
+        |ph AS (SELECT b,
+        |    CAST(SUM(w * (vi.v_q6 - g.v_s)) AS BIGINT) AS phi24_q6
+        |  FROM g JOIN v vi ON g.s_with = vi.mask GROUP BY b)
+        |SELECT CASE b WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+        |    WHEN 2 THEN 'signup' ELSE 'view' END AS channel,
+        |  phi24_q6,
+        |  CAST((phi24_q6 + 24000000000) // 24 - 1000000000
+        |    AS BIGINT) AS phi_q6
+        |FROM ph ORDER BY channel""".stripMargin,
+    // q250: identical cell counts and shift-divisions; HUGEINT stages
+    // the N^3-sized products
+    "q250_stratified_ate" ->
+      """WITH y AS (SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+        |  FROM orders GROUP BY 1),
+        |per AS (SELECT c_custkey, c_mktsegment AS stratum,
+        |    c_custkey % 2 AS t, COALESCE(y, 0) AS y
+        |  FROM customer LEFT JOIN y ON c_custkey = o_custkey),
+        |cells AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS n1,
+        |    CAST(SUM(t * y) AS BIGINT) AS c1,
+        |    CAST(SUM((1 - t) * y) AS BIGINT) AS c0
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT stratum, n, n1, c1, n - n1 AS n0, c0 FROM cells),
+        |tt AS (SELECT CAST(SUM(n) AS HUGEINT) AS bigN FROM w)
+        |SELECT stratum, n, n1, c1, n0, c0,
+        |  CAST(CAST((CAST(c1 AS HUGEINT) * n0 - CAST(c0 AS HUGEINT) * n1)
+        |      * 1000000 + 1000000000 * (CAST(n1 AS HUGEINT) * n0)
+        |      AS HUGEINT)
+        |    // nullif(CAST(n1 AS HUGEINT) * n0, 0) - 1000000000
+        |    AS BIGINT) AS effect_q6,
+        |  CAST(CAST(CAST(n AS HUGEINT) * (CAST(c1 AS HUGEINT) * n0
+        |      - CAST(c0 AS HUGEINT) * n1) * 1000000
+        |      + 1000000000 * (bigN * n1 * n0) AS HUGEINT)
+        |    // nullif(bigN * n1 * n0, 0) - 1000000000
+        |    AS BIGINT) AS wterm_q6
+        |FROM w CROSS JOIN tt ORDER BY stratum""".stripMargin,
     // q246: the q95/q104 edge CTE with degrees re-attached to both
     // endpoints; HUGEINT-staged sums, the IDENTICAL guarded double r
     "q246_assortativity" ->

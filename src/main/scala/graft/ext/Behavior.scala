@@ -299,4 +299,61 @@ object Behavior {
         ($"v" - $"trend").as("resid"))
       .orderBy($"day")
   }
+
+  /** EXACT Shapley channel attribution — the coalition-game upgrade
+    * of the path heuristics ([[multiTouchAttribution]] splits within
+    * one path; last-touch q141 ignores coalitions entirely): each
+    * non-purchase channel's Shapley value over the 2⁴ exposure
+    * coalitions, with the characteristic function v(S) = conversion
+    * rate of users whose distinct-channel exposure set is exactly S.
+    * Because the channel domain is FIXED (k = 4), the 2^k subset
+    * lattice is a 16-row table and Shapley is exact — no sampling,
+    * no permutation Monte Carlo.
+    *
+    * Exactness: all-integer — v is an exact rational at q6; weights
+    * are scaled by k! = 24 (`|S|!·(k−|S|−1)!` ∈ {6,2,2,6}), so
+    * `phi24_q6 = Σ_S w·(v(S∪i) − v(S))` is an exact signed integer
+    * and `phi_q6` its single 10⁹-shift division by 24. An UNOBSERVED
+    * coalition takes v = 0 (the pessimistic prior; its n_users = 0 is
+    * visible in the v table so the caller can judge support).
+    *
+    * Scale shape: ONE per-user conditional-max agg (map-side
+    * combinable) + ONE 16-row mask agg end the volume work; the
+    * subset lattice, the bit-shift join and the per-channel rollup
+    * all live on ≤ 64 rows.
+    */
+  def shapleyAttribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, d).groupBy($"user_id").agg(
+      (max(when($"event_type" === "click", 1L).otherwise(0L))
+        + max(when($"event_type" === "error", 1L).otherwise(0L)) * 2L
+        + max(when($"event_type" === "signup", 1L).otherwise(0L)) * 4L
+        + max(when($"event_type" === "view", 1L).otherwise(0L)) * 8L)
+        .as("mask"),
+      max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+    val observed = users.groupBy($"mask")
+      .agg(count(lit(1)).as("n_users"), sum($"y").as("n_conv"))
+    val v = spark.range(16).select($"id".as("mask"))
+      .join(observed, Seq("mask"), "left")
+      .select($"mask",
+        coalesce(expr("n_conv * 1000000 div n_users"), lit(0L))
+          .as("v_q6"))
+    val grid = v.select($"mask".as("s"), $"v_q6".as("v_s"))
+      .crossJoin(spark.range(4).select($"id".as("b")))
+      .filter(expr("(s >> b) & 1 = 0"))
+      .withColumn("s_with", expr("s + shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(b AS INT))"))
+      .join(v.select($"mask".as("s_with"), $"v_q6".as("v_si")), "s_with")
+      .withColumn("w", expr("CASE bit_count(s) WHEN 0 THEN 6" +
+        " WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+    grid.groupBy($"b")
+      .agg(sum($"w" * ($"v_si" - $"v_s")).as("phi24_q6"))
+      .select(
+        expr("CASE b WHEN 0 THEN 'click' WHEN 1 THEN 'error'" +
+          " WHEN 2 THEN 'signup' ELSE 'view' END").as("channel"),
+        $"phi24_q6",
+        expr("(phi24_q6 + 24000000000) div 24 - 1000000000")
+          .as("phi_q6"))
+      .orderBy($"channel")
+  }
 }

@@ -834,6 +834,68 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Fellegi–Sunter record-linkage scoring over the shared LSH
+    * candidates — the probabilistic-linkage layer on top of the
+    * similarity chain: for each candidate pair, per-field agreement
+    * (language, source, length bucket) is weighted by
+    * `log(m_f/u_f)` on agree and `log((1−m_f)/(1−u_f))` on
+    * disagree, where m/u are the field's agreement rates among
+    * matches / non-matches. m and u are estimated ON THIS CORPUS
+    * from the verified-Jaccard labels ([[verifiedPairs]]) with
+    * Laplace +1 smoothing (a field that never disagrees among
+    * matches must not emit log 0).
+    *
+    * Exactness — the q177 LQ discipline: every weight is a
+    * difference of `floor(ln(exact integer product)·10⁶)` values
+    * (`m/u = (am+1)(nu+2) / (au+1)(nm+2)` — cross-multiplied so ln
+    * only ever sees exact integers), and the pair score sums ≤ 3
+    * already-quantized integers. Scale shape: the label and weight
+    * estimation is ONE agg over the candidate-bounded pair set; the
+    * six weight scalars re-attach as a broadcast one-row frame;
+    * attributes attach by unhinted doc_id equi-joins (AQE-sized,
+    * the q222 discipline). Never all-pairs.
+    */
+  def fellegiSunter(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val attrs = Tables.documents(spark, d)
+      .select($"doc_id", $"lang", $"source",
+        expr("n_chars div 100").as("lenb"))
+    val labeled = sharedPairs(spark, d)
+      .join(verifiedPairs(spark, d).withColumn("m", lit(1L)),
+        Seq("a_id", "b_id"), "left")
+      .withColumn("m", coalesce($"m", lit(0L)))
+      .join(attrs.select($"doc_id".as("a_id"), $"lang".as("la"),
+        $"source".as("sa"), $"lenb".as("ba")), "a_id")
+      .join(attrs.select($"doc_id".as("b_id"), $"lang".as("lb"),
+        $"source".as("sb"), $"lenb".as("bb")), "b_id")
+      .select($"a_id", $"b_id", $"m",
+        when($"la" === $"lb", 1L).otherwise(0L).as("fl"),
+        when($"sa" === $"sb", 1L).otherwise(0L).as("fs"),
+        when($"ba" === $"bb", 1L).otherwise(0L).as("fb"))
+    val stats = labeled.agg(
+      sum($"m").as("nm"), sum(lit(1L) - $"m").as("nu"),
+      sum($"m" * $"fl").as("amL"), sum((lit(1L) - $"m") * $"fl").as("auL"),
+      sum($"m" * $"fs").as("amS"), sum((lit(1L) - $"m") * $"fs").as("auS"),
+      sum($"m" * $"fb").as("amB"), sum((lit(1L) - $"m") * $"fb").as("auB"))
+    // LQ(i) = floor(ln(i)·10⁶) of an exact positive integer; weights
+    // are LQ differences of the cross-multiplied smoothed rationals
+    def lq(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    def wAgree(am: String, au: String): String =
+      s"${lq(s"($am + 1) * (nu + 2)")} - ${lq(s"($au + 1) * (nm + 2)")}"
+    def wDis(am: String, au: String): String =
+      s"${lq(s"(nm + 1 - $am) * (nu + 2)")} - " +
+        s"${lq(s"(nu + 1 - $au) * (nm + 2)")}"
+    def term(f: String, am: String, au: String): String =
+      s"CASE WHEN $f = 1 THEN ${wAgree(am, au)} ELSE ${wDis(am, au)} END"
+    labeled.crossJoin(broadcast(stats))
+      .select($"a_id", $"b_id", $"m".as("is_match"),
+        $"fl", $"fs", $"fb",
+        expr(s"${term("fl", "amL", "auL")} + ${term("fs", "amS", "auS")}" +
+          s" + ${term("fb", "amB", "auB")}").as("fs_score_q6"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Edit-distance verification over the shared LSH candidates — the
     * character-level verify for the near-dup family: shingle Jaccard
     * is insertion/deletion-blind at the token level, Levenshtein

@@ -1990,6 +1990,60 @@ object Stats {
         s" + 1.96 * ($se)) * 1000000.0) AS BIGINT)").as("hi_q6"))
   }
 
+  /** Stratified average-treatment-effect estimate — the
+    * observational-causal sibling of [[abZTest]] (randomized) and
+    * [[diffInDiff]] (panel): when treatment correlates with a known
+    * confounder, condition on its strata — here the market segment —
+    * and weight each stratum's treated-vs-control conversion gap by
+    * the stratum's population share. A stratum missing one arm
+    * (off-support) reports NULL instead of a silently-extrapolated
+    * effect.
+    *
+    * Exactness: unit is the CUSTOMER (one conditional-max agg over
+    * orders, one left join — never-ordered customers count y = 0);
+    * per-stratum counts are exact integers; the effect and the
+    * weighted term are single 10⁹-shift divisions of DECIMAL(38,0)-
+    * staged products (n·(c1·n0 − c0·n1)·10⁶ ~ N³·10⁶ wraps int64
+    * far below the billions regime). The overall ATE is the SUM of
+    * `wterm_q6` — each stratum quantized once, so the total's floor
+    * loss is bounded by the stratum count.
+    *
+    * Scale shape: one orders agg + one broadcast-sized dimension
+    * join + one agg to the bounded segment domain; N attaches as a
+    * broadcast scalar.
+    */
+  def stratifiedAte(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val y = Tables.orders(spark, d).groupBy($"o_custkey")
+      .agg(max(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("y"))
+    val per = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_mktsegment".as("stratum"),
+        ($"c_custkey" % 2).as("t"))
+      .join(y.select($"o_custkey".as("c_custkey"), $"y"),
+        Seq("c_custkey"), "left")
+      .withColumn("y", coalesce($"y", lit(0L)))
+    val cells = per.groupBy($"stratum").agg(
+      count(lit(1)).as("n"),
+      sum($"t").as("n1"),
+      sum($"t" * $"y").as("c1"),
+      sum((lit(1L) - $"t") * $"y").as("c0"))
+      .withColumn("n0", $"n" - $"n1")
+    val tot = cells.agg(sum($"n").as("bigN"))
+    cells.crossJoin(broadcast(tot))
+      .select($"stratum", $"n", $"n1", $"c1", $"n0", $"c0",
+        expr(s"""CAST((CAST(c1 AS $dec) * n0 - CAST(c0 AS $dec) * n1)
+          | * 1000000 + 1000000000 * (CAST(n1 AS $dec) * n0) AS $dec)
+          | div nullif(CAST(n1 AS $dec) * n0, 0) - 1000000000"""
+          .stripMargin.replace("\n", "")).cast("long").as("effect_q6"),
+        expr(s"""CAST(CAST(n AS $dec) * (CAST(c1 AS $dec) * n0
+          | - CAST(c0 AS $dec) * n1) * 1000000
+          | + 1000000000 * (CAST(bigN AS $dec) * n1 * n0) AS $dec)
+          | div nullif(CAST(bigN AS $dec) * n1 * n0, 0) - 1000000000"""
+          .stripMargin.replace("\n", "")).cast("long").as("wterm_q6"))
+      .orderBy($"stratum")
+  }
+
   /** Theil–Sen robust trend of daily revenue — the median of all
     * pairwise day-to-day slopes, the estimator that shrugs off the
     * outlier days that drag OLS ([[linearRegression]]) around; the

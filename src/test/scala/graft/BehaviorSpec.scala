@@ -296,6 +296,52 @@ class BehaviorSpec extends SparkSpec {
     assert(r == ((5L, 4L, 0L)), "5 nodes, 4 spokes, 0 triangles")
   }
 
+  test("shapleyAttribution: hand-computed lattice — unobserved " +
+    "coalitions score 0 and efficiency holds at x24 grain") {
+    // A: purchase only -> v({})=1e6; B: view only -> v({view})=0;
+    // C: click+purchase -> v({click})=1e6; all other coalitions
+    // unobserved -> 0. Hand Shapley x24: click 0, others -8e6
+    val d = plantEvents(Seq(
+      (1L, day0 + 10, 1L, "purchase", None),
+      (2L, day0 + 10, 2L, "view", None),
+      (3L, day0 + 10, 3L, "click", None),
+      (4L, day0 + 20, 3L, "purchase", None)))
+    val got = graft.ext.Behavior.shapleyAttribution(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("click", 0L, 0L),
+      ("error", -8000000L, -333334L),
+      ("signup", -8000000L, -333334L),
+      ("view", -8000000L, -333334L)), s"got ${got.toSeq}")
+    // efficiency: sum(phi24) == 24 * (v(full) - v(empty))
+    assert(got.map(_._2).sum == 24L * (0L - 1000000L))
+  }
+
+  test("fellegiSunter: hand-computed LQ weights — agree and disagree " +
+    "branches on a three-identical-doc plant with one lang outlier") {
+    val dir = Files.createTempDirectory("graft-fs").toString
+    // identical text -> all 3 pairs candidates AND matches (nm=3,
+    // nu=0); lang: docs 1,2 'en', doc 3 'de' -> amL=1; source and
+    // length agree everywhere -> amS=amB=3
+    val t = "alpha beta gamma delta epsilon zeta"
+    Seq((1L, t, "en", "s1"), (2L, t, "en", "s1"), (3L, t, "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .select($"doc_id", $"text", $"lang", $"source",
+        length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = graft.ext.Dedup.fellegiSunter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // w_agree(S/B) = LQ(4*2)-LQ(1*5) = 2079441-1609437 = 470004
+    // w_agree(L)   = LQ(2*2)-LQ(1*5) = 1386294-1609437 = -223143
+    // w_dis(L)     = LQ(3*2)-LQ(1*5) = 1791759-1609437 = 182322
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 1L, 1L, 1L, -223143L + 470004L + 470004L),
+      (1L, 3L, 1L, 0L, 1L, 1L, 182322L + 470004L + 470004L),
+      (2L, 3L, 1L, 0L, 1L, 1L, 182322L + 470004L + 470004L)),
+      s"got ${got.toSeq}")
+  }
+
   test("degreeAssortativity: a star is exactly -1; a regular graph " +
     "has no degree variance and returns NULL") {
     val star = Files.createTempDirectory("graft-assort").toString

@@ -639,6 +639,35 @@ class DriftSpec extends SparkSpec {
     assert(b.getLong(5) == 0L && b.getLong(6) == 0L, s"balanced: $b")
   }
 
+  test("stratifiedAte: opposite per-stratum effects, never-ordered " +
+    "customers count as y=0, off-support stratum reports NULL") {
+    val dir = Files.createTempDirectory("graft-sate").toString
+    // A: treated (odd keys) 2/2 convert vs control 0/2 -> +1;
+    // B: mirrored -> -1; C: one treated customer only -> NULL.
+    // customer 2 has NO orders at all (left-join y=0 path).
+    Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"),
+        (5L, "B"), (6L, "B"), (7L, "B"), (8L, "B"), (9L, "C"))
+      .toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "F"), (2L, 3L, "F"), (3L, 4L, "O"),
+        (4L, 6L, "F"), (5L, 8L, "F"), (6L, 5L, "O"), (7L, 9L, "O"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val got = Stats.stratifiedAte(spark, dir).collect()
+    val byS = got.map(r => r.getString(0) -> r).toMap
+    val a = byS("A")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4),
+      a.getLong(5)) == ((4L, 2L, 2L, 2L, 0L)), s"A cells: $a")
+    assert(a.getLong(6) == 1000000L, s"A effect: $a")
+    // weight 4/9: wterm = floor(4e6/9) = 444444
+    assert(a.getLong(7) == 444444L, s"A wterm: $a")
+    val b = byS("B")
+    assert(b.getLong(6) == -1000000L && b.getLong(7) == -444445L,
+      s"B (floor of -4e6/9): $b")
+    val c = byS("C")
+    assert(c.isNullAt(6) && c.isNullAt(7), s"C off-support: $c")
+  }
+
   test("diffInDiff: hand-computed cell means, shared trend cancelled") {
     val dir = Files.createTempDirectory("graft-did").toString
     // control 15→25, treated 20→50: DiD = 30 − 10 = 20.00 exactly
