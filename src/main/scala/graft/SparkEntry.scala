@@ -763,6 +763,19 @@ object SparkEntry {
     // m/u from the verified labels with Laplace smoothing, LQ weights
     "q251_fellegi_sunter" -> ((s: SparkSession, d: String) =>
       Dedup.fellegiSunter(s, d)),
+    // Deterministic systematic PPS sample: GlobalIndex prefix-sum
+    // weight line + broadcast step scalar, map-only selection
+    "q252_pps_sample" -> ((s: SparkSession, d: String) =>
+      Corpus.ppsSample(s, d)),
+    // Jensen-Shannon divergence between two sources' token
+    // distributions: cross-multiplied LQ terms, DECIMAL rollup,
+    // 10^9-shift closing divisions
+    "q253_js_divergence" -> ((s: SparkSession, d: String) =>
+      TextStats.jsDivergence(s, d)),
+    // RFM quintile segmentation: three GlobalIndex rankings, exact
+    // quintile arithmetic, rollup to the 125-cell code domain
+    "q254_rfm_segments" -> ((s: SparkSession, d: String) =>
+      Behavior.rfmSegments(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3553,6 +3566,87 @@ object SparkEntry {
         |  slope_q6 AS theilsen_q6
         |FROM r CROSS JOIN m CROSS JOIN dd
         |WHERE r = (n_pairs + 1) // 2""".stripMargin,
+    // q252: the oracle runs the REAL single-reducer running-total
+    // window the engine's prefix-scan avoids; same integer predicate
+    "q252_pps_sample" ->
+      """WITH docs AS (SELECT doc_id, n_chars AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    CAST(SUM(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM docs),
+        |st AS (SELECT CAST(SUM(w) // 100 AS BIGINT) AS step FROM docs)
+        |SELECT doc_id, w, cum,
+        |  CAST(cum // step - (cum - w) // step AS BIGINT) AS slots_hit
+        |FROM c CROSS JOIN st
+        |WHERE cum // step - (cum - w) // step > 0
+        |ORDER BY doc_id""".stripMargin,
+    // q253: identical cross-multiplied LQ terms, HUGEINT rollup,
+    // the same shift divisions
+    "q253_js_divergence" -> {
+      def lq(x: String): String =
+        s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |counts AS (SELECT tok,
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cb
+         |  FROM toks WHERE tok != '' GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         |    CAST(SUM(cb) AS BIGINT) AS nb FROM counts),
+         |terms AS (SELECT ca, cb, na, nb,
+         |    ${lq("2 * greatest(ca, 1) * nb")}
+         |      - ${lq("greatest(ca, 1) * nb + cb * na")} AS ta,
+         |    ${lq("2 * greatest(cb, 1) * na")}
+         |      - ${lq("ca * nb + greatest(cb, 1) * na")} AS tb
+         |  FROM counts CROSS JOIN tt),
+         |s AS (SELECT MAX(na) AS na, MAX(nb) AS nb,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab,
+         |    CAST(SUM(CAST(ca AS HUGEINT) * ta) AS HUGEINT) AS sa,
+         |    CAST(SUM(CAST(cb AS HUGEINT) * tb) AS HUGEINT) AS sb
+         |  FROM terms),
+         |h AS (SELECT na, nb, vocab,
+         |    CAST((sa + 1000000000 * CAST(na AS HUGEINT))
+         |      // nullif(na, 0) - 1000000000 AS BIGINT) AS half_a_q6,
+         |    CAST((sb + 1000000000 * CAST(nb AS HUGEINT))
+         |      // nullif(nb, 0) - 1000000000 AS BIGINT) AS half_b_q6
+         |  FROM s)
+         |SELECT na, nb, vocab, half_a_q6, half_b_q6,
+         |  CAST((half_a_q6 + half_b_q6 + 4000000000) // 2
+         |    - 2000000000 AS BIGINT) AS js_q6
+         |FROM h""".stripMargin
+    },
+    // q254: the oracle ranks with the REAL partition-free windows the
+    // engine's GlobalIndex passes avoid; identical quintile formula
+    "q254_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    AND value >= 0
+        |  GROUP BY 1),
+        |ck AS (SELECT MAX(last_us) AS now_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        |b AS (SELECT user_id, (now_us - last_us) // 86400000000
+        |    AS r_days, f, m, n FROM u CROSS JOIN ck),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |    (ORDER BY r_days DESC, user_id) AS rr FROM b),
+        |fr AS (SELECT *, ROW_NUMBER() OVER
+        |    (ORDER BY f, user_id) AS fr FROM r),
+        |mr AS (SELECT *, ROW_NUMBER() OVER
+        |    (ORDER BY m, user_id) AS mr FROM fr),
+        |sc AS (SELECT ((rr - 1) * 5) // n + 1 AS rs,
+        |    ((fr - 1) * 5) // n + 1 AS fs,
+        |    ((mr - 1) * 5) // n + 1 AS ms, m FROM mr)
+        |SELECT CAST(rs * 100 + fs * 10 + ms AS BIGINT) AS rfm_code,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(m) AS BIGINT) AS sum_cents
+        |FROM sc GROUP BY 1 ORDER BY rfm_code""".stripMargin,
     // q249: the same mask/coalition construction; DuckDB's bit ops
     // and // mirror the engine's exact-integer Shapley
     "q249_shapley_attribution" ->

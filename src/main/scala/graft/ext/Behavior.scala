@@ -300,6 +300,56 @@ object Behavior {
       .orderBy($"day")
   }
 
+  /** RFM segmentation — the classic recency/frequency/monetary
+    * customer partitioning: per purchasing user, days since last
+    * purchase (R), purchase count (F) and cents total (M), each
+    * scored into quintiles 1–5 (5 best: most recent, most frequent,
+    * highest spend), rolled up to the 125-cell RFM-code domain. The
+    * behavioral sibling of [[cohortRetention]]: cohorts slice by
+    * arrival time, RFM by engagement shape.
+    *
+    * Scale shape — the q205/q241 discipline: each quintile is
+    * `((rank−1)·5) div n + 1` over ONE zero-shuffle
+    * [[graft.operators.GlobalIndex]] ranking in a total order
+    * (`ROW_NUMBER` without a partition key would funnel all users
+    * through one reducer; the oracle uses exactly that window and
+    * the hash gate proves equivalence). Three rankings over the
+    * user-grain frame, n and the clock attach broadcast, then ONE
+    * agg to the bounded 125-row domain.
+    *
+    * Exactness: all-integer — R in whole days via `div 86400·10⁶`
+    * of exact microsecond stamps (the corpus max stands in for
+    * "now", so the result is reproducible), quintile arithmetic
+    * exact, M in cents.
+    */
+  def rfmSegments(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, d)
+      .filter($"event_type" === "purchase" && $"value".isNotNull
+        && $"value" >= 0)
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("m"))
+    val clock = users.agg(max($"last_us").as("now_us"),
+      count(lit(1)).as("n"))
+    val base = users.crossJoin(broadcast(clock))
+      .withColumn("r_days", expr("(now_us - last_us) div 86400000000"))
+      .select($"user_id", $"r_days", $"f", $"m", $"n")
+    def quintile(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                 score: String): DataFrame =
+      graft.operators.GlobalIndex.withRowNumber(df, order, "__r")
+        .withColumn(score, expr("((__r - 1) * 5) div n + 1"))
+        .drop("__r")
+    val scored = quintile(quintile(quintile(base,
+      Seq($"r_days".desc, $"user_id".asc), "rs"),
+      Seq($"f".asc, $"user_id".asc), "fs"),
+      Seq($"m".asc, $"user_id".asc), "ms")
+    scored.groupBy(($"rs" * 100 + $"fs" * 10 + $"ms").as("rfm_code"))
+      .agg(count(lit(1)).as("n_users"), sum($"m").as("sum_cents"))
+      .orderBy($"rfm_code")
+  }
+
   /** EXACT Shapley channel attribution — the coalition-game upgrade
     * of the path heuristics ([[multiTouchAttribution]] splits within
     * one path; last-touch q141 ignores coalitions entirely): each

@@ -838,6 +838,41 @@ object Corpus {
       .agg(count(lit(1)).as("n_words"), sum($"ntok").as("n_tokens"))
   }
 
+  /** Systematic probability-proportional-to-size sampling — the
+    * deterministic PPS design ([[stratifiedSample]] is uniform within
+    * strata; this weights inclusion by document SIZE, the right frame
+    * when the estimand is token-weighted): lay every document's
+    * n_chars weight end-to-end on a line, cut the line into
+    * `slots` equal steps, and select each document the cut points
+    * land in. Inclusion probability is proportional to weight, a doc
+    * larger than one step earns multiple slots (`slots_hit` — the
+    * sampling multiplicity an estimator must divide by), and there
+    * is NO randomness: re-runs, replicas and both engines select the
+    * identical rows (the q52/q66 determinism contract).
+    *
+    * Scale shape: the running weight total rides
+    * [[graft.operators.GlobalIndex.withPrefixSum]] — the two-pass
+    * prefix-offset scan, never `sum().over(Window.orderBy)`'s
+    * single-reducer funnel (the oracle USES that window; the hash
+    * gate proves the distributed scan recovers it). The step size
+    * attaches as a broadcast scalar; selection is a map-only integer
+    * predicate.
+    */
+  def ppsSample(spark: SparkSession, d: String, slots: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select($"doc_id", $"n_chars".as("w"))
+    val cum = graft.operators.GlobalIndex
+      .withPrefixSum(docs, Seq($"doc_id".asc), "w", "cum")
+    val step = docs.agg(expr(s"sum(w) div $slots").as("step"))
+    cum.crossJoin(broadcast(step))
+      .withColumn("slots_hit",
+        expr("cum div step - (cum - w) div step"))
+      .filter($"slots_hit" > 0)
+      .select($"doc_id", $"w", $"cum", $"slots_hit")
+      .orderBy($"doc_id")
+  }
+
   /** Tokenizer fertility per language — post-BPE tokens per
     * whitespace word, the metric that tells a multilingual pipeline
     * which languages the tokenizer fragments (fertility ≫ 1 means a

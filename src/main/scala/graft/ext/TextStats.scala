@@ -246,6 +246,62 @@ object TextStats {
       .orderBy($"tok")
   }
 
+  /** Jensen–Shannon divergence between two sources' token
+    * distributions — the symmetric, bounded ([0, ln 2]) corpus-drift
+    * number that [[tokenDivergence]]'s per-token profile rolls up to:
+    * `JS = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q))`, the distance a
+    * mixing pipeline tracks between a new source and its reference
+    * before granting quota.
+    *
+    * Exactness — the q177/q212 LQ discipline end-to-end: with
+    * `p = ca/Na` and `q = cb/Nb`, each log ratio cross-multiplies to
+    * EXACT integers — `2p/(p+q) = 2·ca·Nb / (ca·Nb + cb·Na)` — so
+    * every per-token term is a difference of `floor(ln(int)·10⁶)`
+    * values; terms weight by the exact counts into DECIMAL(38,0)
+    * sums, and the three closing divisions are 10⁹-shift sign-safe.
+    * A token absent from one side contributes only to the other's
+    * half (`greatest(c,1)` keeps ln's argument positive; the `c`
+    * weight zeroes the dead branch).
+    *
+    * Scale shape: tokenize-explode + ONE conditional count agg per
+    * token + ONE DECIMAL rollup; totals attach as a broadcast one-row
+    * scalar. No joins beyond the scalar, no windows.
+    */
+  def jsDivergence(spark: SparkSession, d: String,
+                   srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val toks = Tables.documents(spark, d)
+      .filter($"source".isin(srcA, srcB))
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val counts = toks.groupBy($"tok")
+      .agg(sum(when($"source" === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when($"source" === srcB, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    def lq(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    val sums = counts.crossJoin(broadcast(totals))
+      .select($"ca", $"cb", $"na", $"nb",
+        (expr(lq("2 * greatest(ca, 1) * nb")) -
+          expr(lq("greatest(ca, 1) * nb + cb * na"))).as("ta"),
+        (expr(lq("2 * greatest(cb, 1) * na")) -
+          expr(lq("ca * nb + greatest(cb, 1) * na"))).as("tb"))
+      .agg(max($"na").as("na"), max($"nb").as("nb"),
+        count(lit(1)).as("vocab"),
+        sum($"ca".cast(dec) * $"ta").as("sa"),
+        sum($"cb".cast(dec) * $"tb").as("sb"))
+    sums.select($"na", $"nb", $"vocab",
+      expr(s"""CAST((sa + 1000000000 * CAST(na AS $dec))
+        | div nullif(na, 0) - 1000000000 AS BIGINT)"""
+        .stripMargin.replace("\n", "")).as("half_a_q6"),
+      expr(s"""CAST((sb + 1000000000 * CAST(nb AS $dec))
+        | div nullif(nb, 0) - 1000000000 AS BIGINT)"""
+        .stripMargin.replace("\n", "")).as("half_b_q6"))
+      .withColumn("js_q6",
+        expr("(half_a_q6 + half_b_q6 + 4000000000) div 2 - 2000000000"))
+  }
+
   /** Winnowing-style fingerprint: minimum polynomial hash over 5-char
     * grams sampled every 4 chars — the rolling-hash document sketch
     * (min-sampling variant of winnowing).

@@ -62,4 +62,37 @@ object GlobalIndex {
       .withColumn(seqCol, $"__offset" + rn)
       .drop("__pid", "__offset")
   }
+
+  /** `df` plus the INCLUSIVE prefix sum of `valueCol` in
+    * `order`-order — the weighted generalization of [[withRowNumber]]
+    * (same two-pass prefix-offset scheme, summing values instead of
+    * counting rows), and the scale path for every "running total in a
+    * total order" a global `sum().over(Window.orderBy)` would funnel
+    * through one reducer. Same contracts: the order must be total,
+    * and the persist pins one sampled range layout for both passes. */
+  def withPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                    cumCol: String, parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (parts > 0) parts
+            else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Derived.adopt(ranged)
+    val offsets = ranged.groupBy($"__pid")
+      .agg(sum(col(valueCol)).as("__s"))
+      .withColumn("__offset",
+        coalesce(sum($"__s").over(
+          Window.orderBy($"__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"__pid", $"__offset")
+    val running = sum(col(valueCol)).over(
+      Window.partitionBy($"__pid").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(cumCol, $"__offset" + running)
+      .drop("__pid", "__offset")
+  }
 }

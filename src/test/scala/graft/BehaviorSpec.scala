@@ -296,6 +296,23 @@ class BehaviorSpec extends SparkSpec {
     assert(r == ((5L, 4L, 0L)), "5 nodes, 4 spokes, 0 triangles")
   }
 
+  test("rfmSegments: five users, perfectly aligned metrics — each " +
+    "lands its own diagonal RFM cell") {
+    // user i: i purchases of 1.00, last on day i -> with n = 5 every
+    // quintile is the rank itself; user i scores (i, i, i)
+    val rows = (1 to 5).flatMap { i =>
+      (0 until i).map { j =>
+        (i * 10L + j, day0 + i * 86400L + j, i.toLong, "purchase",
+          Some(1.0))
+      }
+    }
+    val d = plantEvents(rows)
+    val got = graft.ext.Behavior.rfmSegments(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == (1 to 5).map(i =>
+      (i * 111L, 1L, i * 100L)), s"got ${got.toSeq}")
+  }
+
   test("shapleyAttribution: hand-computed lattice — unobserved " +
     "coalitions score 0 and efficiency holds at x24 grain") {
     // A: purchase only -> v({})=1e6; B: view only -> v({view})=0;

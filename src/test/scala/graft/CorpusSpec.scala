@@ -224,6 +224,41 @@ class CorpusSpec extends SparkSpec {
       ("en", 1L, 4L, 4L, 1000000L)), s"got ${got.toSeq}")
   }
 
+  test("ppsSample: slots land proportional to weight, sub-step doc " +
+    "excluded, multiplicities sum to the step count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pps").toString
+    // weights 2/8/90, 10 slots over W=100 -> step 10: doc 1 never
+    // crosses a boundary, doc 3 takes 9 of the 10 slots
+    Seq((1L, "x", 2L), (2L, "y", 8L), (3L, "z", 90L))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.ppsSample(spark, dir, slots = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 8L, 10L, 1L), (3L, 90L, 100L, 9L)),
+      s"got ${got.toSeq}")
+    assert(got.map(_._4).sum == 10L, "multiplicities cover every slot")
+  }
+
+  test("jsDivergence: identical distributions score exactly 0; " +
+    "disjoint ones score exactly the quantized ln 2 bound") {
+    val same = java.nio.file.Files.createTempDirectory("graft-js1").toString
+    Seq((1L, "a b", "src0"), (2L, "a b", "src1"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$same/documents.parquet")
+    val s = graft.ext.TextStats.jsDivergence(spark, same).collect().head
+    assert(s.getLong(5) == 0L, s"identical: $s")
+    val disj = java.nio.file.Files.createTempDirectory("graft-js2").toString
+    Seq((1L, "a a a", "src0"), (2L, "b b b", "src1"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$disj/documents.parquet")
+    val r = graft.ext.TextStats.jsDivergence(spark, disj).collect().head
+    // per token LQ(18)-LQ(9) = 2890371-2197224 = 693147 = floor(ln2 q6)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 2L)),
+      s"totals: $r")
+    assert(r.getLong(3) == 693147L && r.getLong(4) == 693147L &&
+      r.getLong(5) == 693147L, s"ln2 bound: $r")
+  }
+
   test("tokenPmi: planted co-occurrence — hand-computed PMI, negatives included") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
     // N=4 docs; {a,b} ride together twice, c pairs with a and x once:
