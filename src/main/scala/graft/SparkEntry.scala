@@ -776,6 +776,17 @@ object SparkEntry {
     // quintile arithmetic, rollup to the 125-cell code domain
     "q254_rfm_segments" -> ((s: SparkSession, d: String) =>
       Behavior.rfmSegments(s, d)),
+    // Top principal component by integer power iteration: the only
+    // data-sized pass is q123's distributed covariance lattice; the
+    // eigensolve runs on the collected CONSTANT dims x dims matrix
+    // (MLlib's computePrincipalComponents split)
+    "q255_power_pca" -> ((s: SparkSession, d: String) =>
+      Similarity.powerIterationPca(s, d)),
+    // Embedding-energy 3-sigma outlier screen: map-only energy fold,
+    // one 3-cell DECIMAL global agg, integer inequality classify —
+    // no sqrt or division crosses engines
+    "q256_energy_outliers" -> ((s: SparkSession, d: String) =>
+      Similarity.energyOutliers(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3647,6 +3658,64 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(SUM(m) AS BIGINT) AS sum_cents
         |FROM sc GROUP BY 1 ORDER BY rfm_code""".stripMargin,
+    // q255: q123's covariance lattice, then the SAME integer power
+    // iteration unrolled — trunc-toward-zero // at every step matches
+    // the engine's Long/BigInt division exactly
+    "q255_power_pca" -> {
+      val steps = (1 to 5).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (SELECT s.i AS i, CAST(SUM(s.a * v.v) AS BIGINT) AS w
+           |  FROM sym s JOIN $pv v ON s.j = v.i GROUP BY 1),
+           |v$t AS (SELECT i, CAST(w // ((SELECT MAX(ABS(w)) FROM w$t)
+           |    // 1000000 + 1) AS BIGINT) AS v FROM w$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id, t.i AS i,
+         |    CAST(FLOOR(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+         |               * 1000000.0) AS BIGINT) AS v
+         |  FROM embeddings CROSS JOIN range(8) t(i)
+         |  WHERE len(embedding) >= 8),
+         |c AS (
+         |  SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+         |    CAST((COUNT(*) * SUM(a.v * b.v) - SUM(a.v) * SUM(b.v))
+         |         // 1000000000 AS BIGINT) AS a
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY a.i, b.i),
+         |sym AS (SELECT i, j, a FROM c
+         |        UNION ALL SELECT j, i, a FROM c WHERE i <> j),
+         |v0 AS (SELECT CAST(t.i AS BIGINT) AS i,
+         |    CAST(1000000 AS BIGINT) AS v FROM range(8) t(i)),
+         |$steps,
+         |uu AS (SELECT i, v // 1000 AS u FROM v5),
+         |nm AS (SELECT CAST(SUM(CAST(s.a AS HUGEINT) * ua.u * ub.u)
+         |    AS HUGEINT) AS num
+         |  FROM sym s JOIN uu ua ON s.i = ua.i JOIN uu ub ON s.j = ub.i),
+         |dn AS (SELECT CAST(SUM(u * u) AS HUGEINT) AS den FROM uu)
+         |SELECT CAST(v5.i AS INTEGER) AS dim, CAST(v5.v AS BIGINT) AS v_q6,
+         |  CAST(num // greatest(den, 1) AS BIGINT) AS lambda_s
+         |FROM v5 CROSS JOIN nm CROSS JOIN dn ORDER BY dim""".stripMargin
+    },
+    // q256: the same grid energies via list_transform; HUGEINT mirrors
+    // the engine's DECIMAL(38,0) staging; the 3-sigma test is the
+    // division-free integer inequality on both sides
+    "q256_energy_outliers" ->
+      """WITH e AS (
+        |  SELECT label, CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+        |       * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))
+        |    AS BIGINT) AS e
+        |  FROM embeddings),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(e AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS HUGEINT)
+        |      AS ss
+        |  FROM e)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vec,
+        |  CAST(SUM(CASE WHEN (n * e - s) * (n * e - s)
+        |       > 9 * (n * ss - s * s) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(MAX(s // n) AS BIGINT) AS mean_e
+        |FROM e CROSS JOIN g GROUP BY label ORDER BY label""".stripMargin,
     // q249: the same mask/coalition construction; DuckDB's bit ops
     // and // mirror the engine's exact-integer Shapley
     "q249_shapley_attribution" ->

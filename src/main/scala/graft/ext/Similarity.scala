@@ -849,4 +849,96 @@ object Similarity {
           .as("covered_q6"))
       .orderBy($"label")
   }
+
+  /** Top principal component of the embedding covariance by integer
+    * power iteration — the data-diagnostics eigensolve (dominant
+    * variance direction, anisotropy screen) run before whitening or
+    * dimensionality reduction.
+    *
+    * Scale shape: the ONLY data-sized pass is the distributed
+    * covariance ([[Stats.embeddingCovariance]], q123's partial-agg
+    * lattice — one shuffle of dims² keys); the eigensolve then runs
+    * on the collected dims×dims matrix, which is CONSTANT-SIZED
+    * (36 upper-triangle cells at dims=8) regardless of row count —
+    * the same split Spark MLlib's `RowMatrix.computePrincipalComponents`
+    * uses (distributed Gramian, driver eigensolve). The iteration is
+    * INTEGER-exact so both engines replay it bit-for-bit: the matrix
+    * is pre-scaled by a truncating 10⁹ divide (toward zero on both
+    * sides), each half-step renormalizes v to ≤10⁶ by a positive
+    * truncating divide, and the closing Rayleigh quotient stages its
+    * products in BigInt/HUGEINT. At larger corpora only `cov_num`
+    * grows — bump `scaleDiv` with log₁₀(n²·σ²), nothing else moves.
+    */
+  def powerIterationPca(spark: SparkSession, d: String, dims: Int = 8,
+                        iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cov = Stats.embeddingCovariance(spark, d, dims)
+      .select($"i", $"j", $"cov_num").collect()
+    val a = Array.ofDim[Long](dims, dims)
+    cov.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val s = r.getLong(2) / 1000000000L // trunc-toward-zero, both engines
+      a(i)(j) = s; a(j)(i) = s
+    }
+    var v = Array.fill(dims)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dims) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val sc = w.map(math.abs).max / 1000000L + 1L
+      v = w.map(_ / sc)
+    }
+    // Rayleigh quotient on the down-shifted vector: u ≤ 10³ keeps
+    // Σ uᵀA'u inside 64 bits with margin; BigInt quotient truncates
+    // toward zero exactly like DuckDB's HUGEINT `//`.
+    val u = v.map(_ / 1000L)
+    val num = (for (i <- 0 until dims; j <- 0 until dims)
+      yield BigInt(a(i)(j)) * u(i) * u(j)).sum
+    val den = u.map(x => BigInt(x) * x).sum
+    val lambda = (num / den.max(BigInt(1))).toLong
+    spark.createDataFrame(
+      (0 until dims).map(i => (i, v(i), lambda)))
+      .toDF("dim", "v_q6", "lambda_s")
+      .orderBy($"dim")
+  }
+
+  /** Embedding-energy outlier screen — flags vectors whose squared
+    * L2 norm sits more than 3σ from the corpus mean, the cheap
+    * first-pass filter for corrupt / zeroed / exploded embeddings
+    * before any similarity work trusts them.
+    *
+    * Scale shape: one MAP-ONLY pass folds each vector to its integer
+    * grid energy (no shuffle), one global partial agg carries three
+    * DECIMAL(38,0) cells (n, Σe, Σe²), and the classify pass re-reads
+    * the energies against the broadcast scalar row. The 3σ test is
+    * the INTEGER inequality (n·e − S)² > 9·(n·SS − S²) — the z-score
+    * cleared of both divisions and the square root, so no floating
+    * point crosses engines. All staging is DECIMAL(38,0)/HUGEINT:
+    * Σe² tops int64 five orders of magnitude before 100 TB does.
+    */
+  def energyOutliers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val e = Tables.embeddings(spark, d)
+      .select($"label",
+        aggregate(transform($"embedding", x =>
+          floor(x.cast("double") * 1000000.0).cast("long")),
+          lit(0L), (acc, q) => acc + q * q).as("e"))
+    val g = e.agg(count(lit(1)).cast(dec).as("n"),
+      sum($"e".cast(dec)).as("s"),
+      sum($"e".cast(dec) * $"e".cast(dec)).as("ss"))
+    e.crossJoin(broadcast(g))
+      .select($"label", $"n", $"s",
+        (($"n" * $"e".cast(dec) - $"s") *
+          ($"n" * $"e".cast(dec) - $"s")).as("d2"),
+        (lit(9).cast(dec) * ($"n" * $"ss" - $"s" * $"s")).as("thr"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vec"),
+        sum(when($"d2" > $"thr", 1L).otherwise(0L)).as("n_outliers"),
+        max(expr("CAST(s div n AS BIGINT)")).as("mean_e"))
+      .orderBy($"label")
+  }
 }
