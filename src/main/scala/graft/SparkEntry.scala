@@ -787,6 +787,22 @@ object SparkEntry {
     // no sqrt or division crosses engines
     "q256_energy_outliers" -> ((s: SparkSession, d: String) =>
       Similarity.energyOutliers(s, d)),
+    // DAU/WAU stickiness: two distinct-user rollups, week-frame join,
+    // one positive q6 integer division
+    "q257_stickiness" -> ((s: SparkSession, d: String) =>
+      Behavior.stickiness(s, d)),
+    // Good-Turing count-of-counts: token partial agg, frequency-keyed
+    // rollup, bounded self-join for the r+1 bucket
+    "q258_good_turing" -> ((s: SparkSession, d: String) =>
+      TextStats.goodTuring(s, d)),
+    // Murphy Brier decomposition: 20-cell bin rollup, division-cleared
+    // REL/RES/UNC terms in DECIMAL(38,0)
+    "q259_brier_decomposition" -> ((s: SparkSession, d: String) =>
+      Stats.brierDecomposition(s, d)),
+    // Exact PR-AUC (average precision) via two GlobalIndex total
+    // orders — rank-among-positives over rank, q9-quantized per term
+    "q260_pr_auc" -> ((s: SparkSession, d: String) =>
+      Stats.prAuc(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3716,6 +3732,87 @@ object SparkEntry {
         |    AS n_outliers,
         |  CAST(MAX(s // n) AS BIGINT) AS mean_e
         |FROM e CROSS JOIN g GROUP BY label ORDER BY label""".stripMargin,
+    // q257: Monday-start date_trunc('week') on both engines; DuckDB
+    // COUNT(DISTINCT) and // mirror the engine's exact rollups
+    "q257_stickiness" ->
+      """WITH ev AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT wk, day, COUNT(DISTINCT user_id) AS dau
+        |  FROM ev GROUP BY 1, 2),
+        |dw AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(dau) AS BIGINT) AS sum_dau FROM dau GROUP BY 1),
+        |wau AS (SELECT wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM ev GROUP BY 1)
+        |SELECT dw.wk AS wk, n_days, sum_dau, wau,
+        |  CAST(sum_dau * 1000000 // (n_days * wau) AS BIGINT) AS stick_q6
+        |FROM dw JOIN wau ON dw.wk = wau.wk ORDER BY wk""".stripMargin,
+    // q258: q103's adjacent-pair bigrams, the same bounded
+    // count-of-counts frame, smallest-20 head, r+1 left join;
+    // HUGEINT mirrors the DECIMAL staging
+    "q258_good_turing" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '),
+        |    t -> t != '') AS toks FROM documents),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM toks CROSS JOIN range(1, 10000) t(i)
+        |  WHERE i < len(toks)),
+        |f AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM bg GROUP BY 1, 2),
+        |coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM coc),
+        |head AS (SELECT r, n_r FROM coc ORDER BY r LIMIT 20)
+        |SELECT c.r AS r, c.n_r AS n_r, c2.n_r AS n_r1,
+        |  CAST(CAST(c2.n_r AS HUGEINT) * (c.r + 1) * 1000000 // c.n_r
+        |       AS BIGINT) AS rstar_q6,
+        |  CAST(CAST(c.n_r AS HUGEINT) * c.r * 1000000000 // n_tokens
+        |       AS BIGINT) AS mass_q9
+        |FROM head c LEFT JOIN coc c2 ON c2.r = c.r + 1 CROSS JOIN tot
+        |ORDER BY c.r""".stripMargin,
+    // q259: the same division-cleared Murphy terms; HUGEINT mirrors
+    // the engine's DECIMAL(38,0) staging, // its truncating div
+    "q259_brier_decomposition" ->
+      """WITH pts AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |mx AS (SELECT MAX(s) AS smax FROM pts),
+        |b AS (SELECT s * 20 // (smax + 1) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_k,
+        |    CAST(SUM(y) AS BIGINT) AS s_k
+        |  FROM pts CROSS JOIN mx GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+        |    CAST(SUM(s_k) AS BIGINT) AS sp FROM b),
+        |terms AS (SELECT n, sp,
+        |    (CAST(n_k AS HUGEINT) * (2 * bin + 1) - 40 * s_k)
+        |      * (CAST(n_k AS HUGEINT) * (2 * bin + 1) - 40 * s_k)
+        |      * 1000000 // (1600 * n_k) AS rel_t,
+        |    (CAST(n AS HUGEINT) * s_k - CAST(n_k AS HUGEINT) * sp)
+        |      * (CAST(n AS HUGEINT) * s_k - CAST(n_k AS HUGEINT) * sp)
+        |      * 1000000 // (CAST(n_k AS HUGEINT) * n * n) AS res_t
+        |  FROM b CROSS JOIN t)
+        |SELECT n AS n_total, sp AS n_pos,
+        |  CAST(SUM(rel_t) // n AS BIGINT) AS rel_q6,
+        |  CAST(SUM(res_t) // n AS BIGINT) AS res_q6,
+        |  CAST(CAST(sp AS HUGEINT) * (n - sp) * 1000000
+        |       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_q6
+        |FROM terms GROUP BY n, sp""".stripMargin,
+    // q260: the oracle uses the REAL global windows the engine's
+    // GlobalIndex passes avoid; per-term HUGEINT q9 divide, one sum
+    "q260_pr_auc" ->
+      """WITH pts AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, k)
+        |    AS BIGINT) AS r FROM pts),
+        |p AS (SELECT r, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, k)
+        |    AS BIGINT) AS rp FROM r WHERE y = 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+        |    SUM(CAST(rp AS HUGEINT) * 1000000000 // r) AS st FROM p),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts)
+        |SELECT n, n_pos, CAST(st // (n_pos * 1000) AS BIGINT) AS ap_q6
+        |FROM a CROSS JOIN nn""".stripMargin,
     // q249: the same mask/coalition construction; DuckDB's bit ops
     // and // mirror the engine's exact-integer Shapley
     "q249_shapley_attribution" ->

@@ -406,4 +406,35 @@ object Behavior {
           .as("phi_q6"))
       .orderBy($"channel")
   }
+
+  /** DAU/WAU stickiness — per ISO week, the average daily-active
+    * count over the weekly-active count, the engagement-density
+    * ratio every consumer dashboard leads with. Monday-start
+    * `date_trunc('week')` on both engines keeps the buckets
+    * identical.
+    *
+    * Scale shape: DAU and WAU are both exact distinct-user rollups
+    * — two hash aggregates keyed on (week, day, user) / (week,
+    * user), each a partial-agg shuffle on keys with user-level
+    * fan-in, never a global window; the closing ratio joins the
+    * ≤53-row week frames. The q6 ratio `Σdau·10⁶ div (days·wau)`
+    * is an integer division of positives — no engine divergence.
+    */
+  def stickiness(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d).select(
+      date_trunc("week", $"ts").cast("date").as("wk"),
+      to_date($"ts").as("day"), $"user_id")
+    val dau = ev.groupBy($"wk", $"day")
+      .agg(count_distinct($"user_id").as("dau"))
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n_days"), sum($"dau").as("sum_dau"))
+    val wau = ev.groupBy($"wk")
+      .agg(count_distinct($"user_id").as("wau"))
+    dau.join(wau, "wk")
+      .select($"wk", $"n_days", $"sum_dau", $"wau",
+        expr("CAST(sum_dau * 1000000 div (n_days * wau) AS BIGINT)")
+          .as("stick_q6"))
+      .orderBy($"wk")
+  }
 }

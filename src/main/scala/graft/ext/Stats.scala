@@ -2092,4 +2092,85 @@ object Stats {
         expr("(n_pairs + 1) div 2").as("sel_k"),
         $"slope_q6".as("theilsen_q6"))
   }
+
+  /** Murphy decomposition of the Brier score — reliability,
+    * resolution and uncertainty of a binned forecast (here the q205
+    * price score mapped to 20 equal-width bins with midpoint
+    * forecasts), the calibration-vs-discrimination split an eval
+    * pipeline reports next to ECE (q224) and AUC (q205).
+    *
+    * Scale shape: one global MAX for the bin width (broadcast
+    * scalar), one partial-agg shuffle keyed on the 20-cell bin
+    * domain, and the three Murphy terms close over that bounded
+    * frame. Every term is division-cleared to integers before its
+    * ONE truncating quantized divide per bin — REL's
+    * (n_k·f_k − S_k)²/n_k becomes (n_k(2b+1) − 40S_k)²/(1600·n_k),
+    * RES's n_k(ō_k − ō)² becomes (N·S_k − n_k·S)²/(n_k·N²) — all
+    * DECIMAL(38,0)-staged (N² alone tops int64 at ~3B rows).
+    */
+  def brierDecomposition(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pts = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val smax = pts.agg(max($"s").as("smax"))
+    val bins = pts.crossJoin(broadcast(smax))
+      .select(expr("s * 20 div (smax + 1)").as("bin"), $"y")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_k"), sum($"y").as("s_k"))
+    val tot = bins.agg(sum($"n_k").as("n"), sum($"s_k").as("sp"))
+    bins.crossJoin(broadcast(tot))
+      .select($"n", $"sp",
+        expr(s"CAST((CAST(n_k AS $dec) * (2 * bin + 1) - 40 * s_k)" +
+          s" * (CAST(n_k AS $dec) * (2 * bin + 1) - 40 * s_k)" +
+          " * 1000000 div (1600 * n_k) AS BIGINT)").as("rel_t"),
+        expr(s"CAST((CAST(n AS $dec) * s_k - CAST(n_k AS $dec) * sp)" +
+          s" * (CAST(n AS $dec) * s_k - CAST(n_k AS $dec) * sp)" +
+          s" * 1000000 div (CAST(n_k AS $dec) * n * n) AS BIGINT)")
+          .as("res_t"))
+      .groupBy($"n", $"sp")
+      .agg(sum($"rel_t").as("srel"), sum($"res_t").as("sres"))
+      .select($"n".as("n_total"), $"sp".as("n_pos"),
+        expr("CAST(srel div n AS BIGINT)").as("rel_q6"),
+        expr("CAST(sres div n AS BIGINT)").as("res_q6"),
+        expr(s"CAST(CAST(sp AS $dec) * (n - sp) * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("unc_q6"))
+  }
+
+  /** Exact PR-AUC (average precision) by the rank identity —
+    * AP = (1/P)·Σ_{positives} precision@rank, the retrieval twin of
+    * [[aucRanked]]'s ROC identity, preferred when positives are rare
+    * (exactly the mislabel/contamination screening regime).
+    *
+    * Scale shape: TWO zero-shuffle GlobalIndex total orders (all
+    * rows; positives only) over the same (score desc, key) order —
+    * never a global window funneling 100 TB through one reducer.
+    * precision@k = rank-among-positives / rank needs one truncating
+    * q9 divide per positive (both engines, HUGEINT/DECIMAL-staged:
+    * rp·10⁹ wraps int64 past ~9B rows), then ONE exact DECIMAL sum
+    * and ONE closing divide.
+    */
+  def prAuc(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pts = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pts, Seq($"s".desc, $"k".asc), "r")
+    val pos = graft.operators.GlobalIndex
+      .withRowNumber(ranked.filter($"y" === 1L),
+        Seq($"s".desc, $"k".asc), "rp")
+    val n = ranked.agg(count(lit(1)).as("n"))
+    pos
+      .select(expr(s"CAST(rp AS $dec) * 1000000000 div r").as("t_q9"))
+      .agg(count(lit(1)).cast(dec).as("p"),
+        sum($"t_q9".cast(dec)).as("st"))
+      .crossJoin(broadcast(n))
+      .select($"n",
+        expr("CAST(p AS BIGINT)").as("n_pos"),
+        expr("CAST(st div (p * 1000) AS BIGINT)").as("ap_q6"))
+  }
 }

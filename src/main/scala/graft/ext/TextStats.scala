@@ -611,4 +611,47 @@ object TextStats {
         size(array_distinct(array($"l1", $"l2", $"l3"))).cast("long"))
       .orderBy($"doc_id")
   }
+
+  /** Good–Turing count-of-counts table — the frequency-of-frequency
+    * profile and the GT-discounted adjusted count r* = (r+1)·n_{r+1}/n_r
+    * that language-model smoothing (Katz, simple Good–Turing) starts
+    * from, built over token BIGRAMS (the unigram vocabulary here is
+    * closed, so only the pair spectrum has a populated low-count head).
+    *
+    * Scale shape: one bigram-keyed partial-agg shuffle builds the pair
+    * frequencies (q103's adjacent-pair explode with map-side combine),
+    * then the count-of-counts rollup keys on the FREQUENCY, whose
+    * domain is tiny (≤ distinct observed counts); the r+1 lookup is a
+    * self-join of that bounded frame, and the output is the SMALLEST
+    * `headK` observed counts — the smoothing head where GT estimates
+    * are used, bounded at any corpus size (an absolute `r ≤ k` clip
+    * empties as counts inflate with the data). `rstar_q6` is one
+    * truncating divide of positives, DECIMAL-staged (n_r·r·10⁹ tops
+    * int64 once n_r ~ 10⁹); an empty r+1 bucket keeps NULL r* on both
+    * engines (left join).
+    */
+  def goodTuring(spark: SparkSession, d: String,
+                 headK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val freqs = Tables.documents(spark, d)
+      .select(expr("filter(split(text, ' '), t -> t != '')").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(
+        expr("""transform(sequence(1, size(toks) - 1),
+                 i -> struct(toks[i-1] AS w1, toks[i] AS w2))"""))
+        .as("b"))
+      .groupBy($"b.w1", $"b.w2").agg(count(lit(1)).as("r"))
+    val coc = freqs.groupBy($"r").agg(count(lit(1)).as("n_r"))
+    val tot = coc.agg(sum($"r" * $"n_r").as("n_tokens"))
+    coc.orderBy($"r".asc).limit(headK)
+      .join(coc.select(($"r" - 1L).as("r"), $"n_r".as("n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"r", $"n_r", $"n_r1",
+        expr("CAST(CAST(n_r1 AS DECIMAL(38,0)) * (r + 1) * 1000000" +
+          " div n_r AS BIGINT)").as("rstar_q6"),
+        expr("CAST(CAST(n_r AS DECIMAL(38,0)) * r * 1000000000" +
+          " div n_tokens AS BIGINT)").as("mass_q9"))
+      .orderBy($"r")
+  }
 }
