@@ -803,6 +803,14 @@ object SparkEntry {
     // orders — rank-among-positives over rank, q9-quantized per term
     "q260_pr_auc" -> ((s: SparkSession, d: String) =>
       Stats.prAuc(s, d)),
+    // Composed MV serve: multi-column GROUP BY mixing count/sum with
+    // approx_count_distinct rewrites onto the algebraic MV joined
+    // with the HLL register table — two domain-sized leaves, no fact
+    "q261_mv_mixed_rewrite" -> (Extended.mvMixedRewrite _),
+    // HLL registers under retraction: CDC-touched cells re-derive
+    // their registers from the post-CDC base slice, untouched cells
+    // carry over — the MV family's last refusal removed
+    "q262_mv_hll_retract" -> (Extended.mvHllRetract _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -3746,17 +3754,20 @@ object SparkEntry {
         |SELECT dw.wk AS wk, n_days, sum_dau, wau,
         |  CAST(sum_dau * 1000000 // (n_days * wau) AS BIGINT) AS stick_q6
         |FROM dw JOIN wau ON dw.wk = wau.wk ORDER BY wk""".stripMargin,
-    // q258: q103's adjacent-pair bigrams, the same bounded
-    // count-of-counts frame, smallest-20 head, r+1 left join;
-    // HUGEINT mirrors the DECIMAL staging
+    // q258: q103's adjacent-pair bigrams (the same UNCAPPED
+    // range(1, len(toks)) enumeration — a fixed cap would silently
+    // truncate long documents), the same bounded count-of-counts
+    // frame, smallest-20 head, r+1 left join; HUGEINT mirrors the
+    // DECIMAL staging
     "q258_good_turing" ->
       """WITH toks AS (SELECT list_filter(string_split(text, ' '),
         |    t -> t != '') AS toks FROM documents),
-        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
-        |  FROM toks CROSS JOIN range(1, 10000) t(i)
-        |  WHERE i < len(toks)),
+        |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+        |  FROM toks WHERE len(toks) >= 2),
+        |bgu AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg),
         |f AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS r
-        |  FROM bg GROUP BY 1, 2),
+        |  FROM bgu GROUP BY 1, 2),
         |coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
         |  FROM f GROUP BY 1),
         |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM coc),
@@ -4977,6 +4988,97 @@ object SparkEntry {
         |SELECT grp AS o_orderpriority,
         |  CAST(FLOOR(est + 0.5) AS BIGINT) AS approx_users
         |FROM e ORDER BY 1""".stripMargin,
+    // q261: the direct fact aggregate — count/sum exactly, the
+    // distinct count as the same deterministic q127 estimator keyed
+    // by BOTH group columns; equality proves the composed two-MV
+    // serve (algebraic partials ⋈ HLL registers) == the fact scan
+    "q261_mv_mixed_rewrite" ->
+      """WITH m1 AS (
+        |  SELECT o_orderstatus AS g1, o_orderpriority AS g2,
+        |    (o_custkey % 2147483647) * 2654435761 % 2147483647 AS h1
+        |  FROM orders),
+        |m2 AS (SELECT g1, g2, xor(h1, h1 // 8192) AS h2 FROM m1),
+        |m3 AS (SELECT g1, g2,
+        |  (h2 % 2147483647) * 2246822519 % 2147483647 AS h3 FROM m2),
+        |h AS (SELECT g1, g2, xor(h3, h3 // 33554432) AS h FROM m3),
+        |b AS (SELECT g1, g2, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT g1, g2, bucket,
+        |    CASE WHEN w = 0 THEN 26
+        |         ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+        |  FROM b),
+        |reg AS (SELECT g1, g2, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2, 3),
+        |mm AS (SELECT g1, g2, MAX(mj) AS maxm, COUNT(*) AS n_present
+        |       FROM reg GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT reg.g1, reg.g2, mm.maxm, mm.n_present,
+        |    SUM(CAST(1 AS BIGINT) << (mm.maxm - reg.mj)) AS s_present
+        |  FROM reg JOIN mm ON reg.g1 = mm.g1 AND reg.g2 = mm.g2
+        |  GROUP BY 1, 2, 3, 4),
+        |s AS (
+        |  SELECT g1, g2, maxm,
+        |    CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << maxm)
+        |         AS BIGINT) AS s_int
+        |  FROM sp),
+        |e AS (
+        |  SELECT g1, g2,
+        |    ROUND(CAST(0.709 AS DOUBLE) * 4096.0 * power(2.0, maxm) / s_int
+        |          * 10000, 0) / 10000 + 0.0 AS est
+        |  FROM s),
+        |a AS (
+        |  SELECT o_orderstatus AS g1, o_orderpriority AS g2,
+        |    COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.g1 AS o_orderstatus, a.g2 AS o_orderpriority, a.n,
+        |  a.custkey_sum, CAST(FLOOR(e.est + 0.5) AS BIGINT) AS approx_users
+        |FROM a JOIN e ON a.g1 = e.g1 AND a.g2 = e.g2
+        |ORDER BY 1, 2""".stripMargin,
+    // q262: the deterministic estimator over the EFFECTIVE post-CDC
+    // state (deletes in priorities 1/2, re-keys in 3, 4/5 untouched);
+    // equality proves rederive(touched) ∪ carry(untouched) == rebuild
+    // through the serving rewrite
+    "q262_mv_hll_retract" ->
+      """WITH eff AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 11 = 0 AND o_orderpriority = '3-MEDIUM'
+        |         THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 0
+        |             AND o_orderpriority IN ('1-URGENT', '2-HIGH'))),
+        |m1 AS (
+        |  SELECT o_orderpriority AS grp,
+        |    (o_custkey % 2147483647) * 2654435761 % 2147483647 AS h1
+        |  FROM eff),
+        |m2 AS (SELECT grp, xor(h1, h1 // 8192) AS h2 FROM m1),
+        |m3 AS (SELECT grp,
+        |  (h2 % 2147483647) * 2246822519 % 2147483647 AS h3 FROM m2),
+        |h AS (SELECT grp, xor(h3, h3 // 33554432) AS h FROM m3),
+        |b AS (SELECT grp, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT grp, bucket,
+        |    CASE WHEN w = 0 THEN 26
+        |         ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+        |  FROM b),
+        |reg AS (SELECT grp, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        |mm AS (SELECT grp, MAX(mj) AS maxm, COUNT(*) AS n_present
+        |       FROM reg GROUP BY 1),
+        |sp AS (
+        |  SELECT reg.grp, mm.maxm, mm.n_present,
+        |    SUM(CAST(1 AS BIGINT) << (mm.maxm - reg.mj)) AS s_present
+        |  FROM reg JOIN mm ON reg.grp = mm.grp GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT grp, maxm,
+        |    CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << maxm)
+        |         AS BIGINT) AS s_int
+        |  FROM sp),
+        |e AS (
+        |  SELECT grp,
+        |    ROUND(CAST(0.709 AS DOUBLE) * 4096.0 * power(2.0, maxm) / s_int
+        |          * 10000, 0) / 10000 + 0.0 AS est
+        |  FROM s)
+        |SELECT grp AS o_orderpriority,
+        |  CAST(FLOOR(est + 0.5) AS BIGINT) AS approx_users
+        |FROM e ORDER BY 1""".stripMargin,
     // q189: 2 unrolled HITS rounds; normalizers are scalar subqueries,
     // all HUGEINT, every division positive
     "q189_hits" -> {
@@ -5275,24 +5377,28 @@ object SparkEntry {
         |  node // 2 AS entity_id, CAST(r AS BIGINT) AS ppr_p12
         |FROM r2 WHERE r > 0 ORDER BY kind, entity_id""".stripMargin,
     // q205: the oracle ranks with the textbook global ROW_NUMBER
-    // window (the engine uses GlobalIndex) and mirrors the doubled
-    // Mann-Whitney rational in HUGEINT — positive, no shift needed
+    // window (the engine uses GlobalIndex) and the MID-RANK tie
+    // correction (2·midrank = per-score min+max rank), mirroring the
+    // doubled Mann-Whitney rational in HUGEINT — positive, no shift
     "q205_auc_ranked" ->
       """WITH pts AS (
         |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
         |    o_orderkey AS k,
         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
         |  FROM orders),
-        |rk AS (SELECT y, ROW_NUMBER() OVER (ORDER BY s, k) AS r FROM pts),
+        |rk AS (SELECT y, s, ROW_NUMBER() OVER (ORDER BY s, k) AS r
+        |       FROM pts),
+        |t AS (SELECT s, MIN(r) AS lo, MAX(r) AS hi FROM rk GROUP BY 1),
         |agg AS (
         |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
         |    CAST(SUM(y) AS HUGEINT) AS p,
-        |    CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS HUGEINT) AS sr
-        |  FROM rk)
+        |    CAST(SUM(CASE WHEN y = 1 THEN lo + hi ELSE 0 END) AS HUGEINT)
+        |      AS sr2
+        |  FROM rk JOIN t USING (s))
         |SELECT CAST(n AS BIGINT) AS n,
         |  CAST(p AS BIGINT) AS n_pos,
         |  CAST(n - p AS BIGINT) AS n_neg,
-        |  CAST(((2 * sr - p * (p + 1)) * 1000000)
+        |  CAST(((sr2 - p * (p + 1)) * 1000000)
         |       // nullif(2 * p * (n - p), 0) AS BIGINT) AS auc_q6
         |FROM agg""".stripMargin,
     // q206: the oracle buckets with the REAL window rank and the same
@@ -5366,6 +5472,7 @@ object SparkEntry {
         |FROM nz GROUP BY 1 ORDER BY 1""".stripMargin,
     // q211: the oracle ranks with the per-group PARTITION BY window
     // the engine deliberately avoids — same Mann-Whitney rational
+    // with the per-(group, score) MID-RANK tie correction
     "q211_auc_by_group" ->
       """WITH pts AS (
         |  SELECT o_orderpriority AS grp,
@@ -5373,18 +5480,21 @@ object SparkEntry {
         |    o_orderkey AS k,
         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
         |  FROM orders),
-        |rk AS (SELECT grp, y,
+        |rk AS (SELECT grp, y, s,
         |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s, k) AS r
         |       FROM pts),
+        |t AS (SELECT grp, s, MIN(r) AS lo, MAX(r) AS hi
+        |      FROM rk GROUP BY 1, 2),
         |agg AS (
-        |  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+        |  SELECT rk.grp, CAST(COUNT(*) AS HUGEINT) AS n,
         |    CAST(SUM(y) AS HUGEINT) AS p,
-        |    CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS HUGEINT) AS sr
-        |  FROM rk GROUP BY 1)
+        |    CAST(SUM(CASE WHEN y = 1 THEN lo + hi ELSE 0 END) AS HUGEINT)
+        |      AS sr2
+        |  FROM rk JOIN t ON rk.grp = t.grp AND rk.s = t.s GROUP BY 1)
         |SELECT grp, CAST(n AS BIGINT) AS n,
         |  CAST(p AS BIGINT) AS n_pos,
         |  CAST(n - p AS BIGINT) AS n_neg,
-        |  CAST(((2 * sr - p * (p + 1)) * 1000000)
+        |  CAST(((sr2 - p * (p + 1)) * 1000000)
         |       // nullif(2 * p * (n - p), 0) AS BIGINT) AS auc_q6
         |FROM agg ORDER BY grp""".stripMargin,
     // q212: same smoothed log-odds with DuckDB's ln over the same

@@ -336,38 +336,57 @@ object Stats {
     * register index = h mod 64; rank = trailing zeros of h div 64
     * (< 2^25, so rank ≤ 26 with the w = 0 sentinel at 26).
     */
-  private[graft] def hllRegistersOf(keyed: DataFrame): DataFrame = {
-    import keyed.sparkSession.implicits._
+  private[graft] def hllRegistersOf(keyed: DataFrame): DataFrame =
+    hllRegistersOfCols(keyed, Seq("grp"), "key")
+
+  /** Multi-group form of the register builder: identical hash kernel,
+    * the group identity carried as the caller's columns under their
+    * own names — what lets one register table serve `GROUP BY a, b`
+    * (and, by register max-merge, any subset of its group columns).
+    * NULL keys are skipped natively — `approx_count_distinct`
+    * semantics — rather than propagating a null register row. */
+  private[graft] def hllRegistersOfCols(df: DataFrame, grpCols: Seq[String],
+                                        keyCol: String): DataFrame = {
     val P = 2147483647L
-    keyed
-      .select($"grp", expr(s"(key % $P) * 2654435761 % $P").as("h1"))
-      .select($"grp", expr("h1 ^ (h1 div 8192)").as("h2"))
-      .select($"grp", expr(s"(h2 % $P) * 2246822519 % $P").as("h3"))
-      .select($"grp", expr("h3 ^ (h3 div 33554432)").as("h"))
-      .select($"grp", ($"h" % 64).as("bucket"), expr("h div 64").as("w"))
-      .select($"grp", $"bucket",
-        when($"w" === 0, lit(26))
-          .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
-      .groupBy($"grp", $"bucket").agg(max($"rho").as("mj"))
+    val g = grpCols.map(col)
+    df.filter(col(keyCol).isNotNull)
+      .select(g :+ expr(s"(`$keyCol` % $P) * 2654435761 % $P").as("h1"): _*)
+      .select(g :+ expr("h1 ^ (h1 div 8192)").as("h2"): _*)
+      .select(g :+ expr(s"(h2 % $P) * 2246822519 % $P").as("h3"): _*)
+      .select(g :+ expr("h3 ^ (h3 div 33554432)").as("h"): _*)
+      .select(g ++ Seq((col("h") % 64).as("bucket"),
+        expr("h div 64").as("w")): _*)
+      .select(g ++ Seq(col("bucket"),
+        when(col("w") === 0, lit(26))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho")): _*)
+      .groupBy((g :+ col("bucket")): _*).agg(max(col("rho")).as("mj"))
   }
 
   /** Harmonic-mean estimate per grp from (grp, bucket, mj) registers:
     * all 64 summands as exact BIGINTs on a common 2^maxM denominator
     * (absent registers contribute Mⱼ = 0), one float multiply + one
     * divide at the end. */
-  private[graft] def hllEstimate(reg: DataFrame): DataFrame = {
-    import reg.sparkSession.implicits._
-    val maxm = reg.groupBy($"grp").agg(max($"mj").as("maxm"),
+  private[graft] def hllEstimate(reg: DataFrame): DataFrame =
+    hllEstimateCols(reg, Seq("grp"))
+
+  /** Multi-group form of the harmonic-mean estimator: same exact
+    * integer arithmetic, keyed by the caller's group columns. */
+  private[graft] def hllEstimateCols(reg: DataFrame,
+                                     grpCols: Seq[String]): DataFrame = {
+    val g = grpCols.map(col)
+    val maxm = reg.groupBy(g: _*).agg(max(col("mj")).as("maxm"),
       count(lit(1)).as("n_present"))
-    reg.join(maxm, "grp")
-      .groupBy($"grp", $"maxm", $"n_present")
+    reg.join(maxm, grpCols)
+      .groupBy(g ++ Seq(col("maxm"), col("n_present")): _*)
       .agg(sum(expr("cast(1 as bigint) << (maxm - mj)")).as("s_present"))
-      .select($"grp", $"maxm", $"n_present",
-        ($"s_present" + (lit(64) - $"n_present") * expr("cast(1 as bigint) << maxm"))
-          .as("s_int"))
+      .select(g ++ Seq(col("maxm"), col("n_present"),
+        (col("s_present") +
+          (lit(64) - col("n_present")) * expr("cast(1 as bigint) << maxm"))
+          .as("s_int")): _*)
       .withColumn("est",
-        r4(lit(0.709 * 4096.0) * pow(lit(2.0), $"maxm") / $"s_int"))
-      .select($"grp", $"maxm".cast("int").as("maxm"), $"s_int", $"est")
+        r4(lit(0.709 * 4096.0) * pow(lit(2.0), col("maxm")) / col("s_int")))
+      .select(g ++ Seq(col("maxm").cast("int").as("maxm"),
+        col("s_int"), col("est")): _*)
   }
 
   /** Rolling 7-day approximate distinct users — the SKETCH-MERGE
@@ -1221,24 +1240,27 @@ object Stats {
       .orderBy($"rule")
   }
 
-  /** Exact ROC-AUC by the Mann-Whitney rank identity — the model-eval
-    * gate a training pipeline runs on a scored dataset:
-    * `AUC = (Σ_{pos} rank − P(P+1)/2) / (P·N)` over the GLOBAL rank
-    * of every row by ascending score. Scored here: does order value
-    * predict the finished status ('F') — any (score, label) pair
-    * works. Score ties across classes are resolved by the documented
-    * deterministic (score, key) total order — the convention both
-    * engines mirror, so the result is exactly reproducible (the
-    * mid-rank tie correction would need a second aggregate; with
-    * cents-grained scores the difference is below q6).
+  /** Exact ROC-AUC by the Mann-Whitney rank identity with the
+    * standard MID-RANK tie correction — the model-eval gate a
+    * training pipeline runs on a scored dataset:
+    * `AUC = (Σ_{pos} midrank − P(P+1)/2) / (P·N)` where midrank is
+    * the mean rank of a row's score-tie group. Scored here: does
+    * order value predict the finished status ('F') — any
+    * (score, label) pair works. Tied scores contribute exactly ½ per
+    * cross-class pair (a low-cardinality score column — a real model
+    * with few distinct logits — would be BIASED under any
+    * deterministic tie order; StatsProps pins the divergence).
     *
     * Scale shape: ranking is [[graft.operators.GlobalIndex]] — a
     * range-partitioned parallel scan, never the single-reducer global
-    * ROW_NUMBER window — and the identity needs only THREE sums over
-    * the ranked frame (n, P, Σ_{pos}rank), one map-side-combinable
-    * aggregate. Sums stage DECIMAL(38,0) (Σrank ~ n², past int64 at
-    * tens-of-billions of rows); the final quotient is positive, so
-    * div and // agree without a shift.
+    * ROW_NUMBER window. The tie correction is one extra aggregate
+    * over the score domain (per-score min/max rank: 2·midrank =
+    * lo + hi for every member, exactly — no /2, so the arithmetic
+    * stays integral) joined back by score, then the identity needs
+    * only THREE sums (n, P, Σ_{pos}2·midrank), one map-side-
+    * combinable aggregate. Sums stage DECIMAL(38,0) (Σrank ~ n²,
+    * past int64 at tens-of-billions of rows); the final quotient is
+    * positive, so div and // agree without a shift.
     */
   def aucRanked(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -1246,16 +1268,28 @@ object Stats {
       expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
       $"o_orderkey".as("k"),
       when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    aucOf(pts)
+  }
+
+  /** [[aucRanked]]'s kernel over an explicit (s, k, y) frame — what
+    * StatsProps drives with adversarial tie distributions. */
+  private[graft] def aucOf(pts: DataFrame): DataFrame = {
+    import pts.sparkSession.implicits._
     val ranked = graft.operators.GlobalIndex
       .withRowNumber(pts, Seq($"s".asc, $"k".asc), "r")
+    // mid-rank tie groups: lo + hi = 2·midrank for every member
+    val ties = ranked.groupBy($"s").agg(min($"r").as("lo"),
+      max($"r").as("hi"))
     val dec = "decimal(38,0)"
-    ranked.agg(
+    ranked.join(ties, "s")
+      .agg(
         count(lit(1)).cast(dec).as("n"),
         sum($"y").cast(dec).as("p"),
-        // cast INSIDE the aggregate: Σ_{pos}rank ~ n²/2 wraps int64
-        // past ~4.3B rows if the partials accumulate in LONG — the
-        // cupedFromPerUser sxx/sxy staging discipline
-        sum(when($"y" === 1L, $"r").otherwise(lit(0L)).cast(dec)).as("sr"))
+        // cast INSIDE the aggregate: Σ_{pos}2·midrank ~ n² wraps
+        // int64 past ~3B rows if the partials accumulate in LONG —
+        // the cupedFromPerUser sxx/sxy staging discipline
+        sum(when($"y" === 1L, $"lo" + $"hi").otherwise(lit(0L))
+          .cast(dec)).as("sr2"))
       .select(
         expr("CAST(n AS BIGINT)").as("n"),
         expr("CAST(p AS BIGINT)").as("n_pos"),
@@ -1263,7 +1297,7 @@ object Stats {
         // doubled form keeps everything decimal until the SINGLE
         // division (an inner `div 2` would drop to int64 early —
         // IntegralDivide returns LONG whatever it divides)
-        expr("CAST(((2 * sr - p * (p + 1)) * 1000000)" +
+        expr("CAST(((sr2 - p * (p + 1)) * 1000000)" +
           " div nullif(2 * p * (n - p), 0) AS BIGINT)").as("auc_q6"))
   }
 
@@ -1277,8 +1311,10 @@ object Stats {
     * rank − (group's min rank − 1), the offsets a 5-row broadcast —
     * per-group windows never exist. The Mann-Whitney identity then
     * needs one aggregate per group, same doubled-rational exactness
-    * as [[aucRanked]]; single-class groups yield NULL via nullif, not
-    * a wrong number.
+    * and MID-RANK tie correction as [[aucRanked]] (tie groups are
+    * per (group, score) — within-group ranks, so lo + hi = 2·midrank
+    * holds per group); single-class groups yield NULL via nullif,
+    * not a wrong number.
     */
   def aucByGroup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -1291,18 +1327,22 @@ object Stats {
     val ranked = graft.operators.GlobalIndex
       .withRowNumber(pts, Seq($"grp".asc, $"s".asc, $"k".asc), "r")
     val offsets = ranked.groupBy($"grp").agg((min($"r") - 1L).as("off"))
-    ranked.join(broadcast(offsets), "grp")
-      .select($"grp", $"y", ($"r" - $"off").as("gr"))
+    val grRanked = ranked.join(broadcast(offsets), "grp")
+      .select($"grp", $"s", $"y", ($"r" - $"off").as("gr"))
+    val ties = grRanked.groupBy($"grp", $"s")
+      .agg(min($"gr").as("lo"), max($"gr").as("hi"))
+    grRanked.join(ties, Seq("grp", "s"))
       .groupBy($"grp")
       .agg(count(lit(1)).cast(dec).as("n"),
         sum($"y").cast(dec).as("p"),
         // cast inside the aggregate — same int64-wrap guard as aucRanked
-        sum(when($"y" === 1L, $"gr").otherwise(lit(0L)).cast(dec)).as("sr"))
+        sum(when($"y" === 1L, $"lo" + $"hi").otherwise(lit(0L))
+          .cast(dec)).as("sr2"))
       .select($"grp",
         expr("CAST(n AS BIGINT)").as("n"),
         expr("CAST(p AS BIGINT)").as("n_pos"),
         expr("CAST(n - p AS BIGINT)").as("n_neg"),
-        expr("CAST(((2 * sr - p * (p + 1)) * 1000000)" +
+        expr("CAST(((sr2 - p * (p + 1)) * 1000000)" +
           " div nullif(2 * p * (n - p), 0) AS BIGINT)").as("auc_q6"))
       .orderBy($"grp")
   }

@@ -3,9 +3,10 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Divide, Expression, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, Divide, EqualNullSafe, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
@@ -87,7 +88,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       s"registerHll: ${d.mvPath} declares no sourcePath — nothing to rewrite"))
     hllDefs.updateWith(src) { cur =>
       Some(d :: cur.getOrElse(Nil)
-        .filterNot(x => (x.grpCol, x.keyCol) == (d.grpCol, d.keyCol)))
+        .filterNot(x => (x.grpCols, x.keyCol) == (d.grpCols, d.keyCol)))
     }
   }
 
@@ -368,8 +369,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           // general proxy for that
           rewritten <- defs.get(path).toSeq.flatten.sortBy(_.groupCols.size)
             .view.flatMap(mv => rewrite(agg, filters, mv)).headOption
-            .orElse(hllDefs.get(path).toSeq.flatten
-              .view.flatMap(hd => rewriteHll(agg, filters, hd)).headOption)
+            .orElse(rewriteMixed(agg, filters, path))
         } yield rewritten).getOrElse(agg)
     }
 
@@ -390,74 +390,161 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** The approx-distinct gear: `approx_count_distinct(key)` grouped
-    * by `grp` over a source with a registered HLL register table
-    * ([[graft.operators.HllMv]]) rewrites onto the register table —
-    * COUNT(DISTINCT) is the one aggregate no algebraic partial can
-    * serve, but per-cell HLL registers are a mergeable partial, so
-    * the estimate is derivable from a grouping-domain-×-64-row table
-    * without touching the fact. The served value is the register
-    * table's deterministic estimate (the [[graft.operators
-    * .HllMv.serveDistinct]] harmonic mean, rounded to a count) — an
-    * approximate aggregate answered by the MAINTAINED approximation,
-    * the contract any sketch-MV warehouse serves. `floor(est+0.5)`
-    * rather than `round`: identical HALF-UP semantics on the positive
-    * domain in both Spark and the DuckDB oracle, with no rounding-mode
-    * ambiguity. Group-column-only filters drop whole cells and are
-    * re-anchored onto the register read, as in the algebraic gears.
+  /** The approx-distinct gear, composed with the algebraic family:
+    * an aggregate mixing `approx_count_distinct(key)` with algebraic
+    * aggregates (`count(*)`, `sum`, `avg`, `min`/`max`) over a source
+    * with registered MVs serves each part from ITS maintained table —
+    * the distinct estimates from the HLL register table
+    * ([[graft.operators.HllMv]]), everything else from the matching
+    * algebraic MV — joined on the grouping cells, two domain-sized
+    * leaves and never the fact. COUNT(DISTINCT) is the one aggregate
+    * no algebraic partial can serve, but per-cell HLL registers are a
+    * mergeable partial; register max-merge also lets one register
+    * table serve any SUBSET of its group columns (re-merge the
+    * registers to the coarser cells, then estimate), the same
+    * rollup property the algebraic gears ride.
+    *
+    * The served distinct value is the register table's deterministic
+    * estimate (the [[graft.operators.HllMv.serveDistinct]] harmonic
+    * mean, rounded to a count) — an approximate aggregate answered by
+    * the MAINTAINED approximation, the contract any sketch-MV
+    * warehouse serves. `floor(est+0.5)` rather than `round`:
+    * identical HALF-UP semantics on the positive domain in both Spark
+    * and the DuckDB oracle. Filters referencing only QUERY grouping
+    * columns drop whole cells on both sides identically and are
+    * re-anchored onto each MV read, as in the algebraic gears.
+    *
+    * Refusals (fall back to the fact scan, always correct): empty or
+    * non-attribute grouping; an `approx_count_distinct` key with no
+    * register table covering the grouping; any other aggregate no
+    * registered algebraic MV serves. Cells whose key column is
+    * entirely NULL have no register row; with an algebraic side they
+    * surface with a served 0 (LEFT join + coalesce — exactly the
+    * direct aggregate's answer), in the pure-sketch shape they are
+    * absent, the register table's stated evidence contract.
     */
-  private def rewriteHll(agg: Aggregate, filters: Seq[Expression],
-                         hd: graft.operators.HllMv.Def): Option[LogicalPlan] = {
+  private def rewriteMixed(agg: Aggregate, filters: Seq[Expression],
+                           path: String): Option[LogicalPlan] = {
+    val hds = hllDefs.get(path).toSeq.flatten
+    if (hds.isEmpty) return None
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: Attribute => a
+      case _ => return None
+    }
+    if (groupAttrs.isEmpty) return None
+    val grpNames = groupAttrs.map(_.name)
     filters.foreach { f =>
       val safe = f.deterministic &&
         !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
-        f.references.forall(_.name == hd.grpCol)
+        f.references.forall(a => grpNames.contains(a.name))
       if (!safe) return None
     }
-    agg.groupingExpressions match {
-      case Seq(a: Attribute) if a.name == hd.grpCol => ()
-      case _ => return None
-    }
-    // every output is the grouping attribute or ONE undistinct,
-    // unfiltered approx_count_distinct over the registered key
-    val shapesOk = agg.aggregateExpressions.forall {
-      case a: Attribute if a.name == hd.grpCol => true
+    // classify outputs: grouping attrs pass through, undistinct
+    // unfiltered approx_count_distinct over a registered key serves
+    // from registers, EVERYTHING else must be served by an algebraic
+    // MV (delegated to [[rewrite]], which refuses what it can't fold)
+    def acdKey(e: NamedExpression): Option[String] = e match {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case h: HyperLogLogPlusPlus => h.child match {
-            case k: Attribute => k.name == hd.keyCol
-            case _ => false
+            case k: Attribute => Some(k.name)
+            case _ => None
           }
-          case _ => false
+          case _ => None
         }
-      case _ => false
+      case _ => None
     }
-    if (!shapesOk) return None
+    val acdAliases = agg.aggregateExpressions.collect {
+      case e if acdKey(e).isDefined => e.asInstanceOf[Alias]
+    }
+    if (acdAliases.isEmpty) return None
+    val algAliases = agg.aggregateExpressions.filter {
+      case a: Attribute if grpNames.contains(a.name) => false
+      case e => acdKey(e).isEmpty
+    }
+    // one register serve per distinct key: the smallest registered
+    // table whose group columns COVER the query grouping
+    val keys = acdAliases.map(a => acdKey(a).get).distinct
+    val chosen: Map[String, graft.operators.HllMv.Def] = keys.map { k =>
+      k -> hds.filter(hd => hd.keyCol == k &&
+          grpNames.toSet.subsetOf(hd.grpCols.toSet))
+        .sortBy(_.grpCols.size).headOption.getOrElse(return None)
+    }.toMap
 
     val spark = SparkSession.active
-    val regPlan = spark.read.parquet(hd.mvPath).queryExecution.analyzed
-    val regGrp = regPlan.output.find(_.name == "grp").getOrElse(return None)
-    val filtered = filters.foldRight[LogicalPlan](regPlan) { (cond, acc) =>
-      // safety check above: the predicate references ONLY the group
-      // column, so every attribute re-anchors onto the register grp
-      Filter(cond.transform { case _: Attribute => regGrp }, acc)
+    def attrIn(p: LogicalPlan, n: String): Option[Attribute] =
+      p.output.find(_.name == n)
+
+    // the algebraic side: a synthetic aggregate holding the grouping
+    // attrs (join keys) plus every non-sketch aggregate, routed
+    // through the ordinary gears over the best-matching algebraic MV
+    val algPlan: Option[LogicalPlan] =
+      if (algAliases.isEmpty) None
+      else {
+        val synth = Aggregate(agg.groupingExpressions,
+          groupAttrs ++ algAliases, agg.child, None)
+        Some(defs.get(path).toSeq.flatten.sortBy(_.groupCols.size)
+          .view.flatMap(mv => rewrite(synth, filters, mv)).headOption
+          .getOrElse(return None))
+      }
+
+    // one served-estimate plan per key: filter cells, re-merge the
+    // registers when the table is grouped finer than the query, then
+    // the deterministic harmonic-mean estimate rounded to a count
+    val serves: Seq[(String, LogicalPlan)] = keys.map { k =>
+      val hd = chosen(k)
+      val regPlan = spark.read.parquet(hd.mvPath).queryExecution.analyzed
+      val filtered = filters.foldRight[LogicalPlan](regPlan) { (cond, acc) =>
+        Filter(cond.transform {
+          case a: Attribute => attrIn(regPlan, a.name).getOrElse(return None)
+        }, acc)
+      }
+      val df0 = org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered)
+      val merged =
+        if (hd.grpCols.toSet == grpNames.toSet) df0
+        else df0.groupBy((grpNames.map(df0(_)) :+ df0("bucket")): _*)
+          .agg(org.apache.spark.sql.functions.max(df0("mj")).as("mj"))
+      val served = graft.ext.Stats.hllEstimateCols(merged, grpNames)
+        .select(grpNames.map(col) :+
+          expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"): _*)
+        .queryExecution.analyzed
+      k -> served
     }
-    val served = graft.ext.Stats
-      .hllEstimate(org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered))
-      .select(col("grp"), expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"))
-      .queryExecution.analyzed
-    val sGrp = served.output.find(_.name == "grp").getOrElse(return None)
-    val sCnt = served.output.find(_.name == "acd").getOrElse(return None)
+
+    // compose: LEFT joins on null-safe cell equality — the algebraic
+    // side (complete cell domain) anchors when present
+    val base: LogicalPlan = algPlan.getOrElse(serves.head._2)
+    val rest = if (algPlan.isDefined) serves else serves.tail
+    val joined = rest.foldLeft(base) { case (left, (_, serve)) =>
+      val cond = grpNames.map(n =>
+        EqualNullSafe(attrIn(left, n).getOrElse(return None),
+          attrIn(serve, n).getOrElse(return None)))
+        .reduce[Expression](And(_, _))
+      Join(left, serve, LeftOuter, Some(cond), JoinHint.NONE)
+    }
+    val serveCnt: Map[String, Attribute] = serves.map { case (k, s) =>
+      k -> s.output.find(_.name == "acd").getOrElse(return None)
+    }.toMap
+
     val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: Attribute => Alias(sGrp, a.name)(exprId = a.exprId)
-      case al @ Alias(_, name) => Alias(sCnt, name)(exprId = al.exprId)
+      case a: Attribute if grpNames.contains(a.name) =>
+        // with an algebraic side the group attr already carries its
+        // original exprId (rewrite re-aliases under old ids); in the
+        // pure-sketch shape it re-anchors onto the first serve
+        if (algPlan.isDefined) a
+        else Alias(attrIn(base, a.name).getOrElse(return None),
+          a.name)(exprId = a.exprId)
+      case al @ Alias(_, name) if acdKey(al).isDefined =>
+        Alias(Coalesce(Seq(serveCnt(acdKey(al).get),
+          Literal(0L))), name)(exprId = al.exprId)
+      case al: Alias => al.toAttribute // served under its original id
       case _ => return None
     }
     val ok = outs.map(_.toAttribute.dataType) ==
       agg.aggregateExpressions.map(_.toAttribute.dataType)
     if (!ok) return None
-    Some(Project(outs, served))
+    Some(Project(outs, joined))
   }
 
   private def rewrite(agg: Aggregate, filters: Seq[Expression],

@@ -644,6 +644,104 @@ object Extended {
     pinned
   }
 
+  /** q261 — the everyday warehouse aggregate served by TWO maintained
+    * views at once ([[graft.plans.MvRewrite]]'s composed gear): a
+    * multi-column `GROUP BY status, priority` mixing `count(*)`,
+    * `sum`, and `approx_count_distinct` rewrites onto the algebraic
+    * MV (count/sum from its partials) LEFT-joined with the HLL
+    * register table (the deterministic q127 estimate) on the grouping
+    * cells — two domain-sized leaves, never the fact. This is the
+    * shape the r9 gear refused (single group column, sketch-only
+    * outputs); the DuckDB oracle computes the direct fact aggregate
+    * with the deterministic estimator inline, so the hash match
+    * proves the composed serve == the fact scan it replaced.
+    * PlanAuditSpec pins both MV paths as the only scan leaves.
+    */
+  def mvMixedRewrite(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q261").toString
+    val orders = spark.read.parquet(src)
+    val alg = graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sumCols = Seq("o_custkey"), mvPath = s"$tmp/alg")
+    val hll = graft.operators.HllMv.materializeFrom(orders,
+      graft.operators.HllMv.Def(Seq("o_orderstatus", "o_orderpriority"),
+        "o_custkey", s"$tmp/hll", Some(src)))
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.register(alg)
+    graft.plans.MvRewrite.registerHll(hll)
+    val q = spark.read.parquet(src)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_custkey").as("custkey_sum"),
+        approx_count_distinct($"o_custkey").as("approx_users"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
+  /** q262 — HLL registers under RETRACTION via the q216 touched-cell
+    * machinery ([[graft.operators.HllMv.refreshRetractRederive]]),
+    * removing the MV family's last documented refusal: register MAX
+    * is monotone so a delete cannot be retracted from the partial,
+    * but the CDC batch's distinct group-cells re-derive their
+    * registers from the POST-CDC base slice (literal null-safe cell
+    * predicate pushed into the scan) while untouched cells keep
+    * their register rows — here priorities 4/5 see no CDC and carry
+    * over unrecomputed. The CDC deletes every o_orderkey ≡ 0 (mod 7)
+    * in priorities 1/2 and re-keys the ≡ 0 (mod 11) customers of
+    * priority 3; the DuckDB oracle runs the deterministic estimator
+    * over the effective post-CDC state directly, so the hash match
+    * proves rederive(touched) ∪ carry(untouched) == rebuild through
+    * the q217 serving rewrite.
+    */
+  def mvHllRetract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q262").toString
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val delKeys = $"o_orderkey" % 7 === 0 &&
+      $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    val updKeys = $"o_orderkey" % 11 === 0 &&
+      $"o_orderpriority" === "3-MEDIUM"
+    // rederive contract: the base reflects the CDC BEFORE the
+    // register refresh consumes the same changelog
+    val effSrc = s"$tmp/effective"
+    orders.filter(!delKeys)
+      .withColumn("o_custkey",
+        when(updKeys, $"o_custkey" + 1000000L).otherwise($"o_custkey"))
+      .write.parquet(effSrc)
+    // registers hold the PRE-CDC state, declared against the
+    // post-CDC base
+    val mv0 = graft.operators.HllMv.materializeFrom(orders,
+      graft.operators.HllMv.Def("o_orderpriority", "o_custkey",
+        s"$tmp/mv0", Some(effSrc)))
+    val dels = orders.filter(delKeys).withColumn("op", lit(-1))
+    val updDel = orders.filter(updKeys).withColumn("op", lit(-1))
+    val updIns = orders.filter(updKeys)
+      .withColumn("o_custkey", $"o_custkey" + 1000000L)
+      .withColumn("op", lit(1))
+    val cdc = dels.unionByName(updDel).unionByName(updIns)
+    val refreshed = graft.operators.HllMv
+      .refreshRetractRederive(spark, mv0, cdc, s"$tmp/mv1")
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.registerHll(refreshed)
+    val q = spark.read.parquet(effSrc)
+      .groupBy($"o_orderpriority")
+      .agg(approx_count_distinct($"o_custkey").as("approx_users"))
+      .orderBy($"o_orderpriority")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
   /** q210 — MAINTAINED distinct counts via mergeable HLL register
     * partials ([[graft.operators.HllMv]]): the one aggregate the
     * algebraic MV gears can never serve. Registers built over a base
@@ -672,6 +770,7 @@ object Extended {
     val refreshed = graft.operators.HllMv.refreshIncremental(
       spark, mv0, orders.filter($"o_orderkey" % 3 === 0), s"$tmp/mv1")
     graft.operators.HllMv.serveDistinct(spark, refreshed)
+      .select($"o_orderpriority".as("grp"), $"maxm", $"s_int", $"est")
       .orderBy($"grp")
   }
 

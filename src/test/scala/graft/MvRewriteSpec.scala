@@ -330,15 +330,15 @@ class MvRewriteSpec extends SparkSpec {
     val direct = graft.operators.HllMv.materializeFrom(rows(1 to 500),
       graft.operators.HllMv.Def("g", "k", s"$dir/mvfull"))
     def regs(p: String) = spark.read.parquet(p)
-      .orderBy($"grp", $"bucket").collect().toSeq
+      .orderBy($"g", $"bucket").collect().toSeq
     assert(regs(refreshed.mvPath) == regs(direct.mvPath),
       "maxmerge(regs(base), regs(delta)) must equal regs(base ∪ delta)")
     // served estimates are therefore identical too — and registers
     // being deterministic, this is exact VALUE equality, no error bar
     val est = graft.operators.HllMv.serveDistinct(spark, refreshed)
-      .orderBy($"grp").collect().toSeq
+      .orderBy($"g").collect().toSeq
     val estDirect = graft.operators.HllMv.serveDistinct(spark, direct)
-      .orderBy($"grp").collect().toSeq
+      .orderBy($"g").collect().toSeq
     assert(est == estDirect)
   }
 
@@ -527,5 +527,133 @@ class MvRewriteSpec extends SparkSpec {
     // and the MV-served values equal the direct fact aggregation
     assert(q184.collect().toSeq == later.collect().toSeq,
       "q184 values == direct fact values")
+  }
+
+  test("composed gear: count/sum/approx_count_distinct in ONE aggregate " +
+    "serve from the algebraic MV joined with the registers; an " +
+    "unregistered second key refuses and still answers correctly") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-mixed").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 600L).map(i =>
+        (i, s"s${i % 2}", s"p${i % 3}", (i % 7).toDouble,
+          (i % 45).toLong, (i % 31).toLong))
+      .toDF("id", "status", "prio", "v", "k1", "k2")
+      .write.parquet(fact)
+    try {
+      val alg = MvRewrite.materialize(spark, fact,
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/alg")
+      val hll = graft.operators.HllMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.HllMv.Def(Seq("status", "prio"), "k1",
+          s"$dir/hll", Some(fact)))
+      MvRewrite.registerHll(hll)
+      MvRewrite.register(alg)
+
+      def mixed(key: String) = spark.read.parquet(fact)
+        .groupBy($"status", $"prio")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          approx_count_distinct(col(key)).as("acd"))
+        .orderBy($"status", $"prio")
+
+      val q = mixed("k1")
+      assert(scansOf(q).exists(_.contains("/alg")) &&
+        scansOf(q).exists(_.contains("/hll")),
+        s"both MV tables must be scan leaves:\n${scansOf(q)}")
+      assert(!scansOf(q).exists(_.contains("fact.parquet")),
+        "the composed serve must never read the fact")
+      // expected: direct count/sum, the register table's own estimate
+      // for the distinct — deterministic, so exact value equality
+      val est = graft.operators.HllMv.serveDistinct(spark, hll)
+        .select($"status", $"prio",
+          expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"))
+      val want = spark.read.parquet(fact).groupBy($"status", $"prio")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .join(est, Seq("status", "prio"))
+        .orderBy($"status", $"prio")
+        .select($"status", $"prio", $"n", $"sv", $"acd")
+      assert(q.collect().toSeq == want.collect().toSeq,
+        "composed serve == direct count/sum + register estimate")
+
+      // negative: k2 has no registered table — the whole rewrite
+      // refuses (never a half-serve), the fact answers, still correct
+      val q2 = mixed("k2")
+      assert(scansOf(q2).exists(_.contains("fact.parquet")),
+        s"unregistered key must fall back to the fact:\n${scansOf(q2)}")
+      assert(!scansOf(q2).exists(_.contains("/alg")),
+        "a refused composition must not half-serve from the MV")
+    } finally MvRewrite.clear()
+  }
+
+  test("register subset-grouping: a (status, prio) register table " +
+    "serves GROUP BY status by register max-merge") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-sub").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 500L).map(i => (i, s"s${i % 2}", s"p${i % 3}", (i % 37).toLong))
+      .toDF("id", "status", "prio", "k").write.parquet(fact)
+    try {
+      val fine = graft.operators.HllMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.HllMv.Def(Seq("status", "prio"), "k",
+          s"$dir/hll2", Some(fact)))
+      MvRewrite.registerHll(fine)
+      val q = spark.read.parquet(fact).groupBy($"status")
+        .agg(approx_count_distinct($"k").as("acd")).orderBy($"status")
+      assert(scansOf(q).exists(_.contains("/hll2")) &&
+        !scansOf(q).exists(_.contains("fact.parquet")),
+        s"the coarser grouping must re-merge the finer registers:\n" +
+          s"${scansOf(q)}")
+      // max-merge exactness: the registers are key-hash partials
+      // independent of the grouping, so re-merged-to-status equals a
+      // register table BUILT at status grain
+      val coarse = graft.operators.HllMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.HllMv.Def("status", "k", s"$dir/hllc"))
+      val want = graft.operators.HllMv.serveDistinct(spark, coarse)
+        .select($"status",
+          expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"))
+        .orderBy($"status")
+      assert(q.collect().toSeq == want.collect().toSeq,
+        "subset serve == status-grain register build")
+    } finally MvRewrite.clear()
+  }
+
+  test("HLL rederive: CDC-touched cells rebuild from the base slice, " +
+    "an untouched (deleted) base partition is never read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-hllrd").toString
+    val base = s"$dir/base.parquet"
+    def rows(r: Range) = r.map(i => (s"g${i % 2}", (i % 50).toLong, i.toLong))
+      .toDF("g", "k", "id")
+    // partitioned by the group col: the literal cell predicate prunes
+    rows(1 to 400).write.partitionBy("g").parquet(base)
+    val mv0 = graft.operators.HllMv.materializeFrom(
+      // PRE-CDC state: g0 keys shifted — the CDC will "fix" them
+      rows(1 to 400).withColumn("k",
+        when($"g" === "g0", $"k" + 1000L).otherwise($"k")),
+      graft.operators.HllMv.Def(Seq("g"), "k", s"$dir/mv0", Some(base)))
+    // the base already reflects the CDC (contract); the batch touches
+    // ONLY g0 — so g1's partition must never be needed: delete it
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$base/g=g1"))
+    val cdc = rows(1 to 400).filter($"g" === "g0")
+    val refreshed = graft.operators.HllMv
+      .refreshRetractRederive(spark, mv0, cdc, s"$dir/mv1")
+    // touched cell g0 == rebuilt from the (post-CDC) base slice;
+    // untouched g1 carried over from mv0 byte-for-byte
+    val got = spark.read.parquet(refreshed.mvPath)
+      .orderBy($"g", $"bucket").collect().toSeq
+    val wantG0 = graft.ext.Stats.hllRegistersOfCols(
+      rows(1 to 400).filter($"g" === "g0"), Seq("g"), "k")
+    val wantG1 = spark.read.parquet(mv0.mvPath).filter($"g" === "g1")
+    val want = wantG0.unionByName(wantG1)
+      .orderBy($"g", $"bucket").collect().toSeq
+    assert(got == want,
+      "rederive(touched) ∪ carry(untouched) must equal the rebuilt " +
+        "register state")
   }
 }

@@ -139,7 +139,7 @@ class MvStreamSpec extends SparkSpec {
       batchRows(1 to 200).toDF("g", "k"),
       graft.operators.HllMv.Def("g", "k", s"$root/direct"))
     def regs(p: String) = spark.read.parquet(p)
-      .orderBy($"grp", $"bucket").collect().toSeq
+      .orderBy($"g", $"bucket").collect().toSeq
     assert(regs(m.mv.mvPath) == regs(direct.mvPath),
       "streamed register folds must equal the from-scratch registers")
     // replay + restart
@@ -188,8 +188,8 @@ class MvStreamSpec extends SparkSpec {
         batchRows(1 to 200).toDF("g", "k"),
         graft.operators.HllMv.Def("g", "k", s"$root/direct"))
       val want = graft.operators.HllMv.serveDistinct(spark, direct)
-        .select($"grp", expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"))
-        .orderBy($"grp").collect().toSeq
+        .select($"g", expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"))
+        .orderBy($"g").collect().toSeq
       assert(served.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) ==
         want.map(r => (r.getString(0), r.getLong(1))),
         "stream-maintained serve == batch-built serve")

@@ -601,6 +601,34 @@ class PlanAuditSpec extends SparkSpec {
       s"the HLL++ aggregate itself must be rewritten away:\n$plan")
   }
 
+  test("q261: the mixed aggregate serves from TWO MV leaves — the " +
+    "algebraic partials and the HLL registers — never the fact") {
+    val df = SparkEntry.queries("q261_mv_mixed_rewrite")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q261") && leaves.contains("/alg") &&
+      leaves.contains("/hll"),
+      s"expected the algebraic MV and the register table as the only " +
+        s"scan leaves:\n$leaves")
+    assert(!leaves.contains("orders.parquet"),
+      "the composed serve must never scan the fact")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("approx_count_distinct"),
+      s"the HLL++ aggregate itself must be rewritten away:\n$plan")
+  }
+
+  test("q262: the retraction-refreshed register table is the only " +
+    "serve leaf — the fact is never rescanned at serve time") {
+    val df = SparkEntry.queries("q262_mv_hll_retract")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q262") && leaves.contains("mv1"),
+      s"expected the rederived register table as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet") &&
+      !leaves.contains("effective"),
+      "the serving aggregate must never rescan a fact table")
+  }
+
   test("q218: the log-ratio table joins back as a bounded broadcast, " +
     "windows nowhere") {
     val df = SparkEntry.queries("q218_dsir_selection")(spark, d)

@@ -221,4 +221,61 @@ object StatsProps extends Properties("stats") {
       }
       got == arr
     }
+
+  // ---- mid-rank AUC (q205/q211) ----
+
+  private val genScored: Gen[List[(Long, Int)]] =
+    Gen.listOfN(30, for {
+      // DELIBERATELY low-cardinality scores: heavy cross-class ties,
+      // where any deterministic tie order biases the rank identity
+      s <- Gen.choose(1L, 4L)
+      y <- Gen.choose(0, 1)
+    } yield (s, y))
+
+  /** Pairwise reference: AUC·(2PN) = 2·wins + ties, exact ints. */
+  private def pairwiseAucQ6(pts: List[(Long, Int)]): Option[Long] = {
+    val pos = pts.filter(_._2 == 1).map(_._1)
+    val neg = pts.filter(_._2 == 0).map(_._1)
+    if (pos.isEmpty || neg.isEmpty) None
+    else {
+      val wins = pos.map(p => neg.count(p > _).toLong).sum
+      val ties = pos.map(p => neg.count(p == _).toLong).sum
+      Some((BigInt(2 * wins + ties) * 1000000 /
+        (BigInt(2) * pos.size * neg.size)).toLong)
+    }
+  }
+
+  property("mid-rank AUC identity == exact pairwise AUC under ties") =
+    Prop.forAll(genScored) { pts =>
+      import spark.implicits._
+      pairwiseAucQ6(pts) match {
+        case None => Prop.passed
+        case Some(want) =>
+          val df = pts.zipWithIndex
+            .map { case ((s, y), i) => (s, i.toLong, y.toLong) }
+            .toDF("s", "k", "y")
+          val got = Stats.aucOf(df).select("auc_q6")
+            .collect().head.getLong(0)
+          Prop(got == want) :| s"mid-rank=$got pairwise=$want"
+      }
+    }
+
+  property("the UNCORRECTED deterministic-order identity provably " +
+    "diverges on tied scores — the bias the mid-rank form removes") = {
+    import spark.implicits._
+    // one positive, one negative, SAME score: true AUC is exactly 0.5
+    // (the single pair is a tie); ranking by (s, k) hands the
+    // positive rank 1 → uncorrected AUC = (1 − 1)/1 = 0
+    val df = Seq((10L, 1L, 1L), (10L, 2L, 0L)).toDF("s", "k", "y")
+    val mid = Stats.aucOf(df).select("auc_q6").collect().head.getLong(0)
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(df, Seq($"s".asc, $"k".asc), "r")
+    val uncorrected = ranked
+      .agg((org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"y" === 1L, $"r")
+          .otherwise(0L)) - 1L).as("a"))
+      .collect().head.getLong(0) // (Σ_{pos}rank − P(P+1)/2) / (P·N)
+    Prop(mid == 500000L && uncorrected == 0L) :|
+      s"mid=$mid uncorrected_numerator=$uncorrected"
+  }
 }
