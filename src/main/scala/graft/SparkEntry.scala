@@ -3227,7 +3227,8 @@ object SparkEntry {
         |cal AS (SELECT * FROM pts WHERE k % 2 = 0),
         |tst AS (SELECT * FROM pts WHERE k % 2 = 1),
         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
-        |         CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS sel_k
+        |         CAST(LEAST(((COUNT(*) + 1) * 9 + 9) // 10, COUNT(*)) AS BIGINT)
+        |           AS sel_k
         |       FROM cal),
         |rk AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, k) AS r
         |       FROM cal),
@@ -3503,7 +3504,8 @@ object SparkEntry {
         |cal AS (SELECT * FROM pts WHERE k % 2 = 0),
         |tst AS (SELECT * FROM pts WHERE k % 2 = 1),
         |nn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cal,
-        |         CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS sel_k
+        |         CAST(LEAST(((COUNT(*) + 1) * 9 + 9) // 10, COUNT(*)) AS BIGINT)
+        |           AS sel_k
         |       FROM cal GROUP BY 1),
         |rk AS (SELECT grp, s,
         |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s, k) AS r
@@ -3721,22 +3723,26 @@ object SparkEntry {
     },
     // q256: the same grid energies via list_transform; HUGEINT mirrors
     // the engine's DECIMAL(38,0) staging; the 3-sigma test is the
-    // division-free integer inequality on both sides
+    // division-free integer inequality on the COARSE (e // 1e6)
+    // energies on both sides — the fine grid's square would exceed
+    // 38 digits at scale (the engine's documented bound)
     "q256_energy_outliers" ->
-      """WITH e AS (
+      """WITH e0 AS (
         |  SELECT label, CAST(list_sum(list_transform(embedding,
         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
         |       * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))
         |    AS BIGINT) AS e
         |  FROM embeddings),
+        |e AS (SELECT label, e, e // 1000000 AS ec FROM e0),
         |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
         |    CAST(SUM(CAST(e AS HUGEINT)) AS HUGEINT) AS s,
-        |    CAST(SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS HUGEINT)
-        |      AS ss
+        |    CAST(SUM(CAST(ec AS HUGEINT)) AS HUGEINT) AS sc,
+        |    CAST(SUM(CAST(ec AS HUGEINT) * CAST(ec AS HUGEINT)) AS HUGEINT)
+        |      AS ssc
         |  FROM e)
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vec,
-        |  CAST(SUM(CASE WHEN (n * e - s) * (n * e - s)
-        |       > 9 * (n * ss - s * s) THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(SUM(CASE WHEN (n * ec - sc) * (n * ec - sc)
+        |       > 9 * (n * ssc - sc * sc) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers,
         |  CAST(MAX(s // n) AS BIGINT) AS mean_e
         |FROM e CROSS JOIN g GROUP BY label ORDER BY label""".stripMargin,

@@ -368,15 +368,16 @@ object Corpus {
     def lq(x: String): String =
       s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
     // per-token polynomial via the fused native kernel (n=1 keeps one
-    // hash per token, in order); h = 0 ⟺ the token was empty (every
-    // code point folds in ≥ 1), so the h≠0 filter replicates the
-    // empty-token drop the interpreted char-fold form paid ~1 s for
+    // hash per token, in order); skipEmpty drops empty tokens IN the
+    // kernel — the oracle's `t != ''` pre-filter exactly, where the
+    // old h≠0 form would also have dropped a real ≥6-char token that
+    // happens to hash to 0 mod 2³¹−1
     import org.apache.spark.sql.graft.Bridge
     val hashed = Tables.documents(spark, d)
       .select($"doc_id", $"source",
         explode(Bridge.column(graft.functions.ShingleHash(
-          Bridge.expression($"text"), 1, distinct = false))).as("h"))
-      .filter($"h" =!= 0L)
+          Bridge.expression($"text"), 1, distinct = false,
+          skipEmpty = true))).as("h"))
       .select($"doc_id", $"source", ($"h" % buckets).as("b"))
     val counts = hashed.groupBy($"b")
       .agg(sum(when($"source" === targetSource, 1L).otherwise(0L)).as("ct"),

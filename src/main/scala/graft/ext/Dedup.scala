@@ -932,24 +932,6 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Per-document shingle-novelty census — for every document, the
-    * fraction of its distinct 3-token shingles that appear in ANY
-    * other document: the corpus-wide memorization/boilerplate screen
-    * that catches partial duplication (shared headers, templated
-    * spans, quoted passages) pairwise Jaccard misses because no
-    * single partner crosses a similarity floor. Dedup keeps the
-    * novel; this measures HOW novel each survivor is.
-    *
-    * Scale shape — the inverted-index form: explode the
-    * registry-shared `lsh-hashsets` frame (one hashing pass per
-    * session, shared with the whole LSH family) into (doc, shingle)
-    * rows, ONE map-side-combinable groupBy(shingle) census (distinct
-    * hashes per doc by construction, so `count` is document
-    * frequency), one keyed join back, one groupBy(doc) rollup —
-    * three keyed shuffles of the shingle stream, no self-join, no
-    * pair enumeration, nothing driver-side. The share is the single
-    * positive rational `shared·10⁶ div total`: div and // agree.
-    */
   /** MinHash estimator calibration — the sketch-accuracy eval for the
     * LSH family: over the q26 equal-length block pairs, bucket pairs
     * by how many of the 16 minhash components AGREE and report the
@@ -998,6 +980,24 @@ object Dedup {
       .orderBy($"m")
   }
 
+  /** Per-document shingle-novelty census — for every document, the
+    * fraction of its distinct 3-token shingles that appear in ANY
+    * other document: the corpus-wide memorization/boilerplate screen
+    * that catches partial duplication (shared headers, templated
+    * spans, quoted passages) pairwise Jaccard misses because no
+    * single partner crosses a similarity floor. Dedup keeps the
+    * novel; this measures HOW novel each survivor is.
+    *
+    * Scale shape — the inverted-index form: explode the
+    * registry-shared `lsh-hashsets` frame (one hashing pass per
+    * session, shared with the whole LSH family) into (doc, shingle)
+    * rows, ONE map-side-combinable groupBy(shingle) census (distinct
+    * hashes per doc by construction, so `count` is document
+    * frequency), one keyed join back, one groupBy(doc) rollup —
+    * three keyed shuffles of the shingle stream, no self-join, no
+    * pair enumeration, nothing driver-side. The share is the single
+    * positive rational `shared·10⁶ div total`: div and // agree.
+    */
   def shingleNovelty(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val sh = hashSets(spark, d)

@@ -911,13 +911,20 @@ object Similarity {
     * before any similarity work trusts them.
     *
     * Scale shape: one MAP-ONLY pass folds each vector to its integer
-    * grid energy (no shuffle), one global partial agg carries three
-    * DECIMAL(38,0) cells (n, Σe, Σe²), and the classify pass re-reads
-    * the energies against the broadcast scalar row. The 3σ test is
-    * the INTEGER inequality (n·e − S)² > 9·(n·SS − S²) — the z-score
-    * cleared of both divisions and the square root, so no floating
-    * point crosses engines. All staging is DECIMAL(38,0)/HUGEINT:
-    * Σe² tops int64 five orders of magnitude before 100 TB does.
+    * grid energy (no shuffle), one global partial agg carries four
+    * DECIMAL(38,0) cells (n, Σe, Σe_c, Σe_c²), and the classify pass
+    * re-reads the energies against the broadcast scalar row. The 3σ
+    * test is the INTEGER inequality (n·e_c − S_c)² > 9·(n·SS_c − S_c²)
+    * — the z-score cleared of both divisions and the square root, so
+    * no floating point crosses engines — computed on the COARSE
+    * energy e_c = e div 10⁶ (energy in 10⁻⁶ units rather than the
+    * fine 10⁻¹² grid): squaring n·e at the fine grid would exceed
+    * DECIMAL(38,0)'s 38 digits (and silently null to non-outlier
+    * under non-ANSI decimal overflow) once n·e passes 10¹⁹, i.e. at
+    * ~10⁶ rows for 10¹³-scale energies. At the coarse grid the same
+    * bound is ~10¹² rows — past 100 TB of kilobyte-scale embedding
+    * rows — and a 10⁻⁶-granular energy is far inside a 3σ screen's
+    * resolution. The reported `mean_e` stays on the fine grid.
     */
   def energyOutliers(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -927,14 +934,17 @@ object Similarity {
         aggregate(transform($"embedding", x =>
           floor(x.cast("double") * 1000000.0).cast("long")),
           lit(0L), (acc, q) => acc + q * q).as("e"))
+      // e ≥ 0 (a sum of squares), so div is floor on both engines
+      .withColumn("ec", expr("e div 1000000"))
     val g = e.agg(count(lit(1)).cast(dec).as("n"),
       sum($"e".cast(dec)).as("s"),
-      sum($"e".cast(dec) * $"e".cast(dec)).as("ss"))
+      sum($"ec".cast(dec)).as("sc"),
+      sum($"ec".cast(dec) * $"ec".cast(dec)).as("ssc"))
     e.crossJoin(broadcast(g))
       .select($"label", $"n", $"s",
-        (($"n" * $"e".cast(dec) - $"s") *
-          ($"n" * $"e".cast(dec) - $"s")).as("d2"),
-        (lit(9).cast(dec) * ($"n" * $"ss" - $"s" * $"s")).as("thr"))
+        (($"n" * $"ec".cast(dec) - $"sc") *
+          ($"n" * $"ec".cast(dec) - $"sc")).as("d2"),
+        (lit(9).cast(dec) * ($"n" * $"ssc" - $"sc" * $"sc")).as("thr"))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vec"),
         sum(when($"d2" > $"thr", 1L).otherwise(0L)).as("n_outliers"),

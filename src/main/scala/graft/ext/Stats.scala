@@ -1518,8 +1518,12 @@ object Stats {
     * a driver-side quantile; K and the threshold travel as broadcast
     * one-row scalars; coverage is one conditional agg over the test
     * split. Exactness: K = ⌈(n+1)·9/10⌉ in pure integer arithmetic
-    * (α = 0.1), coverage a single positive q6 division — div and //
-    * agree.
+    * (α = 0.1), CLAMPED to n_cal — for n_cal ≤ 9 the unclamped K
+    * exceeds every rank and the conventional answer is the max
+    * calibration score (the finite stand-in for the infinite
+    * threshold; conformal cannot certify 90% from so few points, but
+    * the row must stay VISIBLE rather than silently vanish); coverage
+    * a single positive q6 division — div and // agree.
     */
   def conformalThreshold(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -1533,7 +1537,7 @@ object Stats {
     // K = ceil((n_cal + 1) * 9 / 10), exact integer form
     val kSel = cal.agg(count(lit(1)).as("n_cal"))
       .select($"n_cal",
-        expr("((n_cal + 1) * 9 + 9) div 10").as("sel_k"))
+        expr("least(((n_cal + 1) * 9 + 9) div 10, n_cal)").as("sel_k"))
     val thr = ranked.crossJoin(broadcast(kSel))
       .filter($"r" === $"sel_k")
       .select($"n_cal", $"sel_k", $"s".as("threshold"))
@@ -1669,7 +1673,9 @@ object Stats {
     * |groups|-row offset table (`ROW_NUMBER PARTITION BY group` would
     * funnel each group through one reducer); per-group K and
     * thresholds live on the bounded group domain and re-attach
-    * broadcast.
+    * broadcast. Small groups take the same K-clamp as
+    * [[conformalThreshold]]: a group with n_g ≤ 9 reports its max
+    * calibration score instead of silently dropping out.
     */
   def conformalByGroup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -1683,7 +1689,8 @@ object Stats {
       .withRowNumber(cal, Seq($"grp".asc, $"s".asc, $"k".asc), "r")
     val offsets = ranked.groupBy($"grp")
       .agg((min($"r") - 1L).as("off"), count(lit(1)).as("n_cal"))
-      .withColumn("sel_k", expr("((n_cal + 1) * 9 + 9) div 10"))
+      .withColumn("sel_k",
+        expr("least(((n_cal + 1) * 9 + 9) div 10, n_cal)"))
     val thr = ranked.join(broadcast(offsets), "grp")
       .filter($"r" - $"off" === $"sel_k")
       .select($"grp", $"n_cal", $"sel_k", $"s".as("threshold"))

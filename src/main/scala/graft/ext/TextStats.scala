@@ -185,15 +185,17 @@ object TextStats {
                      dims: Int = 64): DataFrame = {
     import spark.implicits._
     // per-token polynomial via the fused native kernel (n=1 → one
-    // hash per token); h = 0 ⟺ empty token, so the h≠0 filter is the
-    // old explode+length guard without the interpreted char fold
+    // hash per token); skipEmpty drops empty tokens IN the kernel —
+    // exactly the oracle's `t != ''` pre-filter, where the old h≠0
+    // filter would also have dropped a real ≥6-char token that
+    // happens to hash to 0 mod 2³¹−1
     val hashed = {
       import org.apache.spark.sql.graft.Bridge
       Tables.documents(spark, d)
         .select($"doc_id",
           explode(Bridge.column(graft.functions.ShingleHash(
-            Bridge.expression($"text"), 1, distinct = false))).as("h"))
-        .filter($"h" =!= 0L)
+            Bridge.expression($"text"), 1, distinct = false,
+            skipEmpty = true))).as("h"))
     }
     val vec = hashed.select($"doc_id", ($"h" % dims).as("bucket"),
         when(expr(s"(h div $dims) % 2") === 0, lit(1L)).otherwise(lit(-1L))

@@ -26,8 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback is deliberate: the per-row work (thousands of char
   * ops) dwarfs the one virtual call the fallback costs, and the
   * surrounding operators still codegen.
+  *
+  * `skipEmpty` (n = 1 only) drops empty tokens natively — the
+  * per-token form's oracle twins filter `t != ''` BEFORE hashing, and
+  * the old caller-side `h != 0` filter was not equivalent: a nonempty
+  * token of ≥ 6 chars can hash to 0 mod 2³¹−1 (~2⁻³¹ per token), in
+  * which case the filter dropped a real token the oracle kept. For
+  * n > 1 the flag is inert: separators fold into the shingle hash and
+  * no caller filters on the value.
   */
-case class ShingleHash(child: Expression, n: Int = 3, distinct: Boolean = true)
+case class ShingleHash(child: Expression, n: Int = 3, distinct: Boolean = true,
+                       skipEmpty: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   private val P = 2147483647L // 2^31 - 1
@@ -56,6 +65,8 @@ case class ShingleHash(child: Expression, n: Int = 3, distinct: Boolean = true)
     val tokCps = toks.map(_.codePoints().toArray)
     var i = 0
     while (i < slots) {
+      if (skipEmpty && n == 1 && tokCps(i).length == 0) { i += 1 }
+      else {
       var acc = 0L
       var t = 0
       while (t < n) {
@@ -70,6 +81,7 @@ case class ShingleHash(child: Expression, n: Int = 3, distinct: Boolean = true)
       }
       out += acc
       i += 1
+      }
     }
     new GenericArrayData(out.toArray)
   }
