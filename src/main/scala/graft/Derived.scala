@@ -38,9 +38,28 @@ object Derived {
   private var clock = 0L
 
   /** Registry byte budget. `Long.MaxValue` disables eviction (the
-    * batch-harness default — those mains [[clear]] on shutdown);
-    * long-lived sessions set a real budget. */
+    * bare default — short batch mains [[clear]] on shutdown);
+    * long-lived entry points (the bench loop, the streaming
+    * maintainers, a REPL) call [[ensureBudget]] for a measured one. */
   @volatile var budgetBytes: Long = Long.MaxValue
+
+  /** Set a MEASURED default budget if none has been set yet: half of
+    * Spark's unified memory region (`spark.memory.fraction` × the
+    * heap beyond the 300 MB reserve — the same formula
+    * UnifiedMemoryManager uses), leaving the other half for shuffle
+    * and execution. Idempotent and non-overriding: an explicit
+    * `budgetBytes` assignment (specs force tiny budgets) wins. In
+    * local mode driver and executor share one heap, so
+    * `Runtime.maxMemory` IS the executor heap; on a cluster each
+    * executor JVM computes the same formula over its own heap. */
+  def ensureBudget(spark: org.apache.spark.sql.SparkSession): Long = {
+    if (budgetBytes == Long.MaxValue) {
+      val frac = spark.conf.get("spark.memory.fraction", "0.6").toDouble
+      val usable = (Runtime.getRuntime.maxMemory - (300L << 20)).max(1L << 28)
+      budgetBytes = (usable * frac * 0.5).toLong
+    }
+    budgetBytes
+  }
 
   /** The frame cached under `key`, building and materializing it on
     * first use. Keys must encode every input that changes the result

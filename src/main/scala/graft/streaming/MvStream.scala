@@ -117,6 +117,10 @@ final class MvMaintainer(sourcePath: String, groupCols: Seq[String],
     */
   def apply(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= log.batchId) return // redelivered batch — already folded
+    // the maintainer's session is long-lived by definition — bound
+    // the Derived registry by the measured default (idempotent;
+    // explicit budgets win)
+    graft.Derived.ensureBudget(batch.sparkSession)
     val next = log.next
     val refreshed =
       if (log.batchId < 0L)
@@ -191,6 +195,7 @@ final class HllMaintainer(grpCol: String, keyCol: String, root: String,
 
   def apply(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= log.batchId) return // redelivered — already folded
+    graft.Derived.ensureBudget(batch.sparkSession) // long-lived session
     val next = log.next
     val folded =
       if (log.batchId < 0L)

@@ -129,6 +129,24 @@ class DerivedSpec extends SparkSpec {
     }
   }
 
+  test("ensureBudget sets a measured default once and never overrides " +
+    "an explicit budget") {
+    val old = Derived.budgetBytes
+    try {
+      Derived.budgetBytes = Long.MaxValue
+      val b = Derived.ensureBudget(spark)
+      assert(b > 0 && b < Runtime.getRuntime.maxMemory,
+        s"default budget must be a positive fraction of the heap, got $b")
+      assert(Derived.budgetBytes == b)
+      // idempotent
+      assert(Derived.ensureBudget(spark) == b)
+      // an explicit assignment (a spec forcing eviction, an operator
+      // with better knowledge) wins over the default
+      Derived.budgetBytes = 12345L
+      assert(Derived.ensureBudget(spark) == 12345L)
+    } finally Derived.budgetBytes = old
+  }
+
   test("eviction keeps recently-used entries when the budget allows") {
     Derived.clear()
     val old = Derived.budgetBytes

@@ -390,6 +390,74 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("MERGE -> MV refresh composition: upsert the late CDC batch " +
+    "into the base, rederive the min/max MV from the same changelog " +
+    "== full rebuild; violating the ordering serves stale cells") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-merge").toString
+    def mk(r: Range) = r.map(i =>
+      (i.toLong, s"s${i % 3}", (i % 7).toDouble)).toDF("id", "status", "v")
+    val base0 = mk(1 to 300)
+    base0.write.parquet(s"$dir/base0")
+    // the MV holds PRE-merge partials, registered against the path
+    // the MERGED base will land on (the warehouse ordering: fact
+    // upsert commits first, then the MV refresh consumes the log)
+    val mv0 = MvRewrite.materializeFrom(base0,
+      MvRewrite.MvDef(s"$dir/base1", groupCols = Seq("status"),
+        sumCols = Seq("v"), mvPath = s"$dir/mv0",
+        minMaxCols = Seq("v")))
+    try {
+      // late-arriving feed: value updates on 1..60 (some MOVE the row
+      // to another cell via a status change), inserts 301..330
+      val updates = ((1 to 60).map(i => (i.toLong, 1L,
+          (i % 7) + 100.0, if (i % 5 == 0) "s9" else null)) ++
+        (301 to 330).map(i => (i.toLong, 1L, (i % 7) + 200.0, "s9")))
+        .toDF("uid", "seq", "uv", "ustatus")
+      val merged = graft.operators.Upsert.latestWins(
+        spark.read.parquet(s"$dir/base0"), updates, "id", "uid", "seq",
+        Map("v" -> "uv", "status" -> "ustatus"))
+      merged.drop("op").write.parquet(s"$dir/base1")
+
+      // the changelog's touched CELLS come from the snapshot diff —
+      // a status-moving update touches BOTH its old and new cell
+      val diff = graft.operators.Upsert.snapshotDiff(
+        spark.read.parquet(s"$dir/base0"),
+        spark.read.parquet(s"$dir/base1"), "id", Seq("status", "v"))
+      val cdc = diff.select($"b_status".as("status"))
+        .unionByName(diff.select($"a_status".as("status")))
+        .filter($"status".isNotNull)
+
+      val refreshed = MvRewrite
+        .refreshRetractRederive(spark, mv0, cdc, s"$dir/mv1")
+      MvRewrite.clear()
+      val rebuilt = MvRewrite.materialize(spark, s"$dir/base1",
+        groupCols = Seq("status"), sumCols = Seq("v"),
+        mvPath = s"$dir/mvfull", minMaxCols = Seq("v"))
+      MvRewrite.clear()
+      def rows(p: String) = {
+        val df = spark.read.parquet(p)
+        val cols = df.columns.sorted.map(col).toSeq
+        df.select(cols: _*).orderBy($"status").collect().toSeq
+      }
+      assert(rows(refreshed.mvPath) == rows(rebuilt.mvPath),
+        "MERGE then rederive must equal a full rebuild of the merged base")
+
+      // ordering violated: the refresh consumes the changelog while
+      // its source still holds the PRE-merge base — touched cells
+      // rebuild from stale data and the MV diverges (why the
+      // base-first contract is stated, not assumed)
+      val mvStale = MvRewrite.materializeFrom(base0,
+        MvRewrite.MvDef(s"$dir/base0", groupCols = Seq("status"),
+          sumCols = Seq("v"), mvPath = s"$dir/mv0b",
+          minMaxCols = Seq("v")))
+      val stale = MvRewrite
+        .refreshRetractRederive(spark, mvStale, cdc, s"$dir/mv1b")
+      assert(rows(stale.mvPath) != rows(rebuilt.mvPath),
+        "a refresh that runs before the base upsert must NOT silently " +
+          "equal the rebuild — the divergence is the contract's teeth")
+    } finally MvRewrite.clear()
+  }
+
   test("rederive retraction: MIN/MAX via touched cells only — " +
     "untouched base partition DELETED first") {
     withRule() // rule installed: also regression-proofs the
