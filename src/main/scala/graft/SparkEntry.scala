@@ -811,6 +811,10 @@ object SparkEntry {
     // their registers from the post-CDC base slice, untouched cells
     // carry over — the MV family's last refusal removed
     "q262_mv_hll_retract" -> (Extended.mvHllRetract _),
+    // REAL compressed-video decode: Motion-JPEG frames in a RIFF/AVI
+    // container through the JDK's JPEG codec — spec-verified, outside
+    // the oracle surface (JPEG is lossy; luma is codec-determined)
+    "q263_mjpeg_decode" -> (Multimodal.mjpegFeatures _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the

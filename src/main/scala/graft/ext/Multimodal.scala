@@ -17,10 +17,14 @@ import graft.sources.Tables
   * yields dimensions, band count, and per-channel means, and q56
   * oracle-verifies the full encode→decode→feature path (PNG is
   * lossless, so DuckDB recomputes the same features from the pixel
-  * formula in closed form). Audio/video decode remains STUBBED
-  * ([[decodeMedia]]): those codec libraries are unavailable here, so
-  * non-image features come from a deterministic byte-level fake
-  * ([[fakeFeatures]], q37) behind the same schema/batching contract.
+  * formula in closed form). PCM audio ([[decodeAudio]]), uncompressed
+  * Y4M video ([[decodeVideo]]), and COMPRESSED Motion-JPEG video
+  * ([[decodeMjpeg]] — RIFF/AVI walk + the JDK's real JPEG codec per
+  * frame) all decode for real too; only inter-frame codecs
+  * (H.264/VP9/AV1) remain behind the [[decodeMedia]] stub — no JDK
+  * codec exists for them — with non-image fallback features from a
+  * deterministic byte-level fake ([[fakeFeatures]], q37) behind the
+  * same schema/batching contract.
   *
   * Scale: `mapPartitions` streams one partition per task with O(batch)
   * memory; a decode stage at 100 TB is embarrassingly parallel and
@@ -187,6 +191,166 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Decoded-MJPEG features: container geometry plus per-stream luma
+    * stats over all REAL JPEG-decoded frames. */
+  final case class MjpegFeatures(doc_id: Long, n_frames: Int, width: Int,
+                                 height: Int, mean_luma: Double)
+
+  /** COMPRESSED-video decode, pure JDK: Motion-JPEG in an AVI (RIFF)
+    * container — each `00dc` chunk is an independent JPEG frame, and
+    * ImageIO ships a real JPEG codec, so this path upgrades the
+    * former blanket [[decodeMedia]] stub to an actual compressed
+    * format. Container walk: verify `RIFF…AVI `, iterate top-level
+    * chunks to the `LIST movi` payload, iterate its `00dc` chunks
+    * (word-aligned per RIFF), decode each via `ImageIO.read`. Frames
+    * must agree on geometry (MJPEG streams do); luma is the ITU-R 601
+    * integer weighting (299·R + 587·G + 114·B)/1000 over every pixel
+    * of every frame. Returns None on a malformed container, an
+    * undecodable frame, or inconsistent geometry — the same
+    * drop-don't-fail policy as the other decoders. Inter-frame
+    * codecs (H.264/VP9/AV1) remain behind [[decodeMedia]]: the JDK
+    * has no codec for them, and MJPEG is the honest boundary of
+    * dependency-free decode.
+    */
+  def decodeMjpeg(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    def fourcc(off: Int): String =
+      if (off + 4 > bytes.length) "" else new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val riffEnd = math.min(8L + u32(4), bytes.length.toLong)
+    // find the LIST whose list-type is 'movi'
+    var pos = 12L
+    var movi = -1L
+    var moviEnd = -1L
+    while (movi < 0 && pos + 8 <= riffEnd) {
+      val id = fourcc(pos.toInt)
+      val sz = u32(pos.toInt + 4)
+      if (sz < 0) return None
+      if (id == "LIST" && fourcc(pos.toInt + 8) == "movi") {
+        movi = pos + 12
+        moviEnd = math.min(pos + 8 + sz, riffEnd)
+      }
+      pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (movi < 0) return None
+    var p = movi
+    var frames = 0
+    var w = -1
+    var h = -1
+    var lumaSum = 0L
+    while (p + 8 <= moviEnd) {
+      val id = fourcc(p.toInt)
+      val sz = u32(p.toInt + 4)
+      if (sz < 0 || p + 8 + sz > moviEnd) return None
+      if (id == "00dc") {
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, (p + 8).toInt, sz.toInt))
+          catch { case _: Throwable => null }
+        if (img == null) return None
+        if (w < 0) { w = img.getWidth; h = img.getHeight }
+        else if (w != img.getWidth || h != img.getHeight) return None
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lumaSum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        frames += 1
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    if (frames == 0) None
+    else Some((frames, w, h, lumaSum.toDouble / (frames.toLong * w * h)))
+  }
+
+  /** Deterministic synthetic MJPEG-AVI clip: `2 + doc_id mod 3`
+    * frames of an 8×8 gradient keyed by (doc_id, frame), each frame
+    * REALLY JPEG-encoded by ImageIO, wrapped in a minimal RIFF/AVI
+    * (`hdrl` with a standard 56-byte `avih`, then `LIST movi` of
+    * `00dc` chunks). JPEG is lossy, so decoded luma is
+    * codec-determined — this path is spec-verified (round-trip
+    * determinism + geometry + corruption rejection), not
+    * oracle-hashed, exactly like the format boundary says.
+    */
+  def syntheticMjpegAvi(docId: Long): Array[Byte] = {
+    val (w, h) = (8, 8)
+    val frames = 2 + (docId % 3).toInt
+    val jpegs = (0 until frames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < w * h) {
+        val v = ((docId * 17 + f * 29 + p * 13) % 256).toInt
+        img.setRGB(p % w, p / w, (v << 16) | (v << 8) | v)
+        p += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    // standard 56-byte avih: µs/frame, rates zeroed, frame count, dims
+    val avih = chunk("avih", le32(40000L) ++ le32(0) ++ le32(0) ++ le32(16) ++
+      le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      Array.fill(16)(0.toByte))
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+  }
+
+  /** MJPEG media table: one synthetic AVI clip per document id. */
+  def mjpegMedia(spark: SparkSession, d: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id").as[Long]
+      .map(id => MediaRow(id, "video/x-msvideo", syntheticMjpegAvi(id)))
+  }
+
+  /** The MJPEG decode stage: partition-streamed, batched, real JPEG
+    * decode per frame; undecodable rows are dropped. */
+  def decodeMjpegRows(media: Dataset[MediaRow]): Dataset[MjpegFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          decodeMjpeg(m.content).map { case (n, w, h, luma) =>
+            MjpegFeatures(m.doc_id, n, w, h, luma)
+          }
+        }
+      }
+    }
+  }
+
+  /** q263: MJPEG-AVI encode→decode→feature round-trip — a REAL
+    * compressed-video decode (ImageIO JPEG) behind the same map-only
+    * shape as q65. Spec-verified; outside the oracle surface because
+    * JPEG is lossy (decoded luma is codec-determined, not
+    * closed-form). */
+  def mjpegFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    decodeMjpegRows(mjpegMedia(spark, d))
+      .toDF()
+      .select($"doc_id", $"n_frames", $"width", $"height",
+        r4($"mean_luma").as("mean_luma"))
+      .orderBy($"doc_id")
   }
 
   /** q65: Y4M encode→decode→feature round-trip — map-only, no shuffle

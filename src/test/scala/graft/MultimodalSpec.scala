@@ -164,6 +164,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoFeatures(spark, d).count() == n)
   }
 
+  test("decodeMjpeg: real JPEG frames out of a RIFF/AVI container — " +
+    "geometry exact, luma deterministic, corruption rejected") {
+    val avi = Multimodal.syntheticMjpegAvi(7L)
+    val got = Multimodal.decodeMjpeg(avi)
+    assert(got.isDefined, "a well-formed MJPEG-AVI must decode")
+    val (frames, w, h, luma) = got.get
+    assert(frames == 2 + (7 % 3) && w == 8 && h == 8,
+      s"container geometry must be exact, got ($frames, $w, $h)")
+    // JPEG is lossy but the CODEC is deterministic: same bytes, same
+    // lumas — and a grayscale gradient must stay within one JPEG
+    // quantization step of the source mean
+    assert(Multimodal.decodeMjpeg(avi).get == got.get,
+      "decode must be deterministic")
+    val srcMean = (0 until frames).flatMap(f => (0 until 64).map(p =>
+      ((7L * 17 + f * 29 + p * 13) % 256).toDouble)).sum / (frames * 64)
+    assert(math.abs(luma - srcMean) < 16.0,
+      s"decoded luma $luma must approximate the source mean $srcMean")
+  }
+
+  test("corrupt MJPEG bytes are dropped, not fatal") {
+    import spark.implicits._
+    val avi = Multimodal.syntheticMjpegAvi(3L)
+    // flip bytes inside the first JPEG payload: ImageIO must fail or
+    // the container walk must reject — either way the row drops
+    val broken = avi.clone()
+    val moviAt = {
+      val s = new String(broken.map(_.toChar))
+      s.indexOf("00dc")
+    }
+    (moviAt + 12 until (moviAt + 60).min(broken.length))
+      .foreach(i => broken(i) = 0x55)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video/x-msvideo", avi),
+      Multimodal.MediaRow(2L, "video/x-msvideo", broken),
+      Multimodal.MediaRow(3L, "video/x-msvideo", "RIFFjunk".getBytes))
+    val out = Multimodal.decodeMjpegRows(rows.toDS()).collect()
+    assert(out.map(_.doc_id).toSet == Set(1L),
+      s"only the intact clip may survive, got ${out.toSeq}")
+  }
+
+  test("q263 pipeline decodes every document's MJPEG clip") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.documents(spark, d).count()
+    assert(Multimodal.mjpegFeatures(spark, d).count() == n)
+  }
+
   /** syntheticPng with every blue channel nudged by +1 (clamped) — a
     * perceptual near-dup: luma moves by at most one count per pixel,
     * so the dHash gradient signs flip on near-ties only. */
