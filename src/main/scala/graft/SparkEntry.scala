@@ -815,6 +815,18 @@ object SparkEntry {
     // container through the JDK's JPEG codec — spec-verified, outside
     // the oracle surface (JPEG is lossy; luma is codec-determined)
     "q263_mjpeg_decode" -> (Multimodal.mjpegFeatures _),
+    // Weekly growth accounting: new / retained / resurrected /
+    // churned user composition, one distinct + keyed self-joins
+    "q264_growth_accounting" -> (Behavior.growthAccounting _),
+    // Mantel-Haenszel pooled odds ratio across priority strata —
+    // confounder-honest pooling, exact q6 rationals
+    "q265_mantel_haenszel" -> (Stats.mantelHaenszel _),
+    // Mann-Kendall monotone-trend test with tie-corrected variance,
+    // significance via the division-free integer inequality
+    "q266_mann_kendall" -> (Stats.mannKendall _),
+    // Gini coefficient of customer revenue by the exact rank
+    // identity over a GlobalIndex total order
+    "q267_gini_revenue" -> (Stats.giniRevenue _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5043,6 +5055,117 @@ object SparkEntry {
         |  a.custkey_sum, CAST(FLOOR(e.est + 0.5) AS BIGINT) AS approx_users
         |FROM a JOIN e ON a.g1 = e.g1 AND a.g2 = e.g2
         |ORDER BY 1, 2""".stripMargin,
+    // q264: the same Monday-start weeks, set algebra in SQL — first
+    // week per user, prior-week membership, shifted-week anti join
+    "q264_growth_accounting" ->
+      """WITH act AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    user_id
+        |  FROM events),
+        |firsts AS (SELECT user_id, MIN(wk) AS first_wk FROM act GROUP BY 1),
+        |cls AS (
+        |  SELECT a.wk,
+        |    CAST(SUM(CASE WHEN a.wk = f.first_wk THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS new_users,
+        |    CAST(SUM(CASE WHEN a.wk <> f.first_wk AND p.user_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS retained_users,
+        |    CAST(SUM(CASE WHEN a.wk <> f.first_wk AND p.user_id IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users
+        |  FROM act a
+        |  JOIN firsts f ON a.user_id = f.user_id
+        |  LEFT JOIN act p ON p.user_id = a.user_id AND p.wk + 7 = a.wk
+        |  GROUP BY 1),
+        |mx AS (SELECT MAX(wk) AS max_wk FROM act),
+        |churn AS (
+        |  SELECT c.wk, CAST(COUNT(*) AS BIGINT) AS churned_users
+        |  FROM (SELECT user_id, wk + 7 AS wk FROM act) c
+        |  CROSS JOIN mx
+        |  WHERE c.wk <= mx.max_wk
+        |    AND NOT EXISTS (SELECT 1 FROM act n
+        |                    WHERE n.user_id = c.user_id AND n.wk = c.wk)
+        |  GROUP BY 1)
+        |SELECT COALESCE(cls.wk, churn.wk) AS wk,
+        |  COALESCE(new_users, 0) AS new_users,
+        |  COALESCE(retained_users, 0) AS retained_users,
+        |  COALESCE(resurrected_users, 0) AS resurrected_users,
+        |  COALESCE(churned_users, 0) AS churned_users
+        |FROM cls FULL JOIN churn ON cls.wk = churn.wk
+        |ORDER BY wk""".stripMargin,
+    // q265: identical 2x2 cells and the same per-stratum q6 staging;
+    // HUGEINT mirrors DECIMAL(38,0)
+    "q265_mantel_haenszel" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS stratum,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus <> 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 <> 0 AND o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 <> 0 AND o_orderstatus <> 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT *, a + b + c + d AS n FROM cells),
+        |pooled AS (
+        |  SELECT CAST(SUM((CAST(a AS HUGEINT) * d * 1000000) // n)
+        |      AS HUGEINT) AS mh_num,
+        |    CAST(SUM((CAST(b AS HUGEINT) * c * 1000000) // n)
+        |      AS HUGEINT) AS mh_den
+        |  FROM w)
+        |SELECT stratum, a, b, c, d,
+        |  CAST((CAST(a AS HUGEINT) * d * 1000000)
+        |       // nullif(CAST(b AS HUGEINT) * c, 0) AS BIGINT) AS or_q6,
+        |  CAST((mh_num * 1000000) // nullif(mh_den, 0) AS BIGINT)
+        |    AS mh_or_q6
+        |FROM w CROSS JOIN pooled ORDER BY stratum""".stripMargin,
+    // q266: the same bounded day-domain pair space and tie groups;
+    // significance is the identical division-free inequality
+    "q266_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(COALESCE(SUM(CASE WHEN b.v > a.v THEN 1
+        |        WHEN b.v < a.v THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        |      FROM daily a JOIN daily b ON b.day > a.day),
+        |ties AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)
+        |      * (2 * t + 5)), 0) AS HUGEINT) AS tie_sum
+        |  FROM (SELECT v, COUNT(*) AS t FROM daily GROUP BY 1)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |x AS (SELECT n_days, s_stat,
+        |        CAST(CAST(n_days AS HUGEINT) * (n_days - 1)
+        |          * (2 * n_days + 5) - tie_sum AS HUGEINT) AS var18
+        |      FROM s CROSS JOIN nn CROSS JOIN ties)
+        |SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+        |  CAST(s_stat * 1000000 // nullif((n_days * (n_days - 1)) // 2, 0)
+        |    AS BIGINT) AS tau_q6,
+        |  CAST(CASE WHEN s_stat = 0 THEN 0
+        |    WHEN CAST(abs(s_stat) - 1 AS HUGEINT) * (abs(s_stat) - 1)
+        |      * 18 * 10000 > 38416 * var18
+        |    THEN CAST(sign(s_stat) AS BIGINT) ELSE 0 END AS BIGINT)
+        |    AS trend
+        |FROM x""".stripMargin,
+    // q267: the textbook ROW_NUMBER rank identity the engine reaches
+    // with GlobalIndex; HUGEINT mirrors DECIMAL(38,0)
+    "q267_gini_revenue" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+        |       FROM pc),
+        |agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |          CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |          CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
+        |        FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(sx AS BIGINT) AS total_cents,
+        |  CAST(((2 * six - (n + 1) * sx) * 1000000)
+        |       // nullif(n * sx, 0) AS BIGINT) AS gini_q6
+        |FROM agg""".stripMargin,
     // q262: the deterministic estimator over the EFFECTIVE post-CDC
     // state (deletes in priorities 1/2, re-keys in 3, 4/5 untouched);
     // equality proves rederive(touched) ∪ carry(untouched) == rebuild

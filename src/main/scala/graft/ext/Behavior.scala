@@ -437,4 +437,55 @@ object Behavior {
           .as("stick_q6"))
       .orderBy($"wk")
   }
+
+  /** Weekly growth accounting — the standard user-base ledger every
+    * growth team reads: each week's active users split into NEW
+    * (first-ever week), RETAINED (also active the prior week), and
+    * RESURRECTED (returning after a gap), plus CHURNED (active the
+    * prior week, absent this one) — so `new + resurrected − churned`
+    * is exactly the week-over-week active-user delta. [[stickiness]]
+    * reads intensity; this reads composition.
+    *
+    * Scale shape: ONE distinct over (user, week) is the only
+    * event-volume-sized work; classification is a per-user min
+    * (first week) plus a self-equi-join on (user, week−7) — keyed
+    * shuffles, no windows, no per-user sort; churn is a left-anti
+    * self-join on the shifted week. All counts are exact integers.
+    * Weeks are Monday-start `date_trunc` on both engines (the q257
+    * convention), so week+7 lands exactly on the next week's key.
+    */
+  def growthAccounting(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, d)
+      .select(date_trunc("week", $"ts").cast("date").as("wk"), $"user_id")
+      .distinct()
+    val firsts = act.groupBy($"user_id").agg(min($"wk").as("first_wk"))
+    val prev = act.select(date_add($"wk", 7).as("wk"), $"user_id",
+      lit(1L).as("was_prev"))
+    val classified = act
+      .join(firsts, "user_id")
+      .join(prev, Seq("wk", "user_id"), "left")
+      .groupBy($"wk")
+      .agg(sum(when($"wk" === $"first_wk", 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when($"wk" =!= $"first_wk" && $"was_prev".isNotNull, 1L)
+          .otherwise(0L)).as("retained_users"),
+        sum(when($"wk" =!= $"first_wk" && $"was_prev".isNull, 1L)
+          .otherwise(0L)).as("resurrected_users"))
+    val maxWk = act.agg(max($"wk").as("max_wk"))
+    val churned = act.select($"user_id", date_add($"wk", 7).as("wk"))
+      .join(act, Seq("user_id", "wk"), "left_anti")
+      .crossJoin(broadcast(maxWk))
+      .filter($"wk" <= $"max_wk")
+      .groupBy($"wk").agg(count(lit(1)).as("churned_users"))
+    // FULL outer: a week where every user churned has no active row
+    // but must still report its churn count
+    classified.join(churned, Seq("wk"), "full_outer")
+      .select($"wk",
+        coalesce($"new_users", lit(0L)).as("new_users"),
+        coalesce($"retained_users", lit(0L)).as("retained_users"),
+        coalesce($"resurrected_users", lit(0L)).as("resurrected_users"),
+        coalesce($"churned_users", lit(0L)).as("churned_users"))
+      .orderBy($"wk")
+  }
 }

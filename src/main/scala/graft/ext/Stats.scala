@@ -2220,4 +2220,128 @@ object Stats {
         expr("CAST(p AS BIGINT)").as("n_pos"),
         expr("CAST(st div (p * 1000) AS BIGINT)").as("ap_q6"))
   }
+
+  /** Mantel–Haenszel pooled odds ratio — the stratified 2×2 estimator
+    * every observational analysis reaches for when a confounder
+    * (here: order priority) correlates with both exposure and
+    * outcome: per-stratum odds ratios stay honest, and the MH
+    * weighting `Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)` pools them without the
+    * collapsed table's Simpson-paradox bias. Exposure is the q243
+    * deterministic customer-parity arm, outcome is the finished
+    * status — the same synthetic assignment the A/B stack uses.
+    *
+    * Exactness: each stratum's 2×2 is one map-side-combinable
+    * conditional agg; both MH terms quantize per stratum as
+    * `a·d·10⁶ div n` in DECIMAL(38,0) (a·d·10⁶ outgrows int64 once
+    * cells pass ~3M rows) and the pooled ratio is one positive q6
+    * division of their sums. Per-stratum ORs ride the same staging;
+    * all-zero cells yield NULL via nullif, never a division error.
+    * Scale shape: one scan → 5-row stratum domain → broadcast-sized
+    * everything.
+    */
+  def mantelHaenszel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val cells = Tables.orders(spark, d)
+      .select($"o_orderpriority".as("stratum"),
+        ($"o_custkey" % 2 === 0).as("e"),
+        ($"o_orderstatus" === "F").as("pos"))
+      .groupBy($"stratum")
+      .agg(sum(when($"e" && $"pos", 1L).otherwise(0L)).as("a"),
+        sum(when($"e" && !$"pos", 1L).otherwise(0L)).as("b"),
+        sum(when(!$"e" && $"pos", 1L).otherwise(0L)).as("c"),
+        sum(when(!$"e" && !$"pos", 1L).otherwise(0L)).as("d"))
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+    val pooled = cells.agg(
+      sum(expr(s"(CAST(a AS $dec) * d * 1000000) div n")).as("mh_num"),
+      sum(expr(s"(CAST(b AS $dec) * c * 1000000) div n")).as("mh_den"))
+      .select(expr("CAST((mh_num * 1000000) div nullif(mh_den, 0)" +
+        " AS BIGINT)").as("mh_or_q6"))
+    cells.crossJoin(broadcast(pooled))
+      .select($"stratum", $"a", $"b", $"c", $"d",
+        expr(s"CAST((CAST(a AS $dec) * d * 1000000)" +
+          s" div nullif(CAST(b AS $dec) * c, 0) AS BIGINT)").as("or_q6"),
+        $"mh_or_q6")
+      .orderBy($"stratum")
+  }
+
+  /** Mann–Kendall trend test over daily order revenue — the
+    * non-parametric "is there a monotone trend" gate run before
+    * trusting any fitted slope ([[theilSenTrend]] estimates the
+    * slope; this tests its existence): S = Σ sign(xⱼ − xᵢ) over all
+    * i < j day pairs, variance tie-corrected, significance at
+    * α = 0.05 by the exact integer inequality
+    * `(|S|−1)²·18·10⁴ > 38416·A` where `A = n(n−1)(2n+5) −
+    * Σ tⱼ(tⱼ−1)(2tⱼ+5)` (18·Var, cleared of the division; 38416 =
+    * (1.96·100)² — the q243 quantized-critical-value discipline, no
+    * sqrt crosses an engine). Kendall τ_a = S·10⁶ div (n(n−1)/2).
+    *
+    * Scale shape — the q245 domain-quadratic discipline: one
+    * order-volume agg collapses to the bounded day DOMAIN (~2.4k
+    * days), the pair space is days-choose-2 via a broadcast
+    * self-join, tie groups are one groupBy over the day frame, and
+    * the final stats are single-row integer folds. Never quadratic
+    * in row count.
+    */
+  def mannKendall(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+      .groupBy($"day").agg(sum($"v").as("v"))
+    val a = daily.select($"day".as("da"), $"v".as("va"))
+    val b = daily.select($"day".as("db"), $"v".as("vb"))
+    val s = a.join(broadcast(b), $"db" > $"da")
+      .agg(coalesce(sum(signum($"vb" - $"va").cast("long")), lit(0L))
+        .as("s_stat"))
+    val ties = daily.groupBy($"v").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr(s"CAST(t AS $dec) * (t - 1) * (2 * t + 5)")),
+        lit(0).cast(dec)).as("tie_sum"))
+    val nn = daily.agg(count(lit(1)).as("n_days"))
+    s.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+      .select($"n_days", $"s_stat",
+        expr(s"CAST(CAST(n_days AS $dec) * (n_days - 1) * (2 * n_days + 5)" +
+          s" - tie_sum AS $dec)").as("var18"))
+      .select($"n_days", $"s_stat",
+        expr("CAST(var18 AS BIGINT)").as("var18"),
+        expr("CAST(s_stat * 1000000 div nullif((n_days * (n_days - 1))" +
+          " div 2, 0) AS BIGINT)").as("tau_q6"),
+        expr(s"""CAST(CASE WHEN s_stat = 0 THEN 0
+          | WHEN CAST((abs(s_stat) - 1) AS $dec) * (abs(s_stat) - 1)
+          |   * 18 * 10000 > 38416 * var18
+          | THEN CAST(sign(s_stat) AS BIGINT) ELSE 0 END AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("trend"))
+  }
+
+  /** Gini coefficient of customer revenue concentration — the
+    * single-number inequality readout next to the q165
+    * concentration curve: `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`
+    * over revenues sorted ascending, the exact rank identity (no
+    * Lorenz-curve integration error). Customers here are those with
+    * at least one order — the entity the revenue attaches to.
+    *
+    * Scale shape: one order-volume agg to per-customer cents, ONE
+    * [[graft.operators.GlobalIndex]] ranking by the (cents, custkey)
+    * total order (range-partitioned — never a global ROW_NUMBER
+    * window), one DECIMAL(38,0) fold (Σ i·x ~ n²·x̄ is past int64
+    * at ~10⁵ customers already), one positive q6 division.
+    */
+  def giniRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val perCust = Tables.orders(spark, d)
+      .select($"o_custkey",
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy($"o_custkey").agg(sum($"cents").as("x"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(perCust, Seq($"x".asc, $"o_custkey".asc), "i")
+    ranked.agg(count(lit(1)).cast(dec).as("n"),
+        sum($"x".cast(dec)).as("sx"),
+        sum(($"i".cast(dec)) * $"x").as("six"))
+      .select(expr("CAST(n AS BIGINT)").as("n_customers"),
+        expr("CAST(sx AS BIGINT)").as("total_cents"),
+        expr("CAST(((2 * six - (n + 1) * sx) * 1000000)" +
+          " div nullif(n * sx, 0) AS BIGINT)").as("gini_q6"))
+  }
 }
