@@ -827,6 +827,22 @@ object SparkEntry {
     // Gini coefficient of customer revenue by the exact rank
     // identity over a GlobalIndex total order
     "q267_gini_revenue" -> (Stats.giniRevenue _),
+    // Blocking-scheme audit: reduction ratio + pairs completeness of
+    // the LSH banding vs exhaustive truth on a bounded doc sample
+    "q268_blocking_quality" -> (Dedup.blockingQuality _),
+    // Reciprocal top-1 neighbor rate per IVF cell — the kNN-graph
+    // structure diagnostic; cell-bounded pair space, max_by argmax
+    "q269_reciprocal_knn" -> (Similarity.reciprocalKnn _),
+    // FORCAST readability per source — the sentence-free formula,
+    // vowel-group syllable proxy, pure integer grade
+    "q270_readability" -> (TextStats.forcastReadability _),
+    // Efraimidis-Spirakis weighted reservoir (top-k by ln(u)/w key,
+    // deterministic hash-uniform u) — fixed-size WOR sampling
+    "q271_reservoir_aes" -> ((s: SparkSession, d: String) =>
+      Stats.reservoirAes(s, d)),
+    // Single-breakpoint least-squares changepoint over the bounded
+    // day domain from prefix sufficient statistics
+    "q272_changepoint_sse" -> (Stats.changepointSse _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -2313,6 +2329,36 @@ object SparkEntry {
            |       // COUNT(*) AS BIGINT) AS dup_q6
            |FROM sh JOIN byh USING (h)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // q268: same sampled all-pairs gold (integer q6 Jaccard >= 0.5)
+      // against the shared LSH candidate CTEs
+      "q268_blocking_quality" ->
+        s"""WITH $lshCandCtes,
+           |samp AS (SELECT doc_id, hashes FROM hs
+           |         WHERE doc_id % 3 = 0 AND doc_id < 120000),
+           |gold AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.hashes, b.hashes)) * 1000000
+           |    // (len(a.hashes) + len(b.hashes)
+           |        - len(list_intersect(a.hashes, b.hashes))) >= 500000),
+           |sc AS (SELECT a_id, b_id FROM cand
+           |       WHERE a_id % 3 = 0 AND b_id % 3 = 0
+           |         AND a_id < 120000 AND b_id < 120000),
+           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM samp),
+           |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold),
+           |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM sc),
+           |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM gold g
+           |       WHERE EXISTS (SELECT 1 FROM sc
+           |                     WHERE sc.a_id = g.a_id AND sc.b_id = g.b_id))
+           |SELECT n_docs,
+           |  CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS n_all_pairs,
+           |  n_cand, n_gold, n_hit,
+           |  CAST(((n_docs * (n_docs - 1)) // 2 - n_cand) * 1000000
+           |       // nullif((n_docs * (n_docs - 1)) // 2, 0) AS BIGINT)
+           |    AS reduction_q6,
+           |  CAST(n_hit * 1000000 // nullif(n_gold, 0) AS BIGINT)
+           |    AS completeness_q6
+           |FROM nd CROSS JOIN ng CROSS JOIN nc CROSS JOIN nh""".stripMargin,
       "q29_text_stats" ->
         s"""SELECT doc_id, lang,
            |  CAST(LENGTH(text) AS INT) AS n_chars_calc,
@@ -5055,6 +5101,99 @@ object SparkEntry {
         |  a.custkey_sum, CAST(FLOOR(e.est + 0.5) AS BIGINT) AS approx_users
         |FROM a JOIN e ON a.g1 = e.g1 AND a.g2 = e.g2
         |ORDER BY 1, 2""".stripMargin,
+    // q269: the same cell-bounded top-1 via the DESC/DESC window the
+    // engine's (score, id) lexicographic max_by mirrors
+    "q269_reciprocal_knn" -> {
+      val scored =
+        s"""SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ${cosSql("a.embedding", "b.embedding")} AS s
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id""".stripMargin
+      s"""WITH scored AS (
+         |  $scored),
+         |nn AS (
+         |  SELECT label, a_id, b_id AS nn
+         |  FROM (SELECT label, a_id, b_id, s,
+         |          ROW_NUMBER() OVER (PARTITION BY label, a_id
+         |                             ORDER BY s DESC, b_id DESC) AS rn
+         |        FROM scored) t
+         |  WHERE rn = 1),
+         |mut AS (
+         |  SELECT x.label, CAST(COUNT(*) AS BIGINT) AS n_mutual
+         |  FROM nn x JOIN nn y ON x.label = y.label AND x.nn = y.a_id
+         |    AND y.nn = x.a_id AND x.a_id < y.a_id
+         |  GROUP BY 1),
+         |nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |       FROM embeddings GROUP BY 1)
+         |SELECT nv.label, n_vectors,
+         |  COALESCE(n_mutual, 0) AS n_mutual_pairs,
+         |  CAST(2 * COALESCE(n_mutual, 0) * 1000000 // n_vectors AS BIGINT)
+         |    AS reciprocity_q6
+         |FROM nv LEFT JOIN mut ON nv.label = mut.label
+         |ORDER BY nv.label""".stripMargin
+    },
+    // q270: identical tokenization, vowel-group regexp, and integer
+    // FORCAST grade
+    "q270_readability" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |w AS (SELECT source, tok FROM t WHERE LENGTH(tok) > 0),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(CASE WHEN len(regexp_extract_all(tok, '[aeiou]+')) = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_mono,
+        |    CAST(SUM(LENGTH(tok)) AS BIGINT) AS sum_len
+        |  FROM w GROUP BY 1)
+        |SELECT source, n_words, n_mono,
+        |  CAST(sum_len * 1000000 // n_words AS BIGINT) AS mean_wordlen_q6,
+        |  CAST(20000000 - (n_mono * 150000000 // n_words) // 10 AS BIGINT)
+        |    AS forcast_grade_q6
+        |FROM g ORDER BY source""".stripMargin,
+    // q271: identical hash-uniform draw and IEEE ln/div key; the
+    // same (score DESC, key) top-20
+    "q271_reservoir_aes" ->
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS w_cents,
+        |    (o_orderkey % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM orders),
+        |k AS (SELECT o_orderkey, w_cents,
+        |        ln(CAST(h + 1 AS DOUBLE) / 2147483647.0) / w_cents AS score
+        |      FROM s),
+        |top AS (SELECT * FROM k ORDER BY score DESC, o_orderkey LIMIT 20)
+        |SELECT o_orderkey, w_cents,
+        |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
+        |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q272: the same prefix sufficient statistics over the day
+    // domain at the same whole-dollar grid; HUGEINT mirrors
+    // DECIMAL(38,0)
+    "q272_changepoint_sse" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) // 100
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |pre AS (
+        |  SELECT day,
+        |    CAST(COUNT(*) OVER w AS HUGEINT) AS n1,
+        |    CAST(SUM(CAST(v AS HUGEINT)) OVER w AS HUGEINT) AS s1,
+        |    CAST(SUM(CAST(v AS HUGEINT) * v) OVER w AS HUGEINT) AS q1
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |          CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+        |          CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+        |        FROM daily),
+        |x AS (SELECT day, n1, n - n1 AS n2, s1, s - s1 AS s2,
+        |        q1, q - q1 AS q2
+        |      FROM pre CROSS JOIN tot WHERE n1 < n)
+        |SELECT day, CAST(n1 AS BIGINT) AS n_left,
+        |  CAST(n2 AS BIGINT) AS n_right,
+        |  CAST(s1 // n1 AS BIGINT) AS mean_left_usd,
+        |  CAST(s2 // n2 AS BIGINT) AS mean_right_usd,
+        |  CAST((n1 * q1 - s1 * s1) // n1 + (n2 * q2 - s2 * s2) // n2
+        |    AS BIGINT) AS sse_scaled
+        |FROM x ORDER BY sse_scaled ASC, day ASC LIMIT 1""".stripMargin,
     // q264: the same Monday-start weeks, set algebra in SQL — first
     // week per user, prior-week membership, shifted-week anti join
     "q264_growth_accounting" ->

@@ -998,6 +998,62 @@ object Dedup {
     * pair enumeration, nothing driver-side. The share is the single
     * positive rational `shared·10⁶ div total`: div and // agree.
     */
+  /** Blocking-scheme quality audit — the two numbers that justify (or
+    * indict) a candidate generator before anyone trusts its dedup:
+    * REDUCTION RATIO (what fraction of the all-pairs space the
+    * blocking never has to compare) and PAIRS COMPLETENESS (what
+    * fraction of true near-dup pairs it still surfaces), measured for
+    * the LSH banding against exhaustive ground truth on a
+    * DETERMINISTIC DOC SAMPLE (doc_id ≡ 0 mod 3). The sample is the
+    * scale story: exhaustive truth is all-pairs by definition, so the
+    * audit bounds it to a 1/9 pair subspace — the standard
+    * evaluate-on-a-slice discipline ([[minhashCalibration]] audits
+    * the estimator; this audits the CANDIDATE SET) — while the
+    * candidate side reads the same registry-shared pair graph the
+    * production queries serve from.
+    *
+    * Gold = sampled pairs with exact shingle Jaccard ≥ 0.5 (the
+    * integer rational `inter·10⁶ div union` — div and // agree).
+    * All metrics are exact integer counts and positive q6 divisions;
+    * an empty gold set yields NULL completeness via nullif, never a
+    * division error.
+    */
+  def blockingQuality(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // the 1-in-3 id sample plus an ABSOLUTE id cap: the audit's truth
+    // side is all-pairs by definition, so its slice must stay bounded
+    // whatever the corpus grows to (cap inert at test SFs)
+    val sampled = hashSets(spark, d)
+      .filter($"doc_id" % 3 === 0 && $"doc_id" < 120000L)
+    val a = sampled.select($"doc_id".as("a_id"), $"hashes".as("a_sh"))
+    val b = sampled.select($"doc_id".as("b_id"), $"hashes".as("b_sh"))
+    val inter = size(array_intersect($"a_sh", $"b_sh")).cast("long")
+    val gold = a.crossJoin(broadcast(b)).filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        (inter * 1000000L).as("i6"),
+        ((size($"a_sh") + size($"b_sh")).cast("long") - inter).as("u"))
+      .filter(expr("i6 div u >= 500000"))
+      .select($"a_id", $"b_id")
+    val cand = sharedPairs(spark, d)
+      .filter($"a_id" % 3 === 0 && $"b_id" % 3 === 0 &&
+        $"a_id" < 120000L && $"b_id" < 120000L)
+    val nd = sampled.agg(count(lit(1)).as("n_docs"))
+    val ng = gold.agg(count(lit(1)).as("n_gold"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nh = gold.join(cand, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nd.crossJoin(broadcast(ng)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(nh))
+      .select($"n_docs",
+        expr("(n_docs * (n_docs - 1)) div 2").as("n_all_pairs"),
+        $"n_cand", $"n_gold", $"n_hit")
+      .select($"n_docs", $"n_all_pairs", $"n_cand", $"n_gold", $"n_hit",
+        expr("CAST((n_all_pairs - n_cand) * 1000000" +
+          " div nullif(n_all_pairs, 0) AS BIGINT)").as("reduction_q6"),
+        expr("CAST(n_hit * 1000000 div nullif(n_gold, 0) AS BIGINT)")
+          .as("completeness_q6"))
+  }
+
   def shingleNovelty(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val sh = hashSets(spark, d)

@@ -82,6 +82,46 @@ object Similarity {
       k = 3)
   }
 
+  /** Reciprocal nearest-neighbor rate — the self-diagnostic every
+    * kNN-graph consumer (SemDeDup, hubness checks, graph clustering)
+    * reads first: the fraction of vectors whose top-1 cosine
+    * neighbor points BACK at them. High reciprocity means the
+    * embedding space has clean local structure; low means hub
+    * vectors dominate and radius-based dedup will over-merge.
+    *
+    * Scale shape — the q35 IVF discipline: each vector searches only
+    * its own cluster cell (`label` equi-join), so the pair space is
+    * per-cell quadratic, never corpus-quadratic; the per-vector
+    * argmax is one `max_by` partial (bounded state, no rank window),
+    * and mutuality is a self-equi-join of the |vectors|-row top-1
+    * table on (cell, a→b, b→a). Ties on cosine resolve by the
+    * (score, id) lexicographic max — the deterministic total order
+    * the oracle mirrors with its DESC/DESC window.
+    */
+  def reciprocalKnn(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val a = emb.select($"label", $"vec_id".as("a_id"), $"embedding".as("av"))
+    val b = emb.select($"label", $"vec_id".as("b_id"), $"embedding".as("bv"))
+    val nn1 = a.join(b, Seq("label"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"label", $"a_id", $"b_id", cos($"av", $"bv").as("s"))
+      .groupBy($"label", $"a_id")
+      .agg(max_by($"b_id", struct($"s", $"b_id")).as("nn"))
+    val back = nn1.select($"label", $"a_id".as("nn"), $"nn".as("back"))
+    val mutual = nn1.join(back, Seq("label", "nn"))
+      .filter($"back" === $"a_id" && $"a_id" < $"nn")
+      .groupBy($"label").agg(count(lit(1)).as("n_mutual_pairs"))
+    emb.groupBy($"label").agg(count(lit(1)).as("n_vectors"))
+      .join(mutual, Seq("label"), "left")
+      .select($"label", $"n_vectors",
+        coalesce($"n_mutual_pairs", lit(0L)).as("n_mutual_pairs"))
+      .select($"label", $"n_vectors", $"n_mutual_pairs",
+        expr("CAST(2 * n_mutual_pairs * 1000000 div n_vectors AS BIGINT)")
+          .as("reciprocity_q6"))
+      .orderBy($"label")
+  }
+
   /** Reciprocal-rank fusion of two retrieval runs — the standard
     * hybrid-search combiner (exact [[cosineTopK]] ∪ IVF-pruned
     * [[ivfTopK]] here; in production dense ∪ BM25): each run

@@ -2314,6 +2314,96 @@ object Stats {
           .stripMargin.replace("\n", "")).as("trend"))
   }
 
+  /** Weighted reservoir sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES) — the fixed-SIZE counterpart of [[weightedSample]]
+    * (which keeps a probabilistic fraction) and the exact-k form
+    * [[graft.ext.Corpus]]'s PPS sampler approximates per stratum:
+    * each row draws the key `u^(1/w)` (equivalently `ln(u)/w`) from a
+    * DETERMINISTIC hash-uniform u, and the global top-k by key IS a
+    * weight-proportional sample without replacement — the standard
+    * one-pass distributed recipe (a map-side-combinable top-k
+    * partial, never a sort of the data).
+    *
+    * Determinism: u = (h+1)/2³¹ from the q127 multiplicative hash of
+    * the order key, so reruns, repartitions, and both engines draw
+    * identical keys; ln and the division are single IEEE ops (the
+    * q212 precedent) and ties are impossible (h is injective on the
+    * key domain mod 2³¹−1 collisions, broken by the orderkey
+    * tie-break anyway). Output keys quantized `floor(score·10⁶)`.
+    */
+  def reservoirAes(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    val scored = Tables.orders(spark, d)
+      .select($"o_orderkey",
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("w_cents"),
+        expr(s"(o_orderkey % $P) * 2654435761 % $P").as("h"))
+      .select($"o_orderkey", $"w_cents",
+        // ln(u)/w with u ∈ (0, 1]: strictly negative except u = 1;
+        // larger is better (closer to 0)
+        (log(($"h" + 1).cast("double") / lit(P.toDouble)) /
+          $"w_cents".cast("double")).as("score"))
+    scored
+      .orderBy($"score".desc, $"o_orderkey".asc)
+      .limit(k)
+      .select($"o_orderkey", $"w_cents",
+        expr("CAST(floor(score * 1000000) AS BIGINT)").as("score_q6"))
+      .orderBy($"score_q6".desc, $"o_orderkey".asc)
+  }
+
+  /** Single-breakpoint least-squares changepoint in daily revenue —
+    * the "did the level shift, and when" answer [[cusum]]-style
+    * monitors flag and this one LOCATES: for every candidate split
+    * day t, the two-segment SSE from prefix sufficient statistics
+    * (n, Σv, Σv²) on each side; the argmin is the maximum-likelihood
+    * breakpoint under a mean-shift model. Reported with both segment
+    * means — the effect size.
+    *
+    * Exactness: n·SSE = n·Σv² − (Σv)² per side, DECIMAL(38,0)-staged;
+    * the per-split objective `A₁ div n₁ + A₂ div n₂` is integer
+    * DOLLARS² — the series is staged at whole daily dollars (the
+    * q256 coarse-grid discipline) because cents² · days overruns
+    * int64 at ordinary revenue levels; dollars hold to ~3·10⁹
+    * dollars/day, far past the fact's range, and a mean-shift
+    * objective loses nothing at sub-dollar resolution. Argmin
+    * tie-breaks on the earlier day. Scale shape: one order-volume agg collapses to the
+    * bounded day DOMAIN; prefix sums and the argmin run entirely on
+    * that ~2.4k-row frame (the q191 bounded-domain window
+    * discipline), so nothing here scales with row count.
+    */
+  def changepointSse(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day").agg(expr("sum(c) div 100").as("v"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = daily
+      .select($"day", $"v".cast(dec).as("v"))
+      .select($"day",
+        count(lit(1)).over(w).as("n1"),
+        sum($"v").over(w).as("s1"),
+        sum($"v" * $"v").over(w).as("q1"))
+    val tot = daily.agg(count(lit(1)).cast(dec).as("n"),
+      sum($"v".cast(dec)).as("s"), sum($"v".cast(dec) * $"v").as("q"))
+    pre.crossJoin(broadcast(tot))
+      .filter($"n1" < $"n") // the right segment must be non-empty
+      .select($"day", $"n1", ($"n" - $"n1").as("n2"), $"s1",
+        ($"s" - $"s1").as("s2"), $"q1", ($"q" - $"q1").as("q2"))
+      .select($"day",
+        expr("CAST(n1 AS BIGINT)").as("n_left"),
+        expr("CAST(n2 AS BIGINT)").as("n_right"),
+        expr("CAST(s1 div n1 AS BIGINT)").as("mean_left_usd"),
+        expr("CAST(s2 div n2 AS BIGINT)").as("mean_right_usd"),
+        expr(s"CAST((CAST(n1 AS $dec) * q1 - s1 * s1) div n1" +
+          s" + (CAST(n2 AS $dec) * q2 - s2 * s2) div n2 AS BIGINT)")
+          .as("sse_scaled"))
+      .orderBy($"sse_scaled".asc, $"day".asc)
+      .limit(1)
+  }
+
   /** Gini coefficient of customer revenue concentration — the
     * single-number inequality readout next to the q165
     * concentration curve: `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`

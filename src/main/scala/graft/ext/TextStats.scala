@@ -656,4 +656,40 @@ object TextStats {
           " div n_tokens AS BIGINT)").as("mass_q9"))
       .orderBy($"r")
   }
+
+  /** FORCAST readability per source — the one classic readability
+    * formula that needs NO sentence segmentation (it was built for
+    * forms and technical fragments): grade = 20 − N_mono/10 per 150
+    * words, where N_mono is the monosyllabic-word count. Exactly
+    * right for a corpus without punctuation, where a Flesch-style
+    * words-per-sentence term would be undefined. Syllables are the
+    * standard vowel-group proxy (runs of [aeiou] — one regexp count,
+    * no dictionary), the same heuristic every readability library
+    * ships.
+    *
+    * Exactness: pooled per source — grade_q6 = 20·10⁶ −
+    * (N_mono·150·10⁶ div W) div 10, pure integer arithmetic with one
+    * positive div; mean word length as a q6 rational. Scale shape:
+    * tokenize-explode + ONE map-side-combinable groupBy(source) —
+    * no joins, no windows, nothing driver-side.
+    */
+  def forcastReadability(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .select($"source", length($"tok").cast("long").as("len"),
+        (size(expr("regexp_extract_all(tok, '[aeiou]+', 0)")) === 1)
+          .cast("long").as("mono"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"mono").as("n_mono"),
+        sum($"len").as("sum_len"))
+      .select($"source", $"n_words", $"n_mono",
+        expr("CAST(sum_len * 1000000 div n_words AS BIGINT)")
+          .as("mean_wordlen_q6"),
+        expr("CAST(20000000 - (n_mono * 150000000 div n_words) div 10" +
+          " AS BIGINT)").as("forcast_grade_q6"))
+      .orderBy($"source")
+  }
 }
