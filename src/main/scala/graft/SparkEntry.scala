@@ -2334,7 +2334,7 @@ object SparkEntry {
       "q268_blocking_quality" ->
         s"""WITH $lshCandCtes,
            |samp AS (SELECT doc_id, hashes FROM hs
-           |         WHERE doc_id % 3 = 0 AND doc_id < 120000),
+           |         WHERE doc_id % 5 = 0 AND doc_id < 100000),
            |gold AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
            |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
@@ -2342,8 +2342,8 @@ object SparkEntry {
            |    // (len(a.hashes) + len(b.hashes)
            |        - len(list_intersect(a.hashes, b.hashes))) >= 500000),
            |sc AS (SELECT a_id, b_id FROM cand
-           |       WHERE a_id % 3 = 0 AND b_id % 3 = 0
-           |         AND a_id < 120000 AND b_id < 120000),
+           |       WHERE a_id % 5 = 0 AND b_id % 5 = 0
+           |         AND a_id < 100000 AND b_id < 100000),
            |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM samp),
            |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold),
            |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM sc),

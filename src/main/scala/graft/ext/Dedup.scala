@@ -1020,23 +1020,33 @@ object Dedup {
     */
   def blockingQuality(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    // the 1-in-3 id sample plus an ABSOLUTE id cap: the audit's truth
+    // the 1-in-5 id sample plus an ABSOLUTE id cap: the audit's truth
     // side is all-pairs by definition, so its slice must stay bounded
     // whatever the corpus grows to (cap inert at test SFs)
     val sampled = hashSets(spark, d)
-      .filter($"doc_id" % 3 === 0 && $"doc_id" < 120000L)
-    val a = sampled.select($"doc_id".as("a_id"), $"hashes".as("a_sh"))
-    val b = sampled.select($"doc_id".as("b_id"), $"hashes".as("b_sh"))
+      .filter($"doc_id" % 5 === 0 && $"doc_id" < 100000L)
+    val a = sampled.select($"doc_id".as("a_id"), $"hashes".as("a_sh"),
+      size($"hashes").as("la"))
+      // the cached sample sits in a couple of blocks; spread the
+      // nested-loop probe side across the cluster
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val b = sampled.select($"doc_id".as("b_id"), $"hashes".as("b_sh"),
+      size($"hashes").as("lb"))
     val inter = size(array_intersect($"a_sh", $"b_sh")).cast("long")
-    val gold = a.crossJoin(broadcast(b)).filter($"a_id" < $"b_id")
+    val gold = a.crossJoin(broadcast(b))
+      // J >= 0.5 implies min|set| >= max|set|/2: prune on the cheap
+      // length test BEFORE any intersect — pure implication, so the
+      // gold set is unchanged
+      .filter($"a_id" < $"b_id" &&
+        lit(2) * least($"la", $"lb") >= greatest($"la", $"lb"))
       .select($"a_id", $"b_id",
         (inter * 1000000L).as("i6"),
-        ((size($"a_sh") + size($"b_sh")).cast("long") - inter).as("u"))
+        (($"la" + $"lb").cast("long") - inter).as("u"))
       .filter(expr("i6 div u >= 500000"))
       .select($"a_id", $"b_id")
     val cand = sharedPairs(spark, d)
-      .filter($"a_id" % 3 === 0 && $"b_id" % 3 === 0 &&
-        $"a_id" < 120000L && $"b_id" < 120000L)
+      .filter($"a_id" % 5 === 0 && $"b_id" % 5 === 0 &&
+        $"a_id" < 100000L && $"b_id" < 100000L)
     val nd = sampled.agg(count(lit(1)).as("n_docs"))
     val ng = gold.agg(count(lit(1)).as("n_gold"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))
