@@ -843,6 +843,17 @@ object SparkEntry {
     // Single-breakpoint least-squares changepoint over the bounded
     // day domain from prefix sufficient statistics
     "q272_changepoint_sse" -> (Stats.changepointSse _),
+    // Katz centrality, 3 integer-exact rounds over the shared trade
+    // graph: x <- 1 + (A^T x) div 8, DECIMAL-staged neighbor sums
+    "q273_katz_centrality" -> ((s: SparkSession, d: String) =>
+      Graph.katzCentrality(s, d)),
+    // Time-to-convert quantiles: exact p25/50/75/90 order statistics
+    // of first-view -> first-purchase latency via GlobalIndex
+    "q274_conversion_latency" -> (Behavior.conversionLatency _),
+    // Deterministic negative sampling: per-user k smallest catalog
+    // hashes minus positives — the contrastive-pair generator
+    "q275_negative_sampling" -> ((s: SparkSession, d: String) =>
+      Behavior.negativeSampling(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5163,6 +5174,81 @@ object SparkEntry {
         |SELECT o_orderkey, w_cents,
         |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
         |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q273: 3 unrolled Katz rounds over the q95 edge CTEs — integer
+    // attenuation by // 8, HUGEINT sums
+    "q273_katz_centrality" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |x0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS x FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(x.x) AS HUGEINT) AS sx
+        |       FROM edges e JOIN x0 x ON e.src = x.node GROUP BY 1),
+        |x1 AS (SELECT n.node, 1000000 + COALESCE(c.sx, 0) // 8 AS x
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(x.x) AS HUGEINT) AS sx
+        |       FROM edges e JOIN x1 x ON e.src = x.node GROUP BY 1),
+        |x2 AS (SELECT n.node, 1000000 + COALESCE(c.sx, 0) // 8 AS x
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(x.x) AS HUGEINT) AS sx
+        |       FROM edges e JOIN x2 x ON e.src = x.node GROUP BY 1),
+        |x3 AS (SELECT n.node, 1000000 + COALESCE(c.sx, 0) // 8 AS x
+        |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+        |  node // 2 AS entity_id, CAST(x AS BIGINT) AS katz_q6
+        |FROM x3 ORDER BY kind, entity_id""".stripMargin,
+    // q274: the same conditional mins and the textbook ROW_NUMBER
+    // rank the engine reaches with GlobalIndex; K = ceil(n*p/100)
+    "q274_conversion_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |fv AS (SELECT user_id, MIN(us) AS tv FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |lat AS (
+        |  SELECT e.user_id, (MIN(e.us) - MAX(fv.tv)) // 1000000
+        |    AS latency_sec
+        |  FROM ev e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= fv.tv
+        |  GROUP BY e.user_id),
+        |rk AS (SELECT latency_sec,
+        |         ROW_NUMBER() OVER (ORDER BY latency_sec, user_id) AS r
+        |       FROM lat),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lat),
+        |ks AS (SELECT n_users, pct, (n_users * pct + 99) // 100 AS k
+        |       FROM nn CROSS JOIN (VALUES (25), (50), (75), (90)) p(pct))
+        |SELECT CAST(pct AS INT) AS pct, n_users,
+        |  CAST(latency_sec AS BIGINT) AS latency_sec
+        |FROM rk JOIN ks ON rk.r = ks.k ORDER BY pct""".stripMargin,
+    // q275: identical catalog domain, anti-join, and (h, item) hash
+    // total order; the oracle ranks with the window the engine's
+    // catalog-bounded collect-and-slice replaces
+    "q275_negative_sampling" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS item,
+        |    event_type
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |pos AS (SELECT DISTINCT user_id, item FROM ev
+        |        WHERE event_type = 'purchase'),
+        |items AS (SELECT DISTINCT item FROM ev),
+        |cand AS (
+        |  SELECT u.user_id, i.item,
+        |    (u.user_id * 2654435761 + i.item * 40503) % 2147483647 AS h
+        |  FROM (SELECT DISTINCT user_id FROM pos) u
+        |  CROSS JOIN items i
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                    WHERE p.user_id = u.user_id
+        |                      AND p.item = i.item)),
+        |rk AS (SELECT user_id, item,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY h, item) AS rn
+        |       FROM cand)
+        |SELECT user_id, CAST(rn AS INT) AS neg_rank, item
+        |FROM rk WHERE rn <= 3 ORDER BY user_id, neg_rank""".stripMargin,
     // q272: the same prefix sufficient statistics over the day
     // domain at the same whole-dollar grid; HUGEINT mirrors
     // DECIMAL(38,0)

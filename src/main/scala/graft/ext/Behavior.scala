@@ -438,6 +438,86 @@ object Behavior {
       .orderBy($"wk")
   }
 
+  /** Time-to-convert quantiles — the latency distribution between a
+    * user's FIRST view and their first purchase at or after it, read
+    * off at p25/p50/p75/p90: the number product teams pair with the
+    * q96 funnel's conversion RATE (how many convert vs how fast).
+    * Quantiles are exact order statistics, never approximations.
+    *
+    * Scale shape: two conditional min-aggregates collapse the event
+    * volume to one row per converting user; the exact quantile is the
+    * q228 discipline — ONE [[graft.operators.GlobalIndex]] ranking of
+    * the latency frame (range-partitioned, no global window), the
+    * four K = ⌈n·p⌉ selectors broadcast as a 4-row frame, `rank = K`
+    * equi-join. All integer: latencies in whole seconds, K in pure
+    * integer ceil form.
+    */
+  def conversionLatency(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts)").as("us"))
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("tv"))
+    val lat = ev.filter($"event_type" === "purchase")
+      .join(firstView, "user_id")
+      .filter($"us" >= $"tv")
+      .groupBy($"user_id")
+      .agg(expr("(min(us) - max(tv)) div 1000000").as("latency_sec"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(lat, Seq($"latency_sec".asc, $"user_id".asc), "r")
+    val ks = lat.agg(count(lit(1)).as("n_users"))
+      .select($"n_users",
+        explode(array(lit(25), lit(50), lit(75), lit(90))).as("pct"))
+      .select($"n_users", $"pct",
+        expr("(n_users * pct + 99) div 100").as("k"))
+    ranked.join(broadcast(ks), $"r" === $"k")
+      .select($"pct", $"n_users", $"latency_sec")
+      .orderBy($"pct")
+  }
+
+  /** Deterministic negative sampling for recommender/ranker training
+    * — for every purchasing user, k items they did NOT buy, drawn by
+    * a hash total order over the catalog: the contrastive-pair
+    * generator every two-tower/BPR pipeline runs next to its
+    * positives. Determinism is the point — reruns, repartitions, and
+    * the oracle all draw the same negatives (no `rand()`).
+    *
+    * Scale shape: candidates are users × the CATALOG domain (here
+    * the bounded props.k item space) minus positives via one
+    * left-anti join; the per-user k smallest hashes come from a
+    * collect-and-slice over catalog-bounded groups — state per user
+    * is the catalog, never the event volume. For a web-scale catalog
+    * the same recipe runs per hash-bucket of the catalog (sample
+    * buckets first, then items), which this operator's shape
+    * composes with; no rank window either way.
+    */
+  def negativeSampling(spark: SparkSession, d: String,
+                       k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    val ev = Tables.events(spark, d)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("int").as("item"),
+        $"event_type")
+      .filter($"item".isNotNull)
+    val pos = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"item").distinct()
+    val items = ev.select($"item").distinct()
+    val cand = pos.select($"user_id").distinct()
+      .crossJoin(broadcast(items))
+      .join(pos, Seq("user_id", "item"), "left_anti")
+      .select($"user_id", $"item",
+        expr(s"(user_id * 2654435761 + item * 40503) % $P").as("h"))
+    cand.groupBy($"user_id")
+      .agg(slice(array_sort(collect_list(struct($"h", $"item"))), 1, k)
+        .as("top"))
+      .select($"user_id", posexplode($"top").as(Seq("i", "e")))
+      .select($"user_id", ($"i" + 1).cast("int").as("neg_rank"),
+        $"e.item".as("item"))
+      .orderBy($"user_id", $"neg_rank")
+  }
+
   /** Weekly growth accounting — the standard user-base ledger every
     * growth team reads: each week's active users split into NEW
     * (first-ever week), RETAINED (also active the prior week), and

@@ -1141,4 +1141,45 @@ object Graph {
             / (sqrt($varx) * sqrt($vary))) * 1000000.0) AS BIGINT)
           END""").as("r_q6"))
   }
+
+  /** Katz centrality, `iters` synchronous rounds — the walk-counting
+    * centrality that (unlike PageRank's degree-normalized flow)
+    * rewards being reachable by MANY short paths: x ← 1 + α·Aᵀx with
+    * attenuation α = 1/8 as an exact integer right-shift of the
+    * neighbor sum, ranks at scale 10⁶. On the shared bipartite trade
+    * graph ([[tradeEdges]] — both directions materialized, so Aᵀ
+    * reads as the plain src→dst contribution join).
+    *
+    * Integer contract (the q95 discipline): per-round neighbor sums
+    * stage DECIMAL(38,0) and the attenuation is one `div 8` — no
+    * float enters, so engines agree bit-for-bit. Convergence needs
+    * α < 1/λ_max; 1/8 is chosen against this graph's measured
+    * spectral bound the way any production Katz run tunes α, and
+    * the unrolled-round form makes the cost explicit: each round is
+    * ONE hash-agg shuffle of (dst, partial) keyed by node plus a
+    * |V|-row join — never a matrix materialization.
+    */
+  def katzCentrality(spark: SparkSession, d: String,
+                     iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val edges = tradeEdges(spark, d)
+    val nodes = edges.select($"src".as("node")).distinct()
+    var x = nodes.withColumn("x", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(x.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst").agg(sum($"x".cast(dec)).as("sx"))
+      x = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (lit(1000000L) + expr("coalesce(sx, 0) div 8").cast("long"))
+            .as("x"))
+    }
+    x.select(
+        when($"node" % 2 === 0, lit("cust")).otherwise(lit("supp"))
+          .as("kind"),
+        expr("node div 2").as("entity_id"), $"x".as("katz_q6"))
+      .orderBy($"kind", $"entity_id")
+  }
 }
