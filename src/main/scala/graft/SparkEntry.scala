@@ -854,6 +854,18 @@ object SparkEntry {
     // hashes minus positives — the contrastive-pair generator
     "q275_negative_sampling" -> ((s: SparkSession, d: String) =>
       Behavior.negativeSampling(s, d)),
+    // Kaplan-Meier log-survival with right censoring: per-step q9
+    // log factors, exact integer cumulative sums, NULL after S = 0
+    "q276_kaplan_meier" -> ((s: SparkSession, d: String) =>
+      Events.kaplanMeier(s, d)),
+    // Benjamini-Hochberg FDR over per-stratum z-tests: rank by the
+    // exact z-squared rational, step-up vs precomputed critical values
+    "q277_bh_fdr" -> (Stats.bhFdr _),
+    // One-pass deterministic Poisson bootstrap CI for the mean:
+    // 2B aggregate expressions, no row fan-out, percentile ranks
+    // over the B-row replicate domain
+    "q278_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      Stats.bootstrapMeanCi(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5174,6 +5186,114 @@ object SparkEntry {
         |SELECT o_orderkey, w_cents,
         |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
         |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q276: the same lifetime/censoring split, suffix-sum at-risk
+    // counts, per-step floor(ln·1e9) factors, NULL past S = 0
+    "q276_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MAX(epoch_us(ts)) AS t1,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS tp
+        |  FROM events GROUP BY 1),
+        |lt AS (SELECT
+        |         LEAST(COALESCE((tp - t0) // 86400000000,
+        |           (t1 - t0) // 86400000000), 14) AS k,
+        |         NOT (tp IS NOT NULL
+        |              AND (tp - t0) // 86400000000 <= 14) AS censored
+        |       FROM ev),
+        |byk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS ended,
+        |          CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS d
+        |        FROM lt GROUP BY 1),
+        |w1 AS (SELECT k, ended, d,
+        |         CAST(SUM(ended) OVER (ORDER BY k ROWS BETWEEN CURRENT
+        |           ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |       FROM byk),
+        |w2 AS (SELECT k, n_risk, d, ended,
+        |         MAX(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS dead,
+        |         CASE WHEN n_risk > d THEN
+        |           CAST(FLOOR(ln(CAST(n_risk - d AS DOUBLE)
+        |             / CAST(n_risk AS DOUBLE)) * 1000000000.0) AS BIGINT)
+        |         ELSE 0 END AS lnf
+        |       FROM w1),
+        |w3 AS (SELECT k, n_risk, d, ended, dead,
+        |         SUM(lnf) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS ls
+        |       FROM w2)
+        |SELECT k, n_risk, d AS n_events, ended - d AS n_censored,
+        |  CASE WHEN dead = 1 THEN NULL ELSE CAST(ls AS BIGINT) END
+        |    AS log_surv_q9
+        |FROM w3 ORDER BY k""".stripMargin,
+    // q277: the same exact z-squared rational, rank, and division-free
+    // step-up against the identical critical-value literals
+    "q277_bh_fdr" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS stratum,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 <> 0 AND o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2
+        |  FROM orders GROUP BY 1),
+        |z AS (SELECT *,
+        |    CAST((CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+        |      * (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+        |      * (n1 + n2) AS HUGEINT) AS num,
+        |    CAST(CAST(n1 AS HUGEINT) * n2 * (x1 + x2)
+        |      * (n1 + n2 - x1 - x2) AS HUGEINT) AS den
+        |  FROM cells),
+        |r AS (SELECT *, CAST((num * 1000000) // nullif(den, 0) AS BIGINT)
+        |        AS z2_q6 FROM z),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY z2_q6 DESC, stratum)
+        |         AS rnk FROM r),
+        |cr AS (SELECT *, CASE rnk WHEN 1 THEN 25758 WHEN 2 THEN 23263
+        |         WHEN 3 THEN 21701 WHEN 4 THEN 20537 ELSE 19600 END
+        |         AS crit FROM rk),
+        |ps AS (SELECT *, CASE WHEN num * 100000000
+        |         >= CAST(crit AS HUGEINT) * crit * den THEN 1 ELSE 0 END
+        |         AS pass FROM cr),
+        |ks AS (SELECT MAX(CASE WHEN pass = 1 THEN rnk ELSE 0 END)
+        |         AS k_star FROM ps)
+        |SELECT stratum, x1, n1, x2, n2, z2_q6, CAST(rnk AS INT) AS rank,
+        |  CAST(CASE WHEN rnk <= k_star THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bh_reject
+        |FROM ps CROSS JOIN ks ORDER BY stratum""".stripMargin,
+    // q278: the same literal Poisson thresholds and hash draws; every
+    // replicate sum as a generated CASE aggregate — no row fan-out
+    // on either engine
+    "q278_bootstrap_ci" -> {
+      val thr = Seq(367879441L, 735758882L, 919698602L, 981011843L,
+        996340153L, 999405815L, 999916758L)
+      def w(b: Int): String = {
+        val u = s"(((o_orderkey * 2654435761 + $b * 40503) % 2147483647)" +
+          " % 1000000000)"
+        thr.map(t => s"CAST($u >= $t AS INT)").mkString("(", " + ", ")")
+      }
+      val repSums = (0 until 40).map(b =>
+        s"CAST(SUM(CAST(${w(b)} AS HUGEINT) * x) AS HUGEINT) AS s$b,\n" +
+        s"  CAST(SUM(${w(b)}) AS BIGINT) AS c$b").mkString(",\n  ")
+      val repSelect = (0 until 40).map(b =>
+        s"SELECT CAST(s$b // nullif(c$b, 0) AS BIGINT) AS rep_mean FROM g")
+        .mkString("\nUNION ALL ")
+      s"""WITH base AS (SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |  $repSums
+         |  FROM base),
+         |reps AS ($repSelect),
+         |rk AS (SELECT rep_mean,
+         |         ROW_NUMBER() OVER (ORDER BY rep_mean) AS r FROM reps)
+         |SELECT n_rows, CAST(sx // n_rows AS BIGINT) AS mean_cents,
+         |  CAST((SELECT COUNT(*) FROM reps) AS BIGINT) AS b,
+         |  (SELECT rep_mean FROM rk WHERE r = 1) AS ci_lo_cents,
+         |  (SELECT rep_mean FROM rk WHERE r = 39) AS ci_hi_cents
+         |FROM g""".stripMargin
+    },
     // q273: 3 unrolled Katz rounds over the q95 edge CTEs — integer
     // attenuation by // 8, HUGEINT sums
     "q273_katz_centrality" ->

@@ -451,6 +451,83 @@ object Events {
     * the data — and the day-count fraction is an exact integer ratio
     * under r4.
     */
+  /** Kaplan–Meier log-survival with RIGHT CENSORING — the estimator
+    * [[survivalCurve]]'s raw lifetime view cannot be: a subject whose
+    * event has not happened by the end of its observation is STILL AT
+    * RISK, not a death, and counting it as one biases survival down
+    * (the classic churn-analysis mistake). Per day k:
+    * n_k at risk (lifetime ≥ k), d_k events (uncensored lifetime
+    * exactly k), KM factor (n_k − d_k)/n_k, and the product-limit
+    * reported in LOG form — `logS_q9 = Σ_{j≤k} ⌊ln((n_j−d_j)/n_j)·10⁹⌋`
+    * — because per-step quantization then integer cumulative sums is
+    * exact and engine-portable, where a floating cumulative PRODUCT
+    * is neither (the q212 ln discipline; S itself is exp(logS/10⁹)
+    * for any consumer).
+    *
+    * Scale shape: one per-user min/max aggregate is the only
+    * event-volume-sized work; the lifetime table collapses to the
+    * bounded horizon domain (≤ 15 rows), where the at-risk counts
+    * and the cumulative sum run as bounded-domain windows (the q191
+    * discipline).
+    */
+  def kaplanMeier(spark: SparkSession, d: String,
+                  horizon: Int = 14): DataFrame = {
+    import spark.implicits._
+    // subject: days from a user's first event to their first
+    // PURCHASE (the conversion-survival companion of q274's latency
+    // quantiles); a user with no purchase inside the horizon is
+    // right-censored at min(lifetime, horizon) — exactly the case
+    // that biases a censoring-blind estimate down
+    val ev = Tables.events(spark, d)
+      .groupBy($"user_id")
+      .agg(expr("min(unix_micros(ts))").as("t0"),
+        expr("max(unix_micros(ts))").as("t1"),
+        expr("min(CASE WHEN event_type = 'purchase'" +
+          " THEN unix_micros(ts) END)").as("tp"))
+    val lt = ev.select(
+      expr("least(coalesce((tp - t0) div 86400000000," +
+        s" (t1 - t0) div 86400000000), CAST($horizon AS BIGINT))")
+        .as("k"),
+      (!($"tp".isNotNull &&
+        expr("(tp - t0) div 86400000000") <= lit(horizon.toLong)))
+        .as("censored"))
+    kaplanMeierOf(lt)
+  }
+
+  /** [[kaplanMeier]]'s product-limit core over an explicit
+    * (k, censored) frame — what the spec drives with a hand-computed
+    * censored cohort. */
+  private[graft] def kaplanMeierOf(lt: DataFrame): DataFrame = {
+    import lt.sparkSession.implicits._
+    val byK = lt.groupBy($"k")
+      .agg(count(lit(1)).as("ended"),
+        sum(when(!$"censored", 1L).otherwise(0L)).as("d"))
+    // at-risk n_k = Σ_{j >= k} ended_j — a suffix sum over the
+    // ≤ horizon+1-row domain
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wc = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byK
+      .withColumn("n_risk", sum($"ended").over(w))
+      // a step where every at-risk user dies sends S to exactly 0:
+      // ln is undefined from there on, so the log-survival reports
+      // NULL for that and all later steps (the convention a consumer
+      // can see, vs a silently-skipped −∞ term)
+      .withColumn("dead", max(when($"n_risk" === $"d", 1).otherwise(0))
+        .over(wc))
+      .withColumn("lnf_q9",
+        when($"n_risk" > $"d",
+          expr("CAST(floor(ln(CAST(n_risk - d AS DOUBLE)" +
+            " / CAST(n_risk AS DOUBLE)) * 1000000000.0) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("log_surv_q9",
+        when($"dead" === 1, lit(null)).otherwise(sum($"lnf_q9").over(wc)))
+      .select($"k", $"n_risk", $"d".as("n_events"),
+        ($"ended" - $"d").as("n_censored"), $"log_surv_q9")
+      .orderBy($"k")
+  }
+
   def survivalCurve(spark: SparkSession, d: String,
                     horizon: Int = 14): DataFrame = {
     import spark.implicits._

@@ -2404,6 +2404,132 @@ object Stats {
       .limit(1)
   }
 
+  /** Benjamini–Hochberg FDR control over a battery of per-stratum
+    * two-proportion z-tests — the multiple-testing gate an
+    * experimentation platform applies before anyone reads 5 segment
+    * results as 5 independent α = 0.05 findings. Each stratum's
+    * pooled z² is the exact integer rational
+    * `(x₁n₂ − x₂n₁)²·N / (n₁n₂·x·(N−x))` (x = pooled successes);
+    * p-values are monotone in z², so the BH ranking by p ascending
+    * IS the ranking by z² descending, and the step-up compare
+    * `p₍ₖ₎ ≤ αk/m` becomes the division-free integer inequality
+    * `num·10⁸ ≥ c²ₖ·den` against the pre-computed two-sided normal
+    * critical values c_k = Φ⁻¹(1 − 0.05k/(2m)) at z4 scale —
+    * constants, not runtime quantile evaluations, so no Φ crosses an
+    * engine. Rejected = every rank ≤ the largest k that passes (the
+    * step-up rule, which rejects MORE than per-rank comparison
+    * alone).
+    *
+    * Scale shape: one conditional agg to the 5-row stratum domain;
+    * ranking and the step-up fold are bounded-domain windows.
+    * DECIMAL(38,0) staging throughout (num ~ n⁴ passes int64 at
+    * ~50k rows per stratum).
+    */
+  def bhFdr(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    // two-sided z critical values at p = 0.05·k/5, k = 1..5, z4 scale
+    val crit = Seq(25758L, 23263L, 21701L, 20537L, 19600L)
+    val cells = Tables.orders(spark, d)
+      .select($"o_orderpriority".as("stratum"),
+        ($"o_custkey" % 2 === 0).as("e"),
+        ($"o_orderstatus" === "F").as("pos"))
+      .groupBy($"stratum")
+      .agg(sum(when($"e" && $"pos", 1L).otherwise(0L)).as("x1"),
+        sum(when($"e", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"e" && $"pos", 1L).otherwise(0L)).as("x2"),
+        sum(when(!$"e", 1L).otherwise(0L)).as("n2"))
+      .select($"stratum", $"x1", $"n1", $"x2", $"n2",
+        expr(s"CAST((CAST(x1 AS $dec) * n2 - CAST(x2 AS $dec) * n1)" +
+          s" * (CAST(x1 AS $dec) * n2 - CAST(x2 AS $dec) * n1)" +
+          s" * (n1 + n2) AS $dec)").as("num"),
+        expr(s"CAST(CAST(n1 AS $dec) * n2 * (x1 + x2)" +
+          s" * (n1 + n2 - x1 - x2) AS $dec)").as("den"))
+    // p ascending == z² descending; rank on the q6-quantized z² with
+    // the stratum tie-break (the exact total order the oracle
+    // mirrors); den > 0 on real data (nullif guards the degenerate
+    // all-success/all-failure battery)
+    val ranked = cells
+      .withColumn("z2_q6",
+        expr("CAST((num * 1000000) div nullif(den, 0) AS BIGINT)"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"z2_q6".desc, $"stratum".asc)))
+      .withColumn("crit_z4",
+        element_at(typedLit(crit), col("rank")))
+      .withColumn("pass",
+        when(expr("num * 100000000 >= " +
+          "CAST(crit_z4 AS decimal(38,0)) * crit_z4 * den"), 1)
+          .otherwise(0))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("k_star", max(when($"pass" === 1, $"rank")
+        .otherwise(lit(0))).over(wAll))
+      .select($"stratum", $"x1", $"n1", $"x2", $"n2", $"z2_q6",
+        $"rank".cast("int").as("rank"),
+        when($"rank" <= $"k_star", 1L).otherwise(0L).as("bh_reject"))
+      .orderBy($"stratum")
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean — the
+    * one-pass distributed bootstrap (each row enters replicate b with
+    * multiplicity ~ Poisson(1), the classic streaming approximation
+    * of resampling-with-replacement) made fully DETERMINISTIC: the
+    * multiplicity is the count of pre-computed Poisson(1) CDF
+    * thresholds at or below a hash-uniform draw keyed by
+    * (row, replicate) — integer comparisons against literal
+    * constants, so reruns, repartitions, and the oracle draw
+    * identical replicates.
+    *
+    * Scale shape — the reason Poisson bootstrap exists: NO row
+    * fan-out. All B = 40 replicate sums evaluate as 2·B aggregate
+    * expressions in ONE map-side-combinable pass (a naive explode×B
+    * would shuffle 40× the data); the replicate means are a B-row
+    * domain where the percentile ranks k = ⌈B·0.025⌉ / ⌈B·0.975⌉
+    * select the CI bounds (bounded-domain window). Sums stage
+    * DECIMAL(38,0); means land as exact integer cents.
+    */
+  def bootstrapMeanCi(spark: SparkSession, d: String,
+                      reps: Int = 40): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    // cumulative Poisson(1) thresholds at q9: P(X <= k) for k = 0..6
+    val thr = Seq(367879441L, 735758882L, 919698602L, 981011843L,
+      996340153L, 999405815L, 999916758L)
+    def w(b: Int): String = {
+      val u = s"(((o_orderkey * 2654435761 + $b * 40503) % $P)" +
+        " % 1000000000)"
+      thr.map(t => s"CAST($u >= $t AS INT)").mkString("(", " + ", ")")
+    }
+    val base = Tables.orders(spark, d).select($"o_orderkey",
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("x"))
+    val aggs = Seq(
+      expr("count(1)").as("n_rows"),
+      expr("CAST(sum(CAST(x AS decimal(38,0))) AS decimal(38,0))")
+        .as("sx")) ++
+      (0 until reps).flatMap { b =>
+        Seq(expr(s"sum(CAST(${w(b)} AS decimal(38,0)) * x)").as(s"s$b"),
+          expr(s"sum(CAST(${w(b)} AS BIGINT))").as(s"c$b"))
+      }
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    val means = g.select($"n_rows",
+      expr("CAST(sx div n_rows AS BIGINT)").as("mean_cents"),
+      explode(array((0 until reps).map(b =>
+        expr(s"CAST(s$b div nullif(c$b, 0) AS BIGINT)")): _*))
+        .as("rep_mean"))
+    val kLo = (reps * 25 + 999) / 1000
+    val kHi = (reps * 975 + 999) / 1000
+    means
+      .withColumn("r", row_number().over(
+        Window.orderBy($"rep_mean".asc)))
+      .groupBy($"n_rows", $"mean_cents")
+      .agg(count(lit(1)).as("b"),
+        max(when($"r" === kLo, $"rep_mean")).as("ci_lo_cents"),
+        max(when($"r" === kHi, $"rep_mean")).as("ci_hi_cents"))
+      .select($"n_rows", $"mean_cents", $"b", $"ci_lo_cents",
+        $"ci_hi_cents")
+  }
+
   /** Gini coefficient of customer revenue concentration — the
     * single-number inequality readout next to the q165
     * concentration curve: `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`

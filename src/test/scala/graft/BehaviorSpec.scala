@@ -1215,4 +1215,31 @@ class BehaviorSpec extends SparkSpec {
       (1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L),
       (3L, 3L, 0L, 0L)), s"got ${got.toSeq}")
   }
+
+  test("kaplanMeierOf: censoring removes subjects from risk WITHOUT " +
+    "counting them as deaths — hand-computed product limit") {
+    import spark.implicits._
+    // cohort: day 0 — 2 deaths of 10 at risk; day 1 — 1 censored
+    // (leaves risk, no factor); day 2 — 2 deaths of 7 at risk;
+    // day 3 — 5 censored
+    val lt = (Seq.fill(2)((0L, false)) ++ Seq((1L, true)) ++
+      Seq.fill(2)((2L, false)) ++ Seq.fill(5)((3L, true)))
+      .toDF("k", "censored")
+    val got = graft.ext.Events.kaplanMeierOf(lt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
+    def lnq9(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den) * 1e9).toLong
+    val s0 = lnq9(8, 10)               // (10-2)/10
+    val s2 = s0 + lnq9(5, 7)           // then (7-2)/7
+    assert(got.toSeq == Seq(
+      (0L, 10L, 2L, 0L, s0),
+      (1L, 8L, 0L, 1L, s0),            // censoring: no factor change
+      (2L, 7L, 2L, 0L, s2),
+      (3L, 5L, 0L, 5L, s2)), s"got ${got.toSeq}")
+    // a censoring-blind version (all 10 as deaths) would differ:
+    // the KM at day 3 keeps exp(s2) = 8/10 * 5/7 ≈ 0.571 survival,
+    // not the 0 an all-death count implies
+    assert(s2 > math.floor(math.log(1e-6) * 1e9).toLong)
+  }
 }
