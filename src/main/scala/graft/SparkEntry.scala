@@ -866,6 +866,12 @@ object SparkEntry {
     // over the B-row replicate domain
     "q278_bootstrap_ci" -> ((s: SparkSession, d: String) =>
       Stats.bootstrapMeanCi(s, d)),
+    // approx_percentile served by the maintained quantile-sketch MV
+    // through the optimizer — the percentile sibling of q217
+    "q279_mv_quantile_rewrite" -> (Extended.mvQuantileRewrite _),
+    // quantile sketch under retraction: signed bucket-count merge,
+    // CDC + domain-sized sketch only — full retraction, no rederive
+    "q280_mv_quantile_retract" -> (Extended.mvQuantileRetract _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5186,6 +5192,83 @@ object SparkEntry {
         |SELECT o_orderkey, w_cents,
         |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
         |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q279: the q130 deterministic sketch estimate per source over
+    // the full corpus — equality proves the approx-percentile
+    // REWRITE fired and the bucket-count maintenance is exact
+    "q279_mv_quantile_rewrite" ->
+      """WITH b AS (SELECT source, n_chars AS x FROM documents),
+        |s0 AS (SELECT source, x, x | (x >> 1) AS y1 FROM b WHERE x >= 0),
+        |s1 AS (SELECT source, x, y1 | (y1 >> 2) AS y2 FROM s0),
+        |s2 AS (SELECT source, x, y2 | (y2 >> 4) AS y3 FROM s1),
+        |s3 AS (SELECT source, x, y3 | (y3 >> 8) AS y4 FROM s2),
+        |s4 AS (SELECT source, x, y4 | (y4 >> 16) AS y5 FROM s3),
+        |s AS (SELECT source, x, y5 | (y5 >> 32) AS y FROM s4),
+        |ids AS (
+        |  SELECT source,
+        |    CASE WHEN x < 8 THEN x
+        |         ELSE 8 + 4 * ((bit_count(y) - 1) - 3)
+        |              + ((x >> ((bit_count(y) - 1) - 2)) & 3) END AS id
+        |  FROM s),
+        |hist AS (SELECT source, id, COUNT(*) AS cnt FROM ids GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(cnt) AS n FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT h.source, h.id, t.n,
+        |    SUM(h.cnt) OVER (PARTITION BY h.source ORDER BY h.id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist h JOIN tot t USING (source)),
+        |sel AS (
+        |  SELECT source,
+        |    MIN(CASE WHEN cum * 100 >= 50 * n THEN id END) AS id50,
+        |    MIN(CASE WHEN cum * 100 >= 95 * n THEN id END) AS id95
+        |  FROM cum GROUP BY source)
+        |SELECT source,
+        |  CAST(CASE WHEN id50 < 8 THEN id50
+        |    ELSE (4 + ((id50 - 8) % 4)) << (((id50 - 8) // 4) + 1) END
+        |    AS BIGINT) AS p50_chars,
+        |  CAST(CASE WHEN id95 < 8 THEN id95
+        |    ELSE (4 + ((id95 - 8) % 4)) << (((id95 - 8) // 4) + 1) END
+        |    AS BIGINT) AS p95_chars
+        |FROM sel ORDER BY source""".stripMargin,
+    // q280: the same sketch estimate over the EFFECTIVE post-CDC
+    // corpus — proves the signed bucket merge == rebuild
+    "q280_mv_quantile_retract" ->
+      """WITH eff AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 500
+        |         ELSE n_chars END AS x
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |s0 AS (SELECT source, x, x | (x >> 1) AS y1 FROM eff WHERE x >= 0),
+        |s1 AS (SELECT source, x, y1 | (y1 >> 2) AS y2 FROM s0),
+        |s2 AS (SELECT source, x, y2 | (y2 >> 4) AS y3 FROM s1),
+        |s3 AS (SELECT source, x, y3 | (y3 >> 8) AS y4 FROM s2),
+        |s4 AS (SELECT source, x, y4 | (y4 >> 16) AS y5 FROM s3),
+        |s AS (SELECT source, x, y5 | (y5 >> 32) AS y FROM s4),
+        |ids AS (
+        |  SELECT source,
+        |    CASE WHEN x < 8 THEN x
+        |         ELSE 8 + 4 * ((bit_count(y) - 1) - 3)
+        |              + ((x >> ((bit_count(y) - 1) - 2)) & 3) END AS id
+        |  FROM s),
+        |hist AS (SELECT source, id, COUNT(*) AS cnt FROM ids GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(cnt) AS n FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT h.source, h.id, t.n,
+        |    SUM(h.cnt) OVER (PARTITION BY h.source ORDER BY h.id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist h JOIN tot t USING (source)),
+        |sel AS (
+        |  SELECT source, CAST(MIN(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum * 100 >= 50 * n THEN id END) AS id50,
+        |    MIN(CASE WHEN cum * 100 >= 95 * n THEN id END) AS id95
+        |  FROM cum GROUP BY source)
+        |SELECT source, n,
+        |  CAST(CASE WHEN id50 < 8 THEN id50
+        |    ELSE (4 + ((id50 - 8) % 4)) << (((id50 - 8) // 4) + 1) END
+        |    AS BIGINT) AS p50,
+        |  CAST(CASE WHEN id95 < 8 THEN id95
+        |    ELSE (4 + ((id95 - 8) % 4)) << (((id95 - 8) // 4) + 1) END
+        |    AS BIGINT) AS p95
+        |FROM sel ORDER BY source""".stripMargin,
     // q276: the same lifetime/censoring split, suffix-sum at-risk
     // counts, per-step floor(ln·1e9) factors, NULL past S = 0
     "q276_kaplan_meier" ->

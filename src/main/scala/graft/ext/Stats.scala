@@ -435,11 +435,28 @@ object Stats {
     */
   def quantileSketch(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val hist = Tables.events(spark, d)
+    val x = Tables.events(spark, d)
       .filter($"value".isNotNull)
       .select($"event_type",
         expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
-      .filter($"x" >= 0)
+    qsketchServe(qsketchHistOf(x, Seq("event_type"), "x"),
+      Seq("event_type"), Seq(50, 95, 99), suffix = "_cents")
+      .orderBy($"event_type")
+  }
+
+  /** The log-linear histogram of a NON-NEGATIVE integral column:
+    * (grpCols…, id, cnt) — the mergeable sketch partial shared by
+    * the one-shot q130 form and the maintained sketch MV
+    * ([[graft.operators.QuantileMv]]). Counts ADD across any split
+    * of the data (and subtract under retraction), which is the whole
+    * point of the shape. Negative values are excluded (the id grid
+    * is defined on x ≥ 0), as is NULL. */
+  private[graft] def qsketchHistOf(df: DataFrame, grpCols: Seq[String],
+                                   valCol: String): DataFrame = {
+    val g = grpCols.map(col)
+    df.filter(col(valCol).isNotNull)
+      .select(g :+ col(valCol).cast("long").as("x"): _*)
+      .filter(col("x") >= 0)
       // CASCADED smear (each step doubles the filled span) — the
       // one-shot x|x≫1|x≫2|x≫4|… leaves holes (e.g. the bit 3 below
       // the msb) and under-counts
@@ -453,26 +470,32 @@ object Stats {
       .withColumn("id", expr(
         "CASE WHEN x < 8 THEN x " +
           "ELSE 8 + 4 * (m - 3) + ((x >> (m - 2)) & 3) END"))
-      .groupBy($"event_type", $"id").agg(count(lit(1)).as("cnt"))
-    // both the running and the total count ride ONE window exchange
-    // (same partitioning, different frames) — no per-group total agg
-    // to re-join; everything after the histogram moves ≤ ~120
-    // rows/group
-    val w = Window.partitionBy($"event_type").orderBy($"id")
+      .groupBy((g :+ col("id")): _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates at the given integer percents from a
+    * (grpCols…, id, cnt) histogram: per group, the first bucket whose
+    * cumulative count crosses ⌈q·n⌉, reported as the sub-bucket lower
+    * bound. Both the running and the total count ride ONE window
+    * exchange (same partitioning, different frames); everything here
+    * moves ≤ ~120 rows/group. */
+  private[graft] def qsketchServe(hist: DataFrame, grpCols: Seq[String],
+                                  percents: Seq[Int],
+                                  suffix: String = ""): DataFrame = {
+    val g = grpCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy($"event_type")
+    val wAll = Window.partitionBy(g: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    def pick(q: Int) = min(when(expr(s"cum * 100 >= $q * n"), $"id"))
+    def pick(q: Int) = min(when(expr(s"cum * 100 >= $q * n"), col("id")))
     val sel = hist
-      .withColumn("cum", sum($"cnt").over(w))
-      .withColumn("n", sum($"cnt").over(wAll))
-      .groupBy($"event_type", $"n")
-      .agg(pick(50).as("id50"), pick(95).as("id95"), pick(99).as("id99"))
-    sel.select($"event_type", $"n",
-        expr(estSql("id50")).as("p50_cents"),
-        expr(estSql("id95")).as("p95_cents"),
-        expr(estSql("id99")).as("p99_cents"))
-      .orderBy($"event_type")
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy((g :+ col("n")): _*)
+      .agg(pick(percents.head).as(s"id${percents.head}"),
+        percents.tail.map(q => pick(q).as(s"id$q")): _*)
+    sel.select(g ++ (col("n") +: percents.map(q =>
+      expr(estSql(s"id$q")).as(s"p$q$suffix"))): _*)
   }
 
   /** id → sub-bucket lower bound (the oracle mirrors this with `//`

@@ -92,7 +92,27 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  def clear(): Unit = { defs.clear(); hllDefs.clear() }
+  /** Registered quantile-sketch tables ([[graft.operators.QuantileMv]])
+    * by source path — the approx-percentile gear's lookup. */
+  private val quantileDefs =
+    TrieMap[String, List[graft.operators.QuantileMv.Def]]()
+
+  /** Register a quantile-sketch table: `approx_percentile(valCol, p)`
+    * (integer-percent p) grouped by a subset of the def's group
+    * columns over the declared source rewrites onto the sketch
+    * table's deterministic estimate, never the base. */
+  def registerQuantile(d: graft.operators.QuantileMv.Def): Unit = {
+    val src = d.sourcePath.getOrElse(throw new IllegalArgumentException(
+      s"registerQuantile: ${d.mvPath} declares no sourcePath — " +
+        "nothing to rewrite"))
+    quantileDefs.updateWith(src) { cur =>
+      Some(d :: cur.getOrElse(Nil)
+        .filterNot(x => (x.grpCols, x.valCol) == (d.grpCols, d.valCol)))
+    }
+  }
+
+  def clear(): Unit =
+    { defs.clear(); hllDefs.clear(); quantileDefs.clear() }
 
   /** Serving-rule suppression for REFRESH internals. A refresh that
     * aggregates the registered source in the MV's own shape — the
@@ -355,21 +375,23 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (suppressed.get || (defs.isEmpty && hllDefs.isEmpty)) plan
+    if (suppressed.get ||
+      (defs.isEmpty && hllDefs.isEmpty && quantileDefs.isEmpty)) plan
     else plan transform {
       case agg @ Aggregate(_, _, child, _) =>
         (for {
           (path, filters) <- scannedSource(child)
-          // algebraic gears first (exact), then the approx-distinct
-          // sketch gear — among algebraic alternatives take the first
-          // MATCHING view in ascending grouping-column count: when one
-          // matching view's group cols are a subset of another's, its
-          // cell domain is a projection of the finer one's, so the
-          // coarser view is the smaller scan; fewer group cols is the
-          // general proxy for that
+          // algebraic gears first (exact), then the sketch gears
+          // (approx-distinct, then approx-percentile) — among
+          // algebraic alternatives take the first MATCHING view in
+          // ascending grouping-column count: when one matching view's
+          // group cols are a subset of another's, its cell domain is
+          // a projection of the finer one's, so the coarser view is
+          // the smaller scan; fewer group cols is the general proxy
           rewritten <- defs.get(path).toSeq.flatten.sortBy(_.groupCols.size)
             .view.flatMap(mv => rewrite(agg, filters, mv)).headOption
             .orElse(rewriteMixed(agg, filters, path))
+            .orElse(rewriteQuantile(agg, filters, path))
         } yield rewritten).getOrElse(agg)
     }
 
@@ -545,6 +567,102 @@ object MvRewrite extends Rule[LogicalPlan] {
       agg.aggregateExpressions.map(_.toAttribute.dataType)
     if (!ok) return None
     Some(Project(outs, joined))
+  }
+
+  /** The approx-percentile gear: `approx_percentile(valCol, p)` (one
+    * or several integer-percent p's) grouped by a subset of a
+    * registered quantile sketch's group columns serves from the
+    * sketch table ([[graft.operators.QuantileMv]]) — percentiles are
+    * the other aggregate no algebraic partial can fold, but the
+    * log-linear bucket counts are a mergeable partial, so a coarser
+    * grouping re-aggregates the histogram (counts ADD) and the
+    * deterministic lower-bound estimate serves from a
+    * domain-×-~120-row table, never the fact. Same contract as the
+    * HLL gear: an approximate aggregate answered by the MAINTAINED
+    * approximation. Refusals: non-attribute or empty grouping,
+    * fractional percents (the sketch serves the integer-percent
+    * grid), unregistered value columns, any non-percentile aggregate
+    * in the output (compose-with-algebraic is the mixed gear's
+    * domain and not implemented for percentiles — such queries fall
+    * back to the fact, always correct).
+    */
+  private def rewriteQuantile(agg: Aggregate, filters: Seq[Expression],
+                              path: String): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
+    val qds = quantileDefs.get(path).toSeq.flatten
+    if (qds.isEmpty) return None
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: Attribute => a
+      case _ => return None
+    }
+    if (groupAttrs.isEmpty) return None
+    val grpNames = groupAttrs.map(_.name)
+    filters.foreach { f =>
+      val safe = f.deterministic &&
+        !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        f.references.forall(a => grpNames.contains(a.name))
+      if (!safe) return None
+    }
+    // each output is a grouping attr or approx_percentile(col, p)
+    // with p on the integer-percent grid
+    def pctOf(e: NamedExpression): Option[(String, Int)] = e match {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case ap: ApproximatePercentile => (ap.child, ap.percentageExpression) match {
+            case (c: Attribute, Literal(p: Double, _)) =>
+              val pq = p * 100.0
+              val r = math.rint(pq)
+              if (math.abs(pq - r) < 1e-9 && r >= 1 && r <= 99)
+                Some((c.name, r.toInt))
+              else None
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+    val pcts = agg.aggregateExpressions.flatMap(pctOf)
+    val shapesOk = agg.aggregateExpressions.forall {
+      case a: Attribute if grpNames.contains(a.name) => true
+      case e => pctOf(e).isDefined
+    }
+    if (!shapesOk || pcts.isEmpty) return None
+    val valCols = pcts.map(_._1).distinct
+    if (valCols.size != 1) return None
+    val qd = qds.filter(x => x.valCol == valCols.head &&
+        grpNames.toSet.subsetOf(x.grpCols.toSet))
+      .sortBy(_.grpCols.size).headOption.getOrElse(return None)
+
+    val spark = SparkSession.active
+    val regPlan = spark.read.parquet(qd.mvPath).queryExecution.analyzed
+    val filtered = filters.foldRight[LogicalPlan](regPlan) { (cond, acc) =>
+      Filter(cond.transform {
+        case a: Attribute =>
+          regPlan.output.find(_.name == a.name).getOrElse(return None)
+      }, acc)
+    }
+    val df0 = org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered)
+    val merged =
+      if (qd.grpCols.toSet == grpNames.toSet) df0
+      else df0.groupBy((grpNames.map(df0(_)) :+ df0("id")): _*)
+        .agg(org.apache.spark.sql.functions.sum(df0("cnt")).as("cnt"))
+    val percents = pcts.map(_._2).distinct.sorted
+    val served = graft.ext.Stats.qsketchServe(merged, grpNames, percents)
+      .queryExecution.analyzed
+    def sAttr(n: String): Option[Attribute] = served.output.find(_.name == n)
+    val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if grpNames.contains(a.name) =>
+        Alias(sAttr(a.name).getOrElse(return None), a.name)(exprId = a.exprId)
+      case al @ Alias(_, name) =>
+        val q = pctOf(al).getOrElse(return None)._2
+        Alias(sAttr(s"p$q").getOrElse(return None), name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val ok = outs.map(_.toAttribute.dataType) ==
+      agg.aggregateExpressions.map(_.toAttribute.dataType)
+    if (!ok) return None
+    Some(Project(outs, served))
   }
 
   private def rewrite(agg: Aggregate, filters: Seq[Expression],

@@ -742,6 +742,81 @@ object Extended {
     pinned
   }
 
+  /** q279 — `approx_percentile` routed through the maintained
+    * quantile-sketch MV by the optimizer
+    * ([[graft.plans.MvRewrite.registerQuantile]]'s gear): per-source
+    * p50/p95 document lengths over the REGISTERED documents source
+    * rewrite onto the log-linear histogram table — built over a base
+    * slice and refreshed from the rest (bucket counts ADD), so the
+    * green hash also re-proves incremental maintenance; the DuckDB
+    * oracle computes the deterministic q130 sketch estimate over the
+    * full fact. Spark's own approx_percentile over the fact would
+    * produce different values and fail the hash gate, so the
+    * correctness row doubles as rewrite-fired proof; PlanAuditSpec
+    * pins the sketch table as the only scan leaf.
+    */
+  def mvQuantileRewrite(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/documents.parquet"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q279").toString
+    val docs = spark.read.parquet(src)
+    val mv0 = graft.operators.QuantileMv.materializeFrom(
+      docs.filter($"doc_id" % 3 =!= 0),
+      graft.operators.QuantileMv.Def(Seq("source"), "n_chars",
+        s"$tmp/mv0", Some(src)))
+    val refreshed = graft.operators.QuantileMv.refreshIncremental(
+      spark, mv0, docs.filter($"doc_id" % 3 === 0), s"$tmp/mv1")
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.registerQuantile(refreshed)
+    val q = spark.read.parquet(src)
+      .groupBy($"source")
+      .agg(percentile_approx($"n_chars", lit(0.5), lit(1000))
+          .as("p50_chars"),
+        percentile_approx($"n_chars", lit(0.95), lit(1000))
+          .as("p95_chars"))
+      .orderBy($"source")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
+  /** q280 — quantile sketch under RETRACTION: bucket counts are plain
+    * signed sums (unlike HLL's monotone registers), so one signed
+    * merge of the CDC batch — deletes of every doc_id ≡ 0 (mod 7),
+    * re-lengths (+500 chars) of the surviving ≡ 0 (mod 11) — reads
+    * only the CDC and the domain-sized sketch, never the corpus, and
+    * lands exactly on the rebuilt histogram. The DuckDB oracle runs
+    * the deterministic sketch estimate over the effective post-CDC
+    * state; the hash match proves merge(hist(base),
+    * signed-hist(cdc)) == hist(base ⊖ deletes ⊕ inserts) through the
+    * serve path.
+    */
+  def mvQuantileRetract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q280").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val qd = graft.operators.QuantileMv.Def(Seq("source"), "n_chars",
+      s"$tmp/mv0")
+    val mv0 = graft.operators.QuantileMv.materializeFrom(docs, qd)
+    val delKeys = $"doc_id" % 7 === 0
+    val updKeys = $"doc_id" % 11 === 0 && $"doc_id" % 7 =!= 0
+    val dels = docs.filter(delKeys).withColumn("op", lit(-1))
+    val updDel = docs.filter(updKeys).withColumn("op", lit(-1))
+    val updIns = docs.filter(updKeys)
+      .withColumn("n_chars", $"n_chars" + 500L)
+      .withColumn("op", lit(1))
+    val cdc = dels.unionByName(updDel).unionByName(updIns)
+    val refreshed = graft.operators.QuantileMv
+      .refreshRetract(spark, mv0, cdc, "op", s"$tmp/mv1")
+    graft.operators.QuantileMv
+      .serveQuantiles(spark, refreshed, Seq(50, 95))
+      .orderBy($"source")
+  }
+
   /** q210 — MAINTAINED distinct counts via mergeable HLL register
     * partials ([[graft.operators.HllMv]]): the one aggregate the
     * algebraic MV gears can never serve. Registers built over a base

@@ -163,6 +163,13 @@ object MvStream {
     stream.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => m.apply(batch, id))
       .outputMode("append")
+
+  /** [[maintain]] for the quantile-sketch table. */
+  def maintainQuantile(stream: DataFrame, m: QuantileMaintainer)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => m.apply(batch, id))
+      .outputMode("append")
 }
 
 /** Continuous maintenance of the mergeable HLL register table
@@ -204,5 +211,57 @@ final class HllMaintainer(grpCol: String, keyCol: String, root: String,
         HllMv.refreshIncremental(batch.sparkSession, mv, batch, next)
     log.commit(batchId, next)
     if (sourcePath.isDefined) MvRewrite.registerHll(folded)
+  }
+}
+
+/** Continuous maintenance of the log-linear quantile-sketch table
+  * ([[graft.operators.QuantileMv]]) — percentile freshness tracking
+  * ingestion, completing the maintained-sketch trio (algebraic
+  * partials, HLL registers, bucket histograms) over the one shared
+  * [[CommitLog]] protocol. Two input shapes, exactly as
+  * [[MvMaintainer]]: append-only batches fold by bucket-count ADD;
+  * with `opCol` set the stream is a changelog and batches fold
+  * through the SIGNED merge ([[graft.operators.QuantileMv
+  * .refreshRetract]]) — bucket counts subtract, so unlike the HLL
+  * maintainer there is no insert-only scope line at all.
+  */
+final class QuantileMaintainer(grpCols: Seq[String], valCol: String,
+                               root: String,
+                               sourcePath: Option[String] = None,
+                               opCol: Option[String] = None) {
+
+  import graft.operators.QuantileMv
+
+  private val log = new CommitLog(root)
+
+  def mv: QuantileMv.Def = QuantileMv.Def(grpCols, valCol, log.path, sourcePath)
+  def lastBatchId: Long = log.batchId
+
+  // with a declared source, serving queries rewrite through the
+  // approx-percentile gear immediately after a restart
+  if (sourcePath.isDefined) MvRewrite.registerQuantile(mv)
+
+  def apply(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= log.batchId) return // redelivered — already folded
+    graft.Derived.ensureBudget(batch.sparkSession) // long-lived session
+    val next = log.next
+    val folded =
+      if (log.batchId < 0L) {
+        // first batch = base load; in CDC mode the batch's NET signed
+        // histogram (intra-batch delete+insert pairs cancel exactly)
+        val d0 = QuantileMv.Def(grpCols, valCol, next, sourcePath)
+        opCol match {
+          case Some(op) => QuantileMv.baseFromCdc(batch, d0, op)
+          case None => QuantileMv.materializeFrom(batch, d0)
+        }
+      }
+      else opCol match {
+        case Some(op) =>
+          QuantileMv.refreshRetract(batch.sparkSession, mv, batch, op, next)
+        case None =>
+          QuantileMv.refreshIncremental(batch.sparkSession, mv, batch, next)
+      }
+    log.commit(batchId, next)
+    if (sourcePath.isDefined) MvRewrite.registerQuantile(folded)
   }
 }

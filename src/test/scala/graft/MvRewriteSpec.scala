@@ -690,6 +690,106 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("quantile gear: approx_percentile serves from the sketch table, " +
+    "subset grouping re-aggregates buckets, fractional percents refuse") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-qs").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 500L).map(i => (i, s"s${i % 2}", s"p${i % 3}", (i % 97) * 3))
+      .toDF("id", "status", "prio", "v").write.parquet(fact)
+    try {
+      val qd = graft.operators.QuantileMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.QuantileMv.Def(Seq("status", "prio"), "v",
+          s"$dir/qs", Some(fact)))
+      MvRewrite.registerQuantile(qd)
+      val q = spark.read.parquet(fact).groupBy($"status", $"prio")
+        .agg(percentile_approx($"v", lit(0.5), lit(1000)).as("p50v"))
+        .orderBy($"status", $"prio")
+      assert(scansOf(q).exists(_.contains("/qs")) &&
+        !scansOf(q).exists(_.contains("fact.parquet")),
+        s"the percentile must serve from the sketch: ${scansOf(q)}")
+      // value == the sketch's own deterministic estimate
+      val want = graft.operators.QuantileMv
+        .serveQuantiles(spark, qd, Seq(50))
+        .select($"status", $"prio", $"p50".as("p50v"))
+        .orderBy($"status", $"prio")
+      assert(q.collect().toSeq == want.collect().toSeq,
+        "served percentile == sketch estimate")
+
+      // SUBSET grouping: bucket counts add across prio cells
+      val sub = spark.read.parquet(fact).groupBy($"status")
+        .agg(percentile_approx($"v", lit(0.95), lit(1000)).as("p95v"))
+        .orderBy($"status")
+      assert(scansOf(sub).exists(_.contains("/qs")) &&
+        !scansOf(sub).exists(_.contains("fact.parquet")),
+        s"subset grouping must re-merge the sketch: ${scansOf(sub)}")
+      val wantSub = graft.operators.QuantileMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.QuantileMv.Def(Seq("status"), "v", s"$dir/qsc"))
+      val wantSubDf = graft.operators.QuantileMv
+        .serveQuantiles(spark, wantSub, Seq(95))
+        .select($"status", $"p95".as("p95v")).orderBy($"status")
+      assert(sub.collect().toSeq == wantSubDf.collect().toSeq,
+        "subset serve == status-grain sketch build")
+
+      // a percent off the integer grid is NOT servable — fact scan
+      val frac = spark.read.parquet(fact).groupBy($"status", $"prio")
+        .agg(percentile_approx($"v", lit(0.505), lit(1000)).as("p"))
+      assert(scansOf(frac).exists(_.contains("fact.parquet")),
+        s"fractional percent must refuse: ${scansOf(frac)}")
+
+      // an unregistered value column refuses too
+      val wrongCol = spark.read.parquet(fact).groupBy($"status", $"prio")
+        .agg(percentile_approx($"id", lit(0.5), lit(1000)).as("p"))
+      assert(scansOf(wrongCol).exists(_.contains("fact.parquet")),
+        "unregistered value column must refuse")
+    } finally MvRewrite.clear()
+  }
+
+  test("quantile sketch: delta-only refresh == direct build; signed " +
+    "retraction == rebuilt histogram") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-qs2").toString
+    def rows(r: Range) = r.map(i => (i.toLong, s"g${i % 2}", (i % 53) * 2L))
+      .toDF("id", "g", "v")
+    rows(1 to 300).write.parquet(s"$dir/base.parquet")
+    val qd = graft.operators.QuantileMv.Def(Seq("g"), "v", s"$dir/mv0")
+    val mv0 = graft.operators.QuantileMv.materializeFrom(
+      spark.read.parquet(s"$dir/base.parquet"), qd)
+    // the hard proof of "delta-only": the base is GONE
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$dir/base.parquet"))
+    val refreshed = graft.operators.QuantileMv.refreshIncremental(
+      spark, mv0, rows(301 to 500), s"$dir/mv1")
+    val direct = graft.operators.QuantileMv.materializeFrom(
+      rows(1 to 500),
+      graft.operators.QuantileMv.Def(Seq("g"), "v", s"$dir/mvfull"))
+    def h(p: String) = spark.read.parquet(p)
+      .orderBy($"g", $"id").collect().toSeq
+    assert(h(refreshed.mvPath) == h(direct.mvPath),
+      "add-merge(hist(base), hist(delta)) must equal hist(base ∪ delta)")
+
+    // retraction: delete ids % 3 == 0, re-value ids % 5 == 0 (of the
+    // survivors) — signed merge must equal the rebuilt histogram
+    val all = rows(1 to 500)
+    val dels = all.filter($"id" % 3 === 0).withColumn("op", lit(-1))
+    val upd = $"id" % 5 === 0 && $"id" % 3 =!= 0
+    val updDel = all.filter(upd).withColumn("op", lit(-1))
+    val updIns = all.filter(upd).withColumn("v", $"v" + 40L)
+      .withColumn("op", lit(1))
+    val cdc = dels.unionByName(updDel).unionByName(updIns)
+    val retracted = graft.operators.QuantileMv.refreshRetract(
+      spark, direct, cdc, "op", s"$dir/mv2")
+    val effective = all.filter($"id" % 3 =!= 0)
+      .withColumn("v", when(upd, $"v" + 40L).otherwise($"v"))
+    val rebuilt = graft.operators.QuantileMv.materializeFrom(effective,
+      graft.operators.QuantileMv.Def(Seq("g"), "v", s"$dir/mveff"))
+    assert(h(retracted.mvPath) == h(rebuilt.mvPath),
+      "signed bucket merge must equal the post-CDC rebuild")
+  }
+
   test("HLL rederive: CDC-touched cells rebuild from the base slice, " +
     "an untouched (deleted) base partition is never read") {
     import spark.implicits._

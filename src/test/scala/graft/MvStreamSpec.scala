@@ -206,6 +206,57 @@ class MvStreamSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("quantile maintainer: streamed CDC folds == from-scratch sketch " +
+    "over the net state; serve rides the approx-percentile rewrite") {
+    GraftRuntime.ensure(spark)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx}
+    val root = freshRoot()
+    // net effective rows: inserts 1..200 minus deletes of ids % 4 == 0
+    def ins(r: Range) = r.map(i => (s"g${i % 2}", (i % 61) * 2L, 1))
+    def del(r: Range) = r.filter(_ % 4 == 0)
+      .map(i => (s"g${i % 2}", (i % 61) * 2L, -1))
+    val eff = (1 to 200).filter(_ % 4 != 0)
+      .map(i => (s"g${i % 2}", (i % 61) * 2L))
+    val src = s"$root/fact.parquet"
+    eff.toDF("g", "v").write.parquet(src)
+    val m = new graft.streaming.QuantileMaintainer(Seq("g"), "v",
+      s"$root/mv", sourcePath = Some(src), opCol = Some("op"))
+    val input = MemoryStream[(String, Long, Int)]
+    val query = MvStream.maintainQuantile(
+      input.toDF().toDF("g", "v", "op"), m).start()
+    try {
+      Seq(ins(1 to 120) ++ del(1 to 80),
+        ins(121 to 200) ++ del(81 to 200))
+        .foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    try {
+      assert(m.lastBatchId == 1)
+      // streamed signed folds == from-scratch sketch over net state
+      val direct = graft.operators.QuantileMv.materializeFrom(
+        eff.toDF("g", "v"),
+        graft.operators.QuantileMv.Def(Seq("g"), "v", s"$root/direct"))
+      def h(p: String) = spark.read.parquet(p)
+        .orderBy(col("g"), col("id")).collect().toSeq
+      assert(h(m.mv.mvPath) == h(direct.mvPath),
+        "streamed signed folds must equal the net-state histogram")
+      // a declarative approx_percentile over the fact path serves
+      // from the STREAM-maintained sketch
+      val served = spark.read.parquet(src).groupBy(col("g"))
+        .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("p50v"))
+        .orderBy(col("g"))
+      val leaves = served.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      assert(!leaves.contains("fact.parquet"),
+        s"serve must never scan the fact:\n$leaves")
+      val want = graft.operators.QuantileMv
+        .serveQuantiles(spark, direct, Seq(50))
+        .select(col("g"), col("p50").as("p50v")).orderBy(col("g"))
+      assert(served.collect().toSeq == want.collect().toSeq,
+        "stream-maintained serve == batch-built sketch estimate")
+    } finally MvRewrite.clear()
+  }
+
   test("restart resumes from the committed marker") {
     val root = freshRoot()
     val m1 = new MvMaintainer(s"$root/source", Seq("g"), Seq("v"), s"$root/mv")

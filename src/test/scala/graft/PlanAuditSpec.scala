@@ -629,6 +629,22 @@ class PlanAuditSpec extends SparkSpec {
       "the serving aggregate must never rescan a fact table")
   }
 
+  test("q279: approx_percentile rewrites onto the quantile-sketch " +
+    "table — the fact is never scanned") {
+    val df = SparkEntry.queries("q279_mv_quantile_rewrite")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q279") && leaves.contains("mv1"),
+      s"expected the refreshed sketch table as the scan leaf:\n$leaves")
+    assert(!leaves.contains("documents.parquet"),
+      "the rewritten percentile must never scan the fact")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile_approx") &&
+      !plan.contains("approx_percentile"),
+      s"the ApproximatePercentile aggregate itself must be rewritten " +
+        s"away:\n$plan")
+  }
+
   test("q218: the log-ratio table joins back as a bounded broadcast, " +
     "windows nowhere") {
     val df = SparkEntry.queries("q218_dsir_selection")(spark, d)

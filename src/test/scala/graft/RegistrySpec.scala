@@ -6,7 +6,9 @@ class RegistrySpec extends SparkSpec {
   /** Queries intentionally registered without an oracle (driver records
     * a rows-only check); each needs a reason. */
   private val rowsOnly = Map(
-    "q43_approx_distinct" -> "HLL sketch values are engine-specific")
+    "q43_approx_distinct" -> "HLL sketch values are engine-specific",
+    "q263_mjpeg_decode" -> ("JPEG is lossy — decoded luma is " +
+      "codec-determined, not closed-form; spec-verified instead"))
 
   test("every oracle key has a matching query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
