@@ -872,6 +872,13 @@ object SparkEntry {
     // quantile sketch under retraction: signed bucket-count merge,
     // CDC + domain-sized sketch only — full retraction, no rederive
     "q280_mv_quantile_retract" -> (Extended.mvQuantileRetract _),
+    // Quantile treatment effect at 5 percentiles from the per-arm
+    // sketch — the distributional A/B readout the mean test hides
+    "q281_quantile_effect" -> (Stats.quantileTreatmentEffect _),
+    // HyperBall neighborhood function: per-node HLL registers merged
+    // along edges — N(1), N(2) without all-pairs reachability
+    "q282_hyperball" -> ((s: SparkSession, d: String) =>
+      Graph.hyperBall(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5192,6 +5199,129 @@ object SparkEntry {
         |SELECT o_orderkey, w_cents,
         |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
         |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q281: per-arm sketch quantiles, stacked differences — the same
+    // bit-smear histogram and lower-bound estimates
+    "q281_quantile_effect" ->
+      """WITH b AS (SELECT CAST(o_custkey % 2 AS INT) AS arm,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+        |s0 AS (SELECT arm, x, x | (x >> 1) AS y1 FROM b WHERE x >= 0),
+        |s1 AS (SELECT arm, x, y1 | (y1 >> 2) AS y2 FROM s0),
+        |s2 AS (SELECT arm, x, y2 | (y2 >> 4) AS y3 FROM s1),
+        |s3 AS (SELECT arm, x, y3 | (y3 >> 8) AS y4 FROM s2),
+        |s4 AS (SELECT arm, x, y4 | (y4 >> 16) AS y5 FROM s3),
+        |s AS (SELECT arm, x, y5 | (y5 >> 32) AS y FROM s4),
+        |ids AS (
+        |  SELECT arm,
+        |    CASE WHEN x < 8 THEN x
+        |         ELSE 8 + 4 * ((bit_count(y) - 1) - 3)
+        |              + ((x >> ((bit_count(y) - 1) - 2)) & 3) END AS id
+        |  FROM s),
+        |hist AS (SELECT arm, id, COUNT(*) AS cnt FROM ids GROUP BY 1, 2),
+        |tot AS (SELECT arm, SUM(cnt) AS n FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT h.arm, h.id, t.n,
+        |    SUM(h.cnt) OVER (PARTITION BY h.arm ORDER BY h.id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist h JOIN tot t USING (arm)),
+        |sel AS (
+        |  SELECT arm,
+        |    MIN(CASE WHEN cum * 100 >= 25 * n THEN id END) AS id25,
+        |    MIN(CASE WHEN cum * 100 >= 50 * n THEN id END) AS id50,
+        |    MIN(CASE WHEN cum * 100 >= 75 * n THEN id END) AS id75,
+        |    MIN(CASE WHEN cum * 100 >= 90 * n THEN id END) AS id90,
+        |    MIN(CASE WHEN cum * 100 >= 95 * n THEN id END) AS id95
+        |  FROM cum GROUP BY arm),
+        |est AS (
+        |  SELECT arm,
+        |    CASE WHEN id25 < 8 THEN id25 ELSE (4 + ((id25 - 8) % 4))
+        |      << (((id25 - 8) // 4) + 1) END AS p25,
+        |    CASE WHEN id50 < 8 THEN id50 ELSE (4 + ((id50 - 8) % 4))
+        |      << (((id50 - 8) // 4) + 1) END AS p50,
+        |    CASE WHEN id75 < 8 THEN id75 ELSE (4 + ((id75 - 8) % 4))
+        |      << (((id75 - 8) // 4) + 1) END AS p75,
+        |    CASE WHEN id90 < 8 THEN id90 ELSE (4 + ((id90 - 8) % 4))
+        |      << (((id90 - 8) // 4) + 1) END AS p90,
+        |    CASE WHEN id95 < 8 THEN id95 ELSE (4 + ((id95 - 8) % 4))
+        |      << (((id95 - 8) // 4) + 1) END AS p95
+        |  FROM sel),
+        |st AS (
+        |  SELECT 25 AS pct, t.p25 AS q_treat, c.p25 AS q_control
+        |  FROM est t, est c WHERE t.arm = 1 AND c.arm = 0
+        |  UNION ALL SELECT 50, t.p50, c.p50
+        |  FROM est t, est c WHERE t.arm = 1 AND c.arm = 0
+        |  UNION ALL SELECT 75, t.p75, c.p75
+        |  FROM est t, est c WHERE t.arm = 1 AND c.arm = 0
+        |  UNION ALL SELECT 90, t.p90, c.p90
+        |  FROM est t, est c WHERE t.arm = 1 AND c.arm = 0
+        |  UNION ALL SELECT 95, t.p95, c.p95
+        |  FROM est t, est c WHERE t.arm = 1 AND c.arm = 0)
+        |SELECT CAST(pct AS INT) AS pct,
+        |  CAST(q_treat AS BIGINT) AS q_treat,
+        |  CAST(q_control AS BIGINT) AS q_control,
+        |  CAST(q_treat - q_control AS BIGINT) AS qte_cents
+        |FROM st ORDER BY pct""".stripMargin,
+    // q282: the q95 edge CTEs, per-node registers seeded with the
+    // node id, two unrolled edge max-merges, the q127 estimator
+    // summed per round
+    "q282_hyperball" -> {
+      def estChain(reg: String, pfx: String): String =
+        s"""${pfx}mm AS (SELECT grp, MAX(mj) AS maxm, COUNT(*) AS n_present
+           |       FROM $reg GROUP BY 1),
+           |${pfx}sp AS (
+           |  SELECT r.grp, m.maxm, m.n_present,
+           |    SUM(CAST(1 AS BIGINT) << (m.maxm - r.mj)) AS s_present
+           |  FROM $reg r JOIN ${pfx}mm m ON r.grp = m.grp GROUP BY 1, 2, 3),
+           |${pfx}s AS (
+           |  SELECT grp, maxm,
+           |    CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << maxm)
+           |         AS BIGINT) AS s_int
+           |  FROM ${pfx}sp),
+           |${pfx}e AS (
+           |  SELECT grp,
+           |    CAST(FLOOR(ROUND(CAST(0.709 AS DOUBLE) * 4096.0
+           |      * power(2.0, maxm) / s_int * 10000, 0) / 10000 + 0.0
+           |      + 0.5) AS BIGINT) AS ball
+           |  FROM ${pfx}s)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT c AS src, s AS dst FROM pairs
+         |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |m1 AS (SELECT node AS grp,
+         |  (node % 2147483647) * 2654435761 % 2147483647 AS h1 FROM nodes),
+         |m2 AS (SELECT grp, xor(h1, h1 // 8192) AS h2 FROM m1),
+         |m3 AS (SELECT grp,
+         |  (h2 % 2147483647) * 2246822519 % 2147483647 AS h3 FROM m2),
+         |h AS (SELECT grp, xor(h3, h3 // 33554432) AS h FROM m3),
+         |bk AS (SELECT grp, h % 64 AS bucket, h // 64 AS w FROM h),
+         |r AS (
+         |  SELECT grp, bucket,
+         |    CASE WHEN w = 0 THEN 26
+         |         ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+         |  FROM bk),
+         |reg0 AS (SELECT grp, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+         |in1 AS (SELECT e.dst AS grp, r.bucket, r.mj
+         |        FROM edges e JOIN reg0 r ON r.grp = e.src),
+         |reg1 AS (SELECT grp, bucket, MAX(mj) AS mj FROM
+         |  (SELECT * FROM reg0 UNION ALL SELECT * FROM in1) GROUP BY 1, 2),
+         |in2 AS (SELECT e.dst AS grp, r.bucket, r.mj
+         |        FROM edges e JOIN reg1 r ON r.grp = e.src),
+         |reg2 AS (SELECT grp, bucket, MAX(mj) AS mj FROM
+         |  (SELECT * FROM reg1 UNION ALL SELECT * FROM in2) GROUP BY 1, 2),
+         |${estChain("reg1", "e1")},
+         |${estChain("reg2", "e2")}
+         |SELECT 1 AS t, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(ball) AS BIGINT) AS sum_ball_est,
+         |  CAST(SUM(ball) * 1000000 // COUNT(*) AS BIGINT) AS avg_ball_q6
+         |FROM e1e
+         |UNION ALL
+         |SELECT 2, CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(ball) AS BIGINT),
+         |  CAST(SUM(ball) * 1000000 // COUNT(*) AS BIGINT)
+         |FROM e2e ORDER BY t""".stripMargin
+    },
     // q279: the q130 deterministic sketch estimate per source over
     // the full corpus — equality proves the approx-percentile
     // REWRITE fired and the bucket-count maintenance is exact

@@ -1159,6 +1159,47 @@ object Graph {
     * ONE hash-agg shuffle of (dst, partial) keyed by node plus a
     * |V|-row join — never a matrix materialization.
     */
+  /** HyperBall neighborhood function (Boldi–Vigna): per-node
+    * ball-size estimates |B(v, t)| for t = 1, 2 from per-node HLL
+    * register sets that merge ALONG EDGES by register-wise max —
+    * the sketch trick that turns all-pairs reachability counting
+    * (quadratic, hopeless at scale) into `rounds` × one edge join
+    * over |V|·64 register rows. The summed ball sizes ARE the
+    * neighborhood function N(t) — the curve whose saturation point
+    * is the graph's effective diameter.
+    *
+    * Registers are the deterministic q127 integer kernel seeded with
+    * each node's own id, so the estimates are bit-identical across
+    * engines and the oracle verifies the whole merge-then-estimate
+    * path by value. Per round: one (src ⋈ registers) shuffle + one
+    * (node, bucket) max-merge — never a frontier expansion per pair,
+    * never data-sized driver state.
+    */
+  def hyperBall(spark: SparkSession, d: String,
+                rounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    val edges = tradeEdges(spark, d)
+    val nodes = edges.select($"src".as("node")).distinct()
+    var regs = graft.ext.Stats.hllRegistersOfCols(
+      nodes.select($"node", $"node".as("k")), Seq("node"), "k")
+    val out = (1 to rounds).map { t =>
+      val in = edges.join(regs.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), $"bucket", $"mj")
+      regs = regs.unionByName(in)
+        .groupBy($"node", $"bucket").agg(max($"mj").as("mj"))
+      graft.ext.Stats.hllEstimateCols(regs, Seq("node"))
+        .select($"node", expr("CAST(floor(est + 0.5d) AS BIGINT)")
+          .as("ball"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum($"ball").as("sum_ball_est"),
+          expr("CAST(sum(ball) * 1000000 div count(1) AS BIGINT)")
+            .as("avg_ball_q6"))
+        .select(lit(t).as("t"), $"n_nodes", $"sum_ball_est",
+          $"avg_ball_q6")
+    }
+    out.reduce(_ unionByName _).orderBy($"t")
+  }
+
   def katzCentrality(spark: SparkSession, d: String,
                      iters: Int = 3): DataFrame = {
     import spark.implicits._

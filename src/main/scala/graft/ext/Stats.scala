@@ -2553,6 +2553,41 @@ object Stats {
         $"ci_hi_cents")
   }
 
+  /** Quantile treatment effect — the DISTRIBUTIONAL readout an A/B
+    * mean difference (q240) hides: at each of p25/p50/p75/p90/p95,
+    * the treated-minus-control difference of order values. A
+    * treatment that moves the p95 while leaving the median alone is
+    * invisible to the mean test and decisive here. Arms are the q243
+    * deterministic customer-parity assignment; quantiles are the
+    * q130 log-linear sketch's deterministic estimates (both engines
+    * bit-identical), which is exactly how QTE runs at 100 TB — the
+    * exact-order-statistic form would need a global sort per arm.
+    *
+    * Shape: one histogram pass (the ~120-bucket-per-arm partial),
+    * the serve windows on the 2-arm domain, one stacked 5-row
+    * output. All integer cents.
+    */
+  def quantileTreatmentEffect(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.orders(spark, d)
+      .select(($"o_custkey" % 2).cast("int").as("arm"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("x"))
+    val serve = qsketchServe(qsketchHistOf(x, Seq("arm"), "x"),
+      Seq("arm"), Seq(25, 50, 75, 90, 95))
+    val t = serve.filter($"arm" === 1)
+      .select($"p25".as("t25"), $"p50".as("t50"), $"p75".as("t75"),
+        $"p90".as("t90"), $"p95".as("t95"))
+    val c = serve.filter($"arm" === 0)
+      .select($"p25".as("c25"), $"p50".as("c50"), $"p75".as("c75"),
+        $"p90".as("c90"), $"p95".as("c95"))
+    t.crossJoin(c)
+      .select(expr("stack(5, 25, t25, c25, 50, t50, c50, 75, t75, c75," +
+        " 90, t90, c90, 95, t95, c95) AS (pct, q_treat, q_control)"))
+      .select($"pct".cast("int").as("pct"), $"q_treat", $"q_control",
+        ($"q_treat" - $"q_control").as("qte_cents"))
+      .orderBy($"pct")
+  }
+
   /** Gini coefficient of customer revenue concentration — the
     * single-number inequality readout next to the q165
     * concentration curve: `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`
