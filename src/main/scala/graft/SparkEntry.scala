@@ -879,6 +879,13 @@ object SparkEntry {
     // along edges — N(1), N(2) without all-pairs reachability
     "q282_hyperball" -> ((s: SparkSession, d: String) =>
       Graph.hyperBall(s, d)),
+    // Embedding distribution drift between vec_id-parity halves:
+    // per-dim mean shift + variance ratio, fixed-width state
+    "q283_embedding_drift" -> (Similarity.embeddingDrift _),
+    // Multi-probe IVF: own cell + nearest other centroid cell —
+    // the probes=2 recall repair, still partition-pruned
+    "q284_multiprobe_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.multiProbeIvf(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5199,6 +5206,84 @@ object SparkEntry {
         |SELECT o_orderkey, w_cents,
         |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
         |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q284: q78's centroid CTEs, per-query second-cell argmin via the
+    // (d2, label) window, the q35 scoring with probes unioned
+    "q284_multiprobe_ivf" ->
+      s"""WITH ex AS (
+         |  SELECT label,
+         |    unnest(range(0, len(embedding))) AS dim,
+         |    unnest(list_transform(embedding,
+         |      x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0))) AS iv
+         |  FROM embeddings),
+         |cs AS (SELECT label, dim, SUM(iv) AS isum, COUNT(*) AS n
+         |       FROM ex GROUP BY label, dim),
+         |cent AS (SELECT label,
+         |    list(CAST(isum AS DOUBLE) / n / 1000000.0 ORDER BY dim)
+         |      AS centroid
+         |  FROM cs GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, label AS own, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 5),
+         |d2s AS (
+         |  SELECT q.query_id, c.label,
+         |    list_reduce(list_transform(range(0, len(q.qv)),
+         |      i -> (CAST(q.qv[i+1] AS DOUBLE) - c.centroid[i+1])
+         |         * (CAST(q.qv[i+1] AS DOUBLE) - c.centroid[i+1])),
+         |      (a, b) -> a + b) AS d2
+         |  FROM q CROSS JOIN cent c WHERE c.label <> q.own),
+         |sec AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY d2, label) AS rn
+         |    FROM d2s) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, own AS label FROM q
+         |  UNION ALL SELECT query_id, label FROM sec),
+         |scored AS (
+         |  SELECT p.query_id, e.vec_id,
+         |    ${cosSql("q.qv", "e.embedding")} AS score_raw
+         |  FROM probes p
+         |  JOIN embeddings e ON e.label = p.label AND e.vec_id >= 5
+         |  JOIN q ON q.query_id = p.query_id)
+         |SELECT query_id, CAST(rn AS INT) AS rn, vec_id,
+         |  ${r4sql("score_raw")} AS score
+         |FROM (SELECT query_id, vec_id, score_raw,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score_raw DESC, vec_id) AS rn
+         |      FROM scored) t
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    // q283: the same 1e-6 grid, per-dim sufficient statistics, and
+    // grid²-floored variance ratio; HUGEINT mirrors DECIMAL(38,0)
+    "q283_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 = 0 AS a,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> struct_pack(dim := i - 1,
+        |        q := CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |             AS BIGINT)))) AS u
+        |  FROM embeddings),
+        |f AS (SELECT a, u.dim AS dim, u.q AS q FROM e),
+        |g AS (
+        |  SELECT dim,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+        |    CAST(SUM(CASE WHEN a THEN q ELSE 0 END) AS HUGEINT) AS sa,
+        |    CAST(SUM(CASE WHEN NOT a THEN q ELSE 0 END) AS HUGEINT) AS sb,
+        |    CAST(SUM(CASE WHEN a THEN q * q ELSE 0 END) AS HUGEINT) AS qa,
+        |    CAST(SUM(CASE WHEN NOT a THEN q * q ELSE 0 END) AS HUGEINT)
+        |      AS qb
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(dim AS INT) AS dim,
+        |  CAST((sa + 1000000000 * na) // na - 1000000000 AS BIGINT)
+        |    AS mean_a_q6,
+        |  CAST((sb + 1000000000 * nb) // nb - 1000000000 AS BIGINT)
+        |    AS mean_b_q6,
+        |  CAST(((sa + 1000000000 * na) // na)
+        |    - ((sb + 1000000000 * nb) // nb) AS BIGINT) AS dmean_q6,
+        |  CAST(((na * qa - sa * sa) // (na * na)) * 1000000
+        |       // nullif((nb * qb - sb * sb) // (nb * nb), 0) AS BIGINT)
+        |    AS var_ratio_q6
+        |FROM g ORDER BY dim""".stripMargin,
     // q281: per-arm sketch quantiles, stacked differences — the same
     // bit-smear histogram and lower-bound estimates
     "q281_quantile_effect" ->

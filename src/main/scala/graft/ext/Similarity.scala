@@ -82,6 +82,107 @@ object Similarity {
       k = 3)
   }
 
+  /** Multi-probe IVF top-k — the recall repair for [[ivfTopK]]'s
+    * single-cell probe: a query near a cell boundary misses
+    * neighbors that fell just across it, so probe the query's own
+    * cell AND the nearest OTHER cell by exact centroid distance —
+    * the standard probes=2 IVF configuration, doubling the scanned
+    * fraction instead of falling back to brute force.
+    *
+    * Scale shape: centroids are a |cells|×dims aggregate (the q78
+    * kernel — quantized integer sums, order-independent means); the
+    * probe table is 2 rows per query, broadcast; candidates stream
+    * through the codegen'd cosine into the bounded [[TopKAgg]]
+    * partial — with a `partitionBy(label)` layout both probed cells
+    * prune at the scan. Second-cell argmin ties break to the
+    * smallest label (the q82 assignment convention).
+    */
+  def multiProbeIvf(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(sum(floor($"v".cast("double") * 1000000.0)).as("isum"),
+        count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(transform(
+        array_sort(collect_list(struct($"dim",
+          ($"isum".cast("double") / $"n" / 1000000.0).as("c")))),
+        x => x.getField("c")).as("centroid"))
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"label".as("own"),
+        $"embedding".as("qv"))
+    val second = q.crossJoin(broadcast(cent))
+      .filter($"label" =!= $"own")
+      .select($"query_id", $"label",
+        aggregate(zip_with($"qv", $"centroid",
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .groupBy($"query_id")
+      .agg(min_by($"label", struct($"d2", $"label")).as("label"))
+    val probes = q.select($"query_id", $"own".as("label"), $"qv")
+      .unionByName(second.join(q, "query_id")
+        .select($"query_id", $"label", $"qv"))
+    val c = emb.filter($"vec_id" >= 5)
+      .select($"vec_id", $"label", $"embedding".as("cv"))
+    rankTopK(
+      c.join(broadcast(probes), "label")
+        .select($"query_id", $"vec_id", cos($"qv", $"cv").as("score_raw")),
+      k)
+  }
+
+  /** Embedding distribution drift between two corpus halves — the
+    * "did the new crawl's embedding space move" gate run before
+    * mixing freshly-embedded data into a training corpus (the
+    * embedding-space sibling of the q151/q178 feature-drift family):
+    * per dimension, the mean shift and the variance ratio between
+    * the deterministic vec_id-parity halves. A mean shift flags a
+    * recentred encoder; a variance ratio far from 1 flags collapsed
+    * or exploded dimensions — both invisible to row counts.
+    *
+    * Exactness: coordinates on the 10⁻⁶ grid (the q82/q123 fixed
+    * quantization), per-dim sufficient statistics (n, Σq, Σq²) via
+    * ONE map-only posexplode + ONE dim-keyed partial agg; means are
+    * integer grid units, and each half's variance is floored to
+    * grid² units FIRST — `A div n²` with A = n·Σq² − (Σq)² staged
+    * DECIMAL(38,0) — so the ratio's operands stay row-count-bounded
+    * (a cross-multiplied form would outgrow 38 digits at ~10⁹ rows).
+    * Fixed-width state (2·dims cells), data-sized nothing.
+    */
+  def embeddingDrift(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val q = Tables.embeddings(spark, d)
+      .select(($"vec_id" % 2 === 0).as("a"),
+        posexplode(transform($"embedding", x =>
+          floor(x.cast("double") * 1000000.0).cast("long"))))
+      .toDF("a", "dim", "q")
+    q.groupBy($"dim")
+      .agg(sum(when($"a", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"a", 1L).otherwise(0L)).as("nb"),
+        sum(when($"a", $"q").otherwise(0L).cast(dec)).as("sa"),
+        sum(when(!$"a", $"q").otherwise(0L).cast(dec)).as("sb"),
+        sum(when($"a", $"q" * $"q").otherwise(0L).cast(dec)).as("qa"),
+        sum(when(!$"a", $"q" * $"q").otherwise(0L).cast(dec)).as("qb"))
+      .select($"dim",
+        // means can be negative: the 10^9 shift keeps every operand
+        // positive so div (trunc) and // (floor) agree — the q245
+        // sign-safety discipline
+        expr("CAST((sa + 1000000000 * na) div na - 1000000000" +
+          " AS BIGINT)").as("mean_a_q6"),
+        expr("CAST((sb + 1000000000 * nb) div nb - 1000000000" +
+          " AS BIGINT)").as("mean_b_q6"),
+        expr("CAST(((sa + 1000000000 * na) div na)" +
+          " - ((sb + 1000000000 * nb) div nb) AS BIGINT)").as("dmean_q6"),
+        expr(s"""CAST((((CAST(na AS $dec) * qa - sa * sa)
+          |   div (CAST(na AS $dec) * na)) * 1000000)
+          | div nullif((CAST(nb AS $dec) * qb - sb * sb)
+          |   div (CAST(nb AS $dec) * nb), 0) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("var_ratio_q6"))
+      .orderBy($"dim")
+  }
+
   /** Reciprocal nearest-neighbor rate — the self-diagnostic every
     * kNN-graph consumer (SemDeDup, hubness checks, graph clustering)
     * reads first: the fraction of vectors whose top-1 cosine
