@@ -886,6 +886,16 @@ object SparkEntry {
     // the probes=2 recall repair, still partition-pruned
     "q284_multiprobe_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.multiProbeIvf(s, d)),
+    // Instrumental-variable Wald estimator: LATE under partial
+    // compliance as exact integer rationals
+    "q285_iv_wald" -> (Stats.ivWald _),
+    // Compression-ratio quality screen (DEFLATE/raw per doc) — the
+    // compressor-as-quality-model curation gate; spec-verified,
+    // outside the oracle surface (no SQL DEFLATE exists)
+    "q286_compression_quality" -> (TextStats.compressionQuality _),
+    // Exact per-dimension robust-scaler stats (median/IQR) via ONE
+    // GlobalIndex ranking over the coordinate stream
+    "q287_robust_scaler" -> (Similarity.robustScalerStats _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5206,6 +5216,69 @@ object SparkEntry {
         |SELECT o_orderkey, w_cents,
         |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
         |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q285: the same 2-arm sufficient statistics and shifted
+    // rationals; HUGEINT mirrors DECIMAL(38,0)
+    "q285_iv_wald" ->
+      """WITH t AS (
+        |  SELECT o_custkey % 2 = 0 AS z,
+        |    CASE WHEN o_custkey % 2 = 0
+        |         THEN CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END
+        |         ELSE CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+        |    END AS dd,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN z THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT z THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+        |    CAST(SUM(CASE WHEN z THEN y ELSE 0 END) AS HUGEINT) AS s1,
+        |    CAST(SUM(CASE WHEN NOT z THEN y ELSE 0 END) AS HUGEINT) AS s0,
+        |    CAST(SUM(CASE WHEN z THEN dd ELSE 0 END) AS HUGEINT) AS t1,
+        |    CAST(SUM(CASE WHEN NOT z THEN dd ELSE 0 END) AS HUGEINT) AS t0
+        |  FROM t)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(t1 * 1000000 // n1 AS BIGINT) AS uptake_z1_q6,
+        |  CAST(t0 * 1000000 // n0 AS BIGINT) AS uptake_z0_q6,
+        |  CAST(((s1 * n0 - s0 * n1) * 1000000
+        |        + 1000000000000000000 * (n1 * n0)) // (n1 * n0)
+        |       - 1000000000000000000 AS BIGINT) AS itt_y_q6,
+        |  CAST((t1 * n0 - t0 * n1) * 1000000 // (n1 * n0) AS BIGINT)
+        |    AS itt_d_q6,
+        |  CAST(((s1 * n0 - s0 * n1) * 1000000
+        |        + 1000000000000000000 * (t1 * n0 - t0 * n1))
+        |       // nullif(t1 * n0 - t0 * n1, 0)
+        |       - 1000000000000000000 AS BIGINT) AS late_q6
+        |FROM g""".stripMargin,
+    // q287: the per-dim PARTITION BY window the engine's single
+    // GlobalIndex ranking replaces; identical ceil-K selectors
+    "q287_robust_scaler" ->
+      """WITH e0 AS (
+        |  SELECT vec_id,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> struct_pack(dim := i - 1,
+        |        q := CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |             AS BIGINT)))) AS u
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, u.dim AS dim, u.q AS q FROM e0),
+        |rk AS (SELECT dim, q,
+        |         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY q, vec_id)
+        |           AS gr
+        |       FROM e),
+        |nn AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |         (COUNT(*) * 25 + 99) // 100 AS k25,
+        |         (COUNT(*) * 50 + 99) // 100 AS k50,
+        |         (COUNT(*) * 75 + 99) // 100 AS k75
+        |       FROM e GROUP BY 1),
+        |sel AS (
+        |  SELECT rk.dim, nn.n,
+        |    MAX(CASE WHEN gr = k25 THEN q END) AS q25_q6,
+        |    MAX(CASE WHEN gr = k50 THEN q END) AS median_q6,
+        |    MAX(CASE WHEN gr = k75 THEN q END) AS q75_q6
+        |  FROM rk JOIN nn ON rk.dim = nn.dim
+        |  WHERE gr = k25 OR gr = k50 OR gr = k75
+        |  GROUP BY 1, 2)
+        |SELECT CAST(dim AS INT) AS dim, n, q25_q6, median_q6, q75_q6,
+        |  q75_q6 - q25_q6 AS iqr_q6
+        |FROM sel ORDER BY dim""".stripMargin,
     // q284: q78's centroid CTEs, per-query second-cell argmin via the
     // (d2, label) window, the q35 scoring with probes unioned
     "q284_multiprobe_ivf" ->

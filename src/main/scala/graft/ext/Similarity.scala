@@ -82,6 +82,50 @@ object Similarity {
       k = 3)
   }
 
+  /** Per-dimension robust-scaler statistics — EXACT median and IQR of
+    * every embedding dimension, the preprocessing table a
+    * median/IQR scaler (the outlier-immune alternative to mean/std
+    * standardization) loads before normalizing vectors at training
+    * time. Exact order statistics, not sketch estimates: scaler
+    * constants are computed once and reused everywhere, so they are
+    * worth an exact pass.
+    *
+    * Scale shape — the q211/q241 two-pass discipline lifted to the
+    * dimension domain: ONE [[graft.operators.GlobalIndex]] ranking
+    * over the (dim, value, vec_id) total order of the exploded
+    * coordinate stream (range-partitioned — never a
+    * `PARTITION BY dim` window, which would funnel each dimension
+    * through one reducer), per-dim offsets and counts as a
+    * |dims|-row broadcast, and the three K = ⌈n·p⌉ selectors as an
+    * equi-join on within-dim rank. Coordinates on the exact 10⁻⁶
+    * grid.
+    */
+  def robustScalerStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, d)
+      .select($"vec_id", posexplode(transform($"embedding", x =>
+        floor(x.cast("double") * 1000000.0).cast("long"))))
+      .toDF("vec_id", "dim", "q")
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(q, Seq($"dim".asc, $"q".asc, $"vec_id".asc), "r")
+    val offsets = ranked.groupBy($"dim")
+      .agg((min($"r") - 1L).as("off"), count(lit(1)).as("n"))
+      .select($"dim", $"off", $"n",
+        expr("(n * 25 + 99) div 100").as("k25"),
+        expr("(n * 50 + 99) div 100").as("k50"),
+        expr("(n * 75 + 99) div 100").as("k75"))
+    ranked.join(broadcast(offsets), "dim")
+      .withColumn("gr", $"r" - $"off")
+      .filter($"gr" === $"k25" || $"gr" === $"k50" || $"gr" === $"k75")
+      .groupBy($"dim", $"n")
+      .agg(max(when($"gr" === $"k25", $"q")).as("q25_q6"),
+        max(when($"gr" === $"k50", $"q")).as("median_q6"),
+        max(when($"gr" === $"k75", $"q")).as("q75_q6"))
+      .select($"dim", $"n", $"q25_q6", $"median_q6", $"q75_q6",
+        ($"q75_q6" - $"q25_q6").as("iqr_q6"))
+      .orderBy($"dim")
+  }
+
   /** Multi-probe IVF top-k — the recall repair for [[ivfTopK]]'s
     * single-cell probe: a query near a cell boundary misses
     * neighbors that fell just across it, so probe the query's own

@@ -2592,6 +2592,57 @@ object Stats {
       .orderBy($"pct")
   }
 
+  /** Instrumental-variable (Wald) estimator — the causal stack's
+    * answer to NON-COMPLIANCE: when the randomized thing is only an
+    * ENCOURAGEMENT (z) and actual treatment receipt (d) is partial,
+    * the naive received-vs-not comparison is confounded and the ITT
+    * dilutes; the Wald ratio `(ȳ_z1 − ȳ_z0) / (d̄_z1 − d̄_z0)`
+    * recovers the local average treatment effect for compliers. The
+    * synthetic assignment: encouragement = the q243 customer parity,
+    * receipt = a deterministic partial-compliance rule (2/3 uptake
+    * under encouragement, 1/5 always-takers).
+    *
+    * Exactness: one 2-arm conditional agg (n, Σy, Σd per arm); both
+    * ITTs and the LATE are exact integer rationals over cents —
+    * LATE_q6 = (s₁n₀ − s₀n₁)·10⁶ div (t₁n₀ − t₀n₁), the shared
+    * denominator (n₁n₀) cancelling. The instrument is constructed so
+    * the compliance differential is positive; negative-numerator
+    * division rides the 10¹⁸ shift (the q245 sign discipline).
+    * DECIMAL(38,0) staging throughout.
+    */
+  def ivWald(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val t = Tables.orders(spark, d).select(
+      ($"o_custkey" % 2 === 0).as("z"),
+      when($"o_custkey" % 2 === 0, ($"o_orderkey" % 3 =!= 0).cast("long"))
+        .otherwise(($"o_orderkey" % 5 === 0).cast("long")).as("dd"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("y"))
+    t.agg(
+        sum(when($"z", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"z", 1L).otherwise(0L)).as("n0"),
+        sum(when($"z", $"y").otherwise(0L).cast(dec)).as("s1"),
+        sum(when(!$"z", $"y").otherwise(0L).cast(dec)).as("s0"),
+        sum(when($"z", $"dd").otherwise(0L).cast(dec)).as("t1"),
+        sum(when(!$"z", $"dd").otherwise(0L).cast(dec)).as("t0"))
+      .select($"n1", $"n0",
+        expr("CAST(t1 * 1000000 div n1 AS BIGINT)").as("uptake_z1_q6"),
+        expr("CAST(t0 * 1000000 div n0 AS BIGINT)").as("uptake_z0_q6"),
+        expr(s"""CAST(((s1 * n0 - s0 * n1) * 1000000
+          | + CAST(1000000000000000000 AS $dec) * (n1 * n0))
+          | div (CAST(n1 AS $dec) * n0) AS $dec)
+          | - 1000000000000000000""".stripMargin.replace("\n", ""))
+          .cast("long").as("itt_y_q6"),
+        expr(s"""CAST(((t1 * n0 - t0 * n1) * 1000000)
+          | div (CAST(n1 AS $dec) * n0) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("itt_d_q6"),
+        expr(s"""CAST(((s1 * n0 - s0 * n1) * 1000000
+          | + CAST(1000000000000000000 AS $dec) * (t1 * n0 - t0 * n1))
+          | div nullif(t1 * n0 - t0 * n1, 0) AS $dec)
+          | - 1000000000000000000""".stripMargin.replace("\n", ""))
+          .cast("long").as("late_q6"))
+  }
+
   /** Gini coefficient of customer revenue concentration — the
     * single-number inequality readout next to the q165
     * concentration curve: `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`

@@ -657,6 +657,35 @@ object TextStats {
       .orderBy($"r")
   }
 
+  /** Compression-ratio quality screen — per document, the DEFLATE
+    * size over the raw byte size ([[graft.functions.DeflateSize]]):
+    * the compressor-as-quality-model trick large-corpus curation
+    * uses instead of hand-tuned n-gram repetition rules, because a
+    * general compressor catches EVERY kind of redundancy (repeated
+    * lines, templated spans, boilerplate) at once. Low ratios flag
+    * repetitive/templated docs, ratios near 1 flag noise — both
+    * tails are drop candidates. [[repetition]] (q62) counts one
+    * fixed redundancy (2-gram dups); this measures all of them.
+    *
+    * Scale shape: MAP-ONLY — one native expression per row, no
+    * shuffle before the presentation sort; exactly the per-document
+    * scoring pass shape every quality gate in this engine uses.
+    * Spec-verified (no SQL twin exists for DEFLATE): determinism,
+    * and the repetitive < diverse < noise ratio ordering.
+    */
+  def compressionQuality(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
+    Tables.documents(spark, d)
+      .select($"doc_id", $"source",
+        length($"text").cast("long").as("n_bytes"),
+        Bridge.column(graft.functions.DeflateSize(
+          Bridge.expression($"text"))).cast("long").as("z_bytes"))
+      .select($"doc_id", $"source", $"n_bytes", $"z_bytes",
+        r4($"z_bytes".cast("double") / $"n_bytes").as("ratio"))
+      .orderBy($"doc_id")
+  }
+
   /** FORCAST readability per source — the one classic readability
     * formula that needs NO sentence segmentation (it was built for
     * forms and technical fragments): grade = 20 − N_mono/10 per 150

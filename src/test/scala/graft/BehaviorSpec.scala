@@ -1216,6 +1216,24 @@ class BehaviorSpec extends SparkSpec {
       (3L, 3L, 0L, 0L)), s"got ${got.toSeq}")
   }
 
+  test("compressionQuality: repetitive text compresses far below " +
+    "diverse text; the kernel is deterministic") {
+    val rep = ("spam ham " * 200).trim                  // pure repetition
+    val div = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val d = plantDocs(Seq((1L, rep), (2L, div)))
+    val got = TextStats.compressionQuality(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(1L) < 0.1, s"repetition must compress hard, got ${got(1L)}")
+    assert(got(2L) > got(1L) * 3,
+      s"diverse text must compress far less: $got")
+    // determinism: same bytes, same Deflater output size
+    val again = TextStats.compressionQuality(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val first = TextStats.compressionQuality(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == first, "DeflateSize must be a pure function")
+  }
+
   test("kaplanMeierOf: censoring removes subjects from risk WITHOUT " +
     "counting them as deaths — hand-computed product limit") {
     import spark.implicits._

@@ -8,7 +8,9 @@ class RegistrySpec extends SparkSpec {
   private val rowsOnly = Map(
     "q43_approx_distinct" -> "HLL sketch values are engine-specific",
     "q263_mjpeg_decode" -> ("JPEG is lossy — decoded luma is " +
-      "codec-determined, not closed-form; spec-verified instead"))
+      "codec-determined, not closed-form; spec-verified instead"),
+    "q286_compression_quality" -> ("no SQL DEFLATE exists — the ratio " +
+      "is JDK-Deflater-determined; spec-verified instead"))
 
   test("every oracle key has a matching query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
