@@ -896,6 +896,10 @@ object SparkEntry {
     // Exact per-dimension robust-scaler stats (median/IQR) via ONE
     // GlobalIndex ranking over the coordinate stream
     "q287_robust_scaler" -> (Similarity.robustScalerStats _),
+    // The three-leaf serve: count/sum + approx_count_distinct +
+    // approx_percentile composed from the algebraic MV, the HLL
+    // registers, and the quantile sketch — the fact never scanned
+    "q288_mv_triple_serve" -> (Extended.mvTripleServe _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5216,6 +5220,74 @@ object SparkEntry {
         |SELECT o_orderkey, w_cents,
         |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
         |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q288: direct count/sum + BOTH deterministic sketch estimates
+    // inline — equality proves the three-way composed serve
+    "q288_mv_triple_serve" ->
+      """WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |  FROM documents GROUP BY 1),
+        |m1 AS (SELECT source AS grp,
+        |    (n_chars % 2147483647) * 2654435761 % 2147483647 AS h1
+        |  FROM documents),
+        |m2 AS (SELECT grp, xor(h1, h1 // 8192) AS h2 FROM m1),
+        |m3 AS (SELECT grp,
+        |  (h2 % 2147483647) * 2246822519 % 2147483647 AS h3 FROM m2),
+        |h AS (SELECT grp, xor(h3, h3 // 33554432) AS h FROM m3),
+        |bk AS (SELECT grp, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (
+        |  SELECT grp, bucket,
+        |    CASE WHEN w = 0 THEN 26
+        |         ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+        |  FROM bk),
+        |reg AS (SELECT grp, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        |mm AS (SELECT grp, MAX(mj) AS maxm, COUNT(*) AS n_present
+        |       FROM reg GROUP BY 1),
+        |sp AS (
+        |  SELECT reg.grp, mm.maxm, mm.n_present,
+        |    SUM(CAST(1 AS BIGINT) << (mm.maxm - reg.mj)) AS s_present
+        |  FROM reg JOIN mm ON reg.grp = mm.grp GROUP BY 1, 2, 3),
+        |si AS (
+        |  SELECT grp, maxm,
+        |    CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << maxm)
+        |         AS BIGINT) AS s_int
+        |  FROM sp),
+        |acd AS (
+        |  SELECT grp AS source,
+        |    CAST(FLOOR(ROUND(CAST(0.709 AS DOUBLE) * 4096.0
+        |      * power(2.0, maxm) / s_int * 10000, 0) / 10000 + 0.0 + 0.5)
+        |      AS BIGINT) AS distinct_lengths
+        |  FROM si),
+        |qb AS (SELECT source, n_chars AS x FROM documents),
+        |qs0 AS (SELECT source, x, x | (x >> 1) AS y1 FROM qb WHERE x >= 0),
+        |qs1 AS (SELECT source, x, y1 | (y1 >> 2) AS y2 FROM qs0),
+        |qs2 AS (SELECT source, x, y2 | (y2 >> 4) AS y3 FROM qs1),
+        |qs3 AS (SELECT source, x, y3 | (y3 >> 8) AS y4 FROM qs2),
+        |qs4 AS (SELECT source, x, y4 | (y4 >> 16) AS y5 FROM qs3),
+        |qs AS (SELECT source, x, y5 | (y5 >> 32) AS y FROM qs4),
+        |ids AS (
+        |  SELECT source,
+        |    CASE WHEN x < 8 THEN x
+        |         ELSE 8 + 4 * ((bit_count(y) - 1) - 3)
+        |              + ((x >> ((bit_count(y) - 1) - 2)) & 3) END AS id
+        |  FROM qs),
+        |hist AS (SELECT source, id, COUNT(*) AS cnt FROM ids GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(cnt) AS n FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT hh.source, hh.id, t.n,
+        |    SUM(hh.cnt) OVER (PARTITION BY hh.source ORDER BY hh.id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist hh JOIN tot t USING (source)),
+        |ps AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN id50 < 8 THEN id50
+        |      ELSE (4 + ((id50 - 8) % 4)) << (((id50 - 8) // 4) + 1) END
+        |      AS BIGINT) AS p50_chars
+        |  FROM (SELECT source,
+        |          MIN(CASE WHEN cum * 100 >= 50 * n THEN id END) AS id50
+        |        FROM cum GROUP BY source) s)
+        |SELECT a.source, n_docs, chars_sum, distinct_lengths, p50_chars
+        |FROM a JOIN acd USING (source) JOIN ps USING (source)
+        |ORDER BY a.source""".stripMargin,
     // q285: the same 2-arm sufficient statistics and shifted
     // rationals; HUGEINT mirrors DECIMAL(38,0)
     "q285_iv_wald" ->

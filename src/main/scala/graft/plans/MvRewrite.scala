@@ -391,7 +391,6 @@ object MvRewrite extends Rule[LogicalPlan] {
           rewritten <- defs.get(path).toSeq.flatten.sortBy(_.groupCols.size)
             .view.flatMap(mv => rewrite(agg, filters, mv)).headOption
             .orElse(rewriteMixed(agg, filters, path))
-            .orElse(rewriteQuantile(agg, filters, path))
         } yield rewritten).getOrElse(agg)
     }
 
@@ -412,19 +411,22 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** The approx-distinct gear, composed with the algebraic family:
-    * an aggregate mixing `approx_count_distinct(key)` with algebraic
-    * aggregates (`count(*)`, `sum`, `avg`, `min`/`max`) over a source
-    * with registered MVs serves each part from ITS maintained table —
-    * the distinct estimates from the HLL register table
-    * ([[graft.operators.HllMv]]), everything else from the matching
-    * algebraic MV — joined on the grouping cells, two domain-sized
-    * leaves and never the fact. COUNT(DISTINCT) is the one aggregate
-    * no algebraic partial can serve, but per-cell HLL registers are a
-    * mergeable partial; register max-merge also lets one register
-    * table serve any SUBSET of its group columns (re-merge the
-    * registers to the coarser cells, then estimate), the same
-    * rollup property the algebraic gears ride.
+  /** The SKETCH gear, composed with the algebraic family: an
+    * aggregate mixing `approx_count_distinct(key)` and/or
+    * `approx_percentile(col, p)` with algebraic aggregates
+    * (`count(*)`, `sum`, `avg`, `min`/`max`) over a source with
+    * registered MVs serves each part from ITS maintained table — the
+    * distinct estimates from the HLL register table
+    * ([[graft.operators.HllMv]]), the percentiles from the
+    * log-linear sketch ([[graft.operators.QuantileMv]]), everything
+    * else from the matching algebraic MV — all joined on the
+    * grouping cells: up to THREE domain-sized leaves and never the
+    * fact. COUNT(DISTINCT) and percentiles are the two aggregates no
+    * algebraic partial can serve, but per-cell HLL registers and
+    * bucket histograms are mergeable partials; register max-merge /
+    * bucket-count ADD also let one table serve any SUBSET of its
+    * group columns (re-merge to the coarser cells, then estimate),
+    * the same rollup property the algebraic gears ride.
     *
     * The served distinct value is the register table's deterministic
     * estimate (the [[graft.operators.HllMv.serveDistinct]] harmonic
@@ -438,17 +440,23 @@ object MvRewrite extends Rule[LogicalPlan] {
     *
     * Refusals (fall back to the fact scan, always correct): empty or
     * non-attribute grouping; an `approx_count_distinct` key with no
-    * register table covering the grouping; any other aggregate no
-    * registered algebraic MV serves. Cells whose key column is
-    * entirely NULL have no register row; with an algebraic side they
-    * surface with a served 0 (LEFT join + coalesce — exactly the
-    * direct aggregate's answer), in the pure-sketch shape they are
-    * absent, the register table's stated evidence contract.
+    * register table covering the grouping; a percent off the integer
+    * grid, several distinct percentile value columns, or an
+    * unregistered one; any other aggregate no registered algebraic
+    * MV serves. Cells whose key column is entirely NULL have no
+    * register row; with an algebraic side they surve with a served 0
+    * (LEFT join + coalesce — exactly the direct aggregate's answer),
+    * in the pure-sketch shape they are absent, the table's stated
+    * evidence contract. Percentile serves stay NULL for cells absent
+    * from the sketch — the histogram's stated non-negative-value
+    * domain.
     */
   private def rewriteMixed(agg: Aggregate, filters: Seq[Expression],
                            path: String): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
     val hds = hllDefs.get(path).toSeq.flatten
-    if (hds.isEmpty) return None
+    val qds = quantileDefs.get(path).toSeq.flatten
+    if (hds.isEmpty && qds.isEmpty) return None
     val groupAttrs = agg.groupingExpressions.map {
       case a: Attribute => a
       case _ => return None
@@ -461,10 +469,11 @@ object MvRewrite extends Rule[LogicalPlan] {
         f.references.forall(a => grpNames.contains(a.name))
       if (!safe) return None
     }
-    // classify outputs: grouping attrs pass through, undistinct
-    // unfiltered approx_count_distinct over a registered key serves
-    // from registers, EVERYTHING else must be served by an algebraic
-    // MV (delegated to [[rewrite]], which refuses what it can't fold)
+    // classify outputs: grouping attrs pass through; undistinct
+    // unfiltered approx_count_distinct / integer-percent
+    // approx_percentile serve from their sketch tables; EVERYTHING
+    // else must be served by an algebraic MV (delegated to
+    // [[rewrite]], which refuses what it cannot fold)
     def acdKey(e: NamedExpression): Option[String] = e match {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
@@ -477,26 +486,68 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+    def pctOf(e: NamedExpression): Option[(String, Int)] = e match {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case ap: ApproximatePercentile =>
+            (ap.child, ap.percentageExpression) match {
+              case (c: Attribute, Literal(p: Double, _)) =>
+                val pq = p * 100.0
+                val r = math.rint(pq)
+                if (math.abs(pq - r) < 1e-9 && r >= 1 && r <= 99)
+                  Some((c.name, r.toInt))
+                else None
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
     val acdAliases = agg.aggregateExpressions.collect {
       case e if acdKey(e).isDefined => e.asInstanceOf[Alias]
     }
-    if (acdAliases.isEmpty) return None
+    val pctAliases = agg.aggregateExpressions.collect {
+      case e if pctOf(e).isDefined => e.asInstanceOf[Alias]
+    }
+    if (acdAliases.isEmpty && pctAliases.isEmpty) return None
     val algAliases = agg.aggregateExpressions.filter {
       case a: Attribute if grpNames.contains(a.name) => false
-      case e => acdKey(e).isEmpty
+      case e => acdKey(e).isEmpty && pctOf(e).isEmpty
     }
     // one register serve per distinct key: the smallest registered
     // table whose group columns COVER the query grouping
     val keys = acdAliases.map(a => acdKey(a).get).distinct
-    val chosen: Map[String, graft.operators.HllMv.Def] = keys.map { k =>
+    val chosenHll: Map[String, graft.operators.HllMv.Def] = keys.map { k =>
       k -> hds.filter(hd => hd.keyCol == k &&
           grpNames.toSet.subsetOf(hd.grpCols.toSet))
         .sortBy(_.grpCols.size).headOption.getOrElse(return None)
     }.toMap
+    // one quantile serve for the (single) percentile value column
+    val percents = pctAliases.map(a => pctOf(a).get._2).distinct.sorted
+    val qdOpt: Option[graft.operators.QuantileMv.Def] =
+      if (pctAliases.isEmpty) None
+      else {
+        val valCols = pctAliases.map(a => pctOf(a).get._1).distinct
+        if (valCols.size != 1) return None
+        Some(qds.filter(x => x.valCol == valCols.head &&
+            grpNames.toSet.subsetOf(x.grpCols.toSet))
+          .sortBy(_.grpCols.size).headOption.getOrElse(return None))
+      }
 
     val spark = SparkSession.active
     def attrIn(p: LogicalPlan, n: String): Option[Attribute] =
       p.output.find(_.name == n)
+    def anchored(regPlan: LogicalPlan): Option[LogicalPlan] = {
+      var resolved = true
+      val res = filters.foldRight[LogicalPlan](regPlan) { (cond, acc) =>
+        Filter(cond.transform {
+          case a: Attribute =>
+            attrIn(regPlan, a.name).getOrElse { resolved = false; a }
+        }, acc)
+      }
+      if (resolved) Some(res) else None
+    }
 
     // the algebraic side: a synthetic aggregate holding the grouping
     // attrs (join keys) plus every non-sketch aggregate, routed
@@ -514,15 +565,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     // one served-estimate plan per key: filter cells, re-merge the
     // registers when the table is grouped finer than the query, then
     // the deterministic harmonic-mean estimate rounded to a count
-    val serves: Seq[(String, LogicalPlan)] = keys.map { k =>
-      val hd = chosen(k)
+    val hllServes: Seq[(String, LogicalPlan)] = keys.map { k =>
+      val hd = chosenHll(k)
       val regPlan = spark.read.parquet(hd.mvPath).queryExecution.analyzed
-      val filtered = filters.foldRight[LogicalPlan](regPlan) { (cond, acc) =>
-        Filter(cond.transform {
-          case a: Attribute => attrIn(regPlan, a.name).getOrElse(return None)
-        }, acc)
-      }
-      val df0 = org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered)
+      val df0 = org.apache.spark.sql.graft.Bridge
+        .ofRows(spark, anchored(regPlan).getOrElse(return None))
       val merged =
         if (hd.grpCols.toSet == grpNames.toSet) df0
         else df0.groupBy((grpNames.map(df0(_)) :+ df0("bucket")): _*)
@@ -533,21 +580,38 @@ object MvRewrite extends Rule[LogicalPlan] {
         .queryExecution.analyzed
       k -> served
     }
+    // the quantile serve: filter cells, re-merge the histogram when
+    // grouped finer (bucket counts ADD), then the deterministic
+    // lower-bound estimates at every requested percent
+    val qServe: Option[LogicalPlan] = qdOpt.map { qd =>
+      val regPlan = spark.read.parquet(qd.mvPath).queryExecution.analyzed
+      val df0 = org.apache.spark.sql.graft.Bridge
+        .ofRows(spark, anchored(regPlan).getOrElse(return None))
+      val merged =
+        if (qd.grpCols.toSet == grpNames.toSet) df0
+        else df0.groupBy((grpNames.map(df0(_)) :+ df0("id")): _*)
+          .agg(org.apache.spark.sql.functions.sum(df0("cnt")).as("cnt"))
+      graft.ext.Stats.qsketchServe(merged, grpNames, percents)
+        .queryExecution.analyzed
+    }
 
     // compose: LEFT joins on null-safe cell equality — the algebraic
     // side (complete cell domain) anchors when present
-    val base: LogicalPlan = algPlan.getOrElse(serves.head._2)
-    val rest = if (algPlan.isDefined) serves else serves.tail
-    val joined = rest.foldLeft(base) { case (left, (_, serve)) =>
+    val allServes: Seq[LogicalPlan] = hllServes.map(_._2) ++ qServe.toSeq
+    val base: LogicalPlan = algPlan.getOrElse(allServes.head)
+    val rest = if (algPlan.isDefined) allServes else allServes.tail
+    val joined = rest.foldLeft(base) { case (left, serve) =>
       val cond = grpNames.map(n =>
         EqualNullSafe(attrIn(left, n).getOrElse(return None),
           attrIn(serve, n).getOrElse(return None)))
         .reduce[Expression](And(_, _))
       Join(left, serve, LeftOuter, Some(cond), JoinHint.NONE)
     }
-    val serveCnt: Map[String, Attribute] = serves.map { case (k, s) =>
-      k -> s.output.find(_.name == "acd").getOrElse(return None)
+    val serveCnt: Map[String, Attribute] = hllServes.map { case (k, sp) =>
+      k -> sp.output.find(_.name == "acd").getOrElse(return None)
     }.toMap
+    def qAttr(q: Int): Option[Attribute] =
+      qServe.flatMap(_.output.find(_.name == s"p$q"))
 
     val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: Attribute if grpNames.contains(a.name) =>
@@ -560,6 +624,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       case al @ Alias(_, name) if acdKey(al).isDefined =>
         Alias(Coalesce(Seq(serveCnt(acdKey(al).get),
           Literal(0L))), name)(exprId = al.exprId)
+      case al @ Alias(_, name) if pctOf(al).isDefined =>
+        Alias(qAttr(pctOf(al).get._2).getOrElse(return None),
+          name)(exprId = al.exprId)
       case al: Alias => al.toAttribute // served under its original id
       case _ => return None
     }
@@ -567,102 +634,6 @@ object MvRewrite extends Rule[LogicalPlan] {
       agg.aggregateExpressions.map(_.toAttribute.dataType)
     if (!ok) return None
     Some(Project(outs, joined))
-  }
-
-  /** The approx-percentile gear: `approx_percentile(valCol, p)` (one
-    * or several integer-percent p's) grouped by a subset of a
-    * registered quantile sketch's group columns serves from the
-    * sketch table ([[graft.operators.QuantileMv]]) — percentiles are
-    * the other aggregate no algebraic partial can fold, but the
-    * log-linear bucket counts are a mergeable partial, so a coarser
-    * grouping re-aggregates the histogram (counts ADD) and the
-    * deterministic lower-bound estimate serves from a
-    * domain-×-~120-row table, never the fact. Same contract as the
-    * HLL gear: an approximate aggregate answered by the MAINTAINED
-    * approximation. Refusals: non-attribute or empty grouping,
-    * fractional percents (the sketch serves the integer-percent
-    * grid), unregistered value columns, any non-percentile aggregate
-    * in the output (compose-with-algebraic is the mixed gear's
-    * domain and not implemented for percentiles — such queries fall
-    * back to the fact, always correct).
-    */
-  private def rewriteQuantile(agg: Aggregate, filters: Seq[Expression],
-                              path: String): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
-    val qds = quantileDefs.get(path).toSeq.flatten
-    if (qds.isEmpty) return None
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: Attribute => a
-      case _ => return None
-    }
-    if (groupAttrs.isEmpty) return None
-    val grpNames = groupAttrs.map(_.name)
-    filters.foreach { f =>
-      val safe = f.deterministic &&
-        !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
-        f.references.forall(a => grpNames.contains(a.name))
-      if (!safe) return None
-    }
-    // each output is a grouping attr or approx_percentile(col, p)
-    // with p on the integer-percent grid
-    def pctOf(e: NamedExpression): Option[(String, Int)] = e match {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case ap: ApproximatePercentile => (ap.child, ap.percentageExpression) match {
-            case (c: Attribute, Literal(p: Double, _)) =>
-              val pq = p * 100.0
-              val r = math.rint(pq)
-              if (math.abs(pq - r) < 1e-9 && r >= 1 && r <= 99)
-                Some((c.name, r.toInt))
-              else None
-            case _ => None
-          }
-          case _ => None
-        }
-      case _ => None
-    }
-    val pcts = agg.aggregateExpressions.flatMap(pctOf)
-    val shapesOk = agg.aggregateExpressions.forall {
-      case a: Attribute if grpNames.contains(a.name) => true
-      case e => pctOf(e).isDefined
-    }
-    if (!shapesOk || pcts.isEmpty) return None
-    val valCols = pcts.map(_._1).distinct
-    if (valCols.size != 1) return None
-    val qd = qds.filter(x => x.valCol == valCols.head &&
-        grpNames.toSet.subsetOf(x.grpCols.toSet))
-      .sortBy(_.grpCols.size).headOption.getOrElse(return None)
-
-    val spark = SparkSession.active
-    val regPlan = spark.read.parquet(qd.mvPath).queryExecution.analyzed
-    val filtered = filters.foldRight[LogicalPlan](regPlan) { (cond, acc) =>
-      Filter(cond.transform {
-        case a: Attribute =>
-          regPlan.output.find(_.name == a.name).getOrElse(return None)
-      }, acc)
-    }
-    val df0 = org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered)
-    val merged =
-      if (qd.grpCols.toSet == grpNames.toSet) df0
-      else df0.groupBy((grpNames.map(df0(_)) :+ df0("id")): _*)
-        .agg(org.apache.spark.sql.functions.sum(df0("cnt")).as("cnt"))
-    val percents = pcts.map(_._2).distinct.sorted
-    val served = graft.ext.Stats.qsketchServe(merged, grpNames, percents)
-      .queryExecution.analyzed
-    def sAttr(n: String): Option[Attribute] = served.output.find(_.name == n)
-    val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: Attribute if grpNames.contains(a.name) =>
-        Alias(sAttr(a.name).getOrElse(return None), a.name)(exprId = a.exprId)
-      case al @ Alias(_, name) =>
-        val q = pctOf(al).getOrElse(return None)._2
-        Alias(sAttr(s"p$q").getOrElse(return None), name)(exprId = al.exprId)
-      case _ => return None
-    }
-    val ok = outs.map(_.toAttribute.dataType) ==
-      agg.aggregateExpressions.map(_.toAttribute.dataType)
-    if (!ok) return None
-    Some(Project(outs, served))
   }
 
   private def rewrite(agg: Aggregate, filters: Seq[Expression],

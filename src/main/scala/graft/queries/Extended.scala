@@ -817,6 +817,51 @@ object Extended {
       .orderBy($"source")
   }
 
+  /** q288 — the THREE-LEAF serve: one everyday profiling aggregate —
+    * `count(*)`, `sum`, `approx_count_distinct`, `approx_percentile`
+    * in a single GROUP BY — composed by the unified sketch gear from
+    * the algebraic MV, the HLL register table, and the quantile
+    * sketch at once, joined on the grouping cells. The fact is never
+    * scanned; every aggregate is answered by the maintained structure
+    * built for it. The DuckDB oracle computes the direct count/sum
+    * with both deterministic sketch estimates inline, so the hash
+    * match proves the full three-way composition; PlanAuditSpec pins
+    * the three MV paths as the only scan leaves.
+    */
+  def mvTripleServe(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/documents.parquet"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q288").toString
+    val docs = spark.read.parquet(src)
+    val alg = graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("source"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/alg")
+    val hll = graft.operators.HllMv.materializeFrom(docs,
+      graft.operators.HllMv.Def(Seq("source"), "n_chars",
+        s"$tmp/hll", Some(src)))
+    val qs = graft.operators.QuantileMv.materializeFrom(docs,
+      graft.operators.QuantileMv.Def(Seq("source"), "n_chars",
+        s"$tmp/qs", Some(src)))
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.register(alg)
+    graft.plans.MvRewrite.registerHll(hll)
+    graft.plans.MvRewrite.registerQuantile(qs)
+    val q = spark.read.parquet(src)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars_sum"),
+        approx_count_distinct($"n_chars").as("distinct_lengths"),
+        percentile_approx($"n_chars", lit(0.5), lit(1000))
+          .as("p50_chars"))
+      .orderBy($"source")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
   /** q210 — MAINTAINED distinct counts via mergeable HLL register
     * partials ([[graft.operators.HllMv]]): the one aggregate the
     * algebraic MV gears can never serve. Registers built over a base

@@ -645,6 +645,23 @@ class PlanAuditSpec extends SparkSpec {
         s"away:\n$plan")
   }
 
+  test("q288: the triple serve reads the algebraic MV, the HLL " +
+    "registers, AND the quantile sketch — never the fact") {
+    val df = SparkEntry.queries("q288_mv_triple_serve")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q288") && leaves.contains("/alg") &&
+      leaves.contains("/hll") && leaves.contains("/qs"),
+      s"expected all three MV tables as scan leaves:\n$leaves")
+    assert(!leaves.contains("documents.parquet"),
+      "the composed serve must never scan the fact")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("approx_count_distinct") &&
+      !plan.contains("percentile_approx") &&
+      !plan.contains("approx_percentile"),
+      s"every sketch aggregate must be rewritten away:\n$plan")
+  }
+
   test("q218: the log-ratio table joins back as a bounded broadcast, " +
     "windows nowhere") {
     val df = SparkEntry.queries("q218_dsir_selection")(spark, d)
