@@ -434,9 +434,13 @@ object MvRewrite extends Rule[LogicalPlan] {
     * the MAINTAINED approximation, the contract any sketch-MV
     * warehouse serves. `floor(est+0.5)` rather than `round`:
     * identical HALF-UP semantics on the positive domain in both Spark
-    * and the DuckDB oracle. Filters referencing only QUERY grouping
-    * columns drop whole cells on both sides identically and are
-    * re-anchored onto each MV read, as in the algebraic gears.
+    * and the DuckDB oracle. Filters over GROUP columns (of the query
+    * or beyond it — the algebraic gear's contract) drop whole cells
+    * identically on every side: each is re-anchored onto the FINE
+    * sketch table before any subset re-merge, so a predicate on a
+    * group column outside the query grouping still prunes exactly;
+    * defs are chosen only if their group columns cover the filter
+    * references.
     *
     * Refusals (fall back to the fact scan, always correct): empty or
     * non-attribute grouping; an `approx_count_distinct` key with no
@@ -463,12 +467,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     if (groupAttrs.isEmpty) return None
     val grpNames = groupAttrs.map(_.name)
+    // filters may reference group columns BEYOND the query grouping
+    // (the algebraic gear's contract) — each serving structure must
+    // then carry those columns too, enforced when defs are chosen
     filters.foreach { f =>
       val safe = f.deterministic &&
-        !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
-        f.references.forall(a => grpNames.contains(a.name))
+        !f.exists(_.isInstanceOf[PlanExpression[_]])
       if (!safe) return None
     }
+    val filterRefs = filters.flatMap(_.references.map(_.name)).toSet
     // classify outputs: grouping attrs pass through; undistinct
     // unfiltered approx_count_distinct / integer-percent
     // approx_percentile serve from their sketch tables; EVERYTHING
@@ -520,7 +527,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     val keys = acdAliases.map(a => acdKey(a).get).distinct
     val chosenHll: Map[String, graft.operators.HllMv.Def] = keys.map { k =>
       k -> hds.filter(hd => hd.keyCol == k &&
-          grpNames.toSet.subsetOf(hd.grpCols.toSet))
+          (grpNames.toSet ++ filterRefs).subsetOf(hd.grpCols.toSet))
         .sortBy(_.grpCols.size).headOption.getOrElse(return None)
     }.toMap
     // one quantile serve for the (single) percentile value column
@@ -531,7 +538,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         val valCols = pctAliases.map(a => pctOf(a).get._1).distinct
         if (valCols.size != 1) return None
         Some(qds.filter(x => x.valCol == valCols.head &&
-            grpNames.toSet.subsetOf(x.grpCols.toSet))
+            (grpNames.toSet ++ filterRefs).subsetOf(x.grpCols.toSet))
           .sortBy(_.grpCols.size).headOption.getOrElse(return None))
       }
 

@@ -748,6 +748,74 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("sketch serves under group-column filters and subset grouping " +
+    "composed with the algebraic side") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-mixed2").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 600L).map(i =>
+        (i, s"s${i % 2}", s"p${i % 3}", (i % 7).toDouble, (i % 45).toLong))
+      .toDF("id", "status", "prio", "v", "k1").write.parquet(fact)
+    try {
+      val alg = MvRewrite.materialize(spark, fact,
+        groupCols = Seq("status", "prio"), sumCols = Seq("v"),
+        mvPath = s"$dir/alg")
+      val hll = graft.operators.HllMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.HllMv.Def(Seq("status", "prio"), "k1",
+          s"$dir/hll", Some(fact)))
+      val qs = graft.operators.QuantileMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.QuantileMv.Def(Seq("status", "prio"), "k1",
+          s"$dir/qs", Some(fact)))
+      MvRewrite.register(alg)
+      MvRewrite.registerHll(hll)
+      MvRewrite.registerQuantile(qs)
+
+      // SUBSET grouping (status only) + a group-column filter over
+      // the OTHER registered group column, mixing all three families
+      def q() = spark.read.parquet(fact)
+        .filter($"prio".isin("p1", "p2"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          approx_count_distinct($"k1").as("acd"),
+          percentile_approx($"k1", lit(0.5), lit(1000)).as("p50k"))
+        .orderBy($"status")
+      val served = q()
+      val leaves = scansOf(served)
+      assert(leaves.exists(_.contains("/alg")) &&
+        leaves.exists(_.contains("/hll")) &&
+        leaves.exists(_.contains("/qs")) &&
+        !leaves.exists(_.contains("fact.parquet")),
+        s"all three MVs must serve the filtered subset query:\n$leaves")
+      val got = served.collect().toSeq
+
+      // expected: direct count/sum over the filtered fact + each
+      // sketch's own estimate over the filtered, re-merged state
+      val ff = spark.read.parquet(fact).filter($"prio".isin("p1", "p2"))
+      MvRewrite.clear() // direct recompute with the rule inert
+      val cs = ff.groupBy($"status")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      val hdirect = graft.operators.HllMv.materializeFrom(ff,
+        graft.operators.HllMv.Def(Seq("status"), "k1", s"$dir/hd"))
+      val acdw = graft.operators.HllMv.serveDistinct(spark, hdirect)
+        .select($"status",
+          expr("CAST(floor(est + 0.5d) AS BIGINT)").as("acd"))
+      val qdirect = graft.operators.QuantileMv.materializeFrom(ff,
+        graft.operators.QuantileMv.Def(Seq("status"), "k1", s"$dir/qd"))
+      val p50w = graft.operators.QuantileMv
+        .serveQuantiles(spark, qdirect, Seq(50))
+        .select($"status", $"p50".as("p50k"))
+      val want = cs.join(acdw, "status").join(p50w, "status")
+        .select($"status", $"n", $"sv", $"acd", $"p50k")
+        .orderBy($"status").collect().toSeq
+      assert(got == want,
+        s"filtered subset triple serve == direct + sketch estimates:" +
+          s"\ngot  $got\nwant $want")
+    } finally MvRewrite.clear()
+  }
+
   test("quantile sketch: delta-only refresh == direct build; signed " +
     "retraction == rebuilt histogram") {
     import spark.implicits._
