@@ -208,4 +208,75 @@ object MvProps extends Properties("mv") {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
     }
+
+  property("quantile sketch: delta chain + signed retraction == " +
+    "rebuild over the net state") =
+    Prop.forAll(genRederive) { case (base, delIds, inserts) =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-qs-props").toString
+      try {
+        // v doubles as the sketch value: negatives exercise the
+        // kernel's x >= 0 drop on BOTH the maintained and the
+        // rebuilt side
+        def df(b: List[(Long, String, Long, Option[Long])]) =
+          b.toDF("id", "g", "v", "s")
+        val cut = base.length / 2
+        val qd = graft.operators.QuantileMv.Def(Seq("g"), "v", s"$dir/mv0")
+        val mv0 = graft.operators.QuantileMv
+          .materializeFrom(df(base.take(cut)), qd)
+        val mv1 = graft.operators.QuantileMv.refreshIncremental(
+          spark, mv0, df(base.drop(cut)), s"$dir/mv1")
+        val dels = base.filter(r => delIds(r._1))
+        val cdc = df(dels).withColumn("op", lit(-1))
+          .unionByName(df(inserts).withColumn("op", lit(1)))
+        val mv2 = graft.operators.QuantileMv.refreshRetract(
+          spark, mv1, cdc, "op", s"$dir/mv2")
+        val net = base.filterNot(r => delIds(r._1)) ++ inserts
+        val rebuilt = graft.operators.QuantileMv.materializeFrom(
+          if (net.isEmpty)
+            spark.emptyDataset[(Long, String, Long, Option[Long])]
+              .toDF("id", "g", "v", "s")
+          else df(net),
+          graft.operators.QuantileMv.Def(Seq("g"), "v", s"$dir/mv-net"))
+        def state(path: String) = spark.read.parquet(path)
+          .orderBy($"g", $"id").collect().map(_.toSeq).toSeq
+        state(mv2.mvPath) == state(rebuilt.mvPath)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+
+  property("HLL rederive retraction == rebuilt registers over the " +
+    "net state") =
+    Prop.forAll(genRederive) { case (base, delIds, inserts) =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-hll-props").toString
+      try {
+        // the row id doubles as the distinct key (non-null longs)
+        def df(b: List[(Long, String, Long, Option[Long])]) =
+          b.map(r => (r._1, r._2)).toDF("k", "g")
+        val net = base.filterNot(r => delIds(r._1)) ++ inserts
+        if (net.isEmpty)
+          spark.emptyDataset[(Long, String)].toDF("k", "g")
+            .write.parquet(s"$dir/net")
+        else df(net).write.parquet(s"$dir/net")
+        // registers hold the PRE-CDC state, declared against net
+        val mv0 = graft.operators.HllMv.materializeFrom(df(base),
+          graft.operators.HllMv.Def(Seq("g"), "k", s"$dir/mv0",
+            Some(s"$dir/net")))
+        val dels = base.filter(r => delIds(r._1))
+        val cdc = df(dels).withColumn("op", lit(-1))
+          .unionByName(df(inserts).withColumn("op", lit(1)))
+        val refreshed = graft.operators.HllMv.refreshRetractRederive(
+          spark, mv0, cdc, s"$dir/mv1")
+        val rebuilt = graft.operators.HllMv.materializeFrom(
+          spark.read.parquet(s"$dir/net"),
+          graft.operators.HllMv.Def(Seq("g"), "k", s"$dir/mv-net"))
+        def state(path: String) = spark.read.parquet(path)
+          .orderBy($"g", $"bucket").collect().map(_.toSeq).toSeq
+        state(refreshed.mvPath) == state(rebuilt.mvPath)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
 }
