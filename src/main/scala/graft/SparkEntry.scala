@@ -900,6 +900,9 @@ object SparkEntry {
     // approx_percentile composed from the algebraic MV, the HLL
     // registers, and the quantile sketch — the fact never scanned
     "q288_mv_triple_serve" -> (Extended.mvTripleServe _),
+    // Multi-probe recall eval: recall@3 of probes=1 vs probes=2
+    // against the global exact top-3 — the nprobe tuning curve
+    "q289_multiprobe_recall" -> (Similarity.multiProbeRecall _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5220,6 +5223,81 @@ object SparkEntry {
         |SELECT o_orderkey, w_cents,
         |  CAST(FLOOR(score * 1000000) AS BIGINT) AS score_q6
         |FROM top ORDER BY score_q6 DESC, o_orderkey""".stripMargin,
+    // q289: global exact top-3 truth, own-cell top-3, and the q284
+    // two-probe top-3, hit-joined — identical windows and cosines
+    "q289_multiprobe_recall" ->
+      s"""WITH ex AS (
+         |  SELECT label,
+         |    unnest(range(0, len(embedding))) AS dim,
+         |    unnest(list_transform(embedding,
+         |      x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0))) AS iv
+         |  FROM embeddings),
+         |cs AS (SELECT label, dim, SUM(iv) AS isum, COUNT(*) AS n
+         |       FROM ex GROUP BY label, dim),
+         |cent AS (SELECT label,
+         |    list(CAST(isum AS DOUBLE) / n / 1000000.0 ORDER BY dim)
+         |      AS centroid
+         |  FROM cs GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, label AS own, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 5),
+         |cands AS (SELECT vec_id, label, embedding FROM embeddings
+         |          WHERE vec_id >= 5),
+         |gsc AS (SELECT q.query_id, c.vec_id,
+         |          ${cosSql("q.qv", "c.embedding")} AS s
+         |        FROM q CROSS JOIN cands c),
+         |truth AS (SELECT query_id, vec_id FROM
+         |  (SELECT query_id, vec_id,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |                        ORDER BY s DESC, vec_id) AS rn
+         |   FROM gsc) t WHERE rn <= 3),
+         |sc1 AS (SELECT q.query_id, c.vec_id,
+         |          ${cosSql("q.qv", "c.embedding")} AS s
+         |        FROM q JOIN cands c ON c.label = q.own),
+         |top1 AS (SELECT query_id, vec_id FROM
+         |  (SELECT query_id, vec_id,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |                        ORDER BY s DESC, vec_id) AS rn
+         |   FROM sc1) t WHERE rn <= 3),
+         |d2s AS (
+         |  SELECT q.query_id, c.label,
+         |    list_reduce(list_transform(range(0, len(q.qv)),
+         |      i -> (CAST(q.qv[i+1] AS DOUBLE) - c.centroid[i+1])
+         |         * (CAST(q.qv[i+1] AS DOUBLE) - c.centroid[i+1])),
+         |      (a, b) -> a + b) AS d2
+         |  FROM q CROSS JOIN cent c WHERE c.label <> q.own),
+         |sec AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY d2, label) AS rn
+         |    FROM d2s) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, own AS label FROM q
+         |  UNION ALL SELECT query_id, label FROM sec),
+         |sc2 AS (SELECT p.query_id, c.vec_id,
+         |          ${cosSql("q.qv", "c.embedding")} AS s
+         |        FROM probes p
+         |        JOIN cands c ON c.label = p.label
+         |        JOIN q ON q.query_id = p.query_id),
+         |top2 AS (SELECT query_id, vec_id FROM
+         |  (SELECT query_id, vec_id,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |                        ORDER BY s DESC, vec_id) AS rn
+         |   FROM sc2) t WHERE rn <= 3),
+         |r1 AS (SELECT 1 AS probes, CAST(COUNT(*) AS BIGINT) AS n_results,
+         |         CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0
+         |           END) AS BIGINT) AS n_hits
+         |       FROM top1 a LEFT JOIN truth t
+         |         ON a.query_id = t.query_id AND a.vec_id = t.vec_id),
+         |r2 AS (SELECT 2 AS probes, CAST(COUNT(*) AS BIGINT) AS n_results,
+         |         CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0
+         |           END) AS BIGINT) AS n_hits
+         |       FROM top2 a LEFT JOIN truth t
+         |         ON a.query_id = t.query_id AND a.vec_id = t.vec_id)
+         |SELECT probes, n_results, n_hits,
+         |  CAST(n_hits * 1000000 // n_results AS BIGINT) AS recall_q6
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+         |ORDER BY probes""".stripMargin,
     // q288: direct count/sum + BOTH deterministic sketch estimates
     // inline — equality proves the three-way composed serve
     "q288_mv_triple_serve" ->

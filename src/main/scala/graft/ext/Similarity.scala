@@ -176,6 +176,43 @@ object Similarity {
       k)
   }
 
+  /** Multi-probe recall eval — the measurement that JUSTIFIES (or
+    * indicts) [[multiProbeIvf]]'s second probe: recall@3 of the
+    * single-cell probe ([[ivfTopK]]) and the probes=2 variant against
+    * the GLOBAL exact top-3, side by side. This is the number an ANN
+    * deployment watches when tuning nprobe — scan fraction buys
+    * recall, and the curve's first step is probes 1 → 2.
+    *
+    * Scale shape: the truth side is the q34 brute-force baseline
+    * (bounded query set, codegen'd cosine into TopKAgg partials);
+    * both probe variants are the cell-pruned searches; the recall
+    * rollups are hit-joins on (query, candidate) over ≤ 3·|queries|
+    * rows. Integer q6 recalls — div and // agree.
+    */
+  def multiProbeRecall(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.filter($"vec_id" >= 5)
+      .select($"vec_id", $"embedding".as("cv"))
+    val truth = rankTopK(
+      c.crossJoin(broadcast(q))
+        .select($"query_id", $"vec_id", cos($"qv", $"cv").as("score_raw")),
+      k = 3).select($"query_id", $"vec_id", lit(1L).as("hit"))
+    def recall(approx: DataFrame, probes: Int) =
+      approx.select($"query_id", $"vec_id")
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          coalesce(sum($"hit"), lit(0L)).as("n_hits"))
+        .select(lit(probes).as("probes"), $"n_results", $"n_hits",
+          expr("CAST(n_hits * 1000000 div n_results AS BIGINT)")
+            .as("recall_q6"))
+    recall(ivfTopK(spark, d), 1)
+      .unionByName(recall(multiProbeIvf(spark, d), 2))
+      .orderBy($"probes")
+  }
+
   /** Embedding distribution drift between two corpus halves — the
     * "did the new crawl's embedding space move" gate run before
     * mixing freshly-embedded data into a training corpus (the
