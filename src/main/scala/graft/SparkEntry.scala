@@ -903,6 +903,31 @@ object SparkEntry {
     // Multi-probe recall eval: recall@3 of probes=1 vs probes=2
     // against the global exact top-3 — the nprobe tuning curve
     "q289_multiprobe_recall" -> (Similarity.multiProbeRecall _),
+    // EXACT count(DISTINCT) served from the maintained bitmap MV
+    // (OR-merged words, subset re-merge) joined with the algebraic
+    // MV — the fact never scanned, and the serve is exact
+    "q290_mv_bitmap_distinct" -> (Extended.mvBitmapDistinct _),
+    // Bitmap MV under retraction: touched-cell rederive from the
+    // post-CDC base, untouched word rows carried unread
+    "q291_mv_bitmap_retract" -> (Extended.mvBitmapRetract _),
+    // Log-rank test: signup vs organic conversion-survival curves
+    // compared over the whole horizon — O/E/V per event day from the
+    // bounded-domain at-risk suffix sums, χ² on 1 df
+    "q292_logrank" -> ((s: SparkSession, d: String) =>
+      Events.logRankTest(s, d)),
+    // 1-D Wasserstein distance of each event type's value
+    // distribution vs the view baseline on the fixed 1024-bucket
+    // grid — drift weighted by how FAR mass moved
+    "q293_wasserstein_drift" -> (Stats.wassersteinDrift _),
+    // Holm–Bonferroni step-down (FWER) over the weekend-effect
+    // battery — the first failing rank stops all later rejections
+    "q294_holm_bonferroni" -> (Stats.holmBonferroni _),
+    // Mixture SPRT: always-valid p-values for daily A/B peeking —
+    // cumulative counts on the day domain, Λ per day, running max
+    "q295_msprt" -> ((s: SparkSession, d: String) => Stats.msprt(s, d)),
+    // Cohen's κ between declared lang and the q30 stopword langID —
+    // chance-corrected agreement as one exact integer rational
+    "q296_cohens_kappa" -> (Stats.cohensKappa _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5298,6 +5323,245 @@ object SparkEntry {
          |  CAST(n_hits * 1000000 // n_results AS BIGINT) AS recall_q6
          |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
          |ORDER BY probes""".stripMargin,
+    // q290: the bitmap serve is EXACT, so the oracle is the plain
+    // direct aggregate — hash equality proves materialize + OR-merge
+    // refresh + subset re-merge + sum(bit_count) == COUNT(DISTINCT)
+    "q290_mv_bitmap_distinct" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_users
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // q291: direct count(DISTINCT) over the effective post-CDC state
+    // — equality proves rederive(touched) ∪ carry(untouched) ==
+    // rebuild through the serving rewrite
+    "q291_mv_bitmap_retract" ->
+      """WITH eff AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 11 = 0 AND o_orderpriority = '3-MEDIUM'
+        |         THEN o_custkey + 1000000 ELSE o_custkey END AS k
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 0
+        |             AND o_orderpriority IN ('1-URGENT', '2-HIGH')))
+        |SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_users
+        |FROM eff GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q292: identical subject frame to q276 plus the cohort flag;
+    // per-event-day E and V terms as the same per-VALUE doubles
+    // quantized at q6 then integer-summed
+    "q292_logrank" ->
+      """WITH ev AS (SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MAX(epoch_us(ts)) AS t1,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS tp,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS cohort
+        |  FROM events GROUP BY 1),
+        |lt AS (SELECT
+        |         LEAST(COALESCE((tp - t0) // 86400000000,
+        |           (t1 - t0) // 86400000000), 14) AS k,
+        |         NOT (tp IS NOT NULL
+        |              AND (tp - t0) // 86400000000 <= 14) AS censored,
+        |         cohort
+        |       FROM ev),
+        |byk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS ended,
+        |          CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS d,
+        |          CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS ended1,
+        |          CAST(SUM(CASE WHEN cohort = 1 AND NOT censored
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS d1
+        |        FROM lt GROUP BY 1),
+        |w1 AS (SELECT *,
+        |         CAST(SUM(ended) OVER (ORDER BY k ROWS BETWEEN CURRENT
+        |           ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+        |         CAST(SUM(ended1) OVER (ORDER BY k ROWS BETWEEN CURRENT
+        |           ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1_risk
+        |       FROM byk),
+        |terms AS (SELECT *,
+        |    CAST(FLOOR(CAST(n1_risk AS DOUBLE) * d / n_risk
+        |      * 1000000.0) AS BIGINT) AS e1_q6,
+        |    CASE WHEN n_risk > 1 THEN
+        |      CAST(FLOOR(CAST(d AS DOUBLE) * n1_risk / n_risk
+        |        * (n_risk - n1_risk) / n_risk
+        |        * (n_risk - d) / (n_risk - 1) * 1000000.0) AS BIGINT)
+        |    ELSE 0 END AS v_q6
+        |  FROM w1 WHERE d > 0),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_event_days,
+        |          CAST(SUM(d1) AS BIGINT) AS o1,
+        |          CAST(SUM(e1_q6) AS BIGINT) AS e1_q6,
+        |          CAST(SUM(v_q6) AS BIGINT) AS v_q6
+        |        FROM terms)
+        |SELECT n_event_days, o1, e1_q6, v_q6,
+        |  CASE WHEN v_q6 > 0 THEN
+        |    CAST(FLOOR(POWER((o1 * 1000000 - e1_q6) / 1000000.0, 2)
+        |      / (v_q6 / 1000000.0) * 1000000.0) AS BIGINT)
+        |  ELSE NULL END AS chi2_q6
+        |FROM agg""".stripMargin,
+    // q293: identical fixed grid, exact integer CDF-difference area
+    // with gap runs, one per-VALUE double division
+    "q293_wasserstein_drift" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    LEAST(CAST(FLOOR(value * 100) AS BIGINT) // 50, 1023) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT b, c AS cv FROM c WHERE event_type = 'view'),
+        |o AS (SELECT event_type, b, c AS ct FROM c
+        |      WHERE event_type <> 'view'),
+        |types AS (SELECT DISTINCT event_type FROM o),
+        |grid AS (
+        |  SELECT event_type, b, CAST(SUM(ct) AS BIGINT) AS ct,
+        |    CAST(SUM(cv) AS BIGINT) AS cv
+        |  FROM (
+        |    SELECT event_type, b, ct, CAST(0 AS BIGINT) AS cv FROM o
+        |    UNION ALL
+        |    SELECT t.event_type, base.b, CAST(0 AS BIGINT) AS ct,
+        |      base.cv
+        |    FROM types t CROSS JOIN base) u
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, b,
+        |    SUM(ct) OVER (PARTITION BY event_type ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_t,
+        |    SUM(cv) OVER (PARTITION BY event_type ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_v,
+        |    SUM(ct) OVER (PARTITION BY event_type) AS n_t,
+        |    SUM(cv) OVER (PARTITION BY event_type) AS n_v,
+        |    COALESCE(LEAD(b) OVER (PARTITION BY event_type ORDER BY b),
+        |      1024) - b AS gap
+        |  FROM grid)
+        |SELECT event_type, CAST(MAX(n_t) AS BIGINT) AS n_t,
+        |  CAST(MAX(n_v) AS BIGINT) AS n_v,
+        |  CAST(SUM(ABS(cum_t * n_v - cum_v * n_t) * gap) AS BIGINT)
+        |    AS num,
+        |  CAST(FLOOR(CAST(SUM(ABS(cum_t * n_v - cum_v * n_t) * gap)
+        |    AS DOUBLE) * 500000.0 / MAX(n_t) / MAX(n_v)) AS BIGINT)
+        |    AS w1_q6
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q294: q277's exact z² rational and division-free compare, with
+    // the Holm step-down critical ladder and the running-min fold;
+    // DuckDB dayofweek is 0=Sunday..6=Saturday (Spark: 1..7)
+    "q294_holm_bonferroni" ->
+      """WITH cells AS (
+        |  SELECT event_type AS stratum,
+        |    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) AND value > 100
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+        |      AND value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |    CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n2
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT *,
+        |    CAST((CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+        |      * (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+        |      * (n1 + n2) AS HUGEINT) AS num,
+        |    CAST(CAST(n1 AS HUGEINT) * n2 * (x1 + x2)
+        |      * (n1 + n2 - x1 - x2) AS HUGEINT) AS den
+        |  FROM cells),
+        |r AS (SELECT *, CAST((num * 1000000) // nullif(den, 0) AS BIGINT)
+        |        AS z2_q6 FROM z),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY z2_q6 DESC, stratum)
+        |         AS rnk FROM r),
+        |cr AS (SELECT *, CASE rnk WHEN 1 THEN 25758 WHEN 2 THEN 24977
+        |         WHEN 3 THEN 23940 WHEN 4 THEN 22414 ELSE 19600 END
+        |         AS crit FROM rk),
+        |ps AS (SELECT *, CASE WHEN num * 100000000
+        |         >= CAST(crit AS HUGEINT) * crit * den THEN 1 ELSE 0 END
+        |         AS pass FROM cr),
+        |sd AS (SELECT *, MIN(pass) OVER (ORDER BY rnk
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS all_pass FROM ps)
+        |SELECT stratum, x1, n1, x2, n2, z2_q6, CAST(rnk AS INT) AS rank,
+        |  CAST(all_pass AS BIGINT) AS holm_reject
+        |FROM sd ORDER BY stratum""".stripMargin,
+    // q295: identical cumulative integer counts, the same Λ formula
+    // text per day, running max on the quantized values
+    "q295_msprt" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 1
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x2,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2
+        |  FROM events GROUP BY 1),
+        |cum AS (SELECT day,
+        |    CAST(SUM(x1) OVER w AS BIGINT) AS c1,
+        |    CAST(SUM(n1) OVER w AS BIGINT) AS m1,
+        |    CAST(SUM(x2) OVER w AS BIGINT) AS c2,
+        |    CAST(SUM(n2) OVER w AS BIGINT) AS m2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |lam AS (SELECT *,
+        |    CAST(FLOOR(
+        |      sqrt((pbar * (1.0 - pbar) * (1.0 / m1 + 1.0 / m2))
+        |        / ((pbar * (1.0 - pbar) * (1.0 / m1 + 1.0 / m2))
+        |           + 1.0E-4))
+        |      * exp(delta * delta * 1.0E-4
+        |        / (2.0 * (pbar * (1.0 - pbar) * (1.0 / m1 + 1.0 / m2))
+        |           * ((pbar * (1.0 - pbar) * (1.0 / m1 + 1.0 / m2))
+        |              + 1.0E-4)))
+        |      * 1000000.0) AS BIGINT) AS lam_q6
+        |  FROM (SELECT *,
+        |      CAST(c1 AS DOUBLE) / m1 - CAST(c2 AS DOUBLE) / m2
+        |        AS delta,
+        |      CAST(c1 + c2 AS DOUBLE) / (m1 + m2) AS pbar
+        |    FROM cum) t)
+        |SELECT day, m1, m2, c1, c2, lam_q6,
+        |  LEAST(1000000, CAST(1000000000000 // MAX(lam_q6) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |     ROW) AS BIGINT)) AS avp_q6
+        |FROM lam ORDER BY day""".stripMargin,
+    // q296: the q30 prediction CTE, marginal products, one exact
+    // integer rational
+    "q296_cohens_kappa" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('der', 'die', 'und')))
+        |      AS INT) AS s_de,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'is')))
+        |      AS INT) AS s_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('el', 'la', 'y')))
+        |      AS INT) AS s_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('le', 'la', 'et')))
+        |      AS INT) AS s_fr
+        |  FROM t),
+        |p AS (SELECT lang,
+        |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+        |           THEN 'de'
+        |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS predicted
+        |  FROM s),
+        |rm AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS r
+        |       FROM p GROUP BY 1),
+        |cm AS (SELECT predicted AS label, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM p GROUP BY 1),
+        |rc AS (SELECT CAST(SUM(COALESCE(r, 0) * COALESCE(c, 0))
+        |         AS BIGINT) AS sum_rc
+        |       FROM rm FULL OUTER JOIN cm USING (label)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(CASE WHEN lang = predicted THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS agree
+        |        FROM p)
+        |SELECT n, agree, sum_rc,
+        |  CAST(((n * agree - sum_rc) * 1000000)
+        |    // nullif(n * n - sum_rc, 0) AS BIGINT) AS kappa_q6
+        |FROM tot CROSS JOIN rc""".stripMargin,
     // q288: direct count/sum + BOTH deterministic sketch estimates
     // inline — equality proves the three-way composed serve
     "q288_mv_triple_serve" ->

@@ -97,6 +97,25 @@ object MvRewrite extends Rule[LogicalPlan] {
   private val quantileDefs =
     TrieMap[String, List[graft.operators.QuantileMv.Def]]()
 
+  /** Registered bitmap tables ([[graft.operators.BitmapMv]]) by source
+    * path — the EXACT-distinct gear's lookup. */
+  private val bitmapDefs =
+    TrieMap[String, List[graft.operators.BitmapMv.Def]]()
+
+  /** Register a bitmap table: an exact `COUNT(DISTINCT keyCol)`
+    * grouped by a subset of the def's group columns over the declared
+    * source rewrites onto `sum(bit_count(bits))` over the bitmap
+    * table — exact, never the base fact. */
+  def registerBitmap(d: graft.operators.BitmapMv.Def): Unit = {
+    val src = d.sourcePath.getOrElse(throw new IllegalArgumentException(
+      s"registerBitmap: ${d.mvPath} declares no sourcePath — " +
+        "nothing to rewrite"))
+    bitmapDefs.updateWith(src) { cur =>
+      Some(d :: cur.getOrElse(Nil)
+        .filterNot(x => (x.grpCols, x.keyCol) == (d.grpCols, d.keyCol)))
+    }
+  }
+
   /** Register a quantile-sketch table: `approx_percentile(valCol, p)`
     * (integer-percent p) grouped by a subset of the def's group
     * columns over the declared source rewrites onto the sketch
@@ -112,7 +131,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   def clear(): Unit =
-    { defs.clear(); hllDefs.clear(); quantileDefs.clear() }
+    { defs.clear(); hllDefs.clear(); quantileDefs.clear()
+      bitmapDefs.clear() }
 
   /** Serving-rule suppression for REFRESH internals. A refresh that
     * aggregates the registered source in the MV's own shape — the
@@ -376,7 +396,8 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (suppressed.get ||
-      (defs.isEmpty && hllDefs.isEmpty && quantileDefs.isEmpty)) plan
+      (defs.isEmpty && hllDefs.isEmpty && quantileDefs.isEmpty &&
+        bitmapDefs.isEmpty)) plan
     else plan transform {
       case agg @ Aggregate(_, _, child, _) =>
         (for {
@@ -412,16 +433,20 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
   /** The SKETCH gear, composed with the algebraic family: an
-    * aggregate mixing `approx_count_distinct(key)` and/or
-    * `approx_percentile(col, p)` with algebraic aggregates
+    * aggregate mixing `approx_count_distinct(key)`,
+    * `approx_percentile(col, p)` and/or an EXACT
+    * `count(DISTINCT key)` with algebraic aggregates
     * (`count(*)`, `sum`, `avg`, `min`/`max`) over a source with
     * registered MVs serves each part from ITS maintained table — the
     * distinct estimates from the HLL register table
     * ([[graft.operators.HllMv]]), the percentiles from the
-    * log-linear sketch ([[graft.operators.QuantileMv]]), everything
-    * else from the matching algebraic MV — all joined on the
-    * grouping cells: up to THREE domain-sized leaves and never the
-    * fact. COUNT(DISTINCT) and percentiles are the two aggregates no
+    * log-linear sketch ([[graft.operators.QuantileMv]]), exact
+    * distinct counts from the bitmap table
+    * ([[graft.operators.BitmapMv]] — `sum(bit_count)`, the one
+    * DISTINCT aggregate the gear accepts because the bitmap makes it
+    * exactly derivable), everything else from the matching algebraic
+    * MV — all joined on the grouping cells: domain-sized leaves and
+    * never the fact. COUNT(DISTINCT) and percentiles are the two aggregates no
     * algebraic partial can serve, but per-cell HLL registers and
     * bucket histograms are mergeable partials; register max-merge /
     * bucket-count ADD also let one table serve any SUBSET of its
@@ -460,7 +485,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
     val hds = hllDefs.get(path).toSeq.flatten
     val qds = quantileDefs.get(path).toSeq.flatten
-    if (hds.isEmpty && qds.isEmpty) return None
+    val bds = bitmapDefs.get(path).toSeq.flatten
+    if (hds.isEmpty && qds.isEmpty && bds.isEmpty) return None
     val groupAttrs = agg.groupingExpressions.map {
       case a: Attribute => a
       case _ => return None
@@ -511,16 +537,32 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+    // exact COUNT(DISTINCT key) serves from a registered bitmap table
+    // (sum(bit_count) — exact, unlike the two estimators): the one
+    // DISTINCT aggregate the gear accepts
+    def bmKey(e: NamedExpression): Option[String] = e match {
+      case Alias(ae: AggregateExpression, _)
+          if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(k: Attribute)) => Some(k.name)
+          case _ => None
+        }
+      case _ => None
+    }
     val acdAliases = agg.aggregateExpressions.collect {
       case e if acdKey(e).isDefined => e.asInstanceOf[Alias]
     }
     val pctAliases = agg.aggregateExpressions.collect {
       case e if pctOf(e).isDefined => e.asInstanceOf[Alias]
     }
-    if (acdAliases.isEmpty && pctAliases.isEmpty) return None
+    val bmAliases = agg.aggregateExpressions.collect {
+      case e if bmKey(e).isDefined => e.asInstanceOf[Alias]
+    }
+    if (acdAliases.isEmpty && pctAliases.isEmpty && bmAliases.isEmpty)
+      return None
     val algAliases = agg.aggregateExpressions.filter {
       case a: Attribute if grpNames.contains(a.name) => false
-      case e => acdKey(e).isEmpty && pctOf(e).isEmpty
+      case e => acdKey(e).isEmpty && pctOf(e).isEmpty && bmKey(e).isEmpty
     }
     // one register serve per distinct key: the smallest registered
     // table whose group columns COVER the query grouping
@@ -528,6 +570,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     val chosenHll: Map[String, graft.operators.HllMv.Def] = keys.map { k =>
       k -> hds.filter(hd => hd.keyCol == k &&
           (grpNames.toSet ++ filterRefs).subsetOf(hd.grpCols.toSet))
+        .sortBy(_.grpCols.size).headOption.getOrElse(return None)
+    }.toMap
+    // one bitmap serve per distinct exact-distinct key: the smallest
+    // registered bitmap table whose group columns cover the grouping
+    val bmKeys = bmAliases.map(a => bmKey(a).get).distinct
+    val chosenBm: Map[String, graft.operators.BitmapMv.Def] = bmKeys.map { k =>
+      k -> bds.filter(bd => bd.keyCol == k &&
+          (grpNames.toSet ++ filterRefs).subsetOf(bd.grpCols.toSet))
         .sortBy(_.grpCols.size).headOption.getOrElse(return None)
     }.toMap
     // one quantile serve for the (single) percentile value column
@@ -587,6 +637,23 @@ object MvRewrite extends Rule[LogicalPlan] {
         .queryExecution.analyzed
       k -> served
     }
+    // one EXACT serve per bitmap key: filter cells, word-wise OR when
+    // the table is grouped finer than the query, then
+    // sum(bit_count(bits)) — the exact distinct count
+    val bmServes: Seq[(String, LogicalPlan)] = bmKeys.map { k =>
+      val bd = chosenBm(k)
+      val regPlan = spark.read.parquet(bd.mvPath).queryExecution.analyzed
+      val df0 = org.apache.spark.sql.graft.Bridge
+        .ofRows(spark, anchored(regPlan).getOrElse(return None))
+      val merged =
+        if (bd.grpCols.toSet == grpNames.toSet) df0
+        else df0.groupBy((grpNames.map(df0(_)) :+ df0("w")): _*)
+          .agg(expr("bit_or(bits)").as("bits"))
+      val served = merged.groupBy(grpNames.map(merged(_)): _*)
+        .agg(expr("sum(bit_count(bits))").as("dct"))
+        .queryExecution.analyzed
+      k -> served
+    }
     // the quantile serve: filter cells, re-merge the histogram when
     // grouped finer (bucket counts ADD), then the deterministic
     // lower-bound estimates at every requested percent
@@ -604,7 +671,8 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     // compose: LEFT joins on null-safe cell equality — the algebraic
     // side (complete cell domain) anchors when present
-    val allServes: Seq[LogicalPlan] = hllServes.map(_._2) ++ qServe.toSeq
+    val allServes: Seq[LogicalPlan] =
+      hllServes.map(_._2) ++ bmServes.map(_._2) ++ qServe.toSeq
     val base: LogicalPlan = algPlan.getOrElse(allServes.head)
     val rest = if (algPlan.isDefined) allServes else allServes.tail
     val joined = rest.foldLeft(base) { case (left, serve) =>
@@ -616,6 +684,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     val serveCnt: Map[String, Attribute] = hllServes.map { case (k, sp) =>
       k -> sp.output.find(_.name == "acd").getOrElse(return None)
+    }.toMap
+    val serveDct: Map[String, Attribute] = bmServes.map { case (k, sp) =>
+      k -> sp.output.find(_.name == "dct").getOrElse(return None)
     }.toMap
     def qAttr(q: Int): Option[Attribute] =
       qServe.flatMap(_.output.find(_.name == s"p$q"))
@@ -630,6 +701,11 @@ object MvRewrite extends Rule[LogicalPlan] {
           a.name)(exprId = a.exprId)
       case al @ Alias(_, name) if acdKey(al).isDefined =>
         Alias(Coalesce(Seq(serveCnt(acdKey(al).get),
+          Literal(0L))), name)(exprId = al.exprId)
+      case al @ Alias(_, name) if bmKey(al).isDefined =>
+        // count(DISTINCT k) over an all-NULL-key cell is 0, and a
+        // cell absent from the bitmap join side serves the same 0
+        Alias(Coalesce(Seq(serveDct(bmKey(al).get),
           Literal(0L))), name)(exprId = al.exprId)
       case al @ Alias(_, name) if pctOf(al).isDefined =>
         Alias(qAttr(pctOf(al).get._2).getOrElse(return None),

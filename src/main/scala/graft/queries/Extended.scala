@@ -862,6 +862,108 @@ object Extended {
     pinned
   }
 
+  /** q290 — EXACT `count(DISTINCT)` served by the maintained bitmap
+    * MV ([[graft.operators.BitmapMv]] +
+    * [[graft.plans.MvRewrite.registerBitmap]]'s gear): the everyday
+    * `GROUP BY status` with `count(*)`, `sum`, and an exact
+    * `count(DISTINCT o_custkey)` rewrites onto the algebraic MV
+    * LEFT-joined with the bitmap table — and because the bitmap is
+    * registered on the FINER (status, priority) grouping, the serve
+    * also exercises the subset re-merge (word-wise `bit_or` to the
+    * coarse cells before `sum(bit_count)`). The bitmap is built over
+    * a base slice and refreshed from the rest (OR-merge), so the
+    * green hash re-proves maintenance; unlike the HLL/quantile gears
+    * the served value is EXACT, so the DuckDB oracle is the plain
+    * direct aggregate — no estimator mirroring. PlanAuditSpec pins
+    * the two MV paths as the only scan leaves.
+    */
+  def mvBitmapDistinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val src = s"$d/orders.parquet"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q290").toString
+    val orders = spark.read.parquet(src)
+    val alg = graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("o_orderstatus"), sumCols = Seq("o_custkey"),
+      mvPath = s"$tmp/alg")
+    val bm0 = graft.operators.BitmapMv.materializeFrom(
+      orders.filter($"o_orderkey" % 3 =!= 0),
+      graft.operators.BitmapMv.Def(
+        Seq("o_orderstatus", "o_orderpriority"), "o_custkey",
+        s"$tmp/bm0", Some(src)))
+    val bm = graft.operators.BitmapMv.refreshIncremental(
+      spark, bm0, orders.filter($"o_orderkey" % 3 === 0), s"$tmp/bm1")
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.register(alg)
+    graft.plans.MvRewrite.registerBitmap(bm)
+    val q = spark.read.parquet(src)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_custkey").as("custkey_sum"),
+        countDistinct($"o_custkey").as("exact_users"))
+      .orderBy($"o_orderstatus")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
+  /** q291 — the bitmap MV under RETRACTION via the q216/q262
+    * touched-cell machinery
+    * ([[graft.operators.BitmapMv.refreshRetractRederive]]): bitmap OR
+    * is monotone like HLL's register MAX — a bit cannot be cleared
+    * from the partial because other rows of the cell may still hold
+    * the key — so the CDC batch's distinct cells re-derive their
+    * words exactly from the POST-CDC base slice (literal null-safe
+    * cell predicate pushed into the scan) while untouched cells'
+    * word rows carry over unread (priorities 4/5 see no CDC). The
+    * serve is exact, so the DuckDB oracle is the plain
+    * `count(DISTINCT)` over the effective post-CDC state; the hash
+    * match proves rederive(touched) ∪ carry(untouched) == rebuild
+    * through the serving rewrite.
+    */
+  def mvBitmapRetract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q291").toString
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val delKeys = $"o_orderkey" % 7 === 0 &&
+      $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    val updKeys = $"o_orderkey" % 11 === 0 &&
+      $"o_orderpriority" === "3-MEDIUM"
+    // rederive contract: the base reflects the CDC BEFORE the bitmap
+    // refresh consumes the same changelog
+    val effSrc = s"$tmp/effective"
+    orders.filter(!delKeys)
+      .withColumn("o_custkey",
+        when(updKeys, $"o_custkey" + 1000000L).otherwise($"o_custkey"))
+      .write.parquet(effSrc)
+    // words hold the PRE-CDC state, declared against the post-CDC base
+    val bm0 = graft.operators.BitmapMv.materializeFrom(orders,
+      graft.operators.BitmapMv.Def(Seq("o_orderpriority"), "o_custkey",
+        s"$tmp/bm0", Some(effSrc)))
+    val dels = orders.filter(delKeys).withColumn("op", lit(-1))
+    val updDel = orders.filter(updKeys).withColumn("op", lit(-1))
+    val updIns = orders.filter(updKeys)
+      .withColumn("o_custkey", $"o_custkey" + 1000000L)
+      .withColumn("op", lit(1))
+    val cdc = dels.unionByName(updDel).unionByName(updIns)
+    val refreshed = graft.operators.BitmapMv
+      .refreshRetractRederive(spark, bm0, cdc, s"$tmp/bm1")
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.registerBitmap(refreshed)
+    val q = spark.read.parquet(effSrc)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("exact_users"))
+      .orderBy($"o_orderpriority")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
   /** q210 — MAINTAINED distinct counts via mergeable HLL register
     * partials ([[graft.operators.HllMv]]): the one aggregate the
     * algebraic MV gears can never serve. Registers built over a base

@@ -279,4 +279,40 @@ object MvProps extends Properties("mv") {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
     }
+
+  property("bitmap rederive retraction == rebuilt words over the net " +
+    "state — multiplicity-safe, negative keys included") =
+    Prop.forAll(genRederive) { case (base, delIds, inserts) =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-bm-props").toString
+      try {
+        // the key is the VALUE column (-50..50): keys collide across
+        // rows and go negative, so deleting one holder must keep the
+        // bit while another holder survives — exactly the
+        // monotonicity case OR cannot retract and rederive can
+        def df(b: List[(Long, String, Long, Option[Long])]) =
+          b.map(r => (r._3, r._2)).toDF("k", "g")
+        val net = base.filterNot(r => delIds(r._1)) ++ inserts
+        if (net.isEmpty)
+          spark.emptyDataset[(Long, String)].toDF("k", "g")
+            .write.parquet(s"$dir/net")
+        else df(net).write.parquet(s"$dir/net")
+        val mv0 = graft.operators.BitmapMv.materializeFrom(df(base),
+          graft.operators.BitmapMv.Def(Seq("g"), "k", s"$dir/mv0",
+            Some(s"$dir/net")))
+        val dels = base.filter(r => delIds(r._1))
+        val cdc = df(dels).withColumn("op", lit(-1))
+          .unionByName(df(inserts).withColumn("op", lit(1)))
+        val refreshed = graft.operators.BitmapMv.refreshRetractRederive(
+          spark, mv0, cdc, s"$dir/mv1")
+        val rebuilt = graft.operators.BitmapMv.materializeFrom(
+          spark.read.parquet(s"$dir/net"),
+          graft.operators.BitmapMv.Def(Seq("g"), "k", s"$dir/mv-net"))
+        def state(path: String) = spark.read.parquet(path)
+          .orderBy($"g", $"w").collect().map(_.toSeq).toSeq
+        state(refreshed.mvPath) == state(rebuilt.mvPath)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
 }

@@ -892,4 +892,97 @@ class MvRewriteSpec extends SparkSpec {
       "rederive(touched) ∪ carry(untouched) must equal the rebuilt " +
         "register state")
   }
+
+  test("bitmap MV: delta-only refresh == direct build; the serve is " +
+    "EXACT count(distinct), negative keys included") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-bm").toString
+    // keys span negatives: the >> 6 / & 63 kernel must floor, not
+    // truncate toward zero
+    def rows(r: Range) = r.map(i =>
+      (s"g${i % 3}", ((i % 40) - 20).toLong)).toDF("g", "k")
+    rows(1 to 300).write.parquet(s"$dir/base.parquet")
+    val bdef = graft.operators.BitmapMv.Def(Seq("g"), "k", s"$dir/mv0")
+    val mv0 = graft.operators.BitmapMv.materializeFrom(
+      spark.read.parquet(s"$dir/base.parquet"), bdef)
+    // hard proof of "delta-only": the base is GONE before the refresh
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$dir/base.parquet"))
+    val refreshed = graft.operators.BitmapMv.refreshIncremental(
+      spark, mv0, rows(301 to 500), s"$dir/mv1")
+    val direct = graft.operators.BitmapMv.materializeFrom(rows(1 to 500),
+      graft.operators.BitmapMv.Def(Seq("g"), "k", s"$dir/mvfull"))
+    def words(p: String) = spark.read.parquet(p)
+      .orderBy($"g", $"w").collect().toSeq
+    assert(words(refreshed.mvPath) == words(direct.mvPath),
+      "or(words(base), words(delta)) must equal words(base ∪ delta)")
+    val served = graft.operators.BitmapMv.serveDistinct(spark, refreshed)
+      .orderBy($"g").collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val exact = rows(1 to 500).groupBy($"g")
+      .agg(countDistinct($"k").as("dct")).orderBy($"g")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(served == exact,
+      "sum(bit_count) over the maintained words must equal the exact " +
+        "count(distinct) — no error bar")
+  }
+
+  test("bitmap rederive: deleting ONE row of a doubly-held key keeps " +
+    "the bit; an untouched (deleted) base partition is never read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-bmrd").toString
+    val base = s"$dir/base.parquet"
+    // g0 holds key 7 TWICE (ids 1, 2) — the CDC deletes id 2 only;
+    // a signed/clearing merge would wrongly drop the bit, rederive
+    // keeps it because the post-CDC base still holds id 1
+    val pre = Seq(("g0", 7L, 1L), ("g0", 7L, 2L), ("g0", 9L, 3L),
+      ("g1", 5L, 4L), ("g1", 6L, 5L)).toDF("g", "k", "id")
+    val post = pre.filter($"id" =!= 2L)
+    post.write.partitionBy("g").parquet(base)
+    val mv0 = graft.operators.BitmapMv.materializeFrom(pre,
+      graft.operators.BitmapMv.Def(Seq("g"), "k", s"$dir/mv0", Some(base)))
+    // the CDC touches only g0 — g1's partition must never be needed
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$base/g=g1"))
+    val cdc = Seq(("g0", 7L, 2L, -1)).toDF("g", "k", "id", "op")
+    val refreshed = graft.operators.BitmapMv
+      .refreshRetractRederive(spark, mv0, cdc, s"$dir/mv1")
+    val served = graft.operators.BitmapMv.serveDistinct(spark, refreshed)
+      .orderBy($"g").collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    // g0 still has {7, 9} — multiplicity protected the bit; g1 carried
+    assert(served == Seq(("g0", 2L), ("g1", 2L)),
+      s"expected multiplicity-safe rederive, got $served")
+  }
+
+  test("bitmap gear refusal: an unregistered key column falls back to " +
+    "the fact scan and stays correct") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-bmref").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 100L).map(i => (s"s${i % 2}", i % 10, i % 7))
+      .toDF("status", "a", "b").write.parquet(fact)
+    val bm = graft.operators.BitmapMv.materializeFrom(
+      spark.read.parquet(fact),
+      graft.operators.BitmapMv.Def(Seq("status"), "a",
+        s"$dir/bm", Some(fact)))
+    MvRewrite.clear()
+    MvRewrite.registerBitmap(bm)
+    try {
+      // count(DISTINCT b): b has no registered bitmap — the gear must
+      // refuse (never half-serve) and the fact scan must answer
+      val q = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"b").as("dct")).orderBy($"status")
+      assert(scansOf(q).mkString.contains("fact.parquet"),
+        "an unregistered distinct key must fall back to the fact")
+      assert(q.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+        == Seq(("s0", 7L), ("s1", 7L)))
+      // and the registered key DOES serve from the bitmap table
+      val ok = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"a").as("dct")).orderBy($"status")
+      assert(scansOf(ok).mkString.contains(s"$dir/bm"),
+        "the registered key must serve from the bitmap table")
+      assert(ok.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+        == Seq(("s0", 5L), ("s1", 5L)))
+    } finally MvRewrite.clear()
+  }
 }

@@ -662,6 +662,37 @@ class PlanAuditSpec extends SparkSpec {
       s"every sketch aggregate must be rewritten away:\n$plan")
   }
 
+  test("q290: exact count(DISTINCT) serves from the bitmap table " +
+    "joined with the algebraic MV — never the fact") {
+    val df = SparkEntry.queries("q290_mv_bitmap_distinct")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q290") && leaves.contains("/alg") &&
+      leaves.contains("/bm1"),
+      s"expected the algebraic MV and the OR-refreshed bitmap table " +
+        s"as the only scan leaves:\n$leaves")
+    assert(!leaves.contains("orders.parquet"),
+      "the composed exact-distinct serve must never scan the fact")
+    // no distinct-aggregate expansion survives — the served value is
+    // sum(bit_count) over the maintained words
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("count(distinct") &&
+      !plan.contains("Expand"),
+      s"the DISTINCT aggregate itself must be rewritten away:\n$plan")
+  }
+
+  test("q291: the retraction-rederived bitmap table is the only " +
+    "serve leaf — the fact is never rescanned at serve time") {
+    val df = SparkEntry.queries("q291_mv_bitmap_retract")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q291") && leaves.contains("bm1"),
+      s"expected the rederived bitmap table as the scan leaf:\n$leaves")
+    assert(!leaves.contains("orders.parquet") &&
+      !leaves.contains("effective"),
+      "the serving aggregate must never rescan a fact table")
+  }
+
   test("q218: the log-ratio table joins back as a bounded broadcast, " +
     "windows nowhere") {
     val df = SparkEntry.queries("q218_dsir_selection")(spark, d)
