@@ -528,6 +528,87 @@ object Events {
       .orderBy($"k")
   }
 
+  /** Log-rank test comparing two cohorts' conversion-survival curves
+    * — the hypothesis-test companion of [[kaplanMeier]]: "do users
+    * who signed up convert to purchase on a different schedule than
+    * organic users?" is a question about the whole CURVE, and
+    * comparing medians or day-k rates throws away the rest of it.
+    * The log-rank statistic accumulates, at each event day k, the
+    * cohort-1 observed events `d_1k` against the expectation under
+    * the null `n_1k·d_k/n_k` (events split proportionally to the
+    * at-risk sets) with the hypergeometric variance
+    * `d_k·(n_1k/n_k)·(1−n_1k/n_k)·(n_k−d_k)/(n_k−1)`; the χ² is
+    * `(O−E)²/V` on 1 df.
+    *
+    * Exactness discipline: the at-risk and event counts are exact
+    * integers from the bounded day domain; each day's E and V terms
+    * are per-VALUE doubles from those integers (identical operand
+    * order in the DuckDB twin) quantized to q6 and integer-summed —
+    * the q276 per-step-quantize-then-sum form, because a floating
+    * cumulative sum is engine-order-dependent and this is not.
+    * Censoring convention matches [[kaplanMeierOf]]: a subject
+    * censored at k is at risk at k.
+    *
+    * Scale shape: one per-user aggregate is the only
+    * event-volume-sized work (the cohort flag rides the same pass);
+    * everything after lives on the ≤ horizon+1-row day domain, where
+    * suffix-sum windows are free.
+    */
+  def logRankTest(spark: SparkSession, d: String,
+                  horizon: Int = 14): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .groupBy($"user_id")
+      .agg(expr("min(unix_micros(ts))").as("t0"),
+        expr("max(unix_micros(ts))").as("t1"),
+        expr("min(CASE WHEN event_type = 'purchase'" +
+          " THEN unix_micros(ts) END)").as("tp"),
+        expr("max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)")
+          .as("cohort"))
+    val lt = ev.select(
+      expr("least(coalesce((tp - t0) div 86400000000," +
+        s" (t1 - t0) div 86400000000), CAST($horizon AS BIGINT))")
+        .as("k"),
+      (!($"tp".isNotNull &&
+        expr("(tp - t0) div 86400000000") <= lit(horizon.toLong)))
+        .as("censored"),
+      $"cohort")
+    val byK = lt.groupBy($"k")
+      .agg(count(lit(1)).as("ended"),
+        sum(when(!$"censored", 1L).otherwise(0L)).as("d"),
+        sum(when($"cohort" === 1, 1L).otherwise(0L)).as("ended1"),
+        sum(when($"cohort" === 1 && !$"censored", 1L).otherwise(0L))
+          .as("d1"))
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = byK
+      .withColumn("n_risk", sum($"ended").over(w))
+      .withColumn("n1_risk", sum($"ended1").over(w))
+      // only event days enter the sums; a day of pure censoring
+      // contributes nothing to O, E, or V
+      .filter($"d" > 0)
+      .withColumn("e1_q6", expr("CAST(floor(CAST(n1_risk AS DOUBLE)" +
+        " * d / n_risk * 1000000.0) AS BIGINT)"))
+      .withColumn("v_q6",
+        when($"n_risk" > 1, expr("CAST(floor(" +
+          "CAST(d AS DOUBLE) * n1_risk / n_risk" +
+          " * (n_risk - n1_risk) / n_risk" +
+          " * (n_risk - d) / (n_risk - 1) * 1000000.0) AS BIGINT)"))
+          .otherwise(lit(0L)))
+    terms
+      .agg(count(lit(1)).as("n_event_days"),
+        sum($"d1").as("o1"),
+        sum($"e1_q6").as("e1_q6"),
+        sum($"v_q6").as("v_q6"))
+      .select($"n_event_days", $"o1", $"e1_q6", $"v_q6",
+        // degenerate calibration (zero variance) surfaces as an
+        // explicit NULL χ², never an Infinity cast
+        when($"v_q6" > 0,
+          expr("CAST(floor(power((o1 * 1000000 - e1_q6) / 1000000.0, 2)" +
+            " / (v_q6 / 1000000.0) * 1000000.0) AS BIGINT)"))
+          .otherwise(lit(null)).as("chi2_q6"))
+  }
+
   def survivalCurve(spark: SparkSession, d: String,
                     horizon: Int = 14): DataFrame = {
     import spark.implicits._

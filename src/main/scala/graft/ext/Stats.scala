@@ -2673,4 +2673,235 @@ object Stats {
         expr("CAST(((2 * six - (n + 1) * sx) * 1000000)" +
           " div nullif(n * sx, 0) AS BIGINT)").as("gini_q6"))
   }
+
+  /** 1-D Wasserstein (earth-mover) distance between each event
+    * type's value distribution and the `view` baseline — the drift
+    * metric that, unlike KS (q151, sup-norm) or PSI (q178,
+    * bin-ratio), weights HOW FAR mass moved, not just that it moved:
+    * `W₁ = ∫|F₁−F₂|dx`, the area between the CDFs, in value units.
+    *
+    * Grid discipline: values land on a FIXED 1024-bucket equi-width
+    * grid (50-cent buckets over [0, 512)) — the q107/q178 fixed-grid
+    * move — so the CDF difference lives on a bounded domain where
+    * the cumulative windows are free, instead of on the
+    * data-sized distinct-value domain (whose single-reducer global
+    * window would be the 100 TB bottleneck). On the grid the area is
+    * an EXACT integer: `Σ_b |cum₁·N₂ − cum₂·N₁|` over common
+    * denominator N₁·N₂, scaled by the constant bucket width; the
+    * one division happens once, as a per-VALUE double from exact
+    * integers (identical operand order in the oracle).
+    *
+    * Scale shape: one event-volume-sized aggregate to (type, bucket)
+    * counts; everything after lives on the ≤ 5×1024-row grid.
+    */
+  def wassersteinDrift(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, d)
+      .select($"event_type",
+        least(expr("CAST(floor(value * 100) AS BIGINT) div 50"),
+          lit(1023L)).as("b"))
+      .groupBy($"event_type", $"b").agg(count(lit(1)).as("c"))
+    val base = counts.filter($"event_type" === "view")
+      .select($"b", $"c".as("cv"))
+    val others = counts.filter($"event_type" =!= "view")
+    // per type, the grid is the UNION of both sides' occupied
+    // buckets (a bucket the type misses but the baseline holds still
+    // moves mass): replicate the baseline under each type label,
+    // then one tiny re-aggregate — ≤ #types × 1024 rows throughout
+    val types = others.select($"event_type").distinct()
+    val grid = others.select($"event_type", $"b", $"c".as("ct"),
+        lit(0L).as("cv"))
+      .unionByName(types.crossJoin(base)
+        .select($"event_type", $"b", lit(0L).as("ct"), $"cv"))
+      .groupBy($"event_type", $"b")
+      .agg(sum($"ct").as("ct"), sum($"cv").as("cv"))
+    val w = Window.partitionBy($"event_type").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"event_type")
+    val wLead = Window.partitionBy($"event_type").orderBy($"b")
+    val scored = grid
+      .withColumn("cum_t", sum($"ct").over(w))
+      .withColumn("cum_v", sum($"cv").over(w))
+      .withColumn("n_t", sum($"ct").over(wTot))
+      .withColumn("n_v", sum($"cv").over(wTot))
+      // the CDF difference holds CONSTANT across the empty buckets
+      // between two occupied ones — the area term carries that run
+      // length; past the last occupied bucket both CDFs are 1 and
+      // the difference is 0, so the default gap is irrelevant
+      .withColumn("gap", lead($"b", 1, 1024L).over(wLead) - $"b")
+      .withColumn("term",
+        abs($"cum_t" * $"n_v" - $"cum_v" * $"n_t") * $"gap")
+    scored.groupBy($"event_type")
+      .agg(max($"n_t").as("n_t"), max($"n_v").as("n_v"),
+        sum($"term").as("num"))
+      // ×50 cents bucket width, ÷100 cents-per-unit, ÷N_t·N_v common
+      // denominator, at q6 — ONE per-VALUE double from exact
+      // integers, identical operand order in the oracle
+      .select($"event_type", $"n_t", $"n_v", $"num",
+        expr("CAST(floor(CAST(num AS DOUBLE) * 500000.0 / n_t / n_v)" +
+          " AS BIGINT)").as("w1_q6"))
+      .orderBy($"event_type")
+  }
+
+  /** Holm–Bonferroni step-DOWN over a battery of per-event-type
+    * two-proportion z-tests — the FWER-controlling companion of the
+    * BH step-up ([[bhFdr]], which controls the weaker FDR): Holm
+    * compares p₍ₖ₎ ≤ α/(m−k+1) from the SMALLEST p up and stops at
+    * the first failure — everything after it stays unrejected even
+    * if it would pass its own threshold, the opposite fold of BH's
+    * largest-passing-k rule. Same division-free discipline: p-values
+    * are monotone in the pooled z², so rank by z² descending and
+    * compare `num·10⁸ ≥ c²ₖ·den` against the pre-computed two-sided
+    * critical values c_k = Φ⁻¹(1 − 0.05/(2(m−k+1))) — constants, no
+    * Φ crosses an engine.
+    *
+    * The battery: per event type, does the weekend high-value share
+    * differ from the weekday one? One conditional aggregate to the
+    * 5-row type domain; the rank and the first-failure fold (a
+    * running min over pass flags) are bounded-domain windows.
+    * DECIMAL(38,0) staging as in [[bhFdr]].
+    */
+  def holmBonferroni(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    // two-sided z critical values at p = 0.05/(m−k+1), m = 5, k =
+    // 1..5 → p = 0.01, 0.0125, 0.0166…, 0.025, 0.05, at z4 scale
+    val crit = Seq(25758L, 24977L, 23940L, 22414L, 19600L)
+    val cells = Tables.events(spark, d)
+      .select($"event_type".as("stratum"),
+        (expr("dayofweek(ts)").isin(1, 7)).as("e"),
+        ($"value" > 100.0).as("pos"))
+      .groupBy($"stratum")
+      .agg(sum(when($"e" && $"pos", 1L).otherwise(0L)).as("x1"),
+        sum(when($"e", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"e" && $"pos", 1L).otherwise(0L)).as("x2"),
+        sum(when(!$"e", 1L).otherwise(0L)).as("n2"))
+      .select($"stratum", $"x1", $"n1", $"x2", $"n2",
+        expr(s"CAST((CAST(x1 AS $dec) * n2 - CAST(x2 AS $dec) * n1)" +
+          s" * (CAST(x1 AS $dec) * n2 - CAST(x2 AS $dec) * n1)" +
+          s" * (n1 + n2) AS $dec)").as("num"),
+        expr(s"CAST(CAST(n1 AS $dec) * n2 * (x1 + x2)" +
+          s" * (n1 + n2 - x1 - x2) AS $dec)").as("den"))
+    val ranked = cells
+      .withColumn("z2_q6",
+        expr("CAST((num * 1000000) div nullif(den, 0) AS BIGINT)"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"z2_q6".desc, $"stratum".asc)))
+      .withColumn("crit_z4",
+        element_at(typedLit(crit), col("rank")))
+      .withColumn("pass",
+        when(expr("num * 100000000 >= " +
+          "CAST(crit_z4 AS decimal(38,0)) * crit_z4 * den"), 1)
+          .otherwise(0))
+    // step-down: rejected iff EVERY rank up to and including this one
+    // passes — a running min over the pass flags in rank order
+    val wUpTo = Window.orderBy($"rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("all_pass", min($"pass").over(wUpTo))
+      .select($"stratum", $"x1", $"n1", $"x2", $"n2", $"z2_q6",
+        $"rank".cast("int").as("rank"),
+        $"all_pass".cast("long").as("holm_reject"))
+      .orderBy($"stratum")
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT) over the
+    * day-by-day A/B stream — the ALWAYS-VALID p-value that lets an
+    * experimenter peek daily without inflating false positives (the
+    * fixed-horizon z-test of [[abZTest]] is only valid read once, at
+    * its planned end). Under the normal approximation with mixture
+    * prior variance φ, the likelihood ratio after day t is
+    *   Λ_t = √(V_t/(V_t+φ)) · exp(δ_t²·φ / (2·V_t·(V_t+φ)))
+    * with δ_t the cumulative rate difference and V_t its pooled
+    * variance; the always-valid p is the running minimum of 1/Λ_t,
+    * monotone non-increasing by construction.
+    *
+    * Exactness: the cumulative counts are exact integers on the
+    * bounded day domain (suffix-free prefix windows); each day's
+    * Λ is ONE per-VALUE double from those integers with identical
+    * operand order in the oracle, quantized at q6; the running
+    * extremes fold over the quantized values, so engine-order
+    * effects cannot accumulate. Scale shape: one event-volume-sized
+    * conditional aggregate to the ≤ 31-row day domain.
+    */
+  def msprt(spark: SparkSession, d: String,
+            phi: Double = 1e-4): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, d)
+      .select(to_date($"ts").as("day"),
+        ($"user_id" % 2 === 1).as("treat"),
+        ($"event_type" === "purchase").as("pos"))
+      .groupBy($"day")
+      .agg(sum(when($"treat" && $"pos", 1L).otherwise(0L)).as("x1"),
+        sum(when($"treat", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"treat" && $"pos", 1L).otherwise(0L)).as("x2"),
+        sum(when(!$"treat", 1L).otherwise(0L)).as("n2"))
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("c1", sum($"x1").over(wCum))
+      .withColumn("m1", sum($"n1").over(wCum))
+      .withColumn("c2", sum($"x2").over(wCum))
+      .withColumn("m2", sum($"n2").over(wCum))
+      // δ, pooled p̂, V as per-VALUE doubles from the exact integer
+      // cumulative counts — operand order mirrored in the oracle
+      .withColumn("delta",
+        expr("CAST(c1 AS DOUBLE) / m1 - CAST(c2 AS DOUBLE) / m2"))
+      .withColumn("pbar",
+        expr("CAST(c1 + c2 AS DOUBLE) / (m1 + m2)"))
+      .withColumn("v",
+        expr("pbar * (1.0 - pbar) * (1.0 / m1 + 1.0 / m2)"))
+      .withColumn("lam",
+        expr(s"sqrt(v / (v + $phi)) * " +
+          s"exp(delta * delta * $phi / (2.0 * v * (v + $phi)))"))
+      .withColumn("lam_q6",
+        expr("CAST(floor(lam * 1000000.0) AS BIGINT)"))
+    val wMax = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum
+      .withColumn("lam_max_q6", max($"lam_q6").over(wMax))
+      .select($"day", $"m1", $"m2", $"c1", $"c2", $"lam_q6",
+        // always-valid p = min(1, 1/max_t Λ_t), at q6 on the already-
+        // quantized running max (division of exact integers)
+        least(lit(1000000L),
+          expr("CAST(1000000000000 div lam_max_q6 AS BIGINT)"))
+          .as("avp_q6"))
+      .orderBy($"day")
+  }
+
+  /** Cohen's κ between the DECLARED document language and the
+    * stopword langID prediction ([[graft.ext.TextStats.langId]],
+    * q30) — inter-rater agreement corrected for chance, the
+    * label-quality gate a training pipeline runs before trusting
+    * either source of labels: raw agreement over-credits whatever
+    * the majority class is (a constant-'de' rater agrees 80% on a
+    * de-heavy corpus; κ calls it 0). With confusion-matrix row/
+    * column marginals r_i, c_i and diagonal ΣA:
+    * κ = (N·ΣA − Σᵢrᵢcᵢ) / (N² − Σᵢrᵢcᵢ) — an EXACT integer
+    * rational, one q6 division.
+    *
+    * Scale shape: one corpus-sized pass scores the prediction
+    * (map-only), two label-domain-sized aggregates build the
+    * marginals, and the κ arithmetic happens on a handful of rows.
+    */
+  def cohensKappa(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pred = graft.ext.TextStats.langId(spark, d)
+      .select($"lang", $"predicted")
+    val rm = pred.groupBy($"lang".as("label")).agg(count(lit(1)).as("r"))
+    val cm = pred.groupBy($"predicted".as("label"))
+      .agg(count(lit(1)).as("c"))
+    val rc = rm.join(cm, Seq("label"), "full_outer")
+      .select((coalesce($"r", lit(0L)) * coalesce($"c", lit(0L)))
+        .as("rc"))
+      .agg(sum($"rc").as("sum_rc"))
+    pred
+      .agg(count(lit(1)).as("n"),
+        sum(when($"lang" === $"predicted", 1L).otherwise(0L))
+          .as("agree"))
+      .crossJoin(rc)
+      .select($"n", $"agree", $"sum_rc",
+        expr("CAST(((n * agree - sum_rc) * 1000000)" +
+          " div nullif(n * n - sum_rc, 0) AS BIGINT)").as("kappa_q6"))
+  }
 }
