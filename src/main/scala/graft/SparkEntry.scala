@@ -928,6 +928,19 @@ object SparkEntry {
     // Cohen's κ between declared lang and the q30 stopword langID —
     // chance-corrected agreement as one exact integer rational
     "q296_cohens_kappa" -> (Stats.cohensKappa _),
+    // Content-defined-chunking dedup: rolling-hash cut points, chunk
+    // census on the chunk text, per-source dup-mass share
+    "q297_cdc_chunk_dedup" -> (Dedup.cdcChunkDedup _),
+    // MATTR lexical diversity at window 25 — length-deconfounded
+    // type-token ratio, entirely map-side per document
+    "q298_mattr" -> ((s: SparkSession, d: String) => TextStats.mattr(s, d)),
+    // Cramér's V association matrix across categorical pairs —
+    // effect size where raw χ² only says "significant"
+    "q299_cramers_v" -> (Stats.cramersV _),
+    // Link-prediction panel: neighborhood Jaccard + resource
+    // allocation over the seeded wedge expansion — exact rationals
+    "q300_link_prediction" -> ((s: SparkSession, d: String) =>
+      Graph.linkPredictionScores(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5562,6 +5575,139 @@ object SparkEntry {
         |  CAST(((n * agree - sum_rc) * 1000000)
         |    // nullif(n * n - sum_rc, 0) AS BIGINT) AS kappa_q6
         |FROM tot CROSS JOIN rc""".stripMargin,
+    // q297: the same multiplicity-keeping 3-gram rolling hash, cut
+    // arithmetic, and chunk census — the chunk TEXT is the join key,
+    // no second hash to mirror
+    "q297_cdc_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |h AS (SELECT doc_id, source, toks,
+        |    list_transform(range(len(toks) - 2), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_filter(string_split(
+        |          array_to_string(toks[i+1:i+3], ' '), ''),
+        |          c -> c != ''), c -> CAST(ord(c) AS BIGINT))),
+        |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+        |  FROM t),
+        |cut AS (SELECT doc_id, source, toks,
+        |    list_transform(list_filter(range(1, len(hs) + 1),
+        |      k -> hs[k] % 8 = 0), k -> k + 2) AS cuts
+        |  FROM h),
+        |se AS (SELECT doc_id, source, toks,
+        |    list_concat([1], list_transform(cuts, c -> c + 1)) AS starts,
+        |    list_concat(cuts, [len(toks)]) AS ends
+        |  FROM cut),
+        |kx AS (SELECT doc_id, source, toks, starts, ends,
+        |    unnest(range(1, len(starts) + 1)) AS k
+        |  FROM se),
+        |fc AS (SELECT doc_id, source,
+        |    CAST(ends[k] - starts[k] + 1 AS BIGINT) AS len,
+        |    array_to_string(toks[starts[k]:ends[k]], ' ') AS chunk
+        |  FROM kx WHERE ends[k] - starts[k] + 1 > 0),
+        |census AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+        |           FROM fc GROUP BY 1)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(len) AS BIGINT) AS chunk_toks,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN len ELSE 0 END) AS BIGINT)
+        |    AS dup_toks,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN len ELSE 0 END) * 1000000
+        |    // SUM(len) AS BIGINT) AS dup_share_q6
+        |FROM fc JOIN census USING (chunk)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // q298: identical windows (range is exclusive where sequence is
+    // inclusive — both yield n−24 starts), identical distinct counts
+    "q298_mattr" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |f AS (SELECT doc_id, lang, toks,
+        |        CAST(len(toks) AS BIGINT) AS n_toks
+        |      FROM t WHERE len(toks) >= 25),
+        |wd AS (SELECT doc_id, lang, n_toks,
+        |    list_transform(range(1, len(toks) - 23), i ->
+        |      CAST(len(list_distinct(toks[i:i+24])) AS BIGINT)) AS dw
+        |  FROM f)
+        |SELECT doc_id, lang, n_toks,
+        |  CAST(len(dw) AS BIGINT) AS n_windows,
+        |  CAST(list_sum(dw) AS BIGINT) AS sum_types,
+        |  CAST(list_sum(dw) * 1000000 // (25 * len(dw)) AS BIGINT)
+        |    AS mattr_q6
+        |FROM wd ORDER BY doc_id""".stripMargin,
+    // q299: exact integer marginals, identical per-cell (O−E)²/E
+    // doubles quantized at q6, the V arithmetic over the aggregated
+    // BIGINTs
+    "q299_cramers_v" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(dayofweek(ts) AS VARCHAR) AS wd,
+        |    CAST(LEAST(CAST(FLOOR(value / 100) AS BIGINT), 4)
+        |      AS VARCHAR) AS band
+        |  FROM events),
+        |pairs AS (
+        |  SELECT 'type_x_weekday' AS pair, event_type AS a, wd AS b
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'type_x_band', event_type, band FROM ev
+        |  UNION ALL
+        |  SELECT 'weekday_x_band', wd, band FROM ev),
+        |cells AS (SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS o
+        |          FROM pairs GROUP BY 1, 2, 3),
+        |m AS (SELECT *,
+        |    CAST(SUM(o) OVER (PARTITION BY pair, a) AS BIGINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY pair, b) AS BIGINT) AS c,
+        |    CAST(SUM(o) OVER (PARTITION BY pair) AS BIGINT) AS n
+        |  FROM cells),
+        |terms AS (SELECT *,
+        |    CAST(FLOOR(POWER(o - CAST(r AS DOUBLE) * c / n, 2)
+        |      / (CAST(r AS DOUBLE) * c / n) * 1000000.0) AS BIGINT)
+        |      AS t_q6
+        |  FROM m),
+        |agg AS (SELECT pair, CAST(MAX(n) AS BIGINT) AS n,
+        |          CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+        |          CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels,
+        |          CAST(SUM(t_q6) AS BIGINT) AS chi2_q6
+        |        FROM terms GROUP BY pair)
+        |SELECT pair, n, r_levels, c_levels, chi2_q6,
+        |  CAST(FLOOR(SQRT(chi2_q6 / 1000000.0
+        |    / (n * LEAST(r_levels - 1, c_levels - 1)))
+        |    * 1000000.0) AS BIGINT) AS v_q6
+        |FROM agg ORDER BY pair""".stripMargin,
+    // q300: q226's graph CTEs with the RA weight (10⁶ div deg) and
+    // the Jaccard rational — both exact, no ln
+    "q300_link_prediction" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |sym AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |seeds AS (SELECT DISTINCT u FROM sym ORDER BY u LIMIT 10),
+        |sa AS (SELECT s.u AS a, sym.v AS w
+        |       FROM sym JOIN seeds s ON sym.u = s.u),
+        |ww AS (SELECT sa.a, sa.w, 1000000 // deg AS ra_wt
+        |       FROM sa JOIN deg ON deg.u = sa.w),
+        |wedge AS (SELECT ww.a, sym.v AS b, ra_wt
+        |          FROM ww JOIN sym ON sym.u = ww.w WHERE sym.v != ww.a),
+        |nonadj AS (
+        |  SELECT w.a, w.b, w.ra_wt FROM wedge w
+        |  WHERE NOT EXISTS (SELECT 1 FROM sa
+        |                    WHERE sa.a = w.a AND sa.w = w.b)),
+        |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+        |         CAST(SUM(ra_wt) AS BIGINT) AS ra_q6
+        |       FROM nonadj GROUP BY 1, 2),
+        |j AS (SELECT sc.a, sc.b, sc.cn, sc.ra_q6,
+        |        da.deg AS deg_a, db.deg AS deg_b
+        |      FROM sc JOIN deg da ON da.u = sc.a
+        |        JOIN deg db ON db.u = sc.b),
+        |sc2 AS (SELECT a, b, cn, ra_q6,
+        |          CAST(cn * 1000000 // (deg_a + deg_b - cn) AS BIGINT)
+        |            AS jaccard_q6
+        |        FROM j),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+        |         ORDER BY jaccard_q6 DESC, b) AS rn FROM sc2)
+        |SELECT a, b, cn, ra_q6, jaccard_q6 FROM rk WHERE rn <= 10
+        |ORDER BY a, jaccard_q6 DESC, b""".stripMargin,
     // q288: direct count/sum + BOTH deterministic sketch estimates
     // inline — equality proves the three-way composed serve
     "q288_mv_triple_serve" ->

@@ -1078,4 +1078,74 @@ object Dedup {
           .as("dup_q6"))
       .orderBy($"doc_id")
   }
+
+  /** Content-defined-chunking dedup — the storage-industry dedup
+    * primitive (LBFS/Rabin chunking) brought to the corpus: chunk
+    * boundaries are declared wherever the rolling 3-token hash hits
+    * `h ≡ 0 (mod 8)`, so they are a function of LOCAL CONTENT, not
+    * position — insert a sentence at the front of a document and
+    * every later chunk still re-aligns and dedups, where fixed-size
+    * blocks would all shift (the boundary-shift problem fixed-window
+    * dedup cannot escape). Shingle fingerprints (q227) answer "how
+    * much n-gram mass is shared"; CDC answers the operational
+    * question "how many CONTIGUOUS SPANS could be stored/transferred
+    * once" — per source: chunk count, chunk token mass, and the
+    * share of that mass living in chunks that appear in ≥ 2
+    * documents.
+    *
+    * The rolling hash is the multiplicity-keeping
+    * [[graft.functions.ShingleHash]] kernel (n = 3), so the cut
+    * predicate is one native loop per row; chunk assembly is pure
+    * higher-order-function arithmetic on the token array (map-only,
+    * no fan-out until the chunk explode). The census joins on the
+    * CHUNK TEXT itself — no second hash for the oracle to mirror.
+    * Expected chunk length = 8 shingles ≈ 10 tokens; the `% 8` grid
+    * and the n = 3 window are the two knobs.
+    *
+    * Scale shape: one map-only pass per document (O(tokens) hash +
+    * cut arithmetic), one explode to ~tokens/10 chunk rows, one
+    * chunk-keyed census shuffle, one source-keyed rollup — every
+    * stage keyed and partition-parallel; nothing is pairwise.
+    */
+  def cdcChunkDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"source", split($"text", " ").as("toks"),
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.ShingleHash(
+            org.apache.spark.sql.graft.Bridge.expression($"text"),
+            n = 3, distinct = false))
+          .as("hs"))
+      .filter(size($"toks") >= 3)
+    val chunks = docs
+      // shingle k (1-indexed) covers toks[k..k+2]; a hit cuts AFTER
+      // token k+2, so chunk starts are 1 and every cut+1
+      .withColumn("cuts", expr(
+        "transform(filter(sequence(1, size(hs))," +
+          " k -> element_at(hs, k) % 8 = 0), k -> k + 2)"))
+      .withColumn("starts", expr(
+        "concat(array(1), transform(cuts, c -> c + 1))"))
+      .withColumn("ends", expr(
+        "concat(cuts, array(size(toks)))"))
+      .select($"doc_id", $"source", explode(expr(
+        "filter(transform(sequence(1, size(starts)), k -> " +
+          "named_struct('len', element_at(ends, k)" +
+          " - element_at(starts, k) + 1, " +
+          "'chunk', array_join(slice(toks, element_at(starts, k), " +
+          "element_at(ends, k) - element_at(starts, k) + 1), ' ')))," +
+          " s -> s.len > 0)")).as("c"))
+      .select($"doc_id", $"source", $"c.chunk".as("chunk"),
+        $"c.len".as("len"))
+    val census = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd"))
+    chunks.join(census, "chunk")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"len").as("chunk_toks"),
+        sum(when($"nd" >= 2, $"len").otherwise(0L)).as("dup_toks"))
+      .select($"source", $"n_chunks", $"chunk_toks", $"dup_toks",
+        expr("CAST(dup_toks * 1000000 div chunk_toks AS BIGINT)")
+          .as("dup_share_q6"))
+      .orderBy($"source")
+  }
 }

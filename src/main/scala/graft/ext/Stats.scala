@@ -2904,4 +2904,58 @@ object Stats {
         expr("CAST(((n * agree - sum_rc) * 1000000)" +
           " div nullif(n * n - sum_rc, 0) AS BIGINT)").as("kappa_q6"))
   }
+
+  /** Cramér's V association profile across the categorical column
+    * pairs of the event stream — the effect-size readout the raw χ²
+    * (q152) cannot be: χ² grows with N, so "significant" says
+    * nothing about STRENGTH at warehouse row counts where everything
+    * is significant; V = √(χ²/(N·min(r−1, c−1))) normalizes to
+    * [0, 1] and is comparable across pairs. One row per column pair
+    * (type×weekday, type×value-band, weekday×value-band) — the
+    * association matrix a feature-selection pass reads.
+    *
+    * Exactness: observed/marginal counts are exact integers; each
+    * cell's (O−E)²/E is ONE per-VALUE double from those integers
+    * (identical operand order in the oracle) quantized at q6 and
+    * integer-summed over the ≤ 35-cell bounded domain — the q276
+    * per-term discipline. Weekday is Spark's `dayofweek − 1` so both
+    * engines see DuckDB's 0=Sunday..6=Saturday encoding.
+    *
+    * Scale shape: one event-volume-sized conditional aggregate per
+    * pair (unioned into one pass over a 3× projection); marginals
+    * and the V arithmetic live on the bounded cell domain.
+    */
+  def cramersV(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d).select($"event_type",
+      expr("CAST(dayofweek(ts) - 1 AS STRING)").as("wd"),
+      expr("CAST(least(CAST(floor(value / 100) AS BIGINT), 4)" +
+        " AS STRING)").as("band"))
+    val pairs = ev.select(lit("type_x_weekday").as("pair"),
+        $"event_type".as("a"), $"wd".as("b"))
+      .unionByName(ev.select(lit("type_x_band").as("pair"),
+        $"event_type".as("a"), $"band".as("b")))
+      .unionByName(ev.select(lit("weekday_x_band").as("pair"),
+        $"wd".as("a"), $"band".as("b")))
+    val cells = pairs.groupBy($"pair", $"a", $"b")
+      .agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy($"pair", $"a")
+    val wc = Window.partitionBy($"pair", $"b")
+    val wp = Window.partitionBy($"pair")
+    val terms = cells
+      .withColumn("r", sum($"o").over(wr))
+      .withColumn("c", sum($"o").over(wc))
+      .withColumn("n", sum($"o").over(wp))
+      .withColumn("t_q6", expr(
+        "CAST(floor(power(o - CAST(r AS DOUBLE) * c / n, 2)" +
+          " / (CAST(r AS DOUBLE) * c / n) * 1000000.0) AS BIGINT)"))
+    terms.groupBy($"pair")
+      .agg(max($"n").as("n"), countDistinct($"a").as("r_levels"),
+        countDistinct($"b").as("c_levels"), sum($"t_q6").as("chi2_q6"))
+      .select($"pair", $"n", $"r_levels", $"c_levels", $"chi2_q6",
+        expr("CAST(floor(sqrt(chi2_q6 / 1000000.0" +
+          " / (n * least(r_levels - 1, c_levels - 1)))" +
+          " * 1000000.0) AS BIGINT)").as("v_q6"))
+      .orderBy($"pair")
+  }
 }

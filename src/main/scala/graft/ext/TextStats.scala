@@ -721,4 +721,37 @@ object TextStats {
           " AS BIGINT)").as("forcast_grade_q6"))
       .orderBy($"source")
   }
+
+  /** MATTR — moving-average type-token ratio at window w = 25: the
+    * lexical-diversity score that, unlike raw TTR, does not collapse
+    * with document length (TTR falls as length grows because types
+    * saturate while tokens keep counting; averaging the ratio over a
+    * FIXED window removes the length confound, which is why MATTR is
+    * the form corpus-quality filters actually use). Per document:
+    * mean over all n−w+1 sliding windows of
+    * |distinct(toks[i..i+w−1])| / w, reported as the exact integer
+    * ratio Σ distinct-counts ·10⁶ div (w · n_windows).
+    *
+    * Scale shape: entirely map-side — one higher-order-function pass
+    * per document (O(tokens·w) integer work inside the row, no
+    * explode, no shuffle beyond the final ORDER BY); short documents
+    * (< w tokens) are excluded, the standard MATTR convention.
+    */
+  def mattr(spark: SparkSession, d: String, w: Int = 25): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= w)
+      .select($"doc_id", $"lang", size($"toks").cast("long").as("n_toks"),
+        expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> " +
+          s"size(array_distinct(slice(toks, i, $w))))").as("dw"))
+      .select($"doc_id", $"lang", $"n_toks",
+        size($"dw").cast("long").as("n_windows"),
+        expr("aggregate(dw, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_types"))
+      .select($"doc_id", $"lang", $"n_toks", $"n_windows", $"sum_types",
+        expr(s"CAST(sum_types * 1000000 div ($w * n_windows) AS BIGINT)")
+          .as("mattr_q6"))
+      .orderBy($"doc_id")
+  }
 }
