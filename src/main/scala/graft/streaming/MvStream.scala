@@ -170,6 +170,13 @@ object MvStream {
     stream.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => m.apply(batch, id))
       .outputMode("append")
+
+  /** [[maintain]] for the exact-distinct bitmap table. */
+  def maintainBitmap(stream: DataFrame, m: BitmapMaintainer)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => m.apply(batch, id))
+      .outputMode("append")
 }
 
 /** Continuous maintenance of the mergeable HLL register table
@@ -211,6 +218,47 @@ final class HllMaintainer(grpCol: String, keyCol: String, root: String,
         HllMv.refreshIncremental(batch.sparkSession, mv, batch, next)
     log.commit(batchId, next)
     if (sourcePath.isDefined) MvRewrite.registerHll(folded)
+  }
+}
+
+/** Continuous maintenance of the exact-distinct bitmap table
+  * ([[graft.operators.BitmapMv]]) — EXACT distinct-count freshness
+  * tracking ingestion, the fourth maintained structure over the one
+  * shared [[CommitLog]] protocol. The fold is word-wise OR —
+  * idempotent like the HLL register MAX (a redelivered key sets a
+  * bit that is already set), and the batch-id skip still guards it
+  * for the same reason stated on [[HllMaintainer]]: idempotence is a
+  * property of THIS fold, not of the protocol. Insert-only by
+  * [[graft.operators.BitmapMv]]'s stated scope — deletes go through
+  * the batch-side touched-cell rederive, not the stream.
+  */
+final class BitmapMaintainer(grpCols: Seq[String], keyCol: String,
+                             root: String,
+                             sourcePath: Option[String] = None) {
+
+  import graft.operators.BitmapMv
+
+  private val log = new CommitLog(root)
+
+  def mv: BitmapMv.Def = BitmapMv.Def(grpCols, keyCol, log.path, sourcePath)
+  def lastBatchId: Long = log.batchId
+
+  // with a declared source, serving queries rewrite through the
+  // exact-distinct gear immediately after a restart
+  if (sourcePath.isDefined) MvRewrite.registerBitmap(mv)
+
+  def apply(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= log.batchId) return // redelivered — already folded
+    graft.Derived.ensureBudget(batch.sparkSession) // long-lived session
+    val next = log.next
+    val folded =
+      if (log.batchId < 0L)
+        BitmapMv.materializeFrom(batch,
+          BitmapMv.Def(grpCols, keyCol, next, sourcePath))
+      else
+        BitmapMv.refreshIncremental(batch.sparkSession, mv, batch, next)
+    log.commit(batchId, next)
+    if (sourcePath.isDefined) MvRewrite.registerBitmap(folded)
   }
 }
 

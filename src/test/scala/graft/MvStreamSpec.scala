@@ -206,6 +206,68 @@ class MvStreamSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("bitmap maintainer: streamed OR folds == from-scratch words; " +
+    "exact count(DISTINCT) serves through the rewrite") {
+    GraftRuntime.ensure(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    def batchRows(r: Range) = r.map(i => (s"g${i % 3}", (i % 40).toLong))
+    val src = s"$root/fact.parquet"
+    batchRows(1 to 200).toDF("g", "k").write.parquet(src)
+    val m = new graft.streaming.BitmapMaintainer(Seq("g"), "k",
+      s"$root/mv", sourcePath = Some(src))
+    val input = MemoryStream[(String, Long)]
+    val query = MvStream.maintainBitmap(input.toDF().toDF("g", "k"), m)
+      .start()
+    try {
+      Seq(batchRows(1 to 50), batchRows(51 to 120), batchRows(121 to 200))
+        .foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    try {
+      assert(m.lastBatchId == 2)
+      // word state == from-scratch build over the full history
+      val direct = graft.operators.BitmapMv.materializeFrom(
+        batchRows(1 to 200).toDF("g", "k"),
+        graft.operators.BitmapMv.Def(Seq("g"), "k", s"$root/direct"))
+      assert(state(m.mv.mvPath) == state(direct.mvPath),
+        "streamed OR folds must equal the from-scratch words")
+      // exact count(DISTINCT) over the fact path serves from the
+      // STREAM-maintained bitmap table — and, the serve being exact,
+      // equals the direct distinct count by value
+      val served = spark.read.parquet(src).groupBy($"g")
+        .agg(countDistinct($"k").as("dct")).orderBy($"g")
+      val leaves = served.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      assert(leaves.contains(
+        m.mv.mvPath.substring(m.mv.mvPath.indexOf("graft"))),
+        s"serve must scan the maintained bitmap table:\n$leaves")
+      assert(!leaves.contains("fact.parquet"),
+        "serve must never scan the fact")
+      val want = batchRows(1 to 200).toDF("g", "k").groupBy($"g")
+        .agg(countDistinct($"k").as("dct")).orderBy($"g")
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      assert(served.collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1))) == want,
+        "stream-maintained exact serve == direct count(distinct)")
+      // a redelivered batch is a protocol-level no-op
+      val before = state(m.mv.mvPath)
+      val path = m.mv.mvPath
+      m.apply(batchRows(121 to 200).toDF("g", "k"), 2L)
+      assert(m.mv.mvPath == path && state(m.mv.mvPath) == before,
+        "replayed batch must be a no-op")
+      // restart resumes and re-registers for serving immediately
+      MvRewrite.clear()
+      val m2 = new graft.streaming.BitmapMaintainer(Seq("g"), "k",
+        s"$root/mv", sourcePath = Some(src))
+      assert(m2.lastBatchId == 2L && m2.mv.mvPath == path)
+      val again = spark.read.parquet(src).groupBy($"g")
+        .agg(countDistinct($"k").as("dct")).orderBy($"g")
+      assert(!again.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString.contains("fact.parquet"),
+        "a restarted maintainer must serve through the rewrite too")
+    } finally MvRewrite.clear()
+  }
+
   test("quantile maintainer: streamed CDC folds == from-scratch sketch " +
     "over the net state; serve rides the approx-percentile rewrite") {
     GraftRuntime.ensure(spark)
