@@ -941,6 +941,13 @@ object SparkEntry {
     // allocation over the seeded wedge expansion — exact rationals
     "q300_link_prediction" -> ((s: SparkSession, d: String) =>
       Graph.linkPredictionScores(s, d)),
+    // Hyperplane-LSH calibration: measured mean cosine per Hamming
+    // agreement vs the Charikar cos(π(1−m/16)) identity
+    "q301_hamming_calibration" -> (Similarity.hammingCalibration _),
+    // Matryoshka truncation eval: recall@3 of prefix-dim cosine
+    // top-k vs the full-dim truth, for d' in {4, 8, 16, 32}
+    "q302_matryoshka_eval" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaEval(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5708,6 +5715,68 @@ object SparkEntry {
         |         ORDER BY jaccard_q6 DESC, b) AS rn FROM sc2)
         |SELECT a, b, cn, ra_q6, jaccard_q6 FROM rk WHERE rn <= 10
         |ORDER BY a, jaccard_q6 DESC, b""".stripMargin,
+    // q301: the same LCG hyperplanes as the q57 twin at rows=1, the
+    // same left-to-right double accumulation, exact cosine per pair
+    "q301_hamming_calibration" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    len(embedding) AS d FROM embeddings),
+         |sig AS (SELECT vec_id, label, embedding,
+         |    list_transform(range(16), b ->
+         |      CASE WHEN list_reduce(list_transform(range(d), i ->
+         |          CAST(embedding[i+1] AS DOUBLE) *
+         |          ((1103515245 * ((b * 1 + 0) * d + i) + 12345)
+         |           % 2147483647 - 1073741823)),
+         |        (x, y) -> x + y) > 0 THEN 1 ELSE 0 END) AS s
+         |  FROM e),
+         |p AS (SELECT
+         |    list_sum(list_transform(range(16), k ->
+         |      CASE WHEN a.s[k+1] = b.s[k+1] THEN 1 ELSE 0 END)) AS m,
+         |    CAST(FLOOR((${cosSql("a.embedding", "b.embedding")})
+         |      * 1000000.0) AS BIGINT) AS cos_q6
+         |  FROM sig a JOIN sig b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT CAST(m AS BIGINT) AS m,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(cos_q6) // COUNT(*) AS BIGINT) AS mean_cos_q6,
+         |  CAST(FLOOR(cos(pi() * (1.0 - m / 16.0)) * 1000000.0)
+         |    AS BIGINT) AS expected_cos_q6
+         |FROM p GROUP BY m ORDER BY m""".stripMargin,
+    // q302: identical sliced cosines and (score desc, id) top-3 per
+    // prefix width, hit-joined against the full-dim truth
+    "q302_matryoshka_eval" -> {
+      val dimBlocks = Seq(4, 8, 16, 32).map { dp =>
+        s"""r$dp AS (SELECT $dp AS dim,
+           |  CAST(COUNT(*) AS BIGINT) AS n_results,
+           |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hits
+           |FROM (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY ${cosSql(s"qv[1:$dp]", s"cv[1:$dp]")} DESC,
+           |          vec_id) AS rn
+           |    FROM c CROSS JOIN q) s WHERE rn <= 3) a
+           |LEFT JOIN truth t
+           |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings
+         |      WHERE vec_id >= 5),
+         |sc AS (SELECT query_id, vec_id, ${cosSql("qv", "cv")} AS s
+         |       FROM c CROSS JOIN q),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY s DESC, vec_id) AS rn
+         |    FROM sc) t WHERE rn <= 3),
+         |$dimBlocks
+         |SELECT CAST(dim AS BIGINT) AS dim, n_results, n_hits,
+         |  CAST(n_hits * 1000000 // n_results AS BIGINT) AS recall_q6
+         |FROM (SELECT * FROM r4 UNION ALL SELECT * FROM r8
+         |      UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32) u
+         |ORDER BY dim""".stripMargin
+    },
     // q288: direct count/sum + BOTH deterministic sketch estimates
     // inline — equality proves the three-way composed serve
     "q288_mv_triple_serve" ->

@@ -213,6 +213,49 @@ object Similarity {
       .orderBy($"probes")
   }
 
+  /** Matryoshka truncation eval — recall@3 of cosine top-k computed
+    * on only the FIRST d' dimensions against the full-dimension
+    * truth, for d' ∈ {4, 8, 16, 32}: the measurement behind the
+    * embedding-compression decision every large-scale ANN deployment
+    * makes (truncating a Matryoshka-trained embedding is the cheapest
+    * 4–16× index shrink there is, IF recall holds — this table says
+    * whether it does, on THIS corpus). Same harness as
+    * [[multiProbeRecall]]: 5 query vectors, exact cosine truth,
+    * hit-join, exact integer recall.
+    *
+    * Scale shape: each truncated pass is the [[cosineTopK]] pattern —
+    * a broadcast of the 5 queries against a candidate scan with
+    * `slice` applied map-side (at 100 TB the truncation happens in
+    * the scan projection, reading d'/d of the vector bytes when the
+    * layout is columnar) and the bounded top-k partial aggregate.
+    */
+  def matryoshkaEval(spark: SparkSession, d: String,
+                     dims: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.filter($"vec_id" >= 5)
+      .select($"vec_id", $"embedding".as("cv"))
+    val pairs = c.crossJoin(broadcast(q))
+    val truth = rankTopK(
+      pairs.select($"query_id", $"vec_id", cos($"qv", $"cv").as("score_raw")),
+      k = 3).select($"query_id", $"vec_id", lit(1L).as("hit"))
+    def at(dp: Int): DataFrame = rankTopK(
+      pairs.select($"query_id", $"vec_id",
+        cos(expr(s"slice(qv, 1, $dp)"), expr(s"slice(cv, 1, $dp)"))
+          .as("score_raw")),
+      k = 3)
+      .select($"query_id", $"vec_id")
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_results"),
+        coalesce(sum($"hit"), lit(0L)).as("n_hits"))
+      .select(lit(dp.toLong).as("dim"), $"n_results", $"n_hits",
+        expr("CAST(n_hits * 1000000 div n_results AS BIGINT)")
+          .as("recall_q6"))
+    dims.map(at).reduce(_ unionByName _).orderBy($"dim")
+  }
+
   /** Embedding distribution drift between two corpus halves — the
     * "did the new crawl's embedding space move" gate run before
     * mixing freshly-embedded data into a training corpus (the
@@ -1172,5 +1215,49 @@ object Similarity {
         sum(when($"d2" > $"thr", 1L).otherwise(0L)).as("n_outliers"),
         max(expr("CAST(s div n AS BIGINT)")).as("mean_e"))
       .orderBy($"label")
+  }
+
+  /** Hyperplane-LSH calibration — the q235 MinHash discipline applied
+    * to the cosine family: for label-blocked vector pairs, bucket by
+    * the HAMMING AGREEMENT m of 16 single-row hyperplane signatures
+    * and report the measured mean cosine next to the theoretical
+    * estimate cos(π·(1 − m/16)) (the Charikar SimHash identity:
+    * P[bits agree] = 1 − θ/π). The table quantifies what a Hamming
+    * prefilter at any cut actually admits — the tuning curve behind
+    * [[hyperplaneNearDup]]'s band config, measured on THIS corpus
+    * instead of assumed.
+    *
+    * Scale shape: signatures are one map-side pass; pairs are
+    * label-blocked (the q26/q235 blocking discipline — never a global
+    * cross join), and the output collapses to the 17-row m domain.
+    * Mean cosine is the q235 form: per-pair q6 quantization, then one
+    * integer mean per bucket.
+    */
+  def hammingCalibration(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d).select($"vec_id", $"label",
+      $"embedding",
+      Bridge.column(graft.functions.HyperplaneSignature(
+        Bridge.expression($"embedding"), bands = 16, rows = 1)).as("sig"))
+    val a = e.select($"vec_id".as("a_id"), $"label",
+      $"embedding".as("av"), $"sig".as("sa"))
+    val b = e.select($"vec_id".as("b_id"), $"label",
+      $"embedding".as("bv"), $"sig".as("sb"))
+    a.join(b, Seq("label"))
+      .filter($"a_id" < $"b_id")
+      .select(
+        expr("aggregate(zip_with(sa, sb, (x, y) -> CAST(x = y AS INT))," +
+          " 0, (acc, v) -> acc + v)").as("m"),
+        cos($"av", $"bv").as("score_raw"))
+      .select($"m".cast("long").as("m"),
+        expr("CAST(floor(score_raw * 1000000.0) AS BIGINT)").as("cos_q6"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(cos_q6) div count(1) AS BIGINT)")
+          .as("mean_cos_q6"))
+      .select($"m", $"n_pairs", $"mean_cos_q6",
+        expr("CAST(floor(cos(pi() * (1.0 - m / 16.0)) * 1000000.0)" +
+          " AS BIGINT)").as("expected_cos_q6"))
+      .orderBy($"m")
   }
 }
