@@ -948,6 +948,9 @@ object SparkEntry {
     // top-k vs the full-dim truth, for d' in {4, 8, 16, 32}
     "q302_matryoshka_eval" -> ((s: SparkSession, d: String) =>
       Similarity.matryoshkaEval(s, d)),
+    // Incrementally-maintained JOIN MV: delta-join appends across
+    // three batches (incl. late-arriving dim rows) == the full join
+    "q303_mv_join_delta" -> (Extended.mvJoinDelta _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5777,6 +5780,14 @@ object SparkEntry {
          |      UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32) u
          |ORDER BY dim""".stripMargin
     },
+    // q303: the direct join over the full tables — equality proves
+    // the chained delta-join appends landed on exactly A ⋈ B
+    "q303_mv_join_delta" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // q288: direct count/sum + BOTH deterministic sketch estimates
     // inline — equality proves the three-way composed serve
     "q288_mv_triple_serve" ->

@@ -964,6 +964,57 @@ object Extended {
     pinned
   }
 
+  /** q303 — incrementally-maintained JOIN materialization
+    * ([[graft.operators.JoinMv]]): orders ⋈ customer kept fresh
+    * across three append batches by the delta-join algebra
+    * `Δ(A⋈B) = ΔA⋈B′ ∪ (A′\ΔA)⋈ΔB` — each refresh APPENDS the new
+    * join rows, reading only the deltas and the one side the other
+    * delta needs (batch 1 is orders-only and never touches the
+    * customer-side recovery; batch 2 carries both sides, including
+    * late-arriving customers whose earlier orders were already
+    * joined — the term the naive "join the delta against the dims"
+    * refresh silently DROPS). The served rollup (revenue by nation)
+    * comes from the MV alone; the DuckDB oracle computes the direct
+    * join over the full tables, so the hash match proves the chained
+    * delta algebra landed on exactly the full join.
+    */
+  def mvJoinDelta(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q303").toString
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val cust = spark.read.parquet(s"$d/customer.parquet")
+    val aPath = s"$tmp/orders"
+    val bPath = s"$tmp/customer"
+    // initial snapshots: two thirds of orders, customers not ≡ 0 (mod 4)
+    orders.filter($"o_orderkey" % 3 =!= 0).write.parquet(aPath)
+    cust.filter($"c_custkey" % 4 =!= 0).write.parquet(bPath)
+    val d0 = graft.operators.JoinMv.materialize(spark,
+      graft.operators.JoinMv.Def(aPath, bPath,
+        "o_custkey", "c_custkey", "o_orderkey", s"$tmp/mv"))
+    // batch 1: orders-only delta (sides reflect it first — contract)
+    val da1 = orders.filter($"o_orderkey" % 3 === 0 &&
+      $"o_orderkey" % 2 === 0)
+    da1.write.mode("append").parquet(aPath)
+    val d1 = graft.operators.JoinMv
+      .refreshIncremental(spark, d0, Some(da1), None)
+    // batch 2: both sides — the rest of the orders plus the
+    // late-arriving customers (whose already-loaded orders join here)
+    val da2 = orders.filter($"o_orderkey" % 3 === 0 &&
+      $"o_orderkey" % 2 =!= 0)
+    val db2 = cust.filter($"c_custkey" % 4 === 0)
+    da2.write.mode("append").parquet(aPath)
+    db2.write.mode("append").parquet(bPath)
+    val d2 = graft.operators.JoinMv
+      .refreshIncremental(spark, d1, Some(da2), Some(db2))
+    graft.operators.JoinMv.serve(spark, d2)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy($"c_nationkey")
+  }
+
   /** q210 — MAINTAINED distinct counts via mergeable HLL register
     * partials ([[graft.operators.HllMv]]): the one aggregate the
     * algebraic MV gears can never serve. Registers built over a base
