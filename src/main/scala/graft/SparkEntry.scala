@@ -951,6 +951,10 @@ object SparkEntry {
     // Incrementally-maintained JOIN MV: delta-join appends across
     // three batches (incl. late-arriving dim rows) == the full join
     "q303_mv_join_delta" -> (Extended.mvJoinDelta _),
+    // Sampled Brandes betweenness: seeded BFS σ counts + level-wise
+    // dependency accumulation at q6 — brokerage centrality
+    "q304_betweenness" -> ((s: SparkSession, d: String) =>
+      Graph.betweennessSampled(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5788,6 +5792,56 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q304: the identical BFS unrolled level-by-level, identical σ
+    // sums, identical per-term integer δ cascade
+    "q304_betweenness" -> {
+      val horizon = 6
+      val fwd = (1 to horizon).map { l =>
+        s"""f$l AS (SELECT f.seed, sym.v AS node, $l AS dist,
+           |  CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |FROM f${l - 1} f JOIN sym ON sym.u = f.node
+           |WHERE NOT EXISTS (SELECT 1 FROM a${l - 1} a
+           |  WHERE a.seed = f.seed AND a.node = sym.v)
+           |GROUP BY 1, 2),
+           |a$l AS (SELECT seed, node FROM a${l - 1}
+           |        UNION ALL SELECT seed, node FROM f$l)""".stripMargin
+      }.mkString(",\n")
+      val bwd = ((horizon - 1) to 1 by -1).map { l =>
+        s"""d$l AS (SELECT c.seed, c.node, c.sigma,
+           |  COALESCE(t.delta, 0) AS delta
+           |FROM f$l c LEFT JOIN (
+           |  SELECT cc.seed, cc.node,
+           |    CAST(SUM(cc.sigma * (1000000 + dw.delta) // dw.sigma)
+           |      AS BIGINT) AS delta
+           |  FROM f$l cc JOIN sym ON sym.u = cc.node
+           |  JOIN d${l + 1} dw
+           |    ON dw.seed = cc.seed AND dw.node = sym.v
+           |  GROUP BY 1, 2) t
+           |  ON t.seed = c.seed AND t.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      val allD = (1 to (horizon - 1))
+        .map(l => s"SELECT node, delta FROM d$l").mkString("\n  UNION ALL ")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |      FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+         |sym AS (SELECT a AS u, b AS v FROM e
+         |        UNION ALL SELECT b AS u, a AS v FROM e),
+         |seeds AS (SELECT DISTINCT u FROM sym ORDER BY u LIMIT 5),
+         |f0 AS (SELECT u AS seed, u AS node, 0 AS dist,
+         |       CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |a0 AS (SELECT seed, node FROM f0),
+         |$fwd,
+         |d$horizon AS (SELECT seed, node, sigma,
+         |  CAST(0 AS BIGINT) AS delta FROM f$horizon),
+         |$bwd,
+         |alld AS (
+         |  $allD)
+         |SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_q6,
+         |  CAST(COUNT(*) AS BIGINT) AS n_seeds_seen
+         |FROM alld GROUP BY node
+         |ORDER BY bc_q6 DESC, node LIMIT 20""".stripMargin
+    },
     // q288: direct count/sum + BOTH deterministic sketch estimates
     // inline — equality proves the three-way composed serve
     "q288_mv_triple_serve" ->
