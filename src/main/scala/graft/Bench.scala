@@ -21,6 +21,19 @@ import org.apache.spark.sql.SparkSession
   *    per-plan codegen, so with n ≥ 2 that is excluded too. A
   *    session-level warmup pays JVM JIT + parquet-footer costs before
   *    timing starts.
+  *  - Wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 600
+  *    covering warmup + timed passes): the suite has grown past the
+  *    point where warmup + 3 full passes fit the driver's timeout
+  *    (round 10's bench hit rc=124 and the round lost the artifact).
+  *    One UNTIMED warmup pass over every query always runs first
+  *    (pays per-plan codegen, so even one timed pass reports
+  *    steady-state cost); then timed passes run while one more pass
+  *    at the last observed cost projects under budget. At least one
+  *    timed pass always runs; the emitted `n` is the TIMED pass
+  *    count.
+  *  - Per-query watchdog (`SPARK_GRAFT_QUERY_TIMEOUT_SEC`, default
+  *    120): a hung query is cancelled and reported as the -1 failure
+  *    sentinel instead of stalling the whole suite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,18 +59,38 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
+    val qTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
     val failedQs = scala.collection.mutable.Set[String]()
-    val samples = (0 until n).map { _ =>
-      ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try run(fn(spark, sfDir))
-        catch { case t: Throwable =>
-          failedQs += name
-          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val suiteT0 = System.nanoTime()
+    def onePass(): Seq[Double] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      Watchdog.run(spark, s"bench-$name", qTimeoutSec) {
+        run(fn(spark, sfDir))
+      }.left.foreach { msg =>
+        failedQs += name
+        System.err.println(s"BENCH FAIL $name: $msg")
       }
+      (System.nanoTime() - t0) / 1e9
     }
+    // one UNTIMED full warmup pass pays per-plan codegen + parquet
+    // footers, so even a single timed pass reports steady-state cost
+    // (the min-of-3 era excluded pass 1 for the same reason)
+    val warmupSec = { val t0 = System.nanoTime(); onePass()
+      (System.nanoTime() - t0) / 1e9 }
+    val samples = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    var lastPassSec = warmupSec
+    while (samples.size < n && (samples.isEmpty || {
+      val elapsed = (System.nanoTime() - suiteT0) / 1e9
+      elapsed + lastPassSec <= budgetSec
+    })) {
+      val passT0 = System.nanoTime()
+      samples += onePass()
+      lastPassSec = (System.nanoTime() - passT0) / 1e9
+    }
+    val nUsed = samples.size
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
       val failed = failedQs.contains(name)
       // a failed attempt's elapsed time is meaningless — report the -1
@@ -92,7 +125,7 @@ object Bench {
     }
     // n_queries is the DERIVED registered-operator count (the README
     // cites this number; it is never hand-maintained)
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"queries":$qs,"failed":$nFailed,"skew":$skew,"sf":"$sfDir","n":$n,"action":"noop_write_min_of_interleaved_passes"}"""
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"queries":$qs,"failed":$nFailed,"skew":$skew,"sf":"$sfDir","n":$nUsed,"action":"noop_write_min_of_interleaved_passes"}"""
     println(line)
     // sidecar copy: the committed per-round artifact regardless of how
     // much stdout the harness tails
@@ -103,6 +136,9 @@ object Bench {
       }
     Derived.clear()
     spark.stop()
+    // a watchdog-abandoned worker may hold a runaway driver-side loop
+    // — exit explicitly so the JVM never lingers on a non-daemon leak
+    sys.exit(0)
   }
 
   private def run(df: org.apache.spark.sql.DataFrame): Unit =

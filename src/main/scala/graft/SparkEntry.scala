@@ -5665,11 +5665,19 @@ object SparkEntry {
         |  SELECT 'weekday_x_band', wd, band FROM ev),
         |cells AS (SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS o
         |          FROM pairs GROUP BY 1, 2, 3),
+        |al AS (SELECT DISTINCT pair, a FROM cells),
+        |bl AS (SELECT DISTINCT pair, b FROM cells),
+        |grid AS (SELECT al.pair, al.a, bl.b
+        |         FROM al JOIN bl ON al.pair = bl.pair),
+        |dense AS (SELECT g.pair, g.a, g.b, COALESCE(c.o, 0) AS o
+        |          FROM grid g LEFT JOIN cells c
+        |          ON g.pair = c.pair AND g.a IS NOT DISTINCT FROM c.a
+        |          AND g.b IS NOT DISTINCT FROM c.b),
         |m AS (SELECT *,
         |    CAST(SUM(o) OVER (PARTITION BY pair, a) AS BIGINT) AS r,
         |    CAST(SUM(o) OVER (PARTITION BY pair, b) AS BIGINT) AS c,
         |    CAST(SUM(o) OVER (PARTITION BY pair) AS BIGINT) AS n
-        |  FROM cells),
+        |  FROM dense),
         |terms AS (SELECT *,
         |    CAST(FLOOR(POWER(o - CAST(r AS DOUBLE) * c / n, 2)
         |      / (CAST(r AS DOUBLE) * c / n) * 1000000.0) AS BIGINT)
@@ -5796,18 +5804,23 @@ object SparkEntry {
     // sums, identical per-term integer δ cascade
     "q304_betweenness" -> {
       val horizon = 6
+      // every per-level CTE is MATERIALIZED: each level is referenced
+      // by the next level twice (frontier + visited anti-join), so an
+      // inlined CTE chain compounds the expression tree exponentially
+      // with the horizon — the same disease the Spark side avoids with
+      // per-level localCheckpoint
       val fwd = (1 to horizon).map { l =>
-        s"""f$l AS (SELECT f.seed, sym.v AS node, $l AS dist,
+        s"""f$l AS MATERIALIZED (SELECT f.seed, sym.v AS node, $l AS dist,
            |  CAST(SUM(f.sigma) AS BIGINT) AS sigma
            |FROM f${l - 1} f JOIN sym ON sym.u = f.node
            |WHERE NOT EXISTS (SELECT 1 FROM a${l - 1} a
            |  WHERE a.seed = f.seed AND a.node = sym.v)
            |GROUP BY 1, 2),
-           |a$l AS (SELECT seed, node FROM a${l - 1}
+           |a$l AS MATERIALIZED (SELECT seed, node FROM a${l - 1}
            |        UNION ALL SELECT seed, node FROM f$l)""".stripMargin
       }.mkString(",\n")
       val bwd = ((horizon - 1) to 1 by -1).map { l =>
-        s"""d$l AS (SELECT c.seed, c.node, c.sigma,
+        s"""d$l AS MATERIALIZED (SELECT c.seed, c.node, c.sigma,
            |  COALESCE(t.delta, 0) AS delta
            |FROM f$l c LEFT JOIN (
            |  SELECT cc.seed, cc.node,
@@ -5825,14 +5838,14 @@ object SparkEntry {
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
          |e AS (SELECT DISTINCT x.p AS a, y.p AS b
          |      FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
-         |sym AS (SELECT a AS u, b AS v FROM e
+         |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e
          |        UNION ALL SELECT b AS u, a AS v FROM e),
          |seeds AS (SELECT DISTINCT u FROM sym ORDER BY u LIMIT 5),
-         |f0 AS (SELECT u AS seed, u AS node, 0 AS dist,
+         |f0 AS MATERIALIZED (SELECT u AS seed, u AS node, 0 AS dist,
          |       CAST(1 AS BIGINT) AS sigma FROM seeds),
-         |a0 AS (SELECT seed, node FROM f0),
+         |a0 AS MATERIALIZED (SELECT seed, node FROM f0),
          |$fwd,
-         |d$horizon AS (SELECT seed, node, sigma,
+         |d$horizon AS MATERIALIZED (SELECT seed, node, sigma,
          |  CAST(0 AS BIGINT) AS delta FROM f$horizon),
          |$bwd,
          |alld AS (
@@ -6334,8 +6347,8 @@ object SparkEntry {
       val thr = Seq(367879441L, 735758882L, 919698602L, 981011843L,
         996340153L, 999405815L, 999916758L)
       def w(b: Int): String = {
-        val u = s"(((o_orderkey * 2654435761 + $b * 40503) % 2147483647)" +
-          " % 1000000000)"
+        val u = s"((((o_orderkey % 2147483647) * 2654435761" +
+          s" + $b * 40503) % 2147483647) % 1000000000)"
         thr.map(t => s"CAST($u >= $t AS INT)").mkString("(", " + ", ")")
       }
       val repSums = (0 until 40).map(b =>

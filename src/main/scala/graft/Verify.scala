@@ -2,7 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each query runs under a watchdog (`SPARK_GRAFT_QUERY_TIMEOUT_SEC`,
+  * default 180): a query that hangs (a plan-explosion regression, a
+  * runaway iteration) is cancelled via its job group and recorded as a
+  * failure, instead of stalling the WHOLE dump past the driver's
+  * wall-clock limit and zeroing the round's correctness artifact —
+  * which is exactly what a single hung query did to round 10.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
@@ -10,6 +18,8 @@ object Verify {
     // driver always passes exactly two)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val qTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "180").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,12 +31,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val ok = Watchdog.run(spark, s"verify-$name", qTimeoutSec) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+        ok.left.foreach { msg =>
+          System.err.println(s"[verify] $name failed: $msg")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,5 +56,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Derived.clear()
     spark.stop()
+    // a watchdog-abandoned worker thread may still hold a runaway
+    // driver-side loop (optimizer-phase explosions are not jobs and
+    // cannot be cancelled) — exit explicitly so the JVM never lingers
+    // on a non-daemon leak
+    sys.exit(0)
   }
 }

@@ -1004,9 +1004,11 @@ object Dedup {
     * blocking never has to compare) and PAIRS COMPLETENESS (what
     * fraction of true near-dup pairs it still surfaces), measured for
     * the LSH banding against exhaustive ground truth on a
-    * DETERMINISTIC DOC SAMPLE (doc_id ≡ 0 mod 3). The sample is the
-    * scale story: exhaustive truth is all-pairs by definition, so the
-    * audit bounds it to a 1/9 pair subspace — the standard
+    * DETERMINISTIC DOC SAMPLE (doc_id ≡ 0 mod 5, capped at absolute
+    * id 100000). The 1-in-5 sample is the scale story: exhaustive
+    * truth is all-pairs by definition, so the audit bounds it to a
+    * 1/25 pair subspace (the id cap bounds it absolutely whatever
+    * the corpus grows to) — the standard
     * evaluate-on-a-slice discipline ([[minhashCalibration]] audits
     * the estimator; this audits the CANDIDATE SET) — while the
     * candidate side reads the same registry-shared pair graph the

@@ -1313,8 +1313,10 @@ object Graph {
     * Scale shape: every step is a frontier-sized equi-join keyed on
     * the node (the registry-shared symmetric edge frame is
     * pre-partitioned on u) plus a (seed, node)-keyed aggregate;
-    * per-level frames persist to cut lineage and unpersist at the
-    * end. Nothing is all-pairs; σ and the q6 δ terms are
+    * per-level frames eagerly `localCheckpoint` — each level is
+    * referenced twice (the frontier and the `all` anti-join), so a
+    * lazy lineage would compound exponentially with the level count.
+    * Nothing is all-pairs; σ and the q6 δ terms are
     * BIGINT-bounded at horizon 6 on this graph (σ < 2⁴⁰ measured;
     * a 10⁹-node deployment would stage δ DECIMAL(38,0)).
     */
@@ -1328,12 +1330,15 @@ object Graph {
         .repartition($"u")
     }
     val seeds = sym.select($"u").distinct().orderBy($"u".asc).limit(nSeeds)
-    var level = broadcast(seeds)
+    // per-level eager localCheckpoint — the loop's frames reference
+    // each other twice (level + the `all` anti-join), so lazy persist
+    // compounds the logical plan exponentially with the level count;
+    // the flat checkpointed leaf is the katz/pagerank loop discipline
+    var level = seeds
       .select($"u".as("seed"), $"u".as("node"),
         lit(0).as("dist"), lit(1L).as("sigma"))
-      .persist()
+      .localCheckpoint()
     var all = level
-    val cached = scala.collection.mutable.ArrayBuffer(level)
     for (l <- 1 to horizon) {
       // fresh column names per hop: the same edge frame re-joins at
       // every level and Spark's self-join ambiguity check (rightly)
@@ -1346,8 +1351,7 @@ object Graph {
         .groupBy($"seed", $"node2")
         .agg(sum($"sigma").as("sigma"))
         .select($"seed", $"node2".as("node"), lit(l).as("dist"), $"sigma")
-        .persist()
-      cached += next
+        .localCheckpoint()
       all = all.unionByName(next)
       level = next
     }
@@ -1370,25 +1374,18 @@ object Graph {
       val dl = curr.join(terms, Seq("seed", "node"), "left")
         .select($"seed", $"node", $"sigma",
           coalesce($"delta_q6", lit(0L)).as("delta_q6"))
-        .persist()
-      cached += dl
+        .localCheckpoint() // eager — the next round joins dl twice
       deltas += dl.withColumn("dist", lit(l))
       deltaAbove = dl.select($"seed", $"node".as("w"),
         $"sigma".as("sigma_w"), $"delta_q6")
     }
     // a seed's own δ is bookkeeping, not brokerage — Brandes excludes
     // the source from its own accumulation
-    val bc = deltas.reduce(_ unionByName _)
+    deltas.reduce(_ unionByName _)
       .filter($"dist" > 0)
       .groupBy($"node")
       .agg(sum($"delta_q6").as("bc_q6"), count(lit(1)).as("n_seeds_seen"))
       .orderBy($"bc_q6".desc, $"node".asc)
       .limit(k)
-    val out = bc.collect().toSeq // bounded: k rows — detach from the
-    cached.foreach(_.unpersist(false)) // cached lineage before unpersist
-    import spark.implicits._
-    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toDF("node", "bc_q6", "n_seeds_seen")
-      .orderBy($"bc_q6".desc, $"node".asc)
   }
 }

@@ -2525,10 +2525,18 @@ object Stats {
     // interleaved at sf0.1)
     def w(b: Int): String =
       thr.map(t => s"CAST(u$b >= $t AS INT)").mkString("(", " + ", ")")
+    // `(o_orderkey % P)` BEFORE the multiply — the q127 discipline:
+    // the raw product overflows int64 once o_orderkey exceeds ~3.5e9
+    // (Spark wraps silently, DuckDB errors/promotes — an engine
+    // divergence at 100 TB key ranges); pre-reduced, the product is
+    // bounded by (P−1)·2654435761 < 2⁶³. The second modulus onto
+    // [0,1e9) is mildly non-uniform (values < 0.147e9 appear 3/2 as
+    // often) — tolerated: it shifts the Poisson(1) threshold masses
+    // by < 0.6% relative, well inside bootstrap noise at B = 40
     val base = Tables.orders(spark, d).select(
       (expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("x") +:
         (0 until reps).map(b =>
-          expr(s"((o_orderkey * 2654435761 + $b * 40503) % $P)" +
+          expr(s"(((o_orderkey % $P) * 2654435761 + $b * 40503) % $P)" +
             " % 1000000000").as(s"u$b"))): _*)
     val aggs = Seq(
       expr("count(1)").as("n_rows"),
@@ -2939,10 +2947,24 @@ object Stats {
         $"wd".as("a"), $"band".as("b")))
     val cells = pairs.groupBy($"pair", $"a", $"b")
       .agg(count(lit(1)).as("o"))
+    // densify: χ² sums (O−E)²/E over the FULL r×c grid — an
+    // unobserved level combination has O=0 but E=r·c/N>0 and
+    // contributes E, so summing observed cells only would bias χ²
+    // (and V) low whenever any combination is unobserved. Cross the
+    // per-pair level domains, coalesce O to 0; null-safe join keys so
+    // a NULL level (e.g. a NULL value band) stays one level
+    val aLv = cells.select($"pair", $"a").distinct()
+    val bLv = cells.select($"pair".as("pair_b"), $"b").distinct()
+    val grid = aLv.join(bLv, $"pair" === $"pair_b").drop("pair_b")
+    val dense = grid.join(cells.withColumnRenamed("pair", "pair_o")
+        .withColumnRenamed("a", "a_o").withColumnRenamed("b", "b_o"),
+        $"pair" <=> $"pair_o" && $"a" <=> $"a_o" && $"b" <=> $"b_o",
+        "left")
+      .select($"pair", $"a", $"b", coalesce($"o", lit(0L)).as("o"))
     val wr = Window.partitionBy($"pair", $"a")
     val wc = Window.partitionBy($"pair", $"b")
     val wp = Window.partitionBy($"pair")
-    val terms = cells
+    val terms = dense
       .withColumn("r", sum($"o").over(wr))
       .withColumn("c", sum($"o").over(wc))
       .withColumn("n", sum($"o").over(wp))

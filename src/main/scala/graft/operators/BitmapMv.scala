@@ -48,8 +48,19 @@ object BitmapMv {
                        sourcePath: Option[String] = None)
 
   /** (grpCols…, w, bits) words of one frame — the OR-mergeable
-    * partial. */
+    * partial. The key MUST be integral: a DECIMAL/DOUBLE/STRING key
+    * would silently truncate under the BIGINT cast (1.2 and 1.7 both
+    * landing on bit 1) and serve a WRONG "exact" distinct count, so
+    * non-integral keys are rejected here — at materialize/refresh
+    * time, the registration path — rather than discovered as a wrong
+    * answer. */
   private[graft] def words(df: DataFrame, d: Def): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(d.keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"BitmapMv key column `${d.keyCol}` must be integral " +
+        s"(Byte/Short/Int/Long), got $dt — bit positions under a lossy " +
+        "cast would collide and the served COUNT(DISTINCT) would be wrong")
     val g = d.grpCols.map(col)
     df.filter(col(d.keyCol).isNotNull)
       .select(g ++ Seq(

@@ -472,13 +472,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     * register table covering the grouping; a percent off the integer
     * grid, several distinct percentile value columns, or an
     * unregistered one; any other aggregate no registered algebraic
-    * MV serves. Cells whose key column is entirely NULL have no
-    * register row; with an algebraic side they surve with a served 0
-    * (LEFT join + coalesce — exactly the direct aggregate's answer),
-    * in the pure-sketch shape they are absent, the table's stated
-    * evidence contract. Percentile serves stay NULL for cells absent
-    * from the sketch — the histogram's stated non-negative-value
-    * domain.
+    * MV serves.
+    *
+    * Cell-domain completeness: sketch tables can LACK cells (an
+    * all-NULL-key cell writes no register/word rows; an all-NULL or
+    * all-negative value cell writes no buckets), so the composition
+    * never anchors its row set on a serve when it can avoid it. The
+    * anchor is, in preference order: the algebraic side (its groupBy
+    * domain is the fact's); a domain synthesized from any registered
+    * algebraic MV over the same source covering the grouping; the
+    * null-safe distinct union of every serve's cells. Cells absent
+    * from a joined serve coalesce to 0 (distinct counts over no keys)
+    * or stay NULL (percentiles over no values) — exactly the direct
+    * aggregate's answers. Only a SINGLE serve with no registered
+    * algebraic MV still anchors on itself: its own domain, the stated
+    * residual limitation.
     */
   private def rewriteMixed(agg: Aggregate, filters: Seq[Expression],
                            path: String): Option[LogicalPlan] = {
@@ -539,12 +547,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     // exact COUNT(DISTINCT key) serves from a registered bitmap table
     // (sum(bit_count) — exact, unlike the two estimators): the one
-    // DISTINCT aggregate the gear accepts
+    // DISTINCT aggregate the gear accepts. Integral keys ONLY —
+    // [[graft.operators.BitmapMv.words]] packs `key` into bit
+    // positions via a BIGINT cast, so matching a DECIMAL/DOUBLE/
+    // STRING attribute by name alone would serve truncated-cast
+    // (wrong) counts; the type check here mirrors the registration-
+    // time require
     def bmKey(e: NamedExpression): Option[String] = e match {
       case Alias(ae: AggregateExpression, _)
           if ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Count(Seq(k: Attribute)) => Some(k.name)
+          case Count(Seq(k: Attribute))
+              if Seq(org.apache.spark.sql.types.ByteType,
+                org.apache.spark.sql.types.ShortType,
+                org.apache.spark.sql.types.IntegerType,
+                LongType).contains(k.dataType) => Some(k.name)
           case _ => None
         }
       case _ => None
@@ -669,12 +686,54 @@ object MvRewrite extends Rule[LogicalPlan] {
         .queryExecution.analyzed
     }
 
-    // compose: LEFT joins on null-safe cell equality — the algebraic
-    // side (complete cell domain) anchors when present
+    // compose: LEFT joins on null-safe cell equality, anchored on a
+    // COMPLETE cell domain. The algebraic side is one when present.
+    // In the pure-sketch shape the anchor is synthesized instead —
+    // sketch tables may LACK cells (a bitmap cell whose keys are all
+    // NULL writes no words; a quantile cell whose values are all
+    // NULL/negative writes no buckets), so anchoring on the first
+    // serve would silently drop rows the direct aggregate returns
+    // (with 0 / NULL) — an optimizer rewrite must never change the
+    // result's row set. Preference: the cell domain of any registered
+    // ALGEBRAIC MV over the same source covering the grouping (its
+    // groupBy domain is exactly the fact's); else the null-safe
+    // distinct UNION of every serve's own cells (complete whenever
+    // each cell feeds at least one sketch). A single serve with no
+    // algebraic MV anchors on itself — its own domain, the residual
+    // stated limitation.
     val allServes: Seq[LogicalPlan] =
       hllServes.map(_._2) ++ bmServes.map(_._2) ++ qServe.toSeq
-    val base: LogicalPlan = algPlan.getOrElse(allServes.head)
-    val rest = if (algPlan.isDefined) allServes else allServes.tail
+    val domainPlan: Option[LogicalPlan] =
+      if (algPlan.isDefined) None
+      else {
+        val fromAlgMv = defs.get(path).toSeq.flatten
+          .filter(mv =>
+            (grpNames.toSet ++ filterRefs).subsetOf(mv.groupCols.toSet))
+          .sortBy(_.groupCols.size).headOption.flatMap { mv =>
+            val t = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+            anchored(t).map { filtered =>
+              val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered)
+              df.select(grpNames.map(df(_)): _*).distinct()
+                .queryExecution.analyzed
+            }
+          }
+        fromAlgMv.orElse {
+          if (allServes.size <= 1) None
+          else {
+            val cells = allServes.map { sp =>
+              val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, sp)
+              df.select(grpNames.map(df(_)): _*)
+            }
+            Some(cells.reduce(_ unionByName _).distinct()
+              .queryExecution.analyzed)
+          }
+        }
+      }
+    val base: LogicalPlan =
+      algPlan.orElse(domainPlan).getOrElse(allServes.head)
+    val rest =
+      if (algPlan.isDefined || domainPlan.isDefined) allServes
+      else allServes.tail
     val joined = rest.foldLeft(base) { case (left, serve) =>
       val cond = grpNames.map(n =>
         EqualNullSafe(attrIn(left, n).getOrElse(return None),
