@@ -703,29 +703,39 @@ object MvRewrite extends Rule[LogicalPlan] {
     // stated limitation.
     val allServes: Seq[LogicalPlan] =
       hllServes.map(_._2) ++ bmServes.map(_._2) ++ qServe.toSeq
+    // cell projection of one registered table under the query filters
+    // — a FRESH read (fresh exprIds: the serves join these same tables,
+    // and a Join with overlapping exprIds is unresolved); the distinct
+    // is an explicit Aggregate, not Dataset.distinct, because a
+    // Deduplicate injected after the replace-operators batch never
+    // reaches the planner's aggregate form
+    def cellsOf(mvPath: String): Option[LogicalPlan] = {
+      val t = spark.read.parquet(mvPath).queryExecution.analyzed
+      anchored(t).map { filtered =>
+        val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered)
+        df.select(grpNames.map(df(_)): _*).queryExecution.analyzed
+      }
+    }
+    def distinctOf(p: LogicalPlan): LogicalPlan =
+      Aggregate(p.output, p.output, p, None)
     val domainPlan: Option[LogicalPlan] =
       if (algPlan.isDefined) None
       else {
         val fromAlgMv = defs.get(path).toSeq.flatten
           .filter(mv =>
             (grpNames.toSet ++ filterRefs).subsetOf(mv.groupCols.toSet))
-          .sortBy(_.groupCols.size).headOption.flatMap { mv =>
-            val t = spark.read.parquet(mv.mvPath).queryExecution.analyzed
-            anchored(t).map { filtered =>
-              val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, filtered)
-              df.select(grpNames.map(df(_)): _*).distinct()
-                .queryExecution.analyzed
-            }
-          }
+          .sortBy(_.groupCols.size).headOption
+          .flatMap(mv => cellsOf(mv.mvPath)).map(distinctOf)
         fromAlgMv.orElse {
-          if (allServes.size <= 1) None
+          val paths = (keys.map(k => chosenHll(k).mvPath) ++
+            bmKeys.map(k => chosenBm(k).mvPath) ++
+            qdOpt.map(_.mvPath).toSeq).distinct
+          if (paths.size <= 1) None
           else {
-            val cells = allServes.map { sp =>
-              val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, sp)
-              df.select(grpNames.map(df(_)): _*)
-            }
-            Some(cells.reduce(_ unionByName _).distinct()
-              .queryExecution.analyzed)
+            val cells = paths.flatMap(cellsOf)
+            if (cells.size != paths.size) None
+            else Some(distinctOf(cells.reduce(
+              org.apache.spark.sql.catalyst.plans.logical.Union(_, _))))
           }
         }
       }

@@ -985,4 +985,132 @@ class MvRewriteSpec extends SparkSpec {
         == Seq(("s0", 5L), ("s1", 5L)))
     } finally MvRewrite.clear()
   }
+
+  test("pure-sketch composition anchors on the UNION of serve domains: " +
+    "a cell absent from the bitmap (all-NULL keys) still returns 0") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-dom").toString
+    val fact = s"$dir/fact.parquet"
+    // s2's `a` is entirely NULL — the bitmap table writes NO words for
+    // that cell, so an anchor on the bitmap serve would drop the row;
+    // k is non-null everywhere, so the HLL serve's domain has s2
+    (1L to 300L).map { i =>
+      val st = s"s${i % 3}"
+      (i, st, if (i % 3 == 2) None else Some(i % 23), i % 17)
+    }.toDF("id", "status", "a", "k").write.parquet(fact)
+    try {
+      // exact expectations BEFORE registering (no rewrite interference)
+      val exactDa = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"a").as("da")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bm = graft.operators.BitmapMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.BitmapMv.Def(Seq("status"), "a",
+          s"$dir/bm", Some(fact)))
+      val hll = graft.operators.HllMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.HllMv.Def(Seq("status"), "k",
+          s"$dir/hll", Some(fact)))
+      val estAk = graft.operators.HllMv.serveDistinct(spark, hll)
+        .select($"status",
+          expr("CAST(floor(est + 0.5d) AS BIGINT)").as("ak"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      MvRewrite.registerBitmap(bm)
+      MvRewrite.registerHll(hll)
+      val q = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"a").as("da"),
+          approx_count_distinct($"k").as("ak"))
+        .orderBy($"status")
+      val leaves = scansOf(q)
+      assert(leaves.exists(_.contains(s"$dir/bm")) &&
+        leaves.exists(_.contains(s"$dir/hll")) &&
+        !leaves.exists(_.contains("fact.parquet")),
+        s"both sketch tables must serve, never the fact:\n$leaves")
+      val got = q.collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val want = Seq("s0", "s1", "s2")
+        .map(s => (s, exactDa(s), estAk(s)))
+      assert(got == want,
+        s"s2 must survive with da=0 via the union anchor:" +
+          s"\ngot  $got\nwant $want")
+      assert(got.exists { case (s, da, _) => s == "s2" && da == 0L },
+        "the all-NULL-key cell must serve an exact 0")
+    } finally MvRewrite.clear()
+  }
+
+  test("pure single-serve shape synthesizes its cell domain from a " +
+    "registered algebraic MV — the all-NULL-key cell serves 0") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-dom2").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 300L).map { i =>
+      val st = s"s${i % 3}"
+      (i, st, if (i % 3 == 2) None else Some(i % 23), (i % 7).toDouble)
+    }.toDF("id", "status", "a", "v").write.parquet(fact)
+    try {
+      val exactDa = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"a").as("da")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bm = graft.operators.BitmapMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.BitmapMv.Def(Seq("status"), "a",
+          s"$dir/bm", Some(fact)))
+      val alg = MvRewrite.materialize(spark, fact,
+        groupCols = Seq("status"), sumCols = Seq("v"),
+        mvPath = s"$dir/alg")
+      MvRewrite.registerBitmap(bm)
+      MvRewrite.register(alg)
+      // NO algebraic aggregate in the output — algPlan is absent and
+      // the registered algebraic MV contributes only its cell DOMAIN
+      val q = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"a").as("da")).orderBy($"status")
+      val leaves = scansOf(q)
+      assert(leaves.exists(_.contains(s"$dir/bm")) &&
+        leaves.exists(_.contains(s"$dir/alg")) &&
+        !leaves.exists(_.contains("fact.parquet")),
+        s"bitmap serve + synthesized MV domain, never the fact:\n$leaves")
+      val got = q.collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1)))
+      val want = Seq("s0", "s1", "s2").map(s => (s, exactDa(s)))
+      assert(got == want,
+        s"synthesized domain must carry the all-NULL cell:" +
+          s"\ngot  $got\nwant $want")
+    } finally MvRewrite.clear()
+  }
+
+  test("bitmap key-type discipline: non-integral keys refuse at " +
+    "materialize time AND at rewrite-match time") {
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-bmtype").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 100L).map(i => (s"s${i % 2}", i / 10.0, i % 9))
+      .toDF("status", "x", "a").write.parquet(fact)
+    try {
+      // a DOUBLE key would truncate under the BIGINT cast — refuse
+      intercept[IllegalArgumentException] {
+        graft.operators.BitmapMv.materializeFrom(
+          spark.read.parquet(fact),
+          graft.operators.BitmapMv.Def(Seq("status"), "x", s"$dir/bmx"))
+      }
+      // a def registered for a DOUBLE column (table contents beside
+      // the point) must never be chosen by the rewrite: bmKey checks
+      // the matched attribute's type, so the fact answers exactly
+      val okBm = graft.operators.BitmapMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.BitmapMv.Def(Seq("status"), "a",
+          s"$dir/bma", Some(fact)))
+      MvRewrite.registerBitmap(okBm)
+      MvRewrite.registerBitmap(graft.operators.BitmapMv.Def(
+        Seq("status"), "x", s"$dir/bma", Some(fact)))
+      val q = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"x").as("dx")).orderBy($"status")
+      assert(scansOf(q).exists(_.contains("fact.parquet")),
+        s"a DOUBLE distinct key must fall back to the fact:\n${scansOf(q)}")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("s0", 50L), ("s1", 50L)))
+    } finally MvRewrite.clear()
+  }
 }
