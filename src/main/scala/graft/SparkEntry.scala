@@ -955,6 +955,10 @@ object SparkEntry {
     // dependency accumulation at q6 — brokerage centrality
     "q304_betweenness" -> ((s: SparkSession, d: String) =>
       Graph.betweennessSampled(s, d)),
+    // Join MV under RETRACTION: one mixed CDC batch (left deletes,
+    // right inserts AND deletes) folded by the signed bilinear
+    // delta-join algebra; the Δ×Δ correction term is exercised
+    "q305_mv_join_retract" -> (Extended.mvJoinRetract _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5799,6 +5803,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q305: the direct post-CDC join — proves the signed z-set algebra
+    // (incl. the Δ×Δ correction) landed on exactly this state
+    "q305_mv_join_retract" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 7 != 0
+        |  AND (c_custkey % 5 = 0 OR c_custkey % 3 != 0)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // q304: the identical BFS unrolled level-by-level, identical σ
     // sums, identical per-term integer δ cascade

@@ -90,4 +90,103 @@ object JoinMv {
   /** Serve the materialized join — no side access. */
   def serve(spark: SparkSession, d: Def): DataFrame =
     spark.read.parquet(d.mvPath)
+
+  // ---------------------------------------------------------------
+  // Z-set (signed-multiplicity) join MV — the retraction-complete
+  // sibling of the append-only path above, lifting the stated
+  // "deletes/updates refused" scope. The MV is a bag with an explicit
+  // multiplicity column `__m`; a CDC batch carries full row payloads
+  // with an op column (+1 insert / −1 delete), and one refresh
+  // APPENDS the signed delta-join rows
+  //
+  //   Δ(A ⋈ B) = ΔA ⋈ B′  +  A′ ⋈ ΔB  −  ΔA ⋈ ΔB
+  //
+  // (A′/B′ the POST-batch sides; signs multiply through the join,
+  // the third term un-double-counts the delta×delta overlap — the
+  // standard bilinear form over z-sets, cf. the DBSP incremental
+  // view-maintenance literature). Every term is delta×table or
+  // delta×delta; the MV itself is NEVER read by a refresh. Serving
+  // nets multiplicities (group by the row, sum(__m), keep > 0);
+  // `compactZ` folds the retraction log into a fresh table when the
+  // net-zero fraction warrants it — the same maintenance knob as the
+  // quantile sketch's signed merge.
+  // ---------------------------------------------------------------
+
+  /** A registered z-set join view: like [[Def]] but no row-identity
+    * column is needed — retraction rides multiplicities, not
+    * anti-join recovery. */
+  final case class ZDef(leftPath: String, rightPath: String,
+                        leftKey: String, rightKey: String,
+                        mvPath: String)
+
+  private def zJoined(a: DataFrame, b: DataFrame, d: ZDef): DataFrame =
+    a.join(b, a(d.leftKey) === b(d.rightKey))
+
+  /** Build + write the z-set join MV (every row at `__m` = 1). */
+  def materializeZ(spark: SparkSession, d: ZDef): ZDef = {
+    zJoined(spark.read.parquet(d.leftPath),
+      spark.read.parquet(d.rightPath), d)
+      .withColumn("__m", lit(1L))
+      .write.mode("overwrite").parquet(d.mvPath)
+    d
+  }
+
+  /** Fold one CDC batch (either side, inserts AND deletes) by
+    * appending the signed delta-join rows. CDC frames carry the full
+    * row payload plus `opCol` ∈ {+1, −1}; the side tables ALREADY
+    * reflect the batch (the family's contract). Reads: B′ when ΔA is
+    * non-empty, A′ when ΔB is non-empty, the deltas — never the MV,
+    * never table×table. */
+  def refreshRetract(spark: SparkSession, d: ZDef,
+                     cdcLeft: Option[DataFrame],
+                     cdcRight: Option[DataFrame],
+                     opCol: String = "op"): ZDef = {
+    // __m is pinned LONG: materializeZ writes 1L and parquet appends
+    // must agree on the column type across files
+    def signed(df: DataFrame, m: org.apache.spark.sql.Column,
+               drop: Seq[String]) = {
+      val cols = df.columns.filterNot(drop.contains).toSeq
+      df.withColumn("__m", m.cast("long"))
+        .select((cols :+ "__m").map(col): _*)
+    }
+    val t1 = cdcLeft.map { da =>
+      signed(zJoined(da, spark.read.parquet(d.rightPath), d),
+        col(opCol), Seq(opCol))
+    }
+    val t2 = cdcRight.map { db =>
+      signed(zJoined(spark.read.parquet(d.leftPath), db, d),
+        col(opCol), Seq(opCol))
+    }
+    val t3 = (cdcLeft, cdcRight) match {
+      case (Some(da), Some(db)) =>
+        val dbb = db.withColumnRenamed(opCol, "__op_r")
+        Some(signed(zJoined(da, dbb, d),
+          -col(opCol) * col("__op_r"), Seq(opCol, "__op_r")))
+      case _ => None
+    }
+    (t1.toSeq ++ t2.toSeq ++ t3.toSeq).reduceOption(_ unionByName _)
+      .foreach(_.write.mode("append").parquet(d.mvPath))
+    d
+  }
+
+  /** Serve the z-set MV: net the multiplicities, keep live rows. One
+    * MV-sized keyed aggregate, no side access. */
+  def serveZ(spark: SparkSession, d: ZDef): DataFrame = {
+    val t = spark.read.parquet(d.mvPath)
+    val cols = t.columns.filter(_ != "__m").toSeq
+    t.groupBy(cols.map(col): _*).agg(sum(col("__m")).as("__net"))
+      .filter(col("__net") > 0)
+      .select(cols.map(col): _*)
+  }
+
+  /** Fold the retraction log into a fresh netted table (every
+    * surviving row back at `__m` = net) — the compaction knob. */
+  def compactZ(spark: SparkSession, d: ZDef, newMvPath: String): ZDef = {
+    val t = spark.read.parquet(d.mvPath)
+    val cols = t.columns.filter(_ != "__m").toSeq
+    t.groupBy(cols.map(col): _*).agg(sum(col("__m")).as("__m"))
+      .filter(col("__m") > 0)
+      .write.mode("overwrite").parquet(newMvPath)
+    d.copy(mvPath = newMvPath)
+  }
 }

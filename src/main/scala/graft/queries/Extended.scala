@@ -1015,6 +1015,61 @@ object Extended {
       .orderBy($"c_nationkey")
   }
 
+  /** q305 — join MV under RETRACTION ([[graft.operators.JoinMv]]'s
+    * z-set path): the maintained `orders ⋈ customer` absorbs ONE
+    * mixed CDC batch — order deletes on the left, customer inserts
+    * AND deletes on the right — via the bilinear signed algebra
+    * `Δ(A⋈B) = ΔA⋈B′ + A′⋈ΔB − ΔA⋈ΔB`, appended as ±1-multiplicity
+    * rows; the serve nets multiplicities and the rollup reads the MV
+    * alone. The batch is built so the delta×delta correction term is
+    * EXERCISED (orders deleted for customers inserted in the same
+    * batch: without the third term their join rows would net to −1·1
+    * = wrong sign count). The DuckDB oracle computes the direct join
+    * over the post-CDC side predicates, so the hash match proves the
+    * signed algebra landed on exactly the post-CDC join — the
+    * retraction scope the append-only q303 path states it refuses.
+    */
+  def mvJoinRetract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q305").toString
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val cust = spark.read.parquet(s"$d/customer.parquet")
+    val aPath = s"$tmp/orders"
+    val bPath = s"$tmp/customer"
+    // initial snapshots: ALL orders; customers not ≡ 0 (mod 5)
+    orders.write.parquet(aPath)
+    cust.filter($"c_custkey" % 5 =!= 0).write.parquet(bPath)
+    val z0 = graft.operators.JoinMv.materializeZ(spark,
+      graft.operators.JoinMv.ZDef(aPath, bPath,
+        "o_custkey", "c_custkey", s"$tmp/zmv"))
+    // one mixed batch: delete orders ≡ 0 (mod 7); insert the held-out
+    // ≡ 0 (mod 5) customers (some of whose orders are deleted in this
+    // same batch — the Δ×Δ term); delete customers ≡ 0 (mod 3) among
+    // the initially-loaded ones
+    val cdcA = orders.filter($"o_orderkey" % 7 === 0)
+      .withColumn("op", lit(-1))
+    val cdcB = cust.filter($"c_custkey" % 5 === 0)
+      .withColumn("op", lit(1))
+      .unionByName(cust.filter($"c_custkey" % 5 =!= 0 &&
+        $"c_custkey" % 3 === 0).withColumn("op", lit(-1)))
+    // sides reflect the batch first — the family's contract
+    orders.filter($"o_orderkey" % 7 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/orders2")
+    cust.filter(($"c_custkey" % 5 === 0) ||
+        ($"c_custkey" % 3 =!= 0))
+      .write.mode("overwrite").parquet(s"$tmp/customer2")
+    val z1 = graft.operators.JoinMv.refreshRetract(spark,
+      z0.copy(leftPath = s"$tmp/orders2", rightPath = s"$tmp/customer2"),
+      Some(cdcA), Some(cdcB))
+    graft.operators.JoinMv.serveZ(spark, z1)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy($"c_nationkey")
+  }
+
   /** q210 — MAINTAINED distinct counts via mergeable HLL register
     * partials ([[graft.operators.HllMv]]): the one aggregate the
     * algebraic MV gears can never serve. Registers built over a base

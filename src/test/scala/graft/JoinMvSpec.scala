@@ -90,4 +90,59 @@ class JoinMvSpec extends SparkSpec {
     assert(got == want,
       "side-blind refreshes must still land on the full join")
   }
+
+  test("z-set retraction: a mixed batch (left deletes, right inserts " +
+    "AND deletes) nets to the direct post-CDC join; the Δ×Δ term " +
+    "corrects same-batch overlap; compaction preserves the state") {
+    val dir = Files.createTempDirectory("graft-joinmv3").toString
+    def aRows(r: Range) = r.map(i => (i.toLong, (i % 6).toLong))
+      .toDF("id", "k")
+    def bRows(r: Range) = r.map(i => ((i % 6).toLong, s"p$i"))
+      .toDF("bk", "payload")
+    val aPath = s"$dir/a"
+    val bPath = s"$dir/b"
+    aRows(1 to 40).write.parquet(aPath)
+    bRows(1 to 4).write.parquet(bPath)
+    val z0 = graft.operators.JoinMv.materializeZ(spark,
+      graft.operators.JoinMv.ZDef(aPath, bPath, "k", "bk", s"$dir/zmv"))
+    // the batch: delete a-ids ≡ 0 mod 4; insert b rows 5..8 and
+    // delete b row 2. Deleted a rows share keys with the INSERTED b
+    // rows — without the −ΔA⋈ΔB term those pairs would net to −1+0
+    // instead of 0 (insert +1 from A′⋈ΔB includes only surviving A′)
+    val cdcA = aRows(1 to 40).filter($"id" % 4 === 0)
+      .withColumn("op", lit(-1))
+    val cdcB = bRows(5 to 8).withColumn("op", lit(1))
+      .unionByName(bRows(2 to 2).withColumn("op", lit(-1)))
+    // sides reflect the batch first (the family's contract)
+    val aPost = aRows(1 to 40).filter($"id" % 4 =!= 0)
+    val bPost = bRows(1 to 8).except(bRows(2 to 2))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(aPath))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(bPath))
+    aPost.write.parquet(aPath)
+    bPost.write.parquet(bPath)
+    val z1 = graft.operators.JoinMv.refreshRetract(
+      spark, z0, Some(cdcA), Some(cdcB))
+    val got = graft.operators.JoinMv.serveZ(spark, z1)
+      .select($"id", $"k", $"bk", $"payload")
+      .orderBy($"id", $"bk", $"payload").collect().toSeq
+    val want = aPost.join(bPost, $"k" === $"bk")
+      .select($"id", $"k", $"bk", $"payload")
+      .orderBy($"id", $"bk", $"payload").collect().toSeq
+    assert(got == want,
+      "netted z-set must equal the direct post-CDC join")
+    // the retraction log genuinely holds net-zero rows (the deletes)
+    val logRows = spark.read.parquet(z1.mvPath).count()
+    assert(logRows > want.size,
+      "the log must carry retracted rows before compaction")
+    // compaction folds the log and serves identically
+    val zc = graft.operators.JoinMv.compactZ(spark, z1, s"$dir/zmv2")
+    val compacted = graft.operators.JoinMv.serveZ(spark, zc)
+      .select($"id", $"k", $"bk", $"payload")
+      .orderBy($"id", $"bk", $"payload").collect().toSeq
+    assert(compacted == want, "compaction must preserve the state")
+    assert(spark.read.parquet(zc.mvPath).count() == want.size,
+      "the compacted table must hold exactly the live rows")
+  }
 }
