@@ -959,6 +959,10 @@ object SparkEntry {
     // right inserts AND deletes) folded by the signed bilinear
     // delta-join algebra; the Δ×Δ correction term is exercised
     "q305_mv_join_retract" -> (Extended.mvJoinRetract _),
+    // TWO percentile value columns in one aggregate, each served from
+    // its own quantile sketch beside the algebraic MV — the shape the
+    // gear refused before r11
+    "q306_mv_two_quantiles" -> (Extended.mvTwoQuantileServe _),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5804,6 +5808,56 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q306: direct count/sum + BOTH deterministic histogram estimates
+    // inline — proves the per-column two-sketch composition
+    "q306_mv_two_quantiles" -> {
+      // one log-linear-histogram estimate pipeline per (tag, pct)
+      def qpipe(tag: String, valExpr: String, pct: Int,
+                outCol: String): String =
+        s"""qb_$tag AS (SELECT rf, $valExpr AS x FROM base),
+           |qs0_$tag AS (SELECT rf, x, x | (x >> 1) AS y1
+           |             FROM qb_$tag WHERE x >= 0),
+           |qs1_$tag AS (SELECT rf, x, y1 | (y1 >> 2) AS y2 FROM qs0_$tag),
+           |qs2_$tag AS (SELECT rf, x, y2 | (y2 >> 4) AS y3 FROM qs1_$tag),
+           |qs3_$tag AS (SELECT rf, x, y3 | (y3 >> 8) AS y4 FROM qs2_$tag),
+           |qs4_$tag AS (SELECT rf, x, y4 | (y4 >> 16) AS y5 FROM qs3_$tag),
+           |qs_$tag AS (SELECT rf, x, y5 | (y5 >> 32) AS y FROM qs4_$tag),
+           |ids_$tag AS (
+           |  SELECT rf,
+           |    CASE WHEN x < 8 THEN x
+           |         ELSE 8 + 4 * ((bit_count(y) - 1) - 3)
+           |              + ((x >> ((bit_count(y) - 1) - 2)) & 3) END AS id
+           |  FROM qs_$tag),
+           |hist_$tag AS (SELECT rf, id, COUNT(*) AS cnt
+           |              FROM ids_$tag GROUP BY 1, 2),
+           |tot_$tag AS (SELECT rf, SUM(cnt) AS n FROM hist_$tag GROUP BY 1),
+           |cum_$tag AS (
+           |  SELECT hh.rf, hh.id, t.n,
+           |    SUM(hh.cnt) OVER (PARTITION BY hh.rf ORDER BY hh.id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM hist_$tag hh JOIN tot_$tag t USING (rf)),
+           |ps_$tag AS (
+           |  SELECT rf,
+           |    CAST(CASE WHEN sid < 8 THEN sid
+           |      ELSE (4 + ((sid - 8) % 4)) << (((sid - 8) // 4) + 1) END
+           |      AS BIGINT) AS $outCol
+           |  FROM (SELECT rf,
+           |          MIN(CASE WHEN cum * 100 >= $pct * n THEN id END) AS sid
+           |        FROM cum_$tag GROUP BY rf) s)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS rf,
+         |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+         |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |a AS (SELECT rf, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(cents) AS BIGINT) AS cents_sum
+         |      FROM base GROUP BY 1),
+         |${qpipe("q", "qty", 50, "p50_qty")},
+         |${qpipe("c", "cents", 75, "p75_cents")}
+         |SELECT a.rf, n, cents_sum, p50_qty, p75_cents
+         |FROM a JOIN ps_q USING (rf) JOIN ps_c USING (rf)
+         |ORDER BY a.rf""".stripMargin
+    },
     // q305: the direct post-CDC join — proves the signed z-set algebra
     // (incl. the Δ×Δ correction) landed on exactly this state
     "q305_mv_join_retract" ->

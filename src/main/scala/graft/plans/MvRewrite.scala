@@ -470,9 +470,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     * Refusals (fall back to the fact scan, always correct): empty or
     * non-attribute grouping; an `approx_count_distinct` key with no
     * register table covering the grouping; a percent off the integer
-    * grid, several distinct percentile value columns, or an
-    * unregistered one; any other aggregate no registered algebraic
-    * MV serves.
+    * grid or an unregistered percentile value column (several
+    * DISTINCT value columns are fine — each serves from its own
+    * registered sketch, suffixed per column in the composed join);
+    * any other aggregate no registered algebraic MV serves.
     *
     * Cell-domain completeness: sketch tables can LACK cells (an
     * all-NULL-key cell writes no register/word rows; an all-NULL or
@@ -597,17 +598,19 @@ object MvRewrite extends Rule[LogicalPlan] {
           (grpNames.toSet ++ filterRefs).subsetOf(bd.grpCols.toSet))
         .sortBy(_.grpCols.size).headOption.getOrElse(return None)
     }.toMap
-    // one quantile serve for the (single) percentile value column
-    val percents = pctAliases.map(a => pctOf(a).get._2).distinct.sorted
-    val qdOpt: Option[graft.operators.QuantileMv.Def] =
-      if (pctAliases.isEmpty) None
-      else {
-        val valCols = pctAliases.map(a => pctOf(a).get._1).distinct
-        if (valCols.size != 1) return None
-        Some(qds.filter(x => x.valCol == valCols.head &&
+    // one quantile serve PER percentile value column — each from the
+    // smallest registered sketch covering the grouping (several
+    // percentile columns in one aggregate each ride their own table)
+    val pctCols: Seq[String] = pctAliases.map(a => pctOf(a).get._1).distinct
+    val percentsByCol: Map[String, Seq[Int]] = pctAliases
+      .map(a => pctOf(a).get).groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(_._2).distinct.sorted }
+    val chosenQd: Map[String, graft.operators.QuantileMv.Def] =
+      pctCols.map { c =>
+        c -> qds.filter(x => x.valCol == c &&
             (grpNames.toSet ++ filterRefs).subsetOf(x.grpCols.toSet))
-          .sortBy(_.grpCols.size).headOption.getOrElse(return None))
-      }
+          .sortBy(_.grpCols.size).headOption.getOrElse(return None)
+      }.toMap
 
     val spark = SparkSession.active
     def attrIn(p: LogicalPlan, n: String): Option[Attribute] =
@@ -671,10 +674,14 @@ object MvRewrite extends Rule[LogicalPlan] {
         .queryExecution.analyzed
       k -> served
     }
-    // the quantile serve: filter cells, re-merge the histogram when
-    // grouped finer (bucket counts ADD), then the deterministic
-    // lower-bound estimates at every requested percent
-    val qServe: Option[LogicalPlan] = qdOpt.map { qd =>
+    // one quantile serve per value column: filter cells, re-merge the
+    // histogram when grouped finer (bucket counts ADD), then the
+    // deterministic lower-bound estimates at that column's percents.
+    // Output names are suffixed per column (p50__x) so two columns'
+    // serves never collide in the composed join
+    def qsfx(c: String): String = if (pctCols.size == 1) "" else s"__$c"
+    val qServes: Seq[(String, LogicalPlan)] = pctCols.map { c =>
+      val qd = chosenQd(c)
       val regPlan = spark.read.parquet(qd.mvPath).queryExecution.analyzed
       val df0 = org.apache.spark.sql.graft.Bridge
         .ofRows(spark, anchored(regPlan).getOrElse(return None))
@@ -682,7 +689,8 @@ object MvRewrite extends Rule[LogicalPlan] {
         if (qd.grpCols.toSet == grpNames.toSet) df0
         else df0.groupBy((grpNames.map(df0(_)) :+ df0("id")): _*)
           .agg(org.apache.spark.sql.functions.sum(df0("cnt")).as("cnt"))
-      graft.ext.Stats.qsketchServe(merged, grpNames, percents)
+      c -> graft.ext.Stats.qsketchServe(merged, grpNames,
+          percentsByCol(c), qsfx(c))
         .queryExecution.analyzed
     }
 
@@ -702,7 +710,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     // algebraic MV anchors on itself — its own domain, the residual
     // stated limitation.
     val allServes: Seq[LogicalPlan] =
-      hllServes.map(_._2) ++ bmServes.map(_._2) ++ qServe.toSeq
+      hllServes.map(_._2) ++ bmServes.map(_._2) ++ qServes.map(_._2)
     // cell projection of one registered table under the query filters
     // — a FRESH read (fresh exprIds: the serves join these same tables,
     // and a Join with overlapping exprIds is unresolved); the distinct
@@ -729,7 +737,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         fromAlgMv.orElse {
           val paths = (keys.map(k => chosenHll(k).mvPath) ++
             bmKeys.map(k => chosenBm(k).mvPath) ++
-            qdOpt.map(_.mvPath).toSeq).distinct
+            pctCols.map(c => chosenQd(c).mvPath)).distinct
           if (paths.size <= 1) None
           else {
             val cells = paths.flatMap(cellsOf)
@@ -757,8 +765,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     val serveDct: Map[String, Attribute] = bmServes.map { case (k, sp) =>
       k -> sp.output.find(_.name == "dct").getOrElse(return None)
     }.toMap
-    def qAttr(q: Int): Option[Attribute] =
-      qServe.flatMap(_.output.find(_.name == s"p$q"))
+    def qAttr(c: String, q: Int): Option[Attribute] =
+      qServes.find(_._1 == c)
+        .flatMap(_._2.output.find(_.name == s"p$q${qsfx(c)}"))
 
     val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: Attribute if grpNames.contains(a.name) =>
@@ -777,7 +786,8 @@ object MvRewrite extends Rule[LogicalPlan] {
         Alias(Coalesce(Seq(serveDct(bmKey(al).get),
           Literal(0L))), name)(exprId = al.exprId)
       case al @ Alias(_, name) if pctOf(al).isDefined =>
-        Alias(qAttr(pctOf(al).get._2).getOrElse(return None),
+        val (c, q) = pctOf(al).get
+        Alias(qAttr(c, q).getOrElse(return None),
           name)(exprId = al.exprId)
       case al: Alias => al.toAttribute // served under its original id
       case _ => return None

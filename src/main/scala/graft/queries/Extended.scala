@@ -817,6 +817,54 @@ object Extended {
       .orderBy($"source")
   }
 
+  /** q306 — TWO percentile value columns in one aggregate, each
+    * served from its OWN registered quantile sketch alongside the
+    * algebraic MV (count/sum) — the shape the gear refused before
+    * round 11 ("several distinct percentile value columns"): per
+    * return flag, `count(*)`, `sum(cents)`, `p50(qty)`, `p75(cents)`
+    * compose as algebraic-MV ⟕ qty-sketch ⟕ cents-sketch on the
+    * grouping cells, serve outputs suffixed per column so the join
+    * never collides. The fact is never scanned (PlanAuditSpec pins
+    * the three MV leaves); the DuckDB oracle inlines BOTH
+    * deterministic histogram estimates next to the direct count/sum.
+    */
+  def mvTwoQuantileServe(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftRuntime.ensure(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mv-q306").toString
+    val src = s"$tmp/fact"
+    spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_returnflag".as("rf"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .write.parquet(src)
+    val fact = spark.read.parquet(src)
+    val alg = graft.plans.MvRewrite.materialize(spark, src,
+      groupCols = Seq("rf"), sumCols = Seq("cents"), mvPath = s"$tmp/alg")
+    val qQty = graft.operators.QuantileMv.materializeFrom(fact,
+      graft.operators.QuantileMv.Def(Seq("rf"), "qty",
+        s"$tmp/qqty", Some(src)))
+    val qCents = graft.operators.QuantileMv.materializeFrom(fact,
+      graft.operators.QuantileMv.Def(Seq("rf"), "cents",
+        s"$tmp/qcents", Some(src)))
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.register(alg)
+    graft.plans.MvRewrite.registerQuantile(qQty)
+    graft.plans.MvRewrite.registerQuantile(qCents)
+    val q = spark.read.parquet(src)
+      .groupBy($"rf")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents").as("cents_sum"),
+        percentile_approx($"qty", lit(0.5), lit(1000)).as("p50_qty"),
+        percentile_approx($"cents", lit(0.75), lit(1000)).as("p75_cents"))
+      .orderBy($"rf")
+    val pinned = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    graft.plans.MvRewrite.clear()
+    pinned
+  }
+
   /** q288 — the THREE-LEAF serve: one everyday profiling aggregate —
     * `count(*)`, `sum`, `approx_count_distinct`, `approx_percentile`
     * in a single GROUP BY — composed by the unified sketch gear from

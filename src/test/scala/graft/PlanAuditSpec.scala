@@ -662,6 +662,23 @@ class PlanAuditSpec extends SparkSpec {
       s"every sketch aggregate must be rewritten away:\n$plan")
   }
 
+  test("q306: two percentile value columns each serve from their OWN " +
+    "quantile sketch beside the algebraic MV — never the fact") {
+    val df = SparkEntry.queries("q306_mv_two_quantiles")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("graft-mv-q306") && leaves.contains("/alg") &&
+      leaves.contains("/qqty") && leaves.contains("/qcents"),
+      s"expected the algebraic MV and BOTH sketch tables as scan " +
+        s"leaves:\n$leaves")
+    assert(!leaves.contains("/fact"),
+      "the per-column composed serve must never scan the fact")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile_approx") &&
+      !plan.contains("approx_percentile"),
+      s"both percentile aggregates must be rewritten away:\n$plan")
+  }
+
   test("q290: exact count(DISTINCT) serves from the bitmap table " +
     "joined with the algebraic MV — never the fact") {
     val df = SparkEntry.queries("q290_mv_bitmap_distinct")(spark, d)
