@@ -963,6 +963,14 @@ object SparkEntry {
     // its own quantile sketch beside the algebraic MV — the shape the
     // gear refused before r11
     "q306_mv_two_quantiles" -> (Extended.mvTwoQuantileServe _),
+    // t-closeness: per-class EMD of the ordered sensitive distribution
+    // vs the population — the leak k-anonymity/l-diversity (q229) miss
+    "q307_t_closeness" -> ((s: SparkSession, d: String) =>
+      Stats.tCloseness(s, d)),
+    // Isotonic calibration: the weighted PAVA fit over the q224
+    // reliability buckets via the exact min-max identity
+    "q308_isotonic_calibration" -> ((s: SparkSession, d: String) =>
+      Stats.isotonicCalibration(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5808,6 +5816,90 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q308: same rank/bucket table as q224, then the min-max PAVA
+    // identity over the bounded (a <= i <= b) lattice
+    "q308_isotonic_calibration" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+        |    o_orderkey AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+        |rk AS (SELECT y, ROW_NUMBER() OVER (ORDER BY s, k) AS r FROM pts),
+        |bins AS (
+        |  SELECT ((r - 1) * 20) // n + 1 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM rk CROSS JOIN tot GROUP BY 1),
+        |pre AS (SELECT *,
+        |    SUM(n_rows) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |    SUM(n_pos) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM bins),
+        |lo AS (SELECT bucket AS a, cr - n_rows AS cr_lo,
+        |         cp - n_pos AS cp_lo FROM pre),
+        |hi AS (SELECT bucket AS b, cr AS cr_hi, cp AS cp_hi FROM pre),
+        |segs AS (
+        |  SELECT a, b,
+        |    CAST((CAST(cp_hi - cp_lo AS HUGEINT) * 1000000)
+        |      // CAST(cr_hi - cr_lo AS HUGEINT) AS BIGINT) AS rate_q6
+        |  FROM lo JOIN hi ON a <= b),
+        |tri AS (SELECT i.bucket AS i, segs.a, segs.rate_q6
+        |        FROM segs JOIN bins i
+        |        ON segs.a <= i.bucket AND segs.b >= i.bucket),
+        |mn AS (SELECT i, a, MIN(rate_q6) AS mn FROM tri GROUP BY 1, 2),
+        |iso AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_q6
+        |        FROM mn GROUP BY 1)
+        |SELECT bucket, n_rows, n_pos,
+        |  CAST(n_pos * 1000000 // n_rows AS BIGINT) AS acc_q6, iso_q6
+        |FROM bins JOIN iso ON bucket = i
+        |ORDER BY bucket""".stripMargin,
+    // q307: the identical cumulative-difference EMD, HUGEINT staging
+    // mirroring DECIMAL(38,0)
+    "q307_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey AS nation,
+        |    c_mktsegment AS segment,
+        |    LEAST(GREATEST(CAST(FLOOR(c_acctbal / 2000) AS BIGINT),
+        |      -1), 4) AS band
+        |  FROM customer),
+        |cls AS (SELECT nation, segment, band,
+        |          CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM base GROUP BY 1, 2, 3),
+        |classes AS (SELECT DISTINCT nation, segment FROM cls),
+        |gpop AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS g
+        |         FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+        |          CAST(COUNT(DISTINCT band) AS BIGINT) AS m
+        |        FROM base),
+        |grid AS (SELECT nation, segment, band, g
+        |         FROM classes CROSS JOIN gpop),
+        |dense AS (SELECT grid.nation, grid.segment, grid.band, grid.g,
+        |            COALESCE(cls.c, 0) AS c
+        |          FROM grid LEFT JOIN cls
+        |          ON cls.nation = grid.nation
+        |          AND cls.segment = grid.segment
+        |          AND cls.band = grid.band),
+        |cum AS (SELECT *,
+        |    SUM(c) OVER (PARTITION BY nation, segment ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |    SUM(g) OVER (PARTITION BY nation, segment ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+        |    SUM(c) OVER (PARTITION BY nation, segment) AS k_size
+        |  FROM dense),
+        |e AS (SELECT nation, segment, k_size, n_pop, m,
+        |    ABS(CAST(cum_c AS HUGEINT) * n_pop
+        |        - CAST(cum_g AS HUGEINT) * k_size) AS ad
+        |  FROM cum CROSS JOIN tot)
+        |SELECT nation, segment, CAST(k_size AS BIGINT) AS k_size,
+        |  CAST(SUM(ad) * 1000000
+        |    // (CAST(k_size AS HUGEINT) * n_pop * (m - 1))
+        |    AS BIGINT) AS emd_q6,
+        |  CAST(CASE WHEN SUM(ad) * 1000000
+        |    // (CAST(k_size AS HUGEINT) * n_pop * (m - 1)) > 200000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS t_risk
+        |FROM e GROUP BY nation, segment, k_size, n_pop, m
+        |ORDER BY nation, segment""".stripMargin,
     // q306: direct count/sum + BOTH deterministic histogram estimates
     // inline — proves the per-column two-sketch composition
     "q306_mv_two_quantiles" -> {

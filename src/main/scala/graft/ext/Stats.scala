@@ -1605,6 +1605,76 @@ object Stats {
       .orderBy($"nation", $"segment")
   }
 
+  /** t-closeness audit — the disclosure check k-anonymity and
+    * l-diversity (q229) both miss: a class can be large AND diverse
+    * yet still leak if its sensitive-attribute DISTRIBUTION deviates
+    * from the population's (90% negative balances in one
+    * (nation, segment) cell when the population is 10% negative tells
+    * an attacker plenty). t-closeness bounds the earth-mover's
+    * distance between each equivalence class's sensitive distribution
+    * and the global one; for an ORDERED sensitive domain with
+    * unit ground distances the EMD has the exact closed form
+    *
+    *   EMD = (1/(m−1)) · Σᵢ |Σ_{j≤i} (p_j − q_j)|
+    *
+    * (cumulative-difference sum over the m ordered values). Every
+    * term here is an exact integer: with class counts c_j (class size
+    * k) and global counts g_j (population N), the i-th cumulative
+    * difference is `cum_c·N − cum_g·k`, so
+    * `emd_q6 = 10⁶·Σ|cum_c·N − cum_g·k| div (k·N·(m−1))` — one
+    * positive integer division, bit-identical in the oracle.
+    *
+    * Scale shape: one corpus-sized (class, band) aggregate; the grid
+    * densification, cumulative windows, and the EMD arithmetic all
+    * live on the bounded class×band domain (≤ |nations|·|segments|·m
+    * rows). Products stage DECIMAL(38,0) — cum·N reaches N² (past
+    * int64 beyond ~3·10⁹ rows), the q278/q285 staging discipline.
+    */
+  def tCloseness(spark: SparkSession, d: String,
+                 tQ6: Long = 200000L): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val base = Tables.customer(spark, d).select(
+      $"c_nationkey".as("nation"), $"c_mktsegment".as("segment"),
+      expr("least(greatest(CAST(floor(c_acctbal / 2000) AS BIGINT)," +
+        " -1), 4)").as("band"))
+    val cls = base.groupBy($"nation", $"segment", $"band")
+      .agg(count(lit(1)).as("c"))
+    // densify: the cumulative form needs every class to carry every
+    // band of the GLOBAL domain (a class missing a band still
+    // accumulates the global mass there)
+    val classes = cls.select($"nation", $"segment").distinct()
+    val glob = base.groupBy($"band").agg(count(lit(1)).as("g"))
+    val tot = base.agg(count(lit(1)).as("n_pop"),
+      countDistinct($"band").as("m"))
+    val grid = classes.join(glob, lit(true), "cross")
+    val dense = grid.join(cls, Seq("nation", "segment", "band"), "left")
+      .select($"nation", $"segment", $"band", $"g",
+        coalesce($"c", lit(0L)).as("c"))
+    val wCls = Window.partitionBy($"nation", $"segment")
+      .orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"nation", $"segment")
+    val cum = dense
+      .withColumn("cum_c", sum($"c").over(wCls))
+      .withColumn("cum_g", sum($"g").over(wCls))
+      .withColumn("k_size", sum($"c").over(
+        wAll.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    cum.crossJoin(broadcast(tot))
+      .select($"nation", $"segment", $"k_size", $"n_pop", $"m",
+        expr(s"abs(CAST(cum_c AS $dec) * n_pop" +
+          s" - CAST(cum_g AS $dec) * k_size)").as("ad"))
+      .groupBy($"nation", $"segment", $"k_size", $"n_pop", $"m")
+      .agg(sum($"ad").as("sad"))
+      .select($"nation", $"segment", $"k_size",
+        expr(s"CAST((sad * 1000000) div (CAST(k_size AS $dec) * n_pop" +
+          s" * (m - 1)) AS BIGINT)").as("emd_q6"))
+      .withColumn("t_risk",
+        when($"emd_q6" > tQ6, 1L).otherwise(0L))
+      .orderBy($"nation", $"segment")
+  }
+
   /** Difference-in-differences — the quasi-experimental readout when
     * assignment isn't randomized: `DiD = (ȳ_post,T − ȳ_pre,T) −
     * (ȳ_post,C − ȳ_pre,C)` cancels both the group's fixed offset and
@@ -1912,6 +1982,69 @@ object Stats {
     bins.crossJoin(broadcast(ece))
       .select($"bucket", $"n_rows".as("n"), $"n_pos",
         $"conf_q6", $"acc_q6", $"gap_q6", $"ece_q6")
+      .orderBy($"bucket")
+  }
+
+  /** Isotonic calibration (PAVA fit) of the q224 reliability table —
+    * the standard post-hoc calibrator (Zadrozny–Elkan): fit the
+    * best monotone non-decreasing bucket rates to the empirical
+    * ones, weighted by bucket population. ECE (q224) only MEASURES
+    * miscalibration; the isotonic fit is the correction a serving
+    * stack applies. On the B-bucket domain the pool-adjacent-
+    * violators solution has the exact min-max closed form
+    *
+    *   iso(i) = max_{a≤i} min_{b≥i} rate(a..b),
+    *   rate(a..b) = Σ_{j=a..b} pos_j / Σ_{j=a..b} n_j
+    *
+    * evaluated here over q6-quantized segment rates (one positive
+    * integer division per segment; max/min of identically-quantized
+    * values — bit-identical in the oracle).
+    *
+    * Scale shape: the corpus-sized work is the same rank + bucket
+    * aggregate as q224 (GlobalIndex range-partitioned ranking, one
+    * keyed agg); the (a ≤ i ≤ b) triple enumeration, prefix sums and
+    * the max-min fold all live on the FIXED B³/6 ≈ 1.3k-row bucket
+    * lattice — invariant to corpus size, the q249 bounded-lattice
+    * discipline.
+    */
+  def isotonicCalibration(spark: SparkSession, d: String,
+                          buckets: Int = 20): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pts = Tables.orders(spark, d).select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("s"),
+      $"o_orderkey".as("k"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pts, Seq($"s".asc, $"k".asc), "r")
+    val tot = pts.agg(count(lit(1)).as("n"))
+    val bins = ranked.crossJoin(broadcast(tot))
+      .select(expr(s"((r - 1) * $buckets) div n + 1").as("bucket"), $"y")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), sum($"y").as("n_pos"))
+    // prefix sums on the B-row domain -> exact segment rates at q6
+    val wCum = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cr", sum($"n_rows").over(wCum))
+      .withColumn("cp", sum($"n_pos").over(wCum))
+    val lo = pre.select($"bucket".as("a"),
+      ($"cr" - $"n_rows").as("cr_lo"), ($"cp" - $"n_pos").as("cp_lo"))
+    val hi = pre.select($"bucket".as("b"),
+      $"cr".as("cr_hi"), $"cp".as("cp_hi"))
+    val segs = lo.join(hi, $"a" <= $"b")
+      .select($"a", $"b",
+        expr(s"CAST((CAST(cp_hi - cp_lo AS $dec) * 1000000)" +
+          s" div CAST(cr_hi - cr_lo AS $dec) AS BIGINT)").as("rate_q6"))
+    // iso(i) = max over a<=i of (min over b>=i of rate(a..b))
+    val ib = bins.select($"bucket".as("i"))
+    val tri = segs.join(ib, $"a" <= $"i" && $"b" >= $"i")
+    val iso = tri.groupBy($"i", $"a").agg(min($"rate_q6").as("mn"))
+      .groupBy($"i").agg(max($"mn").as("iso_q6"))
+    bins.join(iso, $"bucket" === $"i")
+      .select($"bucket", $"n_rows", $"n_pos",
+        expr("CAST(n_pos * 1000000 div n_rows AS BIGINT)").as("acc_q6"),
+        $"iso_q6")
       .orderBy($"bucket")
   }
 
