@@ -971,6 +971,11 @@ object SparkEntry {
     // reliability buckets via the exact min-max identity
     "q308_isotonic_calibration" -> ((s: SparkSession, d: String) =>
       Stats.isotonicCalibration(s, d)),
+    // Kish effective sample size / design effect of importance
+    // weights per stratum — the audit run before trusting any
+    // weighted estimate
+    "q309_ess_audit" -> ((s: SparkSession, d: String) =>
+      Stats.essAudit(s, d)),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5816,6 +5821,21 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q309: identical Kish ratios, HUGEINT mirroring DECIMAL(38,0)
+    "q309_ess_audit" ->
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS w
+        |  FROM orders),
+        |g AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(w AS HUGEINT)) AS sw,
+        |    SUM(CAST(w AS HUGEINT) * w) AS sw2
+        |  FROM t GROUP BY 1)
+        |SELECT prio, n, CAST(sw AS BIGINT) AS sum_w,
+        |  CAST((sw * sw) // sw2 AS BIGINT) AS ess_rows,
+        |  CAST((sw * sw * 1000000) // (n * sw2) AS BIGINT)
+        |    AS ess_ratio_q6,
+        |  CAST((n * sw2 * 1000000) // (sw * sw) AS BIGINT) AS deff_q6
+        |FROM g ORDER BY prio""".stripMargin,
     // q308: same rank/bucket table as q224, then the min-max PAVA
     // identity over the bounded (a <= i <= b) lattice
     "q308_isotonic_calibration" ->

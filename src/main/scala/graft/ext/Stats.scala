@@ -1985,6 +1985,43 @@ object Stats {
       .orderBy($"bucket")
   }
 
+  /** Effective-sample-size / design-effect audit of importance
+    * weights — the one-line survey-statistics gate (Kish) run before
+    * trusting ANY weighted estimate (PPS draws q252, A-ES reservoirs
+    * q271, DSIR importance weights q218): for weights w,
+    * `ESS = (Σw)² / Σw²` is the unweighted-sample size the weighted
+    * one is worth; `deff = n·Σw² / (Σw)²` ≥ 1 is the variance
+    * inflation. A stratum whose deff is 5 needs 5× the rows for the
+    * same precision — the number that decides between weighting and
+    * re-sampling.
+    *
+    * Exactness: integer-cents weights; Σw² staged DECIMAL(38,0)
+    * inside the aggregate (cents² ≈ 10¹⁴ per row — int64 wraps past
+    * ~10⁵ rows); ESS floor and the two q6 ratios are single positive
+    * integer divisions mirrored verbatim by the oracle.
+    *
+    * Scale shape: ONE map-side-combinable grouped aggregate over the
+    * fact; everything after lives on the priority domain.
+    */
+  def essAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    Tables.orders(spark, d).select($"o_orderpriority".as("prio"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("w"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n"),
+        sum($"w".cast(dec)).as("sw"),
+        sum(expr(s"CAST(w AS $dec) * w")).as("sw2"))
+      .select($"prio", $"n",
+        expr("CAST(sw AS BIGINT)").as("sum_w"),
+        expr("CAST((sw * sw) div sw2 AS BIGINT)").as("ess_rows"),
+        expr("CAST((sw * sw * 1000000) div (n * sw2) AS BIGINT)")
+          .as("ess_ratio_q6"),
+        expr("CAST((n * sw2 * 1000000) div (sw * sw) AS BIGINT)")
+          .as("deff_q6"))
+      .orderBy($"prio")
+  }
+
   /** Isotonic calibration (PAVA fit) of the q224 reliability table —
     * the standard post-hoc calibrator (Zadrozny–Elkan): fit the
     * best monotone non-decreasing bucket rates to the empirical

@@ -169,23 +169,40 @@ object JoinMv {
     d
   }
 
+  /** Net a signed frame's multiplicities, keeping live rows at their
+    * net `__m` — the kernel [[serveZ]], [[compactZ]], and the
+    * streaming maintainer share. */
+  private[graft] def netted(t: DataFrame): DataFrame = {
+    val cols = t.columns.filter(_ != "__m").toSeq
+    t.groupBy(cols.map(col): _*).agg(sum(col("__m")).as("__m"))
+      .filter(col("__m") > 0)
+  }
+
+  /** Signed delta-join rows of one LEFT-side CDC batch against the
+    * CURRENT right side — ΔA ⋈ B′ carrying ΔA's signs, the per-batch
+    * term of the fact-stream × dimension maintenance pattern
+    * ([[graft.streaming.JoinMaintainer]]). */
+  def leftCdcDelta(spark: SparkSession, rightPath: String,
+                   leftKey: String, rightKey: String,
+                   cdc: DataFrame, opCol: String = "op"): DataFrame = {
+    val b = spark.read.parquet(rightPath)
+    val j = cdc.join(b, cdc(leftKey) === b(rightKey))
+    val cols = j.columns.filter(_ != opCol).toSeq
+    j.withColumn("__m", col(opCol).cast("long"))
+      .select((cols :+ "__m").map(col): _*)
+  }
+
   /** Serve the z-set MV: net the multiplicities, keep live rows. One
     * MV-sized keyed aggregate, no side access. */
   def serveZ(spark: SparkSession, d: ZDef): DataFrame = {
     val t = spark.read.parquet(d.mvPath)
-    val cols = t.columns.filter(_ != "__m").toSeq
-    t.groupBy(cols.map(col): _*).agg(sum(col("__m")).as("__net"))
-      .filter(col("__net") > 0)
-      .select(cols.map(col): _*)
+    netted(t).drop("__m")
   }
 
   /** Fold the retraction log into a fresh netted table (every
     * surviving row back at `__m` = net) — the compaction knob. */
   def compactZ(spark: SparkSession, d: ZDef, newMvPath: String): ZDef = {
-    val t = spark.read.parquet(d.mvPath)
-    val cols = t.columns.filter(_ != "__m").toSeq
-    t.groupBy(cols.map(col): _*).agg(sum(col("__m")).as("__m"))
-      .filter(col("__m") > 0)
+    netted(spark.read.parquet(d.mvPath))
       .write.mode("overwrite").parquet(newMvPath)
     d.copy(mvPath = newMvPath)
   }

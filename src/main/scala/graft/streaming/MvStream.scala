@@ -177,6 +177,67 @@ object MvStream {
     stream.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => m.apply(batch, id))
       .outputMode("append")
+
+  /** [[maintain]] for the z-set join MV. */
+  def maintainJoin(stream: DataFrame, m: JoinMaintainer)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => m.apply(batch, id))
+      .outputMode("append")
+}
+
+/** Continuous maintenance of the z-set join MV
+  * ([[graft.operators.JoinMv]]'s signed path) — the fact-stream ×
+  * dimension pattern: the LEFT side arrives as a CHANGELOG stream
+  * (full row payloads + op ∈ {+1, −1}), the right side is the
+  * dimension table at `rightPath` (the slowly-changing side, updated
+  * by the batch lane), and every micro-batch folds `ΔA ⋈ B′` with
+  * ΔA's signs into the maintained join. The fifth maintained
+  * structure over the one shared [[CommitLog]] protocol: committed
+  * batch id turns at-least-once redelivery into a no-op, state
+  * alternates two paths with the atomic marker rename as the commit
+  * point, a restarted maintainer resumes from the marker.
+  *
+  * Each fold rewrites the netted state (committed ∪ signed delta,
+  * multiplicities netted — compaction rides along, so the served
+  * copy never accumulates a retraction log). That is MV-sized I/O
+  * per batch — the honest price of the alternating-copy crash model
+  * on plain parquet; a table-format deployment (Delta/Iceberg)
+  * appends the delta files under the format's snapshot commit
+  * instead, same algebra, delta-sized I/O. The stated scope line:
+  * RIGHT-side changes ride the batch lane
+  * ([[graft.operators.JoinMv.refreshRetract]]'s two-sided form), not
+  * this stream.
+  */
+final class JoinMaintainer(rightPath: String, leftKey: String,
+                           rightKey: String, root: String,
+                           opCol: String = "op") {
+
+  import graft.operators.JoinMv
+
+  private val log = new CommitLog(root)
+
+  def lastBatchId: Long = log.batchId
+
+  /** The committed copy — what [[serve]] reads. */
+  def zdef: JoinMv.ZDef =
+    JoinMv.ZDef("", rightPath, leftKey, rightKey, log.path)
+
+  def serve(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    JoinMv.serveZ(spark, zdef)
+
+  def apply(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= log.batchId) return // redelivered — already folded
+    graft.Derived.ensureBudget(batch.sparkSession) // long-lived session
+    val next = log.next
+    val delta = JoinMv.leftCdcDelta(batch.sparkSession, rightPath,
+      leftKey, rightKey, batch, opCol)
+    val merged =
+      if (log.batchId < 0L) delta // first batch — nothing committed yet
+      else batch.sparkSession.read.parquet(log.path).unionByName(delta)
+    JoinMv.netted(merged).write.mode("overwrite").parquet(next)
+    log.commit(batchId, next)
+  }
 }
 
 /** Continuous maintenance of the mergeable HLL register table

@@ -340,4 +340,62 @@ class MvStreamSpec extends SparkSpec {
       "post-restart refreshes must continue the same algebra")
     MvRewrite.clear()
   }
+
+  test("join maintainer: a left CDC stream against the dimension lands " +
+    "on the net join; redelivery and restart ride the shared protocol") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    // dimension: 6 keys with payloads
+    val dim = (0L to 5L).map(k => (k, s"d$k")).toDF("bk", "payload")
+    dim.write.parquet(s"$root/dim")
+    val m = new graft.streaming.JoinMaintainer(
+      s"$root/dim", "k", "bk", s"$root/jmv")
+    def cdc(r: Range, op: Int) =
+      r.map(i => (i.toLong, (i % 6).toLong, op))
+    val input = MemoryStream[(Long, Long, Int)]
+    val query = graft.streaming.MvStream.maintainJoin(
+      input.toDF().toDF("id", "k", "op"), m).start()
+    try {
+      input.addData(cdc(1 to 40, 1)) // batch 0: inserts
+      query.processAllAvailable()
+      // batch 1: delete ids ≡ 0 mod 4, insert 41..50
+      input.addData(cdc(1 to 40, -1).filter(_._1 % 4 == 0) ++
+        cdc(41 to 50, 1))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(m.lastBatchId == 1, "two micro-batches must have committed")
+    // net left state: 1..50 minus (≤40 ∧ ≡0 mod 4)
+    val live = (1 to 50).filterNot(i => i <= 40 && i % 4 == 0)
+    val want = live.map(i => (i.toLong, (i % 6).toLong))
+      .toDF("id", "k").join(dim, col("k") === col("bk"))
+      .select(col("id"), col("k"), col("bk"), col("payload"))
+      .orderBy(col("id")).collect().toSeq
+    val got = m.serve(spark)
+      .select(col("id"), col("k"), col("bk"), col("payload"))
+      .orderBy(col("id")).collect().toSeq
+    assert(got == want, "streamed CDC join folds must equal the " +
+      "direct net-state join")
+    // redelivery of the last batch is a no-op
+    val before = state(m.zdef.mvPath)
+    m.apply((cdc(1 to 40, -1).filter(_._1 % 4 == 0) ++ cdc(41 to 50, 1))
+      .toDF("id", "k", "op"), 1L)
+    assert(state(m.zdef.mvPath) == before,
+      "replayed batch must be a no-op")
+    // restart resumes from the marker and keeps folding
+    val m2 = new graft.streaming.JoinMaintainer(
+      s"$root/dim", "k", "bk", s"$root/jmv")
+    assert(m2.lastBatchId == 1L && m2.zdef.mvPath == m.zdef.mvPath,
+      "restart must resume the committed copy")
+    m2.apply(cdc(51 to 60, 1).toDF("id", "k", "op"), 2L)
+    val live2 = live ++ (51 to 60)
+    val want2 = live2.map(i => (i.toLong, (i % 6).toLong))
+      .toDF("id", "k").join(dim, col("k") === col("bk"))
+      .select(col("id"), col("k"), col("bk"), col("payload"))
+      .orderBy(col("id")).collect().toSeq
+    val got2 = m2.serve(spark)
+      .select(col("id"), col("k"), col("bk"), col("payload"))
+      .orderBy(col("id")).collect().toSeq
+    assert(got2 == want2,
+      "post-restart folds must continue the same algebra")
+  }
 }
