@@ -976,6 +976,17 @@ object SparkEntry {
     // weighted estimate
     "q309_ess_audit" -> ((s: SparkSession, d: String) =>
       Stats.essAudit(s, d)),
+    // DSv2 COMPLETE aggregate pushdown: count/min/max/sum answered by
+    // the generator's closed forms over the filter-clamped interval —
+    // zero rows materialized (GenSourceSpec pins the GenAggScan plan)
+    "q310_gen_agg_pushdown" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "2000000").option("parts", "8").load()
+        .filter(col("id") >= 1000L && col("id") < 1500000L)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"), sum(col("id")).as("s"))
+    }),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -5821,6 +5832,13 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q310: the same interval aggregate over an actual row domain —
+    // equality proves the closed forms answered exactly
+    "q310_gen_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(id) AS mn,
+        |  MAX(id) AS mx, CAST(SUM(id) AS BIGINT) AS s
+        |FROM range(2000000) t(id)
+        |WHERE id >= 1000 AND id < 1500000""".stripMargin,
     // q309: identical Kish ratios, HUGEINT mirroring DECIMAL(38,0)
     "q309_ess_audit" ->
       """WITH t AS (SELECT o_orderpriority AS prio,

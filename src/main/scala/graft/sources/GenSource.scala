@@ -70,11 +70,15 @@ object GenSource {
 
   private class GenScanBuilder(rows: Long, parts: Int)
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters {
+      with SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
     private var required: StructType = Schema
     private var lo = 0L
     private var hi = rows
     private var accepted: Array[Filter] = Array.empty
+    private var pushedAgg:
+      Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] =
+      None
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
@@ -112,7 +116,98 @@ object GenSource {
     }
     override def pushedFilters(): Array[Filter] = accepted
 
-    override def build(): Scan = new GenScan(lo, math.max(lo, hi), parts, required)
+    /** Ungrouped COUNT(star or id) / MIN(id) / MAX(id) / SUM(id) over the
+      * (filter-clamped) interval are CLOSED FORMS — count = hi−lo,
+      * min = lo, max = hi−1, sum = (lo+hi−1)(hi−lo)/2 — so the source
+      * answers them COMPLETELY without generating a single row: the
+      * DSv2 aggregate-pushdown analog of a footer-statistics answer,
+      * and the farthest point on the "never materialize what a
+      * formula knows" axis this generator exists to demonstrate.
+      * Grouped aggregates and non-id columns stay with Spark. */
+    private def aggHandled(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = {
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+            f.fieldNames.sameElements(Array("id"))
+          case _ => false
+        }
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isId(c.column)
+        case m: Min => isId(m.column)
+        case m: Max => isId(m.column)
+        case s: Sum => !s.isDistinct && isId(s.column)
+        case _ => false
+      }
+    }
+
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = aggHandled(agg)
+
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = {
+      if (!aggHandled(agg)) false
+      else { pushedAgg = Some(agg); true }
+    }
+
+    override def build(): Scan = pushedAgg match {
+      case Some(agg) => new GenAggScan(lo, math.max(lo, hi), agg)
+      case None => new GenScan(lo, math.max(lo, hi), parts, required)
+    }
+  }
+
+  /** One-row, one-partition scan answering a completely-pushed
+    * aggregation from the interval's closed forms. Empty interval:
+    * count/sum are 0 (non-null: count over zero rows is 0 and the
+    * engine expects the scan to SAY so under complete pushdown),
+    * min/max are NULL. */
+  private[graft] class GenAggScan(val lo: Long, val hi: Long,
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      extends Scan with Batch {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    private val n = math.max(0L, hi - lo)
+    private def vals: Array[Any] = agg.aggregateExpressions.map[Any] {
+      case _: CountStar => n
+      case _: Count => n // id is non-null
+      case _: Min => if (n == 0) null else lo
+      case _: Max => if (n == 0) null else hi - 1
+      case _: Sum =>
+        if (n == 0) null
+        else (BigInt(lo) + BigInt(hi - 1)) * n / 2 match {
+          case s => s.toLong // wraps like non-ANSI Spark SUM(LONG)
+        }
+    }
+    override def readSchema(): StructType = StructType(
+      agg.aggregateExpressions.zipWithIndex.map { case (e, i) =>
+        StructField(s"agg$i", LongType, nullable = !(e match {
+          case _: CountStar | _: Count => true
+          case _ => false
+        }))
+      })
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"GenAggScan[$lo, $hi) pushed=${agg.aggregateExpressions.mkString(",")}"
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GenSlice(0L, 1L))
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val row = vals
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition)
+            : PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private var emitted = false
+            override def next(): Boolean =
+              if (emitted) false else { emitted = true; true }
+            override def get(): InternalRow = new GenericInternalRow(row)
+            override def close(): Unit = ()
+          }
+      }
+    }
   }
 
   private[graft] class GenScan(val lo: Long, val hi: Long, parts: Int,

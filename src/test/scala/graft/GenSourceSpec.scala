@@ -50,6 +50,34 @@ class GenSourceSpec extends SparkSpec {
     df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
       .head.scan.asInstanceOf[graft.sources.GenSource.GenScan]
 
+  test("ungrouped count/min/max/sum push COMPLETELY into the source — " +
+    "the closed-form answer generates zero rows") {
+    val df = gen(5000000L, 8)
+      .filter($"id" >= 1000L && $"id" < 4000000L)
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"),
+        max($"id").as("mx"), sum($"id").as("s"))
+    // the aggregate node is gone: the plan is Project over the
+    // one-row GenAggScan (AQE may wrap the tree, so assert on the
+    // rendered plan rather than node collection)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GenAggScan[1000, 4000000)"),
+      s"the aggregate must reach the connector completely:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must eliminate the aggregate exec:\n$plan")
+    val (lo, hi) = (1000L, 4000000L)
+    val got = df.as[(Long, Long, Long, Long)].head()
+    val n = hi - lo
+    assert(got == ((n, lo, hi - 1, (lo + hi - 1) * n / 2)),
+      s"closed forms must answer exactly, got $got")
+    // grouped aggregates refuse the pushdown and stay row-generated
+    val grouped = gen(1000L, 2).groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("GenAggScan"),
+      "grouped aggregation must fall back to the row scan")
+    assert(grouped.agg(sum($"n")).as[Long].head() == 1000L)
+  }
+
   test("id range filters clamp the generated interval at the source") {
     val df = gen(100000, 8).filter($"id" >= 90000L && $"id" < 90100L)
     val scan = genScanOf(df)
