@@ -976,6 +976,11 @@ object SparkEntry {
     // weighted estimate
     "q309_ess_audit" -> ((s: SparkSession, d: String) =>
       Stats.essAudit(s, d)),
+    // Interpolated Kneser-Ney bigram LM at D = 3/4 — exact integer
+    // rationals, the continuation-probability smoothing the add-1
+    // LMs (q175/q214) lack
+    "q311_kneser_ney" -> ((s: SparkSession, d: String) =>
+      TextStats.knBigramScore(s, d)),
     // DSv2 COMPLETE aggregate pushdown: count/min/max/sum answered by
     // the generator's closed forms over the filter-clamped interval —
     // zero rows materialized (GenSourceSpec pins the GenAggScan plan)
@@ -5832,6 +5837,39 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q311: the identical KN rational per bigram, HUGEINT mirroring
+    // DECIMAL(38,0)
+    "q311_kneser_ney" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM docs),
+        |big AS (
+        |  SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+        |  FROM idx
+        |  WHERE ws[i + 1] != '' AND ws[i + 2] IS NOT NULL
+        |    AND ws[i + 2] != ''),
+        |pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |          FROM big GROUP BY 1, 2),
+        |heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |            CAST(COUNT(*) AS BIGINT) AS nh
+        |          FROM pairs GROUP BY 1),
+        |tails AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nt
+        |          FROM pairs GROUP BY 1),
+        |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pairs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(((CAST(GREATEST(4 * c12 - 3, 0) AS HUGEINT) * t
+        |      + CAST(3 AS HUGEINT) * nh * nt) * 1000000000)
+        |      // (CAST(4 AS HUGEINT) * c1 * t) AS BIGINT) AS p_q9
+        |  FROM big JOIN pairs USING (w1, w2) JOIN heads USING (w1)
+        |  JOIN tails USING (w2) CROSS JOIN ty),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |        CAST(SUM(p_q9) AS BIGINT) AS kn_sum_q9
+        |      FROM scored GROUP BY 1)
+        |SELECT doc_id, n_bigrams, kn_sum_q9,
+        |  CAST(kn_sum_q9 // n_bigrams AS BIGINT) AS avg_p_q9
+        |FROM g ORDER BY doc_id""".stripMargin,
     // q310: the same interval aggregate over an actual row domain —
     // equality proves the closed forms answered exactly
     "q310_gen_agg_pushdown" ->

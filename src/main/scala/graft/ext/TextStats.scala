@@ -474,6 +474,61 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram probability per document — the
+    * smoothing the add-1 LMs (q175/q214) are the strawman for: add-1
+    * hands every unseen continuation the same mass regardless of how
+    * PROMISCUOUS the continuation word is, while KN backs off to the
+    * continuation probability `N1+(·w₂)/T` ("in how many contexts
+    * does w₂ appear"), the property that made it the standard n-gram
+    * smoother (Chen–Goodman). With the discount fixed at the
+    * textbook D = 3/4 the whole model is EXACT integer rationals:
+    *
+    *   P(w₂|w₁) = max(c₁₂ − ¾, 0)/c₁ + (¾·N1+(w₁·)/c₁)·N1+(·w₂)/T
+    *            = [max(4c₁₂ − 3, 0)·T + 3·N1+(w₁·)·N1+(·w₂)]
+    *              / (4·c₁·T)
+    *
+    * quantized once per bigram at q9 (one positive integer division,
+    * DECIMAL(38,0)-staged — c₁₂·T crosses int64 at warehouse corpus
+    * sizes), summed per document as order-independent integer adds.
+    * Per w₁ the probabilities sum to 1 exactly — the discount mass
+    * D·N1+(w₁·)/c₁ is redistributed by continuation weight, nothing
+    * invented, nothing lost.
+    *
+    * Scale shape: the q214 slide to (doc, w₁, w₂); bigram-count,
+    * head (c₁, N1+(w₁·)) and continuation (N1+(·w₂)) partial aggs —
+    * all model tables are type-domain-sized; scoring joins keyed by
+    * bigram/w₁/w₂ (AQE-sized, never pinned); one per-doc agg closes.
+    */
+  def knBigramScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val big = Tables.documents(spark, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        "filter(transform(ws, (w, i) -> struct(w AS w1, " +
+          "try_element_at(ws, i + 2) AS w2)), p -> p.w1 != '' AND " +
+          "p.w2 IS NOT NULL AND p.w2 != '')")).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val pairs = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val heads = pairs.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("nh"))
+    val tails = pairs.groupBy($"w2").agg(count(lit(1)).as("nt"))
+    val types = pairs.agg(count(lit(1)).as("t"))
+    big.join(pairs, Seq("w1", "w2"))
+      .join(heads, "w1")
+      .join(tails, "w2")
+      .crossJoin(broadcast(types))
+      .select($"doc_id",
+        expr(s"CAST(((CAST(greatest(4 * c12 - 3, 0) AS $dec) * t" +
+          s" + CAST(3 AS $dec) * nh * nt) * 1000000000)" +
+          s" div (CAST(4 AS $dec) * c1 * t) AS BIGINT)").as("p_q9"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"p_q9").as("kn_sum_q9"))
+      .select($"doc_id", $"n_bigrams", $"kn_sum_q9",
+        expr("kn_sum_q9 div n_bigrams").as("avg_p_q9"))
+      .orderBy($"doc_id")
+  }
+
   /** Out-of-vocabulary rate per document against the corpus top-k
     * vocabulary — the tokenizer-coverage gate: a document whose
     * tokens mostly fall outside the vocabulary the tokenizer was

