@@ -981,6 +981,10 @@ object SparkEntry {
     // LMs (q175/q214) lack
     "q311_kneser_ney" -> ((s: SparkSession, d: String) =>
       TextStats.knBigramScore(s, d)),
+    // Harmonic closeness of the BFS seeds (truncated at horizon 6) —
+    // rides the q304 frontier machinery; exact per-level reciprocals
+    "q312_harmonic_closeness" -> ((s: SparkSession, d: String) =>
+      Graph.harmonicCloseness(s, d)),
     // DSv2 COMPLETE aggregate pushdown: count/min/max/sum answered by
     // the generator's closed forms over the filter-clamped interval —
     // zero rows materialized (GenSourceSpec pins the GenAggScan plan)
@@ -5837,6 +5841,41 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q312: the identical seeded BFS unrolled (q304's forward CTEs),
+    // then per-seed Σ n_at · (10⁶ // dist)
+    "q312_harmonic_closeness" -> {
+      val horizon = 6
+      val fwd = (1 to horizon).map { l =>
+        s"""f$l AS MATERIALIZED (SELECT f.seed, sym.v AS node, $l AS dist
+           |FROM f${l - 1} f JOIN sym ON sym.u = f.node
+           |WHERE NOT EXISTS (SELECT 1 FROM a${l - 1} a
+           |  WHERE a.seed = f.seed AND a.node = sym.v)
+           |GROUP BY 1, 2),
+           |a$l AS MATERIALIZED (SELECT seed, node FROM a${l - 1}
+           |        UNION ALL SELECT seed, node FROM f$l)""".stripMargin
+      }.mkString(",\n")
+      val allF = (1 to horizon)
+        .map(l => s"SELECT seed, node, dist FROM f$l")
+        .mkString("\n  UNION ALL ")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |      FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+         |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+         |        UNION ALL SELECT b AS u, a AS v FROM e),
+         |seeds AS (SELECT DISTINCT u FROM sym ORDER BY u LIMIT 5),
+         |f0 AS MATERIALIZED (SELECT u AS seed, u AS node, 0 AS dist
+         |       FROM seeds),
+         |a0 AS MATERIALIZED (SELECT seed, node FROM f0),
+         |$fwd,
+         |allf AS (
+         |  $allF),
+         |lv AS (SELECT seed, dist, CAST(COUNT(*) AS BIGINT) AS n_at
+         |       FROM allf GROUP BY 1, 2)
+         |SELECT seed, CAST(SUM(n_at) AS BIGINT) AS n_reached,
+         |  CAST(SUM(n_at * (1000000 // dist)) AS BIGINT) AS harm_q6
+         |FROM lv GROUP BY seed ORDER BY seed""".stripMargin
+    },
     // q311: the identical KN rational per bigram, HUGEINT mirroring
     // DECIMAL(38,0)
     "q311_kneser_ney" ->

@@ -1320,8 +1320,17 @@ object Graph {
     * BIGINT-bounded at horizon 6 on this graph (σ < 2⁴⁰ measured;
     * a 10⁹-node deployment would stage δ DECIMAL(38,0)).
     */
-  def betweennessSampled(spark: SparkSession, d: String, nSeeds: Int = 5,
-                         horizon: Int = 6, k: Int = 20): DataFrame = {
+  /** Seeded BFS with per-node shortest-path counts σ over the
+    * co-purchase graph — the forward half shared by
+    * [[betweennessSampled]] and [[harmonicCloseness]]: (seed, node,
+    * dist, sigma) for every node within `horizon` of each of the
+    * `nSeeds` smallest node ids. Per-level eager `localCheckpoint` —
+    * the loop's frames reference each other twice (frontier + the
+    * `all` anti-join), so lazy persist compounds the logical plan
+    * exponentially with the level count; the flat checkpointed leaf
+    * is the katz/pagerank loop discipline. */
+  private def seededBfs(spark: SparkSession, d: String, nSeeds: Int,
+                        horizon: Int): DataFrame = {
     import spark.implicits._
     val sym = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
@@ -1330,10 +1339,6 @@ object Graph {
         .repartition($"u")
     }
     val seeds = sym.select($"u").distinct().orderBy($"u".asc).limit(nSeeds)
-    // per-level eager localCheckpoint — the loop's frames reference
-    // each other twice (level + the `all` anti-join), so lazy persist
-    // compounds the logical plan exponentially with the level count;
-    // the flat checkpointed leaf is the katz/pagerank loop discipline
     var level = seeds
       .select($"u".as("seed"), $"u".as("node"),
         lit(0).as("dist"), lit(1L).as("sigma"))
@@ -1354,6 +1359,39 @@ object Graph {
         .localCheckpoint()
       all = all.unionByName(next)
       level = next
+    }
+    all
+  }
+
+  /** Harmonic closeness of the BFS seeds — `H(s) = Σ_{v≠s} 1/d(s,v)`
+    * truncated at `horizon` (unreached nodes contribute their true 0,
+    * the property that makes the harmonic form the right closeness on
+    * disconnected graphs — Boldi–Vigna). Rides [[seededBfs]]'s
+    * frontier machinery; the per-distance reciprocal is quantized
+    * once (`10⁶ div d`) and multiplied by the level's node count, so
+    * the score is an exact integer the oracle replays level-for-level.
+    */
+  def harmonicCloseness(spark: SparkSession, d: String, nSeeds: Int = 5,
+                        horizon: Int = 6): DataFrame = {
+    import spark.implicits._
+    seededBfs(spark, d, nSeeds, horizon)
+      .filter($"dist" > 0)
+      .groupBy($"seed", $"dist").agg(count(lit(1)).as("n_at"))
+      .groupBy($"seed")
+      .agg(sum($"n_at").as("n_reached"),
+        sum(expr("n_at * (1000000 div dist)")).as("harm_q6"))
+      .orderBy($"seed")
+  }
+
+  def betweennessSampled(spark: SparkSession, d: String, nSeeds: Int = 5,
+                         horizon: Int = 6, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val all = seededBfs(spark, d, nSeeds, horizon)
+    val sym = graft.Derived.frame(s"copart-sym:$d") {
+      val e = copartEdges(spark, d)
+      e.select($"a".as("u"), $"b".as("v"))
+        .unionAll(e.select($"b".as("u"), $"a".as("v")))
+        .repartition($"u")
     }
     // backward: δ at the deepest level is 0; each shallower level
     // folds its successors' (1 + δ) through the σ ratio at q6
