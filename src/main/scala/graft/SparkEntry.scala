@@ -985,6 +985,13 @@ object SparkEntry {
     // rides the q304 frontier machinery; exact per-level reciprocals
     "q312_harmonic_closeness" -> ((s: SparkSession, d: String) =>
       Graph.harmonicCloseness(s, d)),
+    // Interrupted time series: segmented OLS at the known break —
+    // level change and slope change at the intervention
+    "q313_interrupted_ts" -> ((s: SparkSession, d: String) =>
+      Stats.interruptedTimeSeries(s, d)),
+    // CUBE: the full 2^d subtotal lattice in one Expand+aggregate
+    // pass — completes the rollup (q39) / grouping-sets (q92) family
+    "q314_cube" -> (Extended.cubeSummary _),
     // DSv2 COMPLETE aggregate pushdown: count/min/max/sum answered by
     // the generator's closed forms over the filter-clamped interval —
     // zero rows materialized (GenSourceSpec pins the GenAggScan plan)
@@ -5841,6 +5848,59 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q314: GROUP BY CUBE with GROUPING() bits composed into the same
+    // gid (DuckDB's GROUPING_ID argument order mirrors Spark's)
+    "q314_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+        |    AS INT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS qty_sum
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+    // q313: identical daily sums, sufficient stats, operand order —
+    // the q100 recipe per segment, contrasts on the 2-row domain
+    "q313_interrupted_ts" ->
+      """WITH daily AS (
+        |  SELECT (CAST(o_orderdate AS DATE) - DATE '1997-01-01') AS x,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS post,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT post, n,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |    (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS intercept
+        |  FROM a),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN post = 0 THEN n END) AS n_pre,
+        |    MAX(CASE WHEN post = 1 THEN n END) AS n_post,
+        |    MAX(CASE WHEN post = 0 THEN slope END) AS slope_pre,
+        |    MAX(CASE WHEN post = 1 THEN slope END) AS slope_post,
+        |    MAX(CASE WHEN post = 0 THEN intercept END) AS level_pre,
+        |    MAX(CASE WHEN post = 1 THEN intercept END) AS level_post
+        |  FROM f)
+        |SELECT CAST(n_pre AS BIGINT) AS n_pre,
+        |  CAST(n_post AS BIGINT) AS n_post,
+        |  ROUND(slope_pre * 10000, 0) / 10000 + 0.0 AS slope_pre,
+        |  ROUND(slope_post * 10000, 0) / 10000 + 0.0 AS slope_post,
+        |  ROUND(level_pre * 10000, 0) / 10000 + 0.0 AS level_pre,
+        |  ROUND(level_post * 10000, 0) / 10000 + 0.0 AS level_post,
+        |  ROUND((level_post - level_pre) * 10000, 0) / 10000 + 0.0
+        |    AS level_change,
+        |  ROUND((slope_post - slope_pre) * 10000, 0) / 10000 + 0.0
+        |    AS slope_change
+        |FROM w""".stripMargin,
     // q312: the identical seeded BFS unrolled (q304's forward CTEs),
     // then per-seed Σ n_at · (10⁶ // dist)
     "q312_harmonic_closeness" -> {

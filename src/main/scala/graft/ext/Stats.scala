@@ -60,6 +60,73 @@ object Stats {
       .orderBy($"o_orderpriority")
   }
 
+  /** Interrupted time series (segmented regression at a KNOWN break)
+    * — the quasi-experimental readout when the intervention date is a
+    * fact and assignment is the calendar (a policy launch, a pricing
+    * change): fit OLS separately to the pre and post segments of the
+    * daily-revenue series and report the LEVEL change (post intercept
+    * − pre prediction at the break) and SLOPE change at the break —
+    * the two coefficients an ITS analysis reads (Wagner et al.). A
+    * plain before/after mean diff (q230's DiD without the control)
+    * confounds level and trend; the segmented fit separates them.
+    *
+    * Exactness: the q100 recipe per segment — daily sums are integer
+    * cents, x is days-from-break (negative pre, 0.. post), the five
+    * sufficient statistics stage DECIMAL(38,0) inside the aggregate,
+    * and slope/intercept/derived contrasts are IEEE doubles of
+    * exact integers with identical operand order in the oracle.
+    *
+    * Scale shape: one map-side-combinable daily aggregate over the
+    * fact, a 2-row sufficient-statistics aggregate above it, and the
+    * contrast arithmetic on the 2-row domain.
+    */
+  def interruptedTimeSeries(spark: SparkSession, d: String,
+                            break: String = "1997-01-01"): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .select(expr(s"datediff(CAST(o_orderdate AS DATE), DATE'$break')")
+          .as("x"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy($"x").agg(sum($"cents").as("y"))
+    val segs = daily
+      .select(when($"x" >= 0, lit(1L)).otherwise(lit(0L)).as("post"),
+        $"x", $"y")
+      .groupBy($"post")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"),
+        sum($"y".cast(dec)).as("sy"),
+        sum(($"x" * $"y").cast(dec)).as("sxy"),
+        sum(expr(s"CAST(x AS $dec) * x")).as("sxx"))
+      .select($"post", $"n",
+        ((($"n".cast("double") * $"sxy".cast("double")) -
+          ($"sx".cast("double") * $"sy".cast("double"))) /
+          (($"n".cast("double") * $"sxx".cast("double")) -
+            ($"sx".cast("double") * $"sx".cast("double")))).as("slope"),
+        ((($"sy".cast("double") * $"sxx".cast("double")) -
+          ($"sx".cast("double") * $"sxy".cast("double"))) /
+          (($"n".cast("double") * $"sxx".cast("double")) -
+            ($"sx".cast("double") * $"sx".cast("double"))))
+          .as("intercept"))
+    // 2-row domain: pivot wide, report the per-segment fits plus the
+    // break contrasts (intercepts are both AT x = 0, the break date,
+    // so the level change is one subtraction)
+    segs.agg(
+        max(when($"post" === 0, $"n")).as("n_pre"),
+        max(when($"post" === 1, $"n")).as("n_post"),
+        max(when($"post" === 0, $"slope")).as("slope_pre"),
+        max(when($"post" === 1, $"slope")).as("slope_post"),
+        max(when($"post" === 0, $"intercept")).as("level_pre"),
+        max(when($"post" === 1, $"intercept")).as("level_post"))
+      .select($"n_pre", $"n_post",
+        r4($"slope_pre").as("slope_pre"),
+        r4($"slope_post").as("slope_post"),
+        r4($"level_pre").as("level_pre"),
+        r4($"level_post").as("level_post"),
+        r4($"level_post" - $"level_pre").as("level_change"),
+        r4($"slope_post" - $"slope_pre").as("slope_change"))
+  }
+
   /** Robust outlier counts per event type via median absolute
     * deviation: m = median(value), MAD = median(|value − m|),
     * outlier ⇔ |value − m| > 3·MAD. Exact interpolated medians (the

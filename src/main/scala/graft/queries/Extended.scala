@@ -150,6 +150,26 @@ object Extended {
       .orderBy($"order_year".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 
+  /** CUBE over (returnflag, linestatus) — the full 2^d subtotal
+    * lattice the rollup (q39) and the hand-picked grouping sets (q92)
+    * are strict subsets of: every slice, both one-dimensional
+    * margins, and the grand total in ONE pass (Catalyst plans one
+    * Expand + aggregate — one shuffle whose width is 4× the row
+    * stream, never four scans). grouping_id disambiguates real NULL
+    * dimension values from subtotal rows.
+    */
+  def cubeSummary(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$d/lineitem.parquet")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(expr("CAST(grouping_id(l_returnflag, l_linestatus) AS INT)")
+          .as("gid"),
+        count(lit(1)).as("n"),
+        sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("qty_sum"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+  }
+
   /** Ranking + offset window family: rank, dense_rank, lag, lead over
     * per-customer order history.
     */
