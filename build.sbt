@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on the 128 GiB host: the 313-query bench/verify suites share
+  // Derived-registry frames and loop checkpoints through one
+  // long-lived block manager — at 8g the unified region (~4.6g)
+  // thrashes eviction and the heavy iterative queries rebuild their
+  // shared frames every pass (measured 3-6x inflation at suite tail)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

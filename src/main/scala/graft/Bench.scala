@@ -65,11 +65,18 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
     val failedQs = scala.collection.mutable.Set[String]()
     val suiteT0 = System.nanoTime()
+    val noWatchdog = sys.env.get("SPARK_GRAFT_NO_WATCHDOG").contains("1")
     def onePass(): Seq[Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      Watchdog.run(spark, s"bench-$name", qTimeoutSec) {
-        run(fn(spark, sfDir))
-      }.left.foreach { msg =>
+      val res: Either[String, Unit] =
+        if (noWatchdog)
+          try { run(fn(spark, sfDir)); Right(()) }
+          catch { case t: Throwable =>
+            Left(s"${t.getClass.getName}: ${t.getMessage}") }
+        else Watchdog.run(spark, s"bench-$name", qTimeoutSec) {
+          run(fn(spark, sfDir))
+        }
+      res.left.foreach { msg =>
         failedQs += name
         System.err.println(s"BENCH FAIL $name: $msg")
       }
@@ -132,7 +139,8 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_last.json"))
       .foreach { p =>
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-        catch { case _: Throwable => () }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH SIDECAR WRITE FAILED ($p): $t") }
       }
     Derived.clear()
     spark.stop()

@@ -1330,7 +1330,17 @@ object Graph {
     * exponentially with the level count; the flat checkpointed leaf
     * is the katz/pagerank loop discipline. */
   private def seededBfs(spark: SparkSession, d: String, nSeeds: Int,
-                        horizon: Int): DataFrame = {
+                        horizon: Int): DataFrame =
+    // registry-shared: betweenness (q304) and harmonic closeness
+    // (q312) ride the SAME frontier expansion — one session pays the
+    // level loop once, every consumer reads the cached (seed, node,
+    // dist, sigma) frame
+    graft.Derived.frame(s"seeded-bfs:$d:$nSeeds:$horizon") {
+      seededBfsBuild(spark, d, nSeeds, horizon)
+    }
+
+  private def seededBfsBuild(spark: SparkSession, d: String, nSeeds: Int,
+                             horizon: Int): DataFrame = {
     import spark.implicits._
     val sym = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
@@ -1356,6 +1366,10 @@ object Graph {
         .groupBy($"seed", $"node2")
         .agg(sum($"sigma").as("sigma"))
         .select($"seed", $"node2".as("node"), lit(l).as("dist"), $"sigma")
+        // tiny frontier frames: 8 partitions cut the per-round
+        // materialization barrier cost (13 rounds of 32 near-empty
+        // tasks measured as the query's dominant fixed cost)
+        .coalesce(8)
         .localCheckpoint()
       all = all.unionByName(next)
       level = next
@@ -1409,10 +1423,14 @@ object Graph {
         .select($"seed", $"node",
           expr("sigma * (1000000 + delta_q6) div sigma_w").as("t_q6"))
         .groupBy($"seed", $"node").agg(sum($"t_q6").as("delta_q6"))
+      // eager checkpoint: dl has TWO consumers (the next round's
+      // deltaAbove and the final union), so an unmaterialized chain
+      // recomputes 2^h-fold at execution (measured 2x wall on h=6)
       val dl = curr.join(terms, Seq("seed", "node"), "left")
         .select($"seed", $"node", $"sigma",
           coalesce($"delta_q6", lit(0L)).as("delta_q6"))
-        .localCheckpoint() // eager — the next round joins dl twice
+        .coalesce(8)
+        .localCheckpoint()
       deltas += dl.withColumn("dist", lit(l))
       deltaAbove = dl.select($"seed", $"node".as("w"),
         $"sigma".as("sigma_w"), $"delta_q6")
