@@ -992,6 +992,10 @@ object SparkEntry {
     // CUBE: the full 2^d subtotal lattice in one Expand+aggregate
     // pass — completes the rollup (q39) / grouping-sets (q92) family
     "q314_cube" -> (Extended.cubeSummary _),
+    // One-step Huber M-estimator from exact lower-median/MAD order
+    // statistics — the robust mean between median and winsorized
+    "q315_huber_location" -> ((s: SparkSession, d: String) =>
+      Stats.huberLocation(s, d)),
     // DSv2 COMPLETE aggregate pushdown: count/min/max/sum answered by
     // the generator's closed forms over the filter-clamped interval —
     // zero rows materialized (GenSourceSpec pins the GenAggScan plan)
@@ -5848,6 +5852,36 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q315: per-group windows pick the SAME lower medians the engine's
+    // GlobalIndex rankings pick; HUGEINT mirrors DECIMAL(38,0)
+    "q315_huber_location" ->
+      """WITH pts AS (SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS x,
+        |    o_orderkey AS k FROM orders),
+        |r1 AS (SELECT g, x,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, k) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM pts),
+        |med AS (SELECT g, x AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT p.g, p.x, p.k, ABS(p.x - m.med) AS ad, m.med
+        |        FROM pts p JOIN med m USING (g)),
+        |r2 AS (SELECT g, ad,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY ad, k) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM dev),
+        |mad AS (SELECT g, ad AS mad FROM r2 WHERE rn = (n + 1) // 2),
+        |c AS (SELECT d.g, d.med, mad.mad,
+        |        GREATEST(-(mad.mad * 2),
+        |          LEAST(mad.mad * 2, d.x - d.med)) AS clipped
+        |      FROM dev d JOIN mad USING (g)),
+        |gg AS (SELECT g, med, mad, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(clipped AS HUGEINT)) AS sc
+        |       FROM c GROUP BY 1, 2, 3)
+        |SELECT g, n, med, mad,
+        |  CAST((sc * 1000000 + CAST(n AS HUGEINT) * 1000000000000000000)
+        |    // n - 1000000000000000000 AS BIGINT) AS step_q6,
+        |  CAST(med * 1000000
+        |    + ((sc * 1000000 + CAST(n AS HUGEINT) * 1000000000000000000)
+        |       // n - 1000000000000000000) AS BIGINT) AS huber_q6
+        |FROM gg ORDER BY g""".stripMargin,
     // q314: GROUP BY CUBE with GROUPING() bits composed into the same
     // gid (DuckDB's GROUPING_ID argument order mirrors Spark's)
     "q314_cube" ->

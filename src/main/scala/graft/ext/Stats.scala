@@ -60,6 +60,64 @@ object Stats {
       .orderBy($"o_orderpriority")
   }
 
+  /** One-step Huber M-estimator of location per stratum — the robust
+    * mean between the median (throws away efficiency) and the
+    * trimmed/winsorized mean (q110's fixed-fraction cut): start at
+    * the median, clip residuals at k = 2·MAD, take one Newton step
+    * `μ₁ = med + Σ clip(x − med, ±k) / n`. One step from the median
+    * achieves most of the full M-estimator's efficiency (Bickel) and
+    * needs no iteration loop.
+    *
+    * Exactness: LOWER median and LOWER-median MAD — exact order
+    * statistics at ⌈n/2⌉ picked by [[graft.operators.GlobalIndex]]
+    * rankings (no interpolation, so med/MAD/k and every clipped
+    * residual are exact integer cents); the correction is one q6
+    * shift-division (10¹⁸-shifted — Σclip is signed).
+    *
+    * Scale shape: two GlobalIndex rankings in total orders (value,
+    * key) — never a partitioned window — with ⌈n/2⌉ selectors joined
+    * back broadcast; one final map-side-combinable clipped-sum agg.
+    */
+  def huberLocation(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pts = Tables.orders(spark, d).select($"o_orderpriority".as("g"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("x"),
+      $"o_orderkey".as("k"))
+    // per-group lower median via ONE global ranking + per-group
+    // offsets (the q241 per-group two-pass discipline)
+    def lowerMedianOf(df: DataFrame, valCol: String): DataFrame = {
+      val ranked = graft.operators.GlobalIndex.withRowNumber(
+        df.select(col("g"), col(valCol).as("v"), col("k")),
+        Seq(col("g").asc, col("v").asc, col("k").asc), "r")
+      val off = ranked.groupBy($"g")
+        .agg(min($"r").as("r0"), count(lit(1)).as("n"))
+      ranked.join(broadcast(off), "g")
+        // `div`, not `/`: Column./ is DOUBLE division, which silently
+        // never matches the selector on even-sized groups
+        .filter($"r" - $"r0" + 1L === expr("(n + 1) div 2"))
+        .select($"g", $"v".as("med"), $"n")
+    }
+    val med = lowerMedianOf(pts, "x")
+    val dev = pts.join(broadcast(med.select($"g", $"med")), "g")
+      .select($"g", $"x", $"k", abs($"x" - $"med").as("ad"))
+    val mad = lowerMedianOf(dev.select($"g", $"ad", $"k"), "ad")
+      .select($"g", $"med".as("mad"))
+    dev.join(broadcast(mad), "g")
+      .join(broadcast(med.select($"g", $"med")), "g")
+      .select($"g", $"med", $"mad",
+        greatest(-($"mad" * 2), least($"mad" * 2, $"x" - $"med"))
+          .as("clipped"))
+      .groupBy($"g", $"med", $"mad")
+      .agg(count(lit(1)).as("n"),
+        sum($"clipped".cast(dec)).as("sc"))
+      .select($"g", $"n", $"med", $"mad",
+        expr(s"CAST((sc * 1000000 + CAST(n AS $dec) * ${"1" + "0" * 18})" +
+          s" div n - ${"1" + "0" * 18} AS BIGINT)").as("step_q6"))
+      .withColumn("huber_q6", $"med" * 1000000L + $"step_q6")
+      .orderBy($"g")
+  }
+
   /** Interrupted time series (segmented regression at a KNOWN break)
     * — the quasi-experimental readout when the intervention date is a
     * fact and assignment is the calendar (a policy launch, a pricing
