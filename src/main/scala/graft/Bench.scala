@@ -34,6 +34,23 @@ import org.apache.spark.sql.SparkSession
   *  - Per-query watchdog (`SPARK_GRAFT_QUERY_TIMEOUT_SEC`, default
   *    120): a hung query is cancelled and reported as the -1 failure
   *    sentinel instead of stalling the whole suite.
+  *  - Warmup failures are tracked SEPARATELY (`warmup_failed` in the
+  *    JSON): only a failure in a TIMED pass marks a query failed — a
+  *    transient warmup GC stall must not brand a query that then
+  *    passes every timed pass (round-11 advice).
+  *  - Suite hygiene: every 25 queries within a pass the harness nudges
+  *    GC (`System.gc()` between query timers), letting the
+  *    ContextCleaner release unreferenced loop-checkpoint RDDs before
+  *    they thrash the unified region — the round-11 driver artifact
+  *    lost 150 s to exactly that (q275's catalog-sized agg state
+  *    wrecked the heap for q276–q278). The nudge sits OUTSIDE the
+  *    per-query timers, so reported times stay clean.
+  *  - Stall telemetry: if `bench_isolated_baseline.json` (or
+  *    `SPARK_GRAFT_ISOLATED_BASELINE`) holds the committed
+  *    isolated-lane numbers, the JSON gains
+  *    `interleaved_over_isolated` — per-query ratio for every query
+  *    ≥ 5× its isolated time — so a poisoned lane is visible in the
+  *    driver artifact itself instead of needing a post-hoc bisect.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,27 +83,36 @@ object Bench {
     val failedQs = scala.collection.mutable.Set[String]()
     val suiteT0 = System.nanoTime()
     val noWatchdog = sys.env.get("SPARK_GRAFT_NO_WATCHDOG").contains("1")
-    def onePass(): Seq[Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val res: Either[String, Unit] =
-        if (noWatchdog)
-          try { run(fn(spark, sfDir)); Right(()) }
-          catch { case t: Throwable =>
-            Left(s"${t.getClass.getName}: ${t.getMessage}") }
-        else Watchdog.run(spark, s"bench-$name", qTimeoutSec) {
-          run(fn(spark, sfDir))
+    def onePass(): Seq[Double] = ordered.zipWithIndex.map {
+      case ((name, fn), i) =>
+        // lane hygiene OUTSIDE the timer: a GC nudge every 25 queries
+        // lets the ContextCleaner release unreferenced loop-checkpoint
+        // RDDs before the unified region starts thrashing
+        if (i > 0 && i % 25 == 0) System.gc()
+        val t0 = System.nanoTime()
+        val res: Either[String, Unit] =
+          if (noWatchdog)
+            try { run(fn(spark, sfDir)); Right(()) }
+            catch { case t: Throwable =>
+              Left(s"${t.getClass.getName}: ${t.getMessage}") }
+          else Watchdog.run(spark, s"bench-$name", qTimeoutSec) {
+            run(fn(spark, sfDir))
+          }
+        res.left.foreach { msg =>
+          failedQs += name
+          System.err.println(s"BENCH FAIL $name: $msg")
         }
-      res.left.foreach { msg =>
-        failedQs += name
-        System.err.println(s"BENCH FAIL $name: $msg")
-      }
-      (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
     }
     // one UNTIMED full warmup pass pays per-plan codegen + parquet
     // footers, so even a single timed pass reports steady-state cost
     // (the min-of-3 era excluded pass 1 for the same reason)
     val warmupSec = { val t0 = System.nanoTime(); onePass()
       (System.nanoTime() - t0) / 1e9 }
+    // a warmup-only failure is NOT a failed query: timed passes get a
+    // fresh slate and re-brand only what fails while being measured
+    val warmupFailed = failedQs.toSet
+    failedQs.clear()
     val samples = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
     var lastPassSec = warmupSec
     while (samples.size < n && (samples.isEmpty || {
@@ -117,6 +143,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._3)
     val total = results.filterNot(_._3).map(_._2).sum
+    // stall telemetry: ratio vs the committed isolated-lane baseline
+    // for every query running ≥5× its isolated time (the round-11
+    // q275→q278 poisoning, made visible in the artifact itself)
+    val isolatedBaseline: Map[String, Double] = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_BASELINE",
+        "bench_isolated_baseline.json")
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+        // flat {"name": sec, ...} map — parsed with a tolerant regex,
+        // no JSON lib on the unmanaged classpath
+        """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    val stalls = results.collect {
+      case (name, v, false) if v > 0 && isolatedBaseline.get(name)
+        .exists(iso => iso > 0 && v >= 5 * iso) =>
+        s"\"$name\":" + sec(v / isolatedBaseline(name))
+    }.mkString("{", ",", "}")
     // per-round shuffle-balance artifact: the q156 multiplicative-hash
     // key→partition load profile over the bench SF's fact table, so
     // every round records whether the data's key skew would unbalance
@@ -132,7 +177,9 @@ object Bench {
     }
     // n_queries is the DERIVED registered-operator count (the README
     // cites this number; it is never hand-maintained)
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"queries":$qs,"failed":$nFailed,"skew":$skew,"sf":"$sfDir","n":$nUsed,"action":"noop_write_min_of_interleaved_passes"}"""
+    val warmupOnly = (warmupFailed -- failedQs).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"queries":$qs,"failed":$nFailed,"warmup_failed":$warmupOnly,"interleaved_over_isolated":$stalls,"skew":$skew,"sf":"$sfDir","n":$nUsed,"action":"noop_write_min_of_interleaved_passes"}"""
     println(line)
     // sidecar copy: the committed per-round artifact regardless of how
     // much stdout the harness tails

@@ -483,17 +483,26 @@ object Behavior {
     * positives. Determinism is the point — reruns, repartitions, and
     * the oracle all draw the same negatives (no `rand()`).
     *
-    * Scale shape: candidates are users × the CATALOG domain (here
-    * the bounded props.k item space) minus positives via one
-    * left-anti join; the per-user k smallest hashes come from a
-    * collect-and-slice over catalog-bounded groups — state per user
-    * is the catalog, never the event volume. For a web-scale catalog
-    * the same recipe runs per hash-bucket of the catalog (sample
-    * buckets first, then items), which this operator's shape
-    * composes with; no rank window either way.
+    * Scale shape: the per-user k smallest hashes are drawn through
+    * the bounded [[graft.functions.TopKAgg]] partial on score = −h —
+    * ≤k (hash, item) pairs per user leave each task (map-side
+    * partial), so aggregation state is k rows, never the catalog
+    * (the collect-and-slice it replaces held the WHOLE catalog per
+    * user in the buffer — the round-11 heap killer). For a large
+    * catalog the candidate frame itself is pruned to the lowest
+    * hash bucket first: only pairs with h < P·(oversample·k)/|C|
+    * are generated (expected oversample·k survivors per user), and
+    * the rare user whose bucket nets fewer than k non-positives
+    * falls back to one exact full-catalog draw — bucket-sampled
+    * generation with an exactness guarantee (k survivors below the
+    * threshold ARE the global k smallest, since everything outside
+    * the bucket hashes higher). The prefilter only engages when the
+    * catalog is large enough to matter (|C| ≥ 64·k); specs force it
+    * with `minCatalogForPrefilter = 0`.
     */
   def negativeSampling(spark: SparkSession, d: String,
-                       k: Int = 3): DataFrame = {
+                       k: Int = 3, oversample: Int = 16,
+                       minCatalogForPrefilter: Long = 192L): DataFrame = {
     import spark.implicits._
     val P = 2147483647L
     val ev = Tables.events(spark, d)
@@ -504,17 +513,43 @@ object Behavior {
     val pos = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"item").distinct()
     val items = ev.select($"item").distinct()
-    val cand = pos.select($"user_id").distinct()
-      .crossJoin(broadcast(items))
-      .join(pos, Seq("user_id", "item"), "left_anti")
-      .select($"user_id", $"item",
-        expr(s"(user_id * 2654435761 + item * 40503) % $P").as("h"))
-    cand.groupBy($"user_id")
-      .agg(slice(array_sort(collect_list(struct($"h", $"item"))), 1, k)
-        .as("top"))
+    val users = pos.select($"user_id").distinct()
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    // one per-user draw over the catalog restricted to h < hCap:
+    // TopKAgg on (−h, item) yields h asc / item asc — the same total
+    // order as the oracle's ROW_NUMBER(ORDER BY h, item)
+    def draw(u: DataFrame, hCap: Long): DataFrame =
+      u.crossJoin(broadcast(items))
+        .select($"user_id", $"item",
+          expr(s"(user_id * 2654435761 + item * 40503) % $P").as("h"))
+        .filter($"h" < hCap)
+        .join(pos, Seq("user_id", "item"), "left_anti")
+        .groupBy($"user_id")
+        .agg(topk(-$"h".cast("double"), $"item".cast("long")).as("top"))
+    val nItems = graft.Derived.scalar(s"negsamp-catalog:$d")(items.count())
+    val hCap =
+      if (nItems >= minCatalogForPrefilter.max(1L))
+        (P * oversample.toLong * k / nItems.max(1L)).min(P)
+      else P
+    val drawn =
+      if (hCap >= P) draw(users, P)
+      else {
+        val low = draw(users, hCap)
+        // k survivors under the cap are provably the global k
+        // smallest; fewer means positives/scarcity ate the bucket —
+        // exact fallback over the full catalog for just those users.
+        // Shorts are users ABSENT from the done set (anti-join), not
+        // low's own under-k rows: a user whose entire candidate set
+        // hashes above the cap produces NO group row at all
+        val done = low.filter(size($"top") === k)
+        val short = users.join(done.select($"user_id"),
+          Seq("user_id"), "left_anti")
+        done.unionByName(draw(short, P))
+      }
+    drawn
       .select($"user_id", posexplode($"top").as(Seq("i", "e")))
       .select($"user_id", ($"i" + 1).cast("int").as("neg_rank"),
-        $"e.item".as("item"))
+        $"e._2".cast("int").as("item"))
       .orderBy($"user_id", $"neg_rank")
   }
 

@@ -154,7 +154,11 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         sum($"x".cast(dec)).as("sx"),
         sum($"y".cast(dec)).as("sy"),
-        sum(($"x" * $"y").cast(dec)).as("sxy"),
+        // the per-row product stages DECIMAL(38,0) BEFORE multiplying
+        // (like sxx and the oracle's HUGEINT) — x*y evaluated in
+        // BIGINT first would wrap at extreme scale where the oracle
+        // stays exact
+        sum(expr(s"CAST(x AS $dec) * y")).as("sxy"),
         sum(expr(s"CAST(x AS $dec) * x")).as("sxx"))
       .select($"post", $"n",
         ((($"n".cast("double") * $"sxy".cast("double")) -

@@ -169,14 +169,22 @@ object JoinMv {
     d
   }
 
-  /** Net a signed frame's multiplicities, keeping live rows at their
-    * net `__m` — the kernel [[serveZ]], [[compactZ]], and the
-    * streaming maintainer share. */
-  private[graft] def netted(t: DataFrame): DataFrame = {
+  /** Net a signed frame's multiplicities, keeping every row whose net
+    * is NON-ZERO — the state form. Persisted state (the streaming
+    * maintainer's fold, [[compactZ]]) must retain net-NEGATIVE rows:
+    * a delete delivered before its matching insert across batches
+    * nets to −1, and dropping it would make the later insert
+    * over-count (the z-set log keeps signed rows until serve). */
+  private[graft] def nettedSigned(t: DataFrame): DataFrame = {
     val cols = t.columns.filter(_ != "__m").toSeq
     t.groupBy(cols.map(col): _*).agg(sum(col("__m")).as("__m"))
-      .filter(col("__m") > 0)
+      .filter(col("__m") =!= 0)
   }
+
+  /** Net and keep LIVE rows (`__m` > 0) — the serve form only;
+    * state folds use [[nettedSigned]]. */
+  private[graft] def netted(t: DataFrame): DataFrame =
+    nettedSigned(t).filter(col("__m") > 0)
 
   /** Signed delta-join rows of one LEFT-side CDC batch against the
     * CURRENT right side — ΔA ⋈ B′ carrying ΔA's signs, the per-batch
@@ -200,9 +208,12 @@ object JoinMv {
   }
 
   /** Fold the retraction log into a fresh netted table (every
-    * surviving row back at `__m` = net) — the compaction knob. */
+    * surviving row back at `__m` = net) — the compaction knob.
+    * Keeps net-negative rows ([[nettedSigned]]): compaction is a
+    * state fold, not a serve, and must not lose out-of-order
+    * retractions still waiting for their insert. */
   def compactZ(spark: SparkSession, d: ZDef, newMvPath: String): ZDef = {
-    netted(spark.read.parquet(d.mvPath))
+    nettedSigned(spark.read.parquet(d.mvPath))
       .write.mode("overwrite").parquet(newMvPath)
     d.copy(mvPath = newMvPath)
   }

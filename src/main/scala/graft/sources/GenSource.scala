@@ -139,7 +139,17 @@ object GenSource {
         case c: Count => !c.isDistinct && isId(c.column)
         case m: Min => isId(m.column)
         case m: Max => isId(m.column)
-        case s: Sum => !s.isDistinct && isId(s.column)
+        // refuse the pushdown when the closed-form sum leaves Long:
+        // the session runs ANSI (Spark 4 default), where the un-pushed
+        // aggregate raises ARITHMETIC_OVERFLOW — a pushed scan
+        // silently wrapping would change semantics, so overflow falls
+        // back to the row-generating scan + Spark's own Sum
+        case s: Sum => !s.isDistinct && isId(s.column) && {
+          val lo2 = lo
+          val hi2 = math.max(lo, hi)
+          val n = hi2 - lo2
+          n == 0 || ((BigInt(lo2) + BigInt(hi2 - 1)) * n / 2).isValidLong
+        }
         case _ => false
       }
     }
@@ -177,10 +187,10 @@ object GenSource {
       case _: Min => if (n == 0) null else lo
       case _: Max => if (n == 0) null else hi - 1
       case _: Sum =>
+        // aggHandled refused any interval whose closed form leaves
+        // Long, so this conversion is provably exact here
         if (n == 0) null
-        else (BigInt(lo) + BigInt(hi - 1)) * n / 2 match {
-          case s => s.toLong // wraps like non-ANSI Spark SUM(LONG)
-        }
+        else ((BigInt(lo) + BigInt(hi - 1)) * n / 2).toLong
     }
     override def readSchema(): StructType = StructType(
       agg.aggregateExpressions.zipWithIndex.map { case (e, i) =>

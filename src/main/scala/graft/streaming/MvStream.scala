@@ -199,8 +199,15 @@ object MvStream {
   * point, a restarted maintainer resumes from the marker.
   *
   * Each fold rewrites the netted state (committed ∪ signed delta,
-  * multiplicities netted — compaction rides along, so the served
-  * copy never accumulates a retraction log). That is MV-sized I/O
+  * multiplicities netted to their non-zero sums — compaction rides
+  * along on EVERY fold, so the state never accumulates a retraction
+  * log; its size is bounded by |live join rows| + |out-of-order
+  * retractions still awaiting their insert|, independent of stream
+  * history, and the marker/paths of the [[CommitLog]] are a constant
+  * 2 directories + 1 file regardless of batch count). Net-NEGATIVE
+  * rows stay in state (a delete delivered a batch before its insert
+  * must cancel it later); only [[serve]] filters to `__m` > 0.
+  * That is MV-sized I/O
   * per batch — the honest price of the alternating-copy crash model
   * on plain parquet; a table-format deployment (Delta/Iceberg)
   * appends the delta files under the format's snapshot commit
@@ -235,7 +242,11 @@ final class JoinMaintainer(rightPath: String, leftKey: String,
     val merged =
       if (log.batchId < 0L) delta // first batch — nothing committed yet
       else batch.sparkSession.read.parquet(log.path).unionByName(delta)
-    JoinMv.netted(merged).write.mode("overwrite").parquet(next)
+    // nettedSigned, NOT netted: state keeps net-negative rows so a
+    // retraction delivered before its insert (out-of-order CDC across
+    // micro-batches) still cancels when the insert arrives; the
+    // __m > 0 live filter applies only in serveZ
+    JoinMv.nettedSigned(merged).write.mode("overwrite").parquet(next)
     log.commit(batchId, next)
   }
 }

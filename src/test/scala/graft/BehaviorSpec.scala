@@ -1260,4 +1260,42 @@ class BehaviorSpec extends SparkSpec {
     // not the 0 an all-death count implies
     assert(s2 > math.floor(math.log(1e-6) * 1e9).toLong)
   }
+
+  test("negativeSampling: bucket prefilter + fallback = direct draw") {
+    // Planted catalog of 40 items, 12 users; each user purchases a
+    // different-sized positive slice so the forced low-bucket draw
+    // leaves some users short (< k survivors -> exact fallback) and
+    // fills others (== k survivors provably global-smallest).
+    val dir = Files.createTempDirectory("graft-negsamp").toString
+    val rows = for {
+      u <- 1L to 12L
+      i <- 0 until 40
+      // user u purchased items i < u (so user 12 has 12 positives);
+      // every (u, item) pair also appears as a view so the catalog
+      // domain is complete
+      et <- Seq("view") ++ (if (i < u) Seq("purchase") else Nil)
+    } yield (u * 100 + i, (day0 + i) * 1000000000L, u, et,
+      Option.empty[Double], s"""{"k": $i}""")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val direct = Behavior.negativeSampling(spark, dir, k = 3,
+      minCatalogForPrefilter = Long.MaxValue)   // prefilter off
+      .collect().map(_.toSeq).toSeq
+    // oversample = 1 => cap = P*k/40: expected 3 survivors per user,
+    // so shorts are guaranteed among the heavy purchasers
+    val bucketed = Behavior.negativeSampling(spark, dir, k = 3,
+      oversample = 1, minCatalogForPrefilter = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && direct.size == 12 * 3)
+    assert(bucketed == direct,
+      "forced low-bucket draw with fallback must equal the direct draw")
+    // and on real testdata: prefilter path == default path
+    val d = "/root/testdata/sf0.001"
+    val dflt = Behavior.negativeSampling(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val forced = Behavior.negativeSampling(spark, d,
+      oversample = 2, minCatalogForPrefilter = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(forced == dflt)
+  }
 }

@@ -117,4 +117,29 @@ class GenSourceSpec extends SparkSpec {
     assert(gen(1000, 4).filter($"id" > Long.MaxValue).count() == 0L)
     assert(gen(1000, 4).filter($"id" === Long.MaxValue).count() == 0L)
   }
+
+  test("sum pushdown refuses when the closed form overflows Long — " +
+    "ANSI parity with the un-pushed aggregate") {
+    val lo = Long.MaxValue - 1000L
+    // closed-form sum over [lo, MaxValue) ≈ 9.2e21 — far past Long
+    val overflowing = gen(Long.MaxValue, 4).filter($"id" >= lo)
+      .agg(sum($"id").as("s"))
+    val plan = overflowing.queryExecution.executedPlan.toString
+    assert(!plan.contains("GenAggScan"),
+      s"an overflowing closed form must NOT push completely:\n$plan")
+    // the fallback row scan + Spark's own Sum raises under ANSI (the
+    // session default) — the exact semantics a silently-wrapping
+    // pushed scan would have changed
+    val raised = intercept[Throwable](overflowing.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(raised).exists(c =>
+      String.valueOf(c.getMessage).toLowerCase.contains("overflow")),
+      s"expected ARITHMETIC_OVERFLOW, got $raised")
+    // count/min/max on the same interval are still closed-form safe
+    val ok = gen(Long.MaxValue, 4).filter($"id" >= lo)
+      .agg(count(lit(1)).as("n"), max($"id").as("mx"))
+    assert(ok.queryExecution.executedPlan.toString.contains("GenAggScan"))
+    assert(ok.as[(Long, Long)].head() == ((1000L, Long.MaxValue - 1)))
+  }
 }

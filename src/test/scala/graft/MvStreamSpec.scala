@@ -398,4 +398,61 @@ class MvStreamSpec extends SparkSpec {
     assert(got2 == want2,
       "post-restart folds must continue the same algebra")
   }
+
+  test("join maintainer: out-of-order retraction (delete delivered a " +
+    "batch before its insert) nets to zero instead of over-counting; " +
+    "state keeps the pending negative bounded-compacted") {
+    val root = freshRoot()
+    val dim = (0L to 3L).map(k => (k, s"d$k")).toDF("bk", "payload")
+    dim.write.parquet(s"$root/dim")
+    val m = new graft.streaming.JoinMaintainer(
+      s"$root/dim", "k", "bk", s"$root/jmv")
+    // batch 0: the DELETE of (id=7, k=1) arrives BEFORE its insert,
+    // alongside a normal insert (id=1, k=0)
+    m.apply(Seq((1L, 0L, 1), (7L, 1L, -1)).toDF("id", "k", "op"), 0L)
+    assert(m.serve(spark).select(col("id")).as[Long].collect().toSeq
+      == Seq(1L), "a pending retraction must not serve")
+    // ...but it must SURVIVE the per-fold compaction in state
+    val st = spark.read.parquet(m.zdef.mvPath)
+    assert(st.filter(col("__m") < 0).count() == 1,
+      "state must retain the net-negative row awaiting its insert")
+    // batch 1: the late insert lands; net 0 — the true order
+    // (insert then delete) means ABSENT. The dropped-retraction bug
+    // served id=7 here.
+    m.apply(Seq((7L, 1L, 1)).toDF("id", "k", "op"), 1L)
+    assert(m.serve(spark).select(col("id")).as[Long].collect().toSeq
+      == Seq(1L), "late insert must cancel against the retraction")
+    // net-zero rows are compacted OUT of state entirely
+    assert(spark.read.parquet(m.zdef.mvPath)
+      .filter(col("id") === 7L).count() == 0,
+      "cancelled pairs must not linger in state")
+    // a SECOND insert of the same row outlives the single delete
+    m.apply(Seq((7L, 1L, 1)).toDF("id", "k", "op"), 2L)
+    assert(m.serve(spark).select(col("id")).as[Long]
+      .collect().sorted.toSeq == Seq(1L, 7L))
+  }
+
+  test("compactZ keeps net-negative rows: an out-of-order retraction " +
+    "survives batch-lane compaction and still cancels its insert") {
+    import graft.operators.JoinMv
+    val root = freshRoot()
+    val dim = Seq((1L, "d1")).toDF("bk", "payload")
+    dim.write.parquet(s"$root/dim")
+    Seq((1L, 1L)).toDF("id", "k").write.parquet(s"$root/left")
+    val d = JoinMv.materializeZ(spark,
+      JoinMv.ZDef(s"$root/left", s"$root/dim", "k", "bk", s"$root/zmv"))
+    // the retraction of a row the MV has not seen yet (out-of-order)
+    JoinMv.refreshRetract(spark, d,
+      Some(Seq((7L, 1L, -1)).toDF("id", "k", "op")), None)
+    val compacted = JoinMv.compactZ(spark, d, s"$root/zmv2")
+    assert(spark.read.parquet(compacted.mvPath)
+      .filter(col("__m") < 0).count() == 1,
+      "compaction must retain the pending negative")
+    // the insert arrives post-compaction and cancels exactly
+    JoinMv.refreshRetract(spark, compacted,
+      Some(Seq((7L, 1L, 1)).toDF("id", "k", "op")), None)
+    assert(JoinMv.serveZ(spark, compacted).select(col("id"))
+      .as[Long].collect().toSeq == Seq(1L),
+      "post-compaction insert must cancel against the kept negative")
+  }
 }
