@@ -472,21 +472,28 @@ object Stats {
     * the group identity carried as the caller's columns under their
     * own names — what lets one register table serve `GROUP BY a, b`
     * (and, by register max-merge, any subset of its group columns).
-    * NULL keys are skipped natively — `approx_count_distinct`
-    * semantics — rather than propagating a null register row. */
+    * A NULL key contributes a SENTINEL register (bucket 0, rho 0 —
+    * a no-op under register MAX, and real keys always have rho ≥ 1)
+    * instead of being filtered, so a cell whose keys are all NULL
+    * still writes one row: the table's cell domain equals its
+    * source's group-by domain, which the serving rewrite's anchor
+    * relies on ([[graft.plans.MvRewrite]]); [[hllEstimateCols]]
+    * serves such an empty cell as exactly 0 —
+    * `approx_count_distinct` semantics. */
   private[graft] def hllRegistersOfCols(df: DataFrame, grpCols: Seq[String],
                                         keyCol: String): DataFrame = {
     val P = 2147483647L
     val g = grpCols.map(col)
-    df.filter(col(keyCol).isNotNull)
+    df
       .select(g :+ expr(s"(`$keyCol` % $P) * 2654435761 % $P").as("h1"): _*)
       .select(g :+ expr("h1 ^ (h1 div 8192)").as("h2"): _*)
       .select(g :+ expr(s"(h2 % $P) * 2246822519 % $P").as("h3"): _*)
       .select(g :+ expr("h3 ^ (h3 div 33554432)").as("h"): _*)
-      .select(g ++ Seq((col("h") % 64).as("bucket"),
+      .select(g ++ Seq(coalesce(col("h") % 64, lit(0L)).as("bucket"),
         expr("h div 64").as("w")): _*)
       .select(g ++ Seq(col("bucket"),
-        when(col("w") === 0, lit(26))
+        when(col("w").isNull, lit(0))
+          .when(col("w") === 0, lit(26))
           .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho")): _*)
       .groupBy((g :+ col("bucket")): _*).agg(max(col("rho")).as("mj"))
   }
@@ -499,7 +506,13 @@ object Stats {
     hllEstimateCols(reg, Seq("grp"))
 
   /** Multi-group form of the harmonic-mean estimator: same exact
-    * integer arithmetic, keyed by the caller's group columns. */
+    * integer arithmetic, keyed by the caller's group columns. A cell
+    * whose registers are ALL zero (only the NULL-key sentinel row —
+    * real keys always set rho ≥ 1) estimates exactly 0, the
+    * `approx_count_distinct` answer over no non-NULL keys; the
+    * harmonic formula alone would report the ~45.4 all-empty bias
+    * because this estimator deliberately omits the small-range
+    * correction (groups served here are ≫ 2.5·m). */
   private[graft] def hllEstimateCols(reg: DataFrame,
                                      grpCols: Seq[String]): DataFrame = {
     val g = grpCols.map(col)
@@ -513,7 +526,9 @@ object Stats {
           (lit(64) - col("n_present")) * expr("cast(1 as bigint) << maxm"))
           .as("s_int")): _*)
       .withColumn("est",
-        r4(lit(0.709 * 4096.0) * pow(lit(2.0), col("maxm")) / col("s_int")))
+        r4(when(col("maxm") === 0, lit(0.0))
+          .otherwise(lit(0.709 * 4096.0) *
+            pow(lit(2.0), col("maxm")) / col("s_int"))))
       .select(g ++ Seq(col("maxm").cast("int").as("maxm"),
         col("s_int"), col("est")): _*)
   }
@@ -579,13 +594,21 @@ object Stats {
     * ([[graft.operators.QuantileMv]]). Counts ADD across any split
     * of the data (and subtract under retraction), which is the whole
     * point of the shape. Negative values are excluded (the id grid
-    * is defined on x ≥ 0), as is NULL. */
+    * is defined on x ≥ 0). A NULL value contributes a SENTINEL
+    * bucket (id = −1, cnt = 0 — a no-op under count sums and never
+    * picked by a quantile crossing) instead of being filtered, so a
+    * cell whose values are all NULL still writes one row: the
+    * table's cell domain equals its source's group-by domain, which
+    * the serving rewrite's anchor relies on
+    * ([[graft.plans.MvRewrite]]); [[qsketchServe]] reports such an
+    * empty cell's percentiles as NULL — `approx_percentile`
+    * semantics. */
   private[graft] def qsketchHistOf(df: DataFrame, grpCols: Seq[String],
                                    valCol: String): DataFrame = {
     val g = grpCols.map(col)
-    df.filter(col(valCol).isNotNull)
+    df
       .select(g :+ col(valCol).cast("long").as("x"): _*)
-      .filter(col("x") >= 0)
+      .filter(col("x") >= 0 || col("x").isNull)
       // CASCADED smear (each step doubles the filled span) — the
       // one-shot x|x≫1|x≫2|x≫4|… leaves holes (e.g. the bit 3 below
       // the msb) and under-counts
@@ -596,10 +619,15 @@ object Stats {
       .withColumn("y5", expr("y4 | (y4 >> 16)"))
       .withColumn("y", expr("y5 | (y5 >> 32)"))
       .withColumn("m", expr("bit_count(y) - 1"))
-      .withColumn("id", expr(
+      // NULL x propagates through the grid to a NULL id → the −1
+      // sentinel bucket with a zero count
+      .withColumn("id", coalesce(expr(
         "CASE WHEN x < 8 THEN x " +
-          "ELSE 8 + 4 * (m - 3) + ((x >> (m - 2)) & 3) END"))
-      .groupBy((g :+ col("id")): _*).agg(count(lit(1)).as("cnt"))
+          "ELSE 8 + 4 * (m - 3) + ((x >> (m - 2)) & 3) END"),
+        lit(-1L)))
+      .groupBy((g :+ col("id")): _*)
+      .agg(sum(when(col("id") === -1L, lit(0L)).otherwise(lit(1L)))
+        .as("cnt"))
   }
 
   /** Quantile estimates at the given integer percents from a
@@ -616,7 +644,11 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(g: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    def pick(q: Int) = min(when(expr(s"cum * 100 >= $q * n"), col("id")))
+    // n > 0: an empty cell (only the id = −1 sentinel, n = 0) picks
+    // NO bucket and serves NULL percentiles — approx_percentile over
+    // no values; without the guard 0 ≥ 0 would pick the sentinel
+    def pick(q: Int) =
+      min(when(expr(s"n > 0 AND cum * 100 >= $q * n"), col("id")))
     val sel = hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(wAll))

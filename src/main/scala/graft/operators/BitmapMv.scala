@@ -53,7 +53,16 @@ object BitmapMv {
     * landing on bit 1) and serve a WRONG "exact" distinct count, so
     * non-integral keys are rejected here — at materialize/refresh
     * time, the registration path — rather than discovered as a wrong
-    * answer. */
+    * answer.
+    *
+    * Cell-complete: a NULL key contributes a ZERO word (w = 0,
+    * b = 0 — a no-op under OR and under `bit_count`) instead of
+    * being filtered, so a cell whose keys are all NULL still writes
+    * one row. That keeps the table's cell domain equal to its
+    * source's group-by domain, which the serving rewrite's anchor
+    * relies on ([[graft.plans.MvRewrite]] — an anchor missing the
+    * cell would silently drop a row the direct `COUNT(DISTINCT)`
+    * returns as 0). */
   private[graft] def words(df: DataFrame, d: Def): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(d.keyCol).dataType
@@ -62,11 +71,12 @@ object BitmapMv {
         s"(Byte/Short/Int/Long), got $dt — bit positions under a lossy " +
         "cast would collide and the served COUNT(DISTINCT) would be wrong")
     val g = d.grpCols.map(col)
-    df.filter(col(d.keyCol).isNotNull)
-      .select(g ++ Seq(
-        expr(s"shiftright(CAST(`${d.keyCol}` AS BIGINT), 6)").as("w"),
-        expr(s"shiftleft(CAST(1 AS BIGINT), " +
-          s"CAST(CAST(`${d.keyCol}` AS BIGINT) & 63 AS INT))").as("b")): _*)
+    df.select(g ++ Seq(
+        expr(s"coalesce(shiftright(CAST(`${d.keyCol}` AS BIGINT), 6), " +
+          "CAST(0 AS BIGINT))").as("w"),
+        expr(s"coalesce(shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(CAST(`${d.keyCol}` AS BIGINT) & 63 AS INT)), " +
+          "CAST(0 AS BIGINT))").as("b")): _*)
       .groupBy((g :+ col("w")): _*)
       .agg(expr("bit_or(b)").as("bits"))
   }

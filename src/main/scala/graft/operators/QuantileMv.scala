@@ -72,7 +72,9 @@ object QuantileMv {
     spark.read.parquet(d.mvPath)
       .unionByName(signedHist(cdc, d, opCol))
       .groupBy((g :+ col("id")): _*).agg(sum(col("cnt")).as("cnt"))
-      .filter(col("cnt") =!= 0)
+      // zero-count REAL buckets drop (a rebuilt histogram has none);
+      // the id = −1 cell sentinel is zero BY DESIGN and must survive
+      .filter(col("cnt") =!= 0 || col("id") === -1L)
       .write.mode("overwrite").parquet(newMvPath)
     d.copy(mvPath = newMvPath)
   }
@@ -85,7 +87,7 @@ object QuantileMv {
     val g = d.grpCols.map(col)
     signedHist(cdc, d, opCol)
       .groupBy((g :+ col("id")): _*).agg(sum(col("cnt")).as("cnt"))
-      .filter(col("cnt") =!= 0)
+      .filter(col("cnt") =!= 0 || col("id") === -1L)
       .write.mode("overwrite").parquet(d.mvPath)
     d
   }

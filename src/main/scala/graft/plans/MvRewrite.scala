@@ -475,19 +475,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     * registered sketch, suffixed per column in the composed join);
     * any other aggregate no registered algebraic MV serves.
     *
-    * Cell-domain completeness: sketch tables can LACK cells (an
-    * all-NULL-key cell writes no register/word rows; an all-NULL or
-    * all-negative value cell writes no buckets), so the composition
-    * never anchors its row set on a serve when it can avoid it. The
-    * anchor is, in preference order: the algebraic side (its groupBy
-    * domain is the fact's); a domain synthesized from any registered
-    * algebraic MV over the same source covering the grouping; the
-    * null-safe distinct union of every serve's cells. Cells absent
-    * from a joined serve coalesce to 0 (distinct counts over no keys)
-    * or stay NULL (percentiles over no values) — exactly the direct
-    * aggregate's answers. Only a SINGLE serve with no registered
-    * algebraic MV still anchors on itself: its own domain, the stated
-    * residual limitation.
+    * Cell-domain completeness: the sketch BUILDERS write a
+    * zero-payload sentinel row for every cell whose keys/values are
+    * all NULL (HLL register mj = 0, bitmap word bits = 0, histogram
+    * bucket cnt = 0 — each a no-op under its merge), so a sketch
+    * table holds EVERY grouping cell of its source and even the
+    * single-serve self-anchor is complete. The composition still
+    * prefers a better anchor where one exists: the algebraic side
+    * (its groupBy domain is the fact's); a domain synthesized from
+    * any registered algebraic MV over the same source covering the
+    * grouping; the null-safe distinct union of every serve's cells.
+    * Cells absent from a joined serve coalesce to 0 (distinct counts
+    * over no keys) or stay NULL (percentiles over no values) —
+    * exactly the direct aggregate's answers.
     */
   private def rewriteMixed(agg: Aggregate, filters: Seq[Expression],
                            path: String): Option[LogicalPlan] = {
@@ -702,13 +702,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     // NULL/negative writes no buckets), so anchoring on the first
     // serve would silently drop rows the direct aggregate returns
     // (with 0 / NULL) — an optimizer rewrite must never change the
-    // result's row set. Preference: the cell domain of any registered
-    // ALGEBRAIC MV over the same source covering the grouping (its
-    // groupBy domain is exactly the fact's); else the null-safe
-    // distinct UNION of every serve's own cells (complete whenever
-    // each cell feeds at least one sketch). A single serve with no
-    // algebraic MV anchors on itself — its own domain, the residual
-    // stated limitation.
+    // result's row set. Two layers guarantee completeness: the
+    // builders themselves write a zero-payload SENTINEL row per
+    // otherwise-empty cell (so even a lone serve's own table holds
+    // every cell), and the anchor preference still avoids
+    // self-anchoring where something better exists — the cell domain
+    // of any registered ALGEBRAIC MV over the same source covering
+    // the grouping (its groupBy domain is exactly the fact's), else
+    // the null-safe distinct UNION of every serve's own cells.
     val allServes: Seq[LogicalPlan] =
       hllServes.map(_._2) ++ bmServes.map(_._2) ++ qServes.map(_._2)
     // cell projection of one registered table under the query filters
@@ -747,6 +748,11 @@ object MvRewrite extends Rule[LogicalPlan] {
           }
         }
       }
+    // the single-serve shape anchors on its own serve — complete by
+    // construction since the builders write a zero-payload SENTINEL
+    // row for every cell whose keys/values are all NULL (HLL mj = 0,
+    // bitmap bits = 0, histogram cnt = 0), so a sketch table always
+    // contains every grouping cell of its source
     val base: LogicalPlan =
       algPlan.orElse(domainPlan).getOrElse(allServes.head)
     val rest =

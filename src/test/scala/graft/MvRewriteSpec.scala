@@ -1080,6 +1080,67 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("SINGLE sketch serve with NO algebraic MV: the all-NULL-key " +
+    "cell survives via the builder's sentinel row — fact never scanned") {
+    // the last silent-result corner: self-anchoring used to drop the
+    // cell because the sketch table lacked it; the builders are now
+    // cell-complete (zero-payload sentinel per all-NULL cell)
+    withRule()
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mv-dom3").toString
+    val fact = s"$dir/fact.parquet"
+    (1L to 300L).map { i =>
+      val st = s"s${i % 3}"
+      (i, st, if (i % 3 == 2) None else Some(i % 23),
+        if (i % 3 == 1) None else Some(i % 97))
+    }.toDF("id", "status", "a", "v").write.parquet(fact)
+    try {
+      val exactDa = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"a").as("da")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bm = graft.operators.BitmapMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.BitmapMv.Def(Seq("status"), "a",
+          s"$dir/bm", Some(fact)))
+      MvRewrite.registerBitmap(bm)   // the ONLY registered MV
+      val q = spark.read.parquet(fact).groupBy($"status")
+        .agg(countDistinct($"a").as("da")).orderBy($"status")
+      val leaves = scansOf(q)
+      assert(leaves.exists(_.contains(s"$dir/bm")) &&
+        !leaves.exists(_.contains("fact.parquet")),
+        s"single-serve shape must still avoid the fact:\n$leaves")
+      val got = q.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      val want = Seq("s0", "s1", "s2").map(s => (s, exactDa(s)))
+      assert(got == want,
+        s"the all-NULL-key cell must survive the self-anchor:" +
+          s"\ngot  $got\nwant $want")
+      assert(got.exists { case (s, da) => s == "s2" && da == 0L })
+
+      // same shape for the quantile sketch: s1's v is entirely NULL —
+      // the served percentile for s1 must be NULL, the row present
+      MvRewrite.clear()
+      val qd = graft.operators.QuantileMv.materializeFrom(
+        spark.read.parquet(fact),
+        graft.operators.QuantileMv.Def(Seq("status"), "v",
+          s"$dir/qd", Some(fact)))
+      MvRewrite.registerQuantile(qd)
+      val q2 = spark.read.parquet(fact).groupBy($"status")
+        .agg(percentile_approx($"v", lit(0.5), lit(1000)).as("p50"))
+        .orderBy($"status")
+      val leaves2 = scansOf(q2)
+      assert(leaves2.exists(_.contains(s"$dir/qd")) &&
+        !leaves2.exists(_.contains("fact.parquet")),
+        s"quantile single serve must avoid the fact:\n$leaves2")
+      val rows2 = q2.collect().toSeq
+      assert(rows2.map(_.getString(0)) == Seq("s0", "s1", "s2"),
+        s"every cell must survive, got $rows2")
+      assert(rows2.find(_.getString(0) == "s1").exists(_.isNullAt(1)),
+        "the all-NULL-value cell must serve a NULL percentile")
+      assert(rows2.filter(r => r.getString(0) != "s1")
+        .forall(!_.isNullAt(1)))
+    } finally MvRewrite.clear()
+  }
+
   test("bitmap key-type discipline: non-integral keys refuse at " +
     "materialize time AND at rewrite-match time") {
     withRule()
