@@ -812,8 +812,10 @@ object SparkEntry {
     // carry over — the MV family's last refusal removed
     "q262_mv_hll_retract" -> (Extended.mvHllRetract _),
     // REAL compressed-video decode: Motion-JPEG frames in a RIFF/AVI
-    // container through the JDK's JPEG codec — spec-verified, outside
-    // the oracle surface (JPEG is lossy; luma is codec-determined)
+    // container through the JDK's JPEG codec. Emits the
+    // codec-independent stream facts (frame count, geometry) read
+    // from the decoded frames — oracle-hashed against the
+    // generator's closed forms; lossy-decoded luma stays spec-only
     "q263_mjpeg_decode" -> (Multimodal.mjpegFeatures _),
     // Weekly growth accounting: new / retained / resurrected /
     // churned user composition, one distinct + keyed self-joins
@@ -889,10 +891,11 @@ object SparkEntry {
     // Instrumental-variable Wald estimator: LATE under partial
     // compliance as exact integer rationals
     "q285_iv_wald" -> (Stats.ivWald _),
-    // Compression-ratio quality screen (DEFLATE/raw per doc) — the
-    // compressor-as-quality-model curation gate; spec-verified,
-    // outside the oracle surface (no SQL DEFLATE exists)
-    "q286_compression_quality" -> (TextStats.compressionQuality _),
+    // Compressibility quality screen: the duplicate-4-gram fraction
+    // (exact integers, oracle-hashed); the true DEFLATE screen
+    // (TextStats.compressionQuality) stays the spec-verified gear —
+    // no SQL DEFLATE exists for a DuckDB twin
+    "q286_compression_quality" -> (TextStats.dupGramCompressibility _),
     // Exact per-dimension robust-scaler stats (median/IQR) via ONE
     // GlobalIndex ranking over the coordinate stream
     "q287_robust_scaler" -> (Similarity.robustScalerStats _),
@@ -6847,6 +6850,36 @@ object SparkEntry {
         |  CAST((n1 * q1 - s1 * s1) // n1 + (n2 * q2 - s2 * s2) // n2
         |    AS BIGINT) AS sse_scaled
         |FROM x ORDER BY sse_scaled ASC, day ASC LIMIT 1""".stripMargin,
+    // q263: the decoded MJPEG stream's codec-independent facts —
+    // frame count and geometry — against the generator's closed
+    // forms (2 + doc_id % 3 frames at 8×8); the engine reads them
+    // from ACTUALLY-decoded JPEG frames, the oracle from the formula
+    "q263_mjpeg_decode" ->
+      """SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n_frames,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q286: duplicate-4-gram compressibility — identical 1-based
+    // character windows and q6 integer ratio; range(1, n-2) is
+    // DuckDB's half-open [1, n-3]
+    "q286_compression_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS BIGINT) AS n_chars, text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(DISTINCT substr(text, CAST(i AS INT), 4))
+        |      AS BIGINT) AS uniq4
+        |  FROM d, unnest(range(1, CAST(n_chars AS INT) - 2)) t(i)
+        |  WHERE n_chars >= 4
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(greatest(d.n_chars - 3, 0) AS BIGINT) AS n4,
+        |  CAST(COALESCE(g.uniq4, 0) AS BIGINT) AS uniq4,
+        |  CASE WHEN d.n_chars - 3 > 0 THEN
+        |    CAST((d.n_chars - 3 - g.uniq4) * 1000000 // (d.n_chars - 3)
+        |      AS BIGINT) END AS dup4_q6
+        |FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q264: the same Monday-start weeks, set algebra in SQL — first
     // week per user, prior-week membership, shifted-week anti join
     "q264_growth_accounting" ->

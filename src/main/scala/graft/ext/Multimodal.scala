@@ -341,15 +341,20 @@ object Multimodal {
 
   /** q263: MJPEG-AVI encode→decode→feature round-trip — a REAL
     * compressed-video decode (ImageIO JPEG) behind the same map-only
-    * shape as q65. Spec-verified; outside the oracle surface because
-    * JPEG is lossy (decoded luma is codec-determined, not
-    * closed-form). */
+    * shape as q65. The emitted columns are the CODEC-INDEPENDENT
+    * facts of the decoded stream — frame count and geometry, read
+    * from the actually-decoded frames, whose closed forms the
+    * generator fixes (frames = 2 + doc_id % 3 at 8×8) — so the query
+    * is oracle-hashed like everything else. Decoded LUMA is
+    * deliberately not emitted here: JPEG is lossy and the
+    * reconstruction is codec-determined, so luma lives in
+    * MultimodalSpec (round-trip approximation + corruption
+    * rejection), not in the DuckDB compare. */
   def mjpegFeatures(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     decodeMjpegRows(mjpegMedia(spark, d))
       .toDF()
-      .select($"doc_id", $"n_frames", $"width", $"height",
-        r4($"mean_luma").as("mean_luma"))
+      .select($"doc_id", $"n_frames", $"width", $"height")
       .orderBy($"doc_id")
   }
 

@@ -741,6 +741,44 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Duplicate-4-gram compressibility proxy — per document, the
+    * fraction of its character-4-gram windows that are repeats
+    * (1 − distinct/total, q6): the deterministic, SQL-expressible
+    * stand-in for the DEFLATE screen above, and the standard
+    * "duplicated n-gram fraction" quality signal large-corpus
+    * curation gates on. High dup4 ⇒ templated/repetitive text, the
+    * same tail [[compressionQuality]]'s low ratios flag — but every
+    * number here is exact integer arithmetic, so the DuckDB oracle
+    * hash-matches (no SQL DEFLATE exists; the real compressor
+    * remains the spec-verified gear).
+    *
+    * Scale shape: each row expands to its own n−3 windows (one
+    * `transform(sequence(...))` — map-side, no join), then ONE
+    * per-doc distinct aggregate; the q62 token-2-gram discipline at
+    * character granularity. Docs shorter than 4 chars keep a row
+    * (uniq4 = 0, ratio NULL) — the cell-completeness lesson.
+    */
+  def dupGramCompressibility(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select($"doc_id", $"source",
+        length($"text").cast("long").as("n_chars"), $"text")
+    val uniq = docs.filter($"n_chars" >= 4)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, CAST(n_chars AS INT) - 3)," +
+          " i -> substring(text, i, 4))")).as("g"))
+      .groupBy($"doc_id").agg(countDistinct($"g").as("uniq4"))
+    docs.join(uniq, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"n_chars",
+        greatest($"n_chars" - 3, lit(0L)).as("n4"),
+        coalesce($"uniq4", lit(0L)).as("uniq4"))
+      .select($"doc_id", $"source", $"n_chars", $"n4", $"uniq4",
+        when($"n4" > 0,
+          expr("CAST((n4 - uniq4) * 1000000 div n4 AS BIGINT)"))
+          .as("dup4_q6"))
+      .orderBy($"doc_id")
+  }
+
   /** FORCAST readability per source — the one classic readability
     * formula that needs NO sentence segmentation (it was built for
     * forms and technical fragments): grade = 20 − N_mono/10 per 150

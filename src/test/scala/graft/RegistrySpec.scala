@@ -6,11 +6,7 @@ class RegistrySpec extends SparkSpec {
   /** Queries intentionally registered without an oracle (driver records
     * a rows-only check); each needs a reason. */
   private val rowsOnly = Map(
-    "q43_approx_distinct" -> "HLL sketch values are engine-specific",
-    "q263_mjpeg_decode" -> ("JPEG is lossy — decoded luma is " +
-      "codec-determined, not closed-form; spec-verified instead"),
-    "q286_compression_quality" -> ("no SQL DEFLATE exists — the ratio " +
-      "is JDK-Deflater-determined; spec-verified instead"))
+    "q43_approx_distinct" -> "HLL sketch values are engine-specific")
 
   test("every oracle key has a matching query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
