@@ -999,6 +999,12 @@ object SparkEntry {
     // statistics — the robust mean between median and winsorized
     "q315_huber_location" -> ((s: SparkSession, d: String) =>
       Stats.huberLocation(s, d)),
+    // Connected components by TWO-PHASE STAR CONTRACTION (Kiveris et
+    // al.) — O(log diameter) alternations vs q155's HashMin
+    // O(diameter); third algorithm against the same recursive-closure
+    // oracle
+    "q316_cc_two_phase" -> ((s: SparkSession, d: String) =>
+      Graph.ccTwoPhase(s, d)),
     // DSv2 COMPLETE aggregate pushdown: count/min/max/sum answered by
     // the generator's closed forms over the filter-clamped interval —
     // zero rows materialized (GenSourceSpec pins the GenAggScan plan)
@@ -4808,6 +4814,29 @@ object SparkEntry {
     // closure, MIN over reachable labels (closure rows bounded by
     // sum of squared burst sizes; bursts are short by construction)
     "q155_connected_components" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |    epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |e0 AS (
+        |  SELECT k, LAG(k) OVER (PARTITION BY c ORDER BY day, k) AS pk,
+        |    day - LAG(day) OVER (PARTITION BY c ORDER BY day, k) AS gap
+        |  FROM o),
+        |e AS (SELECT k AS src, pk AS dst
+        |      FROM e0 WHERE pk IS NOT NULL AND gap <= 7),
+        |sym AS (SELECT src, dst FROM e
+        |        UNION SELECT dst AS src, src AS dst FROM e),
+        |reach AS (
+        |  SELECT k AS n, k AS l FROM o
+        |  UNION
+        |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
+        |SELECT n AS o_orderkey, MIN(l) AS component
+        |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q316: the same recursive-transitive-closure oracle as q155 —
+    // the engine side is a THIRD algorithm (two-phase star
+    // contraction), so the hash gate proves HashMin, star
+    // contraction, and closure all agree on the fixpoint
+    "q316_cc_two_phase" ->
       """WITH RECURSIVE o AS (
         |  SELECT o_orderkey AS k, o_custkey AS c,
         |    epoch_us(o_orderdate) // 86400000000 AS day

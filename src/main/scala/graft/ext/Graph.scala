@@ -591,6 +591,102 @@ object Graph {
       .orderBy($"o_orderkey")
   }
 
+  /** Connected components by TWO-PHASE STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond" — the
+    * published O(log n)-round fix [[connectedComponents]]'s scaladoc
+    * promises as the next gear): round count scales with the LOG of
+    * the component diameter, not the diameter itself, so a planted
+    * 200-hop path labels in ~8 alternations where HashMin needs 200
+    * propagation rounds. Same output, same oracle as q155 — the
+    * DuckDB twin computes components by recursive transitive
+    * closure, a third independent algorithm.
+    *
+    * One alternation = LARGE-STAR (every node links its
+    * strictly-larger neighbors to the min of its closed
+    * neighborhood; doubles the rate at which low labels reach star
+    * peripheries) then SMALL-STAR (every node links its ≤ neighbors
+    * and itself to the neighborhood min; flattens chains into
+    * stars). Both preserve connectivity; at the fixpoint the edge
+    * set is a star forest rooted at component minima, read off as
+    * labels (isolated nodes label themselves). Convergence is an
+    * exact set check — equal counts + one anti-join — per
+    * alternation, and each phase ends in `localCheckpoint` (the
+    * repo's loop discipline: no lineage compounding, the q304
+    * post-mortem).
+    *
+    * Scale shape per phase: one keyed equi-join of the edge frame
+    * against its own per-node minima plus one distinct — O(E) keyed
+    * shuffles, no windows, nothing driver-side; edge growth is
+    * bounded (star edges only), and O(log diameter) total rounds is
+    * the whole point at 100 TB where a 10⁶-hop chain would hold
+    * HashMin hostage.
+    */
+  def ccTwoPhase(spark: SparkSession, d: String,
+                 maxRounds: Int = 25): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d).select($"o_custkey".as("c"),
+      $"o_orderkey".as("k"),
+      datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("day"))
+    val w = Window.partitionBy($"c").orderBy($"day", $"k")
+    val e = o
+      .withColumn("pk", lag($"k", 1).over(w))
+      .withColumn("pd", lag($"day", 1).over(w))
+      .filter($"pk".isNotNull && $"day" - $"pd" <= 7)
+      .select($"k".as("src"), $"pk".as("dst"))
+    val (labels, _) = ccStarContraction(e, o.select($"k".as("node")),
+      maxRounds)
+    labels.select($"node".as("o_orderkey"), $"label".as("component"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** The star-contraction kernel over an arbitrary (src, dst) edge
+    * frame: (labels, alternations used). `nodes` supplies the node
+    * domain so isolated nodes keep a self-label. */
+  private[graft] def ccStarContraction(edges0: DataFrame, nodes: DataFrame,
+                                       maxRounds: Int = 25)
+      : (DataFrame, Int) = {
+    import edges0.sparkSession.implicits._
+    var edges = edges0
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      // LARGE-STAR over the symmetric neighborhood: per node u, link
+      // every neighbor v > u to m = min(N(u) ∪ {u})
+      val nbrL = edges.select($"a".as("u"), $"b".as("v"))
+        .unionAll(edges.select($"b".as("u"), $"a".as("v")))
+      val mL = nbrL.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val afterL = nbrL.join(mL, "u").filter($"v" > $"u")
+        .select(least($"v", $"m").as("a"), greatest($"v", $"m").as("b"))
+        .filter($"a" =!= $"b").distinct().localCheckpoint()
+      // SMALL-STAR on the to-smaller orientation: per node u, link
+      // all its smaller neighbors AND u itself to their min
+      val nbrS = afterL.select($"b".as("u"), $"a".as("v"))
+      val mS = nbrS.groupBy($"u").agg(min($"v").as("m"))
+      val afterS = nbrS.join(mS, "u")
+        .select(explode(array(struct($"v".as("x"), $"m"),
+          struct($"u".as("x"), $"m"))).as("p"))
+        .select(least($"p.x", $"p.m").as("a"),
+          greatest($"p.x", $"p.m").as("b"))
+        .filter($"a" =!= $"b").distinct().localCheckpoint()
+      // exact edge-set fixpoint in ONE job: both sides are distinct
+      // sets, so an empty symmetric difference (rows appearing in
+      // exactly one of the two) ⇔ equal sets
+      done = afterS.unionAll(edges).groupBy($"a", $"b").count()
+        .filter($"count" === 1).isEmpty
+      edges = afterS
+    }
+    val labeled = edges.select($"b".as("node"), $"a".as("label"))
+      .unionAll(edges.select($"a".as("node"), $"a".as("label")))
+      .groupBy($"node").agg(min($"label").as("label"))
+    val all = nodes.distinct().join(labeled, Seq("node"), "left")
+      .select($"node", coalesce($"label", $"node").as("label"))
+    (all, rounds)
+  }
+
   /** Synchronous label-propagation communities over the co-purchase
     * part graph — the assortment/community census ([[kCore]] extracts
     * the dense backbone; LPA assigns EVERY node a community by

@@ -1261,6 +1261,37 @@ class BehaviorSpec extends SparkSpec {
     assert(s2 > math.floor(math.log(1e-6) * 1e9).toLong)
   }
 
+  test("ccStarContraction: identical labels to HashMin on a planted " +
+    "200-hop path, in O(log n) alternations instead of 200 rounds") {
+    import org.apache.spark.sql.functions.col
+    // a single path 0-1-2-…-200 (diameter 200) plus an isolated node
+    // 999 and a small separate triangle 300-301-302
+    val edges = ((0L until 200L).map(i => (i, i + 1)) ++
+      Seq((300L, 301L), (301L, 302L), (302L, 300L)))
+      .toDF("src", "dst")
+    val nodes = ((0L to 200L) ++ Seq(300L, 301L, 302L, 999L))
+      .toDF("node")
+    val (labels, rounds) =
+      Graph.ccStarContraction(edges, nodes, maxRounds = 25)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((0L to 200L).map(_ -> 0L) ++
+      Seq(300L, 301L, 302L).map(_ -> 300L) ++ Seq(999L -> 999L)).toMap
+    assert(got == want, s"labels must equal ground truth, got $got")
+    assert(rounds <= 12,
+      s"star contraction must label a 200-hop path in O(log n) " +
+        s"alternations (HashMin needs 200 propagation rounds), " +
+        s"took $rounds")
+    // and on real data the third algorithm agrees with HashMin
+    val d = "/root/testdata/sf0.001"
+    val hashMin = Graph.connectedComponents(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val star = Graph.ccTwoPhase(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(star == hashMin,
+      "two-phase star contraction must agree with HashMin on the " +
+        "purchase-burst graph")
+  }
+
   test("negativeSampling: bucket prefilter + fallback = direct draw") {
     // Planted catalog of 40 items, 12 users; each user purchases a
     // different-sized positive slice so the forced low-bucket draw
