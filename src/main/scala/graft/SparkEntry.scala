@@ -1005,6 +1005,20 @@ object SparkEntry {
     // oracle
     "q316_cc_two_phase" -> ((s: SparkSession, d: String) =>
       Graph.ccTwoPhase(s, d)),
+    // Online CUSUM mean-shift alarm (Page's test) over daily revenue:
+    // the sequential watcher next to q272's offline changepoint —
+    // closed form over deviation prefix sums, day-domain windows
+    "q317_cusum_alarm" -> ((s: SparkSession, d: String) =>
+      Stats.cusumAlarm(s, d)),
+    // DSv2 LIMIT pushdown: the generator clamps its interval to the
+    // first n ids instead of materializing 2M rows for a GlobalLimit
+    // to discard (GenSourceSpec pins the clamped GenScan)
+    "q318_gen_limit_pushdown" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "2000000").option("parts", "8").load()
+        .filter(col("id") >= 1000L).limit(5).orderBy(col("id"))
+    }),
     // DSv2 COMPLETE aggregate pushdown: count/min/max/sum answered by
     // the generator's closed forms over the filter-clamped interval —
     // zero rows materialized (GenSourceSpec pins the GenAggScan plan)
@@ -4855,6 +4869,49 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q318: LIMIT over an ascending generated range is the first n
+    // ids — the clamp makes the engine side deterministic too
+    "q318_gen_limit_pushdown" ->
+      """WITH g AS (
+        |  SELECT range AS id,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(1000, 1005))
+        |SELECT id, CAST(h % 1000 AS BIGINT) AS bucket,
+        |  CAST((h // 1000) % 100000 AS BIGINT) AS cents
+        |FROM g ORDER BY id""".stripMargin,
+    // q317: identical prefix-sum closed form S = P − min(0, min P);
+    // floor divisions via // on positive operands
+    "q317_cusum_alarm" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |base AS (
+        |  SELECT CAST(SUM(v) // COUNT(*) AS BIGINT) AS mu0
+        |  FROM rk WHERE rn <= 90),
+        |dev AS (
+        |  SELECT day, mu0, CAST(mu0 // 100 AS BIGINT) AS k,
+        |    CAST((mu0 // 100) * 20 AS BIGINT) AS h,
+        |    v - mu0 - mu0 // 100 AS dev
+        |  FROM rk CROSS JOIN base),
+        |p AS (
+        |  SELECT day, mu0, k, h,
+        |    SUM(dev) OVER (ORDER BY day) AS p
+        |  FROM dev),
+        |s AS (
+        |  SELECT day, mu0, k, h,
+        |    p - LEAST(MIN(p) OVER (ORDER BY day), 0) AS s
+        |  FROM p),
+        |sel AS (SELECT day, s FROM s WHERE s > h ORDER BY day LIMIT 1)
+        |SELECT (SELECT CAST(MAX(mu0) AS BIGINT) FROM s) AS mu0_cents,
+        |  (SELECT CAST(MAX(k) AS BIGINT) FROM s) AS k_cents,
+        |  (SELECT CAST(MAX(h) AS BIGINT) FROM s) AS h_cents,
+        |  (SELECT day FROM sel) AS alarm_day,
+        |  (SELECT CAST(s AS BIGINT) FROM sel) AS s_at_alarm""".stripMargin,
     // q165: ROW_NUMBER-ranked oracle (window algorithm) against the
     // engine's distributed global index; HUGEINT staged divisions
     "q165_concentration" ->

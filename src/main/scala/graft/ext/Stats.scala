@@ -2725,6 +2725,51 @@ object Stats {
     * that ~2.4k-row frame (the q191 bounded-domain window
     * discipline), so nothing here scales with row count.
     */
+  /** Online CUSUM mean-shift alarm over the daily revenue stream
+    * (Page's test) — the SEQUENTIAL detector next to
+    * [[changepointSse]]'s offline split: where q272 scans every
+    * split of the finished series for the best breakpoint, CUSUM
+    * answers the monitoring question "on which day would an online
+    * watcher have fired?". The recursion S_t = max(0, S_{t−1} +
+    * (x_t − μ₀ − k)) has the closed form S_t = P_t − min(0,
+    * min_{i≤t} P_i) over the deviation prefix sums P — two frames of
+    * ONE window over the DAY domain (the q272 precedent: ~2.5k rows,
+    * never the fact), so no sequential dependence survives into the
+    * plan. μ₀ is the mean of the first `baselineDays` days
+    * (calibration window), the allowance k = μ₀/kDivisor and the
+    * threshold h = k·hMult — all integer cents, floor divisions.
+    * Output is the first alarm day with its statistic (one row;
+    * NULLs if the series never alarms), plus the calibration
+    * constants so the release is self-describing.
+    */
+  def cusumAlarm(spark: SparkSession, d: String, baselineDays: Int = 90,
+                 kDivisor: Long = 100L, hMult: Long = 20L): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day").agg(sum($"c").as("v"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = daily.withColumn("rn", count(lit(1)).over(w))
+    val base = ranked.filter($"rn" <= baselineDays)
+      .agg(expr("sum(v) div count(1)").as("mu0"))
+    val dev = ranked.crossJoin(broadcast(base))
+      // `div`, not `/`: Column./ is DOUBLE division (the q315 landmine)
+      .select($"day", $"v", $"mu0", expr(s"mu0 div $kDivisor").as("k"))
+      .select($"day", $"v", $"mu0", $"k", ($"k" * hMult).as("h"),
+        ($"v" - $"mu0" - $"k").as("dev"))
+    val s = dev
+      .withColumn("p", sum($"dev").over(w))
+      .withColumn("s", $"p" - least(min($"p").over(w), lit(0L)))
+    s.agg(
+        min(when($"s" > $"h", struct($"day", $"s"))).as("alarm"),
+        max($"mu0").as("mu0_cents"), max($"k").as("k_cents"),
+        max($"h").as("h_cents"))
+      .select($"mu0_cents", $"k_cents", $"h_cents",
+        $"alarm.day".as("alarm_day"), $"alarm.s".as("s_at_alarm"))
+  }
+
   def changepointSse(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"

@@ -71,10 +71,24 @@ object GenSource {
   private class GenScanBuilder(rows: Long, parts: Int)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
     private var required: StructType = Schema
     private var lo = 0L
     private var hi = rows
+
+    /** LIMIT clamps the interval's far end — the generator emits
+      * exactly the first `limit` ids of the (filter-clamped) range
+      * instead of materializing the full interval for an upstream
+      * GlobalLimit to discard: the DSv2 analog of stopping a file
+      * scan after n rows. Deterministic (ids ascend from `lo`), so
+      * LIMIT over this source is oracle-stable. Ignored under a
+      * pushed aggregate (build() prefers the agg scan; aggregates
+      * above a limit never reach one ScanBuilder anyway). */
+    override def pushLimit(limit: Int): Boolean = {
+      if (limit >= 0 && hi - lo > limit) hi = lo + limit
+      true
+    }
     private var accepted: Array[Filter] = Array.empty
     private var pushedAgg:
       Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] =

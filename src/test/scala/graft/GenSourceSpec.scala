@@ -118,6 +118,20 @@ class GenSourceSpec extends SparkSpec {
     assert(gen(1000, 4).filter($"id" === Long.MaxValue).count() == 0L)
   }
 
+  test("LIMIT pushes into the source: the interval clamps to the " +
+    "first n ids instead of generating the full range") {
+    val df = gen(2000000L, 8).filter($"id" >= 1000L).limit(5)
+    val scan = genScanOf(df)
+    assert(scan.lo == 1000L && scan.hi == 1005L,
+      s"limit must clamp the far end, got [${scan.lo}, ${scan.hi})")
+    assert(df.select($"id").as[Long].collect().sorted.toSeq ==
+      (1000L until 1005L).toSeq)
+    // a limit wider than the interval leaves the clamp alone
+    val wide = gen(100L, 4).limit(1000)
+    assert(genScanOf(wide).hi == 100L)
+    assert(wide.count() == 100L)
+  }
+
   test("sum pushdown refuses when the closed form overflows Long — " +
     "ANSI parity with the un-pushed aggregate") {
     val lo = Long.MaxValue - 1000L
