@@ -192,9 +192,20 @@ object GenSource {
     * min/max are NULL. */
   private[graft] class GenAggScan(val lo: Long, val hi: Long,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      extends Scan with Batch {
+      extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     import org.apache.spark.sql.connector.expressions.aggregate._
     private val n = math.max(0L, hi - lo)
+
+    /** A completely-pushed ungrouped aggregate is one row, and says so. */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(8L * agg.aggregateExpressions.length)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(1L)
+      }
     private def vals: Array[Any] = agg.aggregateExpressions.map[Any] {
       case _: CountStar => n
       case _: Count => n // id is non-null
@@ -235,8 +246,27 @@ object GenSource {
   }
 
   private[graft] class GenScan(val lo: Long, val hi: Long, parts: Int,
-      required: StructType) extends Scan with Batch {
+      required: StructType) extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
+
+    /** EXACT statistics from the clamped interval — row count is
+      * hi − lo by construction, bytes = rows × the pruned row width
+      * (3 longs max). Spark's join planning reads these: a
+      * filter-clamped generator side under the broadcast threshold
+      * auto-broadcasts instead of shuffling both sides — the same
+      * effect parquet footer counts give a file scan, and exactly
+      * the decision a formula-backed source should make for free. */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        private val rows = math.max(0L, hi - lo)
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(
+            rows * (8L * math.max(1, required.size)))
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rows)
+      }
     override def toBatch: Batch = this
     override def description(): String =
       s"GenScan[$lo, $hi) parts=$parts cols=${required.fieldNames.mkString(",")}"

@@ -118,6 +118,26 @@ class GenSourceSpec extends SparkSpec {
     assert(gen(1000, 4).filter($"id" === Long.MaxValue).count() == 0L)
   }
 
+  test("reported statistics drive join planning: a filter-clamped " +
+    "side auto-broadcasts WITHOUT a hint; an unclamped one does not") {
+    // the probe side reports ~160 MB — over the broadcast threshold —
+    // so only the generator side's own statistics decide the strategy
+    val big = spark.range(0L, 20000000L).toDF("id")
+    val smallSide = gen(50000000L, 8)
+      .filter($"id" >= 100L && $"id" < 1100L)   // 1000 rows by stats
+    val j = big.join(smallSide, "id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exact 1000-row stats must pick a broadcast join:\n$plan")
+    assert(j.count() == 1000L)
+    // the unclamped 50M-row scan reports ~1.2 GB and must NOT plan a
+    // static broadcast on either side
+    val wide = big.join(gen(50000000L, 8), "id")
+    val initial = wide.queryExecution.sparkPlan.toString
+    assert(!initial.contains("BroadcastHashJoin"),
+      s"a 50M-row side must not statically broadcast:\n$initial")
+  }
+
   test("LIMIT pushes into the source: the interval clamps to the " +
     "first n ids instead of generating the full range") {
     val df = gen(2000000L, 8).filter($"id" >= 1000L).limit(5)
