@@ -23,12 +23,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    (`_staging_<queryId>/part-<partition>-<task>`) and reports it in
   *    its [[WriterCommitMessage]] only from `commit()` — a failed or
   *    speculatively-duplicated attempt's file is never reported;
-  *  - the driver's [[BatchWrite.commit]] publishes: rename every
-  *    reported staged file into the target directory, then write the
-  *    `_MANIFEST` (the reported file list) via temp-file + atomic
-  *    rename. Readers that consult the manifest (the house contract,
-  *    asserted in AtomicSinkSpec) see the OLD complete state or the
-  *    NEW complete state, never a torn mix;
+  *  - the driver's [[BatchWrite.commit]] publishes a SNAPSHOT:
+  *    staged files rename into the target under a version prefix
+  *    (`v<N>-part-…` — a later commit or a restarted JVM reusing
+  *    task ids can never clobber an earlier snapshot's files), then
+  *    the versioned manifest `_MANIFEST.v<N>` appears by one atomic
+  *    rename to a never-pre-existing name — THE commit point.
+  *    Readers that consult manifests (the house contract, asserted
+  *    in AtomicSinkSpec) see the OLD complete snapshot or the NEW
+  *    complete one, never a torn mix; retained versioned manifests
+  *    give plain-filesystem time travel ([[AtomicSink.committedFiles
+  *    (spark, path, version)]] = `VERSION AS OF`);
   *  - [[BatchWrite.abort]] deletes the staging directory — a job that
   *    dies mid-write publishes NOTHING.
   *
@@ -54,12 +59,47 @@ object AtomicSink {
   val ManifestFile = "_MANIFEST"
 
   /** Rows of `path` that a manifest-honoring reader may see: the
-    * manifest's files, in manifest order. Empty if no manifest —
-    * i.e. nothing was ever committed. */
+    * LATEST snapshot's files, in manifest order. Resolved as the
+    * highest `_MANIFEST.v<N>` — each versioned manifest appears by
+    * one atomic rename to a name that never pre-exists, so this read
+    * sees the old complete snapshot or the new complete one, never a
+    * torn mix (Hadoop `rename` cannot atomically REPLACE, so a
+    * mutable latest-pointer file could not give that guarantee).
+    * Falls back to the legacy un-versioned `_MANIFEST` for
+    * pre-snapshot directories. Empty if nothing was ever committed. */
   def committedFiles(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Seq[String] = {
+                     path: String): Seq[String] =
+    versionsOf(path).lastOption match {
+      case Some(v) => readManifest(path, new Path(path, s"$ManifestFile.v$v"))
+      case None => readManifest(path, new Path(path, ManifestFile))
+    }
+
+  /** Time travel: the file list of snapshot `version` (1-based commit
+    * order). Every commit retains the previous commits' files (its
+    * own are version-prefixed, so they can never clobber), so an old
+    * snapshot read is exactly the table as of that commit — the
+    * plain-filesystem form of a table format's `VERSION AS OF`.
+    * Empty if that version was never committed. */
+  def committedFiles(spark: org.apache.spark.sql.SparkSession,
+                     path: String, version: Int): Seq[String] =
+    readManifest(path, new Path(path, s"$ManifestFile.v$version"))
+
+  /** Committed snapshot versions present at `path`, ascending. */
+  def versions(spark: org.apache.spark.sql.SparkSession,
+               path: String): Seq[Int] = versionsOf(path)
+
+  private[io] def versionsOf(path: String): Seq[Int] = {
     val fs = new Path(path).getFileSystem(new Configuration())
-    val mf = new Path(path, ManifestFile)
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$ManifestFile.v") =>
+        n.stripPrefix(s"$ManifestFile.v") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+  }
+
+  private def readManifest(path: String, mf: Path): Seq[String] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
     if (!fs.exists(mf)) Seq.empty
     else {
       val in = fs.open(mf)
@@ -94,17 +134,36 @@ object AtomicSink {
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val f = fs
-      val names = messages.collect { case StagedFile(name) => name }.sorted
-      names.foreach { n =>
-        f.rename(new Path(staging, n), new Path(path, n))
+      // SNAPSHOT versioning: published names carry the commit's
+      // version prefix, so no later commit (or JVM restart reusing
+      // task ids) can ever clobber an earlier snapshot's files —
+      // which is what makes the retained `_MANIFEST.v<N>` manifests
+      // honest time-travel reads, not just pointers into mutable
+      // state
+      val version = AtomicSink.versionsOf(path).lastOption.getOrElse(0) + 1
+      val names = messages.collect { case StagedFile(name) => name }
+        .sorted.map(n => s"v$version-$n")
+      messages.collect { case StagedFile(name) => name }.sorted
+        .zip(names).foreach { case (from, to) =>
+          f.rename(new Path(staging, from), new Path(path, to))
+        }
+      def writeAtomic(target: Path): Unit = {
+        val tmp = new Path(path, s"_MANIFEST.tmp-$queryId")
+        val out = f.create(tmp, true)
+        try out.write(names.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        f.rename(tmp, target)
       }
-      // manifest last, via temp + atomic rename: its appearance IS
-      // the commit point
-      val tmp = new Path(path, s"_MANIFEST.tmp-$queryId")
-      val out = f.create(tmp, true)
-      try out.write(names.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-      f.rename(tmp, new Path(path, ManifestFile))
+      // the versioned manifest's atomic rename to a NEVER-pre-existing
+      // name IS the commit point (Hadoop rename cannot atomically
+      // replace an existing file, so the fresh name per commit is
+      // what makes the publish atomic); the legacy `_MANIFEST` view
+      // is refreshed after via delete+rename — canonical readers
+      // resolve the max version and never depend on it
+      writeAtomic(new Path(path, s"${AtomicSink.ManifestFile}.v$version"))
+      val legacy = new Path(path, AtomicSink.ManifestFile)
+      f.delete(legacy, false)
+      writeAtomic(legacy)
       f.delete(staging, true)
     }
 

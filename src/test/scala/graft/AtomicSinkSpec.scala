@@ -20,13 +20,17 @@ class AtomicSinkSpec extends SparkSpec {
 
     val files = graft.io.AtomicSink.committedFiles(spark, dir)
     assert(files.size == 4, s"one published file per partition: $files")
+    assert(files.forall(_.startsWith("v1-")),
+      s"published names carry the snapshot version prefix: $files")
     assert(files.forall(f => new java.io.File(dir, f).isFile),
       "every manifest entry exists in the target dir")
-    // no staging residue, nothing published outside the manifest
+    // no staging residue, nothing published outside the manifest +
+    // its retained versioned snapshot
     // (dot-prefixed entries are LocalFileSystem .crc sidecars)
     val onDisk = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).toSet
-    assert(onDisk == files.toSet + graft.io.AtomicSink.ManifestFile,
+    assert(onDisk == files.toSet + graft.io.AtomicSink.ManifestFile +
+      s"${graft.io.AtomicSink.ManifestFile}.v1",
       s"on disk: $onDisk")
 
     val back = spark.read.option("sep", "\t")
@@ -35,6 +39,32 @@ class AtomicSinkSpec extends SparkSpec {
     assert(back.count() == 100)
     assert(back.agg(sum($"id")).head.getLong(0) == 5050L)
     assert(back.filter($"name" === "row42").head.getDouble(2) == 63.0)
+  }
+
+  test("snapshots: a second commit leaves version 1 readable as of " +
+    "its commit — plain-filesystem time travel") {
+    val dir = Files.createTempDirectory("graft-atomic-tt").toString
+    def write(lo: Long, hi: Long): Unit =
+      (lo to hi).map(i => (i, s"row$i", i * 1.0)).toDF("id", "name", "v")
+        .repartition(2).write.format(fmt).mode("append").save(dir)
+    write(1L, 10L)
+    write(100L, 120L)
+    assert(graft.io.AtomicSink.versions(spark, dir) == Seq(1, 2))
+    def idsOf(files: Seq[String]): Seq[Long] =
+      spark.read.option("sep", "\t")
+        .schema("id LONG, name STRING, v DOUBLE")
+        .csv(files.map(f => s"$dir/$f"): _*)
+        .select($"id").as[Long].collect().sorted.toSeq
+    // VERSION AS OF 1: exactly the first commit's rows
+    assert(idsOf(graft.io.AtomicSink.committedFiles(spark, dir, 1))
+      == (1L to 10L))
+    // latest == snapshot 2
+    assert(graft.io.AtomicSink.committedFiles(spark, dir)
+      == graft.io.AtomicSink.committedFiles(spark, dir, 2))
+    assert(idsOf(graft.io.AtomicSink.committedFiles(spark, dir))
+      == (100L to 120L))
+    // the never-committed version reads empty
+    assert(graft.io.AtomicSink.committedFiles(spark, dir, 9).isEmpty)
   }
 
   test("a failing write publishes nothing — no manifest, no files") {
