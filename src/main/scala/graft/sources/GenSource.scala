@@ -72,7 +72,8 @@ object GenSource {
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
     private var required: StructType = Schema
     private var lo = 0L
     private var hi = rows
@@ -87,6 +88,17 @@ object GenSource {
       * above a limit never reach one ScanBuilder anyway). */
     override def pushLimit(limit: Int): Boolean = {
       if (limit >= 0 && hi - lo > limit) hi = lo + limit
+      true
+    }
+
+    /** OFFSET clamps the near end symmetrically (Spark pushes OFFSET
+      * after LIMIT semantics are already applied to the plan, and
+      * only when the whole prefix can be skipped): the generator
+      * starts `offset` ids in instead of generating-and-discarding
+      * them. Together with [[pushLimit]] this completes the
+      * paginate-without-materializing story. */
+    override def pushOffset(offset: Int): Boolean = {
+      if (offset >= 0) lo = math.min(lo + offset, hi)
       true
     }
     private var accepted: Array[Filter] = Array.empty

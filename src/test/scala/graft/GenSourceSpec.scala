@@ -150,6 +150,14 @@ class GenSourceSpec extends SparkSpec {
     val wide = gen(100L, 4).limit(1000)
     assert(genScanOf(wide).hi == 100L)
     assert(wide.count() == 100L)
+    // OFFSET clamps the near end: paginate without materializing the
+    // skipped prefix
+    val page = gen(2000000L, 8).offset(1000).limit(5)
+    val ps = genScanOf(page)
+    assert(ps.lo == 1000L && ps.hi == 1005L,
+      s"offset+limit must clamp both ends, got [${ps.lo}, ${ps.hi})")
+    assert(page.select($"id").as[Long].collect().sorted.toSeq ==
+      (1000L until 1005L).toSeq)
   }
 
   test("sum pushdown refuses when the closed form overflows Long — " +
