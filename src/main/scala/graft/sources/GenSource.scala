@@ -257,9 +257,45 @@ object GenSource {
     }
   }
 
-  private[graft] class GenScan(val lo: Long, val hi: Long, parts: Int,
+  private[graft] class GenScan(lo0: Long, hi0: Long, parts: Int,
       required: StructType) extends Scan with Batch
-      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics
+      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    private var loV = lo0
+    private var hiV = hi0
+    def lo: Long = loV
+    def hi: Long = hiV
+
+    /** RUNTIME filtering — the DSv2 analog of dynamic partition
+      * pruning: when this scan probes a broadcast join, Spark hands
+      * it the build side's `id` key set AT RUNTIME and the interval
+      * clamps to that set's [min, max] hull before a single
+      * partition is planned — a 10M-row interval joined against 50
+      * dimension keys generates the hull, not the 10M. The hull is a
+      * SUPERSET of the keys, which the contract allows (the join
+      * re-applies its condition); interval arithmetic keeps the
+      * pruning exact at the ends, the same guarantee the static
+      * pushFilters path gives. */
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("id"))
+
+    override def filter(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+      filters.foreach {
+        case org.apache.spark.sql.sources.In("id", values) =>
+          val longs = values.collect {
+            case l: Long => l
+            case i: Int => i.toLong
+          }
+          if (longs.nonEmpty) {
+            loV = math.max(loV, longs.min)
+            hiV = math.min(hiV, longs.max + 1)
+          } else hiV = loV // empty build side: nothing can match
+        case _ => () // unsupported shapes: no pruning, still correct
+      }
+
     override def readSchema(): StructType = required
 
     /** EXACT statistics from the clamped interval — row count is

@@ -118,6 +118,36 @@ class GenSourceSpec extends SparkSpec {
     assert(gen(1000, 4).filter($"id" === Long.MaxValue).count() == 0L)
   }
 
+  test("runtime filtering: a broadcast join's build-side keys clamp " +
+    "the generated interval at RUNTIME (DSv2 dynamic pruning analog)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // big generated side (reports ~240 MB, so IT is the probe side);
+    // the dimension carries a SELECTIVE filter — the shape Spark's
+    // runtime-filtering heuristic requires on the build side —
+    // leaving 50 ids clustered in [70000, 70049]
+    val dim = spark.range(0L, 1000000L).toDF("id")
+      .filter($"id" >= 70000L && $"id" < 70050L)
+    val j = gen(10000000L, 8).join(dim, "id")
+    assert(j.count() == 50L)
+    // after execution the scan's interval must have clamped to the
+    // build-side hull, not the 10M-row static interval (AQE wraps
+    // the executed plan — read the adaptive FINAL plan)
+    val finalPlan = j.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("BroadcastHashJoin"))
+    val scan = finalPlan.collectFirst {
+      case b: BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.GenSource.GenScan] =>
+        b.scan.asInstanceOf[graft.sources.GenSource.GenScan]
+    }.get
+    assert(scan.lo == 70000L && scan.hi == 70050L,
+      s"runtime filter must clamp the interval, got " +
+        s"[${scan.lo}, ${scan.hi})")
+  }
+
   test("reported statistics drive join planning: a filter-clamped " +
     "side auto-broadcasts WITHOUT a hint; an unclamped one does not") {
     // the probe side reports ~160 MB — over the broadcast threshold —
