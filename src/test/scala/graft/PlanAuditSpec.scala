@@ -565,6 +565,17 @@ class PlanAuditSpec extends SparkSpec {
       "per-vector top-k must ride TopKAgg partials, not a rank window")
   }
 
+  test("q275: negatives ride the bounded TopKAgg partial — never a " +
+    "catalog-sized collect_list buffer, never a rank window") {
+    val plan = planOf("q275_negative_sampling")
+    assert(plan.contains("TopKAgg"),
+      s"per-user draws must aggregate through TopKAgg partials:\n$plan")
+    assert(!plan.contains("collect_list"),
+      "the round-11 catalog-sized collect-and-slice must stay gone")
+    assert(!plan.contains("Window"),
+      "no per-user rank window may replace the bounded partial")
+  }
+
   test("q210: served estimates scan ONLY the register table, never orders") {
     val df = SparkEntry.queries("q210_mv_hll_distinct")(spark, d)
     val leaves = df.queryExecution.executedPlan.collectLeaves()
