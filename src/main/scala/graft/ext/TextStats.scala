@@ -752,26 +752,27 @@ object TextStats {
     * hash-matches (no SQL DEFLATE exists; the real compressor
     * remains the spec-verified gear).
     *
-    * Scale shape: each row expands to its own n−3 windows (one
-    * `transform(sequence(...))` — map-side, no join), then ONE
-    * per-doc distinct aggregate; the q62 token-2-gram discipline at
-    * character granularity. Docs shorter than 4 chars keep a row
-    * (uniq4 = 0, ratio NULL) — the cell-completeness lesson.
+    * Scale shape: MAP-ONLY — each row computes its own distinct-gram
+    * count in place (`size(array_distinct(transform(sequence(...))))`;
+    * state per row is bounded by the document's own size, exactly
+    * like holding the text), so there is NO explode, NO shuffle, and
+    * no join before the presentation sort — the per-document scoring
+    * shape every quality gate here uses. Docs shorter than 4 chars
+    * keep a row (uniq4 = 0, ratio NULL) — the cell-completeness
+    * lesson.
     */
   def dupGramCompressibility(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, d)
+    Tables.documents(spark, d)
       .select($"doc_id", $"source",
         length($"text").cast("long").as("n_chars"), $"text")
-    val uniq = docs.filter($"n_chars" >= 4)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, CAST(n_chars AS INT) - 3)," +
-          " i -> substring(text, i, 4))")).as("g"))
-      .groupBy($"doc_id").agg(countDistinct($"g").as("uniq4"))
-    docs.join(uniq, Seq("doc_id"), "left")
       .select($"doc_id", $"source", $"n_chars",
         greatest($"n_chars" - 3, lit(0L)).as("n4"),
-        coalesce($"uniq4", lit(0L)).as("uniq4"))
+        when($"n_chars" >= 4, expr(
+          "CAST(size(array_distinct(transform(" +
+            "sequence(1, CAST(n_chars AS INT) - 3)," +
+            " i -> substring(text, i, 4)))) AS BIGINT)"))
+          .otherwise(lit(0L)).as("uniq4"))
       .select($"doc_id", $"source", $"n_chars", $"n4", $"uniq4",
         when($"n4" > 0,
           expr("CAST((n4 - uniq4) * 1000000 div n4 AS BIGINT)"))
