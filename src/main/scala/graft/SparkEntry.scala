@@ -1010,6 +1010,11 @@ object SparkEntry {
     // closed form over deviation prefix sums, day-domain windows
     "q317_cusum_alarm" -> ((s: SparkSession, d: String) =>
       Stats.cusumAlarm(s, d)),
+    // Split-conformal prediction interval for the daily-revenue OLS:
+    // distribution-free ±q-hat coverage from exact integer residual
+    // order statistics (train = odd days, calibrate = even days)
+    "q319_conformal_interval" -> ((s: SparkSession, d: String) =>
+      Stats.conformalInterval(s, d)),
     // DSv2 LIMIT pushdown: the generator clamps its interval to the
     // first n ids instead of materializing 2M rows for a GlobalLimit
     // to discard (GenSourceSpec pins the clamped GenScan)
@@ -4869,6 +4874,49 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q319: identical odd/even split, HUGEINT-staged closed-form OLS,
+    // the same k = ceil((n_cal+1)(1-alpha)) crossing rank
+    "q319_conformal_interval" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS x
+        |  FROM daily),
+        |tr AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM rk WHERE x % 2 = 1),
+        |fit AS (
+        |  SELECT n, sx, sy,
+        |    n * sxy - sx * sy AS num_b,
+        |    n * sxx - sx * sx AS den_b
+        |  FROM tr),
+        |cal AS (
+        |  SELECT day,
+        |    abs(CAST(y AS HUGEINT) * n * den_b -
+        |        (n * num_b * CAST(x AS HUGEINT) +
+        |         sy * den_b - num_b * sx)) AS r,
+        |    n, num_b, den_b
+        |  FROM rk CROSS JOIN fit WHERE x % 2 = 0),
+        |rr AS (
+        |  SELECT r, n, num_b, den_b,
+        |    ROW_NUMBER() OVER (ORDER BY r, day) AS rr,
+        |    COUNT(*) OVER () AS n_cal
+        |  FROM cal)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_train,
+        |  CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+        |  CAST(MAX(num_b) * 1000000 // MAX(den_b) AS BIGINT)
+        |    AS slope_cents_q6,
+        |  CAST(MIN(CASE WHEN rr * 100 >= (n_cal + 1) * 90 THEN r END)
+        |    * 1000000 // (MAX(n) * MAX(den_b)) AS BIGINT)
+        |    AS qhat_cents_q6
+        |FROM rr""".stripMargin,
     // q318: LIMIT over an ascending generated range is the first n
     // ids — the clamp makes the engine side deterministic too
     "q318_gen_limit_pushdown" ->

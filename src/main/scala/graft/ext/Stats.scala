@@ -2725,6 +2725,74 @@ object Stats {
     * that ~2.4k-row frame (the q191 bounded-domain window
     * discipline), so nothing here scales with row count.
     */
+  /** Split-conformal prediction interval for the daily-revenue OLS —
+    * the distribution-free coverage guarantee modern eval stacks wrap
+    * around ANY point model: fit on the odd-ranked days, score the
+    * even-ranked calibration days, and the interval half-width q̂ is
+    * the k-th smallest absolute calibration residual with
+    * k = ⌈(n_cal+1)·(1−α)⌉ — by exchangeability the interval
+    * ŷ ± q̂ then covers a fresh day with probability ≥ 1−α,
+    * no normality assumed (vs q278's bootstrap, which assumes the
+    * resampling approximates the sampling distribution).
+    *
+    * Exactness: the OLS fit is the q100 closed form held as exact
+    * DECIMAL(38,0) rationals (num_b/den_b); every residual is scaled
+    * by S = n_train·den_b so |y·S − (n·num_b·x + sy·den_b −
+    * num_b·sx)| is an exact integer, the order statistic is exact,
+    * and the reported half-width divides back to q6 cents with one
+    * floor division. The oracle mirrors in HUGEINT. Scale shape: one
+    * map-side-combinable daily aggregate over the fact, everything
+    * above it on the bounded day domain (the q272 window precedent).
+    */
+  def conformalInterval(spark: SparkSession, d: String,
+                        alphaPct: Int = 10): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day").agg(sum($"c").as("y"))
+    val ranked = daily
+      .withColumn("x", count(lit(1)).over(Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val train = ranked.filter($"x" % 2 === 1)
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"x".cast(dec)).as("sx"),
+        sum($"y".cast(dec)).as("sy"),
+        sum(expr(s"CAST(x AS $dec) * y")).as("sxy"),
+        sum(expr(s"CAST(x AS $dec) * x")).as("sxx"))
+      .select($"n", $"sx", $"sy",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("num_b"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("den_b"))
+    val cal = ranked.filter($"x" % 2 === 0)
+      .crossJoin(broadcast(train))
+      .select($"day", $"x", $"y", $"n", $"num_b", $"den_b",
+        abs($"y".cast(dec) * $"n" * $"den_b" -
+          ($"n" * $"num_b" * $"x".cast(dec) +
+            $"sy" * $"den_b" - $"num_b" * $"sx")).as("r"))
+    val w = Window.orderBy($"r", $"day")
+    val rankedR = cal
+      .withColumn("rr", row_number().over(w))
+      .withColumn("n_cal", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    rankedR
+      .agg(max($"n").as("nd"), max($"n_cal").as("n_cal"),
+        max($"num_b").as("num_b"), max($"den_b").as("den_b"),
+        // first rank with rr·100 ≥ (n_cal+1)·(1−α)·100 IS the
+        // k = ⌈(n_cal+1)(1−α)⌉ order statistic
+        min(when(expr(
+          s"rr * 100 >= (n_cal + 1) * ${100 - alphaPct}"), $"r"))
+          .as("qhat_s"))
+      .select(
+        expr(s"CAST(nd AS BIGINT)").as("n_train"),
+        $"n_cal",
+        expr("CAST(num_b * 1000000 div den_b AS BIGINT)")
+          .as("slope_cents_q6"),
+        expr("CAST(qhat_s * 1000000 div (nd * den_b) AS BIGINT)")
+          .as("qhat_cents_q6"))
+  }
+
   /** Online CUSUM mean-shift alarm over the daily revenue stream
     * (Page's test) — the SEQUENTIAL detector next to
     * [[changepointSse]]'s offline split: where q272 scans every

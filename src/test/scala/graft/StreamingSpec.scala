@@ -259,4 +259,40 @@ class StreamingSpec extends SparkSpec {
     assert(result.count() == 1000)                       // no loss
     assert(result.select("event_id").distinct().count() == 1000) // no dupes
   }
+
+  test("RocksDB state store runs the stateful lane identically — " +
+    "the large-state scale path for 100 TB streams") {
+    // HDFSBackedStateStore holds state on the JVM heap; RocksDB spills
+    // to native memory + disk, which is what keeps a billion-key
+    // session/drift state alive on a real cluster. Same query, same
+    // data, provider swapped — results must be identical.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val query = EventStream.windowedCounts(input.toDF())
+        .writeStream.format("memory").queryName("wc_rocks")
+        .outputMode("complete").start()
+      try {
+        // two micro-batches so state genuinely persists across folds
+        val (a, b) = sampleEvents.splitAt(sampleEvents.size / 2)
+        input.addData(a); query.processAllAvailable()
+        input.addData(b); query.processAllAvailable()
+        val streamed = spark.table("wc_rocks")
+          .orderBy("win_start_us", "event_type").collect()
+        val batch = EventStream.windowedCounts(sampleEvents.toDF())
+          .orderBy("win_start_us", "event_type").collect()
+        assert(streamed.nonEmpty && streamed.sameElements(batch),
+          "RocksDB-backed state must land on the exact batch result")
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
