@@ -1015,6 +1015,10 @@ object SparkEntry {
     // order statistics (train = odd days, calibrate = even days)
     "q319_conformal_interval" -> ((s: SparkSession, d: String) =>
       Stats.conformalInterval(s, d)),
+    // Animated-GIF decode: REAL compressed (LZW) multi-frame codec,
+    // pure JDK — grayscale fits one palette, so the round-trip is
+    // lossless and even the decoded LUMA is oracle-exact
+    "q320_gif_decode" -> (Multimodal.gifFeatures _),
     // DSv2 LIMIT pushdown: the generator clamps its interval to the
     // first n ids instead of materializing 2M rows for a GlobalLimit
     // to discard (GenSourceSpec pins the clamped GenScan)
@@ -4874,6 +4878,26 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q320: GIF's gray palette makes the LZW round-trip lossless, so
+    // the oracle recomputes frame count, geometry AND mean luma from
+    // the generator's pixel formula — decode(encode(frames)) ==
+    // frames on a genuinely compressed container (q65's contract;
+    // q263's JPEG could only pin geometry)
+    "q320_gif_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n_frames
+         |  FROM documents
+         |), fp AS (
+         |  SELECT doc_id, n_frames, unnest(range(n_frames)) AS f FROM d
+         |), px AS (
+         |  SELECT doc_id, n_frames, f,
+         |    (doc_id * 17 + f * 29 + unnest(range(64)) * 13) % 256 AS v
+         |  FROM fp
+         |)
+         |SELECT doc_id, n_frames, CAST(8 AS INT) AS width,
+         |  CAST(8 AS INT) AS height,
+         |  ${r4sql("CAST(SUM(v) AS DOUBLE) / COUNT(*)")} AS mean_luma
+         |FROM px GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
     // q319: identical odd/even split, HUGEINT-staged closed-form OLS,
     // the same k = ceil((n_cal+1)(1-alpha)) crossing rank
     "q319_conformal_interval" ->

@@ -211,8 +211,9 @@ object Multimodal {
     * undecodable frame, or inconsistent geometry — the same
     * drop-don't-fail policy as the other decoders. Inter-frame
     * codecs (H.264/VP9/AV1) remain behind [[decodeMedia]]: the JDK
-    * has no codec for them, and MJPEG is the honest boundary of
-    * dependency-free decode.
+    * has no codec for them, and MJPEG + animated GIF
+    * ([[decodeGif]] — LZW, losslessly oracle-hashed) are the honest
+    * boundary of dependency-free decode.
     */
   def decodeMjpeg(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
     def fourcc(off: Int): String =
@@ -314,6 +315,134 @@ object Multimodal {
       jpegs.flatMap(j => chunk("00dc", j)).toArray)
     val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+  }
+
+  /** Synthetic ANIMATED GIF — a second real compressed codec beside
+    * MJPEG, again pure JDK: multi-frame LZW through ImageIO's GIF
+    * writer. Frames are 8-bit GRAYSCALE on the same deterministic
+    * grid as the other media generators; gray needs at most 256
+    * palette entries, so the GIF round-trip is LOSSLESS — unlike
+    * JPEG, the decoded luma here is closed-form and oracle-hashable
+    * (the q65 Y4M property, on a compressed container). */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val (w, h) = (8, 8)
+    val frames = 2 + (docId % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var p = 0
+        while (p < w * h) {
+          img.getRaster.setSample(p % w, p / w, 0,
+            ((docId * 17 + f * 29 + p * 13) % 256).toInt)
+          p += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** GIF media table: one synthetic animated clip per document id. */
+  def gifMedia(spark: SparkSession, d: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id").as[Long]
+      .map(id => MediaRow(id, "image/gif", syntheticGif(id)))
+  }
+
+  /** Real multi-frame GIF decode via the JDK reader: every frame is
+    * read independently (`reader.read(i)`), geometry must agree
+    * across frames, luma is the ITU-R 601 integer weighting — which
+    * on a gray palette is the gray value itself, exactly. None on
+    * undecodable bytes or inconsistent geometry, the standard
+    * drop-don't-fail policy. */
+  def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          if (reader.getFormatName.toLowerCase != "gif") return None
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          var w = -1
+          var h = -1
+          var lumaSum = 0L
+          var i = 0
+          while (i < n) {
+            val img = reader.read(i)
+            if (img == null) return None
+            if (img.getWidth > MaxImageDim ||
+              img.getHeight > MaxImageDim) return None
+            if (w < 0) { w = img.getWidth; h = img.getHeight }
+            else if (w != img.getWidth || h != img.getHeight) return None
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                lumaSum += (299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+                x += 1
+              }
+              y += 1
+            }
+            i += 1
+          }
+          Some((n, w, h, lumaSum.toDouble / (n.toLong * w * h)))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Decoded-GIF features row. */
+  final case class GifFeatures(doc_id: Long, n_frames: Int, width: Int,
+                               height: Int, mean_luma: Double)
+
+  /** The GIF decode stage: partition-streamed, batched, real LZW
+    * decode per clip; undecodable rows are dropped. */
+  def decodeGifRows(media: Dataset[MediaRow]): Dataset[GifFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          decodeGif(m.content).map { case (n, w, h, luma) =>
+            GifFeatures(m.doc_id, n, w, h, luma)
+          }
+        }
+      }
+    }
+  }
+
+  /** q320: animated-GIF encode→decode→feature round-trip — a REAL
+    * compressed (LZW) multi-frame decode whose luma IS oracle-exact:
+    * grayscale fits one 256-entry palette, so the codec round-trip is
+    * lossless and the decoded mean luma equals the generator's pixel
+    * formula in closed form — the full q65 contract on a genuinely
+    * compressed container (where q263's JPEG could only pin
+    * geometry). */
+  def gifFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    decodeGifRows(gifMedia(spark, d))
+      .toDF()
+      .select($"doc_id", $"n_frames", $"width", $"height",
+        r4($"mean_luma").as("mean_luma"))
+      .orderBy($"doc_id")
   }
 
   /** MJPEG media table: one synthetic AVI clip per document id. */

@@ -210,6 +210,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mjpegFeatures(spark, d).count() == n)
   }
 
+  test("GIF round-trip is lossless; corrupt GIF bytes drop, not fail") {
+    // grayscale fits one 256-entry palette: decoded luma must equal
+    // the generator's formula EXACTLY, not approximately (the JPEG
+    // path can only approximate)
+    val got = Multimodal.decodeGif(Multimodal.syntheticGif(7L)).get
+    val frames = 2 + (7 % 3)
+    val want = (0 until frames).flatMap(f => (0 until 64).map(p =>
+      ((7L * 17 + f * 29 + p * 13) % 256).toDouble)).sum / (frames * 64)
+    assert(got._1 == frames && got._2 == 8 && got._3 == 8)
+    assert(got._4 == want,
+      s"lossless codec must round-trip luma exactly: ${got._4} vs $want")
+    // corrupt payloads drop: a mid-stream truncation (the LZW data
+    // ends mid-frame) and non-GIF bytes (mid-byte FLIPS can survive —
+    // GIF has no payload checksum, the reader just decodes altered
+    // pixels, which is the format's honest behavior)
+    val full = Multimodal.syntheticGif(3L)
+    val truncated = full.take(full.length / 2)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/gif", Multimodal.syntheticGif(1L)),
+      Multimodal.MediaRow(2L, "image/gif", truncated),
+      Multimodal.MediaRow(3L, "image/gif", "GIF89ajunk".getBytes))
+    import spark.implicits._
+    val out = Multimodal.decodeGifRows(rows.toDS()).collect()
+    assert(out.map(_.doc_id).toSet == Set(1L),
+      s"only the intact clip may survive, got ${out.toSeq}")
+  }
+
   /** syntheticPng with every blue channel nudged by +1 (clamped) — a
     * perceptual near-dup: luma moves by at most one count per pixel,
     * so the dHash gradient signs flip on near-ties only. */
