@@ -4935,7 +4935,9 @@ object SparkEntry {
         |  FROM cal)
         |SELECT CAST(MAX(n) AS BIGINT) AS n_train,
         |  CAST(MAX(n_cal) AS BIGINT) AS n_cal,
-        |  CAST(MAX(num_b) * 1000000 // MAX(den_b) AS BIGINT)
+        |  CAST(CASE WHEN MAX(num_b) < 0
+        |    THEN -((-MAX(num_b)) * 1000000 // MAX(den_b))
+        |    ELSE MAX(num_b) * 1000000 // MAX(den_b) END AS BIGINT)
         |    AS slope_cents_q6,
         |  CAST(MIN(CASE WHEN rr * 100 >= (n_cal + 1) * 90 THEN r END)
         |    * 1000000 // (MAX(n) * MAX(den_b)) AS BIGINT)

@@ -2787,7 +2787,13 @@ object Stats {
       .select(
         expr(s"CAST(nd AS BIGINT)").as("n_train"),
         $"n_cal",
-        expr("CAST(num_b * 1000000 div den_b AS BIGINT)")
+        // sign-safe floor division: Spark's decimal `div` truncates
+        // toward zero, DuckDB's `//` floors — they agree only on
+        // positive operands, so the (possibly negative) slope routes
+        // its sign around the division
+        expr("CAST(CASE WHEN num_b < 0" +
+          " THEN -((-num_b) * 1000000 div den_b)" +
+          " ELSE num_b * 1000000 div den_b END AS BIGINT)")
           .as("slope_cents_q6"),
         expr("CAST(qhat_s * 1000000 div (nd * den_b) AS BIGINT)")
           .as("qhat_cents_q6"))
