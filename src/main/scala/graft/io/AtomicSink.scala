@@ -37,6 +37,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - [[BatchWrite.abort]] deletes the staging directory — a job that
   *    dies mid-write publishes NOTHING.
   *
+  * Concurrency scope: ONE writer per target directory at a time (the
+  * usual batch-pipeline contract). Two simultaneous commits could
+  * race the next-version discovery; serializing writers — not
+  * readers, who are always safe — is the caller's job, exactly as
+  * with a plain `INSERT OVERWRITE` target.
+  *
   * Rows are rendered as tab-separated text (long/double/string
   * columns — the audit/export shapes [[Sinks.writeCsv]] serves, with
   * atomicity added). Paths go through the Hadoop FileSystem API, so
