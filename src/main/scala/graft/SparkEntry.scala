@@ -1019,6 +1019,10 @@ object SparkEntry {
     // pure JDK — grayscale fits one palette, so the round-trip is
     // lossless and even the decoded LUMA is oracle-exact
     "q320_gif_decode" -> (Multimodal.gifFeatures _),
+    // Theil-Sen robust slope of daily revenue: exact lower median of
+    // q6-quantized pairwise slopes over the fixed day-domain lattice
+    // — the magnitude companion to q266's Mann-Kendall direction test
+    "q321_sen_slope" -> (Stats.senSlope _),
     // DSv2 LIMIT pushdown: the generator clamps its interval to the
     // first n ids instead of materializing 2M rows for a GlobalLimit
     // to discard (GenSourceSpec pins the clamped GenScan)
@@ -4878,6 +4882,32 @@ object SparkEntry {
         |  SELECT s.dst AS n, r.l FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS o_orderkey, MIN(l) AS component
         |FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    // q321: identical pair lattice and sign-safe q6 division; the
+    // oracle ranks with ROW_NUMBER where the engine uses GlobalIndex
+    "q321_sen_slope" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        |pairs AS (
+        |  SELECT a.rn AS i, b.rn AS j,
+        |    CAST(CASE WHEN b.v < a.v
+        |      THEN -((CAST(a.v - b.v AS HUGEINT) * 1000000)
+        |        // (b.rn - a.rn))
+        |      ELSE (CAST(b.v - a.v AS HUGEINT) * 1000000)
+        |        // (b.rn - a.rn) END AS BIGINT) AS slope_q6
+        |  FROM rk a JOIN rk b ON a.rn < b.rn),
+        |r AS (
+        |  SELECT slope_q6,
+        |    ROW_NUMBER() OVER (ORDER BY slope_q6, i, j) AS r,
+        |    COUNT(*) OVER () AS n_pairs
+        |  FROM pairs)
+        |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  slope_q6 AS sen_slope_cents_q6
+        |FROM r WHERE r = (n_pairs + 1) // 2""".stripMargin,
     // q320: GIF's gray palette makes the LZW round-trip lossless, so
     // the oracle recomputes frame count, geometry AND mean luma from
     // the generator's pixel formula — decode(encode(frames)) ==

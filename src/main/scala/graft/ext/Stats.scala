@@ -2814,6 +2814,49 @@ object Stats {
           .as("qhat_cents_q6"))
   }
 
+  /** Theil–Sen robust slope of daily revenue — the MAGNITUDE
+    * companion to q266's Mann–Kendall (which tests trend DIRECTION
+    * but estimates nothing): the median of all pairwise slopes
+    * (v_j − v_i)/(j − i), i < j over the day-rank domain, a 29.3%
+    * breakdown-point estimator no single outlier month can drag the
+    * way it drags the q100/q319 OLS fit.
+    *
+    * Exactness: each pair's slope is quantized to q6 cents/day with
+    * a SIGN-SAFE truncating division (dy may be negative; dx > 0 by
+    * construction) staged in DECIMAL(38,0) — dy·10⁶ leaves BIGINT
+    * around sf500 — and the reported statistic is the exact LOWER
+    * MEDIAN of those quantized slopes: a deterministic, documented
+    * definition both engines compute bit-identically (comparing raw
+    * rationals exactly would need cross-multiplied sort keys; the
+    * quantized grid is the house convention). The median is one
+    * [[graft.operators.GlobalIndex]] ranking — range-partitioned,
+    * never a single-reducer window.
+    *
+    * Scale shape: the pair expansion is the DAY-DOMAIN squared
+    * (~2.5k days → ~3.1M pairs, FIXED regardless of fact volume —
+    * the q123 covariance-lattice argument); the only fact-sized work
+    * is the shared [[dailyRevenueRanked]] aggregate. */
+  def senSlope(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = dailyRevenueRanked(spark, d)
+    val a = daily.select($"rn".as("i"), $"v".as("vi"))
+    val b = daily.select($"rn".as("j"), $"v".as("vj"))
+    val pairs = a.join(b, $"i" < $"j")
+      .select($"i", $"j",
+        expr("CAST(CASE WHEN vj < vi" +
+          " THEN -((CAST(vi - vj AS DECIMAL(38,0)) * 1000000)" +
+          " div (j - i))" +
+          " ELSE (CAST(vj - vi AS DECIMAL(38,0)) * 1000000)" +
+          " div (j - i) END AS BIGINT)")
+          .as("slope_q6"))
+    val ranked = graft.operators.GlobalIndex.withRowNumber(
+      pairs, Seq($"slope_q6".asc, $"i".asc, $"j".asc), "r")
+    val k = pairs.agg(count(lit(1)).as("n_pairs"))
+      .select($"n_pairs", expr("(n_pairs + 1) div 2").as("k"))
+    ranked.join(broadcast(k), $"r" === $"k")
+      .select($"n_pairs", $"slope_q6".as("sen_slope_cents_q6"))
+  }
+
   /** Online CUSUM mean-shift alarm over the daily revenue stream
     * (Page's test) — the SEQUENTIAL detector next to
     * [[changepointSse]]'s offline split: where q272 scans every
