@@ -1043,6 +1043,59 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
           max(col("id")).as("mx"), sum(col("id")).as("s"))
     }),
+    // STORAGE-PARTITIONED aggregate: the keyed generator's residue-
+    // class layout is REPORTED (KeyGroupedPartitioning + per-slice
+    // HasPartitionKey), so groupBy(g) plans with NO shuffle — the
+    // DSv2 contract that keeps a 100 TB pre-bucketed fact's
+    // aggregation exchange-free (GenSourceSpec pins the plan)
+    "q322_spj_agg" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "1000000").option("parts", "16")
+        .option("keyed", "true").load()
+        .groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"),
+          min($"bucket").as("bucket_min"))
+        .orderBy($"g")
+    }),
+    // STORAGE-PARTITIONED JOIN: two keyed generators sharing the
+    // residue layout join on (g, cents) with NEITHER side exchanged —
+    // join keys covering the reported partition key is the SPJ
+    // handshake, the shuffle a co-bucketed fact⋈fact join never pays
+    // (GenSourceSpec pins the exchange-free join subtree)
+    "q323_spj_join" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      def keyed(rows: Long) = s.read.format("graft.sources.GenSource")
+        .option("rows", rows.toString).option("parts", "16")
+        .option("keyed", "true").load()
+      val t1 = keyed(2000000L).select($"g", $"cents", $"id".as("id1"))
+      val t2 = keyed(1000000L).select($"g", $"cents", $"id".as("id2"))
+      t1.join(t2, Seq("g", "cents"))
+        .groupBy($"g")
+        .agg(count(lit(1)).as("pairs"), sum($"id1" + $"id2").as("id_sum"))
+        .orderBy($"g")
+    }),
+    // VECTORIZED scan: the generator emits 4096-row ColumnarBatches
+    // (the parquet `Batched: true` path) instead of per-row
+    // InternalRows, composing with the interval clamp and projection
+    // pruning; values are identical to the row path by construction
+    "q324_gen_columnar" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "500000").option("parts", "8")
+        .option("columnar", "true").load()
+        .filter($"id" >= 100000L && $"id" < 400000L)
+        .groupBy(($"bucket" % 8).as("b"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"),
+          max($"id").as("id_max"))
+        .orderBy($"b")
+    }),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -6203,6 +6256,51 @@ object SparkEntry {
         |  MAX(id) AS mx, CAST(SUM(id) AS BIGINT) AS s
         |FROM range(2000000) t(id)
         |WHERE id >= 1000 AND id < 1500000""".stripMargin,
+    // q322: the keyed generator's formulas with g = id % parts — the
+    // oracle verifies the VALUES; the exchange-free plan shape is
+    // GenSourceSpec's pin (DuckDB has no notion of our layout report)
+    "q322_spj_agg" ->
+      """WITH gg AS (
+        |  SELECT range AS id,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(1000000)),
+        |t AS (SELECT id, h % 1000 AS bucket, (h // 1000) % 100000 AS cents,
+        |      id % 16 AS g FROM gg)
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(MIN(bucket) AS BIGINT) AS bucket_min
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+    // q323: the same (g, cents) equi-join over both formula ranges —
+    // values prove the co-partitioned join joined exactly the rows a
+    // shuffled join would have
+    "q323_spj_join" ->
+      """WITH t1 AS (
+        |  SELECT id, id % 16 AS g,
+        |    (((id % 2147483647) * 2654435761 % 2147483647) // 1000)
+        |      % 100000 AS cents
+        |  FROM range(2000000) t(id)),
+        |t2 AS (
+        |  SELECT id, id % 16 AS g,
+        |    (((id % 2147483647) * 2654435761 % 2147483647) // 1000)
+        |      % 100000 AS cents
+        |  FROM range(1000000) t(id))
+        |SELECT t1.g, CAST(COUNT(*) AS BIGINT) AS pairs,
+        |  CAST(SUM(t1.id + t2.id) AS BIGINT) AS id_sum
+        |FROM t1 JOIN t2 ON t1.g = t2.g AND t1.cents = t2.cents
+        |GROUP BY t1.g ORDER BY t1.g""".stripMargin,
+    // q324: identical formulas over the clamped interval — equality
+    // proves the vectorized batches carry exactly the row-path values
+    "q324_gen_columnar" ->
+      """WITH gg AS (
+        |  SELECT range AS id,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(100000, 400000)),
+        |t AS (SELECT id, h % 1000 AS bucket, (h // 1000) % 100000 AS cents
+        |      FROM gg)
+        |SELECT bucket % 8 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(MAX(id) AS BIGINT) AS id_max
+        |FROM t GROUP BY b ORDER BY b""".stripMargin,
     // q309: identical Kish ratios, HUGEINT mirroring DECIMAL(38,0)
     "q309_ess_audit" ->
       """WITH t AS (SELECT o_orderpriority AS prio,

@@ -7,11 +7,14 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** DataSource V2 deterministic row generator — the scale-out form of
   * the reference's driver-side constant-range generator (SURVEY §2.1
@@ -35,17 +38,47 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Columns: `id` ∈ [0, rows); `h = (id mod P)·A mod P` (the engine's
   * bijective multiplicative hash); `bucket = h mod 1000`;
-  * `cents = (h div 1000) mod 100000`.
+  * `cents = (h div 1000) mod 100000`; under `keyed`, additionally
+  * `g = id mod parts` — the storage partition key (below).
+  *
+  * ===Storage-partitioned reads (`keyed=true`)===
+  * Each input partition becomes one residue class `id ≡ p (mod
+  * parts)` instead of a contiguous slice, carries its key through
+  * `HasPartitionKey`, and the scan reports
+  * `KeyGroupedPartitioning(identity(g), parts)` — the DSv2 contract
+  * behind storage-partitioned joins. With
+  * `spark.sql.sources.v2.bucketing.enabled=true`, Spark plans a
+  * `groupBy(g)` aggregate with NO shuffle (the scan already satisfies
+  * the clustered distribution) and joins two keyed generators whose
+  * join keys cover `g` WITHOUT exchanging either side — the layout
+  * contract that makes a 100 TB fact⋈fact join shuffle-free when both
+  * sides share bucketing. The partitioning is reported only while `g`
+  * survives column pruning; otherwise the scan declares itself
+  * unknown-partitioned (the report must resolve against the pruned
+  * output schema).
+  *
+  * ===Columnar reads (`columnar=true`)===
+  * The reader factory declares `supportColumnarReads` and emits
+  * 4096-row `ColumnarBatch`es of on-heap long vectors instead of
+  * one `InternalRow` per id — the vectorized half of the Tungsten
+  * contract (parquet's `Batched: true` path), letting the scan feed
+  * whole-stage codegen through `ColumnarToRow` with one virtual call
+  * per batch rather than per row. Row and columnar paths generate
+  * identical values from the same formulas (GenSourceSpec proves it),
+  * and both compose with every pushdown this source implements.
   */
 class GenSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GenSource.Schema
+    if (options.getBoolean("keyed", false)) GenSource.KeyedSchema
+    else GenSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = properties.asScala
     new GenSource.GenTable(
       opts.getOrElse("rows", "1000").toLong,
-      opts.getOrElse("parts", "8").toInt)
+      opts.getOrElse("parts", "8").toInt,
+      opts.get("keyed").exists(_.toBoolean),
+      opts.get("columnar").exists(_.toBoolean))
   }
 }
 
@@ -58,23 +91,28 @@ object GenSource {
     StructField("bucket", LongType, nullable = false),
     StructField("cents", LongType, nullable = false)))
 
-  private[sources] class GenTable(rows: Long, parts: Int)
-      extends Table with SupportsRead {
+  /** `keyed` adds the storage partition key `g = id mod parts`. */
+  val KeyedSchema: StructType =
+    StructType(Schema.fields :+ StructField("g", LongType, nullable = false))
+
+  private[sources] class GenTable(rows: Long, parts: Int, keyed: Boolean,
+      columnar: Boolean) extends Table with SupportsRead {
     override def name(): String = s"gen($rows rows, $parts parts)"
-    override def schema(): StructType = Schema
+    override def schema(): StructType = if (keyed) KeyedSchema else Schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new GenScanBuilder(rows, parts)
+      new GenScanBuilder(rows, parts, keyed, columnar)
   }
 
-  private class GenScanBuilder(rows: Long, parts: Int)
+  private class GenScanBuilder(rows: Long, parts: Int, keyed: Boolean,
+      columnar: Boolean)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
       with org.apache.spark.sql.connector.read.SupportsPushDownLimit
       with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
-    private var required: StructType = Schema
+    private var required: StructType = if (keyed) KeyedSchema else Schema
     private var lo = 0L
     private var hi = rows
 
@@ -193,7 +231,8 @@ object GenSource {
 
     override def build(): Scan = pushedAgg match {
       case Some(agg) => new GenAggScan(lo, math.max(lo, hi), agg)
-      case None => new GenScan(lo, math.max(lo, hi), parts, required)
+      case None =>
+        new GenScan(lo, math.max(lo, hi), parts, required, keyed, columnar)
     }
   }
 
@@ -240,7 +279,7 @@ object GenSource {
     override def description(): String =
       s"GenAggScan[$lo, $hi) pushed=${agg.aggregateExpressions.mkString(",")}"
     override def planInputPartitions(): Array[InputPartition] =
-      Array(GenSlice(0L, 1L))
+      Array(GenSlice(0L, 1L, 1L))
     override def createReaderFactory(): PartitionReaderFactory = {
       val row = vals
       new PartitionReaderFactory {
@@ -258,9 +297,11 @@ object GenSource {
   }
 
   private[graft] class GenScan(lo0: Long, hi0: Long, parts: Int,
-      required: StructType) extends Scan with Batch
+      required: StructType, keyed: Boolean, columnar: Boolean)
+      extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
-      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+      with SupportsReportPartitioning {
     private var loV = lo0
     private var hiV = hi0
     def lo: Long = loV
@@ -275,11 +316,18 @@ object GenSource {
       * SUPERSET of the keys, which the contract allows (the join
       * re-applies its condition); interval arithmetic keeps the
       * pruning exact at the ends, the same guarantee the static
-      * pushFilters path gives. */
+      * pushFilters path gives.
+      *
+      * Reported only while `id` survives column pruning: the planner
+      * resolves these references against the PRUNED output (Spark's
+      * PartitionPruning rule throws on a dangling one), and an
+      * id-less projection has nothing to clamp anyway. */
     override def filterAttributes()
         : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column("id"))
+      if (required.fieldNames.contains("id"))
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column("id"))
+      else Array.empty
 
     override def filter(
         filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
@@ -297,6 +345,20 @@ object GenSource {
       }
 
     override def readSchema(): StructType = required
+
+    /** Keyed residue-class slices report the storage layout they
+      * guarantee — `KeyGroupedPartitioning(identity(g), parts)` —
+      * which Spark (under `spark.sql.sources.v2.bucketing.enabled`)
+      * accepts in place of a shuffle for any aggregate or join whose
+      * keys cover `g`: the storage-partitioned-join contract. Only
+      * reported while `g` survives column pruning (the key must
+      * resolve against the pruned output); contiguous slicing is
+      * honest about being unknown. */
+    override def outputPartitioning(): Partitioning =
+      if (keyed && required.fieldNames.contains("g"))
+        new KeyGroupedPartitioning(
+          Array(Expressions.identity("g")), parts)
+      else new UnknownPartitioning(parts)
 
     /** EXACT statistics from the clamped interval — row count is
       * hi − lo by construction, bytes = rows × the pruned row width
@@ -317,39 +379,115 @@ object GenSource {
       }
     override def toBatch: Batch = this
     override def description(): String =
-      s"GenScan[$lo, $hi) parts=$parts cols=${required.fieldNames.mkString(",")}"
-    override def planInputPartitions(): Array[InputPartition] = {
-      val per = math.max(1L, (hi - lo + parts - 1) / parts)
-      (lo until hi by per)
-        .map(s => GenSlice(s, math.min(s + per, hi)): InputPartition)
-        .toArray
-    }
+      s"GenScan[$lo, $hi) parts=$parts cols=${required.fieldNames.mkString(",")}" +
+        (if (keyed) " keyed" else "") + (if (columnar) " columnar" else "")
+    override def planInputPartitions(): Array[InputPartition] =
+      if (keyed) {
+        // one residue class per partition: ids ≡ p (mod parts) within
+        // [lo, hi) — same set of ids as contiguous slicing, different
+        // (and REPORTED) layout
+        (0 until parts).map { p =>
+          val start = lo + (((p - lo % parts) % parts + parts) % parts)
+          KeyedGenSlice(start, hi, parts.toLong, p.toLong): InputPartition
+        }.toArray
+      } else {
+        val per = math.max(1L, (hi - lo + parts - 1) / parts)
+        (lo until hi by per)
+          .map(s => GenSlice(s, math.min(s + per, hi), 1L): InputPartition)
+          .toArray
+      }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GenReaderFactory(required.fieldNames)
+      new GenReaderFactory(required.fieldNames, parts.toLong, columnar)
   }
 
-  private case class GenSlice(start: Long, end: Long) extends InputPartition
+  private case class GenSlice(start: Long, end: Long, step: Long)
+      extends InputPartition
 
-  private class GenReaderFactory(fields: Array[String])
-      extends PartitionReaderFactory {
+  /** A residue-class slice that carries its partition key — the DSv2
+    * handshake (`HasPartitionKey`) that lets Spark group input splits
+    * by key value and trust the reported KeyGroupedPartitioning. */
+  private case class KeyedGenSlice(start: Long, end: Long, step: Long,
+      g: Long) extends InputPartition with HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new GenericInternalRow(Array[Any](g))
+  }
+
+  private class GenReaderFactory(fields: Array[String], partsL: Long,
+      columnar: Boolean) extends PartitionReaderFactory {
+    private def bounds(p: InputPartition): (Long, Long, Long) = p match {
+      case GenSlice(s, e, st) => (s, e, st)
+      case KeyedGenSlice(s, e, st, _) => (s, e, st)
+    }
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-      val s = p.asInstanceOf[GenSlice]
-      new GenReader(s.start, s.end, fields)
+      val (s, e, st) = bounds(p)
+      new GenReader(s, e, st, fields, partsL)
+    }
+    override def supportColumnarReads(p: InputPartition): Boolean = columnar
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[ColumnarBatch] = {
+      val (s, e, st) = bounds(p)
+      new GenColumnarReader(s, e, st, fields, partsL)
     }
   }
 
-  private class GenReader(start: Long, end: Long, fields: Array[String])
-      extends PartitionReader[InternalRow] {
-    private var id = start - 1
-    override def next(): Boolean = { id += 1; id < end }
-    override def get(): InternalRow = {
-      val h = (id % P) * A % P
-      new GenericInternalRow(fields.map[Any] {
-        case "id" => id
-        case "bucket" => h % 1000L
-        case "cents" => (h / 1000L) % 100000L
-      })
+  /** Shared per-id column formulas — the single source of truth for
+    * the row and columnar readers (and, mod the SQL dialect, the
+    * DuckDB oracles). */
+  private def colValue(field: String, id: Long, partsL: Long): Long = {
+    val h = (id % P) * A % P
+    field match {
+      case "id" => id
+      case "bucket" => h % 1000L
+      case "cents" => (h / 1000L) % 100000L
+      case "g" => id % partsL
     }
+  }
+
+  private class GenReader(start: Long, end: Long, step: Long,
+      fields: Array[String], partsL: Long)
+      extends PartitionReader[InternalRow] {
+    private var id = start - step
+    override def next(): Boolean = { id += step; id < end }
+    override def get(): InternalRow =
+      new GenericInternalRow(
+        fields.map[Any](f => colValue(f, id, partsL)))
     override def close(): Unit = ()
+  }
+
+  /** Vectorized reader: fills 4096-row on-heap long vectors and hands
+    * Spark one `ColumnarBatch` per fill — the `Batched: true` path.
+    * The batch and its vectors are reused across `next()` calls (the
+    * DSv2 columnar contract: the consumer finishes a batch before
+    * asking for the next). */
+  private class GenColumnarReader(start: Long, end: Long, step: Long,
+      fields: Array[String], partsL: Long)
+      extends PartitionReader[ColumnarBatch] {
+    private val capacity = 4096
+    private val vectors: Array[OnHeapColumnVector] =
+      OnHeapColumnVector.allocateColumns(capacity,
+        StructType(fields.map(f => StructField(f, LongType, false))))
+    private val batch =
+      new ColumnarBatch(vectors.map(v => v: ColumnVector))
+    private var id = start
+
+    override def next(): Boolean = {
+      if (id >= end) return false
+      var i = 0
+      while (i < vectors.length) { vectors(i).reset(); i += 1 }
+      var n = 0
+      while (n < capacity && id < end) {
+        var c = 0
+        while (c < fields.length) {
+          vectors(c).putLong(n, colValue(fields(c), id, partsL))
+          c += 1
+        }
+        n += 1
+        id += step
+      }
+      batch.setNumRows(n)
+      true
+    }
+    override def get(): ColumnarBatch = batch
+    override def close(): Unit = batch.close()
   }
 }

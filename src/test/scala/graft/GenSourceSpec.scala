@@ -190,6 +190,104 @@ class GenSourceSpec extends SparkSpec {
       (1000L until 1005L).toSeq)
   }
 
+  private def keyedGen(rows: Long, parts: Int) =
+    spark.read.format("graft.sources.GenSource")
+      .option("rows", rows.toString).option("parts", parts.toString)
+      .option("keyed", "true").load()
+
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("keyed mode: residue-class slices carry partition keys and the " +
+    "scan reports KeyGroupedPartitioning — groupBy(g) runs with NO shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = keyedGen(100000L, 8)
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+      .orderBy($"g")
+    val rows = df.as[(Long, Long, Long)].collect().toSeq
+    // no exchange below the aggregate: the scan's reported layout
+    // already satisfies the clustered distribution
+    val plan = finalPlanOf(df).toString
+    val aggPart = plan.split("TakeOrderedAndProject|Sort").last
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"keyed groupBy(g) must not shuffle:\n$plan")
+    // values: same formulas as contiguous slicing, partitioned by residue
+    val P = 2147483647L
+    val want = (0L until 100000L).groupBy(_ % 8).map { case (g, ids) =>
+      (g, ids.size.toLong,
+        ids.map(id => ((id % P) * 2654435761L % P / 1000L) % 100000L).sum)
+    }.toSeq.sortBy(_._1)
+    assert(rows == want)
+  }
+
+  test("storage-partitioned join: two keyed generators with the same " +
+    "layout join WITHOUT exchanging either side") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // join keys (g, cents) ⊋ partition keys (g): co-partitioning on the
+    // reported key subset must be accepted in place of a full-cluster
+    // hash requirement
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val t1 = keyedGen(2000000L, 16).select($"g", $"cents", $"id".as("id1"))
+    val t2 = keyedGen(1000000L, 16).select($"g", $"cents", $"id".as("id2"))
+    val j = t1.join(t2, Seq("g", "cents"))
+      .agg(count(lit(1)).as("pairs"), sum($"id1" + $"id2").as("idsum"))
+    val got = j.as[(Long, Long)].head()
+    // the only exchange is the global aggregate's SinglePartition
+    // gather ABOVE the join — neither join input may shuffle
+    val plan = finalPlanOf(j).toString
+    val joinSubtree = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1)
+      .mkString
+    assert(!joinSubtree.contains("Exchange"),
+      s"storage-partitioned join must not shuffle either side:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    assert(got._1 > 0L)
+  }
+
+  test("columnar mode: the scan feeds ColumnarBatches (Batched path) " +
+    "and generates exactly the row-path values") {
+    val colDf = spark.read.format("graft.sources.GenSource")
+      .option("rows", "100000").option("parts", "4")
+      .option("columnar", "true").load()
+    val scanExec = colDf.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head
+    assert(scanExec.supportsColumnar,
+      "columnar=true must enable vectorized batches on the scan")
+    assert(colDf.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "the plan must bridge batches into whole-stage codegen")
+    val got = colDf.as[(Long, Long, Long)].collect().toSet
+    val want = gen(100000L, 4).as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "columnar and row paths must generate identically")
+    // columnar composes with pushdown: clamp + prune still vectorized
+    val pruned = colDf.filter($"id" >= 500L && $"id" < 600L)
+      .select($"cents")
+    assert(pruned.as[Long].collect().sorted.toSeq ==
+      gen(100000L, 4).filter($"id" >= 500L && $"id" < 600L)
+        .select($"cents").as[Long].collect().sorted.toSeq)
+  }
+
+  test("keyed + columnar compose; pruning g away downgrades the report " +
+    "honestly instead of failing resolution") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.read.format("graft.sources.GenSource")
+      .option("rows", "50000").option("parts", "8")
+      .option("keyed", "true").option("columnar", "true").load()
+    // g pruned from the output: the scan must fall back to unknown
+    // partitioning (the report could not resolve) and still be correct
+    val noG = df.select($"id", $"bucket")
+    assert(noG.count() == 50000L)
+    val keyedAgg = df.groupBy($"g").agg(sum($"id").as("s"))
+    assert(!finalPlanOf(keyedAgg).toString.contains("Exchange hashpartitioning"),
+      "keyed+columnar groupBy(g) must stay shuffle-free")
+    assert(keyedAgg.agg(sum($"s")).as[Long].head() ==
+      (0L until 50000L).sum)
+  }
+
   test("sum pushdown refuses when the closed form overflows Long — " +
     "ANSI parity with the un-pushed aggregate") {
     val lo = Long.MaxValue - 1000L
