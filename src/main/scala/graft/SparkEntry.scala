@@ -1096,6 +1096,23 @@ object SparkEntry {
           max($"id").as("id_max"))
         .orderBy($"b")
     }),
+    // V2 FUNCTION CATALOG: the engine's functions called from PLAIN
+    // SQL (`graft.genhash`, `graft.zorder2`) — no Scala imports, no
+    // session UDF registration; magic-method binding keeps the calls
+    // inside whole-stage codegen (FunctionCatalogSpec pins the
+    // Invoke-bound plan). The oracle evaluates the same closed forms
+    // with DuckDB bit arithmetic.
+    "q325_sql_fn_catalog" -> ((s: SparkSession, _: String) => {
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.functions.GraftFunctionCatalog")
+      s.sql("""
+        SELECT id % 16 AS g,
+          count(*) AS n,
+          sum(graft.genhash(id)) AS h_sum,
+          sum(graft.zorder2(id % 256, id % 128)) AS z_sum
+        FROM range(100000)
+        GROUP BY id % 16 ORDER BY g""")
+    }),
     // BPE ENCODING — apply the trained merge table to the corpus and
     // report per-doc token counts (q181 trains; this is the other
     // half of the tokenizer lifecycle); the oracle re-derives the
@@ -6301,6 +6318,25 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
         |  CAST(MAX(id) AS BIGINT) AS id_max
         |FROM t GROUP BY b ORDER BY b""".stripMargin,
+    // q325: genhash's closed form plus an 8-bit Morton interleave
+    // unrolled as per-bit shifts — the same integers the catalog
+    // functions compute inside codegen
+    "q325_sql_fn_catalog" ->
+      """WITH t AS (
+        |  SELECT range AS id, range % 256 AS a, range % 128 AS b,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(100000)),
+        |bits AS (
+        |  SELECT id, a, b, h, unnest(range(8)) AS i FROM t),
+        |z AS (
+        |  SELECT id, MIN(h) AS h,
+        |    SUM((((a >> i) & 1) << (2 * i)) +
+        |        (((b >> i) & 1) << (2 * i + 1))) AS zv
+        |  FROM bits GROUP BY id)
+        |SELECT id % 16 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(h) AS BIGINT) AS h_sum,
+        |  CAST(SUM(zv) AS BIGINT) AS z_sum
+        |FROM z GROUP BY id % 16 ORDER BY g""".stripMargin,
     // q309: identical Kish ratios, HUGEINT mirroring DECIMAL(38,0)
     "q309_ess_audit" ->
       """WITH t AS (SELECT o_orderpriority AS prio,

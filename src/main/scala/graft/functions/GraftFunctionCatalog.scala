@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, FunctionCatalog}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `FunctionCatalog` — the engine's functions exposed to
+  * plain SQL as catalog functions: register with
+  * `spark.sql.catalog.graft = graft.functions.GraftFunctionCatalog`
+  * and call `graft.genhash(id)` / `graft.zorder2(x, y)` from any SQL
+  * string, no Scala imports and no session-scoped UDF registration.
+  * This is the public-SQL half of the extension story: the Catalyst
+  * `Expression`s under `graft.functions` serve the DataFrame API, and
+  * this catalog serves the SQL surface with the SAME semantics.
+  *
+  * Each `ScalarFunction` carries a typed magic `invoke` method, so
+  * analysis binds it through `Invoke` and the call participates in
+  * whole-stage codegen as a direct method call — primitive-long in,
+  * primitive-long out, no boxing, no UDF serialization penalty
+  * (`produceResult` stays as the reflective fallback the contract
+  * requires). Both functions are deterministic pure integer maps, so
+  * they are oracle-verifiable: the DuckDB twin evaluates the same
+  * closed form (q325).
+  *
+  * Functions:
+  *  - `genhash(id BIGINT) -> BIGINT`: the engine's bijective
+  *    multiplicative hash `(id mod P)·A mod P` with P = 2^31 − 1,
+  *    A = 2654435761 (Knuth) — the same map the GenSource columns and
+  *    the salted-join/sampling lanes use.
+  *  - `zorder2(a BIGINT, b BIGINT) -> BIGINT`: the 31+31-bit Morton
+  *    interleave, IDENTICAL to [[ZOrder2]] (`nullSafeEval` delegates
+  *    to the same bit loop), so a SQL user z-ordering a write gets
+  *    byte-identical keys to the DataFrame layout lane (q67).
+  */
+class GraftFunctionCatalog extends FunctionCatalog {
+  import GraftFunctionCatalog._
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+  override def name(): String = catalogName
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Names.map(Identifier.of(namespace, _))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().nonEmpty) throw noSuchFn(ident)
+    else ident.name().toLowerCase match {
+      case "genhash" => GenHash
+      case "zorder2" => ZOrder2Fn
+      case _ => throw noSuchFn(ident)
+    }
+
+  private def noSuchFn(ident: Identifier) =
+    new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      catalogName, ident.toString)
+}
+
+object GraftFunctionCatalog {
+  private val Names = Array("genhash", "zorder2")
+
+  val P = 2147483647L
+  val A = 2654435761L
+
+  /** `(id mod P)·A mod P` — P = 2^31 − 1 keeps the product inside
+    * Long, so the arithmetic is exact for every input. */
+  object GenHash extends UnboundFunction with ScalarFunction[Long] {
+    override def name(): String = "genhash"
+    override def description(): String =
+      "genhash(id BIGINT) -> BIGINT: bijective multiplicative hash " +
+        "(id mod (2^31-1)) * 2654435761 mod (2^31-1)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 1 && inputType.head.dataType == LongType,
+        s"genhash expects (BIGINT), got ${inputType.catalogString}")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def canonicalName(): String = "graft.genhash"
+    /** Magic method: analysis binds this via `Invoke` — a direct
+      * primitive call inside whole-stage codegen. */
+    def invoke(id: Long): Long = (id % P) * A % P
+    override def produceResult(input: InternalRow): Long =
+      invoke(input.getLong(0))
+  }
+
+  /** SQL twin of the [[ZOrder2]] Catalyst expression — delegates to
+    * the very same evaluator so the two surfaces cannot drift. */
+  object ZOrder2Fn extends UnboundFunction with ScalarFunction[Long] {
+    override def name(): String = "zorder2"
+    override def description(): String =
+      "zorder2(a BIGINT, b BIGINT) -> BIGINT: 31+31-bit Morton " +
+        "interleave (a even bits, b odd bits)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 2 &&
+        inputType.forall(_.dataType == LongType),
+        s"zorder2 expects (BIGINT, BIGINT), got ${inputType.catalogString}")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(LongType, LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def canonicalName(): String = "graft.zorder2"
+    def invoke(a: Long, b: Long): Long =
+      ZOrder2(null, null).nullSafeEval(a, b).asInstanceOf[Long]
+    override def produceResult(input: InternalRow): Long =
+      invoke(input.getLong(0), input.getLong(1))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** V2 FunctionCatalog: the engine's functions callable from plain SQL
+  * with codegen-friendly magic-method binding.
+  */
+class FunctionCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.functions.GraftFunctionCatalog")
+
+  test("graft.genhash resolves from SQL and matches the closed form") {
+    ensureCatalog()
+    val got = spark.sql(
+      "SELECT id, graft.genhash(id) AS h FROM range(1000)")
+      .as[(Long, Long)].collect().toMap
+    val P = 2147483647L
+    (0L until 1000L).foreach { id =>
+      assert(got(id) == (id % P) * 2654435761L % P, s"id=$id")
+    }
+  }
+
+  test("graft.zorder2 from SQL is byte-identical to the ZOrder2 " +
+    "Catalyst expression (the DataFrame lane)") {
+    ensureCatalog()
+    val fromSql = spark.sql(
+      "SELECT id, graft.zorder2(id % 311, id % 97) AS z FROM range(500)")
+      .as[(Long, Long)].collect().toMap
+    val expr = graft.functions.ZOrder2(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    (0L until 500L).foreach { id =>
+      val want = expr.nullSafeEval(id % 311, id % 97).asInstanceOf[Long]
+      assert(fromSql(id) == want, s"id=$id")
+    }
+  }
+
+  test("magic-method binding: the call plans as a direct invoke, not " +
+    "a reflective produceResult") {
+    ensureCatalog()
+    val df = spark.sql("SELECT graft.genhash(id) AS h FROM range(10)")
+    // Invoke-bound V2 functions render as invoke(<fn>.invoke(args))
+    // in the optimized plan; ApplyFunctionExpression (the reflective
+    // fallback) would render as its class
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("invoke(") && plan.contains("GenHash"), plan)
+    assert(!plan.contains("ApplyFunctionExpression"),
+      s"magic method must bind via Invoke, not reflection:\n$plan")
+    assert(df.as[Long].collect().length == 10)
+  }
+
+  test("unknown function and wrong arity fail analysis with clear errors") {
+    ensureCatalog()
+    val missing = intercept[Exception](
+      spark.sql("SELECT graft.nope(1)").collect())
+    assert(missing.getMessage.toLowerCase.contains("nope"))
+    val arity = intercept[Exception](
+      spark.sql("SELECT graft.genhash(1, 2)").collect())
+    assert(arity.getMessage.toLowerCase.contains("genhash"))
+  }
+
+  test("catalog lists its functions") {
+    ensureCatalog()
+    val listed = spark.sql("SHOW FUNCTIONS IN graft")
+      .as[String].collect().map(_.split("\\.").last).toSet
+    assert(Set("genhash", "zorder2").subsetOf(listed), listed.toString)
+  }
+}
