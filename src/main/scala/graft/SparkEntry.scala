@@ -1096,6 +1096,11 @@ object SparkEntry {
           max($"id").as("id_max"))
         .orderBy($"b")
     }),
+    // Kendall tau-b + Somers' D between daily order count and daily
+    // revenue — tie-corrected rank association on the bounded day
+    // lattice; tau_b served as its sign-carried exact square (no
+    // sqrt crosses an engine)
+    "q326_kendall_tau_b" -> (Stats.kendallTauB _),
     // V2 FUNCTION CATALOG: the engine's functions called from PLAIN
     // SQL (`graft.genhash`, `graft.zorder2`) — no Scala imports, no
     // session UDF registration; magic-method binding keeps the calls
@@ -6318,6 +6323,57 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
         |  CAST(MAX(id) AS BIGINT) AS id_max
         |FROM t GROUP BY b ORDER BY b""".stripMargin,
+    // q326: identical pair lattice and tie censuses; HUGEINT mirrors
+    // DECIMAL(38,0); every division is magnitude-then-negate (// on
+    // positive operands == Spark's truncating div)
+    "q326_kendall_tau_b" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(COALESCE(SUM(
+        |        (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |          ELSE 0 END) *
+        |        (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |          ELSE 0 END)), 0) AS BIGINT) AS s_stat
+        |      FROM daily a JOIN daily b ON b.day > a.day),
+        |tx AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)
+        |        // 2), 0) AS HUGEINT) AS tx
+        |       FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY 1)),
+        |ty AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)
+        |        // 2), 0) AS HUGEINT) AS ty
+        |       FROM (SELECT y, COUNT(*) AS t FROM daily GROUP BY 1)),
+        |txy AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)
+        |        // 2), 0) AS HUGEINT) AS txy
+        |        FROM (SELECT x, y, COUNT(*) AS t FROM daily
+        |              GROUP BY 1, 2)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |f AS (SELECT n_days, s_stat, tx, ty, txy,
+        |        CAST(n_days AS HUGEINT) * (n_days - 1) // 2 AS n0
+        |      FROM s CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty
+        |        CROSS JOIN txy)
+        |SELECT n_days, s_stat,
+        |  CAST(tx AS BIGINT) AS tx_pairs, CAST(ty AS BIGINT) AS ty_pairs,
+        |  CAST(txy AS BIGINT) AS txy_pairs,
+        |  CAST(CASE WHEN s_stat < 0
+        |    THEN -(abs(CAST(s_stat AS HUGEINT)) * 1000000
+        |      // nullif(n0, 0))
+        |    ELSE CAST(s_stat AS HUGEINT) * 1000000 // nullif(n0, 0)
+        |    END AS BIGINT) AS tau_a_q6,
+        |  CAST(CASE WHEN s_stat < 0
+        |    THEN -(CAST(s_stat AS HUGEINT) * s_stat * 1000000000000
+        |      // nullif((n0 - tx) * (n0 - ty), 0))
+        |    ELSE CAST(s_stat AS HUGEINT) * s_stat * 1000000000000
+        |      // nullif((n0 - tx) * (n0 - ty), 0)
+        |    END AS BIGINT) AS tau_b_sq_q12,
+        |  CAST(CASE WHEN s_stat < 0
+        |    THEN -(abs(CAST(s_stat AS HUGEINT)) * 1000000
+        |      // nullif(n0 - tx, 0))
+        |    ELSE CAST(s_stat AS HUGEINT) * 1000000 // nullif(n0 - tx, 0)
+        |    END AS BIGINT) AS somers_d_q6
+        |FROM f""".stripMargin,
     // q325: genhash's closed form plus an 8-bit Morton interleave
     // unrolled as per-bit shifts — the same integers the catalog
     // functions compute inside codegen

@@ -2668,6 +2668,83 @@ object Stats {
           .stripMargin.replace("\n", "")).as("trend"))
   }
 
+  /** Kendall τ-b + Somers' D between daily order COUNT and daily
+    * revenue — the tie-corrected rank-association pair ([[mannKendall]]
+    * correlates one variable against TIME; this correlates two data
+    * variables, where ties in the discrete count are the norm, so the
+    * τ-a denominator is wrong and the tie corrections are the whole
+    * point). With S = Σ sgn(xⱼ−xᵢ)·sgn(yⱼ−yᵢ) over day pairs i < j,
+    * n₀ = n(n−1)/2, and t_x/t_y/t_xy = Σ t(t−1)/2 over the tie groups
+    * of x / y / (x,y):
+    *   τ_b = S / √((n₀−t_x)(n₀−t_y)),   D_yx = S / (n₀−t_x).
+    *
+    * Exactness: no √ ever crosses an engine (the q243/q266 quantized
+    * discipline) — τ_b is served as its SIGN-CARRIED SQUARE
+    * sgn(S)·S²·10¹² div ((n₀−t_x)(n₀−t_y)), an exact integer both
+    * engines compute identically (S²·10¹² ≈ 8·10²⁴ stages
+    * DECIMAL(38,0) / HUGEINT); Somers' D and τ_a are exact rationals
+    * in q6. All divisions are sign-safe: negate after dividing
+    * magnitudes (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they disagree on negatives, the q321 lesson).
+    *
+    * Scale shape — the q266 domain-quadratic discipline: one
+    * map-side-combinable aggregate collapses the fact to the bounded
+    * day DOMAIN (~2.4k days); the pair space is days-choose-2 via a
+    * broadcast self-join; tie censuses are three day-frame groupBys.
+    * Never quadratic in fact rows. For an UNBOUNDED pair domain the
+    * published O(n log n) gear is Knight's merge: sort by (x,y),
+    * count inversions of the y sequence (= discordant pairs) — a
+    * range-partitioned merge with per-partition carry, the q129
+    * GlobalIndex machinery; this lattice doesn't need it.
+    */
+  def kendallTauB(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("x"), sum($"c").as("y"))
+    val a = daily.select($"day".as("da"), $"x".as("xa"), $"y".as("ya"))
+    val b = daily.select($"day".as("db"), $"x".as("xb"), $"y".as("yb"))
+    val s = a.join(broadcast(b), $"db" > $"da")
+      .agg(coalesce(sum((signum($"xb" - $"xa") * signum($"yb" - $"ya"))
+        .cast("long")), lit(0L)).as("s_stat"))
+    def tiePairs(cols: Seq[Column], name: String): DataFrame =
+      daily.groupBy(cols: _*).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(expr(s"CAST(t AS $dec) * (t - 1) div 2")),
+          lit(0).cast(dec)).as(name))
+    val tx = tiePairs(Seq($"x"), "tx")
+    val ty = tiePairs(Seq($"y"), "ty")
+    val txy = tiePairs(Seq($"x", $"y"), "txy")
+    val nn = daily.agg(count(lit(1)).as("n_days"))
+    s.crossJoin(broadcast(nn)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty)).crossJoin(broadcast(txy))
+      .withColumn("n0", expr(s"CAST(n_days AS $dec) * (n_days - 1) div 2"))
+      .select($"n_days", $"s_stat",
+        expr("CAST(tx AS BIGINT)").as("tx_pairs"),
+        expr("CAST(ty AS BIGINT)").as("ty_pairs"),
+        expr("CAST(txy AS BIGINT)").as("txy_pairs"),
+        expr(s"""CAST(CASE WHEN s_stat < 0
+          | THEN -(abs(CAST(s_stat AS $dec)) * 1000000 div nullif(n0, 0))
+          | ELSE CAST(s_stat AS $dec) * 1000000 div nullif(n0, 0)
+          | END AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("tau_a_q6"),
+        expr(s"""CAST(CASE WHEN s_stat < 0
+          | THEN -(CAST(s_stat AS $dec) * s_stat * 1000000000000
+          |   div nullif((n0 - tx) * (n0 - ty), 0))
+          | ELSE CAST(s_stat AS $dec) * s_stat * 1000000000000
+          |   div nullif((n0 - tx) * (n0 - ty), 0)
+          | END AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("tau_b_sq_q12"),
+        expr(s"""CAST(CASE WHEN s_stat < 0
+          | THEN -(abs(CAST(s_stat AS $dec)) * 1000000
+          |   div nullif(n0 - tx, 0))
+          | ELSE CAST(s_stat AS $dec) * 1000000 div nullif(n0 - tx, 0)
+          | END AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("somers_d_q6"))
+  }
+
   /** Weighted reservoir sample WITHOUT replacement (Efraimidis–
     * Spirakis A-ES) — the fixed-SIZE counterpart of [[weightedSample]]
     * (which keeps a probabilistic fraction) and the exact-k form

@@ -689,4 +689,43 @@ class DriftSpec extends SparkSpec {
       (1L, 0L, 2L, 2000000000L, 2000000000L),
       (1L, 1L, 2L, 5000000000L, 2000000000L)), s"got ${rows.toSeq}")
   }
+
+  test("kendallTauB: brute-force BigInt recomputation at sf0.001 — a " +
+    "third independent implementation agrees on every output") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Stats.kendallTauB(spark, dir).collect().head
+    // recompute from the same daily frame in plain Scala
+    val daily = graft.sources.Tables.orders(spark, dir)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("x"), sum($"c").as("y"))
+      .as[(java.sql.Date, Long, Long)].collect()
+      .sortBy(_._1.getTime)
+    val n = daily.length
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n) {
+      s += java.lang.Long.signum(daily(j)._2 - daily(i)._2) *
+        java.lang.Long.signum(daily(j)._3 - daily(i)._3)
+    }
+    def tiePairs[K](key: ((java.sql.Date, Long, Long)) => K): BigInt =
+      daily.groupBy(key).values
+        .map(g => BigInt(g.size) * (g.size - 1) / 2).sum
+    val (tx, ty, txy) =
+      (tiePairs(_._2), tiePairs(_._3), tiePairs(r => (r._2, r._3)))
+    val n0 = BigInt(n) * (n - 1) / 2
+    def signedDiv(num: BigInt, den: BigInt): Long =
+      (if (num < 0) -((-num) / den) else num / den).toLong
+    assert(got.getLong(0) == n && got.getLong(1) == s)
+    assert(got.getLong(2) == tx.toLong && got.getLong(3) == ty.toLong &&
+      got.getLong(4) == txy.toLong)
+    assert(got.getLong(5) == signedDiv(BigInt(s) * 1000000, n0))
+    assert(got.getLong(6) == signedDiv(
+      BigInt(s).sign * BigInt(s) * s * BigInt("1000000000000"),
+      (n0 - tx) * (n0 - ty)))
+    assert(got.getLong(7) == signedDiv(BigInt(s) * 1000000, n0 - tx))
+    // and the census really exercised ties (x is a small discrete count)
+    assert(tx > 0, "the day lattice must contain x ties for this test " +
+      "to mean anything")
+  }
 }
