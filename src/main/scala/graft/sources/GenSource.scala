@@ -301,7 +301,8 @@ object GenSource {
       extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-      with SupportsReportPartitioning {
+      with SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsReportOrdering {
     private var loV = lo0
     private var hiV = hi0
     def lo: Long = loV
@@ -359,6 +360,22 @@ object GenSource {
         new KeyGroupedPartitioning(
           Array(Expressions.identity("g")), parts)
       else new UnknownPartitioning(parts)
+
+    /** Every slice — contiguous or residue-stepped — generates ids in
+      * ASCENDING order, and the scan says so (`SupportsReportOrdering`,
+      * honored under `spark.sql.sources.v2.bucketing.sorting.enabled`):
+      * a per-partition sort on `id` above this scan is provably
+      * redundant and the planner drops the SortExec — the DSv2 analog
+      * of a sorted-bucketed table's layout contract, and the last cell
+      * of this source's pushdown matrix (columns, filters, aggregates,
+      * limit, offset, statistics, runtime filters, partitioning,
+      * ordering). Reported only while `id` survives pruning, same
+      * resolution rule as the partitioning report. */
+    override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (required.fieldNames.contains("id"))
+        Array(Expressions.sort(Expressions.column("id"),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      else Array.empty
 
     /** EXACT statistics from the clamped interval — row count is
       * hi − lo by construction, bytes = rows × the pruned row width

@@ -288,6 +288,28 @@ class GenSourceSpec extends SparkSpec {
       (0L until 50000L).sum)
   }
 
+  test("reported ordering: a per-partition sort on id above the scan " +
+    "is dropped as redundant") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+    val sorted = gen(100000L, 4).sortWithinPartitions($"id")
+      .select($"id", $"cents")
+    val plan = finalPlanOf(sorted).toString
+    assert(!plan.contains("Sort "),
+      s"the scan already generates ids ascending — SortExec is redundant:\n$plan")
+    // and the data really is sorted within each partition
+    val ok = sorted.select($"id").rdd
+      .mapPartitions(it => Iterator.single(
+        it.map(_.getLong(0)).sliding(2).forall(
+          s => s.length < 2 || s.head < s.last)))
+      .collect().forall(identity)
+    assert(ok, "each partition must yield ascending ids")
+    // a sort on a NON-reported column still plans a real SortExec
+    val byCents = gen(10000L, 4).sortWithinPartitions($"cents")
+    assert(finalPlanOf(byCents).toString.contains("Sort "),
+      "sorting by cents is not covered by the report and must stay")
+  }
+
   test("sum pushdown refuses when the closed form overflows Long — " +
     "ANSI parity with the un-pushed aggregate") {
     val lo = Long.MaxValue - 1000L
