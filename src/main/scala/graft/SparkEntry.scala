@@ -1096,6 +1096,11 @@ object SparkEntry {
           max($"id").as("id_max"))
         .orderBy($"b")
     }),
+    // k-truss: edge-cohesion peel (every surviving co-purchase edge
+    // closes >= k-2 triangles among survivors) — the edge analog of
+    // q172's k-core; support recount + semi-join drop per round,
+    // localCheckpoint'd, edge-count fixpoint
+    "q327_ktruss" -> ((s: SparkSession, d: String) => Graph.kTruss(s, d)),
     // Kendall tau-b + Somers' D between daily order count and daily
     // revenue — tie-corrected rank association on the bounded day
     // lattice; tau_b served as its sign-carried exact square (no
@@ -6323,6 +6328,36 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
         |  CAST(MAX(id) AS BIGINT) AS id_max
         |FROM t GROUP BY b ORDER BY b""".stripMargin,
+    // q327: the identical support peel unrolled 10 rounds (the q172
+    // MATERIALIZED recipe — every eᵢ is referenced 4× by round i+1);
+    // the engine's maxIters matches the unroll and early convergence
+    // is idempotent, so the two can only agree
+    "q327_ktruss" -> {
+      val peel = (1 to 10).map { i =>
+        s"tr$i AS MATERIALIZED (\n" +
+          s"  SELECT e1.a AS x, e1.b AS y, e2.b AS z\n" +
+          s"  FROM e${i - 1} e1 JOIN e${i - 1} e2\n" +
+          s"    ON e1.a = e2.a AND e1.b < e2.b\n" +
+          s"  JOIN e${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),\n" +
+          s"s$i AS MATERIALIZED (\n" +
+          s"  SELECT a, b FROM (\n" +
+          s"    SELECT x AS a, y AS b FROM tr$i UNION ALL\n" +
+          s"    SELECT x AS a, z AS b FROM tr$i UNION ALL\n" +
+          s"    SELECT y AS a, z AS b FROM tr$i)\n" +
+          s"  GROUP BY 1, 2 HAVING COUNT(*) >= 2),\n" +
+          s"e$i AS MATERIALIZED (SELECT t.a, t.b FROM e${i - 1} t\n" +
+          s"  JOIN s$i x ON t.a = x.a AND t.b = x.b)"
+      }.mkString(",\n")
+      "WITH items AS MATERIALIZED (\n" +
+        "  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),\n" +
+        "e0 AS MATERIALIZED (\n" +
+        "  SELECT i.p AS a, j.p AS b FROM items i\n" +
+        "  JOIN items j ON i.ok = j.ok AND i.p < j.p GROUP BY 1, 2),\n" +
+        peel + "\n" +
+        "SELECT part, CAST(COUNT(*) AS BIGINT) AS truss_deg FROM (\n" +
+        "  SELECT a AS part FROM e10 UNION ALL SELECT b FROM e10)\n" +
+        "GROUP BY 1 ORDER BY 1"
+    },
     // q326: identical pair lattice and tie censuses; HUGEINT mirrors
     // DECIMAL(38,0); every division is magnitude-then-negate (// on
     // positive operands == Spark's truncating div)

@@ -980,6 +980,184 @@ object Graph {
       .select($"v".as("u"), $"u".as("v")) // swap back
   }
 
+  /** k-truss of the co-purchase graph — the EDGE-cohesion peel next
+    * to [[kCore]]'s node peel: the maximal subgraph where every
+    * surviving edge closes ≥ k−2 triangles WITH OTHER SURVIVORS.
+    * Trusses are the standard community-core primitive one notch
+    * stronger than cores (every k-truss sits inside the (k−1)-core,
+    * never vice versa): a high-support edge is two products whose
+    * co-purchase is embedded in a clique-like neighborhood, not one
+    * popular hub.
+    *
+    * Algorithm: INCREMENTAL support-decrement peel — the distributed
+    * form of the textbook truss decomposition, not a naive
+    * recount-per-round:
+    *
+    *  1. Full per-edge support ONCE via the [[triangleCount]] kernel
+    *     (degree-ordered orientation + adjacency-array intersection,
+    *     the O(E^1.5) arboricity bound; a node-ordered wedge
+    *     self-join watchdogged at sf0.1 — hub parts make it
+    *     quadratic). Each triangle credits its THREE canonical edges
+    *     through one `explode` of a 3-struct array — a 3-way unionAll
+    *     would re-execute the join + intersect per branch (q190).
+    *  2. Each peel round deletes the under-supported batch D and
+    *     DECREMENTS the survivors touching destroyed triangles
+    *     instead of recounting: support(e, E∖D) = support(e, E) −
+    *     #{triangles through e with ≥1 edge in D} — exact by
+    *     inclusion (triples found from EVERY deleted member edge are
+    *     dedup'd on the sorted triple, so a 2-deleted-edge triangle
+    *     decrements its lone survivor once, a 3-deleted one nobody).
+    *     Every deleted edge has support < k−2 BY DEFINITION OF ITS
+    *     DELETION, so it sits in < k−2 triangles — the destroyed set
+    *     is |D|-bounded and rounds after the first cost O(|D|), not
+    *     O(E^1.5). (The recount variant measured 8 × ~4 s at sf0.1;
+    *     this shape pays the kernel once.)
+    *  3. Rounds `localCheckpoint` (the support table re-enters its
+    *     own next-round plan — the q304 lineage lesson); convergence
+    *     = empty deletion batch, measured by the count each round
+    *     materializes anyway.
+    *
+    * The oracle unrolls the equivalent recount peel (10 MATERIALIZED
+    * rounds, the q172 recipe); the decrement identity above makes the
+    * two algebras equal round-for-round, `maxIters` matches the
+    * unroll, and KTrussSpec proves incremental == recount on planted
+    * graphs and real data. Requires k ≥ 3 (the k = 2 truss is the
+    * whole graph and the support table — keyed by triangled edges —
+    * could not represent it).
+    */
+  def kTruss(spark: SparkSession, d: String, k: Long = 4L,
+             maxIters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e0 = copartEdges(spark, d)
+    // the SAME measured gate + Derived frames q118/q190 ride: the
+    // initial support pass reuses their cached orientation and
+    // adjacency instead of rebuilding either
+    val fits = e0.count() <= BroadcastAdjMaxEntries
+    kTrussLoop(e0, orientedCopart(spark, d, fits),
+      copartAdj(spark, d, fits), k, maxIters, fits)
+  }
+
+  /** [[kTruss]] on an explicit canonical (a < b) edge frame —
+    * separated so specs can drive planted graphs through the exact
+    * production peel. Builds (and checkpoints) its own orientation
+    * and adjacency; the named-table entry point shares the session-
+    * cached ones instead. */
+  private[graft] def kTrussOf(e0: DataFrame, k: Long, maxIters: Int,
+      maxBroadcastAdj: Long = BroadcastAdjMaxEntries): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    def hinted(df: DataFrame, fits: Boolean): DataFrame =
+      if (fits) broadcast(df) else df
+    val fits = e0.count() <= maxBroadcastAdj
+    val deg = e0.select($"a".as("node")).unionAll(e0.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val lt = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
+    val oriented = e0
+      .join(hinted(deg.select($"node".as("a"), $"deg".as("da")), fits), "a")
+      .join(hinted(deg.select($"node".as("b"), $"deg".as("db")), fits), "b")
+      .select(when(lt, $"a").otherwise($"b").as("src"),
+        when(lt, $"b").otherwise($"a").as("dst"))
+      .localCheckpoint(false)
+    val adj = oriented.groupBy($"src")
+      .agg(sort_array(collect_list($"dst")).as("nbr"))
+      .localCheckpoint(false)
+    kTrussLoop(e0, oriented, adj, k, maxIters, fits)
+  }
+
+  private def kTrussLoop(e0: DataFrame, oriented: DataFrame,
+      adj: DataFrame, k: Long, maxIters: Int, fits: Boolean): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    require(k >= 3, s"kTruss needs k >= 3, got $k")
+    val minSup = k - 2
+    def dbg(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
+        System.err.println(s"[ktruss] $msg t=${System.nanoTime() / 1000000}")
+    dbg("start")
+    // support over E0, once; edges outside it close no triangle
+    var sup = trussSupport(oriented, adj, fits).localCheckpoint(false)
+    dbg("support done")
+    // peel-1 victims: zero-triangle edges (absent from sup) plus
+    // under-supported support rows
+    var d = e0.join(sup.filter($"s" >= minSup), Seq("a", "b"),
+      "left_anti").localCheckpoint(false)
+    var dEdges = d.count()
+    dbg(s"d0 done deleted=$dEdges")
+    var applied = 0
+    while (applied < maxIters && dEdges > 0) {
+      applied += 1
+      // d's size is MEASURED (dEdges, the loop's own convergence
+      // count) and deleted edges have support < k−2, so the destroyed
+      // set and its decrement rows are |d|-bounded too: everything
+      // derived from d broadcasts under the gate. Without the hints,
+      // checkpointed frames carry no statistics and every peel paid a
+      // 1M-row sort-merge join against a 62k probe (measured 2-5 s
+      // each; map-side broadcast makes the rebuild scan-speed).
+      val dFits = fits && dEdges <= BroadcastAdjMaxEntries
+      def dHint(df: DataFrame): DataFrame =
+        if (dFits) broadcast(df) else df
+      // destroyed triangles: common neighbors of each deleted edge's
+      // endpoints in E_{p-1}; adjacency restricted to D's endpoints
+      // (a destroyed triangle's other edges each close ≥ this
+      // triangle, so they have support rows — sup's keys suffice)
+      val nodesD = d.select($"a".as("srcn"))
+        .unionAll(d.select($"b".as("srcn"))).distinct()
+      val adjD = sup.select($"a".as("srcn"), $"b".as("dstn"))
+        .unionAll(sup.select($"b".as("srcn"), $"a".as("dstn")))
+        .join(dHint(nodesD), Seq("srcn"), "left_semi")
+        .groupBy($"srcn").agg(collect_list($"dstn").as("nbr"))
+      val tri = dHint(d)
+        .join(adjD.select($"srcn".as("a"), $"nbr".as("na")), "a")
+        .join(adjD.select($"srcn".as("b"), $"nbr".as("nb")), "b")
+        .select($"a", $"b",
+          explode(array_intersect($"na", $"nb")).as("w"))
+      val decr = tri
+        .select(array_sort(array($"a", $"b", $"w")).as("t")).distinct()
+        .select(explode(array(
+          struct($"t" (0).as("a"), $"t" (1).as("b")),
+          struct($"t" (0).as("a"), $"t" (2).as("b")),
+          struct($"t" (1).as("a"), $"t" (2).as("b")))).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("dec"))
+      sup = sup.join(dHint(d), Seq("a", "b"), "left_anti")
+        .join(dHint(decr), Seq("a", "b"), "left")
+        .select($"a", $"b",
+          ($"s" - coalesce($"dec", lit(0L))).as("s"))
+        .localCheckpoint(false)
+      d = sup.filter($"s" < minSup).select($"a", $"b")
+        .localCheckpoint(false)
+      dEdges = d.count()
+      dbg(s"peel=$applied deleted=$dEdges")
+    }
+    sup.select($"a".as("part")).unionAll(sup.select($"b".as("part")))
+      .groupBy($"part").agg(count(lit(1)).as("truss_deg"))
+      .orderBy($"part")
+  }
+
+  /** Per-canonical-edge triangle support via the degree-ordered
+    * intersection kernel — each triangle found once at its
+    * lowest-ranked edge, credited to all three edges in one pass
+    * over prebuilt (shared or checkpointed) orientation + adjacency. */
+  private def trussSupport(oriented: DataFrame, adj: DataFrame,
+      fits: Boolean): DataFrame = {
+    import oriented.sparkSession.implicits._
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    oriented
+      .join(hinted(adj.toDF("src", "nu")), "src")
+      .join(hinted(adj.toDF("dst", "nv")), "dst")
+      .select($"src", $"dst",
+        explode(array_intersect($"nu", $"nv")).as("w"))
+      .select(explode(array(
+        struct(least($"src", $"dst").as("a"),
+          greatest($"src", $"dst").as("b")),
+        struct(least($"src", $"w").as("a"),
+          greatest($"src", $"w").as("b")),
+        struct(least($"dst", $"w").as("a"),
+          greatest($"dst", $"w").as("b")))).as("t"))
+      .select($"t.a".as("a"), $"t.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("s"))
+  }
+
   /** HITS hubs & authorities over the directed customer→supplier
     * purchase graph — the two-sided centrality ([[pageRank]] ranks
     * the symmetrized graph; HITS separates "good buyers" from
