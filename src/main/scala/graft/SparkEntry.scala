@@ -1096,6 +1096,36 @@ object SparkEntry {
           max($"id").as("id_max"))
         .orderBy($"b")
     }),
+    // DSv2 TABLESAMPLE pushdown: Spark's Sample node is replaced by
+    // the source's deterministic hash-systematic sample (ids with
+    // h < 0.25·P) — slicing-invariant, hence oracle-checkable; the
+    // aggregate stays Spark-side (closed forms refuse under a sample)
+    "q328_gen_sample" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "1000000").option("parts", "8").load()
+        .sample(0.25, 42L)
+        .groupBy(($"id" % 4).as("g"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+        .orderBy($"g")
+    }),
+    // DSv2 GROUPED complete aggregate pushdown: groupBy(g) over the
+    // keyed generator answers from per-residue-class closed forms —
+    // one arithmetic-progression formula per group, zero rows
+    // generated (GenSourceSpec pins the GenAggScan groupBy plan)
+    "q329_gen_grouped_pushdown" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "2000000").option("parts", "16")
+        .option("keyed", "true").load()
+        .filter($"id" >= 500L && $"id" < 1600009L)
+        .groupBy($"g")
+        .agg(count(lit(1)).as("n"), min($"id").as("mn"),
+          max($"id").as("mx"), sum($"id").as("s"))
+        .orderBy($"g")
+    }),
     // k-truss: edge-cohesion peel (every surviving co-purchase edge
     // closes >= k-2 triangles among survivors) — the edge analog of
     // q172's k-core; support recount + semi-join drop per round,
@@ -6328,6 +6358,26 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
         |  CAST(MAX(id) AS BIGINT) AS id_max
         |FROM t GROUP BY b ORDER BY b""".stripMargin,
+    // q328: the pushed sample is the ids with h < ⌊0.25·P⌋ — a pure
+    // closed form, so the oracle filters the same hash inequality
+    "q328_gen_sample" ->
+      """WITH gg AS (
+        |  SELECT range AS id,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(1000000)),
+        |t AS (SELECT id, (h // 1000) % 100000 AS cents FROM gg
+        |      WHERE h < 536870911)
+        |SELECT id % 4 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+    // q329: per-residue arithmetic-progression aggregates over the
+    // clamped interval — equality proves the grouped closed forms
+    "q329_gen_grouped_pushdown" ->
+      """SELECT id % 16 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(id) AS mn, MAX(id) AS mx, CAST(SUM(id) AS BIGINT) AS s
+        |FROM range(2000000) t(id)
+        |WHERE id >= 500 AND id < 1600009
+        |GROUP BY g ORDER BY g""".stripMargin,
     // q327: the identical support peel unrolled 10 rounds (the q172
     // MATERIALIZED recipe — every eᵢ is referenced 4× by round i+1);
     // the engine's maxIters matches the unroll and early convergence

@@ -111,10 +111,39 @@ object GenSource {
       with SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
       with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-      with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
+      with org.apache.spark.sql.connector.read.SupportsPushDownOffset
+      with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
     private var required: StructType = if (keyed) KeyedSchema else Schema
     private var lo = 0L
     private var hi = rows
+    private var limited = false
+    // sampled rows keep ids with h ∈ [sampleHLo, sampleHHi)
+    private var sampleHLo = 0L
+    private var sampleHHi = P
+    private var sampled = false
+
+    /** TABLESAMPLE pushes as a DETERMINISTIC hash-systematic sample:
+      * keep ids whose bijective hash h falls in [⌊lower·P⌋, ⌊upper·P⌋)
+      * — the sampled ids are a fixed, slicing-independent subset of
+      * the interval (exactly what makes the pushed sample
+      * oracle-checkable), uniform because h is a bijection of
+      * id mod P. The seed is deliberately ignored and the source owns
+      * the sampling semantics — the DSv2 contract for a pushed sample
+      * (Spark removes its own Sample node entirely). Refused with
+      * replacement (a generator cannot duplicate interval rows), and
+      * refused after a pushed LIMIT/OFFSET (those clamped the id
+      * interval under whole-interval semantics; sampling beneath them
+      * would reorder the two operators). */
+    override def pushTableSample(lower: Double, upper: Double,
+        withReplacement: Boolean, seed: Long): Boolean = {
+      if (withReplacement || limited) false
+      else {
+        sampleHLo = math.max(0L, math.floor(lower * P).toLong)
+        sampleHHi = math.min(P, math.floor(upper * P).toLong)
+        sampled = true
+        true
+      }
+    }
 
     /** LIMIT clamps the interval's far end — the generator emits
       * exactly the first `limit` ids of the (filter-clamped) range
@@ -125,7 +154,9 @@ object GenSource {
       * pushed aggregate (build() prefers the agg scan; aggregates
       * above a limit never reach one ScanBuilder anyway). */
     override def pushLimit(limit: Int): Boolean = {
+      if (sampled) return false // the clamp assumes every id survives
       if (limit >= 0 && hi - lo > limit) hi = lo + limit
+      limited = true
       true
     }
 
@@ -136,7 +167,9 @@ object GenSource {
       * them. Together with [[pushLimit]] this completes the
       * paginate-without-materializing story. */
     override def pushOffset(offset: Int): Boolean = {
+      if (sampled) return false // the clamp assumes every id survives
       if (offset >= 0) lo = math.min(lo + offset, hi)
+      limited = true
       true
     }
     private var accepted: Array[Filter] = Array.empty
@@ -180,25 +213,43 @@ object GenSource {
     }
     override def pushedFilters(): Array[Filter] = accepted
 
-    /** Ungrouped COUNT(star or id) / MIN(id) / MAX(id) / SUM(id) over the
-      * (filter-clamped) interval are CLOSED FORMS — count = hi−lo,
-      * min = lo, max = hi−1, sum = (lo+hi−1)(hi−lo)/2 — so the source
-      * answers them COMPLETELY without generating a single row: the
-      * DSv2 aggregate-pushdown analog of a footer-statistics answer,
-      * and the farthest point on the "never materialize what a
-      * formula knows" axis this generator exists to demonstrate.
-      * Grouped aggregates and non-id columns stay with Spark. */
+    /** COUNT(star or id) / MIN(id) / MAX(id) / SUM(id) over the
+      * (filter-clamped) interval are CLOSED FORMS — ungrouped:
+      * count = hi−lo, min = lo, max = hi−1, sum = (lo+hi−1)(hi−lo)/2;
+      * GROUPED BY the storage key `g` (keyed mode): the same forms on
+      * each arithmetic progression {id ≡ p (mod parts)} ∩ [lo, hi) —
+      * so the source answers them COMPLETELY without generating a
+      * single row: the DSv2 aggregate-pushdown analog of a
+      * footer-statistics answer, and the farthest point on the "never
+      * materialize what a formula knows" axis this generator exists
+      * to demonstrate. Any other grouping, non-id columns, and any
+      * aggregate over a pushed SAMPLE (the forms assume every id
+      * survives) stay with Spark. */
     private def aggHandled(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
         : Boolean = {
       import org.apache.spark.sql.connector.expressions.aggregate._
-      def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      def isField(e: org.apache.spark.sql.connector.expressions.Expression,
+          name: String) =
         e match {
           case f: org.apache.spark.sql.connector.expressions.NamedReference =>
-            f.fieldNames.sameElements(Array("id"))
+            f.fieldNames.sameElements(Array(name))
           case _ => false
         }
-      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+        isField(e, "id")
+      // exact sums stay in Long for every group iff they do for the
+      // whole interval (each group's sum is a sub-sum of same-sign ids)
+      def sumFits: Boolean = {
+        val hi2 = math.max(lo, hi)
+        val n = hi2 - lo
+        n == 0 || ((BigInt(lo) + BigInt(hi2 - 1)) * n / 2).isValidLong
+      }
+      val groupedOnG = keyed && agg.groupByExpressions.length == 1 &&
+        isField(agg.groupByExpressions.head, "g")
+      !sampled &&
+      (agg.groupByExpressions.isEmpty || groupedOnG) &&
+      agg.aggregateExpressions.forall {
         case _: CountStar => true
         case c: Count => !c.isDistinct && isId(c.column)
         case m: Min => isId(m.column)
@@ -208,12 +259,7 @@ object GenSource {
         // aggregate raises ARITHMETIC_OVERFLOW — a pushed scan
         // silently wrapping would change semantics, so overflow falls
         // back to the row-generating scan + Spark's own Sum
-        case s: Sum => !s.isDistinct && isId(s.column) && {
-          val lo2 = lo
-          val hi2 = math.max(lo, hi)
-          val n = hi2 - lo2
-          n == 0 || ((BigInt(lo2) + BigInt(hi2 - 1)) * n / 2).isValidLong
-        }
+        case s: Sum => !s.isDistinct && isId(s.column) && sumFits
         case _ => false
       }
     }
@@ -230,45 +276,74 @@ object GenSource {
     }
 
     override def build(): Scan = pushedAgg match {
-      case Some(agg) => new GenAggScan(lo, math.max(lo, hi), agg)
+      case Some(agg) => new GenAggScan(lo, math.max(lo, hi), agg,
+        if (agg.groupByExpressions.nonEmpty) parts else 0)
       case None =>
-        new GenScan(lo, math.max(lo, hi), parts, required, keyed, columnar)
+        new GenScan(lo, math.max(lo, hi), parts, required, keyed, columnar,
+          if (sampled) Some((sampleHLo, sampleHHi)) else None)
     }
   }
 
-  /** One-row, one-partition scan answering a completely-pushed
-    * aggregation from the interval's closed forms. Empty interval:
-    * count/sum are 0 (non-null: count over zero rows is 0 and the
-    * engine expects the scan to SAY so under complete pushdown),
-    * min/max are NULL. */
+  /** One-partition scan answering a completely-pushed aggregation
+    * from the interval's closed forms. Ungrouped (`groups = 0`): one
+    * row; empty interval: count/sum are 0 (non-null: count over zero
+    * rows is 0 and the engine expects the scan to SAY so under
+    * complete pushdown), min/max are NULL. Grouped on the storage key
+    * `g` (`groups = parts`): one row per NONEMPTY residue class —
+    * each an arithmetic progression first, first+m, … within
+    * [lo, hi), so count n = ⌊(hi−1−first)/m⌋+1, min = first,
+    * max = first+(n−1)m, sum = n·first + m·n(n−1)/2; SQL group-by
+    * semantics emit NO row for an empty group. */
   private[graft] class GenAggScan(val lo: Long, val hi: Long,
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      groups: Int)
       extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     import org.apache.spark.sql.connector.expressions.aggregate._
     private val n = math.max(0L, hi - lo)
 
-    /** A completely-pushed ungrouped aggregate is one row, and says so. */
+    /** A completely-pushed aggregate is at most max(1, groups) rows,
+      * and says so. */
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics =
       new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.of(8L * agg.aggregateExpressions.length)
+          java.util.OptionalLong.of(8L *
+            (agg.aggregateExpressions.length + (if (groups > 0) 1 else 0)) *
+            math.max(1, groups))
         override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.of(1L)
+          java.util.OptionalLong.of(math.max(1, groups).toLong)
       }
-    private def vals: Array[Any] = agg.aggregateExpressions.map[Any] {
-      case _: CountStar => n
-      case _: Count => n // id is non-null
-      case _: Min => if (n == 0) null else lo
-      case _: Max => if (n == 0) null else hi - 1
-      case _: Sum =>
-        // aggHandled refused any interval whose closed form leaves
-        // Long, so this conversion is provably exact here
-        if (n == 0) null
-        else ((BigInt(lo) + BigInt(hi - 1)) * n / 2).toLong
-    }
+    /** Closed forms over an arithmetic progression of `cnt` ids
+      * starting at `first` with step `step`. */
+    private def aggVals(first: Long, cnt: Long, step: Long): Array[Any] =
+      agg.aggregateExpressions.map[Any] {
+        case _: CountStar => cnt
+        case _: Count => cnt // id is non-null
+        case _: Min => if (cnt == 0) null else first
+        case _: Max => if (cnt == 0) null else first + (cnt - 1) * step
+        case _: Sum =>
+          // aggHandled refused any interval whose whole-interval sum
+          // leaves Long; every progression sum is a sub-sum of
+          // same-sign ids, so this conversion is provably exact here
+          if (cnt == 0) null
+          else (BigInt(first) * cnt +
+            BigInt(step) * cnt * (cnt - 1) / 2).toLong
+      }
+    private def rows: Seq[Array[Any]] =
+      if (groups == 0) Seq(aggVals(lo, n, 1L))
+      else (0 until groups).flatMap { p =>
+        val first = lo + (((p - lo % groups) % groups + groups) % groups)
+        if (first >= hi) None // empty group: no row, the SQL contract
+        else {
+          val cnt = (hi - 1 - first) / groups + 1
+          Some((p.toLong: Any) +: aggVals(first, cnt, groups.toLong))
+        }
+      }
     override def readSchema(): StructType = StructType(
+      (if (groups > 0)
+        Seq(StructField("g", LongType, nullable = false))
+      else Nil) ++
       agg.aggregateExpressions.zipWithIndex.map { case (e, i) =>
         StructField(s"agg$i", LongType, nullable = !(e match {
           case _: CountStar | _: Count => true
@@ -277,19 +352,20 @@ object GenSource {
       })
     override def toBatch: Batch = this
     override def description(): String =
-      s"GenAggScan[$lo, $hi) pushed=${agg.aggregateExpressions.mkString(",")}"
+      s"GenAggScan[$lo, $hi) pushed=${agg.aggregateExpressions.mkString(",")}" +
+        (if (groups > 0) s" groupBy=g($groups)" else "")
     override def planInputPartitions(): Array[InputPartition] =
       Array(GenSlice(0L, 1L, 1L))
     override def createReaderFactory(): PartitionReaderFactory = {
-      val row = vals
+      val out = rows
       new PartitionReaderFactory {
         override def createReader(p: InputPartition)
             : PartitionReader[InternalRow] =
           new PartitionReader[InternalRow] {
-            private var emitted = false
-            override def next(): Boolean =
-              if (emitted) false else { emitted = true; true }
-            override def get(): InternalRow = new GenericInternalRow(row)
+            private var i = -1
+            override def next(): Boolean = { i += 1; i < out.length }
+            override def get(): InternalRow =
+              new GenericInternalRow(out(i))
             override def close(): Unit = ()
           }
       }
@@ -297,7 +373,8 @@ object GenSource {
   }
 
   private[graft] class GenScan(lo0: Long, hi0: Long, parts: Int,
-      required: StructType, keyed: Boolean, columnar: Boolean)
+      required: StructType, keyed: Boolean, columnar: Boolean,
+      val sample: Option[(Long, Long)] = None)
       extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -387,17 +464,26 @@ object GenSource {
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics =
       new org.apache.spark.sql.connector.read.Statistics {
-        private val rows = math.max(0L, hi - lo)
+        // a pushed sample keeps ~ (hHi − hLo)/P of the interval; the
+        // hash is a bijection so the expectation is exact and the
+        // estimate stays honest for join planning
+        private val rows = sample match {
+          case Some((hLo, hHi)) =>
+            (BigInt(math.max(0L, hi - lo)) *
+              math.max(0L, hHi - hLo) / P).toLong
+          case None => math.max(0L, hi - lo)
+        }
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(
-            rows * (8L * math.max(1, required.size)))
+            math.max(1L, rows) * (8L * math.max(1, required.size)))
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.of(rows)
       }
     override def toBatch: Batch = this
     override def description(): String =
       s"GenScan[$lo, $hi) parts=$parts cols=${required.fieldNames.mkString(",")}" +
-        (if (keyed) " keyed" else "") + (if (columnar) " columnar" else "")
+        (if (keyed) " keyed" else "") + (if (columnar) " columnar" else "") +
+        sample.map { case (a, b) => s" sample=h[$a,$b)" }.getOrElse("")
     override def planInputPartitions(): Array[InputPartition] =
       if (keyed) {
         // one residue class per partition: ids ≡ p (mod parts) within
@@ -414,7 +500,8 @@ object GenSource {
           .toArray
       }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GenReaderFactory(required.fieldNames, parts.toLong, columnar)
+      new GenReaderFactory(required.fieldNames, parts.toLong, columnar,
+        sample)
   }
 
   private case class GenSlice(start: Long, end: Long, step: Long)
@@ -430,20 +517,21 @@ object GenSource {
   }
 
   private class GenReaderFactory(fields: Array[String], partsL: Long,
-      columnar: Boolean) extends PartitionReaderFactory {
+      columnar: Boolean, sample: Option[(Long, Long)])
+      extends PartitionReaderFactory {
     private def bounds(p: InputPartition): (Long, Long, Long) = p match {
       case GenSlice(s, e, st) => (s, e, st)
       case KeyedGenSlice(s, e, st, _) => (s, e, st)
     }
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val (s, e, st) = bounds(p)
-      new GenReader(s, e, st, fields, partsL)
+      new GenReader(s, e, st, fields, partsL, sample)
     }
     override def supportColumnarReads(p: InputPartition): Boolean = columnar
     override def createColumnarReader(p: InputPartition)
         : PartitionReader[ColumnarBatch] = {
       val (s, e, st) = bounds(p)
-      new GenColumnarReader(s, e, st, fields, partsL)
+      new GenColumnarReader(s, e, st, fields, partsL, sample)
     }
   }
 
@@ -460,11 +548,24 @@ object GenSource {
     }
   }
 
+  /** True iff the id survives the pushed hash-systematic sample. */
+  private def inSample(id: Long, sample: Option[(Long, Long)]): Boolean =
+    sample match {
+      case None => true
+      case Some((hLo, hHi)) =>
+        val h = (id % P) * A % P
+        h >= hLo && h < hHi
+    }
+
   private class GenReader(start: Long, end: Long, step: Long,
-      fields: Array[String], partsL: Long)
+      fields: Array[String], partsL: Long, sample: Option[(Long, Long)])
       extends PartitionReader[InternalRow] {
     private var id = start - step
-    override def next(): Boolean = { id += step; id < end }
+    override def next(): Boolean = {
+      id += step
+      while (id < end && !inSample(id, sample)) id += step
+      id < end
+    }
     override def get(): InternalRow =
       new GenericInternalRow(
         fields.map[Any](f => colValue(f, id, partsL)))
@@ -477,7 +578,7 @@ object GenSource {
     * DSv2 columnar contract: the consumer finishes a batch before
     * asking for the next). */
   private class GenColumnarReader(start: Long, end: Long, step: Long,
-      fields: Array[String], partsL: Long)
+      fields: Array[String], partsL: Long, sample: Option[(Long, Long)])
       extends PartitionReader[ColumnarBatch] {
     private val capacity = 4096
     private val vectors: Array[OnHeapColumnVector] =
@@ -493,12 +594,14 @@ object GenSource {
       while (i < vectors.length) { vectors(i).reset(); i += 1 }
       var n = 0
       while (n < capacity && id < end) {
-        var c = 0
-        while (c < fields.length) {
-          vectors(c).putLong(n, colValue(fields(c), id, partsL))
-          c += 1
+        if (inSample(id, sample)) {
+          var c = 0
+          while (c < fields.length) {
+            vectors(c).putLong(n, colValue(fields(c), id, partsL))
+            c += 1
+          }
+          n += 1
         }
-        n += 1
         id += step
       }
       batch.setNumRows(n)

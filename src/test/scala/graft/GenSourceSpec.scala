@@ -310,6 +310,74 @@ class GenSourceSpec extends SparkSpec {
       "sorting by cents is not covered by the report and must stay")
   }
 
+  test("TABLESAMPLE pushes as a deterministic hash-systematic sample: " +
+    "Spark's Sample node is gone and the subset is slicing-invariant") {
+    val P = 2147483647L
+    val want = (0L until 100000L).filter { id =>
+      val h = (id % P) * 2654435761L % P
+      h < (0.25 * P).toLong
+    }.toSet
+    for (parts <- Seq(2, 8)) {
+      val df = gen(100000L, parts).sample(0.25, seed = 42L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Sample"), // the node pushed completely
+        s"the pushed sample must replace Spark's Sample node:\n$plan")
+      assert(plan.contains("sample=h["), plan)
+      val got = df.select($"id").as[Long].collect().toSet
+      assert(got == want, s"parts=$parts: pushed sample must be the " +
+        s"deterministic hash subset (got ${got.size}, want ${want.size})")
+    }
+    // a sample NOT directly above the scan stays Spark-side (the rule
+    // only pushes Sample(relation); filters reorder beneath Sample, so
+    // filter().sample() keeps the Bernoulli sampler) — the pushed and
+    // unpushed paths must at least agree on the clamped universe
+    val clamped = gen(100000L, 4).filter($"id" >= 50000L).sample(0.25, 7L)
+    assert(!clamped.queryExecution.executedPlan.toString.contains("sample=h["))
+    assert(clamped.select($"id").as[Long].collect()
+      .forall(id => id >= 50000L && id < 100000L))
+    // the columnar path samples identically to the row path
+    val colSample = spark.read.format("graft.sources.GenSource")
+      .option("rows", "100000").option("parts", "4")
+      .option("columnar", "true").load()
+      .sample(0.25, 42L).select($"id").as[Long].collect().toSet
+    assert(colSample == want)
+    // an aggregate over a pushed sample must NOT serve closed forms
+    val agg = gen(100000L, 4).sample(0.25, 42L).agg(count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("GenAggScan"),
+      "closed forms assume every id survives — refuse under a sample")
+    assert(agg.as[Long].head() == want.size.toLong)
+  }
+
+  test("grouped aggregate pushdown: groupBy(g) count/min/max/sum over " +
+    "a keyed generator answers from per-residue closed forms, zero rows") {
+    val df = keyedGen(1000000L, 8)
+      .filter($"id" >= 100L && $"id" < 700005L)
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"),
+        max($"id").as("mx"), sum($"id").as("s"))
+      .orderBy($"g")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GenAggScan") && plan.contains("groupBy=g"),
+      s"grouped aggregate must reach the connector completely:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must eliminate the aggregate exec:\n$plan")
+    val got = df.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val want = (100L until 700005L).groupBy(_ % 8).toSeq.map {
+      case (g, ids) => (g, ids.size.toLong, ids.min, ids.max, ids.sum)
+    }.sortBy(_._1)
+    assert(got == want)
+    // an empty residue class yields NO group row (SQL semantics)
+    val tiny = keyedGen(4L, 8).groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(tiny.queryExecution.executedPlan.toString.contains("GenAggScan"))
+    assert(tiny.as[(Long, Long)].collect().toSet ==
+      Set((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)))
+    // grouping by anything else still falls back to the row scan
+    val other = keyedGen(1000L, 8).groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+    assert(!other.queryExecution.executedPlan.toString.contains("GenAggScan"))
+    assert(other.agg(sum($"n")).as[Long].head() == 1000L)
+  }
+
   test("sum pushdown refuses when the closed form overflows Long — " +
     "ANSI parity with the un-pushed aggregate") {
     val lo = Long.MaxValue - 1000L
