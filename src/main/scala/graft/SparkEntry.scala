@@ -1136,6 +1136,11 @@ object SparkEntry {
     // lattice; tau_b served as its sign-carried exact square (no
     // sqrt crosses an engine)
     "q326_kendall_tau_b" -> (Stats.kendallTauB _),
+    // Kruskal-Wallis H: do the five order-priority classes draw
+    // their order values from a shifted distribution? Joint ranking
+    // via one GlobalIndex pass; tie-exact doubled midranks; H and
+    // its tie-corrected form as floored integer rationals
+    "q330_kruskal_wallis" -> (Stats.kruskalWallis _),
     // V2 FUNCTION CATALOG: the engine's functions called from PLAIN
     // SQL (`graft.genhash`, `graft.zorder2`) — no Scala imports, no
     // session UDF registration; magic-method binding keeps the calls
@@ -6459,6 +6464,68 @@ object SparkEntry {
         |    ELSE CAST(s_stat AS HUGEINT) * 1000000 // nullif(n0 - tx, 0)
         |    END AS BIGINT) AS somers_d_q6
         |FROM f""".stripMargin,
+    // q330: identical joint ranking (ROW_NUMBER over value then key
+    // — within a tie class the row numbers ARE the competition
+    // ranks, so 2·SUM(rn)//t is the exact doubled midrank); HUGEINT
+    // mirrors DECIMAL(38,0); every // runs on nonnegative operands
+    // so it matches Spark's truncating div
+    "q330_kruskal_wallis" ->
+      """WITH rows0 AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (SELECT k, g, v,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY v, k) AS BIGINT) AS rn
+        |      FROM rows0),
+        |bv AS (SELECT v, CAST(SUM(rn) AS BIGINT) AS rsum,
+        |         CAST(COUNT(*) AS BIGINT) AS t
+        |       FROM r GROUP BY v),
+        |ar AS (SELECT v, 2 * rsum // t AS ar2, t FROM bv),
+        |bg AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS cg
+        |       FROM r GROUP BY v, g),
+        |grp AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS n_g,
+        |          SUM(CAST(cg AS HUGEINT) * ar2) AS r2
+        |        FROM bg JOIN ar USING (v) GROUP BY g),
+        |nn AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM grp),
+        |gl AS (SELECT n, SUM(CAST(r2 AS HUGEINT) * r2 * 3000000
+        |         // (CAST(n_g AS HUGEINT) * n * (n + 1))) AS s_q6
+        |       FROM grp CROSS JOIN nn GROUP BY n),
+        |tt AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t),
+        |         0) AS tie
+        |       FROM bv),
+        |wide AS (SELECT
+        |    MAX(CASE WHEN g = 1 THEN n_g END) AS n1,
+        |    MAX(CASE WHEN g = 1 THEN CAST(r2 AS BIGINT) END) AS rs1_x2,
+        |    MAX(CASE WHEN g = 2 THEN n_g END) AS n2,
+        |    MAX(CASE WHEN g = 2 THEN CAST(r2 AS BIGINT) END) AS rs2_x2,
+        |    MAX(CASE WHEN g = 3 THEN n_g END) AS n3,
+        |    MAX(CASE WHEN g = 3 THEN CAST(r2 AS BIGINT) END) AS rs3_x2,
+        |    MAX(CASE WHEN g = 4 THEN n_g END) AS n4,
+        |    MAX(CASE WHEN g = 4 THEN CAST(r2 AS BIGINT) END) AS rs4_x2,
+        |    MAX(CASE WHEN g = 5 THEN n_g END) AS n5,
+        |    MAX(CASE WHEN g = 5 THEN CAST(r2 AS BIGINT) END) AS rs5_x2
+        |  FROM grp),
+        |f AS (SELECT n, s_q6, tie,
+        |        CAST(n AS HUGEINT) * n * n - n AS n3n,
+        |        GREATEST(s_q6
+        |          - 3 * (CAST(n AS HUGEINT) + 1) * 1000000, 0) AS h_q6
+        |      FROM gl CROSS JOIN tt),
+        |f2 AS (SELECT f.*,
+        |         CAST(tie * 1000000 // NULLIF(n3n, 0) AS BIGINT)
+        |           AS tie_frac_q6
+        |       FROM f)
+        |SELECT n,
+        |  COALESCE(n1, 0) AS n1, COALESCE(rs1_x2, 0) AS rs1_x2,
+        |  COALESCE(n2, 0) AS n2, COALESCE(rs2_x2, 0) AS rs2_x2,
+        |  COALESCE(n3, 0) AS n3, COALESCE(rs3_x2, 0) AS rs3_x2,
+        |  COALESCE(n4, 0) AS n4, COALESCE(rs4_x2, 0) AS rs4_x2,
+        |  COALESCE(n5, 0) AS n5, COALESCE(rs5_x2, 0) AS rs5_x2,
+        |  tie_frac_q6,
+        |  CAST(h_q6 AS BIGINT) AS h_q6,
+        |  CAST(h_q6 * 1000000 // NULLIF(1000000 - tie_frac_q6, 0)
+        |    AS BIGINT) AS h_tie_q6
+        |FROM f2 CROSS JOIN wide""".stripMargin,
     // q325: genhash's closed form plus an 8-bit Morton interleave
     // unrolled as per-bit shifts — the same integers the catalog
     // functions compute inside codegen

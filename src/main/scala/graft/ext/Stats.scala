@@ -3561,4 +3561,114 @@ object Stats {
           " * 1000000.0) AS BIGINT)").as("v_q6"))
       .orderBy($"pair")
   }
+
+  /** Kruskal–Wallis H — the k-sample generalization of the rank-sum
+    * test ([[abZTest]] compares two means; this asks whether ANY of
+    * the order-priority classes draws its order values from a shifted
+    * distribution, with no normality assumption): rank all order
+    * values jointly, and H measures how far the per-class rank sums
+    * sit from their null expectation,
+    * `H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1)`, divided by the tie
+    * correction `C = 1 − Σ(t³−t)/(N³−N)`.
+    *
+    * Exactness — all integers, no libm: the joint ranking is ONE
+    * [[graft.operators.GlobalIndex]] pass (range-partitioned, never a
+    * single-reducer window), and midranks never materialize per row:
+    * within a tie class the assigned row numbers are exactly the
+    * competition ranks, so `Σ_class rn = t·midrank` and the DOUBLED
+    * midrank `2·Σrn div t = minrank+maxrank` is an exact integer.
+    * Per-class doubled rank sums R2_g then come from the (value,
+    * class) contingency counts joined to the per-value tie table — a
+    * key-partitioned join, never a row-level one. With R_g = R2_g/2,
+    * `H = Σ_g [3·R2_g²·10⁶ div (n_g·N(N+1))] − 3(N+1)·10⁶` at q6 —
+    * the division INSIDE each class term keeps every div result in
+    * int64 (the per-class term is ≤ 12·n_g·10⁶) while the numerator
+    * stages DECIMAL(38,0); the tie correction divides the q6 H by the
+    * q6 `C = 1 − Σ(t³−t)/(N³−N)`. Both engines floor the SAME
+    * rationals — no float accumulation anywhere. H ≥ 0 holds with
+    * midranks (rank sums are tie-invariant), so after a 0-clamp
+    * absorbing the ≤ groups·10⁻⁶ per-term flooring, `div` is floor
+    * throughout.
+    *
+    * Scale shape: one global ranking (two-pass prefix offset), two
+    * map-combinable aggs on the value domain, one value-keyed join;
+    * nothing holds per-group state and no stage sees more than the
+    * distinct-value domain after the first agg.
+    */
+  def kruskalWallis(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.orders(spark, d).select(
+      $"o_orderkey".as("k"),
+      expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("g"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+    kruskalWallisOf(rows, nGroups = 5)
+  }
+
+  /** [[kruskalWallis]]'s core over an explicit `(k unique, g ∈
+    * 1..nGroups, v)` frame — what the property spec drives against a
+    * sequential reference. One row: N, per-class n_g and doubled rank
+    * sums, tie fraction, H and tie-corrected H at q6. */
+  private[graft] def kruskalWallisOf(rows: DataFrame,
+                                     nGroups: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(rows, Seq($"v".asc, $"k".asc), "rn")
+    // per distinct value: tie size t and the DOUBLED midrank
+    // (2·Σrn/t = minrank+maxrank — exact because the rn set within a
+    // tie class IS the consecutive rank set)
+    val byVal = ranked.groupBy($"v")
+      .agg(sum($"rn").as("rsum"), count(lit(1)).as("t"))
+      .withColumn("ar2", expr("2 * rsum div t"))
+    val byValG = ranked.groupBy($"v", $"g").agg(count(lit(1)).as("cg"))
+    val grp = byValG.join(byVal, "v")
+      .groupBy($"g")
+      .agg(sum($"cg").as("n_g"),
+        sum(expr(s"CAST(cg AS $dec) * ar2")).as("r2"))
+    val nRow = grp.agg(sum($"n_g").as("n"))
+    // per-class H contribution 3·R2_g²·10⁶/(n_g·N(N+1)) — divided
+    // INSIDE each term so every div result fits int64 (Spark's
+    // IntegralDivide returns LONG regardless of operand precision;
+    // the term is ≤ 12·n_g·10⁶, inside int64 to N ≈ 7·10¹¹ rows);
+    // the numerator stages DECIMAL(38,0) (R2_g² alone wraps int64
+    // past ~2·10⁹ rows)
+    val gl = grp.crossJoin(broadcast(nRow))
+      .select($"n", $"n_g", expr(
+        s"CAST(r2 AS $dec) * r2 * 3000000" +
+          s" div (CAST(n_g AS $dec) * n * (n + 1))").as("h_term_q6"))
+      .groupBy($"n").agg(sum($"h_term_q6").as("s_q6"))
+    val tt = byVal.agg(
+      coalesce(sum(expr(s"CAST(t AS $dec) * t * t - t")), lit(0).cast(dec))
+        .as("tie"))
+    val wideCols = (1 to nGroups).flatMap(i => Seq(
+      max(when($"g" === i, $"n_g")).as(s"n$i"),
+      max(when($"g" === i, expr("CAST(r2 AS BIGINT)"))).as(s"rs${i}_x2")))
+    val wide = grp.agg(wideCols.head, wideCols.tail: _*)
+    gl.crossJoin(broadcast(tt)).crossJoin(broadcast(wide))
+      .withColumn("n3n", expr(s"CAST(n AS $dec) * n * n - n"))
+      // H ≥ 0 holds exactly, but the per-term q6 flooring can
+      // undershoot an exact-zero H by ≤ groups·10⁻⁶ — clamp at 0 so
+      // no negative ever reaches a div (Spark div truncates toward 0,
+      // DuckDB // floors: they only agree on nonnegatives)
+      .withColumn("h_q6", expr(
+        s"greatest(s_q6 - 3 * (CAST(n AS $dec) + 1) * 1000000," +
+          s" CAST(0 AS $dec))"))
+      .withColumn("tie_frac_q6",
+        expr("CAST(tie * 1000000 div nullif(n3n, 0) AS BIGINT)"))
+      .select((Seq(
+        expr("CAST(n AS BIGINT)").as("n"))
+        ++ (1 to nGroups).flatMap(i =>
+          Seq(coalesce(col(s"n$i"), lit(0L)).as(s"n$i"),
+            coalesce(col(s"rs${i}_x2"), lit(0L)).as(s"rs${i}_x2")))
+        ++ Seq(
+          $"tie_frac_q6",
+          expr("CAST(h_q6 AS BIGINT)").as("h_q6"),
+          // H/C at q6 via the q6 tie fraction: C within 10⁻⁶ of 0
+          // (everything tied) serves NULL — the correction is
+          // undefined there, as is the test
+          expr("CAST(h_q6 * 1000000" +
+            " div nullif(1000000 - tie_frac_q6, 0) AS BIGINT)")
+            .as("h_tie_q6"))): _*)
+  }
 }

@@ -308,4 +308,61 @@ object StatsProps extends Properties("stats") {
       }
       Prop(ok) :| s"per-head KN mass must equal 1 exactly (toks=$toks)"
     }
+
+  // Kruskal–Wallis: the distributed rank pipeline (GlobalIndex
+  // ranking, doubled midranks from tie-class row-number sums,
+  // per-term integer divisions) against a sequential BigInt
+  // reference that computes the SAME floored rationals directly.
+  private val genKw: Gen[List[(Int, Long)]] =
+    Gen.nonEmptyListOf(for {
+      g <- Gen.choose(1, 3)
+      v <- Gen.choose(1L, 8L) // small domain → heavy ties
+    } yield (g, v)).map(_.take(50))
+
+  property("Kruskal–Wallis == sequential BigInt reference") =
+    Prop.forAll(genKw) { pts =>
+      import spark.implicits._
+      val rows = pts.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+      val got = Stats.kruskalWallisOf(
+        rows.toDF("k", "g", "v"), nGroups = 3).collect().head
+      // sequential reference
+      val n = rows.size
+      val ranked = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case ((k, g, v), i) => (k, g, v, i + 1L) }
+      val byV = ranked.groupBy(_._3).view.mapValues { xs =>
+        (xs.map(_._4).sum, xs.size.toLong)
+      }.toMap
+      val ar2 = byV.view.mapValues { case (rsum, t) => 2 * rsum / t }.toMap
+      val r2 = ranked.groupBy(_._2).view
+        .mapValues(xs => xs.map(x => BigInt(ar2(x._3))).sum).toMap
+      val ng = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val bn = BigInt(n)
+      val sQ6 = (1 to 3).map { g =>
+        if (!ng.contains(g)) BigInt(0)
+        else r2(g) * r2(g) * 3000000 / (BigInt(ng(g)) * bn * (bn + 1))
+      }.sum
+      val hQ6 = (sQ6 - 3 * (bn + 1) * 1000000).max(BigInt(0))
+      val tie = byV.values.map { case (_, t) =>
+        BigInt(t) * t * t - t
+      }.sum
+      val n3n = bn * bn * bn - bn
+      val tieFrac = if (n3n == 0) None else Some(tie * 1000000 / n3n)
+      val hTie = tieFrac.filter(_ != 1000000)
+        .map(tf => hQ6 * 1000000 / (1000000 - tf))
+      val gotNg = (1 to 3).map(i => got.getLong(got.fieldIndex(s"n$i")))
+      val gotR2 = (1 to 3).map(i => got.getLong(got.fieldIndex(s"rs${i}_x2")))
+      val gotTf = if (got.isNullAt(got.fieldIndex("tie_frac_q6"))) None
+        else Some(BigInt(got.getLong(got.fieldIndex("tie_frac_q6"))))
+      val gotHt = if (got.isNullAt(got.fieldIndex("h_tie_q6"))) None
+        else Some(BigInt(got.getLong(got.fieldIndex("h_tie_q6"))))
+      Prop(
+        got.getLong(0) == n.toLong &&
+        gotNg == (1 to 3).map(g => ng.getOrElse(g, 0L)) &&
+        gotR2 == (1 to 3).map(g => r2.getOrElse(g, BigInt(0)).toLong) &&
+        gotTf == tieFrac &&
+        got.getLong(got.fieldIndex("h_q6")) == hQ6.toLong &&
+        gotHt == hTie) :|
+        s"got=$got want h_q6=$hQ6 h_tie=$hTie tie_frac=$tieFrac"
+    }
 }
