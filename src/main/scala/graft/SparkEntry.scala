@@ -860,6 +860,11 @@ object SparkEntry {
     // log factors, exact integer cumulative sums, NULL after S = 0
     "q276_kaplan_meier" -> ((s: SparkSession, d: String) =>
       Events.kaplanMeier(s, d)),
+    // Nelson-Aalen cumulative hazard + Greenwood variance factor on
+    // the same lifetime frame: pure integer per-step rationals
+    // (d*1e9 div n, d*1e12 div n(n-d)), no libm anywhere
+    "q331_nelson_aalen" -> ((s: SparkSession, d: String) =>
+      Events.nelsonAalen(s, d)),
     // Benjamini-Hochberg FDR over per-stratum z-tests: rank by the
     // exact z-squared rational, step-up vs precomputed critical values
     "q277_bh_fdr" -> (Stats.bhFdr _),
@@ -7206,6 +7211,52 @@ object SparkEntry {
         |SELECT k, n_risk, d AS n_events, ended - d AS n_censored,
         |  CASE WHEN dead = 1 THEN NULL ELSE CAST(ls AS BIGINT) END
         |    AS log_surv_q9
+        |FROM w3 ORDER BY k""".stripMargin,
+    // q331: same lifetime/at-risk CTEs as q276; per-step INTEGER
+    // rationals (HUGEINT // mirrors the DECIMAL(38,0) div), integer
+    // cumulative sums, Greenwood NULL from the first all-die step
+    "q331_nelson_aalen" ->
+      """WITH ev AS (SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MAX(epoch_us(ts)) AS t1,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS tp
+        |  FROM events GROUP BY 1),
+        |lt AS (SELECT
+        |         LEAST(COALESCE((tp - t0) // 86400000000,
+        |           (t1 - t0) // 86400000000), 14) AS k,
+        |         NOT (tp IS NOT NULL
+        |              AND (tp - t0) // 86400000000 <= 14) AS censored
+        |       FROM ev),
+        |byk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS ended,
+        |          CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS d
+        |        FROM lt GROUP BY 1),
+        |w1 AS (SELECT k, ended, d,
+        |         CAST(SUM(ended) OVER (ORDER BY k ROWS BETWEEN CURRENT
+        |           ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |       FROM byk),
+        |w2 AS (SELECT k, n_risk, d, ended,
+        |         MAX(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS dead,
+        |         CAST(CAST(d AS HUGEINT) * 1000000000 // n_risk
+        |           AS BIGINT) AS na,
+        |         CASE WHEN n_risk > d THEN
+        |           CAST(CAST(d AS HUGEINT) * 1000000000000
+        |             // (CAST(n_risk AS HUGEINT) * (n_risk - d))
+        |             AS BIGINT)
+        |         ELSE 0 END AS gw
+        |       FROM w1),
+        |w3 AS (SELECT k, n_risk, d, ended, dead,
+        |         SUM(na) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS nac,
+        |         SUM(gw) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS gwc
+        |       FROM w2)
+        |SELECT k, n_risk, d AS n_events, ended - d AS n_censored,
+        |  CAST(nac AS BIGINT) AS na_cumhaz_q9,
+        |  CASE WHEN dead = 1 THEN NULL ELSE CAST(gwc AS BIGINT) END
+        |    AS greenwood_q12
         |FROM w3 ORDER BY k""".stripMargin,
     // q277: the same exact z-squared rational, rank, and division-free
     // step-up against the identical critical-value literals

@@ -471,27 +471,31 @@ object Events {
     * discipline).
     */
   def kaplanMeier(spark: SparkSession, d: String,
-                  horizon: Int = 14): DataFrame = {
+                  horizon: Int = 14): DataFrame =
+    kaplanMeierOf(lifetimes(spark, d, horizon))
+
+  /** The conversion-survival lifetime frame [[kaplanMeier]] and
+    * [[nelsonAalen]] share — subject: days from a user's first event
+    * to their first PURCHASE (the conversion-survival companion of
+    * q274's latency quantiles); a user with no purchase inside the
+    * horizon is right-censored at min(lifetime, horizon) — exactly
+    * the case that biases a censoring-blind estimate down. */
+  private[graft] def lifetimes(spark: SparkSession, d: String,
+                               horizon: Int): DataFrame = {
     import spark.implicits._
-    // subject: days from a user's first event to their first
-    // PURCHASE (the conversion-survival companion of q274's latency
-    // quantiles); a user with no purchase inside the horizon is
-    // right-censored at min(lifetime, horizon) — exactly the case
-    // that biases a censoring-blind estimate down
     val ev = Tables.events(spark, d)
       .groupBy($"user_id")
       .agg(expr("min(unix_micros(ts))").as("t0"),
         expr("max(unix_micros(ts))").as("t1"),
         expr("min(CASE WHEN event_type = 'purchase'" +
           " THEN unix_micros(ts) END)").as("tp"))
-    val lt = ev.select(
+    ev.select(
       expr("least(coalesce((tp - t0) div 86400000000," +
         s" (t1 - t0) div 86400000000), CAST($horizon AS BIGINT))")
         .as("k"),
       (!($"tp".isNotNull &&
         expr("(tp - t0) div 86400000000") <= lit(horizon.toLong)))
         .as("censored"))
-    kaplanMeierOf(lt)
   }
 
   /** [[kaplanMeier]]'s product-limit core over an explicit
@@ -525,6 +529,63 @@ object Events {
         when($"dead" === 1, lit(null)).otherwise(sum($"lnf_q9").over(wc)))
       .select($"k", $"n_risk", $"d".as("n_events"),
         ($"ended" - $"d").as("n_censored"), $"log_surv_q9")
+      .orderBy($"k")
+  }
+
+  /** Nelson–Aalen cumulative hazard + Greenwood variance factor —
+    * [[kaplanMeier]]'s two standard companions on the SAME lifetime
+    * frame: `Ĥ_k = Σ_{j≤k} d_j/n_j` estimates cumulative hazard
+    * directly (it stays finite even at a step where every at-risk
+    * subject converts, where the product-limit S hits 0 and its log
+    * leaves the scale), and Greenwood's
+    * `Σ_{j≤k} d_j/(n_j·(n_j−d_j))` is the variance factor
+    * `Var(Ŝ_k)/Ŝ_k²` a consumer multiplies into KM confidence bands.
+    *
+    * Exactness — better than the KM query's per-step ln floors: both
+    * per-step terms are INTEGER rationals, `d·10⁹ div n` and
+    * `d·10¹² div (n·(n−d))` (numerators staged DECIMAL(38,0) — d·10¹²
+    * alone wraps int64 past ~9M subjects), quantized then
+    * integer-cumulative-summed, so no libm call and no float crosses
+    * an engine. Greenwood reports NULL from the first all-die step
+    * onward (S = 0 there; its variance is undefined), the
+    * [[kaplanMeierOf]] `dead` convention; the hazard keeps going.
+    *
+    * Scale shape: identical to KM — one per-user min/max aggregate is
+    * the only event-volume-sized work; everything else lives on the
+    * ≤ horizon+1-row day domain.
+    */
+  def nelsonAalen(spark: SparkSession, d: String,
+                  horizon: Int = 14): DataFrame =
+    nelsonAalenOf(lifetimes(spark, d, horizon))
+
+  /** [[nelsonAalen]]'s estimator core over an explicit (k, censored)
+    * frame — what the spec drives with a hand-computed cohort. */
+  private[graft] def nelsonAalenOf(lt: DataFrame): DataFrame = {
+    import lt.sparkSession.implicits._
+    val byK = lt.groupBy($"k")
+      .agg(count(lit(1)).as("ended"),
+        sum(when(!$"censored", 1L).otherwise(0L)).as("d"))
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wc = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byK
+      .withColumn("n_risk", sum($"ended").over(w))
+      .withColumn("dead", max(when($"n_risk" === $"d", 1).otherwise(0))
+        .over(wc))
+      .withColumn("na_q9", expr(
+        "CAST(d AS decimal(38,0)) * 1000000000 div n_risk"))
+      .withColumn("gw_q12",
+        when($"n_risk" > $"d", expr(
+          "CAST(d AS decimal(38,0)) * 1000000000000" +
+            " div (CAST(n_risk AS decimal(38,0)) * (n_risk - d))"))
+          .otherwise(lit(0L)))
+      .withColumn("na_cumhaz_q9", sum($"na_q9").over(wc))
+      .withColumn("greenwood_q12",
+        when($"dead" === 1, lit(null)).otherwise(sum($"gw_q12").over(wc)))
+      .select($"k", $"n_risk", $"d".as("n_events"),
+        ($"ended" - $"d").as("n_censored"),
+        $"na_cumhaz_q9", $"greenwood_q12")
       .orderBy($"k")
   }
 

@@ -1261,6 +1261,34 @@ class BehaviorSpec extends SparkSpec {
     assert(s2 > math.floor(math.log(1e-6) * 1e9).toLong)
   }
 
+  test("nelsonAalenOf: integer-rational hazard and Greenwood terms on " +
+    "the same hand-computed cohort; all-die step NULLs Greenwood but " +
+    "not the hazard") {
+    import spark.implicits._
+    val lt = (Seq.fill(2)((0L, false)) ++ Seq((1L, true)) ++
+      Seq.fill(2)((2L, false)) ++ Seq.fill(5)((3L, true)))
+      .toDF("k", "censored")
+    val got = graft.ext.Events.nelsonAalenOf(lt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))
+    val na0 = 2L * 1000000000L / 10L          // 2/10
+    val na2 = na0 + 2L * 1000000000L / 7L     // + 2/7
+    val gw0 = 2L * 1000000000000L / (10L * 8L)
+    val gw2 = gw0 + 2L * 1000000000000L / (7L * 5L)
+    assert(got.toSeq == Seq(
+      (0L, 10L, na0, gw0), (1L, 8L, na0, gw0),
+      (2L, 7L, na2, gw2), (3L, 5L, na2, gw2)), s"got ${got.toSeq}")
+    // all-die final step: hazard gains d/n = 1 and stays served,
+    // Greenwood goes NULL from that step (S = 0, variance undefined)
+    val lt2 = (Seq.fill(3)((0L, false)) ++ Seq.fill(2)((1L, false)))
+      .toDF("k", "censored")
+    val got2 = graft.ext.Events.nelsonAalenOf(lt2).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.isNullAt(5)))
+    val h0 = 3L * 1000000000L / 5L
+    assert(got2.toSeq == Seq(
+      (0L, h0, false), (1L, h0 + 1000000000L, true)), s"got ${got2.toSeq}")
+  }
+
   test("ccStarContraction: identical labels to HashMin on a planted " +
     "200-hop path, in O(log n) alternations instead of 200 rounds") {
     import org.apache.spark.sql.functions.col
