@@ -1131,6 +1131,13 @@ object SparkEntry {
           max($"id").as("mx"), sum($"id").as("s"))
         .orderBy($"g")
     }),
+    // DSv2 MICRO-BATCH read of the generator: Trigger.AvailableNow +
+    // rowsPerBatch admission control drain the interval in exactly
+    // ceil(rows/rowsPerBatch) batches into a complete-mode streaming
+    // aggregate — the batch count rides the output row, so the
+    // oracle pins real multi-batch accumulation, not just the totals
+    "q332_gen_stream" -> ((s: SparkSession, _: String) =>
+      graft.streaming.GenStream.streamedAgg(s)),
     // k-truss: edge-cohesion peel (every surviving co-purchase edge
     // closes >= k-2 triangles among survivors) — the edge analog of
     // q172's k-core; support recount + semi-join drop per round,
@@ -6469,6 +6476,22 @@ object SparkEntry {
         |    ELSE CAST(s_stat AS HUGEINT) * 1000000 // nullif(n0 - tx, 0)
         |    END AS BIGINT) AS somers_d_q6
         |FROM f""".stripMargin,
+    // q332: the generator's closed forms over the whole interval —
+    // what the union of the micro-batches must equal — plus the
+    // closed-form batch count ceil(100000/30000) = 4
+    "q332_gen_stream" ->
+      """WITH t AS (
+        |  SELECT range AS id,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(100000)),
+        |c AS (SELECT id, h % 1000 AS bucket,
+        |        (h // 1000) % 100000 AS cents
+        |      FROM t)
+        |SELECT bucket % 10 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum,
+        |  CAST(4 AS BIGINT) AS n_batches
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q330: identical joint ranking (ROW_NUMBER over value then key
     // — within a tie class the row numbers ARE the competition
     // ranks, so 2·SUM(rn)//t is the exact doubled midrank); HUGEINT

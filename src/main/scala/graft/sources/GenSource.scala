@@ -78,7 +78,8 @@ class GenSource extends TableProvider {
       opts.getOrElse("rows", "1000").toLong,
       opts.getOrElse("parts", "8").toInt,
       opts.get("keyed").exists(_.toBoolean),
-      opts.get("columnar").exists(_.toBoolean))
+      opts.get("columnar").exists(_.toBoolean),
+      opts.getOrElse("rowsPerBatch", "0").toLong)
   }
 }
 
@@ -96,17 +97,19 @@ object GenSource {
     StructType(Schema.fields :+ StructField("g", LongType, nullable = false))
 
   private[sources] class GenTable(rows: Long, parts: Int, keyed: Boolean,
-      columnar: Boolean) extends Table with SupportsRead {
+      columnar: Boolean, rowsPerBatch: Long = 0L)
+      extends Table with SupportsRead {
     override def name(): String = s"gen($rows rows, $parts parts)"
     override def schema(): StructType = if (keyed) KeyedSchema else Schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new GenScanBuilder(rows, parts, keyed, columnar)
+      new GenScanBuilder(rows, parts, keyed, columnar, rowsPerBatch)
   }
 
   private class GenScanBuilder(rows: Long, parts: Int, keyed: Boolean,
-      columnar: Boolean)
+      columnar: Boolean, rowsPerBatch: Long = 0L)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -280,7 +283,8 @@ object GenSource {
         if (agg.groupByExpressions.nonEmpty) parts else 0)
       case None =>
         new GenScan(lo, math.max(lo, hi), parts, required, keyed, columnar,
-          if (sampled) Some((sampleHLo, sampleHHi)) else None)
+          if (sampled) Some((sampleHLo, sampleHHi)) else None,
+          rowsPerBatch)
     }
   }
 
@@ -374,7 +378,8 @@ object GenSource {
 
   private[graft] class GenScan(lo0: Long, hi0: Long, parts: Int,
       required: StructType, keyed: Boolean, columnar: Boolean,
-      val sample: Option[(Long, Long)] = None)
+      val sample: Option[(Long, Long)] = None,
+      rowsPerBatch: Long = 0L)
       extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -480,6 +485,19 @@ object GenSource {
           java.util.OptionalLong.of(rows)
       }
     override def toBatch: Batch = this
+
+    /** The MICRO-BATCH face of the same interval — the id watermark
+      * is the offset. A static deterministic source makes streaming
+      * reads oracle-checkable: the union of all micro-batches is
+      * provably the batch scan (same formulas, same interval), and
+      * `rowsPerBatch` bounds each admission so a run under
+      * Trigger.AvailableNow demonstrably accumulates across SEVERAL
+      * batches rather than degenerating into one. */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new GenMicroBatchStream(lo, hi, parts, required, sample,
+        rowsPerBatch)
+
     override def description(): String =
       s"GenScan[$lo, $hi) parts=$parts cols=${required.fieldNames.mkString(",")}" +
         (if (keyed) " keyed" else "") + (if (columnar) " columnar" else "") +
@@ -506,6 +524,83 @@ object GenSource {
 
   private case class GenSlice(start: Long, end: Long, step: Long)
       extends InputPartition
+
+  /** Offset = the exclusive upper bound of ids emitted so far. */
+  private[graft] case class GenOffset(v: Long)
+      extends org.apache.spark.sql.connector.read.streaming.Offset {
+    override def json(): String = v.toString
+  }
+
+  /** Micro-batch stream over the generator interval [lo, hi):
+    * offsets are plain id watermarks, each batch plans the slice
+    * (start, end] it admitted, and replay of any committed range is
+    * bit-identical because the rows are closed formulas of id — the
+    * exactly-once contract comes for free from determinism.
+    *
+    * `SupportsAdmissionControl`: `rowsPerBatch` caps each admission
+    * (the generator analog of maxFilesPerTrigger), so a bounded
+    * interval still exercises real multi-batch accumulation;
+    * `SupportsTriggerAvailableNow`: the target is pinned at prepare
+    * time and `reportLatestOffset` serves it, so AvailableNow drains
+    * the interval in ⌈(hi−lo)/rowsPerBatch⌉ batches and stops.
+    * Column pruning and a pushed TABLESAMPLE arriving through the
+    * batch ScanBuilder apply unchanged (the reader factory is the
+    * batch one); at genuine scale each admitted slice still fans out
+    * across `parts` input partitions.
+    */
+  private[graft] class GenMicroBatchStream(lo: Long, hi: Long, parts: Int,
+      required: StructType, sample: Option[(Long, Long)],
+      rowsPerBatch: Long)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+
+    override def prepareForTriggerAvailableNow(): Unit = ()
+
+    override def getDefaultReadLimit: ReadLimit =
+      if (rowsPerBatch > 0) ReadLimit.maxRows(rowsPerBatch)
+      else ReadLimit.allAvailable()
+
+    override def initialOffset(): SOffset = GenOffset(lo)
+
+    override def latestOffset(): SOffset =
+      throw new UnsupportedOperationException(
+        "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+    override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+      val s = start.asInstanceOf[GenOffset].v
+      limit match {
+        case mr: ReadMaxRows => GenOffset(math.min(hi, s + mr.maxRows()))
+        case _ => GenOffset(hi)
+      }
+    }
+
+    override def reportLatestOffset(): SOffset = GenOffset(hi)
+
+    override def deserializeOffset(json: String): SOffset =
+      GenOffset(json.trim.toLong)
+
+    override def planInputPartitions(start: SOffset,
+        end: SOffset): Array[InputPartition] = {
+      val s = start.asInstanceOf[GenOffset].v
+      val e = end.asInstanceOf[GenOffset].v
+      if (e <= s) Array.empty
+      else {
+        val per = math.max(1L, (e - s + parts - 1) / parts)
+        (s until e by per)
+          .map(x => GenSlice(x, math.min(x + per, e), 1L): InputPartition)
+          .toArray
+      }
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GenReaderFactory(required.fieldNames, parts.toLong,
+        columnar = false, sample)
+
+    override def commit(end: SOffset): Unit = ()
+    override def stop(): Unit = ()
+  }
 
   /** A residue-class slice that carries its partition key — the DSv2
     * handshake (`HasPartitionKey`) that lets Spark group input splits

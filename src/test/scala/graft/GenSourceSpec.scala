@@ -402,4 +402,44 @@ class GenSourceSpec extends SparkSpec {
     assert(ok.queryExecution.executedPlan.toString.contains("GenAggScan"))
     assert(ok.as[(Long, Long)].head() == ((1000L, Long.MaxValue - 1)))
   }
+
+  test("micro-batch stream: AvailableNow + rowsPerBatch drains the " +
+    "interval in ceil(rows/batch) batches; a re-run on the SAME " +
+    "checkpoint replays committed offsets and emits nothing new") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gen-stream-resume").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("gen-stream-out").toString
+    def run(): Long = {
+      val q = spark.readStream.format("graft.sources.GenSource")
+        .option("rows", "1000").option("parts", "4")
+        .option("rowsPerBatch", "300")
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      q.recentProgress.count(_.numInputRows > 0).toLong
+    }
+    val batches1 = run()
+    assert(batches1 == 4L, // ceil(1000/300)
+      s"admission control must split into 4 batches, got $batches1")
+    val rows1 = spark.read.parquet(out)
+    assert(rows1.count() == 1000L)
+    // append-sink rows equal the batch scan exactly (same formulas)
+    val batchTwin = gen(1000, 4)
+    assert(rows1.exceptAll(batchTwin).isEmpty &&
+      batchTwin.exceptAll(rows1).isEmpty,
+      "streamed union-of-batches must equal the batch scan")
+    // resume: offsets are committed; a second run finds no new ids
+    val batches2 = run()
+    assert(batches2 == 0L,
+      s"a resumed run must admit nothing, got $batches2 data batches")
+    assert(spark.read.parquet(out).count() == 1000L,
+      "resume must not re-emit committed ranges")
+  }
 }
