@@ -56,6 +56,10 @@ object SparkEntry {
     "q33_winnow_fingerprint" -> (TextStats.winnowFingerprint _),
     "q34_cosine_topk" -> (Similarity.cosineTopK _),
     "q35_ivf_topk" -> (Similarity.ivfTopK _),
+    // MMR diversified rerank over the bounded top-12 candidate pool:
+    // greedy argmax of 7*rel - 3*max-sim-to-selected on q6 integers
+    "q333_mmr_diversified" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrDiversified(s, d)),
     "q36_embedding_neardup" -> (Similarity.embeddingNearDup _),
     "q37_multimodal_meta" -> (Multimodal.mediaFeatures _),
     "q38_session_window" -> ((s: SparkSession, d: String) =>
@@ -2082,7 +2086,63 @@ object SparkEntry {
        |  WHERE a.vec_id < bb.vec_id
        |)""".stripMargin
 
+  /** q333's greedy MMR recursion unrolled as chained CTEs — step n
+    * scores every unselected candidate `7·rel − 3·max sim to sel_{n−1}`
+    * on the SAME q6 integers the Spark side quantizes before its loop,
+    * so selection and tie-breaks replay exactly. */
+  private def mmrOracle(k: Int, nCand: Int): String = {
+    val steps = (2 to k).map { n =>
+      s"""s$n AS (SELECT query_id, vec_id, $n AS step, mmr FROM (
+         |    SELECT cd.query_id, cd.vec_id,
+         |      MAX(cd.rel) * 7 - MAX(p.sim) * 3 AS mmr
+         |    FROM cand cd
+         |    JOIN pairs p ON p.query_id = cd.query_id
+         |      AND p.a_id = cd.vec_id
+         |    JOIN sel${n - 1} s ON s.query_id = p.query_id
+         |      AND s.vec_id = p.b_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} x
+         |      WHERE x.query_id = cd.query_id
+         |        AND x.vec_id = cd.vec_id)
+         |    GROUP BY 1, 2)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY mmr DESC, vec_id) = 1),
+         |sel$n AS (SELECT * FROM sel${n - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM s$n)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(n => s"SELECT * FROM s$n")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id >= 5),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(floor((${cosSql("qv", "cv")}) * 1000000.0) AS BIGINT)
+       |      AS rel
+       |  FROM c CROSS JOIN q),
+       |cand AS (SELECT query_id, vec_id, rel FROM scored
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id) <= $nCand),
+       |candv AS (SELECT cand.query_id, cand.vec_id, cand.rel, c.cv
+       |  FROM cand JOIN c ON cand.vec_id = c.vec_id),
+       |pairs AS (SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(floor((${cosSql("a.cv", "b.cv")}) * 1000000.0) AS BIGINT)
+       |      AS sim
+       |  FROM candv a JOIN candv b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       |s1 AS (SELECT query_id, vec_id, 1 AS step, rel * 7 AS mmr
+       |  FROM cand
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id) = 1),
+       |sel1 AS (SELECT query_id, vec_id FROM s1),
+       |$steps
+       |SELECT query_id, CAST(step AS INT) AS step, vec_id,
+       |  mmr AS mmr_q6x10
+       |FROM ($union) ORDER BY query_id, step""".stripMargin
+  }
+
   private def simOracles: Map[String, String] = Map(
+    "q333_mmr_diversified" -> mmrOracle(k = 4, nCand = 12),
     "q34_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),

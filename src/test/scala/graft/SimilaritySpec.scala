@@ -254,4 +254,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((0, 2L, 1000000L, 1000000L),
       (1, 2L, 853553L, 1000000L)), s"got ${got.toSeq}")
   }
+
+  test("mmrDiversified: the second pick skips a near-duplicate of the " +
+    "first that pure relevance would keep") {
+    import spark.implicits._
+    val q = Seq((0L, Array(1f, 0f)))
+      .toDF("query_id", "qv")
+    // 10: most relevant; 11: near-duplicate of 10 (mutual cos ≈ 1);
+    // 12: slightly less relevant but diverse
+    val c = Seq(
+      (10L, Array(0.91f, 0.415f)),
+      (11L, Array(0.90f, 0.436f)),
+      (12L, Array(0.85f, -0.527f)))
+      .toDF("vec_id", "cv")
+    val got = graft.ext.Similarity
+      .mmrDiversifiedOf(q, c, k = 3, nCand = 3)
+      .select("step", "vec_id").as[(Int, Long)].collect().toSeq
+    // relevance alone ranks 10, 11, 12; MMR's step-2 objective
+    // 7·rel − 3·maxsim demotes the near-duplicate 11 below 12
+    assert(got == Seq((1, 10L), (2, 12L), (3, 11L)), s"got $got")
+  }
 }
