@@ -1135,6 +1135,18 @@ object SparkEntry {
           max($"id").as("mx"), sum($"id").as("s"))
         .orderBy($"g")
     }),
+    // DSv2 METADATA column: _h (the raw hash) exists only when named
+    // — selected here next to the visible columns it generates, with
+    // the id filter still clamping the interval underneath it
+    "q334_gen_metadata" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "2000000").option("parts", "8").load()
+        .filter($"id" < 2000L)
+        .select($"id",
+          org.apache.spark.sql.functions.col("_h").as("h"), $"bucket")
+        .orderBy($"id")
+    }),
     // DSv2 MICRO-BATCH read of the generator: Trigger.AvailableNow +
     // rowsPerBatch admission control drain the interval in exactly
     // ceil(rows/rowsPerBatch) batches into a complete-mode streaming
@@ -6536,6 +6548,14 @@ object SparkEntry {
         |    ELSE CAST(s_stat AS HUGEINT) * 1000000 // nullif(n0 - tx, 0)
         |    END AS BIGINT) AS somers_d_q6
         |FROM f""".stripMargin,
+    // q334: the metadata hash is the same closed form the visible
+    // columns derive from
+    "q334_gen_metadata" ->
+      """SELECT range AS id,
+        |  (range % 2147483647) * 2654435761 % 2147483647 AS h,
+        |  (range % 2147483647) * 2654435761 % 2147483647 % 1000
+        |    AS bucket
+        |FROM range(2000) ORDER BY id""".stripMargin,
     // q332: the generator's closed forms over the whole interval —
     // what the union of the micro-batches must equal — plus the
     // closed-form batch count ceil(100000/30000) = 4

@@ -98,12 +98,33 @@ object GenSource {
 
   private[sources] class GenTable(rows: Long, parts: Int, keyed: Boolean,
       columnar: Boolean, rowsPerBatch: Long = 0L)
-      extends Table with SupportsRead {
+      extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
     override def name(): String = s"gen($rows rows, $parts parts)"
     override def schema(): StructType = if (keyed) KeyedSchema else Schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ)
+
+    /** METADATA columns — present only when a query names them (the
+      * `_metadata` contract file sources give Spark): `_h` is the raw
+      * bijective hash every visible column derives from, the
+      * provenance a debugging session otherwise recomputes by hand.
+      * Unreferenced, it never reaches the reader (the pruned
+      * readSchema simply does not contain it — GenSourceSpec pins
+      * both directions). */
+    override def metadataColumns()
+        : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_h"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "raw multiplicative hash (id mod P)*A mod P underlying " +
+            "bucket and cents"
+      })
+
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new GenScanBuilder(rows, parts, keyed, columnar, rowsPerBatch)
   }
@@ -640,6 +661,7 @@ object GenSource {
       case "bucket" => h % 1000L
       case "cents" => (h / 1000L) % 100000L
       case "g" => id % partsL
+      case "_h" => h // metadata column: the hash itself
     }
   }
 

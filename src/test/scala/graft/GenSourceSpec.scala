@@ -403,6 +403,22 @@ class GenSourceSpec extends SparkSpec {
     assert(ok.as[(Long, Long)].head() == ((1000L, Long.MaxValue - 1)))
   }
 
+  test("metadata column _h: served when named, absent from the pruned " +
+    "read schema otherwise, and equal to the closed-form hash") {
+    val P = 2147483647L
+    val withMeta = gen(1000, 2).select($"id", col("_h"))
+    val got = withMeta.as[(Long, Long)].collect().toMap
+    (0L until 1000L).foreach { id =>
+      assert(got(id) == (id % P) * 2654435761L % P, s"id=$id")
+    }
+    assert(genScanOf(withMeta).readSchema().fieldNames.contains("_h"))
+    // unreferenced: the scan never materializes it
+    val plain = gen(1000, 2).select($"bucket")
+    assert(!genScanOf(plain).readSchema().fieldNames.contains("_h"))
+    // and it is not part of SELECT * (metadata contract)
+    assert(!gen(1000, 2).columns.contains("_h"))
+  }
+
   test("micro-batch stream: AvailableNow + rowsPerBatch drains the " +
     "interval in ceil(rows/batch) batches; a re-run on the SAME " +
     "checkpoint replays committed offsets and emits nothing new") {
