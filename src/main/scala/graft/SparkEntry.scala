@@ -1169,6 +1169,9 @@ object SparkEntry {
     // via one GlobalIndex pass; tie-exact doubled midranks; H and
     // its tie-corrected form as floored integer rationals
     "q330_kruskal_wallis" -> (Stats.kruskalWallis _),
+    // Mann-Whitney U: urgent-class orders vs the rest, tie-corrected
+    // z-squared from the same GlobalIndex midrank machinery as q330
+    "q335_mann_whitney" -> (Stats.mannWhitneyU _),
     // V2 FUNCTION CATALOG: the engine's functions called from PLAIN
     // SQL (`graft.genhash`, `graft.zorder2`) — no Scala imports, no
     // session UDF registration; magic-method binding keeps the calls
@@ -6572,6 +6575,61 @@ object SparkEntry {
         |  CAST(SUM(id) AS BIGINT) AS id_sum,
         |  CAST(4 AS BIGINT) AS n_batches
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q335: the q330 ranking/tie CTEs over a two-group split; z² is
+    // the one identically-staged double over exact integers
+    "q335_mann_whitney" ->
+      """WITH rows0 AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+        |      THEN 1 ELSE 2 END AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (SELECT k, g, v,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY v, k) AS BIGINT) AS rn
+        |      FROM rows0),
+        |bv AS (SELECT v, CAST(SUM(rn) AS BIGINT) AS rsum,
+        |         CAST(COUNT(*) AS BIGINT) AS t
+        |       FROM r GROUP BY v),
+        |ar AS (SELECT v, 2 * rsum // t AS ar2, t FROM bv),
+        |bg AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS cg
+        |       FROM r GROUP BY v, g),
+        |grp AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS n_g,
+        |          SUM(CAST(cg AS HUGEINT) * ar2) AS r2
+        |        FROM bg JOIN ar USING (v) GROUP BY g),
+        |tt AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t),
+        |         0) AS tie
+        |       FROM bv),
+        |wide AS (SELECT
+        |    COALESCE(MAX(CASE WHEN g = 1 THEN n_g END), 0) AS n1,
+        |    COALESCE(MAX(CASE WHEN g = 2 THEN n_g END), 0) AS n2,
+        |    COALESCE(MAX(CASE WHEN g = 1
+        |      THEN CAST(r2 AS BIGINT) END), 0) AS r1_x2
+        |  FROM grp),
+        |f AS (SELECT n1, n2, r1_x2, tie, n1 + n2 AS n,
+        |        CAST(r1_x2 AS HUGEINT)
+        |          - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1_x2
+        |      FROM wide CROSS JOIN tt),
+        |f2 AS (SELECT f.*, u1_x2 - CAST(n1 AS HUGEINT) * n2 AS dux,
+        |         CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+        |           - tie AS dd
+        |       FROM f),
+        |f3 AS (SELECT f2.*,
+        |         CAST(floor(
+        |           CAST(dux AS DOUBLE) * CAST(dux AS DOUBLE) * 3.0
+        |             * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |              * CAST(dd AS DOUBLE))
+        |           * 1000000.0) AS BIGINT) AS z2_q6
+        |       FROM f2)
+        |SELECT n1, n2, CAST(u1_x2 AS BIGINT) AS u1_x2,
+        |  CAST(sign(dux) AS BIGINT) AS direction,
+        |  CAST(tie * 1000000 // NULLIF(
+        |    CAST(n AS HUGEINT) * n * n - n, 0) AS BIGINT)
+        |    AS tie_frac_q6,
+        |  z2_q6,
+        |  CAST(CASE WHEN z2_q6 > 3841458 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS significant
+        |FROM f3""".stripMargin,
     // q330: identical joint ranking (ROW_NUMBER over value then key
     // — within a tie class the row numbers ARE the competition
     // ranks, so 2·SUM(rn)//t is the exact doubled midrank); HUGEINT

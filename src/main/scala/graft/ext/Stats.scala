@@ -3562,6 +3562,78 @@ object Stats {
       .orderBy($"pair")
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the two-sample lane next to
+    * [[kruskalWallis]]'s k-sample H and [[abZTest]]'s parametric z:
+    * do urgent-class orders (priority 1–2) draw their values from a
+    * shifted distribution vs the rest, with no normality assumption?
+    * `U₁ = R₁ − n₁(n₁+1)/2` counts cross-group wins; the tie-corrected
+    * normal approximation squares to
+    * `z² = 3(2U₁−n₁n₂)²·N(N−1) / (n₁n₂·(N(N²−1)−T))`, `T = Σ(t³−t)`.
+    *
+    * Exactness — the [[kruskalWallis]] ranking discipline (one
+    * GlobalIndex pass, doubled midranks exact from tie-class
+    * row-number sums), so `U₁×2 = R2₁ − n₁(n₁+1)` and every
+    * sufficient statistic is an exact integer; z² is ONE per-value
+    * double over those integers with identical operand order in the
+    * DuckDB twin (the q107 discipline — only ×/÷, no libm), floored
+    * to q6, with the direction served as a separate sign column. The
+    * verdict column compares the SAME quantized integer against the
+    * q6-floored χ²₀.₉₅(1) literal (3.841459).
+    *
+    * Scale shape: identical to [[kruskalWallis]] — one global
+    * ranking, two value-domain aggregates, one value-keyed join.
+    */
+  def mannWhitneyU(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val rows = Tables.orders(spark, d).select(
+      $"o_orderkey".as("k"),
+      expr("CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')" +
+        " THEN 1 ELSE 2 END").as("g"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(rows, Seq($"v".asc, $"k".asc), "rn")
+    val byVal = ranked.groupBy($"v")
+      .agg(sum($"rn").as("rsum"), count(lit(1)).as("t"))
+      .withColumn("ar2", expr("2 * rsum div t"))
+    val byValG = ranked.groupBy($"v", $"g").agg(count(lit(1)).as("cg"))
+    val grp = byValG.join(byVal, "v")
+      .groupBy($"g")
+      .agg(sum($"cg").as("n_g"),
+        sum(expr(s"CAST(cg AS $dec) * ar2")).as("r2"))
+    val tt = byVal.agg(
+      coalesce(sum(expr(s"CAST(t AS $dec) * t * t - t")), lit(0).cast(dec))
+        .as("tie"))
+    grp.agg(
+        coalesce(max(when($"g" === 1, $"n_g")), lit(0L)).as("n1"),
+        coalesce(max(when($"g" === 2, $"n_g")), lit(0L)).as("n2"),
+        coalesce(max(when($"g" === 1, expr("CAST(r2 AS BIGINT)"))),
+          lit(0L)).as("r1_x2"))
+      .crossJoin(broadcast(tt))
+      .withColumn("n", $"n1" + $"n2")
+      // U₁×2 = R2₁ − n₁(n₁+1): exact, no halves ever materialize
+      .withColumn("u1_x2", expr(
+        s"CAST(r1_x2 AS $dec) - CAST(n1 AS $dec) * (n1 + 1)"))
+      .withColumn("dux", expr(s"u1_x2 - CAST(n1 AS $dec) * n2"))
+      .withColumn("dd", expr(
+        s"CAST(n AS $dec) * (CAST(n AS $dec) * n - 1) - tie"))
+      .select(
+        $"n1", $"n2",
+        expr("CAST(u1_x2 AS BIGINT)").as("u1_x2"),
+        expr("CAST(sign(dux) AS BIGINT)").as("direction"),
+        expr(s"CAST(tie * 1000000 div nullif(" +
+          s"CAST(n AS $dec) * n * n - n, 0) AS BIGINT)")
+          .as("tie_frac_q6"),
+        expr("""CAST(floor(
+          |  CAST(dux AS DOUBLE) * CAST(dux AS DOUBLE) * 3.0
+          |    * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+          |  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          |     * CAST(dd AS DOUBLE))
+          |  * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("z2_q6"))
+      .withColumn("significant", ($"z2_q6" > 3841458L).cast("long"))
+  }
+
   /** Kruskal–Wallis H — the k-sample generalization of the rank-sum
     * test ([[abZTest]] compares two means; this asks whether ANY of
     * the order-priority classes draws its order values from a shifted

@@ -309,6 +309,42 @@ object StatsProps extends Properties("stats") {
       Prop(ok) :| s"per-head KN mass must equal 1 exactly (toks=$toks)"
     }
 
+  private def mannWhitneyProp =
+    Prop.forAll(genKw) { pts =>
+      import spark.implicits._
+      val rows = pts.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, if (g == 1) 1 else 2, v) }
+      val df = rows.toDF("k", "g", "v")
+      // reuse the exact pipeline shape: rank, tie table, group sums
+      val ranked = graft.operators.GlobalIndex
+        .withRowNumber(df, Seq($"v".asc, $"k".asc), "rn")
+      val byVal = ranked.groupBy($"v")
+        .agg(org.apache.spark.sql.functions.sum($"rn").as("rsum"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("t"))
+        .withColumn("ar2",
+          org.apache.spark.sql.functions.expr("2 * rsum div t"))
+      val r2n = ranked.groupBy($"v", $"g")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cg"))
+        .join(byVal, "v")
+        .filter($"g" === 1)
+        .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum($"cg" * $"ar2"),
+            org.apache.spark.sql.functions.lit(0L)).as("r2"),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum($"cg"),
+            org.apache.spark.sql.functions.lit(0L)).as("n1"))
+        .collect().head
+      val (r1x2, n1) = (r2n.getLong(0), r2n.getLong(1))
+      val u1x2 = r1x2 - n1 * (n1 + 1)
+      val g1 = rows.filter(_._2 == 1).map(_._3)
+      val g2 = rows.filter(_._2 == 2).map(_._3)
+      val wins = (for (a <- g1; b <- g2) yield
+        if (a > b) 2L else if (a == b) 1L else 0L).sum
+      Prop(u1x2 == wins) :| s"u1_x2=$u1x2 wins+ties=$wins"
+    }
+
   // Kruskal–Wallis: the distributed rank pipeline (GlobalIndex
   // ranking, doubled midranks from tie-class row-number sums,
   // per-term integer divisions) against a sequential BigInt
@@ -365,4 +401,12 @@ object StatsProps extends Properties("stats") {
         gotHt == hTie) :|
         s"got=$got want h_q6=$hQ6 h_tie=$hTie tie_frac=$tieFrac"
     }
+
+  // Mann–Whitney: the rank-sum form U₁ = R₁ − n₁(n₁+1)/2 computed by
+  // the distributed pipeline must equal the DEFINITION — the count of
+  // cross-group wins plus half the cross-group ties (both ×2 to stay
+  // integer). Registered via the deferred def above so the shared
+  // genKw generator is initialized first.
+  property("Mann–Whitney U rank form == pairwise wins definition") =
+    mannWhitneyProp
 }
