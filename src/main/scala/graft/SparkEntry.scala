@@ -1159,6 +1159,11 @@ object SparkEntry {
     // q172's k-core; support recount + semi-join drop per round,
     // localCheckpoint'd, edge-count fixpoint
     "q327_ktruss" -> ((s: SparkSession, d: String) => Graph.kTruss(s, d)),
+    // pointer-jumping cycle decomposition of the hash-successor
+    // functional graph: O(log n) doubling self-joins instead of
+    // O(cycle+tail) sequential following; per-cycle id/length/basin
+    "q336_pointer_cycles" -> ((s: SparkSession, d: String) =>
+      Graph.hashChainCycles(s, d)),
     // Kendall tau-b + Somers' D between daily order count and daily
     // revenue — tie-corrected rank association on the bounded day
     // lattice; tau_b served as its sign-carried exact square (no
@@ -2101,6 +2106,33 @@ object SparkEntry {
        |  WHERE a.vec_id < bb.vec_id
        |)""".stripMargin
 
+  /** q336's pointer-doubling unrolled: j_k carries p = f^(2^k)(v) and
+    * m = min of the first 2^k path nodes; the landing node's m is the
+    * cycle id, image(p) is the cycle membership set. */
+  private def pointerCycleOracle(n: Int): String = {
+    val rounds =
+      (64 - java.lang.Long.numberOfLeadingZeros(n.toLong - 1)).toInt
+    val steps = (1 to rounds).map { k =>
+      s"""j$k AS (SELECT a.v, b.p AS p, LEAST(a.m, b.m) AS m
+         |  FROM j${k - 1} a JOIN j${k - 1} b ON a.p = b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT range AS v,
+       |    ((range % 2147483647) * 2654435761 % 2147483647) % $n
+       |      AS succ
+       |  FROM range($n)),
+       |j0 AS (SELECT v, succ AS p, v AS m FROM t),
+       |$steps,
+       |landed AS (SELECT a.v, b.m AS cyc
+       |  FROM j$rounds a JOIN j$rounds b ON a.p = b.v),
+       |img AS (SELECT DISTINCT p AS v FROM j$rounds)
+       |SELECT cyc AS cycle_id,
+       |  CAST(SUM(CASE WHEN img.v IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS cycle_len,
+       |  CAST(COUNT(*) AS BIGINT) AS comp_size
+       |FROM landed LEFT JOIN img ON landed.v = img.v
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q333's greedy MMR recursion unrolled as chained CTEs — step n
     * scores every unselected candidate `7·rel − 3·max sim to sel_{n−1}`
     * on the SAME q6 integers the Spark side quantizes before its loop,
@@ -2157,6 +2189,7 @@ object SparkEntry {
   }
 
   private def simOracles: Map[String, String] = Map(
+    "q336_pointer_cycles" -> pointerCycleOracle(4096),
     "q333_mmr_diversified" -> mmrOracle(k = 4, nCand = 12),
     "q34_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -1718,4 +1718,69 @@ object Graph {
       .orderBy($"bc_q6".desc, $"node".asc)
       .limit(k)
   }
+
+  /** Pointer-jumping (path-doubling) cycle decomposition of a
+    * FUNCTIONAL graph — every node has exactly one successor, so
+    * components are ρ-shapes (a tail draining into a cycle): hash
+    * chains, retry/redirect maps, `succ = f(node)` iteration graphs.
+    * The classic PRAM primitive: after round k each node carries
+    * `p = f^(2^k)(node)` and `m = min of the first 2^k nodes on its
+    * path`, maintained by ONE self-equi-join per round
+    * (`p' = p(p)`, `m' = min(m, m(p))`) — O(log n) rounds total
+    * where naive following needs O(cycle + tail) sequential steps.
+    * With 2^r ≥ n: `p` lands on the cycle, so the cycle's canonical
+    * id is `m` EVALUATED AT the landing node (its first 2^r path
+    * nodes are all cycle nodes — min over the cycle, uncontaminated
+    * by tail ids), and the cycle membership set is exactly image(p).
+    *
+    * Scale shape: each round is one key-partitioned self-join —
+    * O(n) rows shuffled per round, O(n log n) total, no unbounded
+    * state; `localCheckpoint` per round keeps the doubled lineage
+    * flat (the q128/q304 loop discipline). Everything is integer and
+    * deterministic, so the unrolled DuckDB twin replays it exactly.
+    */
+  private[graft] def pointerJumpCycles(f: DataFrame,
+                                       rounds: Int): DataFrame = {
+    val spark = f.sparkSession
+    import spark.implicits._
+    var st = f.select($"v", $"succ".as("p"), $"v".as("m"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val other = st.select($"v".as("v2"), $"p".as("p2"), $"m".as("m2"))
+      val next = st.join(other, $"p" === $"v2")
+        .select($"v", $"p2".as("p"), least($"m", $"m2").as("m"))
+        .localCheckpoint() // eager — materialized before freeing prev
+      st.unpersist()
+      st = next
+    }
+    val landed = st.select($"v", $"p")
+      .join(st.select($"v".as("w"), $"m".as("cyc")), $"p" === $"w")
+      .select($"v", $"cyc")
+    val img = st.select($"p".as("v")).distinct()
+      .withColumn("on_cycle", lit(1L))
+    // the final checkpoint stays referenced by the returned (lazy)
+    // frame; the ContextCleaner reclaims it once consumed
+    landed.join(img, Seq("v"), "left")
+      .groupBy($"cyc".as("cycle_id"))
+      .agg(sum(coalesce($"on_cycle", lit(0L))).as("cycle_len"),
+        count(lit(1)).as("comp_size"))
+      .orderBy($"cycle_id")
+  }
+
+  /** [[pointerJumpCycles]] over the deterministic hash-successor map
+    * `succ(v) = h(v) mod n` on `n` generator ids — non-bijective, so
+    * the graph has genuine tails and multiple cycles; n is fixed
+    * (scale-invariant output) and every value is a closed form the
+    * oracle replays. */
+  def hashChainCycles(spark: SparkSession, d: String,
+                      n: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(n.toLong - 1)
+    val f = spark.read.format("graft.sources.GenSource")
+      .option("rows", n.toString).option("parts", "8").load()
+      .select($"id".as("v"),
+        expr(s"(id % 2147483647) * 2654435761 % 2147483647 % $n")
+          .as("succ"))
+    pointerJumpCycles(f, rounds.toInt)
+  }
 }

@@ -1289,6 +1289,18 @@ class BehaviorSpec extends SparkSpec {
       (0L, h0, false), (1L, h0 + 1000000000L, true)), s"got ${got2.toSeq}")
   }
 
+  test("pointerJumpCycles: planted rho-shapes — tails join their " +
+    "cycle's basin, cycle ids are cycle minima, lengths exact") {
+    import spark.implicits._
+    // 0→1→2→3→4→2 (tail 0,1 into 3-cycle {2,3,4}); 5→5 self-loop
+    // with feeder 6→5
+    val f = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L),
+      (5L, 5L), (6L, 5L)).toDF("v", "succ")
+    val got = graft.ext.Graph.pointerJumpCycles(f, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L, 5L), (5L, 1L, 2L)), s"got $got")
+  }
+
   test("ccStarContraction: identical labels to HashMin on a planted " +
     "200-hop path, in O(log n) alternations instead of 200 rounds") {
     import org.apache.spark.sql.functions.col
