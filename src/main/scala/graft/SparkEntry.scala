@@ -1135,6 +1135,12 @@ object SparkEntry {
           max($"id").as("mx"), sum($"id").as("s"))
         .orderBy($"g")
     }),
+    // V2 TABLE CATALOG over the atomic snapshot sink: CREATE /
+    // INSERT / row-level DELETE (copy-on-write) / VERSION AS OF /
+    // DROP, all in plain SQL — the oracle pins the post-delete state
+    // AND that the pre-delete snapshot stayed readable
+    "q337_table_delete" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.tableDelete(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6584,6 +6590,17 @@ object SparkEntry {
         |    ELSE CAST(s_stat AS HUGEINT) * 1000000 // nullif(n0 - tx, 0)
         |    END AS BIGINT) AS somers_d_q6
         |FROM f""".stripMargin,
+    // q337: surviving rows of the closed-form table after the
+    // predicate delete; v1_rows pins the time-travel count
+    "q337_table_delete" ->
+      """WITH t AS (SELECT range AS id, range % 7 AS grp,
+        |    (range * range) % 101 AS v
+        |  FROM range(1000)),
+        |kept AS (SELECT * FROM t WHERE NOT (id < 50 OR grp = 3))
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(1000 AS BIGINT) AS v1_rows
+        |FROM kept GROUP BY grp ORDER BY grp""".stripMargin,
     // q334: the metadata hash is the same closed form the visible
     // columns derive from
     "q334_gen_metadata" ->

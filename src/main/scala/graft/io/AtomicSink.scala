@@ -114,23 +114,244 @@ object AtomicSink {
     }
   }
 
-  private[io] class SinkTable(path: String, schema: StructType)
-      extends Table with SupportsWrite {
-    override def name(): String = s"atomic($path)"
+  /** The snapshot table: atomic versioned writes (always), plus —
+    * when reached through [[AtomicCatalog]] with a declared schema —
+    * snapshot reads (latest or `pinnedVersion` = `VERSION AS OF`) and
+    * copy-on-write row-level DELETE. `pinnedVersion = Some(v)` reads
+    * snapshot v and refuses writes (writing "into the past" would
+    * fork history). */
+  /** Append semantics differ by entry point, each pinned by its own
+    * spec: the PATH-based writer (`format("graft.io.AtomicSink")`)
+    * publishes each commit as a complete REPLACEMENT snapshot (the
+    * original contract — v2 is the second write's rows), while a
+    * CATALOG table (`accumulateAppends = true`) gives SQL semantics:
+    * `INSERT INTO` carries the previous snapshot's files forward into
+    * the new manifest (a metadata-only append — nothing is
+    * rewritten), `INSERT OVERWRITE` truncates via `SupportsTruncate`.
+    */
+  private[io] class SinkTable(path: String, schema: StructType,
+      pinnedVersion: Option[Int] = None,
+      accumulateAppends: Boolean = false)
+      extends Table with SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    override def name(): String =
+      s"atomic($path${pinnedVersion.map(v => s"@v$v").getOrElse("")})"
     override def schema(): StructType = schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_WRITE)
-    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new WriteBuilder {
+      util.EnumSet.of(TableCapability.BATCH_WRITE,
+        TableCapability.BATCH_READ,
+        TableCapability.TRUNCATE)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      require(pinnedVersion.isEmpty,
+        "cannot write to a VERSION AS OF snapshot")
+      new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var truncated = false
+        override def truncate(): WriteBuilder = { truncated = true; this }
         override def build(): Write = new Write {
-          override def toBatch: BatchWrite =
-            new AtomicBatchWrite(path, info.queryId(), info.schema())
+          override def toBatch: BatchWrite = {
+            val carry =
+              if (accumulateAppends && !truncated) committedFilesOf(path)
+              else Seq.empty
+            new AtomicBatchWrite(path, info.queryId(), info.schema(),
+              carry)
+          }
         }
       }
+    }
+
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap)
+        : org.apache.spark.sql.connector.read.ScanBuilder =
+      new TsvScanBuilder(path, schema, pinnedVersion)
+
+    /** Row-level DELETE — copy-on-write at snapshot granularity: the
+      * survivors of the latest snapshot rewrite through the SAME
+      * two-phase commit as any write, so the delete IS a new version
+      * and every older `VERSION AS OF` read stays intact. The rewrite
+      * is a distributed filter job (never a driver loop); any
+      * predicate Spark pushed as v1 `Filter`s is accepted because the
+      * translation back to a `Column` is total over the pushable
+      * shapes. SQL null semantics: rows where the condition is NULL
+      * are kept (DELETE removes only condition-TRUE rows). */
+    override def canDeleteWhere(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      pinnedVersion.isEmpty &&
+        scala.util.Try(AtomicSink.filtersToColumn(filters)).isSuccess
+
+    override def deleteWhere(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cond = AtomicSink.filtersToColumn(filters)
+      val keep = AtomicSink.readSnapshot(spark, path, schema, None)
+        .filter(!org.apache.spark.sql.functions
+          .coalesce(cond, org.apache.spark.sql.functions.lit(false)))
+      keep.write.format("graft.io.AtomicSink")
+        .option("path", path).mode("append").save()
+    }
+  }
+
+  private[io] def committedFilesOf(path: String): Seq[String] =
+    versionsOf(path).lastOption match {
+      case Some(v) => readManifestOf(path, v)
+      case None => Seq.empty
+    }
+
+  private[io] def readManifestOf(path: String, v: Int): Seq[String] =
+    readManifest(path, new Path(path, s"$ManifestFile.v$v"))
+
+  /** The pushed v1 `Filter`s of a DELETE, rebuilt as one `Column`
+    * (AND of all) — total over every shape Spark pushes, so
+    * `canDeleteWhere` is simply "does this translation succeed". */
+  private[io] def filtersToColumn(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    def t(f: Filter): org.apache.spark.sql.Column = f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(l, r) => t(l) && t(r)
+      case Or(l, r) => t(l) || t(r)
+      case Not(c) => !t(c)
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => throw new IllegalArgumentException(
+        s"unsupported DELETE predicate: $other")
+    }
+    filters.map(t).reduceOption(_ && _)
+      .getOrElse(lit(true)) // unconditional DELETE = truncate snapshot
+  }
+
+  /** Driver-side helper building a DataFrame over a snapshot — what
+    * [[SinkTable.deleteWhere]] filters and rewrites. Distributed read
+    * (spark.read.text over the manifest-listed files), typed by the
+    * declared schema; the TSV null convention maps "" back to NULL. */
+  private[io] def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: StructType,
+      snapVersion: Option[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val names = snapVersion match {
+      case Some(v) => readManifestOf(path, v)
+      case None => committedFilesOf(path)
+    }
+    val files = names.map(n => new Path(path, n).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val parts = split(col("value"), "\t", -1)
+      val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+        val s = element_at(parts, i + 1)
+        val v = f.dataType match {
+          case LongType =>
+            when(s === "", lit(null)).otherwise(s).cast("long")
+          case DoubleType =>
+            when(s === "", lit(null)).otherwise(s).cast("double")
+          case StringType => when(s === "", lit(null)).otherwise(s)
+          case dt => throw new IllegalArgumentException(
+            s"AtomicSink supports long/double/string, got $dt")
+        }
+        v.as(f.name)
+      }
+      spark.read.text(files: _*).select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** DSv2 read path over a snapshot: one input partition per
+    * manifest-listed file (resolved at PLANNING time, so a query
+    * plans against one consistent snapshot even if a commit lands
+    * mid-flight), each reader parsing its TSV back through the
+    * declared schema. */
+  private class TsvScanBuilder(path: String, schema: StructType,
+      pinned: Option[Int])
+      extends org.apache.spark.sql.connector.read.ScanBuilder {
+    override def build(): org.apache.spark.sql.connector.read.Scan =
+      new TsvScan(path, schema, pinned)
+  }
+
+  private class TsvScan(path: String, schema: StructType,
+      pinned: Option[Int])
+      extends org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.Batch {
+    override def readSchema(): StructType = schema
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+    override def description(): String =
+      s"AtomicSnapshotScan($path${pinned.map(v => s"@v$v").getOrElse("")})"
+    override def planInputPartitions()
+        : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      val names = pinned match {
+        case Some(v) => readManifestOf(path, v)
+        case None => committedFilesOf(path)
+      }
+      names.map(n => TsvFilePartition(new Path(path, n).toString)
+        : org.apache.spark.sql.connector.read.InputPartition).toArray
+    }
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      new TsvReaderFactory(schema)
+  }
+
+  private case class TsvFilePartition(file: String)
+      extends org.apache.spark.sql.connector.read.InputPartition
+
+  private class TsvReaderFactory(schema: StructType)
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    override def createReader(
+        p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+      new TsvRowReader(p.asInstanceOf[TsvFilePartition].file, schema)
+  }
+
+  private class TsvRowReader(file: String, schema: StructType)
+      extends org.apache.spark.sql.connector.read
+        .PartitionReader[InternalRow] {
+    private val in =
+      new Path(file).getFileSystem(new Configuration())
+        .open(new Path(file))
+    private val lines =
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    private var cur: InternalRow = _
+    override def next(): Boolean =
+      if (!lines.hasNext) false
+      else {
+        val cells = lines.next().split("\t", -1)
+        cur = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(
+            schema.fields.zipWithIndex.map[Any] { case (f, i) =>
+              val s = if (i < cells.length) cells(i) else ""
+              if (s.isEmpty && f.dataType != StringType) null
+              else if (s.isEmpty) null // "" encodes NULL for strings too
+              else f.dataType match {
+                case LongType => s.toLong
+                case DoubleType => s.toDouble
+                case StringType =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                case dt => throw new IllegalArgumentException(
+                  s"unsupported $dt")
+              }
+            })
+        true
+      }
+    override def get(): InternalRow = cur
+    override def close(): Unit = in.close()
   }
 
   private class AtomicBatchWrite(path: String, queryId: String,
-                                 schema: StructType) extends BatchWrite {
+                                 schema: StructType,
+                                 carryForward: Seq[String] = Seq.empty)
+      extends BatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
 
@@ -145,12 +366,16 @@ object AtomicSink {
       // task ids) can ever clobber an earlier snapshot's files —
       // which is what makes the retained `_MANIFEST.v<N>` manifests
       // honest time-travel reads, not just pointers into mutable
-      // state
+      // state. `carryForward` (catalog INSERT INTO) lists the
+      // previous snapshot's files first: they keep their own version
+      // prefixes and are never rewritten — the append is pure
+      // manifest metadata.
       val version = AtomicSink.versionsOf(path).lastOption.getOrElse(0) + 1
-      val names = messages.collect { case StagedFile(name) => name }
+      val fresh = messages.collect { case StagedFile(name) => name }
         .sorted.map(n => s"v$version-$n")
+      val names = carryForward ++ fresh
       messages.collect { case StagedFile(name) => name }.sorted
-        .zip(names).foreach { case (from, to) =>
+        .zip(fresh).foreach { case (from, to) =>
           f.rename(new Path(staging, from), new Path(path, to))
         }
       def writeAtomic(target: Path): Unit = {

@@ -82,4 +82,44 @@ class AtomicSinkSpec extends SparkSpec {
     assert(!residue.exists(_.startsWith("part-")),
       s"no published part files after abort: $residue")
   }
+
+  test("AtomicCatalog: CREATE / INSERT / SELECT / row-level DELETE / " +
+    "VERSION AS OF / DROP, all through plain SQL") {
+    val root = Files.createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.gtabspec", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtabspec.root", root)
+    spark.sql("CREATE TABLE gtabspec.t1 (id BIGINT, grp BIGINT, " +
+      "name STRING)")
+    spark.sql("INSERT INTO gtabspec.t1 " +
+      "SELECT id, id % 3, concat('n', id) FROM range(100)")
+    assert(spark.sql("SELECT count(*) FROM gtabspec.t1")
+      .head.getLong(0) == 100L)
+    // a NULL round-trips through the TSV convention
+    spark.sql("INSERT INTO gtabspec.t1 VALUES (1000, 7, NULL)")
+    assert(spark.sql(
+      "SELECT count(*) FROM gtabspec.t1 WHERE name IS NULL")
+      .head.getLong(0) == 1L)
+    // copy-on-write DELETE: survivors republish as a new snapshot
+    spark.sql("DELETE FROM gtabspec.t1 WHERE grp = 1 OR id < 10")
+    val want = (0L until 100L)
+      .count(id => !(id % 3 == 1 || id < 10)).toLong + 1L // +NULL row
+    assert(spark.sql("SELECT count(*) FROM gtabspec.t1")
+      .head.getLong(0) == want)
+    assert(spark.sql("SELECT count(*) FROM gtabspec.t1 WHERE grp = 1")
+      .head.getLong(0) == 0L)
+    // time travel: every pre-delete snapshot is still readable
+    assert(spark.sql(
+      "SELECT count(*) FROM gtabspec.t1 VERSION AS OF 1")
+      .head.getLong(0) == 100L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtabspec.t1 VERSION AS OF 3")
+      .head.getLong(0) == want)
+    // a DELETE whose condition is NULL on a row keeps that row
+    spark.sql("DELETE FROM gtabspec.t1 WHERE name = 'nope'")
+    assert(spark.sql("SELECT count(*) FROM gtabspec.t1")
+      .head.getLong(0) == want,
+      "NULL-condition rows survive a DELETE (SQL semantics)")
+    spark.sql("DROP TABLE gtabspec.t1")
+    assert(!new java.io.File(root, "t1").exists())
+  }
 }
