@@ -1183,6 +1183,17 @@ object SparkEntry {
     // Mann-Whitney U: urgent-class orders vs the rest, tie-corrected
     // z-squared from the same GlobalIndex midrank machinery as q330
     "q335_mann_whitney" -> (Stats.mannWhitneyU _),
+    // Friedman blocked-rank test + Page trend: priorities ranked
+    // WITHIN each order day (complete blocks only), day-partitioned
+    // bounded windows, integer midranks, q6 rationals
+    "q338_friedman" -> (Stats.friedmanTest _),
+    // Hodges-Lehmann weekend-vs-weekday revenue shift: exact median
+    // of pairwise day differences on the bounded day lattice, with
+    // the rank-symmetric distribution-free CI
+    "q339_hodges_lehmann" -> (Stats.hodgesLehmannShift _),
+    // Cramer-von Mises two-sample: whole-CDF squared-gap drift on
+    // the day domain, sign-carried exact q9 rational (no doubles)
+    "q340_cramer_von_mises" -> (Stats.cramerVonMises _),
     // V2 FUNCTION CATALOG: the engine's functions called from PLAIN
     // SQL (`graft.genhash`, `graft.zorder2`) — no Scala imports, no
     // session UDF registration; magic-method binding keeps the calls
@@ -6625,6 +6636,140 @@ object SparkEntry {
         |  CAST(SUM(id) AS BIGINT) AS id_sum,
         |  CAST(4 AS BIGINT) AS n_batches
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q340: identical combined + within-sample rankings (both tie-
+    // broken by day), HUGEINT rationals, magnitude-then-negate
+    "q340_cramer_von_mises" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |flag AS (SELECT day, v,
+        |    CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 2 END AS grp
+        |  FROM daily),
+        |r AS (SELECT day, v, grp,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY v, day) AS BIGINT) AS r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, day)
+        |      AS BIGINT) AS i
+        |  FROM flag),
+        |agg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(r - i AS HUGEINT) * (r - i)) AS sq
+        |  FROM r GROUP BY grp),
+        |w AS (SELECT
+        |    COALESCE(MAX(CASE WHEN grp = 1 THEN n_g END), 0) AS n1,
+        |    COALESCE(MAX(CASE WHEN grp = 2 THEN n_g END), 0) AS n2,
+        |    COALESCE(MAX(CASE WHEN grp = 1 THEN sq END), 0) AS sq1,
+        |    COALESCE(MAX(CASE WHEN grp = 2 THEN sq END), 0) AS sq2
+        |  FROM agg),
+        |f AS (SELECT n1, n2, n1 + n2 AS n,
+        |    CAST(n1 AS HUGEINT) * sq1 + CAST(n2 AS HUGEINT) * sq2 AS u
+        |  FROM w),
+        |f2 AS (SELECT f.*,
+        |    6 * u - CAST(n1 AS HUGEINT) * n2
+        |      * (4 * CAST(n1 AS HUGEINT) * n2 - 1) AS tnum
+        |  FROM f)
+        |SELECT n1, n2, CAST(u AS BIGINT) AS u_stat,
+        |  CAST(CASE WHEN tnum < 0
+        |    THEN -(abs(tnum) * 1000000000
+        |      // NULLIF(6 * CAST(n1 AS HUGEINT) * n2 * n, 0))
+        |    ELSE tnum * 1000000000
+        |      // NULLIF(6 * CAST(n1 AS HUGEINT) * n2 * n, 0)
+        |    END AS BIGINT) AS t_q9
+        |FROM f2""".stripMargin,
+    // q339: identical pair lattice and total order; the weekend flag
+    // uses DuckDB's 0=Sunday dayofweek encoding (same day set)
+    "q339_hodges_lehmann" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |flag AS (SELECT day, v, dayofweek(day) IN (0, 6) AS weekend
+        |         FROM daily),
+        |we AS (SELECT day AS wa, v AS xa FROM flag WHERE weekend),
+        |wd AS (SELECT day AS wb, v AS xb FROM flag WHERE NOT weekend),
+        |pairs AS (SELECT wa, wb, xa - xb AS diff
+        |          FROM we CROSS JOIN wd),
+        |r AS (SELECT wa, wb, diff,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY diff, wa, wb)
+        |          AS BIGINT) AS rn
+        |      FROM pairs),
+        |st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM we) AS n1,
+        |              (SELECT CAST(COUNT(*) AS BIGINT) FROM wd) AS n2),
+        |st2 AS (SELECT n1, n2, n1 * n2 AS m,
+        |    CAST(floor(1.959964 * sqrt(
+        |      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+        |      / 12.0)) AS BIGINT) AS c_off
+        |  FROM st),
+        |t AS (SELECT st2.*, (m + 1) // 2 AS lo, m // 2 + 1 AS hi,
+        |        c_off + 1 AS clo, m - c_off AS chi
+        |      FROM st2)
+        |SELECT n1, n2, m AS n_pairs,
+        |  MAX(CASE WHEN rn = lo THEN diff END) AS hl_lo_cents,
+        |  MAX(CASE WHEN rn = hi THEN diff END) AS hl_hi_cents,
+        |  MAX(CASE WHEN rn = clo THEN diff END) AS ci_lo_cents,
+        |  MAX(CASE WHEN rn = chi THEN diff END) AS ci_hi_cents
+        |FROM r CROSS JOIN t
+        |WHERE rn IN (lo, hi, clo, chi)
+        |GROUP BY n1, n2, m""".stripMargin,
+    // q338: identical within-day ranking (RANK = min rank, the same
+    // midrank algebra), complete blocks only, HUGEINT rationals
+    "q338_friedman" ->
+      """WITH cells AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |full0 AS (SELECT day, g, v FROM (
+        |    SELECT cells.*, COUNT(*) OVER (PARTITION BY day) AS k_cnt
+        |    FROM cells)
+        |  WHERE k_cnt = 5),
+        |r AS (SELECT day, g, v,
+        |    CAST(RANK() OVER (PARTITION BY day ORDER BY v) AS BIGINT)
+        |      AS rmin,
+        |    CAST(COUNT(*) OVER (PARTITION BY day, v) AS BIGINT) AS t
+        |  FROM full0),
+        |rr AS (SELECT day, g, v, 2 * rmin + t - 1 AS ar2, t FROM r),
+        |grp AS (SELECT g, CAST(SUM(ar2) AS BIGINT) AS r2
+        |        FROM rr GROUP BY g),
+        |nb AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n FROM rr),
+        |ties AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t),
+        |    0) AS tie
+        |  FROM (SELECT DISTINCT day, v, t FROM rr)),
+        |wide AS (SELECT
+        |    COALESCE(MAX(CASE WHEN g = 1 THEN r2 END), 0) AS r1,
+        |    COALESCE(MAX(CASE WHEN g = 2 THEN r2 END), 0) AS r2,
+        |    COALESCE(MAX(CASE WHEN g = 3 THEN r2 END), 0) AS r3,
+        |    COALESCE(MAX(CASE WHEN g = 4 THEN r2 END), 0) AS r4,
+        |    COALESCE(MAX(CASE WHEN g = 5 THEN r2 END), 0) AS r5
+        |  FROM grp),
+        |f AS (SELECT wide.*, n, tie,
+        |    (CAST(r1 AS HUGEINT) * r1 * 3000000
+        |       // (CAST(n AS HUGEINT) * 5 * 6))
+        |    + (CAST(r2 AS HUGEINT) * r2 * 3000000
+        |       // (CAST(n AS HUGEINT) * 5 * 6))
+        |    + (CAST(r3 AS HUGEINT) * r3 * 3000000
+        |       // (CAST(n AS HUGEINT) * 5 * 6))
+        |    + (CAST(r4 AS HUGEINT) * r4 * 3000000
+        |       // (CAST(n AS HUGEINT) * 5 * 6))
+        |    + (CAST(r5 AS HUGEINT) * r5 * 3000000
+        |       // (CAST(n AS HUGEINT) * 5 * 6)) AS s_q6
+        |  FROM wide CROSS JOIN nb CROSS JOIN ties),
+        |f2 AS (SELECT f.*,
+        |    GREATEST(s_q6 - 3 * CAST(n AS HUGEINT) * 6 * 1000000, 0)
+        |      AS chi2,
+        |    CAST(tie * 1000000 // NULLIF(CAST(n AS HUGEINT) * 120, 0)
+        |      AS BIGINT) AS tf
+        |  FROM f)
+        |SELECT n AS n_blocks,
+        |  r1 AS r1_x2, r2 AS r2_x2, r3 AS r3_x2, r4 AS r4_x2,
+        |  r5 AS r5_x2, tf AS tie_frac_q6,
+        |  CAST(chi2 AS BIGINT) AS chi2_q6,
+        |  CAST(chi2 * 1000000 // NULLIF(1000000 - tf, 0) AS BIGINT)
+        |    AS chi2_tie_q6,
+        |  CAST(1 * r1 + 2 * r2 + 3 * r3 + 4 * r4 + 5 * r5 AS BIGINT)
+        |    AS page_l_x2
+        |FROM f2""".stripMargin,
     // q335: the q330 ranking/tie CTEs over a two-group split; z² is
     // the one identically-staged double over exact integers
     "q335_mann_whitney" ->

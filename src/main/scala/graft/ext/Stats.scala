@@ -3562,6 +3562,208 @@ object Stats {
       .orderBy($"pair")
   }
 
+  /** Cramér–von Mises two-sample statistic — the INTEGRATED-distance
+    * member of the drift family (q151's KS reads only the single
+    * largest CDF gap; CvM accumulates the squared gap over the whole
+    * distribution, so many small persistent shifts that KS misses
+    * still register): weekend vs weekday daily revenue again (the
+    * [[hodgesLehmannShift]] frame), via Anderson's rank form
+    * `T = [6U − nm(4nm−1)] / (6nmN)` with
+    * `U = n·Σ(r_i − i)² + m·Σ(s_j − j)²` over combined ranks r/s and
+    * within-sample indices i/j.
+    *
+    * Exactness: the combined ranking and the within-sample indices
+    * are two total orders over the BOUNDED day domain (ties broken
+    * by day on both engines — with a deterministic tie order the
+    * statistic is a pure integer function of the data), U and the
+    * closed form are exact integers (U ≤ N³, day-domain small), and
+    * T serves as the sign-carried q9 integer rational — no doubles
+    * anywhere.
+    *
+    * Scale shape: one order-volume day aggregate; two day-domain
+    * window rankings; a 4-term global agg.
+    */
+  def cramerVonMises(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day")
+      .agg(sum($"c").as("v"))
+      .withColumn("grp",
+        when(dayofweek($"day").isin(1, 7), 1L).otherwise(2L))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(daily, Seq($"v".asc, $"day".asc), "r")
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"grp").orderBy($"v".asc, $"day".asc)))
+    val agg = ranked.groupBy($"grp")
+      .agg(count(lit(1)).as("n_g"),
+        sum(expr(s"CAST(r - i AS $dec) * (r - i)")).as("sq"))
+    agg.agg(
+        coalesce(max(when($"grp" === 1, $"n_g")), lit(0L)).as("n1"),
+        coalesce(max(when($"grp" === 2, $"n_g")), lit(0L)).as("n2"),
+        coalesce(max(when($"grp" === 1, $"sq")), lit(0).cast(dec))
+          .as("sq1"),
+        coalesce(max(when($"grp" === 2, $"sq")), lit(0).cast(dec))
+          .as("sq2"))
+      .withColumn("n", $"n1" + $"n2")
+      .withColumn("u", expr(
+        s"CAST(n1 AS $dec) * sq1 + CAST(n2 AS $dec) * sq2"))
+      .withColumn("tnum", expr(
+        s"6 * u - CAST(n1 AS $dec) * n2" +
+          s" * (4 * CAST(n1 AS $dec) * n2 - 1)"))
+      .select($"n1", $"n2",
+        expr("CAST(u AS BIGINT)").as("u_stat"),
+        expr(s"""CAST(CASE WHEN tnum < 0
+          | THEN -(abs(tnum) * 1000000000
+          |   div nullif(6 * CAST(n1 AS $dec) * n2 * n, 0))
+          | ELSE tnum * 1000000000
+          |   div nullif(6 * CAST(n1 AS $dec) * n2 * n, 0)
+          | END AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("t_q9"))
+  }
+
+  /** Hodges–Lehmann shift estimator + distribution-free CI — the
+    * EFFECT-SIZE companion of [[mannWhitneyU]] (which only answers
+    * "is there a shift"): how many cents higher is weekend daily
+    * revenue than weekday daily revenue? `Δ̂ = median{x_i − y_j}`
+    * over all (weekend, weekday) day pairs — the estimator that
+    * matches the rank test's robustness (one crazy promo day moves a
+    * mean difference arbitrarily; it moves Δ̂ by at most one rank).
+    * The CI is the classic rank-symmetric interval: the (c+1)-th and
+    * (m−c)-th smallest pairwise differences with
+    * `c = ⌊z·√(n₁n₂(n₁+n₂+1)/12)⌋`, z = 1.959964 — distribution-free,
+    * no variance estimate.
+    *
+    * Exactness: differences are exact integer cents on the BOUNDED
+    * day-pair lattice (the q326 broadcast pair discipline — the
+    * lattice is |days|², scale-INVARIANT in fact volume); the global
+    * ranking is one [[graft.operators.GlobalIndex]] pass with a total
+    * (diff, day, day) order; c is the one identically-staged
+    * floor(double) both engines replay (√ is an exact-rounded IEEE
+    * op). Lower AND upper medians are reported — no averaging, no
+    * halves.
+    *
+    * Scale shape: one order-volume day aggregate; everything after
+    * lives on the day-pair lattice.
+    */
+  def hodgesLehmannShift(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day")
+      .agg(sum($"c").as("v"))
+      .withColumn("weekend", dayofweek($"day").isin(1, 7))
+    val we = daily.filter($"weekend")
+      .select($"day".as("wa"), $"v".as("xa"))
+    val wd = daily.filter(!$"weekend")
+      .select($"day".as("wb"), $"v".as("xb"))
+    val pairs = we.crossJoin(broadcast(wd))
+      .select($"wa", $"wb", ($"xa" - $"xb").as("diff"))
+    val ranked = graft.operators.GlobalIndex
+      .withRowNumber(pairs, Seq($"diff".asc, $"wa".asc, $"wb".asc), "rn")
+    val stats = we.agg(count(lit(1)).as("n1"))
+      .crossJoin(wd.agg(count(lit(1)).as("n2")))
+      .select($"n1", $"n2", ($"n1" * $"n2").as("m"),
+        expr("""CAST(floor(1.959964 * sqrt(
+          |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          |  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0))
+          |  AS BIGINT)""".stripMargin.replace("\n", "")).as("c_off"))
+    val targets = stats
+      .withColumn("lo", expr("(m + 1) div 2"))
+      .withColumn("hi", expr("m div 2 + 1"))
+      .withColumn("clo", $"c_off" + 1)
+      .withColumn("chi", $"m" - $"c_off")
+    ranked.crossJoin(broadcast(targets))
+      .filter($"rn" === $"lo" || $"rn" === $"hi" ||
+        $"rn" === $"clo" || $"rn" === $"chi")
+      .groupBy($"n1", $"n2", $"m")
+      .agg(
+        max(when($"rn" === $"lo", $"diff")).as("hl_lo_cents"),
+        max(when($"rn" === $"hi", $"diff")).as("hl_hi_cents"),
+        max(when($"rn" === $"clo", $"diff")).as("ci_lo_cents"),
+        max(when($"rn" === $"chi", $"diff")).as("ci_hi_cents"))
+      .select($"n1", $"n2", $"m".as("n_pairs"),
+        $"hl_lo_cents", $"hl_hi_cents", $"ci_lo_cents", $"ci_hi_cents")
+  }
+
+  /** Friedman test + Page trend statistic — the BLOCKED-design member
+    * of the rank-test family ([[kruskalWallis]] assumes independent
+    * samples; here every order DAY is a block and the five priority
+    * classes are treatments measured within it, so day-level revenue
+    * shocks cancel instead of inflating the variance): rank the five
+    * per-(day, priority) revenue cells WITHIN each day, sum ranks per
+    * priority over complete blocks, and
+    * `χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1)` (tie-corrected by
+    * `C = 1 − Σ(t³−t)/(nk(k²−1))`). Page's `L = Σ j·R_j` rides the
+    * same rank sums — the ordered-alternative trend statistic
+    * ("revenue rank rises monotonically with priority class").
+    *
+    * Exactness — the [[kruskalWallis]] integer discipline localized
+    * to blocks: within-day midranks are exact halves
+    * (`2·midrank = 2·minrank + t − 1` from the rank/count windows —
+    * block size is k = 5, so these windows are bounded, never a
+    * global funnel), doubled rank sums are exact integers, and both
+    * statistics are floored integer rationals at q6 (χ² clamps at 0
+    * to absorb per-term flooring, then `div` only sees nonnegatives).
+    * Incomplete blocks (a day missing a priority) are EXCLUDED — the
+    * test is defined over complete blocks, and the count is reported.
+    *
+    * Scale shape: one (day, priority) hash agg over order volume;
+    * everything after lives on the ≤ 5·days cell domain with
+    * day-partitioned bounded windows.
+    */
+  def friedmanTest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val k = 5
+    val cells = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("g"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day", $"g").agg(sum($"c").as("v"))
+    val full = cells
+      .withColumn("k_cnt", count(lit(1)).over(Window.partitionBy($"day")))
+      .filter($"k_cnt" === k)
+    val ranked = full
+      .withColumn("rmin", rank().over(
+        Window.partitionBy($"day").orderBy($"v".asc)))
+      .withColumn("t", count(lit(1)).over(
+        Window.partitionBy($"day", $"v")))
+      .withColumn("ar2", lit(2) * $"rmin" + $"t" - 1)
+    val grp = ranked.groupBy($"g")
+      .agg(sum($"ar2").cast("long").as("r2"))
+    val nb = ranked.agg(countDistinct($"day").as("n"))
+    val ties = ranked.select($"day", $"v", $"t").distinct()
+      .agg(coalesce(sum(expr(s"CAST(t AS $dec) * t * t - t")),
+        lit(0).cast(dec)).as("tie"))
+    val wideCols = (1 to k).map(j =>
+      coalesce(max(when($"g" === j, $"r2")), lit(0L)).as(s"r$j"))
+    val wide = grp.agg(wideCols.head, wideCols.tail: _*)
+    wide.crossJoin(broadcast(nb.select($"n")))
+      .crossJoin(broadcast(ties))
+      .withColumn("s_q6", expr((1 to k).map(j =>
+        s"CAST(r$j AS $dec) * r$j * 3000000" +
+          s" div (CAST(n AS $dec) * $k * ${k + 1})").mkString(" + ")))
+      .withColumn("chi2_q6", expr(
+        s"greatest(s_q6 - 3 * CAST(n AS $dec) * ${k + 1} * 1000000," +
+          s" CAST(0 AS $dec))"))
+      .withColumn("tie_frac_q6", expr(
+        s"CAST(tie * 1000000 div nullif(" +
+          s"CAST(n AS $dec) * ${k * (k * k - 1)}, 0) AS BIGINT)"))
+      .select((expr("CAST(n AS BIGINT)").as("n_blocks") +:
+        (1 to k).map(j => col(s"r$j").as(s"r${j}_x2"))) ++ Seq(
+          $"tie_frac_q6",
+          expr("CAST(chi2_q6 AS BIGINT)").as("chi2_q6"),
+          expr("CAST(chi2_q6 * 1000000" +
+            " div nullif(1000000 - tie_frac_q6, 0) AS BIGINT)")
+            .as("chi2_tie_q6"),
+          expr((1 to k).map(j => s"$j * r$j").mkString(" + "))
+            .cast("long").as("page_l_x2")): _*)
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) — the two-sample lane next to
     * [[kruskalWallis]]'s k-sample H and [[abZTest]]'s parametric z:
     * do urgent-class orders (priority 1–2) draw their values from a
