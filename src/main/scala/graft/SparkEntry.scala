@@ -1141,6 +1141,11 @@ object SparkEntry {
     // AND that the pre-delete snapshot stayed readable
     "q337_table_delete" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.tableDelete(s)),
+    // COMMIT FEED: streaming read of the versioned catalog table —
+    // commit-granular offsets, one micro-batch per INSERT snapshot
+    // (count pinned), accumulated aggregate equals the inserts' union
+    "q342_commit_feed" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.commitFeed(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -1194,6 +1199,9 @@ object SparkEntry {
     // Cramer-von Mises two-sample: whole-CDF squared-gap drift on
     // the day domain, sign-carried exact q9 rational (no doubles)
     "q340_cramer_von_mises" -> (Stats.cramerVonMises _),
+    // Anderson-Darling two-sample: tail-weighted CDF drift, exact
+    // q9 integer rationals over day-domain prefix sums
+    "q341_anderson_darling" -> (Stats.andersonDarling _),
     // V2 FUNCTION CATALOG: the engine's functions called from PLAIN
     // SQL (`graft.genhash`, `graft.zorder2`) — no Scala imports, no
     // session UDF registration; magic-method binding keeps the calls
@@ -6601,6 +6609,15 @@ object SparkEntry {
         |    ELSE CAST(s_stat AS HUGEINT) * 1000000 // nullif(n0 - tx, 0)
         |    END AS BIGINT) AS somers_d_q6
         |FROM f""".stripMargin,
+    // q342: the union of the three closed-form inserts; n_batches
+    // pins the commit-granular drain (3 snapshots = 3 micro-batches)
+    "q342_commit_feed" ->
+      """WITH t AS (SELECT range AS id, (range * range) % 97 AS v
+        |  FROM range(1000))
+        |SELECT id % 5 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(3 AS BIGINT) AS n_batches
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // q337: surviving rows of the closed-form table after the
     // predicate delete; v1_rows pins the time-travel count
     "q337_table_delete" ->
@@ -6636,6 +6653,32 @@ object SparkEntry {
         |  CAST(SUM(id) AS BIGINT) AS id_sum,
         |  CAST(4 AS BIGINT) AS n_batches
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q341: identical combined order and prefix sums; every term an
+    // exact floored rational, HUGEINT mirror
+    "q341_anderson_darling" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |flag AS (SELECT day, v,
+        |    CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END AS g1
+        |  FROM daily),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(g1) AS BIGINT) AS n1
+        |       FROM flag),
+        |t AS (SELECT
+        |    CAST(ROW_NUMBER() OVER (ORDER BY v, day) AS BIGINT) AS i,
+        |    CAST(SUM(g1) OVER (ORDER BY v, day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS m_i
+        |  FROM flag),
+        |terms AS (SELECT COALESCE(SUM(
+        |    CAST(m_i * n - n1 * i AS HUGEINT)
+        |      * (m_i * n - n1 * i) * 1000000000
+        |      // (CAST(i AS HUGEINT) * (n - i))), 0) AS s_q9
+        |  FROM t CROSS JOIN nn WHERE i < n)
+        |SELECT n1, n - n1 AS n2,
+        |  CAST(s_q9 // NULLIF(n1 * (n - n1), 0) AS BIGINT) AS a2_q9
+        |FROM terms CROSS JOIN nn""".stripMargin,
     // q340: identical combined + within-sample rankings (both tie-
     // broken by day), HUGEINT rationals, magnitude-then-negate
     "q340_cramer_von_mises" ->

@@ -3562,6 +3562,54 @@ object Stats {
       .orderBy($"pair")
   }
 
+  /** Anderson–Darling two-sample statistic — the TAIL-WEIGHTED third
+    * member of the drift trio (q151 KS = largest CDF gap, q340 CvM =
+    * integrated squared gap; AD reweights each gap by `1/(F(1−F))`,
+    * so distributional drift hiding in the tails — exactly where a
+    * revenue distribution breaks first — registers hardest):
+    * Pettitt's rank form
+    * `A² = (1/nm)·Σ_{i<N} (M_i·N − n·i)² / (i·(N−i))` with `M_i` the
+    * count of sample-1 members among the `i` smallest combined
+    * observations.
+    *
+    * Exactness: the combined order is total (value, then day), `M_i`
+    * is an integer prefix sum over the bounded day domain, each term
+    * floors `(M_i·N − n·i)²·10⁹ div (i(N−i))` (numerator staged
+    * DECIMAL(38,0)), and the final division by `nm` is one more
+    * integer floor — no doubles, no libm. Day-domain windows only.
+    */
+  def andersonDarling(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy($"day")
+      .agg(sum($"c").as("v"))
+      .withColumn("g1",
+        when(dayofweek($"day").isin(1, 7), 1L).otherwise(0L))
+    val w = Window.orderBy($"v".asc, $"day".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nn = daily.agg(count(lit(1)).as("n"),
+      sum($"g1").as("n1"))
+    val terms = daily
+      .withColumn("i", row_number().over(
+        Window.orderBy($"v".asc, $"day".asc)))
+      .withColumn("m_i", sum($"g1").over(w))
+      .crossJoin(broadcast(nn))
+      .filter($"i" < $"n")
+      .select(expr(
+        s"""CAST(m_i * n - n1 * i AS $dec)
+           | * (m_i * n - n1 * i) * 1000000000
+           | div (CAST(i AS $dec) * (n - i))"""
+          .stripMargin.replace("\n", "")).as("t_q9"))
+      .agg(coalesce(sum($"t_q9"), lit(0L)).as("s_q9"))
+    terms.crossJoin(broadcast(nn))
+      .select($"n1", ($"n" - $"n1").as("n2"),
+        expr("CAST(s_q9 div nullif(n1 * (n - n1), 0) AS BIGINT)")
+          .as("a2_q9"))
+  }
+
   /** Cramér–von Mises two-sample statistic — the INTEGRATED-distance
     * member of the drift family (q151's KS reads only the single
     * largest CDF gap; CvM accumulates the squared gap over the whole

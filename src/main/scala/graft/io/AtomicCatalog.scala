@@ -68,6 +68,52 @@ object CatalogLifecycle {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("grp")
   }
+
+  /** q342's driver: the COMMIT FEED — three closed-form `INSERT`s
+    * land as three snapshots, then `spark.readStream.table` tails
+    * the table under Trigger.AvailableNow; commit-granular admission
+    * makes the stream drain in exactly three data micro-batches
+    * (pinned as a column), and the accumulated complete-mode
+    * aggregate must equal the union of the three inserts — which is
+    * what the DuckDB twin computes in closed form. */
+  def commitFeed(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    Seq((0, 300), (300, 800), (800, 1000)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO gtab.$t " +
+        s"SELECT id, (id * id) % 97 FROM range($lo, $hi)")
+    }
+    val name = "commit_feed_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-commit-feed").toString
+    val q = spark.readStream.table(s"gtab.$t")
+      .groupBy((col("id") % 5).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val out = spark.table(name)
+      .withColumn("n_batches", lit(nBatches))
+      .orderBy("g")
+    val rows = out.collect()
+    spark.catalog.dropTempView(name)
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
 }
 
 class AtomicCatalog extends TableCatalog {

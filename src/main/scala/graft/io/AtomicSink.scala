@@ -141,7 +141,8 @@ object AtomicSink {
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_WRITE,
         TableCapability.BATCH_READ,
-        TableCapability.TRUNCATE)
+        TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       require(pinnedVersion.isEmpty,
         "cannot write to a VERSION AS OF snapshot")
@@ -287,6 +288,23 @@ object AtomicSink {
       with org.apache.spark.sql.connector.read.Batch {
     override def readSchema(): StructType = schema
     override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+    /** COMMIT FEED — the streaming face of the versioned table (the
+      * append-CDC a downstream pipeline tails instead of re-reading
+      * snapshots): offsets are COMMIT VERSIONS, each micro-batch
+      * serves exactly the rows newly PUBLISHED by one commit (its
+      * `v<k>-` fresh files — carried-forward files were already
+      * served by their own commit's batch). One commit per batch by
+      * construction, so a consumer sees the table's history in
+      * commit order with exactly-once replay (files are immutable;
+      * offsets live in the stream checkpoint). Caveat, stated
+      * plainly: this is an APPEND feed — a copy-on-write DELETE
+      * publishes its survivors as fresh files, which the feed serves
+      * as re-inserts (the Delta-CDF-without-delete-vectors shape).
+      */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new CommitFeedStream(path, schema)
     override def description(): String =
       s"AtomicSnapshotScan($path${pinned.map(v => s"@v$v").getOrElse("")})"
     override def planInputPartitions()
@@ -305,6 +323,68 @@ object AtomicSink {
 
   private case class TsvFilePartition(file: String)
       extends org.apache.spark.sql.connector.read.InputPartition
+
+  private[io] case class VersionOffset(v: Long)
+      extends org.apache.spark.sql.connector.read.streaming.Offset {
+    override def json(): String = v.toString
+  }
+
+  /** [[TsvScan.toMicroBatchStream]]'s engine: commit-granular
+    * admission (latestOffset steps ONE version past `start`
+    * regardless of the advisory ReadLimit — the natural CDC unit),
+    * AvailableNow drains to the version pinned at prepare time. */
+  private class CommitFeedStream(path: String, schema: StructType)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+    private def latestVersion: Long =
+      versionsOf(path).lastOption.getOrElse(0).toLong
+    private var target: Long = -1L
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      target = latestVersion
+
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+    override def initialOffset(): SOffset = VersionOffset(0L)
+
+    override def latestOffset(): SOffset =
+      throw new UnsupportedOperationException(
+        "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+    override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+      val s = start.asInstanceOf[VersionOffset].v
+      val cap = if (target >= 0) target else latestVersion
+      VersionOffset(math.min(cap, s + 1))
+    }
+
+    override def reportLatestOffset(): SOffset =
+      VersionOffset(if (target >= 0) target else latestVersion)
+
+    override def deserializeOffset(json: String): SOffset =
+      VersionOffset(json.trim.toLong)
+
+    override def planInputPartitions(start: SOffset,
+        end: SOffset): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      val s = start.asInstanceOf[VersionOffset].v
+      val e = end.asInstanceOf[VersionOffset].v
+      ((s + 1) to e).flatMap { v =>
+        readManifestOf(path, v.toInt)
+          .filter(_.startsWith(s"v$v-")) // fresh in THIS commit
+          .map(n => TsvFilePartition(new Path(path, n).toString)
+            : org.apache.spark.sql.connector.read.InputPartition)
+      }.toArray
+    }
+
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      new TsvReaderFactory(schema)
+
+    override def commit(end: SOffset): Unit = ()
+    override def stop(): Unit = ()
+  }
 
   private class TsvReaderFactory(schema: StructType)
       extends org.apache.spark.sql.connector.read.PartitionReaderFactory {

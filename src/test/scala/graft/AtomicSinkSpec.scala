@@ -122,4 +122,38 @@ class AtomicSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE gtabspec.t1")
     assert(!new java.io.File(root, "t1").exists())
   }
+
+  test("commit feed: one micro-batch per snapshot in commit order; " +
+    "a resumed run serves only commits newer than the checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-catalog-feed").toString
+    spark.conf.set("spark.sql.catalog.gfeed", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gfeed.root", root)
+    spark.sql("CREATE TABLE gfeed.t (id BIGINT)")
+    spark.sql("INSERT INTO gfeed.t SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO gfeed.t SELECT id FROM range(10, 30)")
+    val ckpt = Files.createTempDirectory("gfeed-ckpt").toString
+    val out = Files.createTempDirectory("gfeed-out").toString
+    def run(): Seq[Long] = {
+      val q = spark.readStream.table("gfeed.t")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.numInputRows).toSeq
+    }
+    // two committed snapshots -> two data batches, in commit order
+    assert(run() == Seq(10L, 20L))
+    assert(spark.read.parquet(out).count() == 30L)
+    // a third commit after the checkpoint: the resumed stream serves
+    // ONLY it (offsets = versions, replay is exactly-once)
+    spark.sql("INSERT INTO gfeed.t SELECT id FROM range(30, 35)")
+    assert(run() == Seq(5L))
+    assert(spark.read.parquet(out).count() == 35L)
+    spark.sql("DROP TABLE gfeed.t")
+  }
 }
