@@ -1305,12 +1305,17 @@ object Similarity {
       .select($"query_id", $"vec_id",
         floor(cos($"qv", $"cv") * 1000000.0).cast("long").as("rel_q6"))
     val topk = udaf(new TopKAgg(nCand))
-    // q6 integers are exact in the double-keyed TopKAgg (< 2^53)
+    // q6 integers are exact in the double-keyed TopKAgg (< 2^53).
+    // cand and pairs feed every greedy step — localCheckpoint them
+    // once so the k−1 iterations reuse the materialized pools
+    // instead of re-scoring the corpus per step (the q128 loop
+    // discipline; both frames are ≤ nCand(²) rows per query)
     val cand = scored.groupBy($"query_id")
       .agg(topk($"rel_q6".cast("double"), $"vec_id").as("top"))
       .select($"query_id", explode($"top").as("entry"))
       .select($"query_id", $"entry._2".as("vec_id"),
         $"entry._1".cast("long").as("rel_q6"))
+      .localCheckpoint()
     val candV = cand.join(c, "vec_id")
     val pairs = candV.select($"query_id", $"vec_id".as("a_id"),
         $"cv".as("av"))
@@ -1319,6 +1324,7 @@ object Similarity {
         $"query_id" === $"qb" && $"a_id" =!= $"b_id")
       .select($"query_id", $"a_id", $"b_id",
         floor(cos($"av", $"bv") * 1000000.0).cast("long").as("sim_q6"))
+      .localCheckpoint()
     val wq = Window.partitionBy($"query_id")
     var sel = cand
       .withColumn("rn", row_number().over(
