@@ -1208,6 +1208,20 @@ object SparkEntry {
     // inside whole-stage codegen (FunctionCatalogSpec pins the
     // Invoke-bound plan). The oracle evaluates the same closed forms
     // with DuckDB bit arithmetic.
+    // V2 AGGREGATE function from plain SQL: graft.kmv(id) — the KMV
+    // distinct estimate as a real partial aggregate (map-side update,
+    // shuffle carries <= k hashes per group), oracle-exact because
+    // the bijective hash makes the k-th smallest a pure function of
+    // the distinct key set
+    "q343_sql_agg_fn" -> ((s: SparkSession, _: String) => {
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.functions.GraftFunctionCatalog")
+      s.sql("""
+        SELECT id % 4 AS g,
+          CAST(count(DISTINCT id) AS BIGINT) AS n_exact,
+          graft.kmv(id) AS kmv_est
+        FROM range(50000) GROUP BY id % 4 ORDER BY g""")
+    }),
     "q325_sql_fn_catalog" -> ((s: SparkSession, _: String) => {
       s.conf.set("spark.sql.catalog.graft",
         "graft.functions.GraftFunctionCatalog")
@@ -6930,6 +6944,23 @@ object SparkEntry {
         |  CAST(h_q6 * 1000000 // NULLIF(1000000 - tie_frac_q6, 0)
         |    AS BIGINT) AS h_tie_q6
         |FROM f2 CROSS JOIN wide""".stripMargin,
+    // q343: the q108 KMV closed form per group (k = 16; 15·P
+    // pre-multiplied) over the same bijective hash
+    "q343_sql_agg_fn" ->
+      """WITH h AS (SELECT DISTINCT range % 4 AS g,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(50000)),
+        |r AS (SELECT g, h,
+        |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        |      FROM h),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |        CAST(MAX(CASE WHEN rn = 16 THEN h END) AS BIGINT)
+        |          AS h16
+        |      FROM r GROUP BY g)
+        |SELECT g, n_exact,
+        |  CAST(CASE WHEN n_exact < 16 THEN n_exact
+        |       ELSE 32212254705 // h16 END AS BIGINT) AS kmv_est
+        |FROM a ORDER BY g""".stripMargin,
     // q325: genhash's closed form plus an 8-bit Morton interleave
     // unrolled as per-bit shifts — the same integers the catalog
     // functions compute inside codegen

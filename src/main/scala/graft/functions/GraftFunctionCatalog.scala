@@ -52,6 +52,7 @@ class GraftFunctionCatalog extends FunctionCatalog {
     else ident.name().toLowerCase match {
       case "genhash" => GenHash
       case "zorder2" => ZOrder2Fn
+      case "kmv" => KmvFn
       case _ => throw noSuchFn(ident)
     }
 
@@ -61,7 +62,7 @@ class GraftFunctionCatalog extends FunctionCatalog {
 }
 
 object GraftFunctionCatalog {
-  private val Names = Array("genhash", "zorder2")
+  private val Names = Array("genhash", "zorder2", "kmv")
 
   val P = 2147483647L
   val A = 2654435761L
@@ -110,5 +111,79 @@ object GraftFunctionCatalog {
       ZOrder2(null, null).nullSafeEval(a, b).asInstanceOf[Long]
     override def produceResult(input: InternalRow): Long =
       invoke(input.getLong(0), input.getLong(1))
+  }
+
+  /** KMV state: up to k DISTINCT smallest hashes, sorted ascending.
+    * A case class (not a bare Array) because the V2 aggregate
+    * contract requires `S <: java.io.Serializable` statically. */
+  case class KmvState(hs: Array[Long]) extends Serializable
+
+  /** V2 AGGREGATE function in the catalog — `graft.kmv(id)` is the
+    * k-minimum-values distinct estimate (the q108 recipe: the
+    * multiplicative hash is a bijection mod P, so the k-th smallest
+    * distinct hash — and with it `(k−1)·P div h_k` — is a pure
+    * integer function of the distinct key set, hence
+    * oracle-checkable, unlike an HLL sketch whose registers are
+    * engine-specific). Spark plans it as a real partial aggregate:
+    * `update` runs map-side, `merge` combines task partials, and the
+    * ≤ k-entry state is the only thing crossing the shuffle — the
+    * same bounded-partial discipline as TopKAgg, now reachable from
+    * PLAIN SQL through the catalog. k = 16; groups with fewer than k
+    * distinct keys serve the exact count.
+    */
+  object KmvFn extends UnboundFunction
+      with org.apache.spark.sql.connector.catalog.functions
+        .AggregateFunction[KmvState, Long] {
+    private val K = 16
+
+    override def name(): String = "kmv"
+    override def description(): String =
+      "kmv(id BIGINT) -> BIGINT: k-minimum-values distinct estimate " +
+        s"(k = $K) over the engine hash; exact below k"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 1 && inputType.head.dataType == LongType,
+        s"kmv expects (BIGINT), got ${inputType.catalogString}")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def canonicalName(): String = "graft.kmv"
+
+    override def newAggregationState(): KmvState =
+      KmvState(Array.empty)
+
+    private def insert(hs: Array[Long], h: Long): Array[Long] = {
+      val idx = java.util.Arrays.binarySearch(hs, h)
+      if (idx >= 0) hs // already present: KMV counts DISTINCT hashes
+      else if (hs.length < K) {
+        val at = -idx - 1
+        val out = new Array[Long](hs.length + 1)
+        System.arraycopy(hs, 0, out, 0, at)
+        out(at) = h
+        System.arraycopy(hs, at, out, at + 1, hs.length - at)
+        out
+      } else if (h >= hs(K - 1)) hs
+      else {
+        val at = -idx - 1
+        val out = new Array[Long](K)
+        System.arraycopy(hs, 0, out, 0, at)
+        out(at) = h
+        System.arraycopy(hs, at, out, at + 1, K - 1 - at)
+        out
+      }
+    }
+
+    override def update(state: KmvState, input: InternalRow): KmvState =
+      if (input.isNullAt(0)) state
+      else KmvState(insert(state.hs,
+        (input.getLong(0) % P) * A % P))
+
+    override def merge(s1: KmvState, s2: KmvState): KmvState =
+      KmvState(s2.hs.foldLeft(s1.hs)(insert))
+
+    override def produceResult(state: KmvState): Long =
+      if (state.hs.length < K) state.hs.length.toLong
+      else (K - 1).toLong * P / state.hs(K - 1)
   }
 }

@@ -66,6 +66,29 @@ class FunctionCatalogSpec extends SparkSpec {
     ensureCatalog()
     val listed = spark.sql("SHOW FUNCTIONS IN graft")
       .as[String].collect().map(_.split("\\.").last).toSet
-    assert(Set("genhash", "zorder2").subsetOf(listed), listed.toString)
+    assert(Set("genhash", "zorder2", "kmv").subsetOf(listed),
+      listed.toString)
+  }
+
+  test("kmv aggregate: exact below k, partition-invariant above it, " +
+    "and the merge path agrees with a sequential reference") {
+    ensureCatalog()
+    // below k (15 distinct ids, duplicated rows): exact count
+    val small = spark.sql(
+      "SELECT graft.kmv(id % 15) FROM range(1000)").as[Long].head()
+    assert(small == 15L, s"below-k groups serve the exact count: $small")
+    // above k: equals the sequential KMV closed form, regardless of
+    // how rows are split across partitions (merge associativity)
+    val P = 2147483647L
+    val hs = (0L until 50000L).map(id => (id % P) * 2654435761L % P)
+      .distinct.sorted
+    val want = 15L * P / hs(15)
+    for (parts <- Seq(1, 7)) {
+      val got = spark.range(0, 50000, 1, parts)
+        .createOrReplaceTempView(s"kmv_in_$parts")
+      val est = spark.sql(
+        s"SELECT graft.kmv(id) FROM kmv_in_$parts").as[Long].head()
+      assert(est == want, s"parts=$parts: $est != $want")
+    }
   }
 }
