@@ -1141,6 +1141,15 @@ object SparkEntry {
     // AND that the pre-delete snapshot stayed readable
     "q337_table_delete" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.tableDelete(s)),
+    // snapshot EXPIRATION (VACUUM): keep the latest snapshot, drop
+    // older manifests and the delete's unreachable pre-image files;
+    // expired VERSION AS OF reads empty, retained state intact
+    "q344_snapshot_expire" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.snapshotExpire(s)),
+    // SCHEMA EVOLUTION: ALTER TABLE ADD COLUMN between inserts —
+    // short pre-alter rows read NULL in the new column on all paths
+    "q345_schema_evolution" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.schemaEvolution(s)),
     // COMMIT FEED: streaming read of the versioned catalog table —
     // commit-granular offsets, one micro-batch per INSERT snapshot
     // (count pinned), accumulated aggregate equals the inserts' union
@@ -6623,6 +6632,32 @@ object SparkEntry {
         |    ELSE CAST(s_stat AS HUGEINT) * 1000000 // nullif(n0 - tx, 0)
         |    END AS BIGINT) AS somers_d_q6
         |FROM f""".stripMargin,
+    // q344: survivors of the delete (ids 100..999), one version left,
+    // expired v1 empty, files really removed
+    "q344_snapshot_expire" ->
+      """WITH t AS (SELECT range AS id, (range * 3) % 13 AS v
+        |  FROM range(1000)),
+        |kept AS (SELECT * FROM t WHERE id >= 100)
+        |SELECT id % 3 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(1 AS BIGINT) AS versions_left,
+        |  CAST(0 AS BIGINT) AS expired_v1_rows,
+        |  CAST(1 AS BIGINT) AS files_removed_gt0,
+        |  CAST(1 AS BIGINT) AS versions_kept
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q345: pre-alter rows have NULL extra (counted and summed as -1)
+    "q345_schema_evolution" ->
+      """WITH pre AS (SELECT range AS id, range % 7 AS v,
+        |    NULL AS extra
+        |  FROM range(0, 500)),
+        |post AS (SELECT range AS id, range % 7 AS v, range % 11 AS extra
+        |  FROM range(500, 800)),
+        |t AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+        |SELECT id % 2 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN extra IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pre_alter,
+        |  CAST(SUM(COALESCE(extra, -1)) AS BIGINT) AS extra_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // q342: the union of the three closed-form inserts; n_batches
     // pins the commit-granular drain (3 snapshots = 3 micro-batches)
     "q342_commit_feed" ->

@@ -69,6 +69,76 @@ object CatalogLifecycle {
       .orderBy("grp")
   }
 
+  /** q344's driver: snapshot EXPIRATION (VACUUM) — two appends and a
+    * copy-on-write delete build three snapshots, then
+    * `expireSnapshots(keepLast = 1)` drops the two pre-delete
+    * manifests and the delete's now-unreachable pre-image files. The
+    * oracle row pins the surviving table, that exactly one version
+    * remains, that the expired `VERSION AS OF 1` reads EMPTY, and
+    * that files were really deleted (count > 0 — the exact count
+    * varies with insert parallelism, so only the flag is pinned). */
+  def snapshotExpire(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * 3) % 13 FROM range(0, 400)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * 3) % 13 FROM range(400, 1000)")
+    spark.sql(s"DELETE FROM gtab.$t WHERE id < 100")
+    val dir = s"$root/$t"
+    val (kept, removed) = AtomicSink.expireSnapshots(dir, keepLast = 1)
+    val v1Rows = spark.sql(
+      s"SELECT count(*) FROM gtab.$t VERSION AS OF 1").head.getLong(0)
+    val out = spark.sql(
+      s"""SELECT (id % 3) AS g, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS v_sum
+         |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
+      .withColumn("versions_left",
+        lit(AtomicSink.versions(spark, dir).size.toLong))
+      .withColumn("expired_v1_rows", lit(v1Rows))
+      .withColumn("files_removed_gt0",
+        lit(if (removed > 0) 1L else 0L))
+      .withColumn("versions_kept", lit(kept.toLong))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
+  /** q345's driver: SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN`
+    * between two inserts; rows written before the change are short on
+    * disk and read back NULL in the new column (both scan paths pad),
+    * so the aggregate distinguishes pre/post rows exactly — which is
+    * what the closed-form oracle pins. */
+  def schemaEvolution(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, id % 7 FROM range(0, 500)")
+    spark.sql(s"ALTER TABLE gtab.$t ADD COLUMN extra BIGINT")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, id % 7, id % 11 FROM range(500, 800)")
+    val out = spark.sql(
+      s"""SELECT (id % 2) AS g, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pre_alter,
+         |  CAST(sum(coalesce(extra, -1)) AS BIGINT) AS extra_sum
+         |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
   /** q342's driver: the COMMIT FEED — three closed-form `INSERT`s
     * land as three snapshots, then `spark.readStream.table` tails
     * the table under Trigger.AvailableNow; commit-granular admission
@@ -184,10 +254,43 @@ class AtomicCatalog extends TableCatalog {
       accumulateAppends = true)
   }
 
+  /** Schema evolution: top-level ADD COLUMN (appended at the end) is
+    * the one supported change — the TSV layout makes it free, because
+    * rows written before the change are simply SHORT and every reader
+    * pads missing trailing cells as NULL (both the DSv2 scan and the
+    * delete-rewrite path). Anything else (drops, renames, repositions,
+    * type changes) would reinterpret existing bytes and is refused. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "AtomicCatalog tables are append/delete-only; ALTER is not supported")
+                          changes: TableChange*): Table = {
+    val schema = readSchema(ident)
+    val next = changes.foldLeft(schema) {
+      case (s, add: org.apache.spark.sql.connector.catalog
+          .TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "only top-level ADD COLUMN is supported")
+        require(add.position() == null,
+          "ADD COLUMN only appends (no FIRST/AFTER)")
+        require(Seq("bigint", "double", "string")
+          .contains(add.dataType().simpleString),
+          s"AtomicSink columns are long/double/string, " +
+            s"got ${add.dataType().simpleString}")
+        org.apache.spark.sql.types.StructType(s.fields :+
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), add.isNullable))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"AtomicCatalog supports only ADD COLUMN, got $other")
+    }
+    val dir = dirOf(ident)
+    // delete + fresh-name rename: safe under the table's single-WRITER
+    // contract (concurrent readers resolved their schema at load time)
+    val tmp = new Path(dir, s"_SCHEMA.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(next.json.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(schemaFile(dir), false)
+    fs.rename(tmp, schemaFile(dir))
+    new AtomicSink.SinkTable(dir.toString, next, accumulateAppends = true)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)

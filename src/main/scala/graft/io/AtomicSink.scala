@@ -202,6 +202,34 @@ object AtomicSink {
   private[io] def readManifestOf(path: String, v: Int): Seq[String] =
     readManifest(path, new Path(path, s"$ManifestFile.v$v"))
 
+  /** Snapshot expiration (VACUUM): keep the newest `keepLast`
+    * versions, delete older manifests, then delete every data file no
+    * RETAINED manifest references. Because catalog appends carry
+    * files forward, an old commit's files survive as long as any live
+    * snapshot still lists them — only truly unreachable files (e.g. a
+    * copy-on-write DELETE's pre-image after its snapshot expires) are
+    * removed. Same single-writer scope as commits; readers of
+    * retained versions are unaffected (their manifests and files are
+    * untouched). Returns (versions kept, files deleted). */
+  def expireSnapshots(path: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val vs = versionsOf(path)
+    val keep = vs.takeRight(keepLast)
+    val drop = vs.dropRight(keepLast)
+    val keepFiles = keep.flatMap(v => readManifestOf(path, v)).toSet
+    drop.foreach { v =>
+      fs.delete(new Path(path, s"$ManifestFile.v$v"), false)
+    }
+    val dataName = "^v\\d+-part-.*".r
+    val removed = fs.listStatus(new Path(path)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => dataName.pattern.matcher(n).matches()
+        && !keepFiles.contains(n))
+    removed.foreach(n => fs.delete(new Path(path, n), false))
+    (keep.size, removed.size)
+  }
+
   /** The pushed v1 `Filter`s of a DELETE, rebuilt as one `Column`
     * (AND of all) — total over every shape Spark pushes, so
     * `canDeleteWhere` is simply "does this translation succeed". */
@@ -254,7 +282,9 @@ object AtomicSink {
     else {
       val parts = split(col("value"), "\t", -1)
       val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-        val s = element_at(parts, i + 1)
+        // rows written before an ADD COLUMN are short: a missing cell
+        // reads NULL (size guard — ANSI element_at throws past the end)
+        val s = when(size(parts) > i, element_at(parts, i + 1))
         val v = f.dataType match {
           case LongType =>
             when(s === "", lit(null)).otherwise(s).cast("long")

@@ -123,6 +123,27 @@ class AtomicSinkSpec extends SparkSpec {
     assert(!new java.io.File(root, "t1").exists())
   }
 
+  test("schema evolution: only appending top-level ADD COLUMN is " +
+    "allowed — drops, renames and positioned adds are refused") {
+    val root = Files.createTempDirectory("graft-catalog-alter").toString
+    spark.conf.set("spark.sql.catalog.galter", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.galter.root", root)
+    spark.sql("CREATE TABLE galter.t (id BIGINT)")
+    spark.sql("ALTER TABLE galter.t ADD COLUMN v DOUBLE")
+    assert(spark.table("galter.t").schema.fieldNames.toSeq
+      == Seq("id", "v"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE galter.t DROP COLUMN v"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE galter.t RENAME COLUMN v TO w"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE galter.t ADD COLUMN w BIGINT FIRST"))
+    // refused changes must not have mutated the persisted schema
+    assert(spark.table("galter.t").schema.fieldNames.toSeq
+      == Seq("id", "v"))
+    spark.sql("DROP TABLE galter.t")
+  }
+
   test("commit feed: one micro-batch per snapshot in commit order; " +
     "a resumed run serves only commits newer than the checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
