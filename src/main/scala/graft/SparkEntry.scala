@@ -1167,6 +1167,12 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("_h").as("h"), $"bucket")
         .orderBy($"id")
     }),
+    // transformWithState (the Spark 4 arbitrary-stateful API) over
+    // the deterministic generator stream: typed ValueState running
+    // totals in RocksDB; per-group update count pins real cross-batch
+    // state carry
+    "q346_transform_with_state" -> ((s: SparkSession, _: String) =>
+      graft.streaming.TwsStream.runningTotals(s)),
     // DSv2 MICRO-BATCH read of the generator: Trigger.AvailableNow +
     // rowsPerBatch admission control drain the interval in exactly
     // ceil(rows/rowsPerBatch) batches into a complete-mode streaming
@@ -6686,6 +6692,21 @@ object SparkEntry {
         |  (range % 2147483647) * 2654435761 % 2147483647 % 1000
         |    AS bucket
         |FROM range(2000) ORDER BY id""".stripMargin,
+    // q346: the generator's closed-form totals; n_updates = the
+    // closed-form batch count (every group appears in all 4)
+    "q346_transform_with_state" ->
+      """WITH t AS (
+        |  SELECT range AS id,
+        |    (range % 2147483647) * 2654435761 % 2147483647 AS h
+        |  FROM range(100000)),
+        |c AS (SELECT id, (h % 1000) % 10 AS g,
+        |        (h // 1000) % 100000 AS cents
+        |      FROM t)
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(MAX(id) AS BIGINT) AS id_max,
+        |  CAST(4 AS BIGINT) AS n_updates
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q332: the generator's closed forms over the whole interval —
     // what the union of the micro-batches must equal — plus the
     // closed-form batch count ceil(100000/30000) = 4
