@@ -1190,6 +1190,12 @@ object SparkEntry {
     // O(cycle+tail) sequential following; per-cycle id/length/basin
     "q336_pointer_cycles" -> ((s: SparkSession, d: String) =>
       Graph.hashChainCycles(s, d)),
+    // list ranking: tail-distance histogram of the same functional
+    // graph via binary descent over the doubling ladder — O(log n)
+    // rounds where per-node following is O(tail); the oracle walks
+    // each tail with a recursive CTE, the engine never does
+    "q347_tail_distance" -> ((s: SparkSession, d: String) =>
+      Graph.hashChainTails(s, d)),
     // Kendall tau-b + Somers' D between daily order count and daily
     // revenue — tie-corrected rank association on the bounded day
     // lattice; tau_b served as its sign-carried exact square (no
@@ -2187,6 +2193,36 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q347's oracle: the cycle set from the unrolled doubling, then a
+    * recursive-CTE walk following each tail one step at a time — the
+    * O(Σ tail) sequential reference the engine's O(log n) binary
+    * descent must reproduce. */
+  private def tailDistanceOracle(n: Int): String = {
+    val rounds =
+      (64 - java.lang.Long.numberOfLeadingZeros(n.toLong - 1)).toInt
+    val steps = (1 to rounds).map { k =>
+      s"""j$k AS (SELECT a.v, b.p AS p
+         |  FROM j${k - 1} a JOIN j${k - 1} b ON a.p = b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE t AS MATERIALIZED (SELECT range AS v,
+       |    ((range % 2147483647) * 2654435761 % 2147483647) % $n
+       |      AS succ
+       |  FROM range($n)),
+       |j0 AS (SELECT v, succ AS p FROM t),
+       |$steps,
+       |img AS MATERIALIZED (SELECT DISTINCT p AS v FROM j$rounds),
+       |walk(v, cur, dist) AS (
+       |  SELECT v, v, 0 FROM t
+       |  UNION ALL
+       |  SELECT w.v, f.succ, w.dist + 1
+       |  FROM walk w JOIN t f ON f.v = w.cur
+       |  WHERE w.cur NOT IN (SELECT v FROM img)),
+       |fin AS (SELECT v, CAST(MAX(dist) AS BIGINT) AS dist
+       |        FROM walk GROUP BY v)
+       |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q333's greedy MMR recursion unrolled as chained CTEs — step n
     * scores every unselected candidate `7·rel − 3·max sim to sel_{n−1}`
     * on the SAME q6 integers the Spark side quantizes before its loop,
@@ -2244,6 +2280,7 @@ object SparkEntry {
 
   private def simOracles: Map[String, String] = Map(
     "q336_pointer_cycles" -> pointerCycleOracle(4096),
+    "q347_tail_distance" -> tailDistanceOracle(4096),
     "q333_mmr_diversified" -> mmrOracle(k = 4, nCand = 12),
     "q34_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -1767,6 +1767,83 @@ object Graph {
       .orderBy($"cycle_id")
   }
 
+  /** Tail distances (list ranking) on a functional graph — the
+    * second PRAM primitive riding the [[pointerJumpCycles]] doubling
+    * ladder: how many `succ` steps does each node take to REACH its
+    * cycle? Sequential following is O(tail) per node; here the
+    * doubling levels `p_k = f^(2^k)` are built once (O(log n)
+    * self-joins) and each node BINARY-DESCENDS them: from the top
+    * level down, take the 2^k-jump iff the landing node is still off
+    * the cycle — "f^j(v) is off-cycle" is a prefix property in j, so
+    * the greedy descent finds the last off-cycle index exactly, and
+    * the tail distance is that index + 1 (0 for cycle nodes). Total
+    * work O(n log n), O(log n) rounds — the textbook list-ranking
+    * bound, with every round a key-partitioned join.
+    *
+    * Output is the bounded tail-length histogram (dist, n_nodes) —
+    * the ρ-shape profile of the map (dist 0 = cycle mass).
+    */
+  private[graft] def tailDistances(f: DataFrame,
+                                   rounds: Int): DataFrame = {
+    val spark = f.sparkSession
+    import spark.implicits._
+    // doubling ladder, head = level `rounds`
+    var levels: List[DataFrame] =
+      List(f.select($"v", $"succ".as("p")).localCheckpoint())
+    (1 to rounds).foreach { _ =>
+      val prev = levels.head
+      levels ::= prev
+        .join(prev.select($"v".as("v2"), $"p".as("p2")), $"p" === $"v2")
+        .select($"v", $"p2".as("p")).localCheckpoint()
+    }
+    val cyc = levels.head.select($"p".as("v")).distinct()
+      .withColumn("onc", lit(1)).localCheckpoint()
+    // descend levels rounds−1 … 0 (levels.tail, head-first is the
+    // HIGHEST of those)
+    var st = f.select($"v")
+      .join(cyc, Seq("v"), "left")
+      .select($"v", $"v".as("cur"), lit(0L).as("dist"),
+        coalesce($"onc", lit(0)).as("done"))
+      .localCheckpoint()
+    levels.tail.zipWithIndex.foreach { case (lvl, i) =>
+      val k = rounds - 1 - i
+      val next = st
+        .join(lvl.select($"v".as("cur"), $"p".as("tgt")), Seq("cur"))
+        .join(cyc.select($"v".as("tgt"), $"onc".as("tonc")),
+          Seq("tgt"), "left")
+        .select($"v",
+          when($"done" === 1 || coalesce($"tonc", lit(0)) === 1, $"cur")
+            .otherwise($"tgt").as("cur"),
+          when($"done" === 1 || coalesce($"tonc", lit(0)) === 1, $"dist")
+            .otherwise($"dist" + lit(1L << k)).as("dist"),
+          $"done")
+        .localCheckpoint()
+      st.unpersist()
+      st = next
+    }
+    st.select($"v",
+        when($"done" === 1, lit(0L)).otherwise($"dist" + 1L).as("dist"))
+      .groupBy($"dist")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"dist")
+  }
+
+  /** [[tailDistances]] over the q336 hash-successor map — same
+    * fixed-n deterministic graph, so the histogram is closed-form
+    * oracle-checkable (the oracle follows each tail with a recursive
+    * CTE; the engine never does). */
+  def hashChainTails(spark: SparkSession, d: String,
+                     n: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(n.toLong - 1)
+    val f = spark.read.format("graft.sources.GenSource")
+      .option("rows", n.toString).option("parts", "8").load()
+      .select($"id".as("v"),
+        expr(s"(id % 2147483647) * 2654435761 % 2147483647 % $n")
+          .as("succ"))
+    tailDistances(f, rounds.toInt)
+  }
+
   /** [[pointerJumpCycles]] over the deterministic hash-successor map
     * `succ(v) = h(v) mod n` on `n` generator ids — non-bijective, so
     * the graph has genuine tails and multiple cycles; n is fixed

@@ -1299,6 +1299,11 @@ class BehaviorSpec extends SparkSpec {
     val got = graft.ext.Graph.pointerJumpCycles(f, rounds = 3)
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((2L, 3L, 5L), (5L, 1L, 2L)), s"got $got")
+    // list ranking on the same ρ: cycle nodes at dist 0 (2,3,4,5);
+    // feeders 1 and 6 at dist 1; node 0 at dist 2
+    val tails = graft.ext.Graph.tailDistances(f, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(tails == Seq((0L, 4L), (1L, 2L), (2L, 1L)), s"tails $tails")
   }
 
   test("ccStarContraction: identical labels to HashMin on a planted " +
