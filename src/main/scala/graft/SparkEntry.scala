@@ -1223,6 +1223,9 @@ object SparkEntry {
     // Anderson-Darling two-sample: tail-weighted CDF drift, exact
     // q9 integer rationals over day-domain prefix sums
     "q341_anderson_darling" -> (Stats.andersonDarling _),
+    // seasonal Mann-Kendall: month-of-year blocked trend test —
+    // secular drift registers, the seasonal revenue swing cancels
+    "q348_seasonal_mk" -> (Stats.seasonalMannKendall _),
     // V2 FUNCTION CATALOG: the engine's functions called from PLAIN
     // SQL (`graft.genhash`, `graft.zorder2`) — no Scala imports, no
     // session UDF registration; magic-method binding keeps the calls
@@ -6760,6 +6763,42 @@ object SparkEntry {
         |  CAST(SUM(id) AS BIGINT) AS id_sum,
         |  CAST(4 AS BIGINT) AS n_batches
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q348: q266's pair/tie/variance algebra restricted to equal
+    // months; magnitude-then-negate divisions
+    "q348_seasonal_mk" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |dm AS (SELECT day, v, month(day) AS m FROM daily),
+        |s AS (SELECT CAST(COALESCE(SUM(CASE WHEN b.v > a.v THEN 1
+        |        WHEN b.v < a.v THEN -1 ELSE 0 END), 0) AS BIGINT)
+        |        AS s_stat
+        |      FROM dm a JOIN dm b ON b.day > a.day AND a.m = b.m),
+        |ties AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)
+        |    * (2 * t + 5)), 0) AS tie_sum
+        |  FROM (SELECT m, v, COUNT(*) AS t FROM dm GROUP BY 1, 2)),
+        |seas AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seasons,
+        |    CAST(SUM(ns) AS BIGINT) AS n_days,
+        |    SUM(CAST(ns AS HUGEINT) * (ns - 1) * (2 * ns + 5)) AS nvar,
+        |    CAST(SUM(ns * (ns - 1) // 2) AS BIGINT) AS pairs
+        |  FROM (SELECT m, CAST(COUNT(*) AS BIGINT) AS ns FROM dm
+        |        GROUP BY 1)),
+        |f AS (SELECT n_days, n_seasons, s_stat,
+        |        CAST(nvar - tie_sum AS HUGEINT) AS var18, pairs
+        |      FROM s CROSS JOIN seas CROSS JOIN ties)
+        |SELECT n_days, n_seasons, s_stat,
+        |  CAST(var18 AS BIGINT) AS var18,
+        |  CAST(CASE WHEN s_stat < 0
+        |    THEN -(abs(s_stat) * 1000000 // NULLIF(pairs, 0))
+        |    ELSE s_stat * 1000000 // NULLIF(pairs, 0)
+        |    END AS BIGINT) AS tau_q6,
+        |  CAST(CASE WHEN s_stat = 0 THEN 0
+        |    WHEN CAST(abs(s_stat) - 1 AS HUGEINT) * (abs(s_stat) - 1)
+        |      * 18 * 10000 > 38416 * var18
+        |    THEN CAST(sign(s_stat) AS BIGINT) ELSE 0 END AS BIGINT)
+        |    AS trend
+        |FROM f""".stripMargin,
     // q341: identical combined order and prefix sums; every term an
     // exact floored rational, HUGEINT mirror
     "q341_anderson_darling" ->

@@ -2668,6 +2668,63 @@ object Stats {
           .stripMargin.replace("\n", "")).as("trend"))
   }
 
+  /** Seasonal Mann–Kendall — [[mannKendall]] with the seasonal
+    * blocking of Hirsch & Slack: revenue has a strong month-of-year
+    * cycle, and the plain test reads that cycle as ties/noise (or
+    * worse, as trend); the seasonal form compares days only WITHIN
+    * the same month-of-year across years, then sums the per-season
+    * S statistics and variances — `S = Σ_s S_s`,
+    * `Var·18 = Σ_s [n_s(n_s−1)(2n_s+5) − Σt(t−1)(2t+5)]` — so a
+    * secular drift registers and the seasonal swing cancels.
+    *
+    * Exactness — the q266 discipline verbatim: S is an exact integer
+    * over the bounded (season-blocked) day-pair lattice, the
+    * variance is the exact ×18 integer (tie census per season),
+    * τ serves as the q6 rational over the blocked pair count, and
+    * the trend verdict compares integer squares against the same
+    * 1.96² literal, sign-safe. Never quadratic in fact rows — one
+    * day aggregate, then a broadcast self-join on the ~2.4k-day
+    * domain restricted to equal months (12× fewer pairs than q266).
+    */
+  def seasonalMannKendall(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(spark, d)
+      .select(to_date($"o_orderdate").as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+      .groupBy($"day").agg(sum($"v").as("v"))
+      .withColumn("m", month($"day"))
+    val a = daily.select($"m".as("ma"), $"day".as("da"), $"v".as("va"))
+    val b = daily.select($"m".as("mb"), $"day".as("db"), $"v".as("vb"))
+    val s = a.join(broadcast(b), $"db" > $"da" && $"ma" === $"mb")
+      .agg(coalesce(sum(signum($"vb" - $"va").cast("long")), lit(0L))
+        .as("s_stat"))
+    val ties = daily.groupBy($"m", $"v").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr(s"CAST(t AS $dec) * (t - 1) * (2 * t + 5)")),
+        lit(0).cast(dec)).as("tie_sum"))
+    val seas = daily.groupBy($"m").agg(count(lit(1)).as("ns"))
+      .agg(count(lit(1)).as("n_seasons"),
+        sum($"ns").as("n_days"),
+        sum(expr(s"CAST(ns AS $dec) * (ns - 1) * (2 * ns + 5)"))
+          .as("nvar"),
+        sum(expr("ns * (ns - 1) div 2")).as("pairs"))
+    s.crossJoin(broadcast(seas)).crossJoin(broadcast(ties))
+      .select($"n_days", $"n_seasons", $"s_stat",
+        expr(s"CAST(nvar - tie_sum AS $dec)").as("var18"), $"pairs")
+      .select($"n_days", $"n_seasons", $"s_stat",
+        expr("CAST(var18 AS BIGINT)").as("var18"),
+        expr("""CAST(CASE WHEN s_stat < 0
+          | THEN -(abs(s_stat) * 1000000 div nullif(pairs, 0))
+          | ELSE s_stat * 1000000 div nullif(pairs, 0)
+          | END AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("tau_q6"),
+        expr(s"""CAST(CASE WHEN s_stat = 0 THEN 0
+          | WHEN CAST((abs(s_stat) - 1) AS $dec) * (abs(s_stat) - 1)
+          |   * 18 * 10000 > 38416 * var18
+          | THEN CAST(sign(s_stat) AS BIGINT) ELSE 0 END AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("trend"))
+  }
+
   /** Kendall τ-b + Somers' D between daily order COUNT and daily
     * revenue — the tie-corrected rank-association pair ([[mannKendall]]
     * correlates one variable against TIME; this correlates two data
