@@ -1209,6 +1209,9 @@ object SparkEntry {
     // Mann-Whitney U: urgent-class orders vs the rest, tie-corrected
     // z-squared from the same GlobalIndex midrank machinery as q330
     "q335_mann_whitney" -> (Stats.mannWhitneyU _),
+    // Welch's unequal-variance t on the same split as q335 — the
+    // parametric/nonparametric pair on identical data
+    "q349_welch_t" -> (Stats.welchT _),
     // Friedman blocked-rank test + Page trend: priorities ranked
     // WITHIN each order day (complete blocks only), day-partitioned
     // bounded windows, integer midranks, q6 rationals
@@ -6958,6 +6961,56 @@ object SparkEntry {
         |    AS chi2_tie_q6,
         |  CAST(1 * r1 + 2 * r2 + 3 * r3 + 4 * r4 + 5 * r5 AS BIGINT)
         |    AS page_l_x2
+        |FROM f2""".stripMargin,
+    // q349: identical sufficient statistics and double staging;
+    // HUGEINT mirrors DECIMAL(38,0); magnitude-then-negate division
+    "q349_welch_t" ->
+      """WITH g AS (SELECT
+        |    CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+        |      THEN 1 ELSE 2 END AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(CAST(x AS HUGEINT)) AS sx,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |      FROM g GROUP BY g),
+        |w AS (SELECT
+        |    COALESCE(MAX(CASE WHEN g = 1 THEN n END), 0) AS n1,
+        |    COALESCE(MAX(CASE WHEN g = 2 THEN n END), 0) AS n2,
+        |    COALESCE(MAX(CASE WHEN g = 1 THEN sx END), 0) AS s1,
+        |    COALESCE(MAX(CASE WHEN g = 2 THEN sx END), 0) AS s2,
+        |    COALESCE(MAX(CASE WHEN g = 1 THEN sxx END), 0) AS q1,
+        |    COALESCE(MAX(CASE WHEN g = 2 THEN sxx END), 0) AS q2
+        |  FROM a),
+        |f AS (SELECT w.*,
+        |    CAST(CASE WHEN s1 * n2 - s2 * CAST(n1 AS HUGEINT) < 0
+        |      THEN -(abs(s1 * n2 - s2 * CAST(n1 AS HUGEINT)) * 100
+        |        // NULLIF(CAST(n1 AS HUGEINT) * n2, 0))
+        |      ELSE (s1 * n2 - s2 * CAST(n1 AS HUGEINT)) * 100
+        |        // NULLIF(CAST(n1 AS HUGEINT) * n2, 0) END AS BIGINT)
+        |      AS diff_q2,
+        |    (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+        |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |       * (CAST(n1 AS DOUBLE) - 1.0)) AS va,
+        |    (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+        |     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |    / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |       * (CAST(n2 AS DOUBLE) - 1.0)) AS vb,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md
+        |  FROM w),
+        |f2 AS (SELECT n1, n2, diff_q2,
+        |    CAST(floor(md * md / (va + vb) * 1000000.0) AS BIGINT)
+        |      AS t2_q6,
+        |    CAST(floor((va + vb) * (va + vb)
+        |      / (va * va / (CAST(n1 AS DOUBLE) - 1.0)
+        |         + vb * vb / (CAST(n2 AS DOUBLE) - 1.0))
+        |      * 1000000.0) AS BIGINT) AS df_q6
+        |  FROM f)
+        |SELECT n1, n2, diff_q2, t2_q6, df_q6,
+        |  CAST(CASE WHEN t2_q6 > 3841458 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS significant_asymp
         |FROM f2""".stripMargin,
     // q335: the q330 ranking/tie CTEs over a two-group split; z² is
     // the one identically-staged double over exact integers

@@ -3869,6 +3869,75 @@ object Stats {
             .cast("long").as("page_l_x2")): _*)
   }
 
+  /** Welch's unequal-variance t — the PARAMETRIC twin of
+    * [[mannWhitneyU]] on the same urgent-vs-rest split (the classic
+    * pairing: if the two disagree, the distribution is heavy-tailed
+    * or skewed and the rank test is the one to trust): mean
+    * difference, `t² = (m₁−m₂)²/(s₁²/n₁+s₂²/n₂)`, and the
+    * Welch–Satterthwaite df. Never the pooled-variance Student form —
+    * group sizes here differ by ~4×, exactly where pooling's size
+    * distortion is worst.
+    *
+    * Exactness: the sufficient statistics (n, Σx, Σx²) are exact
+    * integers staged DECIMAL(38,0) with the cast inside the aggregate
+    * (Σx² wraps int64 in the tens-of-billions regime — the
+    * [[abZTest]] discipline); the mean difference serves as the exact
+    * integer rational `(Σ₁n₂−Σ₂n₁)·100 div n₁n₂` (q2 = hundredths of
+    * a cent), and t²/df are per-VALUE doubles over the exact integers
+    * with identical operand order in the DuckDB twin, floored q6. The
+    * verdict compares t² against the asymptotic χ²₀.₉₅(1) literal
+    * (df here is ~10⁴⁺, where t² ≡ z²).
+    */
+  def welchT(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val g = Tables.orders(spark, d)
+      .select(expr("CASE WHEN substring(o_orderpriority, 1, 1)" +
+        " IN ('1', '2') THEN 1 ELSE 2 END").as("g"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("x"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(x AS $dec)")).as("sx"),
+        sum(expr(s"CAST(x AS $dec) * x")).as("sxx"))
+    g.agg(
+        coalesce(max(when($"g" === 1, $"n")), lit(0L)).as("n1"),
+        coalesce(max(when($"g" === 2, $"n")), lit(0L)).as("n2"),
+        coalesce(max(when($"g" === 1, $"sx")), lit(0).cast(dec)).as("s1"),
+        coalesce(max(when($"g" === 2, $"sx")), lit(0).cast(dec)).as("s2"),
+        coalesce(max(when($"g" === 1, $"sxx")), lit(0).cast(dec)).as("q1"),
+        coalesce(max(when($"g" === 2, $"sxx")), lit(0).cast(dec)).as("q2"))
+      .withColumn("diff_q2", expr(
+        s"CAST(CASE WHEN s1 * n2 - s2 * CAST(n1 AS $dec) < 0" +
+          s" THEN -(abs(s1 * n2 - s2 * CAST(n1 AS $dec)) * 100" +
+          s"   div nullif(CAST(n1 AS $dec) * n2, 0))" +
+          s" ELSE (s1 * n2 - s2 * CAST(n1 AS $dec)) * 100" +
+          s"   div nullif(CAST(n1 AS $dec) * n2, 0) END AS BIGINT)"))
+      // v_i = s_i²/n_i from the exact integers, identical staging
+      .withColumn("va", expr(
+        "(CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)" +
+          " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))" +
+          " / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)" +
+          "    * (CAST(n1 AS DOUBLE) - 1.0))"))
+      .withColumn("vb", expr(
+        "(CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)" +
+          " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))" +
+          " / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
+          "    * (CAST(n2 AS DOUBLE) - 1.0))"))
+      .withColumn("md", expr(
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+          " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"))
+      .select($"n1", $"n2", $"diff_q2",
+        expr("CAST(floor(md * md / (va + vb) * 1000000.0) AS BIGINT)")
+          .as("t2_q6"),
+        expr("""CAST(floor((va + vb) * (va + vb)
+          | / (va * va / (CAST(n1 AS DOUBLE) - 1.0)
+          |    + vb * vb / (CAST(n2 AS DOUBLE) - 1.0))
+          | * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("df_q6"))
+      .withColumn("significant_asymp",
+        ($"t2_q6" > 3841458L).cast("long"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) — the two-sample lane next to
     * [[kruskalWallis]]'s k-sample H and [[abZTest]]'s parametric z:
     * do urgent-class orders (priority 1–2) draw their values from a
