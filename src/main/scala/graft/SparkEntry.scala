@@ -6887,10 +6887,12 @@ object SparkEntry {
         |st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM we) AS n1,
         |              (SELECT CAST(COUNT(*) AS BIGINT) FROM wd) AS n2),
         |st2 AS (SELECT n1, n2, n1 * n2 AS m,
-        |    CAST(floor(1.959964 * sqrt(
+        |    GREATEST(CAST(0 AS BIGINT), CAST(floor(
+        |      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
+        |      - 1.959964 * sqrt(
         |      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
         |      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
-        |      / 12.0)) AS BIGINT) AS c_off
+        |      / 12.0)) AS BIGINT)) AS c_off
         |  FROM st),
         |t AS (SELECT st2.*, (m + 1) // 2 AS lo, m // 2 + 1 AS hi,
         |        c_off + 1 AS clo, m - c_off AS chi

@@ -3736,10 +3736,12 @@ object Stats {
     * over all (weekend, weekday) day pairs — the estimator that
     * matches the rank test's robustness (one crazy promo day moves a
     * mean difference arbitrarily; it moves Δ̂ by at most one rank).
-    * The CI is the classic rank-symmetric interval: the (c+1)-th and
-    * (m−c)-th smallest pairwise differences with
-    * `c = ⌊z·√(n₁n₂(n₁+n₂+1)/12)⌋`, z = 1.959964 — distribution-free,
-    * no variance estimate.
+    * The CI is the classic Moses / Hollander–Wolfe rank-symmetric
+    * interval: the (c+1)-th and (m−c)-th smallest pairwise differences
+    * with `c = max(0, ⌊m/2 − z·√(n₁n₂(n₁+n₂+1)/12)⌋)`, z = 1.959964 —
+    * indices CENTERED on the median of the m = n₁n₂ differences
+    * (counting c from the extremes instead yields ~100% coverage, the
+    * round-12 advice bug) — distribution-free, no variance estimate.
     *
     * Exactness: differences are exact integer cents on the BOUNDED
     * day-pair lattice (the q326 broadcast pair discipline — the
@@ -3772,10 +3774,12 @@ object Stats {
     val stats = we.agg(count(lit(1)).as("n1"))
       .crossJoin(wd.agg(count(lit(1)).as("n2")))
       .select($"n1", $"n2", ($"n1" * $"n2").as("m"),
-        expr("""CAST(floor(1.959964 * sqrt(
+        expr("""GREATEST(CAST(0 AS BIGINT), CAST(floor(
+          |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
+          |  - 1.959964 * sqrt(
           |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
           |  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0))
-          |  AS BIGINT)""".stripMargin.replace("\n", "")).as("c_off"))
+          |  AS BIGINT))""".stripMargin.replace("\n", "")).as("c_off"))
     val targets = stats
       .withColumn("lo", expr("(m + 1) div 2"))
       .withColumn("hi", expr("m div 2 + 1"))

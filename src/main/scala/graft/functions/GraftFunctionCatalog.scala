@@ -176,8 +176,11 @@ object GraftFunctionCatalog {
 
     override def update(state: KmvState, input: InternalRow): KmvState =
       if (input.isNullAt(0)) state
+      // floorMod, not %: Java remainder of a negative BIGINT is
+      // negative, which would sort below every legitimate hash and
+      // corrupt both the k-min state and the (K-1)*P/h_k estimate
       else KmvState(insert(state.hs,
-        (input.getLong(0) % P) * A % P))
+        Math.floorMod(Math.floorMod(input.getLong(0), P) * A, P)))
 
     override def merge(s1: KmvState, s2: KmvState): KmvState =
       KmvState(s2.hs.foldLeft(s1.hs)(insert))

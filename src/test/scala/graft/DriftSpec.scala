@@ -139,6 +139,51 @@ class DriftSpec extends SparkSpec {
     assert(r2.getDouble(2) == 0.0)
   }
 
+  test("hodgesLehmannShift: Moses/Hollander-Wolfe CI on planted days") {
+    // 4 weekend days x 5 weekday days -> m = 20 pairwise differences;
+    // the CI indices must CENTER on the median of the differences
+    // (c_off = floor(m/2 - z*sigma), round-12 advice: counting c from
+    // the extremes gives ~100% coverage, not 95%)
+    def onDay(k: Long, d: String, p: Double) = (k, "F", p, "1-URGENT", d)
+    val weekendDays = Seq("2024-01-06", "2024-01-07", "2024-01-13",
+      "2024-01-14") // Sat, Sun, Sat, Sun
+    val weekdayDays = Seq("2024-01-08", "2024-01-09", "2024-01-10",
+      "2024-01-11", "2024-01-12")
+    val wePrices = Seq(310.0, 155.5, 242.25, 401.0)
+    val wdPrices = Seq(100.0, 215.75, 90.5, 180.0, 260.25)
+    val rows = (weekendDays.zip(wePrices) ++ weekdayDays.zip(wdPrices))
+      .zipWithIndex.map { case ((d, p), i) => onDay(i + 1L, d, p) }
+    val dir = Files.createTempDirectory("graft-hl").toString
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate_s")
+      .select($"o_orderkey", ($"o_orderkey" % 7).as("o_custkey"),
+        $"o_orderstatus", $"o_totalprice",
+        to_timestamp($"o_orderdate_s").as("o_orderdate"), $"o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val r = Stats.hodgesLehmannShift(spark, dir).collect().head
+    // brute-force reference in exact integer cents
+    val we = wePrices.map(p => math.floor(p * 100).toLong)
+    val wd = wdPrices.map(p => math.floor(p * 100).toLong)
+    val diffs = (for (a <- we; b <- wd) yield a - b).sorted
+    val (n1, n2) = (we.size, wd.size)
+    val m = n1 * n2
+    val cOff = math.max(0L, math.floor(m / 2.0 -
+      1.959964 * math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12.0)).toLong)
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("n_pairs") == m)
+    assert(r.getAs[Long]("hl_lo_cents") == diffs((m + 1) / 2 - 1))
+    assert(r.getAs[Long]("hl_hi_cents") == diffs(m / 2))
+    assert(cOff > 0, "the planted sizes must exercise a nonzero offset")
+    assert(r.getAs[Long]("ci_lo_cents") == diffs(cOff.toInt),
+      "ci_lo = (c+1)-th smallest difference")
+    assert(r.getAs[Long]("ci_hi_cents") == diffs(m - cOff.toInt - 1),
+      "ci_hi = (m-c)-th smallest difference")
+    // the interval must CONTAIN the point estimate (a centered interval
+    // always does; the pre-fix extreme-counted one did only by accident)
+    assert(r.getAs[Long]("ci_lo_cents") <= r.getAs[Long]("hl_lo_cents"))
+    assert(r.getAs[Long]("ci_hi_cents") >= r.getAs[Long]("hl_hi_cents"))
+  }
+
   test("benfordAudit: digit extraction and shares on a planted ledger") {
     val d = plantOrders(Seq(
       (1L, "F", 1.50, "1-URGENT"),   // 150    -> 1

@@ -91,4 +91,21 @@ class FunctionCatalogSpec extends SparkSpec {
       assert(est == want, s"parts=$parts: $est != $want")
     }
   }
+
+  test("kmv aggregate: negative BIGINT inputs hash via floorMod " +
+    "(Java % would sort a negative 'hash' below every real value)") {
+    ensureCatalog()
+    val P = 2147483647L
+    // sequential reference over the SAME floorMod hash
+    val ids = (-25000L until 25000L)
+    val hs = ids.map(id =>
+        Math.floorMod(Math.floorMod(id, P) * 2654435761L, P))
+      .distinct.sorted
+    val want = 15L * P / hs(15)
+    spark.range(0, 50000, 1, 5)
+      .selectExpr("id - 25000 AS id").createOrReplaceTempView("kmv_neg")
+    val est = spark.sql(
+      "SELECT graft.kmv(id) FROM kmv_neg").as[Long].head()
+    assert(est == want && est > 0, s"$est != $want")
+  }
 }
