@@ -993,13 +993,14 @@ object Graph {
     * form of the textbook truss decomposition, not a naive
     * recount-per-round:
     *
-    *  1. Full per-edge support ONCE via the [[triangleCount]] kernel
-    *     (degree-ordered orientation + adjacency-array intersection,
-    *     the O(E^1.5) arboricity bound; a node-ordered wedge
-    *     self-join watchdogged at sf0.1 — hub parts make it
-    *     quadratic). Each triangle credits its THREE canonical edges
-    *     through one `explode` of a 3-struct array — a 3-way unionAll
-    *     would re-execute the join + intersect per branch (q190).
+    *  1. Full per-edge support ONCE as the undirected common-neighbor
+    *     count |N(a) ∩ N(b)| per edge via the codegen'd two-pointer
+    *     merge kernel — count-only, in place, so no triangle row is
+    *     ever materialized or shuffled (see [[trussSupport]]; the
+    *     prior orientation + 3-credit-explode + re-aggregate form
+    *     paid a 3·T-row exchange, 8.3 s at sf0.1; a node-ordered
+    *     wedge self-join watchdogged outright — hub parts make it
+    *     quadratic).
     *  2. Each peel round deletes the under-supported batch D and
     *     DECREMENTS the survivors touching destroyed triangles
     *     instead of recounting: support(e, E∖D) = support(e, E) −
@@ -1025,47 +1026,146 @@ object Graph {
     * whole graph and the support table — keyed by triangled edges —
     * could not represent it).
     */
+  /** Edge gate below which the truss PEEL (not the support kernel)
+    * finishes on the driver — the [[graft.ext.Dedup]] discipline
+    * (driver union-find below `DriverResolveMaxEdges`, distributed
+    * label propagation above): the peel's cascade rounds are
+    * |D|-bounded DELTAS, so running them as distributed jobs pays a
+    * multi-job scheduling floor per round (measured 1-2 s even for a
+    * 4-edge deletion batch) that dwarfs the actual work at any size a
+    * driver can hold. 5M (a, b, s) rows ≈ 200 MB of peel state. Above
+    * the gate, [[kTrussLoop]] runs the same algebra distributed. */
+  val DriverPeelMaxEdges = 5000000L
+
   def kTruss(spark: SparkSession, d: String, k: Long = 4L,
              maxIters: Int = 10): DataFrame = {
     import spark.implicits._
     val e0 = copartEdges(spark, d)
-    // the SAME measured gate + Derived frames q118/q190 ride: the
-    // initial support pass reuses their cached orientation and
-    // adjacency instead of rebuilding either
-    val fits = e0.count() <= BroadcastAdjMaxEntries
-    kTrussLoop(e0, orientedCopart(spark, d, fits),
-      copartAdj(spark, d, fits), k, maxIters, fits)
+    val nEdges = e0.count()
+    // measured gate for the UNDIRECTED adjacency (payload 2|E|
+    // entries, twice the oriented form's — hence the halved budget)
+    val fits = nEdges <= BroadcastAdjMaxEntries / 2
+    val undirAdj = graft.Derived.frame(s"copart-undadj:$d:bc=$fits") {
+      e0.select($"a".as("node"), $"b".as("nbr"))
+        .unionAll(e0.select($"b".as("node"), $"a".as("nbr")))
+        .groupBy($"node").agg(sort_array(collect_list($"nbr")).as("nbr"))
+    }
+    if (nEdges <= DriverPeelMaxEdges)
+      kTrussDriverPeel(e0, undirAdj, k, maxIters, fits)
+    else kTrussLoop(e0, undirAdj, k, maxIters, fits)
   }
 
   /** [[kTruss]] on an explicit canonical (a < b) edge frame —
     * separated so specs can drive planted graphs through the exact
-    * production peel. Builds (and checkpoints) its own orientation
-    * and adjacency; the named-table entry point shares the session-
-    * cached ones instead. */
+    * production DISTRIBUTED peel (`maxDriverPeel = 0` forces it even
+    * below the gate; the default exercises the gate dispatch). Builds
+    * (and checkpoints) its own undirected adjacency; the named-table
+    * entry point shares the session-cached one instead. */
   private[graft] def kTrussOf(e0: DataFrame, k: Long, maxIters: Int,
-      maxBroadcastAdj: Long = BroadcastAdjMaxEntries): DataFrame = {
+      maxBroadcastAdj: Long = BroadcastAdjMaxEntries,
+      maxDriverPeel: Long = DriverPeelMaxEdges): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
-    def hinted(df: DataFrame, fits: Boolean): DataFrame =
-      if (fits) broadcast(df) else df
-    val fits = e0.count() <= maxBroadcastAdj
-    val deg = e0.select($"a".as("node")).unionAll(e0.select($"b".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("deg"))
-    val lt = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
-    val oriented = e0
-      .join(hinted(deg.select($"node".as("a"), $"deg".as("da")), fits), "a")
-      .join(hinted(deg.select($"node".as("b"), $"deg".as("db")), fits), "b")
-      .select(when(lt, $"a").otherwise($"b").as("src"),
-        when(lt, $"b").otherwise($"a").as("dst"))
+    val nEdges = e0.count()
+    val fits = nEdges <= maxBroadcastAdj / 2
+    val undirAdj = e0.select($"a".as("node"), $"b".as("nbr"))
+      .unionAll(e0.select($"b".as("node"), $"a".as("nbr")))
+      .groupBy($"node").agg(sort_array(collect_list($"nbr")).as("nbr"))
       .localCheckpoint(false)
-    val adj = oriented.groupBy($"src")
-      .agg(sort_array(collect_list($"dst")).as("nbr"))
-      .localCheckpoint(false)
-    kTrussLoop(e0, oriented, adj, k, maxIters, fits)
+    if (nEdges <= maxDriverPeel)
+      kTrussDriverPeel(e0, undirAdj, k, maxIters, fits)
+    else kTrussLoop(e0, undirAdj, k, maxIters, fits)
   }
 
-  private def kTrussLoop(e0: DataFrame, oriented: DataFrame,
-      adj: DataFrame, k: Long, maxIters: Int, fits: Boolean): DataFrame = {
+  /** Below-gate peel: the SAME round algebra as [[kTrussLoop]] —
+    * simultaneous deletion of every under-supported edge, destroyed
+    * triangles dedup'd per sorted triple, surviving edges decremented
+    * once per destroyed triangle, `maxIters` rounds — run in driver
+    * memory over the collected (a, b, s) support table (the ONE
+    * gated collect, [[DriverPeelMaxEdges]]). The distributed support
+    * kernel still computes the initial per-edge supports; only the
+    * |D|-bounded cascade moves to the driver, where a round costs
+    * microseconds instead of a multi-job scheduling floor.
+    * KTrussSpec proves driver == distributed == brute recount on
+    * planted and pseudo-random graphs. */
+  private def kTrussDriverPeel(e0: DataFrame, undirAdj: DataFrame,
+      k: Long, maxIters: Int, fits: Boolean): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    require(k >= 3, s"kTruss needs k >= 3, got $k")
+    val minSup = k - 2
+    def dbg(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
+        System.err.println(s"[ktruss-drv] $msg t=${System.nanoTime() / 1000000}")
+    dbg("start")
+    val rows = trussSupport(e0, undirAdj, fits)
+      .collect() // gated: caller measured |E| <= DriverPeelMaxEdges
+    dbg(s"collected n=${rows.length}")
+    val sup = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    val adj = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.HashSet[Long]]()
+    rows.foreach { r =>
+      val (a, b, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      sup.put((a, b), s)
+      adj.getOrElseUpdate(a, new scala.collection.mutable.HashSet) += b
+      adj.getOrElseUpdate(b, new scala.collection.mutable.HashSet) += a
+    }
+    // round-1 victims by one scan; later rounds are DISCOVERED at
+    // decrement time (an edge crossing the bar queues exactly once) —
+    // no per-round rescan of the full support map
+    var d = sup.iterator.collect {
+      case (e, s) if s < minSup => e
+    }.toVector
+    var applied = 0
+    while (applied < maxIters && d.nonEmpty) {
+      applied += 1
+      // destroyed triangles of this round's simultaneous deletion:
+      // common LIVE neighbors of each victim's endpoints, dedup'd on
+      // the sorted triple (adjacency still includes the victims —
+      // live-before-deletion, exactly the distributed form's `live`)
+      val destroyed = new scala.collection.mutable.HashSet[(Long, Long, Long)]()
+      d.foreach { case (a, b) =>
+        val (na, nb) = (adj(a), adj(b))
+        val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
+        small.foreach { w =>
+          if (w != a && w != b && big.contains(w)) {
+            // sorted triple (x <= y are the edge's endpoints)
+            val x = math.min(a, b); val y = math.max(a, b)
+            val mid = if (w < x) x else if (w > y) y else w
+            destroyed += ((math.min(x, w), mid, math.max(y, w)))
+          }
+        }
+      }
+      // delete the victims, then decrement each destroyed triangle's
+      // SURVIVING edges once; survivors crossing the bar become the
+      // next round's victims
+      d.foreach { case (a, b) =>
+        sup.remove((a, b)); adj(a) -= b; adj(b) -= a
+      }
+      val nextD = Vector.newBuilder[(Long, Long)]
+      destroyed.foreach { case (x, y, z) =>
+        Seq((x, y), (x, z), (y, z)).foreach { e =>
+          sup.get(e).foreach { s =>
+            val ns = s - 1
+            sup.put(e, ns)
+            if (ns < minSup && ns + 1 >= minSup) nextD += e
+          }
+        }
+      }
+      d = nextD.result()
+    }
+    dbg(s"peel done live=${sup.size}")
+    val census = new scala.collection.mutable.HashMap[Long, Long]()
+    sup.keysIterator.foreach { case (a, b) =>
+      census.put(a, census.getOrElse(a, 0L) + 1L)
+      census.put(b, census.getOrElse(b, 0L) + 1L)
+    }
+    spark.createDataFrame(census.toSeq.sortBy(_._1))
+      .toDF("part", "truss_deg").orderBy($"part")
+  }
+
+  private def kTrussLoop(e0: DataFrame, undirAdj: DataFrame,
+      k: Long, maxIters: Int, fits: Boolean): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
     require(k >= 3, s"kTruss needs k >= 3, got $k")
@@ -1074,14 +1174,30 @@ object Graph {
       if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
         System.err.println(s"[ktruss] $msg t=${System.nanoTime() / 1000000}")
     dbg("start")
-    // support over E0, once; edges outside it close no triangle
-    var sup = trussSupport(oriented, adj, fits).localCheckpoint(false)
+    // support over E0, once, and NEVER REWRITTEN after: the peel
+    // maintains the current state as sup0 ⊖ deleted ⊖ cumDecr —
+    // two |D|-bounded side frames — instead of republishing a full
+    // |E|-row support table per round (the previous shape's per-round
+    // localCheckpoint of ~|E| rows cost 1-2.7 s even on a 4-edge
+    // deletion batch; the delta frames cost milliseconds). Edges
+    // outside sup0 close no triangle: they are dead in every k ≥ 3
+    // truss AND destroy nothing, so the cascade runs entirely on
+    // sup0's keys.
+    val sup0 = trussSupport(e0, undirAdj, fits).localCheckpoint(false)
     dbg("support done")
-    // peel-1 victims: zero-triangle edges (absent from sup) plus
-    // under-supported support rows
-    var d = e0.join(sup.filter($"s" >= minSup), Seq("a", "b"),
-      "left_anti").localCheckpoint(false)
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    // peel-1 victims within the triangled set
+    var d = sup0.filter($"s" < minSup).select($"a", $"b")
+      .localCheckpoint(false)
     var dEdges = d.count()
+    // everything peeled BEFORE the current round (checkpointed; grows
+    // to the total deletion count, |E|-bounded and in practice a
+    // small fraction)
+    var deleted: DataFrame = Seq.empty[(Long, Long)].toDF("a", "b")
+    // accumulated support decrements (a, b, dec) from destroyed
+    // triangles, bounded by 3 × destroyed-triangle count
+    var cumDecr: DataFrame = Seq.empty[(Long, Long, Long)]
+      .toDF("a", "b", "dec")
     dbg(s"d0 done deleted=$dEdges")
     var applied = 0
     while (applied < maxIters && dEdges > 0) {
@@ -1096,14 +1212,18 @@ object Graph {
       val dFits = fits && dEdges <= BroadcastAdjMaxEntries
       def dHint(df: DataFrame): DataFrame =
         if (dFits) broadcast(df) else df
+      // live edge set BEFORE this round's deletion: sup0 minus the
+      // PREVIOUSLY deleted (d itself is still live here — the
+      // inclusion dedup below handles multi-deleted triangles)
+      val live = sup0.join(hinted(deleted), Seq("a", "b"), "left_anti")
       // destroyed triangles: common neighbors of each deleted edge's
-      // endpoints in E_{p-1}; adjacency restricted to D's endpoints
-      // (a destroyed triangle's other edges each close ≥ this
-      // triangle, so they have support rows — sup's keys suffice)
+      // endpoints among live edges; adjacency restricted to D's
+      // endpoints (a destroyed triangle's other edges each close
+      // ≥ this triangle, so they sit in sup0 — its keys suffice)
       val nodesD = d.select($"a".as("srcn"))
         .unionAll(d.select($"b".as("srcn"))).distinct()
-      val adjD = sup.select($"a".as("srcn"), $"b".as("dstn"))
-        .unionAll(sup.select($"b".as("srcn"), $"a".as("dstn")))
+      val adjD = live.select($"a".as("srcn"), $"b".as("dstn"))
+        .unionAll(live.select($"b".as("srcn"), $"a".as("dstn")))
         .join(dHint(nodesD), Seq("srcn"), "left_semi")
         .groupBy($"srcn").agg(collect_list($"dstn").as("nbr"))
       val tri = dHint(d)
@@ -1119,43 +1239,56 @@ object Graph {
           struct($"t" (1).as("a"), $"t" (2).as("b")))).as("p"))
         .select($"p.a".as("a"), $"p.b".as("b"))
         .groupBy($"a", $"b").agg(count(lit(1)).as("dec"))
-      sup = sup.join(dHint(d), Seq("a", "b"), "left_anti")
-        .join(dHint(decr), Seq("a", "b"), "left")
-        .select($"a", $"b",
-          ($"s" - coalesce($"dec", lit(0L))).as("s"))
+      // fold this round's decrements into the running total (rows for
+      // deleted edges are harmless — deleted keys never re-enter) and
+      // find the NEW victims: live survivors whose adjusted support
+      // dropped under the bar — one lazy scan of the checkpointed
+      // sup0 with broadcast side frames, nothing |E|-sized rewritten
+      cumDecr = cumDecr.unionAll(decr)
+        .groupBy($"a", $"b").agg(sum($"dec").as("dec"))
         .localCheckpoint(false)
-      d = sup.filter($"s" < minSup).select($"a", $"b")
+      deleted = deleted.unionAll(d).localCheckpoint(false)
+      d = sup0.join(dHint(deleted), Seq("a", "b"), "left_anti")
+        .join(dHint(cumDecr), Seq("a", "b"), "left")
+        .filter($"s" - coalesce($"dec", lit(0L)) < minSup)
+        .select($"a", $"b")
         .localCheckpoint(false)
       dEdges = d.count()
       dbg(s"peel=$applied deleted=$dEdges")
     }
-    sup.select($"a".as("part")).unionAll(sup.select($"b".as("part")))
+    val survivors = sup0.join(hinted(deleted), Seq("a", "b"), "left_anti")
+    survivors.select($"a".as("part"))
+      .unionAll(survivors.select($"b".as("part")))
       .groupBy($"part").agg(count(lit(1)).as("truss_deg"))
       .orderBy($"part")
   }
 
-  /** Per-canonical-edge triangle support via the degree-ordered
-    * intersection kernel — each triangle found once at its
-    * lowest-ranked edge, credited to all three edges in one pass
-    * over prebuilt (shared or checkpointed) orientation + adjacency. */
-  private def trussSupport(oriented: DataFrame, adj: DataFrame,
+  /** Per-canonical-edge triangle support as the UNDIRECTED
+    * common-neighbor count: support({a, b}) = |N(a) ∩ N(b)| —
+    * computed per edge by the codegen'd two-pointer merge kernel
+    * ([[graft.functions.SortedIntersectCount]]) over sorted undirected
+    * adjacency, so NO triangle row is ever materialized or shuffled.
+    * The previous form oriented the graph, exploded each found
+    * triangle into its 3 canonical edge credits and re-aggregated —
+    * a 3·T-row exchange that was the suite's biggest single line
+    * (8.3 s at sf0.1); this one moves |E| rows through two
+    * (gate-broadcast) joins and does the Σ(deg(a)+deg(b)) comparison
+    * work in place — the same per-edge support every truss
+    * decomposition must produce anyway. Only triangled edges keep a
+    * row (the sup table's keyed-by-triangled-edges contract). */
+  private def trussSupport(e0: DataFrame, undirAdj: DataFrame,
       fits: Boolean): DataFrame = {
-    import oriented.sparkSession.implicits._
+    import e0.sparkSession.implicits._
+    import org.apache.spark.sql.graft.Bridge
     def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    oriented
-      .join(hinted(adj.toDF("src", "nu")), "src")
-      .join(hinted(adj.toDF("dst", "nv")), "dst")
-      .select($"src", $"dst",
-        explode(array_intersect($"nu", $"nv")).as("w"))
-      .select(explode(array(
-        struct(least($"src", $"dst").as("a"),
-          greatest($"src", $"dst").as("b")),
-        struct(least($"src", $"w").as("a"),
-          greatest($"src", $"w").as("b")),
-        struct(least($"dst", $"w").as("a"),
-          greatest($"dst", $"w").as("b")))).as("t"))
-      .select($"t.a".as("a"), $"t.b".as("b"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("s"))
+    e0
+      .join(hinted(undirAdj.toDF("a", "na")), "a")
+      .join(hinted(undirAdj.toDF("b", "nb")), "b")
+      .select($"a", $"b",
+        Bridge.column(graft.functions.SortedIntersectCount(
+          Bridge.expression($"na"), Bridge.expression($"nb")))
+          .cast("bigint").as("s"))
+      .filter($"s" > 0)
   }
 
   /** HITS hubs & authorities over the directed customer→supplier

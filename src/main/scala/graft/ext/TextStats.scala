@@ -753,25 +753,29 @@ object TextStats {
     * remains the spec-verified gear).
     *
     * Scale shape: MAP-ONLY — each row computes its own distinct-gram
-    * count in place (`size(array_distinct(transform(sequence(...))))`;
-    * state per row is bounded by the document's own size, exactly
-    * like holding the text), so there is NO explode, NO shuffle, and
-    * no join before the presentation sort — the per-document scoring
-    * shape every quality gate here uses. Docs shorter than 4 chars
-    * keep a row (uniq4 = 0, ratio NULL) — the cell-completeness
-    * lesson.
+    * count in place via the native
+    * [[graft.functions.DistinctCharGrams]] expression (one fused
+    * sliding-window loop per row — semantically identical to the
+    * `size(array_distinct(transform(sequence(...))))` HOF pipeline it
+    * replaced, which the round-12 verdict measured at 4.3 s of
+    * interpreted expression-tree evaluation; state per row is bounded
+    * by the document's own size, exactly like holding the text), so
+    * there is NO explode, NO shuffle, and no join before the
+    * presentation sort — the per-document scoring shape every quality
+    * gate here uses. Docs shorter than 4 chars keep a row (uniq4 = 0,
+    * ratio NULL) — the cell-completeness lesson.
     */
   def dupGramCompressibility(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
     Tables.documents(spark, d)
       .select($"doc_id", $"source",
         length($"text").cast("long").as("n_chars"), $"text")
       .select($"doc_id", $"source", $"n_chars",
         greatest($"n_chars" - 3, lit(0L)).as("n4"),
-        when($"n_chars" >= 4, expr(
-          "CAST(size(array_distinct(transform(" +
-            "sequence(1, CAST(n_chars AS INT) - 3)," +
-            " i -> substring(text, i, 4)))) AS BIGINT)"))
+        when($"n_chars" >= 4, Bridge.column(
+          graft.functions.DistinctCharGrams(
+            Bridge.expression($"text"), 4)).cast("long"))
           .otherwise(lit(0L)).as("uniq4"))
       .select($"doc_id", $"source", $"n_chars", $"n4", $"uniq4",
         when($"n4" > 0,

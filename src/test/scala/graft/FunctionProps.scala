@@ -120,4 +120,16 @@ object FunctionProps extends Properties("functions") {
       bpos.nonEmpty && bpos.last == n - 1 &&
         bpos == bpos.sorted && bpos.distinct == bpos
     }
+
+  property("DistinctCharGrams = distinct code-point-window reference") =
+    Prop.forAll(genText, Gen.choose(1, 5)) { (text, n) =>
+      val got = evalStr(graft.functions.DistinctCharGrams(
+        Literal(UTF8String.fromString(text)), n)).asInstanceOf[Long]
+      // the HOF pipeline it replaced: substring windows over CODE
+      // POINTS, distinct by exact string equality
+      val cps = text.codePoints().toArray
+      val want = (0 to cps.length - n)
+        .map(i => new String(cps, i, n)).distinct.size.toLong
+      got == want
+    }
 }

@@ -12,10 +12,13 @@ import graft.ext.Graph
 class KTrussSpec extends SparkSpec {
   import spark.implicits._
 
-  private def trussOf(edges: Seq[(Long, Long)], k: Long)
-      : Map[Long, Long] = {
+  /** Default gate = the driver peel (what production sizes hit);
+    * `maxDriverPeel = 0` forces the distributed delta-peel. */
+  private def trussOf(edges: Seq[(Long, Long)], k: Long,
+      maxDriverPeel: Long = Graph.DriverPeelMaxEdges): Map[Long, Long] = {
     val df = edges.toDF("a", "b")
-    Graph.kTrussOf(df, k, maxIters = 30).collect()
+    Graph.kTrussOf(df, k, maxIters = 30,
+        maxDriverPeel = maxDriverPeel).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -72,6 +75,10 @@ class KTrussSpec extends SparkSpec {
         val got = trussOf(edges, k)
         val want = brute(edges.toSet, k)
         assert(got == want, s"seed=$seed k=$k got=$got want=$want")
+        // the distributed delta-peel (above-gate path) must agree
+        // with the driver peel and the brute recount exactly
+        val dist = trussOf(edges, k, maxDriverPeel = 0L)
+        assert(dist == want, s"seed=$seed k=$k dist=$dist want=$want")
       }
     }
   }
