@@ -1155,6 +1155,16 @@ object SparkEntry {
     // (count pinned), accumulated aggregate equals the inserts' union
     "q342_commit_feed" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.commitFeed(s)),
+    // op-typed CHANGELOG: the virtual <t>__changes sub-table streams
+    // inserts AND a copy-on-write DELETE's victims as typed rows
+    // (survivor rewrites never replayed); batch count pinned
+    "q350_commit_changelog" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.commitChangelog(s)),
+    // FIELD-ID schema evolution: RENAME/DROP/ADD between inserts —
+    // renamed columns keep serving old files, dropped cells never
+    // leak into a later ADD (fresh id), delete-rewrites stay resolvable
+    "q351_schema_evolution_ids" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.schemaEvolutionIds(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6715,6 +6725,38 @@ object SparkEntry {
         |SELECT id % 5 AS g, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(v) AS BIGINT) AS v_sum,
         |  CAST(3 AS BIGINT) AS n_batches
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q350: the changelog in closed form — every inserted row once as
+    // 'insert', the delete predicate's victims as 'delete' with their
+    // pre-image values; n_batches = 3 commits (data-side fully
+    // computed; only the Spark-planner batch count is pinned, the
+    // q342 convention)
+    "q350_commit_changelog" ->
+      """WITH t AS (SELECT range AS id, (range * range) % 97 AS v
+        |  FROM range(800)),
+        |ev AS (
+        |  SELECT 'insert' AS op, id, v FROM t
+        |  UNION ALL
+        |  SELECT 'delete' AS op, id, v FROM t
+        |  WHERE id < 150 OR id >= 650)
+        |SELECT op, id % 5 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(3 AS BIGINT) AS n_batches
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q351: rename serves pre-rename values (x = old a), the dropped
+    // b never leaks into c (c IS NULL for all 500 pre-add rows), and
+    // post-add rows carry their own c
+    "q351_schema_evolution_ids" ->
+      """WITH pre AS (SELECT range AS id, range % 7 AS x,
+        |    CAST(NULL AS BIGINT) AS c FROM range(0, 500)),
+        |post AS (SELECT range AS id, range % 7 AS x, range % 3 AS c
+        |  FROM range(500, 800)),
+        |t AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+        |SELECT id % 2 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS x_sum,
+        |  CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c_null,
+        |  CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS c_sum
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // q337: surviving rows of the closed-form table after the
     // predicate delete; v1_rows pins the time-travel count

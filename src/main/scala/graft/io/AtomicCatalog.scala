@@ -24,9 +24,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Layout: one directory per table under `root`
   * (`spark.sql.catalog.<name>.root`), the declared schema persisted
-  * as `_SCHEMA` JSON next to the manifests — written once at CREATE,
-  * read at every load, so executors and later sessions agree on
-  * types without inference.
+  * as VERSIONED `_SCHEMA.v<N>` JSON next to the manifests — v1 at
+  * CREATE, one more per ALTER, highest read at every load, so
+  * executors and later sessions agree on types without inference.
+  * Fields carry Iceberg-style ids (`graft.field.id` metadata) and
+  * every commit records its column layout (`_LAYOUT.v<N>`), which is
+  * what makes RENAME/DROP COLUMN safe over immutable files and the
+  * virtual `<t>__changes` changelog sub-table serveable.
   *
   * Concurrency scope matches the sink: one WRITER per table at a
   * time; readers are always safe (they resolve one manifest and
@@ -139,6 +143,88 @@ object CatalogLifecycle {
       .orderBy("g")
   }
 
+  /** q350's driver: the op-typed CHANGELOG — two closed-form inserts
+    * and a predicate DELETE build three commits, then the virtual
+    * `<t>__changes` sub-table streams the table's history: every
+    * inserted row arrives once as `insert` (the survivor REWRITE the
+    * delete published is NOT replayed), the delete's victims arrive
+    * as `delete` with their full pre-image row. The aggregate over
+    * (change type, group) is closed-form; n_batches pins the
+    * commit-granular drain (3 data micro-batches). */
+  def commitChangelog(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * id) % 97 FROM range(0, 300)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * id) % 97 FROM range(300, 800)")
+    spark.sql(s"DELETE FROM gtab.$t WHERE id < 150 OR id >= 650")
+    val name = "changelog_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-changelog").toString
+    val q = spark.readStream.table(s"gtab.${t}__changes")
+      .groupBy(col("_change_type").as("op"), (col("id") % 5).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val out = spark.table(name)
+      .withColumn("n_batches", lit(nBatches))
+      .orderBy("op", "g")
+    val rows = out.collect()
+    spark.catalog.dropTempView(name)
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("op", "g")
+  }
+
+  /** q351's driver: FIELD-ID SCHEMA EVOLUTION — rename, drop and add
+    * between two inserts. Old files serve the renamed column's values
+    * under its new name (same field id), the dropped column's cells
+    * are never projected, and the post-drop ADD takes a FRESH id so
+    * old rows read NULL in it rather than leaking the dropped bytes
+    * (the positional-read trap the id mapping exists to prevent) —
+    * all of which the closed-form oracle pins. */
+  def schemaEvolutionIds(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, a BIGINT, b BIGINT)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, id % 7, id % 5 FROM range(0, 500)")
+    spark.sql(s"ALTER TABLE gtab.$t RENAME COLUMN a TO x")
+    spark.sql(s"ALTER TABLE gtab.$t DROP COLUMN b")
+    spark.sql(s"ALTER TABLE gtab.$t ADD COLUMN c BIGINT")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, id % 7, id % 3 FROM range(500, 800)")
+    val out = spark.sql(
+      s"""SELECT (id % 2) AS g, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS x_sum,
+         |  CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_c_null,
+         |  CAST(sum(coalesce(c, 0)) AS BIGINT) AS c_sum
+         |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
   /** q342's driver: the COMMIT FEED — three closed-form `INSERT`s
     * land as three snapshots, then `spark.readStream.table` tails
     * the table under Trigger.AvailableNow; commit-granular admission
@@ -205,30 +291,92 @@ class AtomicCatalog extends TableCatalog {
     new Path(new Path(root),
       (ident.namespace() :+ ident.name()).mkString("__"))
 
-  private def schemaFile(dir: Path): Path = new Path(dir, "_SCHEMA")
+  /** Schema files are VERSIONED like manifests (`_SCHEMA.v<N>`,
+    * highest wins): every publication — CREATE and each ALTER — is
+    * one atomic rename to a never-pre-existing name, so no crash
+    * window can leave a table with data but no schema (the round-12
+    * advice against the previous delete-then-rename of a mutable
+    * `_SCHEMA`). The legacy un-versioned `_SCHEMA` is still READ as
+    * version 0 for pre-existing directories. Old schema versions are
+    * retained (bytes-cheap) — they also make `nextFieldId` exact:
+    * field ids are never reused even across a DROP. */
+  private def schemaFile(dir: Path, v: Int): Path =
+    new Path(dir, s"_SCHEMA.v$v")
 
-  private def readSchema(ident: Identifier): StructType = {
-    val sf = schemaFile(dirOf(ident))
-    if (!fs.exists(sf)) throw new NoSuchTableException(ident)
-    val in = fs.open(sf)
+  private def legacySchemaFile(dir: Path): Path = new Path(dir, "_SCHEMA")
+
+  private def schemaVersions(dir: Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_SCHEMA.v") =>
+        n.stripPrefix("_SCHEMA.v") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+
+  private def hasSchema(dir: Path): Boolean =
+    schemaVersions(dir).nonEmpty || fs.exists(legacySchemaFile(dir))
+
+  private def readSchemaAt(p: Path): StructType = {
+    val in = fs.open(p)
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     DataType.fromJson(json).asInstanceOf[StructType]
   }
 
+  private def readSchema(ident: Identifier): StructType = {
+    val dir = dirOf(ident)
+    schemaVersions(dir).lastOption match {
+      case Some(v) => readSchemaAt(schemaFile(dir, v))
+      case None =>
+        val legacy = legacySchemaFile(dir)
+        if (!fs.exists(legacy)) throw new NoSuchTableException(ident)
+        readSchemaAt(legacy)
+    }
+  }
+
+  /** Next unused field id: the max across EVERY retained schema
+    * version (ids are never reused, even after a DROP removed one
+    * from the current schema). */
+  private def nextFieldId(dir: Path): Long = {
+    val all = schemaVersions(dir).map(v => readSchemaAt(schemaFile(dir, v))) ++
+      (if (fs.exists(legacySchemaFile(dir)))
+        Seq(readSchemaAt(legacySchemaFile(dir))) else Seq.empty)
+    val ids = all.flatMap(_.fields.flatMap(AtomicSink.fieldIdOf))
+    if (ids.isEmpty) 1L else ids.max + 1L
+  }
+
+  private def writeSchema(dir: Path, v: Int, schema: StructType): Unit = {
+    val tmp = new Path(dir, s"_SCHEMA.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes("UTF-8"))
+    finally out.close()
+    // atomic rename to a NEVER-pre-existing name — the commit point
+    fs.rename(tmp, schemaFile(dir, v))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = new Path(root)
     if (!fs.exists(base)) Array.empty
     else fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && fs.exists(schemaFile(s.getPath)))
+      .filter(s => s.isDirectory && hasSchema(s.getPath))
       .map(s => Identifier.of(namespace, s.getPath.getName))
       .toArray
   }
 
+  /** `<table>__changes` is a VIRTUAL read-only sub-table (the Iceberg
+    * `.changes` shape): the table's op-typed changelog feed, schema =
+    * base columns + `_change_type`/`_commit_version`, streaming reads
+    * only. Not listed by [[listTables]]; resolves whenever the base
+    * table exists. */
   override def loadTable(ident: Identifier): Table =
-    new AtomicSink.SinkTable(dirOf(ident).toString, readSchema(ident),
-      accumulateAppends = true)
+    if (ident.name().endsWith("__changes")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("__changes"))
+      new AtomicSink.SinkTable(dirOf(base).toString, readSchema(base),
+        changelog = true)
+    } else
+      new AtomicSink.SinkTable(dirOf(ident).toString, readSchema(ident),
+        accumulateAppends = true)
 
   /** `VERSION AS OF v` — serves the pinned snapshot read-only. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -236,7 +384,7 @@ class AtomicCatalog extends TableCatalog {
       pinnedVersion = Some(version.trim.toInt))
 
   override def tableExists(ident: Identifier): Boolean =
-    fs.exists(schemaFile(dirOf(ident)))
+    hasSchema(dirOf(ident))
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -244,28 +392,43 @@ class AtomicCatalog extends TableCatalog {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     fs.mkdirs(dir)
-    // schema publishes by the house atomic-rename-to-fresh-name rule
-    val tmp = new Path(dir, s"_SCHEMA.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(schema.json.getBytes("UTF-8"))
-    finally out.close()
-    fs.rename(tmp, schemaFile(dir))
-    new AtomicSink.SinkTable(dir.toString, schema,
+    // assign FIELD IDS 1..n at birth: data files resolve columns by
+    // id (through the per-commit `_LAYOUT.v<N>`), which is what makes
+    // RENAME and DROP safe later — an id survives any name change
+    val withIds = org.apache.spark.sql.types.StructType(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        AtomicSink.withFieldId(f, i + 1L) })
+    writeSchema(dir, 1, withIds)
+    new AtomicSink.SinkTable(dir.toString, withIds,
       accumulateAppends = true)
   }
 
-  /** Schema evolution: top-level ADD COLUMN (appended at the end) is
-    * the one supported change — the TSV layout makes it free, because
-    * rows written before the change are simply SHORT and every reader
-    * pads missing trailing cells as NULL (both the DSv2 scan and the
-    * delete-rewrite path). Anything else (drops, renames, repositions,
-    * type changes) would reinterpret existing bytes and is refused. */
+  /** Schema evolution by FIELD ID — the Iceberg discipline: data
+    * files never change; each commit's `_LAYOUT.v<N>` records which
+    * field ids its cells hold, and readers resolve the CURRENT schema
+    * against that mapping. Supported: top-level ADD COLUMN (fresh id,
+    * appended), RENAME COLUMN (same id, new name — old files keep
+    * serving the column), DROP COLUMN (id retired, never reused; old
+    * files' cells for it are simply not projected). Refused: type
+    * changes and repositions (FIRST/AFTER), which would reinterpret
+    * existing bytes / break the id⇄position contract. Every ALTER
+    * publishes `_SCHEMA.v<next>` by one atomic rename to a fresh
+    * name — crash-safe, nothing is ever deleted. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
+    val dir = dirOf(ident)
     val schema = readSchema(ident)
-    val next = changes.foldLeft(schema) {
-      case (s, add: org.apache.spark.sql.connector.catalog
-          .TableChange.AddColumn) =>
+    // a LEGACY schema (no ids — written before field-id support) gets
+    // positional ids 1..n first, matching how its files already read
+    val based =
+      if (schema.fields.forall(f => AtomicSink.fieldIdOf(f).isDefined))
+        schema
+      else org.apache.spark.sql.types.StructType(
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          AtomicSink.withFieldId(f, i + 1L) })
+    var freshId = nextFieldId(dir)
+    val next = changes.foldLeft(based) {
+      case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
           "only top-level ADD COLUMN is supported")
         require(add.position() == null,
@@ -274,21 +437,36 @@ class AtomicCatalog extends TableCatalog {
           .contains(add.dataType().simpleString),
           s"AtomicSink columns are long/double/string, " +
             s"got ${add.dataType().simpleString}")
-        org.apache.spark.sql.types.StructType(s.fields :+
+        require(!s.fieldNames.contains(add.fieldNames()(0)),
+          s"column ${add.fieldNames()(0)} already exists")
+        val f = AtomicSink.withFieldId(
           org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(), add.isNullable))
+            add.fieldNames()(0), add.dataType(), add.isNullable),
+          freshId)
+        freshId += 1L
+        org.apache.spark.sql.types.StructType(s.fields :+ f)
+      case (s, ren: TableChange.RenameColumn) =>
+        require(ren.fieldNames().length == 1,
+          "only top-level RENAME COLUMN is supported")
+        val from = ren.fieldNames()(0)
+        require(s.fieldNames.contains(from), s"no such column $from")
+        require(!s.fieldNames.contains(ren.newName()),
+          s"column ${ren.newName()} already exists")
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          if (f.name == from) f.copy(name = ren.newName()) else f))
+      case (s, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          "only top-level DROP COLUMN is supported")
+        val name = del.fieldNames()(0)
+        require(s.fieldNames.contains(name), s"no such column $name")
+        require(s.fields.length > 1,
+          "cannot drop the last remaining column")
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name == name))
       case (_, other) => throw new UnsupportedOperationException(
-        s"AtomicCatalog supports only ADD COLUMN, got $other")
+        s"AtomicCatalog supports ADD/RENAME/DROP COLUMN, got $other")
     }
-    val dir = dirOf(ident)
-    // delete + fresh-name rename: safe under the table's single-WRITER
-    // contract (concurrent readers resolved their schema at load time)
-    val tmp = new Path(dir, s"_SCHEMA.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(next.json.getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(schemaFile(dir), false)
-    fs.rename(tmp, schemaFile(dir))
+    writeSchema(dir, schemaVersions(dir).lastOption.getOrElse(0) + 1, next)
     new AtomicSink.SinkTable(dir.toString, next, accumulateAppends = true)
   }
 

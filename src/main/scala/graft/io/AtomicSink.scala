@@ -56,13 +56,108 @@ class AtomicSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     new StructType() // write-only source: schema arrives from the frame
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new AtomicSink.SinkTable(properties.get("path"), schema)
+                        properties: util.Map[String, String]): Table = {
+    // the `layout` option (comma-separated field ids, set by the
+    // catalog's delete-rewrite) re-attaches field ids a plain frame
+    // schema lost, so the rewrite's files stay id-resolvable
+    val withIds = Option(properties.get("layout")) match {
+      case Some(ids) =>
+        val parsed = ids.split(",").map(_.trim.toLong)
+        require(parsed.length == schema.fields.length,
+          s"layout has ${parsed.length} ids for ${schema.fields.length} columns")
+        StructType(schema.fields.zip(parsed).map {
+          case (f, id) => AtomicSink.withFieldId(f, id) })
+      case None => schema
+    }
+    new AtomicSink.SinkTable(properties.get("path"), withIds)
+  }
 }
 
 object AtomicSink {
 
   val ManifestFile = "_MANIFEST"
+
+  /** StructField metadata key carrying the Iceberg-style FIELD ID —
+    * assigned by [[AtomicCatalog]] at CREATE (1..n) and on ADD COLUMN
+    * (next unused, never reused): data files resolve columns by id
+    * via the per-commit `_LAYOUT.v<N>`, which is what makes RENAME
+    * and DROP COLUMN safe over immutable files. */
+  private[io] val FieldIdKey = "graft.field.id"
+
+  private[io] def fieldIdOf(
+      f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey))
+      Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private[io] def withFieldId(
+      f: org.apache.spark.sql.types.StructField,
+      id: Long): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** The ordered field ids a write in `schema` order publishes, when
+    * every field carries one (catalog tables); None for id-less
+    * frames (plain path-based writes — their files read positionally,
+    * the pre-field-id contract). */
+  private[io] def layoutIdsOf(
+      schema: StructType): Option[Seq[Long]] = {
+    val ids = schema.fields.map(fieldIdOf)
+    if (ids.nonEmpty && ids.forall(_.isDefined)) Some(ids.flatten.toSeq)
+    else None
+  }
+
+  private def layoutFile(path: String, v: Int): Path =
+    new Path(path, s"_LAYOUT.v$v")
+
+  /** Ordered field ids of the data files committed at version `v`;
+    * None for pre-field-id commits (positional). */
+  private[io] def readLayout(path: String, v: Int): Option[Array[Long]] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val f = layoutFile(path, v)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.trim.toLong).toArray)
+      finally in.close()
+    }
+  }
+
+  private val FileVersionRe = "^v(\\d+)-".r
+
+  private[io] def versionOfFile(name: String): Option[Int] =
+    FileVersionRe.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** Column resolution of one data file against the target schema:
+    * `idxMap(i)` = the file cell index serving schema field i, or -1
+    * (field absent from the file → NULL). Files WITH a recorded
+    * layout resolve by field id. Files WITHOUT one (path-based
+    * writes, pre-field-id history) read positionally — and because
+    * the catalog assigns legacy ids positionally (1..n), "cell k-1
+    * holds field id k" extends positional reading correctly even
+    * after later RENAME/DROP. */
+  private[io] def idxMapFor(schema: StructType,
+      layout: Option[Array[Long]]): Array[Int] =
+    layout match {
+      case Some(l) => schema.fields.map(f =>
+        fieldIdOf(f).map(id => l.indexOf(id)).getOrElse(-1))
+      case None => schema.fields.zipWithIndex.map { case (f, i) =>
+        fieldIdOf(f).map(id => (id - 1L).toInt).getOrElse(i)
+      }
+    }
+
+  /** Plan-time resolver: one layout read per distinct commit version
+    * among `names`, memoized. */
+  private[io] def idxMapsFor(path: String, names: Seq[String],
+      schema: StructType): Map[String, Array[Int]] = {
+    val layoutCache = scala.collection.mutable.Map[Int, Option[Array[Long]]]()
+    names.map { n =>
+      val layout = versionOfFile(n)
+        .flatMap(v => layoutCache.getOrElseUpdate(v, readLayout(path, v)))
+      n -> idxMapFor(schema, layout)
+    }.toMap
+  }
 
   /** Rows of `path` that a manifest-honoring reader may see: the
     * LATEST snapshot's files, in manifest order. Resolved as the
@@ -129,15 +224,22 @@ object AtomicSink {
     * the new manifest (a metadata-only append — nothing is
     * rewritten), `INSERT OVERWRITE` truncates via `SupportsTruncate`.
     */
+  /** `changelog = true` is the CHANGES face ([[AtomicCatalog]] serves
+    * it as the virtual `<table>__changes` sub-table, the Iceberg
+    * `.changes` shape): schema gains `_change_type`/`_commit_version`,
+    * reads are streaming-only op-typed feeds, writes are refused. */
   private[io] class SinkTable(path: String, schema: StructType,
       pinnedVersion: Option[Int] = None,
-      accumulateAppends: Boolean = false)
+      accumulateAppends: Boolean = false,
+      changelog: Boolean = false)
       extends Table with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String =
-      s"atomic($path${pinnedVersion.map(v => s"@v$v").getOrElse("")})"
-    override def schema(): StructType = schema
+      s"atomic($path${pinnedVersion.map(v => s"@v$v").getOrElse("")}" +
+        s"${if (changelog) "#changes" else ""})"
+    override def schema(): StructType =
+      if (changelog) changelogSchema(schema) else schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_WRITE,
         TableCapability.BATCH_READ,
@@ -146,6 +248,7 @@ object AtomicSink {
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       require(pinnedVersion.isEmpty,
         "cannot write to a VERSION AS OF snapshot")
+      require(!changelog, "the __changes sub-table is read-only")
       new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {
         private var truncated = false
@@ -155,8 +258,11 @@ object AtomicSink {
             val carry =
               if (accumulateAppends && !truncated) committedFilesOf(path)
               else Seq.empty
+            // the table's OWN schema carries the field ids (Spark
+            // reconciles every INSERT to it), so the commit can
+            // publish the layout its files were written in
             new AtomicBatchWrite(path, info.queryId(), info.schema(),
-              carry)
+              carry, AtomicSink.layoutIdsOf(schema))
           }
         }
       }
@@ -165,7 +271,8 @@ object AtomicSink {
     override def newScanBuilder(
         options: CaseInsensitiveStringMap)
         : org.apache.spark.sql.connector.read.ScanBuilder =
-      new TsvScanBuilder(path, schema, pinnedVersion)
+      new TsvScanBuilder(path, schema, pinnedVersion, changelog,
+        failOnDataLoss = options.getBoolean("failOnDataLoss", true))
 
     /** Row-level DELETE — copy-on-write at snapshot granularity: the
       * survivors of the latest snapshot rewrite through the SAME
@@ -178,18 +285,34 @@ object AtomicSink {
       * are kept (DELETE removes only condition-TRUE rows). */
     override def canDeleteWhere(
         filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-      pinnedVersion.isEmpty &&
+      pinnedVersion.isEmpty && !changelog &&
         scala.util.Try(AtomicSink.filtersToColumn(filters)).isSuccess
 
     override def deleteWhere(
         filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
       val spark = org.apache.spark.sql.SparkSession.active
       val cond = AtomicSink.filtersToColumn(filters)
-      val keep = AtomicSink.readSnapshot(spark, path, schema, None)
-        .filter(!org.apache.spark.sql.functions
-          .coalesce(cond, org.apache.spark.sql.functions.lit(false)))
-      keep.write.format("graft.io.AtomicSink")
-        .option("path", path).mode("append").save()
+      val snap = AtomicSink.readSnapshot(spark, path, schema, None)
+      val hit = org.apache.spark.sql.functions
+        .coalesce(cond, org.apache.spark.sql.functions.lit(false))
+      val layoutOpt = AtomicSink.layoutIdsOf(schema)
+      val w = snap.filter(!hit).write.format("graft.io.AtomicSink")
+        .option("path", path).mode("append")
+      // the rewrite's files must stay FIELD-ID resolvable: re-attach
+      // the table's layout (a filtered frame's schema lost the ids)
+      layoutOpt.foreach(ids => w.option("layout", ids.mkString(",")))
+      w.save()
+      // CHANGELOG sidecar: publish the deleted rows as `v<k>-cdc-*`
+      // files listed in `_CDC.v<k>` (k = the delete's own commit),
+      // making the commit feed's changelog face op-typed instead of
+      // replaying survivor rewrites as inserts. Written AFTER the
+      // commit point in the same driver call — a crash between the
+      // two leaves a correct table whose changelog lacks this
+      // delete's rows (stated window; the data itself is never
+      // at risk).
+      val k = AtomicSink.versionsOf(path).last
+      AtomicSink.writeCdcSidecar(spark, path, k, snap.filter(hit),
+        layoutOpt)
     }
   }
 
@@ -217,17 +340,70 @@ object AtomicSink {
     val vs = versionsOf(path)
     val keep = vs.takeRight(keepLast)
     val drop = vs.dropRight(keepLast)
-    val keepFiles = keep.flatMap(v => readManifestOf(path, v)).toSet
+    // a retained version keeps its manifest-listed files AND its CDC
+    // change files; dropped versions lose manifest, layout, CDC list
+    // and every file no retained reference holds
+    val keepFiles = keep.flatMap(v => readManifestOf(path, v)).toSet ++
+      keep.flatMap(v => cdcFilesOf(path, v).getOrElse(Seq.empty))
     drop.foreach { v =>
       fs.delete(new Path(path, s"$ManifestFile.v$v"), false)
+      fs.delete(new Path(path, s"_CDC.v$v"), false)
+      // `_LAYOUT.v<v>` is NEVER deleted: carried-forward files of an
+      // expired commit can still sit in retained manifests, and they
+      // resolve their field-id layout through it (one short line)
     }
-    val dataName = "^v\\d+-part-.*".r
+    val dataName = "^v\\d+-(cdc-)?part-.*".r
     val removed = fs.listStatus(new Path(path)).toSeq
       .map(_.getPath.getName)
       .filter(n => dataName.pattern.matcher(n).matches()
         && !keepFiles.contains(n))
     removed.foreach(n => fs.delete(new Path(path, n), false))
     (keep.size, removed.size)
+  }
+
+  /** `_CDC.v<k>`'s file list, or None when commit `k` recorded no
+    * change sidecar (plain appends / overwrites). */
+  private[io] def cdcFilesOf(path: String, v: Int): Option[Seq[String]] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val f = new Path(path, s"_CDC.v$v")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList)
+      finally in.close()
+    }
+  }
+
+  /** Publishes `rows` as commit `k`'s DELETE change files: an
+    * executor-side atomic write into a work dir (the same two-phase
+    * sink — nothing partial ever surfaces), then a driver rename of
+    * each committed file to `v<k>-cdc-part-…` and one atomic rename
+    * publishing `_CDC.v<k>`. The rows share commit `k`'s layout
+    * (`_LAYOUT.v<k>`, written by the survivors' commit). */
+  private[io] def writeCdcSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, rows: org.apache.spark.sql.DataFrame,
+      layout: Option[Seq[Long]]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val work = s"$path/_cdcwork-${java.util.UUID.randomUUID()}"
+    val w = rows.write.format("graft.io.AtomicSink")
+      .option("path", work).mode("append")
+    layout.foreach(ids => w.option("layout", ids.mkString(",")))
+    w.save()
+    val staged = committedFilesOf(work)
+    val published = staged.map { n =>
+      // the work dir's files are v1-part-…; republish under the REAL
+      // commit's version so expiration and layout resolution see k
+      val name = s"v$k-cdc-part-" + n.stripPrefix("v1-part-")
+      fs.rename(new Path(work, n), new Path(path, name))
+      name
+    }
+    val tmp = new Path(path, s"_CDC.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(published.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(path, s"_CDC.v$k"))
+    fs.delete(new Path(work), true)
   }
 
   /** The pushed v1 `Filter`s of a DELETE, rebuilt as one `Column`
@@ -266,7 +442,9 @@ object AtomicSink {
   /** Driver-side helper building a DataFrame over a snapshot — what
     * [[SinkTable.deleteWhere]] filters and rewrites. Distributed read
     * (spark.read.text over the manifest-listed files), typed by the
-    * declared schema; the TSV null convention maps "" back to NULL. */
+    * declared schema with FIELD-ID column resolution (files group by
+    * their commit layout; each group reads through its own cell
+    * mapping); the TSV null convention maps "" back to NULL. */
   private[io] def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: StructType,
       snapVersion: Option[Int]): org.apache.spark.sql.DataFrame = {
@@ -275,28 +453,38 @@ object AtomicSink {
       case Some(v) => readManifestOf(path, v)
       case None => committedFilesOf(path)
     }
-    val files = names.map(n => new Path(path, n).toString)
-    if (files.isEmpty)
+    if (names.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val parts = split(col("value"), "\t", -1)
-      val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-        // rows written before an ADD COLUMN are short: a missing cell
-        // reads NULL (size guard — ANSI element_at throws past the end)
-        val s = when(size(parts) > i, element_at(parts, i + 1))
-        val v = f.dataType match {
-          case LongType =>
-            when(s === "", lit(null)).otherwise(s).cast("long")
-          case DoubleType =>
-            when(s === "", lit(null)).otherwise(s).cast("double")
-          case StringType => when(s === "", lit(null)).otherwise(s)
-          case dt => throw new IllegalArgumentException(
-            s"AtomicSink supports long/double/string, got $dt")
+      val maps = idxMapsFor(path, names, schema)
+      def readGroup(files: Seq[String], idxMap: Array[Int])
+          : org.apache.spark.sql.DataFrame = {
+        val parts = split(col("value"), "\t", -1)
+        val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+          val j = idxMap(i)
+          // -1 = field absent from these files; short rows (written
+          // before an ADD COLUMN) pad NULL too (size guard — ANSI
+          // element_at throws past the end)
+          val s = if (j < 0) lit(null).cast("string")
+            else when(size(parts) > j, element_at(parts, j + 1))
+          val v = f.dataType match {
+            case LongType =>
+              when(s === "", lit(null)).otherwise(s).cast("long")
+            case DoubleType =>
+              when(s === "", lit(null)).otherwise(s).cast("double")
+            case StringType => when(s === "", lit(null)).otherwise(s)
+            case dt => throw new IllegalArgumentException(
+              s"AtomicSink supports long/double/string, got $dt")
+          }
+          v.as(f.name)
         }
-        v.as(f.name)
+        spark.read.text(files: _*).select(cols.toIndexedSeq: _*)
       }
-      spark.read.text(files: _*).select(cols.toIndexedSeq: _*)
+      names.groupBy(n => maps(n).toSeq).values.toSeq
+        .map(g => readGroup(g.map(n => new Path(path, n).toString),
+          maps(g.head)))
+        .reduce(_ unionAll _)
     }
   }
 
@@ -305,19 +493,36 @@ object AtomicSink {
     * plans against one consistent snapshot even if a commit lands
     * mid-flight), each reader parsing its TSV back through the
     * declared schema. */
+  /** The two extra columns a `changelog` read serves, Delta-CDF
+    * names: `_change_type` ("insert" / "delete") and
+    * `_commit_version` (the snapshot that published the change). */
+  private[io] def changelogSchema(schema: StructType): StructType =
+    StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type", StringType,
+        nullable = false) :+
+      org.apache.spark.sql.types.StructField("_commit_version", LongType,
+        nullable = false))
+
   private class TsvScanBuilder(path: String, schema: StructType,
-      pinned: Option[Int])
+      pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean)
       extends org.apache.spark.sql.connector.read.ScanBuilder {
     override def build(): org.apache.spark.sql.connector.read.Scan =
-      new TsvScan(path, schema, pinned)
+      new TsvScan(path, schema, pinned, changelog, failOnDataLoss)
   }
 
   private class TsvScan(path: String, schema: StructType,
-      pinned: Option[Int])
+      pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch {
-    override def readSchema(): StructType = schema
-    override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+    override def readSchema(): StructType =
+      if (changelog) changelogSchema(schema) else schema
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+      if (changelog) throw new UnsupportedOperationException(
+        "changelog is a STREAMING read (spark.readStream" +
+          ".option(\"changelog\", true)) — a batch scan serves state, " +
+          "not history")
+      this
+    }
 
     /** COMMIT FEED — the streaming face of the versioned table (the
       * append-CDC a downstream pipeline tails instead of re-reading
@@ -334,7 +539,7 @@ object AtomicSink {
       */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new CommitFeedStream(path, schema)
+      new CommitFeedStream(path, schema, changelog, failOnDataLoss)
     override def description(): String =
       s"AtomicSnapshotScan($path${pinned.map(v => s"@v$v").getOrElse("")})"
     override def planInputPartitions()
@@ -343,15 +548,20 @@ object AtomicSink {
         case Some(v) => readManifestOf(path, v)
         case None => committedFilesOf(path)
       }
-      names.map(n => TsvFilePartition(new Path(path, n).toString)
+      val maps = idxMapsFor(path, names, schema)
+      names.map(n => TsvFilePartition(new Path(path, n).toString,
+        maps(n), null, 0L)
         : org.apache.spark.sql.connector.read.InputPartition).toArray
     }
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      new TsvReaderFactory(schema)
+      new TsvReaderFactory(schema, changelog = false)
   }
 
-  private case class TsvFilePartition(file: String)
+  /** `op`/`version` feed the changelog columns; `op == null` for
+    * plain (non-changelog) reads. */
+  private case class TsvFilePartition(file: String, idxMap: Array[Int],
+      op: String, version: Long)
       extends org.apache.spark.sql.connector.read.InputPartition
 
   private[io] case class VersionOffset(v: Long)
@@ -362,8 +572,30 @@ object AtomicSink {
   /** [[TsvScan.toMicroBatchStream]]'s engine: commit-granular
     * admission (latestOffset steps ONE version past `start`
     * regardless of the advisory ReadLimit — the natural CDC unit),
-    * AvailableNow drains to the version pinned at prepare time. */
-  private class CommitFeedStream(path: String, schema: StructType)
+    * AvailableNow drains to the version pinned at prepare time.
+    *
+    * Two faces:
+    *  - PLAIN (default): each micro-batch serves the rows newly
+    *    PUBLISHED by one commit (its fresh `v<k>-` files) — an
+    *    append feed; a copy-on-write DELETE's survivors re-emit.
+    *  - CHANGELOG (`option("changelog", true)`): op-typed rows with
+    *    `_change_type` / `_commit_version`. A commit that recorded a
+    *    `_CDC.v<k>` sidecar (the catalog's DELETE path) serves its
+    *    deleted rows as `delete` — and its fresh manifest files,
+    *    being survivor REWRITES, are NOT re-served; any other commit
+    *    serves its fresh files as `insert`. `INSERT OVERWRITE`
+    *    records no CDC sidecar, so the truncated rows' deletes are
+    *    not synthesized (stated limitation — same as Delta CDF
+    *    without delete vectors).
+    *
+    * Expiration guard (round-12 advice): a start offset below the
+    * earliest RETAINED version means [[expireSnapshots]] deleted
+    * commits this consumer never saw — silently serving empty batches
+    * would lose rows, so the plan FAILS unless
+    * `option("failOnDataLoss", false)` explicitly accepts skipping
+    * (the Kafka earliest-offset contract). */
+  private class CommitFeedStream(path: String, schema: StructType,
+      changelog: Boolean, failOnDataLoss: Boolean)
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
       with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -400,31 +632,62 @@ object AtomicSink {
         end: SOffset): Array[org.apache.spark.sql.connector.read.InputPartition] = {
       val s = start.asInstanceOf[VersionOffset].v
       val e = end.asInstanceOf[VersionOffset].v
+      val fs = new Path(path).getFileSystem(new Configuration())
       ((s + 1) to e).flatMap { v =>
-        readManifestOf(path, v.toInt)
-          .filter(_.startsWith(s"v$v-")) // fresh in THIS commit
-          .map(n => TsvFilePartition(new Path(path, n).toString)
+        val mf = new Path(path, s"$ManifestFile.v$v")
+        if (!fs.exists(mf)) {
+          // this commit was VACUUMed away before the consumer saw it
+          if (failOnDataLoss) throw new IllegalStateException(
+            s"commit feed offset $s is below the earliest retained " +
+              s"version of $path (snapshot v$v was expired); rows are " +
+              s"lost — restart from a fresh checkpoint, or set " +
+              s"option(\"failOnDataLoss\", false) to skip")
+          org.slf4j.LoggerFactory.getLogger(classOf[CommitFeedStream])
+            .warn(s"skipping expired snapshot v$v of $path " +
+              s"(failOnDataLoss=false)")
+          Seq.empty
+        } else {
+          val cdc = cdcFilesOf(path, v.toInt)
+          val names =
+            if (changelog && cdc.isDefined) cdc.get
+            else readManifestOf(path, v.toInt)
+              .filter(_.startsWith(s"v$v-")) // fresh in THIS commit
+          val maps = idxMapsFor(path, names, schema)
+          val op =
+            if (!changelog) null
+            else if (cdc.isDefined) "delete"
+            else "insert"
+          names.map(n => TsvFilePartition(new Path(path, n).toString,
+            maps(n), op, v)
             : org.apache.spark.sql.connector.read.InputPartition)
+        }
       }.toArray
     }
 
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      new TsvReaderFactory(schema)
+      new TsvReaderFactory(schema, changelog)
 
     override def commit(end: SOffset): Unit = ()
     override def stop(): Unit = ()
   }
 
-  private class TsvReaderFactory(schema: StructType)
+  private class TsvReaderFactory(schema: StructType, changelog: Boolean)
       extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
     override def createReader(
         p: org.apache.spark.sql.connector.read.InputPartition)
-        : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
-      new TsvRowReader(p.asInstanceOf[TsvFilePartition].file, schema)
+        : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+      val fp = p.asInstanceOf[TsvFilePartition]
+      new TsvRowReader(fp.file, schema, fp.idxMap,
+        if (changelog) fp else null)
+    }
   }
 
-  private class TsvRowReader(file: String, schema: StructType)
+  /** `cdc != null` appends the two changelog columns from the
+    * partition's op/version. `idxMap` resolves each schema field to
+    * its cell in THIS file's layout (-1 = absent → NULL). */
+  private class TsvRowReader(file: String, schema: StructType,
+      idxMap: Array[Int], cdc: TsvFilePartition)
       extends org.apache.spark.sql.connector.read
         .PartitionReader[InternalRow] {
     private val in =
@@ -437,21 +700,25 @@ object AtomicSink {
       if (!lines.hasNext) false
       else {
         val cells = lines.next().split("\t", -1)
+        val base = schema.fields.zipWithIndex.map[Any] { case (f, i) =>
+          val j = idxMap(i)
+          val s = if (j >= 0 && j < cells.length) cells(j) else ""
+          if (s.isEmpty) null // "" encodes NULL (all types)
+          else f.dataType match {
+            case LongType => s.toLong
+            case DoubleType => s.toDouble
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case dt => throw new IllegalArgumentException(
+              s"unsupported $dt")
+          }
+        }
+        val vals =
+          if (cdc == null) base
+          else base :+ org.apache.spark.unsafe.types.UTF8String
+            .fromString(cdc.op) :+ cdc.version
         cur = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(
-            schema.fields.zipWithIndex.map[Any] { case (f, i) =>
-              val s = if (i < cells.length) cells(i) else ""
-              if (s.isEmpty && f.dataType != StringType) null
-              else if (s.isEmpty) null // "" encodes NULL for strings too
-              else f.dataType match {
-                case LongType => s.toLong
-                case DoubleType => s.toDouble
-                case StringType =>
-                  org.apache.spark.unsafe.types.UTF8String.fromString(s)
-                case dt => throw new IllegalArgumentException(
-                  s"unsupported $dt")
-              }
-            })
+          .GenericInternalRow(vals)
         true
       }
     override def get(): InternalRow = cur
@@ -460,7 +727,8 @@ object AtomicSink {
 
   private class AtomicBatchWrite(path: String, queryId: String,
                                  schema: StructType,
-                                 carryForward: Seq[String] = Seq.empty)
+                                 carryForward: Seq[String] = Seq.empty,
+                                 layout: Option[Seq[Long]] = None)
       extends BatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
@@ -494,6 +762,17 @@ object AtomicSink {
         try out.write(names.mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()
         f.rename(tmp, target)
+      }
+      // the per-commit LAYOUT (ordered field ids of this commit's
+      // fresh files) publishes BEFORE the manifest — a torn layout
+      // without its manifest is invisible, a manifest without its
+      // layout can't happen
+      layout.foreach { ids =>
+        val tmp = new Path(path, s"_LAYOUT.tmp-$queryId")
+        val out = f.create(tmp, true)
+        try out.write(ids.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        f.rename(tmp, new Path(path, s"_LAYOUT.v$version"))
       }
       // the versioned manifest's atomic rename to a NEVER-pre-existing
       // name IS the commit point (Hadoop rename cannot atomically

@@ -123,24 +123,51 @@ class AtomicSinkSpec extends SparkSpec {
     assert(!new java.io.File(root, "t1").exists())
   }
 
-  test("schema evolution: only appending top-level ADD COLUMN is " +
-    "allowed — drops, renames and positioned adds are refused") {
+  test("schema evolution: ADD/RENAME/DROP COLUMN resolve by field id " +
+    "over immutable files; positioned adds stay refused; every ALTER " +
+    "publishes a fresh _SCHEMA.v<N> (crash-safe, nothing deleted)") {
     val root = Files.createTempDirectory("graft-catalog-alter").toString
     spark.conf.set("spark.sql.catalog.galter", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.galter.root", root)
-    spark.sql("CREATE TABLE galter.t (id BIGINT)")
-    spark.sql("ALTER TABLE galter.t ADD COLUMN v DOUBLE")
+    spark.sql("CREATE TABLE galter.t (id BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO galter.t SELECT id, id % 7, id % 5 " +
+      "FROM range(0, 50)")
+    // RENAME keeps the field id: old files keep serving the column
+    spark.sql("ALTER TABLE galter.t RENAME COLUMN a TO x")
     assert(spark.table("galter.t").schema.fieldNames.toSeq
-      == Seq("id", "v"))
-    intercept[Exception](
-      spark.sql("ALTER TABLE galter.t DROP COLUMN v"))
-    intercept[Exception](
-      spark.sql("ALTER TABLE galter.t RENAME COLUMN v TO w"))
+      == Seq("id", "x", "b"))
+    assert(spark.sql("SELECT sum(x) FROM galter.t").head.getLong(0)
+      == (0L until 50L).map(_ % 7).sum,
+      "renamed column serves the pre-rename files' values")
+    // DROP hides the id everywhere, including pre-drop files
+    spark.sql("ALTER TABLE galter.t DROP COLUMN b")
+    assert(spark.table("galter.t").schema.fieldNames.toSeq
+      == Seq("id", "x"))
+    // ADD after a DROP takes a FRESH id: old files' dropped cells must
+    // NOT leak into the new column (the positional-read trap)
+    spark.sql("ALTER TABLE galter.t ADD COLUMN c BIGINT")
+    spark.sql("INSERT INTO galter.t SELECT id, id % 7, id % 3 " +
+      "FROM range(50, 80)")
+    assert(spark.sql(
+      "SELECT count(*) FROM galter.t WHERE c IS NULL").head.getLong(0)
+      == 50L, "pre-add rows read NULL in c, never old b cells")
+    assert(spark.sql("SELECT sum(c) FROM galter.t").head.getLong(0)
+      == (50L until 80L).map(_ % 3).sum)
+    // the delete-rewrite republishes survivors id-resolvably too
+    spark.sql("DELETE FROM galter.t WHERE id < 10")
+    assert(spark.sql("SELECT sum(x) FROM galter.t").head.getLong(0)
+      == (10L until 80L).map(_ % 7).sum)
+    // still refused: positions and type changes
     intercept[Exception](
       spark.sql("ALTER TABLE galter.t ADD COLUMN w BIGINT FIRST"))
-    // refused changes must not have mutated the persisted schema
     assert(spark.table("galter.t").schema.fieldNames.toSeq
-      == Seq("id", "v"))
+      == Seq("id", "x", "c"), "refused changes mutate nothing")
+    // crash-safety shape: schema publications are fresh names only —
+    // v1 (CREATE) through v4 (3 ALTERs) all still present
+    val schemas = new java.io.File(root, "t").listFiles()
+      .map(_.getName).filter(_.startsWith("_SCHEMA.v")).sorted
+    assert(schemas.toSeq ==
+      Seq("_SCHEMA.v1", "_SCHEMA.v2", "_SCHEMA.v3", "_SCHEMA.v4"))
     spark.sql("DROP TABLE galter.t")
   }
 
@@ -176,5 +203,99 @@ class AtomicSinkSpec extends SparkSpec {
     assert(run() == Seq(5L))
     assert(spark.read.parquet(out).count() == 35L)
     spark.sql("DROP TABLE gfeed.t")
+  }
+
+  test("changelog feed: op-typed rows — appends serve inserts, a " +
+    "copy-on-write DELETE serves its deleted rows as deletes (never " +
+    "survivor re-inserts), and a resumed run continues past the " +
+    "checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-catalog-cdc").toString
+    spark.conf.set("spark.sql.catalog.gcdc", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gcdc.root", root)
+    spark.sql("CREATE TABLE gcdc.t (id BIGINT)")
+    spark.sql("INSERT INTO gcdc.t SELECT id FROM range(0, 20)")
+    spark.sql("DELETE FROM gcdc.t WHERE id < 5")
+    val ckpt = Files.createTempDirectory("gcdc-ckpt").toString
+    val out = Files.createTempDirectory("gcdc-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("gcdc.t__changes")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+    }
+    drain()
+    val log1 = spark.read.parquet(out)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(log1.count(_._2 == "insert") == 20,
+      "commit 1's rows all arrive as inserts")
+    assert(log1.filter(_._2 == "delete").map(_._1).sorted.toSeq
+      == (0L until 5L), "the DELETE commit serves exactly its victims")
+    assert(!log1.exists(t => t._2 == "insert" && t._3 == 2L),
+      "survivor rewrites are NOT replayed as inserts")
+    // resume: only the new commit's changes arrive
+    spark.sql("INSERT INTO gcdc.t SELECT id FROM range(20, 27)")
+    spark.sql("DELETE FROM gcdc.t WHERE id >= 25")
+    drain()
+    val log2 = spark.read.parquet(out)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(log2.length == log1.length + 7 + 2,
+      "resume serves exactly the 7 inserts + 2 deletes after the " +
+        "checkpoint")
+    // the changelog REPLAYS to the table's state: inserts minus deletes
+    val state = log2.groupBy(_._1).filter { case (_, evs) =>
+      evs.count(_._2 == "insert") > evs.count(_._2 == "delete")
+    }.keys.toSeq.sorted
+    val want = spark.sql("SELECT id FROM gcdc.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(state == want, "replayed changelog == current snapshot")
+    // the __changes sub-table is a streaming-only, read-only face
+    intercept[Exception](
+      spark.read.table("gcdc.t__changes").collect())
+    intercept[Exception](spark.sql(
+      "INSERT INTO gcdc.t__changes SELECT 1, 'insert', 1"))
+    spark.sql("DROP TABLE gcdc.t")
+  }
+
+  test("expiration guard: a commit-feed consumer whose offset " +
+    "precedes the earliest retained version FAILS loudly instead of " +
+    "serving empty batches; failOnDataLoss=false skips with a warning") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-catalog-vac").toString
+    spark.conf.set("spark.sql.catalog.gvac", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gvac.root", root)
+    spark.sql("CREATE TABLE gvac.t (id BIGINT)")
+    spark.sql("INSERT INTO gvac.t SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO gvac.t SELECT id FROM range(10, 30)")
+    spark.sql("INSERT INTO gvac.t SELECT id FROM range(30, 40)")
+    graft.io.AtomicSink.expireSnapshots(s"$root/t", keepLast = 1)
+    def drain(opts: Map[String, String]): Long = {
+      val ckpt = Files.createTempDirectory("gvac-ckpt").toString
+      val out = Files.createTempDirectory("gvac-out").toString
+      val q = spark.readStream.options(opts).table("gvac.t")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+      spark.read.parquet(out).count()
+    }
+    val e = intercept[Exception](drain(Map.empty))
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("expired"), rootMsg(e))
+    // explicit opt-in skips the lost commits and serves the rest:
+    // only v3's FRESH rows arrive (v1/v2's rows belonged to the
+    // expired commits' batches — that is exactly the loss the
+    // default guards against)
+    assert(drain(Map("failOnDataLoss" -> "false")) == 10L)
+    spark.sql("DROP TABLE gvac.t")
   }
 }
