@@ -821,6 +821,10 @@ object SparkEntry {
     // from the decoded frames — oracle-hashed against the
     // generator's closed forms; lossy-decoded luma stays spec-only
     "q263_mjpeg_decode" -> (Multimodal.mjpegFeatures _),
+    // MP4 moov-walk metadata (duration/dims/sample census, no codec):
+    // the practical face of the compressed-video column; frame decode
+    // of H.264/VP9/AV1 stays behind the loud decodeMedia stub
+    "q352_mp4_metadata" -> (Multimodal.mp4Metadata _),
     // Weekly growth accounting: new / retained / resurrected /
     // churned user composition, one distinct + keyed self-joins
     "q264_growth_accounting" -> (Behavior.growthAccounting _),
@@ -8100,6 +8104,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n_frames,
         |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q352: the moov-walk's metadata against the synthetic MP4's
+    // closed forms — geometry, sample census (per-sample sizes summed
+    // over the unnested index), integer-ms duration at timescale 600;
+    // the engine reads them from the ACTUAL box tree, the oracle from
+    // the formula (the q263 discipline)
+    "q352_mp4_metadata" ->
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(SUM(100 + (doc_id + i) % 50) AS BIGINT) AS sample_bytes
+        |  FROM p, unnest(range(n)) t(i) GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CAST(16 + 16 * (p.doc_id % 4) AS INT) AS width,
+        |  CAST(16 + 16 * (p.doc_id % 3) AS INT) AS height,
+        |  CAST(p.n AS INT) AS n_samples,
+        |  CAST(40 * p.n * 1000 // 600 AS BIGINT) AS duration_ms,
+        |  s.sample_bytes, s.sample_bytes AS mdat_bytes
+        |FROM p JOIN s USING (doc_id) ORDER BY p.doc_id""".stripMargin,
     // q286: duplicate-4-gram compressibility — identical 1-based
     // character windows and q6 integer ratio; range(1, n-2) is
     // DuckDB's half-open [1, n-3]

@@ -22,7 +22,10 @@ import graft.sources.Tables
   * ([[decodeMjpeg]] — RIFF/AVI walk + the JDK's real JPEG codec per
   * frame) all decode for real too; only inter-frame codecs
   * (H.264/VP9/AV1) remain behind the [[decodeMedia]] stub — no JDK
-  * codec exists for them — with non-image fallback features from a
+  * codec exists for them. Their CONTAINER metadata is served anyway:
+  * [[parseMp4]] walks the ISO-BMFF `moov` box tree (duration, dims,
+  * sample census — the most common real ask against a video column,
+  * no codec needed, q352). Non-image fallback features come from a
   * deterministic byte-level fake ([[fakeFeatures]], q37) behind the
   * same schema/batching contract.
   *
@@ -484,6 +487,170 @@ object Multimodal {
     decodeMjpegRows(mjpegMedia(spark, d))
       .toDF()
       .select($"doc_id", $"n_frames", $"width", $"height")
+      .orderBy($"doc_id")
+  }
+
+  /** MP4 (ISO-BMFF) METADATA — the practical half of the
+    * compressed-video gap: duration, dimensions and sample count come
+    * from the `moov` box tree, which needs NO codec (ftyp/moov/mdat
+    * atoms are plain big-endian size+fourcc framing; Bento4/mp4box do
+    * exactly this walk). Frame DECODE of H.264/VP9/AV1 payloads
+    * remains behind the loud [[decodeMedia]] stub — the JDK ships no
+    * inter-frame codec.
+    *
+    * Walk: top-level `moov` → `mvhd` (timescale, duration),
+    * `trak` → `tkhd` (width/height, 16.16 fixed point),
+    * `trak` → `mdia` → `minf` → `stbl` → `stsz` (sample count + total
+    * sample bytes); top-level `mdat` payload size. Every atom size is
+    * bounds-checked against the buffer — a TRUNCATED container (size
+    * field pointing past the end) returns None, never a partial
+    * parse (MultimodalSpec pins this).
+    */
+  final case class Mp4Meta(doc_id: Long, width: Int, height: Int,
+                           n_samples: Int, duration_ms: Long,
+                           sample_bytes: Long, mdat_bytes: Long)
+
+  def parseMp4(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] = {
+    def u32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def fourcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    // children of the atom spanning [from, to): Seq of (type, bodyFrom,
+    // bodyTo); None on any malformed/truncated size
+    def children(from: Long, to: Long): Option[Seq[(String, Long, Long)]] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var pos = from
+      while (pos < to) {
+        if (pos + 8 > to) return None
+        val sz = u32(pos.toInt)
+        if (sz < 8 || pos + sz > to) return None // truncation guard
+        out += ((fourcc(pos.toInt + 4), pos + 8, pos + sz))
+        pos += sz
+      }
+      Some(out.result())
+    }
+    def find(cs: Seq[(String, Long, Long)], t: String): Option[(Long, Long)] =
+      cs.collectFirst { case (`t`, f, e) => (f, e) }
+    for {
+      top <- children(0L, bytes.length.toLong)
+      _ <- find(top, "ftyp")
+      (moovF, moovE) <- find(top, "moov")
+      (mdatF, mdatE) <- find(top, "mdat")
+      moovKids <- children(moovF, moovE)
+      (mvhdF, _) <- find(moovKids, "mvhd")
+      (trakF, trakE) <- find(moovKids, "trak")
+      trakKids <- children(trakF, trakE)
+      (tkhdF, _) <- find(trakKids, "tkhd")
+      (mdiaF, mdiaE) <- find(trakKids, "mdia")
+      mdiaKids <- children(mdiaF, mdiaE)
+      (minfF, minfE) <- find(mdiaKids, "minf")
+      minfKids <- children(minfF, minfE)
+      (stblF, stblE) <- find(minfKids, "stbl")
+      stblKids <- children(stblF, stblE)
+      (stszF, stszE) <- find(stblKids, "stsz")
+      timescale = u32(mvhdF.toInt + 12)
+      duration = u32(mvhdF.toInt + 16)
+      if timescale > 0 && duration >= 0
+      // tkhd v0 body: ver/flags 4, times 8, id 4, res 4, dur 4, res 8,
+      // layer/alt/vol/res 8, matrix 36 -> width at +76, height at +80
+      w = u32(tkhdF.toInt + 76) >> 16 // 16.16 fixed
+      h = u32(tkhdF.toInt + 80) >> 16
+      if w > 0 && h > 0
+      // stsz v0: ver/flags 4, uniform sample_size 4, sample_count 4
+      uniform = u32(stszF.toInt + 4)
+      n = u32(stszF.toInt + 8)
+      if n >= 0
+      sampleBytes <- {
+        if (uniform > 0) Some(uniform * n)
+        else if (stszF + 12 + 4L * n > stszE) None // truncated size table
+        else Some((0L until n).map(i => u32((stszF + 12 + 4 * i).toInt)).sum)
+      }
+    } yield (w.toInt, h.toInt, n.toInt,
+      duration * 1000L / timescale, sampleBytes, mdatE - mdatF)
+  }
+
+  /** Deterministic synthetic MP4: `2 + doc_id mod 5` samples at 40
+    * ticks each (timescale 600 = 15 fps), geometry
+    * `(16 + 16·(doc_id mod 4)) × (16 + 16·(doc_id mod 3))`, sample i
+    * sized `100 + (doc_id + i) mod 50` bytes of opaque payload in
+    * `mdat` — every emitted feature is closed-form for the oracle.
+    */
+  def syntheticMp4(docId: Long): Array[Byte] = {
+    val n = 2 + (docId % 5).toInt
+    val (w, h) = (16 + 16 * (docId % 4).toInt, 16 + 16 * (docId % 3).toInt)
+    val sizes = (0 until n).map(i => 100 + ((docId + i) % 50).toInt)
+    val timescale = 600L
+    val duration = 40L * n
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def atom(t: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ t.getBytes("US-ASCII") ++ body
+    val identityMatrix = // 16.16 / 2.30 fixed, the spec's unity matrix
+      be32(0x10000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x10000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = atom("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ be32(0x10000) ++
+      Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++ identityMatrix ++
+      new Array[Byte](24) ++ be32(2))
+    val tkhd = atom("tkhd", be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(duration) ++ new Array[Byte](8) ++
+      new Array[Byte](8) ++ identityMatrix ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mdhd = atom("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ Array[Byte](0x55, 0xc4.toByte) ++
+      new Array[Byte](2))
+    val stsz = atom("stsz", be32(0) ++ be32(0) ++ be32(n.toLong) ++
+      sizes.flatMap(s => be32(s.toLong)).toArray)
+    val stbl = atom("stbl", stsz)
+    val minf = atom("minf", stbl)
+    val mdia = atom("mdia", mdhd ++ minf)
+    val trak = atom("trak", tkhd ++ mdia)
+    val moov = atom("moov", mvhd ++ trak)
+    val ftyp = atom("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val payload = new Array[Byte](sizes.sum)
+    var i = 0
+    while (i < payload.length) { // opaque codec payload, deterministic
+      payload(i) = ((docId * 31 + i * 7) % 256).toByte
+      i += 1
+    }
+    ftyp ++ moov ++ atom("mdat", payload)
+  }
+
+  def mp4Media(spark: SparkSession, d: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id").as[Long]
+      .map(id => MediaRow(id, "video/mp4", syntheticMp4(id)))
+  }
+
+  def parseMp4Rows(media: Dataset[MediaRow]): Dataset[Mp4Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          parseMp4(m.content).map { case (w, h, n, ms, sb, mb) =>
+            Mp4Meta(m.doc_id, w, h, n, ms, sb, mb)
+          }
+        }
+      }
+    }
+  }
+
+  /** q352: MP4 encode→moov-walk→metadata round-trip — map-only, no
+    * shuffle before the presentation sort, the q65/q263 shape with
+    * metadata-only extraction standing in for the codec the JDK
+    * doesn't have. */
+  def mp4Metadata(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    parseMp4Rows(mp4Media(spark, d))
+      .toDF()
+      .select($"doc_id", $"width", $"height", $"n_samples",
+        $"duration_ms", $"sample_bytes", $"mdat_bytes")
       .orderBy($"doc_id")
   }
 

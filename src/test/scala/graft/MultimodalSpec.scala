@@ -102,6 +102,40 @@ class MultimodalSpec extends SparkSpec {
     assert(luma == lumas.sum.toDouble / lumas.length)
   }
 
+  test("parseMp4 reproduces the synthetic container's closed forms " +
+    "and rejects truncation at every box depth") {
+    val id = 13L
+    val Some((w, h, n, ms, sb, mb)) =
+      Multimodal.parseMp4(Multimodal.syntheticMp4(id))
+    assert(w == 16 + 16 * (id % 4).toInt && h == 16 + 16 * (id % 3).toInt)
+    assert(n == 2 + (id % 5).toInt)
+    assert(ms == 40L * n * 1000L / 600L)
+    val sizes = (0 until n).map(i => 100L + (id + i) % 50L)
+    assert(sb == sizes.sum && mb == sizes.sum)
+    // truncation at ANY point must yield None, never a partial parse
+    // (atom sizes point past the buffer end somewhere at every depth)
+    val full = Multimodal.syntheticMp4(id)
+    for (cut <- Seq(3, 10, 40, 100, 180, full.length - 1))
+      assert(Multimodal.parseMp4(full.take(cut)).isEmpty,
+        s"truncated at $cut must not parse")
+    // garbage and a headerless payload are dropped too
+    assert(Multimodal.parseMp4("not an mp4 at all".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(Array.empty[Byte]).isEmpty)
+    // a zero-sized atom must not loop or parse
+    val zeroAtom = Array[Byte](0, 0, 0, 0) ++ "ftyp".getBytes("US-ASCII")
+    assert(Multimodal.parseMp4(zeroAtom).isEmpty)
+    // an stsz whose declared count overruns its own box is truncation
+    val stszCut = full.clone()
+    // (flip the last size entry's box length by cutting mdat off and
+    // leaving moov intact is covered above; here: undecodable rows in
+    // the pipeline are dropped, not fatal)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video/mp4", Multimodal.syntheticMp4(1L)),
+      Multimodal.MediaRow(2L, "video/mp4", stszCut.take(60)))
+    val out = Multimodal.parseMp4Rows(spark.createDataset(rows)).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+  }
+
   test("corrupt video bytes are dropped, not fatal") {
     assert(Multimodal.decodeVideo("MPEG".getBytes).isEmpty)
     assert(Multimodal.decodeVideo(Array.empty[Byte]).isEmpty)
