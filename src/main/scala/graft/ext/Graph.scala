@@ -1025,6 +1025,22 @@ object Graph {
     * graphs and real data. Requires k ≥ 3 (the k = 2 truss is the
     * whole graph and the support table — keyed by triangled edges —
     * could not represent it).
+    *
+    * ROUND STRUCTURE, stated for the 100×-diameter question: unlike
+    * connected components (where HashMin's diameter-many rounds have
+    * the O(log n) large-star/small-star alternative — [[ccTwoPhase]],
+    * q316) truss peeling's rounds are the CASCADE DEPTH of the
+    * deletion order itself — each wave's victims are defined by the
+    * previous wave's decrements, and the parallel-truss literature
+    * (ParK/PKT-style peels) shares exactly this round structure, so
+    * there is no semantics-preserving O(log n) contraction to switch
+    * to. What this engine does instead: below the measured
+    * [[DriverPeelMaxEdges]] gate a round costs microseconds in
+    * [[kTrussDriverPeel]] (a 60-wave cascade is as cheap as a
+    * 3-wave one — KTrussSpec plants one); above it, rounds are
+    * |D|-bounded DELTA jobs against a never-rewritten support table,
+    * so a deep cascade pays scheduling floors, never O(E) work per
+    * wave.
     */
   /** Edge gate below which the truss PEEL (not the support kernel)
     * finishes on the driver — the [[graft.ext.Dedup]] discipline

@@ -258,11 +258,19 @@ object AtomicSink {
             val carry =
               if (accumulateAppends && !truncated) committedFilesOf(path)
               else Seq.empty
+            // an INSERT OVERWRITE deletes every prior row: its CDC
+            // sidecar lists the PREVIOUS snapshot's files as the
+            // delete image — no copying, the files are immutable and
+            // already on disk (a VACUUM that removes them also trips
+            // the feed's expiration guard first)
+            val truncPrev =
+              if (accumulateAppends && truncated) committedFilesOf(path)
+              else Seq.empty
             // the table's OWN schema carries the field ids (Spark
             // reconciles every INSERT to it), so the commit can
             // publish the layout its files were written in
             new AtomicBatchWrite(path, info.queryId(), info.schema(),
-              carry, AtomicSink.layoutIdsOf(schema))
+              carry, AtomicSink.layoutIdsOf(schema), truncPrev)
           }
         }
       }
@@ -344,7 +352,7 @@ object AtomicSink {
     // change files; dropped versions lose manifest, layout, CDC list
     // and every file no retained reference holds
     val keepFiles = keep.flatMap(v => readManifestOf(path, v)).toSet ++
-      keep.flatMap(v => cdcFilesOf(path, v).getOrElse(Seq.empty))
+      keep.flatMap(v => cdcFilesOf(path, v).map(_._2).getOrElse(Seq.empty))
     drop.foreach { v =>
       fs.delete(new Path(path, s"$ManifestFile.v$v"), false)
       fs.delete(new Path(path, s"_CDC.v$v"), false)
@@ -361,18 +369,41 @@ object AtomicSink {
     (keep.size, removed.size)
   }
 
-  /** `_CDC.v<k>`'s file list, or None when commit `k` recorded no
-    * change sidecar (plain appends / overwrites). */
-  private[io] def cdcFilesOf(path: String, v: Int): Option[Seq[String]] = {
+  /** `_CDC.v<k>`: (freshMode, delete-image files), or None when
+    * commit `k` recorded no change sidecar (plain appends). The first
+    * line is a directive for the commit's FRESH manifest files:
+    * `!fresh=skip` (a row-level DELETE — fresh files are survivor
+    * REWRITES, not changes) or `!fresh=insert` (an INSERT OVERWRITE —
+    * fresh files are real inserts next to the old snapshot's
+    * deletes); remaining lines are the delete-image file names. */
+  private[io] def cdcFilesOf(path: String,
+      v: Int): Option[(String, Seq[String])] = {
     val fs = new Path(path).getFileSystem(new Configuration())
     val f = new Path(path, s"_CDC.v$v")
     if (!fs.exists(f)) None
     else {
       val in = fs.open(f)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList)
-      finally in.close()
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      val mode = lines.headOption match {
+        case Some("!fresh=insert") => "insert"
+        case _ => "skip"
+      }
+      Some((mode, lines.filterNot(_.startsWith("!"))))
     }
+  }
+
+  private def writeCdcList(path: String, k: Int, freshMode: String,
+      files: Seq[String]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val tmp = new Path(path, s"_CDC.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write((s"!fresh=$freshMode" +: files)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(path, s"_CDC.v$k"))
   }
 
   /** Publishes `rows` as commit `k`'s DELETE change files: an
@@ -398,11 +429,7 @@ object AtomicSink {
       fs.rename(new Path(work, n), new Path(path, name))
       name
     }
-    val tmp = new Path(path, s"_CDC.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(published.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    fs.rename(tmp, new Path(path, s"_CDC.v$k"))
+    writeCdcList(path, k, "skip", published)
     fs.delete(new Path(work), true)
   }
 
@@ -578,15 +605,15 @@ object AtomicSink {
     *  - PLAIN (default): each micro-batch serves the rows newly
     *    PUBLISHED by one commit (its fresh `v<k>-` files) — an
     *    append feed; a copy-on-write DELETE's survivors re-emit.
-    *  - CHANGELOG (`option("changelog", true)`): op-typed rows with
-    *    `_change_type` / `_commit_version`. A commit that recorded a
-    *    `_CDC.v<k>` sidecar (the catalog's DELETE path) serves its
-    *    deleted rows as `delete` — and its fresh manifest files,
-    *    being survivor REWRITES, are NOT re-served; any other commit
-    *    serves its fresh files as `insert`. `INSERT OVERWRITE`
-    *    records no CDC sidecar, so the truncated rows' deletes are
-    *    not synthesized (stated limitation — same as Delta CDF
-    *    without delete vectors).
+    *  - CHANGELOG (the `<t>__changes` sub-table): op-typed rows with
+    *    `_change_type` / `_commit_version`. A row-level DELETE's
+    *    sidecar serves the deleted rows as `delete` (its fresh
+    *    manifest files, being survivor REWRITES, are NOT re-served);
+    *    an INSERT OVERWRITE serves the previous snapshot's rows as
+    *    `delete` (by file REFERENCE — nothing is copied) plus its
+    *    fresh rows as `insert`; a plain append serves `insert`s.
+    *    Within one commit's batch, replay order is deletes before
+    *    inserts.
     *
     * Expiration guard (round-12 advice): a start offset below the
     * earliest RETAINED version means [[expireSnapshots]] deleted
@@ -647,19 +674,26 @@ object AtomicSink {
               s"(failOnDataLoss=false)")
           Seq.empty
         } else {
-          val cdc = cdcFilesOf(path, v.toInt)
-          val names =
-            if (changelog && cdc.isDefined) cdc.get
-            else readManifestOf(path, v.toInt)
-              .filter(_.startsWith(s"v$v-")) // fresh in THIS commit
-          val maps = idxMapsFor(path, names, schema)
-          val op =
-            if (!changelog) null
-            else if (cdc.isDefined) "delete"
-            else "insert"
-          names.map(n => TsvFilePartition(new Path(path, n).toString,
-            maps(n), op, v)
-            : org.apache.spark.sql.connector.read.InputPartition)
+          val fresh = readManifestOf(path, v.toInt)
+            .filter(_.startsWith(s"v$v-")) // fresh in THIS commit
+          // (fileName, op): plain mode serves fresh files untyped;
+          // changelog mode serves the CDC delete image (if any) plus
+          // fresh files as inserts unless the sidecar marked them as
+          // survivor rewrites (`!fresh=skip`)
+          val typed: Seq[(String, String)] =
+            if (!changelog) fresh.map(n => (n, null))
+            else cdcFilesOf(path, v.toInt) match {
+              case Some((mode, dels)) =>
+                dels.map(n => (n, "delete")) ++
+                  (if (mode == "insert") fresh.map(n => (n, "insert"))
+                   else Seq.empty)
+              case None => fresh.map(n => (n, "insert"))
+            }
+          val maps = idxMapsFor(path, typed.map(_._1), schema)
+          typed.map { case (n, op) =>
+            TsvFilePartition(new Path(path, n).toString, maps(n), op, v)
+              : org.apache.spark.sql.connector.read.InputPartition
+          }
         }
       }.toArray
     }
@@ -725,10 +759,14 @@ object AtomicSink {
     override def close(): Unit = in.close()
   }
 
+  /** `truncatedPrev`: on an INSERT OVERWRITE of a catalog table, the
+    * previous snapshot's files — published as the commit's CDC
+    * delete image by reference (the files are immutable). */
   private class AtomicBatchWrite(path: String, queryId: String,
                                  schema: StructType,
                                  carryForward: Seq[String] = Seq.empty,
-                                 layout: Option[Seq[Long]] = None)
+                                 layout: Option[Seq[Long]] = None,
+                                 truncatedPrev: Seq[String] = Seq.empty)
       extends BatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
@@ -781,6 +819,10 @@ object AtomicSink {
       // is refreshed after via delete+rename — canonical readers
       // resolve the max version and never depend on it
       writeAtomic(new Path(path, s"${AtomicSink.ManifestFile}.v$version"))
+      // an overwrite's changelog: the old snapshot's rows all delete,
+      // the fresh files are real inserts (`!fresh=insert`)
+      if (truncatedPrev.nonEmpty)
+        AtomicSink.writeCdcList(path, version, "insert", truncatedPrev)
       val legacy = new Path(path, AtomicSink.ManifestFile)
       f.delete(legacy, false)
       writeAtomic(legacy)

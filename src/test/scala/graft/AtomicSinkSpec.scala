@@ -254,6 +254,21 @@ class AtomicSinkSpec extends SparkSpec {
     val want = spark.sql("SELECT id FROM gcdc.t ORDER BY id")
       .collect().map(_.getLong(0)).toSeq
     assert(state == want, "replayed changelog == current snapshot")
+    // INSERT OVERWRITE: old snapshot's rows delete BY REFERENCE (no
+    // copies), fresh rows insert — all in the overwrite's own commit
+    spark.sql("INSERT OVERWRITE gcdc.t SELECT id FROM range(100, 104)")
+    drain()
+    val log3 = spark.read.parquet(out)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ovV = log3.map(_._3).max
+    val ovDels = log3.filter(t => t._3 == ovV && t._2 == "delete")
+      .map(_._1).sorted.toSeq
+    val ovIns = log3.filter(t => t._3 == ovV && t._2 == "insert")
+      .map(_._1).sorted.toSeq
+    val preOverwrite = (5L until 25L) // state after the two deletes
+    assert(ovDels == preOverwrite, s"overwrite deletes the old state: $ovDels")
+    assert(ovIns == (100L until 104L), s"and inserts the new: $ovIns")
     // the __changes sub-table is a streaming-only, read-only face
     intercept[Exception](
       spark.read.table("gcdc.t__changes").collect())

@@ -15,9 +15,10 @@ class KTrussSpec extends SparkSpec {
   /** Default gate = the driver peel (what production sizes hit);
     * `maxDriverPeel = 0` forces the distributed delta-peel. */
   private def trussOf(edges: Seq[(Long, Long)], k: Long,
-      maxDriverPeel: Long = Graph.DriverPeelMaxEdges): Map[Long, Long] = {
+      maxDriverPeel: Long = Graph.DriverPeelMaxEdges,
+      maxIters: Int = 30): Map[Long, Long] = {
     val df = edges.toDF("a", "b")
-    Graph.kTrussOf(df, k, maxIters = 30,
+    Graph.kTrussOf(df, k, maxIters = maxIters,
         maxDriverPeel = maxDriverPeel).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
@@ -81,6 +82,46 @@ class KTrussSpec extends SparkSpec {
         assert(dist == want, s"seed=$seed k=$k dist=$dist want=$want")
       }
     }
+  }
+
+  test("deep cascade: a planted 8-wave peel (vs 7 on the real sf0.1 " +
+    "graph) completes exactly on BOTH peel paths — rounds are the " +
+    "cascade depth, and neither path caps or mis-orders them") {
+    // truss cascades resist hand construction (reinforcing a chain
+    // inflates exactly the supports that must sit at the bar), so the
+    // plant is a searched pseudo-random instance: LCG seed 214 at
+    // k = 5 cascades through 16 waves to a NON-EMPTY 5-truss —
+    // deeper than the real sf0.1 graph's 7
+    val edges = {
+      var s = 214L
+      def next(): Long = {
+        s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33)
+      }
+      val n = 20L
+      (0 until 120).map { _ =>
+        val a = next() % n; val b = next() % n
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+    }
+    // independently measure the brute cascade depth
+    val minSup = 3L
+    var e = edges.toSet
+    var waveCount = 0
+    var changed = true
+    while (changed) {
+      val adj = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupMap(_._1)(_._2).map { case (x, vs) => x -> vs.toSet }
+      val keep = e.filter { case (a, b) => (adj(a) & adj(b)).size >= minSup }
+      changed = keep.size != e.size
+      if (changed) waveCount += 1
+      e = keep
+    }
+    assert(waveCount >= 12, s"the plant must cascade deeply, got $waveCount")
+    val want = brute(edges.toSet, 5L)
+    assert(want.nonEmpty, "the plant's 5-truss must be non-empty")
+    assert(trussOf(edges, 5L, maxIters = 200) == want, "driver peel")
+    assert(trussOf(edges, 5L, maxDriverPeel = 0L, maxIters = 200) == want,
+      "distributed delta peel")
   }
 
   test("k < 3 is refused (the support table cannot represent the " +
