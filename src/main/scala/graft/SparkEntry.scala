@@ -1169,6 +1169,11 @@ object SparkEntry {
     // leak into a later ADD (fresh id), delete-rewrites stay resolvable
     "q351_schema_evolution_ids" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.schemaEvolutionIds(s)),
+    // MERGE-ON-READ delete: the predicate publishes as a manifest-only
+    // commit (no survivor rewrite — the honest 100 TB DELETE cost);
+    // readers hide matching rows in files older than the delete
+    "q353_mor_delete" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.morDelete(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6762,6 +6767,23 @@ object SparkEntry {
         |    AS BIGINT) AS n_c_null,
         |  CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS c_sum
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q353: visible state after the scoped merge-on-read delete —
+    // range(0,1000) minus [200,350) plus the re-inserted [210,220)
+    // with v = -7; pre_delete_rows pins the VERSION AS OF 2 count,
+    // no_rewrite pins the manifest-only commit (driver-derived flag,
+    // the q342 convention)
+    "q353_mor_delete" ->
+      """WITH t AS (SELECT range AS id, (range * range) % 89 AS v
+        |  FROM range(1000)),
+        |vis AS (
+        |  SELECT id, v FROM t WHERE NOT (id >= 200 AND id < 350)
+        |  UNION ALL
+        |  SELECT range AS id, -7 AS v FROM range(210, 220))
+        |SELECT id % 4 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(1000 AS BIGINT) AS pre_delete_rows,
+        |  CAST(1 AS BIGINT) AS no_rewrite
+        |FROM vis GROUP BY 1 ORDER BY 1""".stripMargin,
     // q337: surviving rows of the closed-form table after the
     // predicate delete; v1_rows pins the time-travel count
     "q337_table_delete" ->

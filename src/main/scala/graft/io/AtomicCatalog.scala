@@ -225,6 +225,51 @@ object CatalogLifecycle {
       .orderBy("g")
   }
 
+  /** q353's driver: MERGE-ON-READ DELETE — the predicate publishes as
+    * a manifest-only commit (`_DELETES.v<k>`; no surviving row is
+    * rewritten — the only honest DELETE cost at 100 TB) and readers
+    * hide matching rows in files OLDER than the delete. The oracle
+    * pins the visible aggregate, the pre-delete time travel, that a
+    * post-delete insert of matching ids reappears (predicate scope),
+    * and the no-rewrite flag (the delete commit's manifest lists no
+    * fresh data files). */
+  def morDelete(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    spark.conf.set("spark.graft.atomic.deleteMode", "mor")
+    try {
+      val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO gtab.$t " +
+        s"SELECT id, (id * id) % 89 FROM range(0, 600)")
+      spark.sql(s"INSERT INTO gtab.$t " +
+        s"SELECT id, (id * id) % 89 FROM range(600, 1000)")
+      spark.sql(s"DELETE FROM gtab.$t WHERE id >= 200 AND id < 350")
+      // scope: a post-delete insert of previously-deleted ids stays
+      spark.sql(s"INSERT INTO gtab.$t " +
+        s"SELECT id, -7 FROM range(210, 220)")
+      val dir = s"$root/$t"
+      val noRewrite = AtomicSink
+        .committedFiles(spark, dir, 3) // the delete's own commit
+        .forall(!_.startsWith("v3-"))
+      val v2Rows = spark.sql(
+        s"SELECT count(*) FROM gtab.$t VERSION AS OF 2").head.getLong(0)
+      val out = spark.sql(
+        s"""SELECT (id % 4) AS g, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(v) AS BIGINT) AS v_sum
+           |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
+        .withColumn("pre_delete_rows", lit(v2Rows))
+        .withColumn("no_rewrite", lit(if (noRewrite) 1L else 0L))
+      val rows = out.collect()
+      spark.sql(s"DROP TABLE gtab.$t")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+        .orderBy("g")
+    } finally spark.conf.unset("spark.graft.atomic.deleteMode")
+  }
+
   /** q342's driver: the COMMIT FEED — three closed-form `INSERT`s
     * land as three snapshots, then `spark.readStream.table` tails
     * the table under Trigger.AvailableNow; commit-granular admission
@@ -461,6 +506,16 @@ class AtomicCatalog extends TableCatalog {
         require(s.fieldNames.contains(name), s"no such column $name")
         require(s.fields.length > 1,
           "cannot drop the last remaining column")
+        // a live merge-on-read delete predicate referencing this
+        // column would become unevaluable — refuse (compact the
+        // table, or drop a different column)
+        val fid = s.fields.find(_.name == name)
+          .flatMap(AtomicSink.fieldIdOf)
+        val referenced = AtomicSink.deletePredicates(dir.toString)
+          .flatMap(_._2.values).toSet
+        require(!fid.exists(referenced.contains),
+          s"column $name is referenced by a merge-on-read DELETE " +
+            s"predicate (_DELETES.v*) and cannot be dropped")
         org.apache.spark.sql.types.StructType(
           s.fields.filterNot(_.name == name))
       case (_, other) => throw new UnsupportedOperationException(

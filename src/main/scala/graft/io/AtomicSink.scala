@@ -304,6 +304,28 @@ object AtomicSink {
       val hit = org.apache.spark.sql.functions
         .coalesce(cond, org.apache.spark.sql.functions.lit(false))
       val layoutOpt = AtomicSink.layoutIdsOf(schema)
+      // MERGE-ON-READ (`spark.graft.atomic.deleteMode = mor`): publish
+      // the PREDICATE as a manifest-only commit instead of rewriting
+      // every surviving row — the only honest DELETE cost at 100 TB.
+      // Readers apply it to files older than the delete's commit;
+      // the CDC sidecar (the deleted rows' pre-image) is the same as
+      // the copy-on-write path's. Requires field ids (catalog
+      // tables), because the predicate must survive later renames.
+      if (spark.conf.getOption("spark.graft.atomic.deleteMode")
+          .contains("mor")) {
+        val colsToIds = schema.fields
+          .flatMap(f => AtomicSink.fieldIdOf(f).map(f.name -> _)).toMap
+        require(colsToIds.size == schema.fields.length,
+          "merge-on-read DELETE requires a catalog table (field ids)")
+        val one = filters.toSeq
+          .reduceOption(org.apache.spark.sql.sources.And(_, _))
+          .getOrElse(org.apache.spark.sql.sources.AlwaysTrue())
+        val k = AtomicSink.publishDeleteCommit(path, colsToIds, one,
+          layoutOpt)
+        AtomicSink.writeCdcSidecar(spark, path, k, snap.filter(hit),
+          layoutOpt)
+        return
+      }
       val w = snap.filter(!hit).write.format("graft.io.AtomicSink")
         .option("path", path).mode("append")
       // the rewrite's files must stay FIELD-ID resolvable: re-attach
@@ -433,6 +455,293 @@ object AtomicSink {
     fs.delete(new Path(work), true)
   }
 
+  // ---------------------------------------------------------------
+  // MERGE-ON-READ deletes: a DELETE can publish a PREDICATE
+  // (`_DELETES.v<k>`, JSON) instead of rewriting the table — the
+  // copy-on-write path rewrites every surviving row, which is the
+  // wrong cost at 100 TB. A delete at version k applies to rows in
+  // files whose own commit version is < k (later inserts of identical
+  // rows are untouched), and readers scope application to deletes
+  // ≤ the version being read — which makes time travel exact and a
+  // crash between `_DELETES` and the manifest invisible (readers
+  // never apply a delete whose manifest did not commit).
+  // ---------------------------------------------------------------
+
+  private def jmapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** v1 Filter → JSON tree (total over the [[filtersToColumn]] shapes;
+    * values are tagged long/double/string so deserialization restores
+    * exact types). */
+  private[io] def filterToJson(f: org.apache.spark.sql.sources.Filter): String = {
+    import org.apache.spark.sql.sources._
+    def vNode(v: Any): java.util.Map[String, Object] = {
+      val m = new java.util.LinkedHashMap[String, Object]()
+      v match {
+        case l: Long => m.put("t", "long"); m.put("v", Long.box(l))
+        case i: Int => m.put("t", "long"); m.put("v", Long.box(i.toLong))
+        case s: Short => m.put("t", "long"); m.put("v", Long.box(s.toLong))
+        case b: Byte => m.put("t", "long"); m.put("v", Long.box(b.toLong))
+        case d: Double => m.put("t", "double"); m.put("v", Double.box(d))
+        case fl: Float => m.put("t", "double"); m.put("v", Double.box(fl.toDouble))
+        case s: String => m.put("t", "string"); m.put("v", s)
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          m.put("t", "string"); m.put("v", u.toString)
+        case other => throw new IllegalArgumentException(
+          s"unsupported DELETE literal type: ${other.getClass}")
+      }
+      m
+    }
+    def node(f: Filter): java.util.Map[String, Object] = {
+      val m = new java.util.LinkedHashMap[String, Object]()
+      def lit(op: String, a: String, v: Any): Unit = {
+        m.put("op", op); m.put("col", a); m.put("val", vNode(v))
+      }
+      f match {
+        case EqualTo(a, v) => lit("eq", a, v)
+        case EqualNullSafe(a, v) => lit("eqns", a, v)
+        case GreaterThan(a, v) => lit("gt", a, v)
+        case GreaterThanOrEqual(a, v) => lit("ge", a, v)
+        case LessThan(a, v) => lit("lt", a, v)
+        case LessThanOrEqual(a, v) => lit("le", a, v)
+        case In(a, vs) =>
+          m.put("op", "in"); m.put("col", a)
+          val arr = new java.util.ArrayList[Object]()
+          vs.foreach(v => arr.add(vNode(v)))
+          m.put("vals", arr)
+        case IsNull(a) => m.put("op", "isnull"); m.put("col", a)
+        case IsNotNull(a) => m.put("op", "isnotnull"); m.put("col", a)
+        case And(l, r) =>
+          m.put("op", "and"); m.put("l", node(l)); m.put("r", node(r))
+        case Or(l, r) =>
+          m.put("op", "or"); m.put("l", node(l)); m.put("r", node(r))
+        case Not(c) => m.put("op", "not"); m.put("c", node(c))
+        case StringStartsWith(a, v) => lit("startswith", a, v)
+        case StringEndsWith(a, v) => lit("endswith", a, v)
+        case StringContains(a, v) => lit("contains", a, v)
+        case AlwaysTrue() => m.put("op", "true")
+        case AlwaysFalse() => m.put("op", "false")
+        case other => throw new IllegalArgumentException(
+          s"unsupported DELETE predicate: $other")
+      }
+      m
+    }
+    jmapper.writeValueAsString(node(f))
+  }
+
+  private[io] def filterFromJson(
+      s: String): org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    val root = jmapper.readTree(s)
+    def value(n: com.fasterxml.jackson.databind.JsonNode): Any =
+      n.get("t").asText() match {
+        case "long" => n.get("v").asLong()
+        case "double" => n.get("v").asDouble()
+        case "string" => n.get("v").asText()
+      }
+    def node(n: com.fasterxml.jackson.databind.JsonNode): Filter = {
+      def col = n.get("col").asText()
+      n.get("op").asText() match {
+        case "eq" => EqualTo(col, value(n.get("val")))
+        case "eqns" => EqualNullSafe(col, value(n.get("val")))
+        case "gt" => GreaterThan(col, value(n.get("val")))
+        case "ge" => GreaterThanOrEqual(col, value(n.get("val")))
+        case "lt" => LessThan(col, value(n.get("val")))
+        case "le" => LessThanOrEqual(col, value(n.get("val")))
+        case "in" =>
+          val it = n.get("vals").elements()
+          val vs = scala.collection.mutable.ArrayBuffer[Any]()
+          while (it.hasNext) vs += value(it.next())
+          In(col, vs.toArray)
+        case "isnull" => IsNull(col)
+        case "isnotnull" => IsNotNull(col)
+        case "and" => And(node(n.get("l")), node(n.get("r")))
+        case "or" => Or(node(n.get("l")), node(n.get("r")))
+        case "not" => Not(node(n.get("c")))
+        case "startswith" => StringStartsWith(col, value(n.get("val")).toString)
+        case "endswith" => StringEndsWith(col, value(n.get("val")).toString)
+        case "contains" => StringContains(col, value(n.get("val")).toString)
+        case "true" => AlwaysTrue()
+        case "false" => AlwaysFalse()
+      }
+    }
+    node(root)
+  }
+
+  /** SQL three-valued evaluation of a pushed filter against one
+    * decoded TSV row (cells are Long / Double / String / null): Some
+    * (true/false) or None = UNKNOWN. DELETE keeps every row whose
+    * condition is not TRUE, exactly the [[SinkTable.deleteWhere]]
+    * `coalesce(cond, false)` semantics. */
+  private[io] def evalFilter(f: org.apache.spark.sql.sources.Filter,
+      cell: String => Any): Option[Boolean] = {
+    import org.apache.spark.sql.sources._
+    def cmp(a: String, v: Any): Option[Int] = {
+      val c = cell(a)
+      if (c == null) None
+      else Some((c, v) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+        case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x, y) => throw new IllegalArgumentException(
+          s"type mismatch evaluating $a: ${x.getClass} vs ${y.getClass}")
+      })
+    }
+    def str(a: String): Option[String] = cell(a) match {
+      case null => None
+      case s: String => Some(s)
+      case other => throw new IllegalArgumentException(
+        s"string predicate on non-string $a: ${other.getClass}")
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v).map(_ == 0)
+      case EqualNullSafe(a, v) =>
+        Some(cell(a) != null && cmp(a, v).contains(0))
+      case GreaterThan(a, v) => cmp(a, v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).map(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).map(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).map(_ <= 0)
+      case In(a, vs) =>
+        if (cell(a) == null) None
+        else Some(vs.exists(v => cmp(a, v).contains(0)))
+      case IsNull(a) => Some(cell(a) == null)
+      case IsNotNull(a) => Some(cell(a) != null)
+      case And(l, r) =>
+        (evalFilter(l, cell), evalFilter(r, cell)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (evalFilter(l, cell), evalFilter(r, cell)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(c) => evalFilter(c, cell).map(!_)
+      case StringStartsWith(a, v) => str(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => str(a).map(_.endsWith(v))
+      case StringContains(a, v) => str(a).map(_.contains(v))
+      case AlwaysTrue() => Some(true)
+      case AlwaysFalse() => Some(false)
+      case other => throw new IllegalArgumentException(
+        s"unsupported DELETE predicate: $other")
+    }
+  }
+
+  /** Merge-on-read delete predicates of `path`, ascending by version:
+    * (k, name→fieldId map AT DELETE TIME, filter with delete-time
+    * names) for every `_DELETES.v<k>`. */
+  private[io] def deletePredicates(path: String)
+      : Seq[(Int, Map[String, Long], org.apache.spark.sql.sources.Filter)] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_DELETES.v") =>
+        n.stripPrefix("_DELETES.v") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+      .map { v =>
+        val in = fs.open(new Path(path, s"_DELETES.v$v"))
+        val json =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val root = jmapper.readTree(json)
+        val cols = scala.collection.mutable.Map[String, Long]()
+        val it = root.get("cols").fields()
+        while (it.hasNext) {
+          val e = it.next(); cols.put(e.getKey, e.getValue.asLong())
+        }
+        (v, cols.toMap,
+          filterFromJson(jmapper.writeValueAsString(root.get("filter"))))
+      }
+  }
+
+  /** Rewrite a predicate's attribute names from their DELETE-TIME
+    * names to the CURRENT schema's (by field id) — what keeps a
+    * merge-on-read delete correct across later RENAME COLUMNs. */
+  private[io] def remapFilter(f: org.apache.spark.sql.sources.Filter,
+      rename: Map[String, String]): org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    def r(a: String): String = rename.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => EqualTo(r(a), v)
+      case EqualNullSafe(a, v) => EqualNullSafe(r(a), v)
+      case GreaterThan(a, v) => GreaterThan(r(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(r(a), v)
+      case LessThan(a, v) => LessThan(r(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(r(a), v)
+      case In(a, vs) => In(r(a), vs)
+      case IsNull(a) => IsNull(r(a))
+      case IsNotNull(a) => IsNotNull(r(a))
+      case And(l, r2) => And(remapFilter(l, rename), remapFilter(r2, rename))
+      case Or(l, r2) => Or(remapFilter(l, rename), remapFilter(r2, rename))
+      case Not(c) => Not(remapFilter(c, rename))
+      case StringStartsWith(a, v) => StringStartsWith(r(a), v)
+      case StringEndsWith(a, v) => StringEndsWith(r(a), v)
+      case StringContains(a, v) => StringContains(r(a), v)
+      case other => other // AlwaysTrue / AlwaysFalse
+    }
+  }
+
+  /** The deletes a read at `readVersion` must apply, with attribute
+    * names remapped to the CURRENT schema: Seq of (k, filter) — a
+    * file committed at version j is subject to those with j < k. */
+  private[io] def applicableDeletes(path: String, readVersion: Int,
+      schema: StructType): Seq[(Int, org.apache.spark.sql.sources.Filter)] = {
+    val currentNameOfId: Map[Long, String] = schema.fields
+      .flatMap(f => fieldIdOf(f).map(_ -> f.name)).toMap
+    deletePredicates(path).filter(_._1 <= readVersion).map {
+      case (k, cols, f) =>
+        val rename = cols.flatMap { case (oldName, id) =>
+          currentNameOfId.get(id).map(oldName -> _) }
+        (k, remapFilter(f, rename))
+    }
+  }
+
+  /** Publishes a MANIFEST-ONLY merge-on-read DELETE commit: every
+    * prior file carries forward untouched, the predicate lands as
+    * `_DELETES.v<k>` (with the delete-time name→field-id map), and
+    * the manifest's atomic rename — last, as always — is the commit
+    * point: a crash before it leaves the `_DELETES` file invisible
+    * (readers scope application to committed versions). Returns k. */
+  private[io] def publishDeleteCommit(path: String,
+      colsToIds: Map[String, Long],
+      filter: org.apache.spark.sql.sources.Filter,
+      layout: Option[Seq[Long]]): Int = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val version = versionsOf(path).lastOption.getOrElse(0) + 1
+    val names = committedFilesOf(path)
+    val cols = new java.util.LinkedHashMap[String, Object]()
+    colsToIds.foreach { case (n, id) => cols.put(n, Long.box(id)) }
+    val root = new java.util.LinkedHashMap[String, Object]()
+    root.put("cols", cols)
+    root.put("filter", jmapper.readTree(filterToJson(filter)))
+    def writeAtomic(tmpName: String, target: Path, bytes: Array[Byte]): Unit = {
+      val tmp = new Path(path, tmpName)
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      fs.rename(tmp, target)
+    }
+    writeAtomic(s"_DELETES.tmp-${java.util.UUID.randomUUID()}",
+      new Path(path, s"_DELETES.v$version"),
+      jmapper.writeValueAsString(root).getBytes("UTF-8"))
+    layout.foreach { ids =>
+      writeAtomic(s"_LAYOUT.tmp-${java.util.UUID.randomUUID()}",
+        new Path(path, s"_LAYOUT.v$version"),
+        ids.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val manifestBytes = names.mkString("", "\n", "\n").getBytes("UTF-8")
+    writeAtomic(s"_MANIFEST.tmp-${java.util.UUID.randomUUID()}",
+      new Path(path, s"$ManifestFile.v$version"), manifestBytes)
+    val legacy = new Path(path, ManifestFile)
+    fs.delete(legacy, false)
+    writeAtomic(s"_MANIFEST.tmp-${java.util.UUID.randomUUID()}",
+      legacy, manifestBytes)
+    version
+  }
+
   /** The pushed v1 `Filter`s of a DELETE, rebuilt as one `Column`
     * (AND of all) — total over every shape Spark pushes, so
     * `canDeleteWhere` is simply "does this translation succeed". */
@@ -485,7 +794,17 @@ object AtomicSink {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val maps = idxMapsFor(path, names, schema)
-      def readGroup(files: Seq[String], idxMap: Array[Int])
+      val readVersion =
+        snapVersion.getOrElse(versionsOf(path).lastOption.getOrElse(0))
+      val dels = applicableDeletes(path, readVersion, schema)
+      // merge-on-read deletes applying to a file committed at j:
+      // those published at k > j (and <= the read version)
+      def delsFor(name: String): Seq[(Int, org.apache.spark.sql.sources.Filter)] = {
+        val j = versionOfFile(name).getOrElse(0)
+        dels.filter(_._1 > j)
+      }
+      def readGroup(files: Seq[String], idxMap: Array[Int],
+          fileDels: Seq[org.apache.spark.sql.sources.Filter])
           : org.apache.spark.sql.DataFrame = {
         val parts = split(col("value"), "\t", -1)
         val cols = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -506,11 +825,19 @@ object AtomicSink {
           }
           v.as(f.name)
         }
-        spark.read.text(files: _*).select(cols.toIndexedSeq: _*)
+        val base = spark.read.text(files: _*).select(cols.toIndexedSeq: _*)
+        // a row survives unless some applicable delete's condition is
+        // TRUE on it (NULL keeps — SQL DELETE semantics)
+        fileDels.foldLeft(base) { (df, f) =>
+          df.filter(!org.apache.spark.sql.functions.coalesce(
+            AtomicSink.filtersToColumn(Array(f)),
+            org.apache.spark.sql.functions.lit(false)))
+        }
       }
-      names.groupBy(n => maps(n).toSeq).values.toSeq
+      names.groupBy(n => (maps(n).toSeq, delsFor(n).map(_._1))).values
+        .toSeq
         .map(g => readGroup(g.map(n => new Path(path, n).toString),
-          maps(g.head)))
+          maps(g.head), delsFor(g.head).map(_._2)))
         .reduce(_ unionAll _)
     }
   }
@@ -576,9 +903,17 @@ object AtomicSink {
         case None => committedFilesOf(path)
       }
       val maps = idxMapsFor(path, names, schema)
-      names.map(n => TsvFilePartition(new Path(path, n).toString,
-        maps(n), null, 0L)
-        : org.apache.spark.sql.connector.read.InputPartition).toArray
+      val readVersion =
+        pinned.getOrElse(versionsOf(path).lastOption.getOrElse(0))
+      val dels = applicableDeletes(path, readVersion, schema)
+      names.map { n =>
+        val j = versionOfFile(n).getOrElse(0)
+        val fileDels = dels.filter(_._1 > j)
+          .map(d => filterToJson(d._2)).toArray
+        TsvFilePartition(new Path(path, n).toString,
+          maps(n), null, 0L, fileDels)
+          : org.apache.spark.sql.connector.read.InputPartition
+      }.toArray
     }
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -586,9 +921,12 @@ object AtomicSink {
   }
 
   /** `op`/`version` feed the changelog columns; `op == null` for
-    * plain (non-changelog) reads. */
+    * plain (non-changelog) reads. `deletes` carries the applicable
+    * merge-on-read predicates (JSON, names already remapped to the
+    * current schema) the reader must apply to THIS file's rows. */
   private case class TsvFilePartition(file: String, idxMap: Array[Int],
-      op: String, version: Long)
+      op: String, version: Long,
+      deletes: Array[String] = Array.empty)
       extends org.apache.spark.sql.connector.read.InputPartition
 
   private[io] case class VersionOffset(v: Long)
@@ -713,15 +1051,18 @@ object AtomicSink {
         : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[TsvFilePartition]
       new TsvRowReader(fp.file, schema, fp.idxMap,
-        if (changelog) fp else null)
+        if (changelog) fp else null, fp.deletes)
     }
   }
 
   /** `cdc != null` appends the two changelog columns from the
     * partition's op/version. `idxMap` resolves each schema field to
-    * its cell in THIS file's layout (-1 = absent → NULL). */
+    * its cell in THIS file's layout (-1 = absent → NULL); `deletes`
+    * are the applicable merge-on-read predicates, evaluated per row
+    * with SQL three-valued semantics (condition TRUE ⇒ row hidden). */
   private class TsvRowReader(file: String, schema: StructType,
-      idxMap: Array[Int], cdc: TsvFilePartition)
+      idxMap: Array[Int], cdc: TsvFilePartition,
+      deletes: Array[String] = Array.empty)
       extends org.apache.spark.sql.connector.read
         .PartitionReader[InternalRow] {
     private val in =
@@ -729,10 +1070,12 @@ object AtomicSink {
         .open(new Path(file))
     private val lines =
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    private val delFilters = deletes.map(filterFromJson)
+    private val fieldIdx: Map[String, Int] =
+      schema.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
     private var cur: InternalRow = _
-    override def next(): Boolean =
-      if (!lines.hasNext) false
-      else {
+    override def next(): Boolean = {
+      while (lines.hasNext) {
         val cells = lines.next().split("\t", -1)
         val base = schema.fields.zipWithIndex.map[Any] { case (f, i) =>
           val j = idxMap(i)
@@ -747,14 +1090,24 @@ object AtomicSink {
               s"unsupported $dt")
           }
         }
-        val vals =
-          if (cdc == null) base
-          else base :+ org.apache.spark.unsafe.types.UTF8String
-            .fromString(cdc.op) :+ cdc.version
-        cur = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(vals)
-        true
+        def cell(name: String): Any = base(fieldIdx(name)) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        }
+        val hidden = delFilters.exists(f =>
+          evalFilter(f, cell).contains(true))
+        if (!hidden) {
+          val vals =
+            if (cdc == null) base
+            else base :+ org.apache.spark.unsafe.types.UTF8String
+              .fromString(cdc.op) :+ cdc.version
+          cur = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals)
+          return true
+        }
       }
+      false
+    }
     override def get(): InternalRow = cur
     override def close(): Unit = in.close()
   }

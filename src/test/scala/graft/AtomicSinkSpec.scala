@@ -277,6 +277,82 @@ class AtomicSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE gcdc.t")
   }
 
+  test("merge-on-read DELETE: a manifest-only predicate commit — no " +
+    "rewrite, exact visible rows, delete-scoped to older files, " +
+    "rename-proof via field ids, time travel intact, changelog typed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-catalog-mor").toString
+    spark.conf.set("spark.sql.catalog.gmor", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gmor.root", root)
+    spark.conf.set("spark.graft.atomic.deleteMode", "mor")
+    try {
+      spark.sql("CREATE TABLE gmor.t (id BIGINT, v BIGINT)")
+      spark.sql("INSERT INTO gmor.t SELECT id, id % 7 FROM range(0, 60)")
+      val filesBefore = graft.io.AtomicSink
+        .committedFiles(spark, s"$root/t")
+      spark.sql("DELETE FROM gmor.t WHERE id >= 20 AND id < 35")
+      // 1. NO REWRITE: the delete commit carries the same data files
+      assert(graft.io.AtomicSink.committedFiles(spark, s"$root/t")
+        == filesBefore, "manifest-only commit: no data file rewritten")
+      assert(new java.io.File(s"$root/t/_DELETES.v2").exists())
+      // 2. visible rows exclude exactly the predicate's
+      assert(spark.sql("SELECT count(*) FROM gmor.t").head.getLong(0)
+        == 45L)
+      assert(spark.sql(
+        "SELECT count(*) FROM gmor.t WHERE id >= 20 AND id < 35")
+        .head.getLong(0) == 0L)
+      // 3. time travel: v1 (pre-delete) still serves all 60
+      assert(spark.sql("SELECT count(*) FROM gmor.t VERSION AS OF 1")
+        .head.getLong(0) == 60L)
+      // 4. a LATER insert of matching ids is NOT hidden (the
+      //    predicate is scoped to files older than its commit)
+      spark.sql("INSERT INTO gmor.t SELECT id, -1 FROM range(25, 28)")
+      assert(spark.sql(
+        "SELECT count(*) FROM gmor.t WHERE id >= 20 AND id < 35")
+        .head.getLong(0) == 3L, "re-inserted rows reappear")
+      // 5. RENAME after the delete: the predicate follows the field
+      //    id, so it still hides the old files' rows
+      spark.sql("ALTER TABLE gmor.t RENAME COLUMN id TO key")
+      assert(spark.sql("SELECT count(*) FROM gmor.t").head.getLong(0)
+        == 48L)
+      assert(spark.sql(
+        "SELECT count(*) FROM gmor.t WHERE key = 22").head.getLong(0)
+        == 0L, "renamed column: old rows stay deleted")
+      // 6. stacked second MOR delete
+      spark.sql("DELETE FROM gmor.t WHERE key < 5")
+      assert(spark.sql("SELECT count(*) FROM gmor.t").head.getLong(0)
+        == 43L)
+      // 7. the column a live predicate references cannot be dropped
+      intercept[Exception](
+        spark.sql("ALTER TABLE gmor.t DROP COLUMN key"))
+      // 8. the changelog serves the MOR deletes as typed rows with
+      //    their pre-image values
+      val ckpt = Files.createTempDirectory("gmor-ckpt").toString
+      val out = Files.createTempDirectory("gmor-out").toString
+      val q = spark.readStream.table("gmor.t__changes")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+      val log = spark.read.parquet(out)
+        .select("key", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(log.filter(t => t._2 == "delete" && t._3 == 2L)
+        .map(_._1).sorted.toSeq == (20L until 35L),
+        "first delete's pre-image rows, typed")
+      assert(log.count(_._2 == "insert") == 63,
+        "both inserts arrive as inserts")
+      // replay == state
+      val state = log.groupBy(_._1).filter { case (_, evs) =>
+        evs.count(_._2 == "insert") > evs.count(_._2 == "delete")
+      }.keys.toSeq.sorted
+      val want = spark.sql("SELECT key FROM gmor.t ORDER BY key")
+        .collect().map(_.getLong(0)).toSeq
+      assert(state == want, "replayed changelog == current snapshot")
+      spark.sql("DROP TABLE gmor.t")
+    } finally spark.conf.unset("spark.graft.atomic.deleteMode")
+  }
+
   test("expiration guard: a commit-feed consumer whose offset " +
     "precedes the earliest retained version FAILS loudly instead of " +
     "serving empty batches; failOnDataLoss=false skips with a warning") {
