@@ -506,16 +506,21 @@ class AtomicCatalog extends TableCatalog {
         require(s.fieldNames.contains(name), s"no such column $name")
         require(s.fields.length > 1,
           "cannot drop the last remaining column")
-        // a live merge-on-read delete predicate referencing this
+        // a LIVE merge-on-read delete predicate referencing this
         // column would become unevaluable — refuse (compact the
-        // table, or drop a different column)
+        // table first, or drop a different column). Predicates made
+        // inert by a compaction (no current file predates them) no
+        // longer block the drop.
         val fid = s.fields.find(_.name == name)
           .flatMap(AtomicSink.fieldIdOf)
+        val live = AtomicSink.livePredicateVersions(dir.toString)
         val referenced = AtomicSink.deletePredicates(dir.toString)
-          .flatMap(_._2.values).toSet
+          .collect { case (k, cols, _) if live.contains(k) =>
+            cols.values }.flatten.toSet
         require(!fid.exists(referenced.contains),
-          s"column $name is referenced by a merge-on-read DELETE " +
-            s"predicate (_DELETES.v*) and cannot be dropped")
+          s"column $name is referenced by a LIVE merge-on-read DELETE " +
+            s"predicate (_DELETES.v*) and cannot be dropped — compact " +
+            s"the table first (AtomicSink.compact)")
         org.apache.spark.sql.types.StructType(
           s.fields.filterNot(_.name == name))
       case (_, other) => throw new UnsupportedOperationException(

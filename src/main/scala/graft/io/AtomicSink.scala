@@ -742,6 +742,41 @@ object AtomicSink {
     version
   }
 
+  /** COMPACTION (the OPTIMIZE/rewrite-files maintenance op): rewrites
+    * the CURRENT visible rows — merge-on-read predicates applied — as
+    * one fresh REPLACEMENT snapshot. After it, every `_DELETES.v<k>`
+    * is INERT for current reads (the new manifest's files all carry a
+    * version > k) though retained for time travel of older versions,
+    * and a DROP COLUMN the live-predicate guard refused becomes legal
+    * again. The changelog face records the commit as `!fresh=skip`
+    * with no delete image: a compaction changes NOTHING logically, so
+    * it contributes no change rows. (The PLAIN commit feed, being an
+    * append feed, re-serves the rewritten rows — same documented
+    * caveat as any rewrite.) Returns the compaction's commit version.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              schema: StructType): Int = {
+    val rows = readSnapshot(spark, path, schema, None)
+    val w = rows.write.format("graft.io.AtomicSink")
+      .option("path", path).mode("append")
+    layoutIdsOf(schema).foreach(ids => w.option("layout", ids.mkString(",")))
+    w.save()
+    val k = versionsOf(path).last
+    writeCdcList(path, k, "skip", Seq.empty)
+    k
+  }
+
+  /** Versions of merge-on-read predicates that still apply to some
+    * file of the CURRENT manifest — the set that matters for the
+    * DROP-COLUMN guard (a compaction empties it). */
+  private[io] def livePredicateVersions(path: String): Set[Int] = {
+    val current = committedFilesOf(path)
+      .map(n => versionOfFile(n).getOrElse(0))
+    deletePredicates(path).collect {
+      case (k, _, _) if current.exists(_ < k) => k
+    }.toSet
+  }
+
   /** The pushed v1 `Filter`s of a DELETE, rebuilt as one `Column`
     * (AND of all) — total over every shape Spark pushes, so
     * `canDeleteWhere` is simply "does this translation succeed". */

@@ -349,7 +349,55 @@ class AtomicSinkSpec extends SparkSpec {
       val want = spark.sql("SELECT key FROM gmor.t ORDER BY key")
         .collect().map(_.getLong(0)).toSeq
       assert(state == want, "replayed changelog == current snapshot")
+      // 9. COMPACTION: one rewrite makes every predicate inert for
+      //    current reads (same visible rows, all-fresh manifest),
+      //    keeps time travel, contributes NO change rows, and
+      //    releases the DROP guard
+      val before = spark.sql("SELECT sum(key) FROM gmor.t").head.getLong(0)
+      val ck = graft.io.AtomicSink.compact(spark, s"$root/t",
+        spark.table("gmor.t").schema)
+      assert(graft.io.AtomicSink.committedFiles(spark, s"$root/t")
+        .forall(_.startsWith(s"v$ck-")), "compaction = replacement snapshot")
+      assert(spark.sql("SELECT sum(key) FROM gmor.t").head.getLong(0)
+        == before, "compaction changes nothing visible")
+      assert(spark.sql("SELECT count(*) FROM gmor.t VERSION AS OF 1")
+        .head.getLong(0) == 60L, "time travel intact after compaction")
+      val q2 = spark.readStream.table("gmor.t__changes")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(); q2.stop()
+      assert(spark.read.parquet(out).count() == log.length,
+        "a compaction contributes no change rows")
+      // the SAME column step 7 refused now drops: predicates inert
+      spark.sql("ALTER TABLE gmor.t DROP COLUMN key")
+      assert(spark.table("gmor.t").schema.fieldNames.toSeq == Seq("v"))
       spark.sql("DROP TABLE gmor.t")
+    } finally spark.conf.unset("spark.graft.atomic.deleteMode")
+  }
+
+  test("merge-on-read + VACUUM: expiring pre-delete snapshots keeps " +
+    "the current (predicate-filtered) view exact and reads expired " +
+    "versions as empty, never as un-deleted rows") {
+    val root = Files.createTempDirectory("graft-morvac").toString
+    spark.conf.set("spark.sql.catalog.gmv", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gmv.root", root)
+    spark.conf.set("spark.graft.atomic.deleteMode", "mor")
+    try {
+      spark.sql("CREATE TABLE gmv.t (id BIGINT)")
+      spark.sql("INSERT INTO gmv.t SELECT id FROM range(0, 40)")
+      spark.sql("DELETE FROM gmv.t WHERE id < 10")
+      graft.io.AtomicSink.expireSnapshots(s"$root/t", keepLast = 1)
+      // current view: predicate still applies to the carried files
+      assert(spark.sql("SELECT count(*) FROM gmv.t").head.getLong(0)
+        == 30L)
+      assert(spark.sql("SELECT min(id) FROM gmv.t").head.getLong(0)
+        == 10L)
+      // the expired pre-delete snapshot reads EMPTY (manifest gone),
+      // never as 40 un-deleted rows
+      assert(spark.sql("SELECT count(*) FROM gmv.t VERSION AS OF 1")
+        .head.getLong(0) == 0L)
+      spark.sql("DROP TABLE gmv.t")
     } finally spark.conf.unset("spark.graft.atomic.deleteMode")
   }
 
