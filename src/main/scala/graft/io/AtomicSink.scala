@@ -687,18 +687,51 @@ object AtomicSink {
 
   /** The deletes a read at `readVersion` must apply, with attribute
     * names remapped to the CURRENT schema: Seq of (k, filter) — a
-    * file committed at version j is subject to those with j < k. */
+    * file committed at version j is subject to those with j < k.
+    * A predicate referencing a field id the current schema no longer
+    * has (its column was dropped AFTER a compaction made the
+    * predicate inert for current reads, and this is a TIME-TRAVEL
+    * read into its live range) fails LOUDLY: evaluating it against
+    * the projected schema is impossible, and serving the rows
+    * un-deleted would be silently wrong. */
   private[io] def applicableDeletes(path: String, readVersion: Int,
-      schema: StructType): Seq[(Int, org.apache.spark.sql.sources.Filter)] = {
+      schema: StructType)
+      : Seq[(Int, Either[String, org.apache.spark.sql.sources.Filter])] = {
     val currentNameOfId: Map[Long, String] = schema.fields
       .flatMap(f => fieldIdOf(f).map(_ -> f.name)).toMap
     deletePredicates(path).filter(_._1 <= readVersion).map {
       case (k, cols, f) =>
-        val rename = cols.flatMap { case (oldName, id) =>
-          currentNameOfId.get(id).map(oldName -> _) }
-        (k, remapFilter(f, rename))
+        val missing = cols.filterNot { case (_, id) =>
+          currentNameOfId.contains(id) }
+        if (missing.nonEmpty)
+          // unevaluable — only an ERROR if some file being read
+          // actually needs it (a current read after a compaction
+          // never does; a time-travel read into the predicate's live
+          // range does, and must fail rather than serve rows
+          // un-deleted)
+          (k, Left(
+            s"merge-on-read delete v$k of $path references dropped " +
+              s"column(s) ${missing.keys.mkString(", ")} — this " +
+              s"historical read predates the compaction that retired " +
+              s"the predicate and cannot be served through the " +
+              s"current schema"))
+        else {
+          val rename = cols.flatMap { case (oldName, id) =>
+            currentNameOfId.get(id).map(oldName -> _) }
+          (k, Right(remapFilter(f, rename)))
+        }
     }
   }
+
+  /** Resolves the predicates a file at version `j` must apply, or
+    * throws if one of them is unevaluable (see [[applicableDeletes]]). */
+  private[io] def resolveFileDeletes(
+      dels: Seq[(Int, Either[String, org.apache.spark.sql.sources.Filter])],
+      j: Int): Seq[org.apache.spark.sql.sources.Filter] =
+    dels.filter(_._1 > j).map {
+      case (_, Right(f)) => f
+      case (_, Left(msg)) => throw new IllegalStateException(msg)
+    }
 
   /** Publishes a MANIFEST-ONLY merge-on-read DELETE commit: every
     * prior file carries forward untouched, the predicate lands as
@@ -834,10 +867,12 @@ object AtomicSink {
       val dels = applicableDeletes(path, readVersion, schema)
       // merge-on-read deletes applying to a file committed at j:
       // those published at k > j (and <= the read version)
-      def delsFor(name: String): Seq[(Int, org.apache.spark.sql.sources.Filter)] = {
+      def delVersionsFor(name: String): Seq[Int] = {
         val j = versionOfFile(name).getOrElse(0)
-        dels.filter(_._1 > j)
+        dels.filter(_._1 > j).map(_._1)
       }
+      def delsFor(name: String): Seq[org.apache.spark.sql.sources.Filter] =
+        resolveFileDeletes(dels, versionOfFile(name).getOrElse(0))
       def readGroup(files: Seq[String], idxMap: Array[Int],
           fileDels: Seq[org.apache.spark.sql.sources.Filter])
           : org.apache.spark.sql.DataFrame = {
@@ -869,10 +904,10 @@ object AtomicSink {
             org.apache.spark.sql.functions.lit(false)))
         }
       }
-      names.groupBy(n => (maps(n).toSeq, delsFor(n).map(_._1))).values
+      names.groupBy(n => (maps(n).toSeq, delVersionsFor(n))).values
         .toSeq
         .map(g => readGroup(g.map(n => new Path(path, n).toString),
-          maps(g.head), delsFor(g.head).map(_._2)))
+          maps(g.head), delsFor(g.head)))
         .reduce(_ unionAll _)
     }
   }
@@ -942,9 +977,8 @@ object AtomicSink {
         pinned.getOrElse(versionsOf(path).lastOption.getOrElse(0))
       val dels = applicableDeletes(path, readVersion, schema)
       names.map { n =>
-        val j = versionOfFile(n).getOrElse(0)
-        val fileDels = dels.filter(_._1 > j)
-          .map(d => filterToJson(d._2)).toArray
+        val fileDels = resolveFileDeletes(dels,
+          versionOfFile(n).getOrElse(0)).map(filterToJson).toArray
         TsvFilePartition(new Path(path, n).toString,
           maps(n), null, 0L, fileDels)
           : org.apache.spark.sql.connector.read.InputPartition

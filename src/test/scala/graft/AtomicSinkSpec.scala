@@ -372,6 +372,18 @@ class AtomicSinkSpec extends SparkSpec {
       // the SAME column step 7 refused now drops: predicates inert
       spark.sql("ALTER TABLE gmor.t DROP COLUMN key")
       assert(spark.table("gmor.t").schema.fieldNames.toSeq == Seq("v"))
+      // 10. current reads stay fine after the drop (predicates inert),
+      //     but TIME TRAVEL into a retired predicate's live range must
+      //     fail LOUDLY — it cannot evaluate a dropped column, and
+      //     serving the rows un-deleted would be silently wrong
+      assert(spark.sql("SELECT count(*) FROM gmor.t").head.getLong(0)
+        == 43L)
+      val tt = intercept[Exception](spark.sql(
+        "SELECT count(*) FROM gmor.t VERSION AS OF 2").collect())
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs(tt).contains("dropped column"), msgs(tt))
       spark.sql("DROP TABLE gmor.t")
     } finally spark.conf.unset("spark.graft.atomic.deleteMode")
   }
