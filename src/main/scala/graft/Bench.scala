@@ -56,14 +56,20 @@ import org.apache.spark.sql.SparkSession
   *    `SPARK_GRAFT_ISOLATED_BASELINE`) holds the committed
   *    isolated-lane numbers, the JSON gains
   *    `interleaved_over_isolated` — per-query ratio for every query
-  *    ≥ 5× its isolated time — so a poisoned lane is visible in the
-  *    driver artifact itself instead of needing a post-hoc bisect.
+  *    ≥ 5× its isolated time AND ≥ 1 s over it (round-14 change: the
+  *    pure-ratio bar branded sub-second lanes with ~1 s of absolute
+  *    host scheduling noise two rounds running; a real stall clears
+  *    1 s by orders of magnitude) — so a poisoned lane is visible in
+  *    the driver artifact itself instead of needing a post-hoc bisect.
   *  - n=1 self-heal: when a noisy host slowed the pass enough that no
   *    second one fit the budget, the single pass carries every
   *    one-off cache/codegen build and the cache-heavy lanes flag
-  *    mechanically. Re-timing JUST the flagged lanes (warm — seconds,
-  *    not a pass) gives each the steady-state sample pass 2 would
-  *    have contributed, leaving only GENUINE stalls in the telemetry.
+  *    mechanically. Re-timing JUST the flagged lanes (warm, min-of-2 —
+  *    seconds, not a pass) gives each the steady-state sample pass 2
+  *    would have contributed, leaving only GENUINE stalls in the
+  *    telemetry; healed lanes are disclosed under `retimed` (lane →
+  *    original pass-1 time) so the artifact never silently relabels a
+  *    retried number as an interleaved-pass min.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -174,10 +180,17 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     }
+    // A lane is a stall only when BOTH hold: ≥5× its isolated cost AND
+    // ≥1 s absolute excess. The ratio alone branded four sub-second
+    // lanes (0.09–0.28 s isolated) in rounds 12–13 whose entire
+    // "stall" was ~0.5–1.3 s of host scheduling noise — a floor no
+    // plan change can remove and the warm retry can't reliably beat.
+    // A genuine positional stall (the round-11 q275→q278 poisoning
+    // cost 150 s) clears a 1 s absolute bar by orders of magnitude.
     def stallNames(rs: Seq[(String, Double, Boolean)]): Seq[String] =
       rs.collect {
         case (name, v, false) if v > 0 && isolatedBaseline.get(name)
-          .exists(iso => iso > 0 && v >= 5 * iso) => name
+          .exists(iso => iso > 0 && v >= 5 * iso && v - iso >= 1.0) => name
       }
     // SELF-HEALING for the degraded n=1 case: when only one pass fit
     // the budget (a noisy host makes a pass ~1.5× slower), that single
@@ -187,22 +200,40 @@ object Bench {
     // lanes costs seconds (caches are warm now), gives each the
     // steady-state sample the min would have taken from pass 2, and
     // leaves only GENUINE stalls in the telemetry.
+    // Healed lanes are recorded in the artifact (`retimed`: lane →
+    // original pass-1 time) so a reader can distinguish a lane whose
+    // reported number came from a warm retry from one that measured
+    // clean in the interleaved passes — the min-splice alone made the
+    // artifact's "min of interleaved passes" label a lie for them.
+    var retimed = Map.empty[String, Double]
     if (nUsed == 1) {
       val flagged = stallNames(results).toSet
       if (flagged.nonEmpty) {
         System.err.println(s"BENCH RETRY (n=1): re-timing " +
           s"${flagged.size} flagged lanes warm: ${flagged.mkString(",")}")
-        val retry = ordered.zipWithIndex.collect {
-          case ((name, fn), i) if flagged(name) =>
-            val t0 = System.nanoTime()
-            val ok = (if (noWatchdog)
-              try { run(fn(spark, sfDir)); Right(()) }
-              catch { case t: Throwable => Left(t.toString) }
-            else Watchdog.run(spark, s"bench-retry-$name", qTimeoutSec) {
-              run(fn(spark, sfDir))
-            }).isRight
-            (name, (System.nanoTime() - t0) / 1e9, ok)
-        }.collect { case (name, dt, true) => name -> dt }.toMap
+        // min-of-2 warm attempts: one warm sample can still catch a GC
+        // pause; two temporally-separated ones make the heal robust
+        def attempt(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+            : Option[Double] = {
+          val t0 = System.nanoTime()
+          val ok = (if (noWatchdog)
+            try { run(fn(spark, sfDir)); Right(()) }
+            catch { case t: Throwable => Left(t.toString) }
+          else Watchdog.run(spark, s"bench-retry-$name", qTimeoutSec) {
+            run(fn(spark, sfDir))
+          }).isRight
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        val lanes = ordered.filter { case (name, _) => flagged(name) }
+        val retry = lanes.flatMap { case (name, fn) =>
+          val ts = Seq(attempt(name, fn), attempt(name, fn)).flatten
+          if (ts.isEmpty) None else Some(name -> ts.min)
+        }.toMap
+        retimed = results.collect {
+          case (name, v, false)
+            if retry.contains(name) && retry(name) < v => name -> v
+        }.toMap
         results = results.map {
           case (name, v, false) if retry.contains(name) =>
             (name, math.min(v, retry(name)), false)
@@ -246,7 +277,10 @@ object Bench {
     // cites this number; it is never hand-maintained)
     val warmupOnly = transientFailed.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"queries":$qs,"failed":$nFailed,"warmup_failed":$warmupOnly,"interleaved_over_isolated":$stalls,"skew":$skew,"sf":"$sfDir","n":$nUsed,"action":"noop_write_min_of_interleaved_passes"}"""
+    val retimedJson = retimed.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"queries":$qs,"failed":$nFailed,"warmup_failed":$warmupOnly,"interleaved_over_isolated":$stalls,"retimed":$retimedJson,"skew":$skew,"sf":"$sfDir","n":$nUsed,"action":"noop_write_min_of_interleaved_passes"}"""
     println(line)
     // sidecar copy: the committed per-round artifact regardless of how
     // much stdout the harness tails

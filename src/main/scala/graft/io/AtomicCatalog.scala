@@ -360,40 +360,69 @@ class AtomicCatalog extends TableCatalog {
   private def hasSchema(dir: Path): Boolean =
     schemaVersions(dir).nonEmpty || fs.exists(legacySchemaFile(dir))
 
-  private def readSchemaAt(p: Path): StructType = {
+  /** (schema, appliesFromCommit): the first COMMIT version this
+    * schema serves reads for — recorded since round 14 inside the
+    * schema JSON (`{"appliesFromCommit":N,"schema":{…}}`) so
+    * `VERSION AS OF` can serve the snapshot's OWN schema (the
+    * Iceberg/Delta contract) instead of the current one. Legacy
+    * files are raw StructType JSON → appliesFrom None. */
+  private def readSchemaAt(p: Path): (StructType, Option[Long]) = {
     val in = fs.open(p)
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    DataType.fromJson(json).asInstanceOf[StructType]
+    val root =
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    if (root.has("appliesFromCommit"))
+      (DataType.fromJson(root.get("schema").toString)
+        .asInstanceOf[StructType],
+        Some(root.get("appliesFromCommit").asLong()))
+    else (DataType.fromJson(json).asInstanceOf[StructType], None)
   }
 
   private def readSchema(ident: Identifier): StructType = {
     val dir = dirOf(ident)
     schemaVersions(dir).lastOption match {
-      case Some(v) => readSchemaAt(schemaFile(dir, v))
+      case Some(v) => readSchemaAt(schemaFile(dir, v))._1
       case None =>
         val legacy = legacySchemaFile(dir)
         if (!fs.exists(legacy)) throw new NoSuchTableException(ident)
-        readSchemaAt(legacy)
+        readSchemaAt(legacy)._1
     }
+  }
+
+  /** The schema IN EFFECT at commit `commitV`: the highest schema
+    * version whose `appliesFromCommit` ≤ commitV. Legacy schema
+    * versions (no marker — written before round 14) count as
+    * appliesFrom = 1, which degrades to the old serve-the-latest
+    * behavior for fully-legacy tables and stays exact for tables
+    * whose ALTERs all carry the marker. */
+  private def schemaAtCommit(dir: Path, commitV: Int): Option[StructType] = {
+    val cands = schemaVersions(dir)
+      .map(sv => readSchemaAt(schemaFile(dir, sv)))
+      .map { case (s, af) => (s, af.getOrElse(1L)) }
+    cands.filter(_._2 <= commitV).lastOption.map(_._1)
   }
 
   /** Next unused field id: the max across EVERY retained schema
     * version (ids are never reused, even after a DROP removed one
     * from the current schema). */
   private def nextFieldId(dir: Path): Long = {
-    val all = schemaVersions(dir).map(v => readSchemaAt(schemaFile(dir, v))) ++
+    val all = schemaVersions(dir)
+      .map(v => readSchemaAt(schemaFile(dir, v))._1) ++
       (if (fs.exists(legacySchemaFile(dir)))
-        Seq(readSchemaAt(legacySchemaFile(dir))) else Seq.empty)
+        Seq(readSchemaAt(legacySchemaFile(dir))._1) else Seq.empty)
     val ids = all.flatMap(_.fields.flatMap(AtomicSink.fieldIdOf))
     if (ids.isEmpty) 1L else ids.max + 1L
   }
 
-  private def writeSchema(dir: Path, v: Int, schema: StructType): Unit = {
+  private def writeSchema(dir: Path, v: Int, schema: StructType,
+      appliesFromCommit: Long): Unit = {
     val tmp = new Path(dir, s"_SCHEMA.tmp-${java.util.UUID.randomUUID()}")
+    val payload =
+      s"""{"appliesFromCommit":$appliesFromCommit,"schema":${schema.json}}"""
     val out = fs.create(tmp, true)
-    try out.write(schema.json.getBytes("UTF-8"))
+    try out.write(payload.getBytes("UTF-8"))
     finally out.close()
     // atomic rename to a NEVER-pre-existing name — the commit point
     fs.rename(tmp, schemaFile(dir, v))
@@ -423,10 +452,19 @@ class AtomicCatalog extends TableCatalog {
       new AtomicSink.SinkTable(dirOf(ident).toString, readSchema(ident),
         accumulateAppends = true)
 
-  /** `VERSION AS OF v` — serves the pinned snapshot read-only. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    new AtomicSink.SinkTable(dirOf(ident).toString, readSchema(ident),
-      pinnedVersion = Some(version.trim.toInt))
+  /** `VERSION AS OF v` — serves the pinned snapshot read-only, under
+    * the schema IN EFFECT at that commit (round-14 change): a rename
+    * shows the OLD column name, a later-added column is absent, and a
+    * merge-on-read predicate whose column was dropped AFTER a
+    * compaction still evaluates — the historical read is served
+    * correctly instead of failing on the current schema. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.trim.toInt
+    val schema = schemaAtCommit(dirOf(ident), v)
+      .getOrElse(readSchema(ident))
+    new AtomicSink.SinkTable(dirOf(ident).toString, schema,
+      pinnedVersion = Some(v))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     hasSchema(dirOf(ident))
@@ -443,7 +481,7 @@ class AtomicCatalog extends TableCatalog {
     val withIds = org.apache.spark.sql.types.StructType(
       schema.fields.zipWithIndex.map { case (f, i) =>
         AtomicSink.withFieldId(f, i + 1L) })
-    writeSchema(dir, 1, withIds)
+    writeSchema(dir, 1, withIds, appliesFromCommit = 1L)
     new AtomicSink.SinkTable(dir.toString, withIds,
       accumulateAppends = true)
   }
@@ -471,7 +509,16 @@ class AtomicCatalog extends TableCatalog {
       else org.apache.spark.sql.types.StructType(
         schema.fields.zipWithIndex.map { case (f, i) =>
           AtomicSink.withFieldId(f, i + 1L) })
-    var freshId = nextFieldId(dir)
+    // `nextFieldId` scans only PERSISTED schemas; for a legacy table
+    // the positional ids 1..n were just assigned in-memory above and
+    // exist nowhere on disk, so it would hand out id 1 again and the
+    // first ADD COLUMN would silently alias column 1 (idxMapFor
+    // resolves both fields to the same cell — the positional-read
+    // trap the id mapping exists to prevent). Fresh ids must clear
+    // BOTH the persisted history and `based`.
+    var freshId = math.max(nextFieldId(dir),
+      based.fields.flatMap(AtomicSink.fieldIdOf)
+        .foldLeft(0L)(math.max) + 1L)
     val next = changes.foldLeft(based) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -526,7 +573,14 @@ class AtomicCatalog extends TableCatalog {
       case (_, other) => throw new UnsupportedOperationException(
         s"AtomicCatalog supports ADD/RENAME/DROP COLUMN, got $other")
     }
-    writeSchema(dir, schemaVersions(dir).lastOption.getOrElse(0) + 1, next)
+    // the altered schema serves reads from the NEXT commit on — the
+    // commits already published (≤ the current latest) were written
+    // and read under the previous schema, which stays what a
+    // `VERSION AS OF` pinned at them serves
+    val appliesFrom =
+      AtomicSink.versionsOf(dir.toString).lastOption.getOrElse(0) + 1L
+    writeSchema(dir, schemaVersions(dir).lastOption.getOrElse(0) + 1,
+      next, appliesFrom)
     new AtomicSink.SinkTable(dir.toString, next, accumulateAppends = true)
   }
 

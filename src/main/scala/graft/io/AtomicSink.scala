@@ -311,15 +311,21 @@ object AtomicSink {
       // the CDC sidecar (the deleted rows' pre-image) is the same as
       // the copy-on-write path's. Requires field ids (catalog
       // tables), because the predicate must survive later renames.
+      // a predicate `canDeleteWhere` accepted (filtersToColumn is
+      // total over the pushed shapes) but whose JSON serialization is
+      // not (an exotic literal type) falls back to the copy-on-write
+      // rewrite below rather than failing a DELETE Spark already
+      // committed to row-level handling
+      val one = filters.toSeq
+        .reduceOption(org.apache.spark.sql.sources.And(_, _))
+        .getOrElse(org.apache.spark.sql.sources.AlwaysTrue())
       if (spark.conf.getOption("spark.graft.atomic.deleteMode")
-          .contains("mor")) {
+          .contains("mor") &&
+          scala.util.Try(AtomicSink.filterToJson(one)).isSuccess) {
         val colsToIds = schema.fields
           .flatMap(f => AtomicSink.fieldIdOf(f).map(f.name -> _)).toMap
         require(colsToIds.size == schema.fields.length,
           "merge-on-read DELETE requires a catalog table (field ids)")
-        val one = filters.toSeq
-          .reduceOption(org.apache.spark.sql.sources.And(_, _))
-          .getOrElse(org.apache.spark.sql.sources.AlwaysTrue())
         val k = AtomicSink.publishDeleteCommit(path, colsToIds, one,
           layoutOpt)
         AtomicSink.writeCdcSidecar(spark, path, k, snap.filter(hit),
@@ -477,6 +483,9 @@ object AtomicSink {
     def vNode(v: Any): java.util.Map[String, Object] = {
       val m = new java.util.LinkedHashMap[String, Object]()
       v match {
+        // NULL first: a pushed `c <=> NULL` arrives as
+        // EqualNullSafe(c, null) and `other.getClass` would NPE
+        case null => m.put("t", "null")
         case l: Long => m.put("t", "long"); m.put("v", Long.box(l))
         case i: Int => m.put("t", "long"); m.put("v", Long.box(i.toLong))
         case s: Short => m.put("t", "long"); m.put("v", Long.box(s.toLong))
@@ -487,7 +496,8 @@ object AtomicSink {
         case u: org.apache.spark.unsafe.types.UTF8String =>
           m.put("t", "string"); m.put("v", u.toString)
         case other => throw new IllegalArgumentException(
-          s"unsupported DELETE literal type: ${other.getClass}")
+          s"unsupported DELETE literal type: ${other.getClass} — " +
+            s"AtomicSink columns are long/double/string")
       }
       m
     }
@@ -534,6 +544,7 @@ object AtomicSink {
     val root = jmapper.readTree(s)
     def value(n: com.fasterxml.jackson.databind.JsonNode): Any =
       n.get("t").asText() match {
+        case "null" => null
         case "long" => n.get("v").asLong()
         case "double" => n.get("v").asDouble()
         case "string" => n.get("v").asText()
@@ -577,13 +588,22 @@ object AtomicSink {
     import org.apache.spark.sql.sources._
     def cmp(a: String, v: Any): Option[Int] = {
       val c = cell(a)
-      if (c == null) None
+      if (c == null || v == null) None // comparison with NULL = UNKNOWN
       else Some((c, v) match {
         case (x: Long, y: Long) => java.lang.Long.compare(x, y)
         case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
         case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
         case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-        case (x: String, y: String) => x.compareTo(y)
+        case (x: String, y: String) =>
+          // UTF8String binary (UTF-8 byte) order, NOT String.compareTo
+          // (UTF-16 code-unit order): the Catalyst path (readSnapshot's
+          // filtersToColumn) compares strings as UTF8String, and the
+          // two read paths of one table must agree on which rows a
+          // range predicate deletes — they differ on supplementary-
+          // plane characters
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(
+              org.apache.spark.unsafe.types.UTF8String.fromString(y))
         case (x, y) => throw new IllegalArgumentException(
           s"type mismatch evaluating $a: ${x.getClass} vs ${y.getClass}")
       })
@@ -597,14 +617,19 @@ object AtomicSink {
     f match {
       case EqualTo(a, v) => cmp(a, v).map(_ == 0)
       case EqualNullSafe(a, v) =>
-        Some(cell(a) != null && cmp(a, v).contains(0))
+        if (v == null) Some(cell(a) == null) // `a <=> NULL` = a IS NULL
+        else Some(cell(a) != null && cmp(a, v).contains(0))
       case GreaterThan(a, v) => cmp(a, v).map(_ > 0)
       case GreaterThanOrEqual(a, v) => cmp(a, v).map(_ >= 0)
       case LessThan(a, v) => cmp(a, v).map(_ < 0)
       case LessThanOrEqual(a, v) => cmp(a, v).map(_ <= 0)
       case In(a, vs) =>
         if (cell(a) == null) None
-        else Some(vs.exists(v => cmp(a, v).contains(0)))
+        else if (vs.exists(v => cmp(a, v).contains(0))) Some(true)
+        // `a IN (…, NULL)` with no match = UNKNOWN, not FALSE — under
+        // NOT IN the difference deletes rows it must keep
+        else if (vs.contains(null)) None
+        else Some(false)
       case IsNull(a) => Some(cell(a) == null)
       case IsNotNull(a) => Some(cell(a) != null)
       case And(l, r) =>

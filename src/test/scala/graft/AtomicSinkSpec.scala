@@ -373,17 +373,26 @@ class AtomicSinkSpec extends SparkSpec {
       spark.sql("ALTER TABLE gmor.t DROP COLUMN key")
       assert(spark.table("gmor.t").schema.fieldNames.toSeq == Seq("v"))
       // 10. current reads stay fine after the drop (predicates inert),
-      //     but TIME TRAVEL into a retired predicate's live range must
-      //     fail LOUDLY — it cannot evaluate a dropped column, and
-      //     serving the rows un-deleted would be silently wrong
+      //     and TIME TRAVEL into the retired predicate's live range is
+      //     served CORRECTLY under the snapshot's OWN schema (round-14
+      //     change, the Iceberg contract): commit 2 predates both the
+      //     rename and the drop, so it reads through schema v1 — the
+      //     column is named `id` again, the dropped column evaluates,
+      //     and the MOR predicate applies exactly
       assert(spark.sql("SELECT count(*) FROM gmor.t").head.getLong(0)
         == 43L)
-      val tt = intercept[Exception](spark.sql(
-        "SELECT count(*) FROM gmor.t VERSION AS OF 2").collect())
-      def msgs(t: Throwable): String =
-        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-      assert(msgs(tt).contains("dropped column"), msgs(tt))
+      val tt = spark.sql(
+        "SELECT count(*) AS n, min(id) AS lo FROM gmor.t VERSION AS OF 2")
+        .head
+      assert(tt.getLong(0) == 45L,
+        "historical read applies the retired predicate under the old schema")
+      assert(tt.getLong(1) == 0L)
+      assert(spark.sql("SELECT * FROM gmor.t VERSION AS OF 2")
+        .schema.fieldNames.toSeq == Seq("id", "v"),
+        "time travel serves the snapshot's own schema (pre-rename name)")
+      // post-rename, pre-drop commit 4: column named `key`
+      assert(spark.sql("SELECT * FROM gmor.t VERSION AS OF 4")
+        .schema.fieldNames.toSeq == Seq("key", "v"))
       spark.sql("DROP TABLE gmor.t")
     } finally spark.conf.unset("spark.graft.atomic.deleteMode")
   }
