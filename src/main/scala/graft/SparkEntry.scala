@@ -1174,6 +1174,16 @@ object SparkEntry {
     // readers hide matching rows in files older than the delete
     "q353_mor_delete" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.morDelete(s)),
+    // SQL MERGE INTO: group-based copy-on-write rewrite — delete /
+    // update / insert arms in ONE replacement commit (flag pinned),
+    // pre-merge snapshot time-travelable
+    "q354_sql_merge" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.sqlMerge(s)),
+    // SQL UPDATE: the update-only group rewrite — one replacement
+    // commit, untouched rows copied through, pre-update sum pinned
+    // via VERSION AS OF
+    "q355_sql_update" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.sqlUpdate(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6784,6 +6794,39 @@ object SparkEntry {
         |  CAST(1000 AS BIGINT) AS pre_delete_rows,
         |  CAST(1 AS BIGINT) AS no_rewrite
         |FROM vis GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q354: the merged state in closed form — 0..599 untouched,
+    // matched 600..799 updated (multiples of 3 deleted), not-matched
+    // 800..999 inserted; pre_merge_rows pins VERSION AS OF 1,
+    // one_commit pins the single replacement commit (driver-derived,
+    // the q342 convention)
+    "q354_sql_merge" ->
+      """WITH merged AS (
+        |  SELECT range AS id, (range * range) % 83 AS v
+        |  FROM range(0, 600)
+        |  UNION ALL
+        |  SELECT range, range * 2 FROM range(600, 800)
+        |  WHERE range % 3 <> 0
+        |  UNION ALL
+        |  SELECT range, CASE WHEN range % 3 = 0 THEN -1
+        |                     ELSE range * 2 END
+        |  FROM range(800, 1000))
+        |SELECT id % 7 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(800 AS BIGINT) AS pre_merge_rows,
+        |  CAST(1 AS BIGINT) AS one_commit
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q355: post-update state in closed form; pre_update_v_sum pins
+    // the VERSION AS OF 1 aggregate, one_commit the replacement shape
+    "q355_sql_update" ->
+      """WITH t AS (SELECT range AS id, (range * 3) % 31 AS v
+        |  FROM range(900)),
+        |upd AS (SELECT id,
+        |  CASE WHEN id % 5 = 0 THEN v * 2 + 1 ELSE v END AS v FROM t)
+        |SELECT id % 6 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST((SELECT SUM(v) FROM t) AS BIGINT) AS pre_update_v_sum,
+        |  CAST(1 AS BIGINT) AS one_commit
+        |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // q337: surviving rows of the closed-form table after the
     // predicate delete; v1_rows pins the time-travel count
     "q337_table_delete" ->

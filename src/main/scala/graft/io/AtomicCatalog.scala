@@ -270,6 +270,87 @@ object CatalogLifecycle {
     } finally spark.conf.unset("spark.graft.atomic.deleteMode")
   }
 
+  /** q354's driver: SQL `MERGE INTO` — Spark's GROUP-BASED row-level
+    * rewrite over the catalog table (the Iceberg copy-on-write MERGE
+    * shape): matched-delete, matched-update and not-matched-insert
+    * arms land as ONE replacement commit through the same two-phase
+    * protocol as every write. The oracle pins the merged state in
+    * closed form, the pre-merge `VERSION AS OF` count, and the
+    * one_commit flag (every current file carries the merge's own
+    * version — planner-derived, the q342 convention). */
+  def sqlMerge(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * id) % 83 FROM range(0, 800)")
+    spark.sql(
+      s"""MERGE INTO gtab.$t dst
+         |USING (SELECT id, CASE WHEN id % 3 = 0 THEN -1L
+         |                       ELSE id * 2 END AS v
+         |       FROM range(600, 1000)) src
+         |ON dst.id = src.id
+         |WHEN MATCHED AND src.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)
+         |""".stripMargin)
+    val dir = s"$root/$t"
+    val mergeV = AtomicSink.versions(spark, dir).last
+    val oneCommit = AtomicSink.committedFiles(spark, dir)
+      .forall(_.startsWith(s"v$mergeV-"))
+    val v1Rows = spark.sql(
+      s"SELECT count(*) FROM gtab.$t VERSION AS OF 1").head.getLong(0)
+    val out = spark.sql(
+      s"""SELECT (id % 7) AS g, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS v_sum
+         |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
+      .withColumn("pre_merge_rows", lit(v1Rows))
+      .withColumn("one_commit", lit(if (oneCommit) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
+  /** q355's driver: SQL `UPDATE` — the same group-based rewrite with
+    * only the update arm: one replacement commit, untouched rows
+    * copied through, pre-update state time-travelable. The oracle
+    * pins the post-update state, the pre-update `VERSION AS OF` sum,
+    * and the one_commit flag. */
+  def sqlUpdate(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * 3) % 31 FROM range(0, 900)")
+    spark.sql(s"UPDATE gtab.$t SET v = v * 2 + 1 WHERE id % 5 = 0")
+    val dir = s"$root/$t"
+    val updV = AtomicSink.versions(spark, dir).last
+    val oneCommit = AtomicSink.committedFiles(spark, dir)
+      .forall(_.startsWith(s"v$updV-"))
+    val preSum = spark.sql(
+      s"SELECT CAST(sum(v) AS BIGINT) FROM gtab.$t VERSION AS OF 1")
+      .head.getLong(0)
+    val out = spark.sql(
+      s"""SELECT (id % 6) AS g, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS v_sum
+         |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
+      .withColumn("pre_update_v_sum", lit(preSum))
+      .withColumn("one_commit", lit(if (oneCommit) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
   /** q342's driver: the COMMIT FEED — three closed-form `INSERT`s
     * land as three snapshots, then `spark.readStream.table` tails
     * the table under Trigger.AvailableNow; commit-granular admission

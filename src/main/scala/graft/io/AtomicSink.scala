@@ -234,7 +234,27 @@ object AtomicSink {
       changelog: Boolean = false)
       extends Table with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+      with org.apache.spark.sql.connector.catalog.SupportsDelete
+      with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+      with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+    /** `_file` — the manifest-listed file serving the row (the
+      * Iceberg metadata-column shape). Present only when a query
+      * names it; doubles as [[GroupRewriteOperation]]'s required
+      * metadata attribute, which is what routes group-based rewrites
+      * through Spark's projecting write task (with no metadata
+      * attribute, ReplaceDataExec hands the writer RAW rows still
+      * carrying the planner's `__row_operation` column). */
+    override def metadataColumns()
+        : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "manifest-listed data file serving the row"
+      })
     override def name(): String =
       s"atomic($path${pinnedVersion.map(v => s"@v$v").getOrElse("")}" +
         s"${if (changelog) "#changes" else ""})"
@@ -281,6 +301,33 @@ object AtomicSink {
         : org.apache.spark.sql.connector.read.ScanBuilder =
       new TsvScanBuilder(path, schema, pinnedVersion, changelog,
         failOnDataLoss = options.getBoolean("failOnDataLoss", true))
+
+    /** SQL `UPDATE` / `MERGE INTO` (and non-translatable `DELETE`
+      * predicates) — the GROUP-BASED row-level operation, Iceberg's
+      * copy-on-write shape: Spark's RewriteUpdateTable /
+      * RewriteMergeIntoTable rewrite the command into a ReplaceData
+      * plan that reads the current snapshot through this operation's
+      * scan, computes the merged rows with ordinary joins/projections
+      * (all Catalyst — the MERGE arms never leave the optimizer), and
+      * writes the FULL new state back through its write. With no
+      * runtime group filter the group is the whole table, so the
+      * write commits as ONE REPLACEMENT snapshot through the same
+      * two-phase protocol as every other commit — time travel to the
+      * pre-merge state is free, and the changelog face records the
+      * commit like an overwrite (old snapshot = delete image by
+      * reference, fresh files = inserts), which keeps replay equality
+      * exact. Simple DELETEs do NOT land here:
+      * OptimizeMetadataOnlyDeleteFromTable converts them back to
+      * [[deleteWhere]] (manifest-only under MOR mode) whenever the
+      * predicate is pushable. */
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+      require(pinnedVersion.isEmpty,
+        "cannot mutate a VERSION AS OF snapshot")
+      require(!changelog, "the __changes sub-table is read-only")
+      () => new GroupRewriteOperation(path, schema, info.command())
+    }
 
     /** Row-level DELETE — copy-on-write at snapshot granularity: the
       * survivors of the latest snapshot rewrite through the SAME
@@ -954,17 +1001,50 @@ object AtomicSink {
 
   private class TsvScanBuilder(path: String, schema: StructType,
       pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean)
-      extends org.apache.spark.sql.connector.read.ScanBuilder {
+      extends org.apache.spark.sql.connector.read.ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    // the pruned output (COLUMN PRUNING — a count(*) over the table
+    // builds zero-width rows; a metadata-column read adds `_file`).
+    // MOR delete predicates still evaluate against the full decoded
+    // line, so pruning never changes which rows are visible.
+    private var required: Option[StructType] = None
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = Some(requiredSchema)
     override def build(): org.apache.spark.sql.connector.read.Scan =
-      new TsvScan(path, schema, pinned, changelog, failOnDataLoss)
+      new TsvScan(path, schema, pinned, changelog, failOnDataLoss,
+        required)
+  }
+
+  /** Output-field resolution codes for one scan: `>= 0` = index into
+    * the FULL-schema decoded row; -2 = the `_file` metadata column;
+    * -3 / -4 = the changelog columns (`_change_type` /
+    * `_commit_version`). A real table column named like a virtual one
+    * wins (the SupportsMetadataColumns conflict contract). */
+  private def outCodesFor(out: StructType, schema: StructType): Array[Int] = {
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    out.fields.map { f =>
+      idx.get(f.name) match {
+        case Some(i) => i
+        case None => f.name match {
+          case "_file" => -2
+          case "_change_type" => -3
+          case "_commit_version" => -4
+          case other => throw new IllegalArgumentException(
+            s"unknown column $other for $schema")
+        }
+      }
+    }
   }
 
   private class TsvScan(path: String, schema: StructType,
-      pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean)
+      pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean,
+      required: Option[StructType] = None)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch {
-    override def readSchema(): StructType =
-      if (changelog) changelogSchema(schema) else schema
+    private def outSchema: StructType = required.getOrElse(
+      if (changelog) changelogSchema(schema) else schema)
+    private def outCodes: Array[Int] = outCodesFor(outSchema, schema)
+    override def readSchema(): StructType = outSchema
     override def toBatch: org.apache.spark.sql.connector.read.Batch = {
       if (changelog) throw new UnsupportedOperationException(
         "changelog is a STREAMING read (spark.readStream" +
@@ -988,7 +1068,8 @@ object AtomicSink {
       */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new CommitFeedStream(path, schema, changelog, failOnDataLoss)
+      new CommitFeedStream(path, schema, changelog, failOnDataLoss,
+        outCodes)
     override def description(): String =
       s"AtomicSnapshotScan($path${pinned.map(v => s"@v$v").getOrElse("")})"
     override def planInputPartitions()
@@ -1005,22 +1086,25 @@ object AtomicSink {
         val fileDels = resolveFileDeletes(dels,
           versionOfFile(n).getOrElse(0)).map(filterToJson).toArray
         TsvFilePartition(new Path(path, n).toString,
-          maps(n), null, 0L, fileDels)
+          maps(n), null, 0L, fileDels, outCodes)
           : org.apache.spark.sql.connector.read.InputPartition
       }.toArray
     }
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      new TsvReaderFactory(schema, changelog = false)
+      new TsvReaderFactory(schema)
   }
 
   /** `op`/`version` feed the changelog columns; `op == null` for
     * plain (non-changelog) reads. `deletes` carries the applicable
     * merge-on-read predicates (JSON, names already remapped to the
-    * current schema) the reader must apply to THIS file's rows. */
+    * current schema) the reader must apply to THIS file's rows.
+    * `outCodes` resolves each OUTPUT field (see [[outCodesFor]]) —
+    * the pruned projection the reader emits. */
   private case class TsvFilePartition(file: String, idxMap: Array[Int],
       op: String, version: Long,
-      deletes: Array[String] = Array.empty)
+      deletes: Array[String] = Array.empty,
+      outCodes: Array[Int] = Array.empty)
       extends org.apache.spark.sql.connector.read.InputPartition
 
   private[io] case class VersionOffset(v: Long)
@@ -1054,7 +1138,8 @@ object AtomicSink {
     * `option("failOnDataLoss", false)` explicitly accepts skipping
     * (the Kafka earliest-offset contract). */
   private class CommitFeedStream(path: String, schema: StructType,
-      changelog: Boolean, failOnDataLoss: Boolean)
+      changelog: Boolean, failOnDataLoss: Boolean,
+      outCodes: Array[Int])
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
       with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1123,7 +1208,8 @@ object AtomicSink {
             }
           val maps = idxMapsFor(path, typed.map(_._1), schema)
           typed.map { case (n, op) =>
-            TsvFilePartition(new Path(path, n).toString, maps(n), op, v)
+            TsvFilePartition(new Path(path, n).toString, maps(n), op, v,
+              Array.empty, outCodes)
               : org.apache.spark.sql.connector.read.InputPartition
           }
         }
@@ -1132,30 +1218,31 @@ object AtomicSink {
 
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      new TsvReaderFactory(schema, changelog)
+      new TsvReaderFactory(schema)
 
     override def commit(end: SOffset): Unit = ()
     override def stop(): Unit = ()
   }
 
-  private class TsvReaderFactory(schema: StructType, changelog: Boolean)
+  private class TsvReaderFactory(schema: StructType)
       extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
     override def createReader(
         p: org.apache.spark.sql.connector.read.InputPartition)
         : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[TsvFilePartition]
-      new TsvRowReader(fp.file, schema, fp.idxMap,
-        if (changelog) fp else null, fp.deletes)
+      new TsvRowReader(fp.file, schema, fp.idxMap, fp, fp.deletes)
     }
   }
 
-  /** `cdc != null` appends the two changelog columns from the
-    * partition's op/version. `idxMap` resolves each schema field to
-    * its cell in THIS file's layout (-1 = absent → NULL); `deletes`
-    * are the applicable merge-on-read predicates, evaluated per row
-    * with SQL three-valued semantics (condition TRUE ⇒ row hidden). */
+  /** `idxMap` resolves each FULL-schema field to its cell in THIS
+    * file's layout (-1 = absent → NULL); `deletes` are the applicable
+    * merge-on-read predicates, evaluated per row against the full
+    * decoded line with SQL three-valued semantics (condition TRUE ⇒
+    * row hidden) — which is why the full line decodes even under a
+    * pruned projection. The emitted row follows `part.outCodes`
+    * (pruned columns, `_file`, changelog op/version). */
   private class TsvRowReader(file: String, schema: StructType,
-      idxMap: Array[Int], cdc: TsvFilePartition,
+      idxMap: Array[Int], part: TsvFilePartition,
       deletes: Array[String] = Array.empty)
       extends org.apache.spark.sql.connector.read
         .PartitionReader[InternalRow] {
@@ -1167,6 +1254,10 @@ object AtomicSink {
     private val delFilters = deletes.map(filterFromJson)
     private val fieldIdx: Map[String, Int] =
       schema.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    // every planner path sets outCodes explicitly; an EMPTY array is a
+    // legitimate zero-width projection (count(*) over a pruned scan)
+    private val outCodes: Array[Int] = part.outCodes
+    private val fileName = new Path(file).getName
     private var cur: InternalRow = _
     override def next(): Boolean = {
       while (lines.hasNext) {
@@ -1191,10 +1282,14 @@ object AtomicSink {
         val hidden = delFilters.exists(f =>
           evalFilter(f, cell).contains(true))
         if (!hidden) {
-          val vals =
-            if (cdc == null) base
-            else base :+ org.apache.spark.unsafe.types.UTF8String
-              .fromString(cdc.op) :+ cdc.version
+          val vals: Array[Any] = outCodes.map {
+            case i if i >= 0 => base(i)
+            case -2 => org.apache.spark.unsafe.types.UTF8String
+              .fromString(fileName)
+            case -3 => org.apache.spark.unsafe.types.UTF8String
+              .fromString(part.op)
+            case -4 => part.version: Any
+          }
           cur = new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(vals)
           return true
@@ -1204,6 +1299,62 @@ object AtomicSink {
     }
     override def get(): InternalRow = cur
     override def close(): Unit = in.close()
+  }
+
+  /** [[SinkTable.newRowLevelOperationBuilder]]'s operation: scan =
+    * the current snapshot (same planner as any batch read, MOR
+    * predicates applied — a MERGE over a merge-on-read table merges
+    * the VISIBLE rows); write = one replacement snapshot whose CDC
+    * sidecar lists the pre-image snapshot as the delete image by
+    * reference (`!fresh=insert`, the INSERT OVERWRITE convention).
+    * `committedFilesOf` is read at toBatch time — before the rewrite
+    * job runs — so the delete image is exactly the snapshot the scan
+    * planned against (single-writer scope, as all commits). */
+  private class GroupRewriteOperation(path: String, schema: StructType,
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+      extends org.apache.spark.sql.connector.write.RowLevelOperation {
+    override def command()
+        : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+      cmd
+    override def description(): String = s"AtomicGroupRewrite($cmd)"
+    /** `_file` is required so the rewrite runs as a
+      * data-and-metadata write: Spark's ReplaceDataExec applies its
+      * row projection (stripping `__row_operation`) only when a
+      * metadata projection exists — the same contract every
+      * group-based format relies on. The metadata row reaches the
+      * writer through the two-arg `DataWriter.write(meta, row)`,
+      * whose default discards it. */
+    override def requiredMetadataAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_file"))
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : org.apache.spark.sql.connector.read.ScanBuilder =
+      new TsvScanBuilder(path, schema, None, changelog = false,
+        failOnDataLoss = true)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder {
+        override def build(): Write = new Write {
+          override def toBatch: BatchWrite = {
+            // the rewrite plan's write schema is NOT guaranteed to be
+            // in table-schema order — publish the layout in the order
+            // the files are actually written (field ids resolved by
+            // NAME against the table schema), or the commit's readers
+            // would map cells to the wrong columns
+            val idOfName = schema.fields
+              .flatMap(f => AtomicSink.fieldIdOf(f).map(f.name -> _))
+              .toMap
+            val ids = info.schema().fields.map(f => idOfName.get(f.name))
+            val layout =
+              if (ids.nonEmpty && ids.forall(_.isDefined))
+                Some(ids.flatten.toSeq)
+              else None
+            new AtomicBatchWrite(path, info.queryId(), info.schema(),
+              Seq.empty, layout,
+              truncatedPrev = committedFilesOf(path))
+          }
+        }
+      }
   }
 
   /** `truncatedPrev`: on an INSERT OVERWRITE of a catalog table, the

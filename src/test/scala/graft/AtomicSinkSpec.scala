@@ -458,4 +458,65 @@ class AtomicSinkSpec extends SparkSpec {
     assert(drain(Map("failOnDataLoss" -> "false")) == 10L)
     spark.sql("DROP TABLE gvac.t")
   }
+
+  test("SQL UPDATE and MERGE INTO: group-based copy-on-write rewrites " +
+    "publish ONE replacement snapshot each — exact arms, time travel " +
+    "intact, changelog replay equality") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-catalog-dml").toString
+    spark.conf.set("spark.sql.catalog.gdml", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.root", root)
+    spark.sql("CREATE TABLE gdml.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdml.t SELECT id, id % 10 FROM range(0, 100)")
+    // --- UPDATE: one replacement snapshot (v2), exact new state
+    spark.sql("UPDATE gdml.t SET v = v + 100 WHERE id < 20")
+    assert(spark.sql("SELECT sum(v) FROM gdml.t").head.getLong(0)
+      == 2450L, "update arm applied to exactly the predicate's rows")
+    assert(spark.sql("SELECT count(*) FROM gdml.t").head.getLong(0)
+      == 100L)
+    val afterUpdate = graft.io.AtomicSink.committedFiles(spark, s"$root/t")
+    assert(afterUpdate.nonEmpty && afterUpdate.forall(_.startsWith("v2-")),
+      s"UPDATE = one replacement snapshot: $afterUpdate")
+    assert(spark.sql("SELECT sum(v) FROM gdml.t VERSION AS OF 1")
+      .head.getLong(0) == 450L, "pre-update snapshot intact")
+    // --- MERGE: delete / update / insert arms in one commit (v3)
+    spark.sql(
+      """MERGE INTO gdml.t t
+        |USING (SELECT id, CASE WHEN id % 2 = 1 THEN -1L
+        |                       ELSE id * 2 END AS v
+        |       FROM range(90, 110)) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        |""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gdml.t").head.getLong(0)
+      == 105L, "100 - 5 matched-deletes + 10 not-matched-inserts")
+    assert(spark.sql("SELECT sum(v) FROM gdml.t").head.getLong(0)
+      == 4380L, "matched-update + insert arms exact")
+    assert(graft.io.AtomicSink.committedFiles(spark, s"$root/t")
+      .forall(_.startsWith("v3-")), "MERGE = one replacement snapshot")
+    assert(spark.sql("SELECT sum(v) FROM gdml.t VERSION AS OF 2")
+      .head.getLong(0) == 2450L, "pre-merge snapshot intact")
+    // --- changelog replay equality across insert/update/merge commits
+    val ckpt = Files.createTempDirectory("gdml-ckpt").toString
+    val out = Files.createTempDirectory("gdml-out").toString
+    val q = spark.readStream.table("gdml.t__changes")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(); q.stop()
+    val log = spark.read.parquet(out)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val state = log.groupBy(_._1).collect {
+      case (id, evs)
+        if evs.count(_._3 == "insert") > evs.count(_._3 == "delete") =>
+        id -> evs.filter(_._3 == "insert").maxBy(_._4)._2
+    }.toSeq.sortBy(_._1)
+    val want = spark.sql("SELECT id, v FROM gdml.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(state == want, "replayed changelog == post-merge snapshot")
+    spark.sql("DROP TABLE gdml.t")
+  }
 }
