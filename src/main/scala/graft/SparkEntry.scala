@@ -1184,6 +1184,11 @@ object SparkEntry {
     // via VERSION AS OF
     "q355_sql_update" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.sqlUpdate(s)),
+    // PARTITIONED BY on the catalog: per-commit partition-split files
+    // + plan-time manifest pruning on a partition predicate (pruned
+    // flag pinned from the planned input-partition count)
+    "q356_partitioned_table" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.partitionedTable(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6827,6 +6832,20 @@ object SparkEntry {
         |  CAST((SELECT SUM(v) FROM t) AS BIGINT) AS pre_update_v_sum,
         |  CAST(1 AS BIGINT) AS one_commit
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q356: the partition-filtered aggregate in closed form; pruned
+    // pins that the scan planned strictly fewer input partitions than
+    // the manifest lists files (driver-derived, the q342 convention)
+    "q356_partitioned_table" ->
+      """WITH t AS (
+        |  SELECT range AS id, range % 6 AS g, (range * range) % 71 AS v
+        |  FROM range(0, 1200)
+        |  UNION ALL
+        |  SELECT range, range % 6, (range * 3) % 17
+        |  FROM range(1200, 1800))
+        |SELECT id % 4 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(1 AS BIGINT) AS pruned
+        |FROM t WHERE g = 2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q337: surviving rows of the closed-form table after the
     // predicate delete; v1_rows pins the time-travel count
     "q337_table_delete" ->

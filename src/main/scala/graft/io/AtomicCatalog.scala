@@ -351,6 +351,56 @@ object CatalogLifecycle {
       .orderBy("g")
   }
 
+  /** q356's driver: `CREATE TABLE … PARTITIONED BY` — identity
+    * partitioning on the catalog: every commit clusters its rows and
+    * splits files per partition value (`_PARTS.v<N>`), and a
+    * partition predicate prunes manifest files AT PLAN TIME (the scan
+    * never opens them). The oracle pins the partition-filtered
+    * aggregate and the pruned flag (planned input partitions strictly
+    * fewer than the manifest's files — planner-derived, the q342
+    * convention). */
+  def partitionedTable(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, g BIGINT, v BIGINT) " +
+      s"PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, id % 6, (id * id) % 71 FROM range(0, 1200)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, id % 6, (id * 3) % 17 FROM range(1200, 1800)")
+    val filtered = spark.sql(
+      s"""SELECT (id % 4) AS b, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS v_sum
+         |FROM gtab.$t WHERE g = 2 GROUP BY 1 ORDER BY 1""".stripMargin)
+    val rows0 = filtered.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val planned = scans(filtered.queryExecution.executedPlan)
+      .head.batch.planInputPartitions().length
+    val total = AtomicSink.committedFiles(spark, s"$root/$t").size
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows0.toIndexedSeq, 1),
+      filtered.schema)
+      .withColumn("pruned", lit(if (planned < total) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("b")
+  }
+
   /** q342's driver: the COMMIT FEED — three closed-form `INSERT`s
     * land as three snapshots, then `spark.readStream.table` tails
     * the table under Trigger.AvailableNow; commit-granular admission
@@ -441,36 +491,48 @@ class AtomicCatalog extends TableCatalog {
   private def hasSchema(dir: Path): Boolean =
     schemaVersions(dir).nonEmpty || fs.exists(legacySchemaFile(dir))
 
-  /** (schema, appliesFromCommit): the first COMMIT version this
-    * schema serves reads for — recorded since round 14 inside the
-    * schema JSON (`{"appliesFromCommit":N,"schema":{…}}`) so
-    * `VERSION AS OF` can serve the snapshot's OWN schema (the
-    * Iceberg/Delta contract) instead of the current one. Legacy
-    * files are raw StructType JSON → appliesFrom None. */
-  private def readSchemaAt(p: Path): (StructType, Option[Long]) = {
+  /** (schema, appliesFromCommit, partitionFieldIds): the first COMMIT
+    * version this schema serves reads for, and the table's identity
+    * partition columns (by FIELD ID, so a partition column can be
+    * renamed) — recorded since round 14 inside the schema JSON
+    * (`{"appliesFromCommit":N,"partitionFieldIds":[…],"schema":{…}}`)
+    * so `VERSION AS OF` can serve the snapshot's OWN schema (the
+    * Iceberg/Delta contract) instead of the current one. Legacy files
+    * are raw StructType JSON → appliesFrom None, no partitioning. */
+  private def readSchemaAt(p: Path): (StructType, Option[Long], Seq[Long]) = {
     val in = fs.open(p)
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val root =
       new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    if (root.has("appliesFromCommit"))
+    if (root.has("appliesFromCommit")) {
+      val pids = scala.collection.mutable.ArrayBuffer[Long]()
+      if (root.has("partitionFieldIds")) {
+        val it = root.get("partitionFieldIds").elements()
+        while (it.hasNext) pids += it.next().asLong()
+      }
       (DataType.fromJson(root.get("schema").toString)
         .asInstanceOf[StructType],
-        Some(root.get("appliesFromCommit").asLong()))
-    else (DataType.fromJson(json).asInstanceOf[StructType], None)
+        Some(root.get("appliesFromCommit").asLong()), pids.toSeq)
+    } else
+      (DataType.fromJson(json).asInstanceOf[StructType], None, Seq.empty)
   }
 
-  private def readSchema(ident: Identifier): StructType = {
+  private def latestMeta(ident: Identifier): (StructType, Seq[Long]) = {
     val dir = dirOf(ident)
     schemaVersions(dir).lastOption match {
-      case Some(v) => readSchemaAt(schemaFile(dir, v))._1
+      case Some(v) =>
+        val (s, _, pids) = readSchemaAt(schemaFile(dir, v)); (s, pids)
       case None =>
         val legacy = legacySchemaFile(dir)
         if (!fs.exists(legacy)) throw new NoSuchTableException(ident)
-        readSchemaAt(legacy)._1
+        (readSchemaAt(legacy)._1, Seq.empty)
     }
   }
+
+  private def readSchema(ident: Identifier): StructType =
+    latestMeta(ident)._1
 
   /** The schema IN EFFECT at commit `commitV`: the highest schema
     * version whose `appliesFromCommit` ≤ commitV. Legacy schema
@@ -481,7 +543,7 @@ class AtomicCatalog extends TableCatalog {
   private def schemaAtCommit(dir: Path, commitV: Int): Option[StructType] = {
     val cands = schemaVersions(dir)
       .map(sv => readSchemaAt(schemaFile(dir, sv)))
-      .map { case (s, af) => (s, af.getOrElse(1L)) }
+      .map { case (s, af, _) => (s, af.getOrElse(1L)) }
     cands.filter(_._2 <= commitV).lastOption.map(_._1)
   }
 
@@ -498,10 +560,12 @@ class AtomicCatalog extends TableCatalog {
   }
 
   private def writeSchema(dir: Path, v: Int, schema: StructType,
-      appliesFromCommit: Long): Unit = {
+      appliesFromCommit: Long, partitionFieldIds: Seq[Long]): Unit = {
     val tmp = new Path(dir, s"_SCHEMA.tmp-${java.util.UUID.randomUUID()}")
     val payload =
-      s"""{"appliesFromCommit":$appliesFromCommit,"schema":${schema.json}}"""
+      s"""{"appliesFromCommit":$appliesFromCommit,""" +
+        s""""partitionFieldIds":${partitionFieldIds.mkString("[", ",", "]")},""" +
+        s""""schema":${schema.json}}"""
     val out = fs.create(tmp, true)
     try out.write(payload.getBytes("UTF-8"))
     finally out.close()
@@ -529,9 +593,11 @@ class AtomicCatalog extends TableCatalog {
         ident.name().stripSuffix("__changes"))
       new AtomicSink.SinkTable(dirOf(base).toString, readSchema(base),
         changelog = true)
-    } else
-      new AtomicSink.SinkTable(dirOf(ident).toString, readSchema(ident),
-        accumulateAppends = true)
+    } else {
+      val (schema, pids) = latestMeta(ident)
+      new AtomicSink.SinkTable(dirOf(ident).toString, schema,
+        accumulateAppends = true, partitionFieldIds = pids)
+    }
 
   /** `VERSION AS OF v` — serves the pinned snapshot read-only, under
     * the schema IN EFFECT at that commit (round-14 change): a rename
@@ -562,9 +628,29 @@ class AtomicCatalog extends TableCatalog {
     val withIds = org.apache.spark.sql.types.StructType(
       schema.fields.zipWithIndex.map { case (f, i) =>
         AtomicSink.withFieldId(f, i + 1L) })
-    writeSchema(dir, 1, withIds, appliesFromCommit = 1L)
+    // PARTITIONED BY: identity transforms on top-level columns only —
+    // bucket/days/etc. are REFUSED loudly rather than silently
+    // ignored (the round-13 behavior this replaces). The spec is
+    // stored by FIELD ID, so a partition column survives RENAME;
+    // each commit records its files' partition tuples (`_PARTS.v<N>`)
+    // and the scan prunes manifest files against pushed
+    // partition-column predicates.
+    val partitionFieldIds = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        val names = t.references()(0).fieldNames()
+        require(names.length == 1,
+          s"PARTITIONED BY supports top-level columns, got ${names.mkString(".")}")
+        val f = withIds.fields.find(_.name == names(0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column ${names(0)} is not in the schema"))
+        AtomicSink.fieldIdOf(f).get
+      case other => throw new UnsupportedOperationException(
+        s"AtomicCatalog supports identity PARTITIONED BY columns only, " +
+          s"got $other")
+    }
+    writeSchema(dir, 1, withIds, appliesFromCommit = 1L, partitionFieldIds)
     new AtomicSink.SinkTable(dir.toString, withIds,
-      accumulateAppends = true)
+      accumulateAppends = true, partitionFieldIds = partitionFieldIds)
   }
 
   /** Schema evolution by FIELD ID — the Iceberg discipline: data
@@ -634,6 +720,12 @@ class AtomicCatalog extends TableCatalog {
         require(s.fieldNames.contains(name), s"no such column $name")
         require(s.fields.length > 1,
           "cannot drop the last remaining column")
+        // a PARTITION column anchors every committed file's pruning
+        // tuple — dropping it would orphan the spec
+        require(!s.fields.find(_.name == name)
+          .flatMap(AtomicSink.fieldIdOf)
+          .exists(latestMeta(ident)._2.contains),
+          s"column $name is a PARTITIONED BY column and cannot be dropped")
         // a LIVE merge-on-read delete predicate referencing this
         // column would become unevaluable — refuse (compact the
         // table first, or drop a different column). Predicates made
@@ -660,9 +752,11 @@ class AtomicCatalog extends TableCatalog {
     // `VERSION AS OF` pinned at them serves
     val appliesFrom =
       AtomicSink.versionsOf(dir.toString).lastOption.getOrElse(0) + 1L
+    val pids = latestMeta(ident)._2 // partition spec is fixed at CREATE
     writeSchema(dir, schemaVersions(dir).lastOption.getOrElse(0) + 1,
-      next, appliesFrom)
-    new AtomicSink.SinkTable(dir.toString, next, accumulateAppends = true)
+      next, appliesFrom, pids)
+    new AtomicSink.SinkTable(dir.toString, next, accumulateAppends = true,
+      partitionFieldIds = pids)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -124,6 +124,40 @@ object AtomicSink {
     }
   }
 
+  /** Per-file partition tuples of commit `v` (`_PARTS.v<N>`:
+    * published name → partition cells); empty for unpartitioned
+    * commits. */
+  private[io] def readParts(path: String,
+      v: Int): Map[String, Array[String]] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val f = new Path(path, s"_PARTS.v$v")
+    if (!fs.exists(f)) Map.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val cells = line.split("\t", -1)
+          cells.head -> cells.tail
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** Plan-time partition-tuple resolver: one `_PARTS` read per
+    * distinct commit version among `names`, memoized. Files without a
+    * recorded tuple (pre-partitioning commits, unpartitioned rewrite
+    * paths) are absent — they never prune. */
+  private[io] def partsForFiles(path: String,
+      names: Seq[String]): Map[String, Array[String]] = {
+    val cache =
+      scala.collection.mutable.Map[Int, Map[String, Array[String]]]()
+    names.flatMap { n =>
+      versionOfFile(n)
+        .flatMap(v => cache.getOrElseUpdate(v, readParts(path, v)).get(n))
+        .map(n -> _)
+    }.toMap
+  }
+
   private val FileVersionRe = "^v(\\d+)-".r
 
   private[io] def versionOfFile(name: String): Option[Int] =
@@ -231,7 +265,8 @@ object AtomicSink {
   private[io] class SinkTable(path: String, schema: StructType,
       pinnedVersion: Option[Int] = None,
       accumulateAppends: Boolean = false,
-      changelog: Boolean = false)
+      changelog: Boolean = false,
+      partitionFieldIds: Seq[Long] = Seq.empty)
       extends Table with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -260,6 +295,18 @@ object AtomicSink {
         s"${if (changelog) "#changes" else ""})"
     override def schema(): StructType =
       if (changelog) changelogSchema(schema) else schema
+
+    /** CURRENT names of the identity partition columns (spec is by
+      * field id, so a renamed partition column keeps partitioning). */
+    private def partitionColNames: Seq[String] =
+      partitionFieldIds.flatMap(id =>
+        schema.fields.find(f => AtomicSink.fieldIdOf(f).contains(id))
+          .map(_.name))
+
+    override def partitioning(): Array[Transform] =
+      partitionColNames.map(n =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(n))
+        .toArray
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_WRITE,
         TableCapability.BATCH_READ,
@@ -273,25 +320,50 @@ object AtomicSink {
         with org.apache.spark.sql.connector.write.SupportsTruncate {
         private var truncated = false
         override def truncate(): WriteBuilder = { truncated = true; this }
-        override def build(): Write = new Write {
-          override def toBatch: BatchWrite = {
-            val carry =
-              if (accumulateAppends && !truncated) committedFilesOf(path)
+        override def build(): Write = {
+          def batch(): BatchWrite = {
+            val wasTruncated = truncated
+            // resolved AT COMMIT TIME (the file lists below are
+            // functions): an INSERT OVERWRITE deletes every prior
+            // row — its CDC sidecar lists the PREVIOUS snapshot's
+            // files as the delete image, no copying (the files are
+            // immutable; a VACUUM that removes them also trips the
+            // feed's expiration guard first)
+            val carry = () =>
+              if (accumulateAppends && !wasTruncated) committedFilesOf(path)
               else Seq.empty
-            // an INSERT OVERWRITE deletes every prior row: its CDC
-            // sidecar lists the PREVIOUS snapshot's files as the
-            // delete image — no copying, the files are immutable and
-            // already on disk (a VACUUM that removes them also trips
-            // the feed's expiration guard first)
-            val truncPrev =
-              if (accumulateAppends && truncated) committedFilesOf(path)
+            val truncPrev = () =>
+              if (accumulateAppends && wasTruncated) committedFilesOf(path)
               else Seq.empty
             // the table's OWN schema carries the field ids (Spark
             // reconciles every INSERT to it), so the commit can
             // publish the layout its files were written in
             new AtomicBatchWrite(path, info.queryId(), info.schema(),
-              carry, AtomicSink.layoutIdsOf(schema), truncPrev)
+              carry, AtomicSink.layoutIdsOf(schema), truncPrev,
+              partitionColNames.map(info.schema().fieldIndex).toArray)
           }
+          if (partitionFieldIds.isEmpty)
+            new Write { override def toBatch: BatchWrite = batch() }
+          else
+            // PARTITIONED table: ask Spark to CLUSTER incoming rows by
+            // the partition columns (the DSv2 contract file formats use
+            // for dynamic partitions) — each task then holds whole
+            // partitions and the per-partition file split below never
+            // fans one task out into hundreds of small files
+            new Write with org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering {
+              override def requiredDistribution()
+                  : org.apache.spark.sql.connector.distributions.Distribution =
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .clustered(partitionColNames.map(n =>
+                    org.apache.spark.sql.connector.expressions.Expressions
+                      .column(n): org.apache.spark.sql.connector
+                      .expressions.Expression).toArray)
+              override def requiredOrdering()
+                  : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                Array.empty
+              override def toBatch: BatchWrite = batch()
+            }
         }
       }
     }
@@ -300,7 +372,8 @@ object AtomicSink {
         options: CaseInsensitiveStringMap)
         : org.apache.spark.sql.connector.read.ScanBuilder =
       new TsvScanBuilder(path, schema, pinnedVersion, changelog,
-        failOnDataLoss = options.getBoolean("failOnDataLoss", true))
+        failOnDataLoss = options.getBoolean("failOnDataLoss", true),
+        partitionCols = partitionColNames)
 
     /** SQL `UPDATE` / `MERGE INTO` (and non-translatable `DELETE`
       * predicates) — the GROUP-BASED row-level operation, Iceberg's
@@ -326,7 +399,8 @@ object AtomicSink {
       require(pinnedVersion.isEmpty,
         "cannot mutate a VERSION AS OF snapshot")
       require(!changelog, "the __changes sub-table is read-only")
-      () => new GroupRewriteOperation(path, schema, info.command())
+      () => new GroupRewriteOperation(path, schema, info.command(),
+        partitionColNames)
     }
 
     /** Row-level DELETE — copy-on-write at snapshot granularity: the
@@ -1000,9 +1074,12 @@ object AtomicSink {
         nullable = false))
 
   private class TsvScanBuilder(path: String, schema: StructType,
-      pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean)
+      pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean,
+      partitionCols: Seq[String] = Seq.empty,
+      onPlanned: Seq[String] => Unit = null)
       extends org.apache.spark.sql.connector.read.ScanBuilder
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
     // the pruned output (COLUMN PRUNING — a count(*) over the table
     // builds zero-width rows; a metadata-column read adds `_file`).
     // MOR delete predicates still evaluate against the full decoded
@@ -1010,9 +1087,31 @@ object AtomicSink {
     private var required: Option[StructType] = None
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = Some(requiredSchema)
+
+    // PARTITION PRUNING: predicates referencing ONLY partition
+    // columns are accepted for FILE-level pruning (each file of a
+    // partitioned commit holds one partition tuple). EVERY filter is
+    // returned as a residual — pruning is an optimization, Spark
+    // still applies the predicate to the rows that survive it — so
+    // correctness never depends on the tuple sidecar being present.
+    private var partPushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty
+    override def pushFilters(
+        filters: Array[org.apache.spark.sql.sources.Filter])
+        : Array[org.apache.spark.sql.sources.Filter] = {
+      if (partitionCols.nonEmpty)
+        partPushed = filters.filter(f =>
+          f.references.nonEmpty &&
+            f.references.forall(partitionCols.contains) &&
+            scala.util.Try(filterToJson(f)).isSuccess)
+      filters
+    }
+    override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+      partPushed
+
     override def build(): org.apache.spark.sql.connector.read.Scan =
       new TsvScan(path, schema, pinned, changelog, failOnDataLoss,
-        required)
+        required, partitionCols, partPushed, onPlanned)
   }
 
   /** Output-field resolution codes for one scan: `>= 0` = index into
@@ -1038,13 +1137,42 @@ object AtomicSink {
 
   private class TsvScan(path: String, schema: StructType,
       pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean,
-      required: Option[StructType] = None)
+      required: Option[StructType] = None,
+      partitionCols: Seq[String] = Seq.empty,
+      partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      onPlanned: Seq[String] => Unit = null)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch {
     private def outSchema: StructType = required.getOrElse(
       if (changelog) changelogSchema(schema) else schema)
     private def outCodes: Array[Int] = outCodesFor(outSchema, schema)
     override def readSchema(): StructType = outSchema
+
+    /** TRUE iff the file's recorded partition tuple proves NO row can
+      * satisfy the pushed partition predicates (each file of a
+      * partitioned commit holds exactly one tuple, so any result other
+      * than definitely-TRUE rules every row out). Files without a
+      * tuple never prune. */
+    private def prunedByPartition(
+        tuple: Option[Array[String]]): Boolean = tuple match {
+      case None => false
+      case Some(cells) =>
+        val types = partitionCols.map(n =>
+          schema.fields(schema.fieldIndex(n)).dataType)
+        def cell(name: String): Any = {
+          val i = partitionCols.indexOf(name)
+          val s = if (i >= 0 && i < cells.length) cells(i) else ""
+          if (s.isEmpty) null
+          else types(i) match {
+            case LongType => s.toLong
+            case DoubleType => s.toDouble
+            case _ => s
+          }
+        }
+        partFilters.nonEmpty && partFilters.exists(f =>
+          scala.util.Try(evalFilter(f, cell)).toOption
+            .exists(!_.contains(true)))
+    }
     override def toBatch: org.apache.spark.sql.connector.read.Batch = {
       if (changelog) throw new UnsupportedOperationException(
         "changelog is a STREAMING read (spark.readStream" +
@@ -1074,10 +1202,21 @@ object AtomicSink {
       s"AtomicSnapshotScan($path${pinned.map(v => s"@v$v").getOrElse("")})"
     override def planInputPartitions()
         : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-      val names = pinned match {
+      val all = pinned match {
         case Some(v) => readManifestOf(path, v)
         case None => committedFilesOf(path)
       }
+      // PARTITION PRUNING: drop manifest files whose recorded tuple
+      // cannot satisfy the pushed partition predicates — the skipped
+      // files never open (`.explain` shows the partition count drop)
+      val tuples =
+        if (partFilters.isEmpty) Map.empty[String, Array[String]]
+        else partsForFiles(path, all)
+      val names = all.filterNot(n => prunedByPartition(tuples.get(n)))
+      // report the planned file set to a coordinating row-level
+      // rewrite (the groups its write REPLACES — unread files carry
+      // forward untouched)
+      if (onPlanned != null) onPlanned(names)
       val maps = idxMapsFor(path, names, schema)
       val readVersion =
         pinned.getOrElse(versionsOf(path).lastOption.getOrElse(0))
@@ -1301,18 +1440,28 @@ object AtomicSink {
     override def close(): Unit = in.close()
   }
 
-  /** [[SinkTable.newRowLevelOperationBuilder]]'s operation: scan =
-    * the current snapshot (same planner as any batch read, MOR
-    * predicates applied — a MERGE over a merge-on-read table merges
-    * the VISIBLE rows); write = one replacement snapshot whose CDC
-    * sidecar lists the pre-image snapshot as the delete image by
-    * reference (`!fresh=insert`, the INSERT OVERWRITE convention).
-    * `committedFilesOf` is read at toBatch time — before the rewrite
-    * job runs — so the delete image is exactly the snapshot the scan
-    * planned against (single-writer scope, as all commits). */
+  /** [[SinkTable.newRowLevelOperationBuilder]]'s operation —
+    * GROUP-FILTERED copy-on-write (the Iceberg COW contract): the
+    * scan reads the AFFECTED files (Spark pushes the command's
+    * condition; partition predicates prune whole files) and records
+    * which ones it planned; the write's commit replaces EXACTLY those
+    * files — every unread file carries forward untouched, so a
+    * partition-scoped UPDATE rewrites only the touched partitions,
+    * not the table. MOR predicates apply in the scan (a MERGE over a
+    * merge-on-read table merges the VISIBLE rows). The CDC sidecar
+    * lists the replaced files as the delete image by reference
+    * (`!fresh=insert`, the INSERT OVERWRITE convention), so changelog
+    * replay equality holds file-exactly. */
   private class GroupRewriteOperation(path: String, schema: StructType,
-      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+      partitionCols: Seq[String] = Seq.empty)
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
+    // the file set the rewrite's scan planned (driver-side, set at
+    // planInputPartitions — always before the write's commit); null
+    // until planned, in which case the write conservatively replaces
+    // the whole snapshot
+    private val scanned =
+      new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
     override def command()
         : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
       cmd
@@ -1331,11 +1480,12 @@ object AtomicSink {
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : org.apache.spark.sql.connector.read.ScanBuilder =
       new TsvScanBuilder(path, schema, None, changelog = false,
-        failOnDataLoss = true)
+        failOnDataLoss = true, partitionCols = partitionCols,
+        onPlanned = fs => scanned.set(fs))
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
-        override def build(): Write = new Write {
-          override def toBatch: BatchWrite = {
+        override def build(): Write = {
+          def batch(): BatchWrite = {
             // the rewrite plan's write schema is NOT guaranteed to be
             // in table-schema order — publish the layout in the order
             // the files are actually written (field ids resolved by
@@ -1349,29 +1499,64 @@ object AtomicSink {
               if (ids.nonEmpty && ids.forall(_.isDefined))
                 Some(ids.flatten.toSeq)
               else None
+            // resolved at COMMIT (after the scan planned): replace the
+            // scanned files, carry every other current file forward
+            val affected = () =>
+              Option(scanned.get).getOrElse(committedFilesOf(path))
             new AtomicBatchWrite(path, info.queryId(), info.schema(),
-              Seq.empty, layout,
-              truncatedPrev = committedFilesOf(path))
+              () => {
+                val a = affected().toSet
+                committedFilesOf(path).filterNot(a)
+              },
+              layout,
+              truncatedPrev = affected,
+              partIdx = partitionCols
+                .map(info.schema().fieldIndex).toArray)
           }
+          // a rewrite of a PARTITIONED table re-clusters and republishes
+          // per-file tuples, so the table stays prunable after a MERGE
+          if (partitionCols.isEmpty)
+            new Write { override def toBatch: BatchWrite = batch() }
+          else
+            new Write with org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering {
+              override def requiredDistribution()
+                  : org.apache.spark.sql.connector.distributions.Distribution =
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .clustered(partitionCols.map(n =>
+                    org.apache.spark.sql.connector.expressions.Expressions
+                      .column(n): org.apache.spark.sql.connector
+                      .expressions.Expression).toArray)
+              override def requiredOrdering()
+                  : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                Array.empty
+              override def toBatch: BatchWrite = batch()
+            }
         }
       }
   }
 
-  /** `truncatedPrev`: on an INSERT OVERWRITE of a catalog table, the
-    * previous snapshot's files — published as the commit's CDC
-    * delete image by reference (the files are immutable). */
+  /** `truncatedPrev`: the files this commit DELETES — on an INSERT
+    * OVERWRITE the whole previous snapshot, on a group rewrite the
+    * replaced files — published as the commit's CDC delete image by
+    * reference (the files are immutable). Both file lists are
+    * FUNCTIONS, resolved inside `commit()` so a coordinating scan
+    * (group rewrite) has planned by the time they evaluate. */
   private class AtomicBatchWrite(path: String, queryId: String,
                                  schema: StructType,
-                                 carryForward: Seq[String] = Seq.empty,
+                                 carryForward: () => Seq[String] =
+                                   () => Seq.empty,
                                  layout: Option[Seq[Long]] = None,
-                                 truncatedPrev: Seq[String] = Seq.empty)
+                                 truncatedPrev: () => Seq[String] =
+                                   () => Seq.empty,
+                                 partIdx: Array[Int] = Array.empty)
       extends BatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
 
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
-      new TsvWriterFactory(path, queryId, schema)
+      new TsvWriterFactory(path, queryId, schema, partIdx)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val f = fs
@@ -1385,13 +1570,33 @@ object AtomicSink {
       // prefixes and are never rewritten — the append is pure
       // manifest metadata.
       val version = AtomicSink.versionsOf(path).lastOption.getOrElse(0) + 1
-      val fresh = messages.collect { case StagedFile(name) => name }
-        .sorted.map(n => s"v$version-$n")
-      val names = carryForward ++ fresh
-      messages.collect { case StagedFile(name) => name }.sorted
-        .zip(fresh).foreach { case (from, to) =>
-          f.rename(new Path(staging, from), new Path(path, to))
-        }
+      // BOTH file-list functions resolve HERE — against the still-
+      // current previous snapshot, before the new manifest publishes
+      val carried = carryForward()
+      val deleted = truncatedPrev()
+      // (stagedName, partitionTuple-or-null), one entry per file
+      val staged: Seq[(String, String)] = messages.flatMap {
+        case StagedFile(name) => Seq((name, null: String))
+        case StagedParts(files) => files
+      }.toSeq.sortBy(_._1)
+      val fresh = staged.map { case (n, _) => s"v$version-$n" }
+      val names = carried ++ fresh
+      staged.map(_._1).zip(fresh).foreach { case (from, to) =>
+        f.rename(new Path(staging, from), new Path(path, to))
+      }
+      // per-file PARTITION TUPLES (`_PARTS.v<N>`, published-name →
+      // tab-separated partition cells) — what the scan prunes against;
+      // before the manifest like every sidecar, so a torn write is
+      // invisible
+      val partLines = staged.zip(fresh).collect {
+        case ((_, p), to) if p != null => s"$to\t$p" }
+      if (partLines.nonEmpty) {
+        val tmp = new Path(path, s"_PARTS.tmp-$queryId")
+        val out = f.create(tmp, true)
+        try out.write(partLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        f.rename(tmp, new Path(path, s"_PARTS.v$version"))
+      }
       def writeAtomic(target: Path): Unit = {
         val tmp = new Path(path, s"_MANIFEST.tmp-$queryId")
         val out = f.create(tmp, true)
@@ -1417,10 +1622,10 @@ object AtomicSink {
       // is refreshed after via delete+rename — canonical readers
       // resolve the max version and never depend on it
       writeAtomic(new Path(path, s"${AtomicSink.ManifestFile}.v$version"))
-      // an overwrite's changelog: the old snapshot's rows all delete,
-      // the fresh files are real inserts (`!fresh=insert`)
-      if (truncatedPrev.nonEmpty)
-        AtomicSink.writeCdcList(path, version, "insert", truncatedPrev)
+      // an overwrite's/rewrite's changelog: the replaced files' rows
+      // all delete, the fresh files are real inserts (`!fresh=insert`)
+      if (deleted.nonEmpty)
+        AtomicSink.writeCdcList(path, version, "insert", deleted)
       val legacy = new Path(path, AtomicSink.ManifestFile)
       f.delete(legacy, false)
       writeAtomic(legacy)
@@ -1434,13 +1639,34 @@ object AtomicSink {
 
   private case class StagedFile(name: String) extends WriterCommitMessage
 
+  /** One task's partitioned output: (stagedName, partitionTuple) per
+    * file — the tuple is the partition cells tab-joined (the same
+    * encoding as data cells, "" = NULL). */
+  private case class StagedParts(files: Seq[(String, String)])
+      extends WriterCommitMessage
+
   private class TsvWriterFactory(path: String, queryId: String,
-                                 schema: StructType)
+                                 schema: StructType,
+                                 partIdx: Array[Int] = Array.empty)
       extends DataWriterFactory {
     override def createWriter(partitionId: Int,
                               taskId: Long): DataWriter[InternalRow] =
-      new TsvWriter(path, queryId, schema, partitionId, taskId)
+      if (partIdx.isEmpty)
+        new TsvWriter(path, queryId, schema, partitionId, taskId)
+      else new PartitionedTsvWriter(path, queryId, schema, partitionId,
+        taskId, partIdx)
   }
+
+  private def renderCell(row: InternalRow, schema: StructType,
+      i: Int): String =
+    if (row.isNullAt(i)) ""
+    else schema.fields(i).dataType match {
+      case LongType => row.getLong(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case StringType => row.getUTF8String(i).toString
+      case dt => throw new IllegalArgumentException(
+        s"AtomicSink supports long/double/string, got $dt")
+    }
 
   /** Writes `part-<partition>-<task>` under staging; the task id in
     * the name keeps retried/speculative attempts from clobbering each
@@ -1454,16 +1680,7 @@ object AtomicSink {
     private val out = fs.create(file, true)
 
     override def write(row: InternalRow): Unit = {
-      val cols = schema.fields.indices.map { i =>
-        if (row.isNullAt(i)) ""
-        else schema.fields(i).dataType match {
-          case LongType => row.getLong(i).toString
-          case DoubleType => row.getDouble(i).toString
-          case StringType => row.getUTF8String(i).toString
-          case dt => throw new IllegalArgumentException(
-            s"AtomicSink supports long/double/string, got $dt")
-        }
-      }
+      val cols = schema.fields.indices.map(renderCell(row, schema, _))
       out.write((cols.mkString("\t") + "\n").getBytes("UTF-8"))
     }
 
@@ -1475,6 +1692,47 @@ object AtomicSink {
     override def abort(): Unit = {
       out.close()
       fs.delete(file, false)
+    }
+
+    override def close(): Unit = ()
+  }
+
+  /** Dynamic-partition writer: one staging file PER PARTITION VALUE a
+    * task sees (the write required a clustered distribution, so a
+    * task holds whole partitions and the per-task file count is the
+    * task's distinct-partition count, not a fan-out). Each file
+    * reports its partition tuple for the commit's `_PARTS.v<N>`. */
+  private class PartitionedTsvWriter(path: String, queryId: String,
+      schema: StructType, partitionId: Int, taskId: Long,
+      partIdx: Array[Int]) extends DataWriter[InternalRow] {
+    private val fs =
+      new Path(path).getFileSystem(new Configuration())
+    private val open = scala.collection.mutable.LinkedHashMap[
+      String, (String, org.apache.hadoop.fs.FSDataOutputStream)]()
+
+    override def write(row: InternalRow): Unit = {
+      val tuple = partIdx.map(renderCell(row, schema, _)).mkString("\t")
+      val (_, out) = open.getOrElseUpdate(tuple, {
+        val name = f"part-$partitionId%05d-$taskId-${open.size}"
+        (name, fs.create(
+          new Path(new Path(path, s"_staging_$queryId"), name), true))
+      })
+      val cols = schema.fields.indices.map(renderCell(row, schema, _))
+      out.write((cols.mkString("\t") + "\n").getBytes("UTF-8"))
+    }
+
+    override def commit(): WriterCommitMessage = {
+      open.values.foreach(_._2.close())
+      StagedParts(open.map { case (tuple, (name, _)) =>
+        (name, tuple) }.toSeq)
+    }
+
+    override def abort(): Unit = {
+      open.values.foreach { case (name, out) =>
+        out.close()
+        fs.delete(new Path(new Path(path, s"_staging_$queryId"), name),
+          false)
+      }
     }
 
     override def close(): Unit = ()

@@ -81,4 +81,73 @@ class PartitionPruneSpec extends SparkSpec {
     assert(dynFiles == staticFiles,
       s"dynamic pruning read $dynFiles files, static read $staticFiles")
   }
+
+  test("catalog PARTITIONED BY: identity spec prunes manifest files " +
+    "at plan time, survives RENAME and a group rewrite, refuses " +
+    "non-identity transforms and dropping the partition column") {
+    val root = Files.createTempDirectory("graft-catpart").toString
+    spark.conf.set("spark.sql.catalog.gpt", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gpt.root", root)
+    // the planned DSv2 input-partition count = manifest files the scan
+    // will actually open (one per file) — the pruning proof
+    def scanParts(df: DataFrame): Int = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case other => other.children.flatMap(scans)
+        }
+      val ss = scans(df.queryExecution.executedPlan)
+      assert(ss.nonEmpty, s"no v2 scan in ${df.queryExecution.executedPlan}")
+      ss.head.batch.planInputPartitions().length
+    }
+    spark.sql("CREATE TABLE gpt.t (id BIGINT, g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql("INSERT INTO gpt.t " +
+      "SELECT id, id % 8, (id * id) % 97 FROM range(0, 4000)")
+    val full = scanParts(spark.sql("SELECT * FROM gpt.t"))
+    assert(full >= 8, s"one file per partition value at least: $full")
+    val pruned = scanParts(spark.sql("SELECT * FROM gpt.t WHERE g = 3"))
+    assert(pruned < full && pruned >= 1,
+      s"partition predicate must prune files: $pruned of $full")
+    assert(spark.sql("SELECT count(*) FROM gpt.t WHERE g = 3")
+      .head.getLong(0) == 500L)
+    // IN-list and range predicates prune too
+    assert(scanParts(spark.sql(
+      "SELECT * FROM gpt.t WHERE g IN (1, 5)")) < full)
+    assert(scanParts(spark.sql("SELECT * FROM gpt.t WHERE g < 2")) < full)
+    // a non-partition predicate prunes nothing (and stays correct)
+    assert(scanParts(spark.sql("SELECT * FROM gpt.t WHERE v = 1")) == full)
+    // RENAME: the spec is by field id, pruning follows the new name
+    spark.sql("ALTER TABLE gpt.t RENAME COLUMN g TO grp")
+    assert(scanParts(spark.sql("SELECT * FROM gpt.t WHERE grp = 3")) < full)
+    // appends stay partition-split per commit
+    spark.sql("INSERT INTO gpt.t " +
+      "SELECT id, id % 8, 1 FROM range(0, 80)")
+    assert(spark.sql("SELECT count(*) FROM gpt.t WHERE grp = 3")
+      .head.getLong(0) == 510L)
+    // a group rewrite (SQL UPDATE) re-clusters and re-publishes the
+    // tuples — the table stays prunable afterwards
+    spark.sql("UPDATE gpt.t SET v = -1 WHERE grp = 5")
+    val fullAfter = scanParts(spark.sql("SELECT * FROM gpt.t"))
+    assert(scanParts(spark.sql("SELECT * FROM gpt.t WHERE grp = 3"))
+      < fullAfter, "pruning survives the copy-on-write rewrite")
+    assert(spark.sql("SELECT count(*) FROM gpt.t WHERE grp = 3")
+      .head.getLong(0) == 510L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gpt.t WHERE grp = 5 AND v <> -1")
+      .head.getLong(0) == 0L)
+    // guards: partition column cannot drop; non-identity refused
+    intercept[Exception](spark.sql("ALTER TABLE gpt.t DROP COLUMN grp"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gpt.tb (id BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, id))"))
+    spark.sql("DROP TABLE gpt.t")
+  }
 }
