@@ -69,7 +69,12 @@ class AtomicSink extends TableProvider {
           case (f, id) => AtomicSink.withFieldId(f, id) })
       case None => schema
     }
-    new AtomicSink.SinkTable(properties.get("path"), withIds)
+    // `commitBasis` (set by the COW delete rewrite and compaction)
+    // marks the write basis-dependent: its commit refuses on any
+    // concurrent commit instead of retrying past it
+    val basis = Option(properties.get("commitBasis")).map(_.trim.toInt)
+    new AtomicSink.SinkTable(properties.get("path"), withIds,
+      commitBasis = basis)
   }
 }
 
@@ -156,6 +161,77 @@ object AtomicSink {
         .flatMap(v => cache.getOrElseUpdate(v, readParts(path, v)).get(n))
         .map(n -> _)
     }.toMap
+  }
+
+  // ---------------------------------------------------------------
+  // OPTIMISTIC MULTI-WRITER COMMITS: every commit first CLAIMS its
+  // version by exclusive create of `_CLAIM.v<N>` (create with
+  // overwrite=false — atomic on HDFS and on the local FS's
+  // createNewFile). Claim N succeeding implies manifest N-1 is
+  // published (a writer only advances past a taken claim after its
+  // manifest appears), so the carry-forward basis a committer reads
+  // after claiming is never torn. On a claim collision:
+  //  - APPEND-shaped commits (INSERT INTO / OVERWRITE / path writes)
+  //    WAIT for the rival's manifest, then retry at the next version
+  //    — two concurrent appends both commit, neither lost;
+  //  - BASIS-DEPENDENT commits (group rewrites, merge-on-read
+  //    deletes, compaction) REFUSE with a conflict error instead of
+  //    publishing over a snapshot they did not compute from; they
+  //    also re-check their basis version after claiming, so an
+  //    append that slipped in earlier is detected too.
+  // A claim whose writer died before publishing blocks later appends
+  // until the stale-claim wait (graft.atomic.claimWaitMs, 60 s)
+  // trips LOUDLY; `releaseClaim` removes it once the writer is known
+  // dead (a claim at or below the published latest is inert).
+  // ---------------------------------------------------------------
+
+  private def tryClaim(path: String, version: Int): Boolean = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    try {
+      val out = fs.create(new Path(path, s"_CLAIM.v$version"),
+        false) // exclusive — the whole point
+      out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Claims the next commit version of `path` exclusively. `retry` =
+    * append semantics (wait out a rival, take the next slot); refuse
+    * semantics throw [[java.util.ConcurrentModificationException]] on
+    * any collision. Returns the claimed version. */
+  private[io] def claimVersion(path: String, retry: Boolean): Int = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val waitMs =
+      sys.props.getOrElse("graft.atomic.claimWaitMs", "60000").toLong
+    var version = versionsOf(path).lastOption.getOrElse(0) + 1
+    while (!tryClaim(path, version)) {
+      if (!retry) throw new java.util.ConcurrentModificationException(
+        s"concurrent writer holds commit v$version of $path — this " +
+          s"operation depends on the snapshot it read and cannot " +
+          s"republish over a conflicting commit; re-run it")
+      val mf = new Path(path, s"$ManifestFile.v$version")
+      val t0 = System.nanoTime()
+      while (!fs.exists(mf)) {
+        if ((System.nanoTime() - t0) / 1e6 > waitMs)
+          throw new IllegalStateException(
+            s"commit v$version of $path is claimed but never " +
+              s"published (writer died?) — appends cannot proceed; " +
+              s"releaseClaim($path, $version) once the writer is " +
+              s"known dead")
+        Thread.sleep(20)
+      }
+      version += 1
+    }
+    version
+  }
+
+  /** Removes a stale claim (a crashed writer's `_CLAIM.v<k>` with no
+    * manifest). Only for operator use once the writer is known dead. */
+  def releaseClaim(path: String, version: Int): Boolean = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    require(!fs.exists(new Path(path, s"$ManifestFile.v$version")),
+      s"v$version is published — its claim is inert, not stale")
+    fs.delete(new Path(path, s"_CLAIM.v$version"), false)
   }
 
   private val FileVersionRe = "^v(\\d+)-".r
@@ -266,7 +342,8 @@ object AtomicSink {
       pinnedVersion: Option[Int] = None,
       accumulateAppends: Boolean = false,
       changelog: Boolean = false,
-      partitionFieldIds: Seq[Long] = Seq.empty)
+      partitionFieldIds: Seq[Long] = Seq.empty,
+      commitBasis: Option[Int] = None)
       extends Table with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -340,7 +417,12 @@ object AtomicSink {
             // publish the layout its files were written in
             new AtomicBatchWrite(path, info.queryId(), info.schema(),
               carry, AtomicSink.layoutIdsOf(schema), truncPrev,
-              partitionColNames.map(info.schema().fieldIndex).toArray)
+              partitionColNames.map(info.schema().fieldIndex).toArray,
+              // a write carrying an explicit basis (COW delete
+              // rewrite, compaction) is basis-dependent: refuse on
+              // conflict instead of retrying past it
+              conflictRetry = commitBasis.isEmpty,
+              expectedBasis = () => commitBasis)
           }
           if (partitionFieldIds.isEmpty)
             new Write { override def toBatch: BatchWrite = batch() }
@@ -421,6 +503,9 @@ object AtomicSink {
         filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
       val spark = org.apache.spark.sql.SparkSession.active
       val cond = AtomicSink.filtersToColumn(filters)
+      // the snapshot version this DELETE computes from — its commit
+      // refuses if a concurrent writer moved the table past it
+      val basis = AtomicSink.versionsOf(path).lastOption.getOrElse(0)
       val snap = AtomicSink.readSnapshot(spark, path, schema, None)
       val hit = org.apache.spark.sql.functions
         .coalesce(cond, org.apache.spark.sql.functions.lit(false))
@@ -448,13 +533,14 @@ object AtomicSink {
         require(colsToIds.size == schema.fields.length,
           "merge-on-read DELETE requires a catalog table (field ids)")
         val k = AtomicSink.publishDeleteCommit(path, colsToIds, one,
-          layoutOpt)
+          layoutOpt, basis = Some(basis))
         AtomicSink.writeCdcSidecar(spark, path, k, snap.filter(hit),
           layoutOpt)
         return
       }
       val w = snap.filter(!hit).write.format("graft.io.AtomicSink")
         .option("path", path).mode("append")
+        .option("commitBasis", basis.toString)
       // the rewrite's files must stay FIELD-ID resolvable: re-attach
       // the table's layout (a filtered frame's schema lost the ids)
       layoutOpt.foreach(ids => w.option("layout", ids.mkString(",")))
@@ -505,6 +591,7 @@ object AtomicSink {
     drop.foreach { v =>
       fs.delete(new Path(path, s"$ManifestFile.v$v"), false)
       fs.delete(new Path(path, s"_CDC.v$v"), false)
+      fs.delete(new Path(path, s"_CLAIM.v$v"), false) // inert once published
       // `_LAYOUT.v<v>` is NEVER deleted: carried-forward files of an
       // expired commit can still sit in retained manifests, and they
       // resolve their field-id layout through it (one short line)
@@ -888,9 +975,21 @@ object AtomicSink {
   private[io] def publishDeleteCommit(path: String,
       colsToIds: Map[String, Long],
       filter: org.apache.spark.sql.sources.Filter,
-      layout: Option[Seq[Long]]): Int = {
+      layout: Option[Seq[Long]],
+      basis: Option[Int] = None): Int = {
     val fs = new Path(path).getFileSystem(new Configuration())
-    val version = versionsOf(path).lastOption.getOrElse(0) + 1
+    // basis-dependent commit: refuse a claim collision, and refuse if
+    // the table moved past the snapshot the DELETE computed from
+    val version = claimVersion(path, retry = false)
+    basis.foreach { b =>
+      val latest = versionsOf(path).lastOption.getOrElse(0)
+      if (latest != b) {
+        fs.delete(new Path(path, s"_CLAIM.v$version"), false)
+        throw new java.util.ConcurrentModificationException(
+          s"$path moved to v$latest while this DELETE was computed " +
+            s"against v$b — re-run it")
+      }
+    }
     val names = committedFilesOf(path)
     val cols = new java.util.LinkedHashMap[String, Object]()
     colsToIds.foreach { case (n, id) => cols.put(n, Long.box(id)) }
@@ -935,9 +1034,13 @@ object AtomicSink {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               schema: StructType): Int = {
+    // basis-dependent: the rewrite must not publish over a commit
+    // that landed after the snapshot it read
+    val basis = versionsOf(path).lastOption.getOrElse(0)
     val rows = readSnapshot(spark, path, schema, None)
     val w = rows.write.format("graft.io.AtomicSink")
       .option("path", path).mode("append")
+      .option("commitBasis", basis.toString)
     layoutIdsOf(schema).foreach(ids => w.option("layout", ids.mkString(",")))
     w.save()
     val k = versionsOf(path).last
@@ -1457,11 +1560,12 @@ object AtomicSink {
       partitionCols: Seq[String] = Seq.empty)
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
     // the file set the rewrite's scan planned (driver-side, set at
-    // planInputPartitions — always before the write's commit); null
-    // until planned, in which case the write conservatively replaces
-    // the whole snapshot
-    private val scanned =
-      new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
+    // planInputPartitions — always before the write's commit) plus
+    // the snapshot version it planned against (the conflict-check
+    // basis); null until planned, in which case the write
+    // conservatively replaces the whole snapshot
+    private val scanned = new java.util.concurrent.atomic
+      .AtomicReference[(Seq[String], Int)](null)
     override def command()
         : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
       cmd
@@ -1481,7 +1585,8 @@ object AtomicSink {
         : org.apache.spark.sql.connector.read.ScanBuilder =
       new TsvScanBuilder(path, schema, None, changelog = false,
         failOnDataLoss = true, partitionCols = partitionCols,
-        onPlanned = fs => scanned.set(fs))
+        onPlanned = fs => scanned.set(
+          (fs, versionsOf(path).lastOption.getOrElse(0))))
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = {
@@ -1500,9 +1605,11 @@ object AtomicSink {
                 Some(ids.flatten.toSeq)
               else None
             // resolved at COMMIT (after the scan planned): replace the
-            // scanned files, carry every other current file forward
+            // scanned files, carry every other current file forward;
+            // refuse on a claim collision or a moved basis (a rewrite
+            // must never publish over a snapshot it did not read)
             val affected = () =>
-              Option(scanned.get).getOrElse(committedFilesOf(path))
+              Option(scanned.get).map(_._1).getOrElse(committedFilesOf(path))
             new AtomicBatchWrite(path, info.queryId(), info.schema(),
               () => {
                 val a = affected().toSet
@@ -1511,7 +1618,9 @@ object AtomicSink {
               layout,
               truncatedPrev = affected,
               partIdx = partitionCols
-                .map(info.schema().fieldIndex).toArray)
+                .map(info.schema().fieldIndex).toArray,
+              conflictRetry = false,
+              expectedBasis = () => Option(scanned.get).map(_._2))
           }
           // a rewrite of a PARTITIONED table re-clusters and republishes
           // per-file tuples, so the table stays prunable after a MERGE
@@ -1542,6 +1651,10 @@ object AtomicSink {
     * reference (the files are immutable). Both file lists are
     * FUNCTIONS, resolved inside `commit()` so a coordinating scan
     * (group rewrite) has planned by the time they evaluate. */
+  /** `conflictRetry` / `expectedBasis`: the multi-writer posture (see
+    * the claim-protocol note above) — appends retry past rivals;
+    * basis-dependent rewrites refuse on a collision or on a basis
+    * version that moved since they planned. */
   private class AtomicBatchWrite(path: String, queryId: String,
                                  schema: StructType,
                                  carryForward: () => Seq[String] =
@@ -1549,7 +1662,10 @@ object AtomicSink {
                                  layout: Option[Seq[Long]] = None,
                                  truncatedPrev: () => Seq[String] =
                                    () => Seq.empty,
-                                 partIdx: Array[Int] = Array.empty)
+                                 partIdx: Array[Int] = Array.empty,
+                                 conflictRetry: Boolean = true,
+                                 expectedBasis: () => Option[Int] =
+                                   () => None)
       extends BatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
@@ -1569,7 +1685,36 @@ object AtomicSink {
       // previous snapshot's files first: they keep their own version
       // prefixes and are never rewritten — the append is pure
       // manifest metadata.
-      val version = AtomicSink.versionsOf(path).lastOption.getOrElse(0) + 1
+      // CLAIM the version exclusively (multi-writer protocol above);
+      // a refused or failed commit releases its own claim so it never
+      // blocks later appends
+      val version = AtomicSink.claimVersion(path, retry = conflictRetry)
+      try {
+        commitClaimed(f, version, messages)
+      } catch {
+        case t: Throwable =>
+          // only reachable before the manifest rename — the commit
+          // point — so releasing the claim is always safe here
+          if (!f.exists(new Path(path,
+            s"${AtomicSink.ManifestFile}.v$version")))
+            f.delete(new Path(path, s"_CLAIM.v$version"), false)
+          throw t
+      }
+    }
+
+    private def commitClaimed(f: FileSystem, version: Int,
+        messages: Array[WriterCommitMessage]): Unit = {
+      // a BASIS-DEPENDENT commit (group rewrite, compaction) refuses
+      // if the snapshot it computed from is no longer the latest —
+      // an append that landed between its scan and its claim would
+      // otherwise be silently dropped by the replacement manifest
+      expectedBasis().foreach { b =>
+        val latest = AtomicSink.versionsOf(path).lastOption.getOrElse(0)
+        if (latest != b) throw new java.util.ConcurrentModificationException(
+          s"$path moved to v$latest while this rewrite was computed " +
+            s"against v$b — refusing to publish over the concurrent " +
+            s"commit; re-run the operation")
+      }
       // BOTH file-list functions resolve HERE — against the still-
       // current previous snapshot, before the new manifest publishes
       val carried = carryForward()

@@ -30,7 +30,7 @@ class AtomicSinkSpec extends SparkSpec {
     val onDisk = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).toSet
     assert(onDisk == files.toSet + graft.io.AtomicSink.ManifestFile +
-      s"${graft.io.AtomicSink.ManifestFile}.v1",
+      s"${graft.io.AtomicSink.ManifestFile}.v1" + "_CLAIM.v1",
       s"on disk: $onDisk")
 
     val back = spark.read.option("sep", "\t")
@@ -457,6 +457,122 @@ class AtomicSinkSpec extends SparkSpec {
     // default guards against)
     assert(drain(Map("failOnDataLoss" -> "false")) == 10L)
     spark.sql("DROP TABLE gvac.t")
+  }
+
+  test("snapshot isolation across compaction: a reader pinned at v_k " +
+    "serves exactly v_k's (predicate-filtered) state while OPTIMIZE " +
+    "publishes v_{k+1}, and re-reads of the pin stay stable") {
+    val root = Files.createTempDirectory("graft-morsi").toString
+    spark.conf.set("spark.sql.catalog.gsi", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gsi.root", root)
+    spark.conf.set("spark.graft.atomic.deleteMode", "mor")
+    try {
+      spark.sql("CREATE TABLE gsi.t (id BIGINT, v BIGINT)")
+      spark.sql("INSERT INTO gsi.t SELECT id, id % 9 FROM range(0, 300)")
+      spark.sql("DELETE FROM gsi.t WHERE id >= 100 AND id < 160")
+      // the pinned reader plans BEFORE the compaction lands
+      val pinned = spark.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT)" +
+          " AS s FROM gsi.t VERSION AS OF 2")
+      val before = pinned.collect().head
+      val ck = graft.io.AtomicSink.compact(spark, s"$root/t",
+        spark.table("gsi.t").schema)
+      assert(ck == 3)
+      // v2's manifest and files are untouched by the compaction —
+      // the pin re-reads identically, with the MOR predicate applied
+      val after = pinned.collect().head
+      assert(before == after, s"pinned read moved: $before vs $after")
+      assert(after.getLong(0) == 240L)
+      // and the pre-delete pin stays exact too
+      assert(spark.sql("SELECT count(*) FROM gsi.t VERSION AS OF 1")
+        .head.getLong(0) == 300L)
+      // current read = compacted state, same visible rows
+      assert(spark.sql("SELECT count(*) FROM gsi.t").head.getLong(0)
+        == 240L)
+      spark.sql("DROP TABLE gsi.t")
+    } finally spark.conf.unset("spark.graft.atomic.deleteMode")
+  }
+
+  test("optimistic multi-writer: concurrent appends both commit " +
+    "(neither lost), a waiting append resumes once the rival " +
+    "publishes, basis-dependent ops refuse over an in-flight claim " +
+    "and proceed after releaseClaim, a dead claim fails appends loudly") {
+    val root = Files.createTempDirectory("graft-mw").toString
+    spark.conf.set("spark.sql.catalog.gmw", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gmw.root", root)
+    spark.sql("CREATE TABLE gmw.t (id BIGINT)")
+    val dir = s"$root/t"
+    // 1. two appends racing from two threads: both must commit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def ins(lo: Int, hi: Int): Future[Unit] = Future {
+      gate.await()
+      spark.sql(s"INSERT INTO gmw.t SELECT id FROM range($lo, $hi)")
+    }
+    Await.result(Future.sequence(Seq(ins(0, 500), ins(500, 1000))), 90.seconds)
+    assert(spark.sql("SELECT count(*) FROM gmw.t").head.getLong(0)
+      == 1000L, "neither concurrent append lost")
+    assert(graft.io.AtomicSink.versions(spark, dir) == Seq(1, 2),
+      "two serialized commits")
+    // 2. an append blocked on a rival's claim resumes once the
+    //    rival's manifest publishes
+    val fsDir = new java.io.File(dir)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "_CLAIM.v3"))
+    val blocked = Future {
+      spark.sql("INSERT INTO gmw.t SELECT id FROM range(1000, 1100)")
+    }
+    Thread.sleep(300)
+    assert(!blocked.isCompleted, "append waits behind the claim")
+    // the "rival" publishes v3 as a carry of v2 (metadata-only commit)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "_MANIFEST.v2"),
+      java.nio.file.Paths.get(dir, "_MANIFEST.v3"))
+    Await.result(blocked, 90.seconds)
+    assert(spark.sql("SELECT count(*) FROM gmw.t").head.getLong(0)
+      == 1100L)
+    assert(graft.io.AtomicSink.versions(spark, dir) == Seq(1, 2, 3, 4),
+      "the waiting append took the next slot after the rival")
+    // 3. basis-dependent ops REFUSE over an in-flight claim
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "_CLAIM.v5"))
+    spark.conf.set("spark.graft.atomic.deleteMode", "mor")
+    try {
+      val e1 = intercept[Exception](
+        spark.sql("DELETE FROM gmw.t WHERE id < 10"))
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e1).exists(
+        _.isInstanceOf[java.util.ConcurrentModificationException]), e1)
+      val e2 = intercept[Exception](graft.io.AtomicSink.compact(
+        spark, dir, spark.table("gmw.t").schema))
+      assert(chain(e2).exists(
+        _.isInstanceOf[java.util.ConcurrentModificationException]), e2)
+      val e3 = intercept[Exception](
+        spark.sql("UPDATE gmw.t SET id = -id WHERE id < 5"))
+      assert(chain(e3).exists(
+        _.isInstanceOf[java.util.ConcurrentModificationException]), e3)
+      // 4. a dead claim fails APPENDS loudly after the wait budget...
+      val prev = sys.props.put("graft.atomic.claimWaitMs", "250")
+      try {
+        val e4 = intercept[Exception](
+          spark.sql("INSERT INTO gmw.t SELECT 1"))
+        assert(chain(e4).exists(t =>
+          Option(t.getMessage).exists(_.contains("never published"))), e4)
+      } finally prev match {
+        case Some(v) => sys.props.put("graft.atomic.claimWaitMs", v)
+        case None => sys.props.remove("graft.atomic.claimWaitMs")
+      }
+      // ...and releaseClaim unblocks everything
+      assert(graft.io.AtomicSink.releaseClaim(dir, 5))
+      spark.sql("DELETE FROM gmw.t WHERE id < 10")
+      assert(spark.sql("SELECT count(*) FROM gmw.t").head.getLong(0)
+        == 1090L)
+    } finally spark.conf.unset("spark.graft.atomic.deleteMode")
+    assert(fsDir.isDirectory)
+    spark.sql("DROP TABLE gmw.t")
   }
 
   test("SQL UPDATE and MERGE INTO: group-based copy-on-write rewrites " +
