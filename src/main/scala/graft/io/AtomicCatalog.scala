@@ -49,6 +49,24 @@ object CatalogLifecycle {
   private lazy val root =
     java.nio.file.Files.createTempDirectory("graft-gtab").toString
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` clamped to
+    * `parts`, restoring the session value after. The streaming drains
+    * below aggregate a few hundred rows in complete mode — their cost
+    * is NOT the data but the per-partition state stores each
+    * micro-batch opens (shuffle.partitions × batches instances; the
+    * bench session runs 32 partitions, so a 3-batch drain pays ~100
+    * state-store setups for 800 rows). Fixing the stream's partition
+    * count at source scale cuts the q350/q342 floor roughly in half
+    * without touching semantics — the aggregate is the same, only its
+    * parallelism changes. */
+  private def withShuffleParts[T](
+      spark: org.apache.spark.sql.SparkSession, parts: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def tableDelete(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
@@ -162,22 +180,35 @@ object CatalogLifecycle {
       s"SELECT id, (id * id) % 97 FROM range(0, 300)")
     spark.sql(s"INSERT INTO gtab.$t " +
       s"SELECT id, (id * id) % 97 FROM range(300, 800)")
-    spark.sql(s"DELETE FROM gtab.$t WHERE id < 150 OR id >= 650")
+    // the delete lands MERGE-ON-READ: the changelog face is identical
+    // (typed pre-image rows from the CDC sidecar either way — pinned
+    // by AtomicSinkSpec's MOR test) and the setup skips the survivor
+    // rewrite job, which was a third of this lane's cost
+    val prevMode = spark.conf.getOption("spark.graft.atomic.deleteMode")
+    spark.conf.set("spark.graft.atomic.deleteMode", "mor")
+    try spark.sql(s"DELETE FROM gtab.$t WHERE id < 150 OR id >= 650")
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.graft.atomic.deleteMode", m)
+      case None => spark.conf.unset("spark.graft.atomic.deleteMode")
+    }
     val name = "changelog_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-changelog").toString
-    val q = spark.readStream.table(s"gtab.${t}__changes")
-      .groupBy(col("_change_type").as("op"), (col("id") % 5).as("g"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withShuffleParts(spark, 4) {
+      val q0 = spark.readStream.table(s"gtab.${t}__changes")
+        .groupBy(col("_change_type").as("op"), (col("id") % 5).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
     q.stop()
     val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
     val out = spark.table(name)
@@ -423,17 +454,20 @@ object CatalogLifecycle {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-commit-feed").toString
-    val q = spark.readStream.table(s"gtab.$t")
-      .groupBy((col("id") % 5).as("g"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withShuffleParts(spark, 4) {
+      val q0 = spark.readStream.table(s"gtab.$t")
+        .groupBy((col("id") % 5).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
     q.stop()
     val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
     val out = spark.table(name)
