@@ -71,10 +71,14 @@ class AtomicSink extends TableProvider {
     }
     // `commitBasis` (set by the COW delete rewrite and compaction)
     // marks the write basis-dependent: its commit refuses on any
-    // concurrent commit instead of retrying past it
+    // concurrent commit instead of retrying past it. `partids`
+    // (partition field ids) keeps a rewrite's output partition-split
+    // so its files republish their pruning tuples.
     val basis = Option(properties.get("commitBasis")).map(_.trim.toInt)
+    val partIds = Option(properties.get("partids")).toSeq
+      .flatMap(_.split(",").map(_.trim.toLong))
     new AtomicSink.SinkTable(properties.get("path"), withIds,
-      commitBasis = basis)
+      commitBasis = basis, partitionFieldIds = partIds)
   }
 }
 
@@ -314,7 +318,11 @@ object AtomicSink {
     if (!fs.exists(mf)) Seq.empty
     else {
       val in = fs.open(mf)
-      try scala.io.Source.fromInputStream(in).getLines().toList
+      // an EMPTY commit (e.g. a whole-partition delete's zero
+      // survivors under the lazy partitioned writer) serializes as a
+      // bare newline — drop blank lines, they are not file names
+      try scala.io.Source.fromInputStream(in).getLines()
+        .filter(_.nonEmpty).toList
       finally in.close()
     }
   }
@@ -538,24 +546,81 @@ object AtomicSink {
           layoutOpt)
         return
       }
-      val w = snap.filter(!hit).write.format("graft.io.AtomicSink")
-        .option("path", path).mode("append")
-        .option("commitBasis", basis.toString)
-      // the rewrite's files must stay FIELD-ID resolvable: re-attach
-      // the table's layout (a filtered frame's schema lost the ids)
-      layoutOpt.foreach(ids => w.option("layout", ids.mkString(",")))
-      w.save()
-      // CHANGELOG sidecar: publish the deleted rows as `v<k>-cdc-*`
-      // files listed in `_CDC.v<k>` (k = the delete's own commit),
-      // making the commit feed's changelog face op-typed instead of
-      // replaying survivor rewrites as inserts. Written AFTER the
-      // commit point in the same driver call — a crash between the
-      // two leaves a correct table whose changelog lacks this
-      // delete's rows (stated window; the data itself is never
-      // at risk).
-      val k = AtomicSink.versionsOf(path).last
-      AtomicSink.writeCdcSidecar(spark, path, k, snap.filter(hit),
-        layoutOpt)
+      // PARTITION-SCOPED copy-on-write: only files whose recorded
+      // partition tuple can hold a condition-TRUE row are rewritten
+      // (a conjunct referencing only partition columns that is not
+      // TRUE on a file's tuple is not TRUE on any of its rows); every
+      // other file carries forward BY REFERENCE — a partition-scoped
+      // DELETE rewrites only the touched partitions, not the table.
+      val all = AtomicSink.committedFilesOf(path)
+      val partCols = partitionColNames
+      val affected: Set[String] =
+        if (partCols.isEmpty) all.toSet
+        else {
+          val tuples = AtomicSink.partsForFiles(path, all)
+          val partOnly = filters.filter(f => f.references.nonEmpty &&
+            f.references.forall(partCols.contains))
+          val types = partCols.map(n =>
+            schema.fields(schema.fieldIndex(n)).dataType)
+          def cellOf(cells: Array[String])(name: String): Any = {
+            val i = partCols.indexOf(name)
+            val s = if (i >= 0 && i < cells.length) cells(i) else ""
+            if (s.isEmpty) null
+            else types(i) match {
+              case org.apache.spark.sql.types.LongType => s.toLong
+              case org.apache.spark.sql.types.DoubleType => s.toDouble
+              case _ => s
+            }
+          }
+          all.filter { n =>
+            tuples.get(n) match {
+              case None => true // unknown tuple: conservatively rewrite
+              case Some(cells) => partOnly.forall(f =>
+                scala.util.Try(AtomicSink.evalFilter(f, cellOf(cells)))
+                  .getOrElse(Some(true)).contains(true))
+            }
+          }.toSet
+        }
+      // CHANGELOG sidecar (both arms): the deleted rows publish as
+      // `v<k>-cdc-*` files listed in `_CDC.v<k>`, making the feed's
+      // changelog face op-typed instead of replaying survivor
+      // rewrites as inserts. Written AFTER the commit point in the
+      // same driver call — a crash between the two leaves a correct
+      // table whose changelog lacks this delete's rows (stated
+      // window; the data itself is never at risk).
+      if (affected.size == all.size) {
+        // every file may hold matches — the classic full rewrite
+        val w = snap.filter(!hit).write.format("graft.io.AtomicSink")
+          .option("path", path).mode("append")
+          .option("commitBasis", basis.toString)
+        // the rewrite's files must stay FIELD-ID resolvable:
+        // re-attach the table's layout (a filtered frame's schema
+        // lost the ids)
+        layoutOpt.foreach(ids => w.option("layout", ids.mkString(",")))
+        if (partitionFieldIds.nonEmpty)
+          w.option("partids", partitionFieldIds.mkString(","))
+        w.save()
+        val k = AtomicSink.versionsOf(path).last
+        AtomicSink.writeCdcSidecar(spark, path, k, snap.filter(hit),
+          layoutOpt)
+      } else {
+        // partial rewrite: survivors of the AFFECTED files land in an
+        // atomic work dir, then one manual commit publishes
+        // keep-by-reference + fresh (claim/basis discipline inside)
+        val snapAff = AtomicSink.readSnapshot(spark, path, schema, None,
+          Some(affected))
+        val work = s"$path/_rwwork-${java.util.UUID.randomUUID()}"
+        val w = snapAff.filter(!hit).write.format("graft.io.AtomicSink")
+          .option("path", work).mode("append")
+        layoutOpt.foreach(ids => w.option("layout", ids.mkString(",")))
+        if (partitionFieldIds.nonEmpty)
+          w.option("partids", partitionFieldIds.mkString(","))
+        w.save()
+        val k = AtomicSink.publishRewriteCommit(path,
+          all.filterNot(affected), work, layoutOpt, Some(basis))
+        AtomicSink.writeCdcSidecar(spark, path, k, snapAff.filter(hit),
+          layoutOpt)
+      }
     }
   }
 
@@ -1020,6 +1085,69 @@ object AtomicSink {
     version
   }
 
+  /** Publishes a PARTIAL-REWRITE commit: `keep` (untouched current
+    * files) carries forward by reference, while the atomic work-dir
+    * write at `workDir` (a complete v1 snapshot of the REWRITTEN
+    * files, with its own `_LAYOUT.v1`/`_PARTS.v1`) renames in as the
+    * commit's fresh files — the partition-scoped copy-on-write
+    * DELETE's commit, same claim/basis discipline as every
+    * basis-dependent commit. Returns the commit version. */
+  private[io] def publishRewriteCommit(path: String, keep: Seq[String],
+      workDir: String, layout: Option[Seq[Long]],
+      basis: Option[Int]): Int = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val version = claimVersion(path, retry = false)
+    def releaseAnd(t: Throwable): Nothing = {
+      fs.delete(new Path(path, s"_CLAIM.v$version"), false)
+      throw t
+    }
+    basis.foreach { b =>
+      val latest = versionsOf(path).lastOption.getOrElse(0)
+      if (latest != b) releaseAnd(new java.util.ConcurrentModificationException(
+        s"$path moved to v$latest while this rewrite was computed " +
+          s"against v$b — re-run it"))
+    }
+    try {
+      val staged = committedFilesOf(workDir)
+      val fresh = staged.map(n =>
+        s"v$version-part-" + n.stripPrefix("v1-part-"))
+      staged.zip(fresh).foreach { case (from, to) =>
+        fs.rename(new Path(workDir, from), new Path(path, to))
+      }
+      def writeAtomic(target: Path, bytes: Array[Byte]): Unit = {
+        val tmp = new Path(path, s"_RW.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        fs.rename(tmp, target)
+      }
+      // partition tuples of the rewritten files, renamed to their
+      // published names — future scans keep pruning them
+      val workParts = readParts(workDir, 1)
+      if (workParts.nonEmpty) {
+        val lines = staged.zip(fresh).flatMap { case (from, to) =>
+          workParts.get(from).map(cells =>
+            (to +: cells.toSeq).mkString("\t")) }
+        writeAtomic(new Path(path, s"_PARTS.v$version"),
+          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
+      layout.foreach(ids => writeAtomic(new Path(path, s"_LAYOUT.v$version"),
+        ids.mkString("", "\n", "\n").getBytes("UTF-8")))
+      val manifestBytes =
+        (keep ++ fresh).mkString("", "\n", "\n").getBytes("UTF-8")
+      writeAtomic(new Path(path, s"$ManifestFile.v$version"), manifestBytes)
+      val legacy = new Path(path, ManifestFile)
+      fs.delete(legacy, false)
+      writeAtomic(legacy, manifestBytes)
+      fs.delete(new Path(workDir), true)
+      version
+    } catch {
+      case t: Throwable =>
+        if (!fs.exists(new Path(path, s"$ManifestFile.v$version")))
+          releaseAnd(t)
+        else throw t
+    }
+  }
+
   /** COMPACTION (the OPTIMIZE/rewrite-files maintenance op): rewrites
     * the CURRENT visible rows — merge-on-read predicates applied — as
     * one fresh REPLACEMENT snapshot. After it, every `_DELETES.v<k>`
@@ -1100,12 +1228,13 @@ object AtomicSink {
     * mapping); the TSV null convention maps "" back to NULL. */
   private[io] def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: StructType,
-      snapVersion: Option[Int]): org.apache.spark.sql.DataFrame = {
+      snapVersion: Option[Int],
+      onlyFiles: Option[Set[String]] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val names = snapVersion match {
+    val names = (snapVersion match {
       case Some(v) => readManifestOf(path, v)
       case None => committedFilesOf(path)
-    }
+    }).filter(n => onlyFiles.forall(_.contains(n)))
     if (names.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -157,9 +157,19 @@ class AtomicSinkSpec extends SparkSpec {
     spark.sql("DELETE FROM galter.t WHERE id < 10")
     assert(spark.sql("SELECT sum(x) FROM galter.t").head.getLong(0)
       == (10L until 80L).map(_ % 7).sum)
-    // still refused: positions and type changes
+    // still refused: positions, type changes, and NESTED evolution —
+    // field ids are top-level only (documented refusal: a struct
+    // column's members have no ids, so nested ADD/RENAME/DROP would
+    // reintroduce the positional-read trap inside the struct)
     intercept[Exception](
       spark.sql("ALTER TABLE galter.t ADD COLUMN w BIGINT FIRST"))
+    val nested = intercept[Exception](
+      spark.sql("ALTER TABLE galter.t ADD COLUMN x.inner BIGINT"))
+    assert(Iterator.iterate(nested: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage)
+        .exists(m => m.contains("top-level") || m.contains("not a struct")
+          || m.contains("INVALID_FIELD_NAME"))), nested.getMessage)
     assert(spark.table("galter.t").schema.fieldNames.toSeq
       == Seq("id", "x", "c"), "refused changes mutate nothing")
     // crash-safety shape: schema publications are fresh names only —

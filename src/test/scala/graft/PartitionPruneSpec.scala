@@ -150,4 +150,51 @@ class PartitionPruneSpec extends SparkSpec {
         "PARTITIONED BY (bucket(4, id))"))
     spark.sql("DROP TABLE gpt.t")
   }
+
+  test("partition-scoped copy-on-write DELETE rewrites only the " +
+    "touched partitions — untouched files carry by reference, a " +
+    "whole-partition delete writes no data files at all") {
+    val root = Files.createTempDirectory("graft-pscow").toString
+    spark.conf.set("spark.sql.catalog.gps", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gps.root", root)
+    spark.sql("CREATE TABLE gps.t (id BIGINT, g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql("INSERT INTO gps.t " +
+      "SELECT id, id % 4, id DIV 4 FROM range(0, 800)")
+    val dir = s"$root/t"
+    val v1Files = graft.io.AtomicSink.committedFiles(spark, dir)
+    // the partition-1 files, from the commit's own tuple sidecar
+    val parts1 = scala.io.Source.fromFile(s"$dir/_PARTS.v1").getLines()
+      .map(_.split("\t", -1)).map(c => c(0) -> c(1)).toMap
+    val p1Files = v1Files.filter(f => parts1.get(f).contains("1")).toSet
+    assert(p1Files.nonEmpty && p1Files.size < v1Files.size)
+    // mixed predicate: partition conjunct g = 1 scopes the rewrite,
+    // the residual (v % 2 = 0) decides rows inside it
+    spark.sql("DELETE FROM gps.t WHERE g = 1 AND v % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM gps.t").head.getLong(0)
+      == 700L, "exactly the matching rows deleted")
+    val after = graft.io.AtomicSink.committedFiles(spark, dir)
+    assert((v1Files.toSet -- p1Files).subsetOf(after.toSet),
+      "untouched partitions' files carry forward BY REFERENCE")
+    assert(p1Files.forall(f => !after.contains(f)),
+      "every touched-partition file was replaced")
+    assert(after.exists(_.startsWith("v2-")),
+      "partition-1 survivors republished as fresh files")
+    // pure partition predicate: survivors of the touched partition
+    // are EMPTY — the commit adds no data files at all
+    spark.sql("DELETE FROM gps.t WHERE g = 2")
+    assert(spark.sql("SELECT count(*) FROM gps.t").head.getLong(0)
+      == 500L)
+    val after2 = graft.io.AtomicSink.committedFiles(spark, dir)
+    assert(!after2.exists(_.startsWith("v3-")),
+      s"a whole-partition delete is metadata-plus-CDC only: $after2")
+    // time travel across both deletes stays exact
+    assert(spark.sql("SELECT count(*) FROM gps.t VERSION AS OF 1")
+      .head.getLong(0) == 800L)
+    assert(spark.sql("SELECT count(*) FROM gps.t VERSION AS OF 2")
+      .head.getLong(0) == 700L)
+    // and the rewritten files keep pruning (fresh _PARTS republished)
+    assert(new java.io.File(s"$dir/_PARTS.v2").isFile)
+    spark.sql("DROP TABLE gps.t")
+  }
 }
