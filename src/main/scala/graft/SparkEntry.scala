@@ -6802,8 +6802,9 @@ object SparkEntry {
     // q354: the merged state in closed form — 0..599 untouched,
     // matched 600..799 updated (multiples of 3 deleted), not-matched
     // 800..999 inserted; pre_merge_rows pins VERSION AS OF 1,
-    // one_commit pins the single replacement commit (driver-derived,
-    // the q342 convention)
+    // group_filtered pins the runtime group filter (untouched files
+    // carried by reference AND matched files rewritten —
+    // driver-derived, the q342 convention)
     "q354_sql_merge" ->
       """WITH merged AS (
         |  SELECT range AS id, (range * range) % 83 AS v
@@ -6818,7 +6819,7 @@ object SparkEntry {
         |SELECT id % 7 AS g, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(v) AS BIGINT) AS v_sum,
         |  CAST(800 AS BIGINT) AS pre_merge_rows,
-        |  CAST(1 AS BIGINT) AS one_commit
+        |  CAST(1 AS BIGINT) AS group_filtered
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // q355: post-update state in closed form; pre_update_v_sum pins
     // the VERSION AS OF 1 aggregate, one_commit the replacement shape

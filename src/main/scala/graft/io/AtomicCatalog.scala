@@ -303,12 +303,15 @@ object CatalogLifecycle {
 
   /** q354's driver: SQL `MERGE INTO` — Spark's GROUP-BASED row-level
     * rewrite over the catalog table (the Iceberg copy-on-write MERGE
-    * shape): matched-delete, matched-update and not-matched-insert
-    * arms land as ONE replacement commit through the same two-phase
-    * protocol as every write. The oracle pins the merged state in
-    * closed form, the pre-merge `VERSION AS OF` count, and the
-    * one_commit flag (every current file carries the merge's own
-    * version — planner-derived, the q342 convention). */
+    * shape with RUNTIME GROUP FILTERING): a dynamic-pruning subquery
+    * computes the `_file` set holding MATCHED rows, the rewrite scans
+    * only those files, and the commit replaces exactly them — every
+    * untouched file carries forward by reference in the same
+    * two-phase commit as every write. The oracle pins the merged
+    * state in closed form, the pre-merge `VERSION AS OF` count, and
+    * the group_filtered flag (the post-merge manifest holds BOTH
+    * carried pre-merge files and fresh merge-version files —
+    * planner-derived, the q342 convention). */
   def sqlMerge(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -330,8 +333,12 @@ object CatalogLifecycle {
          |""".stripMargin)
     val dir = s"$root/$t"
     val mergeV = AtomicSink.versions(spark, dir).last
-    val oneCommit = AtomicSink.committedFiles(spark, dir)
-      .forall(_.startsWith(s"v$mergeV-"))
+    val after = AtomicSink.committedFiles(spark, dir)
+    // group filtering proof: untouched files carried by reference
+    // (pre-merge version prefixes survive) AND matched files were
+    // rewritten (fresh merge-version files exist)
+    val groupFiltered = after.exists(!_.startsWith(s"v$mergeV-")) &&
+      after.exists(_.startsWith(s"v$mergeV-"))
     val v1Rows = spark.sql(
       s"SELECT count(*) FROM gtab.$t VERSION AS OF 1").head.getLong(0)
     val out = spark.sql(
@@ -339,7 +346,7 @@ object CatalogLifecycle {
          |  CAST(sum(v) AS BIGINT) AS v_sum
          |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
       .withColumn("pre_merge_rows", lit(v1Rows))
-      .withColumn("one_commit", lit(if (oneCommit) 1L else 0L))
+      .withColumn("group_filtered", lit(if (groupFiltered) 1L else 0L))
     val rows = out.collect()
     spark.sql(s"DROP TABLE gtab.$t")
     spark.createDataFrame(

@@ -1308,7 +1308,8 @@ object AtomicSink {
   private class TsvScanBuilder(path: String, schema: StructType,
       pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean,
       partitionCols: Seq[String] = Seq.empty,
-      onPlanned: Seq[String] => Unit = null)
+      onPlanned: Seq[String] => Unit = null,
+      runtimeGroupFilter: Boolean = false)
       extends org.apache.spark.sql.connector.read.ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -1343,7 +1344,8 @@ object AtomicSink {
 
     override def build(): org.apache.spark.sql.connector.read.Scan =
       new TsvScan(path, schema, pinned, changelog, failOnDataLoss,
-        required, partitionCols, partPushed, onPlanned)
+        required, partitionCols, partPushed, onPlanned,
+        runtimeGroupFilter)
   }
 
   /** Output-field resolution codes for one scan: `>= 0` = index into
@@ -1372,9 +1374,49 @@ object AtomicSink {
       required: Option[StructType] = None,
       partitionCols: Seq[String] = Seq.empty,
       partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-      onPlanned: Seq[String] => Unit = null)
+      onPlanned: Seq[String] => Unit = null,
+      runtimeGroupFilter: Boolean = false)
       extends org.apache.spark.sql.connector.read.Scan
-      with org.apache.spark.sql.connector.read.Batch {
+      with org.apache.spark.sql.connector.read.Batch
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+    /** RUNTIME GROUP FILTERING (row-level operation scans only): a
+      * MERGE/UPDATE's ReplaceData plan asks Spark to compute the
+      * DISTINCT `_file` values of MATCHING rows first (a dynamic
+      * pruning subquery over a separate plain scan), then pushes them
+      * here as `IN(_file, …)` — the scan narrows to exactly the files
+      * holding matched rows, and because the write replaces exactly
+      * what the scan planned, an unpartitioned MERGE rewrites only
+      * the files it touches (the Iceberg COW group-filter contract).
+      * An unparseable predicate is ignored: a wider scan only
+      * rewrites more untouched rows, never changes the result. */
+    @volatile private var runtimeFiles: Option[Set[String]] = None
+
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      if (runtimeGroupFilter)
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column("_file"))
+      else Array.empty
+
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions
+          .filter.Predicate]): Unit = {
+      val names = predicates.collectFirst {
+        case p if p.name() == "IN" && p.children().nonEmpty &&
+          p.children()(0).isInstanceOf[
+            org.apache.spark.sql.connector.expressions.NamedReference] &&
+          p.children()(0)
+            .asInstanceOf[org.apache.spark.sql.connector.expressions
+              .NamedReference]
+            .fieldNames().sameElements(Array("_file")) =>
+          p.children().drop(1).collect {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              String.valueOf(l.value())
+          }.toSet
+      }
+      names.foreach(ns => runtimeFiles = Some(ns))
+    }
     private def outSchema: StructType = required.getOrElse(
       if (changelog) changelogSchema(schema) else schema)
     private def outCodes: Array[Int] = outCodesFor(outSchema, schema)
@@ -1445,6 +1487,7 @@ object AtomicSink {
         if (partFilters.isEmpty) Map.empty[String, Array[String]]
         else partsForFiles(path, all)
       val names = all.filterNot(n => prunedByPartition(tuples.get(n)))
+        .filter(n => runtimeFiles.forall(_.contains(n)))
       // report the planned file set to a coordinating row-level
       // rewrite (the groups its write REPLACES — unread files carry
       // forward untouched)
@@ -1715,7 +1758,8 @@ object AtomicSink {
       new TsvScanBuilder(path, schema, None, changelog = false,
         failOnDataLoss = true, partitionCols = partitionCols,
         onPlanned = fs => scanned.set(
-          (fs, versionsOf(path).lastOption.getOrElse(0))))
+          (fs, versionsOf(path).lastOption.getOrElse(0))),
+        runtimeGroupFilter = true)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = {

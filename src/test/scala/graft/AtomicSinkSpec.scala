@@ -600,9 +600,13 @@ class AtomicSinkSpec extends SparkSpec {
       == 2450L, "update arm applied to exactly the predicate's rows")
     assert(spark.sql("SELECT count(*) FROM gdml.t").head.getLong(0)
       == 100L)
+    // RUNTIME GROUP FILTERING: only files holding id < 20 rewrite;
+    // the rest of v1's files carry forward by reference
     val afterUpdate = graft.io.AtomicSink.committedFiles(spark, s"$root/t")
-    assert(afterUpdate.nonEmpty && afterUpdate.forall(_.startsWith("v2-")),
-      s"UPDATE = one replacement snapshot: $afterUpdate")
+    assert(afterUpdate.exists(_.startsWith("v2-")),
+      s"matched files republished: $afterUpdate")
+    assert(afterUpdate.exists(_.startsWith("v1-")),
+      s"untouched files carried by reference: $afterUpdate")
     assert(spark.sql("SELECT sum(v) FROM gdml.t VERSION AS OF 1")
       .head.getLong(0) == 450L, "pre-update snapshot intact")
     // --- MERGE: delete / update / insert arms in one commit (v3)
@@ -620,8 +624,10 @@ class AtomicSinkSpec extends SparkSpec {
       == 105L, "100 - 5 matched-deletes + 10 not-matched-inserts")
     assert(spark.sql("SELECT sum(v) FROM gdml.t").head.getLong(0)
       == 4380L, "matched-update + insert arms exact")
-    assert(graft.io.AtomicSink.committedFiles(spark, s"$root/t")
-      .forall(_.startsWith("v3-")), "MERGE = one replacement snapshot")
+    val afterMerge = graft.io.AtomicSink.committedFiles(spark, s"$root/t")
+    assert(afterMerge.exists(_.startsWith("v3-")) &&
+      afterMerge.exists(!_.startsWith("v3-")),
+      s"MERGE rewrites only the matched files, carries the rest: $afterMerge")
     assert(spark.sql("SELECT sum(v) FROM gdml.t VERSION AS OF 2")
       .head.getLong(0) == 2450L, "pre-merge snapshot intact")
     // --- changelog replay equality across insert/update/merge commits
