@@ -1189,6 +1189,11 @@ object SparkEntry {
     // flag pinned from the planned input-partition count)
     "q356_partitioned_table" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.partitionedTable(s)),
+    // partition-aware INSERT OVERWRITE: static PARTITION(g=3) face +
+    // dynamic partitionOverwriteMode face — untouched partitions
+    // carry by reference (flag pinned), pre-overwrite time travel
+    "q357_partition_overwrite" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.partitionOverwrite(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6847,6 +6852,24 @@ object SparkEntry {
         |  CAST(SUM(v) AS BIGINT) AS v_sum,
         |  CAST(1 AS BIGINT) AS pruned
         |FROM t WHERE g = 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q357: the final state after both overwrite faces in closed
+    // form — dynamic replaced partitions 0/1, static replaced 3,
+    // 2/4 keep their original rows; carried pins the by-reference
+    // manifest carry (driver-derived, the q342 convention)
+    "q357_partition_overwrite" ->
+      """WITH final AS (
+        |  SELECT range AS id, range % 2 AS g, 7777 AS v
+        |  FROM range(0, 40)
+        |  UNION ALL
+        |  SELECT range, 3, -1 FROM range(0, 20)
+        |  UNION ALL
+        |  SELECT range, range % 5, range FROM range(0, 1000)
+        |  WHERE range % 5 IN (2, 4))
+        |SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(1000 AS BIGINT) AS pre_overwrite_rows,
+        |  CAST(1 AS BIGINT) AS carried
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // q337: surviving rows of the closed-form table after the
     // predicate delete; v1_rows pins the time-travel count
     "q337_table_delete" ->

@@ -439,6 +439,55 @@ object CatalogLifecycle {
       .orderBy("b")
   }
 
+  /** q357's driver: partition-aware `INSERT OVERWRITE` — the static
+    * face (`PARTITION (g = 3)`) replaces exactly that partition's
+    * files, the dynamic face (`partitionOverwriteMode=dynamic`)
+    * replaces exactly the partitions PRESENT in the incoming rows;
+    * everything else carries by reference. The oracle pins the final
+    * state in closed form, the pre-overwrite `VERSION AS OF` count,
+    * and the carried flag (first-commit files still in the final
+    * manifest — planner-derived, the q342 convention). */
+  def partitionOverwrite(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, g BIGINT, v BIGINT) " +
+      s"PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, id % 5, id FROM range(0, 1000)")
+    spark.sql(s"INSERT OVERWRITE gtab.$t PARTITION (g = 3) " +
+      s"SELECT id, -1L FROM range(0, 20)")
+    val prevMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"INSERT OVERWRITE gtab.$t " +
+      s"SELECT id, id % 2, 7777L FROM range(0, 40)")
+    finally prevMode match {
+      case Some(m) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val dir = s"$root/$t"
+    val after = AtomicSink.committedFiles(spark, dir)
+    val carried = after.exists(_.startsWith("v1-"))
+    val v1Rows = spark.sql(
+      s"SELECT count(*) FROM gtab.$t VERSION AS OF 1").head.getLong(0)
+    val out = spark.sql(
+      s"""SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS v_sum
+         |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
+      .withColumn("pre_overwrite_rows", lit(v1Rows))
+      .withColumn("carried", lit(if (carried) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
   /** q342's driver: the COMMIT FEED — three closed-form `INSERT`s
     * land as three snapshots, then `spark.readStream.table` tails
     * the table under Trigger.AvailableNow; commit-granular admission

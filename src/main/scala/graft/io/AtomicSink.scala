@@ -238,6 +238,84 @@ object AtomicSink {
     fs.delete(new Path(path, s"_CLAIM.v$version"), false)
   }
 
+  /** v2 `Predicate` → v1 `Filter`, total over the shapes an
+    * overwrite-by-filter pushes (single-column-vs-literal comparisons
+    * and boolean combinations); None for anything else — the caller
+    * refuses the overwrite rather than guessing. */
+  private[io] def v2ToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    def ref(e: Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: Expression): Option[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(l.value() match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        })
+      case _ => None
+    }
+    def colLit(op: (String, Any) => Filter): Option[Filter] =
+      p.children() match {
+        case Array(a, v) => for (c <- ref(a); l <- lit(v)) yield op(c, l)
+        case _ => None
+      }
+    def sub(e: Expression): Option[Filter] = e match {
+      case q: org.apache.spark.sql.connector.expressions.filter.Predicate =>
+        v2ToV1(q)
+      case _ => None
+    }
+    p.name() match {
+      case "ALWAYS_TRUE" => Some(AlwaysTrue())
+      case "ALWAYS_FALSE" => Some(AlwaysFalse())
+      case "=" => colLit(EqualTo)
+      case "<=>" => colLit(EqualNullSafe)
+      case ">" => colLit(GreaterThan)
+      case ">=" => colLit(GreaterThanOrEqual)
+      case "<" => colLit(LessThan)
+      case "<=" => colLit(LessThanOrEqual)
+      case "IN" => p.children() match {
+        case c if c.length >= 2 =>
+          for (a <- ref(c(0));
+               vs <- Some(c.drop(1).map(lit))
+               if vs.forall(_.isDefined))
+            yield In(a, vs.flatten)
+        case _ => None
+      }
+      case "IS_NULL" => p.children() match {
+        case Array(e) => ref(e).map(IsNull(_)); case _ => None }
+      case "IS_NOT_NULL" => p.children() match {
+        case Array(e) => ref(e).map(IsNotNull(_)); case _ => None }
+      case "AND" => p.children() match {
+        case Array(l, r) => for (a <- sub(l); b <- sub(r)) yield And(a, b)
+        case _ => None
+      }
+      case "OR" => p.children() match {
+        case Array(l, r) => for (a <- sub(l); b <- sub(r)) yield Or(a, b)
+        case _ => None
+      }
+      case "NOT" => p.children() match {
+        case Array(c) => sub(c).map(Not(_)); case _ => None }
+      case _ => None
+    }
+  }
+
+  /** How a commit decides which CURRENT files it replaces (the
+    * partition-aware `INSERT OVERWRITE` faces): by a pushed
+    * partition predicate (static `PARTITION (g=3)`), or by the
+    * partition tuples present in the INCOMING data (dynamic
+    * partition overwrite — the Hive `partitionOverwriteMode=dynamic`
+    * contract). Resolved inside the commit, after the claim. */
+  private[io] sealed trait OverwriteMode
+  private[io] case class StaticOverwrite(
+      filters: Seq[org.apache.spark.sql.sources.Filter]) extends OverwriteMode
+  private[io] case object DynamicOverwrite extends OverwriteMode
+
   private val FileVersionRe = "^v(\\d+)-".r
 
   private[io] def versionOfFile(name: String): Option[Int] =
@@ -392,19 +470,70 @@ object AtomicSink {
       partitionColNames.map(n =>
         org.apache.spark.sql.connector.expressions.Expressions.identity(n))
         .toArray
-    override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_WRITE,
+    override def capabilities(): util.Set[TableCapability] = {
+      val caps = util.EnumSet.of(TableCapability.BATCH_WRITE,
         TableCapability.BATCH_READ,
         TableCapability.TRUNCATE,
         TableCapability.MICRO_BATCH_READ)
+      // partition-aware overwrites exist only for partitioned catalog
+      // tables — advertising them elsewhere would trade the analyzer's
+      // clean capability error for a builder-time refusal
+      if (accumulateAppends && partitionFieldIds.nonEmpty) {
+        caps.add(TableCapability.OVERWRITE_BY_FILTER)
+        caps.add(TableCapability.OVERWRITE_DYNAMIC)
+      }
+      caps
+    }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       require(pinnedVersion.isEmpty,
         "cannot write to a VERSION AS OF snapshot")
       require(!changelog, "the __changes sub-table is read-only")
       new WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
         private var truncated = false
+        private var overwriteMode: Option[AtomicSink.OverwriteMode] = None
         override def truncate(): WriteBuilder = { truncated = true; this }
+
+        /** Static partition overwrite (`INSERT OVERWRITE … PARTITION
+          * (g = 3)`): accepted iff the table is partitioned and every
+          * predicate translates and references ONLY partition columns
+          * — then the commit replaces exactly the files whose tuple
+          * satisfies it and carries the rest by reference. Anything
+          * wider refuses (canOverwrite = false → Spark raises the
+          * unsupported-expression error), and a plain overwrite still
+          * lands on [[truncate]]. */
+        override def canOverwrite(
+            predicates: Array[org.apache.spark.sql.connector
+              .expressions.filter.Predicate]): Boolean =
+          accumulateAppends && partitionFieldIds.nonEmpty && {
+            val v1 = predicates.map(AtomicSink.v2ToV1)
+            v1.forall(_.isDefined) && v1.flatten.forall(
+              _.references.forall(partitionColNames.contains))
+          }
+        override def overwrite(
+            predicates: Array[org.apache.spark.sql.connector
+              .expressions.filter.Predicate]): WriteBuilder = {
+          require(canOverwrite(predicates),
+            "overwrite-by-filter requires a PARTITIONED BY table and " +
+              "partition-column predicates")
+          overwriteMode = Some(AtomicSink.StaticOverwrite(
+            predicates.flatMap(AtomicSink.v2ToV1).toSeq))
+          this
+        }
+
+        /** Dynamic partition overwrite
+          * (`spark.sql.sources.partitionOverwriteMode=dynamic`): the
+          * commit replaces exactly the partitions PRESENT in the
+          * incoming rows — the backfill idiom at 100 TB. */
+        override def overwriteDynamicPartitions(): WriteBuilder = {
+          require(accumulateAppends && partitionFieldIds.nonEmpty,
+            "dynamic partition overwrite requires a catalog table " +
+              "with PARTITIONED BY")
+          overwriteMode = Some(AtomicSink.DynamicOverwrite)
+          this
+        }
+
         override def build(): Write = {
           def batch(): BatchWrite = {
             val wasTruncated = truncated
@@ -430,7 +559,9 @@ object AtomicSink {
               // rewrite, compaction) is basis-dependent: refuse on
               // conflict instead of retrying past it
               conflictRetry = commitBasis.isEmpty,
-              expectedBasis = () => commitBasis)
+              expectedBasis = () => commitBasis,
+              overwriteMode = overwriteMode,
+              partNames = partitionColNames)
           }
           if (partitionFieldIds.isEmpty)
             new Write { override def toBatch: BatchWrite = batch() }
@@ -1838,7 +1969,10 @@ object AtomicSink {
                                  partIdx: Array[Int] = Array.empty,
                                  conflictRetry: Boolean = true,
                                  expectedBasis: () => Option[Int] =
-                                   () => None)
+                                   () => None,
+                                 overwriteMode:
+                                   Option[AtomicSink.OverwriteMode] = None,
+                                 partNames: Seq[String] = Seq.empty)
       extends BatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
@@ -1888,15 +2022,62 @@ object AtomicSink {
             s"against v$b — refusing to publish over the concurrent " +
             s"commit; re-run the operation")
       }
-      // BOTH file-list functions resolve HERE — against the still-
-      // current previous snapshot, before the new manifest publishes
-      val carried = carryForward()
-      val deleted = truncatedPrev()
       // (stagedName, partitionTuple-or-null), one entry per file
       val staged: Seq[(String, String)] = messages.flatMap {
         case StagedFile(name) => Seq((name, null: String))
         case StagedParts(files) => files
       }.toSeq.sortBy(_._1)
+      // BOTH file lists resolve HERE — against the still-current
+      // previous snapshot, before the new manifest publishes. The
+      // partition-aware overwrite modes split the current snapshot by
+      // each file's recorded tuple instead of using the caller's
+      // carry/delete functions.
+      val (carried, deleted) = overwriteMode match {
+        case None => (carryForward(), truncatedPrev())
+        case Some(mode) =>
+          val current = AtomicSink.committedFilesOf(path)
+          val tuples = AtomicSink.partsForFiles(path, current)
+          val untupled = current.filterNot(tuples.contains)
+          val types = partIdx.map(schema.fields(_).dataType)
+          def cellOf(cells: Array[String])(name: String): Any = {
+            val i = partNames.indexOf(name)
+            val s = if (i >= 0 && i < cells.length) cells(i) else ""
+            if (s.isEmpty) null
+            else types(i) match {
+              case LongType => s.toLong
+              case DoubleType => s.toDouble
+              case _ => s
+            }
+          }
+          val replaced: Set[String] = mode match {
+            case AtomicSink.StaticOverwrite(filters) =>
+              // a partition-only predicate is constant per file: the
+              // file is replaced iff EVERY conjunct is TRUE on its
+              // tuple (= every row matches), carried otherwise. A
+              // file without a tuple could straddle the boundary —
+              // refuse loudly rather than guess.
+              if (untupled.nonEmpty) throw new IllegalStateException(
+                s"INSERT OVERWRITE by partition predicate on $path: " +
+                  s"files ${untupled.take(3).mkString(", ")}… have no " +
+                  s"recorded partition tuple (written before " +
+                  s"partitioning) — compact the table first")
+              current.filter(n => filters.forall(f =>
+                AtomicSink.evalFilter(f, cellOf(tuples(n)))
+                  .contains(true))).toSet
+            case AtomicSink.DynamicOverwrite =>
+              val freshTuples =
+                staged.collect { case (_, t) if t != null => t }.toSet
+              if (untupled.nonEmpty && freshTuples.nonEmpty)
+                throw new IllegalStateException(
+                  s"dynamic partition overwrite on $path: files " +
+                    s"${untupled.take(3).mkString(", ")}… have no " +
+                    s"recorded partition tuple — compact the table first")
+              current.filter(n =>
+                tuples.get(n).exists(c =>
+                  freshTuples.contains(c.mkString("\t")))).toSet
+          }
+          (current.filterNot(replaced), current.filter(replaced))
+      }
       val fresh = staged.map { case (n, _) => s"v$version-$n" }
       val names = carried ++ fresh
       staged.map(_._1).zip(fresh).foreach { case (from, to) =>

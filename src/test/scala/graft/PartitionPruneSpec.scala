@@ -197,4 +197,69 @@ class PartitionPruneSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/_PARTS.v2").isFile)
     spark.sql("DROP TABLE gps.t")
   }
+
+  test("partition-aware INSERT OVERWRITE: a static PARTITION " +
+    "predicate replaces exactly that partition's files, dynamic mode " +
+    "replaces exactly the partitions present in the incoming rows") {
+    val root = Files.createTempDirectory("graft-pow").toString
+    spark.conf.set("spark.sql.catalog.gow", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gow.root", root)
+    spark.sql("CREATE TABLE gow.t (id BIGINT, g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql("INSERT INTO gow.t " +
+      "SELECT id, id % 4, id FROM range(0, 400)")
+    val dir = s"$root/t"
+    val v1Files = graft.io.AtomicSink.committedFiles(spark, dir)
+    // STATIC: overwrite one partition; the other three carry
+    spark.sql("INSERT OVERWRITE gow.t PARTITION (g = 2) " +
+      "SELECT id, -1L FROM range(0, 10)")
+    assert(spark.sql("SELECT count(*) FROM gow.t").head.getLong(0)
+      == 310L, "partition 2's 100 rows replaced by 10")
+    assert(spark.sql(
+      "SELECT count(*), sum(v) FROM gow.t WHERE g = 2")
+      .head.toSeq == Seq(10L, -10L))
+    assert(spark.sql("SELECT count(*) FROM gow.t WHERE g = 1")
+      .head.getLong(0) == 100L, "other partitions untouched")
+    val afterStatic = graft.io.AtomicSink.committedFiles(spark, dir)
+    val parts1 = scala.io.Source.fromFile(s"$dir/_PARTS.v1").getLines()
+      .map(_.split("\t", -1)).map(c => c(0) -> c(1)).toMap
+    val keepables = v1Files.filterNot(f => parts1.get(f).contains("2"))
+    assert(keepables.forall(afterStatic.contains),
+      "untouched partitions' files carried BY REFERENCE")
+    assert(v1Files.filter(f => parts1.get(f).contains("2"))
+      .forall(f => !afterStatic.contains(f)),
+      "the overwritten partition's files are gone from the manifest")
+    // time travel to the pre-overwrite snapshot stays exact
+    assert(spark.sql("SELECT count(*) FROM gow.t VERSION AS OF 1")
+      .head.getLong(0) == 400L)
+    // DYNAMIC: only the partitions present in the new rows replace
+    val prevMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE gow.t " +
+        "SELECT id, id % 2, 1000L FROM range(0, 20)") // partitions 0, 1
+      assert(spark.sql(
+        "SELECT g, CAST(count(*) AS BIGINT) FROM gow.t GROUP BY g " +
+          "ORDER BY g").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq == Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 100L)),
+        "partitions 0/1 replaced, 2/3 untouched")
+      assert(spark.sql(
+        "SELECT sum(v) FROM gow.t WHERE g IN (0, 1)").head.getLong(0)
+        == 20000L)
+      assert(spark.sql("SELECT count(*) FROM gow.t WHERE g = 3")
+        .head.getLong(0) == 100L)
+    } finally prevMode match {
+      case Some(m) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // an overwrite-by-filter on a NON-partition column refuses loudly
+    // (canOverwrite = false → Spark's unsupported-expression error)
+    intercept[Exception](
+      spark.range(5).selectExpr("id", "id % 2 AS g", "id AS v")
+        .writeTo("gow.t").overwrite($"v" === 99L))
+    spark.sql("DROP TABLE gow.t")
+  }
 }
