@@ -1509,7 +1509,39 @@ object AtomicSink {
       runtimeGroupFilter: Boolean = false)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch
-      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+    /** Planner statistics = the byte size of exactly the files this
+      * scan will open (manifest-listed, PARTITION-PRUNED) — without
+      * this a DSv2 relation defaults to "unknown/huge" and a small
+      * catalog dimension table never auto-broadcasts in a join; with
+      * it, pruning also shrinks the estimate, so a partition-filtered
+      * scan can become the broadcast side. TSV bytes ≈ row data
+      * (no compression), making the estimate honest for the
+      * 10 MB broadcast threshold. */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics = {
+      val fs = new Path(path).getFileSystem(new Configuration())
+      val all = pinned match {
+        case Some(v) => readManifestOf(path, v)
+        case None => committedFilesOf(path)
+      }
+      val tuples =
+        if (partFilters.isEmpty) Map.empty[String, Array[String]]
+        else partsForFiles(path, all)
+      val names = all.filterNot(n => prunedByPartition(tuples.get(n)))
+      val bytes = names.map { n =>
+        try fs.getFileStatus(new Path(path, n)).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
 
     /** RUNTIME GROUP FILTERING (row-level operation scans only): a
       * MERGE/UPDATE's ReplaceData plan asks Spark to compute the

@@ -262,4 +262,33 @@ class PartitionPruneSpec extends SparkSpec {
         .writeTo("gow.t").overwrite($"v" === 99L))
     spark.sql("DROP TABLE gow.t")
   }
+
+  test("catalog scan statistics: a small catalog table reports its " +
+    "manifest byte size and auto-broadcasts as a join build side") {
+    val root = Files.createTempDirectory("graft-stats").toString
+    spark.conf.set("spark.sql.catalog.gst", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gst.root", root)
+    spark.sql("CREATE TABLE gst.dim (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gst.dim " +
+      "SELECT id, concat('n', id) FROM range(0, 100)")
+    val big = spark.range(0, 100000)
+      .selectExpr("id % 100 AS id", "id AS payload")
+    val joined = big.join(spark.table("gst.dim"), "id")
+    joined.collect()
+    def hasBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          true
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          hasBroadcast(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hasBroadcast(q.plan)
+        case other => other.children.exists(hasBroadcast)
+      }
+    assert(hasBroadcast(joined.queryExecution.executedPlan),
+      s"a ~1KB catalog dim must broadcast:\n" +
+        s"${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 100000L)
+    spark.sql("DROP TABLE gst.dim")
+  }
 }
