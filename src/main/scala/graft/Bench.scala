@@ -282,6 +282,14 @@ object Bench {
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"queries":$qs,"failed":$nFailed,"warmup_failed":$warmupOnly,"interleaved_over_isolated":$stalls,"retimed":$retimedJson,"skew":$skew,"sf":"$sfDir","n":$nUsed,"action":"noop_write_min_of_interleaved_passes"}"""
     println(line)
+    // COMPACT summary printed LAST: the full line above carries a
+    // per-query map of 350+ entries (~10 KB) that overflows a
+    // tail-capture of stdout, leaving the harness's record of the
+    // round unparseable (BENCH_r13/r14 both recorded parsed:null).
+    // This short line — totals and telemetry COUNTS only — always
+    // fits whatever tail survives, and carries the same headline.
+    val summary = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"failed":$nFailed,"stall_count":${stallNames(results).size},"retimed_count":${retimed.size},"sf":"$sfDir","n":$nUsed,"full_line":"above_and_in_sidecar"}"""
+    println(summary)
     // sidecar copy: the committed per-round artifact regardless of how
     // much stdout the harness tails
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_last.json"))

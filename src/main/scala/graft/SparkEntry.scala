@@ -1194,6 +1194,12 @@ object SparkEntry {
     // carry by reference (flag pinned), pre-overwrite time travel
     "q357_partition_overwrite" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.partitionOverwrite(s)),
+    // STREAMING WRITE into the catalog (writeStream.toTable): one
+    // epoch-idempotent two-phase commit per non-empty micro-batch; a
+    // forced replay of the final epoch (engine commit-log entry
+    // removed, stream restarted) publishes nothing (flags pinned)
+    "q358_stream_write" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.streamWrite(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6870,6 +6876,20 @@ object SparkEntry {
         |  CAST(1000 AS BIGINT) AS pre_overwrite_rows,
         |  CAST(1 AS BIGINT) AS carried
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q358: the streamed-through state in closed form (v' = v*2+1
+    // over the three source inserts); n_commits pins one sink commit
+    // per non-empty epoch, replay_no_dup pins that the forced replay
+    // of the final epoch published nothing (driver-derived, the q342
+    // convention)
+    "q358_stream_write" ->
+      """WITH t AS (
+        |  SELECT range AS id, ((range * range) % 97) * 2 + 1 AS v
+        |  FROM range(0, 1000))
+        |SELECT id % 5 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(3 AS BIGINT) AS n_commits,
+        |  CAST(1 AS BIGINT) AS replay_no_dup
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // q337: surviving rows of the closed-form table after the
     // predicate delete; v1_rows pins the time-travel count
     "q337_table_delete" ->

@@ -536,6 +536,79 @@ object CatalogLifecycle {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
   }
+
+  /** q358's driver: STREAMING WRITE into the catalog —
+    * `readStream.table(src) … writeStream.toTable(dst)` under
+    * `Trigger.AvailableNow`: the source's commit-granular admission
+    * serves its three snapshots as three micro-batches, and the sink
+    * publishes EXACTLY one two-phase commit per non-empty epoch, each
+    * carrying its `_EPOCH.v<N>` idempotence marker. The drain then
+    * RESTARTS after the engine's LAST sink-commit log entry is
+    * removed — the micro-batch engine replays the final epoch from
+    * its recorded offsets (the at-least-once contract), and the
+    * marker makes the sink publish NOTHING: `n_commits` stays 3 and
+    * the aggregate shows no duplicate rows (`replay_no_dup` — both
+    * planner-derived, the q342 convention). The oracle computes the
+    * final state in closed form. Reference analogue: the resumable
+    * at-least-once loader (etl_pipeline_spark.py:188-287), whose
+    * duplicate-on-crash window this closes. */
+  def streamWrite(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s"src_$sfx"
+    val dst = s"dst_$sfx"
+    spark.sql(s"CREATE TABLE gtab.$src (id BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE gtab.$dst (id BIGINT, v BIGINT)")
+    Seq((0, 300), (300, 800), (800, 1000)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO gtab.$src " +
+        s"SELECT id, (id * id) % 97 FROM range($lo, $hi)")
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-write").toString
+    def drain(): Unit = withShuffleParts(spark, 4) {
+      val q = spark.readStream.table(s"gtab.$src")
+        .select(col("id"), (col("v") * 2 + 1).as("v"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"gtab.$dst")
+      q.awaitTermination()
+      q.stop()
+    }
+    drain()
+    val dir = s"$root/$dst"
+    val afterDrain = AtomicSink.versions(spark, dir)
+    // force the at-least-once replay: drop the engine's LAST
+    // sink-commit log entry — the restart re-runs the final epoch
+    // against the same recorded offsets, exactly the crash window
+    // between sink commit and engine commit-log write
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val lastBatch = commitsDir.listFiles()
+      .map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toInt).max
+    new java.io.File(commitsDir, lastBatch.toString).delete()
+    // LocalFileSystem checksum sidecar — left behind, it blocks the
+    // engine's re-publish rename of the replayed entry
+    new java.io.File(commitsDir, s".$lastBatch.crc").delete()
+    drain()
+    val afterReplay = AtomicSink.versions(spark, dir)
+    val out = spark.sql(
+      s"""SELECT (id % 5) AS g, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS v_sum
+         |FROM gtab.$dst GROUP BY 1 ORDER BY 1""".stripMargin)
+      .withColumn("n_commits", lit(afterDrain.size.toLong))
+      .withColumn("replay_no_dup",
+        lit(if (afterReplay == afterDrain) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$src")
+    spark.sql(s"DROP TABLE gtab.$dst")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
 }
 
 class AtomicCatalog extends TableCatalog {

@@ -190,13 +190,28 @@ object AtomicSink {
   // ---------------------------------------------------------------
 
   private def tryClaim(path: String, version: Int): Boolean = {
-    val fs = new Path(path).getFileSystem(new Configuration())
-    try {
-      val out = fs.create(new Path(path, s"_CLAIM.v$version"),
-        false) // exclusive — the whole point
-      out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    val claim = new Path(path, s"_CLAIM.v$version")
+    val fs = claim.getFileSystem(new Configuration())
+    if (fs.getScheme == "file") {
+      // Hadoop's RawLocalFileSystem.create(path, overwrite=false) is a
+      // non-atomic exists-then-truncate — two racing writers can both
+      // "win". java.nio Files.createFile is O_CREAT|O_EXCL, genuinely
+      // exclusive on the local FS.
+      try {
+        val p = java.nio.file.Paths.get(claim.toUri.getPath)
+        // fs.create made parent dirs implicitly; NIO does not
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.createFile(p)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      // HDFS-like schemes: namenode-side create(overwrite=false) is the
+      // atomic exclusive-create primitive.
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
   }
 
   /** Claims the next commit version of `path` exclusively. `retry` =
@@ -482,6 +497,11 @@ object AtomicSink {
         caps.add(TableCapability.OVERWRITE_BY_FILTER)
         caps.add(TableCapability.OVERWRITE_DYNAMIC)
       }
+      // `df.writeStream.toTable("gtab.t")` — epoch-idempotent appends
+      // through the same two-phase commit; catalog tables only (the
+      // bare-path SinkTable's non-accumulating overwrite semantics
+      // make no sense as a stream)
+      if (accumulateAppends) caps.add(TableCapability.STREAMING_WRITE)
       caps
     }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -563,8 +583,21 @@ object AtomicSink {
               overwriteMode = overwriteMode,
               partNames = partitionColNames)
           }
+          // `writeStream.toTable`: one two-phase commit per non-empty
+          // epoch, keyed by (streaming query id, epoch id) so a
+          // restart's replayed epoch publishes NOTHING twice
+          def streaming(): org.apache.spark.sql.connector.write
+              .streaming.StreamingWrite =
+            new AtomicSink.AtomicStreamingWrite(path, info.queryId(),
+              info.schema(), AtomicSink.layoutIdsOf(schema),
+              partitionColNames.map(info.schema().fieldIndex).toArray,
+              partitionColNames, truncateEachEpoch = truncated)
           if (partitionFieldIds.isEmpty)
-            new Write { override def toBatch: BatchWrite = batch() }
+            new Write {
+              override def toBatch: BatchWrite = batch()
+              override def toStreaming: org.apache.spark.sql.connector
+                .write.streaming.StreamingWrite = streaming()
+            }
           else
             // PARTITIONED table: ask Spark to CLUSTER incoming rows by
             // the partition columns (the DSv2 contract file formats use
@@ -584,6 +617,8 @@ object AtomicSink {
                   : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
                 Array.empty
               override def toBatch: BatchWrite = batch()
+              override def toStreaming: org.apache.spark.sql.connector
+                .write.streaming.StreamingWrite = streaming()
             }
         }
       }
@@ -788,6 +823,10 @@ object AtomicSink {
       fs.delete(new Path(path, s"$ManifestFile.v$v"), false)
       fs.delete(new Path(path, s"_CDC.v$v"), false)
       fs.delete(new Path(path, s"_CLAIM.v$v"), false) // inert once published
+      // the epoch marker dies with its manifest (epochCommitted only
+      // consults PUBLISHED versions, so the orphan would be dead
+      // weight); the latest epoch's version always survives keepLast≥1
+      fs.delete(new Path(path, s"_EPOCH.v$v"), false)
       // `_LAYOUT.v<v>` is NEVER deleted: carried-forward files of an
       // expired commit can still sit in retained manifests, and they
       // resolve their field-id layout through it (one short line)
@@ -1227,9 +1266,16 @@ object AtomicSink {
       workDir: String, layout: Option[Seq[Long]],
       basis: Option[Int]): Int = {
     val fs = new Path(path).getFileSystem(new Configuration())
-    val version = claimVersion(path, retry = false)
+    // a refused/failed publish must not leak the staged work dir
+    // inside the table dir forever (no manifest ever references it,
+    // and VACUUM's data-file sweep never matches subdirectories)
+    val version =
+      try claimVersion(path, retry = false)
+      catch { case t: Throwable =>
+        fs.delete(new Path(workDir), true); throw t }
     def releaseAnd(t: Throwable): Nothing = {
       fs.delete(new Path(path, s"_CLAIM.v$version"), false)
+      fs.delete(new Path(workDir), true)
       throw t
     }
     basis.foreach { b =>
@@ -1301,10 +1347,48 @@ object AtomicSink {
       .option("path", path).mode("append")
       .option("commitBasis", basis.toString)
     layoutIdsOf(schema).foreach(ids => w.option("layout", ids.mkString(",")))
+    // a PARTITIONED BY table's replacement snapshot must republish
+    // its `_PARTS` tuples (clustered write), or compaction would
+    // permanently destroy partition pruning AND partition-aware
+    // INSERT OVERWRITE — the spec lives in the catalog's schema file,
+    // read here so path-level callers can't forget it
+    val partIds = tablePartitionIds(path)
+    if (partIds.nonEmpty) w.option("partids", partIds.mkString(","))
     w.save()
     val k = versionsOf(path).last
     writeCdcList(path, k, "skip", Seq.empty)
     k
+  }
+
+  /** The table's identity-partition FIELD IDS as recorded by
+    * [[AtomicCatalog]] in the newest `_SCHEMA.v<N>` sidecar; empty
+    * for unpartitioned or non-catalog (bare-path) tables. Lets
+    * path-level maintenance ops (compaction) preserve the partition
+    * spec without the caller threading it through. */
+  private[io] def tablePartitionIds(path: String): Seq[Long] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (!fs.exists(dir)) return Seq.empty
+    val latest = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_SCHEMA.v") =>
+        n.stripPrefix("_SCHEMA.v") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .sorted.lastOption
+    latest.toSeq.flatMap { v =>
+      val in = fs.open(new Path(dir, s"_SCHEMA.v$v"))
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val root =
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      if (!root.has("partitionFieldIds")) Seq.empty
+      else {
+        val b = scala.collection.mutable.ArrayBuffer[Long]()
+        val it = root.get("partitionFieldIds").elements()
+        while (it.hasNext) b += it.next().asLong()
+        b.toSeq
+      }
+    }
   }
 
   /** Versions of merge-on-read predicates that still apply to some
@@ -1895,12 +1979,22 @@ object AtomicSink {
       partitionCols: Seq[String] = Seq.empty)
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
     // the file set the rewrite's scan planned (driver-side, set at
-    // planInputPartitions — always before the write's commit) plus
-    // the snapshot version it planned against (the conflict-check
-    // basis); null until planned, in which case the write
-    // conservatively replaces the whole snapshot
+    // planInputPartitions — always before the write's commit); null
+    // until planned, in which case the commit FAILS: a rewrite must
+    // never delete files it did not read, so "scan never planned" is
+    // a loud error, not a conservative whole-snapshot replacement
     private val scanned = new java.util.concurrent.atomic
-      .AtomicReference[(Seq[String], Int)](null)
+      .AtomicReference[Seq[String]](null)
+    // conflict-check basis, captured ONCE at operation creation — the
+    // earliest point of the MERGE/UPDATE's multi-pass execution (the
+    // runtime group-filter subquery runs before the row-level scan
+    // plans, so a basis captured at planInputPartitions would admit
+    // an append that the subquery's older snapshot never saw: its
+    // matching rows would silently not merge). Commit refuses if any
+    // commit landed after this — the Iceberg
+    // validate-from-scan-snapshot pattern.
+    private val basisAtCreation: Int =
+      versionsOf(path).lastOption.getOrElse(0)
     override def command()
         : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
       cmd
@@ -1920,8 +2014,7 @@ object AtomicSink {
         : org.apache.spark.sql.connector.read.ScanBuilder =
       new TsvScanBuilder(path, schema, None, changelog = false,
         failOnDataLoss = true, partitionCols = partitionCols,
-        onPlanned = fs => scanned.set(
-          (fs, versionsOf(path).lastOption.getOrElse(0))),
+        onPlanned = fs => scanned.set(fs),
         runtimeGroupFilter = true)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
@@ -1944,8 +2037,11 @@ object AtomicSink {
             // scanned files, carry every other current file forward;
             // refuse on a claim collision or a moved basis (a rewrite
             // must never publish over a snapshot it did not read)
-            val affected = () =>
-              Option(scanned.get).map(_._1).getOrElse(committedFilesOf(path))
+            val affected = () => Option(scanned.get).getOrElse(
+              throw new IllegalStateException(
+                s"group rewrite of $path committing without a planned " +
+                  s"row-level scan — refusing: a rewrite must never " +
+                  s"delete files it did not read"))
             new AtomicBatchWrite(path, info.queryId(), info.schema(),
               () => {
                 val a = affected().toSet
@@ -1956,7 +2052,7 @@ object AtomicSink {
               partIdx = partitionCols
                 .map(info.schema().fieldIndex).toArray,
               conflictRetry = false,
-              expectedBasis = () => Option(scanned.get).map(_._2))
+              expectedBasis = () => Some(basisAtCreation))
           }
           // a rewrite of a PARTITIONED table re-clusters and republishes
           // per-file tuples, so the table stays prunable after a MERGE
@@ -1979,6 +2075,119 @@ object AtomicSink {
             }
         }
       }
+  }
+
+  /** `writeStream.toTable` into a catalog table: each non-empty epoch
+    * publishes ONE commit through [[AtomicBatchWrite]]'s two-phase
+    * protocol, with the (streaming query id, epoch id) recorded in an
+    * `_EPOCH.v<N>` sidecar published before the manifest — a restart
+    * that replays the last epoch finds its marker under a PUBLISHED
+    * manifest and drops the duplicate attempt, turning the
+    * micro-batch engine's at-least-once replay into exactly-once
+    * COMMITS. The crash windows resolve safely in both directions:
+    * marker-without-manifest (died pre-publish) is invisible to
+    * [[epochCommitted]] so the replay re-commits; manifest always
+    * implies marker (written before it). Empty epochs (all staged
+    * files zero-length) publish nothing — one commit per NON-EMPTY
+    * epoch. Complete output mode (`truncateEachEpoch`) replaces the
+    * previous snapshot per epoch instead of appending. Reference
+    * analogue: the resumable at-least-once loader
+    * (etl_pipeline_spark.py:188-287) whose duplicate-on-crash window
+    * this closes. */
+  private class AtomicStreamingWrite(path: String, queryId: String,
+      writeSchema: StructType, layout: Option[Seq[Long]],
+      partIdx: Array[Int], partNames: Seq[String],
+      truncateEachEpoch: Boolean)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+    private def epochQid(epochId: Long) = s"$queryId-e$epochId"
+
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.streaming
+          .StreamingDataWriterFactory =
+      // a standalone factory: an anonymous class here would capture
+      // the (non-serializable) write instance into every task closure
+      new StreamingTsvWriterFactory(path, queryId, writeSchema, partIdx)
+
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val qid = epochQid(epochId)
+      val stagingDir = new Path(path, s"_staging_$qid")
+      val fs = stagingDir.getFileSystem(new Configuration())
+      if (AtomicSink.epochCommitted(path, queryId, epochId)) {
+        fs.delete(stagingDir, true) // replay of a published epoch
+        return
+      }
+      // zero-length staged files are no-data tasks, not rows — an
+      // all-empty epoch publishes no commit at all
+      def len(n: String): Long =
+        fs.getFileStatus(new Path(stagingDir, n)).getLen
+      val live = messages.toSeq.flatMap {
+        case StagedFile(name) =>
+          if (len(name) > 0) Seq(StagedFile(name)) else Seq.empty
+        case StagedParts(files) =>
+          val keep = files.filter { case (n, _) => len(n) > 0 }
+          if (keep.isEmpty) Seq.empty else Seq(StagedParts(keep))
+        case other => Seq(other)
+      }
+      if (live.isEmpty) { fs.delete(stagingDir, true); return }
+      new AtomicBatchWrite(path, qid, writeSchema,
+        carryForward =
+          () => if (truncateEachEpoch) Seq.empty
+                else AtomicSink.committedFilesOf(path),
+        layout = layout,
+        truncatedPrev =
+          () => if (truncateEachEpoch) AtomicSink.committedFilesOf(path)
+                else Seq.empty,
+        partIdx = partIdx,
+        partNames = partNames,
+        epochMarker = Some(s"$queryId\t$epochId"))
+        .commit(live.toArray)
+    }
+
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val stagingDir = new Path(path, s"_staging_${epochQid(epochId)}")
+      stagingDir.getFileSystem(new Configuration())
+        .delete(stagingDir, true)
+    }
+  }
+
+  /** Per-epoch task-writer factory: the epoch id lands in the staging
+    * dir name (`_staging_<queryId>-e<epochId>`) so concurrent or
+    * replayed epochs never share staging state. */
+  private class StreamingTsvWriterFactory(path: String, queryId: String,
+      writeSchema: StructType, partIdx: Array[Int])
+      extends org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] =
+      if (partIdx.isEmpty)
+        new TsvWriter(path, s"$queryId-e$epochId", writeSchema,
+          partitionId, taskId)
+      else new PartitionedTsvWriter(path, s"$queryId-e$epochId",
+        writeSchema, partitionId, taskId, partIdx)
+  }
+
+  /** True iff a PUBLISHED commit of `path` carries this epoch's
+    * marker — `_EPOCH.v<k>` sidecars without a manifest (writer died
+    * between marker and publish, claim still held) don't count, so
+    * the idempotence check can never skip an epoch that was not
+    * actually committed. */
+  private[io] def epochCommitted(path: String, queryId: String,
+      epochId: Long): Boolean = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val want = s"$queryId\t$epochId"
+    versionsOf(path).exists { v =>
+      val p = new Path(path, s"_EPOCH.v$v")
+      fs.exists(p) && {
+        val in = fs.open(p)
+        val s =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        s == want
+      }
+    }
   }
 
   /** `truncatedPrev`: the files this commit DELETES — on an INSERT
@@ -2004,7 +2213,8 @@ object AtomicSink {
                                    () => None,
                                  overwriteMode:
                                    Option[AtomicSink.OverwriteMode] = None,
-                                 partNames: Seq[String] = Seq.empty)
+                                 partNames: Seq[String] = Seq.empty,
+                                 epochMarker: Option[String] = None)
       extends BatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
@@ -2145,6 +2355,16 @@ object AtomicSink {
         try out.write(ids.mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()
         f.rename(tmp, new Path(path, s"_LAYOUT.v$version"))
+      }
+      // a streaming epoch's idempotence marker publishes BEFORE the
+      // manifest (same torn-write rule as every sidecar): a marker
+      // without its manifest is ignored by epochCommitted, a manifest
+      // always finds its marker
+      epochMarker.foreach { m =>
+        val tmp = new Path(path, s"_EPOCH.tmp-$queryId")
+        val out = f.create(tmp, true)
+        try out.write((m + "\n").getBytes("UTF-8")) finally out.close()
+        f.rename(tmp, new Path(path, s"_EPOCH.v$version"))
       }
       // the versioned manifest's atomic rename to a NEVER-pre-existing
       // name IS the commit point (Hadoop rename cannot atomically
