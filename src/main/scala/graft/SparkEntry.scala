@@ -1200,6 +1200,22 @@ object SparkEntry {
     // removed, stream restarted) publishes nothing (flags pinned)
     "q358_stream_write" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.streamWrite(s)),
+    // file-level min/max data skipping: per-file column bounds
+    // (_MINMAX sidecar, field-id keyed) drop manifest files at plan
+    // time for range predicates on NON-partition columns (flag
+    // pinned); pruning is optimization-never-correctness (q356 rule)
+    "q359_data_skipping" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.dataSkipping(s)),
+    // <t>__history metadata table: one row per published commit with
+    // sidecar-derived op typing — the operation log of a scripted
+    // insert/insert/UPDATE/cow-DELETE/mor-DELETE/compact sequence
+    "q360_history_table" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.historyTable(s)),
+    // merge-on-read MERGE INTO (dmlMode=mor, SupportsDelta): the
+    // q354 merge script with ZERO rewrites — equality-delete
+    // pre-images + fresh inserts in one commit (flags pinned)
+    "q361_sql_merge_mor" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.sqlMergeMor(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6832,6 +6848,27 @@ object SparkEntry {
         |  CAST(800 AS BIGINT) AS pre_merge_rows,
         |  CAST(1 AS BIGINT) AS group_filtered
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q361: the IDENTICAL merged state as q354's closed form, reached
+    // through the merge-on-read delta path — no_rewrite pins that no
+    // pre-merge file was rewritten, eq_published the equality-delete
+    // spec (driver-derived, the q342 convention)
+    "q361_sql_merge_mor" ->
+      """WITH merged AS (
+        |  SELECT range AS id, (range * range) % 83 AS v
+        |  FROM range(0, 600)
+        |  UNION ALL
+        |  SELECT range, range * 2 FROM range(600, 800)
+        |  WHERE range % 3 <> 0
+        |  UNION ALL
+        |  SELECT range, CASE WHEN range % 3 = 0 THEN -1
+        |                     ELSE range * 2 END
+        |  FROM range(800, 1000))
+        |SELECT id % 7 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(800 AS BIGINT) AS pre_merge_rows,
+        |  CAST(1 AS BIGINT) AS no_rewrite,
+        |  CAST(1 AS BIGINT) AS eq_published
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // q355: post-update state in closed form; pre_update_v_sum pins
     // the VERSION AS OF 1 aggregate, one_commit the replacement shape
     "q355_sql_update" ->
@@ -6890,6 +6927,31 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS n_commits,
         |  CAST(1 AS BIGINT) AS replay_no_dup
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q359: the mid-range filtered aggregate in closed form; skipped
+    // pins that the scan planned strictly fewer input partitions than
+    // the manifest lists files (driver-derived, the q342 convention)
+    "q359_data_skipping" ->
+      """WITH t AS (
+        |  SELECT range AS id, (range * range) % 89 AS v
+        |  FROM range(900, 1800))
+        |SELECT id % 4 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(1 AS BIGINT) AS skipped
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q360: the commit sequence in closed form — appends carry from
+    // v2 on, the UPDATE/cow-DELETE are partial rewrites (fresh AND
+    // carried), the mor DELETE writes no data files, the compaction
+    // replaces everything (all sidecar-derived at scan time)
+    "q360_history_table" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'append',     1::BIGINT, 0::BIGINT),
+        |  (2::BIGINT, 'append',     1::BIGINT, 1::BIGINT),
+        |  (3::BIGINT, 'replace',    1::BIGINT, 1::BIGINT),
+        |  (4::BIGINT, 'delete-cow', 1::BIGINT, 1::BIGINT),
+        |  (5::BIGINT, 'delete-mor', 0::BIGINT, 1::BIGINT),
+        |  (6::BIGINT, 'rewrite',    1::BIGINT, 0::BIGINT))
+        |AS t(version, operation, has_fresh, has_carried)
+        |ORDER BY version""".stripMargin,
     // q337: surviving rows of the closed-form table after the
     // predicate delete; v1_rows pins the time-travel count
     "q337_table_delete" ->

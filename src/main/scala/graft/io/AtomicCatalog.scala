@@ -354,6 +354,62 @@ object CatalogLifecycle {
       .orderBy("g")
   }
 
+  /** q361's driver: MERGE-ON-READ `MERGE INTO`
+    * (`spark.graft.atomic.dmlMode = mor`, the delta-based
+    * SupportsDelta shape): the SAME merge script as q354, but the
+    * commit publishes equality-delete pre-images (`v<k>-eqdel-*`,
+    * referenced from `_DELETES.v<k>`) next to fresh insert files and
+    * REWRITES NOTHING — every pre-merge file carries by reference
+    * (no_rewrite flag: the post-merge manifest still contains every
+    * pre-merge file). Write cost ∝ changed rows — the honest MERGE
+    * when matches smear across most files and runtime group filtering
+    * can't narrow. The oracle pins the identical merged state as
+    * q354's closed form plus the flags. */
+  def sqlMergeMor(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * id) % 83 FROM range(0, 800)")
+    val dir = s"$root/$t"
+    val before = AtomicSink.committedFiles(spark, dir)
+    spark.conf.set("spark.graft.atomic.dmlMode", "mor")
+    try spark.sql(
+      s"""MERGE INTO gtab.$t dst
+         |USING (SELECT id, CASE WHEN id % 3 = 0 THEN -1L
+         |                       ELSE id * 2 END AS v
+         |       FROM range(600, 1000)) src
+         |ON dst.id = src.id
+         |WHEN MATCHED AND src.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)
+         |""".stripMargin)
+    finally spark.conf.unset("spark.graft.atomic.dmlMode")
+    val mergeV = AtomicSink.versions(spark, dir).last
+    val after = AtomicSink.committedFiles(spark, dir)
+    // merge-on-read proof: NO pre-merge file was rewritten (all carry
+    // by reference) and the commit published its equality-delete spec
+    val noRewrite = before.toSet.subsetOf(after.toSet)
+    val eqPublished = new java.io.File(dir, s"_DELETES.v$mergeV").isFile
+    val v1Rows = spark.sql(
+      s"SELECT count(*) FROM gtab.$t VERSION AS OF 1").head.getLong(0)
+    val out = spark.sql(
+      s"""SELECT (id % 7) AS g, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS v_sum
+         |FROM gtab.$t GROUP BY 1 ORDER BY 1""".stripMargin)
+      .withColumn("pre_merge_rows", lit(v1Rows))
+      .withColumn("no_rewrite", lit(if (noRewrite) 1L else 0L))
+      .withColumn("eq_published", lit(if (eqPublished) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
   /** q355's driver: SQL `UPDATE` — the same group-based rewrite with
     * only the update arm: one replacement commit, untouched rows
     * copied through, pre-update state time-travelable. The oracle
@@ -437,6 +493,98 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("b")
+  }
+
+  /** q359's driver: FILE-LEVEL MIN/MAX DATA SKIPPING — each commit
+    * records per-file column bounds (`_MINMAX.v<N>`, field-id keyed),
+    * and a range predicate on a NON-partition column drops manifest
+    * files at plan time under the q356 rule (pruning is an
+    * optimization, never a correctness dependency — every filter
+    * stays residual). Three disjoint-range commits, a mid-range
+    * filter; the oracle pins the filtered aggregate and the skipped
+    * flag (planned input partitions strictly fewer than the
+    * manifest's files — planner-derived, the q342 convention). At
+    * 100 TB this is the second wall after partitioning: a selective
+    * predicate on an ingest-ordered column must not open every file.
+    */
+  def dataSkipping(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    Seq((0, 900), (900, 1800), (1800, 2700)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO gtab.$t " +
+        s"SELECT id, (id * id) % 89 FROM range($lo, $hi)")
+    }
+    val filtered = spark.sql(
+      s"""SELECT (id % 4) AS b, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS v_sum
+         |FROM gtab.$t WHERE id >= 900 AND id < 1800
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+    val rows0 = filtered.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val planned = scans(filtered.queryExecution.executedPlan)
+      .head.batch.planInputPartitions().length
+    val total = AtomicSink.committedFiles(spark, s"$root/$t").size
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows0.toIndexedSeq, 1),
+      filtered.schema)
+      .withColumn("skipped", lit(if (planned < total) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("b")
+  }
+
+  /** q360's driver: the `<t>__history` METADATA TABLE — one row per
+    * published commit (version, operation, file counts), derived
+    * from the manifests/sidecars at scan time (the Iceberg
+    * `.history`/`.snapshots` shape). A scripted
+    * insert/insert/UPDATE/cow-DELETE/mor-DELETE/compact sequence pins
+    * the full operation log: op typing per commit plus
+    * has_fresh/has_carried (appends carry, the mor delete writes no
+    * data files, the compaction carries nothing). */
+  def historyTable(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * id) % 61 FROM range(0, 300)")
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT id, (id * id) % 61 FROM range(300, 600)")
+    spark.sql(s"UPDATE gtab.$t SET v = -1 WHERE id < 100")
+    spark.sql(s"DELETE FROM gtab.$t WHERE id >= 550 AND id < 580")
+    spark.conf.set("spark.graft.atomic.deleteMode", "mor")
+    try spark.sql(s"DELETE FROM gtab.$t WHERE v = -1")
+    finally spark.conf.unset("spark.graft.atomic.deleteMode")
+    AtomicSink.compact(spark, s"$root/$t", spark.table(s"gtab.$t").schema)
+    val out = spark.sql(
+      s"""SELECT version, operation,
+         |  CAST(CASE WHEN n_fresh > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS has_fresh,
+         |  CAST(CASE WHEN n_carried > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS has_carried
+         |FROM gtab.${t}__history ORDER BY version""".stripMargin)
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("version")
   }
 
   /** q357's driver: partition-aware `INSERT OVERWRITE` — the static
@@ -756,6 +904,13 @@ class AtomicCatalog extends TableCatalog {
         ident.name().stripSuffix("__changes"))
       new AtomicSink.SinkTable(dirOf(base).toString, readSchema(base),
         changelog = true)
+    } else if (ident.name().endsWith("__history")) {
+      // `<t>__history`: the commit log as a read-only metadata table
+      // (version/operation/file counts per published snapshot)
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("__history"))
+      readSchema(base) // NoSuchTableException if the base is absent
+      new AtomicSink.HistoryTable(dirOf(base).toString)
     } else {
       val (schema, pids) = latestMeta(ident)
       new AtomicSink.SinkTable(dirOf(ident).toString, schema,
@@ -783,6 +938,20 @@ class AtomicCatalog extends TableCatalog {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // the table format is FLAT by design (one TSV cell per column,
+    // long/double/string): struct/array/map columns are refused HERE,
+    // loudly, instead of failing at first write — which also closes
+    // nested field-id evolution permanently: there are no nested
+    // fields to evolve (a `props` document column belongs in a STRING
+    // JSON cell, the §2.11 shape)
+    schema.fields.foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.StringType,
+        s"AtomicCatalog tables are flat (BIGINT/DOUBLE/STRING cells); " +
+          s"column ${f.name} has unsupported type ${f.dataType.sql} — " +
+          s"encode nested data as a JSON STRING column")
+    }
     val dir = dirOf(ident)
     fs.mkdirs(dir)
     // assign FIELD IDS 1..n at birth: data files resolve columns by

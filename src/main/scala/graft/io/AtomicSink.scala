@@ -167,11 +167,129 @@ object AtomicSink {
     }.toMap
   }
 
+  /** Per-file COLUMN MIN/MAX of commit `v` (`_MINMAX.v<N>`:
+    * published name → field id → (min, max) over the file's NON-NULL
+    * values) — the data-skipping sidecar for predicates on
+    * non-partition columns. Recorded by the task writers at write
+    * time, keyed by FIELD ID so a renamed column keeps skipping.
+    * Absent for pre-feature commits and id-less (bare-path) writes —
+    * absence never prunes. */
+  private[io] def readMinMax(path: String, v: Int)
+      : Map[String, Map[Long, (String, String)]] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val f = new Path(path, s"_MINMAX.v$v")
+    if (!fs.exists(f)) Map.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSeq
+        .map(_.split("\t", -1))
+        .collect { case Array(name, id, mn, mx) => (name, id.toLong, mn, mx) }
+        .groupBy(_._1)
+        .map { case (name, rows) =>
+          name -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
+      finally in.close()
+    }
+  }
+
+  /** Plan-time min/max resolver: one `_MINMAX` read per distinct
+    * commit version among `names`, memoized — metadata-scale I/O
+    * (like the manifest itself), never a data scan. */
+  private[io] def minmaxForFiles(path: String, names: Seq[String])
+      : Map[String, Map[Long, (String, String)]] = {
+    val cache = scala.collection.mutable
+      .Map[Int, Map[String, Map[Long, (String, String)]]]()
+    names.flatMap { n =>
+      versionOfFile(n)
+        .flatMap(v => cache.getOrElseUpdate(v, readMinMax(path, v)).get(n))
+        .map(n -> _)
+    }.toMap
+  }
+
+  /** TRUE iff `f` provably matches NO value in the per-column
+    * [min, max] ranges `range` serves — the file-skipping predicate.
+    * Sound with nulls: the supported shapes are all null-rejecting,
+    * and the ranges cover exactly the non-null values. Conservative
+    * everywhere else: an unknown shape, type, or missing range never
+    * prunes. */
+  private[io] def rangeCannotMatch(
+      f: org.apache.spark.sql.sources.Filter, schema: StructType,
+      range: String => Option[(String, String)]): Boolean = {
+    import org.apache.spark.sql.sources._
+    // filter literal vs stored bound, compared in the COLUMN's type
+    // (strings in UTF8String binary order — Spark's sort order);
+    // None = not comparable, stay conservative
+    def cmp(col: String, v: Any, stored: String): Option[Int] =
+      schema.fields.find(_.name == col).flatMap(_.dataType match {
+        case LongType => v match {
+          case n: Number =>
+            Some(java.lang.Long.compare(n.longValue(), stored.toLong))
+          case _ => None
+        }
+        case DoubleType => v match {
+          case n: Number =>
+            val d = n.doubleValue()
+            if (d.isNaN) None
+            else Some(java.lang.Double.compare(d, stored.toDouble))
+          case _ => None
+        }
+        case StringType => v match {
+          case s: String => Some(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(stored)))
+          case _ => None
+        }
+        case _ => None
+      })
+    def below(col: String, v: Any): Boolean = // v < min
+      range(col).flatMap { case (mn, _) => cmp(col, v, mn) }.exists(_ < 0)
+    def above(col: String, v: Any): Boolean = // v > max
+      range(col).flatMap { case (_, mx) => cmp(col, v, mx) }.exists(_ > 0)
+    def atMostMin(col: String, v: Any): Boolean = // v <= min
+      range(col).flatMap { case (mn, _) => cmp(col, v, mn) }.exists(_ <= 0)
+    def atLeastMax(col: String, v: Any): Boolean = // v >= max
+      range(col).flatMap { case (_, mx) => cmp(col, v, mx) }.exists(_ >= 0)
+    f match {
+      case EqualTo(a, v) => below(a, v) || above(a, v)
+      case EqualNullSafe(a, v) if v != null => below(a, v) || above(a, v)
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        // a null element never equals anything — ignorable
+        vs.forall(v => v == null || below(a, v) || above(a, v))
+      case GreaterThan(a, v) => atLeastMax(a, v) // none iff max <= v
+      case GreaterThanOrEqual(a, v) => above(a, v) // none iff max < v
+      case LessThan(a, v) => atMostMin(a, v) // none iff min >= v
+      case LessThanOrEqual(a, v) => below(a, v) // none iff min > v
+      case And(l, r) => rangeCannotMatch(l, schema, range) ||
+        rangeCannotMatch(r, schema, range)
+      case Or(l, r) => rangeCannotMatch(l, schema, range) &&
+        rangeCannotMatch(r, schema, range)
+      case _ => false
+    }
+  }
+
+  /** Shapes [[rangeCannotMatch]] can ever act on — what the scan
+    * builder accepts for stats pruning (everything stays residual
+    * regardless). */
+  private[io] def statsPrunable(
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case _: EqualTo | _: EqualNullSafe | _: In | _: GreaterThan |
+           _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual =>
+        true
+      case And(l, r) => statsPrunable(l) || statsPrunable(r)
+      case Or(l, r) => statsPrunable(l) && statsPrunable(r)
+      case _ => false
+    }
+  }
+
   // ---------------------------------------------------------------
   // OPTIMISTIC MULTI-WRITER COMMITS: every commit first CLAIMS its
-  // version by exclusive create of `_CLAIM.v<N>` (create with
-  // overwrite=false — atomic on HDFS and on the local FS's
-  // createNewFile). Claim N succeeding implies manifest N-1 is
+  // version by exclusive create of `_CLAIM.v<N>` (exclusive create —
+  // namenode-atomic on HDFS; on the local FS via NIO O_CREAT|O_EXCL,
+  // because RawLocalFileSystem's create(overwrite=false) is a
+  // non-atomic exists-then-truncate). Claim N succeeding implies manifest N-1 is
   // published (a writer only advances past a taken claim after its
   // manifest appears), so the carry-forward basis a committer reads
   // after claiming is never torn. On a claim collision:
@@ -460,14 +578,27 @@ object AtomicSink {
       * carrying the planner's `__row_operation` column). */
     override def metadataColumns()
         : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-      Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-        override def name(): String = "_file"
-        override def dataType(): org.apache.spark.sql.types.DataType =
-          StringType
-        override def isNullable: Boolean = false
-        override def comment(): String =
-          "manifest-listed data file serving the row"
-      })
+      Array(
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = "_file"
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            StringType
+          override def isNullable: Boolean = false
+          override def comment(): String =
+            "manifest-listed data file serving the row"
+        },
+        // `_row`: the row's canonical raw encoding (current-schema
+        // cell order, "" = NULL, tab-joined) — NON-NULL by
+        // construction, which is what lets it serve as the delta
+        // operation's row id (Spark refuses nullable row-id attrs)
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = "_row"
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            StringType
+          override def isNullable: Boolean = false
+          override def comment(): String =
+            "canonical raw row encoding (equality-delete key)"
+        })
     override def name(): String =
       s"atomic($path${pinnedVersion.map(v => s"@v$v").getOrElse("")}" +
         s"${if (changelog) "#changes" else ""})"
@@ -655,8 +786,20 @@ object AtomicSink {
       require(pinnedVersion.isEmpty,
         "cannot mutate a VERSION AS OF snapshot")
       require(!changelog, "the __changes sub-table is read-only")
-      () => new GroupRewriteOperation(path, schema, info.command(),
-        partitionColNames)
+      () => {
+        // `spark.graft.atomic.dmlMode = mor` switches MERGE/UPDATE
+        // (and non-pushable DELETEs) from the copy-on-write group
+        // rewrite to the delta shape: equality-deletes + appends in
+        // one commit, cost ∝ changed rows — the honest MERGE when
+        // matches smear across most files
+        val mor = org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.graft.atomic.dmlMode").contains("mor")
+        if (mor)
+          new DeltaRowLevelOperation(path, schema, info.command(),
+            partitionColNames)
+        else new GroupRewriteOperation(path, schema, info.command(),
+          partitionColNames)
+      }
     }
 
     /** Row-level DELETE — copy-on-write at snapshot granularity: the
@@ -720,7 +863,7 @@ object AtomicSink {
       // DELETE rewrites only the touched partitions, not the table.
       val all = AtomicSink.committedFilesOf(path)
       val partCols = partitionColNames
-      val affected: Set[String] =
+      val partAffected: Set[String] =
         if (partCols.isEmpty) all.toSet
         else {
           val tuples = AtomicSink.partsForFiles(path, all)
@@ -747,6 +890,23 @@ object AtomicSink {
             }
           }.toSet
         }
+      // MIN/MAX narrowing (unpartitioned tables' only scope cut): a
+      // file whose recorded bounds prove NO row satisfies some pushed
+      // conjunct holds nothing to delete — it carries by reference
+      // instead of being rewritten. Conservative: missing sidecars or
+      // non-range shapes rewrite as before.
+      val affected: Set[String] = {
+        val mm = AtomicSink.minmaxForFiles(path, partAffected.toSeq)
+        partAffected.filterNot { n =>
+          mm.get(n).exists { byId =>
+            val range = (col: String) => schema.fields.find(_.name == col)
+              .flatMap(AtomicSink.fieldIdOf).flatMap(byId.get)
+            filters.exists(f => scala.util.Try(
+              AtomicSink.rangeCannotMatch(f, schema, range))
+              .getOrElse(false))
+          }
+        }
+      }
       // CHANGELOG sidecar (both arms): the deleted rows publish as
       // `v<k>-cdc-*` files listed in `_CDC.v<k>`, making the feed's
       // changelog face op-typed instead of replaying survivor
@@ -1110,20 +1270,96 @@ object AtomicSink {
       .collect { case n if n.startsWith("_DELETES.v") =>
         n.stripPrefix("_DELETES.v") }
       .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
-      .map { v =>
-        val in = fs.open(new Path(path, s"_DELETES.v$v"))
-        val json =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val root = jmapper.readTree(json)
-        val cols = scala.collection.mutable.Map[String, Long]()
-        val it = root.get("cols").fields()
-        while (it.hasNext) {
-          val e = it.next(); cols.put(e.getKey, e.getValue.asLong())
+      .flatMap { v =>
+        val root = readDeletesJson(path, v)
+        // equality-delete commits ("eqfiles") are served by
+        // [[eqDeleteSpecs]], not here
+        if (!root.has("filter")) None
+        else {
+          val cols = scala.collection.mutable.Map[String, Long]()
+          val it = root.get("cols").fields()
+          while (it.hasNext) {
+            val e = it.next(); cols.put(e.getKey, e.getValue.asLong())
+          }
+          Some((v, cols.toMap,
+            filterFromJson(jmapper.writeValueAsString(root.get("filter")))))
         }
-        (v, cols.toMap,
-          filterFromJson(jmapper.writeValueAsString(root.get("filter"))))
       }
+  }
+
+  private def readDeletesJson(path: String, v: Int)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val in = fs.open(new Path(path, s"_DELETES.v$v"))
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    jmapper.readTree(json)
+  }
+
+  /** EQUALITY-DELETE specs (the merge-on-read MERGE/UPDATE shape):
+    * for every `_DELETES.v<k>` carrying "eqfiles" — (k, delete-time
+    * columns in the eqdel files' CELL ORDER (name, field id), and the
+    * table-relative eqdel file names). An eqdel file holds full-row
+    * PRE-IMAGES rendered in the commit's data layout; a row of a file
+    * older than k is hidden iff its raw current-schema cells equal
+    * some pre-image's (exact: both sides were rendered by the same
+    * deterministic cell encoding, and `Double.toString` round-trips).
+    */
+  private[io] def eqDeleteSpecs(path: String)
+      : Seq[(Int, Seq[(String, Long)], Seq[String])] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_DELETES.v") =>
+        n.stripPrefix("_DELETES.v") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption).sorted
+      .flatMap { v =>
+        val root = readDeletesJson(path, v)
+        if (!root.has("eqfiles")) None
+        else {
+          val cols = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          val it = root.get("cols").fields()
+          while (it.hasNext) {
+            val e = it.next(); cols += (e.getKey -> e.getValue.asLong())
+          }
+          val files = scala.collection.mutable.ArrayBuffer[String]()
+          val fit = root.get("eqfiles").elements()
+          while (fit.hasNext) files += fit.next().asText()
+          Some((v, cols.toSeq, files.toSeq))
+        }
+      }
+  }
+
+  /** The equality-deletes a read at `readVersion` must apply,
+    * resolved against the CURRENT schema by field id: (k, Left(error)
+    * | Right((eqdel files, cell positions in the eqdel rows, column
+    * positions in the current schema))) — both index arrays sorted by
+    * FIELD ID so the canonical keys align on both sides. Same
+    * dropped-column posture as [[applicableDeletes]]: unevaluable is
+    * a loud error only if a read actually needs it. */
+  private[io] def applicableEqDeletes(path: String, readVersion: Int,
+      schema: StructType)
+      : Seq[(Int, Either[String, (Seq[String], Array[Int], Array[Int])])] = {
+    val posOfId: Map[Long, Int] = schema.fields.zipWithIndex
+      .flatMap { case (f, i) => fieldIdOf(f).map(_ -> i) }.toMap
+    eqDeleteSpecs(path).filter(_._1 <= readVersion).map {
+      case (k, cols, files) =>
+        val missing = cols.filterNot { case (_, id) => posOfId.contains(id) }
+        if (missing.nonEmpty)
+          (k, Left(
+            s"equality delete v$k of $path references dropped " +
+              s"column(s) ${missing.map(_._1).mkString(", ")} — this " +
+              s"historical read predates the compaction that retired " +
+              s"it and cannot be served through the current schema"))
+        else {
+          val byId = cols.zipWithIndex.sortBy(_._1._2)
+          val ord = byId.map(_._2).toArray
+          val idx = byId.map { case ((_, id), _) => posOfId(id) }.toArray
+          (k, Right((files, ord, idx)))
+        }
+    }
   }
 
   /** Rewrite a predicate's attribute names from their DELETE-TIME
@@ -1307,6 +1543,17 @@ object AtomicSink {
         writeAtomic(new Path(path, s"_PARTS.v$version"),
           lines.mkString("", "\n", "\n").getBytes("UTF-8"))
       }
+      // column min/max of the rewritten files, same rename treatment —
+      // a rewrite republishes its data-skipping bounds
+      val workStats = readMinMax(workDir, 1)
+      if (workStats.nonEmpty) {
+        val lines = staged.zip(fresh).flatMap { case (from, to) =>
+          workStats.getOrElse(from, Map.empty).map {
+            case (id, (mn, mx)) => s"$to\t$id\t$mn\t$mx" } }
+        if (lines.nonEmpty)
+          writeAtomic(new Path(path, s"_MINMAX.v$version"),
+            lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
       layout.foreach(ids => writeAtomic(new Path(path, s"_LAYOUT.v$version"),
         ids.mkString("", "\n", "\n").getBytes("UTF-8")))
       val manifestBytes =
@@ -1399,7 +1646,9 @@ object AtomicSink {
       .map(n => versionOfFile(n).getOrElse(0))
     deletePredicates(path).collect {
       case (k, _, _) if current.exists(_ < k) => k
-    }.toSet
+    }.toSet ++ eqDeleteSpecs(path).collect {
+      case (k, _, _) if current.exists(_ < k) => k
+    }
   }
 
   /** The pushed v1 `Filter`s of a DELETE, rebuilt as one `Column`
@@ -1458,16 +1707,27 @@ object AtomicSink {
       val readVersion =
         snapVersion.getOrElse(versionsOf(path).lastOption.getOrElse(0))
       val dels = applicableDeletes(path, readVersion, schema)
+      val eqDels = applicableEqDeletes(path, readVersion, schema)
       // merge-on-read deletes applying to a file committed at j:
       // those published at k > j (and <= the read version)
       def delVersionsFor(name: String): Seq[Int] = {
         val j = versionOfFile(name).getOrElse(0)
-        dels.filter(_._1 > j).map(_._1)
+        dels.filter(_._1 > j).map(_._1) ++
+          eqDels.filter(_._1 > j).map(_._1)
       }
       def delsFor(name: String): Seq[org.apache.spark.sql.sources.Filter] =
         resolveFileDeletes(dels, versionOfFile(name).getOrElse(0))
+      def eqsFor(name: String)
+          : Seq[(Seq[String], Array[Int], Array[Int])] = {
+        val j = versionOfFile(name).getOrElse(0)
+        eqDels.filter(_._1 > j).map {
+          case (_, Right(r)) => r
+          case (_, Left(msg)) => throw new IllegalStateException(msg)
+        }
+      }
       def readGroup(files: Seq[String], idxMap: Array[Int],
-          fileDels: Seq[org.apache.spark.sql.sources.Filter])
+          fileDels: Seq[org.apache.spark.sql.sources.Filter],
+          fileEqs: Seq[(Seq[String], Array[Int], Array[Int])])
           : org.apache.spark.sql.DataFrame = {
         val parts = split(col("value"), "\t", -1)
         val cols = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -1488,7 +1748,42 @@ object AtomicSink {
           }
           v.as(f.name)
         }
-        val base = spark.read.text(files: _*).select(cols.toIndexedSeq: _*)
+        // RAW current-order cells ("" padded) — the equality-delete
+        // canonical form compares raw cell strings, never re-rendered
+        // values (both sides were written by the same deterministic
+        // encoder, so raw-compare is exact)
+        def raw(i: Int): org.apache.spark.sql.Column = {
+          val j = idxMap(i)
+          if (j < 0) lit("")
+          else coalesce(
+            when(size(parts) > j, element_at(parts, j + 1)), lit(""))
+        }
+        // one field-id-canonical key column per applicable equality
+        // delete, computed from the raw cells in the same projection
+        val eqKeyCols = fileEqs.zipWithIndex.map {
+          case ((_, _, idx), n) =>
+            concat_ws("\t", idx.toIndexedSeq.map(raw): _*).as(s"__eqk$n")
+        }
+        val base0 = spark.read.text(files: _*)
+          .select((cols ++ eqKeyCols).toIndexedSeq: _*)
+        // anti-join each applicable pre-image set on its key (small
+        // sets auto-broadcast via file-scan statistics)
+        val afterEq = fileEqs.zipWithIndex.foldLeft(base0) {
+          case (df, ((eqFiles, ord, _), n)) =>
+            val eqKeys = spark.read
+              .text(eqFiles.map(f => new Path(path, f).toString): _*)
+              .select(split(col("value"), "\t", -1).as("c"))
+              .select(concat_ws("\t", ord.toIndexedSeq.map(o =>
+                coalesce(when(size(col("c")) > o,
+                  element_at(col("c"), o + 1)), lit(""))): _*)
+                .as("__eqkey"))
+              .distinct()
+            df.join(eqKeys, col(s"__eqk$n") === col("__eqkey"),
+              "left_anti")
+        }
+        val base =
+          if (fileEqs.isEmpty) afterEq
+          else afterEq.drop(fileEqs.indices.map(n => s"__eqk$n"): _*)
         // a row survives unless some applicable delete's condition is
         // TRUE on it (NULL keeps — SQL DELETE semantics)
         fileDels.foldLeft(base) { (df, f) =>
@@ -1500,7 +1795,7 @@ object AtomicSink {
       names.groupBy(n => (maps(n).toSeq, delVersionsFor(n))).values
         .toSeq
         .map(g => readGroup(g.map(n => new Path(path, n).toString),
-          maps(g.head), delsFor(g.head)))
+          maps(g.head), delsFor(g.head), eqsFor(g.head)))
         .reduce(_ unionAll _)
     }
   }
@@ -1538,11 +1833,15 @@ object AtomicSink {
 
     // PARTITION PRUNING: predicates referencing ONLY partition
     // columns are accepted for FILE-level pruning (each file of a
-    // partitioned commit holds one partition tuple). EVERY filter is
+    // partitioned commit holds one partition tuple). DATA SKIPPING:
+    // range-shaped predicates on any id-carrying column prune files
+    // by their recorded `_MINMAX` bounds. EVERY filter is
     // returned as a residual — pruning is an optimization, Spark
     // still applies the predicate to the rows that survive it — so
-    // correctness never depends on the tuple sidecar being present.
+    // correctness never depends on either sidecar being present.
     private var partPushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty
+    private var statsPushed: Array[org.apache.spark.sql.sources.Filter] =
       Array.empty
     override def pushFilters(
         filters: Array[org.apache.spark.sql.sources.Filter])
@@ -1552,15 +1851,23 @@ object AtomicSink {
           f.references.nonEmpty &&
             f.references.forall(partitionCols.contains) &&
             scala.util.Try(filterToJson(f)).isSuccess)
+      val statsCols = schema.fields.collect {
+        case fld if AtomicSink.fieldIdOf(fld).isDefined &&
+          (fld.dataType == LongType || fld.dataType == DoubleType ||
+            fld.dataType == StringType) => fld.name
+      }.toSet
+      statsPushed = filters.filter(f =>
+        AtomicSink.statsPrunable(f) &&
+          f.references.nonEmpty && f.references.forall(statsCols.contains))
       filters
     }
     override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-      partPushed
+      (partPushed ++ statsPushed.filterNot(partPushed.contains)).toArray
 
     override def build(): org.apache.spark.sql.connector.read.Scan =
       new TsvScan(path, schema, pinned, changelog, failOnDataLoss,
         required, partitionCols, partPushed, onPlanned,
-        runtimeGroupFilter)
+        runtimeGroupFilter, statsPushed)
   }
 
   /** Output-field resolution codes for one scan: `>= 0` = index into
@@ -1577,6 +1884,7 @@ object AtomicSink {
           case "_file" => -2
           case "_change_type" => -3
           case "_commit_version" => -4
+          case "_row" => -5
           case other => throw new IllegalArgumentException(
             s"unknown column $other for $schema")
         }
@@ -1590,7 +1898,8 @@ object AtomicSink {
       partitionCols: Seq[String] = Seq.empty,
       partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
       onPlanned: Seq[String] => Unit = null,
-      runtimeGroupFilter: Boolean = false)
+      runtimeGroupFilter: Boolean = false,
+      statsFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1611,10 +1920,7 @@ object AtomicSink {
         case Some(v) => readManifestOf(path, v)
         case None => committedFilesOf(path)
       }
-      val tuples =
-        if (partFilters.isEmpty) Map.empty[String, Array[String]]
-        else partsForFiles(path, all)
-      val names = all.filterNot(n => prunedByPartition(tuples.get(n)))
+      val names = survivingFiles(all)
       val bytes = names.map { n =>
         try fs.getFileStatus(new Path(path, n)).getLen
         catch { case _: java.io.IOException => 0L }
@@ -1668,6 +1974,31 @@ object AtomicSink {
       if (changelog) changelogSchema(schema) else schema)
     private def outCodes: Array[Int] = outCodesFor(outSchema, schema)
     override def readSchema(): StructType = outSchema
+
+    /** The manifest files this scan actually opens: partition-tuple
+      * pruning, then `_MINMAX` data skipping — both pure
+      * optimizations (every pushed filter stays residual), so a
+      * missing sidecar only widens the scan. */
+    private def survivingFiles(all: Seq[String]): Seq[String] = {
+      val tuples =
+        if (partFilters.isEmpty) Map.empty[String, Array[String]]
+        else partsForFiles(path, all)
+      val afterPart = all.filterNot(n => prunedByPartition(tuples.get(n)))
+      if (statsFilters.isEmpty) afterPart
+      else {
+        val mm = minmaxForFiles(path, afterPart)
+        afterPart.filterNot { n =>
+          mm.get(n).exists { byId =>
+            val range = (col: String) => schema.fields.find(_.name == col)
+              .flatMap(AtomicSink.fieldIdOf).flatMap(byId.get)
+            statsFilters.exists(f =>
+              scala.util.Try(
+                AtomicSink.rangeCannotMatch(f, schema, range))
+                .getOrElse(false))
+          }
+        }
+      }
+    }
 
     /** TRUE iff the file's recorded partition tuple proves NO row can
       * satisfy the pushed partition predicates (each file of a
@@ -1727,13 +2058,11 @@ object AtomicSink {
         case Some(v) => readManifestOf(path, v)
         case None => committedFilesOf(path)
       }
-      // PARTITION PRUNING: drop manifest files whose recorded tuple
-      // cannot satisfy the pushed partition predicates — the skipped
-      // files never open (`.explain` shows the partition count drop)
-      val tuples =
-        if (partFilters.isEmpty) Map.empty[String, Array[String]]
-        else partsForFiles(path, all)
-      val names = all.filterNot(n => prunedByPartition(tuples.get(n)))
+      // PARTITION PRUNING + MIN/MAX DATA SKIPPING: drop manifest
+      // files whose recorded tuple or column bounds cannot satisfy
+      // the pushed predicates — the skipped files never open
+      // (`.explain` shows the partition count drop)
+      val names = survivingFiles(all)
         .filter(n => runtimeFiles.forall(_.contains(n)))
       // report the planned file set to a coordinating row-level
       // rewrite (the groups its write REPLACES — unread files carry
@@ -1743,11 +2072,24 @@ object AtomicSink {
       val readVersion =
         pinned.getOrElse(versionsOf(path).lastOption.getOrElse(0))
       val dels = applicableDeletes(path, readVersion, schema)
+      val eqDels = applicableEqDeletes(path, readVersion, schema)
       names.map { n =>
-        val fileDels = resolveFileDeletes(dels,
-          versionOfFile(n).getOrElse(0)).map(filterToJson).toArray
+        val j = versionOfFile(n).getOrElse(0)
+        val fileDels = resolveFileDeletes(dels, j)
+          .map(filterToJson).toArray
+        val fileEqs = eqDels.filter(_._1 > j).map {
+          case (_, Right((files, ord, idx))) =>
+            val root = new java.util.LinkedHashMap[String, Object]()
+            val fl = new java.util.ArrayList[String]()
+            files.foreach(f => fl.add(new Path(path, f).toString))
+            root.put("files", fl)
+            root.put("ord", ord.map(Int.box).toArray)
+            root.put("idx", idx.map(Int.box).toArray)
+            jmapper.writeValueAsString(root)
+          case (_, Left(msg)) => throw new IllegalStateException(msg)
+        }.toArray
         TsvFilePartition(new Path(path, n).toString,
-          maps(n), null, 0L, fileDels, outCodes)
+          maps(n), null, 0L, fileDels, outCodes, fileEqs)
           : org.apache.spark.sql.connector.read.InputPartition
       }.toArray
     }
@@ -1765,7 +2107,8 @@ object AtomicSink {
   private case class TsvFilePartition(file: String, idxMap: Array[Int],
       op: String, version: Long,
       deletes: Array[String] = Array.empty,
-      outCodes: Array[Int] = Array.empty)
+      outCodes: Array[Int] = Array.empty,
+      eqDeletes: Array[String] = Array.empty)
       extends org.apache.spark.sql.connector.read.InputPartition
 
   private[io] case class VersionOffset(v: Long)
@@ -1913,6 +2256,36 @@ object AtomicSink {
     private val lines =
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
     private val delFilters = deletes.map(filterFromJson)
+    // equality-delete pre-image sets, loaded once per reader: key =
+    // raw cells at the spec's positions, tab-joined (field-id order
+    // on both sides — see applicableEqDeletes). Memory is bounded by
+    // the matched-row count of the merge that wrote them — the
+    // standard merge-on-read read-side cost.
+    private val eqSets: Array[(java.util.HashSet[String], Array[Int])] =
+      part.eqDeletes.map { spec =>
+        val root = jmapper.readTree(spec)
+        def ints(k: String): Array[Int] = {
+          val b = scala.collection.mutable.ArrayBuffer[Int]()
+          val it = root.get(k).elements()
+          while (it.hasNext) b += it.next().asInt()
+          b.toArray
+        }
+        val ord = ints("ord"); val idx = ints("idx")
+        val set = new java.util.HashSet[String]()
+        val fit = root.get("files").elements()
+        while (fit.hasNext) {
+          val p = new Path(fit.next().asText())
+          val fin = p.getFileSystem(new Configuration()).open(p)
+          try scala.io.Source.fromInputStream(fin, "UTF-8").getLines()
+            .filter(_.nonEmpty).foreach { line =>
+              val cs = line.split("\t", -1)
+              set.add(ord.map(o =>
+                if (o < cs.length) cs(o) else "").mkString("\t"))
+            }
+          finally fin.close()
+        }
+        (set, idx)
+      }
     private val fieldIdx: Map[String, Int] =
       schema.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
     // every planner path sets outCodes explicitly; an EMPTY array is a
@@ -1940,8 +2313,14 @@ object AtomicSink {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
           case other => other
         }
+        def rawCell(i: Int): String = {
+          val j = idxMap(i)
+          if (j >= 0 && j < cells.length) cells(j) else ""
+        }
         val hidden = delFilters.exists(f =>
-          evalFilter(f, cell).contains(true))
+          evalFilter(f, cell).contains(true)) ||
+          eqSets.exists { case (set, idx) =>
+            set.contains(idx.map(rawCell).mkString("\t")) }
         if (!hidden) {
           val vals: Array[Any] = outCodes.map {
             case i if i >= 0 => base(i)
@@ -1950,6 +2329,9 @@ object AtomicSink {
             case -3 => org.apache.spark.unsafe.types.UTF8String
               .fromString(part.op)
             case -4 => part.version: Any
+            case -5 => org.apache.spark.unsafe.types.UTF8String
+              .fromString(schema.fields.indices
+                .map(rawCell).mkString("\t"))
           }
           cur = new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(vals)
@@ -2077,6 +2459,259 @@ object AtomicSink {
       }
   }
 
+  /** MERGE-ON-READ row-level DML (`spark.graft.atomic.dmlMode = mor`)
+    * — the DELTA-based operation ([[SupportsDelta]], the Iceberg-v2
+    * merge-on-read shape): Spark's MERGE/UPDATE/DELETE rewrite plans
+    * emit ONLY the CHANGED rows (updates split into delete+insert via
+    * `representUpdateAsDeleteAndInsert`), and the commit publishes
+    * equality-delete files (full-row pre-images, `v<k>-eqdel-*`,
+    * referenced from `_DELETES.v<k>` with a field-id column map) next
+    * to fresh insert files — every existing file carries forward BY
+    * REFERENCE. This is the honest 100 TB MERGE when matched rows
+    * smear across most files and the copy-on-write runtime group
+    * filter can't narrow: write cost ∝ changed rows, never ∝ table
+    * size; readers pay a bounded pre-image set per applicable merge
+    * until compaction retires it. The row ID is the FULL ROW (the
+    * pre-image came from the table, so deleting rows equal to it on
+    * every column is exact — identical duplicates each emit their own
+    * delete and all fall together, matching MERGE semantics). */
+  private class DeltaRowLevelOperation(path: String, schema: StructType,
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+      partitionCols: Seq[String] = Seq.empty)
+      extends org.apache.spark.sql.connector.write.RowLevelOperation
+      with org.apache.spark.sql.connector.write.SupportsDelta {
+    private val basisAtCreation: Int =
+      versionsOf(path).lastOption.getOrElse(0)
+    override def command()
+        : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+      cmd
+    override def description(): String = s"AtomicDeltaRewrite($cmd)"
+    override def rowId()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      // `_row` (the canonical raw-row metadata column) and not the
+      // data columns: Spark refuses NULLABLE row-id attributes, and
+      // the canonical encoding is the equality key anyway
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_row"))
+    override def representUpdateAsDeleteAndInsert(): Boolean = true
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : org.apache.spark.sql.connector.read.ScanBuilder =
+      new TsvScanBuilder(path, schema, None, changelog = false,
+        failOnDataLoss = true, partitionCols = partitionCols)
+    override def newWriteBuilder(info: LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+      new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+        override def build()
+            : org.apache.spark.sql.connector.write.DeltaWrite =
+          new org.apache.spark.sql.connector.write.DeltaWrite {
+            override def toBatch()
+                : org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+              val idOfName = schema.fields
+                .flatMap(f => AtomicSink.fieldIdOf(f).map(f.name -> _))
+                .toMap
+              val dataIds = info.schema().fields.map(f =>
+                idOfName.getOrElse(f.name, throw new IllegalStateException(
+                  s"merge-on-read DML requires a catalog table (field " +
+                    s"ids) — column ${f.name} has none")))
+              // eqdel pre-images are `_row` encodings in TABLE-schema
+              // order; the commit layout (dataIds) must match so the
+              // changelog face decodes them like any delete image
+              require(info.schema().fieldNames
+                .sameElements(schema.fieldNames),
+                s"delta write schema ${info.schema().fieldNames.toSeq} " +
+                  s"!= table schema ${schema.fieldNames.toSeq}")
+              new AtomicDeltaBatchWrite(path, info.queryId(),
+                info.schema(), dataIds.toSeq,
+                partitionCols.filter(info.schema().fieldNames.contains)
+                  .map(info.schema().fieldIndex).toArray,
+                basisAtCreation)
+            }
+          }
+      }
+  }
+
+  /** One delta task's staged output: insert files (with partition
+    * tuples and column stats, like any write) plus at most one
+    * equality-delete file of pre-image rows. */
+  private case class DeltaStaged(
+      inserts: Seq[(String, String)],
+      stats: Map[String, Seq[(Int, String, String)]],
+      eqdel: Option[String]) extends WriterCommitMessage
+
+  private class DeltaTsvWriterFactory(path: String, queryId: String,
+      dataSchema: StructType, partIdx: Array[Int])
+      extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+      new DeltaTsvWriter(path, queryId, dataSchema,
+        partitionId, taskId, partIdx)
+  }
+
+  /** Inserts delegate to the ordinary (partitioned) task writer;
+    * deletes receive the `_row` canonical encoding (already in
+    * current-schema order) and append it to one `eqdel-*` staging
+    * file — the published pre-images share the commit's
+    * `_LAYOUT.v<k>` and replay through the changelog face like any
+    * delete image. */
+  private class DeltaTsvWriter(path: String, queryId: String,
+      dataSchema: StructType, partitionId: Int,
+      taskId: Long, partIdx: Array[Int])
+      extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+    private val insertWriter: DataWriter[InternalRow] =
+      if (partIdx.isEmpty)
+        new TsvWriter(path, queryId, dataSchema, partitionId, taskId)
+      else new PartitionedTsvWriter(path, queryId, dataSchema,
+        partitionId, taskId, partIdx)
+    private val fs = new Path(path).getFileSystem(new Configuration())
+    private val eqName = f"eqdel-$partitionId%05d-$taskId"
+    private var eqOut: org.apache.hadoop.fs.FSDataOutputStream = _
+    private var eqRows = 0L
+
+    override def delete(meta: InternalRow, id: InternalRow): Unit = {
+      if (eqOut == null)
+        eqOut = fs.create(
+          new Path(new Path(path, s"_staging_$queryId"), eqName), true)
+      // id = the single `_row` column: the pre-image's canonical line
+      eqOut.write((id.getUTF8String(0).toString + "\n")
+        .getBytes("UTF-8"))
+      eqRows += 1
+    }
+    override def update(meta: InternalRow, id: InternalRow,
+        row: InternalRow): Unit = {
+      // unreachable under representUpdateAsDeleteAndInsert, kept total
+      delete(meta, id); insert(row)
+    }
+    override def insert(row: InternalRow): Unit = insertWriter.write(row)
+    override def commit(): WriterCommitMessage = {
+      if (eqOut != null) eqOut.close()
+      val im = insertWriter.commit()
+      val (ins, st) = im match {
+        case StagedFile(n, s) =>
+          (Seq((n, null: String)),
+            if (s.nonEmpty) Map(n -> s)
+            else Map.empty[String, Seq[(Int, String, String)]])
+        case StagedParts(fs0, s) => (fs0, s)
+        case _ => (Seq.empty, Map.empty[String, Seq[(Int, String, String)]])
+      }
+      DeltaStaged(ins, st, if (eqRows > 0) Some(eqName) else None)
+    }
+    override def abort(): Unit = {
+      if (eqOut != null) eqOut.close()
+      fs.delete(new Path(new Path(path, s"_staging_$queryId"), eqName),
+        false)
+      insertWriter.abort()
+    }
+    override def close(): Unit = insertWriter.close()
+  }
+
+  /** The delta commit: ONE claimed version publishing carried
+    * manifest (every current file, by reference) + fresh insert files
+    * + `_DELETES.v<k>` equality-delete spec. Basis-dependent refuse
+    * semantics (captured at operation creation, like the group
+    * rewrite). Zero-length staged files are dropped; a MERGE with no
+    * matches and no inserts publishes nothing at all. */
+  private class AtomicDeltaBatchWrite(path: String, queryId: String,
+      dataSchema: StructType, dataIds: Seq[Long],
+      partIdx: Array[Int], basis: Int)
+      extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+    private def fs = new Path(path).getFileSystem(new Configuration())
+    private def staging = new Path(path, s"_staging_$queryId")
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+      new DeltaTsvWriterFactory(path, queryId, dataSchema, partIdx)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val f = fs
+      def len(n: String): Long =
+        f.getFileStatus(new Path(staging, n)).getLen
+      val all = messages.collect { case d: DeltaStaged => d }
+      val inserts = all.flatMap(_.inserts)
+        .filter { case (n, _) => len(n) > 0 }.sortBy(_._1)
+      val stats = all.flatMap(_.stats).toMap
+      val eqdels = all.flatMap(_.eqdel).sorted
+      if (inserts.isEmpty && eqdels.isEmpty) {
+        f.delete(staging, true); return // no-op DML: nothing changed
+      }
+      val version = AtomicSink.claimVersion(path, retry = false)
+      def releaseAnd(t: Throwable): Nothing = {
+        f.delete(new Path(path, s"_CLAIM.v$version"), false)
+        f.delete(staging, true)
+        throw t
+      }
+      try {
+        val latest = AtomicSink.versionsOf(path).lastOption.getOrElse(0)
+        if (latest != basis)
+          throw new java.util.ConcurrentModificationException(
+            s"$path moved to v$latest while this merge-on-read DML " +
+              s"was computed against v$basis — re-run it")
+        val carried = AtomicSink.committedFilesOf(path)
+        val freshIns = inserts.map { case (n, _) => s"v$version-$n" }
+        inserts.map(_._1).zip(freshIns).foreach { case (from, to) =>
+          f.rename(new Path(staging, from), new Path(path, to))
+        }
+        val freshEq = eqdels.map(n => s"v$version-$n")
+        eqdels.zip(freshEq).foreach { case (from, to) =>
+          f.rename(new Path(staging, from), new Path(path, to))
+        }
+        def writeAtomic(target: Path, bytes: Array[Byte]): Unit = {
+          val tmp = new Path(path, s"_DML.tmp-$queryId")
+          val out = f.create(tmp, true)
+          try out.write(bytes) finally out.close()
+          f.rename(tmp, target)
+        }
+        // sidecars before the manifest, as always
+        val partLines = inserts.zip(freshIns).collect {
+          case ((_, p), to) if p != null => s"$to\t$p" }
+        if (partLines.nonEmpty)
+          writeAtomic(new Path(path, s"_PARTS.v$version"),
+            partLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        val mmLines = inserts.map(_._1).zip(freshIns).flatMap {
+          case (from, to) => stats.getOrElse(from, Seq.empty).collect {
+            case (ord, mn, mx) if ord < dataIds.length =>
+              s"$to\t${dataIds(ord)}\t$mn\t$mx" } }
+        if (mmLines.nonEmpty)
+          writeAtomic(new Path(path, s"_MINMAX.v$version"),
+            mmLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        writeAtomic(new Path(path, s"_LAYOUT.v$version"),
+          dataIds.mkString("", "\n", "\n").getBytes("UTF-8"))
+        if (freshEq.nonEmpty) {
+          val cols = new java.util.LinkedHashMap[String, Object]()
+          dataSchema.fields.zip(dataIds).foreach { case (fl, id) =>
+            cols.put(fl.name, Long.box(id)) }
+          val root = new java.util.LinkedHashMap[String, Object]()
+          root.put("cols", cols)
+          val fl = new java.util.ArrayList[String]()
+          freshEq.foreach(fl.add)
+          root.put("eqfiles", fl)
+          writeAtomic(new Path(path, s"_DELETES.v$version"),
+            AtomicSink.jmapper.writeValueAsString(root).getBytes("UTF-8"))
+        }
+        val manifestBytes = (carried ++ freshIns)
+          .mkString("", "\n", "\n").getBytes("UTF-8")
+        writeAtomic(new Path(path,
+          s"${AtomicSink.ManifestFile}.v$version"), manifestBytes)
+        // changelog: pre-images replay as deletes, fresh files as
+        // real inserts — the same op-typed shape as an overwrite
+        AtomicSink.writeCdcList(path, version, "insert", freshEq)
+        val legacy = new Path(path, AtomicSink.ManifestFile)
+        f.delete(legacy, false)
+        writeAtomic(legacy, manifestBytes)
+        f.delete(staging, true)
+      } catch {
+        case t: Throwable =>
+          if (!f.exists(new Path(path,
+            s"${AtomicSink.ManifestFile}.v$version")))
+            releaseAnd(t)
+          else throw t
+      }
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      fs.delete(staging, true)
+    }
+  }
+
   /** `writeStream.toTable` into a catalog table: each non-empty epoch
     * publishes ONE commit through [[AtomicBatchWrite]]'s two-phase
     * protocol, with the (streaming query id, epoch id) recorded in an
@@ -2123,11 +2758,13 @@ object AtomicSink {
       def len(n: String): Long =
         fs.getFileStatus(new Path(stagingDir, n)).getLen
       val live = messages.toSeq.flatMap {
-        case StagedFile(name) =>
-          if (len(name) > 0) Seq(StagedFile(name)) else Seq.empty
-        case StagedParts(files) =>
+        case StagedFile(name, st) =>
+          if (len(name) > 0) Seq(StagedFile(name, st)) else Seq.empty
+        case StagedParts(files, st) =>
           val keep = files.filter { case (n, _) => len(n) > 0 }
-          if (keep.isEmpty) Seq.empty else Seq(StagedParts(keep))
+          if (keep.isEmpty) Seq.empty
+          else Seq(StagedParts(keep,
+            st.view.filterKeys(keep.map(_._1).toSet).toMap))
         case other => Seq(other)
       }
       if (live.isEmpty) { fs.delete(stagingDir, true); return }
@@ -2151,6 +2788,100 @@ object AtomicSink {
       stagingDir.getFileSystem(new Configuration())
         .delete(stagingDir, true)
     }
+  }
+
+  /** One row per PUBLISHED commit of the snapshot/operation log —
+    * what `<t>__history` serves. Derived entirely from manifests and
+    * sidecars at scan time: `operation` is the commit's honest
+    * sidecar fingerprint (`append`; `stream-append` = epoch marker;
+    * `delete-mor` = predicate-only commit; `delete-cow` = survivor
+    * rewrite with a CDC delete image; `rewrite` = compaction (skip
+    * mode, no image); `replace` = fresh files next to a delete image
+    * — INSERT OVERWRITE and group-based MERGE/UPDATE both commit this
+    * shape). n_fresh/n_carried split the manifest by the commit's own
+    * version prefix. */
+  private[io] def historyRows(path: String)
+      : Seq[(Long, String, Long, Long, Long)] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    versionsOf(path).map { v =>
+      val files = readManifestOf(path, v)
+      val fresh = files.count(_.startsWith(s"v$v-"))
+      val carried = files.size - fresh
+      val op =
+        if (fs.exists(new Path(path, s"_DELETES.v$v")))
+          // a predicate delete writes no data files; a merge-on-read
+          // MERGE commits equality-deletes PLUS fresh insert files
+          (if (fresh > 0) "merge-mor" else "delete-mor")
+        else if (fs.exists(new Path(path, s"_EPOCH.v$v"))) "stream-append"
+        else cdcFilesOf(path, v) match {
+          case Some(("insert", _)) => "replace"
+          case Some(("skip", img)) if img.nonEmpty => "delete-cow"
+          case Some(("skip", _)) => "rewrite"
+          case _ => "append"
+        }
+      (v.toLong, op, files.size.toLong, fresh.toLong, carried.toLong)
+    }
+  }
+
+  private[io] val HistorySchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", LongType, false),
+    org.apache.spark.sql.types.StructField("operation", StringType, false),
+    org.apache.spark.sql.types.StructField("n_files", LongType, false),
+    org.apache.spark.sql.types.StructField("n_fresh", LongType, false),
+    org.apache.spark.sql.types.StructField("n_carried", LongType, false)))
+
+  /** `<t>__history` — the commit log as a read-only TABLE (the
+    * Iceberg `.history`/`.snapshots` metadata-table shape): the
+    * operability face a versioned table needs once multiple writers
+    * exist. Metadata-scale: the rows are computed driver-side from
+    * the manifests (bytes, not data) and shipped in one input
+    * partition. */
+  private[io] class HistoryTable(path: String) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    override def name(): String = s"atomic($path#history)"
+    override def schema(): StructType = HistorySchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : org.apache.spark.sql.connector.read.ScanBuilder =
+      () => new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.Batch {
+        override def readSchema(): StructType = HistorySchema
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          this
+        override def description(): String = s"AtomicHistoryScan($path)"
+        override def planInputPartitions()
+            : Array[org.apache.spark.sql.connector.read.InputPartition] =
+          Array(HistoryPartition(historyRows(path)))
+        override def createReaderFactory()
+            : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+          new HistoryReaderFactory
+      }
+  }
+
+  private case class HistoryPartition(
+      rows: Seq[(Long, String, Long, Long, Long)])
+      extends org.apache.spark.sql.connector.read.InputPartition
+
+  private class HistoryReaderFactory
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    override def createReader(
+        p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+        private val it = p.asInstanceOf[HistoryPartition].rows.iterator
+        private var cur: InternalRow = _
+        override def next(): Boolean = it.hasNext && {
+          val (v, op, nf, fr, ca) = it.next()
+          cur = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](v,
+              org.apache.spark.unsafe.types.UTF8String.fromString(op),
+              nf, fr, ca))
+          true
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
   }
 
   /** Per-epoch task-writer factory: the epoch id lands in the staging
@@ -2266,9 +2997,16 @@ object AtomicSink {
       }
       // (stagedName, partitionTuple-or-null), one entry per file
       val staged: Seq[(String, String)] = messages.flatMap {
-        case StagedFile(name) => Seq((name, null: String))
-        case StagedParts(files) => files
+        case StagedFile(name, _) => Seq((name, null: String))
+        case StagedParts(files, _) => files
       }.toSeq.sortBy(_._1)
+      // per-staged-file column stats (write-schema ordinals)
+      val statsByName: Map[String, Seq[(Int, String, String)]] =
+        messages.flatMap {
+          case StagedFile(name, st) if st.nonEmpty => Seq(name -> st)
+          case StagedParts(_, st) => st.toSeq
+          case _ => Seq.empty
+        }.toMap
       // BOTH file lists resolve HERE — against the still-current
       // previous snapshot, before the new manifest publishes. The
       // partition-aware overwrite modes split the current snapshot by
@@ -2338,6 +3076,26 @@ object AtomicSink {
         finally out.close()
         f.rename(tmp, new Path(path, s"_PARTS.v$version"))
       }
+      // per-file COLUMN MIN/MAX (`_MINMAX.v<N>`, published-name →
+      // field-id → bounds) — data skipping for non-partition
+      // predicates; field ids via the commit's layout, so id-less
+      // writes simply record nothing
+      layout.foreach { ids =>
+        val mmLines = staged.map(_._1).zip(fresh).flatMap {
+          case (from, to) =>
+            statsByName.getOrElse(from, Seq.empty).collect {
+              case (ord, mn, mx) if ord < ids.length =>
+                s"$to\t${ids(ord)}\t$mn\t$mx"
+            }
+        }
+        if (mmLines.nonEmpty) {
+          val tmp = new Path(path, s"_MINMAX.tmp-$queryId")
+          val out = f.create(tmp, true)
+          try out.write(mmLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          f.rename(tmp, new Path(path, s"_MINMAX.v$version"))
+        }
+      }
       def writeAtomic(target: Path): Unit = {
         val tmp = new Path(path, s"_MANIFEST.tmp-$queryId")
         val out = f.create(tmp, true)
@@ -2388,13 +3146,82 @@ object AtomicSink {
     }
   }
 
-  private case class StagedFile(name: String) extends WriterCommitMessage
+  /** `stats`: (write-schema ordinal, min, max) per column that saw at
+    * least one non-null value — the commit translates ordinals to
+    * FIELD IDS via its layout and publishes `_MINMAX.v<N>`. */
+  private case class StagedFile(name: String,
+      stats: Seq[(Int, String, String)] = Seq.empty)
+      extends WriterCommitMessage
 
   /** One task's partitioned output: (stagedName, partitionTuple) per
     * file — the tuple is the partition cells tab-joined (the same
-    * encoding as data cells, "" = NULL). */
-  private case class StagedParts(files: Seq[(String, String)])
+    * encoding as data cells, "" = NULL). `stats` keyed by staged
+    * name. */
+  private case class StagedParts(files: Seq[(String, String)],
+      stats: Map[String, Seq[(Int, String, String)]] = Map.empty)
       extends WriterCommitMessage
+
+  /** Running per-column min/max over one staged file's rows, in the
+    * WRITE schema's order and types. Doubles give up on NaN (no total
+    * order worth recording); empty strings track with the "" = NULL
+    * encoding and are skipped like nulls; unsupported types never
+    * record. String order is UTF8String binary order — the same order
+    * Spark sorts and compares by. */
+  private class ColStats(schema: StructType) {
+    private val n = schema.fields.length
+    private val minL = new Array[Long](n)
+    private val maxL = new Array[Long](n)
+    private val minD = new Array[Double](n)
+    private val maxD = new Array[Double](n)
+    private val minS =
+      new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    private val maxS =
+      new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    private val seen = new Array[Boolean](n)
+    private val dead = new Array[Boolean](n)
+
+    def update(row: InternalRow): Unit = {
+      var i = 0
+      while (i < n) {
+        if (!dead(i) && !row.isNullAt(i)) schema.fields(i).dataType match {
+          case LongType =>
+            val v = row.getLong(i)
+            if (!seen(i) || v < minL(i)) minL(i) = v
+            if (!seen(i) || v > maxL(i)) maxL(i) = v
+            seen(i) = true
+          case DoubleType =>
+            val v = row.getDouble(i)
+            if (v.isNaN) dead(i) = true
+            else {
+              if (!seen(i) || v < minD(i)) minD(i) = v
+              if (!seen(i) || v > maxD(i)) maxD(i) = v
+              seen(i) = true
+            }
+          case StringType =>
+            val v = row.getUTF8String(i)
+            if (v.numBytes() > 0) {
+              // clone: the row's UTF8String points into a reused buffer
+              if (!seen(i) || v.compareTo(minS(i)) < 0) minS(i) = v.clone()
+              if (!seen(i) || v.compareTo(maxS(i)) > 0) maxS(i) = v.clone()
+              seen(i) = true
+            }
+          case _ => dead(i) = true
+        }
+        i += 1
+      }
+    }
+
+    def result(): Seq[(Int, String, String)] =
+      (0 until n).flatMap { i =>
+        if (!seen(i) || dead(i)) None
+        else schema.fields(i).dataType match {
+          case LongType => Some((i, minL(i).toString, maxL(i).toString))
+          case DoubleType => Some((i, minD(i).toString, maxD(i).toString))
+          case StringType => Some((i, minS(i).toString, maxS(i).toString))
+          case _ => None
+        }
+      }
+  }
 
   private class TsvWriterFactory(path: String, queryId: String,
                                  schema: StructType,
@@ -2429,15 +3256,17 @@ object AtomicSink {
     private val file = new Path(new Path(path, s"_staging_$queryId"), name)
     private val fs = file.getFileSystem(new Configuration())
     private val out = fs.create(file, true)
+    private val stats = new ColStats(schema)
 
     override def write(row: InternalRow): Unit = {
+      stats.update(row)
       val cols = schema.fields.indices.map(renderCell(row, schema, _))
       out.write((cols.mkString("\t") + "\n").getBytes("UTF-8"))
     }
 
     override def commit(): WriterCommitMessage = {
       out.close()
-      StagedFile(name)
+      StagedFile(name, stats.result())
     }
 
     override def abort(): Unit = {
@@ -2459,27 +3288,31 @@ object AtomicSink {
     private val fs =
       new Path(path).getFileSystem(new Configuration())
     private val open = scala.collection.mutable.LinkedHashMap[
-      String, (String, org.apache.hadoop.fs.FSDataOutputStream)]()
+      String, (String, org.apache.hadoop.fs.FSDataOutputStream, ColStats)]()
 
     override def write(row: InternalRow): Unit = {
       val tuple = partIdx.map(renderCell(row, schema, _)).mkString("\t")
-      val (_, out) = open.getOrElseUpdate(tuple, {
+      val (_, out, stats) = open.getOrElseUpdate(tuple, {
         val name = f"part-$partitionId%05d-$taskId-${open.size}"
         (name, fs.create(
-          new Path(new Path(path, s"_staging_$queryId"), name), true))
+          new Path(new Path(path, s"_staging_$queryId"), name), true),
+          new ColStats(schema))
       })
+      stats.update(row)
       val cols = schema.fields.indices.map(renderCell(row, schema, _))
       out.write((cols.mkString("\t") + "\n").getBytes("UTF-8"))
     }
 
     override def commit(): WriterCommitMessage = {
       open.values.foreach(_._2.close())
-      StagedParts(open.map { case (tuple, (name, _)) =>
-        (name, tuple) }.toSeq)
+      StagedParts(
+        open.map { case (tuple, (name, _, _)) => (name, tuple) }.toSeq,
+        open.values.map { case (name, _, st) => name -> st.result() }
+          .toMap)
     }
 
     override def abort(): Unit = {
-      open.values.foreach { case (name, out) =>
+      open.values.foreach { case (name, out, _) =>
         out.close()
         fs.delete(new Path(new Path(path, s"_staging_$queryId"), name),
           false)

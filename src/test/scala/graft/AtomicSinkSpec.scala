@@ -651,4 +651,65 @@ class AtomicSinkSpec extends SparkSpec {
     assert(state == want, "replayed changelog == post-merge snapshot")
     spark.sql("DROP TABLE gdml.t")
   }
+
+  test("flat-format guard: CREATE TABLE with a struct/array column " +
+    "is refused at create time with the JSON-string guidance — the " +
+    "permanent close-out of nested field-id evolution") {
+    val root = Files.createTempDirectory("graft-flat").toString
+    spark.conf.set("spark.sql.catalog.gfl", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gfl.root", root)
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gfl.t (id BIGINT, props STRUCT<a: BIGINT>)"))
+    assert(e.getMessage.contains("flat") ||
+      Option(e.getCause).exists(_.getMessage.contains("flat")),
+      s"struct refusal must be loud and explanatory: ${e.getMessage}")
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gfl.t2 (id BIGINT, xs ARRAY<BIGINT>)"))
+    // the documented alternative works: JSON in a STRING cell
+    spark.sql("CREATE TABLE gfl.t3 (id BIGINT, props STRING)")
+    spark.sql("""INSERT INTO gfl.t3 VALUES (1, '{"a": 7}')""")
+    assert(spark.sql(
+      "SELECT get_json_object(props, '$.a') FROM gfl.t3")
+      .head.getString(0) == "7")
+    spark.sql("DROP TABLE gfl.t3")
+  }
+
+  test("VACUUM vs a LIVE writer: expiration removes only inert claims " +
+    "of dropped versions — an in-flight claimed-but-unpublished " +
+    "commit keeps its claim and its staging dir, and can still publish") {
+    val dir = Files.createTempDirectory("graft-vac-claim").toString
+    def write(lo: Long, hi: Long): Unit =
+      (lo until hi).map(i => (i, i * 2.0)).toDF("id", "v")
+        .repartition(2).write.format(fmt).mode("append").save(dir)
+    write(0L, 10L); write(10L, 20L); write(20L, 30L)
+    assert(graft.io.AtomicSink.versions(spark, dir) == Seq(1, 2, 3))
+    // a LIVE writer mid-commit: claim v4 held, staging dir populated,
+    // manifest not yet published
+    val claim = new java.io.File(dir, "_CLAIM.v4")
+    assert(claim.createNewFile())
+    val staging = new java.io.File(dir, "_staging_livewriter")
+    assert(staging.mkdir())
+    java.nio.file.Files.writeString(
+      staging.toPath.resolve("part-00000-9"), "42\t84.0\n")
+    graft.io.AtomicSink.expireSnapshots(dir, keepLast = 1)
+    // dropped versions lose their (inert) claims; the live claim and
+    // the live writer's staged data survive
+    assert(!new java.io.File(dir, "_CLAIM.v1").exists(),
+      "inert claim of a dropped version is swept")
+    assert(claim.isFile, "the LIVE claim must survive VACUUM")
+    assert(staging.isDirectory &&
+      staging.toPath.resolve("part-00000-9").toFile.isFile,
+      "the LIVE writer's staging dir must survive VACUUM")
+    // the live writer can still finish: a fourth commit publishes
+    // normally after releasing the synthetic claim
+    assert(graft.io.AtomicSink.releaseClaim(dir, 4))
+    write(30L, 40L)
+    assert(graft.io.AtomicSink.versions(spark, dir).last == 4)
+    assert(spark.read.option("sep", "\t").schema("id LONG, v DOUBLE")
+      .csv(graft.io.AtomicSink.committedFiles(spark, dir)
+        .map(f => s"$dir/$f"): _*).count() == 10L,
+      "the live writer's commit published its own snapshot")
+    assert(graft.io.AtomicSink.committedFiles(spark, dir, 3).nonEmpty,
+      "the retained v3 snapshot stayed readable through it all")
+  }
 }

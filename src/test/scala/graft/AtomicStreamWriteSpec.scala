@@ -58,6 +58,13 @@ class AtomicStreamWriteSpec extends SparkSpec {
       .agg(count(lit(1)), sum($"v")).head
     assert(got.getLong(0) == 150L)
     assert(got.getLong(1) == (1L to 150L).map(_ * 3).sum)
+    // the history metadata table types both commits as stream appends
+    val hist = spark.table(s"gsw.${name}__history")
+      .orderBy("version")
+      .select($"version", $"operation").as[(Long, String)]
+      .collect().toSeq
+    assert(hist == Seq((1L, "stream-append"), (2L, "stream-append")),
+      s"history: $hist")
     spark.sql(s"DROP TABLE gsw.$name")
   }
 

@@ -291,4 +291,47 @@ class PartitionPruneSpec extends SparkSpec {
     assert(joined.count() == 100000L)
     spark.sql("DROP TABLE gst.dim")
   }
+
+  test("pruning drives join strategy: a partition-FILTERED catalog " +
+    "dim broadcasts in a join where the unfiltered dim shuffles " +
+    "(estimateStatistics reflects the pruned file set)") {
+    val root = Files.createTempDirectory("graft-stats2").toString
+    spark.conf.set("spark.sql.catalog.gsb", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gsb.root", root)
+    spark.sql("CREATE TABLE gsb.dim (id BIGINT, g BIGINT, pad STRING) " +
+      "PARTITIONED BY (g)")
+    // ~40 KB per partition value, 8 values → ~320 KB total
+    spark.sql("INSERT INTO gsb.dim SELECT id, id % 8, " +
+      "repeat('x', 80) FROM range(0, 4000)")
+    def hasBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          true
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          hasBroadcast(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hasBroadcast(q.plan)
+        case other => other.children.exists(hasBroadcast)
+      }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // a threshold between one partition's bytes and the full table's
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "131072")
+    try {
+      val big = spark.range(0, 100000)
+        .selectExpr("id % 4000 AS id", "id AS payload")
+      val unfiltered = big.join(spark.table("gsb.dim"), "id")
+      unfiltered.collect()
+      assert(!hasBroadcast(unfiltered.queryExecution.executedPlan),
+        "the full ~320KB dim must NOT broadcast under a 128KB threshold")
+      val filtered = big.join(
+        spark.table("gsb.dim").filter($"g" === 3), "id")
+      filtered.collect()
+      assert(hasBroadcast(filtered.queryExecution.executedPlan),
+        s"the partition-pruned dim (~40KB planned) must broadcast:\n" +
+          s"${filtered.queryExecution.executedPlan}")
+      assert(filtered.count() == unfiltered.filter($"g" === 3).count())
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    spark.sql("DROP TABLE gsb.dim")
+  }
 }
