@@ -1216,6 +1216,16 @@ object SparkEntry {
     // pre-images + fresh inserts in one commit (flags pinned)
     "q361_sql_merge_mor" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.sqlMergeMor(s)),
+    // multi-stage pipeline hub: table A's commit feed streams into
+    // table B (epoch-idempotent toTable), B's feed drains into an
+    // aggregate — every stage boundary a durable versioned table
+    "q362_stream_pipeline" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.streamPipeline(s)),
+    // sorted compaction × data skipping: a scattered ingest defeats
+    // min/max pruning (pinned), compactSorted range-clusters the
+    // snapshot, the same predicate then opens strictly fewer files
+    "q363_sorted_compaction" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.dataClustering(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6869,6 +6879,33 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS no_rewrite,
         |  CAST(1 AS BIGINT) AS eq_published
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q362: the two-stage streamed aggregate in closed form
+    // (v' = v*3+2 over A's three inserts, grouped mod 6); b_commits
+    // pins one stage-1 commit per epoch, b_batches that stage 2
+    // drained B commit-granularly (driver-derived, q342 convention)
+    "q362_stream_pipeline" ->
+      """WITH t AS (
+        |  SELECT range AS id, ((range * range) % 101) * 3 + 2 AS v
+        |  FROM range(0, 1000))
+        |SELECT id % 6 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(3 AS BIGINT) AS b_commits,
+        |  CAST(3 AS BIGINT) AS b_batches
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q363: the range-filtered aggregate in closed form over the
+    // scrambled domain; scattered_unskippable pins that pre-clustering
+    // every file was planned, clustered_skipped that the sorted
+    // compaction made the same predicate prune (driver-derived)
+    "q363_sorted_compaction" ->
+      """WITH s AS (SELECT (range * 997) % 2100 AS id
+        |  FROM range(0, 2100)),
+        |t AS (SELECT id, (id * id) % 73 AS v FROM s)
+        |SELECT id % 3 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(1 AS BIGINT) AS scattered_unskippable,
+        |  CAST(1 AS BIGINT) AS clustered_skipped
+        |FROM t WHERE id >= 1000 AND id < 1100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q355: post-update state in closed form; pre_update_v_sum pins
     // the VERSION AS OF 1 aggregate, one_commit the replacement shape
     "q355_sql_update" ->

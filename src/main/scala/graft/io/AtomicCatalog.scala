@@ -562,17 +562,21 @@ object CatalogLifecycle {
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
     val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
-    spark.sql(s"INSERT INTO gtab.$t " +
-      s"SELECT id, (id * id) % 61 FROM range(0, 300)")
-    spark.sql(s"INSERT INTO gtab.$t " +
-      s"SELECT id, (id * id) % 61 FROM range(300, 600)")
-    spark.sql(s"UPDATE gtab.$t SET v = -1 WHERE id < 100")
-    spark.sql(s"DELETE FROM gtab.$t WHERE id >= 550 AND id < 580")
-    spark.conf.set("spark.graft.atomic.deleteMode", "mor")
-    try spark.sql(s"DELETE FROM gtab.$t WHERE v = -1")
-    finally spark.conf.unset("spark.graft.atomic.deleteMode")
-    AtomicSink.compact(spark, s"$root/$t", spark.table(s"gtab.$t").schema)
+    // 6 sequential lifecycle ops over 600 rows: the cost is per-job
+    // overhead, not data — clamp the rewrite joins' shuffle width
+    withShuffleParts(spark, 8) {
+      spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO gtab.$t " +
+        s"SELECT id, (id * id) % 61 FROM range(0, 300)")
+      spark.sql(s"INSERT INTO gtab.$t " +
+        s"SELECT id, (id * id) % 61 FROM range(300, 600)")
+      spark.sql(s"UPDATE gtab.$t SET v = -1 WHERE id < 100")
+      spark.sql(s"DELETE FROM gtab.$t WHERE id >= 550 AND id < 580")
+      spark.conf.set("spark.graft.atomic.deleteMode", "mor")
+      try spark.sql(s"DELETE FROM gtab.$t WHERE v = -1")
+      finally spark.conf.unset("spark.graft.atomic.deleteMode")
+      AtomicSink.compact(spark, s"$root/$t", spark.table(s"gtab.$t").schema)
+    }
     val out = spark.sql(
       s"""SELECT version, operation,
          |  CAST(CASE WHEN n_fresh > 0 THEN 1 ELSE 0 END AS BIGINT)
@@ -585,6 +589,133 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("version")
+  }
+
+  /** q362's driver: the MULTI-STAGE PIPELINE HUB — the composition
+    * the streaming write (q358) and the commit feed (q342) exist for:
+    * stage 1 tails table A's commit-granular feed and streams the
+    * transform into table B (`writeStream.toTable`, one
+    * epoch-idempotent commit per micro-batch); stage 2 tails B's feed
+    * into an aggregate. Every stage boundary is a durable versioned
+    * table — restartable, time-travelable, exactly-once. Pins the
+    * final aggregate (closed form), one commit per stage-1 epoch, and
+    * stage 2 draining B commit-granularly. */
+  def streamPipeline(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val a = s"a_$sfx"; val b = s"b_$sfx"
+    spark.sql(s"CREATE TABLE gtab.$a (id BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE gtab.$b (id BIGINT, v BIGINT)")
+    Seq((0, 250), (250, 700), (700, 1000)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO gtab.$a " +
+        s"SELECT id, (id * id) % 101 FROM range($lo, $hi)")
+    }
+    val ckpt1 = java.nio.file.Files
+      .createTempDirectory("graft-pipe1").toString
+    withShuffleParts(spark, 4) {
+      val q1 = spark.readStream.table(s"gtab.$a")
+        .select(col("id"), (col("v") * 3 + 2).as("v"))
+        .writeStream
+        .option("checkpointLocation", ckpt1)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"gtab.$b")
+      q1.awaitTermination(); q1.stop()
+    }
+    val bCommits = AtomicSink.versions(spark, s"$root/$b").size.toLong
+    val name = "pipe_" + sfx
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft-pipe2").toString
+    val q2 = withShuffleParts(spark, 4) {
+      val q0 = spark.readStream.table(s"gtab.$b")
+        .groupBy((col("id") % 6).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    q2.stop()
+    val bBatches = q2.recentProgress.count(_.numInputRows > 0).toLong
+    val out = spark.table(name)
+      .withColumn("b_commits", lit(bCommits))
+      .withColumn("b_batches", lit(bBatches))
+      .orderBy("g")
+    val rows = out.collect()
+    spark.catalog.dropTempView(name)
+    spark.sql(s"DROP TABLE gtab.$a")
+    spark.sql(s"DROP TABLE gtab.$b")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
+  /** q363's driver: SORTED COMPACTION × DATA SKIPPING — stats only
+    * skip what layout separates: a scattered ingest (bijective
+    * scramble, every file spans ~the whole key domain) defeats
+    * min/max pruning (planned == total, pinned), one
+    * `compactSorted("id")` range-clusters the snapshot into
+    * disjoint-range files, and the SAME predicate then opens strictly
+    * fewer files (pinned) with the aggregate unchanged — the Delta
+    * OPTIMIZE-ZORDER maintenance story on the versioned catalog. */
+  def dataClustering(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtab.$t (id BIGINT, v BIGINT)")
+    // (range*997) % 2100 is a bijection on [0,2100): each task's
+    // contiguous range slice scatters across the whole id domain, so
+    // every file's [min,max] covers ~everything — no skipping possible
+    spark.sql(s"INSERT INTO gtab.$t " +
+      s"SELECT (id * 997) % 2100 AS id, " +
+      s"(((id * 997) % 2100) * ((id * 997) % 2100)) % 73 AS v " +
+      s"FROM range(0, 2100)")
+    val dir = s"$root/$t"
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    def measure(): (Int, Int, org.apache.spark.sql.DataFrame) = {
+      val q = spark.sql(
+        s"""SELECT (id % 3) AS b, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(v) AS BIGINT) AS v_sum
+           |FROM gtab.$t WHERE id >= 1000 AND id < 1100
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      q.collect()
+      (scans(q.queryExecution.executedPlan)
+        .head.batch.planInputPartitions().length,
+        AtomicSink.committedFiles(spark, dir).size, q)
+    }
+    val (plannedPre, totalPre, _) = measure()
+    AtomicSink.compactSorted(spark, dir,
+      spark.table(s"gtab.$t").schema, Seq("id"))
+    val (plannedPost, totalPost, q) = measure()
+    val out = q
+      .withColumn("scattered_unskippable",
+        lit(if (plannedPre == totalPre && totalPre > 1) 1L else 0L))
+      .withColumn("clustered_skipped",
+        lit(if (plannedPost < totalPost) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$t")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("b")
   }
 
   /** q357's driver: partition-aware `INSERT OVERWRITE` — the static

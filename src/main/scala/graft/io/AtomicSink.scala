@@ -1607,6 +1607,43 @@ object AtomicSink {
     k
   }
 
+  /** SORTED COMPACTION (`OPTIMIZE … SORT BY` / the Delta
+    * ZORDER-style maintenance op): [[compact]] plus a RANGE
+    * re-clustering of the snapshot on `sortCols` before the rewrite —
+    * each replacement file then covers a DISJOINT range of the sort
+    * key, which turns the `_MINMAX` data-skipping sidecar from
+    * best-effort into surgical: after ingest-order writes where every
+    * file spans the whole key domain (no bounds can prune), one
+    * sorted compaction makes a selective range predicate open O(1)
+    * files instead of all of them — the second half of the
+    * data-skipping story at 100 TB (stats only skip what layout
+    * separates). Same basis/claim discipline as [[compact]]. */
+  def compactSorted(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: StructType, sortCols: Seq[String],
+      numFiles: Option[Int] = None): Int = {
+    require(sortCols.nonEmpty, "compactSorted needs at least one column")
+    val basis = versionsOf(path).lastOption.getOrElse(0)
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    // EXPLICIT partition count (default: keep the current file
+    // count): an implicit range shuffle gets AQE-coalesced on small
+    // snapshots, collapsing the clustering this op exists to create
+    val n = numFiles.getOrElse(
+      math.max(1, committedFilesOf(path).size))
+    val rows = readSnapshot(spark, path, schema, None)
+      .repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val w = rows.write.format("graft.io.AtomicSink")
+      .option("path", path).mode("append")
+      .option("commitBasis", basis.toString)
+    layoutIdsOf(schema).foreach(ids => w.option("layout", ids.mkString(",")))
+    val partIds = tablePartitionIds(path)
+    if (partIds.nonEmpty) w.option("partids", partIds.mkString(","))
+    w.save()
+    val k = versionsOf(path).last
+    writeCdcList(path, k, "skip", Seq.empty)
+    k
+  }
+
   /** The table's identity-partition FIELD IDS as recorded by
     * [[AtomicCatalog]] in the newest `_SCHEMA.v<N>` sidecar; empty
     * for unpartitioned or non-catalog (bare-path) tables. Lets

@@ -674,6 +674,46 @@ class AtomicSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE gfl.t3")
   }
 
+  test("claim atomicity under a real race: 4 threads x 3 appends " +
+    "each — every commit lands, none lost, versions are exactly 1..12") {
+    // the r14-advice scenario: RawLocalFileSystem.create(overwrite=
+    // false) is exists-then-truncate, so two racers could both claim
+    // a version and the later manifest rename silently dropped the
+    // earlier append; the NIO O_CREAT|O_EXCL claim makes the race
+    // winner unique. 12 concurrent commits give the race real odds.
+    val dir = Files.createTempDirectory("graft-race").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until 3).foreach { i =>
+              val lo = (w * 3 + i) * 100L
+              (lo until lo + 100L).map(x => (x, x * 2.0))
+                .toDF("id", "v").coalesce(1)
+                .write.format(fmt).mode("append").save(dir)
+            }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(graft.io.AtomicSink.versions(spark, dir) == (1 to 12),
+      "12 concurrent appends = versions exactly 1..12")
+    // bare-path snapshots don't accumulate — but every snapshot must
+    // hold exactly its own 100 rows and the 12 manifests partition
+    // the 1200 ids with no loss and no duplication
+    val allIds = (1 to 12).flatMap { v =>
+      val files = graft.io.AtomicSink.committedFiles(spark, dir, v)
+      assert(files.forall(_.startsWith(s"v$v-")),
+        s"v$v manifest lists only its own files: $files")
+      spark.read.option("sep", "\t").schema("id LONG, v DOUBLE")
+        .csv(files.map(f => s"$dir/$f"): _*)
+        .select($"id").as[Long].collect().toSeq
+    }
+    assert(allIds.size == 1200 && allIds.distinct.size == 1200,
+      s"no commit lost, no rows duplicated: ${allIds.size}")
+  }
+
   test("VACUUM vs a LIVE writer: expiration removes only inert claims " +
     "of dropped versions — an in-flight claimed-but-unpublished " +
     "commit keeps its claim and its staging dir, and can still publish") {

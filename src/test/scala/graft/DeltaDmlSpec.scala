@@ -106,6 +106,54 @@ class DeltaDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdd.u")
   }
 
+  test("MOR MERGE on a PARTITIONED table: insert files are " +
+    "partition-split with _PARTS tuples, pruning keeps working, and " +
+    "still nothing is rewritten") {
+    val root = catalogRoot
+    spark.sql("CREATE TABLE gdd.p (id BIGINT, g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql("INSERT INTO gdd.p " +
+      "SELECT id, id % 4, id FROM range(0, 800)")
+    val dir = s"$root/p"
+    val before = graft.io.AtomicSink.committedFiles(spark, dir)
+    withMor {
+      spark.sql(
+        """MERGE INTO gdd.p dst
+          |USING (SELECT id, id % 4 AS g, -9L AS v
+          |       FROM range(700, 900)) src
+          |ON dst.id = src.id
+          |WHEN MATCHED THEN UPDATE SET v = src.v
+          |WHEN NOT MATCHED THEN INSERT (id, g, v)
+          |  VALUES (src.id, src.g, src.v)""".stripMargin)
+    }
+    val after = graft.io.AtomicSink.committedFiles(spark, dir)
+    assert(before.toSet.subsetOf(after.toSet), "nothing rewritten")
+    assert(new java.io.File(dir, "_PARTS.v2").isFile,
+      "the merge's insert files publish their partition tuples")
+    assert(spark.sql("SELECT count(*) FROM gdd.p").head.getLong(0)
+      == 900L)
+    assert(spark.sql("SELECT count(*) FROM gdd.p WHERE v = -9")
+      .head.getLong(0) == 200L)
+    // pruning still plans fewer files than the manifest lists
+    val pruned = spark.table("gdd.p").filter($"g" === 1)
+    pruned.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val planned = scans(pruned.queryExecution.executedPlan)
+      .head.batch.planInputPartitions().length
+    assert(planned < after.size, s"planned $planned of ${after.size}")
+    spark.sql("DROP TABLE gdd.p")
+  }
+
   test("changelog replay equality: the MOR MERGE's op-typed change " +
     "feed reconstructs exactly the post-merge snapshot") {
     import org.apache.spark.sql.streaming.Trigger

@@ -147,6 +147,35 @@ class MinMaxSkipSpec extends SparkSpec {
     spark.sql("DROP TABLE gmm.d")
   }
 
+  test("sorted compaction makes skipping surgical: scattered files " +
+    "prune nothing, compactSorted range-clusters and the same " +
+    "predicate opens strictly fewer files") {
+    val root = catalogRoot
+    spark.sql("CREATE TABLE gmm.z (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gmm.z " +
+      "SELECT (id * 997) % 2100 AS id, id % 7 AS v FROM range(0, 2100)")
+    val dir = s"$root/z"
+    def q = spark.sql(
+      "SELECT count(*) c FROM gmm.z WHERE id >= 1000 AND id < 1100")
+    val pre = scanParts(spark.sql(
+      "SELECT * FROM gmm.z WHERE id >= 1000 AND id < 1100"))
+    val totalPre = graft.io.AtomicSink.committedFiles(spark, dir).size
+    assert(pre == totalPre && totalPre > 1,
+      s"scattered ingest must defeat skipping: $pre of $totalPre")
+    assert(q.head.getLong(0) == 100L)
+    graft.io.AtomicSink.compactSorted(spark, dir,
+      spark.table("gmm.z").schema, Seq("id"))
+    assert(new java.io.File(dir, "_MINMAX.v2").isFile,
+      "sorted compaction republishes bounds")
+    val post = scanParts(spark.sql(
+      "SELECT * FROM gmm.z WHERE id >= 1000 AND id < 1100"))
+    val totalPost = graft.io.AtomicSink.committedFiles(spark, dir).size
+    assert(post < totalPost,
+      s"clustered files must prune: $post of $totalPost")
+    assert(q.head.getLong(0) == 100L, "same result either way")
+    spark.sql("DROP TABLE gmm.z")
+  }
+
   test("conservative everywhere stats cannot prove absence: missing " +
     "sidecars, null-handling shapes and non-range filters never prune") {
     catalogRoot
