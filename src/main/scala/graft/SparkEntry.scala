@@ -1226,6 +1226,11 @@ object SparkEntry {
     // snapshot, the same predicate then opens strictly fewer files
     "q363_sorted_compaction" -> ((s: SparkSession, _: String) =>
       graft.io.CatalogLifecycle.dataClustering(s)),
+    // bucketed catalog tables + storage-partitioned join: two
+    // co-bucketed tables equi-join with ZERO shuffle (flag pinned
+    // with broadcast disabled), point predicates open one bucket
+    "q364_bucketed_join" -> ((s: SparkSession, _: String) =>
+      graft.io.CatalogLifecycle.bucketedJoin(s)),
     // DSv2 METADATA column: _h (the raw hash) exists only when named
     // — selected here next to the visible columns it generates, with
     // the id filter still clamping the interval underneath it
@@ -6906,6 +6911,20 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS clustered_skipped
         |FROM t WHERE id >= 1000 AND id < 1100
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q364: the co-bucketed join aggregate in closed form over the
+    // overlap [1000,3000); no_shuffle pins the storage-partitioned
+    // join (broadcast disabled), bucket_pruned the point-lookup file
+    // cut (both driver-derived from executed plans, q342 convention)
+    "q364_bucketed_join" ->
+      """WITH j AS (
+        |  SELECT range AS id, (range * range) % 67 AS x,
+        |    (range * 3) % 41 AS y
+        |  FROM range(1000, 3000))
+        |SELECT id % 5 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x + y) AS BIGINT) AS xy_sum,
+        |  CAST(1 AS BIGINT) AS no_shuffle,
+        |  CAST(1 AS BIGINT) AS bucket_pruned
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // q355: post-update state in closed form; pre_update_v_sum pins
     // the VERSION AS OF 1 aggregate, one_commit the replacement shape
     "q355_sql_update" ->

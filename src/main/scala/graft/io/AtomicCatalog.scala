@@ -718,6 +718,92 @@ object CatalogLifecycle {
       .orderBy("b")
   }
 
+  /** q364's driver: BUCKETED TABLES + STORAGE-PARTITIONED JOIN —
+    * `PARTITIONED BY (bucket(4, id))` clusters every commit's files
+    * by the catalog's `bucket` function (tuples in `_PARTS`), a point
+    * predicate opens only its key's bucket (bucket_pruned pinned),
+    * and two co-bucketed tables EQUI-JOIN WITH ZERO SHUFFLE — the
+    * scan reports KeyGroupedPartitioning over the catalog-resolved
+    * bucket function and Spark's storage-partitioned-join planner
+    * aligns the two sides split-for-split (no_shuffle pinned from the
+    * executed plan, with auto-broadcast disabled so the flag can only
+    * come from co-partitioning). At 100 TB this is THE fact-to-fact
+    * join shape: the shuffle that isn't there. */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
+    spark.conf.set("spark.sql.catalog.gtab.root", root)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val a = s"a_$sfx"; val b = s"b_$sfx"
+    spark.sql(s"CREATE TABLE gtab.$a (id BIGINT, x BIGINT) " +
+      s"PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"CREATE TABLE gtab.$b (id BIGINT, y BIGINT) " +
+      s"PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO gtab.$a " +
+      s"SELECT id, (id * id) % 67 FROM range(0, 3000)")
+    spark.sql(s"INSERT INTO gtab.$b " +
+      s"SELECT id, (id * 3) % 41 FROM range(1000, 4000)")
+    def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        true
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasShuffle(ad.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        hasShuffle(q.plan)
+      case other => other.children.exists(hasShuffle)
+    }
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(s)
+        case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val prevBucketing =
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (noShuffle, bucketPruned, rows0, outSchema) = try {
+      val bare = spark.table(s"gtab.$a")
+        .join(spark.table(s"gtab.$b"), "id")
+      bare.collect()
+      val ns = !hasShuffle(bare.queryExecution.executedPlan)
+      val pointDf = spark.table(s"gtab.$a").filter(col("id") === 42)
+      pointDf.collect()
+      val planned = scans(pointDf.queryExecution.executedPlan)
+        .head.batch.planInputPartitions().length
+      val total = AtomicSink.committedFiles(spark, s"$root/$a").size
+      val agg = spark.sql(
+        s"""SELECT (a.id % 5) AS g, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(a.x + b.y) AS BIGINT) AS xy_sum
+           |FROM gtab.$a a JOIN gtab.$b b ON a.id = b.id
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      (ns, planned < total, agg.collect(), agg.schema)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+        prevBucketing)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows0.toIndexedSeq, 1), outSchema)
+      .withColumn("no_shuffle", lit(if (noShuffle) 1L else 0L))
+      .withColumn("bucket_pruned", lit(if (bucketPruned) 1L else 0L))
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE gtab.$a")
+    spark.sql(s"DROP TABLE gtab.$b")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      .orderBy("g")
+  }
+
   /** q357's driver: partition-aware `INSERT OVERWRITE` — the static
     * face (`PARTITION (g = 3)`) replaces exactly that partition's
     * files, the dynamic face (`partitionOverwriteMode=dynamic`)
@@ -890,7 +976,8 @@ object CatalogLifecycle {
   }
 }
 
-class AtomicCatalog extends TableCatalog {
+class AtomicCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -941,7 +1028,8 @@ class AtomicCatalog extends TableCatalog {
     * so `VERSION AS OF` can serve the snapshot's OWN schema (the
     * Iceberg/Delta contract) instead of the current one. Legacy files
     * are raw StructType JSON → appliesFrom None, no partitioning. */
-  private def readSchemaAt(p: Path): (StructType, Option[Long], Seq[Long]) = {
+  private def readSchemaAt(p: Path)
+      : (StructType, Option[Long], Seq[Long], Option[(Long, Int)]) = {
     val in = fs.open(p)
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -954,22 +1042,31 @@ class AtomicCatalog extends TableCatalog {
         val it = root.get("partitionFieldIds").elements()
         while (it.hasNext) pids += it.next().asLong()
       }
+      // bucketSpec: {"fieldId":<id>,"n":<buckets>} — PARTITIONED BY
+      // (bucket(n, col)), stored by FIELD ID like identity partitions
+      val bucket =
+        if (!root.has("bucketSpec")) None
+        else Some((root.get("bucketSpec").get("fieldId").asLong(),
+          root.get("bucketSpec").get("n").asInt()))
       (DataType.fromJson(root.get("schema").toString)
         .asInstanceOf[StructType],
-        Some(root.get("appliesFromCommit").asLong()), pids.toSeq)
+        Some(root.get("appliesFromCommit").asLong()), pids.toSeq, bucket)
     } else
-      (DataType.fromJson(json).asInstanceOf[StructType], None, Seq.empty)
+      (DataType.fromJson(json).asInstanceOf[StructType], None, Seq.empty,
+        None)
   }
 
-  private def latestMeta(ident: Identifier): (StructType, Seq[Long]) = {
+  private def latestMeta(ident: Identifier)
+      : (StructType, Seq[Long], Option[(Long, Int)]) = {
     val dir = dirOf(ident)
     schemaVersions(dir).lastOption match {
       case Some(v) =>
-        val (s, _, pids) = readSchemaAt(schemaFile(dir, v)); (s, pids)
+        val (s, _, pids, bucket) = readSchemaAt(schemaFile(dir, v))
+        (s, pids, bucket)
       case None =>
         val legacy = legacySchemaFile(dir)
         if (!fs.exists(legacy)) throw new NoSuchTableException(ident)
-        (readSchemaAt(legacy)._1, Seq.empty)
+        (readSchemaAt(legacy)._1, Seq.empty, None)
     }
   }
 
@@ -985,7 +1082,7 @@ class AtomicCatalog extends TableCatalog {
   private def schemaAtCommit(dir: Path, commitV: Int): Option[StructType] = {
     val cands = schemaVersions(dir)
       .map(sv => readSchemaAt(schemaFile(dir, sv)))
-      .map { case (s, af, _) => (s, af.getOrElse(1L)) }
+      .map { case (s, af, _, _) => (s, af.getOrElse(1L)) }
     cands.filter(_._2 <= commitV).lastOption.map(_._1)
   }
 
@@ -1002,12 +1099,15 @@ class AtomicCatalog extends TableCatalog {
   }
 
   private def writeSchema(dir: Path, v: Int, schema: StructType,
-      appliesFromCommit: Long, partitionFieldIds: Seq[Long]): Unit = {
+      appliesFromCommit: Long, partitionFieldIds: Seq[Long],
+      bucketSpec: Option[(Long, Int)] = None): Unit = {
     val tmp = new Path(dir, s"_SCHEMA.tmp-${java.util.UUID.randomUUID()}")
+    val bucketJson = bucketSpec.map { case (id, n) =>
+      s""","bucketSpec":{"fieldId":$id,"n":$n}""" }.getOrElse("")
     val payload =
       s"""{"appliesFromCommit":$appliesFromCommit,""" +
-        s""""partitionFieldIds":${partitionFieldIds.mkString("[", ",", "]")},""" +
-        s""""schema":${schema.json}}"""
+        s""""partitionFieldIds":${partitionFieldIds.mkString("[", ",", "]")}""" +
+        bucketJson + s""","schema":${schema.json}}"""
     val out = fs.create(tmp, true)
     try out.write(payload.getBytes("UTF-8"))
     finally out.close()
@@ -1043,9 +1143,10 @@ class AtomicCatalog extends TableCatalog {
       readSchema(base) // NoSuchTableException if the base is absent
       new AtomicSink.HistoryTable(dirOf(base).toString)
     } else {
-      val (schema, pids) = latestMeta(ident)
+      val (schema, pids, bucket) = latestMeta(ident)
       new AtomicSink.SinkTable(dirOf(ident).toString, schema,
-        accumulateAppends = true, partitionFieldIds = pids)
+        accumulateAppends = true, partitionFieldIds = pids,
+        bucketSpec = bucket)
     }
 
   /** `VERSION AS OF v` — serves the pinned snapshot read-only, under
@@ -1098,22 +1199,50 @@ class AtomicCatalog extends TableCatalog {
     // each commit records its files' partition tuples (`_PARTS.v<N>`)
     // and the scan prunes manifest files against pushed
     // partition-column predicates.
-    val partitionFieldIds = partitions.toSeq.map {
-      case t if t.name() == "identity" && t.references().length == 1 =>
-        val names = t.references()(0).fieldNames()
-        require(names.length == 1,
-          s"PARTITIONED BY supports top-level columns, got ${names.mkString(".")}")
-        val f = withIds.fields.find(_.name == names(0)).getOrElse(
-          throw new IllegalArgumentException(
-            s"partition column ${names(0)} is not in the schema"))
-        AtomicSink.fieldIdOf(f).get
-      case other => throw new UnsupportedOperationException(
-        s"AtomicCatalog supports identity PARTITIONED BY columns only, " +
-          s"got $other")
+    def fieldIdFor(names: Array[String], what: String): Long = {
+      require(names.length == 1,
+        s"$what supports top-level columns, got ${names.mkString(".")}")
+      val f = withIds.fields.find(_.name == names(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what column ${names(0)} is not in the schema"))
+      AtomicSink.fieldIdOf(f).get
     }
-    writeSchema(dir, 1, withIds, appliesFromCommit = 1L, partitionFieldIds)
+    // `bucket(n, col)` — hash partitioning for storage-partitioned
+    // joins and point-lookup file pruning: bucket = ((v % n) + n) % n
+    // over a BIGINT column (null → its own "" bucket). Stored by
+    // field id like identity partitions; not combinable with them.
+    val bucketSpec: Option[(Long, Int)] = partitions.toSeq.collectFirst {
+      case t if t.name() == "bucket" && t.references().length == 1 =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          "bucket transform needs a numeric bucket count"))
+        require(n > 0, s"bucket count must be positive, got $n")
+        val id = fieldIdFor(t.references()(0).fieldNames(), "bucket")
+        val col = withIds.fields.find(f =>
+          AtomicSink.fieldIdOf(f).contains(id)).get
+        require(col.dataType == org.apache.spark.sql.types.LongType,
+          s"bucket column ${col.name} must be BIGINT, " +
+            s"got ${col.dataType.sql}")
+        (id, n)
+    }
+    val partitionFieldIds = partitions.toSeq.flatMap {
+      case t if t.name() == "bucket" => None // handled above
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        Some(fieldIdFor(t.references()(0).fieldNames(), "PARTITIONED BY"))
+      case other => throw new UnsupportedOperationException(
+        s"AtomicCatalog supports identity and bucket(n, col) " +
+          s"PARTITIONED BY transforms only, got $other")
+    }
+    require(bucketSpec.isEmpty || partitionFieldIds.isEmpty,
+      "bucket(n, col) cannot combine with identity partition columns")
+    writeSchema(dir, 1, withIds, appliesFromCommit = 1L,
+      partitionFieldIds, bucketSpec)
     new AtomicSink.SinkTable(dir.toString, withIds,
-      accumulateAppends = true, partitionFieldIds = partitionFieldIds)
+      accumulateAppends = true, partitionFieldIds = partitionFieldIds,
+      bucketSpec = bucketSpec)
   }
 
   /** Schema evolution by FIELD ID — the Iceberg discipline: data
@@ -1187,8 +1316,10 @@ class AtomicCatalog extends TableCatalog {
         // tuple — dropping it would orphan the spec
         require(!s.fields.find(_.name == name)
           .flatMap(AtomicSink.fieldIdOf)
-          .exists(latestMeta(ident)._2.contains),
-          s"column $name is a PARTITIONED BY column and cannot be dropped")
+          .exists(id => latestMeta(ident)._2.contains(id) ||
+            latestMeta(ident)._3.exists(_._1 == id)),
+          s"column $name is a PARTITIONED BY/bucket column and " +
+            s"cannot be dropped")
         // a LIVE merge-on-read delete predicate referencing this
         // column would become unevaluable — refuse (compact the
         // table first, or drop a different column). Predicates made
@@ -1215,11 +1346,12 @@ class AtomicCatalog extends TableCatalog {
     // `VERSION AS OF` pinned at them serves
     val appliesFrom =
       AtomicSink.versionsOf(dir.toString).lastOption.getOrElse(0) + 1L
-    val pids = latestMeta(ident)._2 // partition spec is fixed at CREATE
+    // partition/bucket spec is fixed at CREATE — carried through ALTERs
+    val (_, pids, bucket) = latestMeta(ident)
     writeSchema(dir, schemaVersions(dir).lastOption.getOrElse(0) + 1,
-      next, appliesFrom, pids)
+      next, appliesFrom, pids, bucket)
     new AtomicSink.SinkTable(dir.toString, next, accumulateAppends = true,
-      partitionFieldIds = pids)
+      partitionFieldIds = pids, bucketSpec = bucket)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -1235,4 +1367,64 @@ class AtomicCatalog extends TableCatalog {
       throw new TableAlreadyExistsException(newIdent)
     fs.rename(dirOf(oldIdent), dirOf(newIdent))
   }
+
+  // ---------------------------------------------------------------
+  // FunctionCatalog face: the `bucket` transform function. Spark's
+  // storage-partitioned-join planner resolves a scan's reported
+  // KeyGroupedPartitioning expressions through the TABLE's catalog
+  // (V2ExpressionUtils.loadV2FunctionOpt) — without this, a bucketed
+  // scan's partitioning is untranslatable and every join shuffles.
+  // ---------------------------------------------------------------
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") AtomicCatalog.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+}
+
+object AtomicCatalog {
+  /** `bucket(n, col)` = `((col % n) + n) % n`, nulls in bucket 0 —
+    * deliberately oracle-expressible (a DuckDB twin can compute the
+    * same bucket), deterministic, and IDENTICAL on the write side
+    * ([[AtomicSink]]'s bucketed task writer) and here — which is the
+    * whole contract storage-partitioned joins rest on. Two scans
+    * reporting this function with equal `canonicalName` and equal
+    * bucket counts are co-partitioned: the join plans with ZERO
+    * shuffle. */
+  object BucketUnbound extends org.apache.spark.sql.connector.catalog
+      .functions.UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): ((col % n) + n) % n over a BIGINT column"
+    override def bind(inputType: StructType)
+        : org.apache.spark.sql.connector.catalog.functions.BoundFunction =
+      BucketBound
+  }
+
+  object BucketBound extends org.apache.spark.sql.connector.catalog
+      .functions.ScalarFunction[Int] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def inputTypes(): Array[DataType] =
+      Array(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+    override def resultType(): DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def isResultNullable: Boolean = false
+    override def produceResult(
+        row: org.apache.spark.sql.catalyst.InternalRow): Int = {
+      val n = row.getInt(0)
+      if (row.isNullAt(1)) 0
+      else (((row.getLong(1) % n) + n) % n).toInt
+    }
+  }
+
+  /** The storage-side twin of [[BucketBound]] over a RENDERED cell
+    * ("" = null → bucket 0). */
+  private[io] def bucketOfCell(cell: String, n: Int): Int =
+    if (cell.isEmpty) 0
+    else (((cell.toLong % n) + n) % n).toInt
 }

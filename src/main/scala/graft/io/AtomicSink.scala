@@ -562,7 +562,8 @@ object AtomicSink {
       accumulateAppends: Boolean = false,
       changelog: Boolean = false,
       partitionFieldIds: Seq[Long] = Seq.empty,
-      commitBasis: Option[Int] = None)
+      commitBasis: Option[Int] = None,
+      bucketSpec: Option[(Long, Int)] = None)
       extends Table with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -612,10 +613,24 @@ object AtomicSink {
         schema.fields.find(f => AtomicSink.fieldIdOf(f).contains(id))
           .map(_.name))
 
+    /** CURRENT name of the bucket column (spec by field id, like
+      * identity partitions — rename-proof). */
+    private def bucketColName: Option[String] =
+      bucketSpec.flatMap { case (id, _) =>
+        schema.fields.find(f => AtomicSink.fieldIdOf(f).contains(id))
+          .map(_.name) }
+
     override def partitioning(): Array[Transform] =
-      partitionColNames.map(n =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(n))
-        .toArray
+      bucketSpec match {
+        case Some((_, n)) =>
+          bucketColName.toArray.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c): Transform)
+        case None =>
+          partitionColNames.map(n =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(n)).toArray
+      }
     override def capabilities(): util.Set[TableCapability] = {
       val caps = util.EnumSet.of(TableCapability.BATCH_WRITE,
         TableCapability.BATCH_READ,
@@ -705,14 +720,19 @@ object AtomicSink {
             // publish the layout its files were written in
             new AtomicBatchWrite(path, info.queryId(), info.schema(),
               carry, AtomicSink.layoutIdsOf(schema), truncPrev,
-              partitionColNames.map(info.schema().fieldIndex).toArray,
+              bucketColName match {
+                case Some(c) => Array(info.schema().fieldIndex(c))
+                case None =>
+                  partitionColNames.map(info.schema().fieldIndex).toArray
+              },
               // a write carrying an explicit basis (COW delete
               // rewrite, compaction) is basis-dependent: refuse on
               // conflict instead of retrying past it
               conflictRetry = commitBasis.isEmpty,
               expectedBasis = () => commitBasis,
               overwriteMode = overwriteMode,
-              partNames = partitionColNames)
+              partNames = partitionColNames,
+              bucketN = bucketSpec.map(_._2).getOrElse(0))
           }
           // `writeStream.toTable`: one two-phase commit per non-empty
           // epoch, keyed by (streaming query id, epoch id) so a
@@ -721,29 +741,36 @@ object AtomicSink {
               .streaming.StreamingWrite =
             new AtomicSink.AtomicStreamingWrite(path, info.queryId(),
               info.schema(), AtomicSink.layoutIdsOf(schema),
-              partitionColNames.map(info.schema().fieldIndex).toArray,
-              partitionColNames, truncateEachEpoch = truncated)
-          if (partitionFieldIds.isEmpty)
+              bucketColName match {
+                case Some(c) => Array(info.schema().fieldIndex(c))
+                case None =>
+                  partitionColNames.map(info.schema().fieldIndex).toArray
+              },
+              partitionColNames, truncateEachEpoch = truncated,
+              bucketN = bucketSpec.map(_._2).getOrElse(0))
+          if (partitionFieldIds.isEmpty && bucketSpec.isEmpty)
             new Write {
               override def toBatch: BatchWrite = batch()
               override def toStreaming: org.apache.spark.sql.connector
                 .write.streaming.StreamingWrite = streaming()
             }
           else
-            // PARTITIONED table: ask Spark to CLUSTER incoming rows by
-            // the partition columns (the DSv2 contract file formats use
-            // for dynamic partitions) — each task then holds whole
-            // partitions and the per-partition file split below never
+            // PARTITIONED/BUCKETED table: ask Spark to CLUSTER
+            // incoming rows by the partition columns — or the bucket
+            // column (same bucket ⇒ same task ⇒ whole buckets per
+            // task) — so the per-partition file split below never
             // fans one task out into hundreds of small files
             new Write with org.apache.spark.sql.connector.write
               .RequiresDistributionAndOrdering {
               override def requiredDistribution()
                   : org.apache.spark.sql.connector.distributions.Distribution =
                 org.apache.spark.sql.connector.distributions.Distributions
-                  .clustered(partitionColNames.map(n =>
-                    org.apache.spark.sql.connector.expressions.Expressions
-                      .column(n): org.apache.spark.sql.connector
-                      .expressions.Expression).toArray)
+                  .clustered(
+                    (bucketColName.map(Seq(_)).getOrElse(partitionColNames))
+                      .map(n =>
+                        org.apache.spark.sql.connector.expressions
+                          .Expressions.column(n): org.apache.spark.sql
+                          .connector.expressions.Expression).toArray)
               override def requiredOrdering()
                   : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
                 Array.empty
@@ -760,7 +787,9 @@ object AtomicSink {
         : org.apache.spark.sql.connector.read.ScanBuilder =
       new TsvScanBuilder(path, schema, pinnedVersion, changelog,
         failOnDataLoss = options.getBoolean("failOnDataLoss", true),
-        partitionCols = partitionColNames)
+        partitionCols = partitionColNames,
+        bucketSpec = bucketSpec.flatMap { case (_, n) =>
+          bucketColName.map((_, n)) })
 
     /** SQL `UPDATE` / `MERGE INTO` (and non-translatable `DELETE`
       * predicates) — the GROUP-BASED row-level operation, Iceberg's
@@ -794,11 +823,13 @@ object AtomicSink {
         // matches smear across most files
         val mor = org.apache.spark.sql.SparkSession.active.conf
           .getOption("spark.graft.atomic.dmlMode").contains("mor")
+        val bucket = bucketSpec.flatMap { case (_, n) =>
+          bucketColName.map((_, n)) }
         if (mor)
           new DeltaRowLevelOperation(path, schema, info.command(),
-            partitionColNames)
+            partitionColNames, bucket)
         else new GroupRewriteOperation(path, schema, info.command(),
-          partitionColNames)
+          partitionColNames, bucket)
       }
     }
 
@@ -1856,7 +1887,8 @@ object AtomicSink {
       pinned: Option[Int], changelog: Boolean, failOnDataLoss: Boolean,
       partitionCols: Seq[String] = Seq.empty,
       onPlanned: Seq[String] => Unit = null,
-      runtimeGroupFilter: Boolean = false)
+      runtimeGroupFilter: Boolean = false,
+      bucketSpec: Option[(String, Int)] = None)
       extends org.apache.spark.sql.connector.read.ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -1896,15 +1928,28 @@ object AtomicSink {
       statsPushed = filters.filter(f =>
         AtomicSink.statsPrunable(f) &&
           f.references.nonEmpty && f.references.forall(statsCols.contains))
+      // BUCKET PRUNING: a point predicate on the bucket column maps
+      // to an exact bucket set — files with a different recorded
+      // bucket tuple never open (residual like everything else)
+      bucketSpec.foreach { case (col, _) =>
+        bucketPushed = filters.collect {
+          case f @ org.apache.spark.sql.sources.EqualTo(a, _)
+            if a == col => f
+          case f @ org.apache.spark.sql.sources.In(a, vs)
+            if a == col && vs != null && vs.nonEmpty => f
+        }
+      }
       filters
     }
+    private var bucketPushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty
     override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
       (partPushed ++ statsPushed.filterNot(partPushed.contains)).toArray
 
     override def build(): org.apache.spark.sql.connector.read.Scan =
       new TsvScan(path, schema, pinned, changelog, failOnDataLoss,
         required, partitionCols, partPushed, onPlanned,
-        runtimeGroupFilter, statsPushed)
+        runtimeGroupFilter, statsPushed, bucketSpec, bucketPushed)
   }
 
   /** Output-field resolution codes for one scan: `>= 0` = index into
@@ -1936,11 +1981,15 @@ object AtomicSink {
       partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
       onPlanned: Seq[String] => Unit = null,
       runtimeGroupFilter: Boolean = false,
-      statsFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      statsFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      bucketSpec: Option[(String, Int)] = None,
+      bucketFilters: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
     /** Planner statistics = the byte size of exactly the files this
       * scan will open (manifest-listed, PARTITION-PRUNED) — without
@@ -2020,7 +2069,40 @@ object AtomicSink {
       val tuples =
         if (partFilters.isEmpty) Map.empty[String, Array[String]]
         else partsForFiles(path, all)
-      val afterPart = all.filterNot(n => prunedByPartition(tuples.get(n)))
+      val afterPart0 = all.filterNot(n => prunedByPartition(tuples.get(n)))
+      // BUCKET PRUNING: each point predicate on the bucket column
+      // allows an exact bucket set; a file whose recorded bucket is
+      // outside ANY conjunct's set holds no matching row. A null
+      // literal constrains nothing (EqualTo null never matches rows,
+      // but pruning stays an optimization — the residual decides).
+      val afterPart =
+        if (bucketFilters.isEmpty || bucketSpec.isEmpty) afterPart0
+        else {
+          val n = bucketSpec.get._2
+          def bOf(v: Any): Option[String] = v match {
+            case num: Number =>
+              Some(((((num.longValue() % n) + n) % n).toInt).toString)
+            case _ => None
+          }
+          import org.apache.spark.sql.sources.{EqualTo, In}
+          val allowed: Seq[Set[String]] = bucketFilters.toSeq.flatMap {
+            case EqualTo(_, v) if v != null => bOf(v).map(Set(_))
+            case In(_, vs) if vs != null =>
+              val bs = vs.toSeq.filter(_ != null).flatMap(bOf)
+              if (bs.size == vs.count(_ != null)) Some(bs.toSet) else None
+            case _ => None
+          }
+          if (allowed.isEmpty) afterPart0
+          else {
+            val bt = partsForFiles(path, afterPart0)
+            afterPart0.filterNot { nme =>
+              bt.get(nme).exists { cells =>
+                val b = cells.headOption.getOrElse("")
+                b.nonEmpty && allowed.exists(as => !as.contains(b))
+              }
+            }
+          }
+        }
       if (statsFilters.isEmpty) afterPart
       else {
         val mm = minmaxForFiles(path, afterPart)
@@ -2095,16 +2177,19 @@ object AtomicSink {
         case Some(v) => readManifestOf(path, v)
         case None => committedFilesOf(path)
       }
-      // PARTITION PRUNING + MIN/MAX DATA SKIPPING: drop manifest
-      // files whose recorded tuple or column bounds cannot satisfy
-      // the pushed predicates — the skipped files never open
+      // PARTITION/BUCKET PRUNING + MIN/MAX DATA SKIPPING: drop
+      // manifest files whose recorded tuple or column bounds cannot
+      // satisfy the pushed predicates — the skipped files never open
       // (`.explain` shows the partition count drop)
-      val names = survivingFiles(all)
-        .filter(n => runtimeFiles.forall(_.contains(n)))
+      val names = plannedNames(all)
       // report the planned file set to a coordinating row-level
       // rewrite (the groups its write REPLACES — unread files carry
       // forward untouched)
       if (onPlanned != null) onPlanned(names)
+      // bucketed tables tag each split with its bucket KEY when every
+      // planned file carries a recorded bucket — the grouping Spark's
+      // storage-partitioned join planner keys on
+      val bucketOfName: Option[Map[String, Int]] = bucketKeys(names)
       val maps = idxMapsFor(path, names, schema)
       val readVersion =
         pinned.getOrElse(versionsOf(path).lastOption.getOrElse(0))
@@ -2125,14 +2210,113 @@ object AtomicSink {
             jmapper.writeValueAsString(root)
           case (_, Left(msg)) => throw new IllegalStateException(msg)
         }.toArray
-        TsvFilePartition(new Path(path, n).toString,
+        val base = TsvFilePartition(new Path(path, n).toString,
           maps(n), null, 0L, fileDels, outCodes, fileEqs)
-          : org.apache.spark.sql.connector.read.InputPartition
+        bucketOfName match {
+          case Some(keys) => BucketedTsvFilePartition(base, keys(n))
+            : org.apache.spark.sql.connector.read.InputPartition
+          case None =>
+            base: org.apache.spark.sql.connector.read.InputPartition
+        }
       }.toArray
+    }
+
+    /** The file set this scan will actually plan: prunes + the
+      * runtime group filter — shared by [[planInputPartitions]] and
+      * [[outputPartitioning]] so they never disagree. */
+    private def plannedNames(all: Seq[String]): Seq[String] =
+      survivingFiles(all)
+        .filter(n => runtimeFiles.forall(_.contains(n)))
+
+    /** name → bucket for every planned file, or None unless ALL of
+      * them carry a single-cell numeric bucket tuple (a rewrite that
+      * lost the tuples disables key-grouped planning, never breaks
+      * it). */
+    private def bucketKeys(names: Seq[String])
+        : Option[Map[String, Int]] =
+      bucketSpec.flatMap { _ =>
+        if (names.isEmpty) None
+        else {
+          val tuples = partsForFiles(path, names)
+          val keys = names.flatMap { n =>
+            tuples.get(n).flatMap { cells =>
+              cells.headOption.filter(c =>
+                c.nonEmpty && c.forall(_.isDigit)).map(c => n -> c.toInt)
+            }
+          }.toMap
+          if (keys.size == names.size) Some(keys) else None
+        }
+      }
+
+    /** Storage-partitioned-join face: a bucketed scan whose planned
+      * files all carry bucket keys reports KeyGroupedPartitioning
+      * over the catalog's `bucket` function — two co-bucketed tables
+      * then equi-join with ZERO shuffle (requires
+      * `spark.sql.sources.v2.bucketing.enabled`). */
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+      val grouped = bucketSpec.filter(_ => !changelog).flatMap {
+        case (col, n) =>
+          val all = pinned match {
+            case Some(v) => readManifestOf(path, v)
+            case None => committedFilesOf(path)
+          }
+          val names = plannedNames(all)
+          bucketKeys(names).map { keys =>
+            new org.apache.spark.sql.connector.read.partitioning
+              .KeyGroupedPartitioning(
+                Array(org.apache.spark.sql.connector.expressions
+                  .Expressions.bucket(n, col)
+                  : org.apache.spark.sql.connector.expressions.Expression),
+                keys.values.toSet.size)
+          }
+      }
+      grouped.getOrElse(
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0))
     }
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory =
       new TsvReaderFactory(schema)
+  }
+
+  /** Executor-JVM cache of equality-delete pre-image key sets, keyed
+    * by (published eqdel file list, cell order): the files are
+    * IMMUTABLE (versioned names, never rewritten), so a loaded set
+    * stays valid for the JVM's life — soft references let the GC
+    * reclaim them under pressure, and a reclaimed or missing entry
+    * simply reloads. */
+  private object EqDeleteCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[java.util.HashSet[String]]]()
+
+    def get(files: Seq[String], ord: Array[Int])
+        : java.util.HashSet[String] = {
+      val key = files.mkString("|") + "#" + ord.mkString(",")
+      val cached = Option(cache.get(key)).flatMap(r => Option(r.get()))
+      cached.getOrElse {
+        val set = load(files, ord)
+        cache.put(key, new java.lang.ref.SoftReference(set))
+        set
+      }
+    }
+
+    private def load(files: Seq[String], ord: Array[Int])
+        : java.util.HashSet[String] = {
+      val set = new java.util.HashSet[String]()
+      files.foreach { f =>
+        val p = new Path(f)
+        val fin = p.getFileSystem(new Configuration()).open(p)
+        try scala.io.Source.fromInputStream(fin, "UTF-8").getLines()
+          .filter(_.nonEmpty).foreach { line =>
+            val cs = line.split("\t", -1)
+            set.add(ord.map(o =>
+              if (o < cs.length) cs(o) else "").mkString("\t"))
+          }
+        finally fin.close()
+      }
+      set
+    }
   }
 
   /** `op`/`version` feed the changelog columns; `op == null` for
@@ -2147,6 +2331,19 @@ object AtomicSink {
       outCodes: Array[Int] = Array.empty,
       eqDeletes: Array[String] = Array.empty)
       extends org.apache.spark.sql.connector.read.InputPartition
+
+  /** A bucketed table's file split, carrying its bucket number as the
+    * partition KEY — what lets Spark group splits per bucket and plan
+    * storage-partitioned joins (zero-shuffle equi-joins between
+    * co-bucketed tables). */
+  private case class BucketedTsvFilePartition(base: TsvFilePartition,
+      bucket: Int)
+      extends org.apache.spark.sql.connector.read.InputPartition
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](bucket))
+  }
 
   private[io] case class VersionOffset(v: Long)
       extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -2270,7 +2467,10 @@ object AtomicSink {
     override def createReader(
         p: org.apache.spark.sql.connector.read.InputPartition)
         : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
-      val fp = p.asInstanceOf[TsvFilePartition]
+      val fp = p match {
+        case b: BucketedTsvFilePartition => b.base
+        case t: TsvFilePartition => t
+      }
       new TsvRowReader(fp.file, schema, fp.idxMap, fp, fp.deletes)
     }
   }
@@ -2293,11 +2493,13 @@ object AtomicSink {
     private val lines =
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
     private val delFilters = deletes.map(filterFromJson)
-    // equality-delete pre-image sets, loaded once per reader: key =
-    // raw cells at the spec's positions, tab-joined (field-id order
-    // on both sides — see applicableEqDeletes). Memory is bounded by
-    // the matched-row count of the merge that wrote them — the
-    // standard merge-on-read read-side cost.
+    // equality-delete pre-image sets: key = raw cells at the spec's
+    // positions, tab-joined (field-id order on both sides — see
+    // applicableEqDeletes). Memory is bounded by the matched-row
+    // count of the merge that wrote them — the standard merge-on-read
+    // read-side cost. Cached PER EXECUTOR JVM (soft refs, immutable
+    // files): a 1000-file scan loads each pre-image set once, not
+    // once per task.
     private val eqSets: Array[(java.util.HashSet[String], Array[Int])] =
       part.eqDeletes.map { spec =>
         val root = jmapper.readTree(spec)
@@ -2308,20 +2510,10 @@ object AtomicSink {
           b.toArray
         }
         val ord = ints("ord"); val idx = ints("idx")
-        val set = new java.util.HashSet[String]()
+        val files = scala.collection.mutable.ArrayBuffer[String]()
         val fit = root.get("files").elements()
-        while (fit.hasNext) {
-          val p = new Path(fit.next().asText())
-          val fin = p.getFileSystem(new Configuration()).open(p)
-          try scala.io.Source.fromInputStream(fin, "UTF-8").getLines()
-            .filter(_.nonEmpty).foreach { line =>
-              val cs = line.split("\t", -1)
-              set.add(ord.map(o =>
-                if (o < cs.length) cs(o) else "").mkString("\t"))
-            }
-          finally fin.close()
-        }
-        (set, idx)
+        while (fit.hasNext) files += fit.next().asText()
+        (EqDeleteCache.get(files.toSeq, ord), idx)
       }
     private val fieldIdx: Map[String, Int] =
       schema.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
@@ -2395,7 +2587,8 @@ object AtomicSink {
     * replay equality holds file-exactly. */
   private class GroupRewriteOperation(path: String, schema: StructType,
       cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-      partitionCols: Seq[String] = Seq.empty)
+      partitionCols: Seq[String] = Seq.empty,
+      bucket: Option[(String, Int)] = None)
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
     // the file set the rewrite's scan planned (driver-side, set at
     // planInputPartitions — always before the write's commit); null
@@ -2434,7 +2627,7 @@ object AtomicSink {
       new TsvScanBuilder(path, schema, None, changelog = false,
         failOnDataLoss = true, partitionCols = partitionCols,
         onPlanned = fs => scanned.set(fs),
-        runtimeGroupFilter = true)
+        runtimeGroupFilter = true, bucketSpec = bucket)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = {
@@ -2468,14 +2661,19 @@ object AtomicSink {
               },
               layout,
               truncatedPrev = affected,
-              partIdx = partitionCols
-                .map(info.schema().fieldIndex).toArray,
+              partIdx = bucket match {
+                case Some((c, _)) => Array(info.schema().fieldIndex(c))
+                case None =>
+                  partitionCols.map(info.schema().fieldIndex).toArray
+              },
               conflictRetry = false,
-              expectedBasis = () => Some(basisAtCreation))
+              expectedBasis = () => Some(basisAtCreation),
+              bucketN = bucket.map(_._2).getOrElse(0))
           }
-          // a rewrite of a PARTITIONED table re-clusters and republishes
-          // per-file tuples, so the table stays prunable after a MERGE
-          if (partitionCols.isEmpty)
+          // a rewrite of a PARTITIONED/BUCKETED table re-clusters and
+          // republishes per-file tuples, so the table stays prunable
+          // (and join-co-partitioned) after a MERGE
+          if (partitionCols.isEmpty && bucket.isEmpty)
             new Write { override def toBatch: BatchWrite = batch() }
           else
             new Write with org.apache.spark.sql.connector.write
@@ -2483,10 +2681,12 @@ object AtomicSink {
               override def requiredDistribution()
                   : org.apache.spark.sql.connector.distributions.Distribution =
                 org.apache.spark.sql.connector.distributions.Distributions
-                  .clustered(partitionCols.map(n =>
-                    org.apache.spark.sql.connector.expressions.Expressions
-                      .column(n): org.apache.spark.sql.connector
-                      .expressions.Expression).toArray)
+                  .clustered(
+                    bucket.map(b => Seq(b._1)).getOrElse(partitionCols)
+                      .map(n =>
+                        org.apache.spark.sql.connector.expressions
+                          .Expressions.column(n): org.apache.spark.sql
+                          .connector.expressions.Expression).toArray)
               override def requiredOrdering()
                   : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
                 Array.empty
@@ -2514,7 +2714,8 @@ object AtomicSink {
     * delete and all fall together, matching MERGE semantics). */
   private class DeltaRowLevelOperation(path: String, schema: StructType,
       cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-      partitionCols: Seq[String] = Seq.empty)
+      partitionCols: Seq[String] = Seq.empty,
+      bucket: Option[(String, Int)] = None)
       extends org.apache.spark.sql.connector.write.RowLevelOperation
       with org.apache.spark.sql.connector.write.SupportsDelta {
     private val basisAtCreation: Int =
@@ -2534,7 +2735,8 @@ object AtomicSink {
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : org.apache.spark.sql.connector.read.ScanBuilder =
       new TsvScanBuilder(path, schema, None, changelog = false,
-        failOnDataLoss = true, partitionCols = partitionCols)
+        failOnDataLoss = true, partitionCols = partitionCols,
+        bucketSpec = bucket)
     override def newWriteBuilder(info: LogicalWriteInfo)
         : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
       new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
@@ -2559,9 +2761,13 @@ object AtomicSink {
                   s"!= table schema ${schema.fieldNames.toSeq}")
               new AtomicDeltaBatchWrite(path, info.queryId(),
                 info.schema(), dataIds.toSeq,
-                partitionCols.filter(info.schema().fieldNames.contains)
-                  .map(info.schema().fieldIndex).toArray,
-                basisAtCreation)
+                bucket match {
+                  case Some((c, _)) => Array(info.schema().fieldIndex(c))
+                  case None =>
+                    partitionCols.filter(info.schema().fieldNames.contains)
+                      .map(info.schema().fieldIndex).toArray
+                },
+                basisAtCreation, bucketN = bucket.map(_._2).getOrElse(0))
             }
           }
       }
@@ -2576,12 +2782,12 @@ object AtomicSink {
       eqdel: Option[String]) extends WriterCommitMessage
 
   private class DeltaTsvWriterFactory(path: String, queryId: String,
-      dataSchema: StructType, partIdx: Array[Int])
+      dataSchema: StructType, partIdx: Array[Int], bucketN: Int = 0)
       extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long)
         : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
       new DeltaTsvWriter(path, queryId, dataSchema,
-        partitionId, taskId, partIdx)
+        partitionId, taskId, partIdx, bucketN)
   }
 
   /** Inserts delegate to the ordinary (partitioned) task writer;
@@ -2592,13 +2798,13 @@ object AtomicSink {
     * delete image. */
   private class DeltaTsvWriter(path: String, queryId: String,
       dataSchema: StructType, partitionId: Int,
-      taskId: Long, partIdx: Array[Int])
+      taskId: Long, partIdx: Array[Int], bucketN: Int = 0)
       extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
     private val insertWriter: DataWriter[InternalRow] =
       if (partIdx.isEmpty)
         new TsvWriter(path, queryId, dataSchema, partitionId, taskId)
       else new PartitionedTsvWriter(path, queryId, dataSchema,
-        partitionId, taskId, partIdx)
+        partitionId, taskId, partIdx, bucketN)
     private val fs = new Path(path).getFileSystem(new Configuration())
     private val eqName = f"eqdel-$partitionId%05d-$taskId"
     private var eqOut: org.apache.hadoop.fs.FSDataOutputStream = _
@@ -2649,14 +2855,15 @@ object AtomicSink {
     * matches and no inserts publishes nothing at all. */
   private class AtomicDeltaBatchWrite(path: String, queryId: String,
       dataSchema: StructType, dataIds: Seq[Long],
-      partIdx: Array[Int], basis: Int)
+      partIdx: Array[Int], basis: Int, bucketN: Int = 0)
       extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
         : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-      new DeltaTsvWriterFactory(path, queryId, dataSchema, partIdx)
+      new DeltaTsvWriterFactory(path, queryId, dataSchema, partIdx,
+        bucketN)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val f = fs
@@ -2769,7 +2976,7 @@ object AtomicSink {
   private class AtomicStreamingWrite(path: String, queryId: String,
       writeSchema: StructType, layout: Option[Seq[Long]],
       partIdx: Array[Int], partNames: Seq[String],
-      truncateEachEpoch: Boolean)
+      truncateEachEpoch: Boolean, bucketN: Int = 0)
       extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
     private def epochQid(epochId: Long) = s"$queryId-e$epochId"
@@ -2779,7 +2986,8 @@ object AtomicSink {
           .StreamingDataWriterFactory =
       // a standalone factory: an anonymous class here would capture
       // the (non-serializable) write instance into every task closure
-      new StreamingTsvWriterFactory(path, queryId, writeSchema, partIdx)
+      new StreamingTsvWriterFactory(path, queryId, writeSchema, partIdx,
+        bucketN)
 
     override def commit(epochId: Long,
         messages: Array[WriterCommitMessage]): Unit = {
@@ -2815,7 +3023,8 @@ object AtomicSink {
                 else Seq.empty,
         partIdx = partIdx,
         partNames = partNames,
-        epochMarker = Some(s"$queryId\t$epochId"))
+        epochMarker = Some(s"$queryId\t$epochId"),
+        bucketN = bucketN)
         .commit(live.toArray)
     }
 
@@ -2925,7 +3134,7 @@ object AtomicSink {
     * dir name (`_staging_<queryId>-e<epochId>`) so concurrent or
     * replayed epochs never share staging state. */
   private class StreamingTsvWriterFactory(path: String, queryId: String,
-      writeSchema: StructType, partIdx: Array[Int])
+      writeSchema: StructType, partIdx: Array[Int], bucketN: Int = 0)
       extends org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long,
@@ -2934,7 +3143,7 @@ object AtomicSink {
         new TsvWriter(path, s"$queryId-e$epochId", writeSchema,
           partitionId, taskId)
       else new PartitionedTsvWriter(path, s"$queryId-e$epochId",
-        writeSchema, partitionId, taskId, partIdx)
+        writeSchema, partitionId, taskId, partIdx, bucketN)
   }
 
   /** True iff a PUBLISHED commit of `path` carries this epoch's
@@ -2982,14 +3191,15 @@ object AtomicSink {
                                  overwriteMode:
                                    Option[AtomicSink.OverwriteMode] = None,
                                  partNames: Seq[String] = Seq.empty,
-                                 epochMarker: Option[String] = None)
+                                 epochMarker: Option[String] = None,
+                                 bucketN: Int = 0)
       extends BatchWrite {
     private def fs = new Path(path).getFileSystem(new Configuration())
     private def staging = new Path(path, s"_staging_$queryId")
 
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
-      new TsvWriterFactory(path, queryId, schema, partIdx)
+      new TsvWriterFactory(path, queryId, schema, partIdx, bucketN)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val f = fs
@@ -3262,14 +3472,15 @@ object AtomicSink {
 
   private class TsvWriterFactory(path: String, queryId: String,
                                  schema: StructType,
-                                 partIdx: Array[Int] = Array.empty)
+                                 partIdx: Array[Int] = Array.empty,
+                                 bucketN: Int = 0)
       extends DataWriterFactory {
     override def createWriter(partitionId: Int,
                               taskId: Long): DataWriter[InternalRow] =
       if (partIdx.isEmpty)
         new TsvWriter(path, queryId, schema, partitionId, taskId)
       else new PartitionedTsvWriter(path, queryId, schema, partitionId,
-        taskId, partIdx)
+        taskId, partIdx, bucketN)
   }
 
   private def renderCell(row: InternalRow, schema: StructType,
@@ -3321,14 +3532,22 @@ object AtomicSink {
     * reports its partition tuple for the commit's `_PARTS.v<N>`. */
   private class PartitionedTsvWriter(path: String, queryId: String,
       schema: StructType, partitionId: Int, taskId: Long,
-      partIdx: Array[Int]) extends DataWriter[InternalRow] {
+      partIdx: Array[Int], bucketN: Int = 0)
+      extends DataWriter[InternalRow] {
     private val fs =
       new Path(path).getFileSystem(new Configuration())
     private val open = scala.collection.mutable.LinkedHashMap[
       String, (String, org.apache.hadoop.fs.FSDataOutputStream, ColStats)]()
 
     override def write(row: InternalRow): Unit = {
-      val tuple = partIdx.map(renderCell(row, schema, _)).mkString("\t")
+      // bucketN > 0: the tuple IS the bucket number of the single
+      // bucket column (same function as the catalog's `bucket`
+      // ScalarFunction — the storage-partitioned-join contract)
+      val tuple =
+        if (bucketN > 0)
+          AtomicCatalog.bucketOfCell(
+            renderCell(row, schema, partIdx(0)), bucketN).toString
+        else partIdx.map(renderCell(row, schema, _)).mkString("\t")
       val (_, out, stats) = open.getOrElseUpdate(tuple, {
         val name = f"part-$partitionId%05d-$taskId-${open.size}"
         (name, fs.create(

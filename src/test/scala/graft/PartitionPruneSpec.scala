@@ -143,11 +143,13 @@ class PartitionPruneSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM gpt.t WHERE grp = 5 AND v <> -1")
       .head.getLong(0) == 0L)
-    // guards: partition column cannot drop; non-identity refused
+    // guards: partition column cannot drop; unsupported transforms
+    // refused (bucket(n, col) is its own supported spec since r15 —
+    // see BucketedTableSpec)
     intercept[Exception](spark.sql("ALTER TABLE gpt.t DROP COLUMN grp"))
     intercept[Exception](spark.sql(
-      "CREATE TABLE gpt.tb (id BIGINT, v BIGINT) " +
-        "PARTITIONED BY (bucket(4, id))"))
+      "CREATE TABLE gpt.tb (id BIGINT, s STRING) " +
+        "PARTITIONED BY (truncate(4, s))"))
     spark.sql("DROP TABLE gpt.t")
   }
 
