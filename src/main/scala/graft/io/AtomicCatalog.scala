@@ -1159,8 +1159,13 @@ class AtomicCatalog extends TableCatalog
     val v = version.trim.toInt
     val schema = schemaAtCommit(dirOf(ident), v)
       .getOrElse(readSchema(ident))
+    // partition/bucket specs apply to historical reads too (pruning
+    // is optimization-never-correctness, so the era-schema lookup by
+    // field id degrades safely if a spec column predates this commit)
+    val (_, pids, bucket) = latestMeta(ident)
     new AtomicSink.SinkTable(dirOf(ident).toString, schema,
-      pinnedVersion = Some(v))
+      pinnedVersion = Some(v), partitionFieldIds = pids,
+      bucketSpec = bucket)
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -1328,13 +1333,20 @@ class AtomicCatalog extends TableCatalog
         val fid = s.fields.find(_.name == name)
           .flatMap(AtomicSink.fieldIdOf)
         val live = AtomicSink.livePredicateVersions(dir.toString)
-        val referenced = AtomicSink.deletePredicates(dir.toString)
+        // both merge-on-read kinds anchor columns: predicate deletes
+        // reference their filter columns, equality deletes (MOR
+        // MERGE pre-images) reference EVERY column of their rows
+        val referenced = (AtomicSink.deletePredicates(dir.toString)
           .collect { case (k, cols, _) if live.contains(k) =>
-            cols.values }.flatten.toSet
+            cols.values } ++
+          AtomicSink.eqDeleteSpecs(dir.toString)
+            .collect { case (k, cols, _) if live.contains(k) =>
+              cols.map(_._2) }).flatten.toSet
         require(!fid.exists(referenced.contains),
           s"column $name is referenced by a LIVE merge-on-read DELETE " +
-            s"predicate (_DELETES.v*) and cannot be dropped — compact " +
-            s"the table first (AtomicSink.compact)")
+            s"predicate or equality-delete pre-image (_DELETES.v*) and " +
+            s"cannot be dropped — compact the table first " +
+            s"(AtomicSink.compact)")
         org.apache.spark.sql.types.StructType(
           s.fields.filterNot(_.name == name))
       case (_, other) => throw new UnsupportedOperationException(

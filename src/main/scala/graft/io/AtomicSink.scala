@@ -77,8 +77,15 @@ class AtomicSink extends TableProvider {
     val basis = Option(properties.get("commitBasis")).map(_.trim.toInt)
     val partIds = Option(properties.get("partids")).toSeq
       .flatMap(_.split(",").map(_.trim.toLong))
+    // `bucketspec` ("<fieldId>,<n>") keeps a maintenance rewrite's
+    // output bucket-split so its files republish their tuples
+    val bucket = Option(properties.get("bucketspec")).map { v =>
+      val Array(id, n) = v.split(",").map(_.trim)
+      (id.toLong, n.toInt)
+    }
     new AtomicSink.SinkTable(properties.get("path"), withIds,
-      commitBasis = basis, partitionFieldIds = partIds)
+      commitBasis = basis, partitionFieldIds = partIds,
+      bucketSpec = bucket)
   }
 }
 
@@ -1632,6 +1639,8 @@ object AtomicSink {
     // read here so path-level callers can't forget it
     val partIds = tablePartitionIds(path)
     if (partIds.nonEmpty) w.option("partids", partIds.mkString(","))
+    tableBucketSpec(path).foreach { case (id, n) =>
+      w.option("bucketspec", s"$id,$n") }
     w.save()
     val k = versionsOf(path).last
     writeCdcList(path, k, "skip", Seq.empty)
@@ -1669,6 +1678,8 @@ object AtomicSink {
     layoutIdsOf(schema).foreach(ids => w.option("layout", ids.mkString(",")))
     val partIds = tablePartitionIds(path)
     if (partIds.nonEmpty) w.option("partids", partIds.mkString(","))
+    tableBucketSpec(path).foreach { case (id, n) =>
+      w.option("bucketspec", s"$id,$n") }
     w.save()
     val k = versionsOf(path).last
     writeCdcList(path, k, "skip", Seq.empty)
@@ -1681,29 +1692,47 @@ object AtomicSink {
     * path-level maintenance ops (compaction) preserve the partition
     * spec without the caller threading it through. */
   private[io] def tablePartitionIds(path: String): Seq[Long] = {
+    latestSchemaJson(path) match {
+      case None => Seq.empty
+      case Some(root) =>
+        if (!root.has("partitionFieldIds")) Seq.empty
+        else {
+          val b = scala.collection.mutable.ArrayBuffer[Long]()
+          val it = root.get("partitionFieldIds").elements()
+          while (it.hasNext) b += it.next().asLong()
+          b.toSeq
+        }
+    }
+  }
+
+  /** The table's bucket spec (fieldId, n) from the newest schema
+    * sidecar — same reason as [[tablePartitionIds]]: a compaction of
+    * a BUCKETED table must republish bucket tuples or it would
+    * permanently destroy bucket pruning and storage-partitioned
+    * joins. */
+  private[io] def tableBucketSpec(path: String): Option[(Long, Int)] =
+    latestSchemaJson(path).flatMap { root =>
+      if (!root.has("bucketSpec")) None
+      else Some((root.get("bucketSpec").get("fieldId").asLong(),
+        root.get("bucketSpec").get("n").asInt()))
+    }
+
+  private def latestSchemaJson(path: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
-    if (!fs.exists(dir)) return Seq.empty
-    val latest = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("_SCHEMA.v") =>
         n.stripPrefix("_SCHEMA.v") }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
-      .sorted.lastOption
-    latest.toSeq.flatMap { v =>
-      val in = fs.open(new Path(dir, s"_SCHEMA.v$v"))
-      val json =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val root =
+      .sorted.lastOption.map { v =>
+        val in = fs.open(new Path(dir, s"_SCHEMA.v$v"))
+        val json =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
         new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      if (!root.has("partitionFieldIds")) Seq.empty
-      else {
-        val b = scala.collection.mutable.ArrayBuffer[Long]()
-        val it = root.get("partitionFieldIds").elements()
-        while (it.hasNext) b += it.next().asLong()
-        b.toSeq
       }
-    }
   }
 
   /** Versions of merge-on-read predicates that still apply to some

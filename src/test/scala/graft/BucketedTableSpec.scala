@@ -154,6 +154,19 @@ class BucketedTableSpec extends SparkSpec {
       .head.getLong(0) == 10L)
     assert(new java.io.File(s"$root/m", "_PARTS.v3").isFile,
       "MOR merge's insert files carry bucket tuples too")
+    // compaction preserves the bucket layout (the r14 partition-
+    // compaction advice, bucket flavor): tuples republished, point
+    // pruning still works after
+    graft.io.AtomicSink.compact(spark, s"$root/m",
+      spark.table("gbk.m").schema)
+    val lastV = graft.io.AtomicSink.versions(spark, s"$root/m").last
+    assert(new java.io.File(s"$root/m", s"_PARTS.v$lastV").isFile,
+      "compaction republishes bucket tuples")
+    assert(spark.sql("SELECT count(*) FROM gbk.m WHERE v = -4")
+      .head.getLong(0) == 10L)
+    val fullC = scanParts(spark.table("gbk.m"))
+    assert(scanParts(spark.table("gbk.m").filter($"id" === 7)) < fullC,
+      "bucket pruning survives compaction")
     intercept[Exception](
       spark.sql("ALTER TABLE gbk.m DROP COLUMN id"))
     intercept[Exception](spark.sql(

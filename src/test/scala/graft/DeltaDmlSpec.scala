@@ -95,6 +95,9 @@ class DeltaDmlSpec extends SparkSpec {
     // the history face types it as a merge
     assert(spark.table("gdd.u__history").filter($"version" === 2)
       .head.getString(1) == "merge-mor")
+    // a LIVE equality delete anchors EVERY column — DROP refused
+    // until compaction retires it
+    intercept[Exception](spark.sql("ALTER TABLE gdd.u DROP COLUMN v"))
     // compaction applies the pre-images and retires them for current
     // reads; the compacted state is byte-equal to the MOR view
     val want = spark.sql("SELECT id, v FROM gdd.u ORDER BY id")
