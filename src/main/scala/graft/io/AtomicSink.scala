@@ -236,7 +236,13 @@ object AtomicSink {
         case DoubleType => v match {
           case n: Number =>
             val d = n.doubleValue()
+            // IEEE equality first: Double.compare orders -0.0 < 0.0,
+            // but the engine's predicate evaluation treats them equal —
+            // without this a file whose only value is 0.0 would be
+            // pruned for EqualTo(col, -0.0) (and vice versa), silently
+            // dropping matching rows
             if (d.isNaN) None
+            else if (d == stored.toDouble) Some(0)
             else Some(java.lang.Double.compare(d, stored.toDouble))
           case _ => None
         }
@@ -1021,19 +1027,33 @@ object AtomicSink {
       fs.delete(new Path(path, s"$ManifestFile.v$v"), false)
       fs.delete(new Path(path, s"_CDC.v$v"), false)
       fs.delete(new Path(path, s"_CLAIM.v$v"), false) // inert once published
-      // the epoch marker dies with its manifest (epochCommitted only
-      // consults PUBLISHED versions, so the orphan would be dead
-      // weight); the latest epoch's version always survives keepLast≥1
-      fs.delete(new Path(path, s"_EPOCH.v$v"), false)
+      // `_EPOCH.v<v>` is RETAINED like `_LAYOUT` (one short line): if
+      // later commits push a stream's last-epoch version out of
+      // keepLast during the crash window between sink commit and the
+      // engine's commit-log write, the restarted stream replays that
+      // epoch — epochCommitted must still find the marker or the epoch
+      // would publish twice (duplicate rows)
       // `_LAYOUT.v<v>` is NEVER deleted: carried-forward files of an
       // expired commit can still sit in retained manifests, and they
       // resolve their field-id layout through it (one short line)
     }
-    val dataName = "^v\\d+-(cdc-)?part-.*".r
+    // merge-on-read reclamation: a `_DELETES.v<k>` can only affect a
+    // retained read through manifest files OLDER than k (its eqdel
+    // pre-images / predicate hide rows of files written before the
+    // delete). Once compaction + expiry leave no retained file with
+    // version < k, the spec is unreachable — drop the eqfiles sidecar
+    // so its `v<k>-eqdel-*` pre-image files fall to the sweep below.
+    val minCarriedVer = keepFiles.flatMap(versionOfFile).minOption
+    val (deadEq, liveEq) = eqDeleteSpecs(path)
+      .partition { case (k, _, _) => !minCarriedVer.exists(_ < k) }
+    deadEq.foreach { case (k, _, _) =>
+      fs.delete(new Path(path, s"_DELETES.v$k"), false) }
+    val liveEqFiles = liveEq.flatMap(_._3).toSet
+    val dataName = "^v\\d+-((cdc-)?part|eqdel)-.*".r
     val removed = fs.listStatus(new Path(path)).toSeq
       .map(_.getPath.getName)
       .filter(n => dataName.pattern.matcher(n).matches()
-        && !keepFiles.contains(n))
+        && !keepFiles.contains(n) && !liveEqFiles.contains(n))
     removed.foreach(n => fs.delete(new Path(path, n), false))
     (keep.size, removed.size)
   }
@@ -2028,14 +2048,35 @@ object AtomicSink {
       * scan can become the broadcast side. TSV bytes ≈ row data
       * (no compression), making the estimate honest for the
       * 10 MB broadcast threshold. */
+    /** Manifest + prune resolution, memoized PER SCAN INSTANCE:
+      * estimateStatistics, outputPartitioning and planInputPartitions
+      * each used to re-list the directory and re-read the
+      * `_PARTS`/`_MINMAX` sidecars, so one bucketed query paid the
+      * metadata I/O several times (and an unpinned scan could even
+      * see a commit land between the calls). One resolution per scan
+      * keeps the three faces consistent and costs the sidecar reads
+      * once; only the runtime group filter invalidates (it can only
+      * NARROW the set). */
+    private lazy val manifestNames: Seq[String] = pinned match {
+      case Some(v) => readManifestOf(path, v)
+      case None => committedFilesOf(path)
+    }
+    private lazy val survivingMemo: Seq[String] =
+      survivingFiles(manifestNames)
+    @volatile private var plannedMemo: Seq[String] = null
+    private def plannedNamesMemo: Seq[String] = {
+      var r = plannedMemo
+      if (r == null) {
+        r = survivingMemo.filter(n => runtimeFiles.forall(_.contains(n)))
+        plannedMemo = r
+      }
+      r
+    }
+
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics = {
       val fs = new Path(path).getFileSystem(new Configuration())
-      val all = pinned match {
-        case Some(v) => readManifestOf(path, v)
-        case None => committedFilesOf(path)
-      }
-      val names = survivingFiles(all)
+      val names = survivingMemo
       val bytes = names.map { n =>
         try fs.getFileStatus(new Path(path, n)).getLen
         catch { case _: java.io.IOException => 0L }
@@ -2083,7 +2124,10 @@ object AtomicSink {
               String.valueOf(l.value())
           }.toSet
       }
-      names.foreach(ns => runtimeFiles = Some(ns))
+      names.foreach { ns =>
+        runtimeFiles = Some(ns)
+        plannedMemo = null // the group filter narrowed the plan
+      }
     }
     private def outSchema: StructType = required.getOrElse(
       if (changelog) changelogSchema(schema) else schema)
@@ -2202,15 +2246,11 @@ object AtomicSink {
       s"AtomicSnapshotScan($path${pinned.map(v => s"@v$v").getOrElse("")})"
     override def planInputPartitions()
         : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-      val all = pinned match {
-        case Some(v) => readManifestOf(path, v)
-        case None => committedFilesOf(path)
-      }
       // PARTITION/BUCKET PRUNING + MIN/MAX DATA SKIPPING: drop
       // manifest files whose recorded tuple or column bounds cannot
       // satisfy the pushed predicates — the skipped files never open
       // (`.explain` shows the partition count drop)
-      val names = plannedNames(all)
+      val names = plannedNamesMemo
       // report the planned file set to a coordinating row-level
       // rewrite (the groups its write REPLACES — unread files carry
       // forward untouched)
@@ -2218,7 +2258,7 @@ object AtomicSink {
       // bucketed tables tag each split with its bucket KEY when every
       // planned file carries a recorded bucket — the grouping Spark's
       // storage-partitioned join planner keys on
-      val bucketOfName: Option[Map[String, Int]] = bucketKeys(names)
+      val bucketOfName: Option[Map[String, Int]] = bucketKeysFor(names)
       val maps = idxMapsFor(path, names, schema)
       val readVersion =
         pinned.getOrElse(versionsOf(path).lastOption.getOrElse(0))
@@ -2250,12 +2290,22 @@ object AtomicSink {
       }.toArray
     }
 
-    /** The file set this scan will actually plan: prunes + the
-      * runtime group filter — shared by [[planInputPartitions]] and
-      * [[outputPartitioning]] so they never disagree. */
-    private def plannedNames(all: Seq[String]): Seq[String] =
-      survivingFiles(all)
-        .filter(n => runtimeFiles.forall(_.contains(n)))
+    /** [[bucketKeys]] memoized on the planned-name Seq INSTANCE (the
+      * memoized plan set is reused until the runtime filter replaces
+      * it) — planInputPartitions and outputPartitioning otherwise
+      * each re-read the `_PARTS` sidecar. */
+    @volatile private var bucketKeysMemo
+        : (Seq[String], Option[Map[String, Int]]) = null
+    private def bucketKeysFor(names: Seq[String])
+        : Option[Map[String, Int]] = {
+      val m = bucketKeysMemo
+      if (m != null && (m._1 eq names)) m._2
+      else {
+        val r = bucketKeys(names)
+        bucketKeysMemo = (names, r)
+        r
+      }
+    }
 
     /** name → bucket for every planned file, or None unless ALL of
       * them carry a single-cell numeric bucket tuple (a rewrite that
@@ -2286,12 +2336,8 @@ object AtomicSink {
         : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
       val grouped = bucketSpec.filter(_ => !changelog).flatMap {
         case (col, n) =>
-          val all = pinned match {
-            case Some(v) => readManifestOf(path, v)
-            case None => committedFilesOf(path)
-          }
-          val names = plannedNames(all)
-          bucketKeys(names).map { keys =>
+          val names = plannedNamesMemo
+          bucketKeysFor(names).map { keys =>
             new org.apache.spark.sql.connector.read.partitioning
               .KeyGroupedPartitioning(
                 Array(org.apache.spark.sql.connector.expressions
@@ -3466,7 +3512,11 @@ object AtomicSink {
             if (!seen(i) || v > maxL(i)) maxL(i) = v
             seen(i) = true
           case DoubleType =>
-            val v = row.getDouble(i)
+            // canonicalize -0.0 to 0.0 so published bounds never
+            // depend on the sign of an IEEE zero (the skipper also
+            // compares with == first, belt and braces)
+            val v0 = row.getDouble(i)
+            val v = if (v0 == 0.0d) 0.0d else v0
             if (v.isNaN) dead(i) = true
             else {
               if (!seen(i) || v < minD(i)) minD(i) = v

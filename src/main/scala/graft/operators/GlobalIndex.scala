@@ -38,29 +38,60 @@ import org.apache.spark.storage.StorageLevel
   */
 object GlobalIndex {
 
+  /** Scale-adaptive default partition count (guide §2: derive the
+    * width from input size, never a constant tuned for one cluster):
+    * Catalyst's plan-size estimate divided by the session's AQE
+    * advisory partition size, clamped to [1, numShufflePartitions].
+    * A tiny input range-partitions into ONE partition — skipping the
+    * RangePartitioner's boundary sampling pass and the 32-way
+    * scatter that cost every ranking lane a fixed multi-task tax at
+    * bench scale — while a 100 TB input saturates the clamp and
+    * behaves exactly as before (numShufflePartitions). Unknown
+    * estimates (Long.MaxValue defaults) also saturate the clamp, so
+    * the fallback is the old behavior, never under-parallelism.
+    * Partition count never changes results: the order is total
+    * (caller contract), so the numbering is layout-independent
+    * (GlobalIndexSpec pins invariance across parts). */
+  private def adaptiveParts(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val cap = spark.sessionState.conf.numShufflePartitions
+    val advisory = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes / BigInt(advisory.max(1L))) + 1
+    want.min(BigInt(cap)).max(BigInt(1)).toInt
+  }
+
   /** `df` plus a dense 1-based `seqCol` in `order`-order. */
   def withRowNumber(df: DataFrame, order: Seq[Column], seqCol: String,
                     parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val n = if (parts > 0) parts
-            else spark.sessionState.conf.numShufflePartitions
+    val n = if (parts > 0) parts else adaptiveParts(df)
     val ranged = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     graft.Derived.adopt(ranged)
-    val offsets = ranged.groupBy($"__pid").agg(count(lit(1)).as("__n"))
-      .withColumn("__offset",
-        coalesce(sum($"__n").over(
-          Window.orderBy($"__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"__pid", $"__offset")
     val rn = row_number().over(
       Window.partitionBy($"__pid").orderBy(order: _*))
-    ranged.join(broadcast(offsets), "__pid")
-      .withColumn(seqCol, $"__offset" + rn)
-      .drop("__pid", "__offset")
+    if (n == 1)
+      // single partition ⇒ every offset is 0: the numbering IS the
+      // in-partition row_number, so the offsets aggregate and its
+      // broadcast-join jobs are pure overhead — skip them (same
+      // values, same schema; GlobalIndexSpec pins parts-invariance)
+      ranged.withColumn(seqCol, rn.cast("long")).drop("__pid")
+    else {
+      val offsets = ranged.groupBy($"__pid").agg(count(lit(1)).as("__n"))
+        .withColumn("__offset",
+          coalesce(sum($"__n").over(
+            Window.orderBy($"__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"__pid", $"__offset")
+      ranged.join(broadcast(offsets), "__pid")
+        .withColumn(seqCol, $"__offset" + rn)
+        .drop("__pid", "__offset")
+    }
   }
 
   /** `df` plus the INCLUSIVE prefix sum of `valueCol` in
@@ -74,25 +105,32 @@ object GlobalIndex {
                     cumCol: String, parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val n = if (parts > 0) parts
-            else spark.sessionState.conf.numShufflePartitions
+    val n = if (parts > 0) parts else adaptiveParts(df)
     val ranged = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     graft.Derived.adopt(ranged)
-    val offsets = ranged.groupBy($"__pid")
-      .agg(sum(col(valueCol)).as("__s"))
-      .withColumn("__offset",
-        coalesce(sum($"__s").over(
-          Window.orderBy($"__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"__pid", $"__offset")
     val running = sum(col(valueCol)).over(
       Window.partitionBy($"__pid").orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, 0))
-    ranged.join(broadcast(offsets), "__pid")
-      .withColumn(cumCol, $"__offset" + running)
-      .drop("__pid", "__offset")
+    if (n == 1)
+      // single partition ⇒ offset 0: the running sum IS the prefix
+      // sum — skip the offsets aggregate and its broadcast-join jobs
+      // (identical values and result type: sum's type is the same in
+      // both expressions and Add(x, 0) preserves it)
+      ranged.withColumn(cumCol, running).drop("__pid")
+    else {
+      val offsets = ranged.groupBy($"__pid")
+        .agg(sum(col(valueCol)).as("__s"))
+        .withColumn("__offset",
+          coalesce(sum($"__s").over(
+            Window.orderBy($"__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"__pid", $"__offset")
+      ranged.join(broadcast(offsets), "__pid")
+        .withColumn(cumCol, $"__offset" + running)
+        .drop("__pid", "__offset")
+    }
   }
 }

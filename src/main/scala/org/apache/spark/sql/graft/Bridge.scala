@@ -65,4 +65,10 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Block until the listener bus has delivered every queued event —
+    * profiling-only (the per-query metrics harness must read its
+    * listener's counters AFTER the last task-end event lands). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

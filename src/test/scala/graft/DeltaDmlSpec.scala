@@ -193,4 +193,40 @@ class DeltaDmlSpec extends SparkSpec {
     assert(state == want, "replayed changelog == post-merge snapshot")
     spark.sql("DROP TABLE gdd.c")
   }
+
+  test("VACUUM reclaims equality-delete pre-images once compaction + " +
+    "expiry leave no retained file older than the delete; LIVE eqdel " +
+    "specs survive the sweep") {
+    val root = catalogRoot
+    spark.sql("CREATE TABLE gdd.vac (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdd.vac SELECT id, id FROM range(0, 100)")
+    withMor {
+      spark.sql("UPDATE gdd.vac SET v = -1 WHERE id < 10")
+    }
+    val dir = s"$root/vac"
+    def eqdels(): Seq[String] = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+-eqdel-.*")).toSeq
+    assert(eqdels().nonEmpty, "the MOR update published pre-images")
+    // expiry while v1 files are still carried: the v2 delete spec is
+    // LIVE (it hides rows of the carried v1 files) — nothing reclaimed
+    graft.io.AtomicSink.expireSnapshots(dir, keepLast = 1)
+    assert(new java.io.File(dir, "_DELETES.v2").isFile,
+      "live eqdel spec survives VACUUM")
+    assert(eqdels().nonEmpty, "live pre-image files survive VACUUM")
+    assert(spark.sql("SELECT count(*) FROM gdd.vac WHERE v = -1")
+      .head.getLong(0) == 10L)
+    // compaction rewrites the visible rows (every file now newer than
+    // the delete); expiry then finds the spec unreachable — the
+    // sidecar AND its pre-image files are reclaimed
+    graft.io.AtomicSink.compact(spark, dir, spark.table("gdd.vac").schema)
+    graft.io.AtomicSink.expireSnapshots(dir, keepLast = 1)
+    assert(!new java.io.File(dir, "_DELETES.v2").exists(),
+      "dead eqdel spec reclaimed after compaction + expiry")
+    assert(eqdels().isEmpty, "dead pre-image files reclaimed")
+    assert(spark.sql("SELECT count(*) FROM gdd.vac WHERE v = -1")
+      .head.getLong(0) == 10L, "visible rows unchanged through it all")
+    assert(spark.sql("SELECT count(*) FROM gdd.vac")
+      .head.getLong(0) == 100L)
+    spark.sql("DROP TABLE gdd.vac")
+  }
 }

@@ -196,4 +196,26 @@ class MinMaxSkipSpec extends SparkSpec {
       .head.getLong(0) == 10L)
     spark.sql("DROP TABLE gmm.c")
   }
+
+  test("negative zero: EqualTo(-0.0) never prunes a file holding 0.0 " +
+    "(and vice versa) — IEEE equality beats Double.compare's total " +
+    "order in the skipper") {
+    catalogRoot
+    spark.sql("CREATE TABLE gmm.z (id BIGINT, d DOUBLE)")
+    // one file whose ONLY d value is +0.0, one far away
+    spark.sql("INSERT INTO gmm.z SELECT id, 0.0 FROM range(0, 10)")
+    spark.sql("INSERT INTO gmm.z SELECT id, 5.0 FROM range(10, 20)")
+    // -0.0 must find the +0.0 rows: predicate evaluation treats the
+    // zeros equal, so pruning the file would silently drop 10 rows
+    assert(spark.sql("SELECT count(*) FROM gmm.z WHERE d = -0.0")
+      .head.getLong(0) == 10L)
+    // stored -0.0 bounds canonicalize to 0.0; query for +0.0 matches
+    spark.sql("INSERT INTO gmm.z SELECT id, -0.0 FROM range(20, 30)")
+    assert(spark.sql("SELECT count(*) FROM gmm.z WHERE d = 0.0")
+      .head.getLong(0) == 20L)
+    // skipping still works around the zeros (not disabled, just exact)
+    assert(scanParts(
+      spark.sql("SELECT * FROM gmm.z WHERE d = 99.0")) == 0)
+    spark.sql("DROP TABLE gmm.z")
+  }
 }
