@@ -199,6 +199,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q91: distribution ranks never funnel the data through per-group reducers") {
+    withScaleShape {
     val df = SparkEntry.queries("q91_distribution_ranks")(spark, d)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
     // no window partitioned by the 3-value status column may touch the
@@ -213,6 +214,7 @@ class PlanAuditSpec extends SparkSpec {
           s"single-partition exchange over data rows:\n" +
             lines.slice(i, i + 3).mkString("\n"))
       }
+    }
   }
 
   test("q135: heavy hitters run the two-phase form, never a full-domain aggregate alone") {
@@ -505,6 +507,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q176: binning never funnels order rows through one reducer") {
+    withScaleShape {
     val df = SparkEntry.queries("q176_equidepth_hist")(spark, d)
     val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
     assert(lines.exists(_.contains("__pid")),
@@ -516,9 +519,11 @@ class PlanAuditSpec extends SparkSpec {
           s"single-partition exchange over data rows:\n" +
             lines.slice(i, i + 3).mkString("\n"))
       }
+    }
   }
 
   test("q205/q206: ranking rides GlobalIndex — no full-data global window") {
+    withScaleShape {
     for (q <- Seq("q205_auc_ranked", "q206_decile_gains")) {
       val df = SparkEntry.queries(q)(spark, d)
       val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
@@ -533,6 +538,7 @@ class PlanAuditSpec extends SparkSpec {
             s"$q: single-partition exchange over data rows:\n" +
               lines.slice(i, i + 3).mkString("\n"))
         }
+    }
     }
   }
 
@@ -775,6 +781,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q241/q245: per-group/median selection rides GlobalIndex — " +
     "no data-sized window, no data-sized single-partition exchange") {
+    withScaleShape {
     for (q <- Seq("q241_group_conformal", "q245_theil_sen")) {
       val df = SparkEntry.queries(q)(spark, d)
       val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
@@ -787,6 +794,7 @@ class PlanAuditSpec extends SparkSpec {
             s"$q: single-partition exchange over data rows:\n" +
               lines.slice(i, i + 3).mkString("\n"))
         }
+    }
     }
   }
 

@@ -63,8 +63,18 @@ class StarBuilderSpec extends SparkSpec {
     * aggregate); the data-sized numbering window must key on __pid.
     */
   test("dim builds plan no single-partition exchange over the data") {
-    for ((name, df) <- Seq("dim_movie" -> star.dimMovie,
-                           "dim_customer" -> star.dimCustomer)) {
+    // fresh build under the scale-shape advisory: the shared `star`
+    // was built with the default advisory, where GlobalIndex's
+    // adaptive width legitimately collapses these 3-row dims to ONE
+    // range partition (REPARTITION_BY_NUM) — the audit asserts the
+    // multi-partition 100 TB shape, so it must force that path
+    val scaled = withScaleShape {
+      StarBuilder.build(
+        spark, movieLines.toDF("value"), ratingLines.toDF("value"),
+        dateStart = "2004-01-01", dateEnd = "2005-12-31")
+    }
+    for ((name, df) <- Seq("dim_movie" -> scaled.dimMovie,
+                           "dim_customer" -> scaled.dimCustomer)) {
       val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
       assert(lines.exists(_.contains("__pid")),
         s"$name: expected the GlobalIndex per-partition numbering window")
