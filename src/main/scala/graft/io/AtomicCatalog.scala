@@ -67,8 +67,37 @@ object CatalogLifecycle {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Runs a lane's WHOLE scripted lifecycle under source-scale local
+    * parallelism: shuffle partitions AND leaf parallelism (the
+    * `range()` leaves the scripts insert from) clamped to `parts`,
+    * both restored after. The scripts build fixed few-hundred-row test
+    * tables, so their write parallelism is a lane constant like the
+    * table sizes themselves — under the bench session's 32-way
+    * defaults every INSERT scattered into 32 ~10-row files (an
+    * anti-pattern layout at ANY scale, guide §6) and every downstream
+    * scan/rewrite/micro-batch then paid ~32 tasks per stage for ~1000
+    * rows (measured: 170-360 tasks/lane, 30-45% of lane wall time).
+    * Production writes through the sink are untouched: this clamps
+    * only the scripted drivers. Flags pinned by these lanes stay
+    * multi-file where they need to be (4-way inserts still produce
+    * >1 file per commit; q344's scaladoc already pins "exact count
+    * varies with insert parallelism" as out of scope). */
+  private def script[T](
+      spark: org.apache.spark.sql.SparkSession, parts: Int = 4)(
+      body: => T): T = {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.leafNodeDefaultParallelism")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, parts.toString))
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   def tableDelete(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
     val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -89,6 +118,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("grp")
+    }
   }
 
   /** q344's driver: snapshot EXPIRATION (VACUUM) — two appends and a
@@ -101,6 +131,7 @@ object CatalogLifecycle {
     * varies with insert parallelism, so only the flag is pinned). */
   def snapshotExpire(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -130,6 +161,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q345's driver: SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN`
@@ -139,6 +171,7 @@ object CatalogLifecycle {
     * what the closed-form oracle pins. */
   def schemaEvolution(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
     val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -159,6 +192,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q350's driver: the op-typed CHANGELOG — two closed-form inserts
@@ -171,6 +205,7 @@ object CatalogLifecycle {
     * commit-granular drain (3 data micro-batches). */
   def commitChangelog(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -220,6 +255,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("op", "g")
+    }
   }
 
   /** q351's driver: FIELD-ID SCHEMA EVOLUTION — rename, drop and add
@@ -231,6 +267,7 @@ object CatalogLifecycle {
     * all of which the closed-form oracle pins. */
   def schemaEvolutionIds(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
     val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -254,6 +291,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q353's driver: MERGE-ON-READ DELETE — the predicate publishes as
@@ -266,6 +304,7 @@ object CatalogLifecycle {
     * fresh data files). */
   def morDelete(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -299,6 +338,7 @@ object CatalogLifecycle {
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
         .orderBy("g")
     } finally spark.conf.unset("spark.graft.atomic.deleteMode")
+    }
   }
 
   /** q354's driver: SQL `MERGE INTO` — Spark's GROUP-BASED row-level
@@ -314,6 +354,7 @@ object CatalogLifecycle {
     * planner-derived, the q342 convention). */
   def sqlMerge(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -352,6 +393,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q361's driver: MERGE-ON-READ `MERGE INTO`
@@ -367,6 +409,7 @@ object CatalogLifecycle {
     * q354's closed form plus the flags. */
   def sqlMergeMor(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -408,6 +451,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q355's driver: SQL `UPDATE` — the same group-based rewrite with
@@ -417,6 +461,7 @@ object CatalogLifecycle {
     * and the one_commit flag. */
   def sqlUpdate(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -443,6 +488,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q356's driver: `CREATE TABLE … PARTITIONED BY` — identity
@@ -455,6 +501,7 @@ object CatalogLifecycle {
     * convention). */
   def partitionedTable(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -493,6 +540,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("b")
+    }
   }
 
   /** q359's driver: FILE-LEVEL MIN/MAX DATA SKIPPING — each commit
@@ -509,6 +557,7 @@ object CatalogLifecycle {
     */
   def dataSkipping(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -547,6 +596,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("b")
+    }
   }
 
   /** q360's driver: the `<t>__history` METADATA TABLE — one row per
@@ -559,6 +609,7 @@ object CatalogLifecycle {
     * data files, the compaction carries nothing). */
   def historyTable(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
     val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -589,6 +640,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("version")
+    }
   }
 
   /** q362's driver: the MULTI-STAGE PIPELINE HUB — the composition
@@ -602,6 +654,7 @@ object CatalogLifecycle {
     * stage 2 draining B commit-granularly. */
   def streamPipeline(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -655,6 +708,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q363's driver: SORTED COMPACTION × DATA SKIPPING — stats only
@@ -667,6 +721,7 @@ object CatalogLifecycle {
     * OPTIMIZE-ZORDER maintenance story on the versioned catalog. */
   def dataClustering(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -716,6 +771,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("b")
+    }
   }
 
   /** q364's driver: BUCKETED TABLES + STORAGE-PARTITIONED JOIN —
@@ -731,6 +787,7 @@ object CatalogLifecycle {
     * join shape: the shuffle that isn't there. */
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -802,6 +859,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q357's driver: partition-aware `INSERT OVERWRITE` — the static
@@ -814,6 +872,7 @@ object CatalogLifecycle {
     * manifest — planner-derived, the q342 convention). */
   def partitionOverwrite(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -851,6 +910,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q342's driver: the COMMIT FEED — three closed-form `INSERT`s
@@ -862,6 +922,7 @@ object CatalogLifecycle {
     * what the DuckDB twin computes in closed form. */
   def commitFeed(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -900,6 +961,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 
   /** q358's driver: STREAMING WRITE into the catalog —
@@ -919,6 +981,7 @@ object CatalogLifecycle {
     * duplicate-on-crash window this closes. */
   def streamWrite(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    script(spark) {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.catalog.gtab", "graft.io.AtomicCatalog")
     spark.conf.set("spark.sql.catalog.gtab.root", root)
@@ -973,6 +1036,7 @@ object CatalogLifecycle {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
       .orderBy("g")
+    }
   }
 }
 
