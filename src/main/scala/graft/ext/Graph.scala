@@ -1895,8 +1895,12 @@ object Graph {
     var st = f.select($"v", $"succ".as("p"), $"v".as("m"))
       .localCheckpoint()
     (1 to rounds).foreach { _ =>
+      // the self-join's probe side keeps its layout; the build side is
+      // an |n|-row frame of three longs off a stats-less checkpoint —
+      // hint it broadcast so each round is one broadcast build + one
+      // narrow job instead of a 3-stage SMJ (the kTruss dHint move)
       val other = st.select($"v".as("v2"), $"p".as("p2"), $"m".as("m2"))
-      val next = st.join(other, $"p" === $"v2")
+      val next = st.join(broadcast(other), $"p" === $"v2")
         .select($"v", $"p2".as("p"), least($"m", $"m2").as("m"))
         .localCheckpoint() // eager — materialized before freeing prev
       st.unpersist()
@@ -1942,23 +1946,36 @@ object Graph {
     (1 to rounds).foreach { _ =>
       val prev = levels.head
       levels ::= prev
-        .join(prev.select($"v".as("v2"), $"p".as("p2")), $"p" === $"v2")
+        .join(broadcast(prev.select($"v".as("v2"), $"p".as("p2"))),
+          $"p" === $"v2")
         .select($"v", $"p2".as("p")).localCheckpoint()
     }
     val cyc = levels.head.select($"p".as("v")).distinct()
       .withColumn("onc", lit(1)).localCheckpoint()
     // descend levels rounds−1 … 0 (levels.tail, head-first is the
-    // HIGHEST of those)
+    // HIGHEST of those). The descent chain references each frame ONCE
+    // per round, so its lineage is LINEAR — built lazily it runs as a
+    // single job, where the previous per-round eager localCheckpoint
+    // bought nothing (no frame is read twice) and cost ~5 AQE stage
+    // jobs per round (measured: this lane ran 128 jobs for 4096 rows,
+    // ~90% of its wall time pure per-job floor). The ladder levels
+    // above DO stay checkpointed: each is read twice (next level +
+    // descent), and the self-join doubling would compound
+    // exponentially without the flat leaf. Checkpointed levels carry
+    // no stats, so without a hint every descent join planned as a
+    // 3-stage SMJ; the levels are |nodes|-row frames of two longs —
+    // broadcast them (the kTruss dHint discipline; at this lane's
+    // fixed n=4096 that is ~64 KB a side).
     var st = f.select($"v")
-      .join(cyc, Seq("v"), "left")
+      .join(broadcast(cyc), Seq("v"), "left")
       .select($"v", $"v".as("cur"), lit(0L).as("dist"),
         coalesce($"onc", lit(0)).as("done"))
-      .localCheckpoint()
     levels.tail.zipWithIndex.foreach { case (lvl, i) =>
       val k = rounds - 1 - i
-      val next = st
-        .join(lvl.select($"v".as("cur"), $"p".as("tgt")), Seq("cur"))
-        .join(cyc.select($"v".as("tgt"), $"onc".as("tonc")),
+      st = st
+        .join(broadcast(lvl.select($"v".as("cur"), $"p".as("tgt"))),
+          Seq("cur"))
+        .join(broadcast(cyc.select($"v".as("tgt"), $"onc".as("tonc"))),
           Seq("tgt"), "left")
         .select($"v",
           when($"done" === 1 || coalesce($"tonc", lit(0)) === 1, $"cur")
@@ -1966,9 +1983,6 @@ object Graph {
           when($"done" === 1 || coalesce($"tonc", lit(0)) === 1, $"dist")
             .otherwise($"dist" + lit(1L << k)).as("dist"),
           $"done")
-        .localCheckpoint()
-      st.unpersist()
-      st = next
     }
     st.select($"v",
         when($"done" === 1, lit(0L)).otherwise($"dist" + 1L).as("dist"))

@@ -34,7 +34,10 @@ object GenStream {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-gen-stream-ckpt").toString
-    val q = spark.readStream.format("graft.sources.GenSource")
+    // 10-key group domain: clamp the drain's shuffle width so each
+    // micro-batch opens 4 state stores, not the session's 32
+    val q = Clamp.withShuffleParts(spark, 4) {
+    val q0 = spark.readStream.format("graft.sources.GenSource")
       .option("rows", rows.toString)
       .option("parts", parts.toString)
       .option("rowsPerBatch", rowsPerBatch.toString)
@@ -50,7 +53,9 @@ object GenStream {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    q0.awaitTermination()
+    q0
+    }
     q.stop()
     val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
     // the sink holds the 10-row group domain — materialize it and

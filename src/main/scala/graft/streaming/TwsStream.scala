@@ -62,24 +62,29 @@ object TwsStream {
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-tws-ckpt").toString
-      val src = spark.readStream.format("graft.sources.GenSource")
-        .option("rows", rows.toString)
-        .option("parts", parts.toString)
-        .option("rowsPerBatch", rowsPerBatch.toString)
-        .load()
-        .select(($"bucket" % 10).as("g"), $"cents", $"id")
-        .as[TwsIn]
-      val q = src.groupByKey(_.g)
-        .transformWithState(new RunningTotalsProcessor,
-          TimeMode.None(), OutputMode.Append())
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // 10-key group domain: clamp the drain's shuffle width so each
+      // micro-batch opens 4 RocksDB stores, not the session's 32
+      val q = Clamp.withShuffleParts(spark, 4) {
+        val src = spark.readStream.format("graft.sources.GenSource")
+          .option("rows", rows.toString)
+          .option("parts", parts.toString)
+          .option("rowsPerBatch", rowsPerBatch.toString)
+          .load()
+          .select(($"bucket" % 10).as("g"), $"cents", $"id")
+          .as[TwsIn]
+        val q0 = src.groupByKey(_.g)
+          .transformWithState(new RunningTotalsProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      }
       q.stop()
       // final totals per group = the max (monotone) running values;
       // n_updates = emitted rows per group = batches that touched it
