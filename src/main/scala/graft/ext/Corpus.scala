@@ -757,14 +757,23 @@ object Corpus {
              i -> struct(t[i-1] AS l, t[i] AS r))""")).as("p"))
         .groupBy($"p.l".as("lhs"), $"p.r".as("rhs"))
         .agg(sum($"wc").as("cnt"))
+      // LAZY checkpoints (the kTruss discipline): `top` is read twice
+      // (this round's rewrite + the final merge-table union) and `cur`
+      // twice per round (pair census + rewrite), so both need flat
+      // truncation — but materializing each EAGERLY serialized every
+      // round into ~5 driver-blocking jobs (this lane ran 26 jobs with
+      // ~1s of total task time: pure per-job floor). Lazily, each
+      // round's blocks land when its first consumer runs and later
+      // readers hit the cache — same flat lineage, a fraction of the
+      // job count.
       val top = pairs.orderBy($"cnt".desc, $"lhs", $"rhs").limit(1)
         .select(lit(r.toLong).as("round"), $"lhs", $"rhs", $"cnt")
-        .localCheckpoint()
+        .localCheckpoint(false)
       cur = cur
         .crossJoin(broadcast(top.select($"lhs".as("ml"), $"rhs".as("mr"))))
         .select(expr("replace(s, '|' || ml || '||' || mr || '|'," +
           " '|' || ml || mr || '|')").as("s"), $"wc")
-        .localCheckpoint()
+        .localCheckpoint(false)
       top
     }
     merges.reduce(_ unionAll _).orderBy($"round")

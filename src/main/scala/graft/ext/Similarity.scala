@@ -1298,7 +1298,9 @@ object Similarity {
     * `(query_id, qv)` and candidate `(vec_id, cv)` frames — what the
     * spec drives with planted near-duplicates. */
   private[graft] def mmrDiversifiedOf(q: DataFrame, c: DataFrame,
-                                      k: Int, nCand: Int): DataFrame = {
+                                      k: Int, nCand: Int,
+                                      maxDriverPairRows: Long =
+                                        DriverMmrMaxPairRows): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
     val scored = c.crossJoin(broadcast(q))
@@ -1315,7 +1317,7 @@ object Similarity {
       .select($"query_id", explode($"top").as("entry"))
       .select($"query_id", $"entry._2".as("vec_id"),
         $"entry._1".cast("long").as("rel_q6"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val candV = cand.join(c, "vec_id")
     val pairs = candV.select($"query_id", $"vec_id".as("a_id"),
         $"cv".as("av"))
@@ -1324,7 +1326,73 @@ object Similarity {
         $"query_id" === $"qb" && $"a_id" =!= $"b_id")
       .select($"query_id", $"a_id", $"b_id",
         floor(cos($"av", $"bv") * 1000000.0).cast("long").as("sim_q6"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // GATED DRIVER GREEDY (the kTruss driver-peel move): the pools are
+    // BOUNDED BY CONSTRUCTION (cand ≤ nCand per query from the TopKAgg
+    // partial; pairs ≤ nCand·|cand|), and the k−1 greedy steps are
+    // inherently sequential — run distributed, each step paid a
+    // multi-job scheduling floor to pick ONE row per query (measured:
+    // this lane spent ~3 s wall on <2 s of task time at k=4). Below
+    // the measured gate the pools collect once and the cascade runs
+    // in driver memory in microseconds, replicating the distributed
+    // arithmetic exactly (q6 integers, 7·rel − 3·dmax, ties vec_id
+    // asc); above it — or for non-LONG id types — the full
+    // distributed loop below is the path, unchanged. SimilaritySpec
+    // pins equal results on both sides of the gate.
+    val candRows = cand.count() // one bounded job; materializes the pool
+    val idsAreLong = cand.schema("query_id").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      cand.schema("vec_id").dataType ==
+        org.apache.spark.sql.types.LongType
+    if (idsAreLong && candRows * nCand.max(1) <= maxDriverPairRows) {
+      val candArr = cand.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val simArr = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val sim = simArr.groupBy(_._1).map { case (qid, rs) =>
+        qid -> rs.map(t => (t._2, t._3) -> t._4).toMap
+      }
+      val outRows = candArr.groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (qid, rs) =>
+          val rel = rs.map(t => t._2 -> t._3).toMap
+          val simQ = sim.getOrElse(qid, Map.empty[(Long, Long), Long])
+          val selected = scala.collection.mutable.ArrayBuffer[Long]()
+          val out = scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Int, Long)]()
+          // step 1: argmax rel (ties vec_id asc), mmr = rel·7
+          val first = rs.map(t => (t._3, t._2))
+            .reduceLeft((a, b) =>
+              if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)
+          selected += first._2
+          out += ((qid, first._2, 1, first._1 * 7))
+          for (step <- 2 to k) {
+            val rem = rel.keysIterator.filterNot(selected.contains).toSeq
+            if (rem.nonEmpty) {
+              // dmax over pairs (cand, selected) — the inner-join max
+              val scoredRem = rem.map { v =>
+                val dmax = selected.map(s => simQ((v, s))).max
+                (v, rel(v) * 7 - dmax * 3)
+              }
+              val pick = scoredRem.reduceLeft((a, b) =>
+                if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+              selected += pick._1
+              out += ((qid, pick._1, step, pick._2))
+            }
+          }
+          out
+        }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("step", IntegerType, nullable = false),
+        StructField("mmr_q6x10", LongType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          outRows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)),
+          1),
+        schema).orderBy($"query_id", $"step")
+    }
     val wq = Window.partitionBy($"query_id")
     var sel = cand
       .withColumn("rn", row_number().over(
@@ -1332,6 +1400,7 @@ object Similarity {
       .filter($"rn" === 1)
       .select($"query_id", $"vec_id", lit(1).as("step"),
         ($"rel_q6" * 7).as("mmr_q6x10"))
+      .localCheckpoint(false)
     for (step <- 2 to k) {
       val selIds = sel.select($"query_id".as("qs"), $"vec_id".as("s_id"))
       val rem = cand.join(selIds,
@@ -1349,8 +1418,15 @@ object Similarity {
         .filter($"rn" === 1)
         .select($"query_id", $"vec_id", lit(step).as("step"),
           $"mmr_q6x10")
-      sel = sel.unionByName(next)
+      sel = sel.unionByName(next).localCheckpoint(false)
     }
     sel.orderBy($"query_id", $"step")
   }
+
+  /** Driver-greedy gate for [[mmrDiversifiedOf]]: the collected pool
+    * is ≤ candRows·nCand pair rows (plus candRows relevance rows) —
+    * 4M rows ≈ ~130 MB of boxed tuples, the same order as the
+    * [[graft.ext.Graph.DriverPeelMaxEdges]] budget. Above it the
+    * distributed step loop runs unchanged. */
+  val DriverMmrMaxPairRows = 4000000L
 }

@@ -274,4 +274,24 @@ class SimilaritySpec extends SparkSpec {
     // 7·rel − 3·maxsim demotes the near-duplicate 11 below 12
     assert(got == Seq((1, 10L), (2, 12L), (3, 11L)), s"got $got")
   }
+
+  test("mmrDiversified: gated driver greedy equals the distributed loop") {
+    import spark.implicits._
+    // multi-query pool with ties and near-duplicates: enough structure
+    // that a selection-order bug on either side of the gate shows
+    val q = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("query_id", "qv")
+    val c = (10L to 21L).map { i =>
+      (i, Array((math.cos(i * 0.47) * 0.9).toFloat,
+        (math.sin(i * 0.47) * 0.9).toFloat))
+    }.toDF("vec_id", "cv")
+    def run(gate: Long) = graft.ext.Similarity
+      .mmrDiversifiedOf(q, c, k = 4, nCand = 6, maxDriverPairRows = gate)
+      .select("query_id", "step", "vec_id", "mmr_q6x10")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val driver = run(Long.MaxValue) // below gate: driver greedy
+    val dist = run(0L)              // gate 0: distributed step loop
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    assert(driver.size == 8) // k picks per query, both queries
+  }
 }
