@@ -56,11 +56,16 @@ object Graph {
         .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
         .distinct()
       // one pass over the distinct join, both directions per row
-      pairs.select(explode(array(
+      val sym = pairs.select(explode(array(
           struct($"c".as("src"), $"s".as("dst")),
           struct($"s".as("src"), $"c".as("dst")))).as("p"))
         .select($"p.src".as("src"), $"p.dst".as("dst"))
-        .repartition($"src")
+      // scale-adaptive pinned width (Adaptive doc), anchored on the
+      // pruned fact scan: the distinct-join's own estimate is a
+      // multiplicative join product that always saturates the clamp
+      graft.operators.Adaptive.byKey(
+        Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey"))(
+        sym, $"src")
     }
 
   def pageRank(spark: SparkSession, d: String, iters: Int = 2): DataFrame = {
@@ -97,7 +102,8 @@ object Graph {
     // by src — leave its lifecycle to the registry
     val owned = edges0.storageLevel == StorageLevel.NONE
     val edges =
-      if (owned) edges0.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+      if (owned) graft.operators.Adaptive.byKey(edges0)(edges0, $"src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       else edges0
     // NO broadcast gate here, deliberately (measured): the round's
     // joins probe the edge frame ON its cached hash partitioning, so
@@ -308,6 +314,8 @@ object Graph {
         .distinct()
       // both directions in one explode pass (the tradeEdges shape) —
       // an interaction at day t exposes both endpoints to each other
+      // session-width (see the weighted-sym note: per-round arrival
+      // joins would otherwise re-shuffle both sides)
       pairs.select(explode(array(
           struct($"c".as("u"), $"s".as("v"), $"t"),
           struct($"s".as("u"), $"c".as("v"), $"t"))).as("p"))
@@ -370,6 +378,11 @@ object Graph {
   private[graft] def basketItems(spark: SparkSession, d: String): DataFrame =
     graft.Derived.frame(s"basket-items:$d") {
       import spark.implicits._
+      // session-width pinned layout, DELIBERATELY not Adaptive.byKey:
+      // this frame feeds the basket pair SELF-JOINS (pairCounts /
+      // copartEdges), whose work is O(sum deg^2) — compute-bound, not
+      // byte-bound; a byte-derived width serialized the intersection
+      // kernels onto 1-2 tasks (q327 measured 4.5s -> 8.5s)
       Tables.lineitem(spark, d)
         .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
         .repartition($"ok")
@@ -552,11 +565,13 @@ object Graph {
       .select($"k".as("src"), $"pk".as("dst"))
     // symmetrize in ONE pass over the lag-window frame (a unionAll of
     // two projections would run the window twice — the q190 lesson)
-    val sym = e.select(explode(array(
+    val sym0 = e.select(explode(array(
         struct($"src", $"dst"),
         struct($"dst".as("src"), $"src".as("dst")))).as("p"))
       .select($"p.src".as("src"), $"p.dst".as("dst"))
-      .repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+    // adaptive pinned width (window over one scan: estimate reliable)
+    val sym = graft.operators.Adaptive.byKey(sym0)(sym0, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = o.select($"k".as("node"), $"k".as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // NO broadcast gate here, deliberately (measured): unlike the
@@ -726,9 +741,11 @@ object Graph {
     // consumers) reuse one materialization
     val sym = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
-      e.select($"a".as("u"), $"b".as("v"))
+      val s0 = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-        .repartition($"u")
+      // adaptive pinned width: e is a materialized Derived frame, so
+      // the union's estimate is 2x measured cache bytes — trustworthy
+      graft.operators.Adaptive.byKey(s0)(s0, $"u")
     }
     // the converged |V|-row label frame is registry-shared (keyed by
     // every input that changes it, incl. the broadcast budget so the
@@ -785,9 +802,11 @@ object Graph {
       .select($"part".as("node"), $"community".as("label"))
     val sym = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
-      e.select($"a".as("u"), $"b".as("v"))
+      val s0 = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-        .repartition($"u")
+      // adaptive pinned width: e is a materialized Derived frame, so
+      // the union's estimate is 2x measured cache bytes — trustworthy
+      graft.operators.Adaptive.byKey(s0)(s0, $"u")
     }
     val degs = sym.join(comm.select($"node".as("u"), $"label".as("lu")), "u")
       .groupBy($"lu").agg(count(lit(1)).cast(dec).as("dc"))
@@ -833,6 +852,10 @@ object Graph {
     val sym = graft.Derived.frame(s"copart-weighted-sym:$d") {
       val w = pairCounts(spark, d)
         .select($"a", $"b", expr("1 + (1000000 div cnt)").as("w"))
+      // session-width: the SSSP rounds equi-join this frame against
+      // exchange-produced frontier frames — a narrower pinned width
+      // mismatches theirs and re-shuffles BOTH sides every round
+      // (measured 14 MB -> 92 MB shuffled, wall +20%)
       w.select($"a".as("u"), $"b".as("v"), $"w")
         .unionAll(w.select($"b".as("u"), $"a".as("v"), $"w"))
         .repartition($"u")
@@ -887,9 +910,11 @@ object Graph {
     // the peel never mutates it (each round derives a fresh frame)
     val sym0 = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
-      e.select($"a".as("u"), $"b".as("v"))
+      val s0 = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-        .repartition($"u")
+      // adaptive pinned width: e is a materialized Derived frame, so
+      // the union's estimate is 2x measured cache bytes — trustworthy
+      graft.operators.Adaptive.byKey(s0)(s0, $"u")
     }
     kCoreOnSym(sym0, k, maxIters, maxBroadcastNodes)
   }
@@ -902,9 +927,10 @@ object Graph {
                              maxBroadcastNodes: Long = BroadcastAdjMaxEntries): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    kCoreOnSym(base.select($"a".as("u"), $"b".as("v"))
+    val s0 = base.select($"a".as("u"), $"b".as("v"))
       .unionAll(base.select($"b".as("u"), $"a".as("v")))
-      .repartition($"u").localCheckpoint(), k, maxIters, maxBroadcastNodes)
+    kCoreOnSym(graft.operators.Adaptive.byKey(s0)(s0, $"u")
+      .localCheckpoint(), k, maxIters, maxBroadcastNodes)
   }
 
   private def kCoreOnSym(sym0: DataFrame, k: Long,
@@ -1383,7 +1409,11 @@ object Graph {
     // residual cost of this query.
     def step(prev: DataFrame, inKey: String, outKey: String,
              out: String): DataFrame = {
-      val raw = pin(edges.join(prev, inKey).groupBy(col(outKey))
+      // prev is the |V|-row score frame — broadcast it into the edge
+      // probe: the SMJ this planned (stats-less checkpoint leaves)
+      // re-sorted the cached |E|-row edge half every half-step just to
+      // attach |V| scores
+      val raw = pin(edges.join(broadcast(prev), inKey).groupBy(col(outKey))
         .agg(sum(col(prev.columns.last).cast(dec)).as("raw")))
       normalized(raw, outKey, out)
     }
@@ -1480,9 +1510,11 @@ object Graph {
     import spark.implicits._
     val sym = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
-      e.select($"a".as("u"), $"b".as("v"))
+      val s0 = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-        .repartition($"u")
+      // adaptive pinned width: e is a materialized Derived frame, so
+      // the union's estimate is 2x measured cache bytes — trustworthy
+      graft.operators.Adaptive.byKey(s0)(s0, $"u")
     }
     // degree census reuses the cached u-partitioning — no exchange
     val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
@@ -1540,9 +1572,11 @@ object Graph {
     import spark.implicits._
     val sym = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
-      e.select($"a".as("u"), $"b".as("v"))
+      val s0 = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-        .repartition($"u")
+      // adaptive pinned width: e is a materialized Derived frame, so
+      // the union's estimate is 2x measured cache bytes — trustworthy
+      graft.operators.Adaptive.byKey(s0)(s0, $"u")
     }
     val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
     val seeds = sym.select($"u").distinct().orderBy($"u".asc).limit(nSeeds)
@@ -1694,14 +1728,22 @@ object Graph {
     import spark.implicits._
     val dec = "decimal(38,0)"
     val edges = tradeEdges(spark, d)
+    // the node domain feeds every round — derive it ONCE as a flat
+    // leaf instead of re-running the |E|-row distinct per round
     val nodes = edges.select($"src".as("node")).distinct()
+      .localCheckpoint(false)
     var x = nodes.withColumn("x", lit(1000000L))
     for (_ <- 1 to iters) {
+      // the score frame is |V|-row (two longs): broadcast it into the
+      // edge probe so the cached edge frame is never re-sorted — each
+      // round's SMJ paid an |E|-row sort just to attach |V| scores
+      // (this lane measured ~3x pageRank's task time per iteration)
       val contrib = edges
-        .join(x.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(x.withColumnRenamed("node", "src")), "src")
         .groupBy($"dst").agg(sum($"x".cast(dec)).as("sx"))
       x = nodes
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(broadcast(contrib.withColumnRenamed("dst", "node")),
+          Seq("node"), "left")
         .select($"node",
           (lit(1000000L) + expr("coalesce(sx, 0) div 8").cast("long"))
             .as("x"))
@@ -1767,9 +1809,11 @@ object Graph {
     import spark.implicits._
     val sym = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
-      e.select($"a".as("u"), $"b".as("v"))
+      val s0 = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-        .repartition($"u")
+      // adaptive pinned width: e is a materialized Derived frame, so
+      // the union's estimate is 2x measured cache bytes — trustworthy
+      graft.operators.Adaptive.byKey(s0)(s0, $"u")
     }
     val seeds = sym.select($"u").distinct().orderBy($"u".asc).limit(nSeeds)
     var level = seeds
@@ -1826,9 +1870,11 @@ object Graph {
     val all = seededBfs(spark, d, nSeeds, horizon)
     val sym = graft.Derived.frame(s"copart-sym:$d") {
       val e = copartEdges(spark, d)
-      e.select($"a".as("u"), $"b".as("v"))
+      val s0 = e.select($"a".as("u"), $"b".as("v"))
         .unionAll(e.select($"b".as("u"), $"a".as("v")))
-        .repartition($"u")
+      // adaptive pinned width: e is a materialized Derived frame, so
+      // the union's estimate is 2x measured cache bytes — trustworthy
+      graft.operators.Adaptive.byKey(s0)(s0, $"u")
     }
     // backward: δ at the deepest level is 0; each shallower level
     // folds its successors' (1 + δ) through the σ ratio at q6

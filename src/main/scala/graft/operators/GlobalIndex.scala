@@ -52,15 +52,7 @@ object GlobalIndex {
     * Partition count never changes results: the order is total
     * (caller contract), so the numbering is layout-independent
     * (GlobalIndexSpec pins invariance across parts). */
-  private def adaptiveParts(df: DataFrame): Int = {
-    val spark = df.sparkSession
-    val cap = spark.sessionState.conf.numShufflePartitions
-    val advisory = spark.sessionState.conf.getConf(
-      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val want = (bytes / BigInt(advisory.max(1L))) + 1
-    want.min(BigInt(cap)).max(BigInt(1)).toInt
-  }
+  private def adaptiveParts(df: DataFrame): Int = Adaptive.parts(df)
 
   /** `df` plus a dense 1-based `seqCol` in `order`-order. */
   def withRowNumber(df: DataFrame, order: Seq[Column], seqCol: String,
