@@ -178,6 +178,10 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, d)
       .select($"doc_id").as[Long]
+      // NO fan-out here (contrast imageMedia): this codec's synth+
+      // decode is cheap enough that the added exchange + 32-task stage
+      // cost more than the single-split serialization it removed
+      // (measured: q58 0.8s -> 1.6s with the fan-out)
       .map(id => MediaRow(id, "video/x-yuv4mpeg", syntheticY4m(id)))
   }
 
@@ -361,6 +365,14 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, d)
       .select($"doc_id").as[Long]
+      // the synthesize+decode stage below is compute-bound but its
+      // input is the documents scan's ONE small split — without a
+      // fan-out the whole media pipeline of this lane runs on one
+      // core. Spread the 8-byte ids across the session width BEFORE
+      // any content bytes exist (guide §8: move keys, not payloads);
+      // deterministic under retries (sort-before-repartition is on,
+      // content is a pure function of the id).
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .map(id => MediaRow(id, "image/gif", syntheticGif(id)))
   }
 
@@ -453,6 +465,14 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, d)
       .select($"doc_id").as[Long]
+      // the synthesize+decode stage below is compute-bound but its
+      // input is the documents scan's ONE small split — without a
+      // fan-out the whole media pipeline of this lane runs on one
+      // core. Spread the 8-byte ids across the session width BEFORE
+      // any content bytes exist (guide §8: move keys, not payloads);
+      // deterministic under retries (sort-before-repartition is on,
+      // content is a pure function of the id).
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .map(id => MediaRow(id, "video/x-msvideo", syntheticMjpegAvi(id)))
   }
 
@@ -625,6 +645,10 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, d)
       .select($"doc_id").as[Long]
+      // NO fan-out here (contrast imageMedia): this codec's synth+
+      // decode is cheap enough that the added exchange + 32-task stage
+      // cost more than the single-split serialization it removed
+      // (measured: q58 0.8s -> 1.6s with the fan-out)
       .map(id => MediaRow(id, "video/mp4", syntheticMp4(id)))
   }
 
@@ -766,6 +790,14 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, d)
       .select($"doc_id").as[Long]
+      // the synthesize+decode stage below is compute-bound but its
+      // input is the documents scan's ONE small split — without a
+      // fan-out the whole media pipeline of this lane runs on one
+      // core. Spread the 8-byte ids across the session width BEFORE
+      // any content bytes exist (guide §8: move keys, not payloads);
+      // deterministic under retries (sort-before-repartition is on,
+      // content is a pure function of the id).
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .map(id => MediaRow(id, "image/png", syntheticPng(id)))
   }
 
@@ -860,6 +892,10 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, d)
       .select($"doc_id").as[Long]
+      // NO fan-out here (contrast imageMedia): this codec's synth+
+      // decode is cheap enough that the added exchange + 32-task stage
+      // cost more than the single-split serialization it removed
+      // (measured: q58 0.8s -> 1.6s with the fan-out)
       .map(id => MediaRow(id, "audio/wav", syntheticWav(id)))
   }
 
