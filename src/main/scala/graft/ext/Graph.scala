@@ -665,7 +665,15 @@ object Graph {
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .filter($"a" =!= $"b").distinct().localCheckpoint()
     var rounds = 0
-    var done = edges.isEmpty
+    val nEdges0 = edges.count()
+    var done = nEdges0 == 0L
+    // the per-node minima frames are ≤ |V| ≤ 2·|E| two-long rows:
+    // under the adjacency gate they broadcast into the neighborhood
+    // probe, so neither phase shuffles the edge frame (each phase's
+    // SMJ paid exchange+sort of the |E|-row side to attach minima);
+    // above the gate the keyed joins below run unchanged
+    val fits = nEdges0 <= BroadcastAdjMaxEntries / 2
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     while (!done && rounds < maxRounds) {
       rounds += 1
       // LARGE-STAR over the symmetric neighborhood: per node u, link
@@ -674,19 +682,22 @@ object Graph {
         .unionAll(edges.select($"b".as("u"), $"a".as("v")))
       val mL = nbrL.groupBy($"u").agg(min($"v").as("mv"))
         .select($"u", least($"mv", $"u").as("m"))
-      val afterL = nbrL.join(mL, "u").filter($"v" > $"u")
+      val afterL = nbrL.join(hinted(mL), "u").filter($"v" > $"u")
         .select(least($"v", $"m").as("a"), greatest($"v", $"m").as("b"))
-        .filter($"a" =!= $"b").distinct().localCheckpoint()
+        .filter($"a" =!= $"b").distinct().localCheckpoint(false)
       // SMALL-STAR on the to-smaller orientation: per node u, link
       // all its smaller neighbors AND u itself to their min
       val nbrS = afterL.select($"b".as("u"), $"a".as("v"))
       val mS = nbrS.groupBy($"u").agg(min($"v").as("m"))
-      val afterS = nbrS.join(mS, "u")
+      val afterS = nbrS.join(hinted(mS), "u")
         .select(explode(array(struct($"v".as("x"), $"m"),
           struct($"u".as("x"), $"m"))).as("p"))
         .select(least($"p.x", $"p.m").as("a"),
           greatest($"p.x", $"p.m").as("b"))
-        .filter($"a" =!= $"b").distinct().localCheckpoint()
+        // lazy: the fixpoint check below is the round's ONE action and
+        // materializes both phases' blocks in a single job (was 3
+        // blocking jobs per alternation)
+        .filter($"a" =!= $"b").distinct().localCheckpoint(false)
       // exact edge-set fixpoint in ONE job: both sides are distinct
       // sets, so an empty symmetric difference (rows appearing in
       // exactly one of the two) ⇔ equal sets
@@ -1816,6 +1827,15 @@ object Graph {
       graft.operators.Adaptive.byKey(s0)(s0, $"u")
     }
     val seeds = sym.select($"u").distinct().orderBy($"u".asc).limit(nSeeds)
+    // the frontier/visited frames are ≤ nSeeds·|V| rows of four longs:
+    // under the measured labelPropagation gate they broadcast into the
+    // edge probe, so no level shuffles the cached edge frame (each
+    // level's SMJ cost ~5 AQE stage jobs for frontier-sized data);
+    // above the gate the keyed-shuffle path is unchanged
+    val fits = graft.Derived.scalar(s"copart-nodes-n:$d")(
+      sym.select("u").distinct().count()) <=
+      BroadcastAdjMaxEntries / nSeeds.max(1)
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var level = seeds
       .select($"u".as("seed"), $"u".as("node"),
         lit(0).as("dist"), lit(1L).as("sigma"))
@@ -1826,9 +1846,9 @@ object Graph {
       // every level and Spark's self-join ambiguity check (rightly)
       // rejects a repeated bare `sym`
       val hop = sym.toDF("eu", "ev")
-      val next = level.join(hop, level("node") === hop("eu"))
+      val next = hinted(level).join(hop, level("node") === hop("eu"))
         .select($"seed", $"ev".as("node2"), $"sigma")
-        .join(all.select($"seed".as("s2"), $"node"),
+        .join(hinted(all.select($"seed".as("s2"), $"node")),
           $"seed" === $"s2" && $"node2" === $"node", "left_anti")
         .groupBy($"seed", $"node2")
         .agg(sum($"sigma").as("sigma"))
@@ -1837,7 +1857,11 @@ object Graph {
         // materialization barrier cost (13 rounds of 32 near-empty
         // tasks measured as the query's dominant fixed cost)
         .coalesce(8)
-        .localCheckpoint()
+        // LAZY checkpoint: the plan truncation (what kills the
+        // two-consumer exponential) happens at creation either way;
+        // lazy folds the blocks' materialization into the next
+        // level's job instead of a dedicated barrier per hop
+        .localCheckpoint(false)
       all = all.unionByName(next)
       level = next
     }
@@ -1878,6 +1902,12 @@ object Graph {
     }
     // backward: δ at the deepest level is 0; each shallower level
     // folds its successors' (1 + δ) through the σ ratio at q6
+    // per-level frames are ≤ nSeeds·|V| rows — under the seededBfs
+    // gate they broadcast into the edge probe (see seededBfsBuild)
+    val fits = graft.Derived.scalar(s"copart-nodes-n:$d")(
+      sym.select("u").distinct().count()) <=
+      BroadcastAdjMaxEntries / nSeeds.max(1)
+    def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     var deltaAbove = all.filter($"dist" === horizon)
       .select($"seed", $"node".as("w"), $"sigma".as("sigma_w"),
         lit(0L).as("delta_q6"))
@@ -1886,20 +1916,22 @@ object Graph {
       val curr = all.filter($"dist" === l)
         .select($"seed", $"node", $"sigma")
       val hop = sym.toDF("eu", "ev")
-      val terms = curr.join(hop, curr("node") === hop("eu"))
+      val terms = hinted(curr).join(hop, curr("node") === hop("eu"))
         .select($"seed", $"node", $"sigma", $"ev".as("w"))
-        .join(deltaAbove, Seq("seed", "w"))
+        .join(hinted(deltaAbove), Seq("seed", "w"))
         .select($"seed", $"node",
           expr("sigma * (1000000 + delta_q6) div sigma_w").as("t_q6"))
         .groupBy($"seed", $"node").agg(sum($"t_q6").as("delta_q6"))
       // eager checkpoint: dl has TWO consumers (the next round's
       // deltaAbove and the final union), so an unmaterialized chain
       // recomputes 2^h-fold at execution (measured 2x wall on h=6)
-      val dl = curr.join(terms, Seq("seed", "node"), "left")
+      val dl = curr.join(hinted(terms), Seq("seed", "node"), "left")
         .select($"seed", $"node", $"sigma",
           coalesce($"delta_q6", lit(0L)).as("delta_q6"))
         .coalesce(8)
-        .localCheckpoint()
+        // lazy: same flat leaf (both consumers read cached blocks),
+        // no per-level blocking job (see seededBfsBuild note)
+        .localCheckpoint(false)
       deltas += dl.withColumn("dist", lit(l))
       deltaAbove = dl.select($"seed", $"node".as("w"),
         $"sigma".as("sigma_w"), $"delta_q6")
