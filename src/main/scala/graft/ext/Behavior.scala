@@ -233,6 +233,14 @@ object Behavior {
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     Tables.events(spark, d)
       .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      // compute-width pin: AQE's byte-based coalescing squeezed this
+      // lag-window + DECIMAL(38) aggregate onto ~5 ~1MB partitions and
+      // one task carried the lane (guide §2.5 input-skew remedy —
+      // explicit user-keyed fan-out; the window reuses the
+      // partitioning, so this replaces the exchange rather than adding
+      // one)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        $"user_id")
       .withColumn("pus", lag($"us", 1).over(w))
       .filter($"pus".isNotNull)
       .select($"user_id", ($"us" - $"pus").as("g"))

@@ -96,6 +96,9 @@ object Dedup {
     // docs with <3 tokens have no shingles: jaccard would be 0/0 —
     // exclude them on both engines (oracle has the same predicate)
     val sh = docs
+      // compute-width fan-out: shingling off the one-split scan ran
+      // serially (the q179 pin)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select($"doc_id", $"lang", size(split($"text", " ")).as("n_toks"),
         shingleHashes($"text").as("shingles"))
       .filter($"n_toks" >= 3)
@@ -952,6 +955,10 @@ object Dedup {
   def minhashCalibration(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, d)
+      // compute-width fan-out: the documents scan is ONE small split,
+      // so this lane's per-row text kernel ran serially; round-robin
+      // the pruned rows across the session width first (the q179 pin)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select($"doc_id", $"lang", size(split($"text", " ")).as("n_toks"),
         shingleHashes($"text").as("shingles"))
       .filter($"n_toks" >= 3)

@@ -659,6 +659,10 @@ object TextStats {
         .otherwise("fr")
     }
     Tables.documents(spark, d)
+      .select($"doc_id", $"lang", $"text")
+      // compute-width fan-out: the three window votes off the one-split
+      // scan ran serially (the q179 pin)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select($"doc_id", $"lang", toks.as("toks"), n.as("n_toks"))
       .filter($"n_toks" >= 3)
       .select($"doc_id", $"lang",
@@ -838,6 +842,11 @@ object TextStats {
   def mattr(spark: SparkSession, d: String, w: Int = 25): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
+      .select($"doc_id", $"lang", $"text")
+      // compute-width fan-out: the documents scan is ONE small split,
+      // so this lane's per-row text kernel ran serially; round-robin
+      // the pruned rows across the session width first (the q179 pin)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select($"doc_id", $"lang", split($"text", " ").as("toks"))
       .filter(size($"toks") >= w)
       .select($"doc_id", $"lang", size($"toks").cast("long").as("n_toks"),
