@@ -1053,6 +1053,11 @@ object Dedup {
         (($"la" + $"lb").cast("long") - inter).as("u"))
       .filter(expr("i6 div u >= 500000"))
       .select($"a_id", $"b_id")
+      // gold is read TWICE (the count and the hit semi-join) and its
+      // lineage is the all-pairs intersect — the lane's entire cost;
+      // a lazy checkpoint computes it once (bounded: the sampled,
+      // capped, J>=0.5 pair set)
+      .localCheckpoint(false)
     val cand = sharedPairs(spark, d)
       .filter($"a_id" % 5 === 0 && $"b_id" % 5 === 0 &&
         $"a_id" < 100000L && $"b_id" < 100000L)

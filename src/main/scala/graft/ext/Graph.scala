@@ -1712,8 +1712,17 @@ object Graph {
     // frames are |V|·64 rows — domain-sized, never data-sized — and
     // [[graft.Derived.adopt]]'s semantic-hash slots keep repeated
     // bench passes from accumulating copies.
+    // the register frame is |V|·64 three-long rows: under a measured
+    // node gate it broadcasts into the edge probe, so no round
+    // re-sorts the cached edge frame (the katz/hits move); above the
+    // gate the keyed join below is unchanged
+    val regsFit = graft.Derived.scalar(s"trade-nodes-n:$d")(
+      nodes.count()) <= graft.ext.Graph.BroadcastAdjMaxEntries / 64
+    def hinted(df: DataFrame): DataFrame =
+      if (regsFit) broadcast(df) else df
     val out = (1 to rounds).map { t =>
-      val in = edges.join(regs.withColumnRenamed("node", "src"), "src")
+      val in = edges.join(hinted(regs.withColumnRenamed("node", "src")),
+          "src")
         .select($"dst".as("node"), $"bucket", $"mj")
       val merged = regs.unionByName(in)
         .groupBy($"node", $"bucket").agg(max($"mj").as("mj"))
