@@ -41,7 +41,15 @@ object Adaptive {
 
   /** `df.repartition(width, cols…)` with the width taken from
     * `anchor`'s estimate (see class doc for why the anchor is a
-    * separate frame). */
+    * separate frame), floored at 4: these pinned layouts feed
+    * ITERATIVE consumers whose per-round work (degree aggregates,
+    * peel semi-joins) runs in place on the pinned width — a byte-pure
+    * width of 1 serialized each round (measured: q172's peel wall
+    * rose ~25% at width 1-2 while its task time fell 20x). Four
+    * partitions keep intra-round parallelism at 1/8 the old session
+    * default; GlobalIndex keeps its own un-floored [[parts]] (its
+    * n == 1 case deliberately collapses to skip the offsets pass). */
   def byKey(anchor: DataFrame)(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(parts(anchor), cols: _*)
+    df.repartition(parts(anchor).max(4).min(
+      df.sparkSession.sessionState.conf.numShufflePartitions), cols: _*)
 }
