@@ -1374,7 +1374,8 @@ object Graph {
     * normalized score stays lazy — leaf × one-row broadcast, cheap to
     * re-derive — so a half-step costs ONE materializing action.
     */
-  def hits(spark: SparkSession, d: String, iters: Int = 2): DataFrame = {
+  def hits(spark: SparkSession, d: String, iters: Int = 2,
+           maxBroadcastNodes: Long = BroadcastAdjMaxEntries): DataFrame = {
     // iters == 0 would leave the authority side never computed (null
     // frame) — there is no meaningful zero-round HITS
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
@@ -1382,11 +1383,21 @@ object Graph {
     val dec = "decimal(38,0)"
     // directed c→s half of the shared symmetric trade cache (even
     // ids are the customer side by tradeEdges' namespacing)
-    // (no broadcast gate on the score joins: the half-step probes the
-    // cached edge frame on its partitioning and only the |V|-row
-    // score frame moves — the pageRankOnEdges rationale, measured)
     val edges = tradeEdges(spark, d).filter($"src" % 2 === 0)
       .select($"src".as("c"), $"dst".as("s"))
+    // The per-half-step score frames are |V|-row (≤ the trade node
+    // domain) — broadcasting them into the cached edge probe saves the
+    // SMJ that re-sorted the |E|-row edge half every half-step, but a
+    // hint never auto-falls-back: at 10⁹ nodes an unconditional
+    // broadcast collects a data-sized frame to the driver. Measured
+    // gate (memoized node count, the hyperBall discipline): under the
+    // budget the score side is hinted; above it the half-step keeps
+    // the keyed join exactly as before the hint existed.
+    val scoresFit = graft.Derived.scalar(s"trade-nodes-n:$d")(
+      tradeEdges(spark, d).select($"src".as("node")).distinct().count()
+    ) <= maxBroadcastNodes
+    def hinted(df: DataFrame): DataFrame =
+      if (scoresFit) broadcast(df) else df
     def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
       val tot = raw.agg(sum($"raw").cast(dec).as("tot"),
         count(lit(1)).as("n"))
@@ -1420,11 +1431,11 @@ object Graph {
     // residual cost of this query.
     def step(prev: DataFrame, inKey: String, outKey: String,
              out: String): DataFrame = {
-      // prev is the |V|-row score frame — broadcast it into the edge
-      // probe: the SMJ this planned (stats-less checkpoint leaves)
-      // re-sorted the cached |E|-row edge half every half-step just to
-      // attach |V| scores
-      val raw = pin(edges.join(broadcast(prev), inKey).groupBy(col(outKey))
+      // prev is the |V|-row score frame — under the measured gate it
+      // broadcasts into the edge probe: the SMJ this planned
+      // (stats-less checkpoint leaves) re-sorted the cached |E|-row
+      // edge half every half-step just to attach |V| scores
+      val raw = pin(edges.join(hinted(prev), inKey).groupBy(col(outKey))
         .agg(sum(col(prev.columns.last).cast(dec)).as("raw")))
       normalized(raw, outKey, out)
     }
@@ -1744,7 +1755,8 @@ object Graph {
   }
 
   def katzCentrality(spark: SparkSession, d: String,
-                     iters: Int = 3): DataFrame = {
+                     iters: Int = 3,
+                     maxBroadcastNodes: Long = BroadcastAdjMaxEntries): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"
     val edges = tradeEdges(spark, d)
@@ -1752,17 +1764,24 @@ object Graph {
     // leaf instead of re-running the |E|-row distinct per round
     val nodes = edges.select($"src".as("node")).distinct()
       .localCheckpoint(false)
+    // The per-round score/contribution frames are |V|-row — hinting
+    // them into the cached edge probe avoids re-sorting the |E|-row
+    // edge frame each round (measured ~3x pageRank's task time per
+    // iteration as an SMJ), but |V| is scale-proportional and a hint
+    // never auto-falls-back. Measured gate (memoized node count, the
+    // hyperBall discipline): above the budget both joins stay keyed
+    // shuffles, exactly the pre-hint shape.
+    val scoresFit = graft.Derived.scalar(s"trade-nodes-n:$d")(
+      nodes.count()) <= maxBroadcastNodes
+    def hinted(df: DataFrame): DataFrame =
+      if (scoresFit) broadcast(df) else df
     var x = nodes.withColumn("x", lit(1000000L))
     for (_ <- 1 to iters) {
-      // the score frame is |V|-row (two longs): broadcast it into the
-      // edge probe so the cached edge frame is never re-sorted — each
-      // round's SMJ paid an |E|-row sort just to attach |V| scores
-      // (this lane measured ~3x pageRank's task time per iteration)
       val contrib = edges
-        .join(broadcast(x.withColumnRenamed("node", "src")), "src")
+        .join(hinted(x.withColumnRenamed("node", "src")), "src")
         .groupBy($"dst").agg(sum($"x".cast(dec)).as("sx"))
       x = nodes
-        .join(broadcast(contrib.withColumnRenamed("dst", "node")),
+        .join(hinted(contrib.withColumnRenamed("dst", "node")),
           Seq("node"), "left")
         .select($"node",
           (lit(1000000L) + expr("coalesce(sx, 0) div 8").cast("long"))

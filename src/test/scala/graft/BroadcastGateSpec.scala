@@ -102,6 +102,34 @@ class BroadcastGateSpec extends SparkSpec {
     assert(gated == hinted, "gate changed the community assignment")
   }
 
+  test("katz: oversized score frames drop both round broadcasts, " +
+    "scores unchanged") {
+    val hinted = rows(Graph.katzCentrality(spark, d))
+    Derived.clear()
+    val (gated, plan) = withoutAutoBroadcast {
+      val g = Graph.katzCentrality(spark, d, maxBroadcastNodes = -1L)
+      (g, g.queryExecution.executedPlan.toString)
+    }
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"score joins must shuffle above the node budget:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no hash broadcast may survive a blown node budget")
+    assert(rows(gated) == hinted, "gate changed the katz scores")
+  }
+
+  // hits checkpoints each half-step's raw frame, so its round joins
+  // never appear in the final frame's executed plan — behavioral
+  // audit like the peels above.
+  test("hits: oversized score frames take the shuffle half-steps, " +
+    "scores unchanged") {
+    val hinted = rows(Graph.hits(spark, d))
+    Derived.clear()
+    val gated = withoutAutoBroadcast {
+      rows(Graph.hits(spark, d, maxBroadcastNodes = -1L))
+    }
+    assert(gated == hinted, "gate changed the hits scores")
+  }
+
   test("hyperplane pairs: oversized embeddings drop the re-attach " +
     "broadcasts, pairs unchanged") {
     val hinted = rows(ext.Similarity.hyperplaneVerifiedPairs(spark, d)
