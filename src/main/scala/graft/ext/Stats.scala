@@ -3633,7 +3633,10 @@ object Stats {
     * is an integer prefix sum over the bounded day domain, each term
     * floors `(M_i·N − n·i)²·10⁹ div (i(N−i))` (numerator staged
     * DECIMAL(38,0)), and the final division by `nm` is one more
-    * integer floor — no doubles, no libm. Day-domain windows only.
+    * integer floor — no doubles, no libm. The combined order rides
+    * ONE range-partitioned [[graft.operators.GlobalIndex]] pass (i
+    * and M_i as prefix sums of 1 and g1), never an unpartitioned
+    * global window.
     */
   def andersonDarling(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -3645,14 +3648,17 @@ object Stats {
       .agg(sum($"c").as("v"))
       .withColumn("g1",
         when(dayofweek($"day").isin(1, 7), 1L).otherwise(0L))
-    val w = Window.orderBy($"v".asc, $"day".asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
     val nn = daily.agg(count(lit(1)).as("n"),
       sum($"g1").as("n1"))
-    val terms = daily
-      .withColumn("i", row_number().over(
-        Window.orderBy($"v".asc, $"day".asc)))
-      .withColumn("m_i", sum($"g1").over(w))
+    // i and M_i are the prefix sums of 1 and g1 in the SAME total
+    // (v, day) order — one range-partitioned GlobalIndex pass instead
+    // of two unpartitioned global windows (the single-reducer funnel
+    // this engine never ships; values identical, the order is total)
+    val ranked = graft.operators.GlobalIndex.withPrefixSums(
+      daily.withColumn("__one", lit(1L)),
+      Seq($"v".asc, $"day".asc),
+      Seq("__one" -> "i", "g1" -> "m_i"))
+    val terms = ranked
       .crossJoin(broadcast(nn))
       .filter($"i" < $"n")
       .select(expr(

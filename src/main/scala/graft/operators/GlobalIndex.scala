@@ -74,16 +74,34 @@ object GlobalIndex {
       // values, same schema; GlobalIndexSpec pins parts-invariance)
       ranged.withColumn(seqCol, rn.cast("long")).drop("__pid")
     else {
-      val offsets = ranged.groupBy($"__pid").agg(count(lit(1)).as("__n"))
-        .withColumn("__offset",
-          coalesce(sum($"__n").over(
-            Window.orderBy($"__pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select($"__pid", $"__offset")
+      val totals = ranged.groupBy($"__pid").agg(count(lit(1)).as("__n"))
+      val offsets = exclusivePrefix(totals, Seq("__n" -> "__offset"))
       ranged.join(broadcast(offsets), "__pid")
         .withColumn(seqCol, $"__offset" + rn)
         .drop("__pid", "__offset")
     }
+  }
+
+  /** Exclusive prefix sums over the per-partition totals frame —
+    * offset(p) = Σ_{q < p} total(q) — WITHOUT a global window: the
+    * frame is #partitions rows (bounded by the session's
+    * shuffle-partition conf, never by data), so the prefix is a tiny
+    * triangular self-join. An unpartitioned `sum().over(orderBy)`
+    * here was semantically fine at this row count but still tripped
+    * WindowExec's data-sized-funnel warning on every GlobalIndex
+    * consumer (and a constant partition key is folded away by the
+    * optimizer); the join states the bounded shape outright. */
+  private def exclusivePrefix(totals: DataFrame,
+                              cols: Seq[(String, String)]): DataFrame = {
+    import totals.sparkSession.implicits._
+    val lower = totals.toDF(
+      "__qid" +: cols.map { case (t, _) => s"__t_$t" }: _*)
+    val aggs = cols.map { case (t, o) =>
+      coalesce(sum(col(s"__t_$t")), lit(0L)).as(o) }
+    totals.select($"__pid")
+      .join(broadcast(lower), $"__qid" < $"__pid", "left")
+      .groupBy($"__pid")
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** `df` plus the INCLUSIVE prefix sum of `valueCol` in
@@ -94,7 +112,17 @@ object GlobalIndex {
     * through one reducer. Same contracts: the order must be total,
     * and the persist pins one sampled range layout for both passes. */
   def withPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
-                    cumCol: String, parts: Int = 0): DataFrame = {
+                    cumCol: String, parts: Int = 0): DataFrame =
+    withPrefixSums(df, order, Seq(valueCol -> cumCol), parts)
+
+  /** [[withPrefixSum]] over SEVERAL value columns in one pass — one
+    * range layout, one persist, one offsets aggregate carrying every
+    * column's per-partition total (a row-numbering rides along as the
+    * prefix sum of a constant-1 column). Callers needing both an
+    * ordinal and a running total no longer pay two range exchanges. */
+  def withPrefixSums(df: DataFrame, order: Seq[Column],
+                     cols: Seq[(String, String)],
+                     parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = if (parts > 0) parts else adaptiveParts(df)
@@ -103,7 +131,7 @@ object GlobalIndex {
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     graft.Derived.adopt(ranged)
-    val running = sum(col(valueCol)).over(
+    def running(valueCol: String) = sum(col(valueCol)).over(
       Window.partitionBy($"__pid").orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, 0))
     if (n == 1)
@@ -111,18 +139,18 @@ object GlobalIndex {
       // sum — skip the offsets aggregate and its broadcast-join jobs
       // (identical values and result type: sum's type is the same in
       // both expressions and Add(x, 0) preserves it)
-      ranged.withColumn(cumCol, running).drop("__pid")
+      cols.foldLeft(ranged) { case (acc, (v, c)) =>
+        acc.withColumn(c, running(v))
+      }.drop("__pid")
     else {
-      val offsets = ranged.groupBy($"__pid")
-        .agg(sum(col(valueCol)).as("__s"))
-        .withColumn("__offset",
-          coalesce(sum($"__s").over(
-            Window.orderBy($"__pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select($"__pid", $"__offset")
-      ranged.join(broadcast(offsets), "__pid")
-        .withColumn(cumCol, $"__offset" + running)
-        .drop("__pid", "__offset")
+      val totals = ranged.groupBy($"__pid")
+        .agg(cols.map { case (v, _) => sum(col(v)).as(s"__s_$v") }.head,
+          cols.drop(1).map { case (v, _) => sum(col(v)).as(s"__s_$v") }: _*)
+      val offsets = exclusivePrefix(totals,
+        cols.map { case (v, c) => s"__s_$v" -> s"__off_$c" })
+      cols.foldLeft(ranged.join(broadcast(offsets), "__pid")) {
+        case (acc, (v, c)) => acc.withColumn(c, col(s"__off_$c") + running(v))
+      }.drop("__pid" +: cols.map { case (_, c) => s"__off_$c" }: _*)
     }
   }
 }

@@ -38,6 +38,33 @@ class GlobalIndexSpec extends SparkSpec {
     assert(a == b, "layout must not leak into the numbering")
   }
 
+  test("withPrefixSums: several running totals in one pass match the " +
+    "global-window reference (offsets branch)") {
+    val df = reference(2000)
+      .withColumn("one", lit(1L))
+      .withColumn("w", ($"id" % 7).cast("long"))
+    val got = GlobalIndex.withPrefixSums(df, Seq($"k", $"id"),
+        Seq("one" -> "rn", "w" -> "cw"), parts = 8)
+      .select($"id", $"rn", $"cw").as[(Long, Long, Long)]
+      .collect().map { case (i, r, c) => i -> (r, c) }.toMap
+    val wref = Window.orderBy($"k", $"id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("rn", sum($"one").over(wref))
+      .withColumn("cw", sum($"w").over(wref))
+      .select($"id", $"rn", $"cw").as[(Long, Long, Long)]
+      .collect().map { case (i, r, c) => i -> (r, c) }.toMap
+    assert(got == want)
+  }
+
+  test("withPrefixSums: single-partition branch equals the offsets branch") {
+    val df = reference(600).withColumn("w", ($"id" % 5).cast("long"))
+    def run(parts: Int) = GlobalIndex.withPrefixSums(df, Seq($"k", $"id"),
+        Seq("w" -> "cw"), parts = parts)
+      .select($"id", $"cw").as[(Long, Long)].collect().toMap
+    assert(run(1) == run(7), "branch choice must not leak into the sums")
+  }
+
   test("output partitioning stays parallel (no global-window funnel on the data)") {
     // AQE legitimately coalesces these tiny test partitions; switch
     // it off to observe the operator's own distribution
