@@ -572,15 +572,66 @@ object Graph {
     // adaptive pinned width (window over one scan: estimate reliable)
     val sym = graft.operators.Adaptive.byKey(sym0)(sym0, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = o.select($"k".as("node"), $"k".as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // NO broadcast gate here, deliberately (measured): unlike the
-    // part-domain peels (kCore/labelPropagation), |V| here is the
-    // ORDER-KEY domain — the label frame is fact-sized, and
-    // collecting + rebroadcasting it every round cost more at sf0.1
-    // than the src-keyed shuffle it replaced (2.4s → 3.3s full-suite).
-    // The edge frame is already hash-partitioned by src, so the
-    // shuffle moves only the label frame — the cheap side.
+    val (labels, _) = hashMinLabels(sym,
+      o.select($"k".as("node")), maxIters)
+    sym.unpersist()
+    labels.select($"node".as("o_orderkey"), $"label".as("component"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** The HashMin fixpoint kernel over a SYMMETRIC (src, dst) edge
+    * frame. Each round propagates (every node takes the min of its
+    * own and its neighbors' labels — one edge equi-join + one min
+    * aggregate); with `shortcut` it additionally applies the
+    * POINTER-JUMPING step `label(v) ← label(label(v))` (one
+    * label-frame self-join), which squares the distance minima have
+    * already traveled and cuts the round count from the component
+    * DIAMETER to O(log diameter) — the spec pins a planted 64-hop
+    * path at ≤10 rounds vs 65, and pins fixpoint equality. The
+    * FIXPOINT is the same either way: both steps only decrease
+    * labels, keep every label a node id inside its own component,
+    * and a combined fixpoint forces labels constant per component
+    * (propagation stability alone does), hence the component min —
+    * what the oracle's transitive-closure twin verifies.
+    *
+    * `shortcut` defaults OFF and q155 runs WITHOUT it, measured: the
+    * self-join doubles each round's shuffle work, and the burst
+    * graph's diameter is BOUNDED BY CONSTRUCTION (7-day chains within
+    * one customer's order sequence — it does not grow with data
+    * volume), so the saved rounds never repay the doubled cost
+    * (sf0.1 A/B: 2.81 s plain → 3.46 s shortcutted). The gear exists,
+    * proven, for edge frames whose diameter is NOT domain-bounded —
+    * the q316 star-contraction lane is the published O(log n)
+    * alternative already serving that case as a first-class query.
+    *
+    * Convergence is checked every OTHER round: the label sum is
+    * strictly decreasing while anything changes (min-merges), so an
+    * UNCHANGED sum across a two-round window ⇔ both rounds changed
+    * nothing ⇔ fixpoint. Odd rounds stay lazy — their checkpoint
+    * blocks materialize inside the next check's job — halving the
+    * per-round action floor that dominated this lane (the ~60 ms/job
+    * scheduling tax × rounds × AQE stage jobs).
+    *
+    * NO broadcast gate here, deliberately (measured): unlike the
+    * part-domain peels (kCore/labelPropagation), |V| here is the
+    * ORDER-KEY domain — the label frame is fact-sized, and
+    * collecting + rebroadcasting it every round cost more at sf0.1
+    * than the src-keyed shuffle it replaced (2.4s → 3.3s full-suite).
+    * The edge frame is already hash-partitioned by src, so the
+    * propagation shuffle moves only the label frame — the cheap side.
+    */
+  private[graft] def hashMinLabels(sym: DataFrame, nodes: DataFrame,
+      maxIters: Int, shortcut: Boolean = false): (DataFrame, Int) = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    // per-round frames are lazy localCheckpoints (the ccStarContraction
+    // loop discipline, NOT persist: a persisted frame still CARRIES its
+    // logical lineage, so the analyzed plan nested one round deeper per
+    // round and the driver's planning grew quadratically with the round
+    // count — invisible at burst diameters, pathological on a planted
+    // long path); the labelSum action below materializes the blocks
+    var labels = nodes.select($"node", $"node".as("label"))
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -591,19 +642,33 @@ object Graph {
       val prop = sym
         .join(labels.select($"node".as("src"), $"label"), "src")
         .select($"dst".as("node"), $"label")
-      val next = labels.unionAll(prop)
+      val m1 = labels.unionAll(prop)
         .groupBy($"node").agg(min($"label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next) // materializes the round's cache too
-      labels.unpersist()
+      // the self-join reads m1 twice — both sides share the same
+      // aggregate subtree, so the propagation exchange is planned
+      // once and reused (ReusedExchange), not recomputed; left join +
+      // coalesce so a label value outside the node domain (a caller
+      // passing foreign edges) degrades to no-op instead of dropping
+      // the row
+      val next = (if (!shortcut) m1
+        else m1
+          .join(m1.select($"node".as("__ln"), $"label".as("__l2")),
+            $"label" === $"__ln", "left")
+          .select($"node",
+            least($"label", coalesce($"__l2", $"label")).as("label")))
+        .localCheckpoint(false)
       labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      // two-round convergence window (see scaladoc): only even rounds
+      // pay a materializing action; the guard rail still checks the
+      // final round so maxIters exits report the true round count
+      if (round % 2 == 0 || round == maxIters) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      }
     }
-    sym.unpersist()
     graft.Derived.adopt(labels)
-    labels.select($"node".as("o_orderkey"), $"label".as("component"))
-      .orderBy($"o_orderkey")
+    (labels, round)
   }
 
   /** Connected components by TWO-PHASE STAR CONTRACTION (Kiveris et
@@ -1154,21 +1219,33 @@ object Graph {
     val rows = trussSupport(e0, undirAdj, fits)
       .collect() // gated: caller measured |E| <= DriverPeelMaxEdges
     dbg(s"collected n=${rows.length}")
-    val sup = new scala.collection.mutable.HashMap[(Long, Long), Long]()
-    val adj = new scala.collection.mutable.HashMap[Long,
-      scala.collection.mutable.HashSet[Long]]()
+    // peel state in SPECIALIZED LongMaps (nested a → b → value, never
+    // a boxed (Long, Long) tuple key): the tuple-keyed HashMap form
+    // hashed + allocated a tuple per probe, and at ~1.2M support rows
+    // the peel's build + waves + census cost more driver time than
+    // the distributed support kernel itself (measured 1.9 s vs 1.5 s
+    // at sf0.1; the LongMap form runs the same algebra allocation-free
+    // on the hot paths)
+    import scala.collection.mutable.LongMap
+    val sup = new LongMap[LongMap[Long]]()
+    val adj = new LongMap[LongMap[Boolean]]()
     rows.foreach { r =>
-      val (a, b, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      sup.put((a, b), s)
-      adj.getOrElseUpdate(a, new scala.collection.mutable.HashSet) += b
-      adj.getOrElseUpdate(b, new scala.collection.mutable.HashSet) += a
+      val a = r.getLong(0); val b = r.getLong(1); val s = r.getLong(2)
+      sup.getOrElseUpdate(a, new LongMap[Long]).update(b, s)
+      adj.getOrElseUpdate(a, new LongMap[Boolean]).update(b, true)
+      adj.getOrElseUpdate(b, new LongMap[Boolean]).update(a, true)
     }
+    var nLive = rows.length.toLong
     // round-1 victims by one scan; later rounds are DISCOVERED at
     // decrement time (an edge crossing the bar queues exactly once) —
     // no per-round rescan of the full support map
-    var d = sup.iterator.collect {
-      case (e, s) if s < minSup => e
-    }.toVector
+    var d = {
+      val v = Vector.newBuilder[(Long, Long)]
+      sup.foreach { case (a, m) =>
+        m.foreach { case (b, s) => if (s < minSup) v += ((a, b)) }
+      }
+      v.result()
+    }
     var applied = 0
     while (applied < maxIters && d.nonEmpty) {
       applied += 1
@@ -1178,9 +1255,9 @@ object Graph {
       // live-before-deletion, exactly the distributed form's `live`)
       val destroyed = new scala.collection.mutable.HashSet[(Long, Long, Long)]()
       d.foreach { case (a, b) =>
-        val (na, nb) = (adj(a), adj(b))
+        val na = adj(a); val nb = adj(b)
         val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
-        small.foreach { w =>
+        small.foreachKey { w =>
           if (w != a && w != b && big.contains(w)) {
             // sorted triple (x <= y are the edge's endpoints)
             val x = math.min(a, b); val y = math.max(a, b)
@@ -1193,25 +1270,29 @@ object Graph {
       // SURVIVING edges once; survivors crossing the bar become the
       // next round's victims
       d.foreach { case (a, b) =>
-        sup.remove((a, b)); adj(a) -= b; adj(b) -= a
+        sup.get(a).foreach { m => if (m.contains(b)) { m -= b; nLive -= 1 } }
+        adj(a) -= b; adj(b) -= a
       }
       val nextD = Vector.newBuilder[(Long, Long)]
-      destroyed.foreach { case (x, y, z) =>
-        Seq((x, y), (x, z), (y, z)).foreach { e =>
-          sup.get(e).foreach { s =>
-            val ns = s - 1
-            sup.put(e, ns)
-            if (ns < minSup && ns + 1 >= minSup) nextD += e
-          }
+      def dec(a: Long, b: Long): Unit = sup.get(a).foreach { m =>
+        m.get(b).foreach { s =>
+          val ns = s - 1
+          m.update(b, ns)
+          if (ns < minSup && ns + 1 >= minSup) nextD += ((a, b))
         }
+      }
+      destroyed.foreach { case (x, y, z) =>
+        dec(x, y); dec(x, z); dec(y, z)
       }
       d = nextD.result()
     }
-    dbg(s"peel done live=${sup.size}")
-    val census = new scala.collection.mutable.HashMap[Long, Long]()
-    sup.keysIterator.foreach { case (a, b) =>
-      census.put(a, census.getOrElse(a, 0L) + 1L)
-      census.put(b, census.getOrElse(b, 0L) + 1L)
+    dbg(s"peel done live=$nLive")
+    val census = new LongMap[Long]()
+    sup.foreach { case (a, m) =>
+      m.foreachKey { b =>
+        census.update(a, census.getOrElse(a, 0L) + 1L)
+        census.update(b, census.getOrElse(b, 0L) + 1L)
+      }
     }
     spark.createDataFrame(census.toSeq.sortBy(_._1))
       .toDF("part", "truss_deg").orderBy($"part")
@@ -1329,12 +1410,51 @@ object Graph {
     * work in place — the same per-edge support every truss
     * decomposition must produce anyway. Only triangled edges keep a
     * row (the sup table's keyed-by-triangled-edges contract). */
+  /** Absolute cap on the bitset-adjacency domain width (bits): above
+    * it no per-row allocation is attempted regardless of density. */
+  private val BitsetDomainMaxBits = 1L << 24
+
   private def trussSupport(e0: DataFrame, undirAdj: DataFrame,
       fits: Boolean): DataFrame = {
     import e0.sparkSession.implicits._
     import org.apache.spark.sql.graft.Bridge
     def hinted(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
-    e0
+    // MEASURED dense-domain gate for the bitset intersection fast
+    // path (one tiny aggregate over the cached adjacency): with node
+    // ids spanning `width` and average degree `avg`, a bitset row is
+    // width/8 bytes vs 8·avg for the sorted list, and the per-edge
+    // intersect is width/64 branchless AND+popcount words vs
+    // ~(deg_a + deg_b) branchy merge steps — both favor bitsets
+    // exactly when width/64 ≤ avg (the co-purchase part graph at
+    // sf0.1: width ≈ 20k bits = 313 words vs avg degree ≈ 1.2k — a
+    // ~7x op and ~8x row-width reduction on the suite's hottest
+    // kernel). Sparse or wide-id graphs (width/64 > avg, or width
+    // past the absolute cap) keep the sorted-merge path bit-for-bit
+    // (same counts — KTrussSpec pins truss equality through both).
+    val dom = undirAdj
+      .agg(min($"node").as("lo"), max($"node").as("hi"),
+        count(lit(1)).as("nv"), sum(size($"nbr")).as("deg"))
+      .head()
+    val nv = dom.getLong(2)
+    val lo = if (nv == 0) 0L else dom.getLong(0)
+    val width = if (nv == 0) 0L else dom.getLong(1) - lo + 1
+    val dense = nv > 0 && width <= BitsetDomainMaxBits &&
+      (width >> 6) <= dom.getLong(3) / nv
+    if (dense) {
+      val bitAdj = undirAdj.select($"node",
+        Bridge.column(graft.functions.BitsetFromSorted(
+          Bridge.expression($"nbr"),
+          Bridge.expression(lit(lo)), Bridge.expression(lit(width))))
+          .as("nbr"))
+      e0
+        .join(hinted(bitAdj.toDF("a", "na")), "a")
+        .join(hinted(bitAdj.toDF("b", "nb")), "b")
+        .select($"a", $"b",
+          Bridge.column(graft.functions.BitsetIntersectCount(
+            Bridge.expression($"na"), Bridge.expression($"nb")))
+            .cast("bigint").as("s"))
+        .filter($"s" > 0)
+    } else e0
       .join(hinted(undirAdj.toDF("a", "na")), "a")
       .join(hinted(undirAdj.toDF("b", "nb")), "b")
       .select($"a", $"b",

@@ -82,8 +82,20 @@ object CatalogLifecycle {
     * multi-file where they need to be (4-way inserts still produce
     * >1 file per commit; q344's scaladoc already pins "exact count
     * varies with insert parallelism" as out of scope). */
+  /** The scripted drivers' local write/drain parallelism — a LANE
+    * constant like the few-hundred-row test-table sizes themselves
+    * (derivable bound: every scripted table here is <= ~2,100 rows
+    * and every streaming drain below groups a <= 10-key domain, so
+    * four-way parallelism keeps multi-file/multi-partition layouts
+    * where flags pin them while removing the 32-way scatter tax);
+    * production writes through the sink are untouched.
+    * [[graft.streaming.Clamp.BoundedDrainParts]] is the same choice
+    * for the standalone streaming lanes. */
+  private[io] val ScriptedDriverParts = 4
+
   private def script[T](
-      spark: org.apache.spark.sql.SparkSession, parts: Int = 4)(
+      spark: org.apache.spark.sql.SparkSession,
+      parts: Int = ScriptedDriverParts)(
       body: => T): T = {
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.leafNodeDefaultParallelism")
@@ -230,7 +242,7 @@ object CatalogLifecycle {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-changelog").toString
-    val q = withShuffleParts(spark, 4) {
+    val q = withShuffleParts(spark, ScriptedDriverParts) {
       val q0 = spark.readStream.table(s"gtab.${t}__changes")
         .groupBy(col("_change_type").as("op"), (col("id") % 5).as("g"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
@@ -668,7 +680,7 @@ object CatalogLifecycle {
     }
     val ckpt1 = java.nio.file.Files
       .createTempDirectory("graft-pipe1").toString
-    withShuffleParts(spark, 4) {
+    withShuffleParts(spark, ScriptedDriverParts) {
       val q1 = spark.readStream.table(s"gtab.$a")
         .select(col("id"), (col("v") * 3 + 2).as("v"))
         .writeStream
@@ -681,7 +693,7 @@ object CatalogLifecycle {
     val name = "pipe_" + sfx
     val ckpt2 = java.nio.file.Files
       .createTempDirectory("graft-pipe2").toString
-    val q2 = withShuffleParts(spark, 4) {
+    val q2 = withShuffleParts(spark, ScriptedDriverParts) {
       val q0 = spark.readStream.table(s"gtab.$b")
         .groupBy((col("id") % 6).as("g"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
@@ -936,7 +948,7 @@ object CatalogLifecycle {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-commit-feed").toString
-    val q = withShuffleParts(spark, 4) {
+    val q = withShuffleParts(spark, ScriptedDriverParts) {
       val q0 = spark.readStream.table(s"gtab.$t")
         .groupBy((col("id") % 5).as("g"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
@@ -996,7 +1008,7 @@ object CatalogLifecycle {
     }
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-stream-write").toString
-    def drain(): Unit = withShuffleParts(spark, 4) {
+    def drain(): Unit = withShuffleParts(spark, ScriptedDriverParts) {
       val q = spark.readStream.table(s"gtab.$src")
         .select(col("id"), (col("v") * 2 + 1).as("v"))
         .writeStream

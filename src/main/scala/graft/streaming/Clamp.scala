@@ -15,6 +15,18 @@ import org.apache.spark.sql.SparkSession
   * partitioning-independent.
   */
 private[streaming] object Clamp {
+
+  /** The measured drain width for the ≤10-key bounded group domains
+    * above — a LANE constant (the key domain is fixed by the lane
+    * definitions, like the scripted catalog drivers' table sizes:
+    * [[graft.io.CatalogLifecycle]] names the same choice
+    * `ScriptedDriverParts`), NOT cluster tuning: production streams
+    * through the sink keep the session width. Half the 8-10-key
+    * domain keeps a couple of keys per state store; the r16 A/B
+    * measured 4 as the knee (q346 3.8->2.1 s, q332 3.0->1.9 s).
+    */
+  val BoundedDrainParts = 4
+
   def withShuffleParts[T](spark: SparkSession, parts: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

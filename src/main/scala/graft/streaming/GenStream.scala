@@ -36,7 +36,7 @@ object GenStream {
       .createTempDirectory("graft-gen-stream-ckpt").toString
     // 10-key group domain: clamp the drain's shuffle width so each
     // micro-batch opens 4 state stores, not the session's 32
-    val q = Clamp.withShuffleParts(spark, 4) {
+    val q = Clamp.withShuffleParts(spark, Clamp.BoundedDrainParts) {
     val q0 = spark.readStream.format("graft.sources.GenSource")
       .option("rows", rows.toString)
       .option("parts", parts.toString)

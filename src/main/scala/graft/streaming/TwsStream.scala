@@ -64,7 +64,7 @@ object TwsStream {
         .createTempDirectory("graft-tws-ckpt").toString
       // 10-key group domain: clamp the drain's shuffle width so each
       // micro-batch opens 4 RocksDB stores, not the session's 32
-      val q = Clamp.withShuffleParts(spark, 4) {
+      val q = Clamp.withShuffleParts(spark, Clamp.BoundedDrainParts) {
         val src = spark.readStream.format("graft.sources.GenSource")
           .option("rows", rows.toString)
           .option("parts", parts.toString)

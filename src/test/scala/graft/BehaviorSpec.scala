@@ -1337,6 +1337,36 @@ class BehaviorSpec extends SparkSpec {
         "purchase-burst graph")
   }
 
+  test("hashMinLabels: pointer-jumping shortcut keeps the HashMin " +
+    "fixpoint and cuts rounds to O(log diameter)") {
+    import org.apache.spark.sql.functions.{array, col, explode, struct}
+    // a 64-hop path (diameter 64), a triangle, an isolated node
+    val edges = ((0L until 64L).map(i => (i, i + 1)) ++
+      Seq((300L, 301L), (301L, 302L), (302L, 300L)))
+      .toDF("src", "dst")
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val nodes = ((0L to 64L) ++ Seq(300L, 301L, 302L, 999L))
+      .toDF("node")
+    val (plain, plainRounds) =
+      Graph.hashMinLabels(sym, nodes, maxIters = 100, shortcut = false)
+    val (jumped, jumpedRounds) =
+      Graph.hashMinLabels(sym, nodes, maxIters = 100, shortcut = true)
+    val got = jumped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = plain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "shortcut must not change the converged labels")
+    assert(want == (((0L to 64L).map(_ -> 0L) ++
+        Seq(300L, 301L, 302L).map(_ -> 300L) ++ Seq(999L -> 999L)).toMap),
+      "fixpoint must be the per-component minima")
+    assert(plainRounds > 30,
+      s"plain HashMin needs diameter-many rounds, took $plainRounds")
+    assert(jumpedRounds <= 10,
+      s"pointer jumping must label a 64-hop path in O(log d) rounds, " +
+        s"took $jumpedRounds")
+  }
+
   test("negativeSampling: bucket prefilter + fallback = direct draw") {
     // Planted catalog of 40 items, 12 users; each user purchases a
     // different-sized positive slice so the forced low-bucket draw

@@ -64,6 +64,42 @@ object FunctionProps extends Properties("functions") {
       got == (a.toSet & b.toSet).size
     }
 
+  // the hybrid kernel's GALLOP branch only engages when one side is
+  // >= 16x longer — drive it explicitly with hub-vs-leaf shapes (the
+  // truss support kernel's skew case), including overlaps at the
+  // array boundaries where gallop cursor arithmetic is easiest to
+  // get wrong
+  property("SortedIntersectCount gallop branch = set reference on " +
+    "16x-asymmetric arrays") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.choose(0L, 5000L)),
+      Gen.listOfN(900, Gen.choose(0L, 5000L))) { (xs, ys) =>
+      val a = xs.distinct.sorted
+      val b = ys.distinct.sorted
+      def lit(v: Seq[Long]) = Literal.create(v.toArray,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false))
+      val small = evalStr(SortedIntersectCount(lit(a), lit(b))).asInstanceOf[Int]
+      val flipped = evalStr(SortedIntersectCount(lit(b), lit(a))).asInstanceOf[Int]
+      small == (a.toSet & b.toSet).size && flipped == small
+    }
+
+  property("BitsetFromSorted + BitsetIntersectCount = set reference " +
+    "on bounded-domain arrays") =
+    Prop.forAll(Gen.listOf(Gen.choose(100L, 800L)),
+      Gen.listOf(Gen.choose(100L, 800L))) { (xs, ys) =>
+      val a = xs.distinct.sorted
+      val b = ys.distinct.sorted
+      def lit(v: Seq[Long]) = Literal.create(v.toArray,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false))
+      val base = Literal(100L)
+      val width = Literal(701L)
+      val got = evalStr(graft.functions.BitsetIntersectCount(
+        graft.functions.BitsetFromSorted(lit(a), base, width),
+        graft.functions.BitsetFromSorted(lit(b), base, width)))
+        .asInstanceOf[Int]
+      got == (a.toSet & b.toSet).size
+    }
+
   property("WinnowHash = min over strided window reference") =
     Prop.forAll(genText) { text =>
       val got = evalStr(WinnowHash(Literal(UTF8String.fromString(text))))
